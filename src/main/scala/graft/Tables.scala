@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata tables (`TESTDATA.md`).
+  *
+  * `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it
+  * via `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros —
+  * the same truncation DuckDB applies — keeping `ts` a proper TimestampType
+  * for every downstream operator. `ts div 1000` is integer division (double
+  * division would lose precision above 2^53 ns).
+  */
+object Tables {
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        spark.read.parquet(s"$sfDir/$other.parquet")
+    }
+}

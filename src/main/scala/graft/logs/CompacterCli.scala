@@ -1,0 +1,56 @@
+package graft.logs
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's argparse surface
+  * (`scripts/oss_s3_server_side_logging_compacter.py:311-350`):
+  *
+  * {{{
+  * --source-access-log-bucket <uri>   root holding raw log objects
+  * --source-bucket <name>             monitored bucket (listing sub-prefix)
+  * --destination-log-bucket <uri>     where compacted parquet goes
+  * --destination-log-prefix <prefix>  prefix under the destination
+  * --num-output-files <n>             parquet files per day (default 10)
+  * --min-date <YYYY-MM-DD>            inclusive
+  * --max-date <YYYY-MM-DD>            exclusive
+  * }}}
+  *
+  * Credentials: supplied via standard Hadoop/AWS config (core-site,
+  * environment, instance profile) — pluggable auth, the reference README's
+  * explicit wish (`README.md:75-79`), instead of a JSON keyfile.
+  */
+object CompacterCli {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    def req(k: String): String = opts.getOrElse(k,
+      throw new IllegalArgumentException(s"missing --$k"))
+
+    val cfg = Compacter.Config(
+      accessLogRoot = req("source-access-log-bucket"),
+      sourceBucket = req("source-bucket"),
+      destRoot = s"${req("destination-log-bucket")}/${opts.getOrElse("destination-log-prefix", "s3_server_side_access_logs")}",
+      numOutputFiles = opts.getOrElse("num-output-files", "10").toInt
+    )
+    val builder = SparkSession.builder()
+      .appName("graft-log-compacter")
+      .config("spark.speculation", "false") // committer-v2 safety (ref :189-192)
+      .config("spark.sql.session.timeZone", "UTC")
+    // Under spark-submit the master comes from the launcher; standalone
+    // (sbt run, plain java) falls back to all local cores.
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    try {
+      Compacter.compactRange(spark, cfg,
+        LocalDate.parse(req("min-date")), LocalDate.parse(req("max-date")))
+        .foreach(d => println(s"[compacter] wrote $d"))
+    } finally spark.stop()
+  }
+}

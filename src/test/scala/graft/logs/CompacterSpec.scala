@@ -1,0 +1,107 @@
+package graft.logs
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkTestBase
+import graft.analysis.DaysApart
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test (SURVEY.md §5.3): raw log dir → compact →
+  * re-read parquet → schema + content + sortedness + file count + DDL +
+  * flagship query. Mirrors the reference flow §3.1/§3.3.
+  */
+class CompacterSpec extends SparkTestBase {
+
+  def logLine(day: Int, hour: Int, key: String, op: String = "REST.GET.OBJECT",
+              requester: String = "arn:aws:iam::1:assumed-role/r/i-0abc",
+              status: Int = 200, bytes: Long = 1024): String =
+    f"owner bucket1 [$day%02d/Feb/2021:$hour%02d:00:00 +0000] 1.2.3.4 $requester " +
+      f"REQ$day$hour $op $key " + "\"GET /x HTTP/1.1\" " +
+      f"$status - $bytes 2048 10 5 " + "\"-\" \"agent/1.0\" -"
+
+  def writeRawDay(root: Path, bucket: String, dt: String, lines: Seq[String]): Unit = {
+    val dir = root.resolve(bucket)
+    Files.createDirectories(dir)
+    // two raw objects for the day + a same-dir object for another day
+    // (must NOT be listed for dt)
+    val (a, b) = lines.splitAt(lines.size / 2)
+    Files.write(dir.resolve(s"$dt-00-00-00-OBJA"), String.join("\n", a: _*).getBytes)
+    Files.write(dir.resolve(s"$dt-12-00-00-OBJB"),
+      ("\n" + String.join("\n", b: _*) + "\n\n").getBytes) // blank lines dropped
+  }
+
+  test("compact → read back: schema, rows, in-file time-sortedness, file count") {
+    val tmp = Files.createTempDirectory("graft-compact")
+    val rawRoot = tmp.resolve("raw"); val destRoot = tmp.resolve("out")
+    val dt = "2021-02-03"
+    // old keys (written 2019) read in 2021 → days_apart > 400
+    val lines = (0 until 50).map { i =>
+      logLine(3, i % 24, f"logs/svc${i % 3}/2019/01/${(i % 27) + 1}%02d/part-$i.gz")
+    } ++ Seq(
+      logLine(3, 5, "-", op = "REST.GET.VERSIONING", bytes = 10),
+      "corrupt line that matches nothing"
+    )
+    writeRawDay(rawRoot, "bucket1", dt, lines)
+    writeRawDay(rawRoot, "bucket1", "2021-02-04", Seq(logLine(4, 1, "logs/x/2019/01/01/a.gz")))
+
+    val cfg = Compacter.Config(rawRoot.toString, "bucket1", destRoot.toString,
+      numOutputFiles = 3)
+    val dest = Compacter.compactDay(spark, cfg, dt).get
+
+    val back = spark.read.parquet(dest)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      AccessLogSchema.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "dt must be path-encoded only, NOT a data column")
+    assert(back.count() == lines.size, "other days' objects must not leak in")
+    assert(back.filter(col("error_line").isNotNull).count() == 1)
+
+    val files = Files.list(java.nio.file.Paths.get(dest)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length == 3, s"expected 3 output files, got ${files.length}")
+
+    // per-file sortedness by request_time (sortWithinPartitions semantics)
+    files.foreach { f =>
+      val ts = spark.read.parquet(f).select("request_time")
+        .collect().map(r => Option(r.getTimestamp(0)).map(_.getTime).getOrElse(Long.MinValue))
+      assert(ts.sameElements(ts.sorted), s"rows in $f not time-sorted")
+    }
+
+    // determinism: re-run the day → identical row multiset (materialize
+    // before the overwrite invalidates the first read's file listing)
+    val firstRun = back.collect().map(_.toString).sorted
+    Compacter.compactDay(spark, cfg, dt)
+    val again = spark.read.parquet(dest).collect().map(_.toString).sorted
+    assert(again.sameElements(firstRun))
+
+    // catalog DDL + partition registration + flagship query over the table
+    LogCatalog.dropTable(spark, "access_logs_e2e")
+    LogCatalog.createAccessLogsTable(spark, "access_logs_e2e",
+      s"$destRoot/bucket1")
+    LogCatalog.repairTable(spark, "access_logs_e2e")
+    val viaSql = spark.sql("SELECT count(*) FROM access_logs_e2e WHERE dt = '2021-02-03'")
+      .collect().head.getLong(0)
+    assert(viaSql == lines.size)
+
+    val flagship = DaysApart.frame(spark.table("access_logs_e2e"), threshold = 400)
+    val rows = flagship.collect()
+    assert(rows.nonEmpty, "days-apart must find the >400-day-old reads")
+    assert(rows.forall(_.getAs[String]("requester") == "arn:aws:iam::1:assumed-role/r"),
+      "instance-id suffix must be stripped")
+    assert(rows.map(_.getAs[String]("log_name")).toSet == Set("svc0", "svc1", "svc2"))
+    // SQL text form agrees with the DataFrame form
+    val viaSqlForm = spark.sql(DaysApart.sql("access_logs_e2e", 400))
+    assert(viaSqlForm.exceptAll(flagship).count() == 0 &&
+           flagship.exceptAll(viaSqlForm).count() == 0)
+    LogCatalog.dropTable(spark, "access_logs_e2e")
+  }
+
+  test("lister: prefix filtering and empty dir") {
+    val tmp = Files.createTempDirectory("graft-list")
+    Files.createDirectories(tmp.resolve("b"))
+    Files.write(tmp.resolve("b/2021-01-01-AAA"), "x".getBytes)
+    Files.write(tmp.resolve("b/2021-01-02-BBB"), "x".getBytes)
+    assert(LogFileLister.listDay(tmp.toString, "b", "2021-01-01").size == 1)
+    assert(LogFileLister.listDay(tmp.toString, "b", "2021-01-03").isEmpty)
+    assert(LogFileLister.listDay(tmp.toString, "missing", "2021-01-01").isEmpty)
+  }
+}
