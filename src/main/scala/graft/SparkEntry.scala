@@ -1,13 +1,636 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.DaysApart
+import graft.ext.{Dedup, Similarity, TextStats}
+import graft.logs.LogLineParser
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator, with a DuckDB-runnable ANSI oracle in `oracleSql` wherever the
+  * operator is SQL-expressible. Column names and types are aligned
+  * pair-by-pair (the driver hash-compares after sorting columns by name).
+  *
+  * Dialect-parity rules used throughout (SURVEY.md §5.4):
+  *  - counts are BIGINT on both sides (DuckDB count/sum(int) → HUGEINT is
+  *    always CAST AS BIGINT in the oracle);
+  *  - sums over doubles go through DECIMAL(18,2) (exact, order-independent)
+  *    and back to DOUBLE, so Spark's partition-order-dependent double
+  *    addition can never flip a bit vs DuckDB;
+  *  - timestamps are micros on both sides (events' TIMESTAMP_NS is
+  *    truncated identically by `Tables.load` and `CAST(ts AS TIMESTAMP)`);
+  *  - ratios are int/int divisions in DOUBLE — bit-identical IEEE on both.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------------ util
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB prelude normalizing events.ts (TIMESTAMP_NS → micros), matching
+    * `Tables.load`.
+    */
+  private val EventsCte =
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+  // -------------------------------------------------- synthetic log corpus
+
+  /** Deterministic AWS-S3-access-log lines derived from `events` — the
+    * bridge between the driver's testdata and the reference's data model.
+    * Every field round-trips through `LogLineParser` (SURVEY.md §1.3);
+    * event_id % 101 == 0 rows are corrupt (PERMISSIVE error_line path);
+    * event_id % 13 == 0 rows carry the '-' sentinel in bytes_sent.
+    */
+  def syntheticLogLines(events: DataFrame): DataFrame = {
+    val id = col("event_id"); val uid = col("user_id")
+    val status = when(col("event_type") === "error", lit(404)).otherwise(lit(200))
+    val bytes = round(col("value") * 100).cast("long")
+    val clean = concat(
+      lit("own"), pmod(uid, lit(5L)),
+      lit(" logbucket ["),
+      date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] 10.0.0."),
+      pmod(uid, lit(250L)),
+      lit(" arn:aws:sts::123456789012:assumed-role/svc"), pmod(uid, lit(7L)),
+      lit("/i-"), id,
+      lit(" REQ"), id, lit(" "),
+      when(col("value") > 50, lit("REST.GET.OBJECT")).otherwise(lit("REST.PUT.OBJECT")),
+      lit(" logs/app"), pmod(uid, lit(3L)), lit("/2023/"),
+      lpad((pmod(id, lit(12L)) + 1).cast("string"), 2, "0"), lit("/"),
+      lpad((pmod(id, lit(28L)) + 1).cast("string"), 2, "0"),
+      lit("/obj"), id,
+      lit(" \"GET /obj HTTP/1.1\" "), status, lit(" "),
+      when(status === 404, lit("NoSuchKey")).otherwise(lit("-")), lit(" "),
+      when(pmod(id, lit(13L)) === 0, lit("-")).otherwise(bytes.cast("string")), lit(" "),
+      (bytes * 2).cast("string"), lit(" "),
+      pmod(id, lit(1000L)), lit(" - \"-\" \"agent/"),
+      pmod(uid, lit(4L)), lit(".0\" "),
+      when(pmod(id, lit(10L)) === 0, lit("-"))
+        .otherwise(lit("ABCDEFGHI").substr(pmod(id, lit(10L)).cast("int"), lit(1))))
+    val line = when(pmod(id, lit(101L)) === 0,
+      concat(lit("CORRUPT LINE "), id)).otherwise(clean)
+    events.select(line.as("value"))
+  }
+
+  /** DuckDB oracle: the expected PARSED table, built directly (parse ∘
+    * format = identity on clean rows; corrupt rows = 18 nulls + raw line).
+    */
+  private val ParsedOracle: String =
+    s"""WITH e AS ($EventsCte),
+       |clean AS (SELECT * FROM e WHERE event_id % 101 <> 0)
+       |SELECT
+       |  'own' || (user_id % 5) AS bucket_owner,
+       |  'logbucket' AS s3_bucket,
+       |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS request_time,
+       |  '10.0.0.' || (user_id % 250) AS remote_ip,
+       |  'arn:aws:sts::123456789012:assumed-role/svc' || (user_id % 7) || '/i-' || event_id AS requester,
+       |  'REQ' || event_id AS request_id,
+       |  CASE WHEN value > 50 THEN 'REST.GET.OBJECT' ELSE 'REST.PUT.OBJECT' END AS operation,
+       |  'logs/app' || (user_id % 3) || '/2023/' || lpad(CAST(1 + event_id % 12 AS VARCHAR), 2, '0')
+       |    || '/' || lpad(CAST(1 + event_id % 28 AS VARCHAR), 2, '0') || '/obj' || event_id AS key,
+       |  '"GET /obj HTTP/1.1"' AS request,
+       |  CAST(CASE WHEN event_type = 'error' THEN 404 ELSE 200 END AS INT) AS http_status,
+       |  CASE WHEN event_type = 'error' THEN 'NoSuchKey' ELSE NULL END AS error_code,
+       |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS bytes_sent,
+       |  CAST(round(value * 100) AS BIGINT) * 2 AS object_size,
+       |  event_id % 1000 AS total_time,
+       |  CAST(NULL AS BIGINT) AS turn_around_time,
+       |  CAST(NULL AS VARCHAR) AS referrer,
+       |  '"agent/' || (user_id % 4) || '.0"' AS user_agent,
+       |  CASE WHEN event_id % 10 = 0 THEN NULL
+       |       ELSE substr('ABCDEFGHI', CAST(event_id % 10 AS INT), 1) END AS version_id,
+       |  CAST(NULL AS VARCHAR) AS error_line
+       |FROM clean
+       |UNION ALL
+       |SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       |       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       |       'CORRUPT LINE ' || event_id
+       |FROM e WHERE event_id % 101 = 0""".stripMargin
+
+  // -------------------------------------------------------------- flagship
+
+  /** Flagship: synthesize log lines from sf0.001 events, parse them with
+    * the native column-expression parser, run the reference's Days Apart
+    * analysis (threshold 60 days). Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val events = tbl(spark, "/root/testdata/sf0.001", "events")
+    val parsed = LogLineParser.parse(syntheticLogLines(events))
+    DaysApart.frame(parsed, threshold = 60)
+  }
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2/§2.9 — the core operator: regex parse with PERMISSIVE
+    // corrupt-record semantics, null sentinels, timestamp munging.
+    "q10_parse_logline" -> ((s, dir) => {
+      LogLineParser.parse(syntheticLogLines(tbl(s, dir, "events")))
+    }),
+
+    // §3.2 — the flagship Days Apart analysis end-to-end over parsed lines:
+    // scan → filter → regex/date scalar fns → group agg → global sort.
+    "q11_days_apart" -> ((s, dir) => {
+      val parsed = LogLineParser.parse(syntheticLogLines(tbl(s, dir, "events")))
+      DaysApart.frame(parsed, threshold = 60)
+        .orderBy(desc("access_count"), col("requester"), col("log_name"))
+    }),
+
+    // §2.4 — hash aggregate, multiple aggs, decimal-exact double sums.
+    "q01_agg_pricing" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val dec = (c: Column) => c.cast("decimal(18,2)")
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          min("l_shipdate").as("min_ship"),
+          max("l_shipdate").as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.2 — predicate + projection pushdown to the parquet scan.
+    "q02_filter_pushdown" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    }),
+
+    // §2.3 — string scalar functions (regexp_extract/replace, concat, case).
+    "q03_string_funs" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_upper"),
+        length(col("text")).cast("long").as("text_len"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).as("src_num"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        size(regexp_extract_all(col("text"), lit("the"), lit(0))).cast("long").as("n_the"))
+    }),
+
+    // §2.3 — date/time scalar functions + aggregation by day.
+    "q04_dates" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          max(hour(col("ts"))).as("max_hr"))
+        .orderBy("day")
+    }),
+
+    // §2.5 ext — fact-fact join + datediff + agg + sort (Days Apart shape
+    // over the star schema: order date vs ship date).
+    "q05_days_apart_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("days_apart"),
+          col("o_orderpriority"),
+          col("l_extendedprice"))
+        .filter(col("days_apart") > 60)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // §2.5 ext — broadcast dimension joins (star schema rollup).
+    "q06_join_star" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+        .orderBy("r_name")
+    }),
+
+    // §2.6 — global sort + limit (top-k) with deterministic tie-break.
+    "q07_topk" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(15)
+    }),
+
+    // ext — window ranking: top-3 orders per customer.
+    "q08_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // §2.4 ext — distinct aggregation.
+    "q09_distinct_agg" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // ext dedup — exact duplicate groups by content digest.
+    "q12_dedup_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.exactGroups(docs.union(dups), "doc_id", "text")
+    }),
+
+    // ext dedup — MinHash + LSH banding candidates, exact-Jaccard verified.
+    "q13_dedup_minhash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      Dedup.minhashDuplicates(docs.union(near), "doc_id", "text",
+          numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // ext dedup — embedding-cosine near-dup pairs (exact predicate).
+    "q14_dedup_embedding" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = em.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.embeddingDuplicates(em.union(copies), "vec_id", "embedding", threshold = 0.9)
+        .select("id_a", "id_b")
+    }),
+
+    // ext similarity — exact brute-force cosine top-k (ANN baseline).
+    "q15_ann_bruteforce" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(em, qs, "vec_id", "embedding", "query_id", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ext similarity — LSH-bucketed ANN (scale path; no SQL oracle:
+    // rows-only check, recall asserted vs brute force in ScalaTest).
+    "q16_ann_lsh" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(em, qs, "vec_id", "embedding", "query_id",
+          k = 10, bits = 10, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ext text — token counts, ratios, quality score, fingerprint.
+    "q17_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.wordCount(t).cast("long").as("n_tokens"),
+        TextStats.bpeishTokenCount(t).cast("long").as("n_bpeish"),
+        TextStats.punctRatio(t).as("punct_ratio"),
+        TextStats.stopwordRatio(t).as("stopword_ratio"),
+        TextStats.meanWordLength(t).as("mean_word_len"),
+        TextStats.qualityScore(t).as("quality_score"),
+        TextStats.fingerprint(t).as("fingerprint"))
+    }),
+
+    // ext text — marker-word language identification.
+    "q18_text_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("lang_pred"))
+    }),
+
+    // ext streaming-shape — sessionization via windows (gap > 30 min).
+    "q19_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("is_new").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // §2.5 ext — anti join (customers with no large orders).
+    "q20_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.4 ext — rollup (hierarchical grouping sets), via the SQL entry
+    // point (the DataFrame rollup API trips Spark's ambiguous-self-join
+    // false positive on join-derived frames, SPARK-??; SQL resolution
+    // doesn't carry dataset-id tags and is the idiomatic path anyway).
+    "q21_rollup" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name")
+        .createOrReplaceTempView("q21_joined")
+      // Spark ASC default is NULLS FIRST (matches the oracle's explicit
+      // NULLS FIRST; DuckDB's default is NULLS LAST).
+      s.sql("""SELECT r_name, n_name, count(*) AS n_customers
+              |FROM q21_joined
+              |GROUP BY ROLLUP (r_name, n_name)
+              |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    // ext sketch — approx_count_distinct (HLL++; rows-only: DuckDB's HLL
+    // differs by construction, exactness asserted within rsd in ScalaTest).
+    "q22_approx_distinct" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // ext dedup — SimHash near-dup pairs (rows-only: xxhash64-based sketch
+    // has no DuckDB twin; pair-recovery asserted in ScalaTest).
+    "q23_dedup_simhash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val dups = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.simhashDuplicates(docs.union(dups), "doc_id", "text", maxDistance = 3)
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Marker-word language-ID as first-wins argmax CASE (mirrors
+    * `TextStats.langId`'s strictly-greater fold).
+    */
+  private val LangIdOracle: String = {
+    val scores = TextStats.LangMarkers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n       |    ")
+    val langs = TextStats.LangMarkers.map(_._1)
+    val all = langs.map("s_" + _).mkString(", ")
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map("s_" + _)
+      val restMax = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $restMax THEN '$l'"
+    }.mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM toks)
+       |SELECT doc_id, lang,
+       |  CASE WHEN greatest($all) = 0 THEN 'und'
+       |       $cases
+       |       ELSE '${langs.last}' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  /** Word-3-gram shingle CTE over a doc set named `all_docs(doc_id, text)` —
+    * mirrors `Dedup.shingles(text, 3)`.
+    */
+  private val ShingleCte: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(t) - 2, 1)),
+      |      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |        FROM all_docs))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q10_parse_logline" -> ParsedOracle,
+
+    "q11_days_apart" ->
+      s"""WITH e AS ($EventsCte),
+         |d AS (
+         |  SELECT
+         |    'arn:aws:sts::123456789012:assumed-role/svc' || (user_id % 7) AS requester,
+         |    'app' || (user_id % 3) AS log_name,
+         |    date_diff('day',
+         |      make_date(2023, CAST(1 + event_id % 12 AS INT), CAST(1 + event_id % 28 AS INT)),
+         |      CAST(date_trunc('day', ts) AS DATE)) AS days_apart,
+         |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS bytes_sent
+         |  FROM e
+         |  WHERE event_id % 101 <> 0 AND value > 50 AND event_type <> 'error')
+         |SELECT requester, log_name,
+         |       CAST(count(*) AS BIGINT) AS access_count,
+         |       CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+         |FROM d WHERE days_apart > 60
+         |GROUP BY 1, 2
+         |ORDER BY access_count DESC, requester, log_name""".stripMargin,
+
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  min(l_shipdate) AS min_ship,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000""".stripMargin,
+
+    "q03_string_funs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 10)) AS head_upper,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+        |  concat_ws('|', lang, source) AS tag,
+        |  CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the
+        |FROM documents""".stripMargin,
+
+    "q04_dates" ->
+      s"""WITH e AS ($EventsCte)
+         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  CAST(max(hour(ts)) AS INT) AS max_hr
+         |FROM e
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    "q05_days_apart_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q06_join_star" ->
+      """SELECT r_name,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 15""".stripMargin,
+
+    "q08_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
+
+    "q09_distinct_agg" ->
+      s"""WITH e AS ($EventsCte)
+         |SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM e
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(text) AS digest,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keep_id
+        |FROM all_docs
+        |GROUP BY 1""".stripMargin,
+
+    "q13_dedup_minhash" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents WHERE doc_id % 7 = 0),
+         |$ShingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q14_dedup_embedding" ->
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 9 = 0),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM scored WHERE cosine >= 0.9""".stripMargin,
+
+    "q15_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN embeddings e)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+
+    "q17_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')) AS BIGINT) AS n_bpeish,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}_-]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> list_contains(${TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS stopword_ratio,
+         |  CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), x -> length(x))) AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mean_word_len,
+         |  CAST((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}_-]')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |          x -> list_contains(${TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
+         |          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), x -> length(x))) AS DOUBLE)
+         |          / greatest(len(regexp_split_to_array(text, '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 2 ELSE 0 END) AS DOUBLE) / 10 AS quality_score,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "q18_text_langid" -> LangIdOracle,
+
+    "q19_sessionize" ->
+      s"""WITH e AS ($EventsCte),
+         |x AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM e),
+         |y AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM x),
+         |z AS (
+         |  SELECT user_id,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM y)
+         |SELECT user_id,
+         |  CAST(max(sess_id) AS BIGINT) AS n_sessions,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM z
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    "q20_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+  )
 }

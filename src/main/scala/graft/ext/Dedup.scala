@@ -1,0 +1,252 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, at five levels of
+  * fuzziness: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  * North-star extensions (SURVEY.md §2 extensions) — pure DataFrame ops,
+  * designed around the 100 TB question: what shuffles, and on what key?
+  *
+  *  - exact: one hash-shuffle on a 16-byte digest (never the full text);
+  *  - MinHash+LSH: per-row signature (no shuffle) → shuffle only on
+  *    (band, bandHash) buckets → pairwise work confined to buckets, i.e.
+  *    the classic  O(n²) → O(n·bucketWidth) cut;
+  *  - SimHash: per-row 64-bit sketch → pigeonhole band join (hamming ≤ d
+  *    within b bands means some band of width 64/b is equal exactly) →
+  *    exact hamming check via bit_count(xor);
+  *  - n-gram Jaccard / embedding cosine: the *verify* predicates, exact,
+  *    used on LSH-candidate pairs (or standalone at small n).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups by content digest. Shuffles 16-byte digests,
+    * not documents: at 100 TB the shuffle payload is ~32 B/row regardless
+    * of document size. Canonicalization (trim/collapse-ws/lower) optional
+    * because "exact" is policy: raw bytes vs normalized text.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+                  canonicalize: Boolean = false): DataFrame = {
+    val t = if (canonicalize) trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+            else col(textCol)
+    df.select(col(idCol), md5(t).as("digest"))
+      .groupBy("digest")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+  }
+
+  /** Exact dedup: keep the min-id representative of each digest group.
+    * Implemented as an aggregation (not dropDuplicates) so the survivor
+    * choice is deterministic — dropDuplicates keeps an arbitrary row.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of the canonicalized text, distinct. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val ngrams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    array_distinct(ngrams)
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  /** MinHash signature column: array<bigint> of length numHashes, where
+    * slot i = min over shingles of xxhash64(seed, i, shingle). Mixing the
+    * slot index INTO the hash (rather than post-transforming one hash with
+    * an affine map) is what makes the functions genuinely independent — an
+    * affine family (a_i·h+b_i) mod p over one base hash is order-correlated
+    * when the product stays below ~4p, and then a single globally-minimal
+    * shingle wins every slot, collapsing the signature. Fixed seed:
+    * re-run ⇒ identical candidate set (the pipeline's determinism
+    * contract). Cost: O(numHashes · |shingles|) per row, zero shuffle,
+    * full whole-stage codegen.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64,
+                       seed: Long = 42L): Column = {
+    val mins = (0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), lit(i), s)))
+    }
+    array(mins: _*)
+  }
+
+  /** Estimated Jaccard from two signatures = fraction of agreeing slots. */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA).cast("double")
+
+  /** LSH banding: explode the signature into `bands` rows keyed by
+    * (band index, hash of that band's slice). Docs sharing ANY band bucket
+    * become candidate pairs. With r = numHashes/bands rows per band, the
+    * candidate threshold is ≈ (1/bands)^(1/r).
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int): DataFrame = {
+    val withBand = df.select(
+      col(idCol),
+      posexplode(slicesOf(col(sigCol), bands)).as(Seq("band", "band_slice")))
+    withBand.select(
+      col(idCol), col("band"),
+      xxhash64(col("band"), concat_ws(",", transform(col("band_slice"), _.cast("string"))))
+        .as("band_hash"))
+  }
+
+  /** Split an array column into `parts` equal slices (last takes remainder). */
+  private def slicesOf(arr: Column, parts: Int): Column = {
+    val width = ceil(size(arr).cast("double") / parts).cast("int")
+    transform(sequence(lit(0), lit(parts - 1)),
+      i => slice(arr, i * width + 1, width))
+  }
+
+  /** Candidate duplicate pairs via MinHash + LSH banding, with the exact
+    * Jaccard verify applied. Returns (id_a, id_b, est_jaccard, jaccard)
+    * with id_a < id_b, for pairs whose EXACT Jaccard ≥ threshold.
+    *
+    * Shuffle profile at scale: one hash-shuffle of (id, band, band_hash) —
+    * ~24 B/row·band — then a bucket-local self-join; the shingle arrays
+    * travel only for surviving candidates (re-joined by id), so the heavy
+    * columns cross the wire O(candidates), not O(n²).
+    */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleSize: Int = 3, threshold: Double = 0.8,
+                        seed: Long = 42L): DataFrame = {
+    val withSig = df.select(
+      col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+
+    val bandsDf = lshBands(withSig, idCol, "sig", bands)
+    val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val left = withSig.select(col(idCol).as("id_a"),
+      col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val right = withSig.select(col(idCol).as("id_b"),
+      col("sh").as("sh_b"), col("sig").as("sig_b"))
+    candidates
+      .join(left, "id_a").join(right, "id_b")
+      .select(col("id_a"), col("id_b"),
+        minhashEstimate(col("sig_a"), col("sig_b")).as("est_jaccard"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token
+    * hashes, take the sign. Computed with array HOFs as a 64-slot count
+    * vector — one pass over tokens, no shuffle, no UDF.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    val zeros = array_repeat(lit(0L), 64)
+    val counts = aggregate(hashes, zeros,
+      (acc, h) => zip_with(acc, bitsPm1(h), (a, b) => a + b))
+    // fold the 64 signs back into one BIGINT
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** array<bigint> of +1/-1 for each of the 64 bits of h (LSB first). */
+  private def bitsPm1(h: Column): Column =
+    transform(sequence(lit(0), lit(63)),
+      i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxDistance.
+    * Pigeonhole banding: split the 64 bits into maxDistance+1 bands — any
+    * pair within distance d agrees exactly on ≥1 band, so an equi-join per
+    * band finds all true pairs without O(n²). Exact check via
+    * bit_count(xor) then dedups false positives.
+    */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxDistance: Int = 3): DataFrame = {
+    val numBands = maxDistance + 1
+    val width = 64 / numBands
+    val withSketch = df.select(col(idCol), simhash(col(textCol)).as("sk"))
+
+    val banded = withSketch.select(
+      col(idCol), col("sk"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        i => call_function("shiftright", col("sk"), i * lit(width))
+          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("band", "band_bits")))
+
+    val a = banded.select(col("band"), col("band_bits"),
+      col(idCol).as("id_a"), col("sk").as("sk_a"))
+    val b = banded.select(col("band"), col("band_bits"),
+      col(idCol).as("id_b"), col("sk").as("sk_b"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sk_a"), col("sk_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .distinct()
+  }
+
+  // ------------------------------------------- n-gram Jaccard (standalone)
+
+  /** All-pairs n-gram Jaccard ≥ threshold. O(n²) candidate space blocked by
+    * a cheap length-band key (near-dups have near-equal shingle counts:
+    * |A∩B| ≥ t·|A∪B| ⇒ sizes within factor 1/t), so each side joins only
+    * its own and adjacent size bands. Exact, no sketching — the small-n /
+    * verify-stage tool; use minhashDuplicates when n is web-scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val withSh = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    // size band: log-scale bucket; a pair at jaccard ≥ t has size ratio
+    // ≤ 1/t, so with bucket base 1/t adjacent buckets cover all true pairs.
+    val base = math.max(1.0 / threshold, 1.0001)
+    val band = floor(log(col("nsh").cast("double")) / math.log(base)).cast("int")
+    val banded = withSh.withColumn("band", band)
+    val probes = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+      explode(array(col("band"), col("band") + 1)).as("band"))
+    val builds = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+      col("band"))
+    probes.join(builds, "band")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  // --------------------------------------------- embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Standalone form
+    * is the exact all-pairs join — use for verify stages or modest n; the
+    * scale path is Similarity.lshCandidatePairs (random-hyperplane buckets)
+    * feeding this exact predicate.
+    */
+  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double = 0.95): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

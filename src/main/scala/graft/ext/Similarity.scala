@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). North-star extension (SURVEY.md §2 extensions).
+  *
+  * Two paths, same exact scoring predicate:
+  *  - bruteForceTopK — broadcast the (small) query set against the (huge)
+  *    corpus: one corpus scan, no shuffle of vectors, a partial top-k per
+  *    partition then a final top-k (window over ≤ k·partitions rows).
+  *    Exact; the baseline every ANN variant is measured against.
+  *  - LSH (random hyperplanes) — per-row bit signature (no shuffle) →
+  *    bucket equi-join, scoring only within buckets. Sub-linear candidate
+  *    sets at 100 TB; recall tunable via bits/tables (multi-probe
+  *    included: probe all single-bit-flip neighbors of the query bucket).
+  *
+  * All vector math is `zip_with`/`aggregate` over the native array — stays
+  * in Tungsten, no UDF serialization; floats are upcast to double once so
+  * accumulation error does not depend on partitioning (determinism).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k by cosine for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the big side; scanned once.
+    * @param queries (queryIdCol, vecCol) — the small side; broadcast.
+    * @return (query_id, neighbor_id, cosine, rank), rank 1..k per query,
+    *         ties broken by neighbor id (deterministic).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, queryIdCol: String,
+                     k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q) // broadcast nested-loop: corpus never shuffles
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ------------------------------------------------- random-hyperplane LSH
+
+  /** Deterministic hyperplanes: `bits` rows × dim, seeded Gaussian. */
+  private[ext] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit signature of a vector against the hyperplanes, packed into a
+    * BIGINT bucket id. Pure per-row math — computed in the scan stage.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus rows sharing the query's
+    * bucket, or (multi-probe) any bucket at hamming distance 1 from it.
+    * Exact cosine + window top-k on the candidate set. Recall < 1 by
+    * construction; raise `bits` ↓bucket size, raise probes ↑recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int = 10, bits: Int = 12, dim: Int = 64,
+              seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val corpusB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), planes))
+
+    val qBase = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_bucket", lshBucket(col("q_vec"), planes))
+    // probe set: own bucket + all single-bit flips (hamming-1 neighbors)
+    val probeBuckets =
+      if (multiProbe)
+        explode(concat(array(col("q_bucket")),
+          transform(sequence(lit(0), lit(bits - 1)),
+            i => col("q_bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
+      else col("q_bucket")
+    val q = broadcast(qBase.select(col("query_id"), col("q_vec"),
+      probeBuckets.as("bucket")))
+
+    val scored = corpusB.join(q, "bucket") // hash join on bucket, query side broadcast
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** LSH near-pair candidates within one table (for Dedup verify stages):
+    * rows sharing a bucket. One shuffle on (bucket), pairwise only within
+    * buckets.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        bits: Int = 12, dim: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val withBucket = df.select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucket(col(vecCol), planes))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .distinct()
+  }
+}

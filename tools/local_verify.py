@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/local_verify.py [sfDir] [outDir]
+
+Reads outDir/<name>/ (spark parquet written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle against DuckDB views over the
+sfDir parquet tables, and compares: row count, column names, and
+sorted-row value equality (exact; doubles compared to 1e-12 relative just
+for DIAGNOSTIC claritythe real driver may be stricter, so aim for exact).
+"""
+import sys, os, json, glob, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    # sort columns by name, then rows by stringified values (mimic driver)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    def key(t):
+        return tuple("\0NULL" if v is None else str(v) for v in t)
+    return sorted(out, key=key), [cols[i] for i in order]
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-12 * max(abs(a), abs(b), 1.0)
+    return str(a) == str(b)
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    spark_path = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_path):
+        print(f"FAIL {name}: spark result missing")
+        n_fail += 1
+        continue
+    try:
+        sdf = con.execute(f"SELECT * FROM '{spark_path}/*.parquet'")
+        s_cols = [d[0] for d in sdf.description]
+        s_rows = sdf.fetchall()
+        odf = con.execute(oracle[name])
+        o_cols = [d[0] for d in odf.description]
+        o_rows = odf.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: {str(e).splitlines()[0][:200]}")
+        n_fail += 1
+        continue
+    if sorted(s_cols) != sorted(o_cols):
+        print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        n_fail += 1
+        continue
+    if len(s_rows) != len(o_rows):
+        print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
+        n_fail += 1
+        continue
+    s_canon, cols = canon(s_rows, s_cols)
+    o_canon, _ = canon(o_rows, o_cols)
+    bad = None
+    exact = True
+    for i, (sr, orr) in enumerate(zip(s_canon, o_canon)):
+        for j, (a, b) in enumerate(zip(sr, orr)):
+            if not eq(a, b):
+                bad = (i, cols[j], a, b)
+                break
+            if a != b and not (a is None and b is None):
+                if not (isinstance(a, float) and isinstance(b, float)
+                        and (a == b or (math.isnan(a) and math.isnan(b)))):
+                    exact = False
+        if bad:
+            break
+    if bad:
+        print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+        n_fail += 1
+    else:
+        note = "" if exact else " (float-tolerance only)"
+        print(f"PASS {name}: {len(s_rows)} rows{note}")
+        n_pass += 1
+
+# queries without an oracle: rows-only
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name in oracle:
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+        print(f"ROWS {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+    except Exception as e:
+        print(f"ROWS {name}: unreadable: {e}")
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
