@@ -242,11 +242,14 @@ object Dedup {
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double = 0.95): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // norms once per ROW (n), not per pair (n²/2)
+    val withNorm = df.select(col(idCol), col(vecCol),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        Similarity.cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

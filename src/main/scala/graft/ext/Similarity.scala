@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). North-star extension (SURVEY.md §2 extensions).
   *
@@ -23,16 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd kernels (graft.functions.VectorDot) — the HOF
+    * formulation (`aggregate(zip_with(...))`) is CodegenFallback and
+    * interprets per element, which dominates n²-pair similarity joins.
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = VectorFunctions.vecNorm(a)
 
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
+  def cosine(a: Column, b: Column): Column = VectorFunctions.vecCosine(a, b)
+
+  /** Cosine from a precomputed-norm pair — use on the inner side of pair
+    * joins so each pair costs ONE dot instead of three.
+    */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
     when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
   }
 
@@ -47,11 +54,13 @@ object Similarity {
                      idCol: String, vecCol: String, queryIdCol: String,
                      k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(
-      col(queryIdCol).as("query_id"), col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
       .join(q) // broadcast nested-loop: corpus never shuffles
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -86,10 +95,12 @@ object Similarity {
               k: Int = 10, bits: Int = 12, dim: Int = 64,
               seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
-    val corpusB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val corpusB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
 
-    val qBase = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qBase = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"))
       .withColumn("q_bucket", lshBucket(col("q_vec"), planes))
     // probe set: own bucket + all single-bit flips (hamming-1 neighbors)
     val probeBuckets =
@@ -98,12 +109,12 @@ object Similarity {
           transform(sequence(lit(0), lit(bits - 1)),
             i => col("q_bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
       else col("q_bucket")
-    val q = broadcast(qBase.select(col("query_id"), col("q_vec"),
+    val q = broadcast(qBase.select(col("query_id"), col("q_vec"), col("q_norm"),
       probeBuckets.as("bucket")))
 
     val scored = corpusB.join(q, "bucket") // hash join on bucket, query side broadcast
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine"))
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
@@ -120,11 +131,15 @@ object Similarity {
     val planes = hyperplanes(dim, bits, seed)
     val withBucket = df.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), planes))
-    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      .withColumn("nrm", norm(col(vecCol)))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("cosine"))
       .distinct()
   }
 }
