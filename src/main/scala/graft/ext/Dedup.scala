@@ -48,13 +48,13 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of the canonicalized text, distinct. */
+  /** Word n-gram shingles of the canonicalized text, distinct (native
+    * kernel graft.functions.WordNgrams — one pass, no per-window slice
+    * copies or interpreted lambdas).
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
-    val ngrams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    array_distinct(ngrams)
+    graft.functions.SketchFunctions.wordNgrams(toks, n)
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -67,23 +67,20 @@ object Dedup {
   // -------------------------------------------------------- MinHash + LSH
 
   /** MinHash signature column: array<bigint> of length numHashes, where
-    * slot i = min over shingles of xxhash64(seed, i, shingle). Mixing the
+    * slot i = min over shingles of mix(xxh64(shingle), seed+i). Mixing the
     * slot index INTO the hash (rather than post-transforming one hash with
     * an affine map) is what makes the functions genuinely independent — an
     * affine family (a_i·h+b_i) mod p over one base hash is order-correlated
     * when the product stays below ~4p, and then a single globally-minimal
     * shingle wins every slot, collapsing the signature. Fixed seed:
     * re-run ⇒ identical candidate set (the pipeline's determinism
-    * contract). Cost: O(numHashes · |shingles|) per row, zero shuffle,
-    * full whole-stage codegen.
+    * contract). Native kernel (graft.functions.MinHashSignature): each
+    * shingle is byte-hashed once, then k cheap long-mixes — one tight pass
+    * per row, zero shuffle, stays inside whole-stage codegen.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64,
-                       seed: Long = 42L): Column = {
-    val mins = (0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), lit(i), s)))
-    }
-    array(mins: _*)
-  }
+                       seed: Long = 42L): Column =
+    graft.functions.SketchFunctions.minhashSignature(shingleCol, numHashes, seed)
 
   /** Estimated Jaccard from two signatures = fraction of agreeing slots. */
   def minhashEstimate(sigA: Column, sigB: Column): Column =
@@ -152,26 +149,14 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token
-    * hashes, take the sign. Computed with array HOFs as a 64-slot count
-    * vector — one pass over tokens, no shuffle, no UDF.
+    * hashes (xxh64), take the sign. Native kernel
+    * (graft.functions.SimHash): one pass over tokens per row, no shuffle,
+    * no per-token array allocation.
     */
   def simhash(text: Column): Column = {
     val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    val zeros = array_repeat(lit(0L), 64)
-    val counts = aggregate(hashes, zeros,
-      (acc, h) => zip_with(acc, bitsPm1(h), (a, b) => a + b))
-    // fold the 64 signs back into one BIGINT
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    graft.functions.SketchFunctions.simhash(toks)
   }
-
-  /** array<bigint> of +1/-1 for each of the 64 bits of h (LSB first). */
-  private def bitsPm1(h: Column): Column =
-    transform(sequence(lit(0), lit(63)),
-      i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -96,10 +96,15 @@ object TextStats {
 
   /** Argmax language with deterministic tie-break (first in `LangMarkers`
     * order wins; all-zero scores → "und" [undetermined], BCP-47 style).
+    * All K languages are scored in ONE pass over the tokens via the native
+    * `MarkerCounts` kernel (word → language-bitmask lookup); the argmax is
+    * a cheap fold over the K counts.
     */
   def langId(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, markers) =>
-      struct(langScore(text, markers).as("score"), lit(lang).as("lang"))
+    val counts = graft.functions.SketchFunctions.markerCounts(
+      tokens(lower(text)), LangMarkers.map(_._2))
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(counts, i + 1).as("score"), lit(lang).as("lang"))
     }
     // array_max on (score, lang) structs orders lexicographically by field:
     // max score wins; equal scores → lexicographically LAST lang, which is

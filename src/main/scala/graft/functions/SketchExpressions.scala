@@ -1,0 +1,261 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native sketch kernels for the dedup operators.
+  *
+  * The declarative formulations (`array_min(transform(...))` × k slots for
+  * MinHash; `aggregate` over per-token 64-slot arrays for SimHash) are
+  * correct but run through CodegenFallback higher-order functions — one
+  * interpreted lambda call per element per slot, plus a k-element array
+  * allocation per token for SimHash. These expressions compute the same
+  * sketches in one tight pass per row (hash each element once, then k
+  * cheap long-mixes), called as a single static method from generated
+  * code so the surrounding projection stays in whole-stage codegen.
+  */
+
+/** MinHash signature: array<bigint> of length `numHashes`; slot i = min
+  * over elements of mix(xxh64(element), seed+i). Deterministic (fixed
+  * seed), per-row, no shuffle. Empty/all-null input → all Long.MaxValue.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.minhash(input.asInstanceOf[ArrayData], numHashes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.minhash($c, $numHashes, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array: per bit, sign of the ±1 sum over
+  * token hashes (xxh64, seed 42 — identical values to the builtin
+  * `xxhash64`). Per-row, no shuffle.
+  */
+case class SimHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles of a token array: array<string> where
+  * element i = tokens[i..i+n-1] joined by a single space, first-occurrence
+  * order, duplicates removed. Short inputs (< n tokens) yield one shingle
+  * of all tokens — the same windowing the declarative
+  * `transform(sequence(...), slice+array_join)` form produced, but in one
+  * native pass (the HOF form allocates a slice copy and joins strings
+  * through interpreted lambdas per position).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** Per-language marker-word counts: given K marker sets, returns
+  * array<int> of length K where slot k = number of tokens (with
+  * multiplicity) present in marker set k. One pass over the tokens with a
+  * precomputed word → language-bitmask map — the declarative form
+  * (`size(filter(tokens, array_contains(set_k, _)))` × K) interprets
+  * K·|tokens|·|set| lambda calls per row.
+  */
+case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "marker_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lookup: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    markerSets.zipWithIndex.foreach { case (words, k) =>
+      words.foreach { w =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        val prev = m.getOrDefault(u, Integer.valueOf(0)).intValue()
+        m.put(u, Integer.valueOf(prev | (1 << k)))
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.markerCounts(input.asInstanceOf[ArrayData], lookup, markerSets.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("markerLookup", lookup,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.markerCounts($c, $mapRef, ${markerSets.length});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
+}
+
+/** Static-call target for interpreted eval AND generated code. */
+object SketchHelper {
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else arr.getUTF8String(i)
+      i += 1
+    }
+    val count = math.max(len - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](count * 2)
+    i = 0
+    while (i < count) {
+      val end = math.min(i + n, len)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = toks(j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def minhash(arr: ArrayData, k: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(base, seed + i)
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def markerCounts(arr: ArrayData,
+                   lookup: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
+                   numSets: Int): ArrayData = {
+    val counts = new Array[Int](numSets)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val mask = lookup.get(arr.getUTF8String(j))
+        if (mask != null) {
+          var m = mask.intValue()
+          while (m != 0) {
+            val k = java.lang.Integer.numberOfTrailingZeros(m)
+            counts(k) += 1
+            m &= m - 1
+          }
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(counts.map(Int.box).asInstanceOf[Array[Any]])
+  }
+
+  def simhash(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+}
+
+object SketchFunctions {
+  def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes, seed))
+
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(tokens)))
+
+  def wordNgrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n))
+
+  def markerCounts(tokens: Column, markerSets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(MarkerCounts(ColumnBridge.expression(tokens), markerSets))
+}

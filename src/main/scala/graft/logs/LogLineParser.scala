@@ -32,63 +32,66 @@ object LogLineParser {
     """(\S+) (\S+) (\[[^\]]*\]) (\S+) (\S+) (\S+) (\S+) (\S+) ("[^"]*"|-) """ +
     """(\S+) (\S+) (\S+) (\S+) (\S+) (\S+) ("[^"]*"|-) ("[^"]*"|-) (\S)"""
 
-  // Capture-group numbers, 1-based, in pattern order.
-  private val Owner = 1; private val Bucket = 2; private val Time = 3
-  private val Ip = 4; private val Requester = 5; private val ReqId = 6
-  private val Operation = 7; private val Key = 8; private val Request = 9
-  private val Status = 10; private val Error = 11; private val Bytes = 12
-  private val Size = 13; private val TotalTime = 14; private val Turnaround = 15
-  private val Referrer = 16; private val UserAgent = 17; private val Version = 18
-
   /** Parse a one-string-column DataFrame (default column `value`, as
     * produced by `spark.read.text`) into the canonical 19-column frame.
+    *
+    * Physical shape: a first projection runs the single-pass
+    * `graft.functions.ParseLogLine` expression (ONE regex execution per
+    * line → struct of 18 raw groups, null on miss); a second projection
+    * applies the sentinel/null/cast logic on struct fields. The struct
+    * attribute is referenced 19× by non-cheap consumers, so
+    * CollapseProject keeps the stages separate and the regex runs once.
     */
   def parse(raw: DataFrame, lineCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val line = col(lineCol)
-    val matched = line.rlike(Pattern)
+    val parsedCol = ColumnBridge.column(
+      graft.functions.ParseLogLine(ColumnBridge.expression(line)))
+    val withP = raw.select(line.as("_line"), parsedCol.as("_parsed"))
 
-    def g(i: Int): Column = regexp_extract(line, Pattern, i)
-    // Guard every field on `matched` — regexp_extract returns "" (not null)
-    // when the pattern misses, which must become null, not empty string.
-    def field(c: Column): Column = when(matched, c)
-    def str(i: Int): Column = field(g(i))
-    def dashNull(i: Int): Column = field(nullif(g(i), lit("-")))
-    def quotedDashNull(i: Int): Column = field(nullif(g(i), lit("\"-\"")))
+    val p = col("_parsed")
+    val matched = p.isNotNull
+    def g(name: String): Column = p.getField(name)
+    def dashNull(name: String): Column = nullif(g(name), lit("-"))
+    def quotedDashNull(name: String): Column = nullif(g(name), lit("\"-\""))
     // PERMISSIVE under ANSI mode: numeric fields parse only when they look
     // numeric; '-' and anything else → null instead of an ANSI cast error
     // (matches the reference's sentinel guard; a non-numeric token would
     // have crashed the reference's int(), we degrade to null by design).
-    def dashNullAs(i: Int, t: org.apache.spark.sql.types.DataType): Column = {
-      val c = g(i)
-      field(when(c.rlike("^-?[0-9]+$"), c.cast(t)))
+    def dashNullAs(name: String, t: org.apache.spark.sql.types.DataType): Column = {
+      val c = g(name)
+      when(c.rlike("^-?[0-9]+$"), c.cast(t))
     }
 
     // Reference time munging (`:37-42`): keep only the text between '[' and
     // the first space — i.e. drop the numeric offset — then lenient-parse;
     // try_to_timestamp → null on failure (the reference returns None).
-    val tsText = regexp_extract(g(Time), """\[([^ \]]+)""", 1)
-    val requestTime = field(try_to_timestamp(tsText, lit("dd/MMM/yyyy:HH:mm:ss")))
+    // Pure substring math (chars 2 .. pos(' ')-1 of "[dd/MMM/yyyy:HH:mm:ss
+    // +0000]"), no second regex.
+    val timeGrp = g("time")
+    val tsText = timeGrp.substr(lit(2), instr(timeGrp, " ") - 2)
+    val requestTime = try_to_timestamp(tsText, lit("dd/MMM/yyyy:HH:mm:ss"))
 
-    raw.select(
-      str(Owner).as("bucket_owner"),
-      str(Bucket).as("s3_bucket"),
+    withP.select(
+      g("owner").as("bucket_owner"),
+      g("bucket").as("s3_bucket"),
       requestTime.as("request_time"),
-      str(Ip).as("remote_ip"),
-      str(Requester).as("requester"),
-      str(ReqId).as("request_id"),
-      str(Operation).as("operation"),
-      dashNull(Key).as("key"),
-      str(Request).as("request"),
-      dashNullAs(Status, IntegerType).as("http_status"),
-      dashNull(Error).as("error_code"),
-      dashNullAs(Bytes, LongType).as("bytes_sent"),
-      dashNullAs(Size, LongType).as("object_size"),
-      dashNullAs(TotalTime, LongType).as("total_time"),
-      dashNullAs(Turnaround, LongType).as("turn_around_time"),
-      quotedDashNull(Referrer).as("referrer"),
-      quotedDashNull(UserAgent).as("user_agent"),
-      dashNull(Version).as("version_id"),
-      when(matched, lit(null).cast("string")).otherwise(line).as("error_line")
+      g("ip").as("remote_ip"),
+      g("requester").as("requester"),
+      g("reqid").as("request_id"),
+      g("operation").as("operation"),
+      dashNull("key").as("key"),
+      g("request").as("request"),
+      dashNullAs("status", IntegerType).as("http_status"),
+      dashNull("error").as("error_code"),
+      dashNullAs("bytes", LongType).as("bytes_sent"),
+      dashNullAs("size", LongType).as("object_size"),
+      dashNullAs("totaltime", LongType).as("total_time"),
+      dashNullAs("turnaround", LongType).as("turn_around_time"),
+      quotedDashNull("referrer").as("referrer"),
+      quotedDashNull("useragent").as("user_agent"),
+      dashNull("version").as("version_id"),
+      when(matched, lit(null).cast("string")).otherwise(col("_line")).as("error_line")
     )
   }
 
