@@ -371,6 +371,35 @@ object SparkEntry {
       val dups = docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
       Dedup.simhashDuplicates(docs.union(dups), "doc_id", "text", maxDistance = 3)
+    }),
+
+    // ext multimodal — binary payloads + batch (mapPartitions) feature
+    // extraction through the STUB decoder; plumbing (schema, encoders,
+    // batch shape) is real and the stub is arithmetic the oracle mirrors.
+    "q24_multimodal_decode" -> ((s, dir) => {
+      val packed = ext.Multimodal.packAssets(
+        tbl(s, dir, "documents"), "doc_id", "text")
+      ext.Multimodal.imageFeatures(packed)
+    }),
+
+    // ext multimodal — video frame sampling (flatMap: 1 row per frame).
+    "q25_frame_sample" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val packed = ext.Multimodal.packAssets(
+        tbl(s, dir, "documents"), "doc_id", "text", kind = "video")
+      ext.Multimodal.sampleFrames(packed.as[ext.Multimodal.Asset]).toDF()
+    }),
+
+    // ext streaming — the streaming daily-counts aggregation executed on a
+    // batch frame (EliminateEventTimeWatermark makes the SAME code path
+    // valid in both modes; true streaming covered in ScalaTest).
+    "q26_stream_daily_counts" -> ((s, dir) => {
+      val parsed = LogLineParser.parse(syntheticLogLines(tbl(s, dir, "events")))
+      graft.streaming.LogStream.dailyOperationCounts(parsed)
+        .select(col("window.start").as("day_start"), col("operation"),
+          col("n_requests"), col("total_bytes"))
+        .orderBy("day_start", "operation")
     })
   )
 
@@ -631,6 +660,43 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    // Mirrors Multimodal.fakeDecode's arithmetic over the utf-8 payload
+    // (documents are ascii: char ops == byte ops).
+    "q24_multimodal_decode" ->
+      """SELECT doc_id AS asset_id, 'image' AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(16 + (strlen(text) % 240) AS INT) AS width,
+        |  CAST(16 + ((ascii(substr(text, 1, 1)) * 7 + ascii(substr(text, length(text), 1))) % 240) AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST((CAST(16 + (strlen(text) % 240) AS BIGINT)
+        |        * (16 + ((ascii(substr(text, 1, 1)) * 7 + ascii(substr(text, length(text), 1))) % 240))) % 251 AS DOUBLE)
+        |    / CAST(250 AS DOUBLE) AS mean_luma
+        |FROM documents""".stripMargin,
+
+    "q25_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(i AS INT) AS frame_index,
+        |  CAST(i * 1000 AS BIGINT) AS frame_offset_ms,
+        |  CAST(strlen(text) AS BIGINT) * 1315423911 + i * 1000 AS frame_hash
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, strlen(text) % 10)) AS i
+        |      FROM documents)""".stripMargin,
+
+    "q26_stream_daily_counts" ->
+      s"""WITH e AS ($EventsCte),
+         |p AS (
+         |  SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS request_time,
+         |    CASE WHEN value > 50 THEN 'REST.GET.OBJECT' ELSE 'REST.PUT.OBJECT' END AS operation,
+         |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS bytes_sent
+         |  FROM e WHERE event_id % 101 <> 0)
+         |SELECT CAST(date_trunc('day', request_time) AS TIMESTAMP) AS day_start,
+         |  operation,
+         |  CAST(count(*) AS BIGINT) AS n_requests,
+         |  CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
+         |FROM p
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.logs.LogLineParser
+
+/** Structured Streaming ingest for access logs — the streaming layer the
+  * reference does not have (strictly daily batch, SURVEY.md §2.10) but
+  * that layers cleanly on this engine because parsing is pure column
+  * expressions: `LogLineParser.parse` works unchanged under `readStream`.
+  *
+  * Scale stance: the file source lists incrementally (maxFilesPerTrigger
+  * bounds a micro-batch); the windowed aggregation is a streaming state
+  * store keyed by (window, operation) — cardinality ~ operations ×
+  * retained windows, bounded by the watermark; the parquet sink commits
+  * per micro-batch with exactly-once file-sink semantics.
+  */
+object LogStream {
+
+  /** Raw line stream from a directory → canonical 19-column stream. */
+  def parsedStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 100): DataFrame = {
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+    LogLineParser.parse(LogLineParser.dropBlankLines(raw))
+  }
+
+  /** 1-day tumbling-window operation counts with a late-data watermark
+    * (the streaming twin of the reference's per-day batch determinism:
+    * a day's aggregate finalizes once the watermark passes it).
+    */
+  def dailyOperationCounts(parsed: DataFrame,
+                           watermark: String = "1 day"): DataFrame =
+    parsed
+      .filter(col("request_time").isNotNull)
+      .withWatermark("request_time", watermark)
+      .groupBy(window(col("request_time"), "1 day"), col("operation"))
+      .agg(count(lit(1)).as("n_requests"),
+        sum("bytes_sent").as("total_bytes"))
+
+  /** Continuous compaction: parsed stream → date-partitioned parquet,
+    * mirroring the batch Compacter's layout (dt= directory encoding via
+    * partitionBy on a derived date column — streaming sinks cannot encode
+    * the partition in the path string like the batch path does).
+    */
+  def writeCompacted(parsed: DataFrame, destRoot: String,
+                     checkpoint: String): StreamingQuery =
+    parsed
+      .withColumn("dt", date_format(col("request_time"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", destRoot)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .outputMode(OutputMode.Append)
+      .start()
+
+  // ----------------------------------------------- stateful sessionization
+
+  final case class RequesterEvent(requester: String, request_time: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionUpdate(
+      requester: String, session_start: Timestamp, session_end: Timestamp,
+      n_requests: Long, closed: Boolean)
+
+  /** Custom streaming state: per-requester sessions with a 30-minute idle
+    * gap, via `mapGroupsWithState` + EVENT-time timeout. A session closes
+    * when the watermark passes last-seen + gap — deterministic (re-running
+    * the same data gives the same sessions, the engine's determinism
+    * contract) and quiescent (no-data triggers don't fire, unlike
+    * processing-time timeouts, which re-batch continuously). State size:
+    * O(active requesters), independent of history.
+    */
+  def sessionize(parsed: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                 watermark: String = "1 hour"): Dataset[SessionUpdate] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed
+      .filter(col("requester").isNotNull && col("request_time").isNotNull)
+      .withWatermark("request_time", watermark)
+      .select(col("requester"), col("request_time"))
+      .as[RequesterEvent]
+      .groupByKey(_.requester)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        (requester, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(requester, new Timestamp(s.start), new Timestamp(s.last),
+              s.n, closed = true)
+          } else {
+            val times = events.map(_.request_time.getTime).toSeq.sorted
+            val prev = state.getOption
+            val merged = times.foldLeft(prev) { (acc, t) =>
+              acc match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case _ => Some(SessionState(t, t, 1)) // gap exceeded → new session
+              }
+            }.get
+            state.update(merged)
+            // close when the watermark passes idle gap (must stay ahead of
+            // the current watermark for late-arriving groups)
+            state.setTimeoutTimestamp(
+              math.max(merged.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            SessionUpdate(requester, new Timestamp(merged.start),
+              new Timestamp(merged.last), merged.n, closed = false)
+          }
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup (1 word)
+    (4L, "completely different content about spark engines"),
+    (5L, "THE  QUICK   brown fox jumps over the lazy dog") // ws/case variant
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: identical text → one digest group, min id kept") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroup = g.find(_.getLong(1) == 2).get
+    assert(dupGroup.getLong(2) == 1L) // keep_id = min(1,2)
+    assert(g.length == 4)             // 1&2 merge; 3,4,5 distinct raw
+  }
+
+  test("exactGroups canonicalized: case/whitespace variants merge") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text", canonicalize = true).collect()
+    assert(g.length == 3) // {1,2,5} merge, 3, 4
+    assert(g.map(_.getLong(1)).max == 3)
+  }
+
+  test("exact: survivors are min-id representatives") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("shingles: n-gram windows, distinct, short-text degenerates to one") {
+    val sh = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("a b")) // fewer tokens than n → whole text
+  }
+
+  test("jaccard: exact set similarity") {
+    val j = docs.filter($"doc_id".isin(1, 3))
+      .agg(collect_list("text")).as[Seq[String]].collect()(0)
+    val df = Seq((j(0), j(1))).toDF("a", "b")
+      .select(Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))))
+      .as[Double].collect()(0)
+    // 9 tokens → 7 shingles each; last 2 differ (dog vs cat in final 2 windows)
+    assert(df > 0.5 && df < 1.0)
+  }
+
+  test("minhash estimate correlates with true jaccard") {
+    val withSh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .withColumn("sig", Dedup.minhashSignature($"sh", numHashes = 256))
+    val rows = withSh.collect().map(r => r.getLong(0) ->
+      (r.getSeq[String](1).toSet, r.getSeq[Long](2))).toMap
+    def est(a: Long, b: Long): Double =
+      rows(a)._2.zip(rows(b)._2).count { case (x, y) => x == y } / 256.0
+    def truth(a: Long, b: Long): Double = {
+      val (sa, sb) = (rows(a)._1, rows(b)._1)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(est(1L, 2L) == 1.0)                       // identical
+    assert(math.abs(est(1L, 3L) - truth(1L, 3L)) < 0.15)
+    assert(est(1L, 4L) < 0.15)                       // unrelated
+  }
+
+  test("minhashDuplicates recovers near-dup pairs via LSH banding") {
+    val pairs = Dedup.minhashDuplicates(docs, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always found
+    assert(pairs.contains((1L, 3L))) // near dup, true jaccard 6/8 = 0.75
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical text → distance 0; near text → small distance") {
+    val sk = docs.select($"doc_id", Dedup.simhash($"text").as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sk(a) ^ sk(b))
+    assert(ham(1L, 3L) < ham(1L, 4L))
+  }
+
+  test("simhashDuplicates: finds identical pair, excludes unrelated") {
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", maxDistance = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramJaccardPairs: exact pairs above threshold with length banding") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingDuplicates: scaled copies detected, orthogonal not") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(2.0f, 0.0f, 4.0f)),  // 2× scale of 1 → cosine 1
+      (3L, Array(0.0f, 5.0f, 0.0f))   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDuplicates(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c"), $"expected")
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("bruteForceTopK: self is rank 1, ranks deterministic") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", "query_id", k = 5)
+    val r1 = top.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    r1.foreach { case (q, n) => assert(q == n) } // cosine(v,v)=1 tops
+    assert(top.count() == 15)
+  }
+
+  test("lshTopK: recall vs brute force is high with multi-probe") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", "query_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, qs, "vec_id", "embedding", "query_id",
+        k = 5, bits = 8, dim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall") // sub-linear path trades recall
+    // self-match always survives (query's own bucket is probed)
+    (0L until 5L).foreach(q => assert(approx.contains((q, q))))
+  }
+
+  test("lshCandidatePairs: bucketed pairs carry exact cosine") {
+    val vecs = Seq(
+      (1L, Array.fill(16)(1.0f)),
+      (2L, Array.fill(16)(2.0f)),   // same direction as 1
+      (3L, Array.tabulate(16)(d => if (d % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCandidatePairs(vecs, "vec_id", "embedding",
+        bits = 6, dim = 16)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined && math.abs(p12.get._3 - 1.0) < 1e-12)
+  }
+}

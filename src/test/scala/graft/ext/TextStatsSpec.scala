@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).collect()(0).get(0)
+
+  test("wordCount / bpeish token count") {
+    assert(one(TextStats.wordCount(col("t")), "a bb  ccc") == 3)
+    // letters run + digits run + punct singles: [hello][123][!][!]
+    assert(one(TextStats.bpeishTokenCount(col("t")), "hello123!!") == 4)
+  }
+
+  test("punctRatio counts declared punctuation class only") {
+    val r = one(TextStats.punctRatio(col("t")), "ab,.!?").asInstanceOf[Double]
+    assert(math.abs(r - 4.0 / 6.0) < 1e-12)
+    assert(one(TextStats.punctRatio(col("t")), "").asInstanceOf[Double] == 0.0)
+  }
+
+  test("stopwordRatio on known mix") {
+    val r = one(TextStats.stopwordRatio(col("t")), "the cat and dog")
+      .asInstanceOf[Double]
+    assert(math.abs(r - 0.5) < 1e-12) // the, and of 4 tokens
+  }
+
+  test("meanWordLength") {
+    val r = one(TextStats.meanWordLength(col("t")), "ab abcd").asInstanceOf[Double]
+    assert(math.abs(r - 3.0) < 1e-12)
+  }
+
+  test("qualityScore: good prose scores 1.0, garbage scores low") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val punct = "!!! ??? ... ;;; ,,, (((" // all punctuation
+    assert(one(TextStats.qualityScore(col("t")), good) == 1.0)
+    // garbage keeps only the length + word-length points (5/10)
+    assert(one(TextStats.qualityScore(col("t")), punct)
+      .asInstanceOf[Double] <= 0.5)
+  }
+
+  test("langId: marker words dominate; und when no markers") {
+    assert(one(TextStats.langId(col("t")), "the cat is in the house") == "en")
+    assert(one(TextStats.langId(col("t")), "el gato y la casa de los perros") == "es")
+    assert(one(TextStats.langId(col("t")), "der hund ist nicht von hier") == "de")
+    assert(one(TextStats.langId(col("t")), "zzz qqq xxx") == "und")
+  }
+
+  test("langId tie-break: first language in marker order wins") {
+    // 'la' is a marker for both es and fr → es (earlier) must win a pure tie
+    assert(one(TextStats.langId(col("t")), "la la") == "es")
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val a = one(TextStats.fingerprint(col("t")), "Hello  World")
+    val b = one(TextStats.fingerprint(col("t")), "hello world")
+    val c = one(TextStats.fingerprint(col("t")), "hello worlds")
+    assert(a == b && a != c)
+  }
+
+  test("winnowing fingerprints: stable under edits far away") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val edited = base + " extra"
+    val fa = one(TextStats.winnowingFingerprints(col("t")), base)
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val fb = one(TextStats.winnowingFingerprints(col("t")), edited)
+      .asInstanceOf[scala.collection.Seq[Long]].toSet
+    val overlap = (fa & fb).size.toDouble / fa.size
+    assert(overlap > 0.7, s"overlap $overlap") // local edit ≠ global change
+  }
+
+  test("withStats appends the full column set") {
+    val out = TextStats.withStats(Seq((1L, "the cat")).toDF("doc_id", "text"))
+    val cols = out.columns.toSet
+    assert(Set("n_tokens", "n_bpeish_tokens", "punct_ratio", "stopword_ratio",
+      "mean_word_len", "quality_score", "lang_pred", "fingerprint")
+      .subsetOf(cols))
+  }
+}

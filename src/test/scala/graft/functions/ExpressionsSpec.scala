@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.logs.LogLineParser
+
+/** Unit tests for the custom Catalyst expressions — each is exercised both
+  * through the interpreted eval path (collect on tiny data hits codegen;
+  * fallback covered via the helper directly) and end-to-end in a query.
+  */
+class ExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("VectorDot: float/double/mixed, null array, null elements") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)))
+      .toDF("f", "d")
+    val ff = df.select(VectorFunctions.vecDot($"f", $"f")).as[Double].collect()(0)
+    assert(math.abs(ff - 14.0) < 1e-12)
+    val fd = df.select(VectorFunctions.vecDot($"f", $"d")).as[Double].collect()(0)
+    assert(math.abs(fd - 32.0) < 1e-12)
+    val withNull = Seq((Option.empty[Array[Float]], Array(1.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.vecDot($"a", $"b")).collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("VectorDot: length mismatch uses common prefix") {
+    val d = Seq((Array(1.0f, 2.0f, 9.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.vecDot($"a", $"b")).as[Double].collect()(0)
+    assert(math.abs(d - 11.0) < 1e-12)
+  }
+
+  test("vecNorm / vecCosine") {
+    val df = Seq((Array(3.0f, 4.0f), Array(6.0f, 8.0f))).toDF("a", "b")
+    assert(math.abs(df.select(VectorFunctions.vecNorm($"a"))
+      .as[Double].collect()(0) - 5.0) < 1e-12)
+    assert(math.abs(df.select(VectorFunctions.vecCosine($"a", $"b"))
+      .as[Double].collect()(0) - 1.0) < 1e-12)
+  }
+
+  test("ParseLogLine: one-pass struct matches the documented example line") {
+    // the example line shape from FIXTURES.md / the reference slides
+    val line = "79a5 example-bucket [06/Feb/2019:00:00:38 +0000] 192.0.2.3 " +
+      "arn:aws:iam::123456789012:user/alice 3E57427F3EXAMPLE REST.GET.VERSIONING " +
+      "awsexamplebucket \"GET /awsexamplebucket?versioning HTTP/1.1\" 200 - 113 - 7 " +
+      "- \"-\" \"S3Console/0.4\" -"
+    val parsed = LogLineParser.parse(Seq(line).toDF("value")).collect()(0)
+    assert(parsed.getAs[String]("bucket_owner") == "79a5")
+    assert(parsed.getAs[String]("s3_bucket") == "example-bucket")
+    assert(parsed.getAs[java.sql.Timestamp]("request_time").toString
+      == "2019-02-06 00:00:38.0")
+    assert(parsed.getAs[String]("operation") == "REST.GET.VERSIONING")
+    assert(parsed.getAs[Int]("http_status") == 200)
+    assert(parsed.isNullAt(parsed.fieldIndex("error_code")))   // '-'
+    assert(parsed.getAs[Long]("bytes_sent") == 113)
+    assert(parsed.isNullAt(parsed.fieldIndex("object_size")))  // '-'
+    assert(parsed.isNullAt(parsed.fieldIndex("referrer")))     // '"-"'
+    assert(parsed.getAs[String]("user_agent") == "\"S3Console/0.4\"")
+    assert(parsed.isNullAt(parsed.fieldIndex("version_id")))   // '-'
+    assert(parsed.isNullAt(parsed.fieldIndex("error_line")))
+  }
+
+  test("ParseLogLine: miss → null struct → corrupt row") {
+    val r = LogLineParser.parse(Seq("not a log line").toDF("value")).collect()(0)
+    (0 until 18).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    assert(r.getAs[String]("error_line") == "not a log line")
+  }
+
+  test("MinHashSignature: deterministic, identical sets agree, length k") {
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("a b c", "b c d", "c d e"),
+      Seq("x y z", "y z w", "q r s")
+    ).toDF("sh").select(SketchFunctions.minhashSignature($"sh", 32).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs(0).length == 32)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("SimHash: identical arrays equal; disjoint arrays far") {
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("one", "two", "three", "four")
+    ).toDF("t").select(SketchFunctions.simhash($"t").as("sk"))
+    val sk = df.as[Long].collect()
+    assert(sk(0) == sk(1))
+    assert(java.lang.Long.bitCount(sk(0) ^ sk(2)) > 10)
+  }
+
+  test("WordNgrams: windows, distinct, short input") {
+    val out = Seq(Seq("a", "b", "c", "d"), Seq("a"), Seq("a", "b", "a", "b"))
+      .toDF("t").select(SketchFunctions.wordNgrams($"t", 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "b c", "c d"))
+    assert(out(1) == Seq("a"))
+    assert(out(2) == Seq("a b", "b a")) // dup "a b" removed, order kept
+  }
+
+  test("MarkerCounts: multiplicity and multi-set membership") {
+    val sets = Seq(Seq("la", "el"), Seq("la", "le"))
+    val out = Seq(Seq("la", "la", "el", "zzz"))
+      .toDF("t").select(SketchFunctions.markerCounts($"t", sets).as("c"))
+      .as[Seq[Int]].collect()(0)
+    assert(out == Seq(3, 2)) // set0: la,la,el; set1: la,la
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.logs.LogLineParser
+
+class LogStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def line(day: Int, hh: Int, op: String, bytes: Long): String =
+    s"own bkt [0$day/Feb/2019:${f"$hh%02d"}:00:00 +0000] 10.0.0.1 " +
+      s"arn:aws:iam::1:user/u R$day$hh$op $op some/key " +
+      "\"GET /k HTTP/1.1\" 200 - " + bytes + " - 5 - \"-\" \"ua/1.0\" -"
+
+  test("streaming parse + windowed daily counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = LogLineParser.parse(
+      LogLineParser.dropBlankLines(mem.toDF().toDF("value")))
+    val counts = LogStream.dailyOperationCounts(parsed)
+      .selectExpr("window.start AS day", "operation", "n_requests", "total_bytes")
+
+    val query = counts.writeStream
+      .format("memory").queryName("daily_counts")
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      mem.addData(
+        line(6, 1, "REST.GET.OBJECT", 100),
+        line(6, 2, "REST.GET.OBJECT", 50),
+        line(6, 3, "REST.PUT.OBJECT", 10),
+        line(7, 1, "REST.GET.OBJECT", 7),
+        "corrupt line, not parseable", "")
+      query.processAllAvailable()
+      val out = spark.table("daily_counts")
+        .as[(java.sql.Timestamp, String, Long, Long)].collect()
+        .map(r => (r._1.toString.take(10), r._2) -> (r._3, r._4)).toMap
+      assert(out(("2019-02-06", "REST.GET.OBJECT")) == ((2L, 150L)))
+      assert(out(("2019-02-06", "REST.PUT.OBJECT")) == ((1L, 10L)))
+      assert(out(("2019-02-07", "REST.GET.OBJECT")) == ((1L, 7L)))
+      // the corrupt line has null request_time → filtered, not crashed
+      assert(out.size == 3)
+    } finally query.stop()
+  }
+
+  test("stateful sessionization with mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = LogLineParser.parse(mem.toDF().toDF("value"))
+    val sessions = LogStream.sessionize(parsed, gapMs = 30L * 60 * 1000)
+
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      // two events 1h apart → the second starts a NEW session (gap 30m)
+      mem.addData(line(6, 1, "REST.GET.OBJECT", 1), line(6, 2, "REST.GET.OBJECT", 1))
+      query.processAllAvailable()
+      val out = spark.table("sessions")
+        .as[LogStream.SessionUpdate].collect()
+      assert(out.nonEmpty)
+      val last = out.last
+      assert(last.n_requests == 1L) // second event reset the session
+      assert(!last.closed)
+    } finally query.stop()
+  }
+}
