@@ -391,6 +391,31 @@ object SparkEntry {
       ext.Multimodal.sampleFrames(packed.as[ext.Multimodal.Asset]).toDF()
     }),
 
+    // ext skew — salted equi-join; correctness contract: identical result
+    // to the plain join (the oracle runs the plain join).
+    "q27_skew_salted_join" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = tbl(s, dir, "supplier").select("s_suppkey", "s_name")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      val hot = ext.SkewJoin.hotKeys(l, "l_suppkey", hotThreshold = 50)
+      ext.SkewJoin.saltedJoin(l, sup, "l_suppkey", hot, saltBuckets = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy("s_name")
+    }),
+
+    // ext similarity — IVF (inverted-file) ANN scale path (rows-only:
+    // recall asserted vs brute force in ScalaTest).
+    "q28_ann_ivf" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      ext.Similarity.ivfTopK(em, qs, "vec_id", "embedding", "query_id",
+          k = 10, numCells = 16, nprobe = 4, modulus = 500)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // ext streaming — the streaming daily-counts aggregation executed on a
     // batch frame (EliminateEventTimeWatermark makes the SAME code path
     // valid in both modes; true streaming covered in ScalaTest).
@@ -683,6 +708,15 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, strlen(text) % 10)) AS i
         |      FROM documents)""".stripMargin,
+
+    // The salted join must be indistinguishable from the plain join.
+    "q27_skew_salted_join" ->
+      """SELECT s_name,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q26_stream_daily_counts" ->
       s"""WITH e AS ($EventsCte),

@@ -121,6 +121,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------------------ IVF index
+
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around K centroid vectors; a query scores only the cells of its
+    * `nprobe` nearest centroids. The second scale path next to LSH —
+    * better recall/candidate-count trade-off when the data is clustered
+    * (LSH hyperplanes are oblivious to cluster structure).
+    *
+    * Centroids here are a deterministic corpus sample (every (n/k)-th id):
+    * one cheap pass instead of Lloyd iterations — at 100 TB the assignment
+    * scan dominates and sampled centroids are the standard bootstrap. The
+    * assignment is a broadcast nested-loop over K centroids with the
+    * native dot kernel; corpus never shuffles except the final per-cell
+    * grouping.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, queryIdCol: String,
+              k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
+              modulus: Int = 1000): DataFrame = {
+    // deterministic centroid sample: ids spread across the id space
+    val centroids = broadcast(
+      corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+        .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
+        .limit(numCells))
+
+    def assign(df: DataFrame, vec: String, rankLimit: Int): DataFrame = {
+      val w = Window.partitionBy("_assign_id")
+        .orderBy(desc("_cdist"), asc("centroid_id"))
+      // highest cosine centroid(s); _assign_id guards duplicate first cols
+      df.withColumn("_assign_id", monotonically_increasing_id())
+        .join(centroids)
+        .withColumn("_cdist", cosine(col(vec), col("centroid_vec")))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= rankLimit)
+        .drop("centroid_vec", "_cdist", "_crank", "_assign_id")
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm")), "c_vec", 1)
+      .withColumnRenamed("centroid_id", "cell")
+
+    val queryCells = broadcast(assign(
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm")), "q_vec", nprobe)
+      .withColumnRenamed("centroid_id", "cell"))
+
+    val scored = corpusCells.join(queryCells, "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH near-pair candidates within one table (for Dedup verify stages):
     * rows sharing a bucket. One shuffle on (bucket), pairwise only within
     * buckets.

@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkTestBase {
     (0L until 5L).foreach(q => assert(approx.contains((q, q))))
   }
 
+  test("ivfTopK: clustered data — high recall vs brute force, self found") {
+    // 4 tight clusters of 50 vectors each around orthogonal-ish centers
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.tabulate(16)(d => if (d % 4 == c) 5.0f else 0.0f)
+      (i, base.zipWithIndex.map { case (v, d) =>
+        v + math.sin(i * 13 + d).toFloat * 0.3f })
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", "query_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, qs, "vec_id", "embedding", "query_id",
+        k = 5, numCells = 8, nprobe = 3, modulus = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    (0L until 4L).foreach(q => assert(ivf.contains((q, q))))
+  }
+
   test("lshCandidatePairs: bucketed pairs carry exact cosine") {
     val vecs = Seq(
       (1L, Array.fill(16)(1.0f)),
