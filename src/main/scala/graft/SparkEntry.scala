@@ -416,6 +416,34 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // §2.5 ext — set operations (INTERSECT / EXCEPT).
+    "q29_setops" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("custkey"))
+      val low = o.filter(col("o_totalprice") < 50000).select(col("o_custkey").as("custkey"))
+      high.intersect(low)            // customers with both bands
+        .except(low.filter(col("custkey") % 100 === 0)) // minus a carved-out set
+        .orderBy("custkey")
+    }),
+
+    // §2.4 ext — pivot (wide aggregation by category).
+    "q30_pivot" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy("user_id")
+    }),
+
+    // §2.6 — the compaction shape (round-robin repartition + partition-
+    // local sort) over the parsed corpus; result SET must equal the plain
+    // parse (physical ops must not create/drop/corrupt rows).
+    "q31_compact_shape" -> ((s, dir) => {
+      LogLineParser.parse(syntheticLogLines(tbl(s, dir, "events")))
+        .repartition(10)
+        .sortWithinPartitions("request_time")
+    }),
+
     // ext streaming — the streaming daily-counts aggregation executed on a
     // batch frame (EliminateEventTimeWatermark makes the SAME code path
     // valid in both modes; true streaming covered in ScalaTest).
@@ -717,6 +745,31 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q29_setops" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+        |) EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000 AND o_custkey % 100 = 0
+        |ORDER BY custkey""".stripMargin,
+
+    // Pivot: absent (user, type) combinations yield NULL (count over an
+    // empty filtered set via sum-of-cases mirrors Spark pivot-count).
+    "q30_pivot" ->
+      s"""WITH e AS ($EventsCte)
+         |SELECT user_id,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         |FROM e
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
+
+    "q31_compact_shape" -> ParsedOracle,
 
     "q26_stream_daily_counts" ->
       s"""WITH e AS ($EventsCte),
