@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom kernels must be reachable from PURE SQL once the extension
+  * is installed. Extensions bind at session BUILD: getOrCreate would
+  * silently reuse another suite's extension-less active session, so this
+  * spec detaches the active/default sessions, builds its own against the
+  * shared SparkContext, and restores the previous ones after.
+  */
+class GraftExtensionsSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  private var prevDefault: Option[SparkSession] = None
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prevDefault.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    super.afterAll()
+  }
+
+  test("vec_dot from SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 11.0) < 1e-12)
+  }
+
+  test("parse_log_line from SQL: field access and miss") {
+    val ok = spark.sql(
+      """SELECT parse_log_line('o b [06/Feb/2019:00:00:38 +0000] ip r rid OP k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -').operation AS op""")
+      .collect()(0).getString(0)
+    assert(ok == "OP")
+    val miss = spark.sql("SELECT parse_log_line('nope') IS NULL AS missed")
+      .collect()(0).getBoolean(0)
+    assert(miss)
+  }
+
+  test("word_ngrams + minhash_signature + simhash from SQL") {
+    val sig = spark.sql(
+      "SELECT minhash_signature(word_ngrams(split('a b c d', ' '), 2), 16) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16)
+    val sk = spark.sql("SELECT simhash(split('x y z', ' ')) AS h")
+      .collect()(0).getLong(0)
+    val sk2 = spark.sql("SELECT simhash(split('x y z', ' ')) AS h")
+      .collect()(0).getLong(0)
+    assert(sk == sk2)
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_signature(array('a'), length('abc'))").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
