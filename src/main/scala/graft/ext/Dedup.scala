@@ -134,9 +134,21 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val left = withSig.select(col(idCol).as("id_a"),
+    // Spark re-evaluates a referenced subplan per use, so the verify stage
+    // must NOT re-derive shingles+signatures for the WHOLE corpus on each
+    // side of the pair join (3× the heaviest stage). Instead: semi-join the
+    // base table down to candidate ids first — the expensive columns are
+    // recomputed only for O(candidates) rows.
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val subsetSig = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+
+    val left = subsetSig.select(col(idCol).as("id_a"),
       col("sh").as("sh_a"), col("sig").as("sig_a"))
-    val right = withSig.select(col(idCol).as("id_b"),
+    val right = subsetSig.select(col(idCol).as("id_b"),
       col("sh").as("sh_b"), col("sig").as("sig_b"))
     candidates
       .join(left, "id_a").join(right, "id_b")
