@@ -501,7 +501,103 @@ object SparkEntry {
       |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       |        FROM all_docs))""".stripMargin
 
+  /** Generated oracle for the LSH ANN path: the 10×64 hyperplane constants
+    * are inlined (full round-trip double precision), so DuckDB replicates
+    * bucket assignment, multi-probe, and ranking exactly. Sound because the
+    * minimum |dot(vec, plane)| across the corpus is ~8e-5 — sign decisions
+    * and rank order sit far above any accumulation-order float noise.
+    */
+  private val LshAnnOracle: String = {
+    val planes = ext.Similarity.hyperplanes(dim = 64, bits = 10, seed = 42L)
+    val values = planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(",\n  ")
+    val cosine =
+      """list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH planes AS (SELECT * FROM (VALUES
+       |  $values) AS t(pidx, pvec)),
+       |cd AS (
+       |  SELECT e.vec_id, p.pidx,
+       |    list_sum(list_transform(list_zip(e.embedding, p.pvec),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+       |  FROM embeddings e CROSS JOIN planes p),
+       |cb AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << pidx) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM cd GROUP BY 1),
+       |qb AS (SELECT vec_id AS query_id, bucket AS qbucket FROM cb WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, qbucket AS bucket FROM qb
+       |  UNION
+       |  SELECT query_id, xor(qbucket, CAST(1 AS BIGINT) << i) AS bucket
+       |  FROM qb, (SELECT unnest(generate_series(0, 9)) AS i)),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+       |  FROM probes p JOIN cb ON cb.bucket = p.bucket),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $cosine AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** Generated oracle for the IVF ANN path: centroid sampling, Voronoi
+    * assignment (rank-1 cosine for corpus, rank ≤ nprobe for queries), and
+    * candidate ranking replicated in SQL. Parameters mirror q28:
+    * numCells=16, nprobe=4, modulus=500 → stride 31.
+    */
+  private val IvfAnnOracle: String = {
+    def cosine(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+       |corpus_assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE crank <= 1),
+       |query_assign AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 8)
+       |  WHERE crank <= 4),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, ca.neighbor_id
+       |  FROM query_assign q JOIN corpus_assign ca ON ca.cell = q.cell),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.embedding", "c.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q16_ann_lsh" -> LshAnnOracle,
+
+    "q28_ann_ivf" -> IvfAnnOracle,
 
     "q10_parse_logline" -> ParsedOracle,
 

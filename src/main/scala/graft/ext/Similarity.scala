@@ -69,7 +69,7 @@ object Similarity {
   // ------------------------------------------------- random-hyperplane LSH
 
   /** Deterministic hyperplanes: `bits` rows × dim, seeded Gaussian. */
-  private[ext] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
@@ -140,10 +140,12 @@ object Similarity {
               idCol: String, vecCol: String, queryIdCol: String,
               k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
               modulus: Int = 1000): DataFrame = {
-    // deterministic centroid sample: ids spread across the id space
+    // deterministic centroid sample: ids spread across the id space;
+    // sorted before limit — bare LIMIT order is physical-layout-dependent
     val centroids = broadcast(
       corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
         .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
+        .orderBy("centroid_id")
         .limit(numCells))
 
     def assign(df: DataFrame, vec: String, rankLimit: Int): DataFrame = {
