@@ -444,6 +444,16 @@ object SparkEntry {
         .sortWithinPartitions("request_time")
     }),
 
+    // §2.3 ext — semi-structured JSON column extraction + aggregation.
+    "q32_json_props" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("k_bucket")
+    }),
+
     // ext streaming — the streaming daily-counts aggregation executed on a
     // batch frame (EliminateEventTimeWatermark makes the SAME code path
     // valid in both modes; true streaming covered in ScalaTest).
@@ -866,6 +876,15 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin,
 
     "q31_compact_shape" -> ParsedOracle,
+
+    "q32_json_props" ->
+      """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q26_stream_daily_counts" ->
       s"""WITH e AS ($EventsCte),

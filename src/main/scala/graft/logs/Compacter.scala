@@ -37,12 +37,26 @@ object Compacter {
   )
 
   /** Session settings the reference pins (`:189-200`). Safe to call on an
-    * existing session; returns it for chaining.
+    * existing session; returns it for chaining. (`spark.speculation` must
+    * be set at session build — see CompacterCli — it is not runtime-mutable.)
     */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    spark
+  }
+
+  /** Explicit S3A keys (the reference's JSON-keyfile path, `:28-34,201-207`).
+    * Optional — prefer the default AWS provider chain (instance profile,
+    * env) in production; the reference README wishes for exactly this
+    * pluggability (`README.md:75-79`).
+    */
+  def configureS3Credentials(spark: SparkSession,
+                             accessKey: String, secretKey: String): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
     spark
   }
 
