@@ -103,11 +103,18 @@ object Dedup {
         .as("band_hash"))
   }
 
-  /** Split an array column into `parts` equal slices (last takes remainder). */
+  /** Split an array column into `parts` equal slices (last takes the
+    * remainder). Slices past the end are dropped by the caller's
+    * size-filter: with ceil-width and non-divisible lengths the tail
+    * slice(s) are EMPTY, and an empty slice would hash every row into one
+    * shared band bucket — a degenerate all-pairs LSH band.
+    */
   private def slicesOf(arr: Column, parts: Int): Column = {
     val width = ceil(size(arr).cast("double") / parts).cast("int")
-    transform(sequence(lit(0), lit(parts - 1)),
-      i => slice(arr, i * width + 1, width))
+    filter(
+      transform(sequence(lit(0), lit(parts - 1)),
+        i => slice(arr, i * width + 1, width)),
+      s => size(s) > 0)
   }
 
   /** Candidate duplicate pairs via MinHash + LSH banding, with the exact
@@ -182,13 +189,16 @@ object Dedup {
                         maxDistance: Int = 3): DataFrame = {
     val numBands = maxDistance + 1
     val width = 64 / numBands
+    // (1L << 64) wraps to 1 (JVM shifts are mod 64): maxDistance=0 needs
+    // the all-bits mask or every row lands in one shared band bucket.
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val withSketch = df.select(col(idCol), simhash(col(textCol)).as("sk"))
 
     val banded = withSketch.select(
       col(idCol), col("sk"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         i => call_function("shiftright", col("sk"), i * lit(width))
-          .bitwiseAND(lit((1L << width) - 1)))).as(Seq("band", "band_bits")))
+          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
 
     val a = banded.select(col("band"), col("band_bits"),
       col(idCol).as("id_a"), col("sk").as("sk_a"))
@@ -219,13 +229,18 @@ object Dedup {
     val base = math.max(1.0 / threshold, 1.0001)
     val band = floor(log(col("nsh").cast("double")) / math.log(base)).cast("int")
     val banded = withSh.withColumn("band", band)
-    val probes = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+    val probes = banded.select(col(idCol).as("p_id"), col("sh").as("p_sh"),
       explode(array(col("band"), col("band") + 1)).as("band"))
-    val builds = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+    val builds = banded.select(col(idCol).as("b_id"), col("sh").as("b_sh"),
       col("band"))
+    // normalize pair orientation with least/greatest BEFORE dropping one
+    // side: filtering p_id < b_id directly would lose pairs whose
+    // larger-id doc sits in the LOWER band (probe direction is one-sided).
     probes.join(builds, "band")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("p_id") =!= col("b_id"))
+      .select(least(col("p_id"), col("b_id")).as("id_a"),
+        greatest(col("p_id"), col("b_id")).as("id_b"),
+        jaccard(col("p_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .distinct()
   }

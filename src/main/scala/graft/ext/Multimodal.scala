@@ -51,12 +51,17 @@ object Multimodal {
       lit(kind).as("kind"),
       encode(col(payloadCol), "UTF-8").as("data"))
 
-  /** Range-repartition by asset id so each task holds a bounded number of
-    * (potentially multi-MB) payloads regardless of upstream layout.
+  /** Range-repartition by asset id so each task holds at most
+    * ~targetRowsPerTask (potentially multi-MB) payloads regardless of
+    * upstream layout. Costs one count() action to size the partitioning —
+    * that is the point of the operator; callers who only want layout reuse
+    * should repartitionByRange themselves.
     */
   def repartitionAssets(df: DataFrame, targetRowsPerTask: Int = 1024): DataFrame = {
-    val n = math.max((df.sparkSession.sparkContext.defaultParallelism).toInt, 1)
-    val _ = targetRowsPerTask // sizing hint; row count unknown pre-action
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
+    val rows = df.count()
+    val minParts = df.sparkSession.sparkContext.defaultParallelism
+    val n = math.max(math.ceil(rows.toDouble / targetRowsPerTask).toInt, minParts)
     df.repartitionByRange(n, col("asset_id"))
   }
 

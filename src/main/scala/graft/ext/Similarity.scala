@@ -135,6 +135,12 @@ object Similarity {
     * assignment is a broadcast nested-loop over K centroids with the
     * native dot kernel; corpus never shuffles except the final per-cell
     * grouping.
+    *
+    * Contract: `idCol` must be NUMERIC and the id space must contain
+    * multiples of `modulus / numCells` (a 0-based dense id with `modulus`
+    * ≈ corpus size always satisfies this) — otherwise the sample is empty
+    * and the query returns no rows. For non-numeric ids, pre-derive a
+    * dense numeric id (e.g. zipWithIndex-style) before indexing.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,

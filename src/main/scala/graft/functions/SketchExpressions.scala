@@ -113,6 +113,9 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]])
     extends UnaryExpression {
 
+  require(markerSets.nonEmpty && markerSets.length <= 32,
+    s"marker_counts supports 1..32 marker sets (Int bitmask), got ${markerSets.length}")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "marker_counts"
 

@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   */
 object LogCatalog {
 
+  /** Single-quote-escape a string heading into a SQL literal; dt values
+    * are validated as dates outright (they name directories — a quote in
+    * one is never legitimate).
+    */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  private def validDt(dt: String): String = {
+    require(dt.matches("""\d{4}-\d{2}-\d{2}"""), s"dt must be YYYY-MM-DD, got '$dt'")
+    dt
+  }
+
   /** `CREATE EXTERNAL TABLE` analog (`create_table.sql:13-42`): 19 data
     * columns + `dt string` partition column, Parquet, explicit LOCATION.
     */
@@ -22,7 +33,7 @@ object LogCatalog {
          |)
          |USING PARQUET
          |PARTITIONED BY (dt STRING)
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION '${sqlLit(location)}'""".stripMargin)
   }
 
   /** `MSCK REPAIR TABLE` (`load_all_partitions.sql:6`) — discover every
@@ -37,7 +48,8 @@ object LogCatalog {
   def addPartition(spark: SparkSession, table: String, dt: String,
                    location: String): Unit =
     spark.sql(
-      s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION (dt='$dt') LOCATION '$location'")
+      s"ALTER TABLE $table ADD IF NOT EXISTS PARTITION (dt='${validDt(dt)}') " +
+        s"LOCATION '${sqlLit(location)}'")
 
   def dropTable(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")

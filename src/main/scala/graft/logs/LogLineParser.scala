@@ -55,12 +55,20 @@ object LogLineParser {
     def dashNull(name: String): Column = nullif(g(name), lit("-"))
     def quotedDashNull(name: String): Column = nullif(g(name), lit("\"-\""))
     // PERMISSIVE under ANSI mode: numeric fields parse only when they look
-    // numeric; '-' and anything else → null instead of an ANSI cast error
-    // (matches the reference's sentinel guard; a non-numeric token would
-    // have crashed the reference's int(), we degrade to null by design).
+    // numeric AND fit the target width; '-', garbage, and oversized tokens
+    // → null instead of an ANSI cast/overflow error (a non-numeric token
+    // would have crashed the reference's int(); an oversized one would
+    // have crashed its Row→DataFrame conversion — a single bad line must
+    // not kill a 100 TB scan, so both degrade to null by design).
+    // Digit caps are conservative-safe: 9 < len("2147483647"), 18 <
+    // len("9223372036854775807").
     def dashNullAs(name: String, t: org.apache.spark.sql.types.DataType): Column = {
+      val maxDigits = t match {
+        case IntegerType => 9
+        case _ => 18
+      }
       val c = g(name)
-      when(c.rlike("^-?[0-9]+$"), c.cast(t))
+      when(c.rlike(s"^-?[0-9]{1,$maxDigits}$$"), c.cast(t))
     }
 
     // Reference time munging (`:37-42`): keep only the text between '[' and

@@ -69,11 +69,13 @@ object LogStream {
       n_requests: Long, closed: Boolean)
 
   /** Custom streaming state: per-requester sessions with a 30-minute idle
-    * gap, via `mapGroupsWithState` + EVENT-time timeout. A session closes
-    * when the watermark passes last-seen + gap — deterministic (re-running
-    * the same data gives the same sessions, the engine's determinism
-    * contract) and quiescent (no-data triggers don't fire, unlike
-    * processing-time timeouts, which re-batch continuously). State size:
+    * gap, via `flatMapGroupsWithState` + EVENT-time timeout. A session
+    * closes either when the watermark passes last-seen + gap (timeout) or
+    * when a LATER event in the same batch exceeds the gap — the flatMap
+    * shape exists precisely so those intra-batch closures are emitted
+    * (mapGroupsWithState can only return one row per group per batch and
+    * would silently drop them). Event-time (not processing-time) timeouts:
+    * deterministic on re-run, and no-data triggers don't fire. State size:
     * O(active requesters), independent of history.
     */
   def sessionize(parsed: DataFrame, gapMs: Long = 30L * 60 * 1000,
@@ -86,31 +88,35 @@ object LogStream {
       .select(col("requester"), col("request_time"))
       .as[RequesterEvent]
       .groupByKey(_.requester)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (requester, events, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(requester, new Timestamp(s.start), new Timestamp(s.last),
-              s.n, closed = true)
+            Iterator(SessionUpdate(requester, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, closed = true))
           } else {
             val times = events.map(_.request_time.getTime).toSeq.sorted
-            val prev = state.getOption
-            val merged = times.foldLeft(prev) { (acc, t) =>
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            val merged = times.foldLeft(state.getOption) { (acc, t) =>
               acc match {
                 case Some(s) if t - s.last <= gapMs =>
                   Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-                case _ => Some(SessionState(t, t, 1)) // gap exceeded → new session
+                case Some(s) => // gap exceeded inside the batch: close + restart
+                  closed += SessionUpdate(requester, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, closed = true)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
               }
             }.get
             state.update(merged)
-            // close when the watermark passes idle gap (must stay ahead of
-            // the current watermark for late-arriving groups)
+            // close when the watermark passes the idle gap (must stay ahead
+            // of the current watermark for late-arriving groups)
             state.setTimeoutTimestamp(
               math.max(merged.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            SessionUpdate(requester, new Timestamp(merged.start),
-              new Timestamp(merged.last), merged.n, closed = false)
+            (closed :+ SessionUpdate(requester, new Timestamp(merged.start),
+              new Timestamp(merged.last), merged.n, closed = false)).iterator
           }
       }
   }

@@ -100,6 +100,27 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngramJaccardPairs: pair found when the LARGER id sits in the LOWER size band") {
+    // id 9: 8 tokens → 6 shingles (band floor(log2 6)=2)
+    // id 3: 13 tokens → 11 shingles (band floor(log2 11)=3), superset text
+    // true jaccard = 6/11 ≈ 0.545 ≥ 0.5; one-sided band probing with a
+    // plain id_a < id_b filter used to drop exactly this orientation
+    val docs2 = Seq(
+      (9L, "a b c d e f g h"),
+      (3L, "a b c d e f g h i j k l m")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs2, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 9L)))
+  }
+
+  test("simhashDuplicates: maxDistance=0 finds exact sketch matches only") {
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", maxDistance = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))     // identical text, distance 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("embeddingDuplicates: scaled copies detected, orthogonal not") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f)),

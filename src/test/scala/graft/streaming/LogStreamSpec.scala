@@ -56,15 +56,19 @@ class LogStreamSpec extends SparkTestBase {
       .outputMode(OutputMode.Update)
       .start()
     try {
-      // two events 1h apart → the second starts a NEW session (gap 30m)
+      // two events 1h apart IN ONE BATCH → the first session must be
+      // emitted CLOSED (flatMap shape) and the second opened fresh
       mem.addData(line(6, 1, "REST.GET.OBJECT", 1), line(6, 2, "REST.GET.OBJECT", 1))
       query.processAllAvailable()
       val out = spark.table("sessions")
         .as[LogStream.SessionUpdate].collect()
-      assert(out.nonEmpty)
-      val last = out.last
-      assert(last.n_requests == 1L) // second event reset the session
-      assert(!last.closed)
+      assert(out.length == 2)
+      val (closed, open) = (out.filter(_.closed), out.filterNot(_.closed))
+      assert(closed.length == 1 && closed.head.n_requests == 1L,
+        "intra-batch gap must close the first session")
+      assert(closed.head.session_start.toString.startsWith("2019-02-06 01"))
+      assert(open.length == 1 && open.head.n_requests == 1L)
+      assert(open.head.session_start.toString.startsWith("2019-02-06 02"))
     } finally query.stop()
   }
 }
