@@ -69,25 +69,44 @@ object Compacter {
     LogLineParser.parse(LogLineParser.dropBlankLines(raw))
   }
 
+  /** Per-day compaction outcome: where it wrote and what it saw. The
+    * corrupt count surfaces the PERMISSIVE error_line channel (reference
+    * `:47-69`) as an operational metric — a spike is how log-format drift
+    * gets noticed.
+    */
+  final case class DayStats(dest: String, rows: Long, corruptRows: Long)
+
   /** Compact one day's raw files into `destRoot/sourceBucket/dt=<dt>/`.
     * Returns the destination path, or None if the day had no raw objects
     * (no-op, nothing written).
     */
-  def compactDay(spark: SparkSession, cfg: Config, dt: String): Option[String] = {
+  def compactDay(spark: SparkSession, cfg: Config, dt: String): Option[String] =
+    compactDayWithStats(spark, cfg, dt).map(_.dest)
+
+  /** As `compactDay`, additionally reporting row/corrupt counts measured
+    * via `Dataset.observe` — metrics ride the write job itself, no second
+    * scan of the input.
+    */
+  def compactDayWithStats(spark: SparkSession, cfg: Config,
+                          dt: String): Option[DayStats] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val dest = destinationFor(cfg, dt)
     val paths = LogFileLister.listDay(
       cfg.accessLogRoot, cfg.sourceBucket, dt,
       spark.sparkContext.hadoopConfiguration)
     if (paths.isEmpty) return None
     configure(spark)
+    val obs = org.apache.spark.sql.Observation(s"compact-$dt")
     parsed(spark, paths)
+      .observe(obs, count(lit(1)).as("rows"), count(col("error_line")).as("corrupt"))
       .repartition(cfg.numOutputFiles)
       .sortWithinPartitions("request_time")
       .write
       .mode("overwrite") // deterministic re-runs: re-running a day replaces it
       .option("compression", "snappy")
       .parquet(dest)
-    Some(dest)
+    val m = obs.get
+    Some(DayStats(dest, m("rows").asInstanceOf[Long], m("corrupt").asInstanceOf[Long]))
   }
 
   /** Day loop `[minDate, maxDate)` (reference `date_iterator` + per-day loop,

@@ -46,7 +46,10 @@ class CompacterSpec extends SparkTestBase {
 
     val cfg = Compacter.Config(rawRoot.toString, "bucket1", destRoot.toString,
       numOutputFiles = 3)
-    val dest = Compacter.compactDay(spark, cfg, dt).get
+    val stats = Compacter.compactDayWithStats(spark, cfg, dt).get
+    val dest = stats.dest
+    assert(stats.rows == lines.size && stats.corruptRows == 1,
+      "observe metrics must ride the write job")
 
     val back = spark.read.parquet(dest)
     assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
