@@ -71,7 +71,11 @@ object SparkEntry {
         .otherwise(lit("ABCDEFGHI").substr(pmod(id, lit(10L)).cast("int"), lit(1))))
     val line = when(pmod(id, lit(101L)) === 0,
       concat(lit("CORRUPT LINE "), id)).otherwise(clean)
-    events.select(line.as("value"))
+    // events.parquet is one small file → one input split; real ingest reads
+    // many log objects in parallel, so spread the synthesis/parse the same
+    // way (row→partition placement does not affect any per-row value).
+    val parallelism = events.sparkSession.sparkContext.defaultParallelism
+    events.repartition(parallelism).select(line.as("value"))
   }
 
   /** DuckDB oracle: the expected PARSED table, built directly (parse ∘

@@ -165,6 +165,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dedup the corpus: drop the LARGER id of every near-duplicate
+    * pair found by `minhashDuplicates` (the standard greedy policy —
+    * "keep the first-seen document"; no iterative connected components,
+    * one anti-join). A transitive chain a~b~c with a<b<c keeps exactly a:
+    * b and c each appear as the larger side of some pair.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 3, threshold: Double = 0.8,
+                   seed: Long = 42L): DataFrame = {
+    val drop = minhashDuplicates(df, idCol, textCol, numHashes, bands,
+      shingleSize, threshold, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token

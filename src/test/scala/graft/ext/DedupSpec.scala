@@ -77,6 +77,14 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashDedup: drops the larger id of each near-dup pair, keeps chain head") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text", bands = 32, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // shingles canonicalize case/whitespace, so 5 ≡ 1; near-dups 2, 3, 5
+    // all pair with head 1 and are dropped; unrelated 4 survives
+    assert(kept.sameElements(Array(1L, 4L)))
+  }
+
   test("simhash: identical text → distance 0; near text → small distance") {
     val sk = docs.select($"doc_id", Dedup.simhash($"text").as("sk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -45,6 +45,35 @@ class LogStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("file source → parse → date-partitioned parquet sink, end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val (in, out, ckpt) = (tmp.resolve("in"), tmp.resolve("out"), tmp.resolve("ckpt"))
+    java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.write(in.resolve("batch0.log"),
+      (Seq(line(6, 1, "REST.GET.OBJECT", 100), line(7, 2, "REST.PUT.OBJECT", 5))
+        .mkString("\n")).getBytes)
+
+    val parsed = LogStream.parsedStream(spark, in.toString)
+    val query = LogStream.writeCompacted(parsed, out.toString, ckpt.toString)
+    try {
+      query.processAllAvailable()
+      // a second file arriving later is picked up incrementally
+      java.nio.file.Files.write(in.resolve("batch1.log"),
+        line(6, 3, "REST.GET.OBJECT", 7).getBytes)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 3)
+    // partition values type-infer to DATE on read-back; compare as strings
+    val days = back.selectExpr("CAST(dt AS STRING) AS dt").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.sameElements(Array("2019-02-06", "2019-02-07")),
+      "sink must lay out dt= partitions")
+    assert(java.nio.file.Files.list(out).toArray.map(_.toString)
+      .exists(_.contains("dt=2019-02-06")))
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
