@@ -448,6 +448,32 @@ object SparkEntry {
         .sortWithinPartitions("request_time")
     }),
 
+    // §2.4 ext — exact percentiles (linear interpolation, same definition
+    // as DuckDB quantile_cont).
+    "q33_percentiles" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_quantity, 0.99)").as("p99_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ext window frames — running (cumulative) revenue per customer in
+    // order-date order; decimal-exact accumulation.
+    "q34_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     // §2.3 ext — semi-structured JSON column extraction + aggregation.
     "q32_json_props" -> ((s, dir) => {
       tbl(s, dir, "events")
@@ -880,6 +906,24 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin,
 
     "q31_compact_shape" -> ParsedOracle,
+
+    "q33_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_quantity, 0.99) AS p99_qty
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q34_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q32_json_props" ->
       """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
