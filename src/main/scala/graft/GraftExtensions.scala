@@ -24,7 +24,7 @@ import graft.functions.{MinHashSignature, ParseLogLine, SimHash, VectorDot, Word
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage, "", "", "", "", "", "", "built-in")
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v

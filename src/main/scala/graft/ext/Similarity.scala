@@ -79,7 +79,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
+      val planeArr = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

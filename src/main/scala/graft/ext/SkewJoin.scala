@@ -53,7 +53,7 @@ object SkewJoin {
       .join(hotSet, Seq(keyCol), "left")
       .withColumn("_salt",
         when(col("_is_hot").isNotNull,
-          pmod(xxhash64(struct(big.columns.map(col): _*))
+          pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*))
             + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
           .otherwise(lit(0)))
       .drop("_is_hot")
