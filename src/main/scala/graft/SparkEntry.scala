@@ -515,7 +515,7 @@ object SparkEntry {
     }.mkString(" ")
     s"""WITH toks AS (
        |  SELECT doc_id, lang,
-       |    regexp_split_to_array(lower(text), '\\s+') AS toks
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |  FROM documents),
        |scored AS (
        |  SELECT doc_id, lang,
@@ -794,22 +794,22 @@ object SparkEntry {
 
     "q17_text_stats" ->
       s"""SELECT doc_id,
-         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextStats.BpeishPattern}')) AS BIGINT) AS n_bpeish,
          |  CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}_-]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS punct_ratio,
-         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |  CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |      x -> list_contains(${TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
-         |    / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) AS stopword_ratio,
-         |  CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), x -> length(x))) AS DOUBLE)
-         |    / greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS mean_word_len,
+         |    / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS stopword_ratio,
+         |  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> length(x))) AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS mean_word_len,
          |  CAST((CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 3 ELSE 0 END)
          |    + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}_-]')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 2 ELSE 0 END)
-         |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |          x -> list_contains(${TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
-         |          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1) > 0.05 THEN 3 ELSE 0 END)
-         |    + (CASE WHEN CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'), x -> length(x))) AS DOUBLE)
-         |          / greatest(len(regexp_split_to_array(text, '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 2 ELSE 0 END) AS DOUBLE) / 10 AS quality_score,
+         |          / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> length(x))) AS DOUBLE)
+         |          / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 2 ELSE 0 END) AS DOUBLE) / 10 AS quality_score,
          |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
          |FROM documents""".stripMargin,
 

@@ -22,28 +22,40 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
-  /** Exact-duplicate groups by content digest. Shuffles 16-byte digests,
-    * not documents: at 100 TB the shuffle payload is ~32 B/row regardless
-    * of document size. Canonicalization (trim/collapse-ws/lower) optional
-    * because "exact" is policy: raw bytes vs normalized text.
+  /** Shared text canonical form for every fuzzy operator in this file and
+    * TextStats.fingerprint: lowercase, collapse whitespace runs, trim.
+    * ONE definition — divergent copies would silently make fingerprints
+    * and exact-dedup digests disagree.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-duplicate groups by content digest — NULL text rows excluded
+    * (null is "unknown content", not "equal to every other null"; grouping
+    * them would mass-delete unparsed docs downstream). Shuffles 16-byte
+    * digests, not documents: at 100 TB the shuffle payload is ~32 B/row
+    * regardless of document size. Canonicalization optional because
+    * "exact" is policy: raw bytes vs normalized text.
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
-                  canonicalize: Boolean = false): DataFrame = {
-    val t = if (canonicalize) trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-            else col(textCol)
-    df.select(col(idCol), md5(t).as("digest"))
+                  canonical: Boolean = false): DataFrame = {
+    val t = if (canonical) canonicalize(col(textCol)) else col(textCol)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), md5(t).as("digest"))
       .groupBy("digest")
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
   }
 
-  /** Exact dedup: keep the min-id representative of each digest group.
-    * Implemented as an aggregation (not dropDuplicates) so the survivor
-    * choice is deterministic — dropDuplicates keeps an arbitrary row.
+  /** Exact dedup: keep the min-id representative of each digest group;
+    * null-text rows pass through untouched. Implemented as an aggregation
+    * (not dropDuplicates) so the survivor choice is deterministic —
+    * dropDuplicates keeps an arbitrary row.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactGroups(df, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    df.filter(col(textCol).isNull)
+      .union(df.filter(col(textCol).isNotNull).join(keep, Seq(idCol), "left_semi"))
   }
 
   // ------------------------------------------------------------- shingles
@@ -52,10 +64,8 @@ object Dedup {
     * kernel graft.functions.WordNgrams — one pass, no per-window slice
     * copies or interpreted lambdas).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
-    graft.functions.SketchFunctions.wordNgrams(toks, n)
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.SketchFunctions.wordNgrams(split(canonicalize(text), " "), n)
 
   /** Exact Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -97,10 +107,11 @@ object Dedup {
     val withBand = df.select(
       col(idCol),
       posexplode(slicesOf(col(sigCol), bands)).as(Seq("band", "band_slice")))
+    // xxhash64 hashes array<bigint> natively — no per-slot string
+    // materialization in the hottest dedup stage
     withBand.select(
       col(idCol), col("band"),
-      xxhash64(col("band"), concat_ws(",", transform(col("band_slice"), _.cast("string"))))
-        .as("band_hash"))
+      xxhash64(col("band"), col("band_slice")).as("band_hash"))
   }
 
   /** Split an array column into `parts` equal slices (last takes the
@@ -188,10 +199,8 @@ object Dedup {
     * (graft.functions.SimHash): one pass over tokens per row, no shuffle,
     * no per-token array allocation.
     */
-  def simhash(text: Column): Column = {
-    val toks = split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
-    graft.functions.SketchFunctions.simhash(toks)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SketchFunctions.simhash(split(canonicalize(text), " "))
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -203,6 +212,8 @@ object Dedup {
     */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
     val numBands = maxDistance + 1
     val width = 64 / numBands
     // (1L << 64) wraps to 1 (JVM shifts are mod 64): maxDistance=0 needs

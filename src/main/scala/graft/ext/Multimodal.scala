@@ -45,11 +45,19 @@ object Multimodal {
     * every downstream operator is exercisable on the testdata tables.
     */
   def packAssets(df: DataFrame, idCol: String, payloadCol: String,
-                 kind: String = "image"): DataFrame =
+                 kind: String = "image"): DataFrame = {
+    // fail fast on non-numeric ids: under ANSI (the engine default) the
+    // cast would abort mid-scan; with ANSI off it would produce null
+    // asset_ids that kill the non-nullable Asset encoder later
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packAssets needs a numeric id column; '$idCol' is ${idType.simpleString} " +
+        "- derive a dense numeric id first")
     df.select(
       col(idCol).cast("long").as("asset_id"),
       lit(kind).as("kind"),
       encode(col(payloadCol), "UTF-8").as("data"))
+  }
 
   /** Range-repartition by asset id so each task holds at most
     * ~targetRowsPerTask (potentially multi-MB) payloads regardless of

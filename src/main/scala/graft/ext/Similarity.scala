@@ -147,34 +147,54 @@ object Similarity {
               k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
               modulus: Int = 1000): DataFrame = {
     // deterministic centroid sample: ids spread across the id space;
-    // sorted before limit — bare LIMIT order is physical-layout-dependent
-    val centroids = broadcast(
-      corpus.select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    // sorted before limit — bare LIMIT order is physical-layout-dependent.
+    // The sample is COLLECTED (the IVF "build the index" step, ≤ numCells
+    // tiny rows): with centroids as literals the corpus assignment runs as
+    // a per-row fold in the scan stage — no join, no window, no shuffle of
+    // the corpus (a unique-key window here would exchange every vector).
+    val centroidDf = broadcast(
+      corpus.select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
         .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
         .orderBy("centroid_id")
         .limit(numCells))
+    val centroidRows: Array[(Long, Array[Double])] = centroidDf.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+    require(centroidRows.nonEmpty,
+      s"IVF centroid sample is empty — numeric id space has no multiples of " +
+        s"${math.max(modulus / numCells, 1)}")
 
-    def assign(df: DataFrame, vec: String, rankLimit: Int): DataFrame = {
-      val w = Window.partitionBy("_assign_id")
-        .orderBy(desc("_cdist"), asc("centroid_id"))
-      // highest cosine centroid(s); _assign_id guards duplicate first cols
-      df.withColumn("_assign_id", monotonically_increasing_id())
-        .join(centroids)
-        .withColumn("_cdist", cosine(col(vec), col("centroid_vec")))
-        .withColumn("_crank", row_number().over(w))
-        .filter(col("_crank") <= rankLimit)
-        .drop("centroid_vec", "_cdist", "_crank", "_assign_id")
+    // argmax-cosine cell via array_max over (cosine, -centroid_id) structs:
+    // struct ordering compares cosine first, then -id, so the max is the
+    // highest cosine with the LOWEST centroid_id on ties — same as a
+    // rank-1 window ordered by cosine DESC, centroid_id ASC. (A when-chain
+    // fold would duplicate the accumulator expression per step: 2^K nodes.)
+    def bestCell(vec: Column): Column = {
+      val entries = centroidRows.map { case (cid, cvec) =>
+        val cLit = array(cvec.toIndexedSeq.map(lit): _*)
+        struct(cosine(vec, cLit).as("c"), lit(-cid).as("ncell"))
+      }
+      -array_max(array(entries.toIndexedSeq: _*)).getField("ncell")
     }
 
-    val corpusCells = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        norm(col(vecCol)).as("c_norm")), "c_vec", 1)
-      .withColumnRenamed("centroid_id", "cell")
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"))
+      .withColumn("cell", bestCell(col("c_vec")))
 
-    val queryCells = broadcast(assign(
+    // query side is tiny: top-nprobe cells via ranked cross join against
+    // the broadcast centroid frame
+    val qw = Window.partitionBy("query_id")
+      .orderBy(desc("_cdist"), asc("centroid_id"))
+    val queryCells = broadcast(
       queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
-        norm(col(vecCol)).as("q_norm")), "q_vec", nprobe)
-      .withColumnRenamed("centroid_id", "cell"))
+          norm(col(vecCol)).as("q_norm"))
+        .join(centroidDf)
+        .withColumn("_cdist", cosine(col("q_vec"), col("centroid_vec")))
+        .withColumn("_crank", row_number().over(qw))
+        .filter(col("_crank") <= nprobe)
+        .select(col("query_id"), col("q_vec"), col("q_norm"),
+          col("centroid_id").as("cell")))
 
     val scored = corpusCells.join(queryCells, "cell")
       .select(col("query_id"), col("neighbor_id"),

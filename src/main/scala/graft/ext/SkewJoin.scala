@@ -43,18 +43,17 @@ object SkewJoin {
     val hotSet = broadcast(hot.select(col(keyCol)).distinct()
       .withColumn("_is_hot", lit(true)))
 
-    // probe side: hot rows get a salt in [0, saltBuckets) from a row hash
-    // PLUS a per-partition row index — content hash alone would send
-    // byte-identical duplicate rows (the classic degenerate skew: one key,
-    // one payload, millions of copies) into a single bucket. The index is
-    // stable within a run; rand() stays banned (a retried task must
-    // re-derive the same salts it already shuffled).
+    // probe side: hot rows get a salt in [0, saltBuckets) from the
+    // per-partition row index — sequential, so even byte-identical
+    // duplicate rows (the classic degenerate skew: one key, one payload,
+    // millions of copies) round-robin across buckets. Stable within a run;
+    // rand() stays banned (a retried task must re-derive the same salts it
+    // already shuffled).
     val bigSalted = big
       .join(hotSet, Seq(keyCol), "left")
       .withColumn("_salt",
         when(col("_is_hot").isNotNull,
-          pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*))
-            + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+          pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
           .otherwise(lit(0)))
       .drop("_is_hot")
 

@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokenization, shared by every op here. */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** Whitespace tokenization, shared by every op here. Trimmed first so
+    * padding doesn't mint empty tokens that skew counts/ratios. (A fully
+    * empty text still yields one empty token — identically in Spark and
+    * DuckDB, which is what keeps the oracle parity exact.)
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** GPT2-ish pre-tokenizer: runs of letters | runs of digits | single
     * non-space-non-alnum. A deliberately regex-only stand-in for BPE —
@@ -103,17 +107,17 @@ object TextStats {
   def langId(text: Column): Column = {
     val counts = graft.functions.SketchFunctions.markerCounts(
       tokens(lower(text)), LangMarkers.map(_._2))
-    val scored = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
-      struct(element_at(counts, i + 1).as("score"), lit(lang).as("lang"))
+    // argmax with FIRST-wins tie-break via array_max over (score, -index)
+    // structs: struct ordering compares score first, then -index, so ties
+    // resolve to the earliest language in LangMarkers order. (A when-chain
+    // fold duplicates the accumulator per step — 2^K expression nodes.)
+    val entries = LangMarkers.indices.map { i =>
+      struct(element_at(counts, i + 1).as("score"), lit(-i).as("nidx"))
     }
-    // array_max on (score, lang) structs orders lexicographically by field:
-    // max score wins; equal scores → lexicographically LAST lang, which is
-    // order-dependent on LangMarkers — so instead reduce with an explicit
-    // strictly-greater fold to keep first-wins tie-break semantics.
-    val best = scored.reduceLeft { (a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a)
-    }
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    val best = array_max(array(entries: _*))
+    val langNames = array(LangMarkers.map(m => lit(m._1)): _*)
+    when(best.getField("score") > 0,
+      element_at(langNames, -best.getField("nidx") + 1)).otherwise(lit("und"))
   }
 
   /** Canonical-form document fingerprint: md5 of lowercased,
@@ -122,7 +126,7 @@ object TextStats {
     * engines (the DuckDB oracle, any warehouse) can reproduce it.
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    md5(Dedup.canonicalize(text))
 
   /** Winnowing-style robust fingerprint (Schleimer et al., SIGMOD'03):
     * k-gram character shingles → hash → min-hash per sliding window of w →
@@ -130,7 +134,7 @@ object TextStats {
     * no shuffle); used by near-dup pipelines that tolerate edits.
     */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val canon = trim(regexp_replace(lower(text), "\\s+", " "))
+    val canon = Dedup.canonicalize(text)
     val n = length(canon)
     // char k-grams: canon.substr(i, k) for i in 1..n-k+1
     val grams = transform(

@@ -83,6 +83,8 @@ case class SimHash(child: Expression) extends UnaryExpression {
   */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 
+  require(n > 0, s"word_ngrams window must be positive, got $n")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 

@@ -99,11 +99,16 @@ object LogStream {
           } else {
             val times = events.map(_.request_time.getTime).toSeq.sorted
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            // interval-merge semantics: an event extends the session if it
+            // lands within gap of the session SPAN [start-gap, last+gap] —
+            // start moves backward for admitted-late events (watermark >
+            // gap makes them legal); a naive `t - last <= gap` would absorb
+            // arbitrarily-old events because the difference goes negative.
             val merged = times.foldLeft(state.getOption) { (acc, t) =>
               acc match {
-                case Some(s) if t - s.last <= gapMs =>
-                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-                case Some(s) => // gap exceeded inside the batch: close + restart
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) => // outside the span: close + restart
                   closed += SessionUpdate(requester, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, closed = true)
                   Some(SessionState(t, t, 1))

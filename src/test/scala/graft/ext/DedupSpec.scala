@@ -23,7 +23,7 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("exactGroups canonicalized: case/whitespace variants merge") {
-    val g = Dedup.exactGroups(docs, "doc_id", "text", canonicalize = true).collect()
+    val g = Dedup.exactGroups(docs, "doc_id", "text", canonical = true).collect()
     assert(g.length == 3) // {1,2,5} merge, 3, 4
     assert(g.map(_.getLong(1)).max == 3)
   }

@@ -23,12 +23,13 @@ class SkewJoinSpec extends SparkTestBase {
     val pCounts = plain.groupBy("k").count().as[(Long, Long)].collect().toMap
     assert(sCounts == pCounts)
 
-    // the hot key's rows really carry >1 distinct salt before the join
+    // the hot key's rows really carry >1 distinct salt before the join —
+    // byte-identical duplicates included (index-based, not content-based)
     val hotSet = broadcast(hot.withColumn("_is_hot", lit(true)))
     val salts = big.join(hotSet, Seq("k"), "left")
       .withColumn("_salt",
         when(col("_is_hot").isNotNull,
-          pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)).cast("int"))
+          pmod(monotonically_increasing_id(), lit(8)).cast("int"))
           .otherwise(lit(0)))
       .filter(col("k") === 1).select("_salt").distinct().count()
     assert(salts > 4, s"hot key used only $salts salt buckets")
