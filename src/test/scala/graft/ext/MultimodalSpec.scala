@@ -36,6 +36,16 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("metadata-only queries prune the binary payload out of the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    Multimodal.packAssets(docs, "doc_id", "text").write
+      .mode("overwrite").parquet(tmp)
+    val metaOnly = spark.read.parquet(tmp).select("asset_id", "kind")
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("data:binary"),
+      s"binary column must be pruned from ReadSchema:\n$scan")
+  }
+
   test("decodeImage hook is explicitly unimplemented") {
     intercept[NotImplementedError](Multimodal.decodeImage(Array[Byte](1)))
   }
