@@ -33,8 +33,28 @@ object Compacter {
       accessLogRoot: String,   // bucket/dir holding raw log objects
       sourceBucket: String,    // the monitored bucket (= listing sub-prefix)
       destRoot: String,        // e.g. s3a://dest-bucket/some/prefix
-      numOutputFiles: Int = 10 // reference CLI default (:338-341)
+      numOutputFiles: Int = 10, // reference CLI default (:338-341)
+      // When set, numOutputFiles is IGNORED and the per-day file count is
+      // derived from that day's raw bytes so output parquet files land
+      // near this size regardless of daily volume swings — a fixed count
+      // either fragments quiet days or bloats busy ones at 100 TB.
+      targetFileMb: Option[Int] = None
   )
+
+  /** Measured raw-text → snappy-parquet size ratio for S3 access logs
+    * (262 MB raw compacted to 60 MB in the 1M-line benchmark, README).
+    */
+  val ParquetCompressionRatio: Double = 0.25
+
+  /** Files for a day given its raw listing size under the target-size
+    * policy; always ≥ 1.
+    */
+  def outputFilesFor(cfg: Config, rawBytes: Long): Int = cfg.targetFileMb match {
+    case Some(mb) =>
+      math.max(math.ceil(
+        rawBytes * ParquetCompressionRatio / (mb.toLong << 20)).toInt, 1)
+    case None => cfg.numOutputFiles
+  }
 
   /** Session settings the reference pins (`:189-200`). Safe to call on an
     * existing session; returns it for chaining. (`spark.speculation` must
@@ -91,15 +111,17 @@ object Compacter {
                           dt: String): Option[DayStats] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val dest = destinationFor(cfg, dt)
-    val paths = LogFileLister.listDay(
+    val listed = LogFileLister.listDayWithSizes(
       cfg.accessLogRoot, cfg.sourceBucket, dt,
       spark.sparkContext.hadoopConfiguration)
-    if (paths.isEmpty) return None
+    if (listed.isEmpty) return None
+    val paths = listed.map(_._1)
+    val numFiles = outputFilesFor(cfg, listed.map(_._2).sum)
     configure(spark)
     val obs = org.apache.spark.sql.Observation(s"compact-$dt")
     parsed(spark, paths)
       .observe(obs, count(lit(1)).as("rows"), count(col("error_line")).as("corrupt"))
-      .repartition(cfg.numOutputFiles)
+      .repartition(numFiles)
       .sortWithinPartitions("request_time")
       .write
       .mode("overwrite") // deterministic re-runs: re-running a day replaces it

@@ -37,7 +37,10 @@ object CompacterCli {
       accessLogRoot = req("source-access-log-bucket"),
       sourceBucket = req("source-bucket"),
       destRoot = s"${req("destination-log-bucket")}/${opts.getOrElse("destination-log-prefix", "s3_server_side_access_logs")}",
-      numOutputFiles = opts.getOrElse("num-output-files", "10").toInt
+      numOutputFiles = opts.getOrElse("num-output-files", "10").toInt,
+      // size-targeted alternative to a fixed count (extension):
+      // --target-file-mb 256 derives the per-day file count from raw bytes
+      targetFileMb = opts.get("target-file-mb").map(_.toInt)
     )
     val builder = SparkSession.builder()
       .appName("graft-log-compacter")

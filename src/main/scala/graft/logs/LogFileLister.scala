@@ -37,6 +37,26 @@ object LogFileLister {
     out.toSeq
   }
 
+  /** As `list`, also returning each object's size — one listing pass feeds
+    * both the read plan and size-based output sizing (the lister already
+    * has the FileStatus in hand; a second metadata round-trip per object
+    * would be the S3-LIST cost all over again).
+    */
+  def listWithSizes(dirUri: String, namePrefix: String,
+                    conf: Configuration = new Configuration()): Seq[(String, Long)] = {
+    val dir = new Path(dirUri)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Seq.empty
+    val out = ArrayBuffer.empty[(String, Long)]
+    val it = fs.listStatusIterator(dir)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && (namePrefix.isEmpty || st.getPath.getName.startsWith(namePrefix)))
+        out += ((st.getPath.toString, st.getLen))
+    }
+    out.toSeq
+  }
+
   /** The reference's per-day listing: keys under
     * `{accessLogRoot}/{sourceBucket}/` named `{date}-*` (reference `:212-213`
     * builds prefix `'{source_bucket}/{partition_key}-'`).
@@ -44,4 +64,8 @@ object LogFileLister {
   def listDay(accessLogRoot: String, sourceBucket: String, date: String,
               conf: Configuration = new Configuration()): Seq[String] =
     list(s"$accessLogRoot/$sourceBucket", s"$date-", conf)
+
+  def listDayWithSizes(accessLogRoot: String, sourceBucket: String, date: String,
+                       conf: Configuration = new Configuration()): Seq[(String, Long)] =
+    listWithSizes(s"$accessLogRoot/$sourceBucket", s"$date-", conf)
 }

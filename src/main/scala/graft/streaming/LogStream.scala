@@ -60,6 +60,18 @@ object LogStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming exactly-once dedup on request_id: duplicate deliveries
+    * (S3 log delivery is at-least-once) are dropped as long as they arrive
+    * within the watermark; state is bounded by the watermark horizon
+    * instead of growing with history (the difference between
+    * dropDuplicatesWithinWatermark and plain dropDuplicates on a stream).
+    */
+  def dedupStream(parsed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    parsed
+      .filter(col("request_id").isNotNull && col("request_time").isNotNull)
+      .withWatermark("request_time", watermark)
+      .dropDuplicatesWithinWatermark("request_id")
+
   // ----------------------------------------------- stateful sessionization
 
   final case class RequesterEvent(requester: String, request_time: Timestamp)

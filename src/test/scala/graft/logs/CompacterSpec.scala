@@ -98,6 +98,15 @@ class CompacterSpec extends SparkTestBase {
     LogCatalog.dropTable(spark, "access_logs_e2e")
   }
 
+  test("size-targeted output file count") {
+    val cfg = Compacter.Config("r", "b", "d", targetFileMb = Some(64))
+    // 1 GiB raw × 0.25 ratio = 256 MiB parquet → 4 × 64 MiB files
+    assert(Compacter.outputFilesFor(cfg, 1L << 30) == 4)
+    assert(Compacter.outputFilesFor(cfg, 1) == 1)          // floor at 1
+    val fixed = Compacter.Config("r", "b", "d", numOutputFiles = 7)
+    assert(Compacter.outputFilesFor(fixed, 1L << 40) == 7) // fixed-count mode
+  }
+
   test("lister: prefix filtering and empty dir") {
     val tmp = Files.createTempDirectory("graft-list")
     Files.createDirectories(tmp.resolve("b"))

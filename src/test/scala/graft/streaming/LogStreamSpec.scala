@@ -74,6 +74,23 @@ class LogStreamSpec extends SparkTestBase {
       .exists(_.contains("dt=2019-02-06")))
   }
 
+  test("streaming dedup within watermark drops redelivered request ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val deduped = LogStream.dedupStream(
+      LogLineParser.parse(mem.toDF().toDF("value")))
+    val query = deduped.writeStream
+      .format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      val l = line(6, 1, "REST.GET.OBJECT", 100) // fixed request_id R61REST.GET.OBJECT
+      mem.addData(l, l, line(6, 2, "REST.PUT.OBJECT", 5))
+      query.processAllAvailable()
+      assert(spark.table("deduped").count() == 2, "duplicate delivery must be dropped")
+    } finally query.stop()
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
