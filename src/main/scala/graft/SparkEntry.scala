@@ -30,6 +30,18 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB expression mirroring `TextStats.qualityScore(text)`. */
+  private def qualityScoreSql(t: String): String = {
+    val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CAST((CASE WHEN length($t) BETWEEN 20 AND 100000 THEN 3 ELSE 0 END)
+       |    + (CASE WHEN CAST(len(regexp_extract_all($t, '[.,!?;:''"()\\[\\]{}_-]')) AS DOUBLE) / greatest(length($t), 1) < 0.3 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower($t)), '\\s+'),
+       |          x -> list_contains($stop, x))) AS DOUBLE)
+       |          / greatest(len(regexp_split_to_array(trim(lower($t)), '\\s+')), 1) > 0.05 THEN 3 ELSE 0 END)
+       |    + (CASE WHEN CAST(list_sum(list_transform(regexp_split_to_array(trim($t), '\\s+'), x -> length(x))) AS DOUBLE)
+       |          / greatest(len(regexp_split_to_array(trim($t), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 2 ELSE 0 END) AS DOUBLE) / 10""".stripMargin
+  }
+
   /** DuckDB prelude normalizing events.ts (TIMESTAMP_NS → micros), matching
     * `Tables.load`.
     */
@@ -472,6 +484,15 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
             .cast("double").as("running_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // ext curation — the full pipeline: quality gate → exact dedup →
+    // MinHash near-dedup, one deterministic pass (Curation.curate).
+    "q35_curate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ext.Curation.curate(docs, "doc_id", "text", minQuality = 0.8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     }),
 
     // §2.3 ext — semi-structured JSON column extraction + aggregation.
@@ -924,6 +945,24 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q35_curate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE ${qualityScoreSql("text")} >= 0.8),
+         |e AS (
+         |  SELECT * FROM q
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+         |all_docs AS (SELECT doc_id, text FROM e),
+         |$ShingleCte,
+         |dropset AS (
+         |  SELECT DISTINCT b.doc_id AS did
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8)
+         |SELECT doc_id, lang, source FROM e
+         |WHERE doc_id NOT IN (SELECT did FROM dropset)
+         |ORDER BY doc_id""".stripMargin,
 
     "q32_json_props" ->
       """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
