@@ -486,6 +486,20 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // ext fuzzy match — edit-distance entity resolution: nearest of two
+    // probe templates per document head (levenshtein is identically
+    // defined in Spark and DuckDB).
+    "q36_fuzzy_match" -> ((s, dir) => {
+      val head = substring(col("text"), 1, 30)
+      val d1 = levenshtein(head, lit("the quick brown fox jumps over"))
+      val d2 = levenshtein(head, lit("spark query engine data stream"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          d1.cast("long").as("dist_prose"),
+          d2.cast("long").as("dist_tech"),
+          when(d1 <= d2, lit("prose")).otherwise(lit("tech")).as("nearest"))
+    }),
+
     // ext curation — the full pipeline: quality gate → exact dedup →
     // MinHash near-dedup, one deterministic pass (Curation.curate).
     "q35_curate" -> ((s, dir) => {
@@ -945,6 +959,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q36_fuzzy_match" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 30), 'the quick brown fox jumps over') AS BIGINT) AS dist_prose,
+        |  CAST(levenshtein(substr(text, 1, 30), 'spark query engine data stream') AS BIGINT) AS dist_tech,
+        |  CASE WHEN levenshtein(substr(text, 1, 30), 'the quick brown fox jumps over')
+        |         <= levenshtein(substr(text, 1, 30), 'spark query engine data stream')
+        |       THEN 'prose' ELSE 'tech' END AS nearest
+        |FROM documents""".stripMargin,
 
     "q35_curate" ->
       s"""WITH q AS (

@@ -74,6 +74,26 @@ class LogStreamSpec extends SparkTestBase {
       .exists(_.contains("dt=2019-02-06")))
   }
 
+  test("file-sink query restarted from its checkpoint neither loses nor duplicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart")
+    val (in, out, ckpt) = (tmp.resolve("in"), tmp.resolve("out"), tmp.resolve("ckpt"))
+    java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.write(in.resolve("a.log"), line(6, 1, "REST.GET.OBJECT", 1).getBytes)
+
+    val q1 = LogStream.writeCompacted(
+      LogStream.parsedStream(spark, in.toString), out.toString, ckpt.toString)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second file arrives while the query is DOWN; restart from checkpoint
+    java.nio.file.Files.write(in.resolve("b.log"), line(7, 2, "REST.GET.OBJECT", 2).getBytes)
+    val q2 = LogStream.writeCompacted(
+      LogStream.parsedStream(spark, in.toString), out.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 2, "exactly the two lines: a.log not reprocessed, b.log picked up")
+  }
+
   test("streaming dedup within watermark drops redelivered request ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
