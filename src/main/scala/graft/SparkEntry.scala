@@ -486,6 +486,13 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // ext text — char-trigram language ID (the n-gram-profile variant).
+    "q37_langid_ngram" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.langIdCharNgram(col("text")).as("lang_pred"))
+    }),
+
     // ext fuzzy match — edit-distance entity resolution: nearest of two
     // probe templates per document head (levenshtein is identically
     // defined in Spark and DuckDB).
@@ -668,9 +675,47 @@ object SparkEntry {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** Generated oracle for char-trigram language ID: the per-language
+    * trigram profiles are inlined; scoring/argmax mirror
+    * `TextStats.langIdCharNgram` (first-wins ties).
+    */
+  private val LangIdNgramOracle: String = {
+    val scores = TextStats.LangTrigramProfiles.map { case (lang, grams) =>
+      val arr = grams.map(g => "'" + g.replace("'", "''") + "'").mkString("[", ", ", "]")
+      s"len(list_filter(tg, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n       |    ")
+    val langs = TextStats.LangTrigramProfiles.map(_._1)
+    val all = langs.map("s_" + _).mkString(", ")
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map("s_" + _)
+      val restMax = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $restMax THEN '$l'"
+    }.mkString(" ")
+    s"""WITH padded AS (
+       |  SELECT doc_id,
+       |    ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS p
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(length(p) - 2, 1)),
+       |      i -> substr(p, CAST(i AS INT), 3)) AS tg
+       |  FROM padded),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM grams)
+       |SELECT doc_id,
+       |  CASE WHEN greatest($all) = 0 THEN 'und'
+       |       $cases
+       |       ELSE '${langs.last}' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q16_ann_lsh" -> LshAnnOracle,
+
+    "q37_langid_ngram" -> LangIdNgramOracle,
 
     "q28_ann_ivf" -> IvfAnnOracle,
 

@@ -120,6 +120,39 @@ object TextStats {
       element_at(langNames, -best.getField("nidx") + 1)).otherwise(lit("und"))
   }
 
+  /** Character-trigram profiles per language, derived deterministically
+    * from the marker words (space-padded, so word boundaries contribute
+    * their own trigrams — " th", "he " etc. — the signal real char-n-gram
+    * language ID lives on).
+    */
+  lazy val LangTrigramProfiles: Seq[(String, Seq[String])] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> words.flatMap { w =>
+        val padded = s" $w "
+        (0 to padded.length - 3).map(i => padded.substring(i, i + 3))
+      }.distinct
+    }
+
+  /** Char-n-gram language ID: score = count of the text's trigrams (with
+    * multiplicity) found in each language's trigram profile; argmax with
+    * first-wins tie-break, "und" when nothing matches. More robust than
+    * the marker-WORD variant on inflected/partial tokens; one pass per row
+    * via the CharNgrams + MarkerCounts native kernels.
+    */
+  def langIdCharNgram(text: Column): Column = {
+    val grams = graft.functions.SketchFunctions.charNgrams(
+      concat(lit(" "), Dedup.canonicalize(text), lit(" ")), 3)
+    val counts = graft.functions.SketchFunctions.markerCounts(
+      grams, LangTrigramProfiles.map(_._2))
+    val entries = LangTrigramProfiles.indices.map { i =>
+      struct(element_at(counts, i + 1).as("score"), lit(-i).as("nidx"))
+    }
+    val best = array_max(array(entries: _*))
+    val langNames = array(LangTrigramProfiles.map(m => lit(m._1)): _*)
+    when(best.getField("score") > 0,
+      element_at(langNames, -best.getField("nidx") + 1)).otherwise(lit("und"))
+  }
+
   /** Canonical-form document fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text. Identical content modulo spacing
     * and case → identical fingerprint. md5 (not xxhash64) so external

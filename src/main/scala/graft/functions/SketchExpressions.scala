@@ -105,6 +105,35 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Character n-grams of a STRING (not a token array): array<string> of
+  * every n-char window, duplicates kept (frequency matters for language
+  * profiles). One pass over the UTF8String with slice views.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"char_ngrams window must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.charNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** Per-language marker-word counts: given K marker sets, returns
   * array<int> of length K where slot k = number of tokens (with
   * multiplicity) present in marker set k. One pass over the tokens with a
@@ -202,6 +231,18 @@ object SketchHelper {
     new GenericArrayData(out)
   }
 
+  def charNgrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array[Any](s))
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def markerCounts(arr: ArrayData,
                    lookup: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer],
                    numSets: Int): ArrayData = {
@@ -263,4 +304,7 @@ object SketchFunctions {
 
   def markerCounts(tokens: Column, markerSets: Seq[Seq[String]]): Column =
     ColumnBridge.column(MarkerCounts(ColumnBridge.expression(tokens), markerSets))
+
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
 }

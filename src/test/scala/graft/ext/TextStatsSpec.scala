@@ -49,6 +49,17 @@ class TextStatsSpec extends SparkTestBase {
     assert(one(TextStats.langId(col("t")), "zzz qqq xxx") == "und")
   }
 
+  test("langIdCharNgram: trigram profiles identify language, und on noise") {
+    assert(one(TextStats.langIdCharNgram(col("t")),
+      "the weather is that of the north with the wind") == "en")
+    assert(one(TextStats.langIdCharNgram(col("t")),
+      "los perros de las casas del que") == "es")
+    // inflected/partial forms still hit boundary trigrams (" de", "der"…)
+    assert(one(TextStats.langIdCharNgram(col("t")),
+      "kindern dieser nichts istig") == "de")
+    assert(one(TextStats.langIdCharNgram(col("t")), "zzzz qqqq") == "und")
+  }
+
   test("langId tie-break: first language in marker order wins") {
     // 'la' is a marker for both es and fr → es (earlier) must win a pure tie
     assert(one(TextStats.langId(col("t")), "la la") == "es")
