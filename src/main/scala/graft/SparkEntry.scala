@@ -486,6 +486,21 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // §2.5 ext — correlated scalar subquery (Catalyst decorrelates it to
+    // an aggregate + join; the oracle runs the same decorrelation-free SQL).
+    // Decimal-exact threshold so the engines' double-summation order can't
+    // flip a boundary row.
+    "q38_correlated_subquery" -> ((s, dir) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_v o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+          |  2 * (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+          |       FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ext text — char-trigram language ID (the n-gram-profile variant).
     "q37_langid_ngram" -> ((s, dir) => {
       tbl(s, dir, "documents").select(
@@ -716,6 +731,14 @@ object SparkEntry {
     "q16_ann_lsh" -> LshAnnOracle,
 
     "q37_langid_ngram" -> LangIdNgramOracle,
+
+    "q38_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+        |  2 * (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q28_ann_ivf" -> IvfAnnOracle,
 
