@@ -1,5 +1,7 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry query
@@ -12,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * row/column end-to-end and discards it — the honest throughput number.
   */
 object Bench {
+
+  /** Locale-pinned number rendering: the default-locale `f` interpolator
+    * emits comma decimals under e.g. de_DE and silently breaks the
+    * one-line JSON contract.
+    */
+  private def num(v: Double): String =
+    String.format(Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,11 +34,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the session (FS client, codegen compiler, parquet footers) so
-    // startup cost is not billed to whichever query runs first.
+    // Warm the session (FS client, codegen compiler, parquet footers of
+    // EVERY table) so startup cost is not billed to whichever query first
+    // touches each input. Best-effort: a missing table must not kill the
+    // benchmark before a single query is timed.
     spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
-      Tables.load(spark, sfDir, t).limit(1).collect()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try Tables.load(spark, sfDir, t).limit(1).collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+      }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -43,10 +59,13 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed count is explicit: a query that errors out must not quietly
+    // make the headline total look faster
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

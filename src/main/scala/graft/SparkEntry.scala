@@ -296,8 +296,9 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // ext similarity — LSH-bucketed ANN (scale path; no SQL oracle:
-    // rows-only check, recall asserted vs brute force in ScalaTest).
+    // ext similarity — LSH-bucketed ANN (scale path). Oracle-checked: the
+    // generated LshAnnOracle inlines the hyperplane constants and
+    // replicates buckets, multi-probe, and ranking.
     "q16_ann_lsh" -> ((s, dir) => {
       val em = tbl(s, dir, "embeddings")
       val qs = em.filter(col("vec_id") < 8)
@@ -421,8 +422,9 @@ object SparkEntry {
         .orderBy("s_name")
     }),
 
-    // ext similarity — IVF (inverted-file) ANN scale path (rows-only:
-    // recall asserted vs brute force in ScalaTest).
+    // ext similarity — IVF (inverted-file) ANN scale path. Oracle-checked:
+    // the generated IvfAnnOracle replicates centroid sampling, Voronoi
+    // assignment, and nprobe ranking; recall vs brute force in ScalaTest.
     "q28_ann_ivf" -> ((s, dir) => {
       val em = tbl(s, dir, "embeddings")
       val qs = em.filter(col("vec_id") < 8)
@@ -486,18 +488,21 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
-    // §2.5 ext — correlated scalar subquery (Catalyst decorrelates it to
-    // an aggregate + join; the oracle runs the same decorrelation-free SQL).
-    // Decimal-exact threshold so the engines' double-summation order can't
-    // flip a boundary row.
+    // §2.5 ext — correlated scalar subqueries (Catalyst decorrelates them
+    // to aggregates + joins; the oracle runs the same SQL). "Above twice
+    // the customer's average" is compared multiplied-through
+    // (price·n > 2·sum) in DECIMAL: an avg() would round differently per
+    // engine (Spark decimal avg → decimal(·,6), DuckDB → double) and could
+    // flip boundary rows.
     "q38_correlated_subquery" -> ((s, dir) => {
       tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice
           |FROM orders_v o
-          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-          |  2 * (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
-          |       FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |    (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey) >
+          |  2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+          |       FROM orders_v o3 WHERE o3.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
@@ -735,9 +740,10 @@ object SparkEntry {
     "q38_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
-        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-        |  2 * (SELECT avg(CAST(o2.o_totalprice AS DECIMAL(18,2)))
-        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+        |  2 * (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q28_ann_ivf" -> IvfAnnOracle,

@@ -17,6 +17,12 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" =>
+        // NOTE: session-scoped and deliberately NOT restored — the conf is
+        // consulted at execution time too, so resetting it after planning
+        // would break the lazy scan. It only affects INT64 TIMESTAMP(NANOS)
+        // parquet columns (events.ts is the sole one in this corpus); any
+        // other table acquiring a nanos column should go through this
+        // loader as well.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$sfDir/events.parquet")
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
