@@ -34,7 +34,12 @@ object Curation {
              numHashes: Int = 64, bands: Int = 32,
              shingleSize: Int = 3): DataFrame = {
     val gated = df.filter(qualityGate(col(textCol), minQuality))
-    val exact = Dedup.exact(gated, idCol, textCol)
+    // Lineage cut: the near-dedup stage references its input many times
+    // (signatures, banding, candidate verify, the final anti-join), and
+    // each reference would re-run the quality gate + exact dedup from the
+    // scan. localCheckpoint materializes the exact-dedup survivors once
+    // (lazily, on first action) and hands downstream a short lineage.
+    val exact = Dedup.exact(gated, idCol, textCol).localCheckpoint(false)
     Dedup.minhashDedup(exact, idCol, textCol,
       numHashes = numHashes, bands = bands,
       shingleSize = shingleSize, threshold = jaccardThreshold)
