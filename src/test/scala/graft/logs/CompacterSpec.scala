@@ -85,6 +85,17 @@ class CompacterSpec extends SparkTestBase {
       .collect().head.getLong(0)
     assert(viaSql == lines.size)
 
+    // the dt predicate must prune PARTITIONS (catalog metadata), not just
+    // filter rows: the scan's partition filters carry it and only one of
+    // the two registered dt directories is read
+    val pruned = spark.sql(
+      "SELECT count(*) FROM access_logs_e2e WHERE dt = '2021-02-03'")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters") && pruned.contains("dt"),
+      s"dt must appear as a partition filter:\n$pruned")
+    assert(!pruned.contains("dt=2021-02-04"),
+      "other days' directories must not be in the scanned location list")
+
     val flagship = DaysApart.frame(spark.table("access_logs_e2e"), threshold = 400)
     val rows = flagship.collect()
     assert(rows.nonEmpty, "days-apart must find the >400-day-old reads")
