@@ -488,6 +488,23 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // ext sketch-agg — corpus-level MinHash-union sketches per source and
+    // the estimated pairwise content overlap between sources (rows-only:
+    // xxh64-based sketch; union-equals-union property proven in ScalaTest).
+    "q39_group_sketch" -> ((s, dir) => {
+      val sigs = tbl(s, dir, "documents")
+        .select(col("source"),
+          Dedup.minhashSignature(Dedup.shingles(col("text")), 128).as("sig"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.column(col("sig")).as("gsig"))
+      val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          Dedup.minhashEstimate(col("sig_a"), col("sig_b")).as("est_overlap"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // §2.5 ext — correlated scalar subqueries (Catalyst decorrelates them
     // to aggregates + joins; the oracle runs the same SQL). "Above twice
     // the customer's average" is compared multiplied-through
