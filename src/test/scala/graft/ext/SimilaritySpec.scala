@@ -21,7 +21,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("bruteForceTopK: self is rank 1, ranks deterministic") {
     val vecs = (0L until 50L).map { i =>
-      (i, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+      (i, Array.tabulate(8)(d => math.sin((i * 31 + d * 7).toDouble).toFloat))
     }.toDF("vec_id", "embedding")
     val qs = vecs.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding")
@@ -34,7 +34,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("lshTopK: recall vs brute force is high with multi-probe") {
     val vecs = (0L until 200L).map { i =>
-      (i, Array.tabulate(16)(d => math.sin(i * 31 + d * 7).toFloat))
+      (i, Array.tabulate(16)(d => math.sin((i * 31 + d * 7).toDouble).toFloat))
     }.toDF("vec_id", "embedding")
     val qs = vecs.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding")
@@ -55,7 +55,7 @@ class SimilaritySpec extends SparkTestBase {
       val c = (i % 4).toInt
       val base = Array.tabulate(16)(d => if (d % 4 == c) 5.0f else 0.0f)
       (i, base.zipWithIndex.map { case (v, d) =>
-        v + math.sin(i * 13 + d).toFloat * 0.3f })
+        v + math.sin((i * 13 + d).toDouble).toFloat * 0.3f })
     }.toDF("vec_id", "embedding")
     val qs = vecs.filter($"vec_id" < 4)
       .select($"vec_id".as("query_id"), $"embedding")
