@@ -23,10 +23,20 @@ import org.apache.spark.sql.SparkSession
   */
 object CompacterCli {
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+          loop(tail, acc + (k.stripPrefix("--") -> v))
+        case k :: _ if k.startsWith("--") =>
+          throw new IllegalArgumentException(s"flag $k has no value")
+        case k :: _ =>
+          throw new IllegalArgumentException(s"unexpected argument '$k' (expected a --flag)")
+      }
+    loop(args.toList, Map.empty)
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)

@@ -51,7 +51,12 @@ object LogStream {
   def writeCompacted(parsed: DataFrame, destRoot: String,
                      checkpoint: String): StreamingQuery =
     parsed
-      .withColumn("dt", date_format(col("request_time"), "yyyy-MM-dd"))
+      // corrupt rows (null request_time) get an explicit sentinel partition
+      // instead of Hive's __HIVE_DEFAULT_PARTITION__, keeping error_line
+      // rows queryable and matching the batch Compacter's keep-the-corrupt-
+      // rows-visible stance
+      .withColumn("dt",
+        coalesce(date_format(col("request_time"), "yyyy-MM-dd"), lit("corrupt")))
       .writeStream
       .format("parquet")
       .option("path", destRoot)

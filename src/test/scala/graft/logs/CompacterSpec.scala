@@ -127,4 +127,21 @@ class CompacterSpec extends SparkTestBase {
     assert(LogFileLister.listDay(tmp.toString, "b", "2021-01-03").isEmpty)
     assert(LogFileLister.listDay(tmp.toString, "missing", "2021-01-01").isEmpty)
   }
+  test("CLI arg parsing: strict flag/value pairing") {
+    val opts = CompacterCli.parseArgs(Array(
+      "--source-bucket", "b", "--num-output-files", "7"))
+    assert(opts == Map("source-bucket" -> "b", "num-output-files" -> "7"))
+    // a flag without a value must error, not silently shift later pairs
+    intercept[IllegalArgumentException] {
+      CompacterCli.parseArgs(Array("--source-bucket", "--num-output-files", "7"))
+    }
+    // a trailing flag without a value must error, not be dropped
+    intercept[IllegalArgumentException] {
+      CompacterCli.parseArgs(Array("--source-bucket", "b", "--min-date"))
+    }
+    // a bare value with no flag must error
+    intercept[IllegalArgumentException] {
+      CompacterCli.parseArgs(Array("oops"))
+    }
+  }
 }

@@ -50,8 +50,8 @@ class LogStreamSpec extends SparkTestBase {
     val (in, out, ckpt) = (tmp.resolve("in"), tmp.resolve("out"), tmp.resolve("ckpt"))
     java.nio.file.Files.createDirectories(in)
     java.nio.file.Files.write(in.resolve("batch0.log"),
-      (Seq(line(6, 1, "REST.GET.OBJECT", 100), line(7, 2, "REST.PUT.OBJECT", 5))
-        .mkString("\n")).getBytes)
+      (Seq(line(6, 1, "REST.GET.OBJECT", 100), line(7, 2, "REST.PUT.OBJECT", 5),
+        "not a parseable log line").mkString("\n")).getBytes)
 
     val parsed = LogStream.parsedStream(spark, in.toString)
     val query = LogStream.writeCompacted(parsed, out.toString, ckpt.toString)
@@ -64,14 +64,16 @@ class LogStreamSpec extends SparkTestBase {
     } finally query.stop()
 
     val back = spark.read.parquet(out.toString)
-    assert(back.count() == 3)
-    // partition values type-infer to DATE on read-back; compare as strings
+    assert(back.count() == 4)
     val days = back.selectExpr("CAST(dt AS STRING) AS dt").distinct()
       .collect().map(_.getString(0)).sorted
-    assert(days.sameElements(Array("2019-02-06", "2019-02-07")),
-      "sink must lay out dt= partitions")
+    assert(days.sameElements(Array("2019-02-06", "2019-02-07", "corrupt")),
+      "sink must lay out dt= partitions; corrupt rows get a sentinel partition")
     assert(java.nio.file.Files.list(out).toArray.map(_.toString)
       .exists(_.contains("dt=2019-02-06")))
+    // the corrupt row stays queryable with its raw line intact
+    assert(back.filter("dt = 'corrupt'").selectExpr("error_line")
+      .collect().map(_.getString(0)).sameElements(Array("not a parseable log line")))
   }
 
   test("file-sink query restarted from its checkpoint neither loses nor duplicates") {
