@@ -47,17 +47,23 @@ object Bench {
       }
     }
 
+    // Each query runs `runs` times; we report the per-query MIN (declared
+    // as "runs" in the JSON). Steady-state minimum is the standard way to
+    // strip scheduler/GC/page-cache noise from a shared box — single-shot
+    // timings here swing >10× run-to-run under driver-side contention.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.size == runs) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
@@ -65,7 +71,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed count is explicit: a query that errors out must not quietly
     // make the headline total look faster
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
