@@ -572,6 +572,45 @@ object SparkEntry {
         .select(col("window.start").as("day_start"), col("operation"),
           col("n_requests"), col("total_bytes"))
         .orderBy("day_start", "operation")
+    }),
+
+    // ext temporal — as-of join: each event sees the most recent purchase
+    // (inclusive) by the same user. One key-shuffle union+window, no
+    // nested-loop; oracle is DuckDB's native ASOF LEFT JOIN.
+    "q40_asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val probe = e.select(col("event_id"), col("ts"), col("user_id"))
+      val build = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      ext.TemporalJoins.asofJoin(probe, build, "user_id", "ts", "p_ts",
+          Seq("p_ts", "p_event_id", "p_value"), prefix = "")
+        .select(col("event_id"),
+          col("p_event_id").as("prior_purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("p_ts")))
+            .as("micros_since_purchase"),
+          col("p_value").as("prior_purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // ext temporal — interval (range) join via day-bucket expansion: promo
+    // windows derived from a sample of orders, lineitems matched by
+    // ship-date containment; an equi-join on the bucket instead of the
+    // BroadcastNestedLoopJoin a raw non-equi condition would produce.
+    "q41_range_join" -> ((s, dir) => {
+      val promos = tbl(s, dir, "orders")
+        .filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          col("o_orderdate").as("start_ts"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("end_ts"))
+      val probe = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      ext.TemporalJoins.byTimeBuckets(probe, promos, "l_shipdate",
+          "start_ts", "end_ts")
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy("promo_id")
     })
   )
 
@@ -1100,6 +1139,29 @@ object SparkEntry {
          |  CAST(sum(bytes_sent) AS BIGINT) AS total_bytes
          |FROM p
          |GROUP BY 1, 2
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q40_asof_join" ->
+      s"""WITH e AS ($EventsCte),
+         |b AS (SELECT user_id, ts, event_id, value FROM e WHERE event_type = 'purchase')
+         |SELECT a.event_id,
+         |  b.event_id AS prior_purchase_id,
+         |  epoch_us(a.ts) - epoch_us(b.ts) AS micros_since_purchase,
+         |  b.value AS prior_purchase_value
+         |FROM e a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+         |ORDER BY a.event_id""".stripMargin,
+
+    "q41_range_join" ->
+      """WITH promos AS (
+        |  SELECT o_orderkey AS promo_id, o_orderdate AS start_ts,
+        |         o_orderdate + INTERVAL 7 DAY AS end_ts
+        |  FROM orders WHERE o_orderkey % 500 = 0)
+        |SELECT promo_id,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN promos
+        |  ON l_shipdate >= start_ts AND l_shipdate < end_ts
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }
