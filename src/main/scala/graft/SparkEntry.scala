@@ -611,6 +611,77 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy("promo_id")
+    }),
+
+    // §2.4 ext — GROUPING SETS with grouping() indicators (via SQL for the
+    // same join-derived-frame reason as q21_rollup).
+    "q42_grouping_sets" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "c_mktsegment", "c_acctbal")
+        .createOrReplaceTempView("q42_joined")
+      s.sql("""SELECT r_name, c_mktsegment,
+              |  CAST(grouping(r_name) AS INT) AS g_region,
+              |  CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+              |  count(*) AS n_customers,
+              |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+              |FROM q42_joined
+              |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+              |ORDER BY r_name, c_mktsegment""".stripMargin)
+    }),
+
+    // §2.4 ext — array aggregation: deterministic sorted collect, argmax
+    // via struct-max (max_by's tie-break is engine-arbitrary; lexicographic
+    // struct comparison is not), array slicing.
+    "q43_array_agg" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+          array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n_orders"),
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("top_order"))
+        .select(col("o_custkey"), col("order_keys"),
+          slice(col("order_keys"), 1, 3).as("first3"),
+          col("n_orders"), col("top_order"))
+        .orderBy("o_custkey")
+    }),
+
+    // §2.4 ext — unpivot / melt (wide metrics → long), the inverse of q30.
+    "q44_unpivot" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "val")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // ext sampling — deterministic content-hash sampling (~15.6%): the
+    // reproducible alternative to TABLESAMPLE (whose row choice is
+    // engine/partitioning-dependent); the same idiom stratifies by any key.
+    "q45_sample_hash" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "28")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // §2.4 ext — fixed-width histogram by arithmetic bucketing (the
+    // distributed width_bucket: one hash aggregate, no sort of the data).
+    "q46_histogram" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("bucket")
     })
   )
 
@@ -1161,6 +1232,55 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM lineitem JOIN promos
         |  ON l_shipdate >= start_ts AND l_shipdate < end_ts
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q42_grouping_sets" ->
+      """SELECT r_name, c_mktsegment,
+        |  CAST(grouping(r_name) AS INT) AS g_region,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+        |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q43_array_agg" ->
+      """SELECT o_custkey,
+        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        |  (list(o_orderkey ORDER BY o_orderkey))[1:3] AS first3,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order
+        |FROM orders
+        |WHERE o_custkey < 200
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q44_unpivot" ->
+      """SELECT l_returnflag, metric, val FROM (
+        |  UNPIVOT (
+        |    SELECT l_returnflag,
+        |      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |    FROM lineitem GROUP BY 1)
+        |  ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE val)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q45_sample_hash" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q46_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
   )
