@@ -682,6 +682,58 @@ object SparkEntry {
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"))
         .orderBy("bucket")
+    }),
+
+    // ext text — TF-IDF top terms per document. Linear idf (N/df, one
+    // correctly-rounded IEEE division) instead of log-idf: ln() differs in
+    // the last ulp across libm implementations, which would make scores —
+    // and near-tie rankings — engine-dependent. Shuffles: (doc, term) then
+    // term; corpus size joins in via a broadcast 1-row aggregate, not a
+    // driver-side count.
+    "q47_tfidf_topterms" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      val toks = docs.select(col("doc_id"),
+        explode(split(Dedup.canonicalize(col("text")), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val score = col("tf") * (col("n_docs").cast("double") / col("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ext streaming-shape — hopping (sliding) windows: 1-day windows every
+    // 12 hours, each event contributing to exactly two windows; the same
+    // groupBy(window(...)) works unchanged under readStream.
+    "q48_sliding_window" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // ext dedup — near-duplicate CLUSTERS: the q13 pair graph labeled by
+    // connected components (min reachable id), the cluster view that lets
+    // survivor policies be content-aware rather than id-ordered.
+    "q49_dedup_components" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      val pairs = Dedup.minhashDuplicates(docs.union(near), "doc_id", "text",
+          numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1282,6 +1334,60 @@ object SparkEntry {
         |  max(o_totalprice) AS max_price
         |FROM orders
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q47_tfidf_topterms" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 100),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d)
+        |SELECT doc_id, term, tf, df,
+        |  tf * (n_docs / df) AS score,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tf * (n_docs / df) DESC, term) AS INT) AS rank
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q48_sliding_window" ->
+      s"""WITH e AS ($EventsCte),
+         |x AS (
+         |  SELECT unnest([
+         |      make_timestamp((epoch_us(ts) // 43200000000) * 43200000000),
+         |      make_timestamp(((epoch_us(ts) // 43200000000) - 1) * 43200000000)]) AS w_start,
+         |    event_type, value
+         |  FROM e)
+         |SELECT w_start, event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM x
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q49_dedup_components" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents WHERE doc_id % 7 = 0),
+         |$ShingleCte,
+         |e AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |r(x, y) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a)
+         |SELECT x AS doc_id, min(y) AS component
+         |FROM r
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
   )
 }

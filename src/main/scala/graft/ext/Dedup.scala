@@ -272,6 +272,52 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------- connected components
+
+  /** Connected components over an undirected edge list: returns
+    * (id, component) where component = the minimum node id reachable from
+    * `id`. The cluster view of near-duplicate pairs — where the greedy
+    * drop-the-larger-id policy of [[minhashDedup]] removes rows, this
+    * labels them, so callers can pick survivors per cluster (longest,
+    * highest-quality, ...) instead of by id order.
+    *
+    * Iterative min-label propagation: each round, every node takes the min
+    * of its own label and its neighbors' labels — one shuffle per round on
+    * the node id, converging in graph-diameter rounds (near-dup graphs are
+    * shallow: duplicate clusters, not social networks). The fixpoint is
+    * unique (min reachable id), so the result is deterministic regardless
+    * of scheduling. Lineage is cut each round (localCheckpoint) — an
+    * iterative join would otherwise double the plan depth per round.
+    */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("comp").as("nmin"))
+      // every node in an edge list has >= 1 neighbor: inner join is total
+      val next = labels.join(neighborMin, Seq("id"))
+        .select(col("id"), least(col("comp"), col("nmin")).as("comp"),
+          (col("nmin") < col("comp")).as("_changed"))
+        .localCheckpoint(false)
+      converged = next.filter(col("_changed")).limit(1).count() == 0
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    labels
+  }
+
   // --------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Standalone form

@@ -139,4 +139,20 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+  test("connectedComponents: min reachable id labels every node") {
+    // two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long path converges past one round") {
+    // a 12-node path needs ~diameter rounds, not one
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(comps.length == 12 && comps.forall(_._2 == 0L))
+  }
 }
