@@ -77,6 +77,34 @@ object LogStream {
       .withWatermark("request_time", watermark)
       .dropDuplicatesWithinWatermark("request_id")
 
+  /** Stream-stream interval join: each GET matched to the PUT of the same
+    * key it followed within `within` — the streaming twin of the Days
+    * Apart analysis (write-vs-read distance), except both sides are live
+    * streams instead of one row's parsed path. Watermarks on BOTH sides
+    * plus the time-bound join condition let Spark expire join state: a
+    * buffered PUT can be dropped once the GET-side watermark passes
+    * put_time + within, so state is O(events inside the horizon), not
+    * O(history) — the condition every production stream-stream join must
+    * meet or the state store grows without bound.
+    */
+  def getsAfterPuts(parsed: DataFrame, within: String = "1 hour"): DataFrame = {
+    val puts = parsed.filter(col("operation") === "REST.PUT.OBJECT")
+      .select(col("key").as("put_key"), col("request_time").as("put_time"))
+      .withWatermark("put_time", within)
+    val gets = parsed.filter(col("operation") === "REST.GET.OBJECT")
+      .select(col("key").as("get_key"), col("request_time").as("get_time"),
+        col("bytes_sent"))
+      .withWatermark("get_time", within)
+    gets.join(puts,
+      col("get_key") === col("put_key") &&
+        col("get_time") >= col("put_time") &&
+        col("get_time") <= col("put_time") + expr(s"INTERVAL $within"))
+      .select(col("get_key").as("key"), col("put_time"), col("get_time"),
+        (unix_millis(col("get_time")) - unix_millis(col("put_time")))
+          .as("millis_after_put"),
+        col("bytes_sent"))
+  }
+
   // ----------------------------------------------- stateful sessionization
 
   final case class RequesterEvent(requester: String, request_time: Timestamp)

@@ -69,6 +69,25 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(fast == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L)))
   }
 
+  test("physical plans: equi-join shapes, no nested loop") {
+    val probe = Seq((1L, ts("2024-01-05 10:30:00"))).toDF("pid", "pt")
+    val intervals = Seq((100L, ts("2024-01-05 10:00:00"), ts("2024-01-05 12:00:00")))
+      .toDF("iid", "start", "end")
+    val rangePlan = TemporalJoins.byTimeBuckets(probe, intervals, "pt", "start", "end")
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("BroadcastNestedLoop"),
+      s"range join must be an equi-join on the bucket, got:\n$rangePlan")
+
+    val build = Seq((1L, ts("2024-01-05 09:00:00"), 5.0)).toDF("pid", "bt", "v")
+    val asofPlan = TemporalJoins.asofJoin(probe, build, "pid", "pt", "bt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("Join"),
+      s"as-of join must be union+window (zero join operators), got:\n$asofPlan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(asofPlan).size
+    assert(shuffles == 1,
+      s"as-of join must shuffle exactly once, on the key; got $shuffles:\n$asofPlan")
+  }
+
   test("byTimeBuckets: sub-bucket intervals and each pair exactly once") {
     // a 2-hour interval inside one day bucket, plus a probe hitting an
     // interval spanning three buckets — still exactly one output row each

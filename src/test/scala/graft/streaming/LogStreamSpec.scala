@@ -113,6 +113,33 @@ class LogStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: GETs matched to PUTs within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val joined = LogStream.getsAfterPuts(
+      LogLineParser.parse(mem.toDF().toDF("value")), within = "1 hour")
+    val query = joined.writeStream
+      .format("memory").queryName("gets_after_puts")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      def l(hh: Int, mm: Int, op: String, key: String) =
+        s"own bkt [06/Feb/2019:${f"$hh%02d"}:${f"$mm%02d"}:00 +0000] 10.0.0.1 " +
+          s"arn:aws:iam::1:user/u R$hh$mm$op $op $key " +
+          "\"GET /k HTTP/1.1\" 200 - 10 - 5 - \"-\" \"ua/1.0\" -"
+      mem.addData(
+        l(1, 0, "REST.PUT.OBJECT", "a/k1"),
+        l(1, 30, "REST.GET.OBJECT", "a/k1"),  // 30 min after: joined
+        l(3, 0, "REST.GET.OBJECT", "a/k1"),   // 2h after: outside bound
+        l(1, 10, "REST.GET.OBJECT", "b/k2"))  // no PUT for this key
+      query.processAllAvailable()
+      val out = spark.table("gets_after_puts")
+        .selectExpr("key", "millis_after_put").as[(String, Long)].collect()
+      assert(out.toSeq == Seq(("a/k1", 30L * 60 * 1000)),
+        "exactly the in-bound GET joins; late GET and unmatched key do not")
+    } finally query.stop()
+  }
+
   test("stateful sessionization with mapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
