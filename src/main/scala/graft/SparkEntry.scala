@@ -734,6 +734,44 @@ object SparkEntry {
       Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
+    }),
+
+    // ext multimodal — audio-kind payloads through the batch decode stub
+    // (16-bit mono PCM fiction; real codec swaps in behind the signature).
+    "q50_audio_features" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val packed = ext.Multimodal.packAssets(
+        tbl(s, dir, "documents"), "doc_id", "text", kind = "audio")
+      ext.Multimodal.audioFeatures(packed.as[ext.Multimodal.Asset]).toDF()
+    }),
+
+    // ext multimodal — aspect-preserving resize into a 224x224 box; the
+    // dimension math is the real contract, pixels are stubbed.
+    "q51_image_resize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val packed = ext.Multimodal.packAssets(
+        tbl(s, dir, "documents"), "doc_id", "text")
+      ext.Multimodal.resizeToBox(packed.as[ext.Multimodal.Asset]).toDF()
+    }),
+
+    // ext similarity — int8 embedding quantization (the 4x memory lever
+    // for ANN at scale); all arithmetic correctly-rounded IEEE, so
+    // quantized vectors are bit-identical across engines.
+    "q52_embed_quantize" -> ((s, dir) => {
+      val (scale, q) = ext.Similarity.quantizeInt8(col("embedding"))
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), scale.as("scale"), q.as("qvec"))
+        .orderBy("vec_id")
+    }),
+
+    // ext similarity — per-label element-wise centroids via the transpose
+    // trick (posexplode → skinny hash aggregate → reassemble), decimal
+    // sums for order-independence.
+    "q53_embed_centroids" -> ((s, dir) => {
+      ext.Similarity.groupCentroids(tbl(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")
     })
   )
 
@@ -1388,6 +1426,60 @@ object SparkEntry {
          |SELECT x AS doc_id, min(y) AS component
          |FROM r
          |GROUP BY 1
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+
+    "q50_audio_features" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(strlen(text) // 2 AS BIGINT) AS n_samples,
+        |  CAST((strlen(text) // 2) // 16 AS BIGINT) AS duration_ms,
+        |  CAST((ascii(substr(text, 1, 1)) * 31 + ascii(substr(text, length(text), 1))) % 1000 AS DOUBLE) / 1000.0 AS rms
+        |FROM documents""".stripMargin,
+
+    // Mirrors fakeDecode's dims then the resize math: scale = min of the
+    // two box ratios, floor, clamp to >= 1.
+    "q51_image_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(16 + (strlen(text) % 240) AS INT) AS width,
+        |    CAST(16 + ((ascii(substr(text, 1, 1)) * 7 + ascii(substr(text, length(text), 1))) % 240) AS INT) AS height
+        |  FROM documents),
+        |r AS (
+        |  SELECT asset_id, width, height,
+        |    least(224.0 / width, 224.0 / height) AS scale
+        |  FROM f)
+        |SELECT asset_id, width, height,
+        |  greatest(1, CAST(floor(width * scale) AS INT)) AS out_width,
+        |  greatest(1, CAST(floor(height * scale) AS INT)) AS out_height,
+        |  CAST(greatest(1, CAST(floor(width * scale) AS INT)) AS BIGINT)
+        |    * greatest(1, CAST(floor(height * scale) AS INT)) * 3 AS out_bytes
+        |FROM r""".stripMargin,
+
+    "q52_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qvec
+        |FROM s
+        |ORDER BY vec_id""".stripMargin,
+
+    "q53_embed_centroids" ->
+      """SELECT label, list(m ORDER BY pos) AS centroid
+        |FROM (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m
+        |  FROM (
+        |    SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+        |    FROM embeddings)
+        |  GROUP BY 1, 2)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

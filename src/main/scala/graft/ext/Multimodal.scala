@@ -118,6 +118,57 @@ object Multimodal {
     extractImageFeatures(packed.as[Asset]).toDF()
   }
 
+  /** Resize output: original + target-box-fitted dimensions. */
+  final case class ResizedImage(
+      asset_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, out_bytes: Long)
+
+  /** Aspect-preserving resize into a target box — the standard
+    * vision-pipeline normalization step. The PIXEL work is stubbed (no
+    * codecs here); the dimension math, batch shape, and schema are the
+    * real contract: scale = min(tw/w, th/h), floor, clamp to >= 1.
+    */
+  def resizeToBox(assets: Dataset[Asset], targetW: Int = 224,
+                  targetH: Int = 224): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, "target box must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val f = fakeDecode(a.asset_id, a.kind, a.data)
+        val scale = math.min(targetW.toDouble / f.width, targetH.toDouble / f.height)
+        val ow = math.max(1, math.floor(f.width * scale).toInt)
+        val oh = math.max(1, math.floor(f.height * scale).toInt)
+        ResizedImage(a.asset_id, f.width, f.height, ow, oh, ow.toLong * oh * 3)
+      }
+    }
+  }
+
+  /** Extracted audio-ish features (what a real decoder would emit). */
+  final case class AudioFeatures(
+      asset_id: Long, n_bytes: Long, n_samples: Long,
+      duration_ms: Long, rms: Double)
+
+  /** STUB audio decode: deterministic features from payload bytes —
+    * 16-bit mono PCM fiction (2 bytes/sample @ 16 kHz). Same role as
+    * `fakeDecode`: real codec swaps in behind the signature, plumbing and
+    * oracle stay valid.
+    */
+  def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val n = a.data.length
+        val first = if (n > 0) a.data(0) & 0xFF else 0
+        val last = if (n > 0) a.data(n - 1) & 0xFF else 0
+        val samples = n.toLong / 2
+        AudioFeatures(a.asset_id, n.toLong, samples,
+          samples / 16, ((first * 31 + last) % 1000).toDouble / 1000.0)
+      }
+    }
+  }
+
   /** Frame sampling for video-kind assets: emit every `everyMs` offset up
     * to a stub duration derived from payload size (real pipeline: container
     * metadata). One row per frame, hash = deterministic frame fingerprint.

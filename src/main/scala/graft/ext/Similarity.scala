@@ -226,4 +226,44 @@ object Similarity {
         cosinePrenormed(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("cosine"))
       .distinct()
   }
+  // -------------------------------------------- embedding transformations
+
+  /** Per-vector symmetric int8 quantization: scale = 127 / max|x|, slots
+    * rounded to [-127, 127]. The memory lever for 100 TB ANN — a 64-dim
+    * float vector (256 B) becomes 64 B + one double, and int8 dot products
+    * are SIMD-friendly on any hardware. All arithmetic is
+    * correctly-rounded IEEE (abs, max, divide, multiply, half-up round),
+    * so quantized vectors are bit-identical across engines.
+    *
+    * Emits `scale` (double) and `qvec` (array<int>); zero vectors get
+    * scale 0 and all-zero slots.
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    val q = transform(vec,
+      x => round(x.cast("double") * scale).cast("int"))
+    (scale, q)
+  }
+
+  /** Per-group element-wise centroid of an embedding column: posexplode →
+    * one (group, dim) hash aggregate → re-assembled in dim order. Sums go
+    * through DECIMAL so the result is independent of partition/order
+    * (a double sum would drift with parallelism); the mean is one double
+    * division at the end. Shuffle profile: rows x dim skinny (group, dim,
+    * value) triples — the transpose trick that turns an array mean into a
+    * plain aggregate Catalyst already knows how to do at scale.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(groupCol, "pos")
+      // float → double first (exact widening, identical everywhere), THEN
+      // decimal: a direct float→decimal cast is repr-dependent — engines
+      // that shorten via the float's decimal string can round the 8th
+      // place differently than ones that widen through the double
+      .agg((sum(col("x").cast("double").cast("decimal(28,8)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
 }

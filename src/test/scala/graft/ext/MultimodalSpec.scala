@@ -59,4 +59,26 @@ class MultimodalSpec extends SparkTestBase {
       0 until byAsset(1L).length))
     assert(byAsset(1L).forall(f => f.frame_offset_ms == f.frame_index * 1000L))
   }
+  test("resizeToBox: aspect preserved, fits the box, floor-clamped") {
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", Array.fill[Byte](100)(65)),  // 116 x 16+(65*8%240)
+      Multimodal.Asset(2L, "image", Array.emptyByteArray)        // 16 x 16
+    ).toDS()
+    val out = Multimodal.resizeToBox(assets, 224, 224).collect()
+      .map(r => r.asset_id -> r).toMap
+    out.values.foreach { r =>
+      assert(r.out_width <= 224 && r.out_height <= 224 && r.out_width >= 1 && r.out_height >= 1)
+      // the larger dimension fills the box (within floor rounding)
+      assert(r.out_width == 224 || r.out_height == 224)
+      assert(r.out_bytes == r.out_width.toLong * r.out_height * 3)
+    }
+    assert(out(2L).out_width == 224 && out(2L).out_height == 224, "square scales to the full box")
+  }
+
+  test("audioFeatures: PCM-fiction math over the payload") {
+    val assets = Seq(Multimodal.Asset(1L, "audio", "abcd".getBytes)).toDS()
+    val f = Multimodal.audioFeatures(assets).collect().head
+    assert(f.n_bytes == 4 && f.n_samples == 2 && f.duration_ms == 0)
+    assert(f.rms == (('a' * 31 + 'd') % 1000).toDouble / 1000.0)
+  }
 }

@@ -81,4 +81,28 @@ class SimilaritySpec extends SparkTestBase {
     val p12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
     assert(p12.isDefined && math.abs(p12.get._3 - 1.0) < 1e-12)
   }
+  test("quantizeInt8: max slot hits 127, zero vector degrades to zeros") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+    val out = df.select(col("vec_id"), scale.as("s"), q.as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(out(1L)._1 == 127.0 / 4.0)
+    assert(out(1L)._2 == Seq(32, -64, 127), "half-up rounding away from zero")
+    assert(out(2L) == ((0.0, Seq(0, 0, 0))))
+  }
+
+  test("groupCentroids: element-wise means per group, dim order kept") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(3.0f, 4.0f, 5.0f)),
+      (1, Array(10.0f, 0.0f, -2.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0) == Seq(2.0, 3.0, 4.0))
+    assert(out(1) == Seq(10.0, 0.0, -2.0))
+  }
 }
