@@ -760,9 +760,8 @@ object SparkEntry {
     // for ANN at scale); all arithmetic correctly-rounded IEEE, so
     // quantized vectors are bit-identical across engines.
     "q52_embed_quantize" -> ((s, dir) => {
-      val (scale, q) = ext.Similarity.quantizeInt8(col("embedding"))
-      tbl(s, dir, "embeddings")
-        .select(col("vec_id"), scale.as("scale"), q.as("qvec"))
+      ext.Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "embedding")
+        .select("vec_id", "scale", "qvec")
         .orderBy("vec_id")
     }),
 

@@ -238,12 +238,19 @@ object Similarity {
     * Emits `scale` (double) and `qvec` (array<int>); zero vectors get
     * scale 0 and all-zero slots.
     */
-  def quantizeInt8(vec: Column): (Column, Column) = {
-    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
-    val q = transform(vec,
-      x => round(x.cast("double") * scale).cast("int"))
-    (scale, q)
+  def quantizeInt8(df: DataFrame, vecCol: String,
+                   scaleOut: String = "scale", vecOut: String = "qvec"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    // scale MUST be staged as its own projection before the quantize
+    // lambda references it: inlining the array_max tree into the lambda
+    // body re-evaluates the max once PER ELEMENT (dim+1 array scans per
+    // row instead of one). Because the staged column is consumed twice
+    // (output + lambda), CollapseProject keeps the stage separate and the
+    // lambda sees a cheap bound reference.
+    df.withColumn(scaleOut,
+        when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0)))
+      .withColumn(vecOut,
+        transform(col(vecCol), x => round(x.cast("double") * col(scaleOut)).cast("int")))
   }
 
   /** Per-group element-wise centroid of an embedding column: posexplode →

@@ -86,8 +86,8 @@ class SimilaritySpec extends SparkTestBase {
       (1L, Array(1.0f, -2.0f, 4.0f)),
       (2L, Array(0.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val (scale, q) = Similarity.quantizeInt8(col("embedding"))
-    val out = df.select(col("vec_id"), scale.as("s"), q.as("q"))
+    val out = Similarity.quantizeInt8(df, "embedding")
+      .select("vec_id", "scale", "qvec")
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
     assert(out(1L)._1 == 127.0 / 4.0)
     assert(out(1L)._2 == Seq(32, -64, 127), "half-up rounding away from zero")
