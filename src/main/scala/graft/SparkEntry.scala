@@ -771,6 +771,22 @@ object SparkEntry {
     "q53_embed_centroids" -> ((s, dir) => {
       ext.Similarity.groupCentroids(tbl(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label")
+    }),
+
+    // ext top-k — the SCALE path for q08's "top 3 per customer": a bounded
+    // k-row Aggregator with map-side partial aggregation, so the exchange
+    // carries <= k rows per (task, key) instead of the whole table. Same
+    // oracle as q08 — identical semantics, different physical shape.
+    "q54_topk_per_group" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(graft.functions.TopKAgg.column(3,
+          col("o_totalprice"), -col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "s")))
+        .select(col("o_custkey"),
+          (-col("s.id")).as("o_orderkey"),
+          col("s.score").as("o_totalprice"),
+          (col("i") + 1).cast("int").as("rn"))
     })
   )
 
@@ -1050,6 +1066,13 @@ object SparkEntry {
         |LIMIT 15""".stripMargin,
 
     "q08_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
+
+    // same semantics as q08, via the partial top-k Aggregator
+    "q54_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |FROM orders
