@@ -141,4 +141,30 @@ object Compacter {
       .takeWhile(_.isBefore(maxDate))
       .flatMap(d => compactDay(spark, cfg, d.toString))
       .toSeq
+
+  /** As [[compactRange]], but with up to `maxConcurrent` day jobs in
+    * flight at once — on a real cluster a single day's tail (straggler
+    * tasks, listing, commit) leaves executors idle, and days are
+    * embarrassingly parallel: disjoint inputs, disjoint `dt=` output
+    * directories, one shared SparkSession (whose scheduler interleaves
+    * concurrent jobs safely; use a FAIR pool if days must not starve each
+    * other). Results come back in day order; semantics are identical to
+    * the sequential loop — same rows, same per-day file counts, same
+    * deterministic re-runs.
+    */
+  def compactRangeConcurrent(spark: SparkSession, cfg: Config,
+                             minDate: LocalDate, maxDate: LocalDate,
+                             maxConcurrent: Int = 4): Seq[String] = {
+    require(maxConcurrent > 0, "maxConcurrent must be positive")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val days = Iterator.iterate(minDate)(_.plusDays(1))
+      .takeWhile(_.isBefore(maxDate)).map(_.toString).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val written = days.map(d => Future(compactDay(spark, cfg, d)))
+      Await.result(Future.sequence(written), Duration.Inf).flatten
+    } finally pool.shutdown()
+  }
 }

@@ -144,4 +144,34 @@ class CompacterSpec extends SparkTestBase {
       CompacterCli.parseArgs(Array("oops"))
     }
   }
+  test("concurrent day compaction matches sequential, disjoint outputs") {
+    val tmp = Files.createTempDirectory("graft-concurrent")
+    val rawRoot = tmp.resolve("raw")
+    val dts = Seq("2021-02-03", "2021-02-04", "2021-02-05")
+    dts.zipWithIndex.foreach { case (dt, i) =>
+      val day = 3 + i
+      writeRawDay(rawRoot, "bucket1", dt,
+        (0 until 20).map(j => logLine(day, j % 24, s"logs/svc$i/2019/01/02/p$j.gz")))
+    }
+    val seqCfg = Compacter.Config(rawRoot.toString, "bucket1",
+      tmp.resolve("seq").toString, numOutputFiles = 2)
+    val conCfg = seqCfg.copy(destRoot = tmp.resolve("con").toString)
+    val min = java.time.LocalDate.parse("2021-02-03")
+    val max = java.time.LocalDate.parse("2021-02-06")
+
+    val seqOut = Compacter.compactRange(spark, seqCfg, min, max)
+    val conOut = Compacter.compactRangeConcurrent(spark, conCfg, min, max,
+      maxConcurrent = 3)
+    assert(seqOut.size == 3 && conOut.size == 3)
+    assert(conOut.map(_.split("/dt=").last) == seqOut.map(_.split("/dt=").last),
+      "day order preserved in results")
+    dts.foreach { dt =>
+      val a = spark.read.parquet(s"${seqCfg.destRoot}/bucket1/dt=$dt")
+      val b = spark.read.parquet(s"${conCfg.destRoot}/bucket1/dt=$dt")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"identical row multiset for $dt")
+      assert(Files.list(java.nio.file.Paths.get(s"${conCfg.destRoot}/bucket1/dt=$dt"))
+        .toArray.map(_.toString).count(_.endsWith(".parquet")) == 2)
+    }
+  }
 }
