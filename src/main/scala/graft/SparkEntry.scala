@@ -773,6 +773,38 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // ext streaming-shape — native session windows (gap-merged), the
+    // declarative twin of q19's lag/cumsum sessionization and of
+    // LogStream.sessionize's stateful form; works unchanged under
+    // readStream with a watermark.
+    "q55_session_window" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ext dedup — incremental ingest dedup: a new batch deduped against an
+    // existing corpus WITHOUT re-pairing corpus x corpus (the square that
+    // never changes); plus the usual within-batch greedy pass.
+    "q56_dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val fresh = docs.filter(col("doc_id") >= 400)
+      val nearCorpus = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      val withinDup = fresh.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      Dedup.minhashDedupIncremental(
+          fresh.union(nearCorpus).union(withinDup), corpus, "doc_id", "text",
+          numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ext top-k — the SCALE path for q08's "top 3 per customer": a bounded
     // k-row Aggregator with map-side partial aggregation, so the exchange
     // carries <= k rows per (task, key) instead of the whole table. Same
@@ -1070,6 +1102,50 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |FROM orders
         |QUALIFY rn <= 3""".stripMargin,
+
+    // Session windows re-derived via lag/cumsum: session_start = min ts of
+    // each gap-merged run per user.
+    "q55_session_window" ->
+      s"""WITH e AS ($EventsCte),
+         |x AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM e),
+         |y AS (
+         |  SELECT user_id, ts,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM x)
+         |SELECT min(ts) AS session_start, user_id,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM y
+         |GROUP BY user_id, sess
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Incremental-dedup semantics in exact-Jaccard form: corpus ids < 400,
+    // new ids >= 400; a new row is dropped on a match to any corpus row or
+    // to a smaller-id new row.
+    "q56_dedup_incremental" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents
+         |  WHERE doc_id >= 400 AND doc_id % 5 = 0),
+         |$ShingleCte,
+         |drops AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM sh n JOIN sh o
+         |    ON ((o.doc_id < 400 AND n.doc_id >= 400)
+         |        OR (o.doc_id >= 400 AND n.doc_id >= 400 AND o.doc_id < n.doc_id))
+         |  WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+         |      / CAST(len(n.s) + len(o.s) - len(list_intersect(n.s, o.s)) AS DOUBLE) >= 0.8)
+         |SELECT doc_id FROM sh
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
 
     // same semantics as q08, via the partial top-k Aggregator
     "q54_topk_per_group" ->

@@ -192,6 +192,61 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cross-table near-duplicate pairs: probe rows vs build rows sharing an
+    * LSH band bucket, exact-Jaccard verified. Returns (probe_id, build_id,
+    * jaccard) for pairs >= threshold. Same shuffle profile as
+    * [[minhashDuplicates]] — (id, band, band_hash) triples — but between
+    * two tables; heavy columns recomputed only for candidate ids.
+    * Id spaces of the two tables are assumed disjoint.
+    */
+  def minhashDuplicatesAcross(probe: DataFrame, build: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 64, bands: Int = 16,
+                              shingleSize: Int = 3, threshold: Double = 0.8,
+                              seed: Long = 42L): DataFrame = {
+    def sigsOf(df: DataFrame): DataFrame = df.select(
+      col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    val pBands = lshBands(sigsOf(probe), idCol, "sig", bands)
+      .select(col("band"), col("band_hash"), col(idCol).as("probe_id"))
+    val bBands = lshBands(sigsOf(build), idCol, "sig", bands)
+      .select(col("band"), col("band_hash"), col(idCol).as("build_id"))
+    val candidates = pBands.join(bBands, Seq("band", "band_hash"))
+      .select("probe_id", "build_id").distinct()
+
+    val pSub = sigsOf(probe.join(
+        candidates.select(col("probe_id").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+      .select(col(idCol).as("probe_id"), col("sh").as("sh_p"))
+    val bSub = sigsOf(build.join(
+        candidates.select(col("build_id").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+      .select(col(idCol).as("build_id"), col("sh").as("sh_b"))
+    candidates.join(pSub, "probe_id").join(bSub, "build_id")
+      .select(col("probe_id"), col("build_id"),
+        jaccard(col("sh_p"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dedup — the daily-ingest shape: dedup a NEW batch
+    * against an existing corpus without re-pairing the corpus with itself
+    * (the whole point at 100 TB: corpus x corpus is the expensive square,
+    * and it never changes). A new row is dropped if it near-matches ANY
+    * corpus row, or a smaller-id row of its own batch (the same one-pass
+    * greedy policy as [[minhashDedup]] — suppressors need not themselves
+    * survive). Returns the surviving rows of `newDf`.
+    */
+  def minhashDedupIncremental(newDf: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 64, bands: Int = 16,
+                              shingleSize: Int = 3, threshold: Double = 0.8,
+                              seed: Long = 42L): DataFrame = {
+    val withinDrop = minhashDuplicates(newDf, idCol, textCol, numHashes,
+      bands, shingleSize, threshold, seed).select(col("id_b").as(idCol))
+    val acrossDrop = minhashDuplicatesAcross(newDf, corpus, idCol, textCol,
+      numHashes, bands, shingleSize, threshold, seed)
+      .select(col("probe_id").as(idCol))
+    newDf.join(withinDrop.union(acrossDrop).distinct(), Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token

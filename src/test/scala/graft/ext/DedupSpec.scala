@@ -155,4 +155,20 @@ class DedupSpec extends SparkTestBase {
     val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
     assert(comps.length == 12 && comps.forall(_._2 == 0L))
   }
+  test("minhashDedupIncremental: corpus suppresses, within-batch greedy") {
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = Seq(mk(1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta"),  // = corpus -> drop
+      mk(11L, "completely different words about spark engines here"),
+      mk(12L, "completely different words about spark engines here"), // = 11 -> drop
+      mk(13L, "unrelated third document with its own content entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashDedupIncremental(fresh, corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L),
+      "corpus match drops 10, smaller-id within-batch match drops 12")
+  }
 }
