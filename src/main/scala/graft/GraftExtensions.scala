@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_ngrams"),
       info("word_ngrams", "word_ngrams(tokens, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordNgrams(args(0), intArg(args(1), "n"))))
+
+    // Fuse the Days-Apart date-in-path composite (3 regex/array/parse
+    // intermediates per row) into the single-pass PathDate kernel.
+    ext.injectOptimizerRule(_ => graft.functions.CollapsePathDate)
   }
 }

@@ -74,4 +74,54 @@ class GraftExtensionsSpec extends AnyFunSuite
       spark.sql("SELECT minhash_signature(array('a'), length('abc'))").collect())
     assert(e.getMessage.contains("integer literal"))
   }
+  test("CollapsePathDate fuses the Days-Apart composite, results identical") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "logs/svc/2019/03/04/part-0.tgz",   // clean
+      "logs/svc/2019/3/4/part-0.tgz",     // short fields: strict format -> null
+      "logs/svc/2019/03/04/05/p.tgz",     // 4 digit groups -> join -> null
+      "no digits here",                    // no matches -> "" -> null
+      "a/1/b",                             // too few groups -> null
+      "x/2020/12/31/y"                     // clean, different date
+    )
+    // non-foldable input so the composite survives constant folding
+    val df = spark.createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("key").repartition(2)
+    val composite = try_to_timestamp(
+      array_join(regexp_extract_all(col("key"), lit("/(\\d+)"), lit(1)), "-"),
+      lit("yyyy-MM-dd"))
+    val q = df.select(col("key"), composite.as("d"))
+
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("path_date"),
+      s"rule must fuse the composite:\n$optimized")
+
+    val got = q.collect().map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got("logs/svc/2019/03/04/part-0.tgz")
+      .contains(java.sql.Timestamp.valueOf("2019-03-04 00:00:00")))
+    assert(got("x/2020/12/31/y")
+      .contains(java.sql.Timestamp.valueOf("2020-12-31 00:00:00")))
+    Seq("logs/svc/2019/3/4/part-0.tgz", "logs/svc/2019/03/04/05/p.tgz",
+      "no digits here", "a/1/b").foreach(k => assert(got(k).isEmpty, k))
+
+    // bit-identical to the unfused form (plain session, no extensions)
+    val plain = graft.SparkTestBase.session
+    val expected = plain.createDataset(keys)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("key")
+      .select(col("key"), try_to_timestamp(
+        array_join(regexp_extract_all(col("key"), lit("/(\\d+)"), lit(1)), "-"),
+        lit("yyyy-MM-dd")).as("d"))
+      .collect().map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got == expected)
+  }
+
+  test("to_timestamp (failOnError) form is NOT rewritten") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(2).select(concat(lit("a/2019/03/0"), col("id")).as("key"))
+    val strict = df.select(to_timestamp(
+      array_join(regexp_extract_all(col("key"), lit("/(\\d+)"), lit(1)), "-"),
+      "yyyy-MM-dd").as("d"))
+    assert(!strict.queryExecution.optimizedPlan.toString.contains("path_date"),
+      "only the try_ form has null-on-error semantics PathDate reproduces")
+  }
 }
