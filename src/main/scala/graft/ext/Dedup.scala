@@ -239,12 +239,51 @@ object Dedup {
                               numHashes: Int = 64, bands: Int = 16,
                               shingleSize: Int = 3, threshold: Double = 0.8,
                               seed: Long = 42L): DataFrame = {
-    val withinDrop = minhashDuplicates(newDf, idCol, textCol, numHashes,
-      bands, shingleSize, threshold, seed).select(col("id_b").as(idCol))
-    val acrossDrop = minhashDuplicatesAcross(newDf, corpus, idCol, textCol,
-      numHashes, bands, shingleSize, threshold, seed)
+    // The new BATCH is by definition the small side (a day's ingest vs the
+    // accumulated corpus), so its shingles+signatures are materialized
+    // ONCE and reused across the within-batch pass, the across pass, and
+    // both verify stages — the plain composition of minhashDuplicates +
+    // minhashDuplicatesAcross would re-derive the batch pipeline ~6x. The
+    // CORPUS keeps the scan-twice/recompute-candidates-only strategy: at
+    // 100 TB it must never be materialized.
+    val newC = newDf.localCheckpoint(false)
+    val sigNew = newC.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .localCheckpoint(false)
+    val newBands = lshBands(sigNew, idCol, "sig", bands)
+
+    // within-batch greedy pass, verified directly against sigNew
+    val wa = newBands.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val wb = newBands.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    val withinCand = wa.join(wb, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = sigNew.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val shB = sigNew.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val withinDrop = withinCand.join(shA, "id_a").join(shB, "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_b").as(idCol))
+
+    // across pass: one banding scan of the corpus, candidate-only recompute
+    val corpusSigs = corpus.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    val corpusBands = lshBands(corpusSigs, idCol, "sig", bands)
+      .select(col("band"), col("band_hash"), col(idCol).as("build_id"))
+    val acrossCand = newBands
+      .select(col("band"), col("band_hash"), col(idCol).as("probe_id"))
+      .join(corpusBands, Seq("band", "band_hash"))
+      .select("probe_id", "build_id").distinct()
+    val corpusSub = corpus.join(
+        acrossCand.select(col("build_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("build_id"),
+        shingles(col(textCol), shingleSize).as("sh_b"))
+    val acrossDrop = acrossCand
+      .join(sigNew.select(col(idCol).as("probe_id"), col("sh").as("sh_p")), "probe_id")
+      .join(corpusSub, "build_id")
+      .filter(jaccard(col("sh_p"), col("sh_b")) >= threshold)
       .select(col("probe_id").as(idCol))
-    newDf.join(withinDrop.union(acrossDrop).distinct(), Seq(idCol), "left_anti")
+
+    newC.join(withinDrop.union(acrossDrop).distinct(), Seq(idCol), "left_anti")
   }
 
   // -------------------------------------------------------------- SimHash
