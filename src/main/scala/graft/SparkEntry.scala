@@ -805,6 +805,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext time-series — gap filling + forward fill: each user's sparse
+    // daily purchase totals densified over their [first, last] day span
+    // (sequence+explode) and forward-filled with last(ignoreNulls).
+    // Leading gaps stay null. The resample primitive every time-series
+    // pipeline needs; all shuffles are on user_id.
+    "q57_gap_fill" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val daily = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val spans = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val allDays = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      allDays.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ext time-series — 7-day moving average over the daily revenue
+    // series via a RANGE window frame (day-distance, not row-count, so
+    // calendar gaps shorten the frame). Decimal window sums: a double
+    // sum's association order differs across engines' segment-tree
+    // evaluation. Unpartitioned window is fine HERE because the input is
+    // already one row per day (~thousands) — never do this on raw rows.
+    "q58_moving_avg" -> ((s, dir) => {
+      val daily = tbl(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
+      val w = Window.orderBy(unix_date(to_date(col("day"))))
+        .rangeBetween(-6, 0)
+      daily.select(col("day"), col("t").cast("double").as("daily_total"),
+          (sum(col("t")).over(w).cast("double") / count(col("t")).over(w)).as("ma7"),
+          count(col("t")).over(w).as("n_days"))
+        .orderBy("day")
+    }),
+
     // ext top-k — the SCALE path for q08's "top 3 per customer": a bounded
     // k-row Aggregator with map-side partial aggregation, so the exchange
     // carries <= k rows per (task, key) instead of the whole table. Same
@@ -1146,6 +1186,37 @@ object SparkEntry {
          |SELECT doc_id FROM sh
          |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM drops)
          |ORDER BY doc_id""".stripMargin,
+
+    "q57_gap_fill" ->
+      s"""WITH e AS ($EventsCte),
+         |daily AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |  FROM e WHERE event_type = 'purchase'
+         |  GROUP BY 1, 2),
+         |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         |alldays AS (
+         |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         |  FROM spans)
+         |SELECT a.user_id, a.day, d.v,
+         |  last_value(d.v IGNORE NULLS) OVER (
+         |    PARTITION BY a.user_id ORDER BY a.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         |FROM alldays a LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day
+         |ORDER BY a.user_id, a.day""".stripMargin,
+
+    "q58_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(t AS DOUBLE) AS daily_total,
+        |  CAST(sum(t) OVER w AS DOUBLE)
+        |    / count(t) OVER w AS ma7,
+        |  CAST(count(t) OVER w AS BIGINT) AS n_days
+        |FROM daily
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
 
     // same semantics as q08, via the partial top-k Aggregator
     "q54_topk_per_group" ->
