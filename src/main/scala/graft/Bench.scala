@@ -52,7 +52,7 @@ object Bench {
     // as "runs" in the JSON). Steady-state minimum is the standard way to
     // strip scheduler/GC/page-cache noise from a shared box — single-shot
     // timings here swing >10× run-to-run under driver-side contention.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()

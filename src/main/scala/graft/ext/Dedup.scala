@@ -137,13 +137,21 @@ object Dedup {
     * travel only for surviving candidates (re-joined by id), so the heavy
     * columns cross the wire O(candidates), not O(n²).
     */
+  /** (id, sh, sig) frame for a document set — the shared input shape of
+    * every MinHash operator below.
+    */
+  private def sigFrame(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int, numHashes: Int, seed: Long): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, threshold: Double = 0.8,
-                        seed: Long = 42L): DataFrame = {
-    val withSig = df.select(
-      col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+                        seed: Long = 42L,
+                        precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    val withSig = precomputedSigs.getOrElse(
+      sigFrame(df, idCol, textCol, shingleSize, numHashes, seed))
 
     val bandsDf = lshBands(withSig, idCol, "sig", bands)
     val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
@@ -156,13 +164,16 @@ object Dedup {
     // must NOT re-derive shingles+signatures for the WHOLE corpus on each
     // side of the pair join (3× the heaviest stage). Instead: semi-join the
     // base table down to candidate ids first — the expensive columns are
-    // recomputed only for O(candidates) rows.
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .union(candidates.select(col("id_b").as(idCol)))
-      .distinct()
-    val subsetSig = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    // recomputed only for O(candidates) rows. With a caller-MATERIALIZED
+    // sig frame (localCheckpoint) the subset indirection would only add a
+    // join, so the frame is used directly.
+    val subsetSig = precomputedSigs.getOrElse {
+      val candIds = candidates.select(col("id_a").as(idCol))
+        .union(candidates.select(col("id_b").as(idCol)))
+        .distinct()
+      sigFrame(df.join(candIds, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleSize, numHashes, seed)
+    }
 
     val left = subsetSig.select(col(idCol).as("id_a"),
       col("sh").as("sh_a"), col("sig").as("sig_a"))
@@ -203,22 +214,29 @@ object Dedup {
                               idCol: String, textCol: String,
                               numHashes: Int = 64, bands: Int = 16,
                               shingleSize: Int = 3, threshold: Double = 0.8,
-                              seed: Long = 42L): DataFrame = {
-    def sigsOf(df: DataFrame): DataFrame = df.select(
-      col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    val pBands = lshBands(sigsOf(probe), idCol, "sig", bands)
+                              seed: Long = 42L,
+                              probeSigs: Option[DataFrame] = None): DataFrame = {
+    val pSigs = probeSigs.getOrElse(
+      sigFrame(probe, idCol, textCol, shingleSize, numHashes, seed))
+    val pBands = lshBands(pSigs, idCol, "sig", bands)
       .select(col("band"), col("band_hash"), col(idCol).as("probe_id"))
-    val bBands = lshBands(sigsOf(build), idCol, "sig", bands)
+    val bBands = lshBands(
+        sigFrame(build, idCol, textCol, shingleSize, numHashes, seed),
+        idCol, "sig", bands)
       .select(col("band"), col("band_hash"), col(idCol).as("build_id"))
     val candidates = pBands.join(bBands, Seq("band", "band_hash"))
       .select("probe_id", "build_id").distinct()
 
-    val pSub = sigsOf(probe.join(
-        candidates.select(col("probe_id").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+    // probe side: use a caller-materialized sig frame directly, else the
+    // recompute-candidates-only strategy; build (corpus) side always
+    // recomputes candidates only — it must never be materialized
+    val pSub = probeSigs.getOrElse(
+        sigFrame(probe.join(candidates.select(col("probe_id").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"), idCol, textCol, shingleSize, numHashes, seed))
       .select(col(idCol).as("probe_id"), col("sh").as("sh_p"))
-    val bSub = sigsOf(build.join(
-        candidates.select(col("build_id").as(idCol)).distinct(), Seq(idCol), "left_semi"))
+    val bSub = sigFrame(build.join(
+        candidates.select(col("build_id").as(idCol)).distinct(), Seq(idCol), "left_semi"),
+        idCol, textCol, shingleSize, numHashes, seed)
       .select(col(idCol).as("build_id"), col("sh").as("sh_b"))
     candidates.join(pSub, "probe_id").join(bSub, "build_id")
       .select(col("probe_id"), col("build_id"),
@@ -241,48 +259,19 @@ object Dedup {
                               seed: Long = 42L): DataFrame = {
     // The new BATCH is by definition the small side (a day's ingest vs the
     // accumulated corpus), so its shingles+signatures are materialized
-    // ONCE and reused across the within-batch pass, the across pass, and
-    // both verify stages — the plain composition of minhashDuplicates +
-    // minhashDuplicatesAcross would re-derive the batch pipeline ~6x. The
-    // CORPUS keeps the scan-twice/recompute-candidates-only strategy: at
-    // 100 TB it must never be materialized.
+    // ONCE (localCheckpoint) and handed to both passes as precomputed
+    // frames — plain composition would re-derive the batch pipeline ~6x.
+    // The CORPUS side keeps the never-materialize, recompute-candidates-
+    // only strategy inside minhashDuplicatesAcross.
     val newC = newDf.localCheckpoint(false)
-    val sigNew = newC.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    val sigNew = sigFrame(newC, idCol, textCol, shingleSize, numHashes, seed)
       .localCheckpoint(false)
-    val newBands = lshBands(sigNew, idCol, "sig", bands)
-
-    // within-batch greedy pass, verified directly against sigNew
-    val wa = newBands.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
-    val wb = newBands.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    val withinCand = wa.join(wb, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val shA = sigNew.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val shB = sigNew.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    val withinDrop = withinCand.join(shA, "id_a").join(shB, "id_b")
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+    val withinDrop = minhashDuplicates(newC, idCol, textCol, numHashes,
+        bands, shingleSize, threshold, seed, precomputedSigs = Some(sigNew))
       .select(col("id_b").as(idCol))
-
-    // across pass: one banding scan of the corpus, candidate-only recompute
-    val corpusSigs = corpus.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    val corpusBands = lshBands(corpusSigs, idCol, "sig", bands)
-      .select(col("band"), col("band_hash"), col(idCol).as("build_id"))
-    val acrossCand = newBands
-      .select(col("band"), col("band_hash"), col(idCol).as("probe_id"))
-      .join(corpusBands, Seq("band", "band_hash"))
-      .select("probe_id", "build_id").distinct()
-    val corpusSub = corpus.join(
-        acrossCand.select(col("build_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
-      .select(col(idCol).as("build_id"),
-        shingles(col(textCol), shingleSize).as("sh_b"))
-    val acrossDrop = acrossCand
-      .join(sigNew.select(col(idCol).as("probe_id"), col("sh").as("sh_p")), "probe_id")
-      .join(corpusSub, "build_id")
-      .filter(jaccard(col("sh_p"), col("sh_b")) >= threshold)
+    val acrossDrop = minhashDuplicatesAcross(newC, corpus, idCol, textCol,
+        numHashes, bands, shingleSize, threshold, seed, probeSigs = Some(sigNew))
       .select(col("probe_id").as(idCol))
-
     newC.join(withinDrop.union(acrossDrop).distinct(), Seq(idCol), "left_anti")
   }
 
@@ -409,6 +398,13 @@ object Dedup {
       labels = next.select("id", "comp")
       iter += 1
     }
+    // fail loudly rather than return silently-split components: the
+    // docstring promises the min-reachable-id FIXPOINT, and a survivor
+    // policy acting on partial labels would keep multiple "survivors"
+    // from what is really one duplicate cluster
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds - " +
+        "graph diameter exceeds maxIter; raise it")
     labels
   }
 

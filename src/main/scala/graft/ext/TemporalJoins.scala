@@ -36,8 +36,12 @@ object TemporalJoins {
                probeTime: String, buildTime: String,
                payloadCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     val payloadStruct = struct(payloadCols.map(col): _*)
+    // null-key build rows are dropped: SQL equality never matches null, but
+    // Window.partitionBy groups nulls together — without this filter a
+    // null-key probe would "match" a null-key build row, diverging from
+    // ASOF-join semantics (null-key probes keep left-semantics null payload)
     val buildSide = build
-      .filter(col(buildTime).isNotNull)
+      .filter(col(buildTime).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol).as("_k"), col(buildTime).as("_t"),
         lit(0).as("_side"), payloadStruct.as("_payload"),
         lit(null).cast(structTypeOf(probe)).as("_row"))

@@ -30,10 +30,18 @@ object TopKAgg {
   /** One scored row: the ordering key pair (score desc, id desc). */
   final case class Scored(score: Double, id: Long)
 
+  /** Boxed input row so null score/id survive the encoder: rows with a
+    * null component are SKIPPED, standard aggregate null semantics (like
+    * sum/max). Note the window row_number formulation instead ranks null
+    * scores LAST — the two differ only when a key has fewer than k
+    * non-null rows.
+    */
+  final case class In(score: java.lang.Double, id: java.lang.Long)
+
   private implicit val scoredOrd: Ordering[Scored] =
     Ordering.by((s: Scored) => (s.score, s.id))
 
-  final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  final class TopK(k: Int) extends Aggregator[In, Seq[Scored], Seq[Scored]] {
     require(k > 0, "k must be positive")
 
     override def zero: Seq[Scored] = Seq.empty
@@ -43,7 +51,9 @@ object TopKAgg {
       heap.toSeq
     }
 
-    override def reduce(buf: Seq[Scored], row: Scored): Seq[Scored] = {
+    override def reduce(buf: Seq[Scored], in: In): Seq[Scored] = {
+      if (in.score == null || in.id == null) return buf
+      val row = Scored(in.score, in.id)
       // fast path: buffer full and the row can't displace the current min
       if (buf.size >= k && scoredOrd.lteq(row, buf.min)) buf
       else bound(mutable.PriorityQueue(buf: _*)(scoredOrd.reverse) += row)
@@ -67,6 +77,6 @@ object TopKAgg {
     * array<struct<score,id>> ordered best-first.
     */
   def column(k: Int, score: Column, id: Column): Column =
-    udaf(new TopK(k), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    udaf(new TopK(k), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[In]())
       .apply(score, id)
 }

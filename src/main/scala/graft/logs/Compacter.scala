@@ -164,7 +164,17 @@ object Compacter {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val written = days.map(d => Future(compactDay(spark, cfg, d)))
-      Await.result(Future.sequence(written), Duration.Inf).flatten
-    } finally pool.shutdown()
+      val out = Await.result(Future.sequence(written), Duration.Inf).flatten
+      pool.shutdown()
+      out
+    } catch {
+      case e: Throwable =>
+        // fail-fast must not leave day jobs writing in the background: a
+        // caller retrying sequentially would race the zombies into the
+        // same dt= directories. Interrupt queued+running work and WAIT.
+        pool.shutdownNow()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+        throw e
+    }
   }
 }

@@ -77,10 +77,12 @@ object LogStream {
       .withWatermark("request_time", watermark)
       .dropDuplicatesWithinWatermark("request_id")
 
-  /** Stream-stream interval join: each GET matched to the PUT of the same
-    * key it followed within `within` — the streaming twin of the Days
-    * Apart analysis (write-vs-read distance), except both sides are live
-    * streams instead of one row's parsed path. Watermarks on BOTH sides
+  /** Stream-stream interval join: each GET matched to EVERY PUT of the
+    * same key it followed within `within` (one output row per qualifying
+    * (GET, PUT) pair — a key re-written twice before a read yields two
+    * rows; reduce downstream if only the latest write matters) — the
+    * streaming twin of the Days Apart analysis (write-vs-read distance),
+    * except both sides are live streams. Watermarks on BOTH sides
     * plus the time-bound join condition let Spark expire join state: a
     * buffered PUT can be dropped once the GET-side watermark passes
     * put_time + within, so state is O(events inside the horizon), not

@@ -34,6 +34,19 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out("p4").isEmpty, "left semantics: no build rows -> null")
   }
 
+  test("asofJoin: null keys never match (SQL equality semantics)") {
+    val probe = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), "pnull"),
+      (Some(1L), ts("2024-01-01 10:00:00"), "p1"))
+      .toDF("k", "t", "tag")
+    val build = Seq((Option.empty[Long], ts("2024-01-01 09:00:00"), 5.0),
+      (Some(1L), ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("k", "bt", "v")
+    val out = TemporalJoins.asofJoin(probe, build, "k", "t", "bt", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out("pnull").isEmpty, "null-key probe must NOT match null-key build")
+    assert(out("p1").contains(7.0))
+  }
+
   test("asofJoin: equal-time build duplicates resolve deterministically") {
     val probe = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
     val build = Seq(

@@ -40,6 +40,20 @@ class TopKAggSpec extends SparkTestBase {
     assert(top == Seq(11L, 10L), "equal scores rank by id descending")
   }
 
+  test("null score or id rows are skipped, not crashed on") {
+    val df = Seq(
+      (1L, Some(5.0), Some(10L)),
+      (1L, None, Some(11L)),       // null score
+      (1L, Some(6.0), None),       // null id
+      (1L, Some(4.0), Some(12L))
+    ).toDF("key", "score", "id")
+    val top = df.groupBy("key")
+      .agg(TopKAgg.column(3, col("score"), col("id")).as("top"))
+      .select(explode(col("top")).as("s")).select("s.id")
+      .as[Long].collect().toSeq
+    assert(top == Seq(10L, 12L), "only fully non-null rows rank")
+  }
+
   test("partial aggregation: the exchange carries k-row buffers, not rows") {
     val df = spark.range(1000)
       .select((col("id") % 5).as("key"), col("id").cast("double").as("score"),
