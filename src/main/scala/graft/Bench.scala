@@ -64,6 +64,12 @@ object Bench {
           None
         }
       }
+      // Dedup/curation queries localCheckpoint small frames; the blocks
+      // are freed by the ContextCleaner only after the owning RDD is
+      // GC'd. Nudge that between queries so block-manager pressure from
+      // query N is not billed to query N+1 (round-1 bench: a 3s query
+      // measured 43s under accumulated checkpoint blocks).
+      System.gc()
       name -> (if (times.size == runs) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
