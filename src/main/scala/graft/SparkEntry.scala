@@ -859,6 +859,51 @@ object SparkEntry {
           (-col("s.id")).as("o_orderkey"),
           col("s.score").as("o_totalprice"),
           (col("i") + 1).cast("int").as("rn"))
+    }),
+
+    // ext dedup — exact all-pairs n-gram Jaccard (no sketching): the
+    // verify-stage / small-n member of the dedup family. Size-band
+    // blocking bounds the candidate space (a pair at jaccard ≥ t has
+    // shingle-count ratio ≤ 1/t, so only same/adjacent log-scale size
+    // buckets ever join).
+    "q59_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      Dedup.ngramJaccardPairs(docs.union(near), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+    }),
+
+    // ext text — canonical-form document fingerprinting: identical content
+    // modulo case/whitespace → identical md5 fingerprint; n_same counts
+    // each fingerprint's group in the SAME hash-partitioned pass (window
+    // over fp — one shuffle, no second scan or self-join). The
+    // edit-tolerant rolling-hash variant (TextStats.winnowingFingerprints)
+    // is covered in TextStatsSpec: its xxhash64 values are not
+    // reproducible in an external SQL engine, so it has no oracle entry.
+    "q60_fingerprint" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val spaced = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "  ")).as("text"))
+      val w = Window.partitionBy("fp")
+      docs.union(spaced)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .withColumn("n_same", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
+    // §2.4 ext — CUBE: all four grouping-set combinations in one pass
+    // (Expand feeds a single partial+final hash aggregate; no re-scan per
+    // grouping set).
+    "q61_cube" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -1649,6 +1694,45 @@ object SparkEntry {
         |    FROM embeddings)
         |  GROUP BY 1, 2)
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // exact algorithm on both sides: same pair set by construction (the
+    // size-band blocking has zero false negatives, so no LSH-recall caveat)
+    "q59_dedup_ngram_jaccard" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' zzz end' FROM documents WHERE doc_id % 11 = 0),
+         |$ShingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8""".stripMargin,
+
+    // mirrors TextStats.fingerprint = md5 ∘ Dedup.canonicalize
+    "q60_fingerprint" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, '  ' || regexp_replace(text, ' ', '  ', 'g')
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |fps AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM all_docs)
+        |SELECT doc_id, fp,
+        |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same
+        |FROM fps
+        |ORDER BY doc_id""".stripMargin,
+
+    "q61_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }
