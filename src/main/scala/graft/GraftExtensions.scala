@@ -68,5 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Fuse the Days-Apart date-in-path composite (3 regex/array/parse
     // intermediates per row) into the single-pass PathDate kernel.
     ext.injectOptimizerRule(_ => graft.functions.CollapsePathDate)
+
+    // Evaluate repeated regex-class subexpressions in Filter predicates
+    // once per row (FilterExec has no cross-predicate subexpression
+    // elimination; a pushed-down filter over parsed log columns otherwise
+    // re-runs the 19-group line parse per predicate reference). Physical,
+    // post-planner: every logical placement is undone by a later
+    // PushDownPredicates run — see the rule's scaladoc.
+    ext.injectQueryPostPlannerStrategyRule(_ => graft.plans.DedupFilterSubexprs)
   }
 }

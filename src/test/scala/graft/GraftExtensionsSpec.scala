@@ -124,4 +124,55 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(!strict.queryExecution.optimizedPlan.toString.contains("path_date"),
       "only the try_ form has null-on-error semantics PathDate reproduces")
   }
+
+  private val SampleLines = Seq(
+    """o b [06/Feb/2019:00:00:38 +0000] ip r rid REST.GET.OBJECT k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -""",
+    """o b [07/Feb/2019:00:00:38 +0000] ip r rid REST.GET.OBJECT k "GET / HTTP/1.1" 404 NoSuchKey 1 2 3 4 "-" "ua" -""",
+    """o b [08/Feb/2019:00:00:38 +0000] ip r rid REST.PUT.OBJECT k "PUT / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -""",
+    "garbage line")
+
+  /** Lines as a FILE-backed frame: a LocalRelation would be filtered at
+    * optimization time (ConvertToLocalRelation) and never reach FilterExec.
+    */
+  private def rawLines(): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cse-test")
+    java.nio.file.Files.write(dir.resolve("lines.txt"),
+      SampleLines.mkString("\n").getBytes("UTF-8"))
+    spark.read.text(dir.toString).repartition(2)
+  }
+
+  test("DedupFilterSubexprs: repeated parse in a filter is evaluated once") {
+    import org.apache.spark.sql.functions._
+    val raw = rawLines()
+    val q = graft.logs.LogLineParser.parse(raw)
+      .filter(col("operation") === "REST.GET.OBJECT" && col("http_status") < 300)
+      .select("request_id")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("rid"),
+      "rewritten filter must keep exact semantics")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("_graft_filter_cse_0"),
+      s"filter with a repeated parse must be rewritten:\n$physical")
+    // the filter's own predicate references the shared alias, not fresh
+    // parse_log_line calls: every parse in the plan sits in a Project
+    // ("Filter (" = the operator node; the FileScan line's DataFilters
+    // echo the original predicate and are not executed there)
+    val filterLines = physical.split("\n").filter(_.contains("Filter ("))
+    assert(filterLines.exists(_.contains("_graft_filter_cse_0")), physical)
+    assert(!filterLines.exists(_.contains("parse_log_line")),
+      s"no parse may remain inside the Filter predicate:\n$physical")
+  }
+
+  test("DedupFilterSubexprs: cheap first conjunct blocks the rewrite (short-circuit guard)") {
+    import org.apache.spark.sql.functions._
+    val raw = rawLines()
+    // first conjunct is cheap and selective: pre-evaluating the parse for
+    // every row would defeat predicate short-circuiting
+    val q = raw.filter(
+      length(col("value")) > 500 &&
+        expr("parse_log_line(value).operation") === "REST.GET.OBJECT" &&
+        expr("parse_log_line(value).status") === "200")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("_graft_filter_cse"),
+      s"cheap-first-conjunct filter must not be rewritten:\n$physical")
+  }
 }
