@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.logs.LogLineParser
+
+class AccessLogDataSourceSpec extends SparkTestBase {
+
+  private val lines = Seq(
+    // canonical GET
+    """own1 bkt [06/Feb/2019:00:00:38 +0000] 10.0.0.1 arn:aws:iam::1:u REQ1 REST.GET.OBJECT logs/app/2019/02/06/obj "GET /obj HTTP/1.1" 200 - 512 1024 12 3 "-" "agent/1.0" A""",
+    // all-sentinel optionals
+    """own2 bkt [07/Feb/2019:10:20:30 +0000] 10.0.0.2 req2 REQ2 REST.PUT.OBJECT - "-" - - - - - - "-" "-" -""",
+    // corrupt
+    "NOT A LOG LINE",
+    // blank + whitespace-only (must be dropped)
+    "", "   \t ",
+    // unparseable timestamp inside brackets
+    """own3 bkt [bogus time] 10.0.0.3 req3 REQ3 REST.HEAD.OBJECT k "-" 304 - 1 2 3 4 "-" "-" B"""
+  )
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("accesslog-src")
+    Files.write(dir.resolve("part1.log"),
+      lines.take(3).mkString("\n").getBytes("UTF-8"))
+    Files.write(dir.resolve("part2.log"),
+      lines.drop(3).mkString("\n").getBytes("UTF-8"))
+    // hidden files must be skipped
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+    Files.write(dir.resolve(".crc"), "junk".getBytes("UTF-8"))
+    dir.toString
+  }
+
+  private def sortAll(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  test("format(accesslog) is row-identical to read.text + LogLineParser.parse") {
+    val dir = writeFixture()
+    val viaSource = spark.read.format("accesslog").load(dir)
+    val viaParser = LogLineParser.parse(
+      LogLineParser.dropBlankLines(spark.read.text(dir)))
+    assert(viaSource.schema == viaParser.schema)
+    assert(sortAll(viaSource) sameElements sortAll(viaParser))
+    // 4 parseable/corrupt rows survive, 2 blank lines dropped
+    assert(viaSource.count() == 4)
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = writeFixture()
+    val q = spark.read.format("accesslog").load(dir).select("operation")
+    val scanDesc = q.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema: [operation]"), scanDesc)
+    assert(q.collect().map(r => Option(r.getString(0)).getOrElse("∅")).sorted.toSeq ==
+      Seq("REST.GET.OBJECT", "REST.HEAD.OBJECT", "REST.PUT.OBJECT", "∅"))
+  }
+
+  test("zero-column scan (pure count) keeps row multiplicity") {
+    val dir = writeFixture()
+    assert(spark.read.format("accesslog").load(dir).count() == 4)
+  }
+
+  test("sentinel nulls and typed fields match the canonical semantics") {
+    val dir = writeFixture()
+    val rows = spark.read.format("accesslog").load(dir)
+      .filter(col("request_id") === "REQ1").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[java.sql.Timestamp]("request_time").toInstant ==
+      java.time.Instant.parse("2019-02-06T00:00:38Z"))
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[Long]("bytes_sent") == 512L)
+    assert(r.getAs[String]("error_code") == null)   // '-' sentinel
+    assert(r.getAs[String]("referrer") == null)     // '"-"' sentinel
+    assert(r.getAs[String]("user_agent") == "\"agent/1.0\"") // quotes kept
+    assert(r.getAs[String]("version_id") == "A")
+    assert(r.getAs[String]("error_line") == null)
+
+    val corrupt = spark.read.format("accesslog").load(dir)
+      .filter(col("error_line").isNotNull).collect()
+    assert(corrupt.length == 1)
+    assert(corrupt(0).getAs[String]("error_line") == "NOT A LOG LINE")
+    assert(corrupt(0).getAs[String]("bucket_owner") == null)
+  }
+
+  test("bin-packing: many small files collapse into few partitions") {
+    val dir = Files.createTempDirectory("accesslog-bins")
+    (0 until 50).foreach { i =>
+      Files.write(dir.resolve(f"f$i%03d.log"), lines.head.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("accesslog").load(dir.toString)
+    assert(df.count() == 50)
+    // 50 tiny files ≪ maxPartitionBytes → a single partition, not 50
+    assert(df.rdd.getNumPartitions == 1)
+  }
+}
