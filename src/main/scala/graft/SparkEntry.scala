@@ -904,6 +904,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.1 ext — the DataSource V2 `accesslog` provider end-to-end: raw
+    // text files on disk → one scan node emitting the typed 19-column
+    // frame (parse inside the source, column pruning reaching the regex)
+    // → aggregate. The write is part of the measured work on purpose: it
+    // is the reference's whole pipeline (text in, typed analytics out).
+    "q62_accesslog_source" -> ((s, dir) => {
+      val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-accesslog-" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      syntheticLogLines(tbl(s, dir, "events"))
+        .write.mode("overwrite").text(outDir)
+      s.read.format("accesslog").load(outDir)
+        .groupBy("operation")
+        .agg(count(lit(1)).as("n"),
+          sum("bytes_sent").as("total_bytes"),
+          countDistinct("requester").as("n_requesters"),
+          max("request_time").as("max_time"),
+          count(col("error_line")).as("n_corrupt"))
+        .orderBy(asc_nulls_first("operation"))
     })
   )
 
@@ -1733,6 +1753,23 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // aggregate over the expected parsed table (parse ∘ format = identity;
+    // the DSv2 source must agree with the same oracle as q10's parser)
+    // NOTE: ParsedOracle is concatenated, not interpolated inside a
+    // stripMargin block — its `||` continuation lines would be eaten by a
+    // second stripMargin pass.
+    "q62_accesslog_source" ->
+      (s"WITH parsed AS ($ParsedOracle)\n" +
+        """SELECT operation,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(bytes_sent) AS BIGINT) AS total_bytes,
+          |  CAST(count(DISTINCT requester) AS BIGINT) AS n_requesters,
+          |  max(request_time) AS max_time,
+          |  CAST(count(error_line) AS BIGINT) AS n_corrupt
+          |FROM parsed
+          |GROUP BY operation
+          |ORDER BY operation NULLS FIRST""".stripMargin)
   )
 }
