@@ -924,6 +924,22 @@ object SparkEntry {
           max("request_time").as("max_time"),
           count(col("error_line")).as("n_corrupt"))
         .orderBy(asc_nulls_first("operation"))
+    }),
+
+    // ext layout — Z-order (Morton) clustering cells: the deterministic
+    // ntile-bucket variant of ext.Layout (the write path's quantile
+    // variant is exercised in LayoutSpec; this gates the interleave math
+    // and bucket semantics against an independent engine). Each zval cell
+    // must hold rows narrow in BOTH dimensions at once.
+    "q63_zorder_cells" -> ((s, dir) => {
+      val e = tbl(s, dir, "events").select("event_id", "user_id", "value")
+      ext.Layout.zvalueByNtile(e, Seq("user_id", "value"), bits = 4,
+          tieBreakers = Seq("event_id"))
+        .groupBy("zval")
+        .agg(count(lit(1)).as("n"),
+          min("user_id").as("min_u"), max("user_id").as("max_u"),
+          min("value").as("min_v"), max("value").as("max_v"))
+        .orderBy("zval")
     })
   )
 
@@ -1770,6 +1786,28 @@ object SparkEntry {
           |  CAST(count(error_line) AS BIGINT) AS n_corrupt
           |FROM parsed
           |GROUP BY operation
-          |ORDER BY operation NULLS FIRST""".stripMargin)
+          |ORDER BY operation NULLS FIRST""".stripMargin),
+
+    // morton interleave written as shift/mask arithmetic (4 bits/dim,
+    // dim 0 = user_id at even bit positions, dim 1 = value at odd)
+    "q63_zorder_cells" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, value,
+        |    ntile(16) OVER (ORDER BY user_id, event_id) - 1 AS bu,
+        |    ntile(16) OVER (ORDER BY value, event_id) - 1 AS bv
+        |  FROM events),
+        |z AS (
+        |  SELECT user_id, value, CAST(
+        |      ((bu & 1) * 1) + (((bu >> 1) & 1) * 4)
+        |    + (((bu >> 2) & 1) * 16) + (((bu >> 3) & 1) * 64)
+        |    + ((bv & 1) * 2) + (((bv >> 1) & 1) * 8)
+        |    + (((bv >> 2) & 1) * 32) + (((bv >> 3) & 1) * 128) AS BIGINT) AS zval
+        |  FROM b)
+        |SELECT zval, CAST(count(*) AS BIGINT) AS n,
+        |  min(user_id) AS min_u, max(user_id) AS max_u,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM z
+        |GROUP BY zval
+        |ORDER BY zval""".stripMargin
   )
 }

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional physical layout: Z-order (Morton-curve) clustering.
+  *
+  * The reference clusters its parquet output on ONE dimension —
+  * `sortWithinPartitions(request_time)` so row-group min/max stats prune
+  * time-range queries (`scripts/oss_s3_server_side_logging_compacter.py:
+  * 253-258`; SURVEY.md §4 "row-group clustering"). That breaks down the
+  * moment queries ALSO filter on a second column (requester, key prefix,
+  * http_status): a file tightly clustered on time spans the full range of
+  * every other column, so nothing else prunes.
+  *
+  * Z-ordering interleaves the bits of per-column rank buckets, so sorting
+  * by the interleaved value clusters rows that are close in EVERY
+  * dimension. Each output file then covers a narrow range of ALL z-columns
+  * → parquet min/max row-group stats prune on any of them. At 100 TB this
+  * is the difference between scanning one file and scanning all of them
+  * for a `requester = X AND dt BETWEEN ...` query.
+  *
+  * Two bucketing strategies:
+  *   - [[zvalueByRange]] (the scale path): bucket = rank among
+  *     driver-collected quantile boundaries (one `approx_percentile` pass,
+  *     boundaries are a few KB regardless of data size — the same
+  *     pattern Delta Lake's OPTIMIZE ZORDER uses). No global sort, no
+  *     skew sensitivity (equal-population buckets by construction).
+  *   - [[zvalueByNtile]] (the deterministic path): bucket = exact
+  *     `ntile()` over a total order — reproducible bit-for-bit in any
+  *     SQL engine (the DuckDB-oracle gate), at the cost of a global
+  *     window sort; for tests and small-to-medium frames.
+  */
+object Layout {
+
+  /** Morton interleave: bit i of bucket d lands at position
+    * `i * dims + d`. Buckets must already be in `[0, 2^bits)`. Pure
+    * integer column arithmetic — codegen-friendly, no UDF.
+    */
+  def interleaveBits(buckets: Seq[Column], bits: Int): Column = {
+    require(buckets.nonEmpty && bits * buckets.size <= 63,
+      s"${buckets.size} dims x $bits bits must fit a signed long")
+    val dims = buckets.size
+    val terms = for {
+      i <- 0 until bits
+      (b, d) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)),
+      i * dims + d)
+    terms.reduce(_ + _)
+  }
+
+  /** Exact, engine-reproducible z-value: per-column bucket via
+    * `ntile(2^bits)` over (column, tiebreakers...) — the tiebreakers must
+    * make the order total or ntile's tie placement is undefined.
+    */
+  def zvalueByNtile(df: DataFrame, zCols: Seq[String], bits: Int,
+                    tieBreakers: Seq[String]): DataFrame = {
+    val n = 1 << bits
+    val bucketed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val w = Window.orderBy((col(c) +: tieBreakers.map(col)): _*)
+      d.withColumn(s"_zb$i", (ntile(n).over(w) - 1).cast("long"))
+    }
+    bucketed.withColumn("zval",
+      interleaveBits(zCols.indices.map(i => col(s"_zb$i")), bits))
+      .drop(zCols.indices.map(i => s"_zb$i"): _*)
+  }
+
+  /** Scale-path z-value: bucket via quantile boundaries collected once on
+    * the driver (approx_percentile, one aggregate over the frame). The
+    * per-row bucket is a fold over the boundary literals — O(2^bits) cheap
+    * comparisons, no shuffle, no window.
+    */
+  def zvalueByRange(df: DataFrame, zCols: Seq[String], bits: Int = 8): DataFrame = {
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    // one pass computes every column's boundary vector
+    val qs: Map[String, Array[Double]] = {
+      val aggs = zCols.map(c =>
+        percentile_approx(col(c).cast("double"), typedLit(probs.toSeq),
+          lit(10000)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      zCols.zipWithIndex.map { case (c, i) =>
+        c -> row.getSeq[Double](i).toArray.distinct.sorted
+      }.toMap
+    }
+    val bucketed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val bounds = typedLit(qs(c).toSeq)
+      // rank among boundaries == equal-population bucket index
+      d.withColumn(s"_zb$i",
+        aggregate(bounds, lit(0L),
+          (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
+    }
+    bucketed.withColumn("zval",
+      interleaveBits(zCols.indices.map(i => col(s"_zb$i")), bits))
+      .drop(zCols.indices.map(i => s"_zb$i"): _*)
+  }
+
+  /** Z-order-clustered parquet write: range-partition by z-value into
+    * `numFiles` files, sort within each by z-value, drop the helper
+    * column. Every output file covers a compact Morton-curve segment →
+    * narrow min/max on all `zCols` at once.
+    */
+  def zorderWrite(df: DataFrame, zCols: Seq[String], numFiles: Int,
+                  dest: String, bits: Int = 8): Unit =
+    zvalueByRange(df, zCols, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").option("compression", "snappy").parquet(dest)
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interleaveBits: known Morton codes") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L))
+      .toDF("x", "y")
+    val got = df.select(Layout.interleaveBits(Seq(col("x"), col("y")), 4))
+      .collect().map(_.getLong(0)).toSeq
+    // morton(x,y) with x at even bits, y at odd: (3,5)=0b011,0b101 →
+    // x bits 0,1 at pos 0,2; y bits 0,2 at pos 1,5 → 1+4+2+32 = 39
+    assert(got == Seq(0L, 1L, 2L, 3L, 39L))
+  }
+
+  test("interleaveBits: rejects overflow layouts") {
+    intercept[IllegalArgumentException] {
+      Layout.interleaveBits(Seq(col("x"), col("y")), 32)
+    }
+  }
+
+  test("zvalueByNtile equals zvalueByRange bucketing on uniform data") {
+    // both strategies must produce VALID z-orderings; on unique uniform
+    // data with exact quantiles they agree up to boundary rounding, so
+    // compare coarse cells rather than exact values
+    val df = (0 until 1024).map(i => (i.toLong, ((i * 7) % 1024).toLong))
+      .toDF("a", "b")
+    val viaN = Layout.zvalueByNtile(df, Seq("a", "b"), bits = 4,
+      tieBreakers = Seq("a", "b"))
+    assert(viaN.select("zval").distinct().count() > 100)
+    val viaR = Layout.zvalueByRange(df, Seq("a", "b"), bits = 4)
+    assert(viaR.select("zval").distinct().count() > 100)
+    // max zval fits 2 dims x 4 bits
+    assert(viaN.agg(max("zval")).head().getLong(0) < 256)
+    assert(viaR.agg(max("zval")).head().getLong(0) < 256)
+  }
+
+  test("zorderWrite clusters BOTH dimensions; single-dim sort does not") {
+    val n = 4096
+    val df = (0 until n).map { i =>
+      (i.toLong, ((i * 2654435761L) % n), f"pad$i%06d" * 4)
+    }.toDF("x", "y", "pad").repartition(8)
+
+    val zDir = Files.createTempDirectory("layout-z").toString
+    Layout.zorderWrite(df, Seq("x", "y"), numFiles = 16, dest = zDir)
+
+    val linDir = Files.createTempDirectory("layout-lin").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    def meanSpanFraction(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / n).as("span"))
+        .collect().map(_.getAs[Double]("span"))
+      spans.sum / spans.length
+    }
+    val zX = meanSpanFraction(zDir, "x"); val zY = meanSpanFraction(zDir, "y")
+    val lX = meanSpanFraction(linDir, "x"); val lY = meanSpanFraction(linDir, "y")
+    // linear sort: x is tightly clustered but y spans ~everything
+    assert(lX < 0.10, s"baseline x span $lX")
+    assert(lY > 0.80, s"baseline y span $lY")
+    // z-order: BOTH dims narrow simultaneously (16 files → each covers
+    // ~1/4 of each dim's range on a 2-D Morton curve; allow slack for
+    // curve jumps and quantile rounding)
+    assert(zX < 0.55, s"z-order x span $zX")
+    assert(zY < 0.55, s"z-order y span $zY")
+    // and the multi-dim product (proxy for 2-D pruning power) is far
+    // better than the baseline's
+    assert(zX * zY < 0.25 * (lX * lY + 1e-9) || zX * zY < 0.1,
+      s"z product ${zX * zY} vs baseline ${lX * lY}")
+  }
+}
