@@ -100,7 +100,7 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("ngramJaccardPairs: exact pairs above threshold with length banding") {
+  test("ngramJaccardPairs: exact pairs above threshold via prefix filtering") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
@@ -108,11 +108,9 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("ngramJaccardPairs: pair found when the LARGER id sits in the LOWER size band") {
-    // id 9: 8 tokens → 6 shingles (band floor(log2 6)=2)
-    // id 3: 13 tokens → 11 shingles (band floor(log2 11)=3), superset text
-    // true jaccard = 6/11 ≈ 0.545 ≥ 0.5; one-sided band probing with a
-    // plain id_a < id_b filter used to drop exactly this orientation
+  test("ngramJaccardPairs: asymmetric-size pair with reversed ids survives") {
+    // larger doc has the SMALLER id: orientation handling must not rely
+    // on the probe side's id ordering
     val docs2 = Seq(
       (9L, "a b c d e f g h"),
       (3L, "a b c d e f g h i j k l m")
@@ -120,6 +118,34 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.ngramJaccardPairs(docs2, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((3L, 9L)))
+  }
+
+  test("ngramJaccardPairs: prefix filtering loses NO pair vs brute force") {
+    // randomized corpus with planted near-dups across varied lengths;
+    // fixed seed so the property is deterministic
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc(len: Int) = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0 until 40).map(i => (i.toLong, doc(5 + rnd.nextInt(30))))
+    val mutated = bases.collect { case (i, t) if i % 3 == 0 =>
+      // light edit: drop the last word or append one
+      (i + 1000L, if (rnd.nextBoolean()) t.split(" ").dropRight(1).mkString(" ")
+                  else t + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val corpus = (bases ++ mutated).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val fast = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("sh"))
+      val brute = sh.as("a").join(sh.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"threshold $t: fast ${fast.size} vs brute ${brute.size}")
+    }
   }
 
   test("simhashDuplicates: maxDistance=0 finds exact sketch matches only") {
