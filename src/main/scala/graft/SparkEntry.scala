@@ -940,6 +940,61 @@ object SparkEntry {
           min("user_id").as("min_u"), max("user_id").as("max_u"),
           min("value").as("min_v"), max("value").as("max_v"))
         .orderBy("zval")
+    }),
+
+    // §2.4 ext — second-moment statistics (stddev/variance/covariance/
+    // correlation/regression) in one partial+final hash aggregate. The
+    // moments are derived from DECIMAL-exact power sums rather than the
+    // built-in stddev/corr aggregates: the built-ins' single-pass
+    // co-moment merge is partition-order-dependent at the ulp level
+    // (nondeterministic across runs, unmatchable across engines), while
+    // decimal sums are order-independent and the final double arithmetic
+    // is the same IEEE expression tree in Spark and the oracle. Same
+    // shuffle shape either way: one map-side-combined aggregate.
+    // (The built-in stddev_samp/corr/regr_* functions are exercised with
+    // tolerance in a ScalaTest instead.)
+    "q64_stat_moments" -> ((s, dir) => {
+      val dx = col("l_quantity").cast("decimal(18,2)")
+      val dy = col("l_extendedprice").cast("decimal(18,2)")
+      val agg = tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dx).as("sxd"), sum(dy).as("syd"),
+          sum(dx * dx).as("sxxd"), sum(dy * dy).as("syyd"),
+          sum(dx * dy).as("sxyd"))
+      val n = col("n").cast("double")
+      val sx = col("sxd").cast("double"); val sy = col("syd").cast("double")
+      val sxx = col("sxxd").cast("double"); val syy = col("syyd").cast("double")
+      val sxy = col("sxyd").cast("double")
+      val mxx = sxx - sx * sx / n   // n * population co-moments
+      val myy = syy - sy * sy / n
+      val mxy = sxy - sx * sy / n
+      agg.select(col("l_returnflag"), col("n"),
+          sqrt(mxx / (n - 1)).as("sd_qty"),
+          (myy / (n - 1)).as("var_price"),
+          (mxy / (sqrt(mxx) * sqrt(myy))).as("corr_qty_price"),
+          (mxy / (n - 1)).as("cov_qty_price"),
+          (mxy / mxx).as("slope"),
+          ((sy - (mxy / mxx) * sx) / n).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.4 ext — full analytic-window surface: offsets (lag/lead), frame
+    // endpoints (first/last over a running frame), and rank distributions
+    // (percent_rank/cume_dist) in ONE window spec — single sort+shuffle
+    // on (custkey, orderdate), every function evaluated in the same pass.
+    "q65_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      tbl(s, dir, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          lag("o_orderdate", 1).over(w).as("prev_date"),
+          lead("o_orderdate", 1).over(w).as("next_date"),
+          first("o_orderkey").over(w).as("first_key"),
+          last("o_orderkey").over(w).as("latest_key"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     })
   )
 
@@ -1808,6 +1863,56 @@ object SparkEntry {
         |  min(value) AS min_v, max(value) AS max_v
         |FROM z
         |GROUP BY zval
-        |ORDER BY zval""".stripMargin
+        |ORDER BY zval""".stripMargin,
+
+    // decimal-exact power sums → identical IEEE double arithmetic (same
+    // expression tree as the Spark side; see the q64 query comment)
+    "q64_stat_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sxd,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS syd,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxxd,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syyd,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxyd
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sxd AS DOUBLE) AS sx, CAST(syd AS DOUBLE) AS sy,
+        |    CAST(sxxd AS DOUBLE) AS sxx, CAST(syyd AS DOUBLE) AS syy,
+        |    CAST(sxyd AS DOUBLE) AS sxy
+        |  FROM sums),
+        |m AS (
+        |  SELECT l_returnflag, n, nd, sx, sy,
+        |    sxx - sx * sx / nd AS mxx,
+        |    syy - sy * sy / nd AS myy,
+        |    sxy - sx * sy / nd AS mxy
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  sqrt(mxx / (nd - 1)) AS sd_qty,
+        |  myy / (nd - 1) AS var_price,
+        |  mxy / (sqrt(mxx) * sqrt(myy)) AS corr_qty_price,
+        |  mxy / (nd - 1) AS cov_qty_price,
+        |  mxy / mxx AS slope,
+        |  (sy - (mxy / mxx) * sx) / nd AS intercept
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q65_window_analytics" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  lag(o_orderdate, 1) OVER w AS prev_date,
+        |  lead(o_orderdate, 1) OVER w AS next_date,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS latest_key,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
   )
 }
