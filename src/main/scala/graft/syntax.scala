@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.{Curation, Dedup, Layout, TextStats}
+import graft.logs.LogLineParser
+
+/** Chainable user-facing syntax for the engine's document/log operators:
+  *
+  * {{{
+  * import graft.syntax._
+  *
+  * spark.read.format("accesslog").load(dir)     // typed 19-column frame
+  *
+  * rawLines.parseAccessLogs()
+  *   .transform(df => DaysApart.frame(df, 400))
+  *
+  * docs.withTextStats()                         // +tokens/quality/lang cols
+  *   .dedupExact("doc_id", "text")              // content-hash survivors
+  *   .dedupNear("doc_id", "text")               // MinHash-LSH survivors
+  *
+  * docs.nearDupPairs("doc_id", "text")          // (id_a, id_b, est_jaccard)
+  * docs.jaccardPairs("doc_id", "text", 0.8)     // exact, prefix-filtered
+  *
+  * facts.zorderWrite(Seq("dt", "requester"), numFiles = 64, dest)
+  * }}}
+  *
+  * Thin forwarding only — every method delegates to the `graft.ext` /
+  * `graft.logs` object API (which remains the canonical surface); this
+  * class exists so exploratory sessions compose operators with the same
+  * postfix flow as native `Dataset` methods.
+  */
+object syntax {
+
+  implicit final class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ------------------------------------------------------------- logs
+    /** Raw one-string-column lines → canonical 19-column access-log frame. */
+    def parseAccessLogs(lineCol: String = "value"): DataFrame =
+      LogLineParser.parse(LogLineParser.dropBlankLines(df, lineCol), lineCol)
+
+    // ------------------------------------------------------------ dedup
+    /** Exact content dedup (canonicalized md5 groups, min-id survivor). */
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      Dedup.exact(df, idCol, textCol)
+
+    /** Near-dedup via MinHash+LSH: drops the larger id of each near-pair. */
+    def dedupNear(idCol: String, textCol: String,
+                  threshold: Double = 0.7): DataFrame =
+      Dedup.minhashDedup(df, idCol, textCol, threshold = threshold)
+
+    /** Near-duplicate candidate pairs with MinHash-estimated Jaccard. */
+    def nearDupPairs(idCol: String, textCol: String,
+                     threshold: Double = 0.7): DataFrame =
+      Dedup.minhashDuplicates(df, idCol, textCol, threshold = threshold)
+
+    /** EXACT all-pairs n-gram Jaccard ≥ threshold (prefix-filtered). */
+    def jaccardPairs(idCol: String, textCol: String,
+                     threshold: Double = 0.8, n: Int = 3): DataFrame =
+      Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold)
+
+    // ------------------------------------------------------------- text
+    /** Append token/quality/language/fingerprint stat columns. */
+    def withTextStats(textCol: String = "text"): DataFrame =
+      TextStats.withStats(df, textCol)
+
+    /** Quality-gate + exact-dedup + near-dedup curation pipeline. */
+    def curate(idCol: String, textCol: String,
+               minQuality: Double = 0.5): DataFrame =
+      Curation.curate(df, idCol, textCol, minQuality)
+
+    // ----------------------------------------------------------- layout
+    /** Z-order-clustered parquet write over `zCols` (see [[ext.Layout]]). */
+    def zorderWrite(zCols: Seq[String], numFiles: Int, dest: String,
+                    bits: Int = 8): Unit =
+      Layout.zorderWrite(df, zCols, numFiles, dest, bits)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.syntax._
+
+class SyntaxSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "completely different text about spark engines and columnar formats here"),
+    (4L, "short")
+  ).toDF("doc_id", "text")
+
+  test("postfix ops forward to the canonical object API") {
+    assert(docs.dedupExact("doc_id", "text").count() ==
+      ext.Dedup.exact(docs, "doc_id", "text").count())
+    assert(docs.nearDupPairs("doc_id", "text").count() ==
+      ext.Dedup.minhashDuplicates(docs, "doc_id", "text").count())
+    assert(docs.jaccardPairs("doc_id", "text").collect().toSeq ==
+      ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect().toSeq)
+    assert(docs.withTextStats().columns.toSet ==
+      ext.TextStats.withStats(docs).columns.toSet)
+    assert(docs.curate("doc_id", "text").count() ==
+      ext.Curation.curate(docs, "doc_id", "text").count())
+  }
+
+  test("chained pipeline composes: stats → exact dedup → near pairs") {
+    val out = docs.withTextStats()
+      .dedupExact("doc_id", "text")
+    assert(out.count() == 3)            // 1 ≡ 2 exact dup
+    assert(out.columns.contains("n_tokens"))
+  }
+
+  test("parseAccessLogs on raw lines") {
+    val raw = Seq(
+      """o b [06/Feb/2019:00:00:38 +0000] ip r rid REST.GET.OBJECT k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -""",
+      "  ")
+      .toDF("value")
+    val parsed = raw.parseAccessLogs()
+    assert(parsed.count() == 1)
+    assert(parsed.select("operation").head().getString(0) == "REST.GET.OBJECT")
+  }
+}
