@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -61,21 +59,23 @@ object ParseLogLine {
 /** Static-call target for both the interpreted eval and the generated code
   * (Scala top-level objects emit static forwarders, so generated Java can
   * call `graft.functions.ParseLogLineHelper.parse(...)` directly).
+  *
+  * Tokenization goes through [[graft.logs.LogLineTokenizer]]: a direct
+  * left-to-right walk for the common line shape, the compiled regex as
+  * fallback for anything irregular — identical capture semantics, several
+  * times faster on the hot path.
   */
 object ParseLogLineHelper {
-
-  private val CompiledPattern: Pattern =
-    Pattern.compile(graft.logs.LogLineParser.Pattern)
 
   private val NumGroups = ParseLogLine.groupNames.length
 
   def parse(line: UTF8String): InternalRow = {
-    val m = CompiledPattern.matcher(line.toString)
-    if (!m.find()) return null
+    val groups = graft.logs.LogLineTokenizer.parseGroups(line.toString)
+    if (groups == null) return null
     val arr = new Array[Any](NumGroups)
     var i = 0
     while (i < NumGroups) {
-      val g = m.group(i + 1)
+      val g = groups(i)
       arr(i) = if (g == null) null else UTF8String.fromString(g)
       i += 1
     }

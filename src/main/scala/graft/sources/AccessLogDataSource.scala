@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.logs.{AccessLogSchema, LogLineParser}
+import graft.logs.AccessLogSchema
 
 /** DataSource V2 provider for raw S3 server-side access logs:
   *
@@ -181,9 +181,9 @@ final case class AccessLogReaderFactory(required: StructType)
     new AccessLogPartitionReader(partition.asInstanceOf[AccessLogInputPartition], required)
 }
 
-/** Streams each file line-by-line through the compiled reference regex and
-  * emits only the pruned fields. One compiled Pattern + one Matcher reused
-  * across all lines of the partition.
+/** Streams each file line-by-line through [[LogLineTokenizer]] (fast walk
+  * + regex fallback, identical capture semantics) and emits only the
+  * pruned fields.
   */
 final class AccessLogPartitionReader(part: AccessLogInputPartition,
                                      required: StructType)
@@ -195,11 +195,9 @@ final class AccessLogPartitionReader(part: AccessLogInputPartition,
     c
   }
   private val codecs = new CompressionCodecFactory(hadoopConf)
-  private val pattern = java.util.regex.Pattern.compile(LogLineParser.Pattern)
-  private val matcher = pattern.matcher("")
   // canonical-name → group-extractor, computed once; the row builder walks
   // the pruned schema only
-  private val extractors: Array[(java.util.regex.Matcher, String) => Any] =
+  private val extractors: Array[(Array[String], String) => Any] =
     required.fieldNames.map(AccessLogPartitionReader.extractorFor)
 
   private var fileIdx = -1
@@ -234,12 +232,11 @@ final class AccessLogPartitionReader(part: AccessLogInputPartition,
   }
 
   override def get(): InternalRow = {
-    val m = matcher.reset(line)
-    val matched = m.find()
+    val groups = graft.logs.LogLineTokenizer.parseGroups(line)
     val vals = new Array[Any](extractors.length)
     var i = 0
     while (i < vals.length) {
-      vals(i) = extractors(i)(if (matched) m else null, line)
+      vals(i) = extractors(i)(groups, line)
       i += 1
     }
     new GenericInternalRow(vals)
@@ -290,33 +287,35 @@ object AccessLogPartitionReader {
     } catch { case _: java.time.format.DateTimeParseException => null }
   }
 
-  /** Group numbers follow LogLineParser.Pattern order (reference `:21-25`). */
-  private[sources] def extractorFor(field: String): (java.util.regex.Matcher, String) => Any =
+  /** Group indices follow LogLineParser.Pattern order (reference `:21-25`);
+    * `g` is the 18-element capture array or null for a corrupt line.
+    */
+  private[sources] def extractorFor(field: String): (Array[String], String) => Any =
     field match {
-      case "bucket_owner"     => (m, _) => if (m == null) null else utf8(m.group(1))
-      case "s3_bucket"        => (m, _) => if (m == null) null else utf8(m.group(2))
-      case "request_time"     => (m, _) => if (m == null) null else tsMicros(m.group(3))
-      case "remote_ip"        => (m, _) => if (m == null) null else utf8(m.group(4))
-      case "requester"        => (m, _) => if (m == null) null else utf8(m.group(5))
-      case "request_id"       => (m, _) => if (m == null) null else utf8(m.group(6))
-      case "operation"        => (m, _) => if (m == null) null else utf8(m.group(7))
-      case "key"              => (m, _) => if (m == null) null else dashNull(m.group(8))
-      case "request"          => (m, _) => if (m == null) null else utf8(m.group(9))
-      case "http_status"      => (m, _) =>
-        if (m == null) null else numOrNull(m.group(10), 9).map(_.toInt).orNull
-      case "error_code"       => (m, _) => if (m == null) null else dashNull(m.group(11))
-      case "bytes_sent"       => (m, _) =>
-        if (m == null) null else numOrNull(m.group(12), 18).map(Long.box).orNull
-      case "object_size"      => (m, _) =>
-        if (m == null) null else numOrNull(m.group(13), 18).map(Long.box).orNull
-      case "total_time"       => (m, _) =>
-        if (m == null) null else numOrNull(m.group(14), 18).map(Long.box).orNull
-      case "turn_around_time" => (m, _) =>
-        if (m == null) null else numOrNull(m.group(15), 18).map(Long.box).orNull
-      case "referrer"         => (m, _) => if (m == null) null else quotedDashNull(m.group(16))
-      case "user_agent"       => (m, _) => if (m == null) null else quotedDashNull(m.group(17))
-      case "version_id"       => (m, _) => if (m == null) null else dashNull(m.group(18))
-      case "error_line"       => (m, raw) => if (m == null) utf8(raw) else null
+      case "bucket_owner"     => (g, _) => if (g == null) null else utf8(g(0))
+      case "s3_bucket"        => (g, _) => if (g == null) null else utf8(g(1))
+      case "request_time"     => (g, _) => if (g == null) null else tsMicros(g(2))
+      case "remote_ip"        => (g, _) => if (g == null) null else utf8(g(3))
+      case "requester"        => (g, _) => if (g == null) null else utf8(g(4))
+      case "request_id"       => (g, _) => if (g == null) null else utf8(g(5))
+      case "operation"        => (g, _) => if (g == null) null else utf8(g(6))
+      case "key"              => (g, _) => if (g == null) null else dashNull(g(7))
+      case "request"          => (g, _) => if (g == null) null else utf8(g(8))
+      case "http_status"      => (g, _) =>
+        if (g == null) null else numOrNull(g(9), 9).map(_.toInt).orNull
+      case "error_code"       => (g, _) => if (g == null) null else dashNull(g(10))
+      case "bytes_sent"       => (g, _) =>
+        if (g == null) null else numOrNull(g(11), 18).map(Long.box).orNull
+      case "object_size"      => (g, _) =>
+        if (g == null) null else numOrNull(g(12), 18).map(Long.box).orNull
+      case "total_time"       => (g, _) =>
+        if (g == null) null else numOrNull(g(13), 18).map(Long.box).orNull
+      case "turn_around_time" => (g, _) =>
+        if (g == null) null else numOrNull(g(14), 18).map(Long.box).orNull
+      case "referrer"         => (g, _) => if (g == null) null else quotedDashNull(g(15))
+      case "user_agent"       => (g, _) => if (g == null) null else quotedDashNull(g(16))
+      case "version_id"       => (g, _) => if (g == null) null else dashNull(g(17))
+      case "error_line"       => (g, raw) => if (g == null) utf8(raw) else null
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
 }
