@@ -86,6 +86,32 @@ class AccessLogDataSourceSpec extends SparkTestBase {
     assert(corrupt(0).getAs[String]("bucket_owner") == null)
   }
 
+  test("gzip-compressed log files decode through the codec factory") {
+    val dir = Files.createTempDirectory("accesslog-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("day.log.gz")))
+    gz.write(lines.mkString("\n").getBytes("UTF-8")); gz.close()
+    val df = spark.read.format("accesslog").load(dir.toString)
+    assert(df.count() == 4)
+    assert(df.filter(col("request_id") === "REQ1").count() == 1)
+  }
+
+  test("empty directory yields an empty frame, not an error") {
+    val dir = Files.createTempDirectory("accesslog-empty")
+    assert(spark.read.format("accesslog").load(dir.toString).count() == 0)
+  }
+
+  test("SQL DDL: CREATE TABLE ... USING accesslog") {
+    val dir = writeFixture()
+    spark.sql(s"CREATE TABLE raw_logs_ddl USING accesslog LOCATION '$dir'")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM raw_logs_ddl WHERE operation IS NOT NULL")
+        .head().getLong(0)
+      assert(n == 3)
+    } finally spark.sql("DROP TABLE raw_logs_ddl")
+  }
+
   test("bin-packing: many small files collapse into few partitions") {
     val dir = Files.createTempDirectory("accesslog-bins")
     (0 until 50).foreach { i =>
