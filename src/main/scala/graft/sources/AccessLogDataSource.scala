@@ -88,7 +88,7 @@ final class AccessLogTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"accesslog(${paths.mkString(",")})"
   override def schema(): StructType = AccessLogSchema.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AccessLogScanBuilder(paths)
 }
@@ -105,20 +105,16 @@ final class AccessLogScanBuilder(paths: Seq[String])
   override def build(): Scan = new AccessLogScan(paths, required)
 }
 
-final class AccessLogScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
+/** Driver-side listing + split planning shared by the batch and
+  * micro-batch paths.
+  */
+private[sources] object AccessLogFiles {
 
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"accesslog ${paths.mkString(",")} ReadSchema: ${required.fieldNames.mkString("[", ",", "]")}"
-
-  /** Driver-side listing + bin-packing; hidden files (`_`/`.` prefixes,
-    * Spark convention) skipped.
+  /** Streams RemoteIterator listings; hidden files (`_`/`.` prefixes,
+    * Spark convention) skipped. Only (path, size) pairs are held.
     */
-  private lazy val files: Seq[(String, Long)] = {
-    val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
+  def list(paths: Seq[String]): Seq[(String, Long)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val out = mutable.ArrayBuffer.empty[(String, Long)]
     paths.foreach { p =>
       val path = new Path(p)
@@ -137,18 +133,20 @@ final class AccessLogScan(paths: Seq[String], required: StructType)
     out.toSeq
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val confMap = {
-      val hc = spark.sessionState.newHadoopConf()
-      val it = hc.iterator()
-      val m = mutable.Map.empty[String, String]
-      while (it.hasNext) { val e = it.next(); m += (e.getKey -> e.getValue) }
-      m.toMap
-    }
-    // first-fit-decreasing bin-packing by size (compressed files count
-    // whole: they can't split anyway)
+  def hadoopConfMap(): Map[String, String] = {
+    val hc = SparkSession.active.sessionState.newHadoopConf()
+    val it = hc.iterator()
+    val m = mutable.Map.empty[String, String]
+    while (it.hasNext) { val e = it.next(); m += (e.getKey -> e.getValue) }
+    m.toMap
+  }
+
+  /** First-fit-decreasing bin-packing by size (compressed files count
+    * whole: they can't split anyway).
+    */
+  def binPack(files: Seq[(String, Long)]): Array[InputPartition] = {
+    val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    val confMap = hadoopConfMap()
     val bins = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[(String, Long)], Long)]
     files.sortBy(-_._2).foreach { case f @ (_, len) =>
       bins.indexWhere(_._2 + len <= maxBytes) match {
@@ -156,19 +154,84 @@ final class AccessLogScan(paths: Seq[String], required: StructType)
         case i => val (b, tot) = bins(i); b += f; bins(i) = (b, tot + len)
       }
     }
-    if (bins.isEmpty) Array.empty
-    else bins.map(b => AccessLogInputPartition(b._1.map(_._1).toArray, confMap)
+    bins.map(b => AccessLogInputPartition(b._1.map(_._1).toArray, confMap)
       : InputPartition).toArray
   }
+}
+
+final class AccessLogScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"accesslog ${paths.mkString(",")} ReadSchema: ${required.fieldNames.mkString("[", ",", "]")}"
+
+  private lazy val files: Seq[(String, Long)] = AccessLogFiles.list(paths)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AccessLogFiles.binPack(files)
 
   override def createReaderFactory(): PartitionReaderFactory =
     AccessLogReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AccessLogMicroBatchStream(paths, required)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(files.map(_._2).sum)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
+}
+
+/** Streaming (micro-batch) ingest of a growing log directory:
+  *
+  * {{{ spark.readStream.format("accesslog").load(dir) }}}
+  *
+  * Offset model: the HIGH-WATERMARK OF FILE PATHS in lexicographic order.
+  * S3 server-side access-log objects are named
+  * `YYYY-MM-DD-HH-MM-SS-<id>` (FIXTURES.md §1; the reference lists them
+  * by date prefix, `scripts/...:212-213`), so path order IS arrival
+  * order and a name watermark is a legal, restart-stable offset: a batch
+  * is the files in `(startWatermark, endWatermark]`, reprocessing after
+  * a crash replans exactly the same file set, and no per-file seen-map
+  * has to grow without bound (the failure mode of Spark's generic
+  * FileStreamSource at millions of files). Files that appear with names
+  * BELOW the watermark are ignored by design — same contract as the
+  * reference's per-day prefix listing.
+  */
+final class AccessLogMicroBatchStream(paths: Seq[String], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class NameWatermark(w: String) extends Offset {
+    override def json(): String = w
+  }
+
+  override def initialOffset(): Offset = NameWatermark("")
+
+  override def latestOffset(): Offset = {
+    val fs = AccessLogFiles.list(paths)
+    if (fs.isEmpty) NameWatermark("") else NameWatermark(fs.map(_._1).max)
+  }
+
+  override def deserializeOffset(json: String): Offset = NameWatermark(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[NameWatermark].w
+    val hi = end.asInstanceOf[NameWatermark].w
+    val batch = AccessLogFiles.list(paths)
+      .filter { case (p, _) => p > lo && p <= hi }
+    AccessLogFiles.binPack(batch)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AccessLogReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class AccessLogInputPartition(files: Array[String],

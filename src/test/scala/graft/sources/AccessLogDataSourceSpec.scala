@@ -112,6 +112,33 @@ class AccessLogDataSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE raw_logs_ddl")
   }
 
+  test("readStream.format(accesslog): name-watermark micro-batches pick up new files") {
+    val dir = Files.createTempDirectory("accesslog-stream")
+    def writeDay(name: String, reqId: String): Unit =
+      Files.write(dir.resolve(name),
+        s"""own bkt [06/Feb/2019:00:00:38 +0000] ip r $reqId REST.GET.OBJECT k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -"""
+          .getBytes("UTF-8"))
+    writeDay("2019-02-06-00-00-38-AAAA", "S1")
+    writeDay("2019-02-06-01-00-00-BBBB", "S2")
+
+    val q = spark.readStream.format("accesslog").load(dir.toString)
+      .select("request_id", "operation")
+      .writeStream.format("memory").queryName("acclog_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("accesslog-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("acclog_stream").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("S1", "S2"))
+      // later-named file → next micro-batch; no reprocessing of old files
+      writeDay("2019-02-06-02-00-00-CCCC", "S3")
+      q.processAllAvailable()
+      assert(spark.table("acclog_stream").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("S1", "S2", "S3"))
+    } finally q.stop()
+  }
+
   test("bin-packing: many small files collapse into few partitions") {
     val dir = Files.createTempDirectory("accesslog-bins")
     (0 until 50).foreach { i =>
