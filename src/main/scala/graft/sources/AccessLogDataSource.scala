@@ -94,15 +94,31 @@ final class AccessLogTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 final class AccessLogScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = AccessLogSchema.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty pruned schema (pure count) still needs row multiplicity: keep
     // zero fields and emit empty rows — GenericInternalRow(0) per line
     required = requiredSchema
 
-  override def build(): Scan = new AccessLogScan(paths, required)
+  /** Filters the reader can evaluate are applied PRE-materialization (a
+    * failing row never becomes an InternalRow), but every filter is also
+    * returned for Spark-side re-evaluation — the reader's apply is an
+    * optimization, never the only line of defense, so partial/conservative
+    * evaluation (unknown → keep) is always safe.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f => AccessLogFilterEval.compile(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new AccessLogScan(paths, required, pushed)
 }
 
 /** Driver-side listing + split planning shared by the batch and
@@ -159,13 +175,15 @@ private[sources] object AccessLogFiles {
   }
 }
 
-final class AccessLogScan(paths: Seq[String], required: StructType)
+final class AccessLogScan(paths: Seq[String], required: StructType,
+                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"accesslog ${paths.mkString(",")} ReadSchema: ${required.fieldNames.mkString("[", ",", "]")}"
+    s"accesslog ${paths.mkString(",")} ReadSchema: ${required.fieldNames.mkString("[", ",", "]")}" +
+      (if (pushed.isEmpty) "" else s" PushedFilters: ${pushed.mkString("[", ",", "]")}")
 
   private lazy val files: Seq[(String, Long)] = AccessLogFiles.list(paths)
 
@@ -173,7 +191,7 @@ final class AccessLogScan(paths: Seq[String], required: StructType)
     AccessLogFiles.binPack(files)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AccessLogReaderFactory(required)
+    AccessLogReaderFactory(required, pushed.toSeq)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -238,10 +256,12 @@ final case class AccessLogInputPartition(files: Array[String],
                                          conf: Map[String, String])
     extends InputPartition
 
-final case class AccessLogReaderFactory(required: StructType)
+final case class AccessLogReaderFactory(required: StructType,
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AccessLogPartitionReader(partition.asInstanceOf[AccessLogInputPartition], required)
+    new AccessLogPartitionReader(partition.asInstanceOf[AccessLogInputPartition],
+      required, pushed)
 }
 
 /** Streams each file line-by-line through [[LogLineTokenizer]] (fast walk
@@ -249,7 +269,8 @@ final case class AccessLogReaderFactory(required: StructType)
   * pruned fields.
   */
 final class AccessLogPartitionReader(part: AccessLogInputPartition,
-                                     required: StructType)
+                                     required: StructType,
+                                     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val hadoopConf = {
@@ -263,9 +284,15 @@ final class AccessLogPartitionReader(part: AccessLogInputPartition,
   private val extractors: Array[(Array[String], String) => Any] =
     required.fieldNames.map(AccessLogPartitionReader.extractorFor)
 
+  // compiled keep-predicates over the capture groups: a row failing one
+  // is skipped before any InternalRow materializes
+  private val keeps: Array[(Array[String], String) => Boolean] =
+    pushed.flatMap(AccessLogFilterEval.compile).toArray
+
   private var fileIdx = -1
   private var reader: BufferedReader = _
   private var line: String = _
+  private var groups: Array[String] = _
 
   private def nextReader(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
@@ -288,14 +315,20 @@ final class AccessLogPartitionReader(part: AccessLogInputPartition,
       if (reader == null && !nextReader()) return false
       line = reader.readLine()
       if (line == null) { reader.close(); reader = null }
-      else if (AccessLogPartitionReader.hasNonWhitespace(line)) return true
-      // blank lines dropped (reference strips + skips empties, :165-167)
+      else if (AccessLogPartitionReader.hasNonWhitespace(line)) {
+        // blank lines dropped (reference strips + skips empties, :165-167);
+        // parse here so pushed filters can reject pre-materialization
+        groups = graft.logs.LogLineTokenizer.parseGroups(line)
+        var keep = true
+        var k = 0
+        while (keep && k < keeps.length) { keep = keeps(k)(groups, line); k += 1 }
+        if (keep) return true
+      }
     }
     false
   }
 
   override def get(): InternalRow = {
-    val groups = graft.logs.LogLineTokenizer.parseGroups(line)
     val vals = new Array[Any](extractors.length)
     var i = 0
     while (i < vals.length) {
@@ -306,6 +339,79 @@ final class AccessLogPartitionReader(part: AccessLogInputPartition,
   }
 
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+/** Conservative reader-side evaluation of pushed-down filters over the raw
+  * capture groups (sentinel/null/typed semantics applied, matching the
+  * canonical projection). Unsupported filters compile to None and are left
+  * entirely to Spark; supported ones ALSO remain Spark-evaluated (see
+  * [[AccessLogScanBuilder.pushFilters]]), so this only ever has to be
+  * sound on the rows it DROPS: a dropped row must be one the equivalent
+  * Catalyst predicate would reject (null comparisons reject in SQL).
+  */
+private[sources] object AccessLogFilterEval {
+  import org.apache.spark.sql.sources._
+
+  private val StringCols: Map[String, (Array[String], String) => String] = {
+    def plain(i: Int): (Array[String], String) => String =
+      (g, _) => if (g == null) null else g(i)
+    def sent(i: Int, s: String): (Array[String], String) => String =
+      (g, _) => if (g == null) null else { val v = g(i); if (v == s) null else v }
+    Map(
+      "bucket_owner" -> plain(0), "s3_bucket" -> plain(1),
+      "remote_ip" -> plain(3), "requester" -> plain(4),
+      "request_id" -> plain(5), "operation" -> plain(6),
+      "key" -> sent(7, "-"), "request" -> plain(8),
+      "error_code" -> sent(10, "-"), "referrer" -> sent(15, "\"-\""),
+      "user_agent" -> sent(16, "\"-\""), "version_id" -> sent(17, "-"),
+      "error_line" -> ((g, raw) => if (g == null) raw else null))
+  }
+
+  private val NumCols: Map[String, (Array[String], String) => java.lang.Long] = {
+    def num(i: Int, maxDigits: Int): (Array[String], String) => java.lang.Long =
+      (g, _) => if (g == null) null
+        else AccessLogPartitionReader.numOrNull(g(i), maxDigits).map(Long.box).orNull
+    Map("http_status" -> num(9, 9), "bytes_sent" -> num(11, 18),
+      "object_size" -> num(12, 18), "total_time" -> num(13, 18),
+      "turn_around_time" -> num(14, 18))
+  }
+
+  private def toLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  def compile(f: Filter): Option[(Array[String], String) => Boolean] = f match {
+    case EqualTo(c, v: String) if StringCols.contains(c) =>
+      Some((g, r) => StringCols(c)(g, r) == v)
+    case In(c, vs) if StringCols.contains(c) && vs.forall(_.isInstanceOf[String]) =>
+      val set = vs.map(_.asInstanceOf[String]).toSet
+      Some((g, r) => { val x = StringCols(c)(g, r); x != null && set.contains(x) })
+    case StringStartsWith(c, p) if StringCols.contains(c) =>
+      Some((g, r) => { val x = StringCols(c)(g, r); x != null && x.startsWith(p) })
+    case IsNotNull(c) if StringCols.contains(c) =>
+      Some((g, r) => StringCols(c)(g, r) != null)
+    case IsNull(c) if StringCols.contains(c) =>
+      Some((g, r) => StringCols(c)(g, r) == null)
+    case IsNotNull(c) if NumCols.contains(c) =>
+      Some((g, r) => NumCols(c)(g, r) != null)
+    case IsNull(c) if NumCols.contains(c) =>
+      Some((g, r) => NumCols(c)(g, r) == null)
+    case EqualTo(c, v) if NumCols.contains(c) =>
+      toLong(v).map(lv => (g, r) => { val x = NumCols(c)(g, r); x != null && x.longValue == lv })
+    case GreaterThan(c, v) if NumCols.contains(c) =>
+      toLong(v).map(lv => (g, r) => { val x = NumCols(c)(g, r); x != null && x.longValue > lv })
+    case GreaterThanOrEqual(c, v) if NumCols.contains(c) =>
+      toLong(v).map(lv => (g, r) => { val x = NumCols(c)(g, r); x != null && x.longValue >= lv })
+    case LessThan(c, v) if NumCols.contains(c) =>
+      toLong(v).map(lv => (g, r) => { val x = NumCols(c)(g, r); x != null && x.longValue < lv })
+    case LessThanOrEqual(c, v) if NumCols.contains(c) =>
+      toLong(v).map(lv => (g, r) => { val x = NumCols(c)(g, r); x != null && x.longValue <= lv })
+    case _ => None
+  }
 }
 
 object AccessLogPartitionReader {
@@ -324,7 +430,7 @@ object AccessLogPartitionReader {
   /** Matches LogLineParser.dashNullAs: numeric with conservative digit cap
     * (9/18 < max-value widths) or null — never an overflow error.
     */
-  private def numOrNull(s: String, maxDigits: Int): Option[Long] = {
+  private[sources] def numOrNull(s: String, maxDigits: Int): Option[Long] = {
     var i = 0
     val neg = s.nonEmpty && s.charAt(0) == '-'
     if (neg) i = 1

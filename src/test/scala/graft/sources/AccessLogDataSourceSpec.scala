@@ -139,6 +139,28 @@ class AccessLogDataSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("pushed filters prune in the reader and stay semantically exact") {
+    val dir = writeFixture()
+    val base = spark.read.format("accesslog").load(dir)
+    val q = base.filter(col("operation") === "REST.GET.OBJECT" &&
+      col("http_status") < 300 && col("key").startsWith("logs/"))
+    // description advertises the pushed filters
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters:") && desc.contains("operation"), desc)
+    val rows = q.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("request_id") == "REQ1")
+    // filters over corrupt/null rows: IS NOT NULL on error_line keeps ONLY
+    // the corrupt row; numeric comparison drops nulls like SQL would
+    assert(base.filter(col("error_line").isNotNull).count() == 1)
+    assert(base.filter(col("http_status") >= 200).count() == 2) // 200 + 304; nulls drop
+    // reader-side result identical to the unpushed text+parse path
+    val viaParser = LogLineParser.parse(
+      LogLineParser.dropBlankLines(spark.read.text(dir)))
+      .filter(col("operation") === "REST.GET.OBJECT" &&
+        col("http_status") < 300 && col("key").startsWith("logs/"))
+    assert(sortAll(q) sameElements sortAll(viaParser))
+  }
+
   test("bin-packing: many small files collapse into few partitions") {
     val dir = Files.createTempDirectory("accesslog-bins")
     (0 until 50).foreach { i =>
