@@ -43,8 +43,14 @@ object PrestoSqlTranslator {
       if (args.size == 2) s"regexp_replace(${args(0)}, ${args(1)}, '')"
       else s"regexp_replace(${args.mkString(", ")})"
     },
+    // Presto: NULL on miss (Spark returns ''), and the 2-arg form returns
+    // the WHOLE match (Spark's 2-arg form defaults to group 1). The rlike
+    // guard — not nullif — distinguishes a genuine empty-group match
+    // (Presto '') from a miss (Presto NULL).
     "regexp_extract" -> { args =>
-      s"nullif(regexp_extract(${args.mkString(", ")}), '')"
+      val withIdx = if (args.size == 2) args :+ "0" else args
+      s"(CASE WHEN (${args(0)}) RLIKE (${args(1)}) " +
+        s"THEN regexp_extract(${withIdx.mkString(", ")}) END)"
     },
     "date_parse" -> { args =>
       require(args.size == 2, s"date_parse expects 2 args, got $args")
@@ -59,10 +65,14 @@ object PrestoSqlTranslator {
       val unit = args(0).trim.stripPrefix("'").stripSuffix("'").toLowerCase
       val (a, b) = (args(1), args(2))
       unit match {
-        case "day" =>
-          s"CAST(datediff(CAST(($b) AS DATE), CAST(($a) AS DATE)) AS BIGINT)"
-        case "hour" | "minute" | "second" =>
-          val div = Map("hour" -> 3600L, "minute" -> 60L, "second" -> 1L)(unit)
+        // Presto counts COMPLETE elapsed units between timestamps
+        // (23:00 → next day 01:00 is 0 days), truncating toward zero —
+        // not calendar-day difference, so unix-time arithmetic for every
+        // unit. The reference applies 'day' to midnight-truncated values,
+        // where the two definitions coincide.
+        case "day" | "hour" | "minute" | "second" =>
+          val div = Map("day" -> 86400L, "hour" -> 3600L,
+            "minute" -> 60L, "second" -> 1L)(unit)
           s"CAST((unix_timestamp($b) - unix_timestamp($a)) DIV $div AS BIGINT)"
         case other =>
           throw new IllegalArgumentException(s"unsupported date_diff unit '$other'")
@@ -87,9 +97,13 @@ object PrestoSqlTranslator {
         sb.append(s.substring(i, end + 2)); i = end + 2
       } else if (c == '\'') {
         val end = literalEnd(s, i)
-        // Presto literals are raw; double the backslashes for Spark's
-        // escape-processing parser
-        sb.append(s.substring(i, end).replace("\\", "\\\\"))
+        // Presto literals are raw: double the backslashes for Spark's
+        // escape-processing parser, and turn the '' quote-escape into \'
+        // (Spark lexes adjacent 'a''b' as TWO literals and concatenates,
+        // silently dropping the quote)
+        val body = s.substring(i + 1, end - 1)
+          .replace("\\", "\\\\").replace("''", "\\'")
+        sb.append('\'').append(body).append('\'')
         i = end
       } else if (c == '"') {
         // double-quoted identifier → backticks ("" escape → literal ")
@@ -149,6 +163,14 @@ object PrestoSqlTranslator {
     while (j < s.length) {
       s.charAt(j) match {
         case '\'' => j = literalEnd(s, j) - 1
+        case '"' => j = quotedIdentEnd(s, j) - 1
+        case '-' if j + 1 < s.length && s.charAt(j + 1) == '-' =>
+          while (j < s.length && s.charAt(j) != '\n') j += 1
+          j -= 1
+        case '/' if j + 1 < s.length && s.charAt(j + 1) == '*' =>
+          val end = s.indexOf("*/", j + 2)
+          require(end >= 0, s"unterminated block comment at $j")
+          j = end + 1
         case '(' => depth += 1
         case ')' =>
           depth -= 1

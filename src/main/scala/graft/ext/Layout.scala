@@ -79,9 +79,13 @@ object Layout {
       val aggs = zCols.map(c =>
         percentile_approx(col(c).cast("double"), typedLit(probs.toSeq),
           lit(10000)).as(c))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val rows = df.agg(aggs.head, aggs.tail: _*).collect()
       zCols.zipWithIndex.map { case (c, i) =>
-        c -> row.getSeq[Double](i).toArray.distinct.sorted
+        // empty frame / all-NULL column → percentile is NULL → no
+        // boundaries → every row lands in bucket 0 (degenerate but valid)
+        val bs = if (rows.isEmpty || rows(0).isNullAt(i)) Array.empty[Double]
+          else rows(0).getSeq[Double](i).toArray.distinct.sorted
+        c -> bs
       }.toMap
     }
     val bucketed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>

@@ -126,8 +126,10 @@ final class AccessLogScanBuilder(paths: Seq[String])
   */
 private[sources] object AccessLogFiles {
 
-  /** Streams RemoteIterator listings; hidden files (`_`/`.` prefixes,
-    * Spark convention) skipped. Only (path, size) pairs are held.
+  /** Streams RemoteIterator listings; hidden files AND files under hidden
+    * directories (`_`/`.` prefixed path segments below the load root —
+    * `_temporary`, `.staging`, Spark's convention, matched by
+    * InMemoryFileIndex) are skipped. Only (path, size) pairs are held.
     */
   def list(paths: Seq[String]): Seq[(String, Long)] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -135,14 +137,24 @@ private[sources] object AccessLogFiles {
     paths.foreach { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
+      val root = fs.getFileStatus(path)
+      // every path segment strictly below the root must be visible
+      def visibleUnderRoot(f: Path): Boolean = {
+        var cur = f
+        while (cur != null && cur.toString != root.getPath.toString) {
+          val n = cur.getName
+          if (n.startsWith("_") || n.startsWith(".")) return false
+          cur = cur.getParent
+        }
+        cur != null
+      }
       val statuses: Iterator[FileStatus] =
-        if (fs.getFileStatus(path).isDirectory) {
+        if (root.isDirectory) {
           val it = fs.listFiles(path, true)
           Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        } else Iterator(fs.getFileStatus(path))
+        } else Iterator(root)
       statuses.foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        if (st.isFile && (!root.isDirectory || visibleUnderRoot(st.getPath)))
           out += ((st.getPath.toString, st.getLen))
       }
     }
@@ -157,12 +169,22 @@ private[sources] object AccessLogFiles {
     m.toMap
   }
 
+  /** Reader factory capturing the per-query driver state (Hadoop conf,
+    * session timezone, pushed filters) ONCE — the factory serializes once
+    * per stage, so partitions stay paths-only instead of each dragging a
+    * ~1000-entry conf map through the scheduler.
+    */
+  def readerFactory(required: StructType,
+                    pushed: Seq[org.apache.spark.sql.sources.Filter])
+      : AccessLogReaderFactory =
+    AccessLogReaderFactory(required, pushed, hadoopConfMap(),
+      SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+
   /** First-fit-decreasing bin-packing by size (compressed files count
     * whole: they can't split anyway).
     */
   def binPack(files: Seq[(String, Long)]): Array[InputPartition] = {
     val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
-    val confMap = hadoopConfMap()
     val bins = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[(String, Long)], Long)]
     files.sortBy(-_._2).foreach { case f @ (_, len) =>
       bins.indexWhere(_._2 + len <= maxBytes) match {
@@ -170,7 +192,7 @@ private[sources] object AccessLogFiles {
         case i => val (b, tot) = bins(i); b += f; bins(i) = (b, tot + len)
       }
     }
-    bins.map(b => AccessLogInputPartition(b._1.map(_._1).toArray, confMap)
+    bins.map(b => AccessLogInputPartition(b._1.map(_._1).toArray)
       : InputPartition).toArray
   }
 }
@@ -191,7 +213,7 @@ final class AccessLogScan(paths: Seq[String], required: StructType,
     AccessLogFiles.binPack(files)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AccessLogReaderFactory(required, pushed.toSeq)
+    AccessLogFiles.readerFactory(required, pushed.toSeq)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -230,12 +252,23 @@ final class AccessLogMicroBatchStream(paths: Seq[String], required: StructType)
 
   override def initialOffset(): Offset = NameWatermark("")
 
+  // Offsets must never regress: a transiently empty/short listing (S3
+  // eventual consistency, directory momentarily recreated) would
+  // otherwise move the watermark backwards and make a later trigger
+  // replan — and re-emit — already-committed files.
+  private var highWater: String = ""
+
   override def latestOffset(): Offset = {
     val fs = AccessLogFiles.list(paths)
-    if (fs.isEmpty) NameWatermark("") else NameWatermark(fs.map(_._1).max)
+    if (fs.nonEmpty) highWater = Ordering[String].max(highWater, fs.map(_._1).max)
+    NameWatermark(highWater)
   }
 
-  override def deserializeOffset(json: String): Offset = NameWatermark(json)
+  override def deserializeOffset(json: String): Offset = {
+    // restart path: re-arm the monotonic guard from the checkpoint
+    highWater = Ordering[String].max(highWater, json)
+    NameWatermark(json)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[NameWatermark].w
@@ -246,22 +279,22 @@ final class AccessLogMicroBatchStream(paths: Seq[String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AccessLogReaderFactory(required)
+    AccessLogFiles.readerFactory(required, Seq.empty)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-final case class AccessLogInputPartition(files: Array[String],
-                                         conf: Map[String, String])
+final case class AccessLogInputPartition(files: Array[String])
     extends InputPartition
 
 final case class AccessLogReaderFactory(required: StructType,
-    pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
+    conf: Map[String, String], sessionTimeZone: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AccessLogPartitionReader(partition.asInstanceOf[AccessLogInputPartition],
-      required, pushed)
+      required, pushed, conf, sessionTimeZone)
 }
 
 /** Streams each file line-by-line through [[LogLineTokenizer]] (fast walk
@@ -270,19 +303,23 @@ final case class AccessLogReaderFactory(required: StructType,
   */
 final class AccessLogPartitionReader(part: AccessLogInputPartition,
                                      required: StructType,
-                                     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+                                     pushed: Seq[org.apache.spark.sql.sources.Filter],
+                                     conf: Map[String, String],
+                                     sessionTimeZone: String)
     extends PartitionReader[InternalRow] {
 
   private val hadoopConf = {
     val c = new Configuration(false)
-    part.conf.foreach { case (k, v) => c.set(k, v) }
+    conf.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val codecs = new CompressionCodecFactory(hadoopConf)
   // canonical-name → group-extractor, computed once; the row builder walks
-  // the pruned schema only
+  // the pruned schema only. Timestamps resolve in the SESSION timezone,
+  // matching what try_to_timestamp does on the text+parse path.
+  private val zone = java.time.ZoneId.of(sessionTimeZone)
   private val extractors: Array[(Array[String], String) => Any] =
-    required.fieldNames.map(AccessLogPartitionReader.extractorFor)
+    required.fieldNames.map(f => AccessLogPartitionReader.extractorFor(f, zone))
 
   // compiled keep-predicates over the capture groups: a row failing one
   // is skipped before any InternalRow materializes
@@ -416,9 +453,17 @@ private[sources] object AccessLogFilterEval {
 
 object AccessLogPartitionReader {
 
+  // Java regex \S semantics (the canonical path's rlike("\\S")), NOT
+  // Character.isWhitespace — they disagree on U+001C..1F/U+2028/U+2029,
+  // and such lines must become error_line rows, not be dropped
   private def hasNonWhitespace(s: String): Boolean = {
     var i = 0
-    while (i < s.length) { if (!Character.isWhitespace(s.charAt(i))) return true; i += 1 }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (!ws) return true
+      i += 1
+    }
     false
   }
 
@@ -445,25 +490,27 @@ object AccessLogPartitionReader {
     Some(if (neg) -v else v)
   }
   /** Reference time munging (`:37-42`): text between '[' and the first
-    * space, second-precision naive UTC; any failure → null.
+    * space, second precision, resolved in the session timezone (matching
+    * try_to_timestamp on the canonical path); any failure → null.
     */
-  private def tsMicros(timeGroup: String): Any = {
+  private def tsMicros(timeGroup: String, zone: java.time.ZoneId): Any = {
     val sp = timeGroup.indexOf(' ')
     if (sp < 2) return null
     try {
       val ldt = LocalDateTime.parse(timeGroup.substring(1, sp), tsFormat)
-      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      ldt.atZone(zone).toEpochSecond * 1000000L
     } catch { case _: java.time.format.DateTimeParseException => null }
   }
 
   /** Group indices follow LogLineParser.Pattern order (reference `:21-25`);
     * `g` is the 18-element capture array or null for a corrupt line.
     */
-  private[sources] def extractorFor(field: String): (Array[String], String) => Any =
+  private[sources] def extractorFor(field: String, zone: java.time.ZoneId)
+      : (Array[String], String) => Any =
     field match {
       case "bucket_owner"     => (g, _) => if (g == null) null else utf8(g(0))
       case "s3_bucket"        => (g, _) => if (g == null) null else utf8(g(1))
-      case "request_time"     => (g, _) => if (g == null) null else tsMicros(g(2))
+      case "request_time"     => (g, _) => if (g == null) null else tsMicros(g(2), zone)
       case "remote_ip"        => (g, _) => if (g == null) null else utf8(g(3))
       case "requester"        => (g, _) => if (g == null) null else utf8(g(4))
       case "request_id"       => (g, _) => if (g == null) null else utf8(g(5))

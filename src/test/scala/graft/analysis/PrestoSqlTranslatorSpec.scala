@@ -15,7 +15,8 @@ class PrestoSqlTranslatorSpec extends SparkTestBase {
     assert(translate("regexp_replace(a, 'p', 'r')") ==
       "regexp_replace(a, 'p', 'r')")
     assert(translate("regexp_extract(key, 'logs/([^/]*)/.*', 1)") ==
-      "nullif(regexp_extract(key, 'logs/([^/]*)/.*', 1), '')")
+      "(CASE WHEN (key) RLIKE ('logs/([^/]*)/.*') " +
+        "THEN regexp_extract(key, 'logs/([^/]*)/.*', 1) END)")
     assert(translate("date_parse(x, '%Y-%m-%d')") ==
       "try_to_timestamp(x, 'yyyy-MM-dd')")
     assert(translate("""SELECT * FROM "my-table"""") ==
@@ -27,8 +28,36 @@ class PrestoSqlTranslatorSpec extends SparkTestBase {
     val nested = translate(
       "date_diff('day', date_parse(a, '%Y-%m-%d'), date_trunc('day', t))")
     assert(nested ==
-      "CAST(datediff(CAST((date_trunc('day', t)) AS DATE), " +
-        "CAST((try_to_timestamp(a, 'yyyy-MM-dd')) AS DATE)) AS BIGINT)")
+      "CAST((unix_timestamp(date_trunc('day', t)) - " +
+        "unix_timestamp(try_to_timestamp(a, 'yyyy-MM-dd'))) DIV 86400 AS BIGINT)")
+  }
+
+  test("edge rewrites: quote escapes, 2-arg extract, comments in args") {
+    // Presto '' quote-escape → \' (adjacent-literal concatenation trap)
+    assert(translate("WHERE msg = 'can''t'") == """WHERE msg = 'can\'t'""")
+    // 2-arg regexp_extract returns the WHOLE match in Presto (group 0)
+    assert(translate("regexp_extract(x, 'a+')").contains(
+      "regexp_extract(x, 'a+', 0)"))
+    // comments inside an interesting call must not break arg splitting
+    val withComment = translate(
+      "date_diff('day', a, -- note ')', tricky\n b)")
+    assert(withComment.contains("unix_timestamp(") &&
+      withComment.contains("DIV 86400"), withComment)
+  }
+
+  test("semantic parity on Spark: empty-match vs miss, whole-day periods") {
+    // regexp_extract: genuine empty-group match → '' (not NULL); miss → NULL
+    val r = spark.sql(translate(
+      "SELECT regexp_extract('abc', '([0-9]*)', 1) AS empty_match, " +
+        "regexp_extract('abc', 'xyz(q)', 1) AS miss")).head()
+    assert(r.getString(0) == "" && r.isNullAt(1))
+    // date_diff('day') counts COMPLETE 24h periods between timestamps
+    val d = spark.sql(translate(
+      "SELECT date_diff('day', TIMESTAMP '2019-01-01 23:00:00', " +
+        "TIMESTAMP '2019-01-02 01:00:00') AS d0, " +
+        "date_diff('day', TIMESTAMP '2019-01-01 00:00:00', " +
+        "TIMESTAMP '2019-01-03 00:00:00') AS d2")).head()
+    assert(d.getLong(0) == 0L && d.getLong(1) == 2L)
   }
 
   /** Synthetic parsed frame: GETs of objects written >400 days before the

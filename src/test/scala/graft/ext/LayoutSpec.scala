@@ -41,6 +41,19 @@ class LayoutSpec extends SparkTestBase {
     assert(viaR.agg(max("zval")).head().getLong(0) < 256)
   }
 
+  test("zvalueByRange degrades gracefully on empty frames and all-NULL columns") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((0 until 1).map(_ => ()), Seq.empty).headOption
+        .map(_ => new org.apache.spark.sql.types.StructType()
+          .add("a", "long").add("b", "long")).get)
+    assert(Layout.zvalueByRange(empty, Seq("a", "b"), bits = 4).count() == 0)
+    val allNull = Seq((1L, Option.empty[java.lang.Long]),
+      (2L, Option.empty[java.lang.Long])).toDF("a", "b")
+    val z = Layout.zvalueByRange(allNull, Seq("a", "b"), bits = 4)
+    assert(z.count() == 2) // null dim → bucket 0, no NPE
+  }
+
   test("zorderWrite clusters BOTH dimensions; single-dim sort does not") {
     val n = 4096
     val df = (0 until n).map { i =>

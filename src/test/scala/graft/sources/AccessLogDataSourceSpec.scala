@@ -161,6 +161,58 @@ class AccessLogDataSourceSpec extends SparkTestBase {
     assert(sortAll(q) sameElements sortAll(viaParser))
   }
 
+  test("files under hidden directories (_temporary/.staging) are skipped") {
+    val dir = writeFixture()
+    val tmp = new java.io.File(dir, "_temporary/0")
+    tmp.mkdirs()
+    Files.write(tmp.toPath.resolve("part-00000.txt"),
+      lines.head.getBytes("UTF-8"))
+    val hidden = new java.io.File(dir, ".staging")
+    hidden.mkdirs()
+    Files.write(hidden.toPath.resolve("leftover.log"),
+      lines.head.getBytes("UTF-8"))
+    // same 4 rows as without the leftovers; read.text agrees
+    val viaSource = spark.read.format("accesslog").load(dir)
+    assert(viaSource.count() == 4)
+    assert(viaSource.count() ==
+      LogLineParser.parse(LogLineParser.dropBlankLines(spark.read.text(dir))).count())
+  }
+
+  test("streaming watermark never regresses on a transiently empty listing") {
+    val dir = Files.createTempDirectory("accesslog-mono")
+    val f = dir.resolve("2019-02-06-00-00-00-AAAA")
+    Files.write(f, lines.head.getBytes("UTF-8"))
+    val stream = new AccessLogMicroBatchStream(Seq(dir.toString),
+      graft.logs.AccessLogSchema.schema)
+    val o1 = stream.latestOffset()
+    assert(o1.json().endsWith("2019-02-06-00-00-00-AAAA"))
+    Files.delete(f) // transient empty listing
+    assert(stream.latestOffset().json() == o1.json(), "watermark regressed")
+    // restart path: deserializeOffset re-arms the guard
+    val restarted = new AccessLogMicroBatchStream(Seq(dir.toString),
+      graft.logs.AccessLogSchema.schema)
+    restarted.deserializeOffset(o1.json())
+    assert(restarted.latestOffset().json() == o1.json())
+  }
+
+  test("timestamps follow the session timezone like the text+parse path") {
+    val dir = writeFixture()
+    val old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val viaSource = spark.read.format("accesslog").load(dir)
+        .filter(col("request_id") === "REQ1").select("request_time")
+      val viaParser = LogLineParser.parse(
+        LogLineParser.dropBlankLines(spark.read.text(dir)))
+        .filter(col("request_id") === "REQ1").select("request_time")
+      val a = viaSource.head().getTimestamp(0)
+      val b = viaParser.head().getTimestamp(0)
+      assert(a == b, s"source=$a parser=$b")
+      // 00:00:38 local PST = 08:00:38Z
+      assert(a.toInstant == java.time.Instant.parse("2019-02-06T08:00:38Z"))
+    } finally spark.conf.set("spark.sql.session.timeZone", old)
+  }
+
   test("bin-packing: many small files collapse into few partitions") {
     val dir = Files.createTempDirectory("accesslog-bins")
     (0 until 50).foreach { i =>
