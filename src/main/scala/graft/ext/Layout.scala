@@ -72,28 +72,39 @@ object Layout {
     * comparisons, no shuffle, no window.
     */
   def zvalueByRange(df: DataFrame, zCols: Seq[String], bits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.StringType
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    // one pass computes every column's boundary vector
-    val qs: Map[String, Array[Double]] = {
-      val aggs = zCols.map(c =>
-        percentile_approx(col(c).cast("double"), typedLit(probs.toSeq),
-          lit(10000)).as(c))
-      val rows = df.agg(aggs.head, aggs.tail: _*).collect()
-      zCols.zipWithIndex.map { case (c, i) =>
-        // empty frame / all-NULL column → percentile is NULL → no
-        // boundaries → every row lands in bucket 0 (degenerate but valid)
-        val bs = if (rows.isEmpty || rows(0).isNullAt(i)) Array.empty[Double]
-          else rows(0).getSeq[Double](i).toArray.distinct.sorted
-        c -> bs
-      }.toMap
-    }
+    val (numCols, strCols) = zCols.partition(c =>
+      df.schema(c).dataType != StringType)
+    // one pass computes every numeric column's boundary vector
+    val qs: Map[String, Array[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val aggs = numCols.map(c =>
+          percentile_approx(col(c).cast("double"), typedLit(probs.toSeq),
+            lit(10000)).as(c))
+        val rows = df.agg(aggs.head, aggs.tail: _*).collect()
+        numCols.zipWithIndex.map { case (c, i) =>
+          // empty frame / all-NULL column → percentile is NULL → no
+          // boundaries → every row lands in bucket 0 (degenerate but valid)
+          val bs = if (rows.isEmpty || rows(0).isNullAt(i)) Array.empty[Double]
+            else rows(0).getSeq[Double](i).toArray.distinct.sorted
+          c -> bs
+        }.toMap
+      }
+    val strSet = strCols.toSet
     val bucketed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val bounds = typedLit(qs(c).toSeq)
-      // rank among boundaries == equal-population bucket index
-      d.withColumn(s"_zb$i",
-        aggregate(bounds, lit(0L),
-          (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L)))
+      val bucket =
+        if (strSet(c))
+          // strings have no quantile ordering worth preserving; a hash
+          // bucket still co-locates EQUAL values, which is what equality
+          // pruning (requester = X) needs from the layout
+          pmod(xxhash64(coalesce(col(c), lit(""))), lit(n.toLong))
+        else
+          aggregate(typedLit(qs(c).toSeq), lit(0L),
+            (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
+      d.withColumn(s"_zb$i", bucket)
     }
     bucketed.withColumn("zval",
       interleaveBits(zCols.indices.map(i => col(s"_zb$i")), bits))

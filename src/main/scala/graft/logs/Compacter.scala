@@ -38,7 +38,14 @@ object Compacter {
       // derived from that day's raw bytes so output parquet files land
       // near this size regardless of daily volume swings — a fixed count
       // either fragments quiet days or bloats busy ones at 100 TB.
-      targetFileMb: Option[Int] = None
+      targetFileMb: Option[Int] = None,
+      // When set, the within-day clustering generalizes from the
+      // reference's time-only sortWithinPartitions(request_time) to a
+      // Z-order over these columns (ext.Layout): each output file covers
+      // a narrow range of EVERY listed column, so row-group min/max stats
+      // prune `requester = X AND request_time BETWEEN ...`-style queries
+      // instead of only time ranges. Empty = reference behavior.
+      zorderBy: Seq[String] = Seq.empty
   )
 
   /** Measured raw-text → snappy-parquet size ratio for S3 access logs
@@ -119,10 +126,17 @@ object Compacter {
     val numFiles = outputFilesFor(cfg, listed.map(_._2).sum)
     configure(spark)
     val obs = org.apache.spark.sql.Observation(s"compact-$dt")
-    parsed(spark, paths)
+    val observed = parsed(spark, paths)
       .observe(obs, count(lit(1)).as("rows"), count(col("error_line")).as("corrupt"))
-      .repartition(numFiles)
-      .sortWithinPartitions("request_time")
+    val clustered =
+      if (cfg.zorderBy.isEmpty)
+        observed.repartition(numFiles).sortWithinPartitions("request_time")
+      else
+        graft.ext.Layout.zvalueByRange(observed, cfg.zorderBy)
+          .repartitionByRange(numFiles, col("zval"))
+          .sortWithinPartitions("zval")
+          .drop("zval")
+    clustered
       .write
       .mode("overwrite") // deterministic re-runs: re-running a day replaces it
       .option("compression", "snappy")

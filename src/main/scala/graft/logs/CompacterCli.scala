@@ -50,7 +50,11 @@ object CompacterCli {
       numOutputFiles = opts.getOrElse("num-output-files", "10").toInt,
       // size-targeted alternative to a fixed count (extension):
       // --target-file-mb 256 derives the per-day file count from raw bytes
-      targetFileMb = opts.get("target-file-mb").map(_.toInt)
+      targetFileMb = opts.get("target-file-mb").map(_.toInt),
+      // --zorder-by request_time,requester → multi-column Z-order
+      // clustering instead of the time-only within-file sort (extension)
+      zorderBy = opts.get("zorder-by").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty)
     )
     val builder = SparkSession.builder()
       .appName("graft-log-compacter")

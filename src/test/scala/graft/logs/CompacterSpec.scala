@@ -109,6 +109,35 @@ class CompacterSpec extends SparkTestBase {
     LogCatalog.dropTable(spark, "access_logs_e2e")
   }
 
+  test("zorderBy clusters time AND requester per output file") {
+    val tmp = Files.createTempDirectory("graft-zorder-compact")
+    val rawRoot = tmp.resolve("raw"); val destRoot = tmp.resolve("out")
+    val dt = "2021-02-03"
+    // 8 requesters × 24 hours interleaved: a time-only sort leaves every
+    // file spanning all requesters
+    val lines = (0 until 192).map { i =>
+      logLine(3, i % 24, s"logs/svc/2019/01/01/p$i.gz",
+        requester = s"arn:user/u${i % 8}")
+    }
+    writeRawDay(rawRoot, "bucket1", dt, lines)
+    val cfg = Compacter.Config(rawRoot.toString, "bucket1",
+      destRoot.toString, numOutputFiles = 8,
+      zorderBy = Seq("request_time", "requester"))
+    val dest = Compacter.compactDay(spark, cfg, dt).get
+    val perFile = spark.read.parquet(dest)
+      .groupBy(input_file_name())
+      .agg(countDistinct("requester").as("n_req"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.map(_.getAs[Long]("n")).sum == 192)
+    // hash-bucketed requester dimension: files must NOT each span all 8
+    // requesters (time-only sort would give 8 everywhere)
+    val avgReq = perFile.map(_.getAs[Long]("n_req")).sum.toDouble / perFile.length
+    assert(avgReq <= 5.0, s"avg distinct requesters per file $avgReq")
+    // schema unchanged: no zval column leaks into the files
+    assert(!spark.read.parquet(dest).columns.contains("zval"))
+  }
+
   test("size-targeted output file count") {
     val cfg = Compacter.Config("r", "b", "d", targetFileMb = Some(64))
     // 1 GiB raw × 0.25 ratio = 256 MiB parquet → 4 × 64 MiB files
