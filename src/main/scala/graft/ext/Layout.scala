@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *     driver-collected quantile boundaries (one `approx_percentile` pass,
   *     boundaries are a few KB regardless of data size — the same
   *     pattern Delta Lake's OPTIMIZE ZORDER uses). No global sort, no
-  *     skew sensitivity (equal-population buckets by construction).
+  *     skew sensitivity for numeric columns (equal-population buckets by
+  *     construction); string columns rank among distinct-value boundaries
+  *     (order-preserving, so min/max stats stay narrow — equal hot values
+  *     necessarily share a bucket).
   *   - [[zvalueByNtile]] (the deterministic path): bucket = exact
   *     `ntile()` over a total order — reproducible bit-for-bit in any
   *     SQL engine (the DuckDB-oracle gate), at the cost of a global
@@ -75,15 +78,17 @@ object Layout {
     import org.apache.spark.sql.types.StringType
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    val (numCols, strCols) = zCols.partition(c =>
-      df.schema(c).dataType != StringType)
+    // analyzer-resolved dtype lookup (case-insensitive, like every other
+    // column reference here) — StructType.apply would be case-sensitive
+    def dtypeOf(c: String) = df.select(col(c)).schema.head.dataType
+    val (numCols, strCols) = zCols.partition(c => dtypeOf(c) != StringType)
     // one pass computes every numeric column's boundary vector
     val qs: Map[String, Array[Double]] =
       if (numCols.isEmpty) Map.empty
       else {
         val aggs = numCols.map(c =>
           percentile_approx(col(c).cast("double"), typedLit(probs.toSeq),
-            lit(10000)).as(c))
+            lit(10000)).as(s"_q_$c"))
         val rows = df.agg(aggs.head, aggs.tail: _*).collect()
         numCols.zipWithIndex.map { case (c, i) =>
           // empty frame / all-NULL column → percentile is NULL → no
@@ -93,14 +98,29 @@ object Layout {
           c -> bs
         }.toMap
       }
-    val strSet = strCols.toSet
+    // string columns: ORDER-PRESERVING rank bucketing — boundary strings
+    // are the per-tile maxima of an ntile over the column's DISTINCT
+    // values (a distinct + a window over the distinct set, both far
+    // smaller than the data; ≤ n-1 boundary literals reach the driver).
+    // Order preservation is what keeps parquet min/max stats narrow so
+    // `requester = X` actually prunes files; a hash bucket would co-locate
+    // equal values but leave every file spanning the whole string domain.
+    // Population balance is per distinct value — a single hot value is one
+    // bucket by necessity (identical rows cannot be split by any
+    // order-preserving scheme).
+    val sqs: Map[String, Array[String]] = strCols.map { c =>
+      val w = Window.orderBy(col("_v"))
+      val bounds = df.select(col(c).as("_v")).na.drop.distinct()
+        .withColumn("_t", ntile(n).over(w))
+        .groupBy("_t").agg(max("_v").as("_b"))
+        .orderBy("_t").collect().map(_.getString(1))
+      c -> bounds.dropRight(1) // n-1 cut points
+    }.toMap
     val bucketed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val bucket =
-        if (strSet(c))
-          // strings have no quantile ordering worth preserving; a hash
-          // bucket still co-locates EQUAL values, which is what equality
-          // pruning (requester = X) needs from the layout
-          pmod(xxhash64(coalesce(col(c), lit(""))), lit(n.toLong))
+        if (sqs.contains(c))
+          aggregate(typedLit(sqs(c).toSeq), lit(0L),
+            (acc, b) => acc + when(col(c) > b, 1L).otherwise(0L))
         else
           aggregate(typedLit(qs(c).toSeq), lit(0L),
             (acc, b) => acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
@@ -111,6 +131,17 @@ object Layout {
       .drop(zCols.indices.map(i => s"_zb$i"): _*)
   }
 
+  /** The full clustering pipeline shared by [[zorderWrite]] and the
+    * compacter: z-value → range partition into `numFiles` → local sort →
+    * drop the helper column.
+    */
+  def zorderCluster(df: DataFrame, zCols: Seq[String], numFiles: Int,
+                    bits: Int = 8): DataFrame =
+    zvalueByRange(df, zCols, bits)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+
   /** Z-order-clustered parquet write: range-partition by z-value into
     * `numFiles` files, sort within each by z-value, drop the helper
     * column. Every output file covers a compact Morton-curve segment →
@@ -118,9 +149,6 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, zCols: Seq[String], numFiles: Int,
                   dest: String, bits: Int = 8): Unit =
-    zvalueByRange(df, zCols, bits)
-      .repartitionByRange(numFiles, col("zval"))
-      .sortWithinPartitions("zval")
-      .drop("zval")
+    zorderCluster(df, zCols, numFiles, bits)
       .write.mode("overwrite").option("compression", "snappy").parquet(dest)
 }

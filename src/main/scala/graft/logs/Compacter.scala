@@ -111,8 +111,10 @@ object Compacter {
     compactDayWithStats(spark, cfg, dt).map(_.dest)
 
   /** As `compactDay`, additionally reporting row/corrupt counts measured
-    * via `Dataset.observe` — metrics ride the write job itself, no second
-    * scan of the input.
+    * via `Dataset.observe` — metrics ride the first job over the frame;
+    * on the default path that is the write itself (no second scan), on
+    * the zorder path the parsed frame is cached so the boundary/sketch
+    * passes and the write still read the raw text once.
     */
   def compactDayWithStats(spark: SparkSession, cfg: Config,
                           dt: String): Option[DayStats] = {
@@ -128,19 +130,27 @@ object Compacter {
     val obs = org.apache.spark.sql.Observation(s"compact-$dt")
     val observed = parsed(spark, paths)
       .observe(obs, count(lit(1)).as("rows"), count(col("error_line")).as("corrupt"))
-    val clustered =
-      if (cfg.zorderBy.isEmpty)
-        observed.repartition(numFiles).sortWithinPartitions("request_time")
-      else
-        graft.ext.Layout.zvalueByRange(observed, cfg.zorderBy)
-          .repartitionByRange(numFiles, col("zval"))
-          .sortWithinPartitions("zval")
-          .drop("zval")
-    clustered
-      .write
-      .mode("overwrite") // deterministic re-runs: re-running a day replaces it
-      .option("compression", "snappy")
-      .parquet(dest)
+    if (cfg.zorderBy.isEmpty) {
+      // metrics ride the write job itself — no second scan of the input
+      observed.repartition(numFiles).sortWithinPartitions("request_time")
+        .write
+        .mode("overwrite") // deterministic re-runs: re-running a day replaces it
+        .option("compression", "snappy")
+        .parquet(dest)
+    } else {
+      // the zorder path needs boundary/sampling passes BEFORE the write
+      // (quantile collect + range-partitioner sketch) — cache the parsed
+      // frame so the raw text is read and parsed once, not three times
+      val cached = observed.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.ext.Layout.zorderCluster(cached, cfg.zorderBy, numFiles)
+          .write
+          .mode("overwrite")
+          .option("compression", "snappy")
+          .parquet(dest)
+      } finally cached.unpersist()
+    }
     val m = obs.get
     Some(DayStats(dest, m("rows").asInstanceOf[Long], m("corrupt").asInstanceOf[Long]))
   }

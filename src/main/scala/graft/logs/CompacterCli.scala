@@ -52,9 +52,14 @@ object CompacterCli {
       // --target-file-mb 256 derives the per-day file count from raw bytes
       targetFileMb = opts.get("target-file-mb").map(_.toInt),
       // --zorder-by request_time,requester → multi-column Z-order
-      // clustering instead of the time-only within-file sort (extension)
-      zorderBy = opts.get("zorder-by").map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(Seq.empty)
+      // clustering instead of the time-only within-file sort (extension);
+      // an explicitly-passed flag must name at least one column — a
+      // silently ignored empty list would skip the requested clustering
+      zorderBy = opts.get("zorder-by").map { v =>
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "--zorder-by requires a non-empty column list")
+        cols
+      }.getOrElse(Seq.empty)
     )
     val builder = SparkSession.builder()
       .appName("graft-log-compacter")

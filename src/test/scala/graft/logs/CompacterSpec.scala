@@ -127,13 +127,23 @@ class CompacterSpec extends SparkTestBase {
     val perFile = spark.read.parquet(dest)
       .groupBy(input_file_name())
       .agg(countDistinct("requester").as("n_req"),
+        min("requester").as("min_r"), max("requester").as("max_r"),
         count(lit(1)).as("n"))
       .collect()
     assert(perFile.map(_.getAs[Long]("n")).sum == 192)
-    // hash-bucketed requester dimension: files must NOT each span all 8
-    // requesters (time-only sort would give 8 everywhere)
+    // files must NOT each span all 8 requesters (time-only sort would
+    // give 8 everywhere)
     val avgReq = perFile.map(_.getAs[Long]("n_req")).sum.toDouble / perFile.length
     assert(avgReq <= 5.0, s"avg distinct requesters per file $avgReq")
+    // the pruning property itself: rank bucketing is ORDER-PRESERVING, so
+    // per-file min/max requester RANGES stay narrow — a `requester = X`
+    // predicate can skip files on parquet stats (a hash bucket would
+    // co-locate values but leave min..max spanning the whole domain)
+    def rank(r: String) = r.last.toString.toInt // arn:user/uN → N
+    val avgSpan = perFile.map(f =>
+      rank(f.getAs[String]("max_r")) - rank(f.getAs[String]("min_r")))
+      .sum.toDouble / perFile.length
+    assert(avgSpan <= 5.0, s"avg requester rank span per file $avgSpan (full = 7)")
     // schema unchanged: no zval column leaks into the files
     assert(!spark.read.parquet(dest).columns.contains("zval"))
   }
