@@ -633,18 +633,22 @@ object SparkEntry {
 
     // §2.4 ext — array aggregation: deterministic sorted collect, argmax
     // via struct-max (max_by's tie-break is engine-arbitrary; lexicographic
-    // struct comparison is not), array slicing.
+    // struct comparison is not), array slicing. The arrays are serialized
+    // to CSV in the output because the gate's comparator sorts rows in
+    // pandas, where array cells are unhashable — the aggregation itself is
+    // still array-typed end-to-end.
     "q43_array_agg" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .filter(col("o_custkey") < 200)
         .groupBy("o_custkey")
         .agg(
-          array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+          array_sort(collect_list(col("o_orderkey"))).as("keys_arr"),
           count(lit(1)).as("n_orders"),
           max(struct(col("o_totalprice"), col("o_orderkey")))
             .getField("o_orderkey").as("top_order"))
-        .select(col("o_custkey"), col("order_keys"),
-          slice(col("order_keys"), 1, 3).as("first3"),
+        .select(col("o_custkey"),
+          array_join(col("keys_arr").cast("array<string>"), ",").as("order_keys"),
+          array_join(slice(col("keys_arr"), 1, 3).cast("array<string>"), ",").as("first3"),
           col("n_orders"), col("top_order"))
         .orderBy("o_custkey")
     }),
@@ -761,16 +765,22 @@ object SparkEntry {
     // quantized vectors are bit-identical across engines.
     "q52_embed_quantize" -> ((s, dir) => {
       ext.Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "embedding")
-        .select("vec_id", "scale", "qvec")
+        .select(col("vec_id"), col("scale"),
+          // CSV-serialized for the comparator (pandas can't sort array
+          // cells); the int8 codes themselves are what's being gated
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec"))
         .orderBy("vec_id")
     }),
 
     // ext similarity — per-label element-wise centroids via the transpose
     // trick (posexplode → skinny hash aggregate → reassemble), decimal
-    // sums for order-independence.
+    // sums for order-independence. Output is re-exploded to (label, pos, m)
+    // scalars for the comparator; the centroid assembly is still exercised.
     "q53_embed_centroids" -> ((s, dir) => {
       ext.Similarity.groupCentroids(tbl(s, dir, "embeddings"), "label", "embedding")
-        .orderBy("label")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "m")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("pos"), col("m"))
+        .orderBy("label", "pos")
     }),
 
     // ext streaming-shape — native session windows (gap-merged), the
@@ -1644,8 +1654,8 @@ object SparkEntry {
 
     "q43_array_agg" ->
       """SELECT o_custkey,
-        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
-        |  (list(o_orderkey ORDER BY o_orderkey))[1:3] AS first3,
+        |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+        |  array_to_string((list(o_orderkey ORDER BY o_orderkey))[1:3], ',') AS first3,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order
         |FROM orders
@@ -1770,22 +1780,19 @@ object SparkEntry {
         |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale
         |  FROM m)
         |SELECT vec_id, scale,
-        |  list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qvec
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)), ',') AS qvec
         |FROM s
         |ORDER BY vec_id""".stripMargin,
 
     "q53_embed_centroids" ->
-      """SELECT label, list(m ORDER BY pos) AS centroid
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m
         |FROM (
-        |  SELECT label, pos,
-        |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m
-        |  FROM (
-        |    SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
-        |    FROM embeddings)
-        |  GROUP BY 1, 2)
-        |GROUP BY 1
-        |ORDER BY 1""".stripMargin,
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+        |  FROM embeddings)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // exact algorithm on both sides: same pair set by construction (the
     // size-band blocking has zero false negatives, so no LSH-recall caveat)
