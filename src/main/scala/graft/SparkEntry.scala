@@ -1005,6 +1005,100 @@ object SparkEntry {
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // ext profile — per-column QA profile (nulls/cardinality/range) in one
+    // aggregation job; the generalization of the reference's in-band parse
+    // quality signal (error_line). Status 'O' is nulled to exercise the
+    // null accounting on data that ships none.
+    "q66_profile" -> ((s, dir) => {
+      val src = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus"))
+          .as("status"),
+        col("o_orderpriority"))
+      ext.Profile.columnProfile(src, Seq("o_orderkey", "status", "o_orderpriority"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    }),
+
+    // ext merge — CDC upsert without a table format: changed rows replace,
+    // new rows append, untouched base passes through one anti join.
+    "q67_merge_upsert" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val changed = base.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"))
+      val inserts = base.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      ext.Merge.upsert(base, changed.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ext text — BM25 ranked retrieval (term saturation + length
+    // normalization over q47's TF-IDF shuffle profile); per-term partial
+    // scores, linear idf for cross-engine bit-identity.
+    "q68_bm25" -> ((s, dir) => {
+      TextStats.bm25PerTerm(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "merge", "scan"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // ext text — PII redaction: emails/IPv4/digit-runs scrubbed in one
+    // per-row expression chain; counts audit what was removed. PII is
+    // synthesized deterministically (the corpus ships none).
+    "q69_pii_redact" -> ((s, dir) => {
+      val withPii = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex.org from 10.77."),
+          pmod(col("doc_id"), lit(256L)), lit(".3 ref 123456789"), col("doc_id"))
+          .as("text"))
+      val afterIp = regexp_replace(
+        regexp_replace(col("text"), TextStats.EmailPattern, "<EMAIL>"),
+        TextStats.Ipv4Pattern, "<IP>")
+      withPii.select(col("doc_id"),
+        TextStats.piiCount(col("text"), TextStats.EmailPattern).as("n_email"),
+        TextStats.piiCount(col("text"), TextStats.Ipv4Pattern).as("n_ip"),
+        // digit runs are counted on the ip-redacted text, matching the
+        // pass order inside redactPii
+        size(regexp_extract_all(afterIp, lit(TextStats.DigitRunPattern), lit(0)))
+          .cast("long").as("n_num"),
+        md5(TextStats.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ext dedup — survivor per near-dup cluster (longest text, ties to
+    // min id): the content-aware policy layer over q49's component labels.
+    "q70_dedup_survivors" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      val all = docs.union(near)
+      val pairs = Dedup.minhashDuplicates(all, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.8)
+      Dedup.clusterSurvivors(all, "doc_id", "text", pairs.select("id_a", "id_b"))
+        .orderBy("component")
+    }),
+
+    // ext funnel — ordered-step funnel (view → click → purchase): one
+    // shrinking min-aggregate per stage, no window over the event stream.
+    "q71_funnel" -> ((s, dir) => {
+      ext.Funnel.funnel(tbl(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
+    // ext sampling — stratified deterministic hash sample: per-language
+    // rates rebalance the corpus (downsample en, keep the tail), membership
+    // a pure function of doc_id — identical rows on every engine/run.
+    "q72_stratified_sample" -> ((s, dir) => {
+      ext.Sampling.stratified(tbl(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.1, "zh" -> 0.5), defaultRate = 0.25)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     })
   )
 
@@ -1920,6 +2014,142 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
         |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q66_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM src""".stripMargin
+      s"""WITH src AS (
+         |  SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status, o_orderpriority
+         |  FROM orders)
+         |${one("o_orderkey")}
+         |UNION ALL
+         |${one("status")}
+         |UNION ALL
+         |${one("o_orderpriority")}
+         |ORDER BY col_name""".stripMargin
+    },
+
+    "q67_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 17 = 0)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same association order as bm25PerTerm: every op is one
+    // correctly-rounded IEEE step, so scores are bit-identical
+    "q68_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |t AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM t WHERE term IN ('hash', 'merge', 'scan') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * ((tf * CAST(2.2 AS DOUBLE))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |        * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) AS score
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q69_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@ex.org from 10.77.'
+        |      || (doc_id % 256) || '.3 ref 123456789' || doc_id AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS after_ip
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(after_ip, '\d{9,}')) AS BIGINT) AS n_num,
+        |  md5(regexp_replace(after_ip, '\d{9,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    "q70_dedup_survivors" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents WHERE doc_id % 7 = 0),
+         |$ShingleCte,
+         |e AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |r(x, y) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a),
+         |comp AS (SELECT x AS doc_id, min(y) AS component FROM r GROUP BY 1),
+         |j AS (
+         |  SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS len
+         |  FROM comp c JOIN all_docs d USING (doc_id))
+         |SELECT component, doc_id AS survivor_id, n_members, max_len FROM (
+         |  SELECT component, doc_id, len,
+         |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+         |    max(len) OVER (PARTITION BY component) AS max_len,
+         |    row_number() OVER (PARTITION BY component ORDER BY len DESC, doc_id) AS rn
+         |  FROM j) WHERE rn = 1
+         |ORDER BY component""".stripMargin,
+
+    "q71_funnel" ->
+      s"""WITH ev AS ($EventsCte),
+         |s1 AS (SELECT user_id, min(ts) AS t_1 FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM ev e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM ev e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+         |SELECT s1.user_id, t_1, t_2, t_3,
+         |  CAST(1 + (CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END)
+         |         + (CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY 1""".stripMargin,
+
+    // thresholds: round(rate * 65536) as 4-hex-digit strings — en 0.1 →
+    // 199a, zh 0.5 → 8000, default 0.25 → 4000 (Sampling.hexThreshold)
+    "q72_stratified_sample" ->
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '199a'
+        |       WHEN lang = 'zh' THEN '8000'
+        |       ELSE '4000' END
+        |ORDER BY doc_id""".stripMargin
   )
 }

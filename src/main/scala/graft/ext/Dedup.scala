@@ -428,6 +428,34 @@ object Dedup {
     labels
   }
 
+  /** Content-aware survivor per near-duplicate cluster: label the pair
+    * graph with [[connectedComponents]], then keep ONE document per
+    * component — the longest text, ties to the smallest id (deterministic;
+    * swap the ordering for quality-score or recency policies). This is the
+    * policy layer [[minhashDedup]]'s drop-the-larger-id shortcut skips.
+    *
+    * Returns (component, survivor_id, n_members, max_len). Cost on top of
+    * the pair graph: one join of labels back to documents (labels are tiny
+    * — only documents that HAVE a duplicate) and one struct-argmax hash
+    * aggregate per component. No window sort, no per-cluster collection.
+    */
+  def clusterSurvivors(df: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    labels
+      .join(df.select(col(idCol).as("id"), length(col(textCol)).cast("long").as("len")),
+        Seq("id"))
+      .groupBy(col("comp").as("component"))
+      // argmax by (len, -id): longest text wins, ties to smallest id
+      .agg(
+        max(struct(col("len"), (-col("id")).as("negid"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"),
+        (-col("__best.negid")).as("survivor_id"),
+        col("n_members"),
+        col("__best.len").as("max_len"))
+  }
+
   // --------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Standalone form

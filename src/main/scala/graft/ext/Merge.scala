@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-style merge (upsert) without a table format: the operation that
+  * keeps a compacted corpus current as new/changed rows arrive — the
+  * incremental counterpart of the reference's "re-run the whole day"
+  * idempotency model (`scripts/...:290-302`), for when re-running the
+  * day is 100 TB.
+  *
+  * Scale notes:
+  *  - [[upsert]] is one left-anti join on the key. The base side — the big
+  *    one — shuffles at most once on the key; when the update batch is
+  *    small (the common CDC shape) AQE broadcasts it and the base never
+  *    shuffles at all.
+  *  - Combined with a `dt=`-partitioned layout, the join only needs the
+  *    partitions the batch touches (dynamic partition overwrite on write):
+  *    merge cost scales with the CHANGE, not the corpus.
+  *  - [[upsertVersioned]] additionally collapses multiple updates per key
+  *    (at-least-once delivery) via struct-argmax — deterministic,
+  *    max version wins, key order never matters.
+  */
+object Merge {
+
+  /** Latest-wins upsert: every key present in `updates` takes the update
+    * row; all other base rows pass through. Columns are matched by name.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val keep = base.join(updates.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    updates.unionByName(keep)
+  }
+
+  /** Upsert with in-batch version resolution: if `updates` carries several
+    * rows per key, the row with the highest `versionCol` wins (ties broken
+    * by the lexicographically greatest remaining struct — deterministic).
+    * Then merges over `base` as [[upsert]].
+    */
+  def upsertVersioned(base: DataFrame, updates: DataFrame,
+                      keys: Seq[String], versionCol: String): DataFrame = {
+    val payload = updates.columns.filterNot(keys.contains)
+    // struct-argmax: one hash aggregate, no window sort
+    val latest = updates
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct((col(versionCol) +: payload.filterNot(_ == versionCol).toSeq.map(col)): _*))
+        .as("__m"))
+      .select(keys.map(col) ++ payload.toSeq.map(c => col(s"__m.$c").as(c)): _*)
+    upsert(base, latest, keys)
+  }
+}

@@ -181,6 +181,83 @@ object TextStats {
     array_distinct(mins)
   }
 
+  // -------------------------------------------------------- PII redaction
+
+  /** Email addresses; RE2/Java-regex portable (no lookaround). */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literals, word-bounded so version strings like
+    * "1.2.3.4.5" still match their leading quad the way log scrubbers
+    * expect.
+    */
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Long digit runs (9+): account numbers, phone numbers without
+    * separators. Applied AFTER the IP pass so quads don't feed it.
+    */
+  val DigitRunPattern: String = "\\d{9,}"
+
+  /** Count of PII matches of one pattern — the audit metric that goes in
+    * the curation report next to the redacted corpus.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Scrub PII from free text: emails → `<EMAIL>`, IPv4 → `<IP>`, long
+    * digit runs → `<NUM>`, in that order (emails can contain digit runs;
+    * IPs must be consumed before the digit pass sees their octets).
+    * Pure per-row column expression — no shuffle, streams unchanged.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      DigitRunPattern, "<NUM>")
+
+  // ------------------------------------------------------- BM25 retrieval
+
+  /** Per-(doc, term) BM25 partial scores for a fixed query-term set — the
+    * ranked-retrieval upgrade of the linear-idf TF-IDF pipeline: term
+    * saturation (k1) and length normalization (b).
+    *
+    * Shuffles: (doc, term) for tf, term for df — identical profile to
+    * TF-IDF; corpus stats (N, avgdl) come from a broadcast one-row
+    * aggregate, never a driver-side collect. The query-term filter lands
+    * right after tokenization, so only matching postings shuffle.
+    *
+    * Determinism: linear idf ((N - df + 0.5)/(df + 0.5) — one division,
+    * no ln(): libm last-ulp drift would make near-tie rankings
+    * engine-dependent) and a fixed operation order, so scores are
+    * bit-identical across engines and partitionings. Summing per-doc is
+    * left to the caller (order-sensitive in IEEE); ranking by per-term
+    * score tuples is exact.
+    */
+  def bm25PerTerm(df: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25PerTerm needs at least one query term")
+    val toks = df.select(col(idCol),
+      split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ").as("__toks"))
+    val dl = toks.select(col(idCol), size(col("__toks")).cast("double").as("dl"),
+      explode(col("__toks")).as("term"))
+    val tf = dl.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val matched = tf.filter(col("term").isin(queryTerms: _*))
+    val dfreq = matched.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("__toks")).cast("long")).cast("double") /
+        count(lit(1))).as("avgdl"))
+    matched.join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        // fixed association order, mirrored verbatim by the SQL oracle
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))))
+          .as("score"))
+  }
+
   /** One-call frame transformer: append the full stats column set. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -197,4 +197,17 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq(11L, 13L),
       "corpus match drops 10, smaller-id within-batch match drops 12")
   }
+
+  test("clusterSurvivors: longest text wins, ties to min id, sizes correct") {
+    val docs = Seq(
+      (1L, "short"), (2L, "longer text"), (3L, "longer text"), // cluster {1,2,3}
+      (7L, "aaa"), (8L, "bbb"),                                // cluster {7,8}
+      (9L, "solo")                                             // no duplicate: unlabeled
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSurvivors(docs, "doc_id", "text", pairs)
+      .orderBy("component").as[(Long, Long, Long, Long)].collect().toSeq
+    // {1,2,3}: 2 and 3 tie on length 11 -> min id 2; {7,8}: tie -> 7
+    assert(out == Seq((1L, 2L, 3L, 11L), (7L, 7L, 2L, 3L)))
+  }
 }

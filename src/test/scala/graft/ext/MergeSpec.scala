@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "v")
+
+  test("upsert replaces on key, appends new keys, passes the rest through") {
+    val updates = Seq((2L, "B", 99.0), (9L, "i", 1.0)).toDF("k", "name", "v")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (9L, "i", 1.0)))
+  }
+
+  test("upsertVersioned: max version per key wins within the batch") {
+    val updates = Seq(
+      (2L, "old", 1.0, 1L), (2L, "new", 2.0, 5L), (2L, "mid", 1.5, 3L),
+      (9L, "x", 9.0, 1L)
+    ).toDF("k", "name", "v", "version")
+    val out = Merge.upsertVersioned(
+        base.withColumn("version", lit(0L)), updates, Seq("k"), "version")
+      .orderBy("k").select("k", "name").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "new"), (3L, "c"), (9L, "x")))
+  }
+
+  test("upsert with an empty update batch is the identity") {
+    val out = Merge.upsert(base, base.filter(col("k") < 0), Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("small update side stays broadcast: base never exchanges on the key") {
+    val big = spark.range(0, 10000).select(col("id").as("k"),
+      col("id").cast("string").as("name"), col("id").cast("double").as("v"))
+    val small = Seq((5L, "u", 0.0)).toDF("k", "name", "v")
+    val plan = Merge.upsert(big, small, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected the anti join to broadcast the update keys:\n$plan")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 20000).toDF("id")
+
+  test("rate is honored within hash-uniformity tolerance, and is pure") {
+    val n = Sampling.sample(ids, "id", 0.25).count()
+    assert(math.abs(n - 5000) < 300, s"got $n of expected ~5000")
+    // determinism: identical membership on re-run and under repartitioning
+    val a = Sampling.sample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sample(ids.repartition(13), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("nested sample property: a 10% sample is a subset of the 30% sample") {
+    val small = Sampling.sample(ids, "id", 0.10).collect().map(_.getLong(0)).toSet
+    val large = Sampling.sample(ids, "id", 0.30).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratified: per-stratum rates, default for unknown strata") {
+    val df = ids.withColumn("stratum",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.stratified(df, "id", "stratum",
+      Map("a" -> 0.5, "b" -> 0.05), defaultRate = 0.2)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata have ~6667 members each
+    assert(math.abs(counts("a") - 3333) < 300, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 333) < 120, s"b=${counts("b")}")
+    assert(math.abs(counts("c") - 1333) < 250, s"c=${counts("c")}")
+  }
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    assert(Sampling.sample(ids, "id", 0.0).count() == 0L)
+    assert(Sampling.sample(ids, "id", 1.0).count() == 20000L)
+  }
+
+  test("sampling is a pure scan filter: no shuffle in the plan") {
+    val plan = Sampling.stratified(ids.withColumn("s", lit("x")), "id", "s",
+      Map("x" -> 0.5), 0.1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample should not shuffle:\n$plan")
+  }
+}

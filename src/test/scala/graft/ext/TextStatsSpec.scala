@@ -90,4 +90,38 @@ class TextStatsSpec extends SparkTestBase {
       "mean_word_len", "quality_score", "lang_pred", "fingerprint")
       .subsetOf(cols))
   }
+
+  test("redactPii scrubs emails, IPv4, digit runs — in that pass order") {
+    val in = "mail bob.smith+x@corp.example.org from 192.168.1.200, acct 1234567890, v1.2"
+    val out = one(TextStats.redactPii(col("t")), in).asInstanceOf[String]
+    assert(out == "mail <EMAIL> from <IP>, acct <NUM>, v1.2")
+    // IP octets are consumed by the IP pass, never by the digit-run pass;
+    // short digit runs survive
+    val ipOnly = one(TextStats.redactPii(col("t")), "ip 10.0.0.1 build 12345")
+      .asInstanceOf[String]
+    assert(ipOnly == "ip <IP> build 12345")
+  }
+
+  test("piiCount audits match counts per pattern") {
+    val in = "a@b.co and c@d.org via 10.0.0.1"
+    assert(one(TextStats.piiCount(col("t"), TextStats.EmailPattern), in) == 2L)
+    assert(one(TextStats.piiCount(col("t"), TextStats.Ipv4Pattern), in) == 1L)
+  }
+
+  test("bm25PerTerm: saturation and length normalization rank as expected") {
+    val docs = Seq(
+      (1L, "spark spark spark spark engine"),             // high tf, short
+      (2L, "spark engine " + Seq.fill(50)("filler").mkString(" ")), // tf=1, long
+      (3L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25PerTerm(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out.keySet == Set(1L, 2L)) // doc 3 has no query term
+    // higher tf in a shorter doc must outscore tf=1 in a padded doc
+    assert(out(1L) > out(2L))
+    // saturation: quadrupling tf must not quadruple the score
+    val tf = TextStats.bm25PerTerm(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tf(1L) == 4L && tf(2L) == 1L && out(1L) < 4.0 * out(2L))
+  }
 }
