@@ -1099,6 +1099,50 @@ object SparkEntry {
           Map("en" -> 0.1, "zh" -> 0.5), defaultRate = 0.25)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
+    }),
+
+    // ext profile — per-key skew audit feeding the salting decision
+    // (q27's mitigation): folding keys ≥ 50 into one synthesizes the hot
+    // key the uniform testdata lacks.
+    "q73_skew_audit" -> ((s, dir) => {
+      val keyed = tbl(s, dir, "orders")
+        .select(least(col("o_custkey"), lit(50L)).as("key"))
+      ext.Profile.skewAudit(keyed, "key", ratioThreshold = 2.0)
+        .orderBy("key")
+    }),
+
+    // ext text — co-occurrence lift (log-free PMI) over per-document
+    // distinct terms: integer-exact count products, one double division.
+    "q74_cooccurrence" -> ((s, dir) => {
+      TextStats.cooccurrenceLift(
+          tbl(s, dir, "documents").filter(col("lang") === "en"),
+          "doc_id", "text", minPairs = 25L)
+        .orderBy("term_a", "term_b")
+    }),
+
+    // ext profile — per-group z-score outliers from decimal power sums
+    // (q64's determinism idiom applied to row-level filtering).
+    "q75_zscore_outliers" -> ((s, dir) => {
+      ext.Profile.zscoreOutliers(tbl(s, dir, "events"), "value", "event_type",
+          zThreshold = 2.5)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    }),
+
+    // ext text — vocabulary coverage curve (terms ranked by frequency,
+    // cumulative token share): the tokenizer-vocab sizing query.
+    "q76_vocab_coverage" -> ((s, dir) => {
+      TextStats.vocabCoverage(tbl(s, dir, "documents"))
+        .filter(col("rank") <= 200)
+        .orderBy("rank")
+    }),
+
+    // ext profile — equal-frequency binning (deterministic ntile):
+    // feature bins / range-partition boundaries with per-bin stats.
+    "q77_quantile_bins" -> ((s, dir) => {
+      ext.Profile.equalFrequencyBins(tbl(s, dir, "orders"),
+          "o_totalprice", "o_orderkey", bins = 20)
+        .orderBy("bin")
     })
   )
 
@@ -2150,6 +2194,85 @@ object SparkEntry {
         |  CASE WHEN lang = 'en' THEN '199a'
         |       WHEN lang = 'zh' THEN '8000'
         |       ELSE '4000' END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q73_skew_audit" ->
+      """WITH k AS (SELECT least(o_custkey, 50) AS key FROM orders),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows FROM k GROUP BY 1),
+        |s AS (SELECT CAST(sum(n_rows) AS DOUBLE) / count(*) AS mean_rows FROM c)
+        |SELECT key, n_rows, mean_rows,
+        |  CAST(n_rows AS DOUBLE) / mean_rows AS ratio,
+        |  TRUE AS is_hot
+        |FROM c CROSS JOIN s
+        |WHERE CAST(n_rows AS DOUBLE) / mean_rows >= 2.0
+        |ORDER BY key""".stripMargin,
+
+    "q74_cooccurrence" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |dt AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM d)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM dt GROUP BY 1),
+        |p AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 25)
+        |SELECT term_a, term_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+        |  CAST(n_ab * n_docs AS DOUBLE) / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+        |FROM p
+        |JOIN tf ta ON p.term_a = ta.term
+        |JOIN tf tb ON p.term_b = tb.term
+        |CROSS JOIN nd
+        |ORDER BY term_a, term_b""".stripMargin,
+
+    // q64's decimal power-sum idiom: value is 2-decimal money-like, so the
+    // DECIMAL(18,2) cast and the decimal products/sums are EXACT; the
+    // mean/sd derivation mirrors zscoreOutliers' association order step
+    // for step, making the flagged row set engine-identical.
+    "q75_zscore_outliers" ->
+      s"""WITH ev AS ($EventsCte),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS sxd,
+         |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxxd
+         |  FROM ev GROUP BY 1),
+         |s AS (
+         |  SELECT event_type,
+         |    CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    sqrt((CAST(sxxd AS DOUBLE)
+         |        - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) - 1)) AS sd
+         |  FROM m)
+         |SELECT event_id, e.event_type, value, (value - mean) / sd AS z
+         |FROM ev e JOIN s ON e.event_type = s.event_type
+         |WHERE abs((value - mean) / sd) > 2.5
+         |ORDER BY event_id""".stripMargin,
+
+    "q76_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT term, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, term) AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE) AS cum_share
+        |FROM c CROSS JOIN t
+        |QUALIFY rank <= 200
+        |ORDER BY rank""".stripMargin,
+
+    "q77_quantile_bins" ->
+      """WITH b AS (
+        |  SELECT o_totalprice,
+        |    ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM b GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -55,6 +55,71 @@ object Profile {
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Per-key distribution audit — the input to a skew-mitigation decision
+    * (salting factor, AQE skew thresholds): every key's share of the table
+    * and its ratio to the mean key load, flagged against `ratioThreshold`.
+    * One hash aggregate + one broadcast of the (tiny) global stats row:
+    * cost is a groupBy on the join key you were about to shuffle on anyway.
+    * Returns (key, n_rows, mean_rows, ratio, is_hot) for keys ≥ the
+    * threshold ratio, plus nothing for balanced keys (audit output stays
+    * small even when the table is not).
+    */
+  def skewAudit(df: DataFrame, keyCol: String,
+                ratioThreshold: Double = 2.0): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      (sum("n_rows").cast("double") / count(lit(1))).as("mean_rows"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n_rows"), col("mean_rows"),
+        (col("n_rows").cast("double") / col("mean_rows")).as("ratio"))
+      .filter(col("ratio") >= ratioThreshold)
+      .withColumn("is_hot", lit(true))
+  }
+
+  /** Rows whose value is a per-group z-score outlier (|z| > `zThreshold`).
+    * Moments come from DECIMAL power sums (the q64/StatMoments idiom:
+    * Spark's native stddev merges in partition order and drifts by ulps),
+    * so mean/sd — and therefore the flagged row set — are identical on
+    * every engine and partitioning. Two passes over the group: one
+    * aggregate, one broadcast-join back; no window sort.
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     zThreshold: Double = 2.5,
+                     decimalType: String = "decimal(18,2)"): DataFrame = {
+    // dx is EXACT when the value has ≤ the decimal type's scale (money-like
+    // columns); pass a wider type for higher-precision inputs
+    val dx = col(valueCol).cast(decimalType)
+    val moments = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"), sum(dx).as("sxd"), sum(dx * dx).as("sxxd"))
+    val n = col("n").cast("double")
+    val sx = col("sxd").cast("double")
+    val sxx = col("sxxd").cast("double")
+    val stats = moments.select(col(groupCol),
+      (sx / n).as("mean"),
+      sqrt((sxx - sx * sx / n) / (n - 1)).as("sd"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z", (col(valueCol).cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > zThreshold)
+  }
+
+  /** Equal-frequency bins of `valueCol` (deterministic: ties broken by
+    * `tieCol`), with per-bin count and value range — feature binning and
+    * range-partition boundary planning in one op. The global ntile sort is
+    * a range exchange, the per-bin stats a hash aggregate; at 100 TB,
+    * swap the exact ntile for approx_percentile boundaries (same output
+    * shape, one pass, no global sort) — the Layout module's quantile-vs-
+    * ntile trade, applied to binning.
+    */
+  def equalFrequencyBins(df: DataFrame, valueCol: String, tieCol: String,
+                         bins: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valueCol), col(tieCol))
+    df.select(col(valueCol), ntile(bins).over(w).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   /** Sketch-based profile for wide tables / 100 TB inputs: identical shape
     * to [[columnProfile]] but `n_distinct` is an HLL estimate (`rsd`
     * standard error), so the plan is Expand-free: one partial+final

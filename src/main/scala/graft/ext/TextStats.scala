@@ -258,6 +258,63 @@ object TextStats {
           .as("score"))
   }
 
+  // --------------------------------------------------- corpus vocabulary
+
+  /** Vocabulary coverage: global term frequencies ranked by count (ties
+    * to lexicographic term), with each rank's CUMULATIVE share of all
+    * tokens — the curve that sizes a tokenizer vocab ("how many terms
+    * cover 95% of the corpus"). The heavy work (token counts) is a plain
+    * hash aggregate; the ranking window runs over the DISTINCT-TERM
+    * frame, which is vocabulary-sized, not corpus-sized — the single
+    * unpartitioned window is over ~10^5 rows even at 100 TB of text.
+    * Share = one BIGINT-exact cumulative sum and one double division:
+    * bit-identical across engines.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = df.select(explode(
+      split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    counts.crossJoin(broadcast(total))
+      .select(col("term"), col("n"),
+        row_number().over(w).cast("long").as("rank"),
+        (sum(col("n")).over(w).cast("double") / col("n_total").cast("double"))
+          .as("cum_share"))
+  }
+
+  /** Term co-occurrence lift: for term pairs sharing a document,
+    * lift = P(a,b) / (P(a)·P(b)) — the log-free PMI used to mine
+    * collocations / build co-occurrence matrices for embedding training.
+    * Computed as one integer-exact product ratio (counts are small enough
+    * that BIGINT products are exact; ONE double division at the end), so
+    * values are engine-identical. Work is bounded by Σ_doc (distinct
+    * terms/doc)² — per-document, not corpus-quadratic; `minPairs` prunes
+    * the long tail before the stats joins.
+    */
+  def cooccurrenceLift(df: DataFrame, idCol: String, textCol: String,
+                       minPairs: Long = 10L): DataFrame = {
+    val dt = df.select(col(idCol).as("__doc"), explode(array_distinct(
+      split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")))
+      .as("term"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val tf = dt.groupBy("term").agg(count(lit(1)).as("n_t"))
+    val a = dt.select(col("__doc"), col("term").as("term_a"))
+    val b = dt.select(col("__doc"), col("term").as("term_b"))
+    val pairs = a.join(b, "__doc").filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    pairs
+      .join(tf.select(col("term").as("term_a"), col("n_t").as("n_a")), "term_a")
+      .join(tf.select(col("term").as("term_b"), col("n_t").as("n_b")), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_docs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   /** One-call frame transformer: append the full stats column set. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

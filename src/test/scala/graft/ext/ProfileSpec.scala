@@ -44,4 +44,35 @@ class ProfileSpec extends SparkTestBase {
     assert(p("id") == ((0L, 0L, 0L, true, true)))
     assert(p("cat") == ((0L, 0L, 0L, true, true)))
   }
+
+  test("skewAudit flags only keys above the ratio threshold") {
+    // key 1: 8 rows; keys 2..5: 1 row each -> mean 2.4, ratio(1) = 3.33
+    val rows = (Seq.fill(8)(1L) ++ Seq(2L, 3L, 4L, 5L)).toDF("k")
+    val hot = Profile.skewAudit(rows, "k", ratioThreshold = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(hot.toSeq == Seq((1L, 8L, 8.0 / 2.4)))
+  }
+
+  test("zscoreOutliers: only the planted outlier crosses the threshold") {
+    val vals = (Seq.fill(30)(10.0) ++ Seq(11.0, 9.0, 100.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val out = Profile.zscoreOutliers(vals, "v", "grp", zThreshold = 2.5)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((32L, 100.0)))
+  }
+
+  test("equalFrequencyBins: near-equal sizes, contiguous non-overlapping ranges") {
+    val df = spark.range(0, 1003).select(col("id").as("tie"),
+      (col("id") * 7 % 1003).cast("double").as("v"))
+    val bins = Profile.equalFrequencyBins(df, "v", "tie", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bins.length == 10)
+    assert(bins.map(_._2).sum == 1003L)
+    assert(bins.map(_._2).max - bins.map(_._2).min <= 1) // equal frequency
+    bins.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"bin ranges overlap: $lo vs $hi")
+    }
+  }
 }

@@ -124,4 +124,31 @@ class TextStatsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(tf(1L) == 4L && tf(2L) == 1L && out(1L) < 4.0 * out(2L))
   }
+
+  test("vocabCoverage: ranks by count desc, cumulative share reaches 1") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val out = TextStats.vocabCoverage(docs).orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("a", 4L), ("b", 3L), ("c", 1L), ("z", 1L))) // tie c<z lexicographic
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(math.abs(out.last._4 - 1.0) < 1e-15)
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq) // monotone
+  }
+
+  test("cooccurrenceLift: terms always together get lift > independent pairs") {
+    // x and y co-occur in every doc; x and q co-occur in half of x's docs
+    val docs = Seq(
+      (1L, "x y filler1"), (2L, "x y filler2"),
+      (3L, "x y q"), (4L, "x y q"),
+      (5L, "q alone here"), (6L, "q alone there")
+    ).toDF("doc_id", "text")
+    val out = TextStats.cooccurrenceLift(docs, "doc_id", "text", minPairs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // x,y: n_ab=4, n_a=n_b=4, n=6 -> lift = 24/16 = 1.5
+    assert(out(("x", "y")) == 1.5)
+    // q,x: n_ab=2, n_q=4, n_x=4 -> lift = 12/16 = 0.75 (less associated)
+    assert(out(("q", "x")) == 0.75)
+    assert(out(("x", "y")) > out(("q", "x")))
+  }
 }
