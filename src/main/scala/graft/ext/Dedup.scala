@@ -385,12 +385,18 @@ object Dedup {
     * highest-quality, ...) instead of by id order.
     *
     * Iterative min-label propagation: each round, every node takes the min
-    * of its own label and its neighbors' labels — one shuffle per round on
-    * the node id, converging in graph-diameter rounds (near-dup graphs are
-    * shallow: duplicate clusters, not social networks). The fixpoint is
-    * unique (min reachable id), so the result is deterministic regardless
-    * of scheduling. Lineage is cut each round (localCheckpoint) — an
-    * iterative join would otherwise double the plan depth per round.
+    * of its own label and its neighbors' labels, converging in
+    * graph-diameter rounds (near-dup graphs are shallow: duplicate
+    * clusters, not social networks). The fixpoint is unique (min reachable
+    * id), so the result is deterministic regardless of scheduling.
+    *
+    * Per-round cost is pared down: the edge list is hash-partitioned on
+    * the join side ONCE up front (localCheckpoint preserves the
+    * partitioning, so no round re-shuffles the edges — only the much
+    * smaller label frame moves), and the new labels come from one union +
+    * min-aggregate rather than a join back against the previous labels.
+    * Lineage is cut each round (localCheckpoint) — an iterative join would
+    * otherwise double the plan depth per round.
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50): DataFrame = {
@@ -398,24 +404,33 @@ object Dedup {
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("dst"))
       .localCheckpoint(false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(false)
     var iter = 0
+    // convergence via the label sum: labels only ever DECREASE, so an
+    // unchanged sum IS the fixpoint — a scalar aggregate instead of a
+    // changed-flag join against the previous round. Sums are exact: each
+    // comp <= the max id, so n * maxId stays far below 2^63 for any id
+    // space that fits a join key.
+    var prevSum = labels.agg(sum("comp")).head().getLong(0)
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
+      // one union + min-aggregate: neighbors' labels and the node's own
+      // label meet in a single hash aggregate (no second join); every node
+      // appears in `labels`, so the union keeps isolated-side coverage
+      val next = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("comp").as("nmin"))
-      // every node in an edge list has >= 1 neighbor: inner join is total
-      val next = labels.join(neighborMin, Seq("id"))
-        .select(col("id"), least(col("comp"), col("nmin")).as("comp"),
-          (col("nmin") < col("comp")).as("_changed"))
+        .select(col("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(false)
-      converged = next.filter(col("_changed")).limit(1).count() == 0
-      labels = next.select("id", "comp")
+      val nextSum = next.agg(sum("comp")).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
       iter += 1
     }
     // fail loudly rather than return silently-split components: the
