@@ -1143,6 +1143,22 @@ object SparkEntry {
       ext.Profile.equalFrequencyBins(tbl(s, dir, "orders"),
           "o_totalprice", "o_orderkey", bins = 20)
         .orderBy("bin")
+    }),
+
+    // §2.5 ext — FULL OUTER join (the reconciliation join: rows surviving
+    // on either side, with a side indicator), completing the join-type
+    // surface next to q05/q06 (inner), q20 (anti), q65-adjacent semis.
+    "q78_full_outer" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), col("c_name"))
+      val o = tbl(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, Seq("k"), "full_outer")
+        .select(col("k"), col("c_name"), col("n_orders"),
+          when(col("c_name").isNull, "orders_only")
+            .when(col("n_orders").isNull, "customer_only")
+            .otherwise("both").as("side"))
+        .orderBy("k")
     })
   )
 
@@ -2273,6 +2289,19 @@ object SparkEntry {
         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM b GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q78_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 3 = 0),
+        |o AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1)
+        |SELECT k, c_name, n_orders,
+        |  CASE WHEN c_name IS NULL THEN 'orders_only'
+        |       WHEN n_orders IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS side
+        |FROM c FULL JOIN o USING (k)
+        |ORDER BY k""".stripMargin
   )
 }
