@@ -2264,7 +2264,7 @@ object SparkEntry {
          |  FROM m)
          |SELECT event_id, e.event_type, value, (value - mean) / sd AS z
          |FROM ev e JOIN s ON e.event_type = s.event_type
-         |WHERE abs((value - mean) / sd) > 2.5
+         |WHERE NOT isnan(sd) AND sd > 0 AND abs((value - mean) / sd) > 2.5
          |ORDER BY event_id""".stripMargin,
 
     "q76_vocab_coverage" ->

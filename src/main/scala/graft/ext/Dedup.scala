@@ -412,10 +412,14 @@ object Dedup {
     var iter = 0
     // convergence via the label sum: labels only ever DECREASE, so an
     // unchanged sum IS the fixpoint — a scalar aggregate instead of a
-    // changed-flag join against the previous round. Sums are exact: each
-    // comp <= the max id, so n * maxId stays far below 2^63 for any id
-    // space that fits a join key.
-    var prevSum = labels.agg(sum("comp")).head().getLong(0)
+    // changed-flag join against the previous round. Requires NUMERIC ids
+    // (hash non-numeric ids to a surrogate first); integral sums are
+    // exact: each comp <= the max id, so n * maxId stays far below 2^63
+    // for any id space that fits a join key. Compared as boxed values so
+    // long/decimal id columns both work.
+    val sumRow = labels.agg(sum("comp")).head()
+    if (sumRow.isNullAt(0)) return labels // no edges -> no labeled nodes
+    var prevSum: Any = sumRow.get(0)
     var converged = false
     while (!converged && iter < maxIter) {
       // one union + min-aggregate: neighbors' labels and the node's own
@@ -427,7 +431,7 @@ object Dedup {
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(false)
-      val nextSum = next.agg(sum("comp")).head().getLong(0)
+      val nextSum: Any = next.agg(sum("comp")).head().get(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next

@@ -29,16 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** Exact profile of `cols`: (column, n_rows, n_null, n_distinct,
-    * min_value, max_value), min/max rendered as strings so mixed-type
-    * column sets fit one frame. One aggregation job; see scale notes.
+  /** Shared body of the exact/approx profiles: one wide aggregation row,
+    * reshaped long-form. Only the distinct-count aggregate differs.
     */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__n")
@@ -54,6 +54,16 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Exact profile of `cols`: (column, n_rows, n_null, n_distinct,
+    * min_value, max_value), min/max rendered as strings so mixed-type
+    * column sets fit one frame. One aggregation job; see scale notes.
+    * Caveat: the string rendering of floating-point min/max follows the
+    * engine's double formatter (Spark: scientific notation past 1e7) —
+    * pre-round/format float columns if profiles are diffed across engines.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
 
   /** Per-key distribution audit — the input to a skew-mitigation decision
     * (salting factor, AQE skew thresholds): every key's share of the table
@@ -94,21 +104,31 @@ object Profile {
     val n = col("n").cast("double")
     val sx = col("sxd").cast("double")
     val sxx = col("sxxd").cast("double")
+    // degenerate groups produce no outliers BY DEFINITION: a single-row
+    // group has no sd (n-1 = 0 — divides by zero under ANSI, hence the
+    // n > 1 guard -> null), and a constant group has sd = 0 (an unguarded
+    // z would divide by zero / flag everything, since Spark orders NaN
+    // above every number). Rows are filtered on sd BEFORE z is computed;
+    // try_divide keeps z total even if a zero sd ever slipped past.
     val stats = moments.select(col(groupCol),
       (sx / n).as("mean"),
-      sqrt((sxx - sx * sx / n) / (n - 1)).as("sd"))
+      when(col("n") > 1, sqrt((sxx - sx * sx / n) / (n - 1))).as("sd"))
     df.join(broadcast(stats), Seq(groupCol))
-      .withColumn("z", (col(valueCol).cast("double") - col("mean")) / col("sd"))
+      .filter(col("sd").isNotNull && !isnan(col("sd")) && col("sd") > lit(0.0))
+      .withColumn("z",
+        try_divide(col(valueCol).cast("double") - col("mean"), col("sd")))
       .filter(abs(col("z")) > zThreshold)
   }
 
   /** Equal-frequency bins of `valueCol` (deterministic: ties broken by
     * `tieCol`), with per-bin count and value range — feature binning and
-    * range-partition boundary planning in one op. The global ntile sort is
-    * a range exchange, the per-bin stats a hash aggregate; at 100 TB,
-    * swap the exact ntile for approx_percentile boundaries (same output
-    * shape, one pass, no global sort) — the Layout module's quantile-vs-
-    * ntile trade, applied to binning.
+    * range-partition boundary planning in one op. NOTE the exact-ntile
+    * window is UNPARTITIONED: Spark plans it as a single-partition sort
+    * (one task holds the whole input), which is only acceptable for
+    * the reduced/sample-sized frames a binning decision is usually made
+    * on. At scale, swap in approx_percentile boundaries (same output
+    * shape, one parallel pass, no single-task sort) — the Layout module's
+    * quantile-vs-ntile trade, applied to binning.
     */
   def equalFrequencyBins(df: DataFrame, valueCol: String, tieCol: String,
                          bins: Int): DataFrame = {
@@ -126,25 +146,6 @@ object Profile {
     * aggregate pass regardless of how many columns are profiled.
     */
   def columnProfileApprox(df: DataFrame, cols: Seq[String],
-                          rsd: Double = 0.05): DataFrame = {
-    require(cols.nonEmpty, "columnProfileApprox needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"__nn_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    } :+ count(lit(1)).as("__n")
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val entries = cols.map { c =>
-      struct(
-        lit(c).as("column"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__nn_$c")).as("n_null"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
-    }
-    one.select(explode(array(entries: _*)).as("p")).select("p.*")
-  }
+                          rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
 }

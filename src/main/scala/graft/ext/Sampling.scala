@@ -25,11 +25,18 @@ object Sampling {
     else f"$t%04x"
   }
 
+  /** THE bucket expression — the module's whole contract (and the gate's
+    * oracle SQL) hard-codes this exact form, and the uniform/stratified
+    * nesting property depends on both paths sharing it; one definition.
+    */
+  private def hashBucket(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 4)
+
   /** Membership predicate: keep ~`rate` of rows, keyed by `key`'s string
     * form. Pure, partitioning-independent, engine-portable.
     */
   def hashSampled(key: Column, rate: Double): Column =
-    substring(md5(key.cast("string")), 1, 4) < lit(hexThreshold(rate))
+    hashBucket(key) < lit(hexThreshold(rate))
 
   /** Uniform deterministic sample. */
   def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
@@ -43,7 +50,7 @@ object Sampling {
     */
   def stratified(df: DataFrame, keyCol: String, strataCol: String,
                  rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val hash = substring(md5(col(keyCol).cast("string")), 1, 4)
+    val hash = hashBucket(col(keyCol))
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (stratum, rate)) =>
         when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)

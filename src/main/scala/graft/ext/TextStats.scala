@@ -237,8 +237,7 @@ object TextStats {
                   queryTerms: Seq[String], k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25PerTerm needs at least one query term")
-    val toks = df.select(col(idCol),
-      split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ").as("__toks"))
+    val toks = df.select(col(idCol), canonicalTokens(col(textCol)).as("__toks"))
     val dl = toks.select(col(idCol), size(col("__toks")).cast("double").as("dl"),
       explode(col("__toks")).as("term"))
     val tf = dl.groupBy(col(idCol), col("term"), col("dl"))
@@ -258,6 +257,16 @@ object TextStats {
           .as("score"))
   }
 
+  /** Canonical tokenization shared by BM25, vocabulary, and co-occurrence:
+    * split of [[Dedup.canonicalize]] (lowercase, collapsed whitespace,
+    * trimmed) on single spaces. ONE definition, for the same reason
+    * canonicalize itself has one — a drifted copy would silently make
+    * retrieval scores and dedup fingerprints disagree about what a token
+    * is. (The q47/q68/q74/q76 oracles mirror this exact expression.)
+    */
+  def canonicalTokens(text: Column): Column =
+    split(Dedup.canonicalize(text), " ")
+
   // --------------------------------------------------- corpus vocabulary
 
   /** Vocabulary coverage: global term frequencies ranked by count (ties
@@ -271,8 +280,7 @@ object TextStats {
     * bit-identical across engines.
     */
   def vocabCoverage(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = df.select(explode(
-      split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")).as("term"))
+    val toks = df.select(explode(canonicalTokens(col(textCol))).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
@@ -295,9 +303,8 @@ object TextStats {
     */
   def cooccurrenceLift(df: DataFrame, idCol: String, textCol: String,
                        minPairs: Long = 10L): DataFrame = {
-    val dt = df.select(col(idCol).as("__doc"), explode(array_distinct(
-      split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")))
-      .as("term"))
+    val dt = df.select(col(idCol).as("__doc"),
+      explode(array_distinct(canonicalTokens(col(textCol)))).as("term"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val tf = dt.groupBy("term").agg(count(lit(1)).as("n_t"))
     val a = dt.select(col("__doc"), col("term").as("term_a"))

@@ -198,6 +198,14 @@ class DedupSpec extends SparkTestBase {
       "corpus match drops 10, smaller-id within-batch match drops 12")
   }
 
+  test("connectedComponents: empty edge list yields an empty labeling") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(edges).count() == 0L)
+    // the downstream policy layer must also survive a clean corpus
+    val docs = Seq((1L, "unique one"), (2L, "unique two")).toDF("doc_id", "text")
+    assert(Dedup.clusterSurvivors(docs, "doc_id", "text", edges).count() == 0L)
+  }
+
   test("clusterSurvivors: longest text wins, ties to min id, sizes correct") {
     val docs = Seq(
       (1L, "short"), (2L, "longer text"), (3L, "longer text"), // cluster {1,2,3}

@@ -62,6 +62,18 @@ class ProfileSpec extends SparkTestBase {
     assert(out == Seq((32L, 100.0)))
   }
 
+  test("zscoreOutliers: constant and single-row groups flag NOTHING") {
+    // constant group -> sd = 0 -> z = NaN; single row -> sd = NaN. Spark
+    // orders NaN above every number, so an unguarded abs(z) > t would
+    // return the entire group as "outliers".
+    val vals = (Seq.fill(10)((1L, "const", 5.0)) ++ Seq((99L, "solo", 7.0)) ++
+      Seq.fill(30)((2L, "ok", 10.0)) :+ ((3L, "ok", 100.0)))
+      .toDF("id", "grp", "v")
+    val out = Profile.zscoreOutliers(vals, "v", "grp", zThreshold = 2.5)
+      .select("grp", "v").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out == Seq(("ok", 100.0)))
+  }
+
   test("equalFrequencyBins: near-equal sizes, contiguous non-overlapping ranges") {
     val df = spark.range(0, 1003).select(col("id").as("tie"),
       (col("id") * 7 % 1003).cast("double").as("v"))
