@@ -57,4 +57,35 @@ object Sampling {
     }
     df.filter(hash < threshold)
   }
+
+  /** Rebalance a corpus toward target per-stratum PROPORTIONS — the
+    * dataset-mixing step of training-data assembly ("30% code, 60% web,
+    * 10% books"). Derives the per-stratum keep-rate from the current
+    * counts (one tiny aggregate, collected: #strata rows, not data) and
+    * applies [[stratified]]. The realized size is the largest achievable
+    * without upsampling: bounded by the scarcest stratum relative to its
+    * target share (rate = min over strata of n_s / share_s, then
+    * rate_s = that · share_s / n_s ≤ 1). Deterministic end to end —
+    * the same corpus and targets reproduce the same row set.
+    */
+  def rebalance(df: DataFrame, keyCol: String, strataCol: String,
+                targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "rebalance needs at least one target share")
+    val shareSum = targetShares.values.sum
+    require(math.abs(shareSum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $shareSum")
+    val counts = df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targetShares.keys.foreach { s =>
+      require(counts.getOrElse(s, 0L) > 0L, s"stratum '$s' has no rows")
+    }
+    // the output size the scarcest stratum allows at its target share
+    val totalOut = targetShares.map { case (s, share) => counts(s) / share }.min
+    val rates = targetShares.map { case (s, share) =>
+      s -> math.min(1.0, totalOut * share / counts(s))
+    }
+    stratified(df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*)),
+      keyCol, strataCol, rates, defaultRate = 0.0)
+  }
 }

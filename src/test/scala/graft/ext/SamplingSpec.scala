@@ -43,6 +43,31 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.sample(ids, "id", 1.0).count() == 20000L)
   }
 
+  test("rebalance hits target proportions within hash tolerance, no upsampling") {
+    // skewed corpus: a=12000, b=6000, c=2000; ask for 25/25/50 — c is the
+    // scarce stratum (2000/0.5 = 4000 output bound)
+    val df = ids.withColumn("stratum",
+      when(col("id") < 12000, "a").when(col("id") < 18000, "b").otherwise("c"))
+    val out = Sampling.rebalance(df, "id", "stratum",
+      Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ~1000/1000/2000 (c kept whole: rate 1.0 exactly)
+    assert(counts("c") == 2000L, s"scarce stratum must be kept whole: $counts")
+    assert(math.abs(counts("a") - 1000) < 150, s"a=${counts("a")}")
+    assert(math.abs(counts("b") - 1000) < 150, s"b=${counts("b")}")
+  }
+
+  test("rebalance rejects impossible targets") {
+    val df = ids.withColumn("stratum", lit("a"))
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "id", "stratum", Map("a" -> 0.5, "b" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "id", "stratum", Map("a" -> 0.7)) // shares != 1
+    }
+  }
+
   test("sampling is a pure scan filter: no shuffle in the plan") {
     val plan = Sampling.stratified(ids.withColumn("s", lit("x")), "id", "s",
       Map("x" -> 0.5), 0.1).queryExecution.executedPlan.toString
