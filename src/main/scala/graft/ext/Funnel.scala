@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** Ordered-step funnel analysis over an event stream: for each entity, the
   * earliest strictly-increasing chain of timestamps through the given step
   * sequence (view → click → purchase, ...), and how deep the chain got.
+  * The temporal-ordering trick is the reference's own Days-Apart pattern —
+  * deriving both sides of a time comparison from one scan
+  * (`example_queries/days_apart_analysis.sql:18-24`) — generalized from
+  * one (write, read) pair to an ordered k-step chain.
   *
   * Algorithm: one `(entity, step)` min-aggregate per funnel stage, each
   * conditioned on the previous stage's completion time — the "earliest

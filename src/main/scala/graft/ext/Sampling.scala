@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * engine — unusable for reproducible dataset versions or cross-engine
   * gates. Hashing a key instead makes membership a pure function of the
   * row: stable under repartitioning, re-runs, engines, and cluster size —
-  * the reference's determinism stance ("easy to replicate prior results")
-  * applied to sampling.
+  * the reference's determinism stance ("Determinism: Easy to replicate
+  * prior results", slides_Spark_Summit_2019.pdf "Persistence and
+  * structure"; per-day re-runs `scripts/oss_s3_server_side_logging_
+  * compacter.py:290-302`) applied to sampling.
   *
   * Mechanics: the first 4 hex chars of md5(key) are uniform over 0..65535;
   * a row is kept when they fall below `rate * 65536` (threshold rendered

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.ext.{Curation, Dedup, Layout, TextStats}
+import graft.ext.{Curation, Dedup, Funnel, Layout, Merge, Profile, Sampling, TextStats}
 import graft.logs.LogLineParser
 
 /** Chainable user-facing syntax for the engine's document/log operators:
@@ -68,6 +68,40 @@ object syntax {
     def curate(idCol: String, textCol: String,
                minQuality: Double = 0.5): DataFrame =
       Curation.curate(df, idCol, textCol, minQuality)
+
+    /** Per-near-dup-cluster survivor labels (longest text, min-id ties). */
+    def dedupSurvivors(idCol: String, textCol: String,
+                       threshold: Double = 0.8): DataFrame =
+      Dedup.clusterSurvivors(df, idCol, textCol,
+        Dedup.minhashDuplicates(df, idCol, textCol, threshold = threshold)
+          .select("id_a", "id_b"))
+
+    // --------------------------------------------------------- QA / mix
+    /** Long-form per-column QA profile (exact distinct counts). */
+    def profile(cols: String*): DataFrame =
+      Profile.columnProfile(df, cols)
+
+    /** Per-key load audit for skew decisions (keys ≥ ratio × mean). */
+    def skewAudit(keyCol: String, ratio: Double = 2.0): DataFrame =
+      Profile.skewAudit(df, keyCol, ratio)
+
+    /** Deterministic hash sample (membership a pure function of the key). */
+    def hashSample(keyCol: String, rate: Double): DataFrame =
+      Sampling.sample(df, keyCol, rate)
+
+    /** Rebalance strata to target proportions (no upsampling). */
+    def rebalance(keyCol: String, strataCol: String,
+                  shares: Map[String, Double]): DataFrame =
+      Sampling.rebalance(df, keyCol, strataCol, shares)
+
+    /** Latest-wins CDC upsert of `updates` over this frame. */
+    def upsert(updates: DataFrame, keys: Seq[String]): DataFrame =
+      Merge.upsert(df, updates, keys)
+
+    /** Ordered-step funnel over an event frame. */
+    def funnel(entityCol: String, tsCol: String, typeCol: String,
+               steps: Seq[String]): DataFrame =
+      Funnel.funnel(df, entityCol, tsCol, typeCol, steps)
 
     // ----------------------------------------------------------- layout
     /** Z-order-clustered parquet write over `zCols` (see [[ext.Layout]]). */

@@ -34,6 +34,21 @@ class SyntaxSpec extends SparkTestBase {
     assert(out.columns.contains("n_tokens"))
   }
 
+  test("round-3 postfix ops forward to the canonical object API") {
+    assert(docs.profile("doc_id", "text").count() == 2)
+    assert(docs.hashSample("doc_id", 1.0).count() == docs.count())
+    val withStratum = docs.withColumn("s",
+      org.apache.spark.sql.functions.lit("a"))
+    assert(withStratum.rebalance("doc_id", "s", Map("a" -> 1.0)).count() ==
+      docs.count())
+    val upd = docs.limit(1)
+    assert(docs.upsert(upd, Seq("doc_id")).count() == docs.count())
+    assert(docs.dedupSurvivors("doc_id", "text").count() ==
+      ext.Dedup.clusterSurvivors(docs, "doc_id", "text",
+        ext.Dedup.minhashDuplicates(docs, "doc_id", "text", threshold = 0.8)
+          .select("id_a", "id_b")).count())
+  }
+
   test("parseAccessLogs on raw lines") {
     val raw = Seq(
       """o b [06/Feb/2019:00:00:38 +0000] ip r rid REST.GET.OBJECT k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -""",
