@@ -73,9 +73,14 @@ object AthenaDdl {
     * applies the file's instructed substitutions: the `dt='YYYY-MM-DD'`
     * placeholder value and the partition LOCATION.
     */
-  def translateAddPartition(sql: String, dt: String, location: String): String =
+  def translateAddPartition(sql: String, dt: String, location: String): String = {
+    // replacement strings are quoted: a '$' or '\' in a path (both legal
+    // in S3 keys and local paths) must land literally, not as a regex
+    // group reference
+    import java.util.regex.Matcher.quoteReplacement
     normalizeIdentifiers(stripComments(sql))
-      .replaceAll("dt='[^']*'", s"dt='$dt'")
+      .replaceAll("dt='[^']*'", quoteReplacement(s"dt='$dt'"))
       .replaceAll("(?s)LOCATION\\s*'[^']*'",
-        s"LOCATION '${location.replace("'", "''")}'")
+        quoteReplacement(s"LOCATION '${location.replace("'", "''")}'"))
+  }
 }

@@ -400,6 +400,23 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // the sum-based convergence check below is only sound for INTEGRAL
+    // ids: a string column would null-cast (silently yielding singleton
+    // components) and a floating id could round a small label decrease
+    // away (silently split components). Enforced, not just documented —
+    // hash non-integral ids to a surrogate (e.g. xxhash64) before calling.
+    Seq(idA, idB).foreach { c =>
+      import org.apache.spark.sql.types._
+      val integral = edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+      require(integral,
+        s"connectedComponents requires integral ids; '$c' is " +
+          s"${edges.schema(c).dataType} — hash non-integral ids to a " +
+          "surrogate first")
+    }
     val sym = edges
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
@@ -412,11 +429,10 @@ object Dedup {
     var iter = 0
     // convergence via the label sum: labels only ever DECREASE, so an
     // unchanged sum IS the fixpoint — a scalar aggregate instead of a
-    // changed-flag join against the previous round. Requires NUMERIC ids
-    // (hash non-numeric ids to a surrogate first); integral sums are
+    // changed-flag join against the previous round. Integral sums are
     // exact: each comp <= the max id, so n * maxId stays far below 2^63
     // for any id space that fits a join key. Compared as boxed values so
-    // long/decimal id columns both work.
+    // long/scale-0-decimal id columns both work.
     val sumRow = labels.agg(sum("comp")).head()
     if (sumRow.isNullAt(0)) return labels // no edges -> no labeled nodes
     var prevSum: Any = sumRow.get(0)

@@ -30,6 +30,13 @@ object Funnel {
   def funnel(events: DataFrame, entityCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // the stage columns are generated names; a frame already carrying one
+    // (e.g. funnel output fed back in) would make the stage joins
+    // ambiguous — fail loudly instead
+    val reserved = events.columns.filter(c => c == "depth" || c.matches("t_\\d+"))
+    require(reserved.isEmpty,
+      s"funnel generates columns t_1..t_${steps.length} and depth; input " +
+        s"already has: ${reserved.mkString(", ")} — rename or drop them first")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(entityCol))
       .agg(min(col(tsCol)).as("t_1"))

@@ -35,10 +35,15 @@ object Sampling {
     substring(md5(key.cast("string")), 1, 4)
 
   /** Membership predicate: keep ~`rate` of rows, keyed by `key`'s string
-    * form. Pure, partitioning-independent, engine-portable.
+    * form. Pure, partitioning-independent, engine-portable. A NULL key
+    * has no stable identity to hash, so null-key rows are kept only at
+    * rate 1.0 ("keep all" means ALL) and excluded at every partial rate —
+    * explicit, rather than the silent null-comparison drop.
     */
-  def hashSampled(key: Column, rate: Double): Column =
-    hashBucket(key) < lit(hexThreshold(rate))
+  def hashSampled(key: Column, rate: Double): Column = {
+    val threshold = lit(hexThreshold(rate))
+    when(key.isNull, threshold === lit("g")).otherwise(hashBucket(key) < threshold)
+  }
 
   /** Uniform deterministic sample. */
   def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
@@ -52,12 +57,15 @@ object Sampling {
     */
   def stratified(df: DataFrame, keyCol: String, strataCol: String,
                  rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val hash = hashBucket(col(keyCol))
+    val key = col(keyCol)
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (stratum, rate)) =>
         when(col(strataCol) === stratum, lit(hexThreshold(rate))).otherwise(acc)
     }
-    df.filter(hash < threshold)
+    // same null-key rule as hashSampled: kept only where the stratum's
+    // effective rate is 1.0
+    df.filter(when(key.isNull, threshold === lit("g"))
+      .otherwise(hashBucket(key) < threshold))
   }
 
   /** Rebalance a corpus toward target per-stratum PROPORTIONS — the
@@ -76,9 +84,11 @@ object Sampling {
     val shareSum = targetShares.values.sum
     require(math.abs(shareSum - 1.0) < 1e-9,
       s"target shares must sum to 1, got $shareSum")
+    // String.valueOf (not getString): a numeric strata column arrives as
+    // boxed numbers here while the shares map is keyed by strings
     val counts = df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*))
       .groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
     targetShares.keys.foreach { s =>
       require(counts.getOrElse(s, 0L) > 0L, s"stratum '$s' has no rows")
     }

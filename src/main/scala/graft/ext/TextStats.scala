@@ -237,7 +237,13 @@ object TextStats {
                   queryTerms: Seq[String], k1: Double = 1.2,
                   b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25PerTerm needs at least one query term")
+    // the token frame feeds BOTH the postings path and the corpus stats:
+    // without a lineage cut each reference re-scans and re-tokenizes the
+    // whole corpus (the re-evaluation trap Curation/minhashDuplicates
+    // already guard against). Lazy checkpoint: materialized once on first
+    // action, reused by both consumers.
     val toks = df.select(col(idCol), canonicalTokens(col(textCol)).as("__toks"))
+      .localCheckpoint(false)
     val dl = toks.select(col(idCol), size(col("__toks")).cast("double").as("dl"),
       explode(col("__toks")).as("term"))
     val tf = dl.groupBy(col(idCol), col("term"), col("dl"))
@@ -303,8 +309,11 @@ object TextStats {
     */
   def cooccurrenceLift(df: DataFrame, idCol: String, textCol: String,
                        minPairs: Long = 10L): DataFrame = {
+    // referenced three times (both self-join sides + term frequencies):
+    // lineage cut so the scan+tokenize+explode runs once, not three times
     val dt = df.select(col(idCol).as("__doc"),
       explode(array_distinct(canonicalTokens(col(textCol)))).as("term"))
+      .localCheckpoint(false)
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val tf = dt.groupBy("term").agg(count(lit(1)).as("n_t"))
     val a = dt.select(col("__doc"), col("term").as("term_a"))

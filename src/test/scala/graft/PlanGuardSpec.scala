@@ -4,9 +4,11 @@ import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
-/** Scale-safety net over the WHOLE gate surface: every SparkEntry query is
-  * planned (not executed) against sf0.001 and its physical plan asserted
-  * free of `CartesianProduct` — the operator class that silently turns a
+/** Scale-safety net over the gate surface: every SparkEntry query (minus
+  * the two that execute eagerly during construction — see
+  * `eagerlyExecuted`) is planned, not executed, against sf0.001 and its
+  * physical plan asserted free of `CartesianProduct` — the operator class
+  * that silently turns a
   * working sf0.01 query into an n² job at 100 TB. Broadcast nested-loop
   * joins are tolerated only when the broadcast side is a global (no
   * grouping keys) aggregate — the one-row corpus-stats pattern
@@ -31,7 +33,17 @@ class PlanGuardSpec extends SparkTestBase {
     "q15_ann_bruteforce", "q14_dedup_embedding", "q16_ann_lsh", "q28_ann_ivf",
     "q39_group_sketch")
 
-  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+  // connectedComponents EXECUTES during query construction (its iteration
+  // runs actions over localCheckpoints), so for q49/q70 `sparkPlan` would
+  // be only the post-checkpoint tail — guarding it asserts nothing about
+  // the pair generation, and building the frame would execute the whole
+  // dedup inside this plan-only suite. Their pair pipeline is exactly
+  // q13's (guarded here); the CC loop itself joins on explicit keys and
+  // is covered functionally by DedupSpec.
+  private val eagerlyExecuted = Set("q49_dedup_components", "q70_dedup_survivors")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+       if !eagerlyExecuted(name)) {
     test(s"$name: no cartesian product; nested-loop only where intended") {
       // sparkPlan = the chosen physical plan pre-AQE-wrapping: traversable,
       // and what AQE starts from

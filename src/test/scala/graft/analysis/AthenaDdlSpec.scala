@@ -90,6 +90,14 @@ class AthenaDdlSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE $Table")
   }
 
+  test("add-partition substitutions survive '$' and backslash in paths") {
+    assume(refDir.isDirectory, "reference checkout not present")
+    val out = AthenaDdl.translateAddPartition(refSql("load_partition.sql"),
+      "2021-02-04", "/data/$tbl/weird\\path/dt=2021-02-04")
+    assert(out.contains("dt='2021-02-04'"))
+    assert(out.contains("LOCATION '/data/$tbl/weird\\path/dt=2021-02-04'"))
+  }
+
   test("create-table translation refuses a non-parquet SerDe stack") {
     assume(refDir.isDirectory, "reference checkout not present")
     val orc = refSql("create_table.sql")

@@ -198,6 +198,16 @@ class DedupSpec extends SparkTestBase {
       "corpus match drops 10, smaller-id within-batch match drops 12")
   }
 
+  test("connectedComponents refuses non-integral ids instead of mislabeling") {
+    // string ids would null-cast inside the sum-based convergence check
+    // and silently report every node as a singleton component
+    val edges = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges)
+    }
+    assert(e.getMessage.contains("integral ids"))
+  }
+
   test("connectedComponents: empty edge list yields an empty labeling") {
     val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponents(edges).count() == 0L)

@@ -43,6 +43,14 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.sample(ids, "id", 1.0).count() == 20000L)
   }
 
+  test("null keys: kept at rate 1.0, excluded at partial rates — explicitly") {
+    val withNulls = ids.select(
+      when(col("id") < 100, col("id")).otherwise(lit(null)).as("id"))
+    assert(Sampling.sample(withNulls, "id", 1.0).count() == 20000L)
+    val partial = Sampling.sample(withNulls, "id", 0.5)
+    assert(partial.filter(col("id").isNull).count() == 0L)
+  }
+
   test("rebalance hits target proportions within hash tolerance, no upsampling") {
     // skewed corpus: a=12000, b=6000, c=2000; ask for 25/25/50 — c is the
     // scarce stratum (2000/0.5 = 4000 output bound)
