@@ -375,6 +375,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Streaming exact dedup by CONTENT: canonical-form digest +
+    * `dropDuplicatesWithinWatermark` — the continuous-ingest twin of
+    * [[exact]] (and the content-level counterpart of LogStream's
+    * request-id dedup). State holds one digest per distinct document and
+    * is bounded by the watermark horizon, not by history: a re-delivered
+    * or re-crawled document arriving within the watermark is dropped; one
+    * arriving later is a new observation by declaration (the watermark IS
+    * the dedup contract under unbounded input). Works unchanged over any
+    * `readStream` source, including the `accesslog` DSv2 micro-batch.
+    */
+  def exactDedupStream(docs: DataFrame, textCol: String,
+                       eventTimeCol: String,
+                       watermark: String = "1 hour"): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && col(eventTimeCol).isNotNull)
+      .withColumn("__digest", md5(canonicalize(col(textCol))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   // ------------------------------------------------- connected components
 
   /** Connected components over an undirected edge list: returns

@@ -198,6 +198,29 @@ class DedupSpec extends SparkTestBase {
       "corpus match drops 10, smaller-id within-batch match drops 12")
   }
 
+  test("exactDedupStream: content dups dropped across batches within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Dedup.exactDedupStream(docs, "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+      mem.addData((1L, "alpha beta", t0), (2L, "ALPHA   beta", t0)) // canonical dup
+      q.processAllAvailable()
+      mem.addData((3L, "alpha beta", t1), (4L, "fresh content", t1)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 4L),
+        "2 (same-batch canonical dup) and 3 (cross-batch dup) must be dropped")
+    } finally q.stop()
+  }
+
   test("connectedComponents refuses non-integral ids instead of mislabeling") {
     // string ids would null-cast inside the sum-based convergence check
     // and silently report every node as a singleton component
