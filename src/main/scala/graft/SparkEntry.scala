@@ -1145,6 +1145,25 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ext dedup — sub-document CONTAINMENT pairs (|A∩B|/|A| ≥ 0.9, the
+    // asymmetric dedup Jaccard misses: a page inside a boilerplate-
+    // wrapped copy); derived sub-documents are the first 60% of a doc's
+    // words, so every one is exactly contained in its source.
+    "q79_containment" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val words = split(col("text"), " ")
+      val k = greatest(floor(size(words) * 0.6).cast("int"), lit(3))
+      val sub = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          array_join(slice(words, lit(1), k), " ").as("text"))
+      // 3-gram shingles: the corpus' word VOCABULARY is tiny, so word-set
+      // containment is near-vacuous; shingle order-sensitivity makes
+      // containment mean actual sub-document structure
+      Dedup.containmentPairs(docs.union(sub), "doc_id", "text",
+          threshold = 0.9, shingleSize = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.5 ext — FULL OUTER join (the reconciliation join: rows surviving
     // on either side, with a side indicator), completing the join-type
     // surface next to q05/q06 (inner), q20 (anti), q65-adjacent semis.
@@ -2290,6 +2309,24 @@ object SparkEntry {
         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM b GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // brute-force exact oracle — the engine's asymmetric prefix filter is
+    // lossless, so the pair sets must match exactly
+    "q79_containment" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest(CAST(floor(len(string_split(text, ' ')) * 0.6) AS INT), 3)),
+         |      ' ') AS text
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |$ShingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q78_full_outer" ->
       """WITH c AS (

@@ -375,6 +375,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sub-document (containment) duplicate pairs: (id_a, id_b) where
+    * doc A's word set is ≥ `threshold` CONTAINED in doc B's —
+    * |A ∩ B| / |A| ≥ t. The asymmetric relative of [[ngramJaccardPairs]]:
+    * Jaccard misses a page embedded in a boilerplate-wrapped copy (the
+    * union grows with B), containment catches exactly that web-scrape
+    * shape. EXACT, via asymmetric prefix filtering: only the PROBE side
+    * takes a rarest-first prefix — if none of A's floor(n_a·(1-t))+1
+    * rarest tokens appears in B, the overlap is at most
+    * n_a - prefLen < t·n_a, so pruning is lossless — while the index
+    * side stays full (overlap with B can hide anywhere in B, so B gets
+    * no prefix). Candidates where |B| < t·|A| are pruned (overlap ≤ |B|);
+    * the exact intersection verifies every survivor. Shuffle profile:
+    * (token, id) postings — probe side prefix-sized, index side
+    * corpus-token-sized — then candidate-only array joins.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9, shingleSize: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    // shingleSize 1 = word sets (cheap, right for distinctive vocabulary);
+    // n-gram shingles (e.g. 3) for corpora whose word sets alone overlap
+    // heavily — order sensitivity makes random docs non-contained
+    val tokens =
+      if (shingleSize <= 1) TextStats.canonicalTokens(col(textCol))
+      else shingles(col(textCol), shingleSize)
+    val withTok = df.select(col(idCol).as("_id"),
+        array_distinct(tokens).as("tok"))
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") > 0)
+      .localCheckpoint(false) // probe + index + verify all read it
+    val toks = withTok.select(col("_id"), col("n"), explode(col("tok")).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("_df"))
+    // the exact requirement is overlap >= reqInter, the smallest integer i
+    // with (i/n >= t) under DOUBLE comparison — which ceil(t*n) can land
+    // one above (0.9*10 = 9.000000000000002 rounds up to 10, yet 9/10
+    // compares == 0.9 and must pass). Both prunes are therefore made
+    // conservative by ONE: a slightly longer prefix / looser size gate
+    // admits a few extra candidates for the exact verify to reject, but
+    // can never drop a boundary pair the verify would keep.
+    val prefLen = least(col("n"),
+      (col("n") - ceil(col("n") * threshold) + 2).cast("int"))
+    val probe = toks.join(freq, "t")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_id").orderBy(col("_df"), col("t"))))
+      .filter(col("_rk") <= prefLen)
+      .select(col("t"), col("_id").as("id_a"), col("n").as("n_a"))
+    val index = toks.select(col("t"), col("_id").as("id_b"), col("n").as("n_b"))
+    val cands = probe.join(index, "t")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(col("n_a") * threshold).cast("int") - 1)
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(withTok.select(col("_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(withTok.select(col("_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(col("tok_a"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Streaming exact dedup by CONTENT: canonical-form digest +
     * `dropDuplicatesWithinWatermark` — the continuous-ingest twin of
     * [[exact]] (and the content-level counterpart of LogStream's

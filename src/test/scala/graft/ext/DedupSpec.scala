@@ -198,6 +198,62 @@ class DedupSpec extends SparkTestBase {
       "corpus match drops 10, smaller-id within-batch match drops 12")
   }
 
+  test("containmentPairs finds the embedded page Jaccard misses") {
+    val page = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrapped = s"header menu nav $page footer copyright contact about terms privacy"
+    val docs = Seq((1L, page), (2L, wrapped),
+      (3L, "entirely different content about other things")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L))) // page contained in wrapped, one direction
+    assert(pairs((1L, 2L)) == 1.0)
+    // and symmetric Jaccard at the same bar does NOT see it (union is large)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
+    assert(jac.count() == 0L)
+  }
+
+  test("containmentPairs keeps pairs at EXACTLY the threshold (prefix boundary)") {
+    // A has 10 distinct words, 9 shared with B: containment = 0.9 exactly.
+    // ceil(0.9*10) computes over doubles as ceil(9.000000000000002) = 10,
+    // so a non-conservative prefix/size prune drops exactly these pairs
+    // while the verify's 9/10 >= 0.9 comparison keeps them.
+    val shared = (1 to 9).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared onlya"),
+      (2L, s"$shared onlyb extra1 extra2 extra3")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((1L, 2L)), s"boundary pair dropped: $got")
+    assert(got((1L, 2L)) == 0.9)
+  }
+
+  test("containmentPairs equals brute force on a randomized corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 36).map { i =>
+      val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(12))
+      (i.toLong, base.mkString(" "))
+    }
+    // planted: the first 8 docs get a ~92%-prefix clone (contained subset)
+    val planted = (0 until 8).map { i =>
+      val ws = docs(i)._2.split(" ")
+      (100L + i, ws.take(math.max(3, (ws.length * 0.92).toInt)).mkString(" "))
+    }
+    val all = (docs ++ planted).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(all, "doc_id", "text", threshold = 0.85)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force in memory with the same tokenization
+    val toks = (docs ++ planted).map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSet
+    }
+    val expect = (for {
+      (ia, ta) <- toks; (ib, tb) <- toks
+      if ia != ib && ta.nonEmpty &&
+        ta.intersect(tb).size.toDouble / ta.size >= 0.85
+    } yield (ia, ib)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("exactDedupStream: content dups dropped across batches within watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
