@@ -728,6 +728,12 @@ object SparkEntry {
     // ext dedup — near-duplicate CLUSTERS: the q13 pair graph labeled by
     // connected components (min reachable id), the cluster view that lets
     // survivor policies be content-aware rather than id-ordered.
+    // Recall bound (diagnosability note): the engine side is MinHash/LSH
+    // while the oracle brute-forces exact Jaccard — with 64 hashes /
+    // 32 bands the per-pair miss probability is ~1e-14 on this corpus, so
+    // the gate is stable, but a future corpus with a pair barely above
+    // 0.8 could in principle flake HERE (not a wrong answer: sketch
+    // recall). q70 gates the same clustering on the exact pair path.
     "q49_dedup_components" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val near = docs.filter(col("doc_id") % 7 === 0)
@@ -1071,14 +1077,18 @@ object SparkEntry {
 
     // ext dedup — survivor per near-dup cluster (longest text, ties to
     // min id): the content-aware policy layer over q49's component labels.
+    // Pairs come from the EXACT prefix-filtered path (zero false
+    // negatives), so the oracle's brute-force Jaccard pair set is equal by
+    // construction and the gate cannot flake on sketch recall (ADVICE r3);
+    // the MinHash pair path keeps its own direct gate in q13.
     "q70_dedup_survivors" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val near = docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" zzz end")).as("text"))
       val all = docs.union(near)
-      val pairs = Dedup.minhashDuplicates(all, "doc_id", "text",
-        numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.8)
+      val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+        n = 3, threshold = 0.8)
       Dedup.clusterSurvivors(all, "doc_id", "text", pairs.select("id_a", "id_b"))
         .orderBy("component")
     }),

@@ -37,9 +37,9 @@ object Curation {
     // Lineage cut: the near-dedup stage references its input many times
     // (signatures, banding, candidate verify, the final anti-join), and
     // each reference would re-run the quality gate + exact dedup from the
-    // scan. localCheckpoint materializes the exact-dedup survivors once
-    // (lazily, on first action) and hands downstream a short lineage.
-    val exact = Dedup.exact(gated, idCol, textCol).localCheckpoint(false)
+    // scan. The cut (lazy localCheckpoint) materializes the exact-dedup
+    // survivors once, on first action, and hands downstream a short lineage.
+    val exact = graft.plans.PlanCapture.cut(Dedup.exact(gated, idCol, textCol))
     Dedup.minhashDedup(exact, idCol, textCol,
       numHashes = numHashes, bands = bands,
       shingleSize = shingleSize, threshold = jaccardThreshold)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.PlanCapture
+
 /** Deduplication operators for training-data pipelines, at five levels of
   * fuzziness: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
   * North-star extensions (SURVEY.md §2 extensions) — pure DataFrame ops,
@@ -264,9 +266,9 @@ object Dedup {
     // frames — plain composition would re-derive the batch pipeline ~6x.
     // The CORPUS side keeps the never-materialize, recompute-candidates-
     // only strategy inside minhashDuplicatesAcross.
-    val newC = newDf.localCheckpoint(false)
-    val sigNew = sigFrame(newC, idCol, textCol, shingleSize, numHashes, seed)
-      .localCheckpoint(false)
+    val newC = PlanCapture.cut(newDf)
+    val sigNew = PlanCapture.cut(
+      sigFrame(newC, idCol, textCol, shingleSize, numHashes, seed))
     val withinDrop = minhashDuplicates(newC, idCol, textCol, numHashes,
         bands, shingleSize, threshold, seed, precomputedSigs = Some(sigNew))
       .select(col("id_b").as(idCol))
@@ -399,11 +401,11 @@ object Dedup {
     val tokens =
       if (shingleSize <= 1) TextStats.canonicalTokens(col(textCol))
       else shingles(col(textCol), shingleSize)
-    val withTok = df.select(col(idCol).as("_id"),
-        array_distinct(tokens).as("tok"))
-      .withColumn("n", size(col("tok")))
-      .filter(col("n") > 0)
-      .localCheckpoint(false) // probe + index + verify all read it
+    val withTok = PlanCapture.cut( // probe + index + verify all read it
+      df.select(col(idCol).as("_id"),
+          array_distinct(tokens).as("tok"))
+        .withColumn("n", size(col("tok")))
+        .filter(col("n") > 0))
     val toks = withTok.select(col("_id"), col("n"), explode(col("tok")).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("_df"))
     // the exact requirement is overlap >= reqInter, the smallest integer i
@@ -463,19 +465,25 @@ object Dedup {
     * labels them, so callers can pick survivors per cluster (longest,
     * highest-quality, ...) instead of by id order.
     *
-    * Iterative min-label propagation: each round, every node takes the min
-    * of its own label and its neighbors' labels, converging in
-    * graph-diameter rounds (near-dup graphs are shallow: duplicate
-    * clusters, not social networks). The fixpoint is unique (min reachable
-    * id), so the result is deterministic regardless of scheduling.
+    * Iterative min-label propagation WITH pointer compression: each round,
+    * every node takes the min of its own label and its neighbors' labels
+    * (one union + min-aggregate), then jumps through its label's label
+    * (`comp := label(comp)`, one self-join of the labels frame). The jump
+    * roughly doubles the distance a label chain has already covered, so a
+    * path of diameter d converges in O(log d) rounds instead of O(d) —
+    * near-dup graphs are usually shallow, but one long chain would
+    * otherwise stall the whole job for d rounds. The fixpoint is unique
+    * (min reachable id), so the result is deterministic regardless of
+    * scheduling; compression only shortcuts along already-propagated
+    * labels and cannot change it.
     *
     * Per-round cost is pared down: the edge list is hash-partitioned on
     * the join side ONCE up front (localCheckpoint preserves the
     * partitioning, so no round re-shuffles the edges — only the much
     * smaller label frame moves), and the new labels come from one union +
-    * min-aggregate rather than a join back against the previous labels.
-    * Lineage is cut each round (localCheckpoint) — an iterative join would
-    * otherwise double the plan depth per round.
+    * min-aggregate plus one labels-sized self-join. Lineage is cut each
+    * round (PlanCapture.cut = lazy localCheckpoint) — an iterative join
+    * would otherwise double the plan depth per round.
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 50): DataFrame = {
@@ -496,23 +504,27 @@ object Dedup {
           s"${edges.schema(c).dataType} — hash non-integral ids to a " +
           "surrogate first")
     }
-    val sym = edges
+    val sym = PlanCapture.cut(edges
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .repartition(col("dst"))
-      .localCheckpoint(false)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(false)
+      .repartition(col("dst")))
+    var labels = PlanCapture.cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     // convergence via the label sum: labels only ever DECREASE, so an
     // unchanged sum IS the fixpoint — a scalar aggregate instead of a
-    // changed-flag join against the previous round. Integral sums are
-    // exact: each comp <= the max id, so n * maxId stays far below 2^63
-    // for any id space that fits a join key. Compared as boxed values so
-    // long/scale-0-decimal id columns both work.
-    val sumRow = labels.agg(sum("comp")).head()
+    // changed-flag join against the previous round. Summed over
+    // decimal(38,0), NOT the native long sum: the docstring above
+    // recommends full-range 64-bit surrogate ids (xxhash64), whose long
+    // sum wraps mod 2^64 — a wrapped-equal sum could declare convergence
+    // while labels still move. decimal(38,0) holds n·2^63 exactly for any
+    // feasible row count and fails loudly rather than wraps beyond that.
+    // Compared as boxed values so long/scale-0-decimal id columns both
+    // work.
+    def labelSum(df: DataFrame): org.apache.spark.sql.Row =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+    val sumRow = labelSum(labels)
     if (sumRow.isNullAt(0)) return labels // no edges -> no labeled nodes
     var prevSum: Any = sumRow.get(0)
     var converged = false
@@ -520,13 +532,21 @@ object Dedup {
       // one union + min-aggregate: neighbors' labels and the node's own
       // label meet in a single hash aggregate (no second join); every node
       // appears in `labels`, so the union keeps isolated-side coverage
-      val next = sym
+      val mined = PlanCapture.cut(sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("comp"))
         .union(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(false)
-      val nextSum: Any = next.agg(sum("comp")).head().get(0)
+        .groupBy("id").agg(min("comp").as("comp")))
+      // pointer compression: comp := label(comp). Every label IS a node id
+      // (mins over node ids) and `mined` covers every node, so the inner
+      // self-join is total; labels only decrease (label(x) <= x), so the
+      // invariant and the fixpoint are untouched — only the number of
+      // rounds to reach it shrinks (O(log d) on a diameter-d chain).
+      val next = PlanCapture.cut(mined
+        .join(mined.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"))
+        .select(col("id"), col("comp2").as("comp")))
+      val nextSum: Any = labelSum(next).get(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next

@@ -25,12 +25,20 @@ object Merge {
 
   /** Latest-wins upsert: every key present in `updates` takes the update
     * row; all other base rows pass through. Columns are matched by name.
+    *
+    * Null-key policy (explicit, lazy — no driver-side action): an update
+    * row with a NULL in any key identifies nothing — the left-anti join
+    * never matches it, so it would be appended on EVERY merge, silently
+    * accumulating duplicate null-key rows batch after batch. Such update
+    * rows are dropped here. Base null-key rows pass through unchanged:
+    * they can never be targeted by a keyed update.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
-    val keep = base.join(updates.select(keys.map(col): _*).distinct(),
+    val keyed = updates.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val keep = base.join(keyed.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
-    updates.unionByName(keep)
+    keyed.unionByName(keep)
   }
 
   /** Upsert with in-batch version resolution: if `updates` carries several

@@ -113,7 +113,13 @@ object Profile {
     val stats = moments.select(col(groupCol),
       (sx / n).as("mean"),
       when(col("n") > 1, sqrt((sxx - sx * sx / n) / (n - 1))).as("sd"))
-    df.join(broadcast(stats), Seq(groupCol))
+    // NO forced broadcast hint: `stats` is one row per group, which is
+    // tiny for a handful of groups but unbounded for a high-cardinality
+    // group column — a forced hint would OOM the broadcast at 100× scale
+    // instead of degrading to a shuffle join. AQE broadcasts the stats
+    // side at runtime whenever its actual size is small; otherwise both
+    // sides hash-shuffle on the group key (the correct degraded plan).
+    df.join(stats, Seq(groupCol))
       .filter(col("sd").isNotNull && !isnan(col("sd")) && col("sd") > lit(0.0))
       .withColumn("z",
         try_divide(col(valueCol).cast("double") - col("mean"), col("sd")))
@@ -126,15 +132,50 @@ object Profile {
     * window is UNPARTITIONED: Spark plans it as a single-partition sort
     * (one task holds the whole input), which is only acceptable for
     * the reduced/sample-sized frames a binning decision is usually made
-    * on. At scale, swap in approx_percentile boundaries (same output
-    * shape, one parallel pass, no single-task sort) — the Layout module's
-    * quantile-vs-ntile trade, applied to binning.
+    * on. At scale, use [[equalFrequencyBinsApprox]] — same output shape,
+    * approx_percentile boundaries, one parallel pass, no single-task sort
+    * (the Layout module's quantile-vs-ntile trade, applied to binning).
     */
   def equalFrequencyBins(df: DataFrame, valueCol: String, tieCol: String,
                          bins: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(valueCol), col(tieCol))
     df.select(col(valueCol), ntile(bins).over(w).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Scale path of [[equalFrequencyBins]]: same output shape
+    * (bin, n_rows, lo, hi), but bin boundaries come from ONE
+    * `approx_percentile` aggregation pass (GK sketch, partial+final merge)
+    * and rows are assigned to bins by comparing against the broadcast
+    * boundary array — no window, no single-partition sort, nothing
+    * driver-side. The plan is: scan → global aggregate (boundaries) →
+    * broadcast-nested-loop of the ONE-row boundary frame → hash aggregate
+    * per bin. Every stage is a plain distributed pass, so this is the
+    * variant to run on the full table instead of a sample.
+    *
+    * Approximate by nature: boundary placement is within the sketch's
+    * `accuracy` rank error, and ties AT a boundary all fall to the lower
+    * bin (a value equal to boundary b goes to b's bin), so per-bin counts
+    * are near-equal rather than exactly equal — the price of removing the
+    * global sort. Bins are 1-based like ntile; empty bins (heavy ties) are
+    * absent from the output rather than padded.
+    */
+  def equalFrequencyBinsApprox(df: DataFrame, valueCol: String, bins: Int,
+                               accuracy: Int = 10000): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val boundaries = df.agg(
+      percentile_approx(col(valueCol), array(probs.map(lit): _*), lit(accuracy))
+        .as("__bounds"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(boundaries)) // one-row frame: constant-size, scale-safe
+      .select(col(valueCol),
+        (aggregate(col("__bounds"), lit(0L),
+          (acc, b) => acc + when(col(valueCol) > b, 1L).otherwise(0L)) + 1L)
+          .as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))

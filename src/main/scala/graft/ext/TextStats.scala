@@ -242,8 +242,8 @@ object TextStats {
     // whole corpus (the re-evaluation trap Curation/minhashDuplicates
     // already guard against). Lazy checkpoint: materialized once on first
     // action, reused by both consumers.
-    val toks = df.select(col(idCol), canonicalTokens(col(textCol)).as("__toks"))
-      .localCheckpoint(false)
+    val toks = graft.plans.PlanCapture.cut(
+      df.select(col(idCol), canonicalTokens(col(textCol)).as("__toks")))
     val dl = toks.select(col(idCol), size(col("__toks")).cast("double").as("dl"),
       explode(col("__toks")).as("term"))
     val tf = dl.groupBy(col(idCol), col("term"), col("dl"))
@@ -311,9 +311,9 @@ object TextStats {
                        minPairs: Long = 10L): DataFrame = {
     // referenced three times (both self-join sides + term frequencies):
     // lineage cut so the scan+tokenize+explode runs once, not three times
-    val dt = df.select(col(idCol).as("__doc"),
-      explode(array_distinct(canonicalTokens(col(textCol)))).as("term"))
-      .localCheckpoint(false)
+    val dt = graft.plans.PlanCapture.cut(
+      df.select(col(idCol).as("__doc"),
+        explode(array_distinct(canonicalTokens(col(textCol)))).as("term")))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val tf = dt.groupBy("term").agg(count(lit(1)).as("n_t"))
     val a = dt.select(col("__doc"), col("term").as("term_a"))

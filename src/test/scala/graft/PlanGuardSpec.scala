@@ -1,21 +1,33 @@
 package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
-/** Scale-safety net over the gate surface: every SparkEntry query (minus
-  * the two that execute eagerly during construction — see
-  * `eagerlyExecuted`) is planned, not executed, against sf0.001 and its
-  * physical plan asserted free of `CartesianProduct` — the operator class
-  * that silently turns a
-  * working sf0.01 query into an n² job at 100 TB. Broadcast nested-loop
-  * joins are tolerated only when the broadcast side is a global (no
-  * grouping keys) aggregate — the one-row corpus-stats pattern
+import graft.plans.PlanCapture
+
+/** Scale-safety net over the gate surface: EVERY SparkEntry query is
+  * planned against sf0.001 and its physical plan asserted free of
+  * `CartesianProduct` — the operator class that silently turns a working
+  * sf0.01 query into an n² job at 100 TB. Broadcast nested-loop joins are
+  * tolerated only when the broadcast side is a global (no grouping keys)
+  * aggregate — the one-row corpus-stats pattern
   * (`crossJoin(broadcast(stats))`), constant-size and scale-safe — or in
   * the explicitly allow-listed ANN queries whose broadcast side is a
   * tiny-by-construction query/centroid set. Anything else nested-loop
   * fails the suite.
+  *
+  * Checkpoint blind spot (closed in round 4): operators that truncate
+  * lineage with lazy local checkpoints (connected components, bm25,
+  * cooccurrence, containment, incremental dedup, curation) hide their
+  * upstream stages from a plan assertion on the final frame. Every such
+  * cut now routes through `PlanCapture.cut`, and this suite installs the
+  * thread-local plan tap while CONSTRUCTING each query, so the pre-cut
+  * physical plan of every truncated stage is asserted too — 79/79
+  * queries, zero exclusions. (Construction of the two eagerly-iterating
+  * CC queries executes at sf0.001 inside this suite; that is the price of
+  * seeing their per-round plans, and it is small at that scale.)
   *
   * This is a regression GUARD, not a style check: a refactor that drops a
   * join key, or a rewrite that stops being recognized as an equi-join,
@@ -31,42 +43,64 @@ class PlanGuardSpec extends SparkTestBase {
   // collapsing documents into group sketches first)
   private val allowedBroadcastNl = Set(
     "q15_ann_bruteforce", "q14_dedup_embedding", "q16_ann_lsh", "q28_ann_ivf",
-    "q39_group_sketch")
+    "q39_group_sketch", "q80_ann_pq")
 
-  // connectedComponents EXECUTES during query construction (its iteration
-  // runs actions over localCheckpoints), so for q49/q70 `sparkPlan` would
-  // be only the post-checkpoint tail — guarding it asserts nothing about
-  // the pair generation, and building the frame would execute the whole
-  // dedup inside this plan-only suite. Their pair pipeline is exactly
-  // q13's (guarded here); the CC loop itself joins on explicit keys and
-  // is covered functionally by DedupSpec.
-  private val eagerlyExecuted = Set("q49_dedup_components", "q70_dedup_survivors")
+  private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
+    val cartesians = plan.collect { case c: CartesianProductExec => c }
+    assert(cartesians.isEmpty,
+      s"$name plans a CartesianProduct ($where) — an unkeyed join leaked in:\n$plan")
 
-  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-       if !eagerlyExecuted(name)) {
-    test(s"$name: no cartesian product; nested-loop only where intended") {
-      // sparkPlan = the chosen physical plan pre-AQE-wrapping: traversable,
-      // and what AQE starts from
-      val plan = fn(spark, dir).queryExecution.sparkPlan
-
-      val cartesians = plan.collect { case c: CartesianProductExec => c }
-      assert(cartesians.isEmpty,
-        s"$name plans a CartesianProduct — an unkeyed join leaked in:\n$plan")
-
-      if (!allowedBroadcastNl(name)) {
-        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
-          val bcastSide = j.buildSide match {
-            case BuildLeft => j.left
-            case BuildRight => j.right
-          }
-          val isGlobalAggregate = bcastSide.find {
-            case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-            case _ => false
-          }.isDefined
-          assert(isGlobalAggregate,
-            s"$name broadcasts a non-constant side through a nested-loop join:\n$plan")
+    if (!allowedBroadcastNl(name)) {
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val bcastSide = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
         }
+        val isGlobalAggregate = bcastSide.find {
+          case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+          case _ => false
+        }.isDefined
+        assert(isGlobalAggregate,
+          s"$name broadcasts a non-constant side through a nested-loop join ($where):\n$plan")
       }
     }
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name: no cartesian product; nested-loop only where intended") {
+      // capture every pre-checkpoint stage plan during construction, then
+      // the final frame's own chosen plan (sparkPlan = pre-AQE-wrapping:
+      // traversable, and what AQE starts from)
+      val (df, cutPlans) = PlanCapture.capturing { fn(spark, dir) }
+      cutPlans.zipWithIndex.foreach { case (p, i) =>
+        assertScaleSafe(name, s"pre-checkpoint stage $i", p)
+      }
+      assertScaleSafe(name, "final plan", df.queryExecution.sparkPlan)
+    }
+  }
+
+  test("the tap sees an injected cartesian hidden behind a checkpoint cut") {
+    // canary: proves the guard would catch a future unkeyed join even when
+    // a localCheckpoint truncates it out of the final frame's plan
+    val a = spark.range(8).toDF("a")
+    val b = spark.range(8).toDF("b")
+    // broadcast off so the cross join plans as CartesianProduct (tiny
+    // sides would otherwise pick broadcast-nested-loop and dodge the
+    // exact operator class the guard hunts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (cutFrame, plans) =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        PlanCapture.capturing {
+          PlanCapture.cut(a.crossJoin(b)).groupBy("a").count()
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the final frame's own plan no longer shows the cartesian...
+    assert(cutFrame.queryExecution.sparkPlan
+      .collect { case c: CartesianProductExec => c }.isEmpty)
+    // ...but the tap recorded the pre-cut stage that does
+    assert(plans.exists(
+      _.collect { case c: CartesianProductExec => c }.nonEmpty),
+      "PlanCapture tap failed to record the pre-cut cartesian stage")
   }
 }

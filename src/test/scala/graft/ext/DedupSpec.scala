@@ -181,6 +181,31 @@ class DedupSpec extends SparkTestBase {
     val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
     assert(comps.length == 12 && comps.forall(_._2 == 0L))
   }
+
+  test("connectedComponents: deep chain converges in O(log d) rounds") {
+    // pointer compression doubles covered distance per round: a 400-edge
+    // chain (diameter 400) must converge within maxIter = 16 ≈ log2(400)
+    // + detection slack — pure min-propagation would need ~400 rounds and
+    // throw here instead
+    val edges = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges, maxIter = 16)
+      .as[(Long, Long)].collect()
+    assert(comps.length == 401 && comps.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: full-range 64-bit surrogate ids converge exactly") {
+    // the decimal(38,0) convergence sum cannot wrap: ids near ±2^63 (the
+    // xxhash64-surrogate shape the docstring recommends) must still reach
+    // the min-reachable-id fixpoint
+    val big = Long.MaxValue
+    val edges = Seq(
+      (big, big - 1), (big - 1, -big), // one component spanning the range
+      (42L, 43L)
+    ).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(comps(big) == -big && comps(big - 1) == -big && comps(-big) == -big)
+    assert(comps(42L) == 42L && comps(43L) == 42L)
+  }
   test("minhashDedupIncremental: corpus suppresses, within-batch greedy") {
     val mk = (id: Long, t: String) => (id, t)
     val corpus = Seq(mk(1L, "alpha beta gamma delta epsilon zeta eta theta"))

@@ -35,6 +35,23 @@ class MergeSpec extends SparkTestBase {
     assert(out == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
+  test("null-key update rows are dropped; repeated merges do not accumulate them") {
+    val updates = Seq(
+      (Option(2L), "B", 99.0), (Option.empty[Long], "ghost", -1.0)
+    ).toDF("k", "name", "v")
+    val withNullBase = base.unionByName(
+      Seq((Option.empty[Long], "keepme", 7.0)).toDF("k", "name", "v")
+        .select(col("k"), col("name"), col("v")))
+    val once = Merge.upsert(withNullBase, updates, Seq("k"))
+    val twice = Merge.upsert(once, updates, Seq("k"))
+    val names = twice.orderBy("k").select("name").as[String].collect().toSeq
+    // base's null-key row survives untouched; the update's null-key row
+    // never lands — even after merging the same batch twice
+    assert(names.count(_ == "keepme") == 1)
+    assert(!names.contains("ghost"))
+    assert(twice.count() == 4) // 1,2,3 + the base null-key row
+  }
+
   test("small update side stays broadcast: base never exchanges on the key") {
     val big = spark.range(0, 10000).select(col("id").as("k"),
       col("id").cast("string").as("name"), col("id").cast("double").as("v"))

@@ -87,4 +87,77 @@ class ProfileSpec extends SparkTestBase {
       assert(lo._4 <= hi._3, s"bin ranges overlap: $lo vs $hi")
     }
   }
+
+  test("equalFrequencyBinsApprox: same shape, near-equal sizes, NO global sort") {
+    val df = spark.range(0, 5000).select(
+      (col("id") * 7 % 5000).cast("double").as("v"))
+      .repartition(4)
+    val out = Profile.equalFrequencyBinsApprox(df, "v", bins = 10)
+    val bins = out.orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bins.map(_._2).sum == 5000L)
+    assert(bins.length == 10)
+    // approximate equal-frequency: each bin within 20% of the ideal 500
+    assert(bins.map(_._2).forall(n => n > 400 && n < 600),
+      s"bins far from equal-frequency: ${bins.map(_._2).toSeq}")
+    // ranges contiguous and non-overlapping
+    bins.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3, s"bin ranges overlap: $lo vs $hi")
+    }
+    // the scale property: no window, no sort AT ALL — the whole point of
+    // the approx path vs the exact ntile. (The percentile_approx global
+    // aggregate does merge its constant-size sketch buffers through a
+    // one-row SinglePartition exchange; that is not a data sort and is
+    // fine — what must be absent is any WindowExec/SortExec over the
+    // input rows.)
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"approx bins planned a window:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"approx bins planned a sort:\n$plan")
+  }
+
+  test("zscoreOutliers degrades to a shuffle join when broadcast is off (no forced hint)") {
+    val vals = (Seq.fill(30)(10.0) ++ Seq(100.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, s"g${i % 3}", v) }
+      .toDF("id", "grp", "v")
+    // string-match the FINAL adaptive plan: in Spark 4 AQE the stages nest
+    // inside QueryStageExec nodes whose contents a plain collect() does
+    // not traverse
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // broadcast disabled: a forced hint would still broadcast (the OOM
+    // path at high group cardinality); the unhinted join must degrade to
+    // a shuffled join instead
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan(Profile.zscoreOutliers(vals, "v", "grp", zThreshold = 2.5))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcast disabled but the stats join still broadcasts (forced hint?):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled stats join:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    // defaults back on: AQE sees the tiny per-group stats side and
+    // broadcasts it at runtime — small-group case stays a broadcast join
+    val p2 = finalPlan(Profile.zscoreOutliers(vals, "v", "grp", zThreshold = 2.5))
+    assert(p2.contains("BroadcastHashJoin"),
+      s"small stats side did not broadcast under AQE:\n$p2")
+  }
 }
