@@ -434,6 +434,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ext similarity — PQ (product-quantization) ANN: per-subspace codes +
+    // ADC lookup-table scoring, exact re-rank of the candidate pool.
+    // Oracle-checked: the generated PqAnnOracle derives the SAME
+    // stride-sampled codebook from the table and replicates encoding, LUT
+    // scoring, candidate pool, and re-rank; recall vs brute force in
+    // ScalaTest.
+    "q80_ann_pq" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      ext.Similarity.pqTopK(em, qs, "vec_id", "embedding", "query_id",
+          k = 10, numSubspaces = 8, codebookSize = 16, rerankFactor = 4,
+          dim = 64, modulus = 500)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // §2.5 ext — set operations (INTERSECT / EXCEPT).
     "q29_setops" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
@@ -1188,6 +1204,20 @@ object SparkEntry {
             .when(col("n_orders").isNull, "customer_only")
             .otherwise("both").as("side"))
         .orderBy("k")
+    }),
+
+    // ext streaming — cumulative foreachBatch column profile (continuous
+    // data-QA), executed as a batch replay of three simulated micro-
+    // batches (doc_id % 3): the SAME fold/merge code path the streaming
+    // foreachBatch sink runs; true streaming covered in ScalaTest
+    // (cross-batch state over MemoryStream).
+    "q81_stream_profile" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val batches = (0 to 2).map(b => docs.filter(col("doc_id") % 3 === b))
+      graft.streaming.StreamingProfile.cumulativeByBatch(
+          batches, Seq("doc_id", "lang", "n_chars"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("batch_id", "col_name")
     })
   )
 
@@ -1328,6 +1358,74 @@ object SparkEntry {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** Generated oracle for the PQ ANN path: the stride-sampled codebook is
+    * derived from the embeddings table itself (same ids as the engine
+    * side), then encoding (nearest codeword per subspace by
+    * `dot − |c|²/2`, ties to the lowest code), per-query ADC lookup
+    * tables, the approx-cosine candidate pool, and the exact re-rank are
+    * replicated in SQL. Parameters mirror q80: 8 subspaces × 8 dims,
+    * 16 codewords (stride 31), pool = k·rerankFactor = 40. Soundness
+    * note: the ADC sum adds 8 doubles in GROUP-BY order on the DuckDB
+    * side vs subspace order on the engine side — ulp drift there can
+    * only reorder near-ties at the POOL boundary, and the final ranking
+    * is the exact cosine computed identically on both sides.
+    */
+  private val PqAnnOracle: String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+    def cosine(a: String, b: String): String =
+      s"""${dotSql(a, b)}
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH cw AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)),
+       |cws AS (
+       |  SELECT j, m, list_slice(cvec, m * 8 + 1, m * 8 + 8) AS c
+       |  FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)),
+       |en AS (
+       |  SELECT vec_id,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT e.vec_id, c.m, c.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+       |        (${dotSql("list_slice(e.embedding, c.m * 8 + 1, c.m * 8 + 8)", "c.c")}
+       |         - 0.5 * list_sum(list_transform(c.c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+       |        c.j) AS rk
+       |    FROM embeddings e CROSS JOIN cws c)
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.j,
+       |    ${dotSql("list_slice(q.embedding, c.m * 8 + 1, c.m * 8 + 8)", "c.c")} AS v
+       |  FROM embeddings q CROSS JOIN cws c WHERE q.vec_id < 8),
+       |approx AS (
+       |  SELECT l.query_id, enc.vec_id AS neighbor_id,
+       |    sum(l.v) / (qn.nrm * cn.nrm) AS approx_cos
+       |  FROM enc JOIN lut l ON l.m = enc.m AND l.j = enc.code
+       |  JOIN en qn ON qn.vec_id = l.query_id
+       |  JOIN en cn ON cn.vec_id = enc.vec_id
+       |  GROUP BY l.query_id, enc.vec_id, qn.nrm, cn.nrm),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS crank
+       |    FROM approx) WHERE crank <= 40),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.embedding", "c.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 10""".stripMargin
+  }
+
   /** Generated oracle for char-trigram language ID: the per-language
     * trigram profiles are inlined; scoring/argmax mirror
     * `TextStats.langIdCharNgram` (first-wins ties).
@@ -1380,6 +1478,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q28_ann_ivf" -> IvfAnnOracle,
+    "q80_ann_pq" -> PqAnnOracle,
 
     "q10_parse_logline" -> ParsedOracle,
 
@@ -2349,6 +2448,28 @@ object SparkEntry {
         |       WHEN n_orders IS NULL THEN 'customer_only'
         |       ELSE 'both' END AS side
         |FROM c FULL JOIN o USING (k)
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // cumulative-after-batch-b = profile over doc_id % 3 <= b: the batch
+    // replay's fold is associative/commutative, so the cumulative state at
+    // batch b equals a fresh profile of the union of batches 0..b
+    "q81_stream_profile" -> {
+      def one(c: String) =
+        s"""SELECT b.batch_id, '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM b JOIN documents d ON d.doc_id % 3 <= b.batch_id
+           |GROUP BY b.batch_id""".stripMargin
+      s"""WITH b AS (
+         |  SELECT CAST(unnest(generate_series(0, 2)) AS BIGINT) AS batch_id)
+         |${one("doc_id")}
+         |UNION ALL
+         |${one("lang")}
+         |UNION ALL
+         |${one("n_chars")}
+         |ORDER BY batch_id, col_name""".stripMargin
+    }
   )
 }

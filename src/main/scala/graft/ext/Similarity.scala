@@ -205,6 +205,120 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ (product-quantization) ANN: the 100 TB MEMORY lever next to IVF's
+    * candidate-count lever. The vector space is split into `numSubspaces`
+    * subspaces; each subspace gets a `codebookSize`-entry codebook, and a
+    * corpus vector is stored as one small int code per subspace — a 64-dim
+    * float vector (256 B) becomes numSubspaces bytes-ish of codes, and the
+    * query scores candidates from a per-query LOOKUP TABLE (ADC:
+    * asymmetric distance computation) instead of touching raw vectors.
+    * The final top-k is then EXACTLY re-ranked on the true vectors of the
+    * (k · rerankFactor) best approximate candidates, so PQ error can only
+    * cost recall at the candidate-pool boundary, never mis-rank the
+    * returned neighbors.
+    *
+    * Codebooks are a deterministic corpus sample (the IVF bootstrap
+    * stance: at 100 TB the encode scan dominates, sampled codewords are
+    * the standard bootstrap; same `idCol` contract as [[ivfTopK]]).
+    * Codeword j of subspace m is the m-th slice of the j-th sampled
+    * vector. Encoding picks, per subspace, the codeword maximizing
+    * `dot(x_m, c) − |c|²/2` — the L2-nearest codeword, as an argmax the
+    * scan stage evaluates with the native dot kernel (no join, no
+    * shuffle of the corpus; exactly the bestCell idiom).
+    *
+    * Shuffle profile: corpus is scanned once into (id, norm, codes);
+    * queries (tiny) are broadcast with their LUTs; ADC scoring is a
+    * per-row fold over numSubspaces lookups; one window per query ranks
+    * candidates. Raw vectors travel only for the candidate pool
+    * (re-rank join by id), O(queries · k · rerankFactor) rows.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, queryIdCol: String,
+             k: Int = 10, numSubspaces: Int = 8, codebookSize: Int = 16,
+             rerankFactor: Int = 4, dim: Int = 64,
+             modulus: Int = 1000): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    // deterministic codeword donors: stride-sampled ids, j = sorted rank
+    val stride = math.max(modulus / codebookSize, 1)
+    val codebook: Array[Array[Double]] = corpus
+      .select(col(idCol).cast("long").as("cb_id"), col(vecCol).as("cb_vec"))
+      .filter(pmod(col("cb_id"), lit(stride)) === 0)
+      .orderBy("cb_id").limit(codebookSize)
+      .collect()
+      .map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray)
+    require(codebook.nonEmpty,
+      s"PQ codebook sample is empty — numeric id space has no multiples of $stride")
+
+    def subVec(vec: Column, m: Int): Column = slice(vec, m * subDim + 1, subDim)
+    def cwSub(j: Int, m: Int): Array[Double] =
+      codebook(j).slice(m * subDim, (m + 1) * subDim)
+
+    // nearest codeword of subspace m: argmax dot(x_m, c) - |c|^2/2 via the
+    // struct-argmax idiom (ties to the LOWEST code index)
+    def codeFor(vec: Column, m: Int): Column = {
+      val entries = codebook.indices.map { j =>
+        val c = cwSub(j, m)
+        val cLit = array(c.toIndexedSeq.map(lit): _*)
+        struct((dot(subVec(vec, m), cLit) - lit(0.5 * c.map(x => x * x).sum)).as("s"),
+          lit(-j).as("nj"))
+      }
+      -array_max(array(entries: _*)).getField("nj")
+    }
+
+    val corpusCodes = corpus.select(
+      col(idCol).as("neighbor_id"),
+      norm(col(vecCol)).as("c_norm"),
+      array((0 until numSubspaces).map(m => codeFor(col(vecCol), m)): _*).as("codes"))
+
+    // per-query ADC lookup table: luts[m][j] = dot(q_m, c_mj)
+    def lutFor(vec: Column): Column = array(
+      (0 until numSubspaces).map { m =>
+        array(codebook.indices.map { j =>
+          dot(subVec(vec, m), array(cwSub(j, m).toIndexedSeq.map(lit): _*))
+        }: _*)
+      }: _*)
+
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"), lutFor(col(vecCol)).as("luts")))
+
+    // ADC approximate cosine: sum of LUT entries at each subspace's code,
+    // normalized by the EXACT norms (|q| constant per query; |x| stored) —
+    // keeps candidate ranking aligned with the exact cosine re-rank
+    val adcDot = aggregate(
+      zip_with(col("codes"), col("luts"),
+        (c, lutRow) => element_at(lutRow, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val approxCos = when(col("q_norm") * col("c_norm") > 0,
+      adcDot / (col("q_norm") * col("c_norm"))).otherwise(lit(0.0))
+
+    val pool = k * rerankFactor
+    val cw = Window.partitionBy("query_id")
+      .orderBy(desc("approx_cos"), asc("neighbor_id"))
+    val cands = corpusCodes.join(q.select("query_id", "q_norm", "luts"))
+      .select(col("query_id"), col("neighbor_id"), approxCos.as("approx_cos"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= pool)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the candidate pool on true vectors
+    val corpusVecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    cands
+      .join(corpusVecs, "neighbor_id")
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")).as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH near-pair candidates within one table (for Dedup verify stages):
     * rows sharing a bucket. One shuffle on (bucket), pairwise only within
     * buckets.

@@ -87,6 +87,32 @@ object Compacter {
     spark
   }
 
+  /** Parse the reference's AWS keyfile shape
+    * (`get_aws_key_and_secret`, reference `scripts/...py:28-34`;
+    * `README.md:63-73`): a JSON object with `accessKeyId` and
+    * `secretAccessKey` (extra fields like `region` are ignored, as the
+    * reference ignores them). Returns (access key, secret key); fails
+    * loudly on a missing/blank field rather than configuring S3A with an
+    * empty credential.
+    */
+  def readAwsConfig(path: String): (String, String) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(path))
+    def field(name: String): String =
+      Option(node.get(name)).map(_.asText).filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          s"AWS config $path is missing required field '$name'"))
+    (field("accessKeyId"), field("secretAccessKey"))
+  }
+
+  /** [[readAwsConfig]] + [[configureS3Credentials]] in one step — the
+    * `--aws-config` CLI path.
+    */
+  def configureS3CredentialsFromFile(spark: SparkSession, path: String): SparkSession = {
+    val (key, secret) = readAwsConfig(path)
+    configureS3Credentials(spark, key, secret)
+  }
+
   def destinationFor(cfg: Config, dt: String): String =
     s"${cfg.destRoot}/${cfg.sourceBucket}/dt=$dt"
 

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * (`scripts/oss_s3_server_side_logging_compacter.py:311-350`):
   *
   * {{{
+  * --aws-config <path>                JSON keyfile {accessKeyId, secretAccessKey}
   * --source-access-log-bucket <uri>   root holding raw log objects
   * --source-bucket <name>             monitored bucket (listing sub-prefix)
   * --destination-log-bucket <uri>     where compacted parquet goes
@@ -17,9 +18,11 @@ import org.apache.spark.sql.SparkSession
   * --max-date <YYYY-MM-DD>            exclusive
   * }}}
   *
-  * Credentials: supplied via standard Hadoop/AWS config (core-site,
-  * environment, instance profile) — pluggable auth, the reference README's
-  * explicit wish (`README.md:75-79`), instead of a JSON keyfile.
+  * Credentials: `--aws-config` reads the reference's JSON keyfile shape
+  * (`README.md:63-73`) into explicit S3A keys. OMITTED by default — then
+  * credentials come from standard Hadoop/AWS config (core-site,
+  * environment, instance profile): pluggable auth, the reference README's
+  * explicit wish (`README.md:75-79`).
   */
 object CompacterCli {
 
@@ -70,6 +73,8 @@ object CompacterCli {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     try {
+      opts.get("aws-config").foreach(
+        Compacter.configureS3CredentialsFromFile(spark, _))
       Compacter.compactRange(spark, cfg,
         LocalDate.parse(req("min-date")), LocalDate.parse(req("max-date")))
         .foreach(d => println(s"[compacter] wrote $d"))

@@ -69,6 +69,40 @@ class SimilaritySpec extends SparkTestBase {
     (0L until 4L).foreach(q => assert(ivf.contains((q, q))))
   }
 
+  test("pqTopK: high recall vs brute force, exact re-rank keeps rank order") {
+    val dim = 16
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin((i * 31 + d * 7).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", "query_id", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val pq = Similarity.pqTopK(vecs, qs, "vec_id", "embedding", "query_id",
+        k = 5, numSubspaces = 4, codebookSize = 16, rerankFactor = 8,
+        dim = dim, modulus = 200)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val pqSet = pq.map(t => (t._1, t._2)).toSet
+    val recall = (exactSet & pqSet).size.toDouble / exactSet.size
+    assert(recall >= 0.9, s"PQ recall $recall below 0.9")
+    // the exact re-rank property: any neighbor PQ returns that IS in the
+    // exact top-k carries the same rank there (re-ranking is by the true
+    // cosine, so order among shared neighbors must agree)
+    val exactRank = exact.map(t => (t._1, t._2) -> t._3).toMap
+    val agree = pq.filter(t => exactSet.contains((t._1, t._2)))
+    val perQueryShared = agree.groupBy(_._1)
+    perQueryShared.foreach { case (q, rows) =>
+      val pqOrder = rows.sortBy(_._3).map(_._2).toSeq
+      val exOrder = rows.map(t => (t._2, exactRank((q, t._2))))
+        .sortBy(_._2).map(_._1).toSeq
+      assert(pqOrder == exOrder, s"query $q: shared-neighbor order diverged")
+    }
+    // self-match: a vector is its own nearest neighbor and PQ's candidate
+    // pool is 40 deep — self must survive the pool and re-rank to 1
+    (0L until 5L).foreach(q => assert(pqSet.contains((q, q))))
+  }
+
   test("lshCandidatePairs: bucketed pairs carry exact cosine") {
     val vecs = Seq(
       (1L, Array.fill(16)(1.0f)),

@@ -183,6 +183,36 @@ class CompacterSpec extends SparkTestBase {
       CompacterCli.parseArgs(Array("oops"))
     }
   }
+  test("aws-config keyfile: reference JSON shape parsed into S3A credentials") {
+    val tmp = Files.createTempDirectory("graft-creds")
+    val keyfile = tmp.resolve("something.key")
+    // the reference README's exact example shape (README.md:63-73),
+    // including the extra `region` field the compacter ignores
+    Files.write(keyfile,
+      """{
+        |  "accessKeyId": "AKIAEXAMPLE",
+        |  "secretAccessKey": "sekrit/abc",
+        |  "region": "us-west-2"
+        |}""".stripMargin.getBytes)
+    assert(Compacter.readAwsConfig(keyfile.toString) == (("AKIAEXAMPLE", "sekrit/abc")))
+
+    Compacter.configureS3CredentialsFromFile(spark, keyfile.toString)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "AKIAEXAMPLE")
+    assert(hc.get("fs.s3a.secret.key") == "sekrit/abc")
+
+    // a missing field must fail loudly, not configure an empty credential
+    val bad = tmp.resolve("bad.key")
+    Files.write(bad, """{"accessKeyId": "AKIAEXAMPLE"}""".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      Compacter.readAwsConfig(bad.toString)
+    }
+    assert(e.getMessage.contains("secretAccessKey"))
+    // and the CLI surface accepts the flag
+    assert(CompacterCli.parseArgs(Array("--aws-config", keyfile.toString))
+      == Map("aws-config" -> keyfile.toString))
+  }
+
   test("concurrent day compaction matches sequential, disjoint outputs") {
     val tmp = Files.createTempDirectory("graft-concurrent")
     val rawRoot = tmp.resolve("raw")
