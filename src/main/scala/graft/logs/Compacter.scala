@@ -45,7 +45,13 @@ object Compacter {
       // a narrow range of EVERY listed column, so row-group min/max stats
       // prune `requester = X AND request_time BETWEEN ...`-style queries
       // instead of only time ranges. Empty = reference behavior.
-      zorderBy: Seq[String] = Seq.empty
+      zorderBy: Seq[String] = Seq.empty,
+      // Parquet codec. Default = the reference's snappy; measured on the
+      // 1M-line day (tools.WriterBench, README "write path"), zstd writes
+      // FASTER than snappy and 38% smaller — worth switching when the
+      // downstream reader fleet has zstd (any Spark/Trino/DuckDB of the
+      // last several years does).
+      compression: String = "snappy"
   )
 
   /** Measured raw-text → snappy-parquet size ratio for S3 access logs
@@ -161,7 +167,7 @@ object Compacter {
       observed.repartition(numFiles).sortWithinPartitions("request_time")
         .write
         .mode("overwrite") // deterministic re-runs: re-running a day replaces it
-        .option("compression", "snappy")
+        .option("compression", cfg.compression)
         .parquet(dest)
     } else {
       // the zorder path needs boundary/sampling passes BEFORE the write
@@ -173,7 +179,7 @@ object Compacter {
         graft.ext.Layout.zorderCluster(cached, cfg.zorderBy, numFiles)
           .write
           .mode("overwrite")
-          .option("compression", "snappy")
+          .option("compression", cfg.compression)
           .parquet(dest)
       } finally cached.unpersist()
     }

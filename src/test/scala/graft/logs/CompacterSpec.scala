@@ -183,6 +183,24 @@ class CompacterSpec extends SparkTestBase {
       CompacterCli.parseArgs(Array("oops"))
     }
   }
+  test("compression knob: zstd day writes .zstd.parquet files that read back") {
+    val tmp = Files.createTempDirectory("graft-zstd")
+    val rawRoot = tmp.resolve("raw"); val destRoot = tmp.resolve("out")
+    val dt = "2021-02-03"
+    writeRawDay(rawRoot, "b", dt,
+      (0 until 20).map(i => logLine(3, i % 24, s"logs/svc/2019/01/01/p$i.gz")))
+    val cfg = Compacter.Config(rawRoot.toString, "b", destRoot.toString,
+      numOutputFiles = 2, compression = "zstd")
+    val dest = Compacter.compactDay(spark, cfg, dt).get
+    val files = Files.list(java.nio.file.Paths.get(dest)).iterator()
+    val parts = Iterator.continually(files)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    assert(parts.size == 2 && parts.forall(_.contains("zstd")),
+      s"expected 2 zstd part files, got $parts")
+    assert(spark.read.parquet(dest).count() == 20)
+  }
+
   test("aws-config keyfile: reference JSON shape parsed into S3A credentials") {
     val tmp = Files.createTempDirectory("graft-creds")
     val keyfile = tmp.resolve("something.key")
