@@ -75,15 +75,13 @@ object Similarity {
   }
 
   /** Sign-bit signature of a vector against the hyperplanes, packed into a
-    * BIGINT bucket id. Pure per-row math — computed in the scan stage.
+    * BIGINT bucket id. Pure per-row math — computed in the scan stage by
+    * the native HyperplaneBucket kernel (one plan node; the composed
+    * when/shiftleft OR-reduction carried bits × dim literal nodes through
+    * the optimizer per use).
     */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    VectorFunctions.hyperplaneBucket(vec, planes.toSeq.map(_.toSeq))
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing the query's
     * bucket, or (multi-probe) any bucket at hamming distance 1 from it.
@@ -164,17 +162,16 @@ object Similarity {
       s"IVF centroid sample is empty — numeric id space has no multiples of " +
         s"${math.max(modulus / numCells, 1)}")
 
-    // argmax-cosine cell via array_max over (cosine, -centroid_id) structs:
-    // struct ordering compares cosine first, then -id, so the max is the
-    // highest cosine with the LOWEST centroid_id on ties — same as a
-    // rank-1 window ordered by cosine DESC, centroid_id ASC. (A when-chain
-    // fold would duplicate the accumulator expression per step: 2^K nodes.)
+    // argmax-cosine cell via the native NearestCentroid kernel (one plan
+    // node; ties to the lowest index = lowest centroid_id, since indices
+    // follow the id-sorted sample) mapped to the centroid ID through a
+    // tiny literal id array. The previous array_max-over-structs form was
+    // semantically identical but carried numCells × dim literal nodes
+    // through the optimizer on every planning.
     def bestCell(vec: Column): Column = {
-      val entries = centroidRows.map { case (cid, cvec) =>
-        val cLit = array(cvec.toIndexedSeq.map(lit): _*)
-        struct(cosine(vec, cLit).as("c"), lit(-cid).as("ncell"))
-      }
-      -array_max(array(entries.toIndexedSeq: _*)).getField("ncell")
+      val idx = graft.functions.VectorFunctions.nearestCentroid(
+        vec, centroidRows.toSeq.map(_._2.toSeq))
+      element_at(array(centroidRows.toSeq.map(r => lit(r._1)): _*), idx + 1)
     }
 
     val corpusCells = corpus
@@ -224,9 +221,12 @@ object Similarity {
     * the standard bootstrap; same `idCol` contract as [[ivfTopK]]).
     * Codeword j of subspace m is the m-th slice of the j-th sampled
     * vector. Encoding picks, per subspace, the codeword maximizing
-    * `dot(x_m, c) − |c|²/2` — the L2-nearest codeword, as an argmax the
-    * scan stage evaluates with the native dot kernel (no join, no
-    * shuffle of the corpus; exactly the bestCell idiom).
+    * `dot(x_m, c) − |c|²/2` — the L2-nearest codeword — via the native
+    * `PqEncode` kernel (graft.functions): one codegen'd plan node whose
+    * codebook rides as a reference object, instead of an argmax tree of
+    * subspaces × codewords literal arrays whose ~2k-node plan costs more
+    * in the optimizer than the arithmetic costs at runtime. No join, no
+    * shuffle of the corpus.
     *
     * Shuffle profile: corpus is scanned once into (id, norm, codes);
     * queries (tiny) are broadcast with their LUTs; ADC scoring is a
@@ -241,50 +241,28 @@ object Similarity {
              modulus: Int = 1000): DataFrame = {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
-    val subDim = dim / numSubspaces
     // deterministic codeword donors: stride-sampled ids, j = sorted rank
     val stride = math.max(modulus / codebookSize, 1)
-    val codebook: Array[Array[Double]] = corpus
+    val codebook: Seq[Seq[Double]] = corpus
       .select(col(idCol).cast("long").as("cb_id"), col(vecCol).as("cb_vec"))
       .filter(pmod(col("cb_id"), lit(stride)) === 0)
       .orderBy("cb_id").limit(codebookSize)
       .collect()
-      .map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray)
+      .toSeq
+      .map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toSeq)
     require(codebook.nonEmpty,
       s"PQ codebook sample is empty — numeric id space has no multiples of $stride")
 
-    def subVec(vec: Column, m: Int): Column = slice(vec, m * subDim + 1, subDim)
-    def cwSub(j: Int, m: Int): Array[Double] =
-      codebook(j).slice(m * subDim, (m + 1) * subDim)
-
-    // nearest codeword of subspace m: argmax dot(x_m, c) - |c|^2/2 via the
-    // struct-argmax idiom (ties to the LOWEST code index)
-    def codeFor(vec: Column, m: Int): Column = {
-      val entries = codebook.indices.map { j =>
-        val c = cwSub(j, m)
-        val cLit = array(c.toIndexedSeq.map(lit): _*)
-        struct((dot(subVec(vec, m), cLit) - lit(0.5 * c.map(x => x * x).sum)).as("s"),
-          lit(-j).as("nj"))
-      }
-      -array_max(array(entries: _*)).getField("nj")
-    }
-
+    import graft.functions.PqFunctions
     val corpusCodes = corpus.select(
       col(idCol).as("neighbor_id"),
       norm(col(vecCol)).as("c_norm"),
-      array((0 until numSubspaces).map(m => codeFor(col(vecCol), m)): _*).as("codes"))
-
-    // per-query ADC lookup table: luts[m][j] = dot(q_m, c_mj)
-    def lutFor(vec: Column): Column = array(
-      (0 until numSubspaces).map { m =>
-        array(codebook.indices.map { j =>
-          dot(subVec(vec, m), array(cwSub(j, m).toIndexedSeq.map(lit): _*))
-        }: _*)
-      }: _*)
+      PqFunctions.pqEncode(col(vecCol), codebook, numSubspaces).as("codes"))
 
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"), lutFor(col(vecCol)).as("luts")))
+      norm(col(vecCol)).as("q_norm"),
+      PqFunctions.pqLut(col(vecCol), codebook, numSubspaces).as("luts")))
 
     // ADC approximate cosine: sum of LUT entries at each subspace's code,
     // normalized by the EXACT norms (|q| constant per query; |x| stored) —

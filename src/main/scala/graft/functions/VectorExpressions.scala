@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -89,6 +89,241 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `nearest_centroid(vec)` → int index of the centroid with the highest
+  * cosine similarity to `vec`, ties to the LOWEST index — the IVF cell
+  * assignment as ONE plan node. The composed form (array_max over
+  * K structs each holding a literal centroid array) carries K×dim literal
+  * nodes through the optimizer per use; this kernel holds the centroid
+  * matrix as a reference object. Semantics mirror the composed form
+  * exactly: cosine = dot/( |x|·|c| ) accumulated in index order, 0.0 when
+  * either norm is zero, dot over min(len) with null elements skipped,
+  * |x| over the full vector; a NaN cosine outranks every finite one
+  * (Spark's NaN-greatest ordering), first NaN wins.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val k = centroids.length
+  private lazy val dim = centroids.head.length
+  /** flat [j * dim + d] */
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      var d = 0
+      while (d < dim) { a(j * dim + d) = centroids(j)(d); d += 1 }
+      j += 1
+    }
+    a
+  }
+  /** sqrt of index-order sum of squares — same math as vecNorm. */
+  private lazy val cNorm: Array[Double] = {
+    val a = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val c = flat(j * dim + d); s += c * c; d += 1 }
+      a(j) = math.sqrt(s)
+      j += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!okVec)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${child.dataType.simpleString}")
+    else if (centroids.isEmpty || centroids.exists(_.length != dim))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName centroid matrix must be rectangular")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = a.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        xx += x * x
+      }
+      i += 1
+    }
+    val normX = math.sqrt(xx)
+    var bestJ = 0
+    var best = Double.NegativeInfinity
+    var bestNaN = false
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      val lim = math.min(n, dim)
+      var d = 0
+      while (d < lim) {
+        if (!a.isNullAt(d)) {
+          val x = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+          dot += x * flat(j * dim + d)
+        }
+        d += 1
+      }
+      val denom = normX * cNorm(j)
+      val s = if (denom > 0) dot / denom else 0.0
+      if (java.lang.Double.isNaN(s)) {
+        if (!bestNaN) { bestNaN = true; bestJ = j }
+      } else if (!bestNaN && s > best) { best = s; bestJ = j }
+      j += 1
+    }
+    bestJ
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+      val normRef = ctx.addReferenceObj("centNorm", cNorm, "double[]")
+      val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = ctx.freshName("n")
+      val xx = ctx.freshName("xx")
+      val normX = ctx.freshName("normX")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val lim = ctx.freshName("lim")
+      val dot = ctx.freshName("dot")
+      val denom = ctx.freshName("denom")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val bestNaN = ctx.freshName("bestNaN")
+      def getAt(p: String) = if (isF) s"(double)$a.getFloat($p)" else s"$a.getDouble($p)"
+      s"""
+         |int $n = $a.numElements();
+         |double $xx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) { double x = ${getAt(i)}; $xx += x * x; }
+         |}
+         |double $normX = java.lang.Math.sqrt($xx);
+         |int $bestJ = 0;
+         |double $best = Double.NEGATIVE_INFINITY;
+         |boolean $bestNaN = false;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $dot = 0.0;
+         |  int $lim = java.lang.Math.min($n, $dim);
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$a.isNullAt($d)) { $dot += ${getAt(d)} * $flatRef[$j * $dim + $d]; }
+         |  }
+         |  double $denom = $normX * $normRef[$j];
+         |  double $s = ($denom > 0) ? ($dot / $denom) : 0.0;
+         |  if (java.lang.Double.isNaN($s)) {
+         |    if (!$bestNaN) { $bestNaN = true; $bestJ = $j; }
+         |  } else if (!$bestNaN && $s > $best) { $best = $s; $bestJ = $j; }
+         |}
+         |${ev.value} = $bestJ;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `hyperplane_bucket(vec)` → bigint whose bit i is the sign of
+  * `dot(vec, plane_i)` — the random-hyperplane LSH bucket as ONE plan
+  * node instead of bits × dim literal nodes OR-reduced. Mirrors the
+  * composed form bit-exactly: bit set when dot >= 0, and ALSO when the
+  * dot is NaN (Spark's NaN-greatest comparison made `NaN >= 0` true in
+  * the composed form); dot over min(len), null elements skipped.
+  */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  private lazy val bits = planes.length
+  private lazy val dim = planes.head.length
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](bits * dim)
+    var j = 0
+    while (j < bits) {
+      var d = 0
+      while (d < dim) { a(j * dim + d) = planes(j)(d); d += 1 }
+      j += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!okVec)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${child.dataType.simpleString}")
+    else if (planes.isEmpty || planes.exists(_.length != dim) || bits > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName plane matrix must be rectangular with <= 63 rows")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val lim = math.min(a.numElements(), dim)
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < lim) {
+        if (!a.isNullAt(d)) {
+          val x = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+          dot += x * flat(j * dim + d)
+        }
+        d += 1
+      }
+      if (dot >= 0 || java.lang.Double.isNaN(dot)) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("planeFlat", flat, "double[]")
+      val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val lim = ctx.freshName("lim")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val getX = if (isF) s"(double)$a.getFloat($d)" else s"$a.getDouble($d)"
+      s"""
+         |int $lim = java.lang.Math.min($a.numElements(), $dim);
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$a.isNullAt($d)) { $dot += $getX * $flatRef[$j * $dim + $d]; }
+         |  }
+         |  if ($dot >= 0 || java.lang.Double.isNaN($dot)) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -106,4 +341,10 @@ object VectorFunctions {
     val denom = vecNorm(a) * vecNorm(b)
     when(denom > 0, vecDot(a, b) / denom).otherwise(lit(0.0))
   }
+
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), planes))
 }
