@@ -1206,6 +1206,36 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ext dedup — benchmark DECONTAMINATION: corpus documents sharing
+    // >= 2 distinct 3-grams with a (derived) benchmark set — the n-gram
+    // overlap gate run before training. The benchmark is every 11th
+    // document's first 8 words, so contamination is planted by
+    // construction; the engine must count shared grams and test docs hit.
+    "q82_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val words = split(col("text"), " ")
+      val bench = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          array_join(slice(words, 1, 8), " ").as("text"))
+      Dedup.ngramOverlapAcross(docs, bench, "doc_id", "text",
+          n = 3, minShared = 2L)
+        .orderBy("doc_id")
+    }),
+
+    // ext text — repetition/quality signals (the Gopher-style curation
+    // gate): within-document duplicate 2-/3-gram fractions and top-token
+    // dominance, all pure per-row column math over the shared canonical
+    // tokenization.
+    "q83_text_repetition" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.duplicateNgramFraction(t, 2).as("dup_2gram_frac"),
+        TextStats.duplicateNgramFraction(t, 3).as("dup_3gram_frac"),
+        TextStats.topTokenShare(t).as("top_token_share"))
+        .orderBy("doc_id")
+    }),
+
     // ext streaming — cumulative foreachBatch column profile (continuous
     // data-QA), executed as a batch replay of three simulated micro-
     // batches (doc_id % 3): the SAME fold/merge code path the streaming
@@ -2470,6 +2500,60 @@ object SparkEntry {
          |UNION ALL
          |${one("n_chars")}
          |ORDER BY batch_id, col_name""".stripMargin
-    }
+    },
+
+    "q82_decontaminate" -> {
+      // distinct word-3-gram postings of a (doc_id, text) source — the
+      // ShingleCte formula, parameterized by source and output id name
+      def grams(src: String, outId: String) =
+        s"""SELECT doc_id AS $outId, unnest(s) AS gram FROM (
+           |    SELECT doc_id, list_distinct(list_transform(
+           |      generate_series(1, greatest(len(t) - 2, 1)),
+           |      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+           |    FROM (SELECT doc_id,
+           |            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           |          FROM $src))""".stripMargin
+      s"""WITH bench AS (
+         |  SELECT doc_id + 50000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |cg AS (${grams("documents", "corpus_id")}),
+         |tg AS (${grams("bench", "test_id")})
+         |SELECT cg.corpus_id AS doc_id,
+         |  CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_shared_grams,
+         |  CAST(count(DISTINCT tg.test_id) AS BIGINT) AS n_test_docs
+         |FROM cg JOIN tg ON tg.gram = cg.gram
+         |GROUP BY 1 HAVING count(DISTINCT cg.gram) >= 2
+         |ORDER BY 1""".stripMargin
+    },
+
+    "q83_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 1, 1)),
+        |      i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS d2,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 2, 1)),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS d3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(1 AS DOUBLE) - CAST(d2 AS DOUBLE) / CAST(greatest(len(toks) - 1, 1) AS DOUBLE)
+        |  ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(1 AS DOUBLE) - CAST(d3 AS DOUBLE) / CAST(greatest(len(toks) - 2, 1) AS DOUBLE)
+        |  ELSE 0.0 END AS dup_3gram_frac,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(toks),
+        |      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE)
+        |  ELSE 0.0 END AS top_token_share
+        |FROM g
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -456,6 +456,40 @@ object Dedup {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word n-grams with ANY document of a held-out
+    * test/benchmark set (the GPT-3/C4-style n-gram overlap gate — train
+    * on a corpus that quotes the benchmark and the eval is meaningless).
+    * Returns (corpus id, n_shared_grams, n_test_docs): how many distinct
+    * grams of the test-set UNION the document contains, and how many
+    * test documents it touches; join back left_anti to drop.
+    *
+    * Scale shape: both sides explode to DISTINCT (id, gram) postings; the
+    * join key is the gram. The test side is benchmark-sized — thousands
+    * of documents against a 100 TB corpus — so AQE broadcasts it and the
+    * CORPUS NEVER SHUFFLES: one scan + explode + broadcast probe + one
+    * hash re-aggregate on the corpus id. `n` defaults to the corpus
+    * canonical 3-gram; raise toward the classic 13 for long-form
+    * benchmarks (longer grams = fewer postings AND fewer false hits).
+    */
+  def ngramOverlapAcross(corpus: DataFrame, test: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def postings(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+          explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val corpusGrams = postings(corpus, "corpus_id")
+    val testGrams = postings(test, "test_id")
+    corpusGrams.join(testGrams, "gram")
+      .groupBy(col("corpus_id").as(idCol))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("test_id")).as("n_test_docs"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over an undirected edge list: returns

@@ -273,6 +273,45 @@ object TextStats {
   def canonicalTokens(text: Column): Column =
     split(Dedup.canonicalize(text), " ")
 
+  // ----------------------------------------------- repetition signals
+
+  /** Fraction of word n-gram occurrences that are repeats of an earlier
+    * occurrence within the SAME document: `1 − distinct/total` over the
+    * document's n-gram multiset. The classic web-crawl quality signal
+    * (boilerplate loops, keyword stuffing, decoding glitches all push it
+    * up); thresholding on the 2-/3-gram variants is the standard
+    * repetition gate in large-pipeline curation. Pure per-row column
+    * math over the shared canonical tokenization — no shuffle; empty
+    * docs score 0.
+    */
+  def duplicateNgramFraction(text: Column, n: Int = 3): Column = {
+    val toks = canonicalTokens(text)
+    // the WordNgrams kernel emits DISTINCT grams; the occurrence total is
+    // the window count max(len − n + 1, 1), so no second (multiset) gram
+    // array is ever materialized
+    val total = greatest(size(toks) - lit(n - 1), lit(1))
+    val distinctGrams =
+      size(graft.functions.SketchFunctions.wordNgrams(toks, n))
+    when(size(toks) > 0,
+      lit(1.0) - distinctGrams.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of the document's tokens taken by its single most frequent
+    * token (1.0 = the document is one word repeated) — the companion
+    * dominance signal to [[duplicateNgramFraction]]. Per-row array fold:
+    * O(distinct × tokens) comparisons, fine for document-sized rows; the
+    * heavy corpus aggregate alternative (explode + groupBy) is what
+    * [[vocabCoverage]] already provides corpus-wide.
+    */
+  def topTokenShare(text: Column): Column = {
+    val toks = canonicalTokens(text)
+    val top = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    when(size(toks) > 0, top.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   // --------------------------------------------------- corpus vocabulary
 
   /** Vocabulary coverage: global term frequencies ranked by count (ties

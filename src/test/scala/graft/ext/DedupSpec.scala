@@ -165,6 +165,24 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+  test("ngramOverlapAcross flags planted benchmark quotes only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content about spark execution engines"),
+      (3L, "quick brown fox jumps over")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "entirely different benchmark prompt")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramOverlapAcross(corpus, bench, "doc_id", "text",
+        n = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 contains all 3 of bench-10's trigrams; doc 3 contains 2; doc 2
+    // shares nothing; bench 11 is hit by nobody
+    assert(got == Set((1L, 3L, 1L), (3L, 2L, 1L)))
+  }
+
   test("connectedComponents: min reachable id labels every node") {
     // two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),

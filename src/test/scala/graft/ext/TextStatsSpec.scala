@@ -10,6 +10,22 @@ class TextStatsSpec extends SparkTestBase {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c).collect()(0).get(0)
 
+  test("repetition signals: duplicate n-gram fractions and top-token share") {
+    def d2(t: String) = one(TextStats.duplicateNgramFraction(col("t"), 2), t)
+      .asInstanceOf[Double]
+    def top(t: String) = one(TextStats.topTokenShare(col("t")), t)
+      .asInstanceOf[Double]
+    // "a a a a": 3 bigram windows, 1 distinct -> 2/3 duplicated; top 1.0
+    assert(math.abs(d2("a a a a") - 2.0 / 3) < 1e-12)
+    assert(top("a a a a") == 1.0)
+    // all-distinct prose: nothing duplicated, top token share = 1/n
+    assert(d2("w x y z") == 0.0)
+    assert(top("w x y z") == 0.25)
+    // "spam spam ham spam": 3 distinct bigrams of 3 windows -> 0; top 3/4
+    assert(d2("spam spam ham spam") == 0.0)
+    assert(top("spam spam ham spam") == 0.75)
+  }
+
   test("wordCount / bpeish token count") {
     assert(one(TextStats.wordCount(col("t")), "a bb  ccc") == 3)
     // letters run + digits run + punct singles: [hello][123][!][!]
