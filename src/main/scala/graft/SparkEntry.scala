@@ -1206,6 +1206,17 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ext streaming — the stateful streaming funnel's BATCH REPLAY: the
+    // flatMapGroupsWithState fold over ts-sorted events equals the batch
+    // funnel recurrence exactly when all events form one batch, so this
+    // gates the streaming code path against q71's own oracle; cross-batch
+    // incremental state covered in ScalaTest (MemoryStream).
+    "q84_stream_funnel" -> ((s, dir) => {
+      graft.streaming.StreamingFunnel.batchFunnel(tbl(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     // ext dedup — benchmark DECONTAMINATION: corpus documents sharing
     // >= 2 distinct 3-grams with a (derived) benchmark set — the n-gram
     // overlap gate run before training. The benchmark is every 11th
@@ -2501,6 +2512,22 @@ object SparkEntry {
          |${one("n_chars")}
          |ORDER BY batch_id, col_name""".stripMargin
     },
+
+    // identical recurrence to q71 — the streaming fold must reproduce the
+    // batch funnel bit-for-bit on a single batch
+    "q84_stream_funnel" ->
+      s"""WITH ev AS ($EventsCte),
+         |s1 AS (SELECT user_id, min(ts) AS t_1 FROM ev
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM ev e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM ev e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+         |SELECT s1.user_id, t_1, t_2, t_3,
+         |  CAST(1 + (CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END)
+         |         + (CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY 1""".stripMargin,
 
     "q82_decontaminate" -> {
       // distinct word-3-gram postings of a (doc_id, text) source — the
