@@ -299,15 +299,16 @@ object TextStats {
 
   /** Share of the document's tokens taken by its single most frequent
     * token (1.0 = the document is one word repeated) — the companion
-    * dominance signal to [[duplicateNgramFraction]]. Per-row array fold:
-    * O(distinct × tokens) comparisons, fine for document-sized rows; the
-    * heavy corpus aggregate alternative (explode + groupBy) is what
+    * dominance signal to [[duplicateNgramFraction]]. Native kernel
+    * (graft.functions.TokenModeCount): one hash-count pass per row — the
+    * composed distinct×filter fold was O(distinct × tokens) of
+    * interpreted lambda dispatch and dominated the q83 bench. The heavy
+    * corpus-aggregate alternative (explode + groupBy) is what
     * [[vocabCoverage]] already provides corpus-wide.
     */
   def topTokenShare(text: Column): Column = {
     val toks = canonicalTokens(text)
-    val top = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    val top = graft.functions.SketchFunctions.tokenModeCount(toks)
     when(size(toks) > 0, top.cast("double") / size(toks).cast("double"))
       .otherwise(lit(0.0))
   }

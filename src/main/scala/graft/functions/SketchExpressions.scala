@@ -134,6 +134,36 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Highest occurrence count of any single token in the array (0 for an
+  * empty array) — the dominance half of the repetition quality gate. The
+  * composed form (`array_max(transform(array_distinct(toks), t ->
+  * size(filter(toks, x -> x = t))))`) is O(distinct × tokens) through
+  * interpreted lambda dispatch; this is one hash-count pass per row.
+  * Null tokens count as the empty string, matching the canonical
+  * tokenizer's behavior elsewhere in this package.
+  */
+case class TokenModeCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_mode_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.tokenModeCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.tokenModeCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenModeCount =
+    copy(child = newChild)
+}
+
 /** Per-language marker-word counts: given K marker sets, returns
   * array<int> of length K where slot k = number of tokens (with
   * multiplicity) present in marker set k. One pass over the tokens with a
@@ -208,6 +238,23 @@ object SketchHelper {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def tokenModeCount(arr: ArrayData): Int = {
+    val len = arr.numElements()
+    if (len == 0) return 0
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](len * 2)
+    var best = 0
+    var i = 0
+    while (i < len) {
+      val t = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+              else arr.getUTF8String(i)
+      val c = counts.merge(t, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      if (c > best) best = c
+      i += 1
+    }
+    best
   }
 
   def minhash(arr: ArrayData, k: Int, seed: Long): ArrayData = {
@@ -307,4 +354,7 @@ object SketchFunctions {
 
   def charNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  def tokenModeCount(tokens: Column): Column =
+    ColumnBridge.column(TokenModeCount(ColumnBridge.expression(tokens)))
 }
