@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("word_ngrams", "word_ngrams(tokens, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordNgrams(args(0), intArg(args(1), "n"))))
 
+    ext.injectFunction((FunctionIdentifier("token_mode_count"),
+      info("token_mode_count",
+        "token_mode_count(tokens) - highest occurrence count of any one token"),
+      (args: Seq[Expression]) => graft.functions.TokenModeCount(args(0))))
+
     // Fuse the Days-Apart date-in-path composite (3 regex/array/parse
     // intermediates per row) into the single-pass PathDate kernel.
     ext.injectOptimizerRule(_ => graft.functions.CollapsePathDate)

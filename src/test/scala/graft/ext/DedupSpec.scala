@@ -211,6 +211,31 @@ class DedupSpec extends SparkTestBase {
     assert(comps.length == 401 && comps.forall(_._2 == 0L))
   }
 
+  test("connectedComponents equals union-find on randomized graphs") {
+    // the pointer-compression rewrite must not change the fixpoint on ANY
+    // graph shape — compare against an in-memory union-find reference
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(30)
+      val edges = Seq.fill(5 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v.toInt).toLong).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expect, s"trial $trial (n=$n, ${edges.size} edges)")
+      }
+    }
+  }
+
   test("connectedComponents: full-range 64-bit surrogate ids converge exactly") {
     // the decimal(38,0) convergence sum cannot wrap: ids near ±2^63 (the
     // xxhash64-surrogate shape the docstring recommends) must still reach
