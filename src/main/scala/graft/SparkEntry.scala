@@ -1217,6 +1217,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext text — HTML → visible text extraction (the pre-gate pass of a
+    // crawl pipeline): documents wrapped in synthetic boilerplate (style
+    // block, comment, script holding fake tags, double-encoded entities)
+    // must strip back to deterministic text; md5 keeps the gate compact.
+    "q85_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>T</title><style type=\"text/css\">p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1> <p>"), col("text"),
+        lit("</p><!-- trailing comment --><script>var x = \"<p>not text</p>\";</script>" +
+          "<div>tail &amp;amp; &lt;b&gt;bold&lt;/b&gt;&nbsp;end</div></body></html>"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextStats.stripHtml(html).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ext dedup — benchmark DECONTAMINATION: corpus documents sharing
     // >= 2 distinct 3-grams with a (derived) benchmark set — the n-gram
     // overlap gate run before training. The benchmark is every 11th
@@ -2528,6 +2546,37 @@ object SparkEntry {
          |         + (CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
          |ORDER BY 1""".stripMargin,
+
+    // the exact stripHtml pass chain, RE2 flavor (global 'g' flag; inline
+    // (?is); no backreferences anywhere — by design of stripHtml)
+    "q85_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style type="text/css">p { color: red; }</style></head><body><h1>Doc '
+        |    || CAST(doc_id AS VARCHAR) || '</h1> <p>' || text
+        |    || '</p><!-- trailing comment --><script>var x = "<p>not text</p>";</script><div>tail &amp;amp; &lt;b&gt;bold&lt;/b&gt;&nbsp;end</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |        '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(length(clean) AS BIGINT) AS n_chars
+        |FROM stripped
+        |ORDER BY doc_id""".stripMargin,
 
     "q82_decontaminate" -> {
       // distinct word-3-gram postings of a (doc_id, text) source — the

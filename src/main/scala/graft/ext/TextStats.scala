@@ -273,6 +273,35 @@ object TextStats {
   def canonicalTokens(text: Column): Column =
     split(Dedup.canonicalize(text), " ")
 
+  // ------------------------------------------------- HTML extraction
+
+  /** Strip HTML down to visible text: script/style blocks and comments
+    * removed, tags replaced by spaces (so `</p><p>` does not glue words),
+    * the six ubiquitous entities decoded (`&amp;` LAST, so a
+    * double-encoded `&amp;lt;` decodes exactly one level), whitespace
+    * collapsed. The crude-but-deterministic extraction pass every crawl
+    * pipeline runs before its text gates — boilerplate REMOVAL (menus,
+    * footers) is the containment/near-dup layer's job, not a regex's.
+    * Patterns are RE2-safe (no backreferences, inline `(?is)` flags
+    * only), so external engines can replicate the pass bit-for-bit.
+    * Pure per-row column expressions: no shuffle, streams unchanged.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) =>
+      // entity strings contain no regex metacharacters — usable verbatim
+      // in both Java regex and RE2 (\Q..\E quoting would break RE2)
+      regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ----------------------------------------------- repetition signals
 
   /** Fraction of word n-gram occurrences that are repeats of an earlier

@@ -10,6 +10,19 @@ class TextStatsSpec extends SparkTestBase {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c).collect()(0).get(0)
 
+  test("stripHtml: blocks dropped, tags space out, entities decode ONE level") {
+    def strip(t: String) = one(TextStats.stripHtml(col("t")), t).asInstanceOf[String]
+    assert(strip("<p>hello</p><p>world</p>") == "hello world",
+      "adjacent block tags must not glue words")
+    assert(strip("a<script>var s = '<b>x</b>';</script>b") == "a b",
+      "script contents (even holding tags) are not text")
+    assert(strip("<STYLE>p{}</STYLE>keep") == "keep", "case-insensitive blocks")
+    assert(strip("x<!-- note -->y") == "x y")
+    assert(strip("&amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+      == "&amp; <tag> \"q\" 's' end",
+      "exactly one decode level; double-encoded stays encoded once")
+  }
+
   test("repetition signals: duplicate n-gram fractions and top-token share") {
     def d2(t: String) = one(TextStats.duplicateNgramFraction(col("t"), 2), t)
       .asInstanceOf[Double]
