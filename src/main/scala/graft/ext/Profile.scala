@@ -166,6 +166,11 @@ object Profile {
   def equalFrequencyBinsApprox(df: DataFrame, valueCol: String, bins: Int,
                                accuracy: Int = 10000): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
+    if (bins == 1) // degenerate: one bin, no boundaries — percentile_approx
+      return df.filter(col(valueCol).isNotNull) // rejects an empty prob array
+        .groupBy(lit(1L).as("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
     val probs = (1 until bins).map(_.toDouble / bins)
     val boundaries = df.agg(
       percentile_approx(col(valueCol), array(probs.map(lit): _*), lit(accuracy))

@@ -102,8 +102,10 @@ object Compacter {
     * empty credential.
     */
   def readAwsConfig(path: String): (String, String) = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new java.io.File(path))
+    val node = Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"AWS config $path is empty or not JSON"))
     def field(name: String): String =
       Option(node.get(name)).map(_.asText).filter(_.nonEmpty).getOrElse(
         throw new IllegalArgumentException(

@@ -73,6 +73,9 @@ object StreamingFunnel {
   /** Batch replay with the q71-shaped output: one row per entity that
     * completed step 1, columns (entityCol, t_1..t_k, depth) — provably
     * equal to `ext.Funnel.funnel` on the same frame (see scaladoc).
+    * Contract: `entityCol` must be numeric (the state key is a long; a
+    * non-numeric id fails the ANSI cast loudly — hash string entities to
+    * a surrogate first, the connectedComponents stance).
     */
   def batchFunnel(events: DataFrame, entityCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String]): DataFrame = {

@@ -119,6 +119,14 @@ class ProfileSpec extends SparkTestBase {
       s"approx bins planned a sort:\n$plan")
   }
 
+  test("equalFrequencyBinsApprox: bins=1 degenerates to one whole-range bin") {
+    val df = spark.range(0, 100).select(col("id").cast("double").as("v"))
+    val out = Profile.equalFrequencyBinsApprox(df, "v", bins = 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 100L)
+    assert(out(0).getDouble(2) == 0.0 && out(0).getDouble(3) == 99.0)
+  }
+
   test("zscoreOutliers degrades to a shuffle join when broadcast is off (no forced hint)") {
     val vals = (Seq.fill(30)(10.0) ++ Seq(100.0))
       .zipWithIndex.map { case (v, i) => (i.toLong, s"g${i % 3}", v) }

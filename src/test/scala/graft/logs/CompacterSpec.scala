@@ -226,6 +226,10 @@ class CompacterSpec extends SparkTestBase {
       Compacter.readAwsConfig(bad.toString)
     }
     assert(e.getMessage.contains("secretAccessKey"))
+    // an empty file is not JSON — loud error, not an NPE
+    val empty = tmp.resolve("empty.key")
+    Files.write(empty, Array.empty[Byte])
+    intercept[IllegalArgumentException] { Compacter.readAwsConfig(empty.toString) }
     // and the CLI surface accepts the flag
     assert(CompacterCli.parseArgs(Array("--aws-config", keyfile.toString))
       == Map("aws-config" -> keyfile.toString))
