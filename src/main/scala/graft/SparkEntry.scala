@@ -1217,6 +1217,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext similarity — deterministic random projection (JL): 64 → 16 dims
+    // through one native mat_vec node; exploded to scalar rows so the
+    // oracle compares raw doubles (the generated oracle inlines the same
+    // seeded matrix at full double precision).
+    "q86_random_projection" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      em.select(col("vec_id"),
+          posexplode(ext.Similarity.randomProject(col("embedding"), 64, 16))
+            .as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")
+    }),
+
     // ext text — HTML → visible text extraction (the pre-gate pass of a
     // crawl pipeline): documents wrapped in synthetic boilerplate (style
     // block, comment, script holding fake tags, double-encoded entities)
@@ -1485,6 +1497,33 @@ object SparkEntry {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** Generated oracle for the random-projection path: the 16×64 seeded
+    * Gaussian matrix is inlined at full round-trip double precision and
+    * each output component is the same index-order float→double dot both
+    * engines compute — bit-equal, no rank/sign indirection needed.
+    */
+  private val RandomProjectionOracle: String = {
+    val planes = ext.Similarity.projectionMatrix(inDim = 64, outDim = 16, seed = 42L)
+    // %.17e: 17 significant digits round-trip any double, and the
+    // exponent makes DuckDB parse each literal as DOUBLE — a bare decimal
+    // literal list types as DECIMAL[], truncating the constants and
+    // shifting components by an ulp (raw values here, unlike the
+    // sign/rank-gated ANN oracles, must be BIT-equal)
+    val values = planes.zipWithIndex
+      .map { case (p, r) =>
+        val row = p.map(v => String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+        s"($r, [${row.mkString(", ")}])"
+      }
+      .mkString(",\n  ")
+    s"""WITH planes AS (SELECT * FROM (VALUES
+       |  $values) AS t(dim, pvec))
+       |SELECT e.vec_id, CAST(p.dim AS INT) AS dim,
+       |  list_sum(list_transform(list_zip(e.embedding, p.pvec),
+       |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS value
+       |FROM embeddings e CROSS JOIN planes p
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Generated oracle for char-trigram language ID: the per-language
     * trigram profiles are inlined; scoring/argmax mirror
     * `TextStats.langIdCharNgram` (first-wins ties).
@@ -1538,6 +1577,7 @@ object SparkEntry {
 
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
+    "q86_random_projection" -> RandomProjectionOracle,
 
     "q10_parse_logline" -> ParsedOracle,
 

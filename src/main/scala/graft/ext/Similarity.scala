@@ -320,6 +320,30 @@ object Similarity {
   }
   // -------------------------------------------- embedding transformations
 
+  /** Deterministic Gaussian projection matrix for [[randomProject]]:
+    * outDim × inDim, seeded, scaled by 1/√outDim so expected norms (and
+    * pairwise distances, per Johnson–Lindenstrauss) are preserved.
+    */
+  def projectionMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    Array.fill(outDim, inDim)(rnd.nextGaussian() * scale)
+  }
+
+  /** Random projection of an embedding column to `outDim` dimensions —
+    * the dimensionality lever that composes with every ANN path (project
+    * 64→16 before LSH/PQ/brute force: 4× less vector IO and arithmetic
+    * for a JL-bounded distance distortion). One native MatVec plan node
+    * (matrix rides as a reference object); per-row math in the scan
+    * stage, no shuffle, deterministic for a fixed seed.
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int,
+                    seed: Long = 42L): Column = {
+    require(outDim > 0 && inDim > 0, s"dims must be positive: $inDim -> $outDim")
+    VectorFunctions.matVec(vec,
+      projectionMatrix(inDim, outDim, seed).toSeq.map(_.toSeq))
+  }
+
   /** Per-vector symmetric int8 quantization: scale = 127 / max|x|, slots
     * rounded to [-127, 127]. The memory lever for 100 TB ANN — a 64-dim
     * float vector (256 B) becomes 64 B + one double, and int8 dot products

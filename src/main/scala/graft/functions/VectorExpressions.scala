@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -324,6 +324,95 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** `mat_vec(vec)` → array<double>: the constant matrix × vector product,
+  * row r = index-order dot of `vec` with matrix row r (null elements
+  * skipped, length-mismatch truncates like [[VectorDot]]). The matrix is
+  * a reference object — same one-plan-node rationale as
+  * [[NearestCentroid]]. Backs deterministic random projection
+  * (Johnson–Lindenstrauss) and any fixed linear map over embeddings.
+  */
+case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  private lazy val rows = matrix.length
+  private lazy val dim = matrix.head.length
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](rows * dim)
+    var r = 0
+    while (r < rows) {
+      var d = 0
+      while (d < dim) { a(r * dim + d) = matrix(r)(d); d += 1 }
+      r += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!okVec)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${child.dataType.simpleString}")
+    else if (matrix.isEmpty || matrix.exists(_.length != dim))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName matrix must be rectangular")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val lim = math.min(a.numElements(), dim)
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var s = 0.0
+      var d = 0
+      while (d < lim) {
+        if (!a.isNullAt(d)) {
+          val x = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+          s += x * flat(r * dim + d)
+        }
+        d += 1
+      }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("matFlat", flat, "double[]")
+      val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val lim = ctx.freshName("lim")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val getX = if (isF) s"(double)$a.getFloat($d)" else s"$a.getDouble($d)"
+      s"""
+         |int $lim = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $out = new double[$rows];
+         |for (int $r = 0; $r < $rows; $r++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$a.isNullAt($d)) { $s += $getX * $flatRef[$r * $dim + $d]; }
+         |  }
+         |  $out[$r] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
@@ -344,6 +433,9 @@ object VectorFunctions {
 
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  def matVec(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(MatVec(ColumnBridge.expression(vec), matrix))
 
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), planes))

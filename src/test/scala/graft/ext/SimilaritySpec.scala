@@ -103,6 +103,31 @@ class SimilaritySpec extends SparkTestBase {
     (0L until 5L).foreach(q => assert(pqSet.contains((q, q))))
   }
 
+  test("randomProject: deterministic, norm-preserving in expectation") {
+    val dim = 32
+    val vecs = (0L until 100L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin((i * 31 + d * 7).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = vecs.select($"vec_id",
+      Similarity.randomProject($"embedding", dim, 8).as("p"))
+    val rows = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.values.forall(_.length == 8))
+    // deterministic: a second evaluation is identical
+    val again = vecs.select($"vec_id",
+      Similarity.randomProject($"embedding", dim, 8).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows == again)
+    // JL, in aggregate: mean projected/original norm ratio near 1
+    val ratios = vecs.collect().map { r =>
+      val orig = math.sqrt(r.getSeq[Float](1).map(x => x.toDouble * x).sum)
+      val p = rows(r.getLong(0))
+      math.sqrt(p.map(x => x * x).sum) / orig
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean far from 1")
+  }
+
   test("lshCandidatePairs: bucketed pairs carry exact cosine") {
     val vecs = Seq(
       (1L, Array.fill(16)(1.0f)),
