@@ -1217,6 +1217,35 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext dedup — LEAKAGE-SAFE train/test split: the split key is the
+    // near-dup component (exact pair path), so a document and its
+    // near-twin can never land on opposite sides of the eval boundary;
+    // membership is the same deterministic md5-bucket rule as q45/q72.
+    "q88_leakage_safe_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      val all = docs.union(near)
+      val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.leakageSafeSplit(all, "doc_id", "text",
+          pairs.select("id_a", "id_b"), testFraction = 0.25)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    }),
+
+    // ext text — corpus-unigram LM quality score (the perplexity-style
+    // low-tail filter): mean ln p(token) per document, self-scored
+    // against the corpus unigram distribution; decimal-summed so the
+    // value is partition-order independent.
+    "q87_unigram_logprob" -> ((s, dir) => {
+      TextStats.unigramLogProbScore(
+          tbl(s, dir, "documents").filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ext similarity — deterministic random projection (JL): 64 → 16 dims
     // through one native mat_vec node; exploded to scalar rows so the
     // oracle compares raw doubles (the generated oracle inlines the same
@@ -1578,6 +1607,48 @@ object SparkEntry {
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
+
+    // same recursive-CC machinery as q70; 0.25 → md5-bucket threshold
+    // '4000' (the q72 idiom)
+    "q88_leakage_safe_split" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents WHERE doc_id % 7 = 0),
+         |$ShingleCte,
+         |e AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |r(x, y) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a),
+         |comp AS (SELECT x AS doc_id, min(y) AS component FROM r GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS split_key,
+         |  CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 4) < '4000'
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM all_docs d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q87_unigram_logprob" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM d),
+        |freq AS (SELECT term, count(*) AS n_t FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM toks)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(floor(ln(CAST(f.n_t AS DOUBLE)) * 1e12) AS BIGINT)) AS DOUBLE)
+        |    / 1e12 / count(*) - ln(n_total) AS mean_lp
+        |FROM toks t JOIN freq f USING (term) CROSS JOIN tot
+        |GROUP BY t.doc_id, n_total
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q10_parse_logline" -> ParsedOracle,
 

@@ -624,6 +624,37 @@ object Dedup {
         col("__best.len").as("max_len"))
   }
 
+  // --------------------------------------------- leakage-safe splitting
+
+  /** Train/test split that near-duplicate clusters can never straddle —
+    * the leakage-safe version of a random split: splitting row-wise puts
+    * one copy of a near-dup pair in train and its twin in test, and the
+    * eval silently measures memorization. Here the split key is the
+    * document's near-dup COMPONENT (min reachable id over `pairs`;
+    * singletons key by their own id), hashed through the same
+    * deterministic md5-bucket rule as Sampling — membership is a pure
+    * function of content-derived ids: stable across engines, re-runs,
+    * and partitionings.
+    *
+    * Returns the input rows plus (split_key, split) where split ∈
+    * {"test", "train"}. Cost on top of the pair graph: connected
+    * components over PAIRS ONLY (documents without a near-dup never
+    * enter the iteration) + one left join of the (tiny) labels frame.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame, testFraction: Double): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"testFraction in [0,1], got $testFraction")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("comp"), col(idCol)))
+      .withColumn("split",
+        when(Sampling.hashSampled(col("split_key"), testFraction), "test")
+          .otherwise("train"))
+      .drop("comp")
+  }
+
   // --------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Standalone form

@@ -342,6 +342,49 @@ object TextStats {
       .otherwise(lit(0.0))
   }
 
+  // ------------------------------------------- corpus-LM quality scoring
+
+  /** Corpus-unigram language-model score per document: the mean over the
+    * document's token OCCURRENCES of `ln p(t)`, where `p(t)` = corpus
+    * frequency / corpus token total — the classic LM quality filter
+    * (gibberish and OOV-heavy documents score far below prose; threshold
+    * on the low tail). Self-scored against the corpus itself: no external
+    * model, two aggregates and one join.
+    *
+    * Determinism: per-token `ln` values are quantized to integers
+    * (`floor(ln(n_t)·10¹²)` — exact IEEE multiply + floor, identical on
+    * every engine) and summed as BIGINT, then ONE double division chain
+    * per document: mean_lp = (Σ/10¹²)/n − ln(N). A raw double sum would
+    * drift with partition order, and a double→decimal cast drifts by an
+    * ulp ACROSS ENGINES (they convert via different routes); integer
+    * summation is exact and engine-portable. The 10⁻¹² per-token
+    * quantization sits three orders below any quality-threshold
+    * granularity. JVM and external libm `ln` agree bit-for-bit (probed).
+    *
+    * Scale shape: token explode → (term) hash aggregate (vocabulary-
+    * sized) → join back (AQE broadcasts the vocab when it fits) → one
+    * (doc) hash aggregate. The corpus total rides as a broadcast one-row
+    * aggregate.
+    */
+  def unigramLogProbScore(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    // token frame feeds frequencies, the total, AND the per-doc join —
+    // cut so the scan+tokenize runs once (the cooccurrence stance)
+    val toks = graft.plans.PlanCapture.cut(
+      df.select(col(idCol), explode(canonicalTokens(col(textCol))).as("term")))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("n_t"))
+    val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+    val lnScaled =
+      floor(log(col("n_t").cast("double")) * lit(1e12)).cast("long")
+    toks.join(freq, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(lnScaled).as("__slp"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        (col("__slp").cast("double") / lit(1e12) / col("n_tokens")
+          - log(col("n_total"))).as("mean_lp"))
+  }
+
   // --------------------------------------------------- corpus vocabulary
 
   /** Vocabulary coverage: global term frequencies ranked by count (ties

@@ -165,6 +165,25 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+  test("leakageSafeSplit: near-dup twins always land on the SAME side") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // twin of 1
+      (3L, "completely different words about spark engines here"),
+      (4L, "completely different words about spark engines here"), // twin of 3
+      (5L, "a loner document with no duplicate anywhere at all")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text", pairs, testFraction = 0.5)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == out(2L), "twins 1/2 must share key and side")
+    assert(out(3L) == out(4L), "twins 3/4 must share key and side")
+    assert(out(1L)._1 == 1L && out(3L)._1 == 3L, "component = min id")
+    assert(out(5L)._1 == 5L, "singleton keys by its own id")
+    assert(out.values.map(_._2).forall(s => s == "train" || s == "test"))
+  }
+
   test("ngramOverlapAcross flags planted benchmark quotes only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

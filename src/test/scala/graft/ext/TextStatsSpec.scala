@@ -10,6 +10,26 @@ class TextStatsSpec extends SparkTestBase {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("t").select(c).collect()(0).get(0)
 
+  test("unigramLogProbScore: common prose scores above rare-token soup") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat there"),
+      (3L, "zxqv jkwp mntb vrgh qplx wzfy")  // every token unique -> rare
+    ).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 11L && out(3L)._1 == 6L)
+    // docs 1/2 reuse corpus-frequent tokens; doc 3 is all hapax tokens
+    // with p = 1/N each -> mean ln p = ln(1/N), the floor of the scale
+    assert(out(3L)._2 < out(1L)._2 && out(3L)._2 < out(2L)._2)
+    val n = 11 + 11 + 6
+    assert(math.abs(out(3L)._2 - math.log(1.0 / n)) < 1e-9)
+    // deterministic across repartitionings (the integer-sum contract)
+    val re = TextStats.unigramLogProbScore(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.forall { case (k, (_, v)) => re(k) == v })
+  }
+
   test("stripHtml: blocks dropped, tags space out, entities decode ONE level") {
     def strip(t: String) = one(TextStats.stripHtml(col("t")), t).asInstanceOf[String]
     assert(strip("<p>hello</p><p>world</p>") == "hello world",
