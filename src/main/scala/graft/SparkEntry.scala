@@ -1217,6 +1217,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext chunking — context-length chunking: overlapping token windows
+    // (chunk 12, overlap 4 → stride 8), the split-long-documents half of
+    // sequence shaping; pure per-row explode.
+    "q89_chunk_documents" -> ((s, dir) => {
+      ext.Chunking.chunkByTokens(tbl(s, dir, "documents"),
+          "doc_id", "text", chunkTokens = 12, overlapTokens = 4)
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    // ext chunking — greedy sequence packing: fill 64-token sequences in
+    // (shard, id) order, one running-sum window per shard (the shard is
+    // the parallelism lever at scale).
+    "q90_pack_sequences" -> ((s, dir) => {
+      ext.Chunking.packGreedy(
+          tbl(s, dir, "documents").withColumn("shard", pmod(col("doc_id"), lit(8L))),
+          "doc_id", "text", seqTokens = 64, shardCol = "shard")
+        .orderBy("doc_id")
+    }),
+
     // ext dedup — LEAKAGE-SAFE train/test split: the split key is the
     // near-dup component (exact pair path), so a document and its
     // near-twin can never land on opposite sides of the eval boundary;
@@ -1607,6 +1626,30 @@ object SparkEntry {
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
+
+    "q89_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 8 AS INT) AS chunk_index,
+        |  array_to_string(list_slice(toks, s, s + 11), ' ') AS chunk_text,
+        |  CAST(least(len(toks) - s + 1, 12) AS BIGINT) AS n_chunk_tokens
+        |FROM t, unnest(generate_series(1, greatest(len(toks), 1), 8)) AS u(s)
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q90_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT shard, doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - n_tokens) // 64 AS BIGINT) AS seq_index
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
 
     // same recursive-CC machinery as q70; 0.25 → md5-bucket threshold
     // '4000' (the q72 idiom)

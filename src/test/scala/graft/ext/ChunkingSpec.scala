@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkByTokens: strides, overlap, short tail, empty doc survives") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, chunk 4 overlap 1 -> stride 3
+      (2L, "x y"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(docs, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // doc 1: starts 0,3,6,9 -> 4 chunks, overlap of 1 token between them
+    assert(out((1L, 0)) == (("a b c d", 4L)))
+    assert(out((1L, 1)) == (("d e f g", 4L)))
+    assert(out((1L, 2)) == (("g h i j", 4L)))
+    assert(out((1L, 3)) == (("j", 1L)))
+    assert(out((2L, 0)) == (("x y", 2L)))
+    // empty doc: one empty chunk, not a dropped row
+    assert(out((3L, 0))._2 == 1L)
+    assert(out.size == 6)
+  }
+
+  test("packGreedy: sequences fill in order, straddlers overflow, shards independent") {
+    val docs = Seq(
+      (1L, 0L, 30), (2L, 0L, 30), (3L, 0L, 30), (4L, 0L, 10), // shard 0
+      (5L, 1L, 70), (6L, 1L, 5)                               // shard 1
+    ).map { case (id, sh, n) => (id, sh, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "shard", "text")
+    val out = Chunking.packGreedy(docs, "doc_id", "text",
+        seqTokens = 64, shardCol = "shard")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // shard 0: cum-before = 0,30,60,90 -> seq 0,0,0,1 (doc 3 straddles
+    // the 64 boundary but STARTED inside seq 0)
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 0L && out(4L) == 1L)
+    // shard 1: 70-token doc fills seq 0 alone (overflow); next starts seq 1
+    assert(out(5L) == 0L && out(6L) == 1L)
+  }
+}
