@@ -1217,6 +1217,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext sampling — deterministic fixed-size cap per group: first 20 of
+    // each language by md5-of-key rank (a pure function of the rows, like
+    // every sampler here).
+    "q91_per_group_sample" -> ((s, dir) => {
+      ext.Sampling.perGroupSample(tbl(s, dir, "documents"),
+          "doc_id", "lang", k = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ext profile — dataset-version drift report: profile of the current
+    // version diffed against the previous (here: full orders vs the
+    // even-key half, with one column renamed to exercise added/removed).
+    "q92_profile_drift" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val before = ext.Profile.columnProfile(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumnRenamed("o_totalprice", "legacy_price"),
+        Seq("o_orderkey", "o_orderstatus", "legacy_price"))
+      val after = ext.Profile.columnProfile(orders,
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+      ext.Profile.diffProfiles(before, after)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    }),
+
     // ext chunking — context-length chunking: overlapping token windows
     // (chunk 12, overlap 4 → stride 8), the split-long-documents half of
     // sequence shaping; pure per-row explode.
@@ -1626,6 +1652,42 @@ object SparkEntry {
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
+
+    "q91_per_group_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "q92_profile_drift" -> {
+      def prof(src: String, cols: Seq[String]) = cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM $src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH bsrc AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice AS legacy_price
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |b AS (${prof("bsrc", Seq("o_orderkey", "o_orderstatus", "legacy_price"))}),
+         |a AS (${prof("orders", Seq("o_orderkey", "o_orderstatus", "o_totalprice"))})
+         |SELECT coalesce(a.col_name, b.col_name) AS col_name,
+         |  coalesce(a.n_rows, 0) - coalesce(b.n_rows, 0) AS d_rows,
+         |  coalesce(a.n_null, 0) - coalesce(b.n_null, 0) AS d_null,
+         |  coalesce(a.n_distinct, 0) - coalesce(b.n_distinct, 0) AS d_distinct,
+         |  NOT (a.min_value IS NOT DISTINCT FROM b.min_value) AS min_changed,
+         |  NOT (a.max_value IS NOT DISTINCT FROM b.max_value) AS max_changed,
+         |  CASE WHEN b.n_rows IS NULL THEN 'added'
+         |       WHEN a.n_rows IS NULL THEN 'removed'
+         |       ELSE 'common' END AS presence
+         |FROM b FULL JOIN a ON a.col_name = b.col_name
+         |ORDER BY 1""".stripMargin
+    },
 
     "q89_chunk_documents" ->
       """WITH t AS (

@@ -186,6 +186,35 @@ object Profile {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** Diff two long-form profiles (the [[columnProfile]] /
+    * [[columnProfileApprox]] output shape) — the dataset-version DRIFT
+    * report: per column, count deltas and whether the value range moved.
+    * Full-outer on the column name so added/removed columns surface as
+    * rows instead of disappearing; join cost is O(profiled columns), not
+    * data. Wire it behind `StreamingProfile` (per-batch cumulative vs the
+    * previous version's profile) and the QA gate runs continuously.
+    */
+  def diffProfiles(before: DataFrame, after: DataFrame): DataFrame = {
+    def side(df: DataFrame, p: String) = df.select(
+      col("column"),
+      col("n_rows").as(s"${p}_rows"), col("n_null").as(s"${p}_null"),
+      col("n_distinct").as(s"${p}_distinct"),
+      col("min_value").as(s"${p}_min"), col("max_value").as(s"${p}_max"))
+    side(before, "b").join(side(after, "a"), Seq("column"), "full_outer")
+      .select(col("column"),
+        (coalesce(col("a_rows"), lit(0L)) - coalesce(col("b_rows"), lit(0L)))
+          .as("d_rows"),
+        (coalesce(col("a_null"), lit(0L)) - coalesce(col("b_null"), lit(0L)))
+          .as("d_null"),
+        (coalesce(col("a_distinct"), lit(0L)) - coalesce(col("b_distinct"), lit(0L)))
+          .as("d_distinct"),
+        (!(col("a_min") <=> col("b_min"))).as("min_changed"),
+        (!(col("a_max") <=> col("b_max"))).as("max_changed"),
+        when(col("b_rows").isNull, "added")
+          .when(col("a_rows").isNull, "removed")
+          .otherwise("common").as("presence"))
+  }
+
   /** Sketch-based profile for wide tables / 100 TB inputs: identical shape
     * to [[columnProfile]] but `n_distinct` is an HLL estimate (`rsd`
     * standard error), so the plan is Expand-free: one partial+final

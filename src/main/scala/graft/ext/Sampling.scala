@@ -68,6 +68,28 @@ object Sampling {
       .otherwise(hashBucket(key) < threshold))
   }
 
+  /** Deterministic per-group sample of exactly min(k, |group|) rows: rows
+    * rank inside each group by the md5 of their key (ties by the key
+    * itself) and the first k survive — a fixed-size cap per source/
+    * language/domain, as reproducible as the rate-based samples above
+    * (membership is a pure function of the rows present). One window per
+    * group; the shuffle is on the group column you were about to
+    * aggregate on anyway. Null keys rank after every hash (md5(NULL) is
+    * NULL → NULLS LAST), so they survive only in underfull groups —
+    * deterministic, and consistent with the null-has-no-identity stance
+    * of [[hashSampled]].
+    */
+  def perGroupSample(df: DataFrame, keyCol: String, groupCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Rebalance a corpus toward target per-stratum PROPORTIONS — the
     * dataset-mixing step of training-data assembly ("30% code, 60% web,
     * 10% books"). Derives the per-stratum keep-rate from the current

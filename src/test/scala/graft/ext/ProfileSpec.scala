@@ -119,6 +119,19 @@ class ProfileSpec extends SparkTestBase {
       s"approx bins planned a sort:\n$plan")
   }
 
+  test("diffProfiles: deltas, range-change flags, added/removed columns") {
+    val before = Profile.columnProfile(df, Seq("id", "cat"))
+    val after = Profile.columnProfile(
+      df.filter(col("id") <= 3).withColumnRenamed("cat", "category"),
+      Seq("id", "category"))
+    val out = Profile.diffProfiles(before, after)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(4), r.getBoolean(5), r.getString(6)))).toMap
+    assert(out("id") == ((-2L, false, true, "common"))) // max 5 -> 3
+    assert(out("category")._4 == "added")
+    assert(out("cat")._4 == "removed")
+  }
+
   test("equalFrequencyBinsApprox: bins=1 degenerates to one whole-range bin") {
     val df = spark.range(0, 100).select(col("id").cast("double").as("v"))
     val out = Profile.equalFrequencyBinsApprox(df, "v", bins = 1).collect()

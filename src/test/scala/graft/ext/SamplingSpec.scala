@@ -7,6 +7,20 @@ import graft.SparkTestBase
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("perGroupSample: exactly k per big group, whole small group, stable") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      Seq((1000L, "small"), (1001L, "small"))).toDF("id", "grp")
+    val out = Sampling.perGroupSample(df, "id", "grp", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "big") == 10)
+    assert(out.count(_._2 == "small") == 2) // underfull group kept whole
+    // membership is a pure function of the rows: repartitioned input
+    // selects the same ids
+    val again = Sampling.perGroupSample(df.repartition(7), "id", "grp", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   private lazy val ids = spark.range(0, 20000).toDF("id")
 
   test("rate is honored within hash-uniformity tolerance, and is pure") {
