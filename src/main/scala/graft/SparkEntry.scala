@@ -1217,6 +1217,35 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext multimodal — REAL 24-bit BMP decode end-to-end: deterministic
+    // gradient images are byte-built per document, the native byte-level
+    // parser extracts dimensions and exact-integer Rec.601 mean luma, and
+    // the oracle recomputes the luma in closed form over the pixel grid.
+    "q93_bmp_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "image", ext.Multimodal.makeBmp(id, 8, 4)))
+      ext.Multimodal.bmpFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("n_bytes"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
+    // ext multimodal — REAL 16-bit PCM WAV decode end-to-end: RIFF chunks
+    // walked, RMS from an exact integer sum of squares; the oracle
+    // recomputes it in closed form over the sample series.
+    "q94_wav_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "audio", ext.Multimodal.makeWav(id, 256)))
+      ext.Multimodal.wavFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("n_bytes"),
+          col("n_samples"), col("duration_ms"), col("rms"))
+        .orderBy("doc_id")
+    }),
+
     // ext sampling — deterministic fixed-size cap per group: first 20 of
     // each language by md5-of-key rank (a pure function of the rows, like
     // every sampler here).
@@ -1652,6 +1681,34 @@ object SparkEntry {
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
+
+    // 8×4 gray gradient v = (doc_id + x + y) % 256: luma milli-sum is
+    // 1000·Σv exactly (299+587+114 = 1000 on gray), n_bytes = 54 header
+    // + 4 rows × 24-byte stride = 150
+    "q93_bmp_decode" ->
+      """SELECT d.doc_id, CAST(150 AS BIGINT) AS n_bytes,
+        |  CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(sum(1000 * ((d.doc_id + u.x + v.y) % 256)) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 32) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 7)) AS u(x),
+        |  unnest(generate_series(0, 3)) AS v(y)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mono 16 kHz, 256 samples s_i = (doc_id·31 + i) % 65536 − 32768:
+    // rms = sqrt(Σs²/256)/32768 (exact integer sum; sqrt is correctly
+    // rounded on every IEEE engine); 44-byte header + 512 data bytes
+    "q94_wav_decode" ->
+      """SELECT d.doc_id, CAST(556 AS BIGINT) AS n_bytes,
+        |  CAST(256 AS BIGINT) AS n_samples, CAST(16 AS BIGINT) AS duration_ms,
+        |  sqrt(CAST(sum(((d.doc_id * 31 + u.i) % 65536 - 32768)
+        |              * ((d.doc_id * 31 + u.i) % 65536 - 32768)) AS DOUBLE)
+        |       / 256) / 32768.0 AS rms
+        |FROM documents d, unnest(generate_series(0, 255)) AS u(i)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q91_per_group_sample" ->
       """SELECT doc_id, lang FROM (

@@ -46,8 +46,38 @@ class MultimodalSpec extends SparkTestBase {
       s"binary column must be pruned from ReadSchema:\n$scan")
   }
 
-  test("decodeImage hook is explicitly unimplemented") {
-    intercept[NotImplementedError](Multimodal.decodeImage(Array[Byte](1)))
+  test("decodeImage: BMP decodes natively, compressed formats fail loudly") {
+    // dispatch: real path for the native format...
+    val f = Multimodal.decodeImage(7L, "image", Multimodal.makeBmp(7L, 8, 4))
+    assert(f.width == 8 && f.height == 4 && f.channels == 3)
+    // ...explicit NotImplementedError for anything else (no codec libs)
+    intercept[NotImplementedError](
+      Multimodal.decodeImage(1L, "image", Array[Byte](1)))
+  }
+
+  test("decodeBmp: exact header fields and closed-form gradient luma") {
+    val (w, h, seed) = (5, 3, 10L) // odd width exercises the 4-byte stride pad
+    val f = Multimodal.decodeBmp(seed, "image", Multimodal.makeBmp(seed, w, h))
+    assert(f.width == w && f.height == h && f.channels == 3)
+    val stride = ((3 * w + 3) / 4) * 4
+    assert(f.n_bytes == 54L + stride * h)
+    // gray gradient: luma == pixel value; mean over the grid in exact ints
+    val sumV = (for (x <- 0 until w; y <- 0 until h) yield (seed + x + y) % 256).sum
+    assert(f.mean_luma == sumV.toDouble * 1000.0 / (1000.0 * 255.0 * (w * h)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(1L, "image", "BMgarbage".getBytes))
+  }
+
+  test("decodeWav: chunk walk, exact RMS, malformed payloads fail loudly") {
+    val seed = 3L
+    val f = Multimodal.decodeWav(seed, Multimodal.makeWav(seed, 256))
+    assert(f.n_samples == 256L && f.duration_ms == 16L && f.n_bytes == 556L)
+    val sumSq = (0 until 256).map { i =>
+      val s = ((seed * 31 + i) % 65536) - 32768; s * s
+    }.sum
+    assert(f.rms == math.sqrt(sumSq.toDouble / 256) / 32768.0)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(1L, "RIFFxxxxNOPE".getBytes))
   }
 
   test("sampleFrames: one row per sampled offset, stub duration") {
