@@ -110,6 +110,9 @@ object Multimodal {
     val compression = leInt(data, 30)
     require(bpp == 24 && compression == 0,
       s"only 24-bit uncompressed BMP supported here (bpp=$bpp, compression=$compression)")
+    // malformed headers must fail loudly, not index out of bounds
+    require(width > 0 && height > 0 && pixelOffset >= 54,
+      s"malformed BMP header (width=$width, height=$heightRaw, offset=$pixelOffset)")
     val stride = ((3 * width + 3) / 4) * 4
     require(data.length >= pixelOffset + stride.toLong * height,
       "BMP payload truncated")
@@ -151,6 +154,10 @@ object Multimodal {
     while (off + 8 <= data.length && (sampleRate == 0 || dataOff < 0)) {
       val id = new String(data.slice(off, off + 4), "US-ASCII")
       val len = leInt(data, off + 4)
+      // a corrupt negative/oversized length would loop forever or read
+      // past the payload — fail loudly instead
+      require(len >= 0 && off + 8 + len.toLong <= data.length,
+        s"malformed WAV chunk '$id' (len=$len at offset $off)")
       if (id == "fmt ") {
         require(leShort(data, off + 8) == 1, "only PCM WAV supported here")
         channels = leShort(data, off + 10)

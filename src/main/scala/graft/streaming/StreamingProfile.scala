@@ -111,12 +111,18 @@ object StreamingProfile {
     */
   def start(stream: DataFrame, cols: Seq[String],
             sink: DataFrame => Unit,
-            queryName: String = "graft-stream-profile"): StreamingQuery = {
+            queryName: String = "graft-stream-profile",
+            checkpoint: Option[String] = None): StreamingQuery = {
     val profiler = new CumulativeProfiler(cols)
-    stream.writeStream
+    val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch(profiler.asForeachBatch(sink))
-      .start()
+    // production runs pass a checkpoint dir (restart = resume offsets;
+    // the driver-held cumulative row restarts empty — document/persist
+    // the rendered output if exact continuity across restarts matters);
+    // tests fall back to Spark's temp checkpoint
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer.start()
   }
 
   /** Batch replay of the cumulative profiler — the oracle-gateable twin:

@@ -78,6 +78,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.rms == math.sqrt(sumSq.toDouble / 256) / 32768.0)
     intercept[IllegalArgumentException](
       Multimodal.decodeWav(1L, "RIFFxxxxNOPE".getBytes))
+    // a corrupt negative chunk length must error, not loop forever
+    val evil = Multimodal.makeWav(1L, 4)
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // fmt len = -1
+    intercept[IllegalArgumentException](Multimodal.decodeWav(1L, evil))
+    // a corrupt negative width must error, not index out of bounds
+    val badBmp = Multimodal.makeBmp(1L, 4, 4)
+    badBmp(21) = -1 // width high byte -> negative
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(1L, "image", badBmp))
   }
 
   test("sampleFrames: one row per sampled offset, stub duration") {
