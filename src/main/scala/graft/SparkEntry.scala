@@ -1217,6 +1217,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ext curation — the CAPSTONE composition: quality + repetition gates
+    // → exact dedup → near-dedup (exact pair path) → benchmark
+    // decontamination → leakage-safe split (components over the FULL
+    // 0.6-threshold pair graph, computed once and reused by dedup) →
+    // context-length chunking. Every stage is also independently gated;
+    // this query gates the composition itself.
+    "q95_training_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val words = split(col("text"), " ")
+      val bench = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          array_join(slice(words, 1, 8), " ").as("text"))
+      ext.Curation.curateForTraining(docs, "doc_id", "text",
+          benchmark = Some(bench),
+          minQuality = 0.8, maxDup3gramFraction = 0.6,
+          dedupThreshold = 0.8, splitPairThreshold = 0.6,
+          decontaminateMinShared = 2L, testFraction = 0.1,
+          chunkTokens = 12, overlapTokens = 4)
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     // ext multimodal — REAL 24-bit BMP decode end-to-end: deterministic
     // gradient images are byte-built per document, the native byte-level
     // parser extracts dimensions and exact-integer Rec.601 mean luma, and
@@ -1681,6 +1702,83 @@ object SparkEntry {
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
+
+    // the capstone oracle composes the stage oracles: q35's gates+dedup,
+    // q83's repetition fraction, q82's decontamination postings, q70's
+    // recursive CC, q88's md5 split (0.1 → '199a'), q89's chunk windows
+    "q95_training_pipeline" -> {
+      val dup3 =
+        """CASE WHEN len(toks) > 0 THEN
+          |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(
+          |        generate_series(1, greatest(len(toks) - 2, 1)),
+          |        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS DOUBLE)
+          |        / CAST(greatest(len(toks) - 2, 1) AS DOUBLE)
+          |    ELSE 0.0 END""".stripMargin
+      s"""WITH RECURSIVE t0 AS (
+         |  SELECT doc_id, text,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text FROM t0
+         |  WHERE ${qualityScoreSql("text")} >= 0.8 AND ($dup3) <= 0.6),
+         |e AS (
+         |  SELECT * FROM q
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+         |all_docs AS (SELECT doc_id, text FROM e),
+         |$ShingleCte,
+         |pairs AS (
+         |  SELECT ida, idb, j FROM (
+         |    SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |        / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE j >= 0.6),
+         |surv AS (
+         |  SELECT * FROM e
+         |  WHERE doc_id NOT IN (SELECT DISTINCT idb FROM pairs WHERE j >= 0.8)),
+         |bench AS (
+         |  SELECT doc_id + 50000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |bg AS (
+         |  SELECT doc_id AS test_id, unnest(s) AS gram FROM (
+         |    SELECT doc_id, list_distinct(list_transform(
+         |      generate_series(1, greatest(len(t) - 2, 1)),
+         |      i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+         |    FROM (SELECT doc_id,
+         |            string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |          FROM bench))),
+         |sg AS (
+         |  SELECT doc_id AS corpus_id, unnest(s) AS gram FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM surv)),
+         |cont AS (
+         |  SELECT corpus_id FROM sg JOIN bg USING (gram)
+         |  GROUP BY corpus_id HAVING count(DISTINCT sg.gram) >= 2),
+         |dec AS (
+         |  SELECT * FROM surv WHERE doc_id NOT IN (SELECT corpus_id FROM cont)),
+         |sym AS (SELECT ida AS a, idb AS b FROM pairs
+         |        UNION SELECT idb, ida FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |r(x, y) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a),
+         |comp AS (SELECT x AS doc_id, min(y) AS component FROM r GROUP BY 1),
+         |sp AS (
+         |  SELECT d.doc_id, d.text,
+         |    CASE WHEN substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 4) < '199a'
+         |         THEN 'test' ELSE 'train' END AS split
+         |  FROM dec d LEFT JOIN comp c USING (doc_id)),
+         |tk AS (
+         |  SELECT doc_id, split,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM sp)
+         |SELECT doc_id, split, CAST((s - 1) // 8 AS INT) AS chunk_index,
+         |  array_to_string(list_slice(toks, s, s + 11), ' ') AS chunk_text,
+         |  CAST(least(len(toks) - s + 1, 12) AS BIGINT) AS n_chunk_tokens
+         |FROM tk, unnest(generate_series(1, greatest(len(toks), 1), 8)) AS u(s)
+         |ORDER BY doc_id, chunk_index""".stripMargin
+    },
 
     // 8×4 gray gradient v = (doc_id + x + y) % 256: luma milli-sum is
     // 1000·Σv exactly (299+587+114 = 1000 on gray), n_bytes = 54 header

@@ -25,6 +25,69 @@ object Curation {
   def qualityGate(textCol: Column, minQuality: Double): Column =
     TextStats.qualityScore(textCol) >= minQuality
 
+  /** The COMPLETE corpus→training-sequences assembly, one call — the
+    * capstone composition of this package (each stage is also an
+    * independently gated operator): quality + repetition gates → exact
+    * dedup → near-dedup → benchmark decontamination → leakage-safe
+    * train/test split → context-length chunking.
+    *
+    * Stage order is the 100 TB cost order: per-row gates first (no
+    * shuffle), then one digest shuffle, then the ONE pairwise stage —
+    * near-dup pairs are computed ONCE at `splitPairThreshold` and serve
+    * both dedup (drop the larger id of pairs ≥ `dedupThreshold`) and the
+    * split (connected components over the FULL pair graph, so two
+    * moderate near-twins that dedup kept — and even clusters chained
+    * through a dropped intermediate — still land on the same side of the
+    * eval boundary). Decontamination anti-joins survivors against the
+    * benchmark's n-gram postings (benchmark side broadcasts). Exact pair
+    * path (`ngramJaccardPairs`): zero false negatives, fully
+    * deterministic; swap in the MinHash path via [[curate]] when the
+    * corpus is web-scale and sketch recall is acceptable.
+    *
+    * Returns one row per chunk: (idCol, split, chunk_index, chunk_text,
+    * n_chunk_tokens).
+    */
+  def curateForTraining(df: DataFrame, idCol: String, textCol: String,
+                        benchmark: Option[DataFrame] = None,
+                        minQuality: Double = 0.5,
+                        maxDup3gramFraction: Double = 0.6,
+                        dedupThreshold: Double = 0.8,
+                        splitPairThreshold: Double = 0.6,
+                        decontaminateMinShared: Long = 2L,
+                        testFraction: Double = 0.1,
+                        chunkTokens: Int = 512,
+                        overlapTokens: Int = 0): DataFrame = {
+    require(splitPairThreshold <= dedupThreshold,
+      "splitPairThreshold must not exceed dedupThreshold (pairs are " +
+        "computed once at the lower threshold and reused for both stages)")
+    val t = col(textCol)
+    val gated = df.filter(qualityGate(t, minQuality) &&
+      TextStats.duplicateNgramFraction(t, 3) <= maxDup3gramFraction)
+    val exact = graft.plans.PlanCapture.cut(Dedup.exact(gated, idCol, textCol))
+    // ONE pairwise pass at the split threshold; jaccard column reused
+    val pairs = graft.plans.PlanCapture.cut(
+      Dedup.ngramJaccardPairs(exact, idCol, textCol,
+        n = 3, threshold = splitPairThreshold))
+    val dropNear = pairs.filter(col("jaccard") >= dedupThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val afterNear = exact.join(dropNear, Seq(idCol), "left_anti")
+    val decont = benchmark match {
+      case Some(b) => afterNear.join(
+        Dedup.ngramOverlapAcross(afterNear, b, idCol, textCol,
+            n = 3, minShared = decontaminateMinShared)
+          .select(col(idCol)),
+        Seq(idCol), "left_anti")
+      case None => afterNear
+    }
+    val withSplit = Dedup.leakageSafeSplit(decont, idCol, textCol,
+      pairs.select("id_a", "id_b"), testFraction)
+    Chunking.chunkByTokens(withSplit.select(col(idCol), col(textCol)),
+        idCol, textCol, chunkTokens, overlapTokens)
+      .join(withSplit.select(col(idCol), col("split")), Seq(idCol))
+      .select(col(idCol), col("split"), col("chunk_index"),
+        col("chunk_text"), col("n_chunk_tokens"))
+  }
+
   /** Curate a document corpus: returns the surviving rows of `df`
     * (original columns), quality-gated, exact-deduped, near-deduped.
     */

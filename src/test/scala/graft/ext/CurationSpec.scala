@@ -21,6 +21,44 @@ class CurationSpec extends SparkTestBase {
       s"kept ${kept.mkString(",")}: 2 exact-dup, 3 near-dup, 5/6 gated")
   }
 
+  test("curateForTraining: every stage's contract holds end-to-end") {
+    val base = "the quick brown fox jumps over the lazy dog and runs away"
+    val docs = Seq(
+      (1L, s"$base today in the field"),
+      (2L, s"$base today in the field"),          // exact dup of 1 -> merged
+      (3L, s"$base today in the big field"),      // near dup of 1 (>= 0.6) -> same split side if kept
+      (4L, "a completely different story about the spark engine and its optimizer"),
+      (5L, "!!!"),                                // junk -> gated
+      (6L, "this document quotes the held out benchmark words verbatim and at length")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "quotes the held out benchmark words"))
+      .toDF("doc_id", "text")
+    val out = Curation.curateForTraining(docs, "doc_id", "text",
+      benchmark = Some(bench), minQuality = 0.5, dedupThreshold = 0.95,
+      splitPairThreshold = 0.5, decontaminateMinShared = 2L,
+      testFraction = 0.5, chunkTokens = 6, overlapTokens = 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(4)))
+    val ids = rows.map(_._1).toSet
+    assert(!ids.contains(2L), "exact dup must merge into doc 1")
+    assert(!ids.contains(5L), "junk must be gated")
+    assert(!ids.contains(6L), "benchmark quote must be decontaminated")
+    assert(ids.contains(1L) && ids.contains(3L) && ids.contains(4L))
+    // leakage safety: 1 and 3 are near-twins kept by the 0.95 dedup
+    // threshold — they MUST land on the same split side
+    val side = rows.filter(r => r._1 == 1L || r._1 == 3L).map(_._2).distinct
+    assert(side.length == 1, s"near-twins split across sides: $side")
+    // chunk budget respected
+    assert(rows.forall(_._4 <= 6L))
+    // deterministic composition
+    val again = Curation.curateForTraining(docs.repartition(5), "doc_id", "text",
+      benchmark = Some(bench), minQuality = 0.5, dedupThreshold = 0.95,
+      splitPairThreshold = 0.5, decontaminateMinShared = 2L,
+      testFraction = 0.5, chunkTokens = 6, overlapTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(4)))
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("curate is deterministic across runs") {
     val docs = (1L to 50L).map(i =>
       (i, s"the document number ${i % 7} talks about the data and the engine ${i % 3}"))
