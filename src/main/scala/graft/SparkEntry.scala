@@ -1223,6 +1223,35 @@ object SparkEntry {
     // 0.6-threshold pair graph, computed once and reused by dedup) →
     // context-length chunking. Every stage is also independently gated;
     // this query gates the composition itself.
+    // ext scale — Bloom-filter runtime join pruning: the probe (lineitem)
+    // is pre-filtered by a one-row broadcast bitset of the selective build
+    // side's keys BEFORE the join shuffle. No false negatives, so the
+    // oracle is simply the plain inner join — identical result, cheaper
+    // exchange. 2^17 bits over ~1.5k urgent orders at sf0.01 ≈ the ~1% FP
+    // regime the module documents.
+    "q96_bloom_prune_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val urgent = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      ext.BloomJoin.prunedJoin(li, urgent, "l_orderkey", "o_orderkey",
+          numBits = 1 << 17, numHashes = 5)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_custkey")
+    }),
+
+    // ext dedup — exact duplicated-substring spans (trim repeated passages,
+    // keep the document): maximal token ranges whose every 5-token window
+    // appears in >= 2 distinct documents, merged gaps-and-islands per doc.
+    "q97_duplicate_spans" -> ((s, dir) => {
+      ext.Dedup.duplicateSpans(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 5, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q95_training_pipeline" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val words = split(col("text"), " ")
@@ -1948,6 +1977,53 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders
         |WHERE o_orderstatus = 'F' AND o_totalprice > 150000""".stripMargin,
+
+    // Bloom pruning has no false negatives, so the oracle is the PLAIN
+    // inner join — the equivalence is the entire correctness claim
+    "q96_bloom_prune_join" ->
+      """SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    // duplicated 5-token windows across documents -> per-doc postings ->
+    // gaps-and-islands interval merge, mirroring Dedup.duplicateSpans
+    "q97_duplicate_spans" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> {'pos': i - 1,
+        |            'gram': array_to_string(list_slice(t, i, i + 4), ' ')})) AS u
+        |    FROM t0 WHERE len(t) >= 5)),
+        |dup AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (
+        |  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl
+        |GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q03_string_funs" ->
       """SELECT doc_id,

@@ -490,6 +490,117 @@ object Dedup {
       .filter(col("n_shared_grams") >= minShared)
   }
 
+  // ---------------------------------------------- exact substring spans
+
+  /** Exact duplicated-substring spans: per document, the maximal token
+    * ranges every one of whose k-token windows also occurs in at least
+    * `minDocs` distinct documents. This is the exact-substring method of
+    * corpus dedup (flag/remove repeated passages — boilerplate, licenses,
+    * templated headers — instead of whole documents): where [[minhashDedup]]
+    * drops documents and [[containmentPairs]] finds document-level
+    * near-containment, this localizes the duplication to token offsets so
+    * the caller can TRIM it and keep the unique remainder
+    * ([[stripDuplicateSpans]]).
+    *
+    * Returns (idCol, span_start, span_end, n_grams): inclusive token
+    * offsets into the canonicalized token sequence and the number of
+    * duplicated windows merged into the span. Overlapping and adjacent
+    * windows merge (gaps-and-islands over a per-document window), so spans
+    * are maximal and disjoint.
+    *
+    * Scale shape: one posexplode to (id, pos, gram) postings — the same
+    * postings cardinality as the shingle stage of [[ngramJaccardPairs]] —
+    * one hash aggregate keyed by gram (count DISTINCT docs; partial
+    * aggregation collapses within-doc repeats map-side), one semi-join of
+    * postings against the duplicated-gram set, then a window PARTITIONED
+    * BY document (never global) for the interval merge. Nothing is
+    * pairwise: cost is O(total tokens), not O(docs²). At true web scale,
+    * key the aggregate/join on xxhash64(gram) instead of the gram string
+    * to cut the shuffle payload to 8 B/posting (collision odds ~2⁻⁶⁴ make
+    * the result exact-in-practice); the string form here keeps the
+    * operator bit-equal to the SQL oracle.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hits = duplicateWindowHits(docs, idCol, textCol, k, minDocs)
+    // gaps-and-islands: a window starting at pos extends the current span
+    // iff it begins before (overlap) or exactly at (adjacency) the token
+    // after the running span end — pos <= prev_end + 1. Equal-length
+    // windows make the running end simply max(pos)+k-1 over prior rows.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + lit(1), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** (id, pos) of every k-token window whose gram is shared by >= minDocs
+    * distinct documents — the posting/aggregate/semi-join core shared by
+    * [[duplicateSpans]] and [[stripDuplicateSpans]].
+    */
+  private def duplicateWindowHits(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int,
+                                  minDocs: Int): DataFrame = {
+    // sequence(0, size-k) would generate a DESCENDING range for short
+    // docs (Spark's sequence runs backwards when start > stop), so docs
+    // with fewer than k tokens are excluded up front
+    val postings = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(canonicalize(col(textCol)), " ").as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - k),
+          i => array_join(slice(col("__t"), i + lit(1), lit(k)), " ")))
+          .as(Seq("pos", "gram")))
+    val dupGrams = postings
+      .groupBy(col("gram"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    postings.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
+
+  /** [[duplicateSpans]] applied: returns the input plus `clean_text`, the
+    * canonicalized text with every duplicated span's tokens removed (the
+    * trim-the-passage, keep-the-document policy). Documents made entirely
+    * of duplicated spans come back with an EMPTY clean_text — pass the
+    * result through a length gate (`Curation.qualityGate`) rather than
+    * silently dropping rows here; null text stays null.
+    *
+    * The spans frame is re-grouped to one array per affected document and
+    * joined back by id (spans are span-sized, documents never re-shuffle
+    * more than once), then tokens are dropped by a positional array filter
+    * — no second explode of the corpus.
+    */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, canonicalize(col(textCol)))
+          .otherwise(array_join(
+            filter(split(canonicalize(col(textCol)), " "),
+              (_, i) => !exists(col("__spans"),
+                s => i.cast("long") >= s("span_start") &&
+                  i.cast("long") <= s("span_end"))),
+            " ")))
+      .drop("__spans")
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over an undirected edge list: returns

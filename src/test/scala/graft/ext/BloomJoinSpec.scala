@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BloomJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def probe = (0L until 1000L).map(i => (i, s"p$i")).toDF("pk", "payload")
+  private def build = Seq(3L, 7L, 400L, 999L, 999L).map(k => (k, s"b$k")).toDF("bk", "tag")
+
+  test("prunedJoin ≡ plain inner join (no false negatives)") {
+    val pruned = BloomJoin.prunedJoin(probe, build, "pk", "bk")
+      .select("pk", "payload", "bk", "tag")
+      .as[(Long, String, Long, String)].collect().sorted
+    val plain = probe.join(build, $"pk" === $"bk")
+      .select("pk", "payload", "bk", "tag")
+      .as[(Long, String, Long, String)].collect().sorted
+    assert(pruned.sameElements(plain))
+    assert(plain.length == 5) // 999 matched twice
+  }
+
+  test("mightContain admits every build key") {
+    val bits = BloomJoin.buildBits(build, "bk")
+    val admitted = build.crossJoin(broadcast(bits))
+      .filter(BloomJoin.mightContain(col("__bloom"), col("bk")))
+      .count()
+    assert(admitted == 5)
+  }
+
+  test("pruning is effective: non-members overwhelmingly rejected") {
+    val bits = BloomJoin.buildBits(build, "bk")
+    val passed = probe.crossJoin(broadcast(bits))
+      .filter(BloomJoin.mightContain(col("__bloom"), col("pk")))
+      .count()
+    // 4 true members; 2^20 bits over 4 keys → FP rate ≈ 0, but assert a
+    // loose probabilistic bound so the test never flakes
+    assert(passed >= 4 && passed <= 50,
+      s"expected ~4 of 1000 probe keys to pass, got $passed")
+  }
+
+  test("empty build side: filter rejects everything, join is empty") {
+    val out = BloomJoin.prunedJoin(probe, build.filter(lit(false)), "pk", "bk")
+    assert(out.count() == 0)
+  }
+
+  test("null keys: never matched, never poison the filter") {
+    val p = Seq(Some(1L), None, Some(2L)).toDF("pk")
+    val b = Seq(Some(1L), None).toDF("bk")
+    val out = BloomJoin.prunedJoin(p, b, "pk", "bk").select("pk")
+      .as[Long].collect()
+    assert(out.sameElements(Array(1L)))
+  }
+
+  test("tiny filter still correct, just less selective") {
+    val pruned = BloomJoin.prunedJoin(probe, build, "pk", "bk",
+        numBits = 64, numHashes = 2)
+      .select("pk").as[Long].collect().sorted
+    assert(pruned.sameElements(Array(3L, 7L, 400L, 999L, 999L)))
+  }
+}
