@@ -514,17 +514,19 @@ object Dedup {
     * aggregation collapses within-doc repeats map-side), one semi-join of
     * postings against the duplicated-gram set, then a window PARTITIONED
     * BY document (never global) for the interval merge. Nothing is
-    * pairwise: cost is O(total tokens), not O(docs²). At true web scale,
-    * key the aggregate/join on xxhash64(gram) instead of the gram string
-    * to cut the shuffle payload to 8 B/posting (collision odds ~2⁻⁶⁴ make
-    * the result exact-in-practice); the string form here keeps the
-    * operator bit-equal to the SQL oracle.
+    * pairwise: cost is O(total tokens), not O(docs²). `hashGrams = true`
+    * is the web-scale form: the aggregate/join key becomes xxhash64(gram)
+    * — 8 B/posting through the exchange instead of the gram string —
+    * at collision odds ~2⁻⁶⁴ per gram pair (exact-in-practice; a
+    * collision could only ADD a span, never lose one). The default string
+    * form keeps the operator bit-equal to the SQL oracle.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 5, minDocs: Int = 2): DataFrame = {
+                     k: Int = 5, minDocs: Int = 2,
+                     hashGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val hits = duplicateWindowHits(docs, idCol, textCol, k, minDocs)
+    val hits = duplicateWindowHits(docs, idCol, textCol, k, minDocs, hashGrams)
     // gaps-and-islands: a window starting at pos extends the current span
     // iff it begins before (overlap) or exactly at (adjacency) the token
     // after the running span end — pos <= prev_end + 1. Equal-length
@@ -548,8 +550,8 @@ object Dedup {
     * [[duplicateSpans]] and [[stripDuplicateSpans]].
     */
   private def duplicateWindowHits(docs: DataFrame, idCol: String,
-                                  textCol: String, k: Int,
-                                  minDocs: Int): DataFrame = {
+                                  textCol: String, k: Int, minDocs: Int,
+                                  hashGrams: Boolean = false): DataFrame = {
     // sequence(0, size-k) would generate a DESCENDING range for short
     // docs (Spark's sequence runs backwards when start > stop), so docs
     // with fewer than k tokens are excluded up front
@@ -559,8 +561,10 @@ object Dedup {
       .filter(size(col("__t")) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("__t")) - k),
-          i => array_join(slice(col("__t"), i + lit(1), lit(k)), " ")))
-          .as(Seq("pos", "gram")))
+          i => {
+            val gram = array_join(slice(col("__t"), i + lit(1), lit(k)), " ")
+            if (hashGrams) xxhash64(gram) else gram
+          })).as(Seq("pos", "gram")))
     val dupGrams = postings
       .groupBy(col("gram"))
       .agg(count_distinct(col(idCol)).as("__nd"))
@@ -583,8 +587,9 @@ object Dedup {
     * — no second explode of the corpus.
     */
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 5, minDocs: Int = 2): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k, minDocs)
+                          k: Int = 5, minDocs: Int = 2,
+                          hashGrams: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minDocs, hashGrams)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

@@ -100,6 +100,18 @@ class DuplicateSpansSpec extends SparkTestBase {
     }
   }
 
+  test("hashGrams scale path produces identical spans to the string path") {
+    val rnd = new Random(11)
+    val vocab = Vector("u", "v", "w", "x", "y")
+    val docs = (1L to 15L).map { id =>
+      id -> Seq.fill(4 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val hashed = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k = 3, minDocs = 2, hashGrams = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(hashed == run(docs, k = 3))
+  }
+
   test("stripDuplicateSpans removes exactly the flagged tokens") {
     val shared = "one two three four five six seven"
     val docs = Seq(
