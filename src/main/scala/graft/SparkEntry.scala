@@ -1252,6 +1252,21 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ext dedup — cross-corpus (incremental) substring spans: a synthetic
+    // "daily batch" copies a 12-token prefix from corpus documents and
+    // appends a unique tail; the operator localizes exactly the copied
+    // prefix as a span, probing batch windows against corpus grams.
+    "q98_span_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val words = split(col("text"), " ")
+      val batch = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 70000).as("doc_id"),
+          concat(array_join(slice(words, 1, 12), " "),
+            lit(" uniq"), col("doc_id").cast("string")).as("text"))
+      ext.Dedup.duplicateSpansAgainst(batch, docs, "doc_id", "text", k = 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q95_training_pipeline" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val words = split(col("text"), " ")
@@ -2007,6 +2022,52 @@ object SparkEntry {
         |  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
         |hits AS (
         |  SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl
+        |GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // batch windows probed against corpus grams; corpus grams mirror the
+    // WordNgrams kernel (short docs emit the whole text — harmless here,
+    // a <k-token gram can never equal a k-token batch window)
+    "q98_span_decontaminate" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 70000 AS doc_id,
+        |    concat(array_to_string(list_slice(string_split(text, ' '), 1, 12), ' '),
+        |           ' uniq', CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |bt AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM batch),
+        |bg AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> {'pos': i - 1,
+        |            'gram': array_to_string(list_slice(t, i, i + 4), ' ')})) AS u
+        |    FROM bt WHERE len(t) >= 5)),
+        |cg AS (
+        |  SELECT unnest(list_transform(
+        |      generate_series(1, greatest(len(t) - 4, 1)),
+        |      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+        |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |        FROM documents)),
+        |hits AS (
+        |  SELECT doc_id, pos FROM bg WHERE gram IN (SELECT gram FROM cg)),
         |m AS (
         |  SELECT doc_id, pos,
         |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos

@@ -526,11 +526,55 @@ object Dedup {
                      hashGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val hits = duplicateWindowHits(docs, idCol, textCol, k, minDocs, hashGrams)
-    // gaps-and-islands: a window starting at pos extends the current span
-    // iff it begins before (overlap) or exactly at (adjacency) the token
-    // after the running span end — pos <= prev_end + 1. Equal-length
-    // windows make the running end simply max(pos)+k-1 over prior rows.
+    mergeWindowIslands(
+      duplicateWindowHits(docs, idCol, textCol, k, minDocs, hashGrams),
+      idCol, k)
+  }
+
+  /** Cross-corpus (incremental) form of [[duplicateSpans]] — the
+    * daily-ingest shape: spans of BATCH documents whose every k-token
+    * window also occurs anywhere in `corpus`. The corpus is the
+    * accumulated history and is never compared against itself (that work
+    * was done when its batches arrived), mirroring
+    * [[minhashDedupIncremental]] at span instead of document granularity;
+    * against a benchmark set instead of a corpus this is span-level
+    * decontamination (the localize-and-trim complement of
+    * [[ngramOverlapAcross]]'s per-document counts).
+    *
+    * Scale shape: the corpus side collapses to DISTINCT grams per doc
+    * inside the scan (the WordNgrams kernel — no positions, no
+    * posexplode), so it contributes one column through ONE gram-keyed
+    * semi-join against the batch postings; AQE broadcasts whichever side
+    * is small (a daily batch against a 100 TB corpus → batch postings
+    * broadcast and THE CORPUS NEVER SHUFFLES). `hashGrams` cuts the
+    * corpus-side payload to 8 B/gram when it must move.
+    */
+  def duplicateSpansAgainst(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String, k: Int = 5,
+                            hashGrams: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bp = windowPostings(batch, idCol, textCol, k, hashGrams)
+    val corpusGrams = corpus
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.SketchFunctions.wordNgrams(
+        split(canonicalize(col(textCol)), " "), k)).as("gram"))
+    val keyed =
+      if (hashGrams) corpusGrams.select(xxhash64(col("gram")).as("gram"))
+      else corpusGrams
+    mergeWindowIslands(
+      bp.join(keyed, Seq("gram"), "left_semi").select(col(idCol), col("pos")),
+      idCol, k)
+  }
+
+  /** Gaps-and-islands interval merge of equal-length window hits
+    * (id, pos): a window starting at pos extends the current span iff it
+    * begins before (overlap) or exactly at (adjacency) the token after
+    * the running span end — pos <= prev_end + 1. Equal-length windows
+    * make the running end simply max(pos)+k-1 over prior rows. The
+    * window is PARTITIONED BY document — never global.
+    */
+  private def mergeWindowIslands(hits: DataFrame, idCol: String,
+                                 k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(k - 1))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -552,10 +596,26 @@ object Dedup {
   private def duplicateWindowHits(docs: DataFrame, idCol: String,
                                   textCol: String, k: Int, minDocs: Int,
                                   hashGrams: Boolean = false): DataFrame = {
+    val postings = windowPostings(docs, idCol, textCol, k, hashGrams)
+    val dupGrams = postings
+      .groupBy(col("gram"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"))
+    postings.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+  }
+
+  /** (id, pos, gram) postings of every k-token window of the canonical
+    * token sequence (gram = string, or its xxhash64 when `hashGrams`).
+    */
+  private def windowPostings(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int,
+                             hashGrams: Boolean): DataFrame = {
     // sequence(0, size-k) would generate a DESCENDING range for short
     // docs (Spark's sequence runs backwards when start > stop), so docs
     // with fewer than k tokens are excluded up front
-    val postings = docs
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), split(canonicalize(col(textCol)), " ").as("__t"))
       .filter(size(col("__t")) >= k)
@@ -565,13 +625,6 @@ object Dedup {
             val gram = array_join(slice(col("__t"), i + lit(1), lit(k)), " ")
             if (hashGrams) xxhash64(gram) else gram
           })).as(Seq("pos", "gram")))
-    val dupGrams = postings
-      .groupBy(col("gram"))
-      .agg(count_distinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("gram"))
-    postings.join(dupGrams, Seq("gram"), "left_semi")
-      .select(col(idCol), col("pos"))
   }
 
   /** [[duplicateSpans]] applied: returns the input plus `clean_text`, the

@@ -112,6 +112,46 @@ class DuplicateSpansSpec extends SparkTestBase {
     assert(hashed == run(docs, k = 3))
   }
 
+  test("duplicateSpansAgainst: only batch windows present in the corpus flag") {
+    val corpus = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta",
+      11L -> "unrelated corpus content goes right here").toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> "alpha beta gamma delta epsilon NEW TAIL TOKENS",
+      2L -> "nothing from the corpus appears here at all").toDF("doc_id", "text")
+    val out = Dedup.duplicateSpansAgainst(batch, corpus, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch doc 1 copies corpus tokens 0..4 → exactly one window at pos 0
+    assert(out == Set((1L, 0L, 4L, 1L)))
+  }
+
+  test("duplicateSpansAgainst: batch never compares against itself") {
+    val corpus = Seq(10L -> "totally different corpus text here").toDF("doc_id", "text")
+    val dup = "one two three four five six"
+    val batch = Seq(1L -> dup, 2L -> dup).toDF("doc_id", "text") // intra-batch dup only
+    assert(Dedup.duplicateSpansAgainst(batch, corpus, "doc_id", "text", k = 5).count() == 0)
+  }
+
+  test("duplicateSpansAgainst: short corpus docs cannot fake a k-gram") {
+    val corpus = Seq(10L -> "tiny doc").toDF("doc_id", "text") // < k tokens
+    val batch = Seq(1L -> "tiny doc padded out to five tokens minimum").toDF("doc_id", "text")
+    assert(Dedup.duplicateSpansAgainst(batch, corpus, "doc_id", "text", k = 5).count() == 0)
+  }
+
+  test("duplicateSpansAgainst: hashGrams path identical to string path") {
+    val corpus = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      11L -> "more corpus filler words beyond the shared part").toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> "x alpha beta gamma delta epsilon zeta y",
+      2L -> "more corpus filler words beyond anything else").toDF("doc_id", "text")
+    def spans(h: Boolean) =
+      Dedup.duplicateSpansAgainst(batch, corpus, "doc_id", "text", k = 5, hashGrams = h)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val s = spans(false)
+    assert(s == spans(true) && s.nonEmpty)
+  }
+
   test("stripDuplicateSpans removes exactly the flagged tokens") {
     val shared = "one two three four five six seven"
     val docs = Seq(
