@@ -59,6 +59,33 @@ object syntax {
                      threshold: Double = 0.8, n: Int = 3): DataFrame =
       Dedup.ngramJaccardPairs(df, idCol, textCol, n, threshold)
 
+    /** Maximal duplicated-substring spans across this corpus (token
+      * offsets; see [[ext.Dedup.duplicateSpans]]).
+      */
+    def duplicateSpans(idCol: String, textCol: String, k: Int = 5,
+                       minDocs: Int = 2): DataFrame =
+      Dedup.duplicateSpans(df, idCol, textCol, k, minDocs)
+
+    /** This frame plus `clean_text` with duplicated spans trimmed out. */
+    def stripDuplicateSpans(idCol: String, textCol: String, k: Int = 5,
+                            minDocs: Int = 2): DataFrame =
+      Dedup.stripDuplicateSpans(df, idCol, textCol, k, minDocs)
+
+    /** Spans of THIS batch already present anywhere in `corpus` —
+      * incremental span dedup / span-level decontamination.
+      */
+    def duplicateSpansAgainst(corpus: DataFrame, idCol: String,
+                              textCol: String, k: Int = 5): DataFrame =
+      Dedup.duplicateSpansAgainst(df, corpus, idCol, textCol, k)
+
+    // ------------------------------------------------------------- join
+    /** Inner join with Bloom pre-filtering of this (probe) frame —
+      * identical result to the plain join, pruned probe shuffle.
+      */
+    def bloomPrunedJoin(build: DataFrame, probeKey: String,
+                        buildKey: String): DataFrame =
+      ext.BloomJoin.prunedJoin(df, build, probeKey, buildKey)
+
     // ------------------------------------------------------------- text
     /** Append token/quality/language/fingerprint stat columns. */
     def withTextStats(textCol: String = "text"): DataFrame =

@@ -49,6 +49,19 @@ class SyntaxSpec extends SparkTestBase {
           .select("id_a", "id_b")).count())
   }
 
+  test("round-4 postfix ops forward to the canonical object API") {
+    assert(docs.duplicateSpans("doc_id", "text").collect().toSet ==
+      ext.Dedup.duplicateSpans(docs, "doc_id", "text").collect().toSet)
+    assert(docs.stripDuplicateSpans("doc_id", "text")
+      .columns.contains("clean_text"))
+    val corpus = docs.filter($"doc_id" === 1L)
+    assert(docs.duplicateSpansAgainst(corpus, "doc_id", "text").collect().toSet ==
+      ext.Dedup.duplicateSpansAgainst(docs, corpus, "doc_id", "text").collect().toSet)
+    val build = docs.select($"doc_id".as("k")).limit(2)
+    assert(docs.bloomPrunedJoin(build, "doc_id", "k").count() ==
+      docs.join(build, $"doc_id" === $"k").count())
+  }
+
   test("parseAccessLogs on raw lines") {
     val raw = Seq(
       """o b [06/Feb/2019:00:00:38 +0000] ip r rid REST.GET.OBJECT k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -""",
