@@ -40,6 +40,17 @@ class BloomJoinSpec extends SparkTestBase {
       s"expected ~4 of 1000 probe keys to pass, got $passed")
   }
 
+  test("string keys: equivalence to the plain join holds for any key type") {
+    val rnd = new scala.util.Random(3)
+    val p = (1 to 500).map(i => s"key${rnd.nextInt(80)}").toDF("pk")
+    val b = (1 to 30).map(i => s"key${rnd.nextInt(80)}").distinct.toDF("bk")
+    val pruned = BloomJoin.prunedJoin(p, b, "pk", "bk")
+      .select("pk").as[String].collect().sorted.toSeq
+    val plain = p.join(b, $"pk" === $"bk")
+      .select("pk").as[String].collect().sorted.toSeq
+    assert(pruned == plain && plain.nonEmpty)
+  }
+
   test("empty build side: filter rejects everything, join is empty") {
     val out = BloomJoin.prunedJoin(probe, build.filter(lit(false)), "pk", "bk")
     assert(out.count() == 0)
@@ -51,6 +62,41 @@ class BloomJoinSpec extends SparkTestBase {
     val out = BloomJoin.prunedJoin(p, b, "pk", "bk").select("pk")
       .as[Long].collect()
     assert(out.sameElements(Array(1L)))
+  }
+
+  test("plan shape: membership filter sits BELOW the probe-side join exchange") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledJoin}
+    // disable auto-broadcast so the equi-join is a shuffled join — the
+    // regime bloom pruning exists for (build side above the broadcast
+    // threshold) — and AQE so executedPlan shows concrete exchanges; the
+    // assertion is that probe rows meet the bloom membership test (the
+    // xxhash64 probes, whether a standalone Filter or fused into the
+    // one-row broadcast join's condition) BELOW the join's shuffle.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = BloomJoin.prunedJoin(probe, build, "pk", "bk")
+        .queryExecution.executedPlan
+      val shuffledJoins = plan.collect { case j: ShuffledJoin => j }
+      assert(shuffledJoins.nonEmpty, s"expected a shuffled equi-join:\n$plan")
+      val prunedExchange = plan.collect { case e: ShuffleExchangeExec => e }
+        .exists(_.find {
+          case f: FilterExec => f.condition.toString.contains("xxhash64")
+          case j: BroadcastNestedLoopJoinExec =>
+            j.condition.exists(_.toString.contains("xxhash64"))
+          case _ => false
+        }.isDefined)
+      assert(prunedExchange,
+        s"bloom membership filter is not below a join exchange:\n$plan")
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("tiny filter still correct, just less selective") {
