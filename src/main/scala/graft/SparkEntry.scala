@@ -1252,6 +1252,21 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ext similarity — cross-table semantic join: BOTH sides large (no
+    // broadcastable query set), bucket equi-join + bounded-heap top-k per
+    // query; oracle replicates the hyperplane buckets, probes, cosine,
+    // and rank in SQL (deterministic: fixed seed, total order).
+    "q99_semantic_join" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ext.Similarity.lshTopKJoin(
+          emb.filter(col("vec_id") % 5 === 1),
+          emb.filter(col("vec_id") % 5 =!= 1),
+          "vec_id", "vec_id", "embedding",
+          k = 5, bits = 10, dim = 64, seed = 42L)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ext dedup — cross-corpus (incremental) substring spans: a synthetic
     // "daily batch" copies a 12-token prefix from corpus documents and
     // appends a unique tail; the operator localizes exactly the copied
@@ -1505,6 +1520,55 @@ object SparkEntry {
       |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       |        FROM all_docs))""".stripMargin
 
+  /** Generated oracle for the cross-table semantic join: same inlined
+    * 10-bit hyperplane constants as [[LshAnnOracle]], but the query side
+    * is every fifth embedding and the corpus side is the rest — the
+    * both-sides-large regime lshTopKJoin exists for.
+    */
+  private val SemanticJoinOracle: String = {
+    val planes = ext.Similarity.hyperplanes(dim = 64, bits = 10, seed = 42L)
+    val values = planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(",\n  ")
+    val cosine =
+      """list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH planes AS (SELECT * FROM (VALUES
+       |  $values) AS t(pidx, pvec)),
+       |cd AS (
+       |  SELECT e.vec_id, p.pidx,
+       |    list_sum(list_transform(list_zip(e.embedding, p.pvec),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+       |  FROM embeddings e CROSS JOIN planes p),
+       |cb AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << pidx) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM cd GROUP BY 1),
+       |qb AS (SELECT vec_id AS query_id, bucket AS qbucket FROM cb WHERE vec_id % 5 = 1),
+       |rb AS (SELECT vec_id AS neighbor_id, bucket FROM cb WHERE vec_id % 5 <> 1),
+       |probes AS (
+       |  SELECT query_id, qbucket AS bucket FROM qb
+       |  UNION
+       |  SELECT query_id, xor(qbucket, CAST(1 AS BIGINT) << i) AS bucket
+       |  FROM qb, (SELECT unnest(generate_series(0, 9)) AS i)),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, rb.neighbor_id
+       |  FROM probes p JOIN rb ON rb.bucket = p.bucket),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $cosine AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Generated oracle for the LSH ANN path: the 10×64 hyperplane constants
     * are inlined (full round-trip double precision), so DuckDB replicates
     * bucket assignment, multi-probe, and ranking exactly. Sound because the
@@ -1746,6 +1810,7 @@ object SparkEntry {
     "q28_ann_ivf" -> IvfAnnOracle,
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
+    "q99_semantic_join" -> SemanticJoinOracle,
 
     // the capstone oracle composes the stage oracles: q35's gates+dedup,
     // q83's repetition fraction, q82's decontamination postings, q70's

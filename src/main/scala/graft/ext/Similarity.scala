@@ -119,6 +119,61 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Cross-table semantic join: for EVERY row of `left`, the top-k
+    * cosine neighbors in `right`, via shared LSH buckets. The shape
+    * [[lshTopK]] cannot serve: there the query set broadcasts, so it must
+    * be small; here BOTH sides are large (align two corpora, match
+    * captions to images, link near-dup documents across snapshots) and
+    * neither fits a broadcast.
+    *
+    * Scale shape: each side is bucketed per-row (no shuffle), the bucket
+    * is a plain EQUI-join key — one hash exchange per side, pairwise work
+    * confined to buckets — and per-query top-k is the bounded-heap
+    * `TopKAgg` partial aggregate (map-side pre-reduction to k rows per
+    * query; the window formulation would re-shuffle every scored pair).
+    * No DISTINCT stage is needed: a right row carries ONE bucket and the
+    * multi-probe values of a left row are pairwise distinct, so a pair
+    * can meet in at most one bucket.
+    *
+    * Recall follows the LSH operating point (bits/multiProbe — see
+    * `tools.AnnRecallBench`): candidates only, exact cosine within
+    * buckets, deterministic (fixed seed, total (cosine desc, id asc)
+    * order).
+    */
+  def lshTopKJoin(left: DataFrame, right: DataFrame,
+                  leftIdCol: String, rightIdCol: String, vecCol: String,
+                  k: Int = 10, bits: Int = 12, dim: Int = 64,
+                  seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val r = right.select(col(rightIdCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+      .withColumn("bucket", lshBucket(col("c_vec"), planes))
+    val lBase = left.select(col(leftIdCol).as("query_id"),
+        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+      .withColumn("q_bucket", lshBucket(col("q_vec"), planes))
+    val probeBuckets =
+      if (multiProbe)
+        explode(concat(array(col("q_bucket")),
+          transform(sequence(lit(0), lit(bits - 1)),
+            i => col("q_bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
+      else col("q_bucket")
+    val l = lBase.select(col("query_id"), col("q_vec"), col("q_norm"),
+      probeBuckets.as("bucket"))
+    l.join(r, "bucket") // shuffled hash equi-join — no broadcast requirement
+      .select(col("query_id"),
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cosine"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      // id negated so the heap's (score, id) DESC order tie-breaks to the
+      // SMALLEST neighbor id (the q54 idiom)
+      .agg(graft.functions.TopKAgg.column(k, col("cosine"), -col("neighbor_id"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (-col("s.id")).as("neighbor_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+  }
+
   // ------------------------------------------------------------ IVF index
 
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells

@@ -32,6 +32,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.count() == 15)
   }
 
+  test("lshTopKJoin: agrees with lshTopK when the left side is query-sized") {
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 17 + d * 5).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val leftT = vecs.filter($"vec_id" % 10 === 0)
+    val rightT = vecs.filter($"vec_id" % 10 =!= 0)
+    val joined = Similarity.lshTopKJoin(leftT, rightT, "vec_id", "vec_id",
+        "embedding", k = 4, bits = 6, dim = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaTopK = Similarity.lshTopK(rightT,
+        leftT.select($"vec_id".as("query_id"), $"embedding"),
+        "vec_id", "embedding", "query_id", k = 4, bits = 6, dim = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(joined == viaTopK && joined.nonEmpty)
+  }
+
+  test("lshTopKJoin: a pair never meets twice (no duplicate neighbors per query)") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos((i * 13 + d * 3).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopKJoin(vecs, vecs, "vec_id", "vec_id",
+      "embedding", k = 60, bits = 4, dim = 8)
+    val dupPairs = out.groupBy("query_id", "neighbor_id")
+      .count().filter($"count" > 1).count()
+    assert(dupPairs == 0)
+  }
+
   test("lshTopK: recall vs brute force is high with multi-probe") {
     val vecs = (0L until 200L).map { i =>
       (i, Array.tabulate(16)(d => math.sin((i * 31 + d * 7).toDouble).toFloat))
