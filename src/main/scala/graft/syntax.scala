@@ -86,6 +86,15 @@ object syntax {
                         buildKey: String): DataFrame =
       ext.BloomJoin.prunedJoin(df, build, probeKey, buildKey)
 
+    /** Top-k cosine neighbors in `right` for EVERY row of this frame
+      * (both sides large; LSH bucket equi-join + bounded-heap top-k).
+      */
+    def semanticJoin(right: DataFrame, leftIdCol: String, rightIdCol: String,
+                     vecCol: String, k: Int = 10, bits: Int = 12,
+                     dim: Int = 64): DataFrame =
+      ext.Similarity.lshTopKJoin(df, right, leftIdCol, rightIdCol, vecCol,
+        k, bits, dim)
+
     // ------------------------------------------------------------- text
     /** Append token/quality/language/fingerprint stat columns. */
     def withTextStats(textCol: String = "text"): DataFrame =

@@ -60,6 +60,13 @@ class SyntaxSpec extends SparkTestBase {
     val build = docs.select($"doc_id".as("k")).limit(2)
     assert(docs.bloomPrunedJoin(build, "doc_id", "k").count() ==
       docs.join(build, $"doc_id" === $"k").count())
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    assert(vecs.semanticJoin(vecs, "vec_id", "vec_id", "embedding",
+        k = 3, bits = 4, dim = 8).collect().toSet ==
+      ext.Similarity.lshTopKJoin(vecs, vecs, "vec_id", "vec_id", "embedding",
+        k = 3, bits = 4, dim = 8).collect().toSet)
   }
 
   test("parseAccessLogs on raw lines") {
