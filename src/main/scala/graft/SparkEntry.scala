@@ -1252,6 +1252,18 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ext sampling — deterministic weighted sample (Efraimidis–Spirakis
+    // keys from the md5-derived 52-bit uniform; bounded-heap global
+    // top-n, no sort): longer documents weighted heavier here; the
+    // oracle recomputes h/u/key digit-by-digit and ranks in SQL.
+    "q100_weighted_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("wt", length(col("text")).cast("double") + 1.0)
+      ext.Sampling.weightedSample(docs, "doc_id", "wt", n = 100)
+        .select(col("doc_id"), col("wt"))
+        .orderBy("doc_id")
+    }),
+
     // ext similarity — cross-table semantic join: BOTH sides large (no
     // broadcastable query set), bucket equi-join + bounded-heap top-k per
     // query; oracle replicates the hyperplane buckets, probes, cosine,
@@ -1811,6 +1823,27 @@ object SparkEntry {
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
     "q99_semantic_join" -> SemanticJoinOracle,
+
+    // Efraimidis–Spirakis replicated in SQL: the 52-bit h is rebuilt
+    // hex-digit-by-digit (every intermediate is an exact double), then
+    // u = (h+1)/2^52 and key = ln(u)/w rank the draw
+    "q100_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) + 1.0 AS wt
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, wt,
+        |    substr(md5(concat('graft-ws', '|', CAST(doc_id AS VARCHAR))), 1, 13) AS hx
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, wt,
+        |    ln((list_sum(list_transform(generate_series(1, 13),
+        |         i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS DOUBLE)
+        |              * pow(16, 13 - i))) + 1.0) / 4503599627370496.0) / wt AS kk
+        |  FROM h)
+        |SELECT doc_id, wt FROM (
+        |  SELECT doc_id, wt FROM k ORDER BY kk DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // the capstone oracle composes the stage oracles: q35's gates+dedup,
     // q83's repetition fraction, q82's decontamination postings, q70's

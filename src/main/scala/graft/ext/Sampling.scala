@@ -100,6 +100,49 @@ object Sampling {
     * rate_s = that · share_s / n_s ≤ 1). Deterministic end to end —
     * the same corpus and targets reproduce the same row set.
     */
+  /** Deterministic weighted sample WITHOUT replacement of (up to) `n`
+    * rows, selection probability increasing with `weightCol` — the
+    * quality-weighted corpus draw of training-data assembly ("sample 10M
+    * documents, preferring high quality-score"). Efraimidis–Spirakis
+    * keys: each row draws u ~ Uniform(0,1] from the md5 of its id (pure
+    * function of the row — reproducible across engines, partitionings,
+    * and re-runs, like every sampler in this module) and ranks by
+    * u^(1/w), here as the monotone-equivalent ln(u)/w; the top n
+    * survive. Rows with null id, or null/non-positive weight, are
+    * excluded (no identity / no mass — the [[hashSampled]] null stance).
+    *
+    * Scale shape: the 52-bit uniform and the key are per-row column
+    * arithmetic in the scan; selection is the bounded-heap `TopKAgg`
+    * GLOBAL aggregate — map tasks pre-reduce to n-row heaps, so the one
+    * exchange carries n-row buffers, never the table, and there is no
+    * global sort. `idCol` must be numeric (the heap id; the usual dense
+    * doc id) — hash non-numeric ids to a surrogate first.
+    *
+    * Exactness note: h (52-bit, double-exact), u = (h+1)/2^52 (exact),
+    * and the division by w (IEEE, correctly rounded) replicate bit-for-
+    * bit in any engine; ln() may differ in final ulps across math
+    * libraries, which could in principle flip a selection at the
+    * boundary — only if two keys agree to ~1e-15 relative, which hash-
+    * derived keys on a fixed corpus do not.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, seed: String = "graft-ws"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val h = conv(substring(md5(
+        concat_ws("|", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(4503599627370496.0) // 2^52: u in (0, 1]
+    val key = log(u) / col(weightCol).cast("double")
+    val top = df
+      .filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(key.as("__k"), col(idCol).cast("long").as("__id"))
+      .agg(graft.functions.TopKAgg.column(n, col("__k"), -col("__id")).as("t"))
+      .select(explode(col("t")).as("s"))
+      .select((-col("s.id")).as(idCol))
+    df.join(top, Seq(idCol), "left_semi")
+  }
+
   def rebalance(df: DataFrame, keyCol: String, strataCol: String,
                 targetShares: Map[String, Double]): DataFrame = {
     require(targetShares.nonEmpty, "rebalance needs at least one target share")

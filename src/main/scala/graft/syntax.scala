@@ -125,6 +125,10 @@ object syntax {
     def hashSample(keyCol: String, rate: Double): DataFrame =
       Sampling.sample(df, keyCol, rate)
 
+    /** Deterministic weighted sample of up to n rows (E–S keys). */
+    def weightedSample(idCol: String, weightCol: String, n: Int): DataFrame =
+      Sampling.weightedSample(df, idCol, weightCol, n)
+
     /** Rebalance strata to target proportions (no upsampling). */
     def rebalance(keyCol: String, strataCol: String,
                   shares: Map[String, Double]): DataFrame =

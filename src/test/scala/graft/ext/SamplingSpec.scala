@@ -7,6 +7,44 @@ import graft.SparkTestBase
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("weightedSample: matches a plain-Scala reference selection exactly") {
+    def refKey(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16).toDouble
+      math.log((h + 1.0) / 4503599627370496.0) / w
+    }
+    val rows = (0L until 200L).map(i => (i, (i % 13 + 1).toDouble))
+    val expected = rows.map { case (id, w) => (refKey(id, w), id) }
+      .sortBy { case (k, id) => (-k, id) }.take(25).map(_._2).toSet
+    val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", n = 25)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("weightedSample: deterministic under repartitioning; caps at eligible") {
+    val df = (0L until 60L).map(i => (i, 1.0 + i)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 20).select("id").as[Long].collect().sorted
+    val b = Sampling.weightedSample(df.repartition(7), "id", "w", 20)
+      .select("id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(Sampling.weightedSample(df, "id", "w", 1000).count() == 60)
+  }
+
+  test("weightedSample: heavy weights dominate; null/non-positive excluded") {
+    val heavy = (0L until 50L).map(i => (i, 1000.0))
+    val light = (100L until 150L).map(i => (i, 0.001))
+    val df = (heavy ++ light).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 40)
+      .select("id").as[Long].collect()
+    assert(picked.forall(_ < 50L)) // light side ~never beats 6 orders of magnitude
+    val withBad = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(-1.0)))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(withBad, "id", "w", 10)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("perGroupSample: exactly k per big group, whole small group, stable") {
     val df = ((0L until 100L).map(i => (i, "big")) ++
       Seq((1000L, "small"), (1001L, "small"))).toDF("id", "grp")
