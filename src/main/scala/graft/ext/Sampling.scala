@@ -128,6 +128,11 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int, seed: String = "graft-ws"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    // enforced, not just documented: a non-numeric id would cast to null
+    // inside the heap input and be SKIPPED — an empty sample, silently
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weightedSample requires a numeric id; '$idCol' is " +
+        s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
     val h = conv(substring(md5(
         concat_ws("|", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("double")

@@ -139,11 +139,19 @@ object Similarity {
     * `tools.AnnRecallBench`): candidates only, exact cosine within
     * buckets, deterministic (fixed seed, total (cosine desc, id asc)
     * order).
+    *
+    * Contract: `rightIdCol` must be NUMERIC (it rides the bounded heap
+    * as a long) — hash non-numeric ids to a surrogate first. Enforced,
+    * not just documented: a null-casting id would be silently skipped by
+    * the heap's null semantics, returning an empty join.
     */
   def lshTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
                   k: Int = 10, bits: Int = 12, dim: Int = 64,
                   seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    require(right.schema(rightIdCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"lshTopKJoin requires a numeric right id; '$rightIdCol' is " +
+        s"${right.schema(rightIdCol).dataType} — hash non-numeric ids to a surrogate first")
     val planes = hyperplanes(dim, bits, seed)
     val r = right.select(col(rightIdCol).as("neighbor_id"),
         col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))

@@ -45,6 +45,14 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("weightedSample: non-numeric id fails loudly, not empty") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", 1)
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
   test("perGroupSample: exactly k per big group, whole small group, stable") {
     val df = ((0L until 100L).map(i => (i, "big")) ++
       Seq((1000L, "small"), (1001L, "small"))).toDF("id", "grp")

@@ -50,6 +50,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined == viaTopK && joined.nonEmpty)
   }
 
+  test("lshTopKJoin: non-numeric right id fails loudly, not empty") {
+    val vecs = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopKJoin(vecs, vecs, "vec_id", "vec_id", "embedding",
+        k = 1, bits = 2, dim = 2)
+    }
+    assert(e.getMessage.contains("numeric right id"))
+  }
+
   test("lshTopKJoin: a pair never meets twice (no duplicate neighbors per query)") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => math.cos((i * 13 + d * 3).toDouble).toFloat))
