@@ -1264,6 +1264,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext sampling — per-group weighted draw: best-n-per-language by the
+    // same E–S key, selected through a group-keyed bounded heap.
+    "q101_weighted_per_group" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("wt", length(col("text")).cast("double") + 1.0)
+      ext.Sampling.weightedSamplePerGroup(docs, "doc_id", "wt", "lang", n = 20)
+        .select(col("doc_id"), col("lang"), col("wt"))
+        .orderBy("doc_id")
+    }),
+
     // ext similarity — cross-table semantic join: BOTH sides large (no
     // broadcastable query set), bucket equi-join + bounded-heap top-k per
     // query; oracle replicates the hyperplane buckets, probes, cosine,
@@ -1843,6 +1853,27 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, wt FROM (
         |  SELECT doc_id, wt FROM k ORDER BY kk DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q101_weighted_per_group" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) + 1.0 AS wt
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id, lang, wt,
+        |    substr(md5(concat('graft-ws', '|', CAST(doc_id AS VARCHAR))), 1, 13) AS hx
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, lang, wt,
+        |    ln((list_sum(list_transform(generate_series(1, 13),
+        |         i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS DOUBLE)
+        |              * pow(16, 13 - i))) + 1.0) / 4503599627370496.0) / wt AS kk
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, lang, wt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY kk DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT doc_id, lang, wt FROM r WHERE rn <= 20
         |ORDER BY doc_id""".stripMargin,
 
     // the capstone oracle composes the stage oracles: q35's gates+dedup,

@@ -133,19 +133,51 @@ object Sampling {
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"weightedSample requires a numeric id; '$idCol' is " +
         s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
-    val h = conv(substring(md5(
-        concat_ws("|", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
-      .cast("double")
-    val u = (h + lit(1.0)) / lit(4503599627370496.0) // 2^52: u in (0, 1]
-    val key = log(u) / col(weightCol).cast("double")
     val top = df
       .filter(col(idCol).isNotNull &&
         col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(key.as("__k"), col(idCol).cast("long").as("__id"))
+      .select(esKey(idCol, weightCol, seed).as("__k"),
+        col(idCol).cast("long").as("__id"))
       .agg(graft.functions.TopKAgg.column(n, col("__k"), -col("__id")).as("t"))
       .select(explode(col("t")).as("s"))
       .select((-col("s.id")).as(idCol))
     df.join(top, Seq(idCol), "left_semi")
+  }
+
+  /** Per-group [[weightedSample]]: up to `n` rows PER GROUP, weighted —
+    * the domain-capped quality draw ("best 1000 documents per domain").
+    * Same E–S key; selection is one TopKAgg aggregate KEYED BY the group,
+    * so the exchange carries (group, n-row heap) pairs — compare
+    * [[perGroupSample]]'s window, which shuffles every row of every
+    * group. Same numeric-id contract as [[weightedSample]].
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
+                             groupCol: String, n: Int,
+                             seed: String = "graft-ws"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weightedSamplePerGroup requires a numeric id; '$idCol' is " +
+        s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
+    val top = df
+      .filter(col(idCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol), esKey(idCol, weightCol, seed).as("__k"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.column(n, col("__k"), -col("__id")).as("t"))
+      .select(explode(col("t")).as("s"))
+      .select((-col("s.id")).as(idCol))
+    df.join(top, Seq(idCol), "left_semi")
+  }
+
+  /** The Efraimidis–Spirakis ranking key ln(u)/w shared by the weighted
+    * samplers — ONE definition, the [[hashBucket]] stance.
+    */
+  private def esKey(idCol: String, weightCol: String, seed: String): Column = {
+    val h = conv(substring(md5(
+        concat_ws("|", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("double")
+    log((h + lit(1.0)) / lit(4503599627370496.0)) / col(weightCol).cast("double")
   }
 
   def rebalance(df: DataFrame, keyCol: String, strataCol: String,

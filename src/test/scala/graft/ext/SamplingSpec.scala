@@ -45,6 +45,25 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("weightedSamplePerGroup: n per group, weighted, matches global logic per group") {
+    def refKey(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16).toDouble
+      math.log((h + 1.0) / 4503599627370496.0) / w
+    }
+    val rows = (0L until 120L).map(i => (i, (i % 7 + 1).toDouble, s"g${i % 3}"))
+    val expected = rows.groupBy(_._3).values.flatMap { grp =>
+      grp.map { case (id, w, _) => (refKey(id, w), id) }
+        .sortBy { case (k, id) => (-k, id) }.take(10).map(_._2)
+    }.toSet
+    val got = Sampling.weightedSamplePerGroup(
+        rows.toDF("id", "w", "g"), "id", "w", "g", n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected && got.size == 30)
+  }
+
   test("weightedSample: non-numeric id fails loudly, not empty") {
     val df = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "w")
     val e = intercept[IllegalArgumentException] {
