@@ -1274,6 +1274,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext similarity — IVF twin of q99: the clustered-space form of the
+    // cross-table join, cells from a deterministic right-side centroid
+    // sample, per-row kernel assignment on BOTH large sides.
+    "q102_ivf_semantic_join" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ext.Similarity.ivfTopKJoin(
+          emb.filter(col("vec_id") % 7 === 2),
+          emb.filter(col("vec_id") % 7 =!= 2),
+          "vec_id", "vec_id", "embedding",
+          k = 5, numCells = 16, nprobe = 3, modulus = 496)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ext similarity — cross-table semantic join: BOTH sides large (no
     // broadcastable query set), bucket equi-join + bounded-heap top-k per
     // query; oracle replicates the hyperplane buckets, probes, cosine,
@@ -1541,6 +1555,53 @@ object SparkEntry {
       |  FROM (SELECT doc_id,
       |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       |        FROM all_docs))""".stripMargin
+
+  /** Oracle for the IVF cross-table join (q102): centroids are every
+    * 31st RIGHT-side id (modulus 496 / 16 cells), right rows take their
+    * single best cell and left rows their 3 best (cosine DESC,
+    * centroid_id tie-break — the kernel's lowest-index rule), candidates
+    * meet on the cell, exact cosine ranks within query.
+    */
+  private val IvfSemanticJoinOracle: String = {
+    def cosine(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH rt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 2),
+       |lt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 2),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM rt WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+       |corpus_assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM rt e CROSS JOIN centroids c)
+       |  WHERE crank <= 1),
+       |query_assign AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM lt e CROSS JOIN centroids c)
+       |  WHERE crank <= 3),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, ca.neighbor_id
+       |  FROM query_assign q JOIN corpus_assign ca ON ca.cell = q.cell),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.embedding", "c.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Generated oracle for the cross-table semantic join: same inlined
     * 10-bit hyperplane constants as [[LshAnnOracle]], but the query side
@@ -1833,6 +1894,7 @@ object SparkEntry {
     "q80_ann_pq" -> PqAnnOracle,
     "q86_random_projection" -> RandomProjectionOracle,
     "q99_semantic_join" -> SemanticJoinOracle,
+    "q102_ivf_semantic_join" -> IvfSemanticJoinOracle,
 
     // Efraimidis–Spirakis replicated in SQL: the 52-bit h is rebuilt
     // hex-digit-by-digit (every intermediate is an exact double), then

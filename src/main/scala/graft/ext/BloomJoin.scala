@@ -93,6 +93,32 @@ object BloomJoin {
     * threshold — if the build side broadcasts anyway, the plain join is
     * already optimal and the filter only adds a scan of its keys.
     */
+  /** [[prunedJoin]] with the filter sized from the build side itself:
+    * one `approx_count_distinct` aggregate (a scalar — the "build the
+    * index" step, like IVF's centroid sample) estimates the key count n,
+    * then the textbook sizing m = ⌈−n·ln(fpp)/ln²2⌉ bits (rounded up to
+    * whole 64-bit words, capped at `maxBits` = 16 MB default) and
+    * k = round(m/n·ln 2) hashes. HLL's ±2% error moves the realized
+    * false-positive rate, never correctness — there are still no false
+    * negatives at any size.
+    */
+  def prunedJoinAuto(probe: DataFrame, build: DataFrame,
+                     probeKey: String, buildKey: String,
+                     fpp: Double = 0.01, maxBits: Int = 1 << 27): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val n = math.max(1L, build.filter(col(buildKey).isNotNull)
+      .agg(approx_count_distinct(col(buildKey))).head().getLong(0))
+    val ln2 = math.log(2)
+    val rawBits = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
+    val numBits = math.min(maxBits.toLong,
+      math.max(64L, ((rawBits + 63) / 64) * 64)).toInt
+    // capped at 16 probes: beyond that the per-row hashing cost outweighs
+    // any FP improvement (tiny builds would otherwise ask for ~44 probes)
+    val numHashes = math.min(16,
+      math.max(1, math.round(numBits.toDouble / n * ln2).toInt))
+    prunedJoin(probe, build, probeKey, buildKey, numBits, numHashes)
+  }
+
   def prunedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: String, buildKey: String,
                  numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {

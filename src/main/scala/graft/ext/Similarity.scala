@@ -265,6 +265,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF twin of [[lshTopKJoin]]: cross-table top-k neighbors with BOTH
+    * sides large, bucketed by Voronoi cells of centroids sampled from the
+    * RIGHT table (the [[ivfTopK]] bootstrap; same numeric-id/modulus
+    * contract). Better recall/candidate-count than the LSH form when the
+    * embedding space is clustered — centroids follow the data where
+    * hyperplanes are oblivious to it.
+    *
+    * Scale shape: the right side takes its single best cell, the left
+    * side its `nprobe` best cells, both via one codegen'd kernel node per
+    * row (`NearestCentroids` — no numCells-way cross join + window on the
+    * large sides); cells meet in a shuffled equi-join and per-query top-k
+    * is the bounded-heap `TopKAgg` aggregate. A pair can meet at most
+    * once (one cell per right row, distinct probe cells per left row).
+    */
+  def ivfTopKJoin(left: DataFrame, right: DataFrame,
+                  leftIdCol: String, rightIdCol: String, vecCol: String,
+                  k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
+                  modulus: Int = 1000): DataFrame = {
+    require(right.schema(rightIdCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfTopKJoin requires a numeric right id; '$rightIdCol' is " +
+        s"${right.schema(rightIdCol).dataType} — hash non-numeric ids to a surrogate first")
+    val centroidRows: Array[(Long, Array[Double])] = right
+      .select(col(rightIdCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
+      .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
+      .orderBy("centroid_id")
+      .limit(numCells)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+    require(centroidRows.nonEmpty,
+      s"IVF centroid sample is empty — numeric id space has no multiples of " +
+        s"${math.max(modulus / numCells, 1)}")
+    val cents = centroidRows.toSeq.map(_._2.toSeq)
+    val cellIds = array(centroidRows.toSeq.map(r => lit(r._1)): _*)
+
+    val r = right.select(col(rightIdCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+      .withColumn("cell", element_at(cellIds,
+        graft.functions.VectorFunctions.nearestCentroid(col("c_vec"), cents) + 1))
+    val l = left.select(col(leftIdCol).as("query_id"),
+        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        explode(transform(
+          graft.functions.VectorFunctions.nearestCentroids(
+            col("q_vec"), cents, math.min(nprobe, centroidRows.length)),
+          i => element_at(cellIds, i + 1))).as("cell"))
+    l.join(r, "cell")
+      .select(col("query_id"),
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cosine"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.column(k, col("cosine"), -col("neighbor_id"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (-col("s.id")).as("neighbor_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+  }
+
   // ------------------------------------------------- product quantization
 
   /** PQ (product-quantization) ANN: the 100 TB MEMORY lever next to IVF's

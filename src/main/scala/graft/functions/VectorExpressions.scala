@@ -331,6 +331,175 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
   * [[NearestCentroid]]. Backs deterministic random projection
   * (Johnson–Lindenstrauss) and any fixed linear map over embeddings.
   */
+/** Top-`nprobe` centroid INDICES by cosine (descending; ties and the
+  * NaN-first rule exactly as [[NearestCentroid]] — a NaN cosine outranks
+  * every finite one, lowest index among equals). The multi-probe form of
+  * the IVF assignment for a LARGE probe side: one codegen'd plan node per
+  * row instead of a numCells-way cross join + window. Selection is
+  * nprobe argmax passes over the k scores — k and nprobe are index-sized
+  * constants, so the per-row cost is the dot products, same as
+  * [[NearestCentroid]].
+  */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
+                            nprobe: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val k = centroids.length
+  private lazy val dim = centroids.head.length
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      var d = 0
+      while (d < dim) { a(j * dim + d) = centroids(j)(d); d += 1 }
+      j += 1
+    }
+    a
+  }
+  private lazy val cNorm: Array[Double] = {
+    val a = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val c = flat(j * dim + d); s += c * c; d += 1 }
+      a(j) = math.sqrt(s)
+      j += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!okVec)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${child.dataType.simpleString}")
+    else if (centroids.isEmpty || centroids.exists(_.length != dim))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName centroid matrix must be rectangular")
+    else if (nprobe < 1 || nprobe > k)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName nprobe must be in [1, ${k}], got $nprobe")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = a.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        xx += x * x
+      }
+      i += 1
+    }
+    val normX = math.sqrt(xx)
+    // NaN → +inf so the NaN-first rule falls out of plain comparison;
+    // strict > keeps the lowest index among equals (NearestCentroid's rule)
+    val eff = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      val lim = math.min(n, dim)
+      var d = 0
+      while (d < lim) {
+        if (!a.isNullAt(d)) {
+          val x = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+          dot += x * flat(j * dim + d)
+        }
+        d += 1
+      }
+      val denom = normX * cNorm(j)
+      val s = if (denom > 0) dot / denom else 0.0
+      eff(j) = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
+      j += 1
+    }
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < nprobe) {
+      var bestJ = -1
+      var best = Double.NegativeInfinity
+      var jj = 0
+      while (jj < k) {
+        if (!taken(jj) && (bestJ < 0 || eff(jj) > best)) { best = eff(jj); bestJ = jj }
+        jj += 1
+      }
+      taken(bestJ) = true
+      out(p) = bestJ
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centFlat", flat, "double[]")
+      val normRef = ctx.addReferenceObj("centNorm", cNorm, "double[]")
+      val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = ctx.freshName("n")
+      val xx = ctx.freshName("xx")
+      val normX = ctx.freshName("normX")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val jj = ctx.freshName("jj")
+      val d = ctx.freshName("d")
+      val lim = ctx.freshName("lim")
+      val dot = ctx.freshName("dot")
+      val denom = ctx.freshName("denom")
+      val s = ctx.freshName("s")
+      val eff = ctx.freshName("eff")
+      val out = ctx.freshName("out")
+      val taken = ctx.freshName("taken")
+      val p = ctx.freshName("p")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      def getAt(pos: String) = if (isF) s"(double)$a.getFloat($pos)" else s"$a.getDouble($pos)"
+      s"""
+         |int $n = $a.numElements();
+         |double $xx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) { double __x = ${getAt(i)}; $xx += __x * __x; }
+         |}
+         |double $normX = java.lang.Math.sqrt($xx);
+         |int $lim = java.lang.Math.min($n, $dim);
+         |double[] $eff = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$a.isNullAt($d)) { $dot += ${getAt(d)} * $flatRef[$j * $dim + $d]; }
+         |  }
+         |  double $denom = $normX * $normRef[$j];
+         |  double $s = ($denom > 0) ? ($dot / $denom) : 0.0;
+         |  $eff[$j] = java.lang.Double.isNaN($s) ? java.lang.Double.POSITIVE_INFINITY : $s;
+         |}
+         |int[] $out = new int[$nprobe];
+         |boolean[] $taken = new boolean[$k];
+         |for (int $p = 0; $p < $nprobe; $p++) {
+         |  int $bestJ = -1;
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $jj = 0; $jj < $k; $jj++) {
+         |    if (!$taken[$jj] && ($bestJ < 0 || $eff[$jj] > $best)) { $best = $eff[$jj]; $bestJ = $jj; }
+         |  }
+         |  $taken[$bestJ] = true;
+         |  $out[$p] = $bestJ;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
     extends UnaryExpression {
 
@@ -433,6 +602,11 @@ object VectorFunctions {
 
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]],
+                       nprobe: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(vec), centroids, nprobe))
 
   def matVec(vec: Column, matrix: Seq[Seq[Double]]): Column =
     ColumnBridge.column(MatVec(ColumnBridge.expression(vec), matrix))

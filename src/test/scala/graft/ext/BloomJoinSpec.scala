@@ -40,6 +40,16 @@ class BloomJoinSpec extends SparkTestBase {
       s"expected ~4 of 1000 probe keys to pass, got $passed")
   }
 
+  test("prunedJoinAuto: self-sized filter still exactly equals the plain join") {
+    val pruned = BloomJoin.prunedJoinAuto(probe, build, "pk", "bk", fpp = 0.01)
+      .select("pk").as[Long].collect().sorted
+    assert(pruned.sameElements(Array(3L, 7L, 400L, 999L, 999L)))
+    // a larger build sizes itself without loss: result is still the join
+    val bigBuild = (0L until 2000L).map(k => Tuple1(k * 2)).toDF("bk") // evens
+    val bigProbe = (0L until 4000L).toDF("pk")
+    assert(BloomJoin.prunedJoinAuto(bigProbe, bigBuild, "pk", "bk").count() == 2000)
+  }
+
   test("string keys: equivalence to the plain join holds for any key type") {
     val rnd = new scala.util.Random(3)
     val p = (1 to 500).map(i => s"key${rnd.nextInt(80)}").toDF("pk")

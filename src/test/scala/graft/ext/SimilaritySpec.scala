@@ -50,6 +50,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined == viaTopK && joined.nonEmpty)
   }
 
+  test("nearestCentroids kernel: slot 0 equals nearestCentroid; probes distinct and ordered") {
+    import graft.functions.VectorFunctions
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.7, 0.7))
+    val vecs = (0 until 40).map { i =>
+      Tuple1(Array(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat))
+    }.toDF("v")
+    val rows = vecs.select(
+      VectorFunctions.nearestCentroid($"v", cents).as("one"),
+      VectorFunctions.nearestCentroids($"v", cents, 3).as("three"))
+      .as[(Int, Seq[Int])].collect()
+    rows.foreach { case (one, three) =>
+      assert(three.head == one)
+      assert(three.distinct.size == 3)
+    }
+  }
+
+  test("ivfTopKJoin: agrees with ivfTopK when the left side is query-sized") {
+    val vecs = (0L until 96L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 11 + d * 3).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    // left takes residue 5 so the right side keeps the multiples of the
+    // centroid stride (12) — the sample must come from the RIGHT table
+    val leftT = vecs.filter($"vec_id" % 12 === 5)
+    val rightT = vecs.filter($"vec_id" % 12 =!= 5)
+    val joined = Similarity.ivfTopKJoin(leftT, rightT, "vec_id", "vec_id",
+        "embedding", k = 4, numCells = 8, nprobe = 2, modulus = 96)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaTopK = Similarity.ivfTopK(rightT,
+        leftT.select($"vec_id".as("query_id"), $"embedding"),
+        "vec_id", "embedding", "query_id", k = 4, numCells = 8, nprobe = 2,
+        modulus = 96)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(joined == viaTopK && joined.nonEmpty)
+  }
+
   test("lshTopKJoin: non-numeric right id fails loudly, not empty") {
     val vecs = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
