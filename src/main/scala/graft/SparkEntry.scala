@@ -1274,6 +1274,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext sampling — weighted draw to per-stratum TARGET counts: 50 en
+    // (capped), 80 de (underfull at sf0.01 → whole stratum), others
+    // dropped; one group-keyed heap of size max(targets).
+    "q103_weighted_targets" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("wt", length(col("text")).cast("double") + 1.0)
+      ext.Sampling.weightedSampleTargets(docs, "doc_id", "wt", "lang",
+          Map("en" -> 50, "de" -> 80))
+        .select(col("doc_id"), col("lang"), col("wt"))
+        .orderBy("doc_id")
+    }),
+
+    // ext streaming — span-level continuous dedup, batch replay form: the
+    // second "day" of documents is probed against the first day's gram
+    // store; the oracle replays the same two-batch fold in SQL.
+    "q104_stream_span_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val words = split(col("text"), " ")
+      val day1 = docs.filter(col("doc_id") % 3 =!= 0)
+      // day-2 docs re-quote a 10-token prefix of a DAY-1 source doc
+      // (doc_id ≡ 1 mod 9 ⊂ day1) under fresh ids, plus a unique tail
+      val day2 = docs.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(array_join(slice(words, 1, 10), " "),
+            lit(" tail"), col("doc_id").cast("string")).as("text"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q104").toString + "/grams"
+      streaming.StreamingSpanDedup.byBatch(s, Seq(day1, day2), store,
+          "doc_id", "text", k = 5)
+        .orderBy("batch_id", "doc_id", "span_start")
+    }),
+
     // ext similarity — IVF twin of q99: the clustered-space form of the
     // cross-table join, cells from a deterministic right-side centroid
     // sample, per-row kernel assignment on BOTH large sides.
@@ -1916,6 +1948,78 @@ object SparkEntry {
         |SELECT doc_id, wt FROM (
         |  SELECT doc_id, wt FROM k ORDER BY kk DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // per-stratum ranking with per-stratum cutoffs via CASE; unlisted
+    // strata never enter the ranked set
+    "q103_weighted_targets" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) + 1.0 AS wt
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND lang IN ('en', 'de')),
+        |h AS (
+        |  SELECT doc_id, lang, wt,
+        |    substr(md5(concat('graft-ws', '|', CAST(doc_id AS VARCHAR))), 1, 13) AS hx
+        |  FROM w),
+        |k AS (
+        |  SELECT doc_id, lang, wt,
+        |    ln((list_sum(list_transform(generate_series(1, 13),
+        |         i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS DOUBLE)
+        |              * pow(16, 13 - i))) + 1.0) / 4503599627370496.0) / wt AS kk
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, lang, wt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY kk DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT doc_id, lang, wt FROM r
+        |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // two-batch replay: day 1 against an empty store emits nothing; day 2
+    // probes day 1's grams (q98's postings/island machinery, batch-tagged)
+    "q104_stream_span_dedup" ->
+      """WITH day1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |day2 AS (
+        |  SELECT doc_id + 90000 AS doc_id,
+        |    concat(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' '),
+        |           ' tail', CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents WHERE doc_id % 9 = 1),
+        |bt AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM day2),
+        |bg AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 4),
+        |      i -> {'pos': i - 1,
+        |            'gram': array_to_string(list_slice(t, i, i + 4), ' ')})) AS u
+        |    FROM bt WHERE len(t) >= 5)),
+        |cg AS (
+        |  SELECT unnest(list_transform(
+        |      generate_series(1, greatest(len(t) - 4, 1)),
+        |      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS gram
+        |  FROM (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |        FROM day1)),
+        |hits AS (
+        |  SELECT doc_id, pos FROM bg WHERE gram IN (SELECT gram FROM cg)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM hits),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT CAST(1 AS BIGINT) AS batch_id, doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl
+        |GROUP BY doc_id, island
+        |ORDER BY batch_id, doc_id, span_start""".stripMargin,
 
     "q101_weighted_per_group" ->
       """WITH w AS (

@@ -551,16 +551,35 @@ object Dedup {
     */
   def duplicateSpansAgainst(batch: DataFrame, corpus: DataFrame,
                             idCol: String, textCol: String, k: Int = 5,
-                            hashGrams: Boolean = false): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val bp = windowPostings(batch, idCol, textCol, k, hashGrams)
-    val corpusGrams = corpus
+                            hashGrams: Boolean = false): DataFrame =
+    duplicateSpansAgainstGrams(batch,
+      corpusGrams(corpus, textCol, k, hashGrams), idCol, textCol, k, hashGrams)
+
+  /** The k-gram column of a document set, one `gram` column (string, or
+    * xxhash64 when `hashGrams`) — the storable corpus side of
+    * [[duplicateSpansAgainst]] (distinct per doc via the WordNgrams
+    * kernel; an accumulating gram STORE is how the streaming form keeps
+    * cross-batch state linear in distinct grams, not documents).
+    */
+  def corpusGrams(corpus: DataFrame, textCol: String, k: Int = 5,
+                  hashGrams: Boolean = false): DataFrame = {
+    val grams = corpus
       .filter(col(textCol).isNotNull)
       .select(explode(graft.functions.SketchFunctions.wordNgrams(
         split(canonicalize(col(textCol)), " "), k)).as("gram"))
-    val keyed =
-      if (hashGrams) corpusGrams.select(xxhash64(col("gram")).as("gram"))
-      else corpusGrams
+    if (hashGrams) grams.select(xxhash64(col("gram")).as("gram")) else grams
+  }
+
+  /** [[duplicateSpansAgainst]] with the corpus already reduced to its
+    * gram column (first column of `grams`; type must match the
+    * `hashGrams` mode used to produce it).
+    */
+  def duplicateSpansAgainstGrams(batch: DataFrame, grams: DataFrame,
+                                 idCol: String, textCol: String, k: Int = 5,
+                                 hashGrams: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bp = windowPostings(batch, idCol, textCol, k, hashGrams)
+    val keyed = grams.select(col(grams.columns.head).as("gram"))
     mergeWindowIslands(
       bp.join(keyed, Seq("gram"), "left_semi").select(col(idCol), col("pos")),
       idCol, k)

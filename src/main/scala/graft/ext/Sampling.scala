@@ -170,6 +170,43 @@ object Sampling {
     df.join(top, Seq(idCol), "left_semi")
   }
 
+  /** Weighted draw to per-stratum TARGET counts: exactly
+    * min(target, |eligible stratum|) rows per stratum, chosen by the same
+    * E–S key — the "assemble the mixture: 30k en, 10k de, keep all of the
+    * tail" step, where [[rebalance]] hits target PROPORTIONS by rate and
+    * this hits target COUNTS by rank. Strata absent from `targets`
+    * contribute nothing. One group-keyed heap of size max(targets) serves
+    * every stratum (heaps merge map-side; the per-stratum cut is a rank
+    * filter on the exploded heap) — no window, no global sort, and the
+    * exchange carries (stratum, heap) pairs. Same numeric-id contract as
+    * [[weightedSample]].
+    */
+  def weightedSampleTargets(df: DataFrame, idCol: String, weightCol: String,
+                            strataCol: String, targets: Map[String, Int],
+                            seed: String = "graft-ws"): DataFrame = {
+    require(targets.nonEmpty, "weightedSampleTargets needs at least one target")
+    require(targets.values.forall(_ > 0),
+      s"targets must be positive, got $targets")
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weightedSampleTargets requires a numeric id; '$idCol' is " +
+        s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
+    val kMax = targets.values.max
+    val targetOf = targets.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (acc, (s, n)) => when(col(strataCol) === s, lit(n)).otherwise(acc)
+    }
+    val top = df
+      .filter(col(strataCol).isin(targets.keys.toSeq: _*) &&
+        col(idCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(strataCol), esKey(idCol, weightCol, seed).as("__k"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopKAgg.column(kMax, col("__k"), -col("__id")).as("t"))
+      .select(col(strataCol), posexplode(col("t")).as(Seq("i", "s")))
+      .filter(col("i") < targetOf)
+      .select((-col("s.id")).as(idCol))
+    df.join(top, Seq(idCol), "left_semi")
+  }
+
   /** The Efraimidis–Spirakis ranking key ln(u)/w shared by the weighted
     * samplers — ONE definition, the [[hashBucket]] stance.
     */

@@ -64,6 +64,30 @@ class SamplingSpec extends SparkTestBase {
     assert(got == expected && got.size == 30)
   }
 
+  test("weightedSampleTargets: exact per-stratum counts, weighted, unlisted strata dropped") {
+    def refKey(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16).toDouble
+      math.log((h + 1.0) / 4503599627370496.0) / w
+    }
+    val rows = (0L until 150L).map(i => (i, (i % 5 + 1).toDouble, s"s${i % 3}"))
+    val targets = Map("s0" -> 12, "s1" -> 70) // s1 underfull (50 rows), s2 unlisted
+    val expected = rows.groupBy(_._3).collect {
+      case (g, grp) if targets.contains(g) =>
+        grp.map { case (id, w, _) => (refKey(id, w), id) }
+          .sortBy { case (k, id) => (-k, id) }.take(targets(g)).map(_._2)
+    }.flatten.toSet
+    val got = Sampling.weightedSampleTargets(
+        rows.toDF("id", "w", "g"), "id", "w", "g", targets)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.count(_ % 3 == 0) == 12)  // s0 capped at target
+    assert(got.count(_ % 3 == 1) == 50)  // s1 underfull: whole stratum
+    assert(!got.exists(_ % 3 == 2))      // s2 unlisted: dropped
+  }
+
   test("weightedSample: non-numeric id fails loudly, not empty") {
     val df = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "w")
     val e = intercept[IllegalArgumentException] {
