@@ -35,21 +35,37 @@ object StreamingSpanDedup {
                           idCol: String, textCol: String, k: Int = 5,
                           hashGrams: Boolean = true) {
 
-    private def storedGramFiles(): Seq[String] = {
+    /** Store layout: one `batch=<id>/` parquet directory per micro-batch.
+      * The probe reads only directories with a STRICTLY SMALLER batch id,
+      * and each batch OVERWRITES its own directory — so a foreachBatch
+      * RETRY of batch n is idempotent (its first, partial attempt cannot
+      * leak into its own probe, and its grams are written exactly once),
+      * and the strictly-prior contract holds by construction rather than
+      * by timing.
+      */
+    private def priorGramFiles(batchId: Long): Seq[String] = {
       val dir = new Path(storePath)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
+        .filter { s =>
+          val name = s.getPath.getName
+          s.isDirectory && name.startsWith("batch=") &&
+            scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+              .exists(_ < batchId)
+        }
+        .flatMap(d => fs.listStatus(d.getPath).toSeq)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString)
     }
 
-    /** Probe `batch` against the store as of NOW (pinned file list),
-      * append the batch's grams for future batches, and return the spans
-      * frame tagged with the batch id.
+    /** Probe `batch` against the strictly-prior store, write the batch's
+      * grams under its own `batch=<id>` directory (overwrite →
+      * retry-idempotent), and return the spans frame tagged with the
+      * batch id.
       */
     def update(batch: DataFrame, batchId: Long): DataFrame = synchronized {
-      val files = storedGramFiles()
+      val files = priorGramFiles(batchId)
       val gramType = if (hashGrams) "bigint" else "string"
       val store =
         if (files.isEmpty)
@@ -60,7 +76,7 @@ object StreamingSpanDedup {
         .select(lit(batchId).as("batch_id"), col(idCol),
           col("span_start"), col("span_end"), col("n_grams"))
       Dedup.corpusGrams(batch, textCol, k, hashGrams).distinct()
-        .write.mode("append").parquet(storePath)
+        .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
       spans
     }
 

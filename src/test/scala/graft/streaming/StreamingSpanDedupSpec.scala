@@ -52,6 +52,21 @@ class StreamingSpanDedupSpec extends SparkTestBase {
     assert(out == Set((1L, 2L, 1L, 5L, 1L)))
   }
 
+  test("retry idempotency: re-running a batch neither double-writes nor self-matches") {
+    val store = tmpStore()
+    val deduper = new StreamingSpanDedup.SpanDeduper(spark, store,
+      "doc_id", "text", k = 5)
+    val b0 = Seq((1L, "p q r s t u")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "x p q r s t y")).toDF("doc_id", "text")
+    assert(deduper.update(b0, 0L).count() == 0)
+    val first = deduper.update(b1, 1L).collect().toSeq
+    val retry = deduper.update(b1, 1L).collect().toSeq // foreachBatch retry
+    assert(first == retry && first.nonEmpty)
+    // batch 1's own grams never entered its probe: doc 2's unique
+    // window "x p q r s" would self-match if the first attempt leaked
+    assert(first.map(_.getLong(2)).min == 1L) // span starts at "p", not "x"
+  }
+
   test("store accumulates: a third batch sees grams from both earlier batches") {
     val store = tmpStore()
     val b0 = Seq((1L, "m n o p q r")).toDF("doc_id", "text")
