@@ -43,6 +43,24 @@ object BloomJoin {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => pmod(xxhash64(key, i), lit(numBits.toLong)))
 
+  /** xxhash64 hashes the PHYSICAL type: int 7 and long 7 hash differently
+    * even though a plain join would coerce and match them. Both sides of
+    * [[prunedJoin]] therefore normalize integral keys to long before
+    * hashing, so mixed-width integral key pairs keep the no-false-negative
+    * guarantee; non-integral key pairs must share one exact type
+    * (enforced in [[prunedJoin]]).
+    */
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  private def hashForm(key: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    if (isIntegral(dt)) key.cast("long") else key
+
   /** One-row frame `(__bloom: array<bigint>)` — the build side's key
     * membership as a DENSE bitset of numBits/64 words. Dense, not a
     * map<word, bits>: `element_at` on a Spark map is a LINEAR scan of the
@@ -85,14 +103,6 @@ object BloomJoin {
         .bitwiseAND(call_function("shiftleft", lit(1L), (p % lit(64)).cast("int")))
         =!= lit(0L))
 
-  /** Inner join with Bloom pre-filtering of the probe side: result is
-    * IDENTICAL to `probe.join(build, probeKey === buildKey)`, but the
-    * probe rows that reach the join's shuffle are only those whose key
-    * passes the membership test (matches + the false-positive fraction).
-    * Use when the build side is selective but above the broadcast
-    * threshold — if the build side broadcasts anyway, the plain join is
-    * already optimal and the filter only adds a scan of its keys.
-    */
   /** [[prunedJoin]] with the filter sized from the build side itself:
     * one `approx_count_distinct` aggregate (a scalar — the "build the
     * index" step, like IVF's centroid sample) estimates the key count n,
@@ -119,15 +129,43 @@ object BloomJoin {
     prunedJoin(probe, build, probeKey, buildKey, numBits, numHashes)
   }
 
+  /** Inner join with Bloom pre-filtering of the probe side: result is
+    * IDENTICAL to `probe.join(build, probeKey === buildKey)`, but the
+    * probe rows that reach the join's shuffle are only those whose key
+    * passes the membership test (matches + the false-positive fraction).
+    * Use when the build side is selective but above the broadcast
+    * threshold — if the build side broadcasts anyway, the plain join is
+    * already optimal and the filter only adds a scan of its keys.
+    *
+    * Key-type contract: integral keys of ANY width pair freely (both
+    * sides hash as long — see [[hashForm]]); any other combination must
+    * share one exact type, because xxhash64 of physically different
+    * representations would silently drop matches the coercing plain join
+    * keeps. Enforced, not just documented.
+    */
   def prunedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: String, buildKey: String,
                  numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    val bloom = buildBits(build, buildKey, numBits, numHashes)
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(
+      (isIntegral(pt) && isIntegral(bt)) || pt == bt,
+      s"prunedJoin keys must both be integral or share one exact type; " +
+        s"got '$probeKey': $pt vs '$buildKey': $bt — cast one side first " +
+        "(type-dependent hashing would otherwise drop coerced matches)")
+    val bloom = buildBitsTyped(build, buildKey, bt, numBits, numHashes)
     val pruned = probe
       .crossJoin(broadcast(bloom)) // one-row frame: constant-size, scale-safe
       .filter(col(probeKey).isNotNull &&
-        mightContain(col("__bloom"), col(probeKey), numBits, numHashes))
+        mightContain(col("__bloom"), hashForm(col(probeKey), pt),
+          numBits, numHashes))
       .drop("__bloom")
     pruned.join(build, pruned(probeKey) === build(buildKey))
   }
+
+  private def buildBitsTyped(build: DataFrame, keyCol: String,
+                             dt: org.apache.spark.sql.types.DataType,
+                             numBits: Int, numHashes: Int): DataFrame =
+    buildBits(build.select(hashForm(col(keyCol), dt).as(keyCol)),
+      keyCol, numBits, numHashes)
 }

@@ -100,6 +100,45 @@ object Sampling {
     * rate_s = that · share_s / n_s ≤ 1). Deterministic end to end —
     * the same corpus and targets reproduce the same row set.
     */
+  def rebalance(df: DataFrame, keyCol: String, strataCol: String,
+                targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "rebalance needs at least one target share")
+    val shareSum = targetShares.values.sum
+    require(math.abs(shareSum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got $shareSum")
+    // String.valueOf (not getString): a numeric strata column arrives as
+    // boxed numbers here while the shares map is keyed by strings
+    val counts = df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    targetShares.keys.foreach { s =>
+      require(counts.getOrElse(s, 0L) > 0L, s"stratum '$s' has no rows")
+    }
+    // the output size the scarcest stratum allows at its target share
+    val totalOut = targetShares.map { case (s, share) => counts(s) / share }.min
+    val rates = targetShares.map { case (s, share) =>
+      s -> math.min(1.0, totalOut * share / counts(s))
+    }
+    stratified(df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*)),
+      keyCol, strataCol, rates, defaultRate = 0.0)
+  }
+  /** Shared id contract of the weighted samplers: the id rides the
+    * bounded heap as a LONG and re-joins by equality, so it must be an
+    * integral type — a fractional or decimal id would truncate in the
+    * heap and silently fail the join-back (rows vanish, no error), and a
+    * non-numeric one would cast to null and be skipped entirely.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$op requires an integral id; '$idCol' is " +
+      s"${df.schema(idCol).dataType} — hash non-integral ids to a surrogate " +
+      "(e.g. xxhash64) first")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement of (up to) `n`
     * rows, selection probability increasing with `weightCol` — the
     * quality-weighted corpus draw of training-data assembly ("sample 10M
@@ -115,8 +154,8 @@ object Sampling {
     * arithmetic in the scan; selection is the bounded-heap `TopKAgg`
     * GLOBAL aggregate — map tasks pre-reduce to n-row heaps, so the one
     * exchange carries n-row buffers, never the table, and there is no
-    * global sort. `idCol` must be numeric (the heap id; the usual dense
-    * doc id) — hash non-numeric ids to a surrogate first.
+    * global sort. `idCol` must be INTEGRAL (the heap id; the usual dense
+    * doc id) — hash non-integral ids to a surrogate first.
     *
     * Exactness note: h (52-bit, double-exact), u = (h+1)/2^52 (exact),
     * and the division by w (IEEE, correctly rounded) replicate bit-for-
@@ -128,11 +167,7 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int, seed: String = "graft-ws"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    // enforced, not just documented: a non-numeric id would cast to null
-    // inside the heap input and be SKIPPED — an empty sample, silently
-    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"weightedSample requires a numeric id; '$idCol' is " +
-        s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
+    requireIntegralId(df, idCol, "weightedSample")
     val top = df
       .filter(col(idCol).isNotNull &&
         col(weightCol).isNotNull && col(weightCol) > 0)
@@ -149,15 +184,13 @@ object Sampling {
     * Same E–S key; selection is one TopKAgg aggregate KEYED BY the group,
     * so the exchange carries (group, n-row heap) pairs — compare
     * [[perGroupSample]]'s window, which shuffles every row of every
-    * group. Same numeric-id contract as [[weightedSample]].
+    * group. Same integral-id contract as [[weightedSample]].
     */
   def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
                              groupCol: String, n: Int,
                              seed: String = "graft-ws"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"weightedSamplePerGroup requires a numeric id; '$idCol' is " +
-        s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
+    requireIntegralId(df, idCol, "weightedSamplePerGroup")
     val top = df
       .filter(col(idCol).isNotNull &&
         col(weightCol).isNotNull && col(weightCol) > 0)
@@ -178,7 +211,7 @@ object Sampling {
     * contribute nothing. One group-keyed heap of size max(targets) serves
     * every stratum (heaps merge map-side; the per-stratum cut is a rank
     * filter on the exploded heap) — no window, no global sort, and the
-    * exchange carries (stratum, heap) pairs. Same numeric-id contract as
+    * exchange carries (stratum, heap) pairs. Same integral-id contract as
     * [[weightedSample]].
     */
   def weightedSampleTargets(df: DataFrame, idCol: String, weightCol: String,
@@ -187,9 +220,7 @@ object Sampling {
     require(targets.nonEmpty, "weightedSampleTargets needs at least one target")
     require(targets.values.forall(_ > 0),
       s"targets must be positive, got $targets")
-    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"weightedSampleTargets requires a numeric id; '$idCol' is " +
-        s"${df.schema(idCol).dataType} — hash non-numeric ids to a surrogate first")
+    requireIntegralId(df, idCol, "weightedSampleTargets")
     val kMax = targets.values.max
     val targetOf = targets.toSeq.sortBy(_._1).foldLeft(lit(0)) {
       case (acc, (s, n)) => when(col(strataCol) === s, lit(n)).otherwise(acc)
@@ -215,28 +246,5 @@ object Sampling {
         concat_ws("|", lit(seed), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("double")
     log((h + lit(1.0)) / lit(4503599627370496.0)) / col(weightCol).cast("double")
-  }
-
-  def rebalance(df: DataFrame, keyCol: String, strataCol: String,
-                targetShares: Map[String, Double]): DataFrame = {
-    require(targetShares.nonEmpty, "rebalance needs at least one target share")
-    val shareSum = targetShares.values.sum
-    require(math.abs(shareSum - 1.0) < 1e-9,
-      s"target shares must sum to 1, got $shareSum")
-    // String.valueOf (not getString): a numeric strata column arrives as
-    // boxed numbers here while the shares map is keyed by strings
-    val counts = df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*))
-      .groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
-    targetShares.keys.foreach { s =>
-      require(counts.getOrElse(s, 0L) > 0L, s"stratum '$s' has no rows")
-    }
-    // the output size the scarcest stratum allows at its target share
-    val totalOut = targetShares.map { case (s, share) => counts(s) / share }.min
-    val rates = targetShares.map { case (s, share) =>
-      s -> math.min(1.0, totalOut * share / counts(s))
-    }
-    stratified(df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*)),
-      keyCol, strataCol, rates, defaultRate = 0.0)
   }
 }

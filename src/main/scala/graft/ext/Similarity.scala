@@ -140,18 +140,15 @@ object Similarity {
     * buckets, deterministic (fixed seed, total (cosine desc, id asc)
     * order).
     *
-    * Contract: `rightIdCol` must be NUMERIC (it rides the bounded heap
-    * as a long) — hash non-numeric ids to a surrogate first. Enforced,
-    * not just documented: a null-casting id would be silently skipped by
-    * the heap's null semantics, returning an empty join.
+    * Contract: `rightIdCol` must be INTEGRAL (it rides the bounded heap
+    * as a long; see [[requireIntegralRightId]]) — hash non-integral ids
+    * to a surrogate first.
     */
   def lshTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
                   k: Int = 10, bits: Int = 12, dim: Int = 64,
                   seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
-    require(right.schema(rightIdCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"lshTopKJoin requires a numeric right id; '$rightIdCol' is " +
-        s"${right.schema(rightIdCol).dataType} — hash non-numeric ids to a surrogate first")
+    requireIntegralRightId(right, rightIdCol, "lshTopKJoin")
     val planes = hyperplanes(dim, bits, seed)
     val r = right.select(col(rightIdCol).as("neighbor_id"),
         col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
@@ -168,18 +165,8 @@ object Similarity {
     val l = lBase.select(col("query_id"), col("q_vec"), col("q_norm"),
       probeBuckets.as("bucket"))
     l.join(r, "bucket") // shuffled hash equi-join — no broadcast requirement
-      .select(col("query_id"),
-        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
-          .as("cosine"),
-        col("neighbor_id"))
-      .groupBy("query_id")
-      // id negated so the heap's (score, id) DESC order tie-breaks to the
-      // SMALLEST neighbor id (the q54 idiom)
-      .agg(graft.functions.TopKAgg.column(k, col("cosine"), -col("neighbor_id"))
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
-      .select(col("query_id"), (-col("s.id")).as("neighbor_id"),
-        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+
+      .transform(heapTopKPerQuery(k))
   }
 
   // ------------------------------------------------------------ IVF index
@@ -283,9 +270,7 @@ object Similarity {
                   leftIdCol: String, rightIdCol: String, vecCol: String,
                   k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
                   modulus: Int = 1000): DataFrame = {
-    require(right.schema(rightIdCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"ivfTopKJoin requires a numeric right id; '$rightIdCol' is " +
-        s"${right.schema(rightIdCol).dataType} — hash non-numeric ids to a surrogate first")
+    requireIntegralRightId(right, rightIdCol, "ivfTopKJoin")
     val centroidRows: Array[(Long, Array[Double])] = right
       .select(col(rightIdCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
       .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
@@ -312,16 +297,8 @@ object Similarity {
             col("q_vec"), cents, math.min(nprobe, centroidRows.length)),
           i => element_at(cellIds, i + 1))).as("cell"))
     l.join(r, "cell")
-      .select(col("query_id"),
-        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
-          .as("cosine"),
-        col("neighbor_id"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopKAgg.column(k, col("cosine"), -col("neighbor_id"))
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
-      .select(col("query_id"), (-col("s.id")).as("neighbor_id"),
-        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+
+      .transform(heapTopKPerQuery(k))
   }
 
   // ------------------------------------------------- product quantization
@@ -511,4 +488,40 @@ object Similarity {
       .groupBy(groupCol)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
+
+  /** Shared tail of the cross-table joins: exact cosine on the matched
+    * (query, candidate) pairs, then per-query top-k through the bounded
+    * `TopKAgg` heap (id negated so the heap's (score, id) DESC order
+    * tie-breaks to the SMALLEST neighbor id — the q54 idiom), exploded to
+    * (query_id, neighbor_id, cosine, rank).
+    */
+  private def heapTopKPerQuery(k: Int)(matched: DataFrame): DataFrame =
+    matched
+      .select(col("query_id"),
+        cosinePrenormed(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+          .as("cosine"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.column(k, col("cosine"), -col("neighbor_id"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("query_id"), (-col("s.id")).as("neighbor_id"),
+        col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
+
+  /** The cross-table joins ride neighbor ids through the bounded heap as
+    * LONGs: a fractional or decimal id would be silently truncated into a
+    * nonexistent id (2.1 and 2.9 collapse to 2), so only integral right
+    * ids are accepted — hash non-integral ids to a surrogate first.
+    */
+  private def requireIntegralRightId(right: DataFrame, rightIdCol: String,
+                                     op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = right.schema(rightIdCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$op requires an integral right id; '$rightIdCol' is " +
+      s"${right.schema(rightIdCol).dataType} — hash non-integral ids to a " +
+      "surrogate (e.g. xxhash64) first")
+  }
 }

@@ -50,7 +50,7 @@ object AnnRecallBench {
 
     val qs = queries.select(col("query_id"), col("embedding"))
     val (_, truth) = timed("brute", "")(
-      Similarity.bruteForceTopK(emb, qs.withColumnRenamed("embedding", "embedding"), "vec_id", "embedding", "query_id", k))
+      Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", "query_id", k))
 
     val rows = Seq(
       timed("brute-force (exact)", "full corpus scan per query batch")(

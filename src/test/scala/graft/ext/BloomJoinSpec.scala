@@ -50,6 +50,26 @@ class BloomJoinSpec extends SparkTestBase {
     assert(BloomJoin.prunedJoinAuto(bigProbe, bigBuild, "pk", "bk").count() == 2000)
   }
 
+  test("mixed-width integral keys: no false negatives (int probe, long build)") {
+    // xxhash64 is type-dependent (int 7 and long 7 hash differently);
+    // both sides normalize to long before hashing, so the coercing plain
+    // join and the pruned join still agree
+    val p = (0 until 100).toDF("pk") // IntegerType
+    val b = Seq(7L, 42L, 99L).toDF("bk") // LongType
+    val pruned = BloomJoin.prunedJoin(p, b, "pk", "bk")
+      .select("pk").as[Int].collect().sorted
+    assert(pruned.sameElements(Array(7, 42, 99)))
+  }
+
+  test("incompatible key types are rejected up front, not silently unmatched") {
+    val p = Seq(7.0).toDF("pk") // DoubleType vs LongType build
+    val b = Seq(7L).toDF("bk")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prunedJoin(p, b, "pk", "bk")
+    }
+    assert(e.getMessage.contains("integral or share one exact type"))
+  }
+
   test("string keys: equivalence to the plain join holds for any key type") {
     val rnd = new scala.util.Random(3)
     val p = (1 to 500).map(i => s"key${rnd.nextInt(80)}").toDF("pk")

@@ -7,14 +7,18 @@ import graft.SparkTestBase
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Plain-Scala reference of Sampling.esKey — ONE copy for the three
+    * weighted-sampler equivalence tests.
+    */
+  private def refKey(id: Long, w: Double): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(13)
+    val h = java.lang.Long.parseLong(hex, 16).toDouble
+    math.log((h + 1.0) / 4503599627370496.0) / w
+  }
+
   test("weightedSample: matches a plain-Scala reference selection exactly") {
-    def refKey(id: Long, w: Double): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(13)
-      val h = java.lang.Long.parseLong(hex, 16).toDouble
-      math.log((h + 1.0) / 4503599627370496.0) / w
-    }
     val rows = (0L until 200L).map(i => (i, (i % 13 + 1).toDouble))
     val expected = rows.map { case (id, w) => (refKey(id, w), id) }
       .sortBy { case (k, id) => (-k, id) }.take(25).map(_._2).toSet
@@ -46,13 +50,6 @@ class SamplingSpec extends SparkTestBase {
   }
 
   test("weightedSamplePerGroup: n per group, weighted, matches global logic per group") {
-    def refKey(id: Long, w: Double): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(13)
-      val h = java.lang.Long.parseLong(hex, 16).toDouble
-      math.log((h + 1.0) / 4503599627370496.0) / w
-    }
     val rows = (0L until 120L).map(i => (i, (i % 7 + 1).toDouble, s"g${i % 3}"))
     val expected = rows.groupBy(_._3).values.flatMap { grp =>
       grp.map { case (id, w, _) => (refKey(id, w), id) }
@@ -65,13 +62,6 @@ class SamplingSpec extends SparkTestBase {
   }
 
   test("weightedSampleTargets: exact per-stratum counts, weighted, unlisted strata dropped") {
-    def refKey(id: Long, w: Double): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"graft-ws|$id".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(13)
-      val h = java.lang.Long.parseLong(hex, 16).toDouble
-      math.log((h + 1.0) / 4503599627370496.0) / w
-    }
     val rows = (0L until 150L).map(i => (i, (i % 5 + 1).toDouble, s"s${i % 3}"))
     val targets = Map("s0" -> 12, "s1" -> 70) // s1 underfull (50 rows), s2 unlisted
     val expected = rows.groupBy(_._3).collect {
@@ -88,12 +78,18 @@ class SamplingSpec extends SparkTestBase {
     assert(!got.exists(_ % 3 == 2))      // s2 unlisted: dropped
   }
 
-  test("weightedSample: non-numeric id fails loudly, not empty") {
-    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "w")
+  test("weightedSample: non-integral ids fail loudly, not empty or truncated") {
+    val strDf = Seq(("a", 1.0), ("b", 2.0)).toDF("id", "w")
     val e = intercept[IllegalArgumentException] {
-      Sampling.weightedSample(df, "id", "w", 1)
+      Sampling.weightedSample(strDf, "id", "w", 1)
     }
-    assert(e.getMessage.contains("numeric id"))
+    assert(e.getMessage.contains("integral id"))
+    // fractional ids would truncate in the heap (2.1 and 2.9 collide to 2)
+    // and silently fail the join-back — rejected, not mangled
+    val dblDf = Seq((2.5, 1.0), (3.5, 2.0)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(dblDf, "id", "w", 1)
+    }
   }
 
   test("perGroupSample: exactly k per big group, whole small group, stable") {

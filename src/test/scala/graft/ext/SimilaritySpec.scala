@@ -87,13 +87,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined == viaTopK && joined.nonEmpty)
   }
 
-  test("lshTopKJoin: non-numeric right id fails loudly, not empty") {
-    val vecs = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+  test("lshTopKJoin: non-integral right ids fail loudly, not empty or truncated") {
+    val strVecs = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
-      Similarity.lshTopKJoin(vecs, vecs, "vec_id", "vec_id", "embedding",
+      Similarity.lshTopKJoin(strVecs, strVecs, "vec_id", "vec_id", "embedding",
         k = 1, bits = 2, dim = 2)
     }
-    assert(e.getMessage.contains("numeric right id"))
+    assert(e.getMessage.contains("integral right id"))
+    // fractional ids would truncate through the heap into nonexistent ids
+    val dblVecs = Seq((2.5, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKJoin(dblVecs, dblVecs, "vec_id", "vec_id", "embedding",
+        k = 1, numCells = 1, nprobe = 1, modulus = 1)
+    }
   }
 
   test("lshTopKJoin: a pair never meets twice (no duplicate neighbors per query)") {
