@@ -32,7 +32,12 @@ object Chunking {
     val stride = chunkTokens - overlapTokens
     val toks = TextStats.canonicalTokens(col(textCol))
     val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
-    df.select(col(idCol), toks.as("__toks"),
+    // null text is dropped EXPLICITLY: greatest()/least() skip NULL
+    // operands, so a null-text row would otherwise emit one phantom chunk
+    // whose n_chunk_tokens reports a full chunkTokens with a null
+    // chunk_text — inflating every downstream token count
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"),
         posexplode(starts).as(Seq("chunk_index", "__start")))
       .select(col(idCol), col("chunk_index"),
         array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")

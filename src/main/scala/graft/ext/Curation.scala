@@ -79,8 +79,12 @@ object Curation {
         Seq(idCol), "left_anti")
       case None => afterNear
     }
-    val withSplit = Dedup.leakageSafeSplit(decont, idCol, textCol,
-      pairs.select("id_a", "id_b"), testFraction)
+    // cut: withSplit is consumed TWICE below (chunk input + split join);
+    // without the cut the decontamination anti-join and the split's
+    // component labeling re-execute per consumer
+    val withSplit = graft.plans.PlanCapture.cut(
+      Dedup.leakageSafeSplit(decont, idCol, textCol,
+        pairs.select("id_a", "id_b"), testFraction))
     Chunking.chunkByTokens(withSplit.select(col(idCol), col(textCol)),
         idCol, textCol, chunkTokens, overlapTokens)
       .join(withSplit.select(col(idCol), col("split")), Seq(idCol))

@@ -113,13 +113,18 @@ object Multimodal {
     // malformed headers must fail loudly, not index out of bounds
     require(width > 0 && height > 0 && pixelOffset >= 54,
       s"malformed BMP header (width=$width, height=$heightRaw, offset=$pixelOffset)")
-    val stride = ((3 * width + 3) / 4) * 4
-    require(data.length >= pixelOffset + stride.toLong * height,
+    // stride in LONG: 3*width overflows Int past ~715M and a wrapped
+    // negative stride would defeat the truncation require below, turning
+    // the loud malformed-header error into an index crash
+    val stride = ((3L * width + 3) / 4) * 4
+    require(data.length >= pixelOffset + stride * height,
       "BMP payload truncated")
     var lumaMilli = 0L
     var y = 0
     while (y < height) {
-      val row = pixelOffset + y * stride
+      // the require above bounds pixelOffset + stride*height by
+      // data.length (an Int), so the narrowing is exact
+      val row = (pixelOffset + y * stride).toInt
       var x = 0
       while (x < width) {
         val b = data(row + 3 * x) & 0xFF
@@ -159,6 +164,10 @@ object Multimodal {
       require(len >= 0 && off + 8 + len.toLong <= data.length,
         s"malformed WAV chunk '$id' (len=$len at offset $off)")
       if (id == "fmt ") {
+        // the fields below sit at +8..+23: a shorter declared fmt chunk
+        // would read the NEXT chunk's bytes as sampleRate/bitsPerSample
+        // (or run off the buffer) instead of failing loudly
+        require(len >= 16, s"malformed WAV fmt chunk (len=$len, need >= 16)")
         require(leShort(data, off + 8) == 1, "only PCM WAV supported here")
         channels = leShort(data, off + 10)
         sampleRate = leInt(data, off + 12)

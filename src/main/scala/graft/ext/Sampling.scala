@@ -82,9 +82,16 @@ object Sampling {
   def perGroupSample(df: DataFrame, keyCol: String, groupCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // final tiebreaker: the full-row hash. Without it, rows sharing a
+    // DUPLICATE key value tie on both sort keys and row_number picks
+    // whichever arrives first — which payload row survives would then
+    // change across partitionings, breaking the pure-function contract.
+    // Rows identical in every column remain interchangeable (same
+    // content either way).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last, col(keyCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last, col(keyCol),
+        xxhash64(df.columns.map(col): _*))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")

@@ -424,9 +424,11 @@ object Similarity {
     * pairwise distances, per Johnson–Lindenstrauss) are preserved.
     */
   def projectionMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
+    // same seeded draw order as the LSH planes — ONE RNG convention for
+    // every deterministic matrix (the q86 oracle inlines these values);
+    // only the 1/sqrt(outDim) JL scale differs
     val scale = 1.0 / math.sqrt(outDim)
-    Array.fill(outDim, inDim)(rnd.nextGaussian() * scale)
+    hyperplanes(dim = inDim, bits = outDim, seed).map(_.map(_ * scale))
   }
 
   /** Random projection of an embedding column to `outDim` dimensions —

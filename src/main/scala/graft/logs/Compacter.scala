@@ -107,9 +107,13 @@ object Compacter {
       .getOrElse(throw new IllegalArgumentException(
         s"AWS config $path is empty or not JSON"))
     def field(name: String): String =
-      Option(node.get(name)).map(_.asText).filter(_.nonEmpty).getOrElse(
-        throw new IllegalArgumentException(
-          s"AWS config $path is missing required field '$name'"))
+      // filterNot(isNull): a JSON null's asText is the literal string
+      // "null", which would silently configure S3A with a bogus key and
+      // surface later as an opaque 403 instead of failing here
+      Option(node.get(name)).filterNot(_.isNull).map(_.asText)
+        .filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException(
+            s"AWS config $path is missing required field '$name'"))
     (field("accessKeyId"), field("secretAccessKey"))
   }
 

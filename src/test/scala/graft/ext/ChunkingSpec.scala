@@ -29,6 +29,16 @@ class ChunkingSpec extends SparkTestBase {
     assert(out.size == 6)
   }
 
+  test("chunkByTokens: null text emits NO chunk (no phantom token counts)") {
+    val docs = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(docs, "doc_id", "text", chunkTokens = 4)
+      .collect()
+    // greatest()/least() skip NULLs, so an unfiltered null row would emit
+    // one chunk claiming chunkTokens tokens with a null text
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    assert(out.map(_.getLong(3)).sum == 3L)
+  }
+
   test("packGreedy: sequences fill in order, straddlers overflow, shards independent") {
     val docs = Seq(
       (1L, 0L, 30), (2L, 0L, 30), (3L, 0L, 30), (4L, 0L, 10), // shard 0

@@ -87,6 +87,17 @@ class MultimodalSpec extends SparkTestBase {
     badBmp(21) = -1 // width high byte -> negative
     intercept[IllegalArgumentException](
       Multimodal.decodeBmp(1L, "image", badBmp))
+    // a HUGE width whose 3*width wraps Int negative must hit the loud
+    // truncation require, not an index crash from a wrapped stride
+    val hugeBmp = Multimodal.makeBmp(1L, 4, 4)
+    hugeBmp(18) = 0; hugeBmp(19) = 0; hugeBmp(20) = 0; hugeBmp(21) = 0x30 // width = 0x30000000
+    intercept[IllegalArgumentException](
+      Multimodal.decodeBmp(1L, "image", hugeBmp))
+    // a too-short declared fmt chunk must error, not read the next
+    // chunk's bytes as sample rate
+    val shortFmt = Multimodal.makeWav(1L, 4)
+    shortFmt(16) = 4; shortFmt(17) = 0; shortFmt(18) = 0; shortFmt(19) = 0 // fmt len = 4
+    intercept[IllegalArgumentException](Multimodal.decodeWav(1L, shortFmt))
   }
 
   test("sampleFrames: one row per sampled offset, stub duration") {

@@ -92,6 +92,18 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("perGroupSample: duplicate keys still select deterministically") {
+    // rows share the key value but differ in payload: the full-row hash
+    // tiebreaker must pick the same payload under any partitioning
+    val df = Seq((1L, "g", "x"), (1L, "g", "y"), (1L, "g", "z"),
+      (2L, "g", "w")).toDF("id", "grp", "payload")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.perGroupSample(d, "id", "grp", k = 2)
+        .select("payload").as[String].collect().sorted.toSeq
+    val a = run(df)
+    assert(a == run(df.repartition(5)) && a == run(df.repartition(1)))
+  }
+
   test("perGroupSample: exactly k per big group, whole small group, stable") {
     val df = ((0L until 100L).map(i => (i, "big")) ++
       Seq((1000L, "small"), (1001L, "small"))).toDF("id", "grp")
