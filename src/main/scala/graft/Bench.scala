@@ -78,7 +78,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed count is explicit: a query that errors out must not quietly
     // make the headline total look faster
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the line to a file: the driver captures only the stdout
+    // TAIL, and with 100+ per-query entries the single JSON line outgrew
+    // the capture window (BENCH_r04.json kept 74 of 104 entries — the
+    // round-over-round regression diff went blind on the rest). The file
+    // is the durable artifact; stdout stays for the driver contract.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

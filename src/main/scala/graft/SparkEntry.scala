@@ -1592,14 +1592,23 @@ object SparkEntry {
     * 31st RIGHT-side id (modulus 496 / 16 cells), right rows take their
     * single best cell and left rows their 3 best (cosine DESC,
     * centroid_id tie-break — the kernel's lowest-index rule), candidates
-    * meet on the cell, exact cosine ranks within query.
+    * meet on the cell, exact cosine ranks within query. The cosine
+    * applies the engine's zero-vector convention (denom > 0 ? dot/denom
+    * : 0.0 — `NearestCentroids` and `Similarity.cosineCol` both use it)
+    * rather than raw division, so the equivalence is unconditional: a
+    * raw-division oracle would yield NaN for an all-zero embedding
+    * (which DuckDB sorts FIRST under DESC) and diverge if one ever
+    * entered the corpus.
     */
   private val IvfSemanticJoinOracle: String = {
-    def cosine(a: String, b: String): String =
-      s"""list_sum(list_transform(list_zip($a, $b),
+    def cosine(a: String, b: String): String = {
+      val denom =
+        s"""(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""CASE WHEN $denom > 0 THEN list_sum(list_transform(list_zip($a, $b),
          |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+         |    / $denom ELSE 0.0 END""".stripMargin
+    }
     s"""WITH rt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 2),
        |lt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 2),
        |centroids AS (
@@ -1645,11 +1654,16 @@ object SparkEntry {
     val values = planes.zipWithIndex
       .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
       .mkString(",\n  ")
-    val cosine =
-      """list_sum(list_transform(list_zip(q.embedding, c.embedding),
-        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    // zero-vector convention matches the engine (denom > 0 ? dot/denom :
+    // 0.0) — same rationale as IvfSemanticJoinOracle's cosine
+    val cosine = {
+      val denom =
+        """(sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""CASE WHEN $denom > 0 THEN list_sum(list_transform(list_zip(q.embedding, c.embedding),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / $denom ELSE 0.0 END""".stripMargin
+    }
     s"""WITH planes AS (SELECT * FROM (VALUES
        |  $values) AS t(pidx, pvec)),
        |cd AS (

@@ -61,14 +61,21 @@ object BloomJoin {
   private def hashForm(key: Column, dt: org.apache.spark.sql.types.DataType): Column =
     if (isIntegral(dt)) key.cast("long") else key
 
-  /** One-row frame `(__bloom: array<bigint>)` — the build side's key
-    * membership as a DENSE bitset of numBits/64 words. Dense, not a
+  /** One-row frame `(__bloom: array<bigint>, __k: int)` — the build side's
+    * key membership as a DENSE bitset of numBits/64 words, plus the hash
+    * count used to build it. Dense, not a
     * map<word, bits>: `element_at` on a Spark map is a LINEAR scan of the
     * entries array, which turns every probe-row membership test into
     * O(words) work (measured 15× slower on the gate bench); a dense array
     * indexes in O(1) and 2²⁰ bits is still only 128 KB to broadcast.
     * Null build keys are skipped: they can never match an inner join, and
     * hashing them would only add false-positive mass.
+    *
+    * The sizing travels WITH the bitset (numBits is the array length × 64,
+    * numHashes is `__k`), so [[mightContain]] cannot be called with
+    * mismatched parameters — a mismatch would silently produce false
+    * negatives (probing bit positions mod the wrong m, or more probes than
+    * were set), violating the module's core guarantee.
     */
   def buildBits(build: DataFrame, keyCol: String, numBits: Int = 1 << 20,
                 numHashes: Int = 5): DataFrame = {
@@ -90,18 +97,28 @@ object BloomJoin {
       .select(transform(sequence(lit(0), lit(words - 1)),
         w => coalesce(element_at(col("__sparse"), w.cast("int")), lit(0L)))
         .as("__bloom"))
+      .withColumn("__k", lit(numHashes))
   }
 
-  /** Membership test of `key` against a [[buildBits]] bitset column: true
-    * iff every probe bit is set. An all-zero filter (empty build side)
-    * rejects everything — the correct degenerate answer.
+  /** Membership test of `key` against a [[buildBits]] row: true iff every
+    * probe bit is set. An all-zero filter (empty build side) rejects
+    * everything — the correct degenerate answer.
+    *
+    * Sizing is read FROM the bitset row — numBits = size(bloom)·64, hash
+    * count = the `k` column buildBits emitted — never passed by the
+    * caller, so it is impossible to probe with parameters that differ from
+    * the build (which would be silent false negatives). The derived
+    * numBits is per-row column arithmetic on the array length: one `size`
+    * call against a broadcast one-row frame, still pure codegen.
     */
-  def mightContain(bloom: Column, key: Column, numBits: Int = 1 << 20,
-                   numHashes: Int = 5): Column =
-    forall(bitPositions(key, numBits, numHashes), p =>
+  def mightContain(bloom: Column, k: Column, key: Column): Column = {
+    val numBits = size(bloom).cast("long") * lit(64L)
+    forall(transform(sequence(lit(0), k.cast("int") - lit(1)),
+        i => pmod(xxhash64(key, i), numBits)), p =>
       element_at(bloom, (p / lit(64)).cast("int") + lit(1)) // element_at is 1-based on arrays
         .bitwiseAND(call_function("shiftleft", lit(1L), (p % lit(64)).cast("int")))
         =!= lit(0L))
+  }
 
   /** [[prunedJoin]] with the filter sized from the build side itself:
     * one `approx_count_distinct` aggregate (a scalar — the "build the
@@ -157,9 +174,8 @@ object BloomJoin {
     val pruned = probe
       .crossJoin(broadcast(bloom)) // one-row frame: constant-size, scale-safe
       .filter(col(probeKey).isNotNull &&
-        mightContain(col("__bloom"), hashForm(col(probeKey), pt),
-          numBits, numHashes))
-      .drop("__bloom")
+        mightContain(col("__bloom"), col("__k"), hashForm(col(probeKey), pt)))
+      .drop("__bloom", "__k")
     pruned.join(build, pruned(probeKey) === build(buildKey))
   }
 

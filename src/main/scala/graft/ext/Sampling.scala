@@ -87,11 +87,19 @@ object Sampling {
     // whichever arrives first — which payload row survives would then
     // change across partitionings, breaking the pure-function contract.
     // Rows identical in every column remain interchangeable (same
-    // content either way).
+    // content either way). MapType columns are excluded from the hash:
+    // Spark's hash functions reject maps at analysis (map iteration order
+    // is undefined, so a map has no canonical hash) — rows differing ONLY
+    // in a map column stay order-dependent, which is the best any
+    // engine-portable ordering can do.
+    val hashable = df.schema.fields
+      .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+    val tiebreak: Seq[Column] =
+      if (hashable.isEmpty) Nil else Seq(xxhash64(hashable: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last, col(keyCol),
-        xxhash64(df.columns.map(col): _*))
+      .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last +: col(keyCol) +:
+        tiebreak: _*)
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")
@@ -129,11 +137,31 @@ object Sampling {
     stratified(df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*)),
       keyCol, strataCol, rates, defaultRate = 0.0)
   }
+  /** True when `dt` contains a MapType anywhere (top level or nested):
+    * Spark's hash functions reject such columns at analysis time.
+    */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
   /** Shared id contract of the weighted samplers: the id rides the
     * bounded heap as a LONG and re-joins by equality, so it must be an
     * integral type — a fractional or decimal id would truncate in the
     * heap and silently fail the join-back (rows vanish, no error), and a
     * non-numeric one would cast to null and be skipped entirely.
+    *
+    * The id must also be UNIQUE per row: the heap holds ids, and the
+    * selection re-joins by `left_semi` on the id, so a duplicated id
+    * makes one heap slot fan out to every row sharing it — the sampler
+    * would return MORE than n rows, silently. Uniqueness is the caller's
+    * contract (it cannot be checked without an extra aggregate per call);
+    * `Dedup.requireIntegralIds` callers share the same convention.
     */
   private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     import org.apache.spark.sql.types._
@@ -161,8 +189,9 @@ object Sampling {
     * arithmetic in the scan; selection is the bounded-heap `TopKAgg`
     * GLOBAL aggregate — map tasks pre-reduce to n-row heaps, so the one
     * exchange carries n-row buffers, never the table, and there is no
-    * global sort. `idCol` must be INTEGRAL (the heap id; the usual dense
-    * doc id) — hash non-integral ids to a surrogate first.
+    * global sort. `idCol` must be INTEGRAL and UNIQUE per row (the heap
+    * id; the usual dense doc id — see [[requireIntegralId]]) — hash
+    * non-integral ids to a surrogate first.
     *
     * Exactness note: h (52-bit, double-exact), u = (h+1)/2^52 (exact),
     * and the division by w (IEEE, correctly rounded) replicate bit-for-
@@ -218,8 +247,8 @@ object Sampling {
     * contribute nothing. One group-keyed heap of size max(targets) serves
     * every stratum (heaps merge map-side; the per-stratum cut is a rank
     * filter on the exploded heap) — no window, no global sort, and the
-    * exchange carries (stratum, heap) pairs. Same integral-id contract as
-    * [[weightedSample]].
+    * exchange carries (stratum, heap) pairs. Same integral-and-unique-id contract
+    * as [[weightedSample]].
     */
   def weightedSampleTargets(df: DataFrame, idCol: String, weightCol: String,
                             strataCol: String, targets: Map[String, Int],

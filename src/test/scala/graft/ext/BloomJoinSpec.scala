@@ -24,7 +24,18 @@ class BloomJoinSpec extends SparkTestBase {
   test("mightContain admits every build key") {
     val bits = BloomJoin.buildBits(build, "bk")
     val admitted = build.crossJoin(broadcast(bits))
-      .filter(BloomJoin.mightContain(col("__bloom"), col("bk")))
+      .filter(BloomJoin.mightContain(col("__bloom"), col("__k"), col("bk")))
+      .count()
+    assert(admitted == 5)
+  }
+
+  test("sizing travels with the bitset: non-default build params cannot mismatch") {
+    // Before the fix, buildBits(numBits = 1<<17, numHashes = 3) probed with
+    // mightContain's defaults (1<<20, 5) indexed past the array → nulls →
+    // silent false negatives. Now numBits/k come from the row itself.
+    val bits = BloomJoin.buildBits(build, "bk", numBits = 1 << 17, numHashes = 3)
+    val admitted = build.crossJoin(broadcast(bits))
+      .filter(BloomJoin.mightContain(col("__bloom"), col("__k"), col("bk")))
       .count()
     assert(admitted == 5)
   }
@@ -32,7 +43,7 @@ class BloomJoinSpec extends SparkTestBase {
   test("pruning is effective: non-members overwhelmingly rejected") {
     val bits = BloomJoin.buildBits(build, "bk")
     val passed = probe.crossJoin(broadcast(bits))
-      .filter(BloomJoin.mightContain(col("__bloom"), col("pk")))
+      .filter(BloomJoin.mightContain(col("__bloom"), col("__k"), col("pk")))
       .count()
     // 4 true members; 2^20 bits over 4 keys → FP rate ≈ 0, but assert a
     // loose probabilistic bound so the test never flakes

@@ -104,6 +104,20 @@ class SamplingSpec extends SparkTestBase {
     assert(a == run(df.repartition(5)) && a == run(df.repartition(1)))
   }
 
+  test("perGroupSample: map columns don't break the full-row tiebreaker") {
+    // Spark's hash functions reject MapType at analysis; the tiebreaker
+    // must hash only hashable columns instead of failing the whole query
+    val df = Seq((1L, "g", Map("a" -> 1)), (2L, "g", Map("b" -> 2)),
+      (3L, "g", Map("c" -> 3))).toDF("id", "grp", "props")
+    val out = Sampling.perGroupSample(df, "id", "grp", k = 2)
+    assert(out.count() == 2)
+    // determinism on the hashable prefix still holds under repartitioning
+    val ids = out.select("id").as[Long].collect().sorted.toSeq
+    val again = Sampling.perGroupSample(df.repartition(5), "id", "grp", k = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids == again)
+  }
+
   test("perGroupSample: exactly k per big group, whole small group, stable") {
     val df = ((0L until 100L).map(i => (i, "big")) ++
       Seq((1000L, "small"), (1001L, "small"))).toDF("id", "grp")
