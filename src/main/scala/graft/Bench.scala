@@ -53,7 +53,18 @@ object Bench {
     // strip scheduler/GC/page-cache noise from a shared box — single-shot
     // timings here swing >10× run-to-run under driver-side contention.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated name substrings — bench only matching
+    // queries (local iteration on one regression without the full sweep);
+    // the driver passes no args, so its contract is untouched
+    val nameFilter: String => Boolean = args.headOption match {
+      case Some(subs) =>
+        val parts = subs.split(",").map(_.trim).filter(_.nonEmpty)
+        name => parts.exists(name.contains)
+      case None => _ => true
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter(name) }
+      .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -796,8 +796,18 @@ object Dedup {
     * aggregate per component. No window sort, no per-cluster collection.
     */
   def clusterSurvivors(df: DataFrame, idCol: String, textCol: String,
-                       pairs: DataFrame): DataFrame = {
-    val labels = connectedComponents(pairs)
+                       pairs: DataFrame): DataFrame =
+    clusterSurvivorsFromLabels(df, idCol, textCol, connectedComponents(pairs))
+
+  /** [[clusterSurvivors]] over a PRECOMPUTED label frame (`(id, comp)`,
+    * as [[connectedComponents]] returns). The pair graph + CC fixpoint
+    * dominates the cost of every cluster-policy operator; a pipeline
+    * that both picks survivors and splits leakage-safely (the common
+    * curation shape) should pay for it once and fan out — not recompute
+    * it per downstream policy.
+    */
+  def clusterSurvivorsFromLabels(df: DataFrame, idCol: String, textCol: String,
+                                 labels: DataFrame): DataFrame = {
     labels
       .join(df.select(col(idCol).as("id"), length(col(textCol)).cast("long").as("len")),
         Seq("id"))
@@ -830,12 +840,22 @@ object Dedup {
     * enter the iteration) + one left join of the (tiny) labels frame.
     */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
-                       pairs: DataFrame, testFraction: Double): DataFrame = {
+                       pairs: DataFrame, testFraction: Double): DataFrame =
+    leakageSafeSplitFromLabels(df, idCol, connectedComponents(pairs),
+      testFraction)
+
+  /** [[leakageSafeSplit]] over a PRECOMPUTED label frame (`(id, comp)`,
+    * as [[connectedComponents]] returns) — same rationale as
+    * [[clusterSurvivorsFromLabels]]: one pair graph + CC fixpoint, many
+    * policy consumers.
+    */
+  def leakageSafeSplitFromLabels(df: DataFrame, idCol: String,
+                                 labels: DataFrame,
+                                 testFraction: Double): DataFrame = {
     require(testFraction >= 0 && testFraction <= 1,
       s"testFraction in [0,1], got $testFraction")
-    val labels = connectedComponents(pairs)
-      .select(col("id").as(idCol), col("comp"))
-    df.join(labels, Seq(idCol), "left")
+    val keyed = labels.select(col("id").as(idCol), col("comp"))
+    df.join(keyed, Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("comp"), col(idCol)))
       .withColumn("split",
         when(Sampling.hashSampled(col("split_key"), testFraction), "test")
