@@ -576,13 +576,35 @@ object Dedup {
     */
   def duplicateSpansAgainstGrams(batch: DataFrame, grams: DataFrame,
                                  idCol: String, textCol: String, k: Int = 5,
-                                 hashGrams: Boolean = false): DataFrame = {
+                                 hashGrams: Boolean = false): DataFrame =
+    duplicateSpansAgainstGramParts(batch, Seq(grams), idCol, textCol, k,
+      hashGrams)
+
+  /** [[duplicateSpansAgainstGrams]] against a gram store kept in PARTS —
+    * the compacted-base-plus-recent-deltas layout of an accumulating
+    * store (streaming span dedup): a window hits when its gram occurs in
+    * ANY part. One semi-join per part, so each part keeps its own best
+    * plan — the big compacted part its bucketed no-shuffle scan, the
+    * small delta parts a broadcast — instead of a union that would
+    * destroy the base's partitioning and re-shuffle the whole store
+    * every batch. Hits are distinct-ed across parts (a gram present in
+    * both base and a delta must not double-count a window); the
+    * single-part call keeps the exact original plan.
+    */
+  def duplicateSpansAgainstGramParts(batch: DataFrame,
+                                     gramParts: Seq[DataFrame],
+                                     idCol: String, textCol: String,
+                                     k: Int = 5,
+                                     hashGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(gramParts.nonEmpty, "need at least one gram part")
     val bp = windowPostings(batch, idCol, textCol, k, hashGrams)
-    val keyed = grams.select(col(grams.columns.head).as("gram"))
-    mergeWindowIslands(
-      bp.join(keyed, Seq("gram"), "left_semi").select(col(idCol), col("pos")),
-      idCol, k)
+    val hits = gramParts.map { grams =>
+      val keyed = grams.select(col(grams.columns.head).as("gram"))
+      bp.join(keyed, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
+    }.reduce(_ union _)
+    val deduped = if (gramParts.sizeIs == 1) hits else hits.distinct()
+    mergeWindowIslands(deduped, idCol, k)
   }
 
   /** Gaps-and-islands interval merge of equal-length window hits
