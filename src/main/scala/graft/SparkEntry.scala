@@ -1426,6 +1426,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext multimodal — REAL pure-JVM PNG decode end-to-end: deterministic
+    // gradient images (alternating RGB/RGBA by id, scanline filters
+    // cycling through all five PNG filter types) are zlib-compressed and
+    // chunk-wrapped per document, the native decoder inflates + unfilters
+    // + CRC-checks, and the oracle recomputes the exact-integer Rec.601
+    // luma in closed form over the pixel grid (n_bytes is omitted: the
+    // deflate length is not SQL-expressible).
+    "q105_png_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "image",
+          ext.Multimodal.makePng(id, 8, 4, channels = (3 + id % 2).toInt)))
+      ext.Multimodal.pngFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // ext sampling — deterministic fixed-size cap per group: first 20 of
     // each language by md5-of-key rank (a pure function of the rows, like
     // every sampler here).
@@ -2186,6 +2205,21 @@ object SparkEntry {
         |              * ((d.doc_id * 31 + u.i) % 65536 - 32768)) AS DOUBLE)
         |       / 256) / 32768.0 AS rms
         |FROM documents d, unnest(generate_series(0, 255)) AS u(i)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // 8×4 gray gradient v = (doc_id + x + y) % 256 (same grid as q93's
+    // BMP); luma milli-sum is 1000·Σv exactly on gray; channels alternate
+    // RGB/RGBA by id parity and alpha never enters luma
+    "q105_png_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(3 + (d.doc_id % 2) AS INT) AS channels,
+        |  CAST(sum(1000 * ((d.doc_id + u.x + v.y) % 256)) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 32) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 7)) AS u(x),
+        |  unnest(generate_series(0, 3)) AS v(y)
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

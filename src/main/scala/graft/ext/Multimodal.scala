@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   *  - rows with multi-MB payloads make `spark.sql.files.maxPartitionBytes`
   *    the partition-size lever; `repartitionAssets` re-ranges by id so a
   *    task never holds more than ~targetRowsPerTask payloads;
-  *  - decode is REAL for the uncompressed container formats: 24-bit BMP
+  *  - decode is REAL for the formats the JDK can carry alone: 24-bit BMP
   *    and 16-bit PCM WAV parse natively (pure byte arithmetic,
-  *    [[decodeBmp]]/[[decodeWav]], oracle-gated end-to-end); COMPRESSED
-  *    codecs (JPEG/PNG/MP3/...) are environment-blocked — no codec libs
-  *    in this container — so [[decodeImage]] dispatches to the native
-  *    BMP path and throws a clearly-marked NotImplementedError otherwise,
-  *    with `fakeDecode` as the deterministic stand-in behind the generic
+  *    [[decodeBmp]]/[[decodeWav]]), and non-interlaced 8-bit RGB/RGBA
+  *    PNG decodes pure-JVM ([[decodePng]]: chunk walk + CRC32 check,
+  *    `java.util.zip.Inflater` for IDAT, all five scanline unfilters) —
+  *    each oracle-gated end-to-end. Remaining COMPRESSED codecs
+  *    (JPEG/MP3/...) are environment-blocked — no codec libs in this
+  *    container — so [[decodeImage]] dispatches to the native paths and
+  *    throws a clearly-marked NotImplementedError otherwise, with
+  *    `fakeDecode` as the deterministic stand-in behind the generic
   *    gates. The Spark-side plumbing — schema, encoders, batch shape,
   *    partitioning — is real throughout.
   */
@@ -196,16 +199,159 @@ object Multimodal {
       frames * 1000L / sampleRate, rms)
   }
 
-  /** Decoder dispatch: real byte-level decode for the uncompressed
-    * formats this library parses natively; compressed codecs remain
-    * environment-blocked (swap in e.g. ImageIO behind this signature).
+  // --------------------------------------------------------- PNG decode
+
+  private val PngSignature: Array[Int] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** The Paeth predictor (PNG spec §9.4): the neighbor (left, above,
+    * upper-left) closest to left + above − upper-left.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG decode for the non-interlaced 8-bit truecolor forms (color
+    * type 2 = RGB, 6 = RGBA): pure JDK — chunk walk with CRC32
+    * validation, IDAT inflate via `java.util.zip.Inflater`, per-scanline
+    * unfilter (all five PNG filter types), then the same exact-integer
+    * Rec.601 luma as [[decodeBmp]] over the RGB channels (alpha never
+    * enters luma). Palette/gray/16-bit/interlaced variants and every
+    * malformed structure fail loudly with a named reason — corrupt
+    * web-scraped payloads must be a per-row error a caller can quarantine,
+    * never a silent wrong number or an index crash.
+    */
+  def decodePng(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures = {
+    require(data.length >= 8 &&
+      (0 until 8).forall(i => (data(i) & 0xFF) == PngSignature(i)),
+      "not a PNG payload")
+    val crc = new java.util.zip.CRC32
+    var off = 8
+    var width = 0; var height = 0; var channels = 0
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      require(off + 8 <= data.length, "PNG truncated mid chunk header")
+      val len = beInt(data, off)
+      require(len >= 0 && off + 12L + len <= data.length,
+        s"malformed PNG chunk length $len at offset $off")
+      val chunkType = new String(data, off + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(data, off + 4, 4 + len)
+      require(crc.getValue == (beInt(data, off + 8 + len).toLong & 0xFFFFFFFFL),
+        s"PNG chunk '$chunkType' fails CRC — corrupt payload")
+      chunkType match {
+        case "IHDR" =>
+          require(len == 13, s"malformed IHDR (len=$len)")
+          width = beInt(data, off + 8)
+          height = beInt(data, off + 12)
+          val bitDepth = data(off + 16) & 0xFF
+          val colorType = data(off + 17) & 0xFF
+          val interlace = data(off + 20) & 0xFF
+          require(bitDepth == 8, s"only 8-bit PNG supported here (depth=$bitDepth)")
+          require(colorType == 2 || colorType == 6,
+            s"only truecolor RGB/RGBA PNG supported here (colorType=$colorType)")
+          require(interlace == 0, "interlaced PNG not supported here")
+          require(width > 0 && height > 0,
+            s"malformed PNG dimensions ${width}x$height")
+          channels = if (colorType == 2) 3 else 4
+          sawIhdr = true
+        case "IDAT" =>
+          require(sawIhdr, "PNG IDAT before IHDR")
+          idat.write(data, off + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) carry no pixels
+      }
+      off += 12 + len
+    }
+    require(sawIhdr && idat.size() > 0, "PNG missing IHDR/IDAT")
+    // expected raw stream: height scanlines of 1 filter byte + width*bpp
+    val rowBytes = width.toLong * channels
+    val rawLen = (1L + rowBytes) * height
+    require(rawLen <= Int.MaxValue - 8, s"PNG raw size $rawLen too large")
+    val raw = new Array[Byte](rawLen.toInt)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        // n == 0 before the stream end means the zlib data ran out (or
+        // demands a preset dictionary, which PNG forbids): fail loudly
+        // rather than spin
+        require(n > 0 || inflater.finished(), "PNG IDAT stream truncated")
+        got += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"PNG IDAT not valid zlib: ${e.getMessage}")
+    } finally inflater.end()
+    require(got == raw.length,
+      s"PNG pixel data truncated: inflated $got of ${raw.length} bytes")
+    // unfilter scanline by scanline (prior = already-unfiltered row above)
+    val stride = 1 + rowBytes.toInt
+    var lumaMilli = 0L
+    var y = 0
+    while (y < height) {
+      val rowOff = y * stride + 1
+      val filter = raw(rowOff - 1) & 0xFF
+      require(filter <= 4, s"PNG scanline $y has invalid filter $filter")
+      var x = 0
+      while (x < rowBytes.toInt) {
+        val left = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
+        val up = if (y > 0) raw(rowOff - stride + x) & 0xFF else 0
+        val upLeft =
+          if (y > 0 && x >= channels) raw(rowOff - stride + x - channels) & 0xFF
+          else 0
+        val recon = filter match {
+          case 0 => raw(rowOff + x) & 0xFF
+          case 1 => ((raw(rowOff + x) & 0xFF) + left) & 0xFF
+          case 2 => ((raw(rowOff + x) & 0xFF) + up) & 0xFF
+          case 3 => ((raw(rowOff + x) & 0xFF) + (left + up) / 2) & 0xFF
+          case 4 => ((raw(rowOff + x) & 0xFF) + paeth(left, up, upLeft)) & 0xFF
+        }
+        raw(rowOff + x) = recon.toByte
+        x += 1
+      }
+      // luma over the reconstructed row (first 3 channels; alpha skipped)
+      var px = 0
+      while (px < width) {
+        val p = rowOff + px * channels
+        lumaMilli += 299L * (raw(p) & 0xFF) + 587L * (raw(p + 1) & 0xFF) +
+          114L * (raw(p + 2) & 0xFF)
+        px += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    val meanLuma =
+      if (n == 0) 0.0 else lumaMilli.toDouble / (1000.0 * 255.0 * n)
+    ImageFeatures(assetId, kind, data.length.toLong, width, height, channels,
+      meanLuma)
+  }
+
+  /** Decoder dispatch: real byte-level decode for the formats this
+    * library parses natively (BMP by container signature, 8-bit
+    * truecolor PNG pure-JVM); remaining compressed codecs (JPEG, ...)
+    * are environment-blocked (swap in e.g. ImageIO behind this
+    * signature).
     */
   def decodeImage(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures =
     if (data.length >= 2 && data(0) == 'B' && data(1) == 'M')
       decodeBmp(assetId, kind, data)
+    else if (data.length >= 8 &&
+      (0 until 8).forall(i => (data(i) & 0xFF) == PngSignature(i)))
+      decodePng(assetId, kind, data)
     else throw new NotImplementedError(
-      "compressed image codecs not available in this environment - " +
-        "BMP decodes natively; use fakeDecode (STUB) for other formats")
+      "compressed image codecs beyond PNG not available in this environment - " +
+        "BMP and 8-bit RGB/RGBA PNG decode natively; use fakeDecode (STUB) " +
+        "for other formats")
 
   // --- deterministic payload builders (tests + gate): exact byte layouts
   // the real decoders parse
@@ -235,6 +381,88 @@ object Multimodal {
       y += 1
     }
     out
+  }
+
+  /** Non-interlaced 8-bit truecolor PNG with gray pixel
+    * v(x,y) = (seed + x + y) % 256 — same gradient as [[makeBmp]], so
+    * the decoded luma has the same closed form an external oracle can
+    * recompute. Scanline y uses filter type (seed + y) % 5, so a decode
+    * of one image series exercises EVERY PNG filter path (None, Sub,
+    * Up, Average, Paeth), not just the trivial one. `channels` 3 = RGB,
+    * 4 = RGBA (alpha = 255: luma must ignore it).
+    */
+  def makePng(seed: Long, width: Int, height: Int, channels: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0, "PNG dimensions must be positive")
+    require(channels == 3 || channels == 4, s"channels must be 3 or 4, got $channels")
+    val rowBytes = width * channels
+    // raw pixel grid, then per-scanline filtering into the zlib input
+    val pix = Array.ofDim[Byte](height, rowBytes)
+    for (y <- 0 until height; x <- 0 until width) {
+      val v = (((seed + x + y) % 256 + 256) % 256).toByte
+      val p = x * channels
+      pix(y)(p) = v; pix(y)(p + 1) = v; pix(y)(p + 2) = v
+      if (channels == 4) pix(y)(p + 3) = 0xFF.toByte
+    }
+    val filtered = new Array[Byte]((1 + rowBytes) * height)
+    for (y <- 0 until height) {
+      val fType = (((seed + y) % 5 + 5) % 5).toInt
+      val rowOff = y * (1 + rowBytes)
+      filtered(rowOff) = fType.toByte
+      for (x <- 0 until rowBytes) {
+        val cur = pix(y)(x) & 0xFF
+        val left = if (x >= channels) pix(y)(x - channels) & 0xFF else 0
+        val up = if (y > 0) pix(y - 1)(x) & 0xFF else 0
+        val upLeft =
+          if (y > 0 && x >= channels) pix(y - 1)(x - channels) & 0xFF else 0
+        val out = fType match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xFF
+          case 2 => (cur - up) & 0xFF
+          case 3 => (cur - (left + up) / 2) & 0xFF
+          case 4 => (cur - paeth(left, up, upLeft)) & 0xFF
+        }
+        filtered(rowOff + 1 + x) = out.toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    PngSignature.foreach(out.write)
+    def writeChunk(chunkType: String, body: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be(body.length))
+      val typeBytes = chunkType.getBytes("US-ASCII")
+      out.write(typeBytes)
+      out.write(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(typeBytes); crc.update(body)
+      out.write(be(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte) // bit depth
+    ihdr.put((if (channels == 3) 2 else 6).toByte) // color type
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    writeChunk("IHDR", ihdr.array())
+    writeChunk("IDAT", z)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Batch REAL-decode of PNG assets (same mapPartitions shape as
+    * [[bmpFeatures]]); fails loudly on non-PNG payloads.
+    */
+  def pngFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(a => decodePng(a.asset_id, a.kind, a.data)))
   }
 
   /** Mono 16-bit PCM WAV with sample i = ((seed·31 + i) % 65536) − 32768. */

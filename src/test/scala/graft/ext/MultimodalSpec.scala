@@ -100,6 +100,55 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Multimodal.decodeWav(1L, shortFmt))
   }
 
+  test("decodePng: roundtrip through every filter type, closed-form luma") {
+    // height 7 with filter type (seed + y) % 5 covers all five filters;
+    // seeds shift which filter lands on row 0 (the no-prior-row edge)
+    for (seed <- 0L until 5L; channels <- Seq(3, 4)) {
+      val (w, h) = (9, 7)
+      val f = Multimodal.decodePng(seed, "image",
+        Multimodal.makePng(seed, w, h, channels))
+      assert(f.width == w && f.height == h && f.channels == channels)
+      val sumV = (for (x <- 0 until w; y <- 0 until h) yield (seed + x + y) % 256).sum
+      // gray gradient: RGBA's alpha=255 must NOT enter luma — the value
+      // is the same closed form for both channel counts
+      assert(f.mean_luma == sumV.toDouble * 1000.0 / (1000.0 * 255.0 * (w * h)),
+        s"luma mismatch at seed=$seed channels=$channels")
+    }
+  }
+
+  test("decodePng: malformed payloads fail loudly, never crash or mis-decode") {
+    // not a PNG at all
+    intercept[IllegalArgumentException](
+      Multimodal.decodePng(1L, "image", "notapng-at-all".getBytes))
+    // flipped pixel byte inside IDAT -> CRC mismatch caught by name
+    val flipped = Multimodal.makePng(1L, 8, 4)
+    flipped(flipped.length - 20) = (flipped(flipped.length - 20) ^ 0x7).toByte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodePng(1L, "image", flipped))
+    assert(e.getMessage.contains("CRC"))
+    // truncated mid-chunk
+    val truncated = Multimodal.makePng(1L, 8, 4).dropRight(30)
+    intercept[IllegalArgumentException](
+      Multimodal.decodePng(1L, "image", truncated))
+    // interlace flag set (with CRC fixed up) -> named unsupported error
+    val interlaced = Multimodal.makePng(1L, 8, 4)
+    interlaced(8 + 8 + 12) = 1 // IHDR data byte 12 (abs 28): interlace
+    val crc = new java.util.zip.CRC32
+    crc.update(interlaced, 8 + 4, 4 + 13)
+    val cv = crc.getValue.toInt
+    val crcOff = 8 + 8 + 13
+    interlaced(crcOff) = (cv >> 24).toByte; interlaced(crcOff + 1) = (cv >> 16).toByte
+    interlaced(crcOff + 2) = (cv >> 8).toByte; interlaced(crcOff + 3) = cv.toByte
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(1L, "image", interlaced))
+    assert(e2.getMessage.contains("interlaced"))
+  }
+
+  test("decodeImage dispatches PNG by signature") {
+    val f = Multimodal.decodeImage(3L, "image", Multimodal.makePng(3L, 8, 4))
+    assert(f.width == 8 && f.height == 4 && f.channels == 3)
+  }
+
   test("sampleFrames: one row per sampled offset, stub duration") {
     val packed = Multimodal.packAssets(docs, "doc_id", "text", kind = "video")
     val frames = Multimodal.sampleFrames(packed.as[Multimodal.Asset]).collect()
