@@ -1391,6 +1391,7 @@ object SparkEntry {
       ext.Curation.curateForTraining(docs, "doc_id", "text",
           benchmark = Some(bench),
           minQuality = 0.8, maxDup3gramFraction = 0.6,
+          spanTrimK = Some(5), spanTrimMinDocs = 2,
           dedupThreshold = 0.8, splitPairThreshold = 0.6,
           decontaminateMinShared = 2L, testFraction = 0.1,
           chunkTokens = 12, overlapTokens = 4)
@@ -2121,9 +2122,48 @@ object SparkEntry {
          |q AS (
          |  SELECT doc_id, text FROM t0
          |  WHERE ${qualityScoreSql("text")} >= 0.8 AND ($dup3) <= 0.6),
+         |qt AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+         |  FROM q),
+         |qg AS (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(t) - 4),
+         |      i -> {'pos': i - 1,
+         |            'gram': array_to_string(list_slice(t, i, i + 4), ' ')})) AS u
+         |    FROM qt WHERE len(t) >= 5)),
+         |qdup AS (
+         |  SELECT gram FROM qg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |qhits AS (
+         |  SELECT doc_id, pos FROM qg WHERE gram IN (SELECT gram FROM qdup)),
+         |qm AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM qhits),
+         |qisl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM qm),
+         |qspans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+         |  FROM qisl GROUP BY doc_id, island),
+         |qtok AS (
+         |  SELECT qt.doc_id, u.i AS i, t[u.i] AS token
+         |  FROM qt, unnest(generate_series(1, len(t))) AS u(i)),
+         |qkeep AS (
+         |  SELECT k.doc_id, k.i, k.token
+         |  FROM qtok k LEFT JOIN qspans sp
+         |    ON k.doc_id = sp.doc_id AND k.i - 1 BETWEEN sp.s AND sp.e
+         |  WHERE sp.doc_id IS NULL),
+         |trimmed AS (
+         |  SELECT doc_id, array_to_string(list(token ORDER BY i), ' ') AS text
+         |  FROM qkeep GROUP BY doc_id),
          |e AS (
-         |  SELECT * FROM q
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)),
+         |  SELECT * FROM trimmed
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM trimmed GROUP BY text)),
          |all_docs AS (SELECT doc_id, text FROM e),
          |$ShingleCte,
          |pairs AS (

@@ -27,9 +27,20 @@ object Curation {
 
   /** The COMPLETE corpus→training-sequences assembly, one call — the
     * capstone composition of this package (each stage is also an
-    * independently gated operator): quality + repetition gates → exact
-    * dedup → near-dedup → benchmark decontamination → leakage-safe
-    * train/test split → context-length chunking.
+    * independently gated operator): quality + repetition gates →
+    * duplicate-span trim → exact dedup → near-dedup → benchmark
+    * decontamination → leakage-safe train/test split → context-length
+    * chunking.
+    *
+    * Span trim (`spanTrimK = Some(k)`) runs BETWEEN the per-row gates
+    * and dedup — the order real pipelines use: boilerplate passages
+    * (shared k-gram runs, `Dedup.stripDuplicateSpans`) are cut out of
+    * otherwise-unique documents first, so the dedup stages judge the
+    * UNIQUE remainder rather than matching documents on their shared
+    * boilerplate. Documents left empty by the trim (pure boilerplate)
+    * are dropped. Trimmed text is the canonicalized token sequence —
+    * every downstream stage already canonicalizes, so the pipeline
+    * output is unchanged for untrimmed documents.
     *
     * Stage order is the 100 TB cost order: per-row gates first (no
     * shuffle), then one digest shuffle, then the ONE pairwise stage —
@@ -51,6 +62,8 @@ object Curation {
                         benchmark: Option[DataFrame] = None,
                         minQuality: Double = 0.5,
                         maxDup3gramFraction: Double = 0.6,
+                        spanTrimK: Option[Int] = None,
+                        spanTrimMinDocs: Int = 2,
                         dedupThreshold: Double = 0.8,
                         splitPairThreshold: Double = 0.6,
                         decontaminateMinShared: Long = 2L,
@@ -63,7 +76,18 @@ object Curation {
     val t = col(textCol)
     val gated = df.filter(qualityGate(t, minQuality) &&
       TextStats.duplicateNgramFraction(t, 3) <= maxDup3gramFraction)
-    val exact = graft.plans.PlanCapture.cut(Dedup.exact(gated, idCol, textCol))
+    // span trim: cut boilerplate passages out of gated documents, keep
+    // the unique remainder; cut because the span stage reads the gated
+    // frame twice (postings + trim join)
+    val trimmed = spanTrimK match {
+      case Some(k) => graft.plans.PlanCapture.cut(
+        Dedup.stripDuplicateSpans(gated, idCol, textCol, k, spanTrimMinDocs)
+          .filter(length(col("clean_text")) > 0)
+          .drop(textCol)
+          .withColumnRenamed("clean_text", textCol))
+      case None => gated
+    }
+    val exact = graft.plans.PlanCapture.cut(Dedup.exact(trimmed, idCol, textCol))
     // ONE pairwise pass at the split threshold; jaccard column reused
     val pairs = graft.plans.PlanCapture.cut(
       Dedup.ngramJaccardPairs(exact, idCol, textCol,

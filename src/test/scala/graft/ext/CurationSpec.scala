@@ -59,6 +59,37 @@ class CurationSpec extends SparkTestBase {
     assert(rows.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("curateForTraining: span trim cuts boilerplate before dedup judges uniqueness") {
+    // two documents share a 7-token boilerplate footer but have unique
+    // bodies long enough to pass the gates; a third is pure boilerplate
+    val footer = "subscribe to our newsletter for all the latest updates today"
+    val docs = Seq(
+      (1L, s"a genuinely unique first story about the forest and the river $footer"),
+      (2L, s"an entirely different account of the mountain and the valley $footer"),
+      (3L, s"$footer")
+    ).toDF("doc_id", "text")
+    val out = Curation.curateForTraining(docs, "doc_id", "text",
+      minQuality = 0.5, spanTrimK = Some(5), dedupThreshold = 0.8,
+      splitPairThreshold = 0.6, testFraction = 0.5,
+      chunkTokens = 32, overlapTokens = 0)
+    val byDoc = out.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).groupBy(_._1)
+    // both unique-body docs survive, with the footer trimmed out of
+    // their chunk text
+    assert(byDoc.contains(1L) && byDoc.contains(2L))
+    assert(!byDoc.values.flatten.exists(_._2.contains("subscribe")),
+      "boilerplate span must be trimmed from chunk text")
+    // the pure-boilerplate doc trims to empty and is dropped
+    assert(!byDoc.contains(3L))
+    // without the trim, the shared footer is near-dup signal: the same
+    // corpus must keep all three docs (no trim) with footer intact
+    val untrimmed = Curation.curateForTraining(docs, "doc_id", "text",
+      minQuality = 0.5, dedupThreshold = 0.8,
+      splitPairThreshold = 0.6, testFraction = 0.5,
+      chunkTokens = 32, overlapTokens = 0)
+    assert(untrimmed.collect().exists(_.getString(3).contains("subscribe")))
+  }
+
   test("curate is deterministic across runs") {
     val docs = (1L to 50L).map(i =>
       (i, s"the document number ${i % 7} talks about the data and the engine ${i % 3}"))
