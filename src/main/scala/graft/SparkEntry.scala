@@ -1352,6 +1352,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ext similarity — PQ-coded IVF semantic join: the right side rides
+    // the cell join as (cell, norm, PQ codes) — no raw vectors — with
+    // ADC lookup scoring and a bounded-heap candidate pool; only the
+    // pool re-ranks on true vectors, so the oracle (cells + codes +
+    // LUTs + pool + exact re-rank in SQL) is exact.
+    "q106_ivf_pq_semantic_join" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ext.Similarity.ivfPqTopKJoin(
+          emb.filter(col("vec_id") % 7 === 2),
+          emb.filter(col("vec_id") % 7 =!= 2),
+          "vec_id", "vec_id", "embedding",
+          k = 5, numCells = 16, nprobe = 3,
+          numSubspaces = 8, codebookSize = 8, rerankFactor = 4,
+          dim = 64, modulus = 496)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // ext similarity — cross-table semantic join: BOTH sides large (no
     // broadcastable query set), bucket equi-join + bounded-heap top-k per
     // query; oracle replicates the hyperplane buckets, probes, cosine,
@@ -1692,6 +1710,103 @@ object SparkEntry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Oracle for the PQ-coded IVF join (q106): the q102 cell machinery
+    * (centroids every 31st right id, best cell per right row, 3 probes
+    * per query) composed with the q80 PQ machinery (codebook = right ids
+    * ≡ 0 mod 62 — 7 donors survive the right-side filter at sf modulus
+    * 496, fewer than the nominal 8, exactly as the engine's LIMIT under
+    * the same filter — nearest codeword per 8-dim subspace by
+    * dot − |c|²/2, per-query LUTs), ADC-scored candidate pool of
+    * k·rerankFactor = 20 per query, exact cosine re-rank. Same ADC
+    * double-sum-order soundness note as [[PqAnnOracle]]; exact cosine
+    * uses the engine's zero-vector rule.
+    */
+  private val IvfPqSemanticJoinOracle: String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+    def cosine(a: String, b: String): String = {
+      val denom =
+        s"""(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""CASE WHEN $denom > 0 THEN ${dotSql(a, b)}
+         |    / $denom ELSE 0.0 END""".stripMargin
+    }
+    s"""WITH rt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 2),
+       |lt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 2),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM rt WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+       |corpus_assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM rt e CROSS JOIN centroids c)
+       |  WHERE crank <= 1),
+       |query_assign AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM lt e CROSS JOIN centroids c)
+       |  WHERE crank <= 3),
+       |cw AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+       |    embedding AS wvec
+       |  FROM (SELECT vec_id, embedding FROM rt
+       |        WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8)),
+       |cws AS (
+       |  SELECT j, m, list_slice(wvec, m * 8 + 1, m * 8 + 8) AS c
+       |  FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)),
+       |en AS (
+       |  SELECT vec_id,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT e.vec_id, c.m, c.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+       |        (${dotSql("list_slice(e.embedding, c.m * 8 + 1, c.m * 8 + 8)", "c.c")}
+       |         - 0.5 * list_sum(list_transform(c.c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) DESC,
+       |        c.j) AS rk
+       |    FROM rt e CROSS JOIN cws c)
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.j,
+       |    ${dotSql("list_slice(q.embedding, c.m * 8 + 1, c.m * 8 + 8)", "c.c")} AS v
+       |  FROM lt q CROSS JOIN cws c),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, ca.neighbor_id
+       |  FROM query_assign q JOIN corpus_assign ca ON ca.cell = q.cell),
+       |approx AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CASE WHEN qn.nrm * cn.nrm > 0
+       |         THEN sum(l.v) / (qn.nrm * cn.nrm) ELSE 0.0 END AS approx_cos
+       |  FROM cand
+       |  JOIN enc ON enc.vec_id = cand.neighbor_id
+       |  JOIN lut l ON l.query_id = cand.query_id AND l.m = enc.m AND l.j = enc.code
+       |  JOIN en qn ON qn.vec_id = cand.query_id
+       |  JOIN en cn ON cn.vec_id = cand.neighbor_id
+       |  GROUP BY cand.query_id, cand.neighbor_id, qn.nrm, cn.nrm),
+       |pool AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS crank
+       |    FROM approx) WHERE crank <= 20),
+       |scored AS (
+       |  SELECT pool.query_id, pool.neighbor_id,
+       |    ${cosine("q.embedding", "c.embedding")} AS cosine
+       |  FROM pool
+       |  JOIN embeddings q ON q.vec_id = pool.query_id
+       |  JOIN embeddings c ON c.vec_id = pool.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Generated oracle for the cross-table semantic join: same inlined
     * 10-bit hyperplane constants as [[LshAnnOracle]], but the query side
     * is every fifth embedding and the corpus side is the rest — the
@@ -1989,6 +2104,7 @@ object SparkEntry {
     "q86_random_projection" -> RandomProjectionOracle,
     "q99_semantic_join" -> SemanticJoinOracle,
     "q102_ivf_semantic_join" -> IvfSemanticJoinOracle,
+    "q106_ivf_pq_semantic_join" -> IvfPqSemanticJoinOracle,
 
     // Efraimidis–Spirakis replicated in SQL: the 52-bit h is rebuilt
     // hex-digit-by-digit (every intermediate is an exact double), then

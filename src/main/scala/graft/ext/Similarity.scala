@@ -301,6 +301,106 @@ object Similarity {
       .transform(heapTopKPerQuery(k))
   }
 
+  /** PQ-coded twin of [[ivfTopKJoin]] — the form for corpora whose FLOAT
+    * vectors are the bottleneck at 100 TB: the right side rides through
+    * the cell join as (id, cell, norm, PQ codes) — numSubspaces small
+    * ints instead of dim floats per row (64-dim float ≈ 256 B → ~8 B-ish
+    * of codes) — and candidates are scored by ADC lookup against the
+    * query's per-subspace LUT, pure column arithmetic on the joined
+    * rows. The per-query candidate POOL (k·rerankFactor) comes out of
+    * the same bounded-heap `TopKAgg` as [[ivfTopKJoin]]'s top-k (no
+    * window over the match stream), and only the pool rows — O(queries ·
+    * k · rerankFactor) — ever touch raw vectors again, in the exact
+    * cosine re-rank that produces the final ranking. PQ error can
+    * therefore cost recall only at the pool boundary, never mis-rank
+    * returned neighbors — which also keeps the result exactly
+    * oracle-replicable (the q106 gate's DuckDB oracle recomputes cells,
+    * codes, LUTs, pool, and re-rank).
+    *
+    * Centroids AND codebook are deterministic stride samples of the
+    * right table ([[ivfTopK]]'s bootstrap stance; same integral-id /
+    * modulus contract).
+    */
+  def ivfPqTopKJoin(left: DataFrame, right: DataFrame,
+                    leftIdCol: String, rightIdCol: String, vecCol: String,
+                    k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
+                    numSubspaces: Int = 8, codebookSize: Int = 16,
+                    rerankFactor: Int = 4, dim: Int = 64,
+                    modulus: Int = 1000): DataFrame = {
+    requireIntegralRightId(right, rightIdCol, "ivfPqTopKJoin")
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide into $numSubspaces subspaces")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val centroidRows: Array[(Long, Array[Double])] = right
+      .select(col(rightIdCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
+      .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
+      .orderBy("centroid_id")
+      .limit(numCells)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+    require(centroidRows.nonEmpty,
+      s"IVF centroid sample is empty — numeric id space has no multiples of " +
+        s"${math.max(modulus / numCells, 1)}")
+    val cents = centroidRows.toSeq.map(_._2.toSeq)
+    val cellIds = array(centroidRows.toSeq.map(r => lit(r._1)): _*)
+    val cbStride = math.max(modulus / codebookSize, 1)
+    val codebook: Seq[Seq[Double]] = right
+      .select(col(rightIdCol).cast("long").as("cb_id"), col(vecCol).as("cb_vec"))
+      .filter(pmod(col("cb_id"), lit(cbStride)) === 0)
+      .orderBy("cb_id").limit(codebookSize)
+      .collect()
+      .toSeq
+      .map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toSeq)
+    require(codebook.nonEmpty,
+      s"PQ codebook sample is empty — numeric id space has no multiples of $cbStride")
+
+    import graft.functions.PqFunctions
+    // right side: codes ride the join, raw vectors stay in the scan
+    val r = right.select(col(rightIdCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col("neighbor_id"),
+        element_at(cellIds,
+          graft.functions.VectorFunctions.nearestCentroid(col("c_vec"), cents) + 1)
+          .as("cell"),
+        norm(col("c_vec")).as("c_norm"),
+        PqFunctions.pqEncode(col("c_vec"), codebook, numSubspaces).as("codes"))
+    val l = left.select(col(leftIdCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), norm(col("q_vec")).as("q_norm"),
+        PqFunctions.pqLut(col("q_vec"), codebook, numSubspaces).as("luts"),
+        explode(transform(
+          graft.functions.VectorFunctions.nearestCentroids(
+            col("q_vec"), cents, math.min(nprobe, centroidRows.length)),
+          i => element_at(cellIds, i + 1))).as("cell"))
+
+    // ADC approximate cosine on the joined rows (norm-normalized so the
+    // pool ranking aligns with the exact re-rank; engine zero-vector rule)
+    val adcDot = aggregate(
+      zip_with(col("codes"), col("luts"),
+        (c, lutRow) => element_at(lutRow, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val approxCos = when(col("q_norm") * col("c_norm") > 0,
+      adcDot / (col("q_norm") * col("c_norm"))).otherwise(lit(0.0))
+    // a pair meets at most once (one cell per right row, distinct probe
+    // cells per left row), so the heap needs no pair dedup
+    val pool = l.join(r, "cell")
+      .select(col("query_id"), approxCos.as("approx_cos"), col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.column(k * rerankFactor,
+        col("approx_cos"), -col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("s"))
+      .select(col("query_id"), (-col("s.id")).as("neighbor_id"))
+
+    // exact re-rank: only the pool rows pull raw vectors, via equi-joins
+    // that broadcast nothing and shuffle only pool-sized frames + the
+    // matched slices of the two tables
+    val rv = right.select(col(rightIdCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
+    val lv = left.select(col(leftIdCol).as("query_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+    pool.join(rv, "neighbor_id").join(lv, "query_id")
+      .transform(heapTopKPerQuery(k))
+  }
+
   // ------------------------------------------------- product quantization
 
   /** PQ (product-quantization) ANN: the 100 TB MEMORY lever next to IVF's

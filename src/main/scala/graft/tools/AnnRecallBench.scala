@@ -66,7 +66,14 @@ object AnnRecallBench {
       timed("PQ 8x16 rerank=4", "ADC over codes; raw vectors only for re-rank pool")(
         Similarity.pqTopK(emb, qs, "vec_id", "embedding", "query_id", k)),
       timed("PQ 8x16 rerank=16", "wider exact re-rank pool over the same codes")(
-        Similarity.pqTopK(emb, qs, "vec_id", "embedding", "query_id", k, rerankFactor = 16))
+        Similarity.pqTopK(emb, qs, "vec_id", "embedding", "query_id", k, rerankFactor = 16)),
+      timed("IVF join nprobe=3/16", "cell equi-join, raw vectors ride the join")(
+        Similarity.ivfTopKJoin(qs, emb, "query_id", "vec_id", "embedding", k)),
+      timed("IVF+PQ join 8x16 rerank=4", "cell equi-join over codes; raw vectors only for re-rank pool")(
+        Similarity.ivfPqTopKJoin(qs, emb, "query_id", "vec_id", "embedding", k)),
+      timed("IVF+PQ join 8x16 rerank=16", "same codes, wider exact pool")(
+        Similarity.ivfPqTopKJoin(qs, emb, "query_id", "vec_id", "embedding", k,
+          rerankFactor = 16))
     ).map { case (tmpl, res) =>
       val recalls = truth.toSeq.map { case (q, exact) =>
         res.get(q).map(a => (a & exact).size.toDouble / exact.size).getOrElse(0.0)

@@ -87,6 +87,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined == viaTopK && joined.nonEmpty)
   }
 
+  test("ivfPqTopKJoin: all cells probed + wide re-rank equals the exact join ranking") {
+    val vecs = (0L until 96L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 11 + d * 3).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val leftT = vecs.filter($"vec_id" % 12 === 5)
+    val rightT = vecs.filter($"vec_id" % 12 =!= 5)
+    // probing every cell makes the candidate set the whole corpus; a
+    // pool of k·rerank ≥ corpus lets the EXACT re-rank see everything —
+    // so the PQ path must reproduce the brute-force ranking exactly,
+    // proving ADC error can cost only pool-boundary recall, never rank
+    val pq = Similarity.ivfPqTopKJoin(leftT, rightT, "vec_id", "vec_id",
+        "embedding", k = 4, numCells = 8, nprobe = 8,
+        numSubspaces = 4, codebookSize = 8, rerankFactor = 32,
+        dim = 16, modulus = 96)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(rightT,
+        leftT.select($"vec_id".as("query_id"), $"embedding"),
+        "vec_id", "embedding", "query_id", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pq == brute && pq.nonEmpty)
+  }
+
+  test("ivfPqTopKJoin: narrow pool still returns k well-formed rows per query") {
+    val vecs = (0L until 96L).map { i =>
+      (i, Array.tabulate(16)(d => math.cos((i * 7 + d * 5).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val leftT = vecs.filter($"vec_id" % 12 === 5)
+    val rightT = vecs.filter($"vec_id" % 12 =!= 5)
+    val out = Similarity.ivfPqTopKJoin(leftT, rightT, "vec_id", "vec_id",
+        "embedding", k = 3, numCells = 8, nprobe = 2,
+        numSubspaces = 4, codebookSize = 8, rerankFactor = 2,
+        dim = 16, modulus = 96)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+  }
+
   test("lshTopKJoin: non-integral right ids fail loudly, not empty or truncated") {
     val strVecs = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
