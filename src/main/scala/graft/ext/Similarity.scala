@@ -147,7 +147,8 @@ object Similarity {
   def lshTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
                   k: Int = 10, bits: Int = 12, dim: Int = 64,
-                  seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+                  seed: Long = 42L, multiProbe: Boolean = true,
+                  saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "lshTopKJoin")
     val planes = hyperplanes(dim, bits, seed)
     val r = right.select(col(rightIdCol).as("neighbor_id"),
@@ -164,9 +165,36 @@ object Similarity {
       else col("q_bucket")
     val l = lBase.select(col("query_id"), col("q_vec"), col("q_norm"),
       probeBuckets.as("bucket"))
-    l.join(r, "bucket") // shuffled hash equi-join — no broadcast requirement
-
+    saltedKeyJoin(l, r, "bucket", saltBuckets)
       .transform(heapTopKPerQuery(k))
+  }
+
+  /** The bucket/cell equi-join of the semantic-join family, with optional
+    * HOT-BUCKET SALTING: clustered embeddings (the realistic corpus — the
+    * uniform testdata is the easy case) pile one LSH bucket or IVF cell
+    * far above the rest, and that one join partition then carries an
+    * n_left·n_right pairwise block that AQE's skew split only fixes when
+    * the partition trips its size threshold. `saltBuckets = s` splits
+    * every bucket DETERMINISTICALLY: the right side takes salt =
+    * xxhash64(id) mod s (each row to exactly one sub-bucket), the left
+    * side replicates each probe across all s salts — so a pair still
+    * meets exactly once (the heap contract) and the per-query top-k
+    * heap, being associative, merges across salts to the IDENTICAL
+    * result. Cost: left rows × s through the exchange; right side —
+    * the big one — is never replicated. `s = 1` is a plain equi-join
+    * (the uniform-corpus default).
+    */
+  private def saltedKeyJoin(l: DataFrame, r: DataFrame, keyCol: String,
+                            saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    if (saltBuckets == 1) l.join(r, keyCol)
+    else {
+      val rs = r.withColumn("_salt",
+        pmod(xxhash64(col("neighbor_id")), lit(saltBuckets.toLong)).cast("int"))
+      val ls = l.withColumn("_salt",
+        explode(sequence(lit(0), lit(saltBuckets - 1))))
+      ls.join(rs, Seq(keyCol, "_salt")).drop("_salt")
+    }
   }
 
   // ------------------------------------------------------------ IVF index
@@ -269,7 +297,7 @@ object Similarity {
   def ivfTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
                   k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
-                  modulus: Int = 1000): DataFrame = {
+                  modulus: Int = 1000, saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "ivfTopKJoin")
     val centroidRows: Array[(Long, Array[Double])] = right
       .select(col(rightIdCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
@@ -296,8 +324,7 @@ object Similarity {
           graft.functions.VectorFunctions.nearestCentroids(
             col("q_vec"), cents, math.min(nprobe, centroidRows.length)),
           i => element_at(cellIds, i + 1))).as("cell"))
-    l.join(r, "cell")
-
+    saltedKeyJoin(l, r, "cell", saltBuckets)
       .transform(heapTopKPerQuery(k))
   }
 
@@ -326,7 +353,7 @@ object Similarity {
                     k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
                     numSubspaces: Int = 8, codebookSize: Int = 16,
                     rerankFactor: Int = 4, dim: Int = 64,
-                    modulus: Int = 1000): DataFrame = {
+                    modulus: Int = 1000, saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "ivfPqTopKJoin")
     require(dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
@@ -381,8 +408,9 @@ object Similarity {
     val approxCos = when(col("q_norm") * col("c_norm") > 0,
       adcDot / (col("q_norm") * col("c_norm"))).otherwise(lit(0.0))
     // a pair meets at most once (one cell per right row, distinct probe
-    // cells per left row), so the heap needs no pair dedup
-    val pool = l.join(r, "cell")
+    // cells per left row — and one salt per right row under salting), so
+    // the heap needs no pair dedup
+    val pool = saltedKeyJoin(l, r, "cell", saltBuckets)
       .select(col("query_id"), approxCos.as("approx_cos"), col("neighbor_id"))
       .groupBy("query_id")
       .agg(graft.functions.TopKAgg.column(k * rerankFactor,

@@ -132,6 +132,64 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hot-bucket salting: identical results, per-task pair work bounded") {
+    // clustered corpus — the realistic case the uniform testdata hides:
+    // 90% of vectors are tiny perturbations of one direction, so ONE LSH
+    // bucket (and one IVF cell) holds almost everything
+    val dim = 8
+    val vecs = (0L until 400L).map { i =>
+      val v =
+        if (i % 10 != 0) Array.tabulate(dim)(d =>
+          (1.0 + 0.001 * math.sin((i * 13 + d).toDouble)).toFloat *
+            (if (d == 0) 1.0f else 0.01f))
+        else Array.tabulate(dim)(d => math.cos((i * 7 + d * 5).toDouble).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val leftT = vecs.filter($"vec_id" % 4 === 1)
+    val rightT = vecs.filter($"vec_id" % 4 =!= 1)
+    val s = 8
+
+    def results(salt: Int) = Similarity.lshTopKJoin(leftT, rightT,
+        "vec_id", "vec_id", "embedding", k = 5, bits = 6, dim = dim,
+        saltBuckets = salt)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+    // the salted join is the SAME operator: the per-query heap merges
+    // across salts to the identical ranking
+    val plain = results(1)
+    assert(results(s) == plain && plain.nonEmpty)
+
+    // the mechanism: per-(join key) corpus rows bound the pairwise work
+    // one task can be handed (task time is proportional to it, so this
+    // is the deterministic form of a task-time-ratio assertion). The hot
+    // bucket must spread across salts.
+    val planes = Similarity.hyperplanes(dim, bits = 6, seed = 42L)
+    val bucketed = rightT
+      .select($"vec_id", Similarity.lshBucket($"embedding", planes).as("bucket"))
+    val hotBefore = bucketed.groupBy("bucket").count()
+      .agg(max("count")).as[Long].head()
+    val hotAfter = bucketed
+      .withColumn("salt", pmod(xxhash64($"vec_id"), lit(s.toLong)))
+      .groupBy("bucket", "salt").count()
+      .agg(max("count")).as[Long].head()
+    assert(hotBefore >= 250, s"corpus not skewed enough for the test: $hotBefore")
+    assert(hotAfter * 2 <= hotBefore / (s / 4),
+      s"hot bucket not spread: $hotBefore before vs $hotAfter per salt with $s salts")
+
+    // IVF form: same contract under the same skew
+    val ivfPlain = Similarity.ivfTopKJoin(leftT, rightT, "vec_id", "vec_id",
+        "embedding", k = 5, numCells = 8, nprobe = 2, modulus = 300)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivfSalted = Similarity.ivfTopKJoin(leftT, rightT, "vec_id", "vec_id",
+        "embedding", k = 5, numCells = 8, nprobe = 2, modulus = 300,
+        saltBuckets = s)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivfSalted == ivfPlain && ivfPlain.nonEmpty)
+  }
+
   test("lshTopKJoin: non-integral right ids fail loudly, not empty or truncated") {
     val strVecs = Seq(("a", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
