@@ -96,11 +96,17 @@ object Bench {
     // the capture window (BENCH_r04.json kept 74 of 104 entries — the
     // round-over-round regression diff went blind on the rest). The file
     // is the durable artifact; stdout stays for the driver contract.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // Filtered runs (name-filter arg) skip the default path so a local
+    // single-query iteration can never clobber the committed full map —
+    // set SPARK_GRAFT_BENCH_OUT explicitly to capture a filtered run.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (args.isEmpty) Some("BENCH_LATEST.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

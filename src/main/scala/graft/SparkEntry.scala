@@ -42,7 +42,7 @@ object SparkEntry {
     * pre-checkpoint pair-stage plan visible to PlanGuardSpec.
     */
   private val nearDupGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame, DataFrame)]
 
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents").select("doc_id", "text")
@@ -54,16 +54,24 @@ object SparkEntry {
 
   /** (pairs, labels) of the shared near-dup graph — memoized per
     * (session, dir); entries die with their session's block manager.
+    * The cached session rides along and is compared by REFERENCE (an
+    * identity-hash key alone could collide with a stopped session's
+    * entry and hand out dead checkpointed frames — compute() re-checks
+    * and replaces atomically).
     */
-  private def nearDupGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    nearDupGraphCache.computeIfAbsent(
-      System.identityHashCode(s) + "@" + dir, _ => {
-        val pairs = plans.PlanCapture.cut(
-          Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
-            n = 3, threshold = 0.8).select("id_a", "id_b"))
-        val labels = Dedup.connectedComponents(pairs)
-        (pairs, labels)
-      })
+  private def nearDupGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val entry = nearDupGraphCache.compute(
+      System.identityHashCode(s) + "@" + dir, (_, cached) =>
+        if (cached != null && (cached._1 eq s)) cached
+        else {
+          val pairs = plans.PlanCapture.cut(
+            Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
+              n = 3, threshold = 0.8).select("id_a", "id_b"))
+          val labels = Dedup.connectedComponents(pairs)
+          (s, pairs, labels)
+        })
+    (entry._2, entry._3)
+  }
 
   /** DuckDB expression mirroring `TextStats.qualityScore(text)`. */
   private def qualityScoreSql(t: String): String = {
