@@ -1472,6 +1472,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext multimodal — REAL pure-JVM baseline JPEG decode end-to-end:
+    // deterministic flat-block images (mode cycles gray / YCbCr 4:4:4 /
+    // 4:2:0 by id, every other id carries DRI+restart markers), the
+    // native decoder walks markers, Huffman-decodes the entropy stream,
+    // dequantizes + IDCTs + upsamples + converts color, and the oracle
+    // recomputes the exact-integer Rec.601 luma in closed form (DC-only
+    // blocks with an all-8s table decode exactly to their block value;
+    // flat chroma 128 makes RGB == Y).
+    "q107_jpeg_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val mode = (id % 3) match {
+            case 0 => "gray"; case 1 => "444"; case _ => "420"
+          }
+          ext.Multimodal.Asset(id, "image",
+            ext.Jpeg.makeJpeg(id, 4, 2, mode, restartEvery = (id % 2).toInt * 2))
+        }
+      ext.Multimodal.jpegFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // ext sampling — deterministic fixed-size cap per group: first 20 of
     // each language by md5-of-key rank (a pure function of the rows, like
     // every sampler here).
@@ -2384,6 +2409,22 @@ object SparkEntry {
         |FROM documents d,
         |  unnest(generate_series(0, 7)) AS u(x),
         |  unnest(generate_series(0, 3)) AS v(y)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // 4×2 grid of flat 8×8 blocks, block value v = (doc_id + bx + by) %
+    // 256 → every pixel in the block equals v exactly (DC-only, q=8),
+    // so lumaMilli = Σ_blocks 64·1000·v regardless of mode (flat chroma
+    // 128 ⇒ RGB = Y); channels = 1 for gray ids (doc_id % 3 = 0) else 3
+    "q107_jpeg_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CAST(sum(64 * 1000 * ((d.doc_id + u.bx + v.by) % 256)) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 512) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 3)) AS u(bx),
+        |  unnest(generate_series(0, 1)) AS v(by)
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

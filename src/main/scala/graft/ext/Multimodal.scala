@@ -336,11 +336,33 @@ object Multimodal {
       meanLuma)
   }
 
+  /** REAL baseline JPEG decode via the pure-JVM [[Jpeg]] module (marker
+    * walk, Huffman entropy decode, dequant + IDCT, chroma upsample,
+    * YCbCr→RGB) — same exact-integer Rec.601 luma convention as
+    * [[decodeBmp]]/[[decodePng]]. Progressive/12-bit/arithmetic/CMYK
+    * payloads fail loudly with named reasons.
+    */
+  def decodeJpeg(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures = {
+    val d = Jpeg.decode(data)
+    ImageFeatures(assetId, kind, data.length.toLong, d.width, d.height,
+      d.channels, d.lumaMilli.toDouble / (1000.0 * 255.0 *
+        (d.width.toLong * d.height)))
+  }
+
+  /** Batch REAL-decode of JPEG assets (same mapPartitions shape as
+    * [[bmpFeatures]]); fails loudly on non-JPEG payloads.
+    */
+  def jpegFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(a => decodeJpeg(a.asset_id, a.kind, a.data)))
+  }
+
   /** Decoder dispatch: real byte-level decode for the formats this
-    * library parses natively (BMP by container signature, 8-bit
-    * truecolor PNG pure-JVM); remaining compressed codecs (JPEG, ...)
-    * are environment-blocked (swap in e.g. ImageIO behind this
-    * signature).
+    * library parses natively — BMP by container signature, 8-bit
+    * truecolor PNG, and baseline JPEG, all pure-JVM; anything else
+    * (WebP, AVIF, ...) is environment-blocked (swap in e.g. ImageIO
+    * behind this signature).
     */
   def decodeImage(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures =
     if (data.length >= 2 && data(0) == 'B' && data(1) == 'M')
@@ -348,10 +370,12 @@ object Multimodal {
     else if (data.length >= 8 &&
       (0 until 8).forall(i => (data(i) & 0xFF) == PngSignature(i)))
       decodePng(assetId, kind, data)
+    else if (data.length >= 2 &&
+      (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
+      decodeJpeg(assetId, kind, data)
     else throw new NotImplementedError(
-      "compressed image codecs beyond PNG not available in this environment - " +
-        "BMP and 8-bit RGB/RGBA PNG decode natively; use fakeDecode (STUB) " +
-        "for other formats")
+      "image codecs beyond BMP/PNG/baseline-JPEG not available in this " +
+        "environment - use fakeDecode (STUB) for other formats")
 
   // --- deterministic payload builders (tests + gate): exact byte layouts
   // the real decoders parse

@@ -149,6 +149,74 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.width == 8 && f.height == 4 && f.channels == 3)
   }
 
+  test("decodeJpeg: flat-block grid in all three modes, closed-form luma") {
+    // DC-only blocks with an all-8s table decode EXACTLY to their block
+    // value; flat chroma 128 makes RGB == Y, so gray/444/420 all share
+    // the same closed form: lumaMilli = sum over blocks of 64*1000*v
+    for (seed <- Seq(0L, 7L, 200L); mode <- Seq("gray", "444", "420")) {
+      val (bx, by) = (4, 2)
+      val f = Multimodal.decodeJpeg(seed, "image",
+        Jpeg.makeJpeg(seed, bx, by, mode))
+      assert(f.width == bx * 8 && f.height == by * 8)
+      assert(f.channels == (if (mode == "gray") 1 else 3))
+      val sumV = (for (x <- 0 until bx; y <- 0 until by)
+        yield (seed + x + y) % 256).sum
+      assert(f.mean_luma ==
+        sumV.toDouble * 64.0 * 1000.0 / (1000.0 * 255.0 * (bx * 8 * by * 8)),
+        s"luma mismatch at seed=$seed mode=$mode")
+    }
+  }
+
+  test("decodeJpeg: restart markers reset predictors, decode unchanged") {
+    for (mode <- Seq("gray", "444", "420")) {
+      val plain = Jpeg.decode(Jpeg.makeJpeg(11L, 4, 4, mode))
+      val restarted = Jpeg.decode(Jpeg.makeJpeg(11L, 4, 4, mode, restartEvery = 2))
+      assert(plain == restarted, s"restart path diverged in mode=$mode")
+    }
+  }
+
+  test("Jpeg coefficient roundtrip drives the AC/ZRL/EOB entropy path") {
+    // block 1: DC + adjacent ACs + a 16-zero gap (forces one ZRL code);
+    // block 2: negative DC only (negative diff vs block 1's predictor)
+    val b1 = new Array[Int](64)
+    b1(0) = 5; b1(1) = 3; b1(2) = -1; b1(19) = 4
+    val b2 = new Array[Int](64)
+    b2(0) = -7
+    val blocks = Seq(b1, b2)
+    val decoded = Jpeg.decode(Jpeg.makeJpegFromCoefficients(blocks, blocksX = 2))
+    assert(decoded.width == 16 && decoded.height == 8 && decoded.channels == 1)
+    val expected = blocks.map(b =>
+      Jpeg.referenceBlockPixels(b, q = 8).map(_.toLong).sum).sum * 1000L
+    assert(decoded.lumaMilli == expected)
+  }
+
+  test("decodeJpeg: malformed payloads fail loudly by name") {
+    // not a JPEG at all
+    intercept[IllegalArgumentException](Jpeg.decode("notajpeg......".getBytes))
+    // progressive (SOF2) must be a named refusal, not a wrong number
+    val prog = Jpeg.makeJpeg(1L, 2, 2, "gray")
+    var i = 0
+    while (!((prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0)) i += 1
+    prog(i + 1) = 0xC2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
+    assert(e.getMessage.contains("progressive"))
+    // truncated entropy stream
+    intercept[IllegalArgumentException](
+      Jpeg.decode(Jpeg.makeJpeg(1L, 4, 4, "gray").dropRight(12)))
+    // CMYK-ish component count must be refused by name
+    val cmyk = Jpeg.makeJpeg(1L, 2, 2, "gray")
+    var j = 0
+    while (!((cmyk(j) & 0xFF) == 0xFF && (cmyk(j + 1) & 0xFF) == 0xC0)) j += 1
+    cmyk(j + 9) = 4 // SOF nc byte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(cmyk))
+    assert(e2.getMessage.contains("components"))
+  }
+
+  test("decodeImage dispatches JPEG by SOI signature") {
+    val f = Multimodal.decodeImage(5L, "image", Jpeg.makeJpeg(5L, 2, 2, "444"))
+    assert(f.width == 16 && f.height == 16 && f.channels == 3)
+  }
+
   test("sampleFrames: one row per sampled offset, stub duration") {
     val packed = Multimodal.packAssets(docs, "doc_id", "text", kind = "video")
     val frames = Multimodal.sampleFrames(packed.as[Multimodal.Asset]).collect()
