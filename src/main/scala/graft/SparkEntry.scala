@@ -1326,6 +1326,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext sampling — greedy TOKEN-budget fill per language (unit of
+    // account: n_chars), md5-ordered "random" fill; exact two-phase
+    // bucket/carry form, never a single-task per-group window.
+    "q108_token_budget" -> ((s, dir) => {
+      ext.Sampling.tokenBudgetPerGroup(tbl(s, dir, "documents"),
+          "doc_id", "lang", "n_chars", budget = 15000L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ext sampling — token-budget mixture to per-language TARGETS,
+    // longest-document-first (priority fill): the "25k chars en, 10k zh,
+    // 8k de" mixture spec; unlisted languages dropped.
+    "q109_token_budget_quality" -> ((s, dir) => {
+      ext.Sampling.tokenBudgetTargets(tbl(s, dir, "documents"),
+          "doc_id", "lang", "n_chars",
+          budgets = Map("en" -> 25000L, "zh" -> 10000L, "de" -> 8000L),
+          priorityCol = Some("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ext streaming — span-level continuous dedup, batch replay form: the
     // second "day" of documents is probed against the first day's gram
     // store; the oracle replays the same two-batch fold in SQL.
@@ -2183,6 +2205,35 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // greedy prefix under a running-sum window: the two-phase bucket
+    // form is exactly the single window over (md5(doc_id), doc_id)
+    "q108_token_budget" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars >= 0)
+        |WHERE cum <= 15000
+        |ORDER BY doc_id""".stripMargin,
+
+    // longest-first fill to per-language budgets; ties on n_chars break
+    // by (md5(doc_id), doc_id) — the engine's exact fine order
+    "q109_token_budget_quality" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IN ('en', 'zh', 'de')
+        |    AND n_chars IS NOT NULL AND n_chars >= 0)
+        |WHERE cum <= CASE lang WHEN 'en' THEN 25000
+        |                       WHEN 'zh' THEN 10000 ELSE 8000 END
         |ORDER BY doc_id""".stripMargin,
 
     // two-batch replay: day 1 against an empty store emits nothing; day 2

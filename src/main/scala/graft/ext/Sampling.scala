@@ -283,4 +283,107 @@ object Sampling {
       .cast("double")
     log((h + lit(1.0)) / lit(4503599627370496.0)) / col(weightCol).cast("double")
   }
+
+  /** Greedy TOKEN-budget fill per group — the mixture step real training
+    * pipelines run ("2B tokens of web, 500M of code"), where the unit of
+    * account is tokens, not documents: within each group, documents are
+    * taken in a deterministic order until the group's running token sum
+    * would exceed `budget`; a document that crosses the budget is dropped
+    * and, this being a greedy PREFIX (not a knapsack), no later document
+    * is considered for the remaining gap. Order is md5(id) (a reproducible
+    * "random" fill) or, with `priorityCol`, highest-priority-first
+    * (quality-weighted fill), ties broken by (md5(id), id) — membership
+    * is a pure function of the rows, the module's contract. Rows with
+    * null id, null GROUP (no mixture bucket), or null/negative token
+    * counts, are excluded (no identity / no mass); zero-token rows cost
+    * nothing and always fit. `idCol` must
+    * be unique per row (duplicate ids tie the total order and make the
+    * survivor partition-dependent).
+    *
+    * Scale shape: NOT one window per group — a single group can be most
+    * of a 100 TB corpus, and `Window.partitionBy(group)` would put it in
+    * one task. Two exact phases instead: rows land in one of ~256 order-
+    * consistent buckets (a prefix of md5(id), or a `width_bucket` range
+    * of the priority — equal priorities share a bucket, so bucket order
+    * never contradicts row order); per-(group, bucket) token sums make a
+    * TINY frame whose prefix sum over buckets (window over ≤257 rows per
+    * group) yields each bucket's carry-in; the fine prefix sum then runs
+    * partitioned by (group, BUCKET) — parallelism × #buckets — and a row
+    * survives when carry + its within-bucket prefix ≤ budget. Exactly
+    * the single-window result (integer sums over a total order), without
+    * the single-task group.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                          tokensCol: String, budget: Long,
+                          priorityCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    tokenBudgetImpl(df, idCol, groupCol, tokensCol, lit(budget), priorityCol)
+  }
+
+  /** [[tokenBudgetPerGroup]] with per-group budgets — the full mixture
+    * spec ("25k tokens en, 10k zh, 8k de; nothing else"). Groups absent
+    * from `budgets` contribute no rows.
+    */
+  def tokenBudgetTargets(df: DataFrame, idCol: String, groupCol: String,
+                         tokensCol: String, budgets: Map[String, Long],
+                         priorityCol: Option[String] = None): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetTargets needs at least one budget")
+    require(budgets.values.forall(_ > 0),
+      s"budgets must be positive, got $budgets")
+    val budgetOf = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    tokenBudgetImpl(
+      df.filter(col(groupCol).isin(budgets.keys.toSeq: _*)),
+      idCol, groupCol, tokensCol, budgetOf, priorityCol)
+  }
+
+  private def tokenBudgetImpl(df: DataFrame, idCol: String, groupCol: String,
+                              tokensCol: String, budget: Column,
+                              priorityCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eligible = df.filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+      col(tokensCol).isNotNull && col(tokensCol) >= 0)
+    // order-consistent coarse bucket: rows in bucket b sort entirely
+    // before rows in bucket b' > b under the fine order below
+    val bucket: Column = priorityCol match {
+      case None =>
+        // first 8 bits of the md5 hex the fine order sorts by
+        conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+          .cast("int")
+      case Some(p) =>
+        // uniform value ranges of the priority, descending; bounds are a
+        // 2-scalar aggregate (bounded driver data, the rebalance stance).
+        // Equal priorities always share a bucket, so the (priority desc)
+        // fine order is consistent; degenerate min==max -> one bucket.
+        val row = eligible.agg(
+          min(col(p).cast("double")), max(col(p).cast("double"))).collect()(0)
+        if (row.isNullAt(0) || row.getDouble(0) == row.getDouble(1)) lit(0)
+        else {
+          val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+          when(col(p).isNull, lit(256)).otherwise(
+            lit(255) - least(width_bucket(col(p).cast("double"),
+              lit(lo), lit(hi), lit(255)), lit(255)).cast("int"))
+        }
+    }
+    val fineOrder: Seq[Column] =
+      priorityCol.map(p => col(p).desc_nulls_last).toSeq ++
+        Seq(md5(col(idCol).cast("string")), col(idCol))
+    val rows = eligible.withColumn("__b", bucket)
+      .withColumn("__t", col(tokensCol).cast("long"))
+    val coarse = rows.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__t")).as("__bt"))
+    val carryW = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = coarse
+      .withColumn("__carry", coalesce(sum(col("__bt")).over(carryW), lit(0L)))
+      .select(col(groupCol), col("__b"), col("__carry"))
+    val fineW = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(fineOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(carry, Seq(groupCol, "__b"))
+      .withColumn("__cum", col("__carry") + sum(col("__t")).over(fineW))
+      .filter(col("__cum") <= budget)
+      .drop("__b", "__t", "__carry", "__cum")
+  }
 }

@@ -206,4 +206,93 @@ class SamplingSpec extends SparkTestBase {
       Map("x" -> 0.5), 0.1).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"stratified sample should not shuffle:\n$plan")
   }
+
+  /** Plain-Scala single-pass reference of the token-budget greedy prefix:
+    * sort each group by (priority desc nulls last, md5(id), id), keep
+    * while the running token sum stays within budget.
+    */
+  private def refBudget(rows: Seq[(Long, String, Long, Option[Double])],
+                        budget: String => Long): Set[Long] = {
+    def hex(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val ordered = rs.sortBy { case (id, _, _, p) =>
+        (p.isEmpty, p.map(-_).getOrElse(0.0), hex(id), id)
+      }
+      var cum = 0L
+      ordered.flatMap { case (id, _, t, _) =>
+        cum += t
+        if (cum <= budget(g)) Some(id) else None
+      }
+    }.toSet
+  }
+
+  test("tokenBudgetPerGroup: hash-order fill matches the single-window reference") {
+    // token sizes engineered so budgets cut mid-group; zero-token rows
+    // ride along free; group sizes differ
+    val rows = (0L until 300L).map(i =>
+      (i, s"g${i % 4}", if (i % 11 == 0) 0L else (i % 17 + 1) * 3L,
+        None: Option[Double]))
+    val df = rows.map { case (id, g, t, _) => (id, g, t) }.toDF("id", "g", "t")
+    val got = Sampling.tokenBudgetPerGroup(df, "id", "g", "t", budget = 200L)
+      .select("id").as[Long].collect().toSet
+    assert(got == refBudget(rows, _ => 200L))
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetPerGroup(df.repartition(7), "id", "g", "t", 200L)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("tokenBudgetPerGroup: priority fill (ties + null priority) matches reference") {
+    // priority i % 5 forces heavy ties (md5 tiebreak decides); every
+    // 13th row has null priority (ranks last); tokens vary
+    val rows = (0L until 260L).map(i =>
+      (i, s"g${i % 3}", (i % 7 + 1) * 5L,
+        if (i % 13 == 0) None else Some((i % 5).toDouble)))
+    val df = rows.map { case (id, g, t, p) =>
+      (id, g, t, p.map(Double.box).orNull) }.toDF("id", "g", "t", "q")
+    val got = Sampling.tokenBudgetPerGroup(df, "id", "g", "t", 400L,
+      priorityCol = Some("q"))
+      .select("id").as[Long].collect().toSet
+    assert(got == refBudget(rows, _ => 400L))
+    // degenerate constant priority: one bucket, still exact
+    val const = rows.map { case (id, g, t, _) => (id, g, t, 1.0) }
+      .toDF("id", "g", "t", "q")
+    val gotConst = Sampling.tokenBudgetPerGroup(const, "id", "g", "t", 400L,
+      priorityCol = Some("q")).select("id").as[Long].collect().toSet
+    assert(gotConst == refBudget(
+      rows.map { case (id, g, t, _) => (id, g, t, Some(1.0)) }, _ => 400L))
+  }
+
+  test("tokenBudgetTargets: per-group budgets, unlisted groups dropped") {
+    val rows = (0L until 200L).map(i =>
+      (i, s"g${i % 4}", (i % 9 + 1) * 4L, None: Option[Double]))
+    val df = rows.map { case (id, g, t, _) => (id, g, t) }.toDF("id", "g", "t")
+    val budgets = Map("g0" -> 150L, "g2" -> 60L)
+    val got = Sampling.tokenBudgetTargets(df, "id", "g", "t", budgets)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(got.forall { case (_, g) => budgets.contains(g) })
+    assert(got.map(_._1).toSet ==
+      refBudget(rows.filter(r => budgets.contains(r._2)), budgets(_)))
+    // realized token sums honor each group's own budget
+    val sums = got.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(r => rows(r._1.toInt)._3).sum }
+    sums.foreach { case (g, s) => assert(s <= budgets(g), s"$g over budget: $s") }
+  }
+
+  test("tokenBudgetPerGroup: null/negative rows excluded, oversized budget keeps all") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(5L)),
+      (None, Some("a"), Some(5L)),      // null id
+      (Some(3L), None, Some(5L)),       // null group
+      (Some(4L), Some("a"), None),      // null tokens
+      (Some(5L), Some("a"), Some(-2L)), // negative tokens
+      (Some(6L), Some("a"), Some(0L))   // zero tokens: free rider
+    ).toDF("id", "g", "t")
+    val got = Sampling.tokenBudgetPerGroup(df, "id", "g", "t", 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 6L))
+  }
 }
