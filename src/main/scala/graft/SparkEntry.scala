@@ -1348,6 +1348,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext dedup — corpus-wide exact PARAGRAPH dedup with document
+    // reconstruction (the boilerplate killer): every doc gets a shared
+    // boilerplate paragraph injected between two 8-word slices of its
+    // text; the op keeps only the first occurrence of each normalized
+    // paragraph corpus-wide and reassembles docs in order. The oracle
+    // replays split/normalize/first-occurrence/reassemble in SQL.
+    "q110_paragraph_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            array_join(slice(words, 1, 8), " "),
+            lit("Subscribe to our newsletter!"),
+            array_join(slice(words, 9, 8), " ")).as("text"))
+      ext.Dedup.paragraphDedup(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ext streaming — span-level continuous dedup, batch replay form: the
     // second "day" of documents is probed against the first day's gram
     // store; the oracle replays the same two-batch fold in SQL.
@@ -2235,6 +2254,40 @@ object SparkEntry {
         |WHERE cum <= CASE lang WHEN 'en' THEN 25000
         |                       WHEN 'zh' THEN 10000 ELSE 8000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // split on newline (trailing empties kept by both engines),
+    // normalize lower/collapse-ws/trim, first occurrence = min (doc_id,
+    // idx) via row_number, empty-norm paragraphs always kept, reassemble
+    // with string_agg ORDER BY idx
+    "q110_paragraph_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+        |      chr(10), 'Subscribe to our newsletter!', chr(10),
+        |      array_to_string(list_slice(string_split(text, ' '), 9, 16), ' ')) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM base),
+        |p AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u
+        |        FROM sp)),
+        |k AS (
+        |  SELECT doc_id, idx, para, norm,
+        |    CASE WHEN norm = '' THEN 1
+        |      ELSE row_number() OVER (PARTITION BY norm ORDER BY doc_id, idx)
+        |    END AS rk
+        |  FROM p)
+        |SELECT k.doc_id,
+        |  string_agg(k.para, chr(10) ORDER BY k.idx) AS clean_text,
+        |  CAST(len(any_value(sp.t)) AS BIGINT) AS n_paras,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM k JOIN sp ON k.doc_id = sp.doc_id
+        |WHERE k.rk = 1
+        |GROUP BY k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
 
     // two-batch replay: day 1 against an empty store emits nothing; day 2
     // probes day 1's grams (q98's postings/island machinery, batch-tagged)

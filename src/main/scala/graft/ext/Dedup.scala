@@ -700,6 +700,63 @@ object Dedup {
       .drop("__spans")
   }
 
+  // ------------------------------------------------ paragraph-level dedup
+
+  /** Corpus-wide exact PARAGRAPH dedup with document reconstruction —
+    * the granularity between whole-document dedup ([[exact]]) and
+    * duplicated-span trimming ([[stripDuplicateSpans]]): split each
+    * document on `sep`, keep only the FIRST occurrence of every distinct
+    * normalized paragraph across the whole corpus (first = minimum
+    * (doc id, paragraph index), the [[exact]] min-id survivor stance),
+    * and reassemble each document from its surviving paragraphs in
+    * original order. The boilerplate killer for web corpora — repeated
+    * footers/navigation/disclaimers survive in exactly one document.
+    * Paragraphs that normalize to empty carry no content and are always
+    * kept (they are separators, not duplicates). Documents whose every
+    * paragraph was seen earlier produce no output row — compose with a
+    * left join on the source for outer semantics. Returns
+    * (idCol, clean_text, n_paras, n_kept).
+    *
+    * Scale shape: the explode is map-side; first-occurrence selection is
+    * ONE aggregate keyed by (xxhash64(norm), norm) — the hash leads the
+    * key so comparisons short-circuit, the full norm rides along so a
+    * hash collision cannot merge distinct paragraphs — carrying only the
+    * min (id, idx) struct; the keep decision joins that tiny result back
+    * on the same key (the exploded frame's exchange is reused, not
+    * recomputed); reassembly is the one groupBy(id) you were buying
+    * anyway. Never an all-pairs comparison, never a window over the
+    * corpus.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
+      .withColumn("__norm",
+        trim(regexp_replace(lower(col("__para")), "\\s+", " ")))
+      .withColumn("__h", xxhash64(col("__norm")))
+    val first = paras.filter(col("__norm") =!= "")
+      .groupBy(col("__h"), col("__norm"))
+      .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx")))
+        .as("__first"))
+    val kept = paras.join(first, Seq("__h", "__norm"), "left")
+      .filter(col("__norm") === "" ||
+        (col("__first.id") === col(idCol) && col("__first.idx") === col("__idx")))
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__para")))),
+          x => x("__para")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol),
+          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .cast("long").as("n_paras")),
+        Seq(idCol))
+      .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
+  }
+
   // ------------------------------------------------- connected components
 
   /** Connected components over an undirected edge list: returns

@@ -394,4 +394,71 @@ class DedupSpec extends SparkTestBase {
     // {1,2,3}: 2 and 3 tie on length 11 -> min id 2; {7,8}: tie -> 7
     assert(out == Seq((1L, 2L, 3L, 11L), (7L, 7L, 2L, 3L)))
   }
+
+  /** Plain-Scala reference of [[Dedup.paragraphDedup]]: split (keeping
+    * trailing empties, like Spark's split), normalize, global
+    * first-occurrence by (id, idx), reassemble in index order.
+    */
+  private def refParagraphDedup(in: Seq[(Long, String)],
+                                sep: String = "\n"): Map[Long, (String, Long, Long)] = {
+    val paras = in.flatMap { case (id, t) =>
+      t.split(java.util.regex.Pattern.quote(sep), -1).zipWithIndex.map {
+        case (p, i) => (id, i, p, p.toLowerCase.replaceAll("\\s+", " ").trim)
+      }
+    }
+    val first = paras.filter(_._4.nonEmpty).groupBy(_._4)
+      .map { case (n, ps) => n -> ps.map(p => (p._1, p._2)).min }
+    val kept = paras.filter(p => p._4.isEmpty || first(p._4) == ((p._1, p._2)))
+    val total = in.map { case (id, t) =>
+      id -> t.split(java.util.regex.Pattern.quote(sep), -1).length.toLong }.toMap
+    kept.groupBy(_._1).map { case (id, ps) =>
+      id -> (ps.sortBy(_._2).map(_._3).mkString(sep), total(id), ps.size.toLong)
+    }
+  }
+
+  test("paragraphDedup: boilerplate survives once, order and counts exact") {
+    val in = Seq(
+      (10L, "intro one\nSubscribe now!\nbody alpha"),
+      (11L, "intro two\nsubscribe   NOW!\nbody beta"), // normalized dup dropped
+      (12L, "Subscribe now!\nbody alpha\nbody gamma")  // both first paras seen
+    )
+    val out = Dedup.paragraphDedup(in.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out == refParagraphDedup(in))
+    // the boilerplate lives exactly once, in the earliest position
+    assert(out(10L)._1 == "intro one\nSubscribe now!\nbody alpha")
+    assert(out(11L)._1 == "intro two\nbody beta")
+    assert(out(12L)._1 == "body gamma" && out(12L)._2 == 3L && out(12L)._3 == 1L)
+  }
+
+  test("paragraphDedup: fully-duplicated doc vanishes; empty paras always kept") {
+    val in = Seq(
+      (1L, "same para\nother para"),
+      (2L, "same para\nother para"), // every paragraph seen -> no output row
+      (3L, "\n\n"),                  // all-empty paragraphs: kept verbatim
+      (4L, "same para\n\nfresh para"))
+    val out = Dedup.paragraphDedup(in.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out == refParagraphDedup(in))
+    assert(!out.contains(2L))
+    assert(out(3L) == (("\n\n", 3L, 3L)))
+    assert(out(4L) == (("\nfresh para", 3L, 2L)))
+  }
+
+  test("paragraphDedup: deterministic under repartitioning on a mixed corpus") {
+    val in = (0L until 120L).map { i =>
+      val shared = s"shared block ${i % 7}"
+      val unique = s"unique ${i} content"
+      (i, if (i % 3 == 0) s"$shared\n$unique" else s"$unique\n$shared\ntail ${i % 5}")
+    }
+    val df = in.toDF("doc_id", "text")
+    val a = Dedup.paragraphDedup(df, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Dedup.paragraphDedup(df.repartition(13), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(r => r._1 -> (r._2, r._3, r._4)).toMap == refParagraphDedup(in))
+  }
 }
