@@ -1326,6 +1326,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext multimodal — REAL pure-JVM GIF decode end-to-end: deterministic
+    // gradient images (every third id runs the real greedy LZW encoder,
+    // every other id is interlaced — row order the luma sum never sees),
+    // the native decoder walks blocks + LZW-decompresses + palette-maps,
+    // and the oracle recomputes exact-integer Rec.601 luma in closed
+    // form over the gradient (identity gray palette: luma = index).
+    "q111_gif_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "image",
+          ext.Gif.makeGif(id, 8, 4,
+            interlaced = id % 2 == 1, compressed = id % 3 == 0)))
+      ext.Multimodal.gifFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // ext sampling — greedy TOKEN-budget fill per language (unit of
     // account: n_chars), md5-ordered "random" fill; exact two-phase
     // bucket/carry form, never a single-task per-group window.
@@ -2225,6 +2244,21 @@ object SparkEntry {
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
         |ORDER BY doc_id""".stripMargin,
+
+    // 8×4 gray gradient v = (doc_id + x + y) % 256 under an identity
+    // palette: luma milli-sum is 1000·Σv exactly, whatever the encoding
+    // (literal vs LZW-compressed vs interlaced) — same grid as q105
+    "q111_gif_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  CAST(sum(1000 * ((d.doc_id + u.x + v.y) % 256)) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 32) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 7)) AS u(x),
+        |  unnest(generate_series(0, 3)) AS v(y)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // greedy prefix under a running-sum window: the two-phase bucket
     // form is exactly the single window over (md5(doc_id), doc_id)

@@ -358,11 +358,31 @@ object Multimodal {
     assets.mapPartitions(_.map(a => decodeJpeg(a.asset_id, a.kind, a.data)))
   }
 
+  /** REAL GIF87a/89a decode via the pure-JVM [[Gif]] module (LZW,
+    * palettes, sub-block walk) — same exact-integer Rec.601 luma
+    * convention as the other decoders; first frame only.
+    */
+  def decodeGif(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures = {
+    val d = Gif.decode(data)
+    ImageFeatures(assetId, kind, data.length.toLong, d.width, d.height,
+      d.channels, d.lumaMilli.toDouble / (1000.0 * 255.0 *
+        (d.width.toLong * d.height)))
+  }
+
+  /** Batch REAL-decode of GIF assets (same mapPartitions shape as
+    * [[bmpFeatures]]); fails loudly on non-GIF payloads.
+    */
+  def gifFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(a => decodeGif(a.asset_id, a.kind, a.data)))
+  }
+
   /** Decoder dispatch: real byte-level decode for the formats this
     * library parses natively — BMP by container signature, 8-bit
-    * truecolor PNG, and baseline JPEG, all pure-JVM; anything else
-    * (WebP, AVIF, ...) is environment-blocked (swap in e.g. ImageIO
-    * behind this signature).
+    * truecolor PNG, baseline JPEG, and GIF, all pure-JVM; anything
+    * else (WebP, AVIF, ...) is environment-blocked (swap in e.g.
+    * ImageIO behind this signature).
     */
   def decodeImage(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures =
     if (data.length >= 2 && data(0) == 'B' && data(1) == 'M')
@@ -373,9 +393,12 @@ object Multimodal {
     else if (data.length >= 2 &&
       (data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8)
       decodeJpeg(assetId, kind, data)
+    else if (data.length >= 4 && data(0) == 'G' && data(1) == 'I' &&
+      data(2) == 'F' && data(3) == '8')
+      decodeGif(assetId, kind, data)
     else throw new NotImplementedError(
-      "image codecs beyond BMP/PNG/baseline-JPEG not available in this " +
-        "environment - use fakeDecode (STUB) for other formats")
+      "image codecs beyond BMP/PNG/baseline-JPEG/GIF not available in " +
+        "this environment - use fakeDecode (STUB) for other formats")
 
   // --- deterministic payload builders (tests + gate): exact byte layouts
   // the real decoders parse

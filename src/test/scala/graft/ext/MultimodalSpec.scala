@@ -217,6 +217,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.width == 16 && f.height == 16 && f.channels == 3)
   }
 
+  test("decodeGif: gradient closed-form luma; literal, compressed, interlaced agree") {
+    for (seed <- Seq(0L, 9L, 250L); (w, h) <- Seq((8, 4), (13, 7))) {
+      val f = Multimodal.decodeGif(seed, "image", Gif.makeGif(seed, w, h))
+      assert(f.width == w && f.height == h && f.channels == 3)
+      val sumV = (for (x <- 0 until w; y <- 0 until h) yield (seed + x + y) % 256).sum
+      assert(f.mean_luma == sumV.toDouble * 1000.0 / (1000.0 * 255.0 * (w * h)),
+        s"luma mismatch at seed=$seed ${w}x$h")
+      // the real LZW encoder and the interlaced writer decode identically
+      val plain = Gif.decode(Gif.makeGif(seed, w, h))
+      assert(Gif.decode(Gif.makeGif(seed, w, h, compressed = true)) == plain)
+      assert(Gif.decode(Gif.makeGif(seed, w, h, interlaced = true)) == plain)
+    }
+  }
+
+  test("Gif LZW: uniform runs (KwKwK) and incompressible streams (width growth)") {
+    // all-same indices force code == dictSize (KwKwK) immediately
+    val uni = Array.fill(400)(77)
+    val d = Gif.decode(Gif.makeGifFromIndices(uni, width = 20))
+    assert(d.lumaMilli == 400L * 1000L * 77L)
+    // a non-repeating de Bruijn-ish stream adds an entry per pixel pair:
+    // >3840 entries drives the 10-, 11- and 12-bit code widths and the
+    // 4096-entry dictionary cap on both encoder and decoder
+    val hard = Array.tabulate(8192)(i => ((i * 37 + (i * i) % 251) % 256))
+    val dh = Gif.decode(Gif.makeGifFromIndices(hard, width = 64))
+    assert(dh.lumaMilli == hard.map(v => 1000L * v).sum)
+    // and the literal (uncompressed) writer agrees on the same stream
+    assert(Gif.decode(Gif.makeGifFromIndices(hard, 64, compressed = false)) == dh)
+  }
+
+  test("decodeGif: malformed payloads fail loudly by name") {
+    intercept[IllegalArgumentException](Gif.decode("NOTAGIF-------".getBytes))
+    // truncated mid-LZW
+    intercept[IllegalArgumentException](
+      Gif.decode(Gif.makeGif(1L, 8, 8).dropRight(10)))
+    // trailer with no image data
+    val empty = Gif.makeGif(1L, 4, 4)
+    val headerLen = 13 + 768 // header + screen descriptor + GCT
+    val noImage = empty.take(headerLen) :+ 0x3B.toByte
+    val e = intercept[IllegalArgumentException](Gif.decode(noImage))
+    assert(e.getMessage.contains("trailer"))
+    // frame larger than the declared screen
+    val big = Gif.makeGif(1L, 4, 4)
+    big(headerLen + 5) = 9 // frame width 9 > screen 4
+    intercept[IllegalArgumentException](Gif.decode(big))
+  }
+
+  test("decodeImage dispatches GIF by signature") {
+    val f = Multimodal.decodeImage(2L, "image", Gif.makeGif(2L, 8, 4))
+    assert(f.width == 8 && f.height == 4 && f.channels == 3)
+  }
+
   test("sampleFrames: one row per sampled offset, stub duration") {
     val packed = Multimodal.packAssets(docs, "doc_id", "text", kind = "video")
     val frames = Multimodal.sampleFrames(packed.as[Multimodal.Asset]).collect()
