@@ -1326,6 +1326,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext bpe — BPE vocabulary induction over the corpus (rows-only:
+    // iterative merge learning is not SQL-expressible; BpeSpec pins a
+    // plain-Scala reference incl. the (count, l, r) argmax tiebreak).
+    // Learning never iterates over the corpus: one (word, count)
+    // aggregate, then vocab-frame rounds.
+    "q112_bpe_vocab" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      ext.Bpe.learn(tbl(s, dir, "documents"), "text",
+          numMerges = 25, minPairCount = 2L)
+        .toDF()
+        .select(col("rank").cast("int"), col("left"), col("right"),
+          col("pair_count").cast("bigint"))
+        .orderBy("rank")
+    }),
+
     // ext multimodal — REAL pure-JVM GIF decode end-to-end: deterministic
     // gradient images (every third id runs the real greedy LZW encoder,
     // every other id is interlaced — row order the luma sum never sees),
