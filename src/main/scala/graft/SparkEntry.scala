@@ -1326,6 +1326,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext layout — deterministic global shuffle-and-shard for training
+    // export: shard = first 4 md5 hex chars mod 8, pos = dense rank by
+    // (md5, id) within the shard — computed via the exact two-phase
+    // bucket/carry form, never a per-shard window over the corpus.
+    "q113_shuffle_shards" -> ((s, dir) => {
+      ext.Layout.shuffleShards(tbl(s, dir, "documents").select("doc_id"),
+          "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // ext bpe — BPE vocabulary induction over the corpus (rows-only:
     // iterative merge learning is not SQL-expressible; BpeSpec pins a
     // plain-Scala reference incl. the (count, l, r) argmax tiebreak).
@@ -2259,6 +2270,23 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // shard from the first 4 md5 hex chars mod 8; pos replayed as a
+    // per-shard row_number over (md5, doc_id) — the engine's two-phase
+    // bucket/carry rank collapses to exactly this window
+    "q113_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, hx,
+        |    CAST(CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
 
     // 8×4 gray gradient v = (doc_id + x + y) % 256 under an identity

@@ -151,4 +151,52 @@ object Layout {
                   dest: String, bits: Int = 8): Unit =
     zorderCluster(df, zCols, numFiles, bits)
       .write.mode("overwrite").option("compression", "snappy").parquet(dest)
+
+  /** Deterministic global shuffle-and-shard for training export — the
+    * step between curation and the shard writer ("shuffle the corpus,
+    * cut it into N shards, number the rows inside each"): every row gets
+    * a `shard` in [0, nShards) and a dense 0-based `pos` within its
+    * shard, both pure functions of the row id — reproducible across
+    * engines, partitionings and re-runs, never a seeded RNG
+    * (the [[Sampling.hashSampled]] stance). Shard = the first 4 hex
+    * chars of md5(id) (uniform over 65536, [[Sampling]]'s bucket) mod
+    * nShards — sizes balance to ±O(n/65536) relative bias; within-shard
+    * order is (md5(id), id), i.e. hash-shuffled, which is the point of
+    * a training shard.
+    *
+    * Scale shape: `pos` is a global rank per shard, but NOT a
+    * per-shard window (a shard of a 100 TB corpus is ~total/N — far too
+    * big for one task). Same exact two-phase form as
+    * [[Sampling.tokenBudgetPerGroup]]: rows bucket by the first 2 hex
+    * chars of the SAME md5 the order sorts by (a sort-key prefix, so
+    * bucket order never contradicts row order); per-(shard, bucket)
+    * COUNTS make a tiny frame whose prefix sum yields each bucket's
+    * rank carry-in; row_number then runs partitioned by (shard, BUCKET)
+    * and pos = carry + rn − 1. Rows with null id are excluded (no
+    * identity). `idCol` must be unique per row (duplicate ids tie the
+    * order and make positions partition-dependent).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(nShards <= 65536, s"shard key is 16-bit; got $nShards shards")
+    val rows = df.filter(col(idCol).isNotNull)
+      .withColumn("__md5", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        (conv(substring(col("__md5"), 1, 4), 16, 10).cast("int") % nShards)
+          .cast("int"))
+      .withColumn("__b", conv(substring(col("__md5"), 1, 2), 16, 10).cast("int"))
+    val carryW = Window.partitionBy(col("shard")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rows.groupBy(col("shard"), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__carry", coalesce(sum(col("__bn")).over(carryW), lit(0L)))
+      .select(col("shard"), col("__b"), col("__carry"))
+    val fineW = Window.partitionBy(col("shard"), col("__b"))
+      .orderBy(col("__md5"), col(idCol))
+    rows.join(carry, Seq("shard", "__b"))
+      .withColumn("pos",
+        col("__carry") + row_number().over(fineW).cast("long") - 1L)
+      .drop("__md5", "__b", "__carry")
+  }
 }

@@ -89,4 +89,54 @@ class LayoutSpec extends SparkTestBase {
     assert(zX * zY < 0.25 * (lX * lY + 1e-9) || zX * zY < 0.1,
       s"z product ${zX * zY} vs baseline ${lX * lY}")
   }
+
+  /** Plain-Scala reference of [[Layout.shuffleShards]]: shard from the
+    * first 4 md5 hex chars mod n, pos by (md5, id) rank within shard.
+    */
+  private def refShards(ids: Seq[Long], n: Int): Map[Long, (Int, Long)] = {
+    def hex(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val withHex = ids.map(id => (id, hex(id)))
+    val byShard = withHex.groupBy { case (_, h) =>
+      Integer.parseInt(h.take(4), 16) % n }
+    byShard.flatMap { case (s, rs) =>
+      rs.sortBy { case (id, h) => (h, id) }.zipWithIndex.map {
+        case ((id, _), i) => id -> (s, i.toLong)
+      }
+    }
+  }
+
+  test("shuffleShards: matches the reference rank exactly, all shards dense") {
+    val ids = (0L until 500L) ++ Seq(100000L, 999999L)
+    val df = ids.toDF("id")
+    val got = Layout.shuffleShards(df, "id", nShards = 8)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == refShards(ids, 8))
+    // every shard's positions are a dense 0..k-1 range
+    got.values.groupBy(_._1).foreach { case (s, rs) =>
+      val ps = rs.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.length), s"shard $s positions not dense")
+    }
+    // deterministic under repartitioning
+    val again = Layout.shuffleShards(df.repartition(11), "id", 8)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == got)
+  }
+
+  test("shuffleShards: sizes balance; null ids excluded; bad nShards rejected") {
+    val df = (0L until 4000L).toDF("id")
+    val sizes = Layout.shuffleShards(df, "id", 16)
+      .groupBy("shard").count().collect().map(r => r.getLong(1))
+    assert(sizes.length == 16)
+    assert(sizes.min > 150 && sizes.max < 350, // 250 expected, hash spread
+      s"shard sizes badly skewed: ${sizes.sorted.toSeq}")
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("id")
+    assert(Layout.shuffleShards(withNull, "id", 4).count() == 2)
+    intercept[IllegalArgumentException](Layout.shuffleShards(df, "id", 0))
+    intercept[IllegalArgumentException](Layout.shuffleShards(df, "id", 70000))
+  }
 }
