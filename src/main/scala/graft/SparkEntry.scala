@@ -1326,6 +1326,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext functions — Unicode NFC normalization (codegen'd JDK
+    // Normalizer expression, the pre-dedup canonicalization pass):
+    // even ids get a DECOMPOSED e+combining-acute spliced into their
+    // text (NFC joins it, length shrinks by 1), odd ids the precomposed
+    // char (NFC no-op); the oracle replays with DuckDB nfc_normalize.
+    "q114_unicode_nfc" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 10),
+        when(col("doc_id") % 2 === 0, lit("e\u0301")).otherwise(lit("\u00e9")),
+        substring(col("text"), 11, 10))
+      tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextNormalizeFunctions.unicodeNormalize(raw)
+            .as("nfc_text"),
+          length(raw).cast("bigint").as("n_raw"),
+          length(graft.functions.TextNormalizeFunctions.unicodeNormalize(raw))
+            .cast("bigint").as("n_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // ext layout — deterministic global shuffle-and-shard for training
     // export: shard = first 4 md5 hex chars mod 8, pos = dense rank by
     // (md5, id) within the shard — computed via the exact two-phase
@@ -2270,6 +2290,21 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // chr(769) = U+0301 combining acute, chr(233) = U+00E9 precomposed;
+    // DuckDB length() counts code points like Spark's
+    "q114_unicode_nfc" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    concat(substr(text, 1, 10),
+        |      CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END,
+        |      substr(text, 11, 10)) AS raw
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        |  CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc
+        |FROM base
         |ORDER BY doc_id""".stripMargin,
 
     // shard from the first 4 md5 hex chars mod 8; pos replayed as a

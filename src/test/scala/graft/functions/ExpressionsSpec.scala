@@ -107,4 +107,34 @@ class ExpressionsSpec extends SparkTestBase {
       .as[Seq[Int]].collect()(0)
     assert(out == Seq(3, 2)) // set0: la,la,el; set1: la,la
   }
+
+  test("UnicodeNormalize: all four forms match java.text.Normalizer") {
+    val samples = Seq(
+      "e\u0301clair",          // combining acute: NFC joins to precomposed
+      "\u00e9clair",           // precomposed: NFC no-op, NFD decomposes
+      "\uFF28\uFF25llo",       // full-width HE: NFKC folds to ASCII
+      "\uFB01le",              // fi ligature: NFKC folds to "file"
+      "plain ascii", "")
+    val df = samples.toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(
+        TextNormalizeFunctions.unicodeNormalize($"s", form)).as[String].collect()
+      val want = samples.map(s =>
+        java.text.Normalizer.normalize(s, UnicodeNormalize.formOf(form)))
+      assert(got.toSeq == want, s"form $form")
+    }
+    // NFC joins the combining pair; NFKC folds width and ligature
+    val nfc = df.select(TextNormalizeFunctions.unicodeNormalize($"s"))
+      .as[String].collect()
+    assert(nfc(0) == "\u00e9clair")
+    val nfkc = df.select(TextNormalizeFunctions.unicodeNormalize($"s", "NFKC"))
+      .as[String].collect()
+    assert(nfkc(2) == "HEllo" && nfkc(3) == "file")
+    // nulls pass through; bad form fails at construction
+    val withNull = Seq(Option.empty[String]).toDF("s")
+      .select(TextNormalizeFunctions.unicodeNormalize($"s")).collect()(0)
+    assert(withNull.isNullAt(0))
+    intercept[IllegalArgumentException](
+      TextNormalizeFunctions.unicodeNormalize($"s", "NFX"))
+  }
 }
