@@ -82,6 +82,7 @@ object Bpe {
     val spark = counts.sparkSession
     import spark.implicits._
     var words: Dataset[WordSyms] = counts
+      .filter(col("word").isNotNull && col("word") =!= "")
       .select(col("word").cast("string"), col("n").cast("long"))
       .as[(String, Long)]
       .map { case (w, n) =>

@@ -714,8 +714,10 @@ object Dedup {
     * Paragraphs that normalize to empty carry no content and are always
     * kept (they are separators, not duplicates). Documents whose every
     * paragraph was seen earlier produce no output row — compose with a
-    * left join on the source for outer semantics. Returns
-    * (idCol, clean_text, n_paras, n_kept).
+    * left join on the source for outer semantics. `idCol` must be UNIQUE
+    * per row (the usual dense doc id): duplicate ids would explode two
+    * documents' paragraphs under one key and reassemble them interleaved.
+    * Returns (idCol, clean_text, n_paras, n_kept).
     *
     * Scale shape: the explode is map-side; first-occurrence selection is
     * ONE aggregate keyed by (xxhash64(norm), norm) — the hash leads the
@@ -731,8 +733,11 @@ object Dedup {
                      sep: String = "\n"): DataFrame = {
     val paras = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol), posexplode(split(col(textCol),
-        java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
+      .select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("__np"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
       .withColumn("__norm",
         trim(regexp_replace(lower(col("__para")), "\\s+", " ")))
       .withColumn("__h", xxhash64(col("__norm")))
@@ -743,17 +748,15 @@ object Dedup {
     val kept = paras.join(first, Seq("__h", "__norm"), "left")
       .filter(col("__norm") === "" ||
         (col("__first.id") === col(idCol) && col("__first.idx") === col("__idx")))
+    // n_paras rides the exploded frame (max over identical per-row
+    // values) — no second corpus scan or join just for a count
     kept.groupBy(col(idCol))
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("__idx"), col("__para")))),
           x => x("__para")), sep).as("clean_text"),
+        max(col("__np")).as("n_paras"),
         count(lit(1)).as("n_kept"))
-      .join(docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-        .select(col(idCol),
-          size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-            .cast("long").as("n_paras")),
-        Seq(idCol))
       .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
   }
 

@@ -58,7 +58,7 @@ object Gif {
         case 0x3B => throw new IllegalArgumentException(
           "GIF trailer reached with no image data")
         case 0x21 => // extension: label + sub-blocks, skipped
-          require(off + 2 <= data.length, "GIF extension truncated")
+          require(off + 2 < data.length, "GIF extension truncated")
           off += 2
           var len = data(off) & 0xFF
           while (len != 0) {

@@ -161,6 +161,7 @@ object Jpeg {
             val pq = (data(p) & 0xF0) >> 4
             val tq = data(p) & 0x0F
             require(pq == 0, "only 8-bit quantization tables supported here")
+            require(tq <= 3, s"bad DQT table id $tq")
             require(p + 65 <= off + 2 + len, "DQT truncated")
             qt(tq) = Array.tabulate(64)(i => data(p + 1 + i) & 0xFF)
             p += 65
@@ -185,6 +186,8 @@ object Jpeg {
           width = u16(data, seg + 3)
           val nc = data(seg + 5) & 0xFF
           require(width > 0 && height > 0, s"malformed dimensions ${width}x$height")
+          require(width.toLong * height <= (1L << 28),
+            s"JPEG frame too large: ${width}x$height")
           require(nc == 1 || nc == 3,
             s"only grayscale/YCbCr supported here ($nc components)")
           comps = Array.tabulate(nc) { i =>
@@ -245,8 +248,11 @@ object Jpeg {
     val nMcus = mcusX * mcusY
     while (mcu < nMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // byte-aligned RSTn between restart intervals; predictors reset
+        // byte-aligned RSTn between restart intervals; predictors reset.
+        // T.81 B.1.1.2: any marker may be preceded by FF fill bytes
         br.align()
+        while (br.pos + 2 < data.length && (data(br.pos) & 0xFF) == 0xFF &&
+          (data(br.pos + 1) & 0xFF) == 0xFF) br.pos += 1
         require(br.pos + 2 <= data.length &&
           (data(br.pos) & 0xFF) == 0xFF &&
           (data(br.pos + 1) & 0xFF) >= 0xD0 && (data(br.pos + 1) & 0xFF) <= 0xD7,
@@ -379,8 +385,9 @@ object Jpeg {
     Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
   private val StdDcChromaSymbols = (0 to 11).toArray
   // minimal AC table: EOB (0x00) code "0", ZRL (0xF0) code "10", and the
-  // (run=0, size=1..8) codes — enough to encode any test coefficient
-  // pattern while keeping the canonical multi-length decode path honest
+  // (run=0, size=1..8) codes — supports test patterns whose nonzero ACs
+  // are adjacent or separated by exact multiples of 16 zeros, with
+  // |value| <= 255; anything else fails loudly in encodeBlock
   private val TestAcCounts =
     Array(1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0)
   private val TestAcSymbols =
@@ -451,6 +458,9 @@ object Jpeg {
       else {
         while (run >= 16) { val (c, l) = acCodes(0xF0); bw.put(c, l); run -= 16 }
         val sz = category(zz(k))
+        require(acCodes.contains((run << 4) | sz),
+          s"test AC table lacks (run=$run, size=$sz): nonzero ACs must be " +
+            "adjacent or 16-zero-separated, |value| <= 255")
         val (c, l) = acCodes((run << 4) | sz)
         bw.put(c, l)
         bw.put(if (zz(k) < 0) zz(k) - 1 + (1 << sz) else zz(k), sz)

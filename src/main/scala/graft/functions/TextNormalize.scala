@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
 
-  UnicodeNormalize.formOf(form) // fail at construction on a bad form name
+  // resolve ONCE at construction (also validates the name); the per-row
+  // path receives the enum ordinal — no string match or allocation
+  private val resolvedForm = UnicodeNormalize.formOf(form)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
@@ -41,11 +43,13 @@ case class UnicodeNormalize(child: Expression, form: String)
   }
 
   override def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String],
+      resolvedForm.ordinal)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.UnicodeNormalize.normalize($c, "$form");""")
+      s"${ev.value} = graft.functions.UnicodeNormalize.normalize($c, " +
+        s"${resolvedForm.ordinal});")
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
@@ -63,9 +67,13 @@ object UnicodeNormalize {
         s"unknown Unicode normalization form '$other' (NFC/NFD/NFKC/NFKD)")
     }
 
-  /** Static entry shared by interpreted eval and generated code. */
-  def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = formOf(form)
+  private val Forms = java.text.Normalizer.Form.values()
+
+  /** Static entry shared by interpreted eval and generated code; `form`
+    * is the Form enum ordinal resolved once at expression construction.
+    */
+  def normalize(s: UTF8String, form: Int): UTF8String = {
+    val f = Forms(form)
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))

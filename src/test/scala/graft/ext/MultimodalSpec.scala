@@ -210,6 +210,15 @@ class MultimodalSpec extends SparkTestBase {
     cmyk(j + 9) = 4 // SOF nc byte
     val e2 = intercept[IllegalArgumentException](Jpeg.decode(cmyk))
     assert(e2.getMessage.contains("components"))
+    // absurd declared dimensions must be a named refusal, not a giant
+    // allocation (or an Int-wrapped zero-length plane)
+    val huge = Jpeg.makeJpeg(1L, 2, 2, "gray")
+    var h2 = 0
+    while (!((huge(h2) & 0xFF) == 0xFF && (huge(h2 + 1) & 0xFF) == 0xC0)) h2 += 1
+    huge(h2 + 5) = 0xFF.toByte; huge(h2 + 6) = 0xFF.toByte // height 65535
+    huge(h2 + 7) = 0xFF.toByte; huge(h2 + 8) = 0xFF.toByte // width 65535
+    val e3 = intercept[IllegalArgumentException](Jpeg.decode(huge))
+    assert(e3.getMessage.contains("too large"))
   }
 
   test("decodeImage dispatches JPEG by SOI signature") {
@@ -261,6 +270,11 @@ class MultimodalSpec extends SparkTestBase {
     val big = Gif.makeGif(1L, 4, 4)
     big(headerLen + 5) = 9 // frame width 9 > screen 4
     intercept[IllegalArgumentException](Gif.decode(big))
+    // truncated right after an extension introducer + label: must be the
+    // named extension error, not an index crash
+    val extTrunc = empty.take(headerLen) ++ Array(0x21.toByte, 0xFE.toByte)
+    val e4 = intercept[IllegalArgumentException](Gif.decode(extTrunc))
+    assert(e4.getMessage.contains("extension"))
   }
 
   test("decodeImage dispatches GIF by signature") {
