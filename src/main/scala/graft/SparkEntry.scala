@@ -1326,6 +1326,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext capstone — the EXPORT pipeline: token-budget mixture fill
+    // (q108's stage) feeding deterministic shuffle-and-shard (q113's
+    // stage) — the last two steps before the shard writer, composed;
+    // the oracle composes the two stage oracles.
+    "q115_export_pipeline" -> ((s, dir) => {
+      val selected = ext.Sampling.tokenBudgetPerGroup(tbl(s, dir, "documents"),
+        "doc_id", "lang", "n_chars", budget = 15000L)
+      ext.Layout.shuffleShards(selected.select("doc_id", "lang", "n_chars"),
+          "doc_id", nShards = 4)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // ext functions — Unicode NFC normalization (codegen'd JDK
     // Normalizer expression, the pre-dedup canonicalization pass):
     // even ids get a DECOMPOSED e+combining-acute spliced into their
@@ -2290,6 +2304,31 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // q108's greedy-prefix CTE feeding q113's shard/rank logic
+    "q115_export_pipeline" ->
+      """WITH sel AS (
+        |  SELECT doc_id, lang, n_chars FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      sum(n_chars) OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM documents
+        |    WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |      AND n_chars IS NOT NULL AND n_chars >= 0)
+        |  WHERE cum <= 15000),
+        |h AS (
+        |  SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM sel),
+        |s AS (
+        |  SELECT doc_id, lang, n_chars, hx,
+        |    CAST(CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 4 AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, lang, n_chars, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
 
     // chr(769) = U+0301 combining acute, chr(233) = U+00E9 precomposed;
