@@ -1326,6 +1326,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext text — encoding-quality audit (mojibake detection): ids cycle
+    // through an injected UTF-8-as-latin1 digraph / replacement char /
+    // C1 control / clean; three pure per-row regex counts + ratio, the
+    // oracle replays the same \x{hhhh} patterns in RE2.
+    "q116_encoding_quality" -> ((s, dir) => {
+      val marker = when(col("doc_id") % 4 === 0, lit("\u00c3\u00a9"))
+        .when(col("doc_id") % 4 === 1, lit("\ufffd"))
+        .when(col("doc_id") % 4 === 2, lit("\u0085"))
+        .otherwise(lit(""))
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), concat(marker, col("text")).as("text"))
+      ext.TextStats.encodingQuality(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ext capstone — the EXPORT pipeline: token-budget mixture fill
     // (q108's stage) feeding deterministic shuffle-and-shard (q113's
     // stage) — the last two steps before the shard writer, composed;
@@ -2304,6 +2320,32 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // chr(195)||chr(169) = "Ã©", chr(65533) = U+FFFD, chr(133) = a C1
+    // control; DuckDB regexp_extract_all + len counts matches
+    "q116_encoding_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    concat(CASE WHEN doc_id % 4 = 0 THEN chr(195) || chr(169)
+        |                WHEN doc_id % 4 = 1 THEN chr(65533)
+        |                WHEN doc_id % 4 = 2 THEN chr(133)
+        |                ELSE '' END, text) AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '\x{fffd}')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(t, '[\x{0080}-\x{009f}]')) AS BIGINT)
+        |      AS n_c1_controls,
+        |    CAST(len(regexp_extract_all(t, '\x{00c3}[\x{0080}-\x{00bf}]')) AS BIGINT)
+        |      AS n_latin1_utf8,
+        |    CAST(length(t) AS BIGINT) AS n_chars
+        |  FROM base)
+        |SELECT doc_id, n_replacement, n_c1_controls, n_latin1_utf8, n_chars,
+        |  CAST(n_replacement + n_c1_controls + n_latin1_utf8 AS DOUBLE)
+        |    / greatest(n_chars, 1) AS bad_ratio
+        |FROM c
         |ORDER BY doc_id""".stripMargin,
 
     // q108's greedy-prefix CTE feeding q113's shard/rank logic

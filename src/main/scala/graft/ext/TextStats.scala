@@ -443,6 +443,36 @@ object TextStats {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Encoding-quality audit — the mojibake detector of a web-corpus
+    * quality gate. Three independent signals, all pure per-row regex
+    * counts (no shuffle, codegen'd):
+    *   - `n_replacement`: U+FFFD replacement characters (a decoder
+    *     already gave up);
+    *   - `n_c1_controls`: C1 control characters U+0080–U+009F (classic
+    *     cp1252-bytes-decoded-as-latin1 smart quotes land here);
+    *   - `n_latin1_utf8`: Ã followed by a U+0080–U+00BF continuation-
+    *     byte codepoint (UTF-8 bytes decoded as latin-1/cp1252 — "Ã©"
+    *     for é).
+    * `bad_ratio` = their sum over the codepoint length (0 for empty
+    * text); gate on it like [[qualityScore]]. Patterns use \x{hhhh}
+    * classes, valid in both Java regex and RE2 — the oracle replays
+    * them verbatim.
+    */
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col(textCol)
+    df.filter(s.isNotNull)
+      .select(col(idCol),
+        regexp_count(s, lit("\\x{fffd}")).cast("long").as("n_replacement"),
+        regexp_count(s, lit("[\\x{0080}-\\x{009f}]")).cast("long")
+          .as("n_c1_controls"),
+        regexp_count(s, lit("\\x{00c3}[\\x{0080}-\\x{00bf}]")).cast("long")
+          .as("n_latin1_utf8"),
+        length(s).cast("long").as("n_chars"))
+      .withColumn("bad_ratio",
+        (col("n_replacement") + col("n_c1_controls") + col("n_latin1_utf8"))
+          .cast("double") / greatest(col("n_chars"), lit(1L)).cast("double"))
+  }
+
   /** One-call frame transformer: append the full stats column set. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

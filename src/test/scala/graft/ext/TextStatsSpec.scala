@@ -200,4 +200,27 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(("q", "x")) == 0.75)
     assert(out(("x", "y")) > out(("q", "x")))
   }
+
+  test("encodingQuality: the three mojibake signals count independently") {
+    val docs = Seq(
+      (1L, "caf\u00c3\u00a9 and \u00c3\u00a8"), // two UTF-8-as-latin1 digraphs
+      (2L, "x\ufffd\ufffdy"),                     // two replacement chars
+      (3L, "a\u0085b\u0092"),                     // two C1 controls
+      (4L, "perfectly clean ascii"),
+      (5L, ""),                                 // empty: ratio 0, no div-by-zero
+      (6L, null.asInstanceOf[String])           // null: filtered
+    ).toDF("doc_id", "text")
+    val out = TextStats.encodingQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+    assert(out(1L).getAs[Long]("n_latin1_utf8") == 2
+      && out(1L).getAs[Long]("n_replacement") == 0)
+    assert(out(2L).getAs[Long]("n_replacement") == 2)
+    assert(out(3L).getAs[Long]("n_c1_controls") == 2)
+    assert(out(4L).getAs[Double]("bad_ratio") == 0.0)
+    assert(out(5L).getAs[Double]("bad_ratio") == 0.0)
+    assert(out(2L).getAs[Double]("bad_ratio") == 2.0 / 4.0)
+    // the © continuation codepoint is NOT independently a C1 hit
+    assert(out(1L).getAs[Long]("n_c1_controls") == 0)
+  }
 }
