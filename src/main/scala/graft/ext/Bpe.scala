@@ -89,7 +89,10 @@ object Bpe {
         val chars = w.map(_.toString)
         WordSyms(w, n, chars.init :+ (chars.last + EndOfWord))
       }
-    words = PlanCapture.cut(words.toDF()).as[WordSyms]
+    // the vocab frame is distinct-word-sized — orders of magnitude below
+    // the corpus; a handful of partitions keeps the ~numMerges rounds of
+    // tiny per-round jobs from paying 32-task scheduling overhead each
+    words = PlanCapture.cut(words.toDF().coalesce(8)).as[WordSyms]
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
