@@ -1326,6 +1326,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext dedup — INCREMENTAL paragraph dedup (batch vs corpus, the
+    // daily-ingest shape): batch = doc_id % 3 == 0 with the q110
+    // construction, corpus = the rest; corpus paragraphs collapse to
+    // distinct norms in-scan and anti-join the batch's survivors.
+    "q117_paragraph_dedup_incr" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            array_join(slice(words, 1, 8), " "),
+            lit("Subscribe to our newsletter!"),
+            array_join(slice(words, 9, 8), " ")).as("text"))
+      ext.Dedup.paragraphDedupIncremental(
+          shaped.filter(col("doc_id") % 3 === 0),
+          shaped.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ext text — encoding-quality audit (mojibake detection): ids cycle
     // through an injected UTF-8-as-latin1 digraph / replacement char /
     // C1 control / clean; three pure per-row regex counts + ratio, the
@@ -2321,6 +2341,46 @@ object SparkEntry {
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
         |ORDER BY doc_id""".stripMargin,
+
+    // q110's machinery on the batch third, plus an anti-join against the
+    // corpus thirds' distinct normalized paragraphs
+    "q117_paragraph_dedup_incr" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+        |      chr(10), 'Subscribe to our newsletter!', chr(10),
+        |      array_to_string(list_slice(string_split(text, ' '), 9, 16), ' ')) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |cn AS (
+        |  SELECT DISTINCT
+        |    trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT unnest(string_split(text, chr(10))) AS para
+        |        FROM raw WHERE doc_id % 3 <> 0)
+        |  WHERE trim(regexp_replace(lower(para), '\s+', ' ', 'g')) <> ''),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS t
+        |       FROM raw WHERE doc_id % 3 = 0),
+        |p AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u
+        |        FROM sp)),
+        |k AS (
+        |  SELECT doc_id, idx, para, norm,
+        |    CASE WHEN norm = '' THEN 1
+        |      ELSE row_number() OVER (PARTITION BY norm ORDER BY doc_id, idx)
+        |    END AS rk
+        |  FROM p)
+        |SELECT k.doc_id,
+        |  string_agg(k.para, chr(10) ORDER BY k.idx) AS clean_text,
+        |  CAST(len(any_value(sp.t)) AS BIGINT) AS n_paras,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM k JOIN sp ON k.doc_id = sp.doc_id
+        |WHERE k.rk = 1
+        |  AND (k.norm = '' OR k.norm NOT IN (SELECT norm FROM cn))
+        |GROUP BY k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
 
     // chr(195)||chr(169) = "Ã©", chr(65533) = U+FFFD, chr(133) = a C1
     // control; DuckDB regexp_extract_all + len counts matches

@@ -731,7 +731,47 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n"): DataFrame = {
-    val paras = docs
+    val paras = paragraphFrame(docs, idCol, textCol, sep)
+    reassembleParagraphs(keepFirstOccurrences(paras, idCol), idCol, sep)
+  }
+
+  /** Incremental [[paragraphDedup]]: dedup a NEW batch against an
+    * existing corpus — the daily-ingest shape. A batch paragraph is
+    * dropped when its normalized form appears ANYWHERE in the corpus,
+    * or earlier within the batch itself; empty-norm paragraphs are
+    * separators and always survive. The corpus side collapses to
+    * DISTINCT (hash, norm) pairs in-scan (partial aggregation — the
+    * corpus is never exploded through a shuffle at full width and the
+    * batch never joins corpus×corpus), then anti-joins the batch's
+    * already-first-occurrence-filtered paragraphs. Same unique-id
+    * contract and output shape as [[paragraphDedup]].
+    */
+  def paragraphDedupIncremental(batch: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                sep: String = "\n"): DataFrame = {
+    val paras = paragraphFrame(batch, idCol, textCol, sep)
+    val corpusNorms = corpus.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("__cpara"))
+      .select(trim(regexp_replace(lower(col("__cpara")), "\\s+", " "))
+        .as("__norm"))
+      .filter(col("__norm") =!= "")
+      .select(xxhash64(col("__norm")).as("__h"), col("__norm"))
+      .distinct()
+    // empty-norm rows survive the anti join by construction (the corpus
+    // set carries no empty norm)
+    val fresh = keepFirstOccurrences(paras, idCol)
+      .join(corpusNorms, Seq("__h", "__norm"), "left_anti")
+    reassembleParagraphs(fresh, idCol, sep)
+  }
+
+  /** Exploded (id, __np, __idx, __para, __norm, __h) paragraph frame
+    * shared by the paragraph-dedup forms; n_paras rides along so no
+    * second corpus scan is needed for the count.
+    */
+  private def paragraphFrame(docs: DataFrame, idCol: String,
+                             textCol: String, sep: String): DataFrame =
+    docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol),
         size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
@@ -741,15 +781,22 @@ object Dedup {
       .withColumn("__norm",
         trim(regexp_replace(lower(col("__para")), "\\s+", " ")))
       .withColumn("__h", xxhash64(col("__norm")))
+
+  /** First-occurrence filter: one aggregate keyed by (hash, norm)
+    * carrying only the min (id, idx) struct; empty norms always kept.
+    */
+  private def keepFirstOccurrences(paras: DataFrame, idCol: String): DataFrame = {
     val first = paras.filter(col("__norm") =!= "")
       .groupBy(col("__h"), col("__norm"))
       .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx")))
         .as("__first"))
-    val kept = paras.join(first, Seq("__h", "__norm"), "left")
+    paras.join(first, Seq("__h", "__norm"), "left")
       .filter(col("__norm") === "" ||
         (col("__first.id") === col(idCol) && col("__first.idx") === col("__idx")))
-    // n_paras rides the exploded frame (max over identical per-row
-    // values) — no second corpus scan or join just for a count
+  }
+
+  private def reassembleParagraphs(kept: DataFrame, idCol: String,
+                                   sep: String): DataFrame =
     kept.groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -758,7 +805,6 @@ object Dedup {
         max(col("__np")).as("n_paras"),
         count(lit(1)).as("n_kept"))
       .select(col(idCol), col("clean_text"), col("n_paras"), col("n_kept"))
-  }
 
   // ------------------------------------------------- connected components
 

@@ -447,6 +447,30 @@ class DedupSpec extends SparkTestBase {
     assert(out(4L) == (("\nfresh para", 3L, 2L)))
   }
 
+  test("paragraphDedupIncremental: corpus paragraphs drop, batch dedups within") {
+    val corpus = Seq(
+      (100L, "old news\nSubscribe now!"),
+      (101L, "other  SUBSCRIBE now!\nolder news")) // normalized match too
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh intro\nSubscribe now!\nfresh body"), // boilerplate in corpus
+      (2L, "fresh intro\n\nfresh tail"),   // 'fresh intro' seen in doc 1
+      (3L, "old news\nolder news"))        // fully absorbed by the corpus
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupIncremental(batch, corpus, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("fresh intro\nfresh body", 3L, 2L)))
+    assert(out(2L) == (("\nfresh tail", 3L, 2L))) // empty para survives
+    assert(!out.contains(3L))
+    // within-batch first occurrence also respects the min (id, idx) rule
+    val again = Dedup.paragraphDedupIncremental(
+      batch.repartition(5), corpus.repartition(3), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(again == out)
+  }
+
   test("paragraphDedup: deterministic under repartitioning on a mixed corpus") {
     val in = (0L until 120L).map { i =>
       val shared = s"shared block ${i % 7}"
