@@ -1353,7 +1353,7 @@ object SparkEntry {
     "q116_encoding_quality" -> ((s, dir) => {
       val marker = when(col("doc_id") % 4 === 0, lit("\u00c3\u00a9"))
         .when(col("doc_id") % 4 === 1, lit("\ufffd"))
-        .when(col("doc_id") % 4 === 2, lit("\u0085"))
+        .when(col("doc_id") % 4 === 2, lit("\u0085\u00c3\u0088"))
         .otherwise(lit(""))
       val docs = tbl(s, dir, "documents")
         .filter(col("doc_id").isNotNull && col("text").isNotNull)
@@ -2382,14 +2382,17 @@ object SparkEntry {
         |GROUP BY k.doc_id
         |ORDER BY k.doc_id""".stripMargin,
 
-    // chr(195)||chr(169) = "Ã©", chr(65533) = U+FFFD, chr(133) = a C1
-    // control; DuckDB regexp_extract_all + len counts matches
+    // chr(195)||chr(169) = a lowercase-accent mojibake digraph,
+    // chr(65533) = U+FFFD, chr(133)||chr(195)||chr(136) = a bare C1
+    // control plus an UPPERCASE-accent digraph whose continuation is
+    // itself C1 (the overlap the ratio subtracts); DuckDB
+    // regexp_extract_all + len counts matches
     "q116_encoding_quality" ->
       """WITH base AS (
         |  SELECT doc_id,
         |    concat(CASE WHEN doc_id % 4 = 0 THEN chr(195) || chr(169)
         |                WHEN doc_id % 4 = 1 THEN chr(65533)
-        |                WHEN doc_id % 4 = 2 THEN chr(133)
+        |                WHEN doc_id % 4 = 2 THEN chr(133) || chr(195) || chr(136)
         |                ELSE '' END, text) AS t
         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |c AS (
@@ -2400,10 +2403,12 @@ object SparkEntry {
         |      AS n_c1_controls,
         |    CAST(len(regexp_extract_all(t, '\x{00c3}[\x{0080}-\x{00bf}]')) AS BIGINT)
         |      AS n_latin1_utf8,
+        |    CAST(len(regexp_extract_all(t, '\x{00c3}[\x{0080}-\x{009f}]')) AS BIGINT)
+        |      AS ovl,
         |    CAST(length(t) AS BIGINT) AS n_chars
         |  FROM base)
         |SELECT doc_id, n_replacement, n_c1_controls, n_latin1_utf8, n_chars,
-        |  CAST(n_replacement + n_c1_controls + n_latin1_utf8 AS DOUBLE)
+        |  CAST(n_replacement + n_c1_controls + n_latin1_utf8 - ovl AS DOUBLE)
         |    / greatest(n_chars, 1) AS bad_ratio
         |FROM c
         |ORDER BY doc_id""".stripMargin,

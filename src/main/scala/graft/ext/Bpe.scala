@@ -91,8 +91,11 @@ object Bpe {
       }
     // the vocab frame is distinct-word-sized — orders of magnitude below
     // the corpus; a handful of partitions keeps the ~numMerges rounds of
-    // tiny per-round jobs from paying 32-task scheduling overhead each
-    words = PlanCapture.cut(words.toDF().coalesce(8)).as[WordSyms]
+    // tiny per-round jobs from paying 32-task scheduling overhead each.
+    // Coalesce AFTER the checkpoint: before it, the no-shuffle coalesce
+    // would propagate up and throttle the corpus-sized word-count
+    // aggregation itself to 8 tasks.
+    words = PlanCapture.cut(words.toDF()).as[WordSyms].coalesce(8)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0

@@ -753,8 +753,7 @@ object Dedup {
     val corpusNorms = corpus.filter(col(textCol).isNotNull)
       .select(explode(split(col(textCol),
         java.util.regex.Pattern.quote(sep))).as("__cpara"))
-      .select(trim(regexp_replace(lower(col("__cpara")), "\\s+", " "))
-        .as("__norm"))
+      .select(canonicalize(col("__cpara")).as("__norm"))
       .filter(col("__norm") =!= "")
       .select(xxhash64(col("__norm")).as("__h"), col("__norm"))
       .distinct()
@@ -778,8 +777,7 @@ object Dedup {
           .cast("long").as("__np"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
-      .withColumn("__norm",
-        trim(regexp_replace(lower(col("__para")), "\\s+", " ")))
+      .withColumn("__norm", canonicalize(col("__para")))
       .withColumn("__h", xxhash64(col("__norm")))
 
   /** First-occurrence filter: one aggregate keyed by (hash, norm)

@@ -453,7 +453,12 @@ object TextStats {
     *   - `n_latin1_utf8`: Ã followed by a U+0080–U+00BF continuation-
     *     byte codepoint (UTF-8 bytes decoded as latin-1/cp1252 — "Ã©"
     *     for é).
-    * `bad_ratio` = their sum over the codepoint length (0 for empty
+    * `bad_ratio` weighs each mojibake EVENT once — a digraph whose
+    * continuation codepoint falls in the C1 range (uppercase-accent
+    * mojibake like "Ã" for È) matches both the C1 and the digraph
+    * pattern, so that overlap is counted and subtracted (RE2 has no
+    * lookbehind, so exclusion-by-subtraction is the form both engines
+    * can replay) — then normalized by codepoint length (0 for empty
     * text); gate on it like [[qualityScore]]. Patterns use \x{hhhh}
     * classes, valid in both Java regex and RE2 — the oracle replays
     * them verbatim.
@@ -467,10 +472,14 @@ object TextStats {
           .as("n_c1_controls"),
         regexp_count(s, lit("\\x{00c3}[\\x{0080}-\\x{00bf}]")).cast("long")
           .as("n_latin1_utf8"),
+        regexp_count(s, lit("\\x{00c3}[\\x{0080}-\\x{009f}]")).cast("long")
+          .as("__overlap"),
         length(s).cast("long").as("n_chars"))
       .withColumn("bad_ratio",
-        (col("n_replacement") + col("n_c1_controls") + col("n_latin1_utf8"))
+        (col("n_replacement") + col("n_c1_controls") + col("n_latin1_utf8")
+          - col("__overlap"))
           .cast("double") / greatest(col("n_chars"), lit(1L)).cast("double"))
+      .drop("__overlap")
   }
 
   /** One-call frame transformer: append the full stats column set. */

@@ -222,5 +222,14 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(2L).getAs[Double]("bad_ratio") == 2.0 / 4.0)
     // the © continuation codepoint is NOT independently a C1 hit
     assert(out(1L).getAs[Long]("n_c1_controls") == 0)
+    // uppercase-accent mojibake ("Ã" + C1 continuation) is ONE event:
+    // it hits both the C1 and digraph patterns, and the ratio subtracts
+    // the overlap so it weighs the same as a lowercase digraph
+    val upper = TextStats.encodingQuality(
+      Seq((9L, "xÃy")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(upper.getAs[Long]("n_c1_controls") == 1)
+    assert(upper.getAs[Long]("n_latin1_utf8") == 1)
+    assert(upper.getAs[Double]("bad_ratio") == 1.0 / 4.0)
   }
 }
