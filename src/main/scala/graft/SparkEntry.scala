@@ -1326,6 +1326,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext streaming — paragraph-level continuous dedup, batch replay
+    // form: the corpus thirds arrive as batch 0 (within-batch dedup
+    // only), the batch third as batch 1 (probed against batch 0's
+    // accumulated paragraph store); oracle replays both folds in SQL.
+    "q118_stream_paragraph_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            array_join(slice(words, 1, 8), " "),
+            lit("Subscribe to our newsletter!"),
+            array_join(slice(words, 9, 8), " ")).as("text"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q118").toString + "/paras"
+      streaming.StreamingParagraphDedup.byBatch(s,
+          Seq(shaped.filter(col("doc_id") % 3 =!= 0),
+            shaped.filter(col("doc_id") % 3 === 0)),
+          store, "doc_id", "text")
+        .orderBy("batch_id", "doc_id")
+    }),
+
     // ext dedup — INCREMENTAL paragraph dedup (batch vs corpus, the
     // daily-ingest shape): batch = doc_id % 3 == 0 with the q110
     // construction, corpus = the rest; corpus paragraphs collapse to
@@ -2341,6 +2363,64 @@ object SparkEntry {
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
         |ORDER BY doc_id""".stripMargin,
+
+    // batch 0 = the q110 oracle over the corpus thirds (tagged 0);
+    // batch 1 = the q117 oracle (tagged 1); union replays the fold
+    "q118_stream_paragraph_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+        |      chr(10), 'Subscribe to our newsletter!', chr(10),
+        |      array_to_string(list_slice(string_split(text, ' '), 9, 16), ' ')) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |sp0 AS (SELECT doc_id, string_split(text, chr(10)) AS t
+        |        FROM raw WHERE doc_id % 3 <> 0),
+        |p0 AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u FROM sp0)),
+        |k0 AS (
+        |  SELECT doc_id, idx, para, norm,
+        |    CASE WHEN norm = '' THEN 1
+        |      ELSE row_number() OVER (PARTITION BY norm ORDER BY doc_id, idx)
+        |    END AS rk
+        |  FROM p0),
+        |out0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, k0.doc_id,
+        |    string_agg(k0.para, chr(10) ORDER BY k0.idx) AS clean_text,
+        |    CAST(len(any_value(sp0.t)) AS BIGINT) AS n_paras,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM k0 JOIN sp0 ON k0.doc_id = sp0.doc_id
+        |  WHERE k0.rk = 1
+        |  GROUP BY k0.doc_id),
+        |cn AS (
+        |  SELECT DISTINCT norm FROM p0 WHERE norm <> ''),
+        |sp1 AS (SELECT doc_id, string_split(text, chr(10)) AS t
+        |        FROM raw WHERE doc_id % 3 = 0),
+        |p1 AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u FROM sp1)),
+        |k1 AS (
+        |  SELECT doc_id, idx, para, norm,
+        |    CASE WHEN norm = '' THEN 1
+        |      ELSE row_number() OVER (PARTITION BY norm ORDER BY doc_id, idx)
+        |    END AS rk
+        |  FROM p1),
+        |out1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS batch_id, k1.doc_id,
+        |    string_agg(k1.para, chr(10) ORDER BY k1.idx) AS clean_text,
+        |    CAST(len(any_value(sp1.t)) AS BIGINT) AS n_paras,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM k1 JOIN sp1 ON k1.doc_id = sp1.doc_id
+        |  WHERE k1.rk = 1
+        |    AND (k1.norm = '' OR k1.norm NOT IN (SELECT norm FROM cn))
+        |  GROUP BY k1.doc_id)
+        |SELECT * FROM out0 UNION ALL SELECT * FROM out1
+        |ORDER BY batch_id, doc_id""".stripMargin,
 
     // q110's machinery on the batch third, plus an anti-join against the
     // corpus thirds' distinct normalized paragraphs

@@ -764,6 +764,47 @@ object Dedup {
     reassembleParagraphs(fresh, idCol, sep)
   }
 
+  /** Distinct paragraph keys of a document frame — what the streaming
+    * paragraph store accumulates per batch: `norm_key` is xxhash64(norm)
+    * (8 B/paragraph, the scale mode — a hash collision can only cause an
+    * extra DROP, the [[duplicateSpansAgainstGrams]] hashGrams trade) or
+    * the normalized string itself (engine-portable, for oracle audits).
+    * Empty norms are separators, never stored.
+    */
+  def paragraphNormKeys(docs: DataFrame, textCol: String,
+                        sep: String = "\n",
+                        hashKeys: Boolean = true): DataFrame = {
+    val norms = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as("__cpara"))
+      .select(canonicalize(col("__cpara")).as("__norm"))
+      .filter(col("__norm") =!= "")
+    (if (hashKeys) norms.select(xxhash64(col("__norm")).as("norm_key"))
+     else norms.select(col("__norm").as("norm_key")))
+      .distinct()
+  }
+
+  /** [[paragraphDedupIncremental]] against a pre-keyed corpus given as
+    * PARTS (the streaming store shape: a bucketed compacted base plus
+    * small deltas) — anti-joins run per part, so the base's bucket
+    * partitioning is preserved and its side of the join never shuffles.
+    */
+  def paragraphDedupAgainstKeyParts(batch: DataFrame, parts: Seq[DataFrame],
+                                    idCol: String, textCol: String,
+                                    sep: String = "\n",
+                                    hashKeys: Boolean = true): DataFrame = {
+    val paras = paragraphFrame(batch, idCol, textCol, sep)
+      .withColumn("norm_key",
+        if (hashKeys) col("__h") else col("__norm"))
+    val fresh = parts.foldLeft(keepFirstOccurrences(paras, idCol)) {
+      (df, part) =>
+        // empty-norm rows carry a key too, but the store never holds
+        // empty norms (or their hash): they always survive the anti join
+        df.join(part.select(col("norm_key")), Seq("norm_key"), "left_anti")
+    }
+    reassembleParagraphs(fresh, idCol, sep)
+  }
+
   /** Exploded (id, __np, __idx, __para, __norm, __h) paragraph frame
     * shared by the paragraph-dedup forms; n_paras rides along so no
     * second corpus scan is needed for the count.

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LSM-shaped accumulating DISTINCT-key parquet store shared by the
+  * continuous-dedup operators ([[StreamingSpanDedup]]'s gram store,
+  * [[StreamingParagraphDedup]]'s paragraph store): per-batch delta
+  * directories fold periodically into ONE bucketed-by-key compacted
+  * base registered in the catalog, so a per-batch probe semi-/anti-join
+  * NEVER shuffles the base — only the (tiny) batch keys move to meet
+  * it — and repeated content stores its key once, not once per batch.
+  *
+  * Layout under `storePath`:
+  *  - `compacted_upto_<n>/`: the distinct keys of all batches < n, ONE
+  *    bucketed table (restart-stable: the DDL re-registers the bucket
+  *    spec from `numBuckets`, which therefore must not change across
+  *    restarts of the same store).
+  *  - `batch=<id>/`: not-yet-compacted per-batch deltas (at most
+  *    `compactEvery`; small — the probe's planner broadcasts them).
+  *
+  * Retry-idempotence: batch appends overwrite their own `batch=<id>`
+  * directory; compaction writes a new version named by the batch id and
+  * cleans up only AFTER the new version commits, so a crash
+  * mid-compaction leaves a readable store.
+  */
+final class KeyedBatchStore(spark: SparkSession, storePath: String,
+                            keyCol: String, keySqlType: String,
+                            compactEvery: Int, numBuckets: Int) {
+  require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+  require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+  require(Set("BIGINT", "STRING").contains(keySqlType),
+    s"keySqlType must be BIGINT or STRING, got $keySqlType")
+
+  private def fs = new Path(storePath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Catalog identity of a compacted version: derived from the store
+    * PATH (two stores on one path share tables; different paths — e.g.
+    * parallel test suites — never collide).
+    */
+  private val tablePrefix = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(storePath.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"graft_key_store_$digest"
+  }
+  private def tableName(upTo: Long) = s"${tablePrefix}_upto_$upTo"
+  private def compactedDir(upTo: Long) = s"$storePath/compacted_upto_$upTo"
+
+  /** Compacted versions ON DISK (the source of truth — the catalog is
+    * session-scoped and empty after a restart), newest first.
+    */
+  private def compactedVersions(): Seq[Long] = {
+    val dir = new Path(storePath)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("compacted_upto_"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("compacted_upto_").toLong).toOption)
+      .sorted(Ordering[Long].reverse)
+  }
+
+  /** The newest compacted base covering only batches strictly below
+    * `batchId`, (re-)registered in the catalog so its scan reports the
+    * bucket partitioning.
+    */
+  private def baseFor(batchId: Long): Option[(Long, DataFrame)] =
+    compactedVersions().find(_ <= batchId).map { upTo =>
+      val name = tableName(upTo)
+      if (!spark.catalog.tableExists(name)) {
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $name ($keyCol $keySqlType)
+             |USING parquet
+             |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $numBuckets BUCKETS
+             |LOCATION '${compactedDir(upTo)}'""".stripMargin)
+      }
+      upTo -> spark.table(name)
+    }
+
+  /** Parquet files of delta batches with id in [from, until). */
+  private def deltaFiles(from: Long, until: Long): Seq[String] = {
+    val dir = new Path(storePath)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter { s =>
+        val name = s.getPath.getName
+        s.isDirectory && name.startsWith("batch=") &&
+          scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+            .exists(id => id >= from && id < until)
+      }
+      .flatMap(d => fs.listStatus(d.getPath).toSeq)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
+  /** Fold deltas [c, batchId) into a new compacted version when due.
+    * Idempotent under foreachBatch retry; cleanup runs only after the
+    * new version commits.
+    */
+  def maybeCompact(batchId: Long): Unit = {
+    val base = baseFor(batchId)
+    val c = base.map(_._1).getOrElse(0L)
+    if (batchId - c < compactEvery) return
+    val deltas = deltaFiles(c, batchId)
+    val parts = base.map(_._2).toSeq ++
+      (if (deltas.isEmpty) Seq.empty else Seq(spark.read.parquet(deltas: _*)))
+    if (parts.isEmpty) return
+    parts.reduce(_ unionByName _).distinct()
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .option("path", compactedDir(batchId))
+      .format("parquet")
+      .saveAsTable(tableName(batchId))
+    (c until batchId).foreach { id =>
+      fs.delete(new Path(s"$storePath/batch=$id"), true)
+    }
+    compactedVersions().filter(_ < batchId).foreach { old =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(old)}")
+      fs.delete(new Path(compactedDir(old)), true)
+    }
+  }
+
+  /** The strictly-prior store as probe PARTS (compacted base first, then
+    * the delta slice) — also the audit surface for store-size
+    * assertions.
+    */
+  def parts(batchId: Long): Seq[DataFrame] = {
+    val base = baseFor(batchId)
+    val from = base.map(_._1).getOrElse(0L)
+    val files = deltaFiles(from, batchId)
+    base.map(_._2).toSeq ++
+      (if (files.isEmpty) Seq.empty else Seq(spark.read.parquet(files: _*)))
+  }
+
+  /** Write a batch's distinct single-key frame under its own
+    * `batch=<id>` directory (overwrite → retry-idempotent). The frame
+    * must have exactly the store's key column.
+    */
+  def append(keys: DataFrame, batchId: Long): Unit =
+    keys.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+}

@@ -141,8 +141,11 @@ class StreamingSpanDedupSpec extends SparkTestBase {
     deduper.update(Seq((2L, "irrelevant filler text for compaction")).toDF("doc_id", "text"), 1L)
     // simulate restart: drop every catalog entry for this store (files stay)
     spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_gram_store_"))
+      .filter(_.name.startsWith("graft_key_store_"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_key_store_")),
+      "catalog wipe must actually remove the store tables")
     val fresh = new StreamingSpanDedup.SpanDeduper(spark, store,
       "doc_id", "text", k = 5, hashGrams = true, compactEvery = 1,
       numBuckets = 4)
