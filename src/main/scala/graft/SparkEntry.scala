@@ -1326,6 +1326,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext bpe — tokenization with the learned vocabulary (rows-only:
+    // rank-greedy per-word merge replay is not SQL-expressible; BpeSpec
+    // pins losslessness and the rank-greedy order against encodeWord).
+    "q119_bpe_tokenize" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = ext.Bpe.learn(docs, "text", numMerges = 10, minPairCount = 2L)
+      ext.Bpe.tokenize(
+          docs.filter(col("doc_id").isNotNull && col("text").isNotNull),
+          "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(slice(col("tokens"), 1, 5), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ext functions — Aho–Corasick multi-pattern scan (ONE pass per row
+    // whatever the pattern count — the scalable blocklist/marker scan;
+    // automaton ships as a codegen reference object): per-pattern
+    // occurrence counts over the corpus. The gate's patterns have no
+    // self-overlap, so DuckDB's non-overlapping regexp_extract_all
+    // counts replay the automaton's all-occurrences semantics exactly.
+    "q120_multi_pattern_scan" -> ((s, dir) => {
+      val pats = Seq("data", "row", "table", "the")
+      val counts = graft.functions.MultiMatchFunctions
+        .multiPatternCounts(col("text"), pats)
+      tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), counts.as("c"))
+        .select(col("doc_id"),
+          element_at(col("c"), 1).as("n_data"),
+          element_at(col("c"), 2).as("n_row"),
+          element_at(col("c"), 3).as("n_table"),
+          element_at(col("c"), 4).as("n_the"))
+        .withColumn("total",
+          col("n_data") + col("n_row") + col("n_table") + col("n_the"))
+        .orderBy("doc_id")
+    }),
+
     // ext streaming — paragraph-level continuous dedup, batch replay
     // form: the corpus thirds arrive as batch 0 (within-batch dedup
     // only), the batch third as batch 1 (probed against batch 0's
@@ -2362,6 +2399,22 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, lang, wt FROM r
         |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // the four patterns have no border (prefix = suffix), so
+    // non-overlapping counts == all-occurrence counts per pattern
+    "q120_multi_pattern_scan" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_data,
+        |  CAST(len(regexp_extract_all(text, 'row')) AS BIGINT) AS n_row,
+        |  CAST(len(regexp_extract_all(text, 'table')) AS BIGINT) AS n_table,
+        |  CAST(len(regexp_extract_all(text, 'the')) AS BIGINT) AS n_the,
+        |  CAST(len(regexp_extract_all(text, 'data'))
+        |     + len(regexp_extract_all(text, 'row'))
+        |     + len(regexp_extract_all(text, 'table'))
+        |     + len(regexp_extract_all(text, 'the')) AS BIGINT) AS total
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     // batch 0 = the q110 oracle over the corpus thirds (tagged 0);

@@ -108,6 +108,33 @@ class ExpressionsSpec extends SparkTestBase {
     assert(out == Seq(3, 2)) // set0: la,la,el; set1: la,la
   }
 
+  test("MultiPatternCounts: matches a brute-force overlapping count exactly") {
+    // every occurrence at every position, per pattern (overlapping incl.)
+    def brute(text: String, p: String): Long =
+      (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+    val patterns = Seq("he", "she", "his", "hers", "aa")
+    val texts = Seq(
+      "ushers",          // classic: she, he, hers all end inside 'ushers'
+      "aaaa",            // self-overlap: 'aa' occurs 3 times
+      "hishershis",
+      "no match here!?", // 'he' twice ('here'); others 0
+      "")
+    val got = texts.toDF("t")
+      .select(MultiMatchFunctions.multiPatternCounts($"t", patterns))
+      .as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, counts) =>
+      assert(counts == patterns.map(p => brute(t, p)), s"text '$t'")
+    }
+    // null text stays null
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(MultiMatchFunctions.multiPatternCounts($"t", patterns))
+      .collect()(0)
+    assert(n.isNullAt(0))
+    // empty pattern list / empty pattern fail loudly at construction
+    intercept[IllegalArgumentException](new AhoCorasick(Nil))
+    intercept[IllegalArgumentException](new AhoCorasick(Seq("ok", "")))
+  }
+
   test("UnicodeNormalize: all four forms match java.text.Normalizer") {
     val samples = Seq(
       "e\u0301clair",          // combining acute: NFC joins to precomposed
