@@ -805,6 +805,34 @@ object Dedup {
     reassembleParagraphs(fresh, idCol, sep)
   }
 
+  /** [[paragraphDedupAgainstKeyParts]] that ALSO returns the batch's own
+    * distinct paragraph keys — (rebuilt docs, keys) — for callers that
+    * feed a [[graft.streaming.KeyedBatchStore]]. Both outputs derive from
+    * ONE localCheckpoint-pinned exploded frame, so the emitted documents
+    * and the store append together pay a single
+    * scan/split/canonicalize/hash pass over the batch instead of two.
+    * Unlike [[paragraphNormKeys]] on the raw frame, the keys inherit the
+    * dedup path's null-id filter: a document the dedup path cannot emit
+    * (null id) must not seed the store either, or its paragraphs would be
+    * suppressed from every later batch without ever having surfaced.
+    */
+  def paragraphDedupAndKeys(batch: DataFrame, parts: Seq[DataFrame],
+                            idCol: String, textCol: String,
+                            sep: String = "\n",
+                            hashKeys: Boolean = true): (DataFrame, DataFrame) = {
+    val paras = paragraphFrame(batch, idCol, textCol, sep)
+      .withColumn("norm_key",
+        if (hashKeys) col("__h") else col("__norm"))
+      .localCheckpoint()
+    val fresh = parts.foldLeft(keepFirstOccurrences(paras, idCol)) {
+      (df, part) =>
+        df.join(part.select(col("norm_key")), Seq("norm_key"), "left_anti")
+    }
+    val keys = paras.filter(col("__norm") =!= "")
+      .select(col("norm_key")).distinct()
+    (reassembleParagraphs(fresh, idCol, sep), keys)
+  }
+
   /** Exploded (id, __np, __idx, __para, __norm, __h) paragraph frame
     * shared by the paragraph-dedup forms; n_paras rides along so no
     * second corpus scan is needed for the count.

@@ -19,6 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * and a per-pattern `instr` loop is O(patterns × text), while this is
   * O(text + matches) whatever the pattern count.
   *
+  * Built over UTF-8 BYTES, fully determinized: the goto and fail
+  * functions are fused at build time into one dense 256-wide transition
+  * table, so the per-row walk is one array load per input byte — no
+  * hash lookups, no boxing, no fail-chain loop, and no per-row String
+  * copy (it reads the UTF8String's bytes in place; UTF-8 is
+  * self-synchronizing, so byte-level matches are exactly the
+  * character-level matches). The trade is build-time memory: ~1 KiB per
+  * trie node (one node per distinct pattern-prefix byte) — the
+  * blocklist/marker scale this is for, capped at 2^18 nodes.
+  *
   * The automaton is built once on the driver from the pattern list and
   * ships to executors as a codegen reference object (the
   * NearestCentroids pattern) — per row, generated code makes one call
@@ -30,65 +40,106 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
 
   val numPatterns: Int = patterns.length
 
-  // trie (goto function); a HashMap per node keeps the build simple —
-  // the walk below does at most one failed lookup per fail-link hop
-  private val children = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
-  private val ends = mutable.ArrayBuffer(List.empty[Int])
-  patterns.zipWithIndex.foreach { case (p, pi) =>
-    var cur = 0
-    p.foreach { ch =>
-      cur = children(cur).getOrElseUpdate(ch, {
-        children += mutable.HashMap.empty
-        ends += Nil
-        children.length - 1
-      })
-    }
-    ends(cur) = pi :: ends(cur)
-  }
-
-  // BFS failure links; out(n) = patterns ending at n OR at any node on
-  // its fail chain (precomputed, so the walk never chases suffix links
-  // to report matches)
-  private val fail = new Array[Int](children.length)
-  private val out = new Array[List[Int]](children.length)
-  locally {
-    out(0) = ends(0)
-    val queue = mutable.Queue.empty[Int]
-    children(0).valuesIterator.foreach { c =>
-      fail(c) = 0
-      out(c) = ends(c) ::: out(0)
-      queue += c
-    }
-    while (queue.nonEmpty) {
-      val n = queue.dequeue()
-      children(n).foreach { case (ch, c) =>
-        var f = fail(n)
-        while (f != 0 && !children(f).contains(ch)) f = fail(f)
-        fail(c) = children(f).getOrElse(ch, 0) match {
-          case `c` => 0 // a root child transitioning to itself
-          case other => other
-        }
-        out(c) = ends(c) ::: out(fail(c))
-        queue += c
-      }
-    }
-  }
+  // delta: DFA transition table, node*256 + byte -> node;
+  // outOff/outPat: CSR layout of the precomputed output sets (patterns
+  // ending at the node or anywhere on its fail chain)
+  private val (delta, outOff, outPat) = AhoCorasick.build(patterns)
 
   /** Per-pattern occurrence counts over `s` (overlapping included). */
   def countArray(s: UTF8String): ArrayData = {
-    val str = s.toString
     val counts = new Array[Long](numPatterns)
+    val n = s.numBytes
     var cur = 0
     var i = 0
-    while (i < str.length) {
-      val ch = str.charAt(i)
-      while (cur != 0 && !children(cur).contains(ch)) cur = fail(cur)
-      cur = children(cur).getOrElse(ch, 0)
-      var o = out(cur)
-      while (o.nonEmpty) { counts(o.head) += 1L; o = o.tail }
+    while (i < n) {
+      cur = delta((cur << 8) | (s.getByte(i) & 0xff))
+      var o = outOff(cur)
+      val end = outOff(cur + 1)
+      while (o < end) { counts(outPat(o)) += 1L; o += 1 }
       i += 1
     }
     new GenericArrayData(counts)
+  }
+}
+
+object AhoCorasick {
+  /** Driver-side build: byte trie → BFS fail links → determinized
+    * transition table + CSR output sets. Only the three flat arrays
+    * ship to executors.
+    */
+  private def build(patterns: Seq[String]): (Array[Int], Array[Int], Array[Int]) = {
+    val trie = mutable.ArrayBuffer(Array.fill(256)(-1))
+    val ends = mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var cur = 0
+      p.getBytes("UTF-8").foreach { b =>
+        val idx = b & 0xff
+        var nxt = trie(cur)(idx)
+        if (nxt == -1) {
+          trie += Array.fill(256)(-1)
+          ends += Nil
+          nxt = trie.length - 1
+          trie(cur)(idx) = nxt
+        }
+        cur = nxt
+      }
+      ends(cur) = pi :: ends(cur)
+    }
+    val numNodes = trie.length
+    require(numNodes <= (1 << 18),
+      s"pattern set too large for the dense automaton ($numNodes trie " +
+        "nodes > 2^18): split the patterns across several expressions")
+
+    // BFS: fill fail links, determinize each row in place (missing byte
+    // -> the fail state's transition, already determinized by BFS
+    // order), and precompute output sets
+    val fail = new Array[Int](numNodes)
+    val outLists = new Array[List[Int]](numNodes)
+    outLists(0) = Nil
+    val queue = mutable.Queue.empty[Int]
+    val root = trie(0)
+    var b = 0
+    while (b < 256) {
+      val c = root(b)
+      if (c == -1) root(b) = 0
+      else { fail(c) = 0; queue += c }
+      b += 1
+    }
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      outLists(n) = ends(n) ::: outLists(fail(n))
+      val row = trie(n)
+      val frow = trie(fail(n))
+      var b = 0
+      while (b < 256) {
+        val c = row(b)
+        if (c == -1) row(b) = frow(b)
+        else { fail(c) = frow(b); queue += c }
+        b += 1
+      }
+    }
+
+    val delta = new Array[Int](numNodes << 8)
+    var n = 0
+    while (n < numNodes) {
+      System.arraycopy(trie(n), 0, delta, n << 8, 256)
+      n += 1
+    }
+    val outOff = new Array[Int](numNodes + 1)
+    n = 0
+    while (n < numNodes) {
+      outOff(n + 1) = outOff(n) + outLists(n).length
+      n += 1
+    }
+    val outPat = new Array[Int](outOff(numNodes))
+    n = 0
+    while (n < numNodes) {
+      var o = outOff(n)
+      var l = outLists(n)
+      while (l.nonEmpty) { outPat(o) = l.head; o += 1; l = l.tail }
+      n += 1
+    }
+    (delta, outOff, outPat)
   }
 }
 

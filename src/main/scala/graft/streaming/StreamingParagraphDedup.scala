@@ -51,16 +51,24 @@ object StreamingParagraphDedup {
       * batch's own paragraph keys (overwrite → retry-idempotent), and
       * return the rebuilt documents tagged with the batch id.
       * Compaction, when due, runs BEFORE the probe and folds only
-      * batches < batchId.
+      * batches < batchId. The probe and the key append share one
+      * checkpointed exploded frame (one scan per batch), and the keys
+      * carry only documents the probe can emit — a null-id document
+      * never seeds the store, so its content is never suppressed
+      * unseen.
+      *
+      * CONTRACT: the returned frame still reads the strictly-prior
+      * store's files, which a LATER update's compaction deletes —
+      * consume it (write / collect / localCheckpoint) before calling
+      * update again, as a foreachBatch sink naturally does.
       */
     def update(batch: DataFrame, batchId: Long): DataFrame = synchronized {
       store.maybeCompact(batchId)
-      val out = Dedup.paragraphDedupAgainstKeyParts(
-          batch, store.parts(batchId), idCol, textCol, sep, hashKeys)
-        .select(lit(batchId).as("batch_id"), col(idCol),
-          col("clean_text"), col("n_paras"), col("n_kept"))
-      store.append(
-        Dedup.paragraphNormKeys(batch, textCol, sep, hashKeys), batchId)
+      val (docs, keys) = Dedup.paragraphDedupAndKeys(
+        batch, store.parts(batchId), idCol, textCol, sep, hashKeys)
+      val out = docs.select(lit(batchId).as("batch_id"), col(idCol),
+        col("clean_text"), col("n_paras"), col("n_kept"))
+      store.append(keys, batchId)
       out
     }
 
@@ -98,7 +106,10 @@ object StreamingParagraphDedup {
     val deduper = new ParagraphDeduper(spark, storePath, idCol, textCol,
       sep, hashKeys = false)
     batches.zipWithIndex
-      .map { case (b, i) => deduper.update(b, i.toLong) }
+      // localCheckpoint per batch: update's contract requires each
+      // output consumed before the next update — a later compaction
+      // deletes the store files a lazy plan would still reference
+      .map { case (b, i) => deduper.update(b, i.toLong).localCheckpoint() }
       .reduce(_.unionByName(_))
   }
 }

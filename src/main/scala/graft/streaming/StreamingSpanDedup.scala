@@ -70,6 +70,11 @@ object StreamingSpanDedup {
       * retry-idempotent), and return the spans frame tagged with the
       * batch id. Compaction, when due, runs BEFORE the probe and folds
       * only batches < batchId — the strictly-prior contract is untouched.
+      *
+      * CONTRACT: the returned frame still reads the strictly-prior
+      * store's files, which a LATER update's compaction deletes —
+      * consume it (write / collect / localCheckpoint) before calling
+      * update again, as a foreachBatch sink naturally does.
       */
     def update(batch: DataFrame, batchId: Long): DataFrame = synchronized {
       store.maybeCompact(batchId)
@@ -122,7 +127,10 @@ object StreamingSpanDedup {
     val deduper = new SpanDeduper(spark, storePath, idCol, textCol, k,
       hashGrams = false)
     batches.zipWithIndex
-      .map { case (b, i) => deduper.update(b, i.toLong) }
+      // localCheckpoint per batch: update's contract requires each
+      // output consumed before the next update — a later compaction
+      // deletes the store files a lazy plan would still reference
+      .map { case (b, i) => deduper.update(b, i.toLong).localCheckpoint() }
       .reduce(_.unionByName(_))
   }
 }

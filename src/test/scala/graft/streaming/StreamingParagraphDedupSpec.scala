@@ -63,6 +63,38 @@ class StreamingParagraphDedupSpec extends SparkTestBase {
     assert(retry.map(r => r.getString(2)).toSeq == Seq("solo para\ncommon tail"))
   }
 
+  test("byBatch survives compaction: more batches than compactEvery") {
+    // regression: byBatch's per-batch plans once stayed lazy past the
+    // compaction that deletes the delta files they read — 9+ batches
+    // with the default compactEvery=8 threw FileNotFoundException at
+    // the final union collect
+    val batches = (0 until 10).map { i =>
+      Seq((i.toLong, s"para $i\ncommon footer")).toDF("doc_id", "text")
+    }
+    val out = StreamingParagraphDedup.byBatch(spark, batches, tmpStore(),
+        "doc_id", "text")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(out == (0 until 10).map { i =>
+      if (i == 0) (0L, 0L, "para 0\ncommon footer", 2L, 2L)
+      else (i.toLong, i.toLong, s"para $i", 2L, 1L)
+    }.toSet)
+  }
+
+  test("a null-id document neither emits nor seeds the store") {
+    // regression: the store append once used the raw batch while the
+    // dedup path drops null-id rows — a null-id doc's paragraphs were
+    // stored as 'seen' and suppressed every later occurrence unseen
+    val deduper = new StreamingParagraphDedup.ParagraphDeduper(spark,
+      tmpStore(), "doc_id", "text")
+    val b0 = Seq((null.asInstanceOf[java.lang.Long], "orphan para"))
+      .toDF("doc_id", "text")
+    assert(deduper.update(b0, 0L).collect().isEmpty)
+    val b1 = Seq((5L, "orphan para")).toDF("doc_id", "text")
+    val out = deduper.update(b1, 1L).collect()
+    assert(out.map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((5L, "orphan para")))
+  }
+
   test("store is sub-linear in recrawled content; compaction cadence invisible") {
     def run(store: String, compactEvery: Int): (Set[String], Long) = {
       val deduper = new StreamingParagraphDedup.ParagraphDeduper(spark, store,

@@ -41,6 +41,21 @@ class StreamingSpanDedupSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("byBatch survives compaction: more batches than compactEvery") {
+    // regression twin of the paragraph-dedup test: lazy per-batch plans
+    // once outlived the compaction that deletes their delta files
+    val batches = (0 until 10).map { i =>
+      Seq((i.toLong, "t0 t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    }
+    val out = StreamingSpanDedup.byBatch(spark, batches, tmpStore(),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // batch 0 has no prior corpus; every later batch's whole text is one
+    // already-seen span (2 windows of k=5 over 6 tokens)
+    assert(out == (1 until 10).map(i =>
+      (i.toLong, i.toLong, 0L, 5L, 2L)).toSet)
+  }
+
   test("byBatch replay: same semantics, string grams, batch-tagged union") {
     val b0 = Seq((1L, "p q r s t u v")).toDF("doc_id", "text")
     val b1 = Seq((2L, "a p q r s t b"), (3L, "nothing shared here at all")).toDF("doc_id", "text")
