@@ -598,7 +598,34 @@ object Dedup {
                                      hashGrams: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(gramParts.nonEmpty, "need at least one gram part")
+    spansFromPostings(windowPostings(batch, idCol, textCol, k, hashGrams),
+      gramParts, idCol, k)
+  }
+
+  /** [[duplicateSpansAgainstGramParts]] that ALSO returns the batch's own
+    * distinct grams — (spans, grams) — for callers that feed a
+    * [[graft.streaming.KeyedBatchStore]]. Both outputs derive from ONE
+    * localCheckpoint-pinned postings frame, so the span probe and the
+    * store append together pay a single scan/canonicalize/gram pass over
+    * the batch instead of two.
+    */
+  def spanDedupAndGrams(batch: DataFrame, gramParts: Seq[DataFrame],
+                        idCol: String, textCol: String, k: Int = 5,
+                        hashGrams: Boolean = false): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(gramParts.nonEmpty, "need at least one gram part")
     val bp = windowPostings(batch, idCol, textCol, k, hashGrams)
+      .localCheckpoint()
+    (spansFromPostings(bp, gramParts, idCol, k),
+      bp.select(col("gram")).distinct())
+  }
+
+  /** Probe postings against corpus gram parts (semi-join per part, so a
+    * bucketed part's side never shuffles) and merge hit windows into
+    * spans — the core shared by the batch and scan-sharing span forms.
+    */
+  private def spansFromPostings(bp: DataFrame, gramParts: Seq[DataFrame],
+                                idCol: String, k: Int): DataFrame = {
     val hits = gramParts.map { grams =>
       val keyed = grams.select(col(grams.columns.head).as("gram"))
       bp.join(keyed, Seq("gram"), "left_semi").select(col(idCol), col("pos"))

@@ -84,12 +84,14 @@ object StreamingSpanDedup {
           Seq(spark.range(0).select(col("id").cast(gramType).as("gram")))
         case ps => ps
       }
-      val spans = Dedup.duplicateSpansAgainstGramParts(
-          batch, parts, idCol, textCol, k, hashGrams)
+      // the probe and the store append share one checkpointed postings
+      // frame — a single scan/canonicalize/gram pass per batch
+      val (spans0, grams) = Dedup.spanDedupAndGrams(
+        batch, parts, idCol, textCol, k, hashGrams)
+      val spans = spans0
         .select(lit(batchId).as("batch_id"), col(idCol),
           col("span_start"), col("span_end"), col("n_grams"))
-      store.append(
-        Dedup.corpusGrams(batch, textCol, k, hashGrams).distinct(), batchId)
+      store.append(grams, batchId)
       spans
     }
 
