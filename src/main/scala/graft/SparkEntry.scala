@@ -1363,6 +1363,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext text — seed-bootstrapped NB quality classifier (the CCNet /
+    // GPT-3 crawl-filter stage): token llr trained on a labeled seed
+    // slice (label = is-English — any determinate label exercises the
+    // same machinery), whole corpus scored. Integer-scaled logs (the
+    // q87 stance) make every double bit-replayable by the oracle.
+    "q121_nb_quality" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.naiveBayesScore(
+          d,
+          d.filter(col("doc_id") % 4 === 0)
+            .select((col("lang") === "en").as("label"), col("text")),
+          "doc_id", "text", "label")
+        .orderBy("doc_id")
+    }),
+
     // ext streaming — paragraph-level continuous dedup, batch replay
     // form: the corpus thirds arrive as batch 0 (within-batch dedup
     // only), the batch third as batch 1 (probed against batch 0's
@@ -2416,6 +2431,48 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // replays train AND score: add-one-smoothed token llr from the seed
+    // slice, integer-scaled logs summed as BIGINT, one double division
+    "q121_nb_quality" ->
+      """WITH seed AS (
+        |  SELECT lang = 'en' AS pos, text FROM documents
+        |  WHERE doc_id % 4 = 0 AND text IS NOT NULL AND lang IS NOT NULL),
+        |stoks AS (
+        |  SELECT pos,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM seed),
+        |w AS (
+        |  SELECT term,
+        |    CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1e12) AS BIGINT)
+        |    - CAST(floor(ln(CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1 AS DOUBLE)) * 1e12) AS BIGINT) AS w
+        |  FROM stoks GROUP BY 1),
+        |tt AS (
+        |  SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+        |         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS tn,
+        |         count(DISTINCT term) AS v
+        |  FROM stoks),
+        |dt AS (
+        |  SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+        |         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS dn
+        |  FROM seed),
+        |consts AS (
+        |  SELECT CAST(floor(ln(CAST(dp AS DOUBLE)) * 1e12) AS BIGINT)
+        |         - CAST(floor(ln(CAST(dn AS DOUBLE)) * 1e12) AS BIGINT) AS prior,
+        |         CAST(floor(ln(CAST(tp + v AS DOUBLE)) * 1e12) AS BIGINT)
+        |         - CAST(floor(ln(CAST(tn + v AS DOUBLE)) * 1e12) AS BIGINT) AS denom
+        |  FROM tt CROSS JOIN dt),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |sc AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         sum(COALESCE(w.w, 0)) AS sw
+        |  FROM toks t LEFT JOIN w USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  CAST(prior + sw - n_tokens * denom AS DOUBLE) / 1e12 AS nb_llr
+        |FROM sc CROSS JOIN consts ORDER BY doc_id""".stripMargin,
 
     // batch 0 = the q110 oracle over the corpus thirds (tagged 0);
     // batch 1 = the q117 oracle (tagged 1); union replays the fold

@@ -385,6 +385,84 @@ object TextStats {
           - log(col("n_total"))).as("mean_lp"))
   }
 
+  /** Integer-scaled natural log: `floor(ln(x)·10¹²)` as BIGINT — the
+    * quantization that makes log-sums exact and engine-portable (see
+    * [[unigramLogProbScore]]'s determinism note).
+    */
+  private def lnScaled(x: Column): Column =
+    floor(log(x.cast("double")) * lit(1e12)).cast("long")
+
+  /** Seed-bootstrapped quality classifier: multinomial Naive Bayes with
+    * add-one smoothing, the classic crawl-filter stage (train token
+    * log-likelihood ratios from a small labeled seed — positive = known
+    * -good text such as a curated reference corpus, negative = raw crawl
+    * — then score the whole corpus and keep the high tail; the published
+    * CCNet / GPT-3 data-pipeline recipe, re-expressed relationally).
+    *
+    * Model = per-token integer-scaled weights over the seed vocabulary:
+    * w(t) = S(c⁺(t)+1) − S(c⁻(t)+1) with S(x) = floor(ln(x)·10¹²) as
+    * BIGINT. A document's score is then
+    *   nb_llr = (prior + Σ_occurrences w(t) − n_tokens·denom) / 10¹²,
+    * prior = S(docs⁺) − S(docs⁻), denom = S(tokens⁺+V) − S(tokens⁻+V):
+    * exactly ln P(doc|+)−ln P(doc|−)+ln P(+)/P(−) under add-one
+    * smoothing, quantized per token so the per-document sum is a BIGINT
+    * — partition-order independent and bit-replicable by an external
+    * engine. Tokens outside the seed vocabulary contribute S(1)−S(1)=0,
+    * so the left join's null weight coalesces to the mathematically
+    * correct value, not an approximation.
+    *
+    * Seed rows with null text or null label are ignored. Both classes
+    * must be non-empty (a one-class seed makes ln(0) null, nulling every
+    * score — a loud failure, not a silent bias). Returns
+    * (idCol, n_tokens, nb_llr). Empty text canonicalizes to the single
+    * empty token (the convention every token op here shares), so such
+    * documents score like a one-token document, not null.
+    *
+    * Scale shape: the seed is tokenized ONCE (lineage cut) and collapses
+    * to a vocabulary-sized weight frame plus two one-row scalar frames;
+    * the corpus explodes map-side, equi-joins the vocab (AQE broadcasts
+    * it when it fits), and aggregates once per document. The corpus is
+    * never shuffled at document width and never joins corpus×corpus.
+    */
+  def naiveBayesScore(docs: DataFrame, seed: DataFrame,
+                      idCol: String, textCol: String,
+                      labelCol: String): DataFrame = {
+    val seedClean = seed
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__pos"), col(textCol))
+    // tokenized seed feeds the weights AND the class token totals — cut
+    // so the scan+tokenize runs once
+    val stoks = graft.plans.PlanCapture.cut(
+      seedClean.select(col("__pos"),
+        explode(canonicalTokens(col(textCol))).as("term")))
+    val weights = stoks.groupBy("term")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+      .select(col("term"),
+        (lnScaled(col("__cp") + 1) - lnScaled(col("__cn") + 1)).as("__w"))
+    val tokTotals = stoks.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__tp"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__tn"),
+      count_distinct(col("term")).as("__v"))
+    val docTotals = seedClean.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__dp"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__dn"))
+    val consts = broadcast(tokTotals.crossJoin(docTotals).select(
+      (lnScaled(col("__dp")) - lnScaled(col("__dn"))).as("__prior"),
+      (lnScaled(col("__tp") + col("__v"))
+        - lnScaled(col("__tn") + col("__v"))).as("__denom")))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(canonicalTokens(col(textCol))).as("term"))
+      .join(weights, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__w"), lit(0L))).as("__sw"))
+      .crossJoin(consts)
+      .select(col(idCol), col("n_tokens"),
+        ((col("__prior") + col("__sw") - col("n_tokens") * col("__denom"))
+          .cast("double") / lit(1e12)).as("nb_llr"))
+  }
+
   // --------------------------------------------------- corpus vocabulary
 
   /** Vocabulary coverage: global term frequencies ranked by count (ties

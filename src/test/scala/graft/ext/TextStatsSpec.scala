@@ -201,6 +201,47 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(("x", "y")) > out(("q", "x")))
   }
 
+  test("naiveBayesScore: hand-computed llr, unseen tokens, null hygiene") {
+    def S(x: Double): Long = math.floor(math.log(x) * 1e12).toLong
+    val seed = Seq(
+      (Some(true), "good clean prose"), (Some(true), "clean text"),
+      (Some(false), "spam spam buy"), (Some(false), "buy now"),
+      (None, "zz zz zz"),                      // null label: ignored entirely
+      (Some(true), null.asInstanceOf[String])  // null text: ignored
+    ).toDF("label", "text")
+    val docs = Seq(
+      (1L, "clean spam"), (2L, "clean clean"), (3L, "zz unseen"),
+      (4L, "good clean prose"), (5L, "spam buy now"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextStats.naiveBayesScore(docs, seed, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // balanced seed: prior = S(2)-S(2) = 0; totals (5+7) vs (5+7): denom = 0
+    assert(out.size == 5) // null-text doc dropped
+    assert(out(1L) == ((2L, 0.0)))          // w(clean)=S(3), w(spam)=-S(3): cancel
+    assert(out(2L)._2 == 2 * S(3.0) / 1e12) // 2 × (S(3)−S(1))
+    assert(out(3L) == ((2L, 0.0)))          // unseen (null-label tokens excluded)
+    assert(out(4L)._2 > 0 && out(5L)._2 < 0)
+  }
+
+  test("naiveBayesScore: unbalanced classes use exact prior and denominators") {
+    def S(x: Double): Long = math.floor(math.log(x) * 1e12).toLong
+    val seed = Seq(
+      (true, "a b"), (false, "a"), (false, "c c c")
+    ).toDF("label", "text")
+    // totals: pos tokens 2, neg tokens 4, vocab {a,b,c} → V=3;
+    // prior = S(1)−S(2), denom = S(5)−S(7)
+    val prior = S(1.0) - S(2.0)
+    val denom = S(5.0) - S(7.0)
+    val docs = Seq((1L, "z"), (2L, "")).toDF("doc_id", "text")
+    val out = TextStats.naiveBayesScore(docs, seed, "doc_id", "text", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // unseen token: score = (prior + 0 − 1·denom)/1e12
+    assert(out(1L) == ((1L, (prior - denom) / 1e12)))
+    // empty text = the single empty token, itself unseen here
+    assert(out(2L) == ((1L, (prior - denom) / 1e12)))
+  }
+
   test("encodingQuality: the three mojibake signals count independently") {
     val docs = Seq(
       (1L, "caf\u00c3\u00a9 and \u00c3\u00a8"), // two UTF-8-as-latin1 digraphs
