@@ -1378,6 +1378,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext web — URL canonicalization + registrable domain (the keying
+    // stage of every per-domain cap / URL-dedup / domain-mixing pass):
+    // urls synthesized deterministically from doc_id (uppercase schemes
+    // and hosts, default and non-default ports, tracking params,
+    // fragments, a co.uk host, an IPv4 literal), then normalized; the
+    // per-domain doc count is a partitioned window. Oracle replays the
+    // synthesis AND the normalization.
+    "q122_url_canonical" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val host = when(col("doc_id") % 5 === 0, "WWW.Example.COM")
+        .when(col("doc_id") % 5 === 1, "news.Example.co.uk")
+        .when(col("doc_id") % 5 === 2, "Sub.Blog.example.ORG")
+        .when(col("doc_id") % 5 === 3, "192.168.10.42")
+        .otherwise("example.net")
+      val scheme = when(col("doc_id") % 2 === 0, "HTTPS://")
+        .otherwise("http://")
+      val port = when(col("doc_id") % 4 === 0, ":443")
+        .when(col("doc_id") % 4 === 1, ":8080").otherwise("")
+      val query = when(col("doc_id") % 3 === 0, "?utm_source=tw&z=9&a=1")
+        .when(col("doc_id") % 3 === 1, "?b=2&utm_medium=email")
+        .otherwise("")
+      val frag = when(col("doc_id") % 2 === 0, "#Sec2").otherwise(lit(""))
+      val url = concat(scheme, host, port,
+        lit("/Articles/"), col("doc_id").cast("string"), query, frag)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("reg_domain"))
+      d.select(col("doc_id"),
+          ext.WebUrl.canonicalizeUrl(url).as("url_canon"),
+          ext.WebUrl.registrableDomain(ext.WebUrl.hostOf(url))
+            .as("reg_domain"))
+        .withColumn("domain_docs", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
     // ext streaming — paragraph-level continuous dedup, batch replay
     // form: the corpus thirds arrive as batch 0 (within-batch dedup
     // only), the batch third as batch 1 (probed against batch 0's
@@ -2473,6 +2507,56 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  CAST(prior + sw - n_tokens * denom AS DOUBLE) / 1e12 AS nb_llr
         |FROM sc CROSS JOIN consts ORDER BY doc_id""".stripMargin,
+
+    // replays url synthesis + canonicalization + registrable-domain
+    // heuristic; RE2-safe patterns keep both engines identical
+    "q122_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |    (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+        |      WHEN 1 THEN 'news.Example.co.uk' WHEN 2 THEN 'Sub.Blog.example.ORG'
+        |      WHEN 3 THEN '192.168.10.42' ELSE 'example.net' END) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE doc_id % 3 WHEN 0 THEN '?utm_source=tw&z=9&a=1'
+        |      WHEN 1 THEN '?b=2&utm_medium=email' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '#Sec2' ELSE '' END) AS url
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid)(=|$)') AND x <> '')) AS params
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |       OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canon,
+        |    host, string_split(host, '.') AS labels
+        |  FROM q),
+        |r AS (
+        |  SELECT doc_id, url_canon,
+        |    CASE WHEN regexp_matches(host, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$') THEN host
+        |         WHEN len(labels) <= 2 THEN host
+        |         WHEN labels[-2] IN ('co','com','net','org','gov','ac','edu')
+        |           AND length(labels[-1]) = 2 THEN array_to_string(labels[-3:], '.')
+        |         ELSE array_to_string(labels[-2:], '.') END AS reg_domain
+        |  FROM c)
+        |SELECT doc_id, url_canon, reg_domain,
+        |  CAST(count(*) OVER (PARTITION BY reg_domain) AS BIGINT) AS domain_docs
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // batch 0 = the q110 oracle over the corpus thirds (tagged 0);
     // batch 1 = the q117 oracle (tagged 1); union replays the fold

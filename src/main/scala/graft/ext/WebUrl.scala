@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-crawl corpora — the normalization every URL-keyed
+  * stage (per-domain caps, URL dedup, domain mixing weights) depends on.
+  * A crawl sees the same page as `HTTP://Example.COM:80/a?utm_source=x&b=1#top`
+  * and `http://example.com/a?b=1`; keying on raw strings splits its stats
+  * across spellings and lets tracking params defeat URL-level dedup.
+  *
+  * Everything here is pure per-row column expressions over built-in
+  * functions — codegen'd, no shuffle, streaming-safe — and every regex is
+  * RE2-compatible (no lookaround/backreferences), so an external engine
+  * can replay the normalization bit-for-bit (the oracle does).
+  *
+  * Scope: absolute `http(s)://` URLs, the crawl-pipeline case. Inputs
+  * that aren't that are normalized deterministically but not usefully
+  * (no scheme inference, no IDN/punycode, no %-decoding — those need a
+  * spec-complete parser, not an analytics engine). Null in, null out.
+  */
+object WebUrl {
+
+  /** Lowercased host of an absolute URL: authority minus userinfo minus
+    * port. `""` when the input has no `scheme://` authority at all.
+    */
+  def hostOf(url: Column): Column = {
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":\\d*$", ""))
+  }
+
+  /** Canonical form of an absolute http(s) URL:
+    *  - scheme and host lowercased; userinfo dropped
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *    non-default ports kept
+    *  - empty path becomes `/` (path case is preserved — paths are
+    *    case-sensitive, hosts are not)
+    *  - fragment dropped
+    *  - tracking query params dropped (`utm_*`, `gclid`, `fbclid`,
+    *    `msclkid`, `yclid`, `mc_eid`), the rest SORTED bytewise; an
+    *    emptied query loses its `?`
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_replace(auth, "^[^@]*@", "")
+    val host = lower(regexp_replace(hostPort, ":\\d*$", ""))
+    val port = regexp_extract(hostPort, ":(\\d+)$", 1)
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // only a '?' BEFORE any '#' starts a query; after '#' it's fragment
+    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid)(=|$)")
+        && p =!= ""))
+    val canonPort = when(port === ""
+      || (scheme === "http" && port === "80")
+      || (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val canonPath = when(path === "", lit("/")).otherwise(path)
+    val canonQuery = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, canonPort, canonPath, canonQuery)
+  }
+
+  /** Registrable domain of a host, by the standard two-label heuristic
+    * with the ubiquitous multi-part second levels special-cased (a full
+    * public-suffix list is data, not logic — swap one in by joining it;
+    * this covers the `co.uk`-shaped bulk): last two labels, or last
+    * THREE when the second-to-last label is a known second-level
+    * (`co|com|net|org|gov|ac|edu`) under a two-letter ccTLD. IPv4
+    * literals and single-label hosts pass through unchanged. The
+    * grouping key for per-domain caps, domain mixing weights, and
+    * domain-level dedup.
+    */
+  def registrableDomain(host: Column): Column = {
+    val h = lower(host)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val sld = element_at(labels, -2)
+    val tld = element_at(labels, -1)
+    when(h.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"), h)
+      .when(n <= 2, h)
+      .when(sld.isin("co", "com", "net", "org", "gov", "ac", "edu")
+        && length(tld) === 2, concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+}
