@@ -1412,6 +1412,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext similarity — embedding-space decontamination (the semantic
+    // companion of q82's n-gram form): the benchmark slice (vec_id%23=0)
+    // is fused into the MaxCosine scan kernel; corpus rows within
+    // cosine 0.92 of ANY benchmark vector drop — including the benchmark
+    // rows themselves (cos 1.0). No join in the plan: the corpus never
+    // moves. Exact doubles, so the oracle's max-over-refs replays them.
+    // (The embeddings table has no zero/NaN vectors, so the kernel's
+    // denom>0-else-0 convention and the oracle's raw division agree.)
+    "q123_semantic_decontam" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      ext.Similarity.semanticDecontaminate(
+          em, em.filter(col("vec_id") % 23 === 0),
+          "embedding", "embedding", tau = 0.92)
+        .select(col("vec_id"), col("max_ref_cosine"))
+        .orderBy("vec_id")
+    }),
+
     // ext streaming — paragraph-level continuous dedup, batch replay
     // form: the corpus thirds arrive as batch 0 (within-batch dedup
     // only), the batch third as batch 1 (probed against batch 0's
@@ -2557,6 +2574,22 @@ object SparkEntry {
         |SELECT doc_id, url_canon, reg_domain,
         |  CAST(count(*) OVER (PARTITION BY reg_domain) AS BIGINT) AS domain_docs
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // max cosine over the benchmark slice per corpus row, then the
+    // strict < tau survivor filter — same index-order double arithmetic
+    // as the kernel (the q14/q15 list_sum equivalence)
+    "q123_semantic_decontam" ->
+      """WITH refs AS (SELECT embedding FROM embeddings WHERE vec_id % 23 = 0),
+        |sc AS (
+        |  SELECT e.vec_id,
+        |    max(list_sum(list_transform(list_zip(e.embedding, r.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS max_ref_cosine
+        |  FROM embeddings e CROSS JOIN refs r
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, max_ref_cosine FROM sc
+        |WHERE max_ref_cosine < 0.92 ORDER BY vec_id""".stripMargin,
 
     // batch 0 = the q110 oracle over the corpus thirds (tagged 0);
     // batch 1 = the q117 oracle (tagged 1); union replays the fold

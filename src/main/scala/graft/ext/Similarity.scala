@@ -638,6 +638,49 @@ object Similarity {
       .select(col("query_id"), (-col("s.id")).as("neighbor_id"),
         col("s.score").as("cosine"), (col("i") + 1).cast("int").as("rank"))
 
+  /** Embedding-space benchmark decontamination — the semantic companion
+    * of [[Dedup.benchmarkDecontaminate]]'s n-gram form: drop every corpus
+    * row whose embedding has cosine >= `tau` against ANY reference
+    * (benchmark / test-set) vector. A paraphrased test question shares no
+    * 8-gram with the original but sits beside it in embedding space; this
+    * is the published mitigation (surface-form AND semantic overlap
+    * filters).
+    *
+    * EXACT, scan-only: the reference side is benchmark-sized by
+    * definition, so its vectors are collected once (driver-bounded the
+    * same way the IVF centroid sets are) and fused into the
+    * [[graft.functions.MaxCosine]] codegen kernel — the corpus is
+    * filtered in place: no join, no shuffle, the corpus never moves, and
+    * the kernel short-circuits per reference row only on NaN. Cost is
+    * O(|corpus| x |refs| x dim) multiply-adds in the scan — at 100 TB
+    * that is the SAME per-row work a broadcast nested-loop join would do,
+    * minus the join machinery. For reference sets too large to ship as a
+    * kernel constant (not a benchmark any more), use [[ivfTopKJoin]]
+    * candidates + an exact `vecCosine` re-check instead.
+    *
+    * Rows with a null embedding are KEPT (unknown similarity is not
+    * evidence of contamination — mirror of the null-text stances).
+    * Returns the corpus rows that survive, original schema, plus the
+    * max-cosine evidence column `max_ref_cosine`.
+    */
+  def semanticDecontaminate(corpus: DataFrame, refs: DataFrame,
+                            vecCol: String, refVecCol: String,
+                            tau: Double): DataFrame = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    val refVecs: Seq[Seq[Double]] = refs
+      .filter(col(refVecCol).isNotNull).select(col(refVecCol)).collect()
+      .map(_.getSeq[Any](0).map(v =>
+        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()).toSeq)
+      .toSeq
+    require(refVecs.nonEmpty, "reference set has no non-null vectors")
+    corpus
+      .withColumn("max_ref_cosine",
+        when(col(vecCol).isNotNull,
+          VectorFunctions.maxCosine(col(vecCol), refVecs))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .filter(col("max_ref_cosine") < tau)
+  }
+
   /** The cross-table joins ride neighbor ids through the bounded heap as
     * LONGs: a fractional or decimal id would be silently truncated into a
     * nonexistent id (2.1 and 2.9 collapse to 2), so only integral right

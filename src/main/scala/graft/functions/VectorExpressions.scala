@@ -583,6 +583,145 @@ case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
 }
 
 /** Column-level entry points for the native vector expressions. */
+/** `max_cosine(vec)` → double: the HIGHEST cosine similarity between
+  * `vec` and any row of a fixed reference matrix — the scan-only kernel
+  * behind embedding-space decontamination ("is this training document
+  * semantically close to ANY benchmark item?"). Holding the benchmark
+  * matrix as a reference object turns what would be a join against the
+  * reference set into a per-row filter: the corpus never moves.
+  * Semantics mirror [[NearestCentroid]] exactly — cosine accumulated in
+  * index order, 0.0 when either norm is zero OR NaN (a NaN element
+  * poisons the norm, so the `denom > 0` gate maps the row to 0.0 like a
+  * zero vector), dot over min(len) with null elements skipped. A NaN
+  * cosine proper (reachable only with infinite elements) propagates as
+  * the maximum, matching Spark's NaN-greatest ordering.
+  * An EMPTY reference matrix is rejected (use lit(-1.0) if "no refs"
+  * should mean "keep everything").
+  */
+case class MaxCosine(child: Expression, refs: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cosine"
+
+  private lazy val k = refs.length
+  private lazy val dim = refs.head.length
+  /** flat [j * dim + d] */
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      var d = 0
+      while (d < dim) { a(j * dim + d) = refs(j)(d); d += 1 }
+      j += 1
+    }
+    a
+  }
+  private lazy val rNorm: Array[Double] = {
+    val a = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val c = flat(j * dim + d); s += c * c; d += 1 }
+      a(j) = math.sqrt(s)
+      j += 1
+    }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!okVec)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double>, got ${child.dataType.simpleString}")
+    else if (refs.isEmpty || refs.exists(_.length != dim))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName reference matrix must be non-empty and rectangular")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = a.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        xx += x * x
+      }
+      i += 1
+    }
+    val normX = math.sqrt(xx)
+    var best = Double.NegativeInfinity
+    var j = 0
+    while (j < k && !java.lang.Double.isNaN(best)) {
+      var dot = 0.0
+      val lim = math.min(n, dim)
+      var d = 0
+      while (d < lim) {
+        if (!a.isNullAt(d)) {
+          val x = if (isF) a.getFloat(d).toDouble else a.getDouble(d)
+          dot += x * flat(j * dim + d)
+        }
+        d += 1
+      }
+      val denom = normX * rNorm(j)
+      val s = if (denom > 0) dot / denom else 0.0
+      if (java.lang.Double.isNaN(s) || s > best) best = s
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("refFlat", flat, "double[]")
+      val normRef = ctx.addReferenceObj("refNorm", rNorm, "double[]")
+      val isF = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val n = ctx.freshName("n")
+      val xx = ctx.freshName("xx")
+      val normX = ctx.freshName("normX")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val lim = ctx.freshName("lim")
+      val dot = ctx.freshName("dot")
+      val denom = ctx.freshName("denom")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      def getAt(p: String) = if (isF) s"(double)$a.getFloat($p)" else s"$a.getDouble($p)"
+      s"""
+         |int $n = $a.numElements();
+         |double $xx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) { double x = ${getAt(i)}; $xx += x * x; }
+         |}
+         |double $normX = java.lang.Math.sqrt($xx);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |for (int $j = 0; $j < $k && !java.lang.Double.isNaN($best); $j++) {
+         |  double $dot = 0.0;
+         |  int $lim = java.lang.Math.min($n, $dim);
+         |  for (int $d = 0; $d < $lim; $d++) {
+         |    if (!$a.isNullAt($d)) { $dot += ${getAt(d)} * $flatRef[$j * $dim + $d]; }
+         |  }
+         |  double $denom = $normX * $normRef[$j];
+         |  double $s = ($denom > 0) ? ($dot / $denom) : 0.0;
+         |  if (java.lang.Double.isNaN($s) || $s > $best) { $best = $s; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosine =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   def vecDot(a: Column, b: Column): Column =
@@ -613,4 +752,7 @@ object VectorFunctions {
 
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), planes))
+
+  def maxCosine(vec: Column, refs: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(MaxCosine(ColumnBridge.expression(vec), refs))
 }

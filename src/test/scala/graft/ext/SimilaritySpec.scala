@@ -337,6 +337,57 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(2L) == ((0.0, Seq(0, 0, 0))))
   }
 
+  test("semanticDecontaminate: drops near-ref rows, keeps orthogonal and null") {
+    val refs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("ref_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // scaled copy of ref 100: cos 1.0
+      (2L, Array(0.0f, 0.0f, 5.0f)),   // orthogonal to both: cos 0.0
+      (3L, Array(1.0f, 1.0f, 0.0f)),   // cos 1/sqrt(2) ≈ .707 vs both
+      (4L, null.asInstanceOf[Array[Float]]) // unknown: kept
+    ).toDF("doc_id", "embedding")
+    val strict = Similarity.semanticDecontaminate(
+        corpus, refs, "embedding", "embedding", tau = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(2L, 3L, 4L))
+    val loose = Similarity.semanticDecontaminate(
+        corpus, refs, "embedding", "embedding", tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(2L, 4L), "0.707 exceeds tau=0.5")
+    // evidence column carries the exact max cosine
+    val ev = Similarity.semanticDecontaminate(
+        corpus, refs, "embedding", "embedding", tau = 0.9)
+      .select("doc_id", "max_ref_cosine").as[(Long, Double)].collect().toMap
+    assert(ev(2L) == 0.0 && math.abs(ev(3L) - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
+
+  test("maxCosine kernel matches a brute-force fold, NaN propagates") {
+    import graft.functions.VectorFunctions
+    val refs = Seq(Seq(0.5, -1.0, 2.0), Seq(-3.0, 0.25, 1.0), Seq(0.0, 0.0, 0.0))
+    val vecs = Seq(
+      Array(1.0f, 2.0f, -0.5f), Array(-1.0f, -1.0f, -1.0f),
+      Array(0.0f, 0.0f, 0.0f), Array(Float.NaN, 1.0f, 0.0f))
+    val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+      .select(col("id"), VectorFunctions.maxCosine(col("vec"), refs).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def cos(a: Array[Float], b: Seq[Double]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+      val d = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      if (d > 0) dot / d else 0.0
+    }
+    for (i <- 0 to 2) {
+      val expected = refs.map(r => cos(vecs(i), r)).max
+      assert(out(i.toLong) == expected, s"vec $i")
+    }
+    // a NaN element poisons the vector's norm, so the denom > 0 gate
+    // maps every cosine to the 0.0 convention (same as a zero vector)
+    assert(out(3L) == 0.0)
+  }
+
   test("groupCentroids: element-wise means per group, dim order kept") {
     val df = Seq(
       (0, Array(1.0f, 2.0f, 3.0f)),
