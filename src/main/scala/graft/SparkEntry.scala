@@ -1412,6 +1412,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext text — interpolated bigram LM score (the KenLM-shaped upgrade
+    // of q87): mean ln(0.75·p(w2|w1) + 0.25·p(w2)) per transition,
+    // self-scored against the corpus; integer-scaled logs replayed by
+    // the oracle. Catches common words in gibberish ORDER, which
+    // unigrams cannot.
+    "q124_bigram_logprob" -> ((s, dir) => {
+      TextStats.bigramLogProbScore(
+          tbl(s, dir, "documents").filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ext similarity — embedding-space decontamination (the semantic
     // companion of q82's n-gram form): the benchmark slice (vec_id%23=0)
     // is fused into the MaxCosine scan kernel; corpus rows within
@@ -2574,6 +2586,33 @@ object SparkEntry {
         |SELECT doc_id, url_canon, reg_domain,
         |  CAST(count(*) OVER (PARTITION BY reg_domain) AS BIGINT) AS domain_docs
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // interpolated bigram probability in ONE fixed double-arithmetic
+    // shape, quantized and BIGINT-summed (the q87 replay stance)
+    "q124_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+        |bi AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+        |        FROM d WHERE len(t) >= 2)),
+        |toks AS (SELECT unnest(t) AS term FROM d),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |c2 AS (SELECT term, count(*) AS c2 FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |      + 0.25 * (CAST(c2.c2 AS DOUBLE) / n)) * 1e12) AS BIGINT) AS lp
+        |  FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |    JOIN c2 ON b.w2 = c2.term CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp) AS DOUBLE) / 1e12 / count(*) AS mean_lp
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // max cosine over the benchmark slice per corpus row, then the
     // strict < tau survivor filter — same index-order double arithmetic

@@ -385,6 +385,68 @@ object TextStats {
           - log(col("n_total"))).as("mean_lp"))
   }
 
+  /** Interpolated bigram language-model score per document — the
+    * KenLM-shaped upgrade of [[unigramLogProbScore]]: mean over the
+    * document's bigram TRANSITIONS of
+    * `ln( λ·p(w₂|w₁) + (1−λ)·p(w₂) )`, with `p(w₂|w₁) = c₁₂/c₁` the
+    * corpus MLE conditional and `p(w₂) = c₂/N` the unigram backoff.
+    * Catches what a unigram model cannot: common words in gibberish
+    * ORDER ("the of and the of") score high on unigrams but their
+    * transitions are rare. Self-scored against the corpus; 0 < λ < 1
+    * keeps every seen transition's probability positive.
+    *
+    * Determinism: the interpolated probability is computed in one fixed
+    * double-arithmetic shape (λ·(c₁₂/c₁) + (1−λ)·(c₂/N), each count cast
+    * to double exactly), then quantized (`floor(ln·10¹²)`) and summed as
+    * BIGINT — the [[unigramLogProbScore]] stance, so external engines
+    * replay scores bit-for-bit.
+    *
+    * Documents with fewer than 2 tokens have no transitions and produce
+    * NO row — left-join on the source for outer semantics (the
+    * [[Dedup.paragraphDedup]] stance). Returns
+    * (idCol, n_bigrams, mean_lp).
+    *
+    * Scale shape: the tokenized-array frame is cut once (one corpus
+    * scan); bigram and token explodes are map-side; c₁₂/c₁/c₂ are
+    * (bi)gram-vocabulary-sized aggregates AQE broadcasts when they fit;
+    * the corpus total rides as a one-row broadcast; one final per-doc
+    * aggregate. Never a corpus×corpus join, never a window.
+    */
+  def bigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0,
+      s"lambda must be in (0, 1), got $lambda")
+    val arr = graft.plans.PlanCapture.cut(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol), canonicalTokens(col(textCol)).as("__t")))
+    val bi = arr.filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__t")) - 2), i =>
+          struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val toks = arr.select(explode(col("__t")).as("term"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val c2 = toks.groupBy("term").agg(count(lit(1)).as("__c2"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val p = lit(lambda)
+      .multiply(col("__c12").cast("double") / col("__c1").cast("double"))
+      .plus(lit(1.0 - lambda)
+        .multiply(col("__c2").cast("double") / col("__n")))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(c2, col("w2") === col("term"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(log(p) * lit(1e12)).cast("long").as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__slp").cast("double") / lit(1e12) / col("n_bigrams"))
+          .as("mean_lp"))
+  }
+
   /** Integer-scaled natural log: `floor(ln(x)·10¹²)` as BIGINT — the
     * quantization that makes log-sums exact and engine-portable (see
     * [[unigramLogProbScore]]'s determinism note).

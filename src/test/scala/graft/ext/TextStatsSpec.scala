@@ -201,6 +201,24 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(("x", "y")) > out(("q", "x")))
   }
 
+  test("bigramLogProbScore: hand-computed interpolated transitions") {
+    def S(p: Double): Long = math.floor(math.log(p) * 1e12).toLong
+    val docs = Seq((1L, "a b a b"), (2L, "b c"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // N=7; c2: a 2, b 3, c 2; bigrams doc1 (a,b)×2 (b,a), doc2 (b,c);
+    // c12: (a,b) 2, (b,a) 1, (b,c) 1; c1: a 2, b 2
+    val pab = 0.75 * (2.0 / 2.0) + 0.25 * (3.0 / 7.0)
+    val pba = 0.75 * (1.0 / 2.0) + 0.25 * (2.0 / 7.0)
+    val pbc = 0.75 * (1.0 / 2.0) + 0.25 * (2.0 / 7.0)
+    assert(out(1L) == ((3L, (2 * S(pab) + S(pba)).toDouble / 1e12 / 3L)))
+    assert(out(2L) == ((1L, S(pbc).toDouble / 1e12 / 1L)))
+    assert(!out.contains(3L), "single-token doc has no transitions")
+    // rare transition of common words scores BELOW a common transition
+    assert(S(pba) < S(pab))
+  }
+
   test("naiveBayesScore: hand-computed llr, unseen tokens, null hygiene") {
     def S(x: Double): Long = math.floor(math.log(x) * 1e12).toLong
     val seed = Seq(
