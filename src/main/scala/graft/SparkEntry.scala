@@ -1412,6 +1412,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext functions — multi-pattern redaction (the masking companion of
+    // q120's scan: blocklist scrubbing / literal PII masking in ONE pass
+    // whatever the pattern count): leftmost non-overlapping match, ties
+    // at one start to list order — regexp_replace alternation semantics
+    // for literal patterns, so the oracle replays it verbatim.
+    "q125_multi_redact" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.MultiMatchFunctions.multiPatternRedact(
+            col("text"), Seq("data", "row", "table", "the"), "[X]")
+            .as("clean_text"))
+        .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ext text — interpolated bigram LM score (the KenLM-shaped upgrade
     // of q87): mean ln(0.75·p(w2|w1) + 0.25·p(w2)) per transition,
     // self-scored against the corpus; integer-scaled logs replayed by
@@ -2586,6 +2602,16 @@ object SparkEntry {
         |SELECT doc_id, url_canon, reg_domain,
         |  CAST(count(*) OVER (PARTITION BY reg_domain) AS BIGINT) AS domain_docs
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // literal alternation: same leftmost-first semantics as the engine's
+    // (start asc, list order) sweep; no two patterns share a start here
+    "q125_multi_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, 'data|row|table|the', '[X]', 'g') AS clean_text,
+        |  CAST(length(regexp_replace(text, 'data|row|table|the', '[X]', 'g')) AS BIGINT) AS n_chars_clean
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // interpolated bigram probability in ONE fixed double-arithmetic
     // shape, quantized and BIGINT-summed (the q87 replay stance)

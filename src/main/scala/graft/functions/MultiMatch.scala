@@ -44,6 +44,8 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   // outOff/outPat: CSR layout of the precomputed output sets (patterns
   // ending at the node or anywhere on its fail chain)
   private val (delta, outOff, outPat) = AhoCorasick.build(patterns)
+  private val patLens: Array[Int] =
+    patterns.map(_.getBytes("UTF-8").length).toArray
 
   /** Per-pattern occurrence counts over `s` (overlapping included). */
   def countArray(s: UTF8String): ArrayData = {
@@ -59,6 +61,59 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  /** Replace every leftmost non-overlapping occurrence of any pattern
+    * with `mask` — ties at one start position go to the EARLIEST pattern
+    * in list order, and scanning resumes after the replaced span. These
+    * are exactly RE2/PCRE `regexp_replace(text, 'p1|p2|…', mask, 'g')`
+    * semantics for literal patterns (leftmost start wins; at equal start
+    * the alternation order wins), so external engines replay redaction
+    * verbatim. One DFA pass collects candidate matches (they surface at
+    * their END byte, so a longer pattern can start before an
+    * already-seen shorter one — selection must be global, not greedy),
+    * then one sort + sweep builds the output.
+    */
+  def redact(s: UTF8String, mask: UTF8String): UTF8String = {
+    val n = s.numBytes
+    // collect (start, patternIdx) packed as start<<32 | idx: numeric
+    // order = (start asc, idx asc), exactly the selection priority
+    var packed = new Array[Long](8)
+    var m = 0
+    var cur = 0
+    var i = 0
+    while (i < n) {
+      cur = delta((cur << 8) | (s.getByte(i) & 0xff))
+      var o = outOff(cur)
+      val end = outOff(cur + 1)
+      while (o < end) {
+        val idx = outPat(o)
+        if (m == packed.length) packed = java.util.Arrays.copyOf(packed, m * 2)
+        packed(m) = ((i - patLens(idx) + 1).toLong << 32) | idx.toLong
+        m += 1
+        o += 1
+      }
+      i += 1
+    }
+    if (m == 0) return s
+    java.util.Arrays.sort(packed, 0, m)
+    val src = s.getBytes
+    val maskBytes = mask.getBytes
+    val out = new java.io.ByteArrayOutputStream(n)
+    var cursor = 0
+    var j = 0
+    while (j < m) {
+      val start = (packed(j) >>> 32).toInt
+      val idx = (packed(j) & 0xffffffffL).toInt
+      if (start >= cursor) {
+        out.write(src, cursor, start - cursor)
+        out.write(maskBytes, 0, maskBytes.length)
+        cursor = start + patLens(idx)
+      }
+      j += 1
+    }
+    out.write(src, cursor, n - cursor)
+    UTF8String.fromBytes(out.toByteArray)
   }
 }
 
@@ -175,7 +230,51 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** Redact every occurrence of every pattern in one pass — the masking
+  * companion of [[MultiPatternCounts]] (blocklist scrubbing, PII-style
+  * literal masking): leftmost non-overlapping match wins, ties at one
+  * start position go to the earliest pattern in list order, scanning
+  * resumes after the mask — exactly
+  * `regexp_replace(text, 'p1|p2|…', mask, 'g')` semantics for literal
+  * patterns, so external engines replay it. Null text → null.
+  */
+case class MultiPatternRedact(child: Expression, patterns: Seq[String],
+                              mask: String)
+    extends UnaryExpression {
+
+  @transient private lazy val ac = new AhoCorasick(patterns)
+  @transient private lazy val maskU = UTF8String.fromString(mask)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "multi_pattern_redact"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ac.redact(input.asInstanceOf[UTF8String], maskU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val acRef = ctx.addReferenceObj("ac", ac, "graft.functions.AhoCorasick")
+      val maskRef = ctx.addReferenceObj("mask", maskU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      s"${ev.value} = $acRef.redact($c, $maskRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternRedact =
+    copy(child = newChild)
+}
+
 object MultiMatchFunctions {
   def multiPatternCounts(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiPatternCounts(ColumnBridge.expression(text), patterns))
+
+  def multiPatternRedact(text: Column, patterns: Seq[String],
+                         mask: String): Column =
+    ColumnBridge.column(
+      MultiPatternRedact(ColumnBridge.expression(text), patterns, mask))
 }

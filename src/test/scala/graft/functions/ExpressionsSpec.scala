@@ -135,6 +135,47 @@ class ExpressionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](new AhoCorasick(Seq("ok", "")))
   }
 
+  test("MultiPatternRedact: regexp_replace alternation semantics exactly") {
+    // reference: Java regex alternation replaceAll — the same
+    // leftmost-start, then-alternation-order, resume-after-match
+    // semantics RE2's regexp_replace(…, 'g') uses for literal patterns
+    def ref(text: String, pats: Seq[String], mask: String): String =
+      java.util.regex.Pattern
+        .compile(pats.map(java.util.regex.Pattern.quote).mkString("|"))
+        .matcher(text)
+        .replaceAll(java.util.regex.Matcher.quoteReplacement(mask))
+    val patterns = Seq("she", "he", "hers", "aa", "then")
+    val texts = Seq(
+      "ushers",        // 'she' (leftmost) beats the 'he'/'hers' inside it
+      "aaaa",          // non-overlap: two masks, not three
+      "he then hers",  // 'he' inside 'then' vs list order: 'he' is first
+      "xyz", "", "hehehe")
+    for (mask <- Seq("[X]", "")) {
+      val got = texts.toDF("t")
+        .select(MultiMatchFunctions.multiPatternRedact($"t", patterns, mask))
+        .as[String].collect()
+      texts.zip(got).foreach { case (t, r) =>
+        assert(r == ref(t, patterns, mask), s"text '$t' mask '$mask'")
+      }
+    }
+    // a longer pattern can START earlier than an already-found shorter
+    // one — selection is global, not end-order-greedy
+    val g = Seq("xabcd").toDF("t")
+      .select(MultiMatchFunctions.multiPatternRedact(
+        $"t", Seq("bc", "abcd"), "#")).as[String].collect()(0)
+    assert(g == "x#", "'abcd' (leftmost start) wins over earlier-ending 'bc'")
+    // unicode masks and patterns survive the byte-level walk
+    val u = Seq("caf\u00e9 bar").toDF("t")
+      .select(MultiMatchFunctions.multiPatternRedact(
+        $"t", Seq("caf\u00e9"), "\u2588")).as[String].collect()(0)
+    assert(u == "\u2588 bar")
+    // null text stays null
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(MultiMatchFunctions.multiPatternRedact($"t", Seq("x"), "y"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("UnicodeNormalize: all four forms match java.text.Normalizer") {
     val samples = Seq(
       "e\u0301clair",          // combining acute: NFC joins to precomposed
