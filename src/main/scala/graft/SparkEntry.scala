@@ -2573,7 +2573,7 @@ object SparkEntry {
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-        |    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
+        |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
         |  FROM u),
         |q AS (
         |  SELECT doc_id, scheme,

@@ -48,8 +48,11 @@ object WebUrl {
     val port = regexp_extract(hostPort, ":(\\d+)$", 1)
     val path = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    // only a '?' BEFORE any '#' starts a query; after '#' it's fragment
-    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // the query starts at the FIRST '?' before any '#' (RFC 3986) — the
+    // leading class must exclude '?' itself or the regex greedily
+    // anchors to the LAST one, dropping params between them; later '?'s
+    // are legal query content and stay inside the capture
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val keptParams = array_sort(filter(split(query, "&"), p =>
       !p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid)(=|$)")
         && p =!= ""))

@@ -30,7 +30,9 @@ class WebUrlSpec extends SparkTestBase {
       "https://example.com/a#frag?b=1" ->
         "https://example.com/a", // '?' after '#' is fragment, not query
       "http://example.com:443/x" ->
-        "http://example.com:443/x" // 443 is only default for https
+        "http://example.com:443/x", // 443 is only default for https
+      "http://example.com/a?b=1?c=2" ->
+        "http://example.com/a?b=1?c=2" // query starts at the FIRST '?'
     )
     assert(canon(cases.map(_._1): _*) == cases.map(_._2))
   }
