@@ -819,18 +819,35 @@ object Dedup {
   def paragraphDedupAgainstKeyParts(batch: DataFrame, parts: Seq[DataFrame],
                                     idCol: String, textCol: String,
                                     sep: String = "\n",
-                                    hashKeys: Boolean = true): DataFrame = {
-    val paras = paragraphFrame(batch, idCol, textCol, sep)
-      .withColumn("norm_key",
-        if (hashKeys) col("__h") else col("__norm"))
-    val fresh = parts.foldLeft(keepFirstOccurrences(paras, idCol)) {
-      (df, part) =>
-        // empty-norm rows carry a key too, but the store never holds
-        // empty norms (or their hash): they always survive the anti join
-        df.join(part.select(col("norm_key")), Seq("norm_key"), "left_anti")
+                                    hashKeys: Boolean = true): DataFrame =
+    reassembleParagraphs(
+      freshAgainstKeyParts(
+        keyedParagraphFrame(batch, idCol, textCol, sep, hashKeys),
+        parts, idCol),
+      idCol, sep)
+
+  /** [[paragraphFrame]] plus the store key column (`norm_key` = hash or
+    * norm) — the probe-side frame both key-part forms share.
+    */
+  private def keyedParagraphFrame(batch: DataFrame, idCol: String,
+                                  textCol: String, sep: String,
+                                  hashKeys: Boolean): DataFrame =
+    paragraphFrame(batch, idCol, textCol, sep)
+      .withColumn("norm_key", if (hashKeys) col("__h") else col("__norm"))
+
+  /** First-occurrence filter + per-part anti-joins — the probe core
+    * shared by [[paragraphDedupAgainstKeyParts]] and
+    * [[paragraphDedupAndKeys]] (the [[spansFromPostings]] stance: one
+    * body, two entry points, so the streaming and batch paths cannot
+    * silently diverge).
+    */
+  private def freshAgainstKeyParts(paras: DataFrame, parts: Seq[DataFrame],
+                                   idCol: String): DataFrame =
+    parts.foldLeft(keepFirstOccurrences(paras, idCol)) { (df, part) =>
+      // empty-norm rows carry a key too, but the store never holds
+      // empty norms (or their hash): they always survive the anti join
+      df.join(part.select(col("norm_key")), Seq("norm_key"), "left_anti")
     }
-    reassembleParagraphs(fresh, idCol, sep)
-  }
 
   /** [[paragraphDedupAgainstKeyParts]] that ALSO returns the batch's own
     * distinct paragraph keys — (rebuilt docs, keys) — for callers that
@@ -847,17 +864,12 @@ object Dedup {
                             idCol: String, textCol: String,
                             sep: String = "\n",
                             hashKeys: Boolean = true): (DataFrame, DataFrame) = {
-    val paras = paragraphFrame(batch, idCol, textCol, sep)
-      .withColumn("norm_key",
-        if (hashKeys) col("__h") else col("__norm"))
+    val paras = keyedParagraphFrame(batch, idCol, textCol, sep, hashKeys)
       .localCheckpoint()
-    val fresh = parts.foldLeft(keepFirstOccurrences(paras, idCol)) {
-      (df, part) =>
-        df.join(part.select(col("norm_key")), Seq("norm_key"), "left_anti")
-    }
     val keys = paras.filter(col("__norm") =!= "")
       .select(col("norm_key")).distinct()
-    (reassembleParagraphs(fresh, idCol, sep), keys)
+    (reassembleParagraphs(freshAgainstKeyParts(paras, parts, idCol),
+      idCol, sep), keys)
   }
 
   /** Exploded (id, __np, __idx, __para, __norm, __h) paragraph frame

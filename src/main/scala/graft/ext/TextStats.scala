@@ -438,8 +438,7 @@ object TextStats {
       .join(c1, Seq("w1"))
       .join(c2, col("w2") === col("term"))
       .crossJoin(broadcast(total))
-      .select(col(idCol),
-        floor(log(p) * lit(1e12)).cast("long").as("__lp"))
+      .select(col(idCol), lnScaled(p).as("__lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
       .select(col(idCol), col("n_bigrams"),

@@ -241,6 +241,7 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
 case class MultiPatternRedact(child: Expression, patterns: Seq[String],
                               mask: String)
     extends UnaryExpression {
+  require(mask != null, "mask must not be null (use \"\" to delete matches)")
 
   @transient private lazy val ac = new AhoCorasick(patterns)
   @transient private lazy val maskU = UTF8String.fromString(mask)

@@ -582,7 +582,6 @@ case class MatVec(child: Expression, matrix: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
-/** Column-level entry points for the native vector expressions. */
 /** `max_cosine(vec)` → double: the HIGHEST cosine similarity between
   * `vec` and any row of a fixed reference matrix — the scan-only kernel
   * behind embedding-space decontamination ("is this training document
@@ -722,6 +721,7 @@ case class MaxCosine(child: Expression, refs: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
 
   def vecDot(a: Column, b: Column): Column =
