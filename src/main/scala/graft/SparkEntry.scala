@@ -1949,6 +1949,124 @@ object SparkEntry {
           batches, Seq("doc_id", "lang", "n_chars"))
         .withColumnRenamed("column", "col_name")
         .orderBy("batch_id", "col_name")
+    }),
+
+    // ext quality — Gopher rule filter (Rae et al. 2021 table A1) over
+    // line-shaped text: three synthesized tail lines make every rule
+    // column take both branches (bullets on mod 3, '#'+ellipsis symbols
+    // on mod 5, an ellipsis-terminated line on mod 7, a stopword-dense
+    // sentence otherwise); the flag is emitted, not filtered, so the
+    // oracle checks every metric on every doc. Pure scan — the whole
+    // rule set fuses into the parquet scan under codegen.
+    "q126_gopher_rules" -> ((s, dir) => {
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("\u2022 list item"))
+            .otherwise(lit(
+              "The data have to be of use, and that is that, with care.")),
+          when(col("doc_id") % 5 === 0, lit("#x #y #z"))
+            .otherwise(lit("a plain tail line")),
+          when(col("doc_id") % 7 === 0, lit("to be continued..."))
+            .otherwise(lit("a closing line."))).as("text"))
+      ext.QualityFilters.withGopherRules(shaped)
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // ext quality — C4 line-level cleaning (Raffel et al. 2020 §2.2):
+    // terminal-punctuation + >=5-word + no-"javascript" line filter,
+    // then the document gate (>=3 kept lines, no "{"). Line structure
+    // synthesized from word slices so both branches of every predicate
+    // occur; order preservation is part of the contract (clean_text is
+    // the original minus dropped lines).
+    "q127_c4_clean" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          lit("This is a good line with enough words here."),
+          array_join(slice(words, 1, 3), " "),
+          concat(array_join(slice(words, 4, 9), " "), lit(".")),
+          when(col("doc_id") % 4 === 0,
+            lit("Click here to enable javascript now."))
+            .otherwise(lit("Another decent sentence appears right here.")),
+          when(col("doc_id") % 6 === 0, lit("function f() { return 1; }"))
+            .otherwise(lit("The last line ends properly."))).as("text"))
+      ext.QualityFilters.withC4Clean(shaped)
+        .drop("text")
+        .orderBy("doc_id")
+    }),
+
+    // ext dedup — corpus-frequency boilerplate removal: every occurrence
+    // of a line appearing in >= 3 DISTINCT docs goes (the complement of
+    // q110's keep-first policy — template chrome has no original worth
+    // keeping). A newsletter plug on even ids and a copyright footer on
+    // mod 5 are the planted boilerplate; the per-doc unique lines must
+    // survive untouched. One distinct-count aggregate + one anti join —
+    // nothing pairwise.
+    "q128_boilerplate_strip" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          array_join(slice(words, 1, 8), " "),
+          when(col("doc_id") % 2 === 0,
+            lit("Subscribe to our newsletter!"))
+            .otherwise(concat(lit("unique middle "),
+              col("doc_id").cast("string"))),
+          array_join(slice(words, 9, 8), " "),
+          when(col("doc_id") % 5 === 0,
+            lit("Copyright 2026 Example Corp"))
+            .otherwise(lit("All rights reserved to no one."))).as("text"))
+      ext.Dedup.stripBoilerplate(shaped, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // functions — character-distribution entropy as a scan-only native
+    // expression (the built-in alternative is explode+groupBy: one
+    // shuffled row PER CHARACTER of the corpus). Integer-scaled floored
+    // terms (the q87 lnScaled stance) make the histogram sum replayable
+    // by the oracle in any iteration order; a unicode tail on mod 4
+    // pins codepoint (not byte/UTF-16) semantics.
+    "q129_char_entropy" -> ((s, dir) => {
+      import graft.functions.CharEntropyFunctions._
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" h\u00e9llo w\u00f6rld \u2026")))
+            .otherwise(col("text")).as("text"))
+      shaped.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          charLnSumScaled(col("text")).as("ln_sum_e9"),
+          charEntropyE9(col("text")).as("entropy_e9"))
+        .orderBy("doc_id")
+    }),
+
+    // ext web — per-domain quality roll-up (q122's keying + q17's score,
+    // composed): aggregate-then-join (partial-agg exchange of one row
+    // per domain per task, no window sort, no broadcast — a crawl has
+    // ~10^8 domains), mean as floor(intSum/count) so one double division
+    // is the only float op and the oracle replays it exactly.
+    "q130_domain_quality" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val host = when(col("doc_id") % 5 === 0, "WWW.Example.COM")
+        .when(col("doc_id") % 5 === 1, "news.Example.co.uk")
+        .when(col("doc_id") % 5 === 2, "Sub.Blog.example.ORG")
+        .when(col("doc_id") % 5 === 3, "192.168.10.42")
+        .otherwise("example.net")
+      val url = concat(lit("https://"), host,
+        lit("/Articles/"), col("doc_id").cast("string"))
+      val scored = d.select(col("doc_id"), url.as("url"),
+        floor(ext.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("q_e6"))
+      ext.WebUrl.withDomainQuality(scored, "url", "q_e6")
+        .select(col("doc_id"), col("reg_domain"), col("domain_docs"),
+          col("domain_mean_scaled"),
+          (col("domain_mean_scaled") >= 500000L).as("keep_domain"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4449,6 +4567,189 @@ object SparkEntry {
         |      / CAST(len(toks) AS DOUBLE)
         |  ELSE 0.0 END AS top_token_share
         |FROM g
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays the line synthesis, then every Gopher rule column; ratios
+    // are one double division of integer counts (RE2 `\x{...}` for the
+    // bullet/ellipsis codepoints)
+    "q126_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(chr(10), text,
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(8226) || ' list item'
+        |         ELSE 'The data have to be of use, and that is that, with care.' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN '#x #y #z' ELSE 'a plain tail line' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'to be continued...' ELSE 'a closing line.' END) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS w,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS wl,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM base),
+        |x AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS DOUBLE)
+        |      / greatest(len(w), 1) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |      + len(regexp_extract_all(text, '(\.\.\.|\x{2026})')) AS DOUBLE)
+        |      / greatest(len(w), 1) AS symbol_ratio,
+        |    CAST(len(list_filter(ls, l ->
+        |        regexp_matches(l, '^\s*[\x{2022}\x{2023}\x{25B6}*-]'))) AS DOUBLE)
+        |      / greatest(len(ls), 1) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l ->
+        |        regexp_matches(l, '(\.\.\.|\x{2026})\s*$'))) AS DOUBLE)
+        |      / greatest(len(ls), 1) AS ellipsis_frac,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(len(w), 1) AS alpha_frac,
+        |    CAST((CASE WHEN list_contains(wl, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(wl, 'with') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |   AND stop_hits >= 2) AS gopher_pass
+        |FROM x
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays the line synthesis, the kept-line predicate (terminal
+    // punctuation + >=5 words + no "javascript"), and the document gate
+    "q127_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'This is a good line with enough words here.',
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' '),
+        |    array_to_string(list_slice(string_split(text, ' '), 4, 12), ' ') || '.',
+        |    CASE WHEN doc_id % 4 = 0 THEN 'Click here to enable javascript now.'
+        |         ELSE 'Another decent sentence appears right here.' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'function f() { return 1; }'
+        |         ELSE 'The last line ends properly.' END) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"'']\s*$')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |            t -> t <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM base)
+        |SELECT doc_id,
+        |  array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS keep_doc
+        |FROM k
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays the synthesis, counts distinct docs per normalized line,
+    // and drops EVERY occurrence of lines in >= 3 docs (q110's explode/
+    // reassemble idiom with a frequency filter instead of keep-first)
+    "q128_boilerplate_strip" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter!'
+        |         ELSE 'unique middle ' || CAST(doc_id AS VARCHAR) END,
+        |    array_to_string(list_slice(string_split(text, ' '), 9, 16), ' '),
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Copyright 2026 Example Corp'
+        |         ELSE 'All rights reserved to no one.' END) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS t FROM base),
+        |p AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u
+        |        FROM sp)),
+        |f AS (
+        |  SELECT norm FROM p WHERE norm <> ''
+        |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT p.doc_id,
+        |  string_agg(p.para, chr(10) ORDER BY p.idx) AS clean_text,
+        |  CAST(len(any_value(sp.t)) AS BIGINT) AS n_paras,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM p JOIN sp ON p.doc_id = sp.doc_id
+        |WHERE p.norm NOT IN (SELECT norm FROM f)
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // rebuilds the per-codepoint histogram and the floored-term sum
+    // S = sum(c * floor(ln(c)*1e9)) — order-independent by construction —
+    // then the same two floored derivations as the expression's callers
+    "q129_char_entropy" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' h' || chr(233) || 'llo w' || chr(246) || 'rld ' || chr(8230)
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+        |    i -> substr(text, i, 1))) AS c
+        |  FROM base),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN n < 2 THEN 0
+        |        ELSE n * CAST(floor(ln(n) * 1e9) AS BIGINT) END) AS ln_sum,
+        |    CAST(sum(n) AS BIGINT) AS n_chars
+        |  FROM cnt GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(s.n_chars, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(s.ln_sum, 0) AS BIGINT) AS ln_sum_e9,
+        |  CAST(floor(ln(greatest(coalesce(s.n_chars, 0), 1)) * 1e9) AS BIGINT)
+        |    - CAST(floor(CAST(coalesce(s.ln_sum, 0) AS DOUBLE)
+        |        / greatest(coalesce(s.n_chars, 0), 1)) AS BIGINT) AS entropy_e9
+        |FROM base b LEFT JOIN s ON b.doc_id = s.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // replays the url synthesis + registrable-domain keying (q122's
+    // rules: IPv4 and 2-label hosts pass through, co.uk-style second
+    // levels take 3 labels), the q17 quality score scaled to e6, and the
+    // per-domain mean as floor(intSum / count)
+    "q130_domain_quality" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN 'www.example.com'
+         |         WHEN doc_id % 5 = 1 THEN 'news.example.co.uk'
+         |         WHEN doc_id % 5 = 2 THEN 'sub.blog.example.org'
+         |         WHEN doc_id % 5 = 3 THEN '192.168.10.42'
+         |         ELSE 'example.net' END AS host,
+         |    CAST(floor((CAST(
+         |      (CASE WHEN length(text) BETWEEN 20 AND 100000 THEN 3 ELSE 0 END)
+         |      + (CASE WHEN CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}_-]')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 2 ELSE 0 END)
+         |      + (CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |            x -> list_contains(${TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
+         |            / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) > 0.05 THEN 3 ELSE 0 END)
+         |      + (CASE WHEN CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> length(x))) AS DOUBLE)
+         |            / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) BETWEEN 2.0 AND 12.0 THEN 2 ELSE 0 END)
+         |      AS DOUBLE) / 10) * 1e6) AS BIGINT) AS q_e6
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |keyed AS (
+         |  SELECT doc_id, q_e6,
+         |    CASE WHEN host = 'www.example.com' THEN 'example.com'
+         |         WHEN host = 'news.example.co.uk' THEN 'example.co.uk'
+         |         WHEN host = 'sub.blog.example.org' THEN 'example.org'
+         |         ELSE host END AS reg_domain
+         |  FROM scored),
+         |st AS (
+         |  SELECT reg_domain, CAST(count(*) AS BIGINT) AS domain_docs,
+         |    CAST(floor(CAST(sum(q_e6) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS domain_mean_scaled
+         |  FROM keyed GROUP BY 1)
+         |SELECT k.doc_id, k.reg_domain, st.domain_docs, st.domain_mean_scaled,
+         |  (st.domain_mean_scaled >= 500000) AS keep_domain
+         |FROM keyed k JOIN st USING (reg_domain)
+         |ORDER BY k.doc_id""".stripMargin
   )
 }

@@ -791,6 +791,39 @@ object Dedup {
     reassembleParagraphs(fresh, idCol, sep)
   }
 
+  /** Corpus-frequency boilerplate removal: delete EVERY occurrence of any
+    * paragraph/line whose normalized form appears in at least `minDocs`
+    * DISTINCT documents — nav bars, cookie banners, subscribe prompts,
+    * footers. The complement of [[paragraphDedup]]'s policy: first-
+    * occurrence dedup keeps one copy of repeated content because it might
+    * be the original; a line repeated across many unrelated documents is
+    * template chrome, and the copy in the FIRST document is as worthless
+    * as the rest, so all of them go (CCNet/RefinedWeb drop such lines the
+    * same way).
+    *
+    * Shuffle profile: one aggregate keyed by (hash, norm) computing a
+    * distinct-document count (two-phase with partial aggregation — the
+    * exchange carries (hash, norm, id) triples once, deduplicated
+    * map-side), then a left-anti join of the exploded frame against the
+    * frequent set, then the [[reassembleParagraphs]] aggregate. Nothing
+    * pairwise, nothing corpus × corpus. Empty-norm rows (blank separator
+    * lines) are never counted and never removed. A document whose every
+    * line is boilerplate disappears from the output entirely — at corpus
+    * scale that's the point (pure-template pages carry no training
+    * signal).
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 3, sep: String = "\n"): DataFrame = {
+    val paras = paragraphFrame(docs, idCol, textCol, sep)
+    val frequent = paras.filter(col("__norm") =!= "")
+      .groupBy(col("__h"), col("__norm"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), col("__norm"))
+    reassembleParagraphs(
+      paras.join(frequent, Seq("__h", "__norm"), "left_anti"), idCol, sep)
+  }
+
   /** Distinct paragraph keys of a document frame — what the streaming
     * paragraph store accumulates per batch: `norm_key` is xxhash64(norm)
     * (8 B/paragraph, the scale mode — a hash collision can only cause an

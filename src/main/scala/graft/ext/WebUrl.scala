@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL hygiene for web-crawl corpora — the normalization every URL-keyed
@@ -87,5 +87,39 @@ object WebUrl {
       .when(sld.isin("co", "com", "net", "org", "gov", "ac", "edu")
         && length(tld) === 2, concat_ws(".", slice(labels, -3, 3)))
       .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+
+  /** Per-registrable-domain quality roll-up joined back onto each row:
+    * appends `reg_domain`, `domain_docs`, and `domain_mean_scaled` —
+    * the inputs of domain-level curation decisions (drop documents from
+    * domains whose MEAN quality is low, cap pages per domain) that
+    * per-document filters can't make.
+    *
+    * `scoreScaledCol` must be an integer-scaled per-document score
+    * (e.g. `floor(quality · 1e6)` as bigint): integer sums are
+    * order-independent, so `domain_mean_scaled = floor(sum / count)` is
+    * one deterministic double division an external engine replays
+    * exactly — a double `avg` would depend on reduction order.
+    *
+    * Shape, deliberately: aggregate-then-join, NOT a window and NOT a
+    * broadcast. A window over `partitionBy(reg_domain)` shuffles AND
+    * sorts every row; the aggregate is two-phase (map-side partial sums,
+    * the exchange carries one row per domain per task) and the join back
+    * re-shuffles rows without sorting. The stats side can't be broadcast
+    * at corpus scale — a web crawl has ~10^8 registrable domains — so
+    * this is a plain hash equi-join AQE can size (and skew-split: a
+    * mega-domain like blogspot is exactly AQE's skew-join case).
+    */
+  def withDomainQuality(df: DataFrame, urlCol: String,
+                        scoreScaledCol: String): DataFrame = {
+    val dom = df.withColumn("reg_domain",
+      registrableDomain(hostOf(col(urlCol))))
+    val stats = dom.groupBy(col("reg_domain"))
+      .agg(count(lit(1)).as("domain_docs"),
+        sum(col(scoreScaledCol)).as("__ssum"))
+      .select(col("reg_domain"), col("domain_docs"),
+        floor(col("__ssum").cast("double") / col("domain_docs"))
+          .cast("long").as("domain_mean_scaled"))
+    dom.join(stats, Seq("reg_domain"))
   }
 }
