@@ -2067,6 +2067,24 @@ object SparkEntry {
           col("domain_mean_scaled"),
           (col("domain_mean_scaled") >= 500000L).as("keep_domain"))
         .orderBy("doc_id")
+    }),
+
+    // ext graph — fixed-iteration PageRank (the crawl-quality prior) in
+    // the integer-scaled engine-replayable form: two modular edge
+    // families over a 101-node graph (varied in/out degrees, self-loop
+    // collisions possible), 5 damped rounds, every float step a single
+    // shared-literal multiply/divide + floor so the oracle replays the
+    // fixed point as 5 chained CTEs. Edges partition once; only
+    // (id, rank) frames move per round.
+    "q131_pagerank" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e1 = d.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * col("doc_id") + 1) % 101).as("dst"))
+      val e2 = d.select(((col("doc_id") * 3) % 101).as("src"),
+        ((col("doc_id") * 5 + 2) % 101).as("dst"))
+      ext.LinkGraph.pageRank(e1.union(e2), iterations = 5)
+        .withColumnRenamed("rank", "rank_e12")
+        .orderBy("id")
     })
   )
 
@@ -4750,6 +4768,37 @@ object SparkEntry {
          |SELECT k.doc_id, k.reg_domain, st.domain_docs, st.domain_mean_scaled,
          |  (st.domain_mean_scaled >= 500000) AS keep_domain
          |FROM keyed k JOIN st USING (reg_domain)
-         |ORDER BY k.doc_id""".stripMargin
+         |ORDER BY k.doc_id""".stripMargin,
+
+    // replays the 5 damped rounds as chained CTEs; contributions are
+    // floor(0.85 * rank / outdeg) of exact integers — identical single
+    // float ops in both engines — summed as BIGINT (order-free)
+    "q131_pagerank" -> {
+      val rounds = (1 to 5).map { k =>
+        val prev = s"r${k - 1}"
+        s"""r$k AS (
+           |  SELECT n.id, p.base + coalesce(sum(
+           |      CAST(floor(0.85 * r.rank / d.outdeg) AS BIGINT)), 0) AS rank
+           |  FROM nodes n CROSS JOIN p
+           |  LEFT JOIN e ON e.dst = n.id
+           |  LEFT JOIN $prev r ON r.id = e.src
+           |  LEFT JOIN od d ON d.src = e.src
+           |  GROUP BY n.id, p.base)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 101 AS src, (doc_id * doc_id + 1) % 101 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |  UNION
+         |  SELECT (doc_id * 3) % 101, (doc_id * 5 + 2) % 101
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |p AS (SELECT CAST(floor(150000000000 / count(*)) AS BIGINT) AS base,
+         |             CAST(floor(1000000000000 / count(*)) AS BIGINT) AS init
+         |      FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, (SELECT init FROM p) AS rank FROM nodes),
+         |$rounds
+         |SELECT id, rank AS rank_e12 FROM r5 ORDER BY id""".stripMargin
+    }
   )
 }
