@@ -3,13 +3,16 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** LSM-shaped accumulating DISTINCT-key parquet store shared by the
+/** LSM-shaped accumulating keyed parquet store shared by the
   * continuous-dedup operators ([[StreamingSpanDedup]]'s gram store,
-  * [[StreamingParagraphDedup]]'s paragraph store): per-batch delta
+  * [[StreamingParagraphDedup]]'s paragraph store,
+  * [[StreamingBoilerplate]]'s counting line store): per-batch delta
   * directories fold periodically into ONE bucketed-by-key compacted
-  * base registered in the catalog, so a per-batch probe semi-/anti-join
-  * NEVER shuffles the base — only the (tiny) batch keys move to meet
-  * it — and repeated content stores its key once, not once per batch.
+  * base registered in the catalog, so a per-batch probe join NEVER
+  * shuffles the base — only the (tiny) batch keys move to meet it —
+  * and repeated content folds at compaction, it never accumulates rows.
+  * Two merge modes: DISTINCT keys (default), or, with `countCol` set, a
+  * BIGINT payload sum-merged per key (cumulative frequency stores).
   *
   * Layout under `storePath`:
   *  - `compacted_upto_<n>/`: the distinct keys of all batches < n, ONE
@@ -26,11 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class KeyedBatchStore(spark: SparkSession, storePath: String,
                             keyCol: String, keySqlType: String,
-                            compactEvery: Int, numBuckets: Int) {
+                            compactEvery: Int, numBuckets: Int,
+                            countCol: Option[String] = None) {
   require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
   require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
   require(Set("BIGINT", "STRING").contains(keySqlType),
     s"keySqlType must be BIGINT or STRING, got $keySqlType")
+  require(countCol.forall(_ != keyCol), "countCol must differ from keyCol")
 
   private def fs = new Path(storePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,8 +75,10 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     compactedVersions().find(_ <= batchId).map { upTo =>
       val name = tableName(upTo)
       if (!spark.catalog.tableExists(name)) {
+        val cols = (Seq(s"$keyCol $keySqlType") ++
+          countCol.map(c => s"$c BIGINT")).mkString(", ")
         spark.sql(
-          s"""CREATE TABLE IF NOT EXISTS $name ($keyCol $keySqlType)
+          s"""CREATE TABLE IF NOT EXISTS $name ($cols)
              |USING parquet
              |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $numBuckets BUCKETS
              |LOCATION '${compactedDir(upTo)}'""".stripMargin)
@@ -107,7 +114,17 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     val parts = base.map(_._2).toSeq ++
       (if (deltas.isEmpty) Seq.empty else Seq(spark.read.parquet(deltas: _*)))
     if (parts.isEmpty) return
-    parts.reduce(_ unionByName _).distinct()
+    // distinct-key mode collapses duplicates; counting mode sum-merges
+    // per-batch counts into one row per key (same sub-linear-growth
+    // property: repeated content folds, it never accumulates rows)
+    val folded = countCol match {
+      case None => parts.reduce(_ unionByName _).distinct()
+      case Some(c) => parts.reduce(_ unionByName _)
+        .groupBy(org.apache.spark.sql.functions.col(keyCol))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col(c)).as(c))
+    }
+    folded
       .write.mode("overwrite")
       .bucketBy(numBuckets, keyCol).sortBy(keyCol)
       .option("path", compactedDir(batchId))
