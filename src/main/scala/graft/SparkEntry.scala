@@ -4771,14 +4771,17 @@ object SparkEntry {
          |ORDER BY k.doc_id""".stripMargin,
 
     // replays the 5 damped rounds as chained CTEs; contributions are
-    // floor(0.85 * rank / outdeg) of exact integers — identical single
-    // float ops in both engines — summed as BIGINT (order-free)
+    // (rank * 85) // (100 * outdeg) — EXACT integer ops on both sides,
+    // no float anywhere — summed as BIGINT (order-free). Every rank is
+    // re-CAST to BIGINT per round: DuckDB's sum(BIGINT) yields HUGEINT,
+    // which the comparator would otherwise materialize as float64 (the
+    // r5 lesson — hashes diverge on type, not value)
     "q131_pagerank" -> {
       val rounds = (1 to 5).map { k =>
         val prev = s"r${k - 1}"
         s"""r$k AS (
-           |  SELECT n.id, p.base + coalesce(sum(
-           |      CAST(floor(0.85 * r.rank / d.outdeg) AS BIGINT)), 0) AS rank
+           |  SELECT n.id, CAST(p.base + coalesce(sum(
+           |      (r.rank * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
            |  FROM nodes n CROSS JOIN p
            |  LEFT JOIN e ON e.dst = n.id
            |  LEFT JOIN $prev r ON r.id = e.src
@@ -4792,13 +4795,13 @@ object SparkEntry {
          |  SELECT (doc_id * 3) % 101, (doc_id * 5 + 2) % 101
          |  FROM documents WHERE doc_id IS NOT NULL),
          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-         |p AS (SELECT CAST(floor(150000000000 / count(*)) AS BIGINT) AS base,
-         |             CAST(floor(1000000000000 / count(*)) AS BIGINT) AS init
+         |p AS (SELECT CAST(150000000000 // count(*) AS BIGINT) AS base,
+         |             CAST(1000000000000 // count(*) AS BIGINT) AS init
          |      FROM nodes),
          |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
          |r0 AS (SELECT id, (SELECT init FROM p) AS rank FROM nodes),
          |$rounds
-         |SELECT id, rank AS rank_e12 FROM r5 ORDER BY id""".stripMargin
+         |SELECT id, CAST(rank AS BIGINT) AS rank_e12 FROM r5 ORDER BY id""".stripMargin
     }
   )
 }

@@ -16,48 +16,58 @@ import graft.plans.PlanCapture
   * hash-partitioned once up front (lineage cuts preserve the
   * partitioning), each round is one join + one skinny aggregate, and the
   * frame that moves carries (id, rank) only.
+  *
+  * All arithmetic is EXACT INTEGER: ranks are bigints scaled by 1e12 and
+  * the damping factor is a rational `dampingNum / dampingDen` (default
+  * 85/100), so every step is integral multiply + integral divide (SQL
+  * `div`, floor for the non-negative operands used here). No doubles
+  * anywhere — an external SQL engine replays the fixed point bit-for-bit
+  * as k chained CTEs, which the gate oracles do, with zero sensitivity
+  * to float rounding or engine version.
   */
 object LinkGraph {
 
   /** Fixed-iteration damped PageRank over a directed edge list, in the
     * engine-replayable integer-scaled form (the q87/q129 stance):
-    * ranks are bigints scaled by 1e12,
     *
     *   r0(v)   = floor(1e12 / N)
     *   r_k(v)  = floor(teleportE12 / N)
-    *             + Σ_{u→v} floor(damping · r_{k-1}(u) / outdeg(u))
+    *             + Σ_{u→v} (r_{k-1}(u) · dampingNum) div (outdeg(u) · dampingDen)
+    *             [+ dangling share, when `redistributeDangling`]
     *
-    * Every float step is a single multiply/divide of exact integers by a
-    * shared literal followed by a floor, so an external SQL engine
-    * replays the fixed-point bit-for-bit as k chained CTEs — which the
-    * gate oracle does. Integer contributions sum as BIGINT: partition-
-    * order independent.
+    * Integer contributions sum as BIGINT: partition-order independent.
     *
     * `teleportE12` must be (1 − damping) · 1e12 in intent; it is a
-    * separate exact-integer parameter (not derived) because
-    * `(1-0.85)*1e12` and `0.15*1e12` round to DIFFERENT doubles — the
-    * caller states the integer, both engines divide it by N identically.
+    * separate exact-integer parameter (not derived) so the caller states
+    * the integer and both engines divide it by N identically.
     *
-    * Simplified variant by design: dangling-node mass is not
-    * redistributed (rank totals drift below 1e12 — fine for the ranking/
-    * prior use; the redistribution term would cost one extra scalar
-    * aggregate per round). Multi-edges collapse (`distinct`); a fixed
-    * iteration count (default 5) rather than convergence detection keeps
-    * the oracle replayable — PageRank's use here is a quality PRIOR, not
-    * an eigenvector to machine precision.
+    * `redistributeDangling = true` restores the textbook invariant that
+    * sink (no-out-edge) rank mass is not lost: each round the dangling
+    * mass D = Σ_{outdeg(u)=0} r_{k-1}(u) is collected as ONE scalar and
+    * every node receives floor(D · dampingNum / (dampingDen · N)) as a
+    * literal. Default false (rank totals drift below 1e12 — fine for the
+    * ranking / prior use, and one fewer action per round).
+    *
+    * Multi-edges collapse (`distinct`); a fixed iteration count (default
+    * 5) rather than convergence detection keeps the oracle replayable —
+    * PageRank's use here is a quality PRIOR, not an eigenvector to
+    * machine precision.
     *
     * Per-round shuffle profile: ranks exchange on src to meet the
     * pre-partitioned edges, then (dst, contrib) pairs — 16 bytes/edge —
     * exchange into the sum aggregate (map-side partial sums first). The
-    * edge list itself never moves after the initial partition. The only
-    * collect is `nodes.count()` — one scalar.
+    * edge list itself never moves after the initial partition. Driver
+    * scalars: `nodes.count()` once, plus one dangling-sum per round iff
+    * redistribution is on.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
-               damping: Double = 0.85,
-               teleportE12: Long = 150000000000L): DataFrame = {
+               dampingNum: Long = 85L, dampingDen: Long = 100L,
+               teleportE12: Long = 150000000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(dampingNum > 0 && dampingNum < dampingDen,
+      "damping must be a rational in (0, 1)")
     val e = PlanCapture.cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -67,28 +77,126 @@ object LinkGraph {
     val nodes = PlanCapture.cut(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct())
-    val n = nodes.count() // the one driver scalar
+    val n = nodes.count() // the one always-on driver scalar
     if (n == 0) return nodes.withColumn("rank", lit(0L))
     val outdeg = PlanCapture.cut(
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
-    val base = floor(lit(teleportE12) / lit(n)).cast("long")
-    var ranks = PlanCapture.cut(nodes.withColumn("rank",
-      floor(lit(1000000000000L) / lit(n)).cast("long")))
+    val base = teleportE12 / n
+    var ranks = PlanCapture.cut(
+      nodes.withColumn("rank", lit(1000000000000L / n)))
     var k = 0
     while (k < iterations) {
+      // textbook dangling-mass term: one scalar per round, driver-side
+      // exact-integer share (all operands non-negative, / floors)
+      val share =
+        if (!redistributeDangling) 0L
+        else {
+          val d = ranks.join(outdeg,
+              ranks("id") === outdeg("src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+          (d * dampingNum) / (dampingDen * n)
+        }
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
-        .select(col("dst").as("id"),
-          floor(lit(damping) * col("rank") / col("outdeg"))
-            .cast("long").as("__c"))
-        .groupBy(col("id")).agg(sum(col("__c")).as("__cin"))
+        .select(col("dst").as("id"), col("rank"), col("outdeg"))
+        .selectExpr("id",
+          s"(rank * ${dampingNum}L) div (outdeg * ${dampingDen}L) AS __c")
+        .groupBy(col("id")).agg(sum(col("__c")).cast("long").as("__cin"))
       ranks = PlanCapture.cut(nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (base + coalesce(col("__cin"), lit(0L))).as("rank")))
+          (lit(base + share) + coalesce(col("__cin"), lit(0L)))
+            .as("rank")))
       k += 1
     }
     ranks
+  }
+
+  /** Personalized PageRank: teleport mass lands proportionally to a
+    * caller-supplied non-negative integer prior instead of uniformly —
+    * the crawl-frontier form where the prior is a per-domain quality
+    * score (see [[WebUrl.withDomainQuality]]) and the output is the
+    * quality-biased authority of each node.
+    *
+    * Exact-integer normalization keeps every product inside a BIGINT:
+    * the prior is first normalized to wN(v) = (w(v) · 1e6) div W (six
+    * scaled digits, W = Σ w over graph nodes; one driver scalar), then
+    *
+    *   teleport(v) = (teleportE12 · wN(v)) div 1e6       ≤ 1.5e17
+    *   r0(v)       = (1e12 · wN(v)) div 1e6              ≤ 1e18
+    *   r_k(v)      = teleport(v)
+    *               + Σ_{u→v} (r_{k-1}(u) · dampingNum) div (outdeg(u) · dampingDen)
+    *               + (M · wN(v)) div 1e6                 ≤ 1e18
+    *     where M = (D · dampingNum) div dampingDen, D = Σ dangling rank
+    *
+    * Dangling mass is ALWAYS redistributed here (per the personalization
+    * vector, the textbook personalized form) — without it, sink loss
+    * would bias against exactly the high-prior nodes the caller boosted.
+    * Requires Σ w ≤ ~9e12 so `w · 1e6` stays in range — a per-domain
+    * e6-scaled quality prior over millions of domains is well inside.
+    *
+    * Nodes absent from `prior` (and graph nodes whose prior is null)
+    * weigh 0: they receive no teleport mass and act as pure conduits.
+    * Same shuffle profile as [[pageRank]]; the prior joins to nodes once
+    * up front, never per round.
+    */
+  def personalizedPageRank(edges: DataFrame, prior: DataFrame,
+                           priorIdCol: String = "id",
+                           priorWeightCol: String = "weight",
+                           srcCol: String = "src", dstCol: String = "dst",
+                           iterations: Int = 5,
+                           dampingNum: Long = 85L, dampingDen: Long = 100L,
+                           teleportE12: Long = 150000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingNum > 0 && dampingNum < dampingDen,
+      "damping must be a rational in (0, 1)")
+    val e = PlanCapture.cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    val w0 = prior.select(col(priorIdCol).cast("long").as("id"),
+      col(priorWeightCol).cast("long").as("w"))
+    val nodesW = PlanCapture.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct()
+        .join(w0, Seq("id"), "left")
+        .select(col("id"),
+          greatest(coalesce(col("w"), lit(0L)), lit(0L)).as("w")))
+    val totalW = nodesW.agg(coalesce(sum(col("w")), lit(0L)))
+      .head().getLong(0) // one driver scalar
+    if (nodesW.isEmpty) return nodesW.select(col("id")).withColumn("rank", lit(0L))
+    require(totalW > 0, "prior must give positive weight to >=1 graph node")
+    // wN: e6-scaled normalized prior, joined once; rides every round as
+    // a node attribute (no per-round re-join against `prior`)
+    val nodes = PlanCapture.cut(nodesW
+      .selectExpr("id", s"(w * 1000000L) div ${totalW}L AS wn"))
+    val outdeg = PlanCapture.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    var ranks = PlanCapture.cut(nodes
+      .selectExpr("id", "wn", s"(1000000000000L * wn) div 1000000L AS rank"))
+    var k = 0
+    while (k < iterations) {
+      val d = ranks.join(outdeg,
+          ranks("id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      val m = (d * dampingNum) / dampingDen
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), col("rank"), col("outdeg"))
+        .selectExpr("id",
+          s"(rank * ${dampingNum}L) div (outdeg * ${dampingDen}L) AS __c")
+        .groupBy(col("id")).agg(sum(col("__c")).cast("long").as("__cin"))
+      ranks = PlanCapture.cut(nodes
+        .join(contribs, Seq("id"), "left")
+        .selectExpr("id", "wn",
+          s"(${teleportE12}L * wn) div 1000000L" +
+            s" + coalesce(__cin, 0L) + (${m}L * wn) div 1000000L AS rank"))
+      k += 1
+    }
+    ranks.select(col("id"), col("rank"))
   }
 }

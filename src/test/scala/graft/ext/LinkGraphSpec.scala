@@ -11,21 +11,26 @@ class LinkGraphSpec extends SparkTestBase {
     * the spec's oracle for arbitrary small graphs.
     */
   private def refRank(edges: Seq[(Long, Long)], iters: Int,
-                      damping: Double = 0.85,
-                      teleportE12: Long = 150000000000L): Map[Long, Long] = {
+                      dampingNum: Long = 85L, dampingDen: Long = 100L,
+                      teleportE12: Long = 150000000000L,
+                      redistributeDangling: Boolean = false): Map[Long, Long] = {
     val es = edges.distinct
     val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
     val outdeg = es.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
-    val base = math.floor(teleportE12.toDouble / n).toLong
-    var r = nodes.map(_ -> math.floor(1e12 / n).toLong).toMap
+    val base = teleportE12 / n
+    var r = nodes.map(_ -> 1000000000000L / n).toMap
     (1 to iters).foreach { _ =>
+      val dangling =
+        if (!redistributeDangling) 0L
+        else nodes.filterNot(outdeg.contains).map(r).sum
+      val share = (dangling * dampingNum) / (dampingDen * n)
       val in = es.groupBy(_._2).map { case (d, xs) =>
         d -> xs.map { case (s, _) =>
-          math.floor(damping * r(s) / outdeg(s)).toLong
+          (r(s) * dampingNum) / (outdeg(s) * dampingDen)
         }.sum
       }
-      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+      r = nodes.map(v => v -> (base + share + in.getOrElse(v, 0L))).toMap
     }
     r
   }
@@ -37,8 +42,8 @@ class LinkGraphSpec extends SparkTestBase {
   test("star: one round concentrates rank on the hub") {
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
     val got = run(edges, 1)
-    val base = math.floor(150000000000.0 / 5).toLong
-    val contrib = math.floor(0.85 * math.floor(1e12 / 5).toLong / 1).toLong
+    val base = 150000000000L / 5
+    val contrib = ((1000000000000L / 5) * 85L) / 100L
     assert(got(0L) == base + 4 * contrib)
     Seq(1L, 2L, 3L, 4L).foreach(v => assert(got(v) == base))
   }
@@ -73,5 +78,92 @@ class LinkGraphSpec extends SparkTestBase {
     val out = LinkGraph.pageRank(
       Seq.empty[(Long, Long)].toDF("src", "dst"))
     assert(out.count() == 0)
+  }
+
+  test("dangling redistribution matches the reference and conserves more mass") {
+    // node 3 and 4's sink mass is lost without redistribution
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 3L), (1L, 4L))
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"), iterations = 4,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refRank(edges, 4, redistributeDangling = true))
+    val plain = run(edges, 4)
+    assert(got.values.sum > plain.values.sum)
+    assert(got.values.sum <= 1000000000000L)
+  }
+
+  test("dangling-free graph: redistribution is a no-op") {
+    val edges = (0L until 30L).map(i => (i % 7, (i * 3 + 1) % 7))
+    val a = run(edges, 5)
+    val b = LinkGraph.pageRank(edges.toDF("src", "dst"), iterations = 5,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  /** Driver-side reference for the personalized variant, same integer
+    * normalization (wN e6-scaled, dangling mass per the prior).
+    */
+  private def refPersonalized(edges: Seq[(Long, Long)], w: Map[Long, Long],
+                              iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outdeg = es.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val totalW = nodes.map(v => math.max(w.getOrElse(v, 0L), 0L)).sum
+    val wn = nodes.map(v =>
+      v -> (math.max(w.getOrElse(v, 0L), 0L) * 1000000L) / totalW).toMap
+    var r = nodes.map(v => v -> (1000000000000L * wn(v)) / 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val d = nodes.filterNot(outdeg.contains).map(r).sum
+      val m = (d * 85L) / 100L
+      val in = es.groupBy(_._2).map { case (dst, xs) =>
+        dst -> xs.map { case (s, _) => (r(s) * 85L) / (outdeg(s) * 100L) }.sum
+      }
+      r = nodes.map(v => v -> ((150000000000L * wn(v)) / 1000000L
+        + in.getOrElse(v, 0L) + (m * wn(v)) / 1000000L)).toMap
+    }
+    r
+  }
+
+  test("personalized: matches reference; zero-prior node gets no teleport") {
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 1L), (4L, 0L))
+    val w = Map(0L -> 600000L, 1L -> 300000L, 2L -> 100000L)
+    val got = LinkGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), w.toSeq.toDF("id", "weight"),
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPersonalized(edges, w, 4))
+    // node 4 has prior 0 and no in-edges: rank stays exactly 0
+    assert(got(4L) == 0L)
+    // the boosted node outranks the unweighted conduit
+    assert(got(0L) > got(3L))
+  }
+
+  test("personalized: uniform prior tracks plain pageRank with dangling") {
+    val edges = (0L until 40L).map(i => (i % 9, (i * i + 2) % 9))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val uni = nodes.map(v => (v, 1000L)).toDF("id", "weight")
+    val got = LinkGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), uni, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val plain = LinkGraph.pageRank(edges.toDF("src", "dst"), iterations = 3,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    // wN floors can differ by one unit of 1e6-scale per node; ranks agree
+    // within n * (teleport+init+mass)/1e6 ≈ tiny relative bound
+    got.foreach { case (v, r) =>
+      assert(math.abs(r - plain(v)) <= plain(v) / 1000 + 9,
+        s"node $v: personalized $r vs plain ${plain(v)}")
+    }
+  }
+
+  test("personalized: empty prior weight rejected") {
+    val edges = Seq((0L, 1L))
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq((5L, 3L)).toDF("id", "weight"))
+    }
   }
 }

@@ -51,12 +51,16 @@ for name in sorted(oracle):
         n_fail += 1
         continue
     try:
-        sdf = con.execute(f"SELECT * FROM '{spark_path}/*.parquet'")
-        s_cols = [d[0] for d in sdf.description]
-        s_rows = sdf.fetchall()
-        odf = con.execute(oracle[name])
-        o_cols = [d[0] for d in odf.description]
-        o_rows = odf.fetchall()
+        # fetchdf (pandas), NOT fetchall: the driver compares through
+        # pandas, where e.g. DuckDB HUGEINT (sum of BIGINT!) lands as
+        # float64 and stringifies differently from Spark's int64 — the
+        # q131/r5 lesson. This path must see what the driver sees.
+        s_pd = con.execute(f"SELECT * FROM '{spark_path}/*.parquet'").fetchdf()
+        s_cols = list(s_pd.columns)
+        s_rows = [tuple(r) for r in s_pd.itertuples(index=False, name=None)]
+        o_pd = con.execute(oracle[name]).fetchdf()
+        o_cols = list(o_pd.columns)
+        o_rows = [tuple(r) for r in o_pd.itertuples(index=False, name=None)]
     except Exception as e:
         print(f"FAIL {name}: {str(e).splitlines()[0][:200]}")
         n_fail += 1
