@@ -83,7 +83,10 @@ object SparkEntry {
     * rows of q112's 25-rule vocabulary on the same corpus and
     * minPairCount (BpeSpec pins the prefix property). Learned rules are
     * a driver-side Seq with no session-bound resources, so the memo keys
-    * on the data dir alone and never needs eviction.
+    * on the data dir alone and never needs eviction. This ASSUMES the dir
+    * is immutable for the JVM's lifetime (true of the driver's testdata
+    * contract, TESTDATA.md): regenerating a documents table in place
+    * would serve a stale vocabulary while the oracle recomputes fresh.
     */
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ext.Bpe.Merge]]

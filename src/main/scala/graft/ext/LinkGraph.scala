@@ -157,18 +157,32 @@ object LinkGraph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .repartition(col("src")))
-    val w0 = prior.select(col(priorIdCol).cast("long").as("id"),
-      col(priorWeightCol).cast("long").as("w"))
+    // Aggregate the prior by id BEFORE joining: a prior with duplicate ids
+    // would otherwise fan out the left join, duplicating node rows through
+    // every round (totalW, teleport mass, dangling sum and edge
+    // contributions all silently double-counted). Sum is the natural merge
+    // for weight mass; negatives clamp to 0 per row first.
+    val w0 = prior
+      .select(col(priorIdCol).cast("long").as("id"),
+        greatest(coalesce(col(priorWeightCol).cast("long"), lit(0L)),
+          lit(0L)).as("w"))
+      .groupBy(col("id")).agg(sum(col("w")).as("w"))
     val nodesW = PlanCapture.cut(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
         .distinct()
         .join(w0, Seq("id"), "left")
-        .select(col("id"),
-          greatest(coalesce(col("w"), lit(0L)), lit(0L)).as("w")))
+        .select(col("id"), coalesce(col("w"), lit(0L)).as("w")))
     val totalW = nodesW.agg(coalesce(sum(col("w")), lit(0L)))
       .head().getLong(0) // one driver scalar
     if (nodesW.isEmpty) return nodesW.select(col("id")).withColumn("rank", lit(0L))
     require(totalW > 0, "prior must give positive weight to >=1 graph node")
+    // The scaladoc bound made enforceable: wn = (w * 1e6) div W needs
+    // w * 1_000_000L inside a BIGINT, and 0 <= w <= totalW bounds every
+    // product — without this, an oversized prior silently wraps negative
+    // under non-ANSI arithmetic and produces garbage ranks.
+    require(totalW <= 9200000000000L,
+      s"sum of prior weights ($totalW) exceeds the exact-integer bound " +
+        "9.2e12; pre-scale the prior down (ranks only depend on ratios)")
     // wN: e6-scaled normalized prior, joined once; rides every round as
     // a node attribute (no per-round re-join against `prior`)
     val nodes = PlanCapture.cut(nodesW

@@ -662,11 +662,26 @@ object Similarity {
     * evidence of contamination — mirror of the null-text stances).
     * Returns the corpus rows that survive, original schema, plus the
     * max-cosine evidence column `max_ref_cosine`.
+    *
+    * CONTRACT: `refs` must be driver-sized — at most `maxRefVectors`
+    * non-null vectors (default 1,000,000: ~1 GB of driver heap at
+    * dim=128 doubles, far above any benchmark suite). The guard counts
+    * BEFORE collecting, so a caller that points this at a corpus-sized
+    * "reference" fails with a named error instead of an OOM; such
+    * callers should use [[ivfTopKJoin]] / [[lshTopKJoin]] candidates
+    * plus an exact `vecCosine` re-check.
     */
   def semanticDecontaminate(corpus: DataFrame, refs: DataFrame,
                             vecCol: String, refVecCol: String,
-                            tau: Double): DataFrame = {
+                            tau: Double,
+                            maxRefVectors: Long = 1000000L): DataFrame = {
     require(tau > 0.0, s"tau must be positive, got $tau")
+    val nRefs = refs.filter(col(refVecCol).isNotNull).count()
+    require(nRefs <= maxRefVectors,
+      s"semanticDecontaminate collects the reference side to the driver; " +
+        s"$nRefs non-null reference vectors exceed maxRefVectors=" +
+        s"$maxRefVectors. A reference this large is not a benchmark — " +
+        "use ivfTopKJoin/lshTopKJoin + exact vecCosine re-check instead")
     val refVecs: Seq[Seq[Double]] = refs
       .filter(col(refVecCol).isNotNull).select(col(refVecCol)).collect()
       .map(_.getSeq[Any](0).map(v =>

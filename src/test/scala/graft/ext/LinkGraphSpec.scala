@@ -166,4 +166,33 @@ class LinkGraphSpec extends SparkTestBase {
         Seq((5L, 3L)).toDF("id", "weight"))
     }
   }
+
+  test("personalized: duplicate prior ids sum, never fan out node rows") {
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 1L), (4L, 0L))
+    // prior for node 0 split across three rows (one negative, clamped);
+    // must behave exactly like the pre-summed equivalent
+    val dup = Seq((0L, 400000L), (0L, 200000L), (0L, -50L),
+      (1L, 300000L), (2L, 100000L)).toDF("id", "weight")
+    val summed = Seq((0L, 600000L), (1L, 300000L), (2L, 100000L))
+      .toDF("id", "weight")
+    val a = LinkGraph.personalizedPageRank(
+      edges.toDF("src", "dst"), dup, iterations = 4)
+    val rowsA = a.as[(Long, Long)].collect()
+    val b = LinkGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), summed, iterations = 4)
+      .as[(Long, Long)].collect()
+    assert(rowsA.length == rowsA.map(_._1).distinct.length,
+      "one output row per node even with a duplicated prior")
+    assert(rowsA.toMap == b.toMap)
+  }
+
+  test("personalized: oversized prior weight mass rejected by name") {
+    val edges = Seq((0L, 1L))
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq((0L, 9000000000000L), (1L, 300000000000L)).toDF("id", "weight"))
+    }
+    assert(ex.getMessage.contains("9.2e12"))
+  }
 }

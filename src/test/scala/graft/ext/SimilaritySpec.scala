@@ -363,6 +363,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(ev(2L) == 0.0 && math.abs(ev(3L) - 1.0 / math.sqrt(2.0)) < 1e-15)
   }
 
+  test("semanticDecontaminate: corpus-sized reference rejected by name") {
+    val refs = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)),
+      (102L, Array(1.0f, 1.0f))
+    ).toDF("ref_id", "embedding")
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(
+        corpus, refs, "embedding", "embedding", tau = 0.9,
+        maxRefVectors = 2L)
+    }
+    assert(ex.getMessage.contains("maxRefVectors"))
+    // at the bound it still runs
+    val ok = Similarity.semanticDecontaminate(
+      corpus, refs, "embedding", "embedding", tau = 2.0, maxRefVectors = 3L)
+    assert(ok.count() == 1L)
+  }
+
   test("maxCosine kernel matches a brute-force fold, NaN propagates") {
     import graft.functions.VectorFunctions
     val refs = Seq(Seq(0.5, -1.0, 2.0), Seq(-3.0, 0.25, 1.0), Seq(0.0, 0.0, 0.0))

@@ -55,12 +55,32 @@ for name in sorted(oracle):
         # pandas, where e.g. DuckDB HUGEINT (sum of BIGINT!) lands as
         # float64 and stringifies differently from Spark's int64 — the
         # q131/r5 lesson. This path must see what the driver sees.
-        s_pd = con.execute(f"SELECT * FROM '{spark_path}/*.parquet'").fetchdf()
+        s_cur = con.execute(f"SELECT * FROM '{spark_path}/*.parquet'")
+        s_desc = list(s_cur.description or [])
+        s_pd = s_cur.fetchdf()
         s_cols = list(s_pd.columns)
         s_rows = [tuple(r) for r in s_pd.itertuples(index=False, name=None)]
-        o_pd = con.execute(oracle[name]).fetchdf()
+        o_cur = con.execute(oracle[name])
+        o_desc = list(o_cur.description or [])
+        o_pd = o_cur.fetchdf()
         o_cols = list(o_pd.columns)
         o_rows = [tuple(r) for r in o_pd.itertuples(index=False, name=None)]
+        # Type-leak tripwire: fetchdf deliberately mirrors the driver's
+        # pandas blind spot (HUGEINT / nullable ints degrade to float64,
+        # where values beyond 2^53 can spuriously compare equal). Surface
+        # every such degradation so a q131/r5-style oracle type leak stays
+        # VISIBLE even while the value compare passes.
+        for side, desc, pd_frame in (("spark", s_desc, s_pd),
+                                     ("oracle", o_desc, o_pd)):
+            for d in desc:
+                cname, ctype = d[0], str(d[1]).upper()
+                if cname in pd_frame.columns \
+                        and any(t in ctype for t in
+                                ("INT", "DECIMAL", "NUMERIC")) \
+                        and str(pd_frame[cname].dtype) == "float64":
+                    print(f"WARN {name}: {side} column {cname} degraded "
+                          f"{ctype} -> float64 in pandas (exact integer "
+                          f"compare not guaranteed beyond 2^53)")
     except Exception as e:
         print(f"FAIL {name}: {str(e).splitlines()[0][:200]}")
         n_fail += 1
