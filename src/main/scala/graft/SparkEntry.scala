@@ -2107,6 +2107,77 @@ object SparkEntry {
       ext.LinkGraph.pageRank(e1.union(e2), iterations = 5)
         .withColumnRenamed("rank", "rank_e12")
         .orderBy("id")
+    }),
+
+    // ext graph — PageRank with the textbook dangling-mass term: sources
+    // draw from mod 89 but destinations from mod 101, so nodes 89..100
+    // appear only as sinks — their rank mass must be re-spread each round
+    // (one scalar aggregate), not silently lost. Same integer-exact
+    // replay contract as q131; the oracle adds one share CTE per round.
+    "q132_pagerank_dangling" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e1 = d.select((col("doc_id") % 89).as("src"),
+        ((col("doc_id") * col("doc_id") + 1) % 101).as("dst"))
+      val e2 = d.select(((col("doc_id") * 3) % 89).as("src"),
+        ((col("doc_id") * 7 + 5) % 101).as("dst"))
+      ext.LinkGraph.pageRank(e1.union(e2), iterations = 5,
+          redistributeDangling = true)
+        .withColumnRenamed("rank", "rank_e12")
+        .orderBy("id")
+    }),
+
+    // ext graph — personalized PageRank: teleport mass lands per an
+    // integer prior ((id²+3) mod 11 · 1e5 — several nodes get EXACTLY 0
+    // and must end with rank 0 unless linked-to), dangling mass re-spread
+    // per the same prior. e6-scaled normalization and 4 damped rounds
+    // replay as chained CTEs with one dangling-scalar CTE per round.
+    "q133_personalized_pagerank" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e1 = d.select((col("doc_id") % 89).as("src"),
+        ((col("doc_id") * col("doc_id") + 1) % 101).as("dst"))
+      val e2 = d.select(((col("doc_id") * 3) % 89).as("src"),
+        ((col("doc_id") * 7 + 5) % 101).as("dst"))
+      val edges = e1.union(e2)
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val prior = nodes.select(col("id"),
+        (((col("id") * col("id") + 3) % 11) * lit(100000L)).as("weight"))
+      ext.LinkGraph.personalizedPageRank(edges, prior, iterations = 4)
+        .withColumnRenamed("rank", "rank_e12")
+        .orderBy("id")
+    }),
+
+    // ext web+graph — the crawl-frontier prior END-TO-END (the q95
+    // composition pattern): per-domain quality roll-up (q130's operator)
+    // feeds personalized PageRank (q133's) over the domain link graph, so
+    // a domain's authority is teleport-biased by its content quality —
+    // the score a frontier scheduler would sort on. 37 synthetic
+    // registrable domains keyed by doc_id mod 37; link u→v when a doc of
+    // domain u references domain (7u+3 style). Oracle chains the q130
+    // aggregate into the q133 round CTEs.
+    "q134_crawl_prior" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val url = concat(lit("https://www.site"),
+        (col("doc_id") % 37).cast("string"),
+        lit(".com/a/"), col("doc_id").cast("string"))
+      val scored = d.select(col("doc_id"),
+        (col("doc_id") % 37).as("domain_id"), url.as("url"),
+        floor(ext.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("q_e6"))
+      val dq = ext.WebUrl.withDomainQuality(scored, "url", "q_e6")
+      // one row per domain: reg_domain ↔ domain_id is 1:1 by construction
+      val domains = dq.select(col("domain_id"), col("reg_domain"),
+        col("domain_mean_scaled")).distinct()
+      val prior = domains.select(col("domain_id").as("id"),
+        col("domain_mean_scaled").as("weight"))
+      val edges = d.select((col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 37).as("dst"))
+      ext.LinkGraph.personalizedPageRank(edges, prior, iterations = 4)
+        .join(domains, col("id") === domains("domain_id"))
+        .select(col("domain_id"), col("reg_domain"),
+          col("domain_mean_scaled").as("quality_e6"),
+          col("rank").as("rank_e12"))
+        .orderBy("domain_id")
     })
   )
 
@@ -4824,6 +4895,123 @@ object SparkEntry {
          |r0 AS (SELECT id, (SELECT init FROM p) AS rank FROM nodes),
          |$rounds
          |SELECT id, CAST(rank AS BIGINT) AS rank_e12 FROM r5 ORDER BY id""".stripMargin
+    },
+
+    // q131's replay plus one dangling-share CTE per round: the sink mass
+    // D (ranks of nodes with no out-edges, an anti-join sum) is floored
+    // into a uniform share (D*85)//(100*N) and added to every node —
+    // exactly LinkGraph.pageRank(redistributeDangling = true)'s driver
+    // scalar. All sums re-CAST to BIGINT (DuckDB HUGEINT promotion).
+    "q132_pagerank_dangling" -> {
+      val rounds = (1 to 5).map { k =>
+        val prev = s"r${k - 1}"
+        s"""s$k AS (
+           |  SELECT CAST((CAST(coalesce(sum(r.rank), 0) AS BIGINT) * 85)
+           |      // (100 * (SELECT n FROM p)) AS BIGINT) AS share
+           |  FROM $prev r LEFT JOIN od d ON d.src = r.id
+           |  WHERE d.src IS NULL),
+           |r$k AS (
+           |  SELECT n.id, CAST(p.base + s.share + coalesce(sum(
+           |      (r.rank * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
+           |  FROM nodes n CROSS JOIN p CROSS JOIN s$k s
+           |  LEFT JOIN e ON e.dst = n.id
+           |  LEFT JOIN $prev r ON r.id = e.src
+           |  LEFT JOIN od d ON d.src = e.src
+           |  GROUP BY n.id, p.base, s.share)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 89 AS src, (doc_id * doc_id + 1) % 101 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |  UNION
+         |  SELECT (doc_id * 3) % 89, (doc_id * 7 + 5) % 101
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(150000000000 // count(*) AS BIGINT) AS base,
+         |             CAST(1000000000000 // count(*) AS BIGINT) AS init
+         |      FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, (SELECT init FROM p) AS rank FROM nodes),
+         |$rounds
+         |SELECT id, CAST(rank AS BIGINT) AS rank_e12 FROM r5 ORDER BY id""".stripMargin
+    },
+
+    "q133_personalized_pagerank" -> {
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 89 AS src, (doc_id * doc_id + 1) % 101 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |  UNION
+         |  SELECT (doc_id * 3) % 89, (doc_id * 7 + 5) % 101
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |w AS (SELECT id, ((id * id + 3) % 11) * 100000 AS w FROM ids),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |nodes AS (SELECT id,
+         |  CAST((w * 1000000) // (SELECT tw FROM tot) AS BIGINT) AS wn FROM w),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id,
+         |  CAST((1000000000000 * wn) // 1000000 AS BIGINT) AS rank FROM nodes),
+         |${personalizedRoundsSql(4)}
+         |SELECT id, CAST(rank AS BIGINT) AS rank_e12 FROM r4 ORDER BY id""".stripMargin
+    },
+
+    // chains the q130 domain-quality aggregate (identical SQL shape, so
+    // the stage oracles compose — the q95 pattern) into the q133 round
+    // CTEs: the prior is each domain's mean quality, the graph links
+    // domain k → (7k+3) mod 37.
+    "q134_crawl_prior" -> {
+      s"""WITH scored AS (
+         |  SELECT doc_id, doc_id % 37 AS domain_id,
+         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS reg_domain,
+         |    CAST(floor(${qualityScoreSql("text")} * 1e6) AS BIGINT) AS q_e6
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |st AS (
+         |  SELECT domain_id, reg_domain,
+         |    CAST(floor(CAST(sum(q_e6) AS DOUBLE) / count(*)) AS BIGINT) AS dms
+         |  FROM scored GROUP BY 1, 2),
+         |e AS (
+         |  SELECT DISTINCT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |w AS (SELECT i.id, greatest(coalesce(st.dms, 0), 0) AS w
+         |      FROM ids i LEFT JOIN st ON st.domain_id = i.id),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         |nodes AS (SELECT id,
+         |  CAST((w * 1000000) // (SELECT tw FROM tot) AS BIGINT) AS wn FROM w),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id,
+         |  CAST((1000000000000 * wn) // 1000000 AS BIGINT) AS rank FROM nodes),
+         |${personalizedRoundsSql(4)}
+         |SELECT r.id AS domain_id, st.reg_domain, st.dms AS quality_e6,
+         |  CAST(r.rank AS BIGINT) AS rank_e12
+         |FROM r4 r JOIN st ON st.domain_id = r.id
+         |ORDER BY domain_id""".stripMargin
     }
   )
+
+  /** Personalized-PageRank round CTEs shared by q133/q134: per round one
+    * dangling-mass scalar m = (D·85)//100 (anti-join sum over the previous
+    * ranks) and one grouped contribution sum, teleport and mass landing
+    * per the e6-scaled node prior `wn` — the exact integer steps of
+    * [[ext.LinkGraph.personalizedPageRank]]. Requires CTEs `e`, `nodes`
+    * (id, wn), `od`, `r0` in scope; sums re-CAST to BIGINT (HUGEINT).
+    */
+  private def personalizedRoundsSql(iterations: Int): String =
+    (1 to iterations).map { k =>
+      val prev = s"r${k - 1}"
+      s"""m$k AS (
+         |  SELECT CAST((CAST(coalesce(sum(r.rank), 0) AS BIGINT) * 85) // 100
+         |    AS BIGINT) AS m
+         |  FROM $prev r LEFT JOIN od d ON d.src = r.id
+         |  WHERE d.src IS NULL),
+         |r$k AS (
+         |  SELECT n.id, CAST((150000000000 * n.wn) // 1000000
+         |      + coalesce(sum((r.rank * 85) // (100 * d.outdeg)), 0)
+         |      + (mm.m * n.wn) // 1000000 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN m$k mm
+         |  LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN $prev r ON r.id = e.src
+         |  LEFT JOIN od d ON d.src = e.src
+         |  GROUP BY n.id, n.wn, mm.m)"""
+    }.mkString(",\n")
 }
