@@ -2147,6 +2147,34 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // streaming — CONTINUOUS corpus-frequency boilerplate strip (q128's
+    // policy at ingest time, on the countCol sum-merge mode of the
+    // KeyedBatchStore): two batches split doc_id mod 3; 'Rare promo
+    // banner' lives in exactly docs 0-3, so batch 0 sees 2 < minDocs
+    // carriers and keeps it while batch 1's two more carriers cross the
+    // cumulative threshold and strip it — the mid-stream crossing, at
+    // any scale factor. The mass template lines strip in both batches.
+    "q135_stream_boilerplate" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val shaped = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          array_join(slice(words, 1, 8), " "),
+          when(col("doc_id") % 2 === 0,
+            lit("Subscribe to our newsletter!"))
+            .otherwise(concat(lit("unique middle "),
+              col("doc_id").cast("string"))),
+          when(col("doc_id") < 4, lit("Rare promo banner"))
+            .otherwise(lit("All rights reserved to no one."))).as("text"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q135").toString + "/lines"
+      streaming.StreamingBoilerplate.byBatch(s,
+          Seq(shaped.filter(col("doc_id") % 3 =!= 0),
+            shaped.filter(col("doc_id") % 3 === 0)),
+          store, "doc_id", "text", minDocs = 3)
+        .orderBy("batch_id", "doc_id")
+    }),
+
     // ext web+graph — the crawl-frontier prior END-TO-END (the q95
     // composition pattern): per-domain quality roll-up (q130's operator)
     // feeds personalized PageRank (q133's) over the domain link graph, so
@@ -4986,7 +5014,58 @@ object SparkEntry {
          |  CAST(r.rank AS BIGINT) AS rank_e12
          |FROM r4 r JOIN st ON st.domain_id = r.id
          |ORDER BY domain_id""".stripMargin
-    }
+    },
+
+    // replays the two-batch cumulative strip: batch 0 strips on its own
+    // distinct-doc counts (>= 3), batch 1 on batch-1 counts PLUS batch
+    // 0's (the frequency store), all occurrences dropped per batch
+    "q135_stream_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter!'
+        |         ELSE 'unique middle ' || CAST(doc_id AS VARCHAR) END,
+        |    CASE WHEN doc_id < 4 THEN 'Rare promo banner'
+        |         ELSE 'All rights reserved to no one.' END) AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |sp0 AS (SELECT doc_id, string_split(text, chr(10)) AS t
+        |        FROM base WHERE doc_id % 3 <> 0),
+        |p0 AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u FROM sp0)),
+        |c0 AS (SELECT norm, count(DISTINCT doc_id) AS n
+        |       FROM p0 WHERE norm <> '' GROUP BY 1),
+        |out0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch_id, p0.doc_id,
+        |    string_agg(p0.para, chr(10) ORDER BY p0.idx) AS clean_text,
+        |    CAST(len(any_value(sp0.t)) AS BIGINT) AS n_paras,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM p0 JOIN sp0 ON p0.doc_id = sp0.doc_id
+        |  WHERE p0.norm NOT IN (SELECT norm FROM c0 WHERE n >= 3)
+        |  GROUP BY p0.doc_id),
+        |sp1 AS (SELECT doc_id, string_split(text, chr(10)) AS t
+        |        FROM base WHERE doc_id % 3 = 0),
+        |p1 AS (
+        |  SELECT doc_id, u.idx AS idx, u.para AS para,
+        |    trim(regexp_replace(lower(u.para), '\s+', ' ', 'g')) AS norm
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |          i -> {'idx': i - 1, 'para': t[i]})) AS u FROM sp1)),
+        |c1 AS (SELECT norm, count(DISTINCT doc_id) AS n
+        |       FROM p1 WHERE norm <> '' GROUP BY 1),
+        |f1 AS (SELECT c1.norm FROM c1 LEFT JOIN c0 ON c0.norm = c1.norm
+        |       WHERE c1.n + coalesce(c0.n, 0) >= 3),
+        |out1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS batch_id, p1.doc_id,
+        |    string_agg(p1.para, chr(10) ORDER BY p1.idx) AS clean_text,
+        |    CAST(len(any_value(sp1.t)) AS BIGINT) AS n_paras,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM p1 JOIN sp1 ON p1.doc_id = sp1.doc_id
+        |  WHERE p1.norm NOT IN (SELECT norm FROM f1)
+        |  GROUP BY p1.doc_id)
+        |SELECT * FROM out0 UNION ALL SELECT * FROM out1
+        |ORDER BY batch_id, doc_id""".stripMargin
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

@@ -824,6 +824,53 @@ object Dedup {
       paras.join(frequent, Seq("__h", "__norm"), "left_anti"), idCol, sep)
   }
 
+  /** [[stripBoilerplate]] against CUMULATIVE prior line counts given as
+    * parts ((norm_key, n_docs) frames — the counting-store shape: a
+    * bucketed compacted base plus small deltas), ALSO returning this
+    * batch's own per-key distinct-document counts for the store append.
+    * A line is boilerplate once its cumulative distinct-document count —
+    * all prior batches plus this one — reaches `minDocs`; every
+    * occurrence in THIS batch drops (q128's all-occurrences policy;
+    * earlier batches already shipped, so theirs stand).
+    *
+    * Store-side scale posture: each part is semi-joined down to the
+    * batch's own keys BEFORE the cumulative sum (the batch side
+    * broadcasts; the bucketed base never shuffles), so the aggregate
+    * runs over frames bounded by the batch's key count, never the
+    * corpus's. Both outputs derive from ONE localCheckpoint-pinned
+    * exploded frame (the [[paragraphDedupAndKeys]] stance), and the
+    * counts inherit its null-id filter: a document the strip path cannot
+    * emit never feeds the store. With `hashKeys` a collision can only
+    * cause an extra drop; a doc id recurring across batches counts once
+    * per batch (ingest-time frequency, not global distinctness — the
+    * continuous trade, same as recrawls in the dedup siblings).
+    */
+  def stripBoilerplateAndCounts(batch: DataFrame, parts: Seq[DataFrame],
+                                idCol: String, textCol: String,
+                                minDocs: Int = 3, sep: String = "\n",
+                                hashKeys: Boolean = true)
+      : (DataFrame, DataFrame) = {
+    val paras = keyedParagraphFrame(batch, idCol, textCol, sep, hashKeys)
+      .localCheckpoint()
+    val counts = paras.filter(col("__norm") =!= "")
+      .groupBy(col("norm_key"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val batchKeys = counts.select(col("norm_key"))
+    val prior = parts
+      .map(_.join(batchKeys, Seq("norm_key"), "left_semi"))
+      .reduceOption(_ unionByName _)
+    val cumulative = prior match {
+      case None => counts
+      case Some(p) => counts.unionByName(p).groupBy(col("norm_key"))
+        .agg(sum(col("n_docs")).as("n_docs"))
+    }
+    val frequent = cumulative.filter(col("n_docs") >= minDocs)
+      .select(col("norm_key"))
+    (reassembleParagraphs(
+      paras.join(frequent, Seq("norm_key"), "left_anti"), idCol, sep),
+      counts)
+  }
+
   /** Distinct paragraph keys of a document frame — what the streaming
     * paragraph store accumulates per batch: `norm_key` is xxhash64(norm)
     * (8 B/paragraph, the scale mode — a hash collision can only cause an
