@@ -2147,6 +2147,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ext multimodal — PROGRESSIVE (SOF2) JPEG decode, q107's closed-form
+    // family re-encoded as a real multi-scan script (DC first at Al=1,
+    // DC refinement, per-component EOB-run AC scans, interleaved DC for
+    // color, restarts on odd ids): the web-crawl JPEG variant baseline
+    // decoders reject. DC-only blocks ⇒ decoded pixel == block value
+    // exactly, so mean luma keeps q107's closed form.
+    "q136_jpeg_progressive" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val mode = if (id % 2 == 0) "gray" else "444"
+          ext.Multimodal.Asset(id, "image",
+            ext.Jpeg.makeProgressiveJpeg(id, 4, 2, mode,
+              restartEvery = (id % 2).toInt * 2))
+        }
+      ext.Multimodal.jpegFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // streaming — CONTINUOUS corpus-frequency boilerplate strip (q128's
     // policy at ingest time, on the countCol sum-merge mode of the
     // KeyedBatchStore): two batches split doc_id mod 3; 'Rare promo
@@ -5065,7 +5087,20 @@ object SparkEntry {
         |  WHERE p1.norm NOT IN (SELECT norm FROM f1)
         |  GROUP BY p1.doc_id)
         |SELECT * FROM out0 UNION ALL SELECT * FROM out1
-        |ORDER BY batch_id, doc_id""".stripMargin
+        |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // q107's closed form, gray/444 keyed by doc_id parity
+    "q136_jpeg_progressive" ->
+      """SELECT d.doc_id,
+        |  CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CAST(sum(64 * 1000 * ((d.doc_id + u.bx + v.by) % 256)) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 512) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 3)) AS u(bx),
+        |  unnest(generate_series(0, 1)) AS v(by)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

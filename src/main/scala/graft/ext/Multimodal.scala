@@ -336,11 +336,12 @@ object Multimodal {
       meanLuma)
   }
 
-  /** REAL baseline JPEG decode via the pure-JVM [[Jpeg]] module (marker
-    * walk, Huffman entropy decode, dequant + IDCT, chroma upsample,
-    * YCbCr→RGB) — same exact-integer Rec.601 luma convention as
-    * [[decodeBmp]]/[[decodePng]]. Progressive/12-bit/arithmetic/CMYK
-    * payloads fail loudly with named reasons.
+  /** REAL JPEG decode via the pure-JVM [[Jpeg]] module (marker walk,
+    * Huffman entropy decode, dequant + IDCT, chroma upsample,
+    * YCbCr→RGB), covering BOTH baseline (SOF0) and progressive (SOF2)
+    * scan scripts — same exact-integer Rec.601 luma convention as
+    * [[decodeBmp]]/[[decodePng]]. 12-bit/arithmetic/CMYK payloads fail
+    * loudly with named reasons.
     */
   def decodeJpeg(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures = {
     val d = Jpeg.decode(data)
@@ -380,7 +381,7 @@ object Multimodal {
 
   /** Decoder dispatch: real byte-level decode for the formats this
     * library parses natively — BMP by container signature, 8-bit
-    * truecolor PNG, baseline JPEG, and GIF, all pure-JVM; anything
+    * truecolor PNG, baseline+progressive JPEG, and GIF, all pure-JVM; anything
     * else (WebP, AVIF, ...) is environment-blocked (swap in e.g.
     * ImageIO behind this signature).
     */
@@ -397,7 +398,7 @@ object Multimodal {
       data(2) == 'F' && data(3) == '8')
       decodeGif(assetId, kind, data)
     else throw new NotImplementedError(
-      "image codecs beyond BMP/PNG/baseline-JPEG/GIF not available in " +
+      "image codecs beyond BMP/PNG/JPEG/GIF not available in " +
         "this environment - use fakeDecode (STUB) for other formats")
 
   // --- deterministic payload builders (tests + gate): exact byte layouts

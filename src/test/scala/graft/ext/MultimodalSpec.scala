@@ -193,13 +193,14 @@ class MultimodalSpec extends SparkTestBase {
   test("decodeJpeg: malformed payloads fail loudly by name") {
     // not a JPEG at all
     intercept[IllegalArgumentException](Jpeg.decode("notajpeg......".getBytes))
-    // progressive (SOF2) must be a named refusal, not a wrong number
+    // a BASELINE stream mislabeled as progressive must fail loudly (its
+    // full-band SOS is not a legal progressive scan), not mis-decode
     val prog = Jpeg.makeJpeg(1L, 2, 2, "gray")
     var i = 0
     while (!((prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0)) i += 1
     prog(i + 1) = 0xC2.toByte
     val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
-    assert(e.getMessage.contains("progressive"))
+    assert(e.getMessage.contains("DC scan"))
     // truncated entropy stream
     intercept[IllegalArgumentException](
       Jpeg.decode(Jpeg.makeJpeg(1L, 4, 4, "gray").dropRight(12)))
@@ -224,6 +225,56 @@ class MultimodalSpec extends SparkTestBase {
   test("decodeImage dispatches JPEG by SOI signature") {
     val f = Multimodal.decodeImage(5L, "image", Jpeg.makeJpeg(5L, 2, 2, "444"))
     assert(f.width == 16 && f.height == 16 && f.channels == 3)
+  }
+
+  test("progressive JPEG: flat scan script decodes identically to baseline") {
+    // DC first (Al=1) + DC refinement + per-component EOB-run AC scans
+    // must reproduce the baseline decode of the same image bit-exactly —
+    // including the interleaved DC path (444) and restarts in every scan
+    for (seed <- Seq(0L, 7L, 200L); mode <- Seq("gray", "444");
+         re <- Seq(0, 2)) {
+      val base = Jpeg.decode(Jpeg.makeJpeg(seed, 4, 2, mode))
+      val prog = Jpeg.decode(
+        Jpeg.makeProgressiveJpeg(seed, 4, 2, mode, restartEvery = re))
+      assert(base == prog,
+        s"progressive diverged at seed=$seed mode=$mode restart=$re")
+    }
+  }
+
+  test("progressive JPEG: coefficient roundtrip matches baseline pixels") {
+    // drives every refinement path: banded first scans with run/size and
+    // ZRL codes, EOB runs spanning blocks, newly-significant
+    // coefficients at each successive-approximation level, history
+    // correction bits (odd values), and an all-zero block
+    val b1 = new Array[Int](64)
+    b1(0) = 5; b1(1) = 3; b1(2) = -1; b1(19) = 4
+    val b2 = new Array[Int](64)
+    b2(0) = -7; b2(6) = 9; b2(63) = -2 // crosses the band split; band tail
+    val b3 = new Array[Int](64) // all-zero: EOB-run member in every scan
+    val b4 = new Array[Int](64)
+    b4(0) = 1; b4(5) = 7; b4(40) = -5; b4(41) = 1 // odd magnitudes: corr bits
+    val blocks = Seq(b1, b2, b3, b4)
+    val base = Jpeg.decode(Jpeg.makeJpegFromCoefficients(blocks, blocksX = 2))
+    for (acAl <- 0 to 2; bandSplit <- Seq(1, 5, 33)) {
+      val prog = Jpeg.decode(Jpeg.makeProgressiveJpegFromCoefficients(
+        blocks, blocksX = 2, bandSplit = bandSplit, acAl = acAl))
+      assert(base == prog,
+        s"coefficient roundtrip diverged at acAl=$acAl split=$bandSplit")
+    }
+  }
+
+  test("progressive JPEG: malformed payloads fail loudly by name") {
+    // truncated mid-scan
+    intercept[IllegalArgumentException](
+      Jpeg.decode(Jpeg.makeProgressiveJpeg(3L, 4, 4, "gray").dropRight(10)))
+    // progressive frames above the whole-image coefficient cap refuse
+    val big = Jpeg.makeProgressiveJpeg(1L, 2, 2, "gray")
+    var i = 0
+    while (!((big(i) & 0xFF) == 0xFF && (big(i + 1) & 0xFF) == 0xC2)) i += 1
+    big(i + 5) = 0x40.toByte; big(i + 6) = 0x00.toByte // height 16384
+    big(i + 7) = 0x40.toByte; big(i + 8) = 0x00.toByte // width 16384
+    val e = intercept[IllegalArgumentException](Jpeg.decode(big))
+    assert(e.getMessage.contains("progressive JPEG frame too large"))
   }
 
   test("decodeGif: gradient closed-form luma; literal, compressed, interlaced agree") {
