@@ -2169,6 +2169,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext multimodal — PNG variant surface (the web-crawl forms beyond
+    // q105's truecolor): grayscale and palette color types at sub-byte
+    // depths, gray+alpha, and Adam7 INTERLACE, every scanline still
+    // rotating through all five filters. Closed forms: gray s·255/(2^d−1)
+    // with s=(id+x+y) mod 2^d; palette luma (id + idx) mod 256.
+    "q137_png_variants" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = (id % 5) match {
+            case 0 => ext.Multimodal.makePngVariant(id, 13, 7, 0, 8)
+            case 1 => ext.Multimodal.makePngVariant(id, 13, 7, 0, 4,
+              interlaced = true)
+            case 2 => ext.Multimodal.makePngVariant(id, 13, 7, 3, 8)
+            case 3 => ext.Multimodal.makePngVariant(id, 13, 7, 3, 2,
+              interlaced = true)
+            case _ => ext.Multimodal.makePngVariant(id, 13, 7, 6, 8,
+              interlaced = true)
+          }
+          ext.Multimodal.Asset(id, "image", bytes)
+        }
+      ext.Multimodal.pngFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
     // streaming — CONTINUOUS corpus-frequency boilerplate strip (q128's
     // policy at ingest time, on the countCol sum-merge mode of the
     // KeyedBatchStore): two batches split doc_id mod 3; 'Rare promo
@@ -5088,6 +5116,25 @@ object SparkEntry {
         |  GROUP BY p1.doc_id)
         |SELECT * FROM out0 UNION ALL SELECT * FROM out1
         |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // per-pixel closed forms over the 13x7 grid, keyed by doc_id mod 5
+    "q137_png_variants" ->
+      """SELECT d.doc_id,
+        |  CAST(13 AS INT) AS width, CAST(7 AS INT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 5 IN (0, 1) THEN 1
+        |            WHEN d.doc_id % 5 = 4 THEN 4 ELSE 3 END AS INT) AS channels,
+        |  CAST(sum(1000 * (CASE d.doc_id % 5
+        |    WHEN 0 THEN (d.doc_id + u.x + v.y) % 256
+        |    WHEN 1 THEN 17 * ((d.doc_id + u.x + v.y) % 16)
+        |    WHEN 2 THEN (d.doc_id + ((d.doc_id + u.x + v.y) % 256)) % 256
+        |    WHEN 3 THEN (d.doc_id + ((d.doc_id + u.x + v.y) % 4)) % 256
+        |    ELSE (d.doc_id + u.x + v.y) % 256 END)) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 91) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 12)) AS u(x),
+        |  unnest(generate_series(0, 6)) AS v(y)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q107's closed form, gray/444 keyed by doc_id parity
     "q136_jpeg_progressive" ->

@@ -18,18 +18,19 @@ import org.apache.spark.sql.functions._
   *  - rows with multi-MB payloads make `spark.sql.files.maxPartitionBytes`
   *    the partition-size lever; `repartitionAssets` re-ranges by id so a
   *    task never holds more than ~targetRowsPerTask payloads;
-  *  - decode is REAL for the formats the JDK can carry alone: 24-bit BMP
-  *    and 16-bit PCM WAV parse natively (pure byte arithmetic,
-  *    [[decodeBmp]]/[[decodeWav]]), and non-interlaced 8-bit RGB/RGBA
-  *    PNG decodes pure-JVM ([[decodePng]]: chunk walk + CRC32 check,
-  *    `java.util.zip.Inflater` for IDAT, all five scanline unfilters) —
-  *    each oracle-gated end-to-end. Remaining COMPRESSED codecs
-  *    (JPEG/MP3/...) are environment-blocked — no codec libs in this
-  *    container — so [[decodeImage]] dispatches to the native paths and
-  *    throws a clearly-marked NotImplementedError otherwise, with
-  *    `fakeDecode` as the deterministic stand-in behind the generic
-  *    gates. The Spark-side plumbing — schema, encoders, batch shape,
-  *    partitioning — is real throughout.
+  *  - decode is REAL for every format a JVM can carry alone: 24-bit BMP
+  *    and 16-bit PCM WAV (pure byte arithmetic,
+  *    [[decodeBmp]]/[[decodeWav]]); PNG across gray/truecolor/palette/
+  *    alpha color types, sub-byte depths, and Adam7 interlace
+  *    ([[decodePng]]: chunk walk + CRC32 check, `java.util.zip.Inflater`
+  *    for IDAT, all five scanline unfilters); baseline AND progressive
+  *    JPEG ([[Jpeg]]); GIF87a/89a ([[Gif]]) — each oracle-gated
+  *    end-to-end. Only COMPRESSED AUDIO (MP3/Vorbis) remains
+  *    environment-blocked — no codec libs in this container — so
+  *    [[decodeAudio]]-style dispatch throws a clearly-marked
+  *    NotImplementedError there, with `fakeDecode` as the deterministic
+  *    stand-in behind the generic gates. The Spark-side plumbing —
+  *    schema, encoders, batch shape, partitioning — is real throughout.
   */
 object Multimodal {
 
@@ -82,11 +83,12 @@ object Multimodal {
 
   // ------------------------------------------------------------- decode
 
-  // --- REAL decoders for the UNCOMPRESSED container formats (BMP 24-bit,
-  // WAV 16-bit PCM): pure byte arithmetic, no codec library required, so
-  // these run everywhere. Compressed codecs (JPEG/PNG/MP3/...) remain
-  // environment-blocked behind decodeImage's dispatch; the deterministic
-  // fakeDecode stand-in still backs the generic gates.
+  // --- REAL decoders, no codec library required, so these run
+  // everywhere: BMP 24-bit and WAV 16-bit PCM (pure byte arithmetic),
+  // PNG (Inflater + unfilters, all color types/depths/interlace),
+  // baseline+progressive JPEG, and GIF. Only compressed AUDIO
+  // (MP3/Vorbis) remains environment-blocked behind the dispatch; the
+  // deterministic fakeDecode stand-in still backs the generic gates.
 
   private def leInt(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -217,15 +219,25 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** REAL PNG decode for the non-interlaced 8-bit truecolor forms (color
-    * type 2 = RGB, 6 = RGBA): pure JDK — chunk walk with CRC32
-    * validation, IDAT inflate via `java.util.zip.Inflater`, per-scanline
-    * unfilter (all five PNG filter types), then the same exact-integer
-    * Rec.601 luma as [[decodeBmp]] over the RGB channels (alpha never
-    * enters luma). Palette/gray/16-bit/interlaced variants and every
-    * malformed structure fail loudly with a named reason — corrupt
-    * web-scraped payloads must be a per-row error a caller can quarantine,
-    * never a silent wrong number or an index crash.
+  /** Adam7 interlace pass grid: (xStart, yStart, xStep, yStep). */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** REAL PNG decode: pure JDK — chunk walk with CRC32 validation, IDAT
+    * inflate via `java.util.zip.Inflater`, per-scanline unfilter (all
+    * five PNG filter types), then the same exact-integer Rec.601 luma
+    * as [[decodeBmp]] over the RGB channels (alpha never enters luma).
+    * Covers the web-crawl color types — grayscale (0), truecolor RGB
+    * (2), palette (3, PLTE-expanded), gray+alpha (4), RGBA (6) — at bit
+    * depth 8, plus the sub-byte depths 1/2/4 for grayscale and palette
+    * (samples scaled by 255/(2^d−1) per the spec), and BOTH interlace
+    * methods: none and Adam7 (each pass unfilters against its own rows;
+    * since the output is a luma SUM, pass pixels accumulate without a
+    * placement pass). 16-bit and every malformed structure fail loudly
+    * with a named reason — corrupt web-scraped payloads must be a
+    * per-row error a caller can quarantine, never a silent wrong number
+    * or an index crash.
     */
   def decodePng(assetId: Long, kind: String, data: Array[Byte]): ImageFeatures = {
     require(data.length >= 8 &&
@@ -233,7 +245,9 @@ object Multimodal {
       "not a PNG payload")
     val crc = new java.util.zip.CRC32
     var off = 8
-    var width = 0; var height = 0; var channels = 0
+    var width = 0; var height = 0
+    var colorType = -1; var bitDepth = 0; var interlace = 0
+    var palette: Array[Int] = null // packed 0xRRGGBB
     var sawIhdr = false; var sawIend = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
@@ -251,30 +265,63 @@ object Multimodal {
           require(len == 13, s"malformed IHDR (len=$len)")
           width = beInt(data, off + 8)
           height = beInt(data, off + 12)
-          val bitDepth = data(off + 16) & 0xFF
-          val colorType = data(off + 17) & 0xFF
-          val interlace = data(off + 20) & 0xFF
-          require(bitDepth == 8, s"only 8-bit PNG supported here (depth=$bitDepth)")
-          require(colorType == 2 || colorType == 6,
-            s"only truecolor RGB/RGBA PNG supported here (colorType=$colorType)")
-          require(interlace == 0, "interlaced PNG not supported here")
+          bitDepth = data(off + 16) & 0xFF
+          colorType = data(off + 17) & 0xFF
+          interlace = data(off + 20) & 0xFF
+          require(Set(0, 2, 3, 4, 6).contains(colorType),
+            s"unknown PNG color type $colorType")
+          if (colorType == 0 || colorType == 3)
+            require(Set(1, 2, 4, 8).contains(bitDepth),
+              s"PNG depth $bitDepth not supported for color type $colorType" +
+                " (16-bit not supported here)")
+          else
+            require(bitDepth == 8,
+              s"only 8-bit PNG supported for color type $colorType " +
+                s"(depth=$bitDepth)")
+          require(interlace <= 1, s"unknown PNG interlace method $interlace")
           require(width > 0 && height > 0,
             s"malformed PNG dimensions ${width}x$height")
-          channels = if (colorType == 2) 3 else 4
           sawIhdr = true
+        case "PLTE" =>
+          require(sawIhdr, "PNG PLTE before IHDR")
+          require(len % 3 == 0 && len >= 3 && len <= 768,
+            s"malformed PLTE (len=$len)")
+          palette = Array.tabulate(len / 3) { i =>
+            ((data(off + 8 + 3 * i) & 0xFF) << 16) |
+              ((data(off + 9 + 3 * i) & 0xFF) << 8) |
+              (data(off + 10 + 3 * i) & 0xFF)
+          }
         case "IDAT" =>
           require(sawIhdr, "PNG IDAT before IHDR")
           idat.write(data, off + 8, len)
         case "IEND" => sawIend = true
-        case _ => () // ancillary chunks (tEXt, pHYs, ...) carry no pixels
+        case _ => () // ancillary chunks (tEXt, pHYs, tRNS, ...) — no luma
       }
       off += 12 + len
     }
     require(sawIhdr && idat.size() > 0, "PNG missing IHDR/IDAT")
-    // expected raw stream: height scanlines of 1 filter byte + width*bpp
-    val rowBytes = width.toLong * channels
-    val rawLen = (1L + rowBytes) * height
-    require(rawLen <= Int.MaxValue - 8, s"PNG raw size $rawLen too large")
+    require(colorType != 3 || palette != null, "palette PNG missing PLTE")
+    // samples per pixel and filter byte distance (≥1 byte per the spec)
+    val cpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
+    val reportChannels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case _ => 4
+    }
+    val bpp = math.max(1, cpp * bitDepth / 8)
+    def rowBytesOf(w: Int): Int = (w * cpp * bitDepth + 7) / 8
+    // pass geometry: one full-size pass, or the 7 Adam7 reductions
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((width, height))
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        (if (width > x0) (width - x0 + dx - 1) / dx else 0,
+          if (height > y0) (height - y0 + dy - 1) / dy else 0)
+      }
+    val rawLen = passes.collect { case (w, h) if w > 0 && h > 0 =>
+      (1L + rowBytesOf(w)) * h
+    }.sum
+    require(rawLen > 0 && rawLen <= Int.MaxValue - 8,
+      s"PNG raw size $rawLen unsupported")
     val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -294,46 +341,77 @@ object Multimodal {
     } finally inflater.end()
     require(got == raw.length,
       s"PNG pixel data truncated: inflated $got of ${raw.length} bytes")
-    // unfilter scanline by scanline (prior = already-unfiltered row above)
-    val stride = 1 + rowBytes.toInt
+
+    val grayScale =
+      if (bitDepth == 8) 1 else 255 / ((1 << bitDepth) - 1) // 255/85/17
+    val depthMask = (1 << bitDepth) - 1
     var lumaMilli = 0L
-    var y = 0
-    while (y < height) {
-      val rowOff = y * stride + 1
-      val filter = raw(rowOff - 1) & 0xFF
-      require(filter <= 4, s"PNG scanline $y has invalid filter $filter")
-      var x = 0
-      while (x < rowBytes.toInt) {
-        val left = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
-        val up = if (y > 0) raw(rowOff - stride + x) & 0xFF else 0
-        val upLeft =
-          if (y > 0 && x >= channels) raw(rowOff - stride + x - channels) & 0xFF
-          else 0
-        val recon = filter match {
-          case 0 => raw(rowOff + x) & 0xFF
-          case 1 => ((raw(rowOff + x) & 0xFF) + left) & 0xFF
-          case 2 => ((raw(rowOff + x) & 0xFF) + up) & 0xFF
-          case 3 => ((raw(rowOff + x) & 0xFF) + (left + up) / 2) & 0xFF
-          case 4 => ((raw(rowOff + x) & 0xFF) + paeth(left, up, upLeft)) & 0xFF
+    var passOff = 0
+    passes.foreach { case (w, h) =>
+      if (w > 0 && h > 0) {
+        val rb = rowBytesOf(w)
+        val stride = 1 + rb
+        var y = 0
+        while (y < h) {
+          val rowOff = passOff + y * stride + 1
+          val filter = raw(rowOff - 1) & 0xFF
+          require(filter <= 4, s"PNG scanline has invalid filter $filter")
+          var x = 0
+          while (x < rb) {
+            val left = if (x >= bpp) raw(rowOff + x - bpp) & 0xFF else 0
+            val up = if (y > 0) raw(rowOff - stride + x) & 0xFF else 0
+            val upLeft =
+              if (y > 0 && x >= bpp) raw(rowOff - stride + x - bpp) & 0xFF
+              else 0
+            val recon = filter match {
+              case 0 => raw(rowOff + x) & 0xFF
+              case 1 => ((raw(rowOff + x) & 0xFF) + left) & 0xFF
+              case 2 => ((raw(rowOff + x) & 0xFF) + up) & 0xFF
+              case 3 => ((raw(rowOff + x) & 0xFF) + (left + up) / 2) & 0xFF
+              case 4 => ((raw(rowOff + x) & 0xFF) + paeth(left, up, upLeft)) & 0xFF
+            }
+            raw(rowOff + x) = recon.toByte
+            x += 1
+          }
+          // luma over the reconstructed row; interlace pass position is
+          // irrelevant to a sum — every image pixel appears exactly once
+          // across passes
+          def sampleAt(px: Int): Int =
+            if (bitDepth == 8) raw(rowOff + px) & 0xFF
+            else {
+              val bit = px * bitDepth
+              ((raw(rowOff + (bit >> 3)) & 0xFF) >>
+                (8 - bitDepth - (bit & 7))) & depthMask
+            }
+          var px = 0
+          while (px < w) {
+            colorType match {
+              case 0 => lumaMilli += 1000L * (sampleAt(px) * grayScale)
+              case 4 => lumaMilli += 1000L * (raw(rowOff + px * 2) & 0xFF)
+              case 3 =>
+                val idx = sampleAt(px)
+                require(idx < palette.length,
+                  s"PNG palette index $idx out of range (${palette.length})")
+                val rgb = palette(idx)
+                lumaMilli += 299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+              case _ =>
+                val p = rowOff + px * cpp
+                lumaMilli += 299L * (raw(p) & 0xFF) +
+                  587L * (raw(p + 1) & 0xFF) + 114L * (raw(p + 2) & 0xFF)
+            }
+            px += 1
+          }
+          y += 1
         }
-        raw(rowOff + x) = recon.toByte
-        x += 1
+        passOff += stride * h
       }
-      // luma over the reconstructed row (first 3 channels; alpha skipped)
-      var px = 0
-      while (px < width) {
-        val p = rowOff + px * channels
-        lumaMilli += 299L * (raw(p) & 0xFF) + 587L * (raw(p + 1) & 0xFF) +
-          114L * (raw(p + 2) & 0xFF)
-        px += 1
-      }
-      y += 1
     }
     val n = width.toLong * height
     val meanLuma =
       if (n == 0) 0.0 else lumaMilli.toDouble / (1000.0 * 255.0 * n)
-    ImageFeatures(assetId, kind, data.length.toLong, width, height, channels,
-      meanLuma)
+    ImageFeatures(assetId, kind, data.length.toLong, width, height,
+      reportChannels, meanLuma)
   }
 
   /** REAL JPEG decode via the pure-JVM [[Jpeg]] module (marker walk,
@@ -500,6 +578,136 @@ object Multimodal {
     ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
     writeChunk("IHDR", ihdr.array())
     writeChunk("IDAT", z)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic PNG across the decoder's full variant surface:
+    * grayscale (0), truecolor (2), palette (3), gray+alpha (4), RGBA
+    * (6); bit depths 1/2/4/8 for gray and palette; optional Adam7
+    * interlace. Closed forms an external oracle can replay:
+    *  - gray/truecolor/gray+alpha: sample s(x,y) = (seed+x+y) mod 2^d,
+    *    luma = s · 255/(2^d−1);
+    *  - palette: index i(x,y) = (seed+x+y) mod 2^d, palette entry j is
+    *    the gray (seed+j) mod 256, luma = (seed + i(x,y)) mod 256.
+    * Scanline y of every pass uses filter (seed+y) mod 5, so all five
+    * filter paths run under every variant, including interlaced passes.
+    */
+  def makePngVariant(seed: Long, width: Int, height: Int, colorType: Int,
+                     bitDepth: Int = 8,
+                     interlaced: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0, "PNG dimensions must be positive")
+    require(Set(0, 2, 3, 4, 6).contains(colorType),
+      s"unknown color type $colorType")
+    require(
+      if (colorType == 0 || colorType == 3) Set(1, 2, 4, 8).contains(bitDepth)
+      else bitDepth == 8,
+      s"depth $bitDepth invalid for color type $colorType")
+    val cpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
+    val depthMask = (1 << bitDepth) - 1
+    def sampleVals(x: Int, y: Int): Array[Int] = {
+      val s = (((seed + x + y) % (1 << bitDepth)
+        + (1 << bitDepth)) % (1 << bitDepth)).toInt
+      colorType match {
+        case 0 => Array(s)
+        case 2 => Array(s, s, s)
+        case 3 => Array(s) // palette index
+        case 4 => Array(s, depthMask) // opaque alpha
+        case _ => Array(s, s, s, 255)
+      }
+    }
+    def rowBytesOf(w: Int): Int = (w * cpp * bitDepth + 7) / 8
+    val bpp = math.max(1, cpp * bitDepth / 8)
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1, width, height))
+      else Adam7.map { case (x0, y0, dx, dy) =>
+        (x0, y0, dx, dy,
+          if (width > x0) (width - x0 + dx - 1) / dx else 0,
+          if (height > y0) (height - y0 + dy - 1) / dy else 0)
+      }
+    val filtered = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      if (pw > 0 && ph > 0) {
+        val rb = rowBytesOf(pw)
+        var prev: Array[Byte] = null
+        var j = 0
+        while (j < ph) {
+          // pack this pass row's samples MSB-first
+          val row = new Array[Byte](rb)
+          var bit = 0
+          var i = 0
+          while (i < pw) {
+            sampleVals(x0 + i * dx, y0 + j * dy).foreach { v =>
+              val b = bit >> 3
+              row(b) = (row(b) | ((v & depthMask) <<
+                (8 - bitDepth - (bit & 7)))).toByte
+              bit += bitDepth
+            }
+            i += 1
+          }
+          val fType = (((seed + j) % 5 + 5) % 5).toInt
+          filtered.write(fType)
+          var x = 0
+          while (x < rb) {
+            val cur = row(x) & 0xFF
+            val left = if (x >= bpp) row(x - bpp) & 0xFF else 0
+            val up = if (prev != null) prev(x) & 0xFF else 0
+            val upLeft =
+              if (prev != null && x >= bpp) prev(x - bpp) & 0xFF else 0
+            val out = fType match {
+              case 0 => cur
+              case 1 => (cur - left) & 0xFF
+              case 2 => (cur - up) & 0xFF
+              case 3 => (cur - (left + up) / 2) & 0xFF
+              case 4 => (cur - paeth(left, up, upLeft)) & 0xFF
+            }
+            filtered.write(out)
+            x += 1
+          }
+          prev = row
+          j += 1
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray)
+    deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    PngSignature.foreach(out.write)
+    def writeChunk(chunkType: String, body: Array[Byte]): Unit = {
+      def be(v: Int): Array[Byte] = Array(
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be(body.length))
+      val typeBytes = chunkType.getBytes("US-ASCII")
+      out.write(typeBytes)
+      out.write(body)
+      val crc = new java.util.zip.CRC32
+      crc.update(typeBytes); crc.update(body)
+      out.write(be(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(bitDepth.toByte)
+    ihdr.put(colorType.toByte)
+    ihdr.put(0.toByte).put(0.toByte)
+    ihdr.put((if (interlaced) 1 else 0).toByte)
+    writeChunk("IHDR", ihdr.array())
+    if (colorType == 3) {
+      val plte = new Array[Byte](3 * (1 << bitDepth))
+      (0 until (1 << bitDepth)).foreach { jj =>
+        val g = (((seed + jj) % 256 + 256) % 256).toInt
+        plte(3 * jj) = g.toByte; plte(3 * jj + 1) = g.toByte
+        plte(3 * jj + 2) = g.toByte
+      }
+      writeChunk("PLTE", plte)
+    }
+    writeChunk("IDAT", zBuf.toByteArray)
     writeChunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }

@@ -130,9 +130,10 @@ class MultimodalSpec extends SparkTestBase {
     val truncated = Multimodal.makePng(1L, 8, 4).dropRight(30)
     intercept[IllegalArgumentException](
       Multimodal.decodePng(1L, "image", truncated))
-    // interlace flag set (with CRC fixed up) -> named unsupported error
+    // unknown interlace METHOD (2; Adam7 itself is supported now), with
+    // the IHDR CRC fixed up so the named refusal fires
     val interlaced = Multimodal.makePng(1L, 8, 4)
-    interlaced(8 + 8 + 12) = 1 // IHDR data byte 12 (abs 28): interlace
+    interlaced(8 + 8 + 12) = 2 // IHDR data byte 12 (abs 28): interlace
     val crc = new java.util.zip.CRC32
     crc.update(interlaced, 8 + 4, 4 + 13)
     val cv = crc.getValue.toInt
@@ -141,7 +142,69 @@ class MultimodalSpec extends SparkTestBase {
     interlaced(crcOff + 2) = (cv >> 8).toByte; interlaced(crcOff + 3) = cv.toByte
     val e2 = intercept[IllegalArgumentException](
       Multimodal.decodePng(1L, "image", interlaced))
-    assert(e2.getMessage.contains("interlaced"))
+    assert(e2.getMessage.contains("interlace"))
+  }
+
+  test("decodePng variants: gray/palette/alpha, sub-byte depths, Adam7") {
+    def msGray(seed: Long, w: Int, h: Int, d: Int): Long = {
+      val scale = 255 / ((1 << d) - 1)
+      (for (x <- 0 until w; y <- 0 until h)
+        yield 1000L * (((seed + x + y) % (1 << d)) * scale)).sum
+    }
+    def msPal(seed: Long, w: Int, h: Int, d: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h)
+        yield 1000L * ((seed + ((seed + x + y) % (1 << d))) % 256)).sum
+    for (seed <- Seq(0L, 9L, 250L); inter <- Seq(false, true);
+         (w, h) <- Seq((13, 7), (8, 8), (1, 1), (3, 10))) {
+      val denom = 1000.0 * 255.0 * (w * h)
+      for (d <- Seq(1, 2, 4, 8)) {
+        val g = Multimodal.decodePng(seed, "image",
+          Multimodal.makePngVariant(seed, w, h, 0, d, inter))
+        assert(g.width == w && g.height == h && g.channels == 1)
+        assert(g.mean_luma == msGray(seed, w, h, d) / denom,
+          s"gray d=$d seed=$seed inter=$inter ${w}x$h")
+        val p = Multimodal.decodePng(seed, "image",
+          Multimodal.makePngVariant(seed, w, h, 3, d, inter))
+        assert(p.channels == 3)
+        assert(p.mean_luma == msPal(seed, w, h, d) / denom,
+          s"palette d=$d seed=$seed inter=$inter ${w}x$h")
+      }
+      for ((ct, ch) <- Seq((2, 3), (4, 2), (6, 4))) {
+        val f = Multimodal.decodePng(seed, "image",
+          Multimodal.makePngVariant(seed, w, h, ct, 8, inter))
+        assert(f.channels == ch)
+        assert(f.mean_luma == msGray(seed, w, h, 8) / denom,
+          s"type $ct seed=$seed inter=$inter ${w}x$h")
+      }
+    }
+  }
+
+  test("decodePng variants: malformed fails loudly by name") {
+    // 16-bit depth: patch IHDR + recompute its CRC so the named depth
+    // refusal (not the CRC tripwire) fires
+    val png = Multimodal.makePngVariant(4L, 8, 8, 2, 8, interlaced = false)
+    png(24) = 16.toByte // IHDR bit depth
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 17) // chunk type + 13-byte body
+    val cv = crc.getValue.toInt
+    png(29) = (cv >> 24).toByte; png(30) = (cv >> 16).toByte
+    png(31) = (cv >> 8).toByte; png(32) = cv.toByte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodePng(1L, "image", png))
+    assert(e.getMessage.contains("8-bit"))
+    // palette PNG with its PLTE chunk spliced out entirely
+    val pal = Multimodal.makePngVariant(4L, 8, 8, 3, 8, interlaced = false)
+    var i = 8
+    var spliced: Array[Byte] = null
+    while (spliced == null) {
+      val len = java.nio.ByteBuffer.wrap(pal, i, 4).getInt
+      val t = new String(pal, i + 4, 4, "US-ASCII")
+      if (t == "PLTE") spliced = pal.take(i) ++ pal.drop(i + 12 + len)
+      else i += 12 + len
+    }
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(1L, "image", spliced))
+    assert(e2.getMessage.contains("PLTE"))
   }
 
   test("decodeImage dispatches PNG by signature") {
