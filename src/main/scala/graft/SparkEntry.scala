@@ -2169,6 +2169,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext text — Unicode script profile (the multilingual triage pass):
+    // per-script codepoint counts over RE2-safe ranges, first-wins
+    // dominant script, exact-integer ≥10%-minority mixed flag. Shaping
+    // by doc_id mod 4 plants pure-Cyrillic, Latin+CJK-mixed, and
+    // Arabic-dominant docs among the English base.
+    "q138_script_profile" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val shaped = d.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1,
+          lit("привет мир" +
+            " как дела"))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"),
+              lit(" 你好世界" +
+                " こんにちは")))
+          .when(col("doc_id") % 4 === 3,
+            lit("مرحبا" +
+              " بالعالم ok"))
+          .otherwise(col("text")).as("text"))
+      ext.TextStats.scriptProfile(shaped, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ext web — crawl blocklist audit: registrable-domain exact matches
+    // (subdomains caught via the reg-domain key) + path/query literal
+    // substrings through ONE Aho–Corasick DFA pass; flags not filters.
+    "q139_url_blocklist" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val host = when(col("doc_id") % 5 === 0, "WWW.Example.COM")
+        .when(col("doc_id") % 5 === 1, "ads.tracker-hub.net")
+        .when(col("doc_id") % 5 === 2, "Sub.Blog.example.ORG")
+        .when(col("doc_id") % 5 === 3, "192.168.10.42")
+        .otherwise("example.net")
+      val path = when(col("doc_id") % 7 === 0,
+        concat(lit("/ads/banner"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/Articles/"), col("doc_id").cast("string")))
+      val query = when(col("doc_id") % 11 === 3, lit("?ref=CASINO"))
+        .otherwise(lit(""))
+      val url = concat(lit("https://"), host, path, query)
+      ext.WebUrl.withBlocklist(d.select(col("doc_id"), url.as("url")),
+          "url", Seq("tracker-hub.net", "192.168.10.42"),
+          Seq("/ads/", "casino"))
+        .select("doc_id", "url", "reg_domain", "domain_blocked",
+          "n_blocked_hits", "keep_url")
+        .orderBy("doc_id")
+    }),
+
+    // ext multimodal — G.711 telephony audio (WAV format 7 = μ-law,
+    // 6 = A-law): the 8-bit logarithmic expansion is pure integer
+    // (shift/mod), so the oracle replays every sample bit-for-bit and
+    // the RMS is closed-form — the speech-corpus ingest path MP3/Vorbis
+    // can't have without a codec lib.
+    "q140_g711_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "audio",
+          ext.Multimodal.makeWavG711(id, 256, mulaw = id % 2 == 0)))
+      ext.Multimodal.wavFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("n_bytes"),
+          col("n_samples"), col("duration_ms"), col("rms"))
+        .orderBy("doc_id")
+    }),
+
     // ext multimodal — PNG variant surface (the web-crawl forms beyond
     // q105's truecolor): grayscale and palette color types at sub-byte
     // depths, gray+alpha, and Adam7 INTERLACE, every scanline still
@@ -5116,6 +5181,99 @@ object SparkEntry {
         |  GROUP BY p1.doc_id)
         |SELECT * FROM out0 UNION ALL SELECT * FROM out1
         |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // per-script counts via regexp_extract_all over the same RE2 classes,
+    // dominant via greatest + first-wins CASE, mixed flag exact-integer
+    "q138_script_profile" -> {
+      val ranges = TextStats.ScriptRanges
+      val countCols = ranges.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n        |    ")
+      val names = ranges.map { case (n, _) => s"n_$n" }
+      val total = names.mkString(" + ")
+      val cases = ranges.map { case (n, _) =>
+        s"WHEN n_$n = mx THEN '$n'"
+      }.mkString(" ")
+      s"""WITH shaped AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 1 THEN 'привет мир как дела'
+        |    WHEN doc_id % 4 = 2 THEN text || ' 你好世界 こんにちは'
+        |    WHEN doc_id % 4 = 3 THEN 'مرحبا بالعالم ok'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id,
+        |    $countCols,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM shaped),
+        |t AS (
+        |  SELECT *, CAST($total AS BIGINT) AS script_chars,
+        |    greatest(${names.mkString(", ")}) AS mx
+        |  FROM c)
+        |SELECT doc_id, ${names.mkString(", ")}, n_chars, script_chars,
+        |  CASE WHEN script_chars = 0 THEN 'none' $cases
+        |       ELSE 'none' END AS dominant_script,
+        |  ((script_chars - mx) * 10 >= script_chars
+        |    AND script_chars > 0) AS is_mixed
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    // reg-domain mapping replayed per host CASE; substring hits as
+    // non-overlapping regexp_extract_all counts over the lowercased url
+    "q139_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'WWW.Example.COM'
+        |          WHEN doc_id % 5 = 1 THEN 'ads.tracker-hub.net'
+        |          WHEN doc_id % 5 = 2 THEN 'Sub.Blog.example.ORG'
+        |          WHEN doc_id % 5 = 3 THEN '192.168.10.42'
+        |          ELSE 'example.net' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '/ads/banner' || CAST(doc_id AS VARCHAR)
+        |          ELSE '/Articles/' || CAST(doc_id AS VARCHAR) END) ||
+        |    (CASE WHEN doc_id % 11 = 3 THEN '?ref=CASINO' ELSE '' END) AS url,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'example.com'
+        |         WHEN doc_id % 5 = 1 THEN 'tracker-hub.net'
+        |         WHEN doc_id % 5 = 2 THEN 'example.org'
+        |         WHEN doc_id % 5 = 3 THEN '192.168.10.42'
+        |         ELSE 'example.net' END AS reg_domain
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, url, reg_domain,
+        |    reg_domain IN ('tracker-hub.net', '192.168.10.42') AS domain_blocked,
+        |    CAST(len(regexp_extract_all(lower(url), '/ads/'))
+        |       + len(regexp_extract_all(lower(url), 'casino')) AS BIGINT)
+        |      AS n_blocked_hits
+        |  FROM u)
+        |SELECT doc_id, url, reg_domain, domain_blocked, n_blocked_hits,
+        |  (NOT domain_blocked AND n_blocked_hits = 0) AS keep_url
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // G.711 expansion replayed per byte in exact integers: μ-law via the
+    // complemented (mantissa·8+132)<<exp − 132 form, A-law via XOR 0x55
+    // and the segment expansion; rms = sqrt(Σs²/n)/32768 as q94
+    "q140_g711_decode" ->
+      """WITH b AS (
+        |  SELECT d.doc_id, (d.doc_id * 31 + u.i) % 256 AS byte
+        |  FROM documents d, unnest(generate_series(0, 255)) AS u(i)),
+        |x AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      (CASE WHEN (255 - byte) >= 128 THEN -1 ELSE 1 END) *
+        |      ((((255 - byte) % 16) * 8 + 132)
+        |         * (1 << (((255 - byte) // 16) % 8)) - 132)
+        |    ELSE
+        |      (CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+        |            THEN (xor(byte, 85) % 16) * 16 + 8
+        |            ELSE ((xor(byte, 85) % 16) * 16 + 264)
+        |                 * (1 << (((xor(byte, 85) // 16) % 8) - 1)) END)
+        |    END AS s
+        |  FROM b)
+        |SELECT doc_id, CAST(300 AS BIGINT) AS n_bytes,
+        |  CAST(256 AS BIGINT) AS n_samples, CAST(32 AS BIGINT) AS duration_ms,
+        |  sqrt(CAST(sum(s * s) AS DOUBLE) / 256) / 32768.0 AS rms
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // per-pixel closed forms over the 13x7 grid, keyed by doc_id mod 5
     "q137_png_variants" ->

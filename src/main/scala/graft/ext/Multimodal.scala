@@ -159,6 +159,7 @@ object Multimodal {
     var off = 12
     var sampleRate = 0
     var channels = 0
+    var audioFmt = 0
     var dataOff = -1
     var dataLen = 0
     while (off + 8 <= data.length && (sampleRate == 0 || dataOff < 0)) {
@@ -173,10 +174,16 @@ object Multimodal {
         // would read the NEXT chunk's bytes as sampleRate/bitsPerSample
         // (or run off the buffer) instead of failing loudly
         require(len >= 16, s"malformed WAV fmt chunk (len=$len, need >= 16)")
-        require(leShort(data, off + 8) == 1, "only PCM WAV supported here")
+        audioFmt = leShort(data, off + 8)
+        require(audioFmt == 1 || audioFmt == 6 || audioFmt == 7,
+          s"only PCM/A-law/mu-law WAV supported here (format=$audioFmt)")
         channels = leShort(data, off + 10)
         sampleRate = leInt(data, off + 12)
-        require(leShort(data, off + 22) == 16, "only 16-bit PCM supported here")
+        val bits = leShort(data, off + 22)
+        if (audioFmt == 1)
+          require(bits == 16, "only 16-bit PCM supported here")
+        else
+          require(bits == 8, s"G.711 WAV must be 8-bit (bits=$bits)")
       } else if (id == "data") {
         dataOff = off + 8
         dataLen = len
@@ -185,11 +192,15 @@ object Multimodal {
     }
     require(sampleRate > 0 && channels > 0 && dataOff >= 0,
       "WAV missing fmt/data chunk")
-    val nSamples = dataLen / 2
+    val nSamples = if (audioFmt == 1) dataLen / 2 else dataLen
     var sumSq = 0L
     var i = 0
     while (i < nSamples) {
-      val s = leShort(data, dataOff + 2 * i).toShort.toInt
+      val s = audioFmt match {
+        case 1 => leShort(data, dataOff + 2 * i).toShort.toInt
+        case 7 => mulawToLinear(data(dataOff + i) & 0xFF)
+        case _ => alawToLinear(data(dataOff + i) & 0xFF)
+      }
       sumSq += s.toLong * s
       i += 1
     }
@@ -199,6 +210,62 @@ object Multimodal {
       else math.sqrt(sumSq.toDouble / nSamples) / 32768.0
     AudioFeatures(assetId, data.length.toLong, nSamples.toLong,
       frames * 1000L / sampleRate, rms)
+  }
+
+  /** G.711 μ-law byte → linear sample (ITU-T G.711, the telephony /
+    * speech-corpus codec): complement, then magnitude
+    * ((mantissa·8 + 132) << exponent) − 132, sign from the complemented
+    * high bit. Pure integer — an external SQL engine replays it with
+    * shifts and mods (the q140 oracle does). Range ±32124.
+    */
+  private[ext] def mulawToLinear(b: Int): Int = {
+    val u = (~b) & 0xFF
+    val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear sample: XOR 0x55, then the segment/
+    * mantissa expansion; the (un-XORed) high bit SET means positive —
+    * A-law's sign convention is inverted relative to μ-law. Range
+    * ±32256.
+    */
+  private[ext] def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val exp = (a >> 4) & 0x07
+    val mant = a & 0x0F
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Mono 8-bit G.711 WAV (format 7 = μ-law, 6 = A-law) with byte i =
+    * (seed·31 + i) mod 256 — the [[makeWav]] byte family, so the oracle
+    * replays the expansion formula per byte in closed form.
+    */
+  def makeWavG711(seed: Long, nSamples: Int, mulaw: Boolean,
+                  sampleRate: Int = 8000): Array[Byte] = {
+    val out = new Array[Byte](44 + nSamples)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def putShort(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0); putInt(4, 36 + nSamples)
+    "WAVE".getBytes.copyToArray(out, 8)
+    "fmt ".getBytes.copyToArray(out, 12); putInt(16, 16)
+    putShort(20, if (mulaw) 7 else 6); putShort(22, 1) // mono
+    putInt(24, sampleRate); putInt(28, sampleRate) // byte rate = rate · 1
+    putShort(32, 1); putShort(34, 8) // block align, bits
+    "data".getBytes.copyToArray(out, 36); putInt(40, nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(44 + i) = (((seed * 31 + i) % 256 + 256) % 256).toByte
+      i += 1
+    }
+    out
   }
 
   // --------------------------------------------------------- PNG decode

@@ -621,6 +621,53 @@ object TextStats {
       .drop("__overlap")
   }
 
+  /** Major Unicode script ranges as RE2-safe character classes (name →
+    * class). Codepoint classes only — no properties like \p{Script=...},
+    * which RE2 spells differently than Java — so BOTH engines replay the
+    * counts verbatim. `cjk` folds Han + kana + Hangul: for corpus triage
+    * the split that matters is script family, not language.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00c0}-\\x{024f}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04ff}]",
+    "greek" -> "[\\x{0370}-\\x{03ff}]",
+    "arabic" -> "[\\x{0600}-\\x{06ff}]",
+    "hebrew" -> "[\\x{0590}-\\x{05ff}]",
+    "devanagari" -> "[\\x{0900}-\\x{097f}]",
+    "cjk" -> "[\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7af}]")
+
+  /** Unicode script profile — the triage pass a multilingual corpus runs
+    * before language ID: per-script codepoint counts, the dominant
+    * script (first-wins argmax over [[ScriptRanges]] order, the
+    * [[langId]] tie-break stance; `none` when no script chars at all),
+    * and an exact-integer mixed-script flag
+    * (`(script_chars − dominant) · 10 ≥ script_chars`, i.e. ≥10% of
+    * script codepoints outside the dominant script — the spam/mojibake
+    * signal script-mixing detectors key on). Scan-only per-row column
+    * expressions; digits/punctuation/whitespace count in no script.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col(textCol)
+    val counted = df.filter(s.isNotNull).select(
+      (col(idCol) +:
+        ScriptRanges.map { case (n, p) =>
+          regexp_count(s, lit(p)).cast("long").as(s"n_$n")
+        }) :+ length(s).cast("long").as("n_chars"): _*)
+    val counts = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+    val total = counts.reduce(_ + _)
+    val maxC = greatest(counts: _*)
+    val dominant = ScriptRanges.tail.foldLeft(
+      when(total === 0L, lit("none"))
+        .when(col(s"n_${ScriptRanges.head._1}") === maxC,
+          lit(ScriptRanges.head._1))) { case (acc, (n, _)) =>
+      acc.when(col(s"n_$n") === maxC, lit(n))
+    }.otherwise(lit("none"))
+    counted
+      .withColumn("script_chars", total)
+      .withColumn("dominant_script", dominant)
+      .withColumn("is_mixed", (total - maxC) * 10L >= total && total > 0L)
+  }
+
   /** One-call frame transformer: append the full stats column set. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

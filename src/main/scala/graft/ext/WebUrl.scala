@@ -122,4 +122,50 @@ object WebUrl {
           .cast("long").as("domain_mean_scaled"))
     dom.join(stats, Seq("reg_domain"))
   }
+
+  /** Crawl blocklist audit — the UT1/adult-list shape every crawl
+    * pipeline runs before spending tokens on a page. Appends, per row:
+    *  - `reg_domain`: [[registrableDomain]] of the URL's host, so a
+    *    blocklist entry `example.net` catches `ads.example.net` too;
+    *  - `domain_blocked`: reg_domain ∈ `blockedDomains` (exact,
+    *    case-insensitive);
+    *  - `n_blocked_hits`: total occurrences of any `blockedSubstrings`
+    *    entry in the lowercased URL (path/query patterns like `/ads/`),
+    *    ALL matched in one Aho–Corasick byte-DFA pass
+    *    ([[graft.functions.MultiMatch]]) instead of N contains scans;
+    *  - `keep_url`: neither list fired.
+    * Flags, not filters (the QualityFilters stance): curation wants to
+    * AUDIT what a list would drop before committing; callers filter on
+    * `keep_url`.
+    *
+    * Scale: both lists are config-sized (the public blocklists are
+    * thousands of entries). Domains match through a literal `isin`
+    * (codegen'd hash set — no join, no broadcast variable); substrings
+    * through one DFA whose transition table ships once per executor
+    * inside the codegen'd expression. A corpus-sized blocklist is a
+    * different operator: anti-join it on reg_domain.
+    */
+  def withBlocklist(df: DataFrame, urlCol: String,
+                    blockedDomains: Seq[String],
+                    blockedSubstrings: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty || blockedSubstrings.nonEmpty,
+      "at least one blocklist must be non-empty")
+    val rd = registrableDomain(hostOf(col(urlCol)))
+    val domBlocked =
+      if (blockedDomains.isEmpty) lit(false)
+      else rd.isin(blockedDomains.map(_.toLowerCase): _*)
+    val subHits: Column =
+      if (blockedSubstrings.isEmpty) lit(0L)
+      else aggregate(
+        graft.functions.MultiMatchFunctions.multiPatternCounts(
+          lower(col(urlCol)), blockedSubstrings.map(_.toLowerCase)),
+        lit(0L), (acc, x) => acc + x)
+    // null url ⇒ null host/counts: unknown is not evidence of a block, so
+    // both signals coalesce to their clean value and the row is kept
+    df.withColumn("reg_domain", rd)
+      .withColumn("domain_blocked", coalesce(domBlocked, lit(false)))
+      .withColumn("n_blocked_hits", coalesce(subHits, lit(0L)))
+      .withColumn("keep_url",
+        !col("domain_blocked") && col("n_blocked_hits") === 0L)
+  }
 }

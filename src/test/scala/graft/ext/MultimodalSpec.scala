@@ -100,6 +100,35 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Multimodal.decodeWav(1L, shortFmt))
   }
 
+  test("decodeWav G.711: mu-law/A-law expand exactly, RMS closed form") {
+    // canonical G.711 points: mu-law 0xFF encodes +0, 0x00 the most
+    // negative (-32124), 0x80 the most positive; A-law silence 0xD5 = +8
+    assert(Multimodal.mulawToLinear(0xFF) == 0)
+    assert(Multimodal.mulawToLinear(0x00) == -32124)
+    assert(Multimodal.mulawToLinear(0x80) == 32124)
+    assert(Multimodal.alawToLinear(0xD5) == 8)
+    assert(Multimodal.alawToLinear(0x55) == -8)
+    assert(Multimodal.alawToLinear(0xAA) == 32256)
+    assert(Multimodal.alawToLinear(0x2A) == -32256)
+    for (mulaw <- Seq(true, false); seed <- Seq(0L, 5L, 77L)) {
+      val f = Multimodal.decodeWav(9L, Multimodal.makeWavG711(seed, 256, mulaw))
+      assert(f.n_samples == 256 && f.duration_ms == 32) // 256 / 8 kHz
+      val sumSq = (0 until 256).map { i =>
+        val b = (((seed * 31 + i) % 256 + 256) % 256).toInt
+        val s = if (mulaw) Multimodal.mulawToLinear(b)
+                else Multimodal.alawToLinear(b)
+        s.toLong * s
+      }.sum
+      assert(f.rms == math.sqrt(sumSq.toDouble / 256) / 32768.0,
+        s"rms mismatch mulaw=$mulaw seed=$seed")
+    }
+    // G.711 declaring 16 bits is malformed, loudly
+    val bad = Multimodal.makeWavG711(1L, 16, mulaw = true)
+    bad(34) = 16.toByte
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(1L, bad))
+    assert(e.getMessage.contains("8-bit"))
+  }
+
   test("decodePng: roundtrip through every filter type, closed-form luma") {
     // height 7 with filter type (seed + y) % 5 covers all five filters;
     // seeds shift which filter lands on row 0 (the no-prior-row edge)

@@ -291,4 +291,41 @@ class TextStatsSpec extends SparkTestBase {
     assert(upper.getAs[Long]("n_latin1_utf8") == 1)
     assert(upper.getAs[Double]("bad_ratio") == 1.0 / 4.0)
   }
+
+  test("scriptProfile: counts, first-wins dominant, exact mixed flag") {
+    val docs = Seq(
+      (1L, "hello world"),                    // pure latin
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"), // pure cyrillic
+      (3L, "hello \u043c\u0438\u0440 \u4f60\u597d"), // latin 5, cyr 3, cjk 2
+      (4L, "\u0645\u0631\u062d\u0628\u0627 hi"),     // arabic 5, latin 2
+      (5L, "12345 ... !!"),                   // no script chars at all
+      (6L, "aaaaaaaaa \u0431")               // 9 latin, 1 cyr: exactly 10% -> mixed
+    ).toDF("doc_id", "text")
+    val out = TextStats.scriptProfile(docs, "doc_id", "text")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_arabic", "n_cjk",
+        "script_chars", "dominant_script", "is_mixed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(6) == "latin" && !out(1L).getBoolean(7))
+    assert(out(2L).getLong(2) == 9L &&
+      out(2L).getString(6) == "cyrillic" && !out(2L).getBoolean(7))
+    assert(out(3L).getLong(1) == 5L && out(3L).getLong(2) == 3L &&
+      out(3L).getLong(4) == 2L && out(3L).getLong(5) == 10L)
+    assert(out(3L).getString(6) == "latin" && out(3L).getBoolean(7))
+    assert(out(4L).getString(6) == "arabic" && out(4L).getBoolean(7))
+    assert(out(5L).getLong(5) == 0L &&
+      out(5L).getString(6) == "none" && !out(5L).getBoolean(7))
+    // exactly-at-the-10%-boundary minority: (10-9)*10 >= 10 -> mixed
+    assert(out(6L).getBoolean(7))
+    // just UNDER the boundary: 1 of 11 (9.1%) stays pure
+    val under = TextStats.scriptProfile(
+        Seq((8L, "aaaaaaaaaa \u0431")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("is_mixed").collect()(0).getBoolean(0)
+    assert(!under)
+    // ties resolve to the EARLIEST script in ScriptRanges order
+    val tie = TextStats.scriptProfile(
+        Seq((7L, "ab \u0431\u0432")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("dominant_script").collect()(0).getString(0)
+    assert(tie == "latin")
+  }
 }

@@ -58,4 +58,33 @@ class WebUrlSpec extends SparkTestBase {
     )
     assert(regDom(cases.map(_._1): _*) == cases.map(_._2))
   }
+
+  test("withBlocklist: domain list catches subdomains, substrings via one DFA") {
+    val df = Seq(
+      (1L, "https://www.good.com/articles/1"),
+      (2L, "https://ads.BAD.net/promo"),           // subdomain of bad.net
+      (3L, "https://good.com/ads/banner.png"),     // path pattern
+      (4L, "https://good.com/search?q=CASINO+slots"), // case-insensitive
+      (5L, "https://bad.net/clean-path"),          // blocked domain itself
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val out = WebUrl.withBlocklist(df, "url",
+        blockedDomains = Seq("bad.net"),
+        blockedSubstrings = Seq("/ads/", "casino"))
+      .select("doc_id", "reg_domain", "domain_blocked", "n_blocked_hits",
+        "keep_url")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == (("good.com", false, 0L, true)))
+    assert(out(2L) == (("bad.net", true, 0L, false)))
+    assert(out(3L) == (("good.com", false, 1L, false)))
+    assert(out(4L) == (("good.com", false, 1L, false)))
+    assert(out(5L) == (("bad.net", true, 0L, false)))
+    // null url: no domain, no hits, kept (unknown is not evidence)
+    assert(out(6L)._2 == false && out(6L)._4 == true)
+    // empty-list guard
+    intercept[IllegalArgumentException](
+      WebUrl.withBlocklist(df, "url", Nil, Nil))
+  }
 }
