@@ -2169,6 +2169,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext sampling — temperature-flattened mix (α = 0.5): each group
+    // capped at max(1, floor(sqrt(n_g))) rows by the deterministic md5
+    // rank — head groups shrink toward √n, tail groups keep everything.
+    // sqrt is IEEE-correctly-rounded, so the caps replay exactly.
+    "q141_temperature_mix" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), (col("doc_id") % 23).as("grp"))
+      ext.Sampling.temperatureSample(d, "doc_id", "grp")
+        .select("doc_id", "grp")
+        .orderBy("doc_id")
+    }),
+
+    // ext text — interpolated TRIGRAM LM score (one order above q124):
+    // λ₃·p(w₃|w₁w₂) + λ₂·p(w₃|w₂) + λ₁·p(w₃), corpus-MLE conditionals,
+    // floor(ln·1e12) BIGINT sums — the oracle replays every probability
+    // in the same double-arithmetic shape.
+    "q142_trigram_logprob" -> ((s, dir) => {
+      // gate on score_e6, the engine-portable column: the raw double
+      // mean is one ulp of ln() away from hash-diverging (see the
+      // operator's coarsening note)
+      ext.TextStats.trigramLogProbScore(
+          tbl(s, dir, "documents")
+            .filter(col("lang") === "en" && col("text").isNotNull),
+          "doc_id", "text")
+        .select("doc_id", "n_trigrams", "score_e6")
+        .orderBy("doc_id")
+    }),
+
+    // ext web — canonical-URL dedup (the recrawl collapse): scheme case,
+    // host case, default port, tracking params, and fragments all vary
+    // across members of a group, every member canonicalizes to the same
+    // url, and only the min-id member survives.
+    "q143_url_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val scheme = when(col("doc_id") % 2 === 0, "HTTPS://")
+        .otherwise("https://")
+      val host = when(col("doc_id") % 2 === 0, "WWW.Example.COM")
+        .otherwise("www.EXAMPLE.com")
+      val port = when(col("doc_id") % 2 === 0, ":443").otherwise("")
+      val query = when(col("doc_id") % 3 === 0, "?utm_source=x")
+        .when(col("doc_id") % 3 === 1, "?gclid=1&utm_medium=y")
+        .otherwise("")
+      val frag = when(col("doc_id") % 2 === 0, "#top").otherwise(lit(""))
+      val url = concat(scheme, host, port, lit("/page/"),
+        (col("doc_id") % 50).cast("string"), query, frag)
+      ext.WebUrl.dedupByCanonicalUrl(
+          d.select(col("doc_id"), url.as("url")), "url", "doc_id")
+        .select("doc_id", "url_canon")
+        .orderBy("doc_id")
+    }),
+
     // ext text — Unicode script profile (the multilingual triage pass):
     // per-script codepoint counts over RE2-safe ranges, first-wins
     // dominant script, exact-integer ≥10%-minority mixed flag. Shaping
@@ -5181,6 +5232,110 @@ object SparkEntry {
         |  GROUP BY p1.doc_id)
         |SELECT * FROM out0 UNION ALL SELECT * FROM out1
         |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // per-group caps floor(sqrt(n)) replayed, md5-rank window (q91 form)
+    "q141_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT doc_id, doc_id % 23 AS grp
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |t AS (
+        |  SELECT grp, greatest(1,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1.0 / 1.0) AS BIGINT))
+        |    AS cap
+        |  FROM g GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, grp, row_number() OVER (PARTITION BY grp
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM g)
+        |SELECT r.doc_id, r.grp FROM r JOIN t USING (grp)
+        |WHERE r.rk <= t.cap ORDER BY r.doc_id""".stripMargin,
+
+    // q124's replay one order up: trigram windows + bigram transitions +
+    // unigrams, interpolated in the identical double-arithmetic shape.
+    // STAGED CTEs (j1/j2/sc, one-ON-join steps) rather than q124's flat
+    // six-relation join: the flat form trips a DuckDB join-planner cliff
+    // (minutes on 11k rows); the staged probabilities are the same IEEE
+    // doubles, so values are unchanged
+    "q142_trigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+        |tri AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |          i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS u
+        |        FROM d WHERE len(t) >= 3)),
+        |bi AS (
+        |  SELECT u.b1 AS b1, u.b2 AS b2
+        |  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'b1': t[i], 'b2': t[i + 1]})) AS u
+        |        FROM d WHERE len(t) >= 2)),
+        |toks AS (SELECT unnest(t) AS term FROM d),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tri GROUP BY 1, 2, 3),
+        |ctx12 AS (SELECT w1, w2, count(*) AS ctx12 FROM tri GROUP BY 1, 2),
+        |c23 AS (SELECT b1, b2, count(*) AS c23 FROM bi GROUP BY 1, 2),
+        |c2b AS (SELECT b1, count(*) AS c2b FROM bi GROUP BY 1),
+        |c3 AS (SELECT term, count(*) AS c3 FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |u3 AS (SELECT term, CAST(c3 AS DOUBLE) / (SELECT n FROM tot) AS p3 FROM c3),
+        |j1 AS (
+        |  SELECT g.doc_id, g.w2, g.w3,
+        |    CAST(c123.c123 AS DOUBLE) / CAST(ctx12.ctx12 AS DOUBLE) AS p1
+        |  FROM tri g JOIN c123 USING (w1, w2, w3) JOIN ctx12 USING (w1, w2)),
+        |j2 AS (
+        |  SELECT j1.doc_id, j1.w3, j1.p1,
+        |    CAST(c23.c23 AS DOUBLE) / CAST(c2b.c2b AS DOUBLE) AS p2
+        |  FROM j1 JOIN c23 ON j1.w2 = c23.b1 AND j1.w3 = c23.b2
+        |    JOIN c2b ON j1.w2 = c2b.b1),
+        |sc AS (
+        |  SELECT j2.doc_id,
+        |    CAST(floor(ln(0.6 * j2.p1 + 0.3 * j2.p2 + 0.1 * u3.p3) * 1e12)
+        |      AS BIGINT) AS lp
+        |  FROM j2 JOIN u3 ON j2.w3 = u3.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*) / 1e6) AS BIGINT)
+        |    AS score_e6
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // replays canonicalization with q122's regex pipeline, then keeps
+    // the min-id member of each canonical group
+    "q143_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM' ELSE 'www.EXAMPLE.com' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+        |    '/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE doc_id % 3 WHEN 0 THEN '?utm_source=x'
+        |      WHEN 1 THEN '?gclid=1&utm_medium=y' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_replace(hostport, ':[0-9]*$', '')) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid)(=|$)') AND x <> '')) AS params
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |       OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canon
+        |  FROM q),
+        |m AS (SELECT url_canon, min(doc_id) AS doc_id FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.url_canon FROM c JOIN m USING (url_canon, doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     // per-script counts via regexp_extract_all over the same RE2 classes,
     // dominant via greatest + first-wins CASE, mixed flag exact-integer

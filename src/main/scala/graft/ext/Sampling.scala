@@ -92,6 +92,17 @@ object Sampling {
     // is undefined, so a map has no canonical hash) — rows differing ONLY
     // in a map column stay order-dependent, which is the best any
     // engine-portable ordering can do.
+    groupRanked(df, keyCol, groupCol)
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** The shared per-group md5 ranking of [[perGroupSample]] and
+    * [[temperatureSample]]: `__rk` = row_number over
+    * (md5(key) ASC NULLS LAST, key, full-row-hash) within the group.
+    */
+  private def groupRanked(df: DataFrame, keyCol: String,
+                          groupCol: String): DataFrame = {
     val hashable = df.schema.fields
       .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
     val tiebreak: Seq[Column] =
@@ -101,8 +112,47 @@ object Sampling {
       .orderBy(md5(col(keyCol).cast("string")).asc_nulls_last +: col(keyCol) +:
         tiebreak: _*)
     df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+  }
+
+  /** Temperature-flattened corpus mix: cap each group at
+    * `t_g = max(1, floor(sqrt(n_g) · scaleNum / scaleDen))` rows — the
+    * α = 0.5 temperature resampling of multilingual / multi-source
+    * training-data assembly (head domains are downweighted toward the
+    * square root of their size, tail domains keep everything via the
+    * floor-to-1), with the same deterministic md5 ranking as
+    * [[perGroupSample]] so membership is a pure function of the rows.
+    * Every group contributes at least one row — the mixing property a
+    * fixed global rate cannot give.
+    *
+    * Replayability: sqrt is correctly rounded in IEEE (identical in any
+    * engine), and the scale factor multiplies as exact small doubles, so
+    * an external oracle replays the caps bit-for-bit — the reason the
+    * exponent is fixed at 1/2 rather than a free α (pow is NOT
+    * correctly-rounded across math libraries).
+    *
+    * Scale shape: caps are one tiny per-group aggregate joined back
+    * (AQE broadcasts when group cardinality fits); ranking is one window
+    * partitioned by the group column — the [[perGroupSample]] trade. A
+    * corpus whose LARGEST group dwarfs a task should pre-thin with
+    * [[hashSampled]] or route through the two-phase bucket/carry
+    * machinery ([[tokenBudgetPerGroup]]'s form) instead.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                        scaleNum: Long = 1L, scaleDen: Long = 1L): DataFrame = {
+    require(scaleNum > 0 && scaleDen > 0,
+      s"scale must be positive, got $scaleNum/$scaleDen")
+    val src = df.filter(col(keyCol).isNotNull && col(groupCol).isNotNull)
+    val caps = src.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        greatest(lit(1L),
+          floor(sqrt(col("__n").cast("double"))
+            * lit(scaleNum.toDouble) / lit(scaleDen.toDouble)).cast("long"))
+          .as("__t"))
+    groupRanked(src, keyCol, groupCol)
+      .join(caps, Seq(groupCol))
+      .filter(col("__rk") <= col("__t"))
+      .drop("__rk", "__t")
   }
 
   /** Rebalance a corpus toward target per-stratum PROPORTIONS — the

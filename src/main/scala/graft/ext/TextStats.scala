@@ -446,6 +446,83 @@ object TextStats {
           .as("mean_lp"))
   }
 
+  /** Interpolated TRIGRAM language-model score per document — one order
+    * above [[bigramLogProbScore]], the depth at which the KenLM-style
+    * quality filters of published crawl pipelines actually run: mean
+    * over the document's trigram transitions of
+    * `ln( λ₃·p(w₃|w₁w₂) + λ₂·p(w₃|w₂) + λ₁·p(w₃) )` with corpus-MLE
+    * conditionals (`c₁₂₃/ctx₁₂` over trigram windows, `c₂₃/c₂ᵇ` over
+    * bigram transitions, `c₃/N` unigrams). A trigram model separates
+    * plausible phrases from locally-plausible word salad the bigram
+    * can't ("of the of the" has fine bigrams, broken trigrams). Weights
+    * must be positive and sum to 1, keeping every seen transition's
+    * probability positive.
+    *
+    * Same determinism and shape contract as the bigram form: one fixed
+    * double-arithmetic shape per probability, `floor(ln·10¹²)` BIGINT
+    * sums (partition-order independent, replayed bit-for-bit by the
+    * oracle); the tokenized frame is cut once, counts are vocabulary-
+    * sized aggregates, one final per-doc aggregate — never corpus ×
+    * corpus, never a window. Documents with fewer than 3 tokens emit no
+    * row. Returns (idCol, n_trigrams, mean_lp).
+    */
+  def trigramLogProbScore(df: DataFrame, idCol: String, textCol: String,
+                          l3: Double = 0.6, l2: Double = 0.3,
+                          l1: Double = 0.1): DataFrame = {
+    require(l3 > 0.0 && l2 > 0.0 && l1 > 0.0 &&
+      math.abs(l3 + l2 + l1 - 1.0) < 1e-12,
+      s"interpolation weights must be positive and sum to 1, got $l3/$l2/$l1")
+    val arr = graft.plans.PlanCapture.cut(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol), canonicalTokens(col(textCol)).as("__t")))
+    val tri = arr.filter(size(col("__t")) >= 3)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__t")) - 3), i =>
+          struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2"),
+            element_at(col("__t"), i + 3).as("w3")))).as("__g"))
+      .select(col(idCol), col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3"))
+    val bi = arr.filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2), i =>
+        struct(element_at(col("__t"), i + 1).as("b1"),
+          element_at(col("__t"), i + 2).as("b2")))).as("__b"))
+      .select(col("__b.b1").as("b1"), col("__b.b2").as("b2"))
+    val toks = arr.select(explode(col("__t")).as("term"))
+    val c123 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("__c123"))
+    val ctx12 = tri.groupBy("w1", "w2").agg(count(lit(1)).as("__ctx12"))
+    val c23 = bi.groupBy("b1", "b2").agg(count(lit(1)).as("__c23"))
+    val c2b = bi.groupBy("b1").agg(count(lit(1)).as("__c2b"))
+    val c3 = toks.groupBy("term").agg(count(lit(1)).as("__c3"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val p = lit(l3)
+      .multiply(col("__c123").cast("double") / col("__ctx12").cast("double"))
+      .plus(lit(l2)
+        .multiply(col("__c23").cast("double") / col("__c2b").cast("double")))
+      .plus(lit(l1).multiply(col("__c3").cast("double") / col("__n")))
+    tri.join(c123, Seq("w1", "w2", "w3"))
+      .join(ctx12, Seq("w1", "w2"))
+      .join(c23, col("w2") === col("b1") && col("w3") === col("b2"))
+      .join(c2b.withColumnRenamed("b1", "__d1"), col("w2") === col("__d1"))
+      .join(c3, col("w3") === col("term"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), lnScaled(p).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("__lp")).as("__slp"))
+      // score_e6 coarsens the mean to 1e-6 nats: `ln` is not correctly
+      // rounded across math libraries, so ~1-in-1e4 quantized terms sit
+      // on a floor boundary and flip ±1 between engines — a per-doc sum
+      // off by a unit is invisible at 1e-6 granularity (it moves the
+      // mean by ~1e-12/n), which is what makes this column, unlike the
+      // raw mean, bit-replicable by an external engine. Filters should
+      // threshold on score_e6; mean_lp stays for diagnostics.
+      .select(col(idCol), col("n_trigrams"),
+        floor(col("__slp").cast("double") / col("n_trigrams") / lit(1e6))
+          .cast("long").as("score_e6"),
+        (col("__slp").cast("double") / lit(1e12) / col("n_trigrams"))
+          .as("mean_lp"))
+  }
+
   /** Integer-scaled natural log: `floor(ln(x)·10¹²)` as BIGINT — the
     * quantization that makes log-sums exact and engine-portable (see
     * [[unigramLogProbScore]]'s determinism note).

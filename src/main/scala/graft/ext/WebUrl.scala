@@ -168,4 +168,31 @@ object WebUrl {
       .withColumn("keep_url",
         !col("domain_blocked") && col("n_blocked_hits") === 0L)
   }
+
+  /** URL-level dedup: one surviving row per CANONICAL url (the min-id
+    * row — the [[Dedup]] keep-first policy), with the canonical form
+    * appended as `url_canon`. The recrawl-collapse step: a page fetched
+    * as `HTTP://Example.COM:80/a?utm_source=x#frag` and
+    * `http://example.com/a` is one document, and URL dedup removes it
+    * before any content-level pass pays to tokenize it twice.
+    *
+    * Rows with a null id or a null url are dropped (no identity / no
+    * key — the module's null stance). `idCol` must be unique per row.
+    *
+    * Scale shape: the canonical form is per-row column arithmetic in the
+    * scan; the keep-set is ONE aggregate keyed by the canonical string
+    * (bounded by URL length — ~100 B, the skinny-representation rule;
+    * deliberately NOT a hash digest: a digest collision would silently
+    * merge two distinct pages and DROP one, the one failure mode a
+    * dedup must not have) and a semi-join back on (url_canon, id).
+    */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String,
+                          idCol: String): DataFrame = {
+    val withCanon = df
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .withColumn("url_canon", canonicalizeUrl(col(urlCol)))
+    val keep = withCanon
+      .groupBy(col("url_canon")).agg(min(col(idCol)).as(idCol))
+    withCanon.join(keep, Seq("url_canon", idCol), "left_semi")
+  }
 }

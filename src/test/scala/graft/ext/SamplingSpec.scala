@@ -295,4 +295,35 @@ class SamplingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 6L))
   }
+
+  test("temperatureSample: sqrt caps, floor-to-1, deterministic membership") {
+    // group sizes 100 / 9 / 1 → caps 10 / 3 / 1
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 109L).map(i => (i, "mid")) ++ Seq((200L, "tiny")))
+      .toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "id", "g")
+      .select("id", "g").as[(Long, String)].collect()
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGroup("big").size == 10 && byGroup("mid").size == 3 &&
+      byGroup("tiny") == Set(200L))
+    // membership is the md5-rank prefix — replicate it directly
+    def expect(ids: Seq[Long], k: Int): Set[Long] = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      ids.sortBy { i =>
+        val h = md5.digest(i.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (h, i)
+      }.take(k).toSet
+    }
+    assert(byGroup("big") == expect(0L until 100L, 10))
+    assert(byGroup("mid") == expect(100L until 109L, 3))
+    // scale factor: num/den = 3/2 → caps floor(10·1.5) = 15
+    val scaled = Sampling.temperatureSample(df, "id", "g", 3L, 2L)
+      .filter(col("g") === "big").count()
+    assert(scaled == 15L)
+    // re-partitioning must not change membership (pure function of rows)
+    val shuffled = Sampling.temperatureSample(df.repartition(7), "id", "g")
+      .select("id").as[Long].collect().toSet
+    assert(shuffled == out.map(_._1).toSet)
+  }
 }

@@ -328,4 +328,28 @@ class TextStatsSpec extends SparkTestBase {
       .select("dominant_script").collect()(0).getString(0)
     assert(tie == "latin")
   }
+
+  test("trigramLogProbScore: broken trigrams score below real phrases") {
+    // "of the" / "the of" bigrams all exist, but doc 3's TRIGRAMS are
+    // unseen elsewhere only in order - the trigram term must separate it
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat"),
+      (2L, "the cat sat on the mat and the dog sat on the rug"),
+      (3L, "on the on the on the on the on the on the")
+    ).toDF("doc_id", "text")
+    val out = TextStats.trigramLogProbScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._2 > out(3L)._2, s"$out")
+    // score_e6 is the floored e6-scaled mean of the same quantity
+    out.values.foreach { case (e6, lp) =>
+      assert(math.abs(e6 - math.floor(lp * 1e6)) <= 1.0) }
+    // < 3 tokens: no transitions, no row
+    val tiny = TextStats.trigramLogProbScore(
+      Seq((9L, "two words"), (10L, "three word doc")).toDF("doc_id", "text"),
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(tiny == Set(10L))
+    // weights must be positive and sum to 1
+    intercept[IllegalArgumentException](
+      TextStats.trigramLogProbScore(docs, "doc_id", "text", 0.5, 0.5, 0.5))
+  }
 }

@@ -87,4 +87,22 @@ class WebUrlSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       WebUrl.withBlocklist(df, "url", Nil, Nil))
   }
+
+  test("dedupByCanonicalUrl: recrawl spellings collapse, min id survives") {
+    val df = Seq[(java.lang.Long, String)](
+      (java.lang.Long.valueOf(5L), "HTTP://Example.COM:80/a?utm_source=x#frag"),
+      (java.lang.Long.valueOf(3L), "http://example.com/a"), // same page, min id
+      (java.lang.Long.valueOf(7L), "http://example.com/a?b=1"), // real param
+      (java.lang.Long.valueOf(9L), "https://example.com/a"), // scheme differs
+      (java.lang.Long.valueOf(11L), null),                  // no key: dropped
+      (null, "http://x.com/")                               // no id: dropped
+    ).toDF("doc_id", "url")
+    val out = WebUrl.dedupByCanonicalUrl(df, "url", "doc_id")
+      .select("doc_id", "url_canon")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(3L, 7L, 9L))
+    assert(out(3L) == "http://example.com/a")
+    assert(out(7L) == "http://example.com/a?b=1")
+    assert(out(9L) == "https://example.com/a")
+  }
 }
