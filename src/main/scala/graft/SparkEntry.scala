@@ -2220,6 +2220,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext web — CRAWL CURATION CAPSTONE (the q95 composition pattern for
+    // the web family): recrawl spellings collapse to one canonical URL
+    // (min-id survivor) → blocklist audit drops blocked domains and
+    // casino-marked paths → per-doc quality → per-domain roll-up with
+    // the keep_domain verdict. Each stage is the already-gated operator;
+    // the oracle chains the stage oracles.
+    "q144_crawl_curation" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val r = col("doc_id") % 140
+      val host = when(col("doc_id") % 5 === 0, "WWW.Example.COM")
+        .when(col("doc_id") % 5 === 1, "ads.tracker-hub.net")
+        .when(col("doc_id") % 5 === 2, "Sub.Blog.example.ORG")
+        .when(col("doc_id") % 5 === 3, "192.168.10.42")
+        .otherwise("example.net")
+      val scheme = when(col("doc_id") % 2 === 0, "HTTPS://")
+        .otherwise("https://")
+      val port = when(col("doc_id") % 2 === 0, ":443").otherwise("")
+      val junk = when(col("doc_id") % 3 === 0, "?utm_source=x")
+        .otherwise("")
+      val path = concat(lit("/p/"), r.cast("string"),
+        when(r < 20, "-casino").otherwise(lit("")))
+      val url = concat(scheme, host, port, path, junk)
+      val deduped = ext.WebUrl.dedupByCanonicalUrl(
+        d.select(col("doc_id"), col("text"), url.as("url")), "url", "doc_id")
+      val kept = ext.WebUrl.withBlocklist(deduped, "url",
+          Seq("tracker-hub.net", "192.168.10.42"), Seq("casino"))
+        .filter(col("keep_url"))
+      val scored = kept.select(col("doc_id"), col("url"),
+        floor(ext.TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("q_e6"))
+      ext.WebUrl.withDomainQuality(scored, "url", "q_e6")
+        .select(col("doc_id"), col("reg_domain"), col("q_e6"),
+          col("domain_docs"), col("domain_mean_scaled"),
+          (col("domain_mean_scaled") >= 500000L).as("keep_domain"))
+        .orderBy("doc_id")
+    }),
+
     // ext text — Unicode script profile (the multilingual triage pass):
     // per-script codepoint counts over RE2-safe ranges, first-wins
     // dominant script, exact-integer ≥10%-minority mixed flag. Shaping
@@ -2279,6 +2317,23 @@ object SparkEntry {
       val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWavG711(id, 256, mulaw = id % 2 == 0)))
+      ext.Multimodal.wavFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("n_bytes"),
+          col("n_samples"), col("duration_ms"), col("rms"))
+        .orderBy("doc_id")
+    }),
+
+    // ext multimodal — IMA ADPCM (WAV format 17) decode: block headers +
+    // adaptive nibble chain, pure integer. ROWS-ONLY by design: the
+    // per-sample predictor state is sequential, so no SQL oracle can
+    // replay it — MultimodalSpec pins the decode against an independent
+    // reference walk of the same public tables instead (the q23 stance).
+    "q145_adpcm_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "audio",
+          ext.Multimodal.makeWavAdpcm(id, 256 + (id % 3).toInt * 128)))
       ext.Multimodal.wavFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("n_bytes"),
           col("n_samples"), col("duration_ms"), col("rms"))
@@ -5232,6 +5287,68 @@ object SparkEntry {
         |  GROUP BY p1.doc_id)
         |SELECT * FROM out0 UNION ALL SELECT * FROM out1
         |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // chains the stage oracles: q143's canonicalization replay picks the
+    // min-id survivor, q139's reg-domain CASE + substring count audits,
+    // q130's quality aggregate rolls up the remainder
+    "q144_crawl_curation" -> {
+      s"""WITH u AS (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM'
+        |      WHEN 1 THEN 'ads.tracker-hub.net' WHEN 2 THEN 'Sub.Blog.example.ORG'
+        |      WHEN 3 THEN '192.168.10.42' ELSE 'example.net' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 140 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 140 < 20 THEN '-casino' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END) AS url
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '') AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
+        |  FROM u),
+        |q AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_replace(hostport, ':[0-9]*$$', '')) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port, path,
+        |    list_sort(list_filter(string_split(query, '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid)(=|$$)') AND x <> '')) AS params
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |       OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canon
+        |  FROM q),
+        |m AS (SELECT url_canon, min(doc_id) AS doc_id FROM c GROUP BY 1),
+        |surv AS (SELECT u.doc_id, u.text, u.url FROM u JOIN m ON u.doc_id = m.doc_id),
+        |kept AS (
+        |  SELECT doc_id, text,
+        |    CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'tracker-hub.net'
+        |      WHEN 2 THEN 'example.org' WHEN 3 THEN '192.168.10.42'
+        |      ELSE 'example.net' END AS reg_domain
+        |  FROM surv
+        |  WHERE (CASE doc_id % 5 WHEN 1 THEN 1 WHEN 3 THEN 1 ELSE 0 END) = 0
+        |    AND len(regexp_extract_all(lower(url), 'casino')) = 0),
+        |sc AS (
+        |  SELECT doc_id, reg_domain,
+        |    CAST(floor(${qualityScoreSql("text")} * 1e6) AS BIGINT) AS q_e6
+        |  FROM kept),
+        |st AS (
+        |  SELECT reg_domain, CAST(count(*) AS BIGINT) AS domain_docs,
+        |    CAST(floor(CAST(sum(q_e6) AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS domain_mean_scaled
+        |  FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.reg_domain, sc.q_e6, st.domain_docs,
+        |  st.domain_mean_scaled,
+        |  (st.domain_mean_scaled >= 500000) AS keep_domain
+        |FROM sc JOIN st USING (reg_domain) ORDER BY sc.doc_id""".stripMargin
+    },
 
     // per-group caps floor(sqrt(n)) replayed, md5-rank window (q91 form)
     "q141_temperature_mix" ->

