@@ -2323,6 +2323,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext multimodal — windowed frame energy over PCM audio (the VAD /
+    // silence-trim primitive): one row per 100-sample frame, exact
+    // BIGINT Σs² plus the derived rms; the last frame is short (56).
+    "q146_audio_frames" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "audio",
+          ext.Multimodal.makeWav(id, 256)))
+      ext.Multimodal.wavFrameEnergy(assets, frameSamples = 100).toDF()
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("n_in_frame"), col("sum_sq"), col("rms"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ext multimodal — IMA ADPCM (WAV format 17) decode: block headers +
     // adaptive nibble chain, pure integer. ROWS-ONLY by design: the
     // per-sample predictor state is sequential, so no SQL oracle can
@@ -5287,6 +5302,19 @@ object SparkEntry {
         |  GROUP BY p1.doc_id)
         |SELECT * FROM out0 UNION ALL SELECT * FROM out1
         |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // per-frame Σs² over the q94 sample family, grouped by i // 100
+    "q146_audio_frames" ->
+      """SELECT d.doc_id, CAST(u.i // 100 AS INT) AS frame_idx,
+        |  CAST(count(*) AS INT) AS n_in_frame,
+        |  CAST(sum(((d.doc_id * 31 + u.i) % 65536 - 32768)
+        |         * ((d.doc_id * 31 + u.i) % 65536 - 32768)) AS BIGINT) AS sum_sq,
+        |  sqrt(CAST(sum(((d.doc_id * 31 + u.i) % 65536 - 32768)
+        |              * ((d.doc_id * 31 + u.i) % 65536 - 32768)) AS DOUBLE)
+        |       / count(*)) / 32768.0 AS rms
+        |FROM documents d, unnest(generate_series(0, 255)) AS u(i)
+        |GROUP BY d.doc_id, u.i // 100
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
 
     // chains the stage oracles: q143's canonicalization replay picks the
     // min-id survivor, q139's reg-domain CASE + substring count audits,

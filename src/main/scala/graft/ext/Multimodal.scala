@@ -1024,6 +1024,76 @@ object Multimodal {
     assets.mapPartitions(_.map(a => decodeWav(a.asset_id, a.data)))
   }
 
+  /** One fixed-size analysis frame of a PCM asset: exact-integer energy
+    * (Σs², BIGINT — order-free, oracle-replayable) plus the derived
+    * frame RMS. The last frame of an asset may be short (`n_in_frame`).
+    */
+  final case class AudioFrame(asset_id: Long, frame_idx: Int,
+                              n_in_frame: Int, sum_sq: Long, rms: Double)
+
+  /** Windowed frame energy over 16-bit PCM WAV assets — the primitive
+    * under voice-activity detection, silence trimming, and segment-level
+    * speech-corpus curation: one output row per `frameSamples`-sized
+    * frame (default 160 = 20 ms @ 8 kHz). Exact integer Σs² per frame;
+    * rms = √(Σs²/n)/32768 derives deterministically (correctly-rounded
+    * sqrt). PCM only: frame boundaries on compressed streams depend on
+    * decoder state, which belongs to [[decodeWav]]'s whole-asset path.
+    *
+    * Scale shape: the same mapPartitions batch walk as every decoder
+    * here — one task emits ~payload/2/frameSamples rows per asset, so
+    * the explode happens map-side and never shuffles payload bytes.
+    */
+  def wavFrameEnergy(assets: Dataset[Asset],
+                     frameSamples: Int = 160): Dataset[AudioFrame] = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val data = a.data
+      require(data.length >= 44 &&
+        data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F',
+        "not a WAV payload")
+      var off = 12
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= data.length && (!fmtOk || dataOff < 0)) {
+        val id = new String(data.slice(off, off + 4), "US-ASCII")
+        val len = leInt(data, off + 4)
+        require(len >= 0 && off + 8 + len.toLong <= data.length,
+          s"malformed WAV chunk '$id' (len=$len at offset $off)")
+        if (id == "fmt ") {
+          require(len >= 16, s"malformed WAV fmt chunk (len=$len)")
+          require(leShort(data, off + 8) == 1,
+            "wavFrameEnergy requires 16-bit PCM")
+          require(leShort(data, off + 22) == 16,
+            "wavFrameEnergy requires 16-bit PCM")
+          fmtOk = true
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = len
+        }
+        off += 8 + len + (len & 1)
+      }
+      require(fmtOk && dataOff >= 0, "WAV missing fmt/data chunk")
+      val nSamples = dataLen / 2
+      val nFrames = (nSamples + frameSamples - 1) / frameSamples
+      (0 until nFrames).iterator.map { f =>
+        val start = f * frameSamples
+        val n = math.min(frameSamples, nSamples - start)
+        var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val s = leShort(data, dataOff + 2 * (start + i)).toShort.toInt
+          sumSq += s.toLong * s
+          i += 1
+        }
+        AudioFrame(a.asset_id, f, n,
+          sumSq, math.sqrt(sumSq.toDouble / n) / 32768.0)
+      }
+    })
+  }
+
   /** STUB decoder: deterministic features derived from the payload bytes
     * (length, first/last byte). Stands in for a real codec so the batch
     * plumbing and downstream aggregations are testable and

@@ -226,6 +226,32 @@ class MultimodalSpec extends SparkTestBase {
       e2.getMessage.contains("truncated"))
   }
 
+  test("wavFrameEnergy: exact per-frame sums, short tail, PCM-only") {
+    import spark.implicits._
+    val assets = Seq(Multimodal.Asset(7L, "audio", Multimodal.makeWav(7L, 256)))
+      .toDS()
+    val frames = Multimodal.wavFrameEnergy(assets, frameSamples = 100)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_.n_in_frame).toSeq == Seq(100, 100, 56))
+    def sample(i: Int): Long = ((7L * 31 + i) % 65536) - 32768
+    val expected = (0 until 256).grouped(100).map(g =>
+      g.map(i => sample(i) * sample(i)).sum).toSeq
+    assert(frames.map(_.sum_sq).toSeq == expected)
+    frames.foreach(f =>
+      assert(f.rms == math.sqrt(f.sum_sq.toDouble / f.n_in_frame) / 32768.0))
+    // frame sums re-aggregate to the whole-asset decode
+    val whole = Multimodal.decodeWav(7L, Multimodal.makeWav(7L, 256))
+    assert(whole.rms == math.sqrt(frames.map(_.sum_sq).sum.toDouble / 256) / 32768.0)
+    // G.711 payloads are refused by name (frame walk is PCM-only)
+    val g711 = Seq(Multimodal.Asset(1L, "audio",
+      Multimodal.makeWavG711(1L, 64, mulaw = true))).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.wavFrameEnergy(g711).collect())
+    assert(e.getMessage.contains("16-bit PCM") ||
+      e.getCause.getMessage.contains("16-bit PCM"))
+  }
+
   test("decodePng: roundtrip through every filter type, closed-form luma") {
     // height 7 with filter type (seed + y) % 5 covers all five filters;
     // seeds shift which filter lands on row 0 (the no-prior-row edge)
