@@ -2169,6 +2169,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext dedup — INCREMENTAL connected components (cluster-label
+    // maintenance, the daily-ingest shape): labels from the even-doc
+    // edge batch fold in the odd-doc batch — fresh nodes, merges, and
+    // fresh-side relabels all exercised — and must equal the full
+    // recompute over the accumulated edges, which the oracle replays as
+    // a recursive transitive closure (the q49 pattern).
+    "q147_dedup_components_incr" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") % 89).as("id_a"),
+          ((col("doc_id") * 3 + 1) % 89).as("id_b"))
+      val b2 = d.filter(col("doc_id") % 2 === 1)
+        .select(((col("doc_id") * 5) % 141).as("id_a"),
+          ((col("doc_id") * 7 + 4) % 141).as("id_b"))
+      ext.Dedup.connectedComponentsIncremental(
+          ext.Dedup.connectedComponents(b1), b2)
+        .withColumnRenamed("comp", "component")
+        .orderBy("id")
+    }),
+
     // ext sampling — temperature-flattened mix (α = 0.5): each group
     // capped at max(1, floor(sqrt(n_g))) rows by the deterministic md5
     // rank — head groups shrink toward √n, tail groups keep everything.
@@ -5377,6 +5397,24 @@ object SparkEntry {
         |  (st.domain_mean_scaled >= 500000) AS keep_domain
         |FROM sc JOIN st USING (reg_domain) ORDER BY sc.doc_id""".stripMargin
     },
+
+    // recursive transitive closure over BOTH edge batches (q49's form):
+    // the incremental fold must match the accumulated fixpoint
+    "q147_dedup_components_incr" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id % 89 AS a, (doc_id * 3 + 1) % 89 AS b
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT (doc_id * 5) % 141, (doc_id * 7 + 4) % 141
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 1),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS id FROM sym),
+        |r(x, y) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a)
+        |SELECT x AS id, min(y) AS component
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-group caps floor(sqrt(n)) replayed, md5-rank window (q91 form)
     "q141_temperature_mix" ->

@@ -1098,6 +1098,59 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — cluster-label maintenance for
+    * the daily-ingest dedup shape: fold a new batch of near-duplicate
+    * edges into existing (id, component) labels without re-running the
+    * fixpoint over the accumulated graph. `prior` must satisfy the
+    * [[connectedComponents]] output contract (component = min reachable
+    * id — its own output, or this function's), which is what makes the
+    * reduction sound: every prior component participates as ONE node,
+    * its label, and since that label IS the component's min member, the
+    * min over the reduced graph equals the min over the merged raw
+    * components.
+    *
+    * Scale shape: the ITERATION runs on the reduced graph only — new
+    * edges map endpoint→prior-label via one join against `prior`
+    * (fresh endpoints stand for themselves), so fixpoint cost scales
+    * with the batch and its touched components, never the corpus.
+    * Applying the result back is ONE linear join of `prior` against the
+    * (old label → new label) map plus the fresh-node labels — rows in
+    * untouched components keep their labels bit-for-bit. Equivalence
+    * with the full recompute on the accumulated edge list is
+    * spec-asserted and oracle-gated (q147).
+    */
+  def connectedComponentsIncremental(prior: DataFrame, edges: DataFrame,
+                                     idCol: String = "id",
+                                     compCol: String = "comp",
+                                     idA: String = "id_a",
+                                     idB: String = "id_b"): DataFrame = {
+    val p = PlanCapture.cut(prior.select(col(idCol).cast("long").as("id"),
+      col(compCol).cast("long").as("comp")))
+    val e0 = edges
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    // endpoints → prior labels; endpoints the prior has never seen stand
+    // for themselves (they are their own 1-node components)
+    val mapped = e0
+      .join(p.select(col("id").as("a"), col("comp").as("__ca")), Seq("a"), "left")
+      .join(p.select(col("id").as("b"), col("comp").as("__cb")), Seq("b"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("id_a"),
+        coalesce(col("__cb"), col("b")).as("id_b"))
+    val reduced = connectedComponents(mapped) // (id, comp): labels + fresh
+    // prior comps are prior MIN ids, and fresh ids are disjoint from
+    // prior ids, so the relabel join can never alias a fresh node onto
+    // an untouched component
+    val relabel = reduced.select(col("comp").as("__newc"), col("id").as("comp"))
+    val updated = p.join(relabel, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("__newc"), col("comp")).as("comp"))
+    val fresh = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct()
+      .join(p.select(col("id")), Seq("id"), "left_anti")
+      .join(reduced, Seq("id"))
+      .select(col("id"), col("comp"))
+    updated.unionByName(fresh)
+  }
+
   /** Content-aware survivor per near-duplicate cluster: label the pair
     * graph with [[connectedComponents]], then keep ONE document per
     * component — the longest text, ties to the smallest id (deterministic;

@@ -34,7 +34,14 @@ object PlanCapture {
   def cut(df: DataFrame): DataFrame = {
     val buf = tap.get()
     if (buf != null) buf += df.queryExecution.sparkPlan
-    df.localCheckpoint(false)
+    // stats reset: localCheckpoint preserves the child's ESTIMATED
+    // statistics through the cut, so iterative self-joining operators
+    // square their sizeInBytes estimate every round until the size-only
+    // stats visitor grinds on million-digit BigIntegers (digit count
+    // measurably doubles per round). The shim rewraps the SAME
+    // checkpointed RDD — partitioning and ordering preserved — minus
+    // the inherited estimate; AQE's runtime sizes still drive joins.
+    org.apache.spark.sql.GraftStatsReset.freshStats(df.localCheckpoint(false))
   }
 
   /** Run `body` with a plan tap installed on this thread; returns its

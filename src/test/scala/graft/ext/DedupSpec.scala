@@ -212,6 +212,38 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponentsIncremental: equals full recompute, labels stable") {
+    // prior components: {1,2,3}, {10,11}, {20,21}, {40,41}
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (40L, 41L))
+      .toDF("id_a", "id_b")
+    val prior = Dedup.connectedComponents(b1)
+    // batch 2: merges {1..3} with {10,11}; a fresh chain {30,31}; a
+    // FRESH node 0 linking into {20,21} — the new min comes from the
+    // fresh side, relabeling the old component; {40,41} untouched
+    val b2 = Seq((3L, 10L), (30L, 31L), (0L, 20L)).toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(prior, b2)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(b1.unionByName(b2))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    assert(inc(11L) == 1L && inc(20L) == 0L && inc(21L) == 0L)
+    assert(inc(40L) == 40L && inc(41L) == 40L, "untouched component moved")
+    // chained increments stay equivalent to the one-shot recompute
+    val b3 = Seq((31L, 41L)).toDF("id_a", "id_b")
+    val inc2 = Dedup.connectedComponentsIncremental(
+        Dedup.connectedComponentsIncremental(prior, b2), b3)
+      .as[(Long, Long)].collect().toMap
+    val full2 = Dedup.connectedComponents(
+        b1.unionByName(b2).unionByName(b3))
+      .as[(Long, Long)].collect().toMap
+    assert(inc2 == full2)
+    // an empty batch is the identity
+    val none = Dedup.connectedComponentsIncremental(prior,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(none.as[(Long, Long)].collect().toMap ==
+      prior.as[(Long, Long)].collect().toMap)
+  }
+
   test("connectedComponents: long path converges past one round") {
     // a 12-node path needs ~diameter rounds, not one
     val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
