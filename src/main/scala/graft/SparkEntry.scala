@@ -2189,6 +2189,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // streaming — CONTINUOUS duplicate-cluster maintenance: three edge
+    // batches fold through the versioned label store (incremental CC per
+    // batch, touched components only) and the FINAL label state must
+    // equal the one-shot fixpoint over every edge seen, which the oracle
+    // replays as one recursive closure.
+    "q148_stream_components" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val b1 = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") % 89).as("id_a"),
+          ((col("doc_id") * 3 + 1) % 89).as("id_b"))
+      val b2 = d.filter(col("doc_id") % 3 === 1)
+        .select(((col("doc_id") * 5) % 141).as("id_a"),
+          ((col("doc_id") * 7 + 4) % 141).as("id_b"))
+      val b3 = d.filter(col("doc_id") % 3 === 2)
+        .select(((col("doc_id") * 11 + 7) % 200).as("id_a"),
+          ((col("doc_id") * 13 + 2) % 200).as("id_b"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q148").toString + "/labels"
+      streaming.StreamingComponents.byBatch(s, Seq(b1, b2, b3), store)
+        .withColumnRenamed("comp", "component")
+        .orderBy("id")
+    }),
+
     // ext sampling — temperature-flattened mix (α = 0.5): each group
     // capped at max(1, floor(sqrt(n_g))) rows by the deterministic md5
     // rank — head groups shrink toward √n, tail groups keep everything.
@@ -5407,6 +5430,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT (doc_id * 5) % 141, (doc_id * 7 + 4) % 141
         |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 1),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS id FROM sym),
+        |r(x, y) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a)
+        |SELECT x AS id, min(y) AS component
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one recursive closure over all three batch edge families — the
+    // continuous fold must land on the same fixpoint
+    "q148_stream_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id % 89 AS a, (doc_id * 3 + 1) % 89 AS b
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT (doc_id * 5) % 141, (doc_id * 7 + 4) % 141
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT (doc_id * 11 + 7) % 200, (doc_id * 13 + 2) % 200
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 3 = 2),
         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         |nodes AS (SELECT DISTINCT a AS id FROM sym),
         |r(x, y) AS (
