@@ -2485,6 +2485,199 @@ object SparkEntry {
           col("domain_mean_scaled").as("quality_e6"),
           col("rank").as("rank_e12"))
         .orderBy("domain_id")
+    }),
+
+    // ext graph — fixed-iteration HITS over the q131 edge families:
+    // hubs (pages worth crawling FROM) and authorities (pages worth
+    // keeping), e6-scaled L1-normalized integer iterates, one driver
+    // scalar per half-round. The oracle replays the 3 rounds as chained
+    // CTEs with a scalar divisor CTE per normalization.
+    "q149_hits" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e1 = d.select((col("doc_id") % 101).as("src"),
+        ((col("doc_id") * col("doc_id") + 1) % 101).as("dst"))
+      val e2 = d.select(((col("doc_id") * 3) % 101).as("src"),
+        ((col("doc_id") * 5 + 2) % 101).as("dst"))
+      ext.LinkGraph.hits(e1.union(e2), iterations = 3)
+        .orderBy("id")
+    }),
+
+    // ext graph — co-citation pair counts (text-free related-page
+    // signal): 23 citers with out-degree ≤ 3 BY CONSTRUCTION (each dst
+    // is a function of the citer value, so degrees don't grow with the
+    // corpus), plus one link-farm hub citing doc_id % 47 — always past
+    // the out-degree cap at every sf, so the farm cut is exercised and
+    // its pairs must NOT appear. Pairs emit inside the citer's task
+    // from the capped out-list — no edge-table self-join.
+    "q150_cocitation" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val src = col("doc_id") % 23
+      val e1 = d.select(src.as("src"), ((src % 5) * 3).as("dst"))
+      val e2 = d.select(src.as("src"), ((src % 7) * 2 + 1).as("dst"))
+      val e3 = d.select(src.as("src"), ((src % 4) * 5 + 2).as("dst"))
+      val hub = d.select(lit(999L).as("src"), (col("doc_id") % 47).as("dst"))
+      ext.LinkGraph.cocitation(e1.union(e2).union(e3).union(hub),
+          maxOutDeg = 12, minCocitations = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ext web — robots.txt longest-match evaluation (RFC 9309 / Google
+    // semantics: longest matching prefix wins, Allow wins length ties,
+    // no match = allowed): 7 synthetic domains × 11 rule shapes incl. a
+    // deliberate same-length Allow/Disallow tie on /p0 and deeper
+    // overrides both ways. The engine extracts host+path from the URL
+    // string; the verdict is ONE integer max (2·len + allow), no window.
+    "q151_robots" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://d"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 5).cast("string"),
+          lit("/x"), (col("doc_id") % 3).cast("string")).as("url"))
+      val rules = d.select(
+        concat(lit("d"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("domain"),
+        expr("""CASE doc_id % 11
+          | WHEN 0 THEN '/p0' WHEN 1 THEN '/p1' WHEN 2 THEN '/p2'
+          | WHEN 3 THEN '/p3' WHEN 4 THEN '/p4' WHEN 5 THEN '/p1/x1'
+          | WHEN 6 THEN '/p2/x2' WHEN 7 THEN '/p0/x0' WHEN 8 THEN '/p3/x'
+          | WHEN 9 THEN '/p4/x1' ELSE '/p0' END""".stripMargin)
+          .as("rule_path"),
+        expr("""CASE doc_id % 11
+          | WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
+          | WHEN 3 THEN true WHEN 4 THEN false WHEN 5 THEN false
+          | WHEN 6 THEN true WHEN 7 THEN true WHEN 8 THEN false
+          | WHEN 9 THEN true ELSE true END""".stripMargin).as("allow"))
+        .distinct()
+      ext.WebUrl.robotsEvaluate(urls, "doc_id", "url", rules)
+        .orderBy("doc_id")
+    }),
+
+    // ext crawl storage — WARC (ISO 28500) record ROUNDTRIP: spec-shaped
+    // response records are byte-built around each document's UTF-8
+    // payload, then the byte-level parser re-extracts type/URI/date/
+    // Content-Length and a SHA-256 payload digest; the oracle recomputes
+    // every field (incl. the digest) from the source text.
+    "q152_warc" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val recs = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, ext.Warc.makeRecord(
+            s"https://example.com/doc/$id",
+            f"2026-01-${id % 28 + 1}%02dT00:00:00Z",
+            Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("doc_id", "warc")
+      ext.Warc.parseRecords(recs, "doc_id", "warc").toDF()
+        .select(col("record_id").as("doc_id"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          col("payload_sha256"))
+        .orderBy("doc_id")
+    }),
+
+    // ext text — sentence segmentation stats: boundaries are injected
+    // deterministically (the corpus has no punctuation — every
+    // table/fast/stream occurrence gains a '.'), then the RE2-safe
+    // segmenter splits on [.!?]+ runs and emits exact-integer counts
+    // with the floor-scaled mean. Pure in-scan array exprs, no explode.
+    "q153_sentences" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(table|fast|stream)", "$1.")
+            .as("text"))
+      ext.TextStats.sentenceStats(d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ext multimodal — magic-byte MIME sniffing (the pre-decode router):
+    // seven payload families cycle by doc_id — every in-repo codec plus
+    // raw UTF-8 text — and the codegen'd when-chain must route each to
+    // its type without attempting a decode.
+    "q154_mime_sniff" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = (id % 7) match {
+            case 0 => ext.Multimodal.makeBmp(id, 4, 2)
+            case 1 => ext.Multimodal.makePng(id, 4, 2)
+            case 2 => ext.Jpeg.makeJpeg(id, 4, 2)
+            case 3 => ext.Gif.makeGif(id, 4, 2)
+            case 4 => ext.Multimodal.makeWav(id, 16)
+            case 5 => ext.Qoi.makeQoi(id, 4, 4)
+            case _ => Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "data")
+      assets.select(col("doc_id"),
+          ext.Multimodal.sniffMime(col("data")).as("mime"))
+        .orderBy("doc_id")
+    }),
+
+    // ext multimodal — REAL QOI decode end-to-end: the greedy reference
+    // encoder compresses a deterministic pixel series built to hit every
+    // op (alternating constant rows → RUN + INDEX, unit-step rows →
+    // DIFF, (1,2,1)-step rows → LUMA, row seams → RGB escapes; RGB/RGBA
+    // alternating by id), the decoder walks the op stream, and the
+    // oracle recomputes the exact-integer Rec.601 luma in closed form
+    // over the 9×12 grid.
+    "q155_qoi_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "image", ext.Qoi.makeQoi(id, 9, 12)))
+      ext.Multimodal.qoiFeatures(assets).toDF()
+        .select(col("asset_id").as("doc_id"),
+          col("width"), col("height"), col("channels"), col("mean_luma"))
+        .orderBy("doc_id")
+    }),
+
+    // ext dedup — leakage-safe K-FOLD assignment (q88's guarantee, k
+    // ways): folds key on the shared near-dup component labels, so a
+    // cluster of near-copies lands in ONE fold; the fold is k-1 string
+    // comparisons of the md5 prefix against range boundaries — no
+    // hash-to-int conversion for the oracle to mismatch on.
+    "q156_kfold" -> ((s, dir) => {
+      val (_, labels) = nearDupGraph(s, dir)
+      ext.Dedup.kFoldSplitFromLabels(nearDupCorpus(s, dir), "doc_id",
+          labels, k = 5)
+        .select("doc_id", "split_key", "fold")
+        .orderBy("doc_id")
+    }),
+
+    // streaming — CONTINUOUS exact heavy-hitters: three event batches
+    // fold per-key partial counts through the counting store, and the
+    // final top-20 (count DESC, key ASC — the deterministic tiebreak)
+    // must equal the one-shot group-count top-k over everything seen,
+    // which the oracle computes directly.
+    "q157_stream_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(concat(col("event_type"), lit("#"),
+          (col("user_id") % 50).cast("string")).as("key"), col("event_id"))
+      val batches = (0 to 2).map(i =>
+        e.filter(col("event_id") % 3 === i).select("key"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q157").toString + "/counts"
+      streaming.StreamingTopK.byBatch(s, batches, store, "key", k = 20)
+        .orderBy(col("n_total").desc, col("key"))
+    }),
+
+    // ext graph+text — anchor-text aggregation: each document "links"
+    // to target (doc_id·7+3) mod 37 with its first two words as anchor;
+    // the top-3 terms per target (count DESC, term ASC) are the
+    // off-page topic labels. Counts collapse before the rank window
+    // ever sorts anything.
+    "q158_anchor_text" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val anchors = d.select(((col("doc_id") * 7 + 3) % 37).as("dst"),
+        array_join(slice(split(col("text"), " "), 1, 2), " ")
+          .as("anchor_text"))
+      ext.LinkGraph.anchorTopTerms(anchors, "dst", "anchor_text", k = 3)
+        .orderBy("dst", "rank")
     })
   )
 
@@ -5687,7 +5880,253 @@ object SparkEntry {
         |  unnest(generate_series(0, 3)) AS u(bx),
         |  unnest(generate_series(0, 1)) AS v(by)
         |GROUP BY d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // 3 HITS rounds as chained CTEs; every sum re-CAST to BIGINT (DuckDB
+    // HUGEINT promotion) and each normalization is the dual-branch CASE
+    // on its own round-total CTE, mirroring LinkGraph.hits' driver scalar
+    "q149_hits" -> {
+      // every multiply-referenced CTE is MATERIALIZED and the round
+      // total rides in on ONE cross join per round: DuckDB otherwise
+      // INLINES each CTE reference, and the chained rounds' references
+      // compound into exponentially many re-opened parquet scans
+      // ("Too many open files" at round 3 even with a 20k fd limit)
+      def norm(x: String) =
+        s"""CAST(CASE WHEN t.t > 0 AND t.t <= 9200000000000
+           |    THEN ($x * 1000000) // t.t
+           |    ELSE $x // greatest(t.t // 1000000, 1)
+           |    END AS BIGINT)""".stripMargin
+      val rounds = (1 to 3).map { k =>
+        val prevH = if (k == 1) "h0" else s"h${k - 1}"
+        s"""a${k}r AS MATERIALIZED (
+           |  SELECT n.id, CAST(coalesce(sum(h.h), 0) AS BIGINT) AS a
+           |  FROM nodes n LEFT JOIN e ON e.dst = n.id
+           |  LEFT JOIN $prevH h ON h.id = e.src
+           |  GROUP BY n.id),
+           |a${k}t AS MATERIALIZED (
+           |  SELECT CAST(sum(a) AS BIGINT) AS t FROM a${k}r),
+           |a$k AS MATERIALIZED (
+           |  SELECT id, ${norm("a")} AS a FROM a${k}r, a${k}t t),
+           |h${k}r AS MATERIALIZED (
+           |  SELECT n.id, CAST(coalesce(sum(a.a), 0) AS BIGINT) AS h
+           |  FROM nodes n LEFT JOIN e ON e.src = n.id
+           |  LEFT JOIN a$k a ON a.id = e.dst
+           |  GROUP BY n.id),
+           |h${k}t AS MATERIALIZED (
+           |  SELECT CAST(sum(h) AS BIGINT) AS t FROM h${k}r),
+           |h$k AS MATERIALIZED (
+           |  SELECT id, ${norm("h")} AS h FROM h${k}r, h${k}t t)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id % 101 AS src, (doc_id * doc_id + 1) % 101 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |  UNION
+         |  SELECT (doc_id * 3) % 101, (doc_id * 5 + 2) % 101
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |$rounds
+         |SELECT h3.id, CAST(h3.h AS BIGINT) AS hub_e6,
+         |       CAST(a3.a AS BIGINT) AS auth_e6
+         |FROM h3 JOIN a3 ON a3.id = h3.id ORDER BY h3.id""".stripMargin
+    },
+
+    // the capped-pairing replay: out-degree computed over the distinct
+    // de-self-looped edges, citers past the cap (or below 2) dropped,
+    // then the unordered pair count with the same >= 2 floor
+    "q150_cocitation" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 23 AS src, ((doc_id % 23) % 5) * 3 AS dst
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id % 23, ((doc_id % 23) % 7) * 2 + 1
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id % 23, ((doc_id % 23) % 4) * 5 + 2
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT 999, doc_id % 47
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |  WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |keep AS (SELECT e.src, e.dst FROM e JOIN deg USING (src)
+        |         WHERE deg.d BETWEEN 2 AND 12),
+        |p AS (SELECT least(a.dst, b.dst) AS id_a, greatest(a.dst, b.dst) AS id_b
+        |      FROM keep a JOIN keep b ON a.src = b.src AND a.dst < b.dst)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common
+        |FROM p GROUP BY id_a, id_b HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // longest-match replay: the oracle knows the URL path in closed form,
+    // scores matching rules 2·len+allow, and reads the verdict off the
+    // parity of the max — the same single-aggregate form as the engine
+    "q151_robots" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |urls AS (SELECT doc_id,
+        |    'https://d' || (doc_id % 7) || '.example.com/p' || (doc_id % 5)
+        |      || '/x' || (doc_id % 3) AS url,
+        |    '/p' || (doc_id % 5) || '/x' || (doc_id % 3) AS path,
+        |    'd' || (doc_id % 7) || '.example.com' AS host
+        |  FROM d),
+        |rules AS (SELECT DISTINCT
+        |    'd' || (doc_id % 7) || '.example.com' AS domain,
+        |    CASE doc_id % 11
+        |      WHEN 0 THEN '/p0' WHEN 1 THEN '/p1' WHEN 2 THEN '/p2'
+        |      WHEN 3 THEN '/p3' WHEN 4 THEN '/p4' WHEN 5 THEN '/p1/x1'
+        |      WHEN 6 THEN '/p2/x2' WHEN 7 THEN '/p0/x0' WHEN 8 THEN '/p3/x'
+        |      WHEN 9 THEN '/p4/x1' ELSE '/p0' END AS rule_path,
+        |    CASE doc_id % 11
+        |      WHEN 0 THEN FALSE WHEN 1 THEN TRUE WHEN 2 THEN FALSE
+        |      WHEN 3 THEN TRUE WHEN 4 THEN FALSE WHEN 5 THEN FALSE
+        |      WHEN 6 THEN TRUE WHEN 7 THEN TRUE WHEN 8 THEN FALSE
+        |      WHEN 9 THEN TRUE ELSE TRUE END AS allow
+        |  FROM d),
+        |m AS (SELECT u.doc_id,
+        |    max(2 * length(r.rule_path)
+        |      + CASE WHEN r.allow THEN 1 ELSE 0 END) AS score
+        |  FROM urls u JOIN rules r
+        |    ON r.domain = u.host AND starts_with(u.path, r.rule_path)
+        |  GROUP BY u.doc_id)
+        |SELECT u.doc_id, u.url,
+        |  coalesce(m.score % 2 = 1, TRUE) AS allowed,
+        |  CAST(coalesce(m.score // 2, 0) AS BIGINT) AS matched_len
+        |FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    // every parsed WARC field recomputed from the source row, incl. the
+    // sha-256 payload digest and the UTF-8 octet Content-Length
+    "q152_warc" ->
+      """SELECT doc_id,
+        |  'response' AS warc_type,
+        |  'https://example.com/doc/' || doc_id AS target_uri,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    || 'T00:00:00Z' AS warc_date,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        |    AS content_length,
+        |  sha256(coalesce(text, '')) AS payload_sha256
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same punctuation injection (RE2 '\1', global flag) and
+    // [.!?]+ segmentation replayed over DuckDB list ops
+    "q153_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(text, '(table|fast|stream)', '\1.', 'g') AS text
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+        |      x -> trim(x)), x -> x <> '') AS sents
+        |  FROM t),
+        |w AS (SELECT doc_id, sents,
+        |    list_transform(sents,
+        |      x -> CAST(len(regexp_split_to_array(x, '\s+')) AS BIGINT)) AS wp
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(coalesce(list_sum(wp), 0) AS BIGINT) AS total_words,
+        |  CAST(coalesce(list_max(wp), 0) AS BIGINT) AS max_words,
+        |  CAST(CASE WHEN len(sents) > 0
+        |    THEN (coalesce(list_sum(wp), 0) * 1000000) // len(sents)
+        |    ELSE 0 END AS BIGINT) AS mean_words_e6
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the router's expected verdict in closed form over the id cycle
+    "q154_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'image/gif'
+        |    WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'image/qoi'
+        |    ELSE 'text/plain' END AS mime
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // per-pixel closed form over the 9×12 grid: alternating constant
+    // rows (y%4=3), unit-step rows (y%4=1), (1,2,1)-step rows
+    // otherwise; channels by parity
+    "q155_qoi_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(9 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT)
+        |    AS channels,
+        |  CAST(sum(CASE WHEN v.y % 4 = 3
+        |    THEN 1000 * ((d.doc_id + 101 + 7 * ((v.y // 4) % 2)) % 256)
+        |    WHEN v.y % 4 = 1
+        |    THEN 299 * ((d.doc_id + u.x + v.y) % 256)
+        |       + 587 * ((d.doc_id + u.x + v.y + 1) % 256)
+        |       + 114 * ((d.doc_id + u.x + v.y + 2) % 256)
+        |    ELSE 299 * ((d.doc_id + u.x + v.y) % 256)
+        |       + 587 * ((d.doc_id + 2 * u.x + v.y) % 256)
+        |       + 114 * ((d.doc_id + u.x + 2 * v.y) % 256) END) AS DOUBLE)
+        |    / (1000.0 * 255.0 * 108) AS mean_luma
+        |FROM documents d,
+        |  unnest(generate_series(0, 8)) AS u(x),
+        |  unnest(generate_series(0, 11)) AS v(y)
+        |WHERE d.doc_id IS NOT NULL
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q88's recursive transitive closure, then the fold as the count of
+    // range boundaries at or below the md5 prefix (k=5: 3333/6666/9999/cccc)
+    "q156_kfold" ->
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents WHERE doc_id % 7 = 0),
+         |$ShingleCte,
+         |e AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |r(x, y) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a),
+         |comp AS (SELECT x AS doc_id, min(y) AS component FROM r GROUP BY 1),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_key,
+         |    substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 4) AS h
+         |  FROM all_docs d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, split_key,
+         |  CAST((CASE WHEN h >= '3333' THEN 1 ELSE 0 END)
+         |     + (CASE WHEN h >= '6666' THEN 1 ELSE 0 END)
+         |     + (CASE WHEN h >= '9999' THEN 1 ELSE 0 END)
+         |     + (CASE WHEN h >= 'cccc' THEN 1 ELSE 0 END) AS INT) AS fold
+         |FROM keyed
+         |ORDER BY doc_id""".stripMargin,
+
+    // the one-shot heavy-hitters the incremental fold must reproduce
+    "q157_stream_topk" ->
+      """WITH k AS (
+        |  SELECT event_type || '#' || (user_id % 50) AS key
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_total
+        |FROM k GROUP BY key
+        |ORDER BY n_total DESC, key LIMIT 20""".stripMargin,
+
+    // the same count-then-rank with the deterministic tiebreak
+    "q158_anchor_text" ->
+      """WITH a AS (
+        |  SELECT (doc_id * 7 + 3) % 37 AS dst,
+        |    unnest(regexp_split_to_array(trim(lower(
+        |      array_to_string(list_slice(regexp_split_to_array(text, ' '), 1, 2), ' ')
+        |    )), '\s+')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT dst, term, CAST(count(*) AS BIGINT) AS n_anchors
+        |  FROM a WHERE term <> '' GROUP BY dst, term),
+        |r AS (
+        |  SELECT dst, term, n_anchors,
+        |    CAST(row_number() OVER (PARTITION BY dst
+        |      ORDER BY n_anchors DESC, term ASC) AS INT) AS rank
+        |  FROM c)
+        |SELECT dst, term, n_anchors, rank FROM r WHERE rank <= 3
+        |ORDER BY dst, rank""".stripMargin
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

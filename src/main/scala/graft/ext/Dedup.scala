@@ -1230,6 +1230,36 @@ object Dedup {
       .drop("comp")
   }
 
+  /** K-fold cross-validation assignment with the same leakage guarantee
+    * as [[leakageSafeSplitFromLabels]]: the fold is a deterministic
+    * function of the near-dup COMPONENT, so a cluster of near-copies
+    * can never straddle folds (row-wise k-fold leaks exactly like a
+    * row-wise holdout, k times over).
+    *
+    * Fold choice range-partitions the same md5 prefix the split/sample
+    * machinery uses: fold(key) = #{i : md5(key)[0,4) ≥ boundary_i},
+    * boundary_i = lowercase hex of floor(i·65536/k) — a pure string
+    * comparison against k−1 literals, so an external engine replays it
+    * with zero hash-to-integer conversion, and fold sizes are uniform
+    * to ±1/65536. Cost over the label frame: one left join + per-row
+    * column arithmetic; nothing shuffles but the (tiny) labels.
+    */
+  def kFoldSplitFromLabels(df: DataFrame, idCol: String,
+                           labels: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k in [2, 64], got $k")
+    val keyed = labels.select(col("id").as(idCol), col("comp"))
+    val out = df.join(keyed, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val h = substring(md5(col("split_key").cast("string")), 1, 4)
+    val fold = (1 until k)
+      .map(i => f"${i * 65536 / k}%04x")
+      .foldLeft(lit(0)) { (acc, b) =>
+        acc + when(h >= lit(b), 1).otherwise(0)
+      }
+    out.withColumn("fold", fold.cast("int"))
+  }
+
   // --------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Standalone form

@@ -213,4 +213,171 @@ object LinkGraph {
     }
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) — the
+    * complement to [[pageRank]] for crawl curation: PageRank finds pages
+    * worth TRAINING on (endorsed content), HITS hubs find pages worth
+    * CRAWLING from (link directories / sitemaps whose out-links
+    * concentrate on strong authorities).
+    *
+    * Exact-integer, oracle-replayable (the q131 stance). Scores are
+    * e6-scaled distributions; each half-round is one join + one sum,
+    * then an integer renormalization by a single driver scalar:
+    *
+    *   h_0(v)    = 1e6
+    *   a_k(v)    = Σ_{u→v} h'_{k-1}(u)           (raw BIGINT sum)
+    *   a'_k(v)   = normalize(a_k(v); A_k),  A_k = Σ_v a_k(v)
+    *   hraw_k(v) = Σ_{v→w} a'_k(w)
+    *   h'_k(v)   = normalize(hraw_k(v); H_k), H_k = Σ_v hraw_k(v)
+    *
+    * where normalize(x; T) is the DUAL-BRANCH exact-integer L1 form,
+    * branch chosen on the driver scalar T (so an external engine replays
+    * it as one CASE):
+    *   T ≤ 9.2e12 → (x · 1e6) div T        (exact: x ≤ T keeps the
+    *                                        product inside a BIGINT)
+    *   T > 9.2e12 → x div max(T div 1e6, 1) (pre-scaled divisor: no
+    *                                        overflow at ANY scale, ≤1
+    *                                        part-per-million coarser)
+    * Raw sums are bounded by 1e6 · |E|, so the exact branch covers
+    * graphs to ~9.2e6 edges and the big branch the rest — both produce
+    * scores summing to ≈1e6 (floor loss only), so iterates can't grow;
+    * the usual HITS L2 normalization is replaced by an L1 form that
+    * needs no sqrt and replays bit-for-bit in SQL.
+    *
+    * Shuffle profile matches [[pageRank]]: edges hash-partition once,
+    * each half-round moves only (id, score) pairs with map-side partial
+    * sums; 2 driver scalars per round. Fixed `iterations` (no
+    * convergence test) keeps the oracle a chain of CTEs.
+    */
+  /** The dual-branch normalize as a SQL fragment over column `c`, with
+    * the round total `tot` already a driver literal (non-negative).
+    */
+  private def normExpr(c: String, tot: Long): String =
+    if (tot > 0L && tot <= 9200000000000L) s"($c * 1000000L) div ${tot}L"
+    else s"$c div ${math.max(tot / 1000000L, 1L)}L"
+
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+           iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = PlanCapture.cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    val nodes = PlanCapture.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    if (nodes.isEmpty)
+      return nodes.withColumn("hub_e6", lit(0L))
+        .withColumn("auth_e6", lit(0L))
+    var hubs = PlanCapture.cut(nodes.withColumn("h", lit(1000000L)))
+    var auths: DataFrame = null
+    var k = 0
+    while (k < iterations) {
+      val aRaw = nodes
+        .join(e.join(hubs.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("h")).cast("long").as("__a")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__a"), lit(0L)).as("a"))
+      val aTot = aRaw.agg(coalesce(sum(col("a")), lit(0L)))
+        .head().getLong(0)
+      auths = PlanCapture.cut(
+        aRaw.selectExpr("id", s"${normExpr("a", aTot)} AS a"))
+      val hRaw = nodes
+        .join(e.join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("a")).cast("long").as("__h")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__h"), lit(0L)).as("h"))
+      val hTot = hRaw.agg(coalesce(sum(col("h")), lit(0L)))
+        .head().getLong(0)
+      hubs = PlanCapture.cut(
+        hRaw.selectExpr("id", s"${normExpr("h", hTot)} AS h"))
+      k += 1
+    }
+    hubs.join(auths, Seq("id"))
+      .select(col("id"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+  }
+
+  /** Co-citation pairs — link-graph document similarity: two pages
+    * co-cited when the same page links to both, scored by the number of
+    * distinct common citing pages. The graph-side near-dup /
+    * related-page signal that needs no text at all.
+    *
+    * The classic self-join blowup is bounded the LSH-bucket way: a
+    * citing page with out-degree d yields d·(d−1)/2 pairs, so pages
+    * whose out-degree exceeds `maxOutDeg` are dropped BEFORE pairing
+    * (link farms / mega-directories contribute noise, not signal —
+    * the standard frequent-bucket cut, same stance as the span/gram
+    * postings caps). Work is then Σ min(d, cap)² per citing page:
+    * linear-ish in edges, never quadratic in the corpus. Pairs emit
+    * (lo, hi) ordered so each unordered pair counts once; `distinct`
+    * on (citer, a, b) first so multi-edges can't double-count.
+    *
+    * One shuffle to group edges by citer, one to aggregate pair counts;
+    * `minCocitations` prunes the long tail before the aggregate's
+    * output ever materializes.
+    */
+  def cocitation(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst", maxOutDeg: Int = 64,
+                 minCocitations: Long = 2L): DataFrame = {
+    require(maxOutDeg >= 2, "maxOutDeg must be >= 2")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val kept = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("dsts"))
+      .filter(size(col("dsts")) <= maxOutDeg && size(col("dsts")) >= 2)
+    // per-citer pair fan-out stays inside one task via the collected
+    // (capped) out-list: no self-join of the edge table
+    val pairs = kept.select(explode(expr(
+      """flatten(transform(dsts, (x, i) ->
+        |  transform(slice(dsts, i + 2, size(dsts) - i - 1), y ->
+        |    struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    pairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_common"))
+      .filter(col("n_common") >= minCocitations)
+  }
+
+  /** Anchor-text aggregation — how the web labels its own pages: the
+    * top-k terms other pages use when LINKING to a target, the classic
+    * off-page relevance signal (and, for curation, a second opinion on
+    * what a document is about that its own text can't game).
+    *
+    * Input is one row per link: (dstCol, textCol) with the anchor's
+    * text. Terms are lowercased whitespace tokens. Two stages:
+    *   1. row-level terms collapse into (dst, term, n_anchors) counts —
+    *      partial aggregation applies, so the shuffle carries per-task
+    *      (dst, term) partials, never anchor rows;
+    *   2. rank ≤ k per dst over the REDUCED count frame — the window
+    *      sorts distinct (dst, term) pairs, bounded by vocabulary ×
+    *      targets, not by link count. (The window-vs-TopKAgg rule from
+    *      q08/q54 applies to ROW-level ranking; after a count aggregate
+    *      the window input is already small.)
+    * Ordering (n_anchors DESC, term ASC) is total per dst, so the k
+    * survivors are deterministic and externally replayable.
+    */
+  def anchorTopTerms(anchors: DataFrame, dstCol: String, textCol: String,
+                     k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = anchors
+      .filter(col(dstCol).isNotNull && col(textCol).isNotNull)
+      .select(col(dstCol).as("dst"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("dst"), col("term"))
+      .agg(count(lit(1)).cast("long").as("n_anchors"))
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+          .orderBy(col("n_anchors").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns for training-data pipelines:
@@ -734,8 +734,11 @@ object Multimodal {
     else if (data.length >= 4 && data(0) == 'G' && data(1) == 'I' &&
       data(2) == 'F' && data(3) == '8')
       decodeGif(assetId, kind, data)
+    else if (data.length >= 4 && data(0) == 'q' && data(1) == 'o' &&
+      data(2) == 'i' && data(3) == 'f')
+      Qoi.decode(assetId, kind, data)
     else throw new NotImplementedError(
-      "image codecs beyond BMP/PNG/JPEG/GIF not available in " +
+      "image codecs beyond BMP/PNG/JPEG/GIF/QOI not available in " +
         "this environment - use fakeDecode (STUB) for other formats")
 
   // --- deterministic payload builders (tests + gate): exact byte layouts
@@ -1015,6 +1018,45 @@ object Multimodal {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions(_.map(a => decodeBmp(a.asset_id, a.kind, a.data)))
+  }
+
+  /** Batch REAL-decode of QOI assets. */
+  def qoiFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map(a => Qoi.decode(a.asset_id, a.kind, a.data)))
+  }
+
+  /** Content-type sniffing over an opaque binary column — the routing
+    * step a 100 TB multimodal ingest runs BEFORE any decoder: magic-byte
+    * dispatch as pure `when`-chained column expressions (codegen'd
+    * binary-prefix equality, no UDF, no decode attempt, no shuffle).
+    * Recognizes the in-repo codec set plus the common crawl container
+    * types; anything whose bytes decode as printable UTF-8 falls through
+    * to `text/plain`, the rest to `application/octet-stream`.
+    */
+  def sniffMime(data: Column): Column = {
+    def bytesLit(bs: Int*): Column = lit(bs.map(_.toByte).toArray)
+    when(data.isNull, lit(null).cast("string"))
+      .when(substring(data, 1, 8) ===
+        bytesLit(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "image/png")
+      .when(substring(data, 1, 3) === bytesLit(0xFF, 0xD8, 0xFF), "image/jpeg")
+      .when(substring(data, 1, 4) === bytesLit('G', 'I', 'F', '8'), "image/gif")
+      .when(substring(data, 1, 2) === bytesLit('B', 'M'), "image/bmp")
+      .when(substring(data, 1, 4) === bytesLit('R', 'I', 'F', 'F') &&
+        substring(data, 9, 4) === bytesLit('W', 'A', 'V', 'E'), "audio/wav")
+      .when(substring(data, 1, 4) === bytesLit('q', 'o', 'i', 'f'), "image/qoi")
+      .when(substring(data, 1, 5) === bytesLit('%', 'P', 'D', 'F', '-'),
+        "application/pdf")
+      .when(substring(data, 1, 2) === bytesLit(0x1F, 0x8B), "application/gzip")
+      .when(substring(data, 1, 4) === bytesLit('P', 'K', 0x03, 0x04),
+        "application/zip")
+      // printable-ASCII check on the HEX of the bytes (09/0A/0D/20–7E
+      // pairs): `decode(_, 'UTF-8')` throws on invalid sequences under
+      // ANSI, so the router must never attempt a character decode
+      .when(hex(data).rlike("^(09|0A|0D|[2-6][0-9A-F]|7[0-9A-E])*$"),
+        "text/plain")
+      .otherwise("application/octet-stream")
   }
 
   /** Batch REAL-decode of WAV assets. */

@@ -757,4 +757,37 @@ object TextStats {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Per-document sentence segmentation stats — the document-structure
+    * signal quality pipelines threshold on (wall-of-text pages have few,
+    * very long "sentences"; listicles/boilerplate have many 2-word
+    * ones). A sentence is a non-empty trimmed run between `[.!?]+`
+    * terminator groups — deliberately regex-simple and RE2-safe (no
+    * lookbehind, no abbreviation dictionary) so an external engine
+    * replays the segmentation bit-for-bit; the NLP-grade segmenter is a
+    * model, not an analytics operator.
+    *
+    * All four outputs are exact integers (`mean_words_e6` is the
+    * floor-scaled mean, the q87/q124 stance — no doubles to drift):
+    * `n_sentences`, `total_words`, `max_words`, `mean_words_e6`.
+    * Pure per-row array expressions inside the scan — codegen'd, no
+    * shuffle, no explode: the sentence array never leaves the row.
+    */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    val wordsPer = transform(sents, s => size(split(s, "\\s+")).cast("long"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        size(sents).cast("long").as("n_sentences"),
+        coalesce(aggregate(wordsPer, lit(0L), (a, x) => a + x), lit(0L))
+          .as("total_words"),
+        coalesce(array_max(wordsPer), lit(0L)).as("max_words"))
+      .withColumn("mean_words_e6",
+        when(col("n_sentences") > 0L,
+          expr("(total_words * 1000000) div n_sentences"))
+          .otherwise(lit(0L)))
+      .drop(textCol)
+  }
 }

@@ -195,4 +195,58 @@ object WebUrl {
       .groupBy(col("url_canon")).agg(min(col(idCol)).as(idCol))
     withCanon.join(keep, Seq("url_canon", idCol), "left_semi")
   }
+
+  /** robots.txt rule evaluation — the crawl-politeness gate every fetch
+    * frontier runs: given per-domain prefix rules, decide per URL
+    * whether it may be crawled. Implements the longest-match semantics
+    * of RFC 9309 (Google's published interpretation): among all rules
+    * whose path is a prefix of the URL's path, the LONGEST wins; on an
+    * exact length tie Allow beats Disallow; a URL matching no rule is
+    * allowed.
+    *
+    * `rules` rows are (domainCol, pathCol, allowCol): lowercased host
+    * the group applies to, literal path prefix (no `*`/`$` wildcards —
+    * those need the DFA matcher, a different operator), and
+    * allow=true / disallow=false. The decision is ONE integer aggregate:
+    * each matching rule scores `2·len(path) + allow`, and max(score)
+    * simultaneously encodes longest-match and the allow-wins tiebreak —
+    * parity of the max IS the verdict. No window, no per-rule ordering.
+    *
+    * Output: input id/url plus `allowed` and `matched_len` (length of
+    * the winning prefix; 0 when no rule matched).
+    *
+    * Scale: URLs join rules hash-partitioned on host — a domain's rule
+    * group is config-sized (robots.txt caps at 500 KiB), so per-key
+    * fan-out is bounded; AQE broadcasts the rules side outright when the
+    * whole ruleset is small. One join + one partial-aggregated groupBy;
+    * the URL table never moves twice.
+    */
+  def robotsEvaluate(urls: DataFrame, idCol: String, urlCol: String,
+                     rules: DataFrame, domainCol: String = "domain",
+                     pathCol: String = "rule_path",
+                     allowCol: String = "allow"): DataFrame = {
+    val u = urls
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .select(col(idCol), col(urlCol),
+        hostOf(col(urlCol)).as("__host"),
+        // empty path (bare authority) crawls as "/"
+        when(length(regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)) === 0, "/")
+          .otherwise(regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+          .as("__path"))
+    val r = rules.select(lower(col(domainCol)).as("__host"),
+      col(pathCol).as("__rp"),
+      col(allowCol).cast("boolean").as("__allow"))
+      .filter(col("__rp").isNotNull && length(col("__rp")) > 0)
+    val scored = u.join(r, Seq("__host"))
+      .filter(col("__path").startsWith(col("__rp")))
+      .groupBy(col(idCol))
+      .agg(max(length(col("__rp")).cast("long") * 2L
+        + col("__allow").cast("long")).as("__score"))
+    u.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col(urlCol),
+        coalesce(col("__score") % 2L === 1L, lit(true)).as("allowed"),
+        coalesce(expr("__score div 2"), lit(0L)).as("matched_len"))
+  }
 }

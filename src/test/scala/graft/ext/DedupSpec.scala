@@ -184,6 +184,29 @@ class DedupSpec extends SparkTestBase {
     assert(out.values.map(_._2).forall(s => s == "train" || s == "test"))
   }
 
+  test("kFoldSplitFromLabels: clusters never straddle folds; folds cover 0..k-1") {
+    val ids = (1L to 400L)
+    val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // pair consecutive even/odd ids: 200 two-member clusters
+    val pairs = ids.filter(_ % 2 == 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.kFoldSplitFromLabels(docs, "doc_id",
+        Dedup.connectedComponents(pairs), k = 5)
+      .select("doc_id", "split_key", "fold")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    ids.filter(_ % 2 == 1).foreach { i =>
+      assert(out(i) == out(i + 1), s"twins $i/${i + 1} must share a fold")
+    }
+    val folds = out.values.map(_._2).toSet
+    assert(folds == Set(0, 1, 2, 3, 4), s"all 5 folds populated: $folds")
+    // ±1/65536 uniformity is statistical; at 200 clusters just require
+    // no fold hoards a majority
+    val sizes = out.values.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.max < 200, s"fold sizes: ${sizes.toMap}")
+    intercept[IllegalArgumentException](
+      Dedup.kFoldSplitFromLabels(docs, "doc_id",
+        Dedup.connectedComponents(pairs), k = 1))
+  }
+
   test("ngramOverlapAcross flags planted benchmark quotes only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

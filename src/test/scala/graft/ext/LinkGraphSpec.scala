@@ -195,4 +195,102 @@ class LinkGraphSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("9.2e12"))
   }
+
+  // ------------------------------------------------------------- HITS
+
+  /** Driver-side HITS reference with the same integer-floor semantics,
+    * including the dual-branch normalization.
+    */
+  private def refHits(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Long, Long)] = {
+    def norm(x: Long, tot: Long): Long =
+      if (tot > 0 && tot <= 9200000000000L) x * 1000000L / tot
+      else x / math.max(tot / 1000000L, 1L)
+    val es = edges.distinct
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      val aRaw = nodes.map(v =>
+        v -> es.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val aTot = aRaw.values.sum
+      a = aRaw.map { case (v, x) => v -> norm(x, aTot) }
+      val hRaw = nodes.map(v =>
+        v -> es.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+      val hTot = hRaw.values.sum
+      h = hRaw.map { case (v, x) => v -> norm(x, hTot) }
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hits: hub/authority split on a bipartite graph") {
+    // 0,1 cite {10,11,12}: pure hubs (auth 0), pure authorities (hub 0)
+    val edges = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 10L), (1L, 11L), (1L, 12L))
+    val got = LinkGraph.hits(edges.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Seq(0L, 1L).foreach { v =>
+      assert(got(v)._2 == 0L, s"citer $v must have zero authority")
+      assert(got(v)._1 > 0L, s"citer $v must have positive hub score")
+    }
+    Seq(10L, 11L, 12L).foreach { v =>
+      assert(got(v)._1 == 0L, s"cited $v must have zero hub score")
+      assert(got(v)._2 > 0L, s"cited $v must have positive authority")
+    }
+    // symmetric structure ⇒ identical scores within each side
+    assert(got(0L) == got(1L) && got(10L) == got(11L))
+  }
+
+  test("hits: matches the integer reference model on a mixed graph") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L),
+      (3L, 2L), (3L, 1L), (4L, 3L), (2L, 4L))
+    val got = LinkGraph.hits(edges.toDF("src", "dst"), iterations = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == refHits(edges, 4))
+  }
+
+  test("hits: scores are e6-normalized distributions (sum ~ 1e6)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val rows = LinkGraph.hits(edges.toDF("src", "dst"), iterations = 3)
+      .as[(Long, Long, Long)].collect()
+    val hubSum = rows.map(_._2).sum
+    val authSum = rows.map(_._3).sum
+    // floor loss only: within one unit per node below 1e6
+    assert(hubSum <= 1000000L && hubSum > 1000000L - rows.length)
+    assert(authSum <= 1000000L && authSum > 1000000L - rows.length)
+  }
+
+  // ------------------------------------------------------- co-citation
+
+  test("cocitation: counts distinct common citers, ordered pairs") {
+    // 10 and 11 co-cited by 0,1,2; 10 and 12 only by 0
+    val edges = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 10L), (1L, 11L), (2L, 11L), (2L, 10L))
+    val got = LinkGraph.cocitation(edges.toDF("src", "dst"),
+        minCocitations = 1L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((10L, 11L)) == 3L)
+    assert(got((10L, 12L)) == 1L)
+    assert(got((11L, 12L)) == 1L)
+    assert(!got.contains((11L, 10L)), "pairs are (lo, hi) ordered")
+  }
+
+  test("cocitation: multi-edges count once; self-loops ignored") {
+    val edges = Seq((0L, 10L), (0L, 10L), (0L, 11L), (0L, 0L), (1L, 10L),
+      (1L, 11L))
+    val got = LinkGraph.cocitation(edges.toDF("src", "dst"),
+        minCocitations = 1L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((10L, 11L) -> 2L))
+  }
+
+  test("cocitation: link-farm citers past the out-degree cap are cut") {
+    val farm = (0L until 20L).map(d => (99L, 100L + d))
+    val honest = Seq((0L, 100L), (0L, 101L), (1L, 100L), (1L, 101L))
+    val got = LinkGraph.cocitation((farm ++ honest).toDF("src", "dst"),
+        maxOutDeg = 12, minCocitations = 1L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the farm's 190 pairs vanish; the honest co-citation survives
+    assert(got == Map((100L, 101L) -> 2L))
+  }
 }

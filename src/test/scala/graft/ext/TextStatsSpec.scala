@@ -352,4 +352,29 @@ class TextStatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextStats.trigramLogProbScore(docs, "doc_id", "text", 0.5, 0.5, 0.5))
   }
+
+  test("sentenceStats: segmentation, exact counts, floor-scaled mean") {
+    val in = Seq(
+      (1L, "one two three. four five! six?"),
+      (2L, "no terminator at all"),
+      (3L, "..."),
+      (4L, "a!!b"))
+      .toDF("doc_id", "text")
+    val got = TextStats.sentenceStats(in, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == (3L, 6L, 3L, 2000000L))
+    assert(got(2L) == (1L, 4L, 4L, 4000000L), "unterminated text is one sentence")
+    assert(got(3L) == (0L, 0L, 0L, 0L), "punctuation-only text has none")
+    assert(got(4L) == (2L, 2L, 1L, 1000000L), "terminator runs collapse")
+  }
+
+  test("sentenceStats: null ids dropped; text column not in output") {
+    val in = Seq((Some(1L), "x."), (None, "y."))
+      .toDF("doc_id", "text")
+    val out = TextStats.sentenceStats(in, "doc_id", "text")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_sentences", "total_words", "max_words", "mean_words_e6"))
+    assert(out.count() == 1L)
+  }
 }

@@ -105,4 +105,49 @@ class WebUrlSpec extends SparkTestBase {
     assert(out(7L) == "http://example.com/a?b=1")
     assert(out(9L) == "https://example.com/a")
   }
+
+  // ---------------------------------------------------------- robots
+
+  private val robotsRules = Seq(
+    ("a.com", "/private", false),
+    ("a.com", "/private/pub", true),
+    ("a.com", "/tie", false),
+    ("a.com", "/tie", true), // same length: Allow must win
+    ("b.com", "/", false))
+    .toDF("domain", "rule_path", "allow")
+
+  private def robots(urls: (Long, String)*): Map[Long, (Boolean, Long)] =
+    WebUrl.robotsEvaluate(urls.toDF("id", "url"), "id", "url", robotsRules)
+      .as[(Long, String, Boolean, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+
+  test("robots: longest matching prefix wins") {
+    val got = robots(
+      1L -> "https://a.com/private/x",
+      2L -> "https://a.com/private/pub/x",
+      3L -> "https://a.com/other")
+    assert(got(1L) == (false, 8L), "blocked by /private")
+    assert(got(2L) == (true, 12L), "deeper Allow overrides")
+    assert(got(3L) == (true, 0L), "no matching rule = allowed")
+  }
+
+  test("robots: allow wins an exact length tie; empty path matches as /") {
+    val got = robots(
+      1L -> "https://a.com/tie/x",
+      2L -> "https://b.com",
+      3L -> "https://B.COM/q")
+    assert(got(1L) == (true, 4L), "Allow beats Disallow at equal length")
+    assert(got(2L) == (false, 1L), "bare authority crawls as / and is blocked")
+    assert(got(3L) == (false, 1L), "host matching is case-insensitive")
+  }
+
+  test("robots: unknown domains and null urls are allowed / dropped") {
+    val got = robots(1L -> "https://nowhere.org/x")
+    assert(got(1L) == (true, 0L))
+    val withNull = Seq((1L, "https://a.com/private"), (2L, null))
+      .toDF("id", "url")
+    val out = WebUrl.robotsEvaluate(withNull, "id", "url", robotsRules)
+      .as[(Long, String, Boolean, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L), "null url rows are dropped")
+  }
 }
