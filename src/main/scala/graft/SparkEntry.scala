@@ -2678,6 +2678,117 @@ object SparkEntry {
           .as("anchor_text"))
       ext.LinkGraph.anchorTopTerms(anchors, "dst", "anchor_text", k = 3)
         .orderBy("dst", "rank")
+    }),
+
+    // ext graph — semi-supervised LABEL PROPAGATION: sparse seed labels
+    // (every 7th node of the 89-node symmetric graph) spread by
+    // clamped-seed majority vote with the min-label tiebreak; 3 fixed
+    // rounds replay as chained CTEs (votes → majority → fold). Nodes no
+    // labeled neighbor has reached stay null.
+    "q159_label_prop" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e0 = d.select((col("doc_id") % 89).as("src"),
+        ((col("doc_id") * 3 + 1) % 89).as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = d.select((col("doc_id") % 89).as("id"))
+        .filter(col("id") % 7 === 0).distinct()
+        .select(col("id"), (expr("id div 7") % 3).as("label"))
+      ext.LinkGraph.labelPropagation(edges, seeds, iterations = 3)
+        .orderBy("id")
+    }),
+
+    // ext multimodal — POSIX ustar member listing: two-member archives
+    // (body + meta) are byte-built per document with real headers
+    // (octal sizes, checksums, 512-byte blocking), the parser walks the
+    // blocks, and the oracle recomputes every member row from the
+    // source text.
+    "q160_tar_members" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tars = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, ext.Archives.makeTar(Seq(
+            (s"docs/$id/body.txt", Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            (s"docs/$id/meta.json", s"""{"id":$id}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+        }.toDF("doc_id", "tar")
+      ext.Archives.tarMembers(tars, "doc_id", "tar").toDF()
+        .select(col("archive_id").as("doc_id"), col("member_index"),
+          col("name"), col("size"), col("type_flag"))
+        .orderBy("doc_id", "member_index")
+    }),
+
+    // ext multimodal — gzip (RFC 1952) ROUNDTRIP: each document's UTF-8
+    // bytes are deflate-compressed with standard framing, the parser
+    // checks magic/method, inflates through the CRC/ISIZE-verifying
+    // stream, and the decompressed length + sha-256 must match the
+    // oracle's recomputation from the source text. (Compressed size is
+    // omitted: deflate output length is not SQL-expressible — the PNG
+    // n_bytes stance.)
+    "q161_gzip_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val gzs = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, ext.Archives.gzip(Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("doc_id", "gz")
+      ext.Archives.gzipInfos(gzs, "doc_id", "gz").toDF()
+        .select(col("record_id").as("doc_id"), col("decompressed_bytes"),
+          col("decompressed_sha256"))
+        .orderBy("doc_id")
+    }),
+
+    // ext profile — recency-decayed activity mass per event type:
+    // weight halves every 3 days before the fixed reference date, as an
+    // exact power-of-two integer decay (no exp() float drift), summed
+    // in one partial-aggregated pass.
+    "q162_decay_counts" -> ((s, dir) => {
+      ext.Profile.decayedCounts(tbl(s, dir, "events"), "event_type", "ts",
+          refDate = "2024-02-01", halfLifeDays = 3)
+        .orderBy("event_type")
+    }),
+
+    // CAPSTONE — crawl-frontier gate: the 37-domain link graph's
+    // PageRank (q131 machinery) joined onto per-URL robots verdicts
+    // (q151 machinery) — the two signals a frontier scheduler combines:
+    // is this URL crawlABLE, and how authoritative is its domain. Only
+    // allowed URLs survive, carrying their domain rank.
+    "q163_frontier_score" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val edges = d.select((col("doc_id") % 37).as("src"),
+        ((col("doc_id") * 7 + 3) % 37).as("dst"))
+      val ranks = ext.LinkGraph.pageRank(edges, iterations = 5)
+      val urls = d.select(col("doc_id"), (col("doc_id") % 37).as("domain_id"),
+        concat(lit("https://www.site"), (col("doc_id") % 37).cast("string"),
+          lit(".com/p"), (col("doc_id") % 5).cast("string"),
+          lit("/x"), (col("doc_id") % 3).cast("string")).as("url"))
+      val rules = d.select(
+        concat(lit("www.site"), (col("doc_id") % 37).cast("string"),
+          lit(".com")).as("domain"),
+        expr("""CASE doc_id % 11
+          | WHEN 0 THEN '/p0' WHEN 1 THEN '/p1' WHEN 2 THEN '/p2'
+          | WHEN 3 THEN '/p3' WHEN 4 THEN '/p4' WHEN 5 THEN '/p1/x1'
+          | WHEN 6 THEN '/p2/x2' WHEN 7 THEN '/p0/x0' WHEN 8 THEN '/p3/x'
+          | WHEN 9 THEN '/p4/x1' ELSE '/p0' END""".stripMargin)
+          .as("rule_path"),
+        expr("""CASE doc_id % 11
+          | WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
+          | WHEN 3 THEN true WHEN 4 THEN false WHEN 5 THEN false
+          | WHEN 6 THEN true WHEN 7 THEN true WHEN 8 THEN false
+          | WHEN 9 THEN true ELSE true END""".stripMargin).as("allow"))
+        .distinct()
+      ext.WebUrl.robotsEvaluate(urls.select("doc_id", "url"),
+          "doc_id", "url", rules)
+        .filter(col("allowed"))
+        .join(urls.select("doc_id", "domain_id"), Seq("doc_id"))
+        .join(ranks.withColumnRenamed("id", "domain_id"), Seq("domain_id"))
+        .select(col("doc_id"), col("url"),
+          col("rank").as("domain_rank_e12"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6126,7 +6237,146 @@ object SparkEntry {
         |      ORDER BY n_anchors DESC, term ASC) AS INT) AS rank
         |  FROM c)
         |SELECT dst, term, n_anchors, rank FROM r WHERE rank <= 3
-        |ORDER BY dst, rank""".stripMargin
+        |ORDER BY dst, rank""".stripMargin,
+
+    // 3 clamped-seed majority rounds as chained CTEs (votes → window-max
+    // majority with min-label tiebreak → fold with seed/vote/prev
+    // precedence); CTEs MATERIALIZED per the q149 lesson
+    "q159_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        val prev = s"l${k - 1}"
+        s"""v$k AS MATERIALIZED (
+           |  SELECT e.dst AS id, l.label, CAST(count(*) AS BIGINT) AS c
+           |  FROM e JOIN $prev l ON l.id = e.src
+           |  WHERE l.label IS NOT NULL
+           |  GROUP BY e.dst, l.label),
+           |b$k AS MATERIALIZED (
+           |  SELECT id, min(label) AS vote FROM (
+           |    SELECT id, label, c, max(c) OVER (PARTITION BY id) AS mx
+           |    FROM v$k) WHERE c = mx GROUP BY id),
+           |l$k AS MATERIALIZED (
+           |  SELECT n.id,
+           |    coalesce(s.label, b.vote, p.label) AS label
+           |  FROM nodes n
+           |  LEFT JOIN seeds s ON s.id = n.id
+           |  LEFT JOIN b$k b ON b.id = n.id
+           |  LEFT JOIN $prev p ON p.id = n.id)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT doc_id % 89 AS src, (doc_id * 3 + 1) % 89 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM
+         |    (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |seeds AS MATERIALIZED (
+         |  SELECT id, (id // 7) % 3 AS label FROM (
+         |    SELECT DISTINCT doc_id % 89 AS id FROM documents
+         |    WHERE doc_id IS NOT NULL) WHERE id % 7 = 0),
+         |l0 AS MATERIALIZED (
+         |  SELECT n.id, s.label FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+         |$rounds
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+    },
+
+    // both member rows recomputed from the source text; sizes are UTF-8
+    // octet lengths
+    "q160_tar_members" ->
+      """SELECT doc_id, member_index, name, size, type_flag FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS member_index,
+        |    'docs/' || doc_id || '/body.txt' AS name,
+        |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS size,
+        |    'file' AS type_flag
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT),
+        |    'docs/' || doc_id || '/meta.json',
+        |    CAST(octet_length(encode('{"id":' || doc_id || '}')) AS BIGINT),
+        |    'file'
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |ORDER BY doc_id, member_index""".stripMargin,
+
+    // decompressed length + digest straight from the source text
+    "q161_gzip_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        |    AS decompressed_bytes,
+        |  sha256(coalesce(text, '')) AS decompressed_sha256
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same clamped power-of-two decay, replayed per event
+    "q162_decay_counts" -> {
+      s"""WITH e AS ($EventsCte)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(1000000 // CAST(power(2, least(
+         |    greatest(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0)
+         |      // 3, 30)) AS BIGINT)) AS BIGINT) AS decayed_mass
+         |FROM e
+         |WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // q131's 5 PageRank rounds on the 37-domain graph + the q151
+    // longest-match robots replay, joined: allowed URLs with their
+    // domain's rank
+    "q163_frontier_score" -> {
+      val rounds = (1 to 5).map { k =>
+        val prev = s"r${k - 1}"
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.id, CAST(p.base + coalesce(sum(
+           |      (r.rank * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
+           |  FROM nodes n CROSS JOIN p
+           |  LEFT JOIN e ON e.dst = n.id
+           |  LEFT JOIN $prev r ON r.id = e.src
+           |  LEFT JOIN od d ON d.src = e.src
+           |  GROUP BY n.id, p.base)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id % 37 AS src, (doc_id * 7 + 3) % 37 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |p AS (SELECT CAST(150000000000 // count(*) AS BIGINT) AS base,
+         |             CAST(1000000000000 // count(*) AS BIGINT) AS init
+         |      FROM nodes),
+         |od AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT init FROM p) AS rank FROM nodes),
+         |$rounds,
+         |urls AS MATERIALIZED (
+         |  SELECT doc_id, doc_id % 37 AS domain_id,
+         |    'https://www.site' || (doc_id % 37) || '.com/p' || (doc_id % 5)
+         |      || '/x' || (doc_id % 3) AS url,
+         |    '/p' || (doc_id % 5) || '/x' || (doc_id % 3) AS path,
+         |    'www.site' || (doc_id % 37) || '.com' AS host
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |rules AS MATERIALIZED (SELECT DISTINCT
+         |    'www.site' || (doc_id % 37) || '.com' AS domain,
+         |    CASE doc_id % 11
+         |      WHEN 0 THEN '/p0' WHEN 1 THEN '/p1' WHEN 2 THEN '/p2'
+         |      WHEN 3 THEN '/p3' WHEN 4 THEN '/p4' WHEN 5 THEN '/p1/x1'
+         |      WHEN 6 THEN '/p2/x2' WHEN 7 THEN '/p0/x0' WHEN 8 THEN '/p3/x'
+         |      WHEN 9 THEN '/p4/x1' ELSE '/p0' END AS rule_path,
+         |    CASE doc_id % 11
+         |      WHEN 0 THEN FALSE WHEN 1 THEN TRUE WHEN 2 THEN FALSE
+         |      WHEN 3 THEN TRUE WHEN 4 THEN FALSE WHEN 5 THEN FALSE
+         |      WHEN 6 THEN TRUE WHEN 7 THEN TRUE WHEN 8 THEN FALSE
+         |      WHEN 9 THEN TRUE ELSE TRUE END AS allow
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |m AS MATERIALIZED (SELECT u.doc_id,
+         |    max(2 * length(r.rule_path)
+         |      + CASE WHEN r.allow THEN 1 ELSE 0 END) AS score
+         |  FROM urls u JOIN rules r
+         |    ON r.domain = u.host AND starts_with(u.path, r.rule_path)
+         |  GROUP BY u.doc_id)
+         |SELECT u.doc_id, u.url, CAST(r5.rank AS BIGINT) AS domain_rank_e12
+         |FROM urls u
+         |LEFT JOIN m ON m.doc_id = u.doc_id
+         |JOIN r5 ON r5.id = u.domain_id
+         |WHERE coalesce(m.score % 2 = 1, TRUE)
+         |ORDER BY u.doc_id""".stripMargin
+    }
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

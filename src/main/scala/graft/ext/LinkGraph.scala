@@ -346,6 +346,70 @@ object LinkGraph {
       .filter(col("n_common") >= minCocitations)
   }
 
+  /** Semi-supervised label propagation — spread a sparse set of trusted
+    * labels (spam/ham domain verdicts, topic tags, language families)
+    * over the link graph: each round, every node adopts the majority
+    * label among its in-neighbors' current labels, seeds stay clamped,
+    * and unlabeled nodes stay null until a labeled neighbor reaches
+    * them. The standard cheap alternative to training a classifier when
+    * the graph itself carries the signal.
+    *
+    * Deterministic and oracle-replayable: the majority vote breaks ties
+    * by MIN label (one struct-max aggregate — no window over row-level
+    * data), rounds are fixed-count, and every step is a join + aggregate
+    * over (id, label) frames. Same shuffle profile as [[pageRank]]:
+    * edges partition once, label frames move.
+    *
+    * Seeds clamp (the semi-supervised form): a seeded node's label never
+    * changes, which also removes the oscillation classic LPA needs
+    * random orderings to escape.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       seedIdCol: String = "id", seedLabelCol: String = "label",
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = PlanCapture.cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    val nodes = PlanCapture.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    // duplicate seed ids collapse to their min label up front: without
+    // this a conflicting seed frame would fan out every round's join
+    val s = seeds
+      .select(col(seedIdCol).cast("long").as("id"),
+        col(seedLabelCol).cast("long").as("__seed"))
+      .filter(col("id").isNotNull && col("__seed").isNotNull)
+      .groupBy(col("id")).agg(min(col("__seed")).as("__seed"))
+    var labels = PlanCapture.cut(nodes.join(s, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("label")))
+    var k = 0
+    while (k < iterations) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        // majority with min-label tiebreak in ONE aggregate:
+        // max(struct(count, -label)) picks max count, then min label
+        .groupBy(col("id"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__b"))
+        .select(col("id"), (-col("__b.__nl")).as("__vote"))
+      labels = PlanCapture.cut(nodes
+        .join(s, Seq("id"), "left")
+        .join(votes, Seq("id"), "left")
+        .join(labels.withColumnRenamed("label", "__prev"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__seed"), col("__vote"), col("__prev")).as("label")))
+      k += 1
+    }
+    labels
+  }
+
   /** Anchor-text aggregation — how the web labels its own pages: the
     * top-k terms other pages use when LINKING to a target, the classic
     * off-page relevance signal (and, for curation, a second opinion on

@@ -223,4 +223,33 @@ object Profile {
   def columnProfileApprox(df: DataFrame, cols: Seq[String],
                           rsd: Double = 0.05): DataFrame =
     profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  /** Recency-weighted activity mass per key — the freshness signal a
+    * crawl scheduler (or a training-mix ager) sorts on: every event
+    * contributes `1e6 >> (age div halfLifeDays)`, i.e. weight HALVES
+    * each half-life elapsed before `refDate`. Exact-integer throughout:
+    * the decay factor is a power of two (clamped at 2^30 — older events
+    * floor to 0), so the per-key sum is a BIGINT an external engine
+    * replays bit-for-bit, with none of exp(-λt)'s float drift.
+    *
+    * Null key / null timestamp rows are dropped; events dated AFTER
+    * `refDate` (clock skew) clamp to age 0 rather than amplifying.
+    * One partial-aggregated groupBy — the decay arithmetic rides the
+    * scan.
+    */
+  def decayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+                    refDate: String, halfLifeDays: Int = 3): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val age = greatest(
+      datediff(lit(refDate).cast("date"), col(tsCol).cast("date")), lit(0))
+    // 2^b exact in a double for b <= 30, so the cast-then-div chain is
+    // pure integer floor division on both engines
+    val bucket = least(floor(age / halfLifeDays), lit(30)).cast("int")
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__b", bucket)
+      .withColumn("__w", expr("1000000L div cast(pow(2.0, __b) as bigint)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("__w")).cast("long").as("decayed_mass"))
+  }
 }

@@ -293,4 +293,57 @@ class LinkGraphSpec extends SparkTestBase {
     // the farm's 190 pairs vanish; the honest co-citation survives
     assert(got == Map((100L, 101L) -> 2L))
   }
+
+  // ------------------------------------------------- label propagation
+
+  private def runLp(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
+                    iters: Int): Map[Long, Option[Long]] =
+    LinkGraph.labelPropagation(edges.toDF("src", "dst"),
+        seeds.toDF("id", "label"), iterations = iters)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("labelPropagation: labels spread hop by hop; unreached stay null") {
+    // path 0→1→2→3, plus isolated pair 8→9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L))
+    val seeds = Seq((0L, 7L))
+    val r1 = runLp(edges, seeds, 1)
+    assert(r1(1L) == Some(7L) && r1(2L) == None && r1(9L) == None)
+    val r3 = runLp(edges, seeds, 3)
+    assert(r3(1L) == Some(7L) && r3(2L) == Some(7L) && r3(3L) == Some(7L))
+    assert(r3(8L) == None && r3(9L) == None, "unseeded island stays null")
+  }
+
+  test("labelPropagation: majority wins, ties to min label, seeds clamp") {
+    // node 5 hears label 1 from two neighbors, label 2 from one
+    val edges = Seq((0L, 5L), (1L, 5L), (2L, 5L),
+      // node 6 hears 1 and 2 once each → tie → min label 1
+      (0L, 6L), (2L, 6L),
+      // seeded node 2 has in-edges from label-1 nodes but must keep 2
+      (0L, 2L), (1L, 2L))
+    val seeds = Seq((0L, 1L), (1L, 1L), (2L, 2L))
+    val got = runLp(edges, seeds, 2)
+    assert(got(5L) == Some(1L), "majority label")
+    assert(got(6L) == Some(1L), "tie breaks to min label")
+    assert(got(2L) == Some(2L), "seeds are clamped")
+  }
+
+  test("labelPropagation: duplicate seed rows collapse to min label") {
+    val edges = Seq((0L, 1L))
+    val got = runLp(edges, Seq((0L, 5L), (0L, 3L)), 1)
+    assert(got(0L) == Some(3L) && got(1L) == Some(3L))
+  }
+
+  // ------------------------------------------------------- anchor text
+
+  test("anchorTopTerms: counts, rank order, k cutoff, case folding") {
+    val anchors = Seq(
+      (10L, "Spark Engine"), (10L, "spark docs"), (10L, "fast spark"),
+      (10L, "engine"), (11L, "one two")).toDF("dst", "anchor_text")
+    val got = LinkGraph.anchorTopTerms(anchors, "dst", "anchor_text", k = 2)
+      .as[(Long, String, Long, Int)].collect().toSet
+    // dst 10: spark:3, engine:2, docs:1, fast:1 → top-2 spark, engine
+    assert(got == Set((10L, "spark", 3L, 1), (10L, "engine", 2L, 2),
+      (11L, "one", 1L, 1), (11L, "two", 1L, 2)))
+  }
 }

@@ -181,4 +181,19 @@ class ProfileSpec extends SparkTestBase {
     assert(p2.contains("BroadcastHashJoin"),
       s"small stats side did not broadcast under AQE:\n$p2")
   }
+
+  test("decayedCounts: exact power-of-two halving, clamps, null hygiene") {
+    val rows = Seq(
+      (Some("a"), Some("2024-01-31 12:00:00")), // age 1 → bucket 0 → 1e6
+      (Some("a"), Some("2024-01-26 00:00:00")), // age 6 → bucket 2 → 250000
+      (Some("a"), Some("2023-01-01 00:00:00")), // age 396 → clamp 30 → 0
+      (Some("b"), Some("2024-02-05 00:00:00")), // future → age 0 → 1e6
+      (None, Some("2024-01-31 00:00:00")),      // null key dropped
+      (Some("c"), None))                        // null ts dropped
+      .toDF("k", "ts_s")
+      .selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts")
+    val got = Profile.decayedCounts(rows, "k", "ts", "2024-02-01", 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("a" -> (3L, 1250000L), "b" -> (1L, 1000000L)))
+  }
 }
