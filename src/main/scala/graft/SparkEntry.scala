@@ -2789,6 +2789,40 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           col("rank").as("domain_rank_e12"))
         .orderBy("doc_id")
+    }),
+
+    // ext graph — multi-source BFS crawl depth: seeds are the ids ≡ 0
+    // mod 10 of the 89-node graph, 4 hop-budget rounds (Bellman-Ford
+    // shape, min-aggregate per round); nodes no seed reaches within the
+    // budget stay null. Exact small integers replay as chained CTEs.
+    "q164_hop_distance" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e1 = d.select((col("doc_id") % 89).as("src"),
+        ((col("doc_id") * 3 + 1) % 89).as("dst"))
+      val e2 = d.select(((col("doc_id") * 5) % 89).as("src"),
+        ((col("doc_id") * 7 + 4) % 89).as("dst"))
+      val edges = e1.union(e2)
+      val seeds = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct().filter(col("id") % 10 === 0)
+      ext.LinkGraph.hopDistance(edges, seeds, maxHops = 4)
+        .orderBy("id")
+    }),
+
+    // ext graph — triangle enumeration on a ring-with-chords graph (40
+    // guaranteed triangles {i, i+1, i+2}) plus a constant-apex fan that
+    // pushes node 0's oriented degree past the cap: its 3 triangles
+    // must vanish, the other 37 must survive — the link-farm cut,
+    // replayed by the oracle's identical cap logic.
+    "q165_triangles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val i = col("doc_id") % 40
+      val ring = d.select(i.as("src"), ((i + 1) % 40).as("dst"))
+      val chords = d.select(i.as("src"), ((i + 2) % 40).as("dst"))
+      val fan = d.select(lit(0L).as("src"),
+        (col("doc_id") % 27 + 14).as("dst"))
+      ext.LinkGraph.triangles(ring.union(chords).union(fan), maxDeg = 12)
+        .orderBy("id_a", "id_b", "id_c")
     })
   )
 
@@ -6376,7 +6410,69 @@ object SparkEntry {
          |JOIN r5 ON r5.id = u.domain_id
          |WHERE coalesce(m.score % 2 = 1, TRUE)
          |ORDER BY u.doc_id""".stripMargin
-    }
+    },
+
+    // 4 Bellman-Ford rounds as chained MATERIALIZED CTEs, min-merge of
+    // previous distance and best in-neighbor + 1
+    "q164_hop_distance" -> {
+      val rounds = (1 to 4).map { k =>
+        val prev = s"d${k - 1}"
+        s"""c$k AS MATERIALIZED (
+           |  SELECT e.dst AS id, min(p.dist + 1) AS c
+           |  FROM e JOIN $prev p ON p.id = e.src
+           |  WHERE p.dist IS NOT NULL GROUP BY e.dst),
+           |d$k AS MATERIALIZED (
+           |  SELECT n.id,
+           |    CASE WHEN p.dist IS NULL THEN c.c
+           |         WHEN c.c IS NULL THEN p.dist
+           |         ELSE least(p.dist, c.c) END AS dist
+           |  FROM nodes n
+           |  LEFT JOIN c$k c ON c.id = n.id
+           |  LEFT JOIN $prev p ON p.id = n.id)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id % 89 AS src, (doc_id * 3 + 1) % 89 AS dst
+         |    FROM documents WHERE doc_id IS NOT NULL
+         |    UNION ALL
+         |    SELECT (doc_id * 5) % 89, (doc_id * 7 + 4) % 89
+         |    FROM documents WHERE doc_id IS NOT NULL)),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |seeds AS MATERIALIZED (SELECT id FROM nodes WHERE id % 10 = 0),
+         |d0 AS MATERIALIZED (
+         |  SELECT n.id, CASE WHEN s.id IS NOT NULL THEN CAST(0 AS BIGINT)
+         |    ELSE NULL END AS dist
+         |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+         |$rounds
+         |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
+    },
+
+    // symmetrize + orient by id, cap the apex's oriented degree, then
+    // wedge + closing-edge joins — the same shape the engine plans
+    "q165_triangles" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id % 40 AS src, (doc_id % 40 + 1) % 40 AS dst
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id % 40, (doc_id % 40 + 2) % 40
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT 0, doc_id % 27 + 14
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |  WHERE src <> dst),
+        |adj AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0),
+        |kept AS MATERIALIZED (
+        |  SELECT adj.a, adj.b FROM adj JOIN (
+        |    SELECT a FROM adj GROUP BY a HAVING count(*) <= 12) d
+        |  USING (a)),
+        |w AS (SELECT x.a AS id_a, x.b AS id_b, y.b AS id_c
+        |      FROM kept x JOIN kept y ON x.a = y.a AND x.b < y.b)
+        |SELECT w.id_a, w.id_b, w.id_c
+        |FROM w JOIN adj ON adj.a = w.id_b AND adj.b = w.id_c
+        |ORDER BY id_a, id_b, id_c""".stripMargin
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

@@ -410,6 +410,89 @@ object LinkGraph {
     labels
   }
 
+  /** Multi-source BFS hop distance — the crawl-depth computation: how
+    * many link hops separate each page from the nearest SEED (the
+    * curated frontier / sitemap set), the standard crawl-budget and
+    * quality prior ("depth ≥ 6 from any seed" is a classic drop rule).
+    *
+    * Bellman-Ford-shaped fixed rounds (maxHops of them — exactly the
+    * frontier's hop budget, so "unreached within budget" and "node
+    * beyond budget" coincide by construction): each round one join +
+    * one min-aggregate, dist frames only; edges partition once. All
+    * distances are exact small integers — the oracle replays the rounds
+    * as chained CTEs. Unreached nodes report null.
+    */
+  def hopDistance(edges: DataFrame, seeds: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  seedIdCol: String = "id", maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = PlanCapture.cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    val nodes = PlanCapture.cut(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct())
+    val s = seeds.select(col(seedIdCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    var dist = PlanCapture.cut(nodes.join(s.withColumn("__z", lit(0L)),
+        Seq("id"), "left")
+      .select(col("id"), col("__z").as("dist")))
+    var k = 0
+    while (k < maxHops) {
+      val cand = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("id").as("src"), col("dist")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + 1L).as("__c"))
+      dist = PlanCapture.cut(dist.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          when(col("dist").isNull, col("__c"))
+            .when(col("__c").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("__c"))).as("dist")))
+      k += 1
+    }
+    dist
+  }
+
+  /** Triangle enumeration over the undirected graph — the density /
+    * community-structure QA signal (triangle-free neighborhoods are
+    * spam-graph shaped; dense ones are organic). Emits each triangle
+    * once as (id_a < id_b < id_c).
+    *
+    * Scale shape: edges symmetrize + orient by id (a < b), nodes past
+    * `maxDeg` oriented-degree are cut FIRST (the [[cocitation]]
+    * link-farm stance — a hub of degree d contributes O(d²) wedges),
+    * then two hash equi-joins: wedges (a<b<c sharing a) probe the
+    * oriented edge set for the closing (b, c) edge. No collect, no
+    * cross join; work is Σ min(deg, cap)² per node.
+    */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+                dstCol: String = "dst", maxDeg: Int = 64): DataFrame = {
+    require(maxDeg >= 2, "maxDeg must be >= 2")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .filter(col("a") =!= col("b"))
+    val adj = e0.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val kept = adj.join(
+      adj.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") <= maxDeg).select("a"),
+      Seq("a"), "left_semi")
+    val wedges = kept.as("x").join(kept.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+        col("y.b").as("id_c"))
+    wedges.join(adj.select(col("a").as("id_b"), col("b").as("id_c")),
+        Seq("id_b", "id_c"), "left_semi")
+      .select("id_a", "id_b", "id_c") // using-join put the keys first
+  }
+
   /** Anchor-text aggregation — how the web labels its own pages: the
     * top-k terms other pages use when LINKING to a target, the classic
     * off-page relevance signal (and, for curation, a second opinion on

@@ -334,6 +334,57 @@ class LinkGraphSpec extends SparkTestBase {
     assert(got(0L) == Some(3L) && got(1L) == Some(3L))
   }
 
+  // ------------------------------------------------------ hop distance
+
+  test("hopDistance: multi-source BFS, min over seeds, budget cutoff") {
+    // two chains from seeds 0 and 100: 0→1→2→3→4→5, 100→3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (100L, 3L))
+    val got = LinkGraph.hopDistance(edges.toDF("src", "dst"),
+        Seq(0L, 100L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(0L) == Some(0L) && got(100L) == Some(0L))
+    assert(got(1L) == Some(1L) && got(2L) == Some(2L))
+    assert(got(3L) == Some(1L), "min over both seeds: 100→3 beats 0→…→3")
+    assert(got(4L) == Some(2L) && got(5L) == Some(3L))
+  }
+
+  test("hopDistance: unreached within budget stays null") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L))
+    val got = LinkGraph.hopDistance(edges.toDF("src", "dst"),
+        Seq(0L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(2L) == Some(2L))
+    assert(got(3L) == None, "3 is 3 hops away, budget is 2")
+    assert(got(8L) == None && got(9L) == None)
+  }
+
+  // --------------------------------------------------------- triangles
+
+  test("triangles: enumerated once, ordered, direction-insensitive") {
+    // triangle {1,2,3} given with mixed directions + a dangling edge
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L))
+    val got = LinkGraph.triangles(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L)))
+  }
+
+  test("triangles: two sharing an edge; apex past the degree cap cut") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+    val got = LinkGraph.triangles(base.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 4L)))
+    // fan node 1 out past the cap: its apex wedges vanish, but the
+    // {2,3,x} family would survive (none exists here)
+    val fan = (10L until 30L).map(d => (1L, d))
+    val capped = LinkGraph.triangles((base ++ fan).toDF("src", "dst"),
+        maxDeg = 12)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.isEmpty, "apex 1 over the oriented-degree cap")
+  }
+
   // ------------------------------------------------------- anchor text
 
   test("anchorTopTerms: counts, rank order, k cutoff, case folding") {
