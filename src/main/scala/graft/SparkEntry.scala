@@ -2823,6 +2823,74 @@ object SparkEntry {
         (col("doc_id") % 27 + 14).as("dst"))
       ext.LinkGraph.triangles(ring.union(chords).union(fan), maxDeg = 12)
         .orderBy("id_a", "id_b", "id_c")
+    }),
+
+    // source format — JSONL structured parse with the PERMISSIVE
+    // corrupt-record channel (the q10 stance for JSON ingest): every
+    // 13th record is malformed and must land whole in the corrupt
+    // column with null fields, the rest parse to typed columns; all
+    // inside the scan via from_json, no files, no UDF.
+    "q166_jsonl_parse" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val line = when(col("doc_id") % 13 === 0,
+        concat(lit("{\"id\": "), col("doc_id").cast("string"), lit(", lang")))
+        .otherwise(concat(lit("{\"id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \""), coalesce(col("lang"), lit("und")),
+          lit("\", \"n\": "), (col("doc_id") % 7).cast("string"), lit("}")))
+      d.select(col("doc_id"), line.as("__json"))
+        .withColumn("__p", from_json(col("__json"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, lang STRING, n INT, _bad STRING"),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad")))
+        .select(col("doc_id"), col("__p.id").as("id"),
+          col("__p.lang").as("lang"), col("__p.n").as("n"),
+          col("__p._bad").as("corrupt_record"))
+        .orderBy("doc_id")
+    }),
+
+    // sink/source format — ORC interchange roundtrip: the documents
+    // table writes as ORC (snappy) and reads back through the ORC
+    // scan; the per-lang aggregate over the roundtripped frame must
+    // equal the oracle's aggregate over the original parquet. Covers
+    // the second columnar format a lakehouse exchange needs.
+    "q167_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q167").toString + "/docs_orc"
+      tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").format("orc")
+        .option("compression", "snappy").save(out)
+      s.read.format("orc").load(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
+    // ext graph — reciprocal-link detection (the mutual-citation /
+    // link-scheme signal): ordered pairs where BOTH directions exist,
+    // found by one self-equi-join on the oriented key — no cross join.
+    "q168_reciprocal_links" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e = d.select((col("doc_id") % 61).as("src"),
+          ((col("doc_id") * 3 + 2) % 61).as("dst"))
+        .union(d.select(((col("doc_id") * 5 + 1) % 61).as("src"),
+          ((col("doc_id") * 2) % 61).as("dst")))
+        .union(d.filter(col("doc_id") % 4 === 0)
+          .select(((col("doc_id") * 7) % 61).as("src"),
+            ((col("doc_id") * 11 + 3) % 61).as("dst")))
+        .union(d.filter(col("doc_id") % 4 === 0)
+          .select(((col("doc_id") * 11 + 3) % 61).as("src"),
+            ((col("doc_id") * 7) % 61).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .filter(col("src") < col("dst"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6472,7 +6540,51 @@ object SparkEntry {
         |      FROM kept x JOIN kept y ON x.a = y.a AND x.b < y.b)
         |SELECT w.id_a, w.id_b, w.id_c
         |FROM w JOIN adj ON adj.a = w.id_b AND adj.b = w.id_c
-        |ORDER BY id_a, id_b, id_c""".stripMargin
+        |ORDER BY id_a, id_b, id_c""".stripMargin,
+
+    // the corrupt-vs-parsed split in closed form: malformed records
+    // carry their whole input line, parsed ones their typed fields
+    "q166_jsonl_parse" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE coalesce(lang, 'und') END AS lang,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 7 AS INT) END AS n,
+        |  CASE WHEN doc_id % 13 = 0
+        |       THEN '{"id": ' || doc_id || ', lang'
+        |       ELSE NULL END AS corrupt_record
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the roundtrip must preserve every value: aggregate the ORIGINAL
+    "q167_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // both directions present, reported once as (lo, hi)
+    "q168_reciprocal_links" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id % 61 AS src, (doc_id * 3 + 2) % 61 AS dst
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT (doc_id * 5 + 1) % 61, (doc_id * 2) % 61
+        |    FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT (doc_id * 7) % 61, (doc_id * 11 + 3) % 61
+        |    FROM documents WHERE doc_id IS NOT NULL AND doc_id % 4 = 0
+        |    UNION ALL
+        |    SELECT (doc_id * 11 + 3) % 61, (doc_id * 7) % 61
+        |    FROM documents WHERE doc_id IS NOT NULL AND doc_id % 4 = 0)
+        |  WHERE src <> dst)
+        |SELECT a.src AS id_a, a.dst AS id_b
+        |FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+        |WHERE a.src < a.dst
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one
