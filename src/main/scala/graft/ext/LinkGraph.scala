@@ -43,10 +43,10 @@ object LinkGraph {
     *
     * `redistributeDangling = true` restores the textbook invariant that
     * sink (no-out-edge) rank mass is not lost: each round the dangling
-    * mass D = Σ_{outdeg(u)=0} r_{k-1}(u) is collected as ONE scalar and
-    * every node receives floor(D · dampingNum / (dampingDen · N)) as a
-    * literal. Default false (rank totals drift below 1e12 — fine for the
-    * ranking / prior use, and one fewer action per round).
+    * mass D = Σ_{outdeg(u)=0} r_{k-1}(u) folds into a one-row aggregate
+    * and every node receives floor(D · dampingNum / (dampingDen · N)).
+    * Default false (rank totals drift below 1e12 — fine for the
+    * ranking / prior use, and one fewer aggregate per round).
     *
     * Multi-edges collapse (`distinct`); a fixed iteration count (default
     * 5) rather than convergence detection keeps the oracle replayable —
@@ -56,9 +56,11 @@ object LinkGraph {
     * Per-round shuffle profile: ranks exchange on src to meet the
     * pre-partitioned edges, then (dst, contrib) pairs — 16 bytes/edge —
     * exchange into the sum aggregate (map-side partial sums first). The
-    * edge list itself never moves after the initial partition. Driver
-    * scalars: `nodes.count()` once, plus one dangling-sum per round iff
-    * redistribution is on.
+    * edge list itself never moves after the initial partition. The ONLY
+    * driver scalar is `nodes.count()`, once: the dangling-mass sum (when
+    * redistribution is on) rides as a one-row aggregate frame
+    * cross-joined into the update, so rounds chain without driver
+    * barriers.
     */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
@@ -86,16 +88,6 @@ object LinkGraph {
       nodes.withColumn("rank", lit(1000000000000L / n)))
     var k = 0
     while (k < iterations) {
-      // textbook dangling-mass term: one scalar per round, driver-side
-      // exact-integer share (all operands non-negative, / floors)
-      val share =
-        if (!redistributeDangling) 0L
-        else {
-          val d = ranks.join(outdeg,
-              ranks("id") === outdeg("src"), "left_anti")
-            .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-          (d * dampingNum) / (dampingDen * n)
-        }
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -103,11 +95,28 @@ object LinkGraph {
         .selectExpr("id",
           s"(rank * ${dampingNum}L) div (outdeg * ${dampingDen}L) AS __c")
         .groupBy(col("id")).agg(sum(col("__c")).cast("long").as("__cin"))
-      ranks = PlanCapture.cut(nodes
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base + share) + coalesce(col("__cin"), lit(0L)))
-            .as("rank")))
+      // textbook dangling-mass term: a ONE-ROW aggregate frame
+      // cross-joined into the update (exact-integer div, all operands
+      // non-negative) — not a driver collect, so a k-round run has no
+      // per-round driver barrier (the q149/hits stance)
+      ranks =
+        if (!redistributeDangling)
+          PlanCapture.cut(nodes
+            .join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(base) + coalesce(col("__cin"), lit(0L))).as("rank")))
+        else {
+          val shareF = ranks.join(outdeg,
+              ranks("id") === outdeg("src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__d"))
+            .selectExpr(
+              s"(__d * ${dampingNum}L) div (${dampingDen}L * ${n}L) AS __share")
+          PlanCapture.cut(nodes
+            .join(contribs, Seq("id"), "left")
+            .crossJoin(shareF)
+            .selectExpr("id",
+              s"${base}L + __share + coalesce(__cin, 0L) AS rank"))
+        }
       k += 1
     }
     ranks
@@ -193,10 +202,12 @@ object LinkGraph {
       .selectExpr("id", "wn", s"(1000000000000L * wn) div 1000000L AS rank"))
     var k = 0
     while (k < iterations) {
-      val d = ranks.join(outdeg,
+      // dangling mass as a one-row cross-joined aggregate (the q149
+      // stance): no per-round driver barrier
+      val mF = ranks.join(outdeg,
           ranks("id") === outdeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-      val m = (d * dampingNum) / dampingDen
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__d"))
+        .selectExpr(s"(__d * ${dampingNum}L) div ${dampingDen}L AS __m")
       val contribs = e
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -206,9 +217,10 @@ object LinkGraph {
         .groupBy(col("id")).agg(sum(col("__c")).cast("long").as("__cin"))
       ranks = PlanCapture.cut(nodes
         .join(contribs, Seq("id"), "left")
+        .crossJoin(mF)
         .selectExpr("id", "wn",
           s"(${teleportE12}L * wn) div 1000000L" +
-            s" + coalesce(__cin, 0L) + (${m}L * wn) div 1000000L AS rank"))
+            s" + coalesce(__cin, 0L) + (__m * wn) div 1000000L AS rank"))
       k += 1
     }
     ranks.select(col("id"), col("rank"))
@@ -231,8 +243,7 @@ object LinkGraph {
     *   h'_k(v)   = normalize(hraw_k(v); H_k), H_k = Σ_v hraw_k(v)
     *
     * where normalize(x; T) is the DUAL-BRANCH exact-integer L1 form,
-    * branch chosen on the driver scalar T (so an external engine replays
-    * it as one CASE):
+    * one CASE an external engine replays verbatim:
     *   T ≤ 9.2e12 → (x · 1e6) div T        (exact: x ≤ T keeps the
     *                                        product inside a BIGINT)
     *   T > 9.2e12 → x div max(T div 1e6, 1) (pre-scaled divisor: no
@@ -246,15 +257,21 @@ object LinkGraph {
     *
     * Shuffle profile matches [[pageRank]]: edges hash-partition once,
     * each half-round moves only (id, score) pairs with map-side partial
-    * sums; 2 driver scalars per round. Fixed `iterations` (no
-    * convergence test) keeps the oracle a chain of CTEs.
+    * sums. Unlike [[pageRank]]'s dangling scalar, the round totals are
+    * NOT driver collects: each rides as a one-row aggregate frame
+    * cross-joined into the normalize CASE, so a k-round run is ONE job
+    * with zero per-round driver barriers (2k fewer blocking collects —
+    * on a 1000-executor cluster each barrier is a full-cluster drain).
+    * Fixed `iterations` keeps the oracle a chain of CTEs.
     */
-  /** The dual-branch normalize as a SQL fragment over column `c`, with
-    * the round total `tot` already a driver literal (non-negative).
+  /** The dual-branch normalize over column `c` against a one-row total
+    * frame's column `__t` (cross-joined in — no driver scalar).
     */
-  private def normExpr(c: String, tot: Long): String =
-    if (tot > 0L && tot <= 9200000000000L) s"($c * 1000000L) div ${tot}L"
-    else s"$c div ${math.max(tot / 1000000L, 1L)}L"
+  private def normCase(c: String): String =
+    s"""CAST(CASE WHEN __t > 0L AND __t <= 9200000000000L
+       |  THEN ($c * 1000000L) div __t
+       |  ELSE $c div greatest(__t div 1000000L, 1L)
+       |  END AS BIGINT)""".stripMargin
 
   def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
            iterations: Int = 3): DataFrame = {
@@ -281,20 +298,20 @@ object LinkGraph {
             .agg(sum(col("h")).cast("long").as("__a")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("__a"), lit(0L)).as("a"))
-      val aTot = aRaw.agg(coalesce(sum(col("a")), lit(0L)))
-        .head().getLong(0)
-      auths = PlanCapture.cut(
-        aRaw.selectExpr("id", s"${normExpr("a", aTot)} AS a"))
+      val aTot = aRaw.agg(coalesce(sum(col("a")), lit(0L))
+        .cast("long").as("__t"))
+      auths = PlanCapture.cut(aRaw.crossJoin(aTot)
+        .selectExpr("id", s"${normCase("a")} AS a"))
       val hRaw = nodes
         .join(e.join(auths.select(col("id").as("dst"), col("a")), Seq("dst"))
             .groupBy(col("src").as("id"))
             .agg(sum(col("a")).cast("long").as("__h")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("__h"), lit(0L)).as("h"))
-      val hTot = hRaw.agg(coalesce(sum(col("h")), lit(0L)))
-        .head().getLong(0)
-      hubs = PlanCapture.cut(
-        hRaw.selectExpr("id", s"${normExpr("h", hTot)} AS h"))
+      val hTot = hRaw.agg(coalesce(sum(col("h")), lit(0L))
+        .cast("long").as("__t"))
+      hubs = PlanCapture.cut(hRaw.crossJoin(hTot)
+        .selectExpr("id", s"${normCase("h")} AS h"))
       k += 1
     }
     hubs.join(auths, Seq("id"))
