@@ -2891,6 +2891,41 @@ object SparkEntry {
         .filter(col("src") < col("dst"))
         .select(col("src").as("id_a"), col("dst").as("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ext text — hashing-trick featurization in the sparse (id, dim, n)
+    // form; the gate swaps the production xxhash64 bucketing for a
+    // portable arithmetic hash (length/ascii math) both engines compute
+    // identically — same plan, same shuffle, replayable buckets.
+    "q169_feature_hashing" -> ((s, dir) => {
+      val portable = (t: Column) =>
+        ((length(t) * 7 + ascii(substring(t, 1, 1)) * 31
+          + ascii(substring(concat(t, lit("_")), 2, 1))) % 32).cast("int")
+      ext.TextStats.hashedTermCounts(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", dims = 32, hashDim = Some(portable))
+        .orderBy("doc_id", "dim")
+    }),
+
+    // ext eval — exact tie-aware ROC AUC of the quality score against
+    // the lang=='en' label, computed over the score VOCABULARY (the
+    // distinct quality values), never a corpus-wide rank. Ties get the
+    // Mann-Whitney half credit; auc_e6 is an exact integer.
+    "q170_auc" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(ext.TextStats.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label"))
+      ext.TextStats.aucExact(d, "score", "label")
+    }),
+
+    // ext eval — Cohen's kappa between the marker langId heuristic and
+    // the table's lang column: exact confusion-mass integers and one
+    // final double division. The oracle replays the full langId argmax.
+    "q171_kappa" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(ext.TextStats.langId(col("text")).as("lang_pred"),
+          col("lang"))
+      ext.TextStats.cohensKappa(d, "lang_pred", "lang")
     })
   )
 
@@ -6584,7 +6619,71 @@ object SparkEntry {
         |SELECT a.src AS id_a, a.dst AS id_b
         |FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
         |WHERE a.src < a.dst
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same portable bucketing over exploded terms
+    "q169_feature_hashing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST((length(term) * 7 + ascii(substr(term, 1, 1)) * 31
+        |    + ascii(substr(term || '_', 2, 1))) % 32 AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM t WHERE term <> ''
+        |GROUP BY doc_id, dim
+        |ORDER BY doc_id, dim""".stripMargin,
+
+    // per-distinct-score counts, negatives-below running sum, then the
+    // exact integer Mann-Whitney form
+    "q170_auc" -> {
+      s"""WITH d AS (
+         |  SELECT ${qualityScoreSql("text")} AS s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+         |ps AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS np,
+         |    CAST(sum(1 - y) AS BIGINT) AS nn
+         |  FROM d GROUP BY s),
+         |r AS (
+         |  SELECT np, nn, CAST(coalesce(sum(nn) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS nb
+         |  FROM ps)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+         |    THEN (CAST(sum(np * (2 * nb + nn)) AS BIGINT) * 1000000)
+         |      // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT))
+         |    ELSE NULL END AS BIGINT) AS auc_e6
+         |FROM r""".stripMargin
+    },
+
+    // the langId argmax replay feeding exact confusion-mass integers
+    "q171_kappa" -> {
+      s"""WITH pred AS ($LangIdOracle),
+         |cells AS (
+         |  SELECT lang_pred AS a, lang AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT a AS k, CAST(sum(c) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         |ct AS (SELECT b AS k, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         |s AS (SELECT CAST(coalesce(sum(rt.rt * ct.ct), 0) AS BIGINT)
+         |        AS chance_mass
+         |      FROM rt JOIN ct USING (k)),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+         |        CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |          AS n_agree
+         |      FROM cells)
+         |SELECT t.n_total, t.n_agree, s.chance_mass,
+         |  CASE WHEN t.n_total * t.n_total <> s.chance_mass
+         |    THEN CAST(t.n_agree * t.n_total - s.chance_mass AS DOUBLE)
+         |      / CAST(t.n_total * t.n_total - s.chance_mass AS DOUBLE)
+         |    ELSE NULL END AS kappa
+         |FROM t, s""".stripMargin
+    }
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

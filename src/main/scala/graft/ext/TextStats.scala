@@ -758,6 +758,99 @@ object TextStats {
       .withColumn("fingerprint", fingerprint(t))
   }
 
+  /** Hashing-trick term features — the fixed-width featurization every
+    * cheap text classifier / clusterer ingests: each term maps to
+    * `dims` buckets by a hash and the document becomes per-bucket
+    * counts. Emitted SPARSE — (id, dim, n) triples — which is the
+    * scale-right form: dense vectors materialize dims columns per row
+    * whether or not they're touched; the sparse frame shuffles only
+    * what exists and densifies at the consumer if it must.
+    *
+    * `hashDim` maps a lowercased term column to its bucket. The default
+    * is `xxhash64 % dims` (fast, well-mixed — the production choice);
+    * the gate uses a portable arithmetic hash instead so an external
+    * SQL engine can replay the bucketing exactly. One explode + one
+    * (id, dim) partial-agg exchange; nothing else moves.
+    */
+  def hashedTermCounts(df: DataFrame, idCol: String, textCol: String,
+                       dims: Int,
+                       hashDim: Option[Column => Column] = None): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val h: Column => Column = hashDim.getOrElse(t =>
+      pmod(xxhash64(t), lit(dims.toLong)).cast("int"))
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__term"))
+      .filter(col("__term") =!= "")
+      .select(col(idCol), h(col("__term")).as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Exact tie-aware ROC AUC of a score column against a boolean label
+    * — the eval metric a quality-filter pipeline reports at corpus
+    * scale. Computed WITHOUT ranking rows: scores collapse to a
+    * per-distinct-score (n_pos, n_neg) frame first, so the running-sum
+    * window runs over the score VOCABULARY (the BM25 stance), never the
+    * corpus; with ties handled by the standard half-credit
+    * (Mann-Whitney) convention.
+    *
+    * Exact integer throughout: auc_e6 = floor(1e6 · Σ_s nPos(s) ·
+    * (2·negBelow(s) + nNeg(s)) / (2·P·N)). One row out; degenerate
+    * inputs (P = 0 or N = 0) yield null.
+    */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__negBelow", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .agg(sum(col("__np")).cast("long").as("n_pos"),
+        sum(col("__nn")).cast("long").as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__negBelow") + col("__nn")))
+          .cast("long").as("__u2"))
+      .selectExpr("n_pos", "n_neg",
+        """CASE WHEN n_pos > 0 AND n_neg > 0
+          |  THEN (__u2 * 1000000L) div (2L * n_pos * n_neg)
+          |  ELSE NULL END AS auc_e6""".stripMargin)
+  }
+
+  /** Cohen's kappa between two categorical labelers — the
+    * inter-annotator / heuristic-vs-model agreement check a labeling
+    * pipeline runs before trusting either. Exact confusion counts (one
+    * (a, b) aggregate), then kappa = (D·N − S)/(N² − S) where D =
+    * agreements and S = Σ_c rowTotal(c)·colTotal(c) — ONE double
+    * division of exact BIGINTs at the end, identical on any engine.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val rowT = cells.groupBy(col("__a").as("__k"))
+      .agg(sum(col("__c")).as("__rt"))
+    val colT = cells.groupBy(col("__b").as("__k"))
+      .agg(sum(col("__c")).as("__ct"))
+    val s = rowT.join(colT, Seq("__k"))
+      .agg(coalesce(sum(col("__rt") * col("__ct")), lit(0L))
+        .cast("long").as("chance_mass"))
+    cells
+      .agg(sum(col("__c")).cast("long").as("n_total"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(lit(0L)))
+          .cast("long").as("n_agree"))
+      .crossJoin(s)
+      .selectExpr("n_total", "n_agree", "chance_mass",
+        """CASE WHEN n_total * n_total <> chance_mass
+          |  THEN CAST(n_agree * n_total - chance_mass AS DOUBLE)
+          |       / CAST(n_total * n_total - chance_mass AS DOUBLE)
+          |  ELSE NULL END AS kappa""".stripMargin)
+  }
+
   /** Per-document sentence segmentation stats — the document-structure
     * signal quality pipelines threshold on (wall-of-text pages have few,
     * very long "sentences"; listicles/boilerplate have many 2-word

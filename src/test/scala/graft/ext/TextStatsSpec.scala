@@ -369,6 +369,57 @@ class TextStatsSpec extends SparkTestBase {
     assert(got(4L) == (2L, 2L, 1L, 1000000L), "terminator runs collapse")
   }
 
+  test("hashedTermCounts: sparse triples, default hash in range, custom hash") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "cc")).toDF("doc_id", "text")
+    val fixed = TextStats.hashedTermCounts(docs, "doc_id", "text", 8,
+        Some(t => length(t) % 8))
+      .as[(Long, Int, Long)].collect().toSet
+    // aa and bb both hash to len 2 % 8 = 2 → counts merge in the bucket
+    assert(fixed == Set((1L, 2, 3L), (2L, 2, 1L)))
+    val dft = TextStats.hashedTermCounts(docs, "doc_id", "text", 8)
+      .as[(Long, Int, Long)].collect()
+    assert(dft.forall(r => r._2 >= 0 && r._2 < 8), "xxhash64 dims in range")
+    assert(dft.map(r => (r._1, r._3)).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap == Map(1L -> 3L, 2L -> 1L),
+      "counts conserved across buckets")
+  }
+
+  test("aucExact: hand-checked values — separable, ties, degenerate") {
+    def auc(rows: Seq[(Double, Boolean)]): Option[Long] = {
+      val r = TextStats.aucExact(rows.toDF("score", "label"),
+        "score", "label").collect()(0)
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfectly separable → 1.0
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false))) == Some(1000000L))
+    // perfectly inverted → 0.0
+    assert(auc(Seq((0.1, true), (0.9, false))) == Some(0L))
+    // all scores tied → 0.5 exactly (half credit)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, false))) == Some(500000L))
+    // one discordant pair of four: AUC = 3.5/4... compute: pos .9/.4,
+    // neg .6/.1 → pairs: (.9>.6),(.9>.1),(.4<.6),(.4>.1) → 3/4
+    assert(auc(Seq((0.9, true), (0.4, true), (0.6, false), (0.1, false)))
+      == Some(750000L))
+    // degenerate: single class → null
+    assert(auc(Seq((0.9, true), (0.1, true))) == None)
+  }
+
+  test("cohensKappa: hand-checked confusion, perfect and chance-level") {
+    def kappa(rows: Seq[(String, String)]): (Long, Long, Long, Double) = {
+      val r = TextStats.cohensKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val (n1, d1, _, k1) = kappa(Seq(("x", "x"), ("y", "y"), ("x", "x")))
+    assert(n1 == 3L && d1 == 3L && k1 == 1.0, "perfect agreement")
+    // the classic textbook 2x2: a=20,b=5,c=10,d=15 → kappa = 0.4
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val (_, _, _, k2) = kappa(rows)
+    // D=35, N=50, S=rowY*colY+rowN*colN=25*30+25*20=1250;
+    // kappa=(35*50-1250)/(2500-1250)=500/1250=0.4
+    assert(k2 == 0.4)
+  }
+
   test("sentenceStats: null ids dropped; text column not in output") {
     val in = Seq((Some(1L), "x."), (None, "y."))
       .toDF("doc_id", "text")
