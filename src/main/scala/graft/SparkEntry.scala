@@ -2926,6 +2926,28 @@ object SparkEntry {
         .select(ext.TextStats.langId(col("text")).as("lang_pred"),
           col("lang"))
       ext.TextStats.cohensKappa(d, "lang_pred", "lang")
+    }),
+
+    // ext eval — calibration reliability bins for the quality score
+    // against the lang=='en' label: equal-width bins, exact-integer
+    // positive rate and floor-e6 mean score per bin.
+    "q172_calibration" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(ext.TextStats.qualityScore(col("text")).as("score"),
+          (col("lang") === "en").as("label"))
+      ext.TextStats.calibrationBins(d, "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+
+    // ext search — exact positional phrase match ("table value"):
+    // postings materialize for the phrase's terms only, adjacency is a
+    // (doc, pos+i) semi-join chain, and overlapping matches count — the
+    // oracle checks via an independent position-list join.
+    "q173_phrase_match" -> ((s, dir) => {
+      ext.TextStats.phraseMatch(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", "table value")
+        .orderBy("doc_id")
     })
   )
 
@@ -6683,7 +6705,41 @@ object SparkEntry {
          |      / CAST(t.n_total * t.n_total - s.chance_mass AS DOUBLE)
          |    ELSE NULL END AS kappa
          |FROM t, s""".stripMargin
-    }
+    },
+
+    // equal-width bins with the same floor-e6 integer arithmetic
+    "q172_calibration" -> {
+      s"""WITH d AS (
+         |  SELECT ${qualityScoreSql("text")} AS s,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL),
+         |b AS (
+         |  SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin, y,
+         |    CAST(floor(s * 1000000) AS BIGINT) AS s6
+         |  FROM d)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST((CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+         |    AS pos_rate_e6,
+         |  CAST(CAST(sum(s6) AS BIGINT) // count(*) AS BIGINT)
+         |    AS mean_score_e6
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    // independent replay: full position lists + an adjacency join
+    "q173_phrase_match" ->
+      """WITH arr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, u.i, a[u.i] AS t
+        |  FROM arr, unnest(generate_series(1, len(a))) u(i))
+        |SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+        |WHERE p1.t = 'table' AND p2.t = 'value'
+        |GROUP BY p1.doc_id
+        |ORDER BY p1.doc_id""".stripMargin
   )
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one

@@ -851,6 +851,66 @@ object TextStats {
           |  ELSE NULL END AS kappa""".stripMargin)
   }
 
+  /** Calibration reliability bins — is a [0,1] score PROBABILITY-shaped?
+    * Scores bucket into `bins` equal-width bins; each bin reports its
+    * count, positive count, exact-integer positive rate and mean score
+    * (floor-e6 per row BEFORE averaging, so the mean is a pure integer
+    * div both engines replay). One partial-agg exchange on the bin key;
+    * the reliability-diagram consumer plots bins, never rows.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col(labelCol).cast("long").as("__y"),
+        floor(col(scoreCol) * 1000000L).cast("long").as("__s6"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__y")).cast("long").as("n_pos"),
+        sum(col("__s6")).cast("long").as("__ssum"))
+      .selectExpr("bin", "n", "n_pos",
+        "(n_pos * 1000000L) div n AS pos_rate_e6",
+        "__ssum div n AS mean_score_e6")
+  }
+
+  /** Exact phrase search via positional postings — the inverted-index
+    * primitive BM25 lacks: find documents containing the words of
+    * `phrase` consecutively, with the match COUNT (overlapping matches
+    * included — the postings semantics, which substring replace-counting
+    * gets wrong).
+    *
+    * The scan explodes to (doc, pos) for ONLY the phrase's terms (the
+    * postings for everything else never materialize), then each
+    * adjacent pair joins on (doc, pos+i) — n−1 hash equi-joins whose
+    * sides are term-selectivity-sized, never corpus-sized. A real
+    * engine keeps the postings as a table; here they build in-scan,
+    * same join shape.
+    */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+                  phrase: String): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").toSeq
+    require(terms.size >= 2, "phrase must have at least 2 words")
+    val toks = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")))
+      .select(col(idCol), col("pos"), col("col").as("__t"))
+      .filter(col("__t").isin(terms.distinct: _*))
+    val first = toks.filter(col("__t") === terms.head)
+      .select(col(idCol), col("pos"))
+    val matched = terms.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(toks.filter(col("__t") === t)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"), "left_semi")
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+  }
+
   /** Per-document sentence segmentation stats — the document-structure
     * signal quality pipelines threshold on (wall-of-text pages have few,
     * very long "sentences"; listicles/boilerplate have many 2-word

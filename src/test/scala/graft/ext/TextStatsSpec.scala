@@ -420,6 +420,39 @@ class TextStatsSpec extends SparkTestBase {
     assert(k2 == 0.4)
   }
 
+  test("calibrationBins: bin edges, exact rates, top bin inclusive") {
+    val rows = Seq((0.05, true), (0.05, false), (0.05, false),
+      (0.95, true), (1.0, true))
+    val got = TextStats.calibrationBins(rows.toDF("score", "label"),
+        "score", "label", bins = 10)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(0) == (3L, 1L, 333333L, 50000L))
+    // score 1.0 clamps into bin 9, not a phantom bin 10
+    assert(got(9) == (2L, 2L, 1000000L, 975000L))
+  }
+
+  test("phraseMatch: consecutive only, overlapping counted, multi-word") {
+    val docs = Seq(
+      (1L, "a b c a b"),     // "a b" twice
+      (2L, "a c b"),          // non-adjacent: no match
+      (3L, "a a a a"),        // "a a" overlapping: 3 matches
+      (4L, "x y z"),
+      (5L, "a b c d"))        // 3-word phrase target
+      .toDF("doc_id", "text")
+    val ab = TextStats.phraseMatch(docs, "doc_id", "text", "a b")
+      .as[(Long, Long)].collect().toMap
+    assert(ab == Map(1L -> 2L, 5L -> 1L))
+    val aa = TextStats.phraseMatch(docs, "doc_id", "text", "a a")
+      .as[(Long, Long)].collect().toMap
+    assert(aa == Map(3L -> 3L), "overlapping matches all count")
+    val abc = TextStats.phraseMatch(docs, "doc_id", "text", "A B C")
+      .as[(Long, Long)].collect().toMap
+    assert(abc == Map(1L -> 1L, 5L -> 1L), "case-folded 3-word phrase")
+    intercept[IllegalArgumentException](
+      TextStats.phraseMatch(docs, "doc_id", "text", "single"))
+  }
+
   test("sentenceStats: null ids dropped; text column not in output") {
     val in = Seq((Some(1L), "x."), (None, "y."))
       .toDF("doc_id", "text")
