@@ -2948,6 +2948,44 @@ object SparkEntry {
           tbl(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", "table value")
         .orderBy("doc_id")
+    }),
+
+    // ext multimodal — perceptual image hashing (dHash + aHash) over REAL
+    // byte-decoded 18×16 textured BMPs: exact-integer 2×2 box sums
+    // downsample to the classic 9×8 grid, comparisons are division-free,
+    // and the oracle replays both 64-bit hashes closed-form over the
+    // pixel formula (full 64 bits via a HUGEINT two's-complement fold).
+    "q174_image_phash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "image",
+          ext.Multimodal.makeBmpTextured(id, 18, 16)))
+      ext.Multimodal.imageHashes(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("dhash"), col("ahash"))
+        .orderBy("doc_id")
+    }),
+
+    // ext multimodal dedup — image near-duplicate pairs: groups of 8
+    // consecutive doc_ids share one textured base image, each member
+    // perturbed at a different single pixel (≤2 dHash bits per member,
+    // so intra-group hamming ≤4); pairing is the pigeonhole band join
+    // over the 8-byte hashes — pixels never shuffle — which is LOSSLESS
+    // at distance ≤ 6, so the oracle is the plain all-pairs filter.
+    "q175_image_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val p = (id % 8).toInt
+          ext.Multimodal.Asset(id, "image",
+            ext.Multimodal.makeBmpTextured(id / 8, 18, 16,
+              flip = Some((p * 2, p))))
+        }
+      val hashes = ext.Multimodal.imageHashes(assets).toDF()
+        .select(col("asset_id").as("doc_id"), col("dhash"))
+      ext.Dedup.hammingPairs(hashes, "doc_id", "dhash", maxDistance = 6)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6739,8 +6777,82 @@ object SparkEntry {
         |FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
         |WHERE p1.t = 'table' AND p2.t = 'value'
         |GROUP BY p1.doc_id
-        |ORDER BY p1.doc_id""".stripMargin
+        |ORDER BY p1.doc_id""".stripMargin,
+
+    // closed-form replay of both 64-bit perceptual hashes over the
+    // textured pixel formula: 2×2 box sums (gray, so the 1000× luma
+    // scale cancels out of every comparison), HUGEINT bit fold, then
+    // the two's-complement cast back to BIGINT
+    "q174_image_phash" ->
+      s"""${imageHashCtes("(d.doc_id * 31 + u.x * u.x" +
+            " + (3 + d.doc_id % 5) * u.x * v.y" +
+            " + (7 + d.doc_id % 11) * v.y) % 256")}
+         |SELECT dh.doc_id,
+         |  ${hugeToLong("dh.h")} AS dhash,
+         |  ${hugeToLong("ah.h")} AS ahash
+         |FROM dh JOIN ah USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // banded-pairing is lossless at hamming ≤ 6 (7 bands, pigeonhole),
+    // so the oracle is the straight all-pairs hamming filter over the
+    // closed-form dHashes of the grouped+perturbed images
+    "q175_image_neardup" ->
+      s"""${imageHashCtes(
+            "((d.doc_id // 8) * 31 + u.x * u.x" +
+            " + (3 + (d.doc_id // 8) % 5) * u.x * v.y" +
+            " + (7 + (d.doc_id // 8) % 11) * v.y" +
+            " + CASE WHEN u.x = 2 * (d.doc_id % 8) AND v.y = d.doc_id % 8" +
+            " THEN 96 ELSE 0 END) % 256")},
+         |hh AS (
+         |  SELECT doc_id, ${hugeToLong("h")} AS dhash FROM dh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+         |FROM hh a JOIN hh b ON b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
+    * from `valExpr` over the 18×16 textured BMP, exact 2×2 box sums, and
+    * the dHash/aHash bit folds as HUGEINT (bit 63 overflows BIGINT mid-
+    * sum; [[hugeToLong]] folds back to two's complement at the end) —
+    * mirroring [[ext.Multimodal.imageHashes]] at the 9×8 grid.
+    */
+  private def imageHashCtes(valExpr: String): String =
+    s"""WITH px AS (
+       |  SELECT d.doc_id, u.x, v.y, $valExpr AS val
+       |  FROM documents d,
+       |    unnest(generate_series(0, 17)) AS u(x),
+       |    unnest(generate_series(0, 15)) AS v(y)),
+       |bx AS (
+       |  SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+       |    CAST(sum(val) AS BIGINT) AS s
+       |  FROM px GROUP BY doc_id, gx, gy),
+       |dh AS (
+       |  SELECT a.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN b.s > a.s
+       |      THEN (1::HUGEINT << (a.gy * 8 + a.gx)) ELSE 0::HUGEINT END),
+       |      0) AS HUGEINT) AS h
+       |  FROM bx a JOIN bx b ON b.doc_id = a.doc_id AND b.gy = a.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8
+       |  GROUP BY a.doc_id),
+       |tot AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
+       |  FROM bx WHERE gx < 8 GROUP BY doc_id),
+       |ah AS (
+       |  SELECT b.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN b.s * 64 > t.t
+       |      THEN (1::HUGEINT << (b.gy * 8 + b.gx)) ELSE 0::HUGEINT END),
+       |      0) AS HUGEINT) AS h
+       |  FROM bx b JOIN tot t USING (doc_id)
+       |  WHERE b.gx < 8
+       |  GROUP BY b.doc_id)""".stripMargin
+
+  /** HUGEINT bit-fold → two's-complement BIGINT (bit 63 set ⇒ negative). */
+  private def hugeToLong(h: String): String =
+    s"CAST($h - CASE WHEN $h >= (1::HUGEINT << 63) " +
+      s"THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END AS BIGINT)"
 
   /** Personalized-PageRank round CTEs shared by q133/q134: per round one
     * dangling-mass scalar m = (D·85)//100 (anti-join sum over the previous

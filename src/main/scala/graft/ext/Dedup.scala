@@ -297,7 +297,25 @@ object Dedup {
     * bit_count(xor) then dedups false positives.
     */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxDistance: Int = 3): DataFrame = {
+                        maxDistance: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol), simhash(col(textCol)).as("sk")),
+      idCol, "sk", maxDistance)
+
+  /** Pigeonhole near-dup pairs over ANY precomputed 64-bit hash column
+    * (SimHash, image dHash, audio fingerprint…): split the 64 bits into
+    * maxDistance+1 bands — a pair within hamming distance d agrees
+    * exactly on ≥1 band (d differing bits cannot dirty d+1 disjoint
+    * bands), so an equi-join per band finds every true pair without
+    * O(n²). Exact check via bit_count(xor) then dedups the multi-band
+    * false positives. LOSSLESS: banded ∪ verify ≡ all-pairs filter
+    * (asserted brute-force in DedupSpec).
+    *
+    * Shuffle profile at scale: (id, band, band_bits) rows — ~20 B each,
+    * payload never moves; the per-bucket self-join is bounded by bucket
+    * population (hash-distributed unless the corpus is degenerate).
+    */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxDistance: Int = 3): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 64), got $maxDistance")
     val numBands = maxDistance + 1
@@ -305,7 +323,7 @@ object Dedup {
     // (1L << 64) wraps to 1 (JVM shifts are mod 64): maxDistance=0 needs
     // the all-bits mask or every row lands in one shared band bucket.
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    val withSketch = df.select(col(idCol), simhash(col(textCol)).as("sk"))
+    val withSketch = df.select(col(idCol), col(hashCol).cast("long").as("sk"))
 
     val banded = withSketch.select(
       col(idCol), col("sk"),

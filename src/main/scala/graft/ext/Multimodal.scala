@@ -771,6 +771,164 @@ object Multimodal {
     out
   }
 
+  /** Deterministic TEXTURED 24-bit BMP: gray pixel
+    * v(x,y) = (seed·31 + x² + (3 + seed%5)·xy + (7 + seed%11)·y) mod 256,
+    * optionally with ONE pixel perturbed by +`flipDelta` (mod 256) — the
+    * controlled near-duplicate generator behind the perceptual-hash
+    * gates. Unlike [[makeBmp]]'s smooth gradient (whose difference hash
+    * degenerates to all-ones away from the wrap diagonal), the
+    * SEED-DEPENDENT xy/y coefficients change the comparison structure
+    * itself between seeds (a seed-only offset would shift every pixel by
+    * the same constant and leave most box comparisons untouched), so two
+    * images hash close iff their seeds match — and a single-pixel flip
+    * moves exactly one downsample box, i.e. at most two dHash bits.
+    */
+  def makeBmpTextured(seed: Long, width: Int, height: Int,
+                      flip: Option[(Int, Int)] = None,
+                      flipDelta: Int = 96): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val size = 54 + stride * height
+    val out = new Array[Byte](size)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putInt(2, size); putInt(10, 54); putInt(14, 40)
+    putInt(18, width); putInt(22, height)
+    out(26) = 1; out(28) = 24 // planes, bpp (compression stays 0)
+    var y = 0
+    while (y < height) {
+      val row = 54 + y * stride
+      var x = 0
+      while (x < width) {
+        val base = seed * 31 + x.toLong * x +
+          (3L + java.lang.Math.floorMod(seed, 5L)) * x * y +
+          (7L + java.lang.Math.floorMod(seed, 11L)) * y
+        val bump = if (flip.contains((x, y))) flipDelta.toLong else 0L
+        val v = java.lang.Math.floorMod(base + bump, 256L).toByte
+        out(row + 3 * x) = v; out(row + 3 * x + 1) = v; out(row + 3 * x + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 24-bit BMP → per-pixel luma-milli grid (299R + 587G + 114B, exact
+    * integers) in FILE-ROW order, row-major. Same header validation as
+    * [[decodeBmp]]; used by the perceptual hashes, which need pixels,
+    * not just the mean.
+    */
+  private[ext] def bmpLumaGrid(data: Array[Byte]): (Int, Int, Array[Long]) = {
+    require(data.length >= 54 && data(0) == 'B' && data(1) == 'M',
+      "not a BMP payload")
+    val pixelOffset = leInt(data, 10)
+    val width = leInt(data, 18)
+    val height = math.abs(leInt(data, 22))
+    val bpp = leShort(data, 28)
+    val compression = leInt(data, 30)
+    require(bpp == 24 && compression == 0,
+      s"only 24-bit uncompressed BMP supported here (bpp=$bpp, compression=$compression)")
+    require(width > 0 && height > 0 && pixelOffset >= 54,
+      s"malformed BMP header (width=$width, height=$height, offset=$pixelOffset)")
+    val stride = ((3L * width + 3) / 4) * 4
+    require(data.length >= pixelOffset + stride * height, "BMP payload truncated")
+    val grid = new Array[Long](width * height)
+    var y = 0
+    while (y < height) {
+      val row = (pixelOffset + y * stride).toInt
+      var x = 0
+      while (x < width) {
+        val b = data(row + 3 * x) & 0xFF
+        val g = data(row + 3 * x + 1) & 0xFF
+        val r = data(row + 3 * x + 2) & 0xFF
+        grid(y * width + x) = 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, grid)
+  }
+
+  /** Perceptual image hashes (asset_id, dhash, ahash), both 64-bit. */
+  final case class ImageHash(asset_id: Long, width: Int, height: Int,
+                             dhash: Long, ahash: Long)
+
+  /** Perceptual image hashing — the image-side analogue of SimHash for
+    * near-duplicate detection over a multimodal corpus:
+    *
+    *  - the decoded luma grid is downsampled to a (gridW × gridH) grid of
+    *    EXACT INTEGER box sums. Boxes are required to tile the image
+    *    exactly (width % gridW == 0, height % gridH == 0), so every box
+    *    has equal area and comparing box SUMS is identical to comparing
+    *    box means — no division, no rounding policy, bit-replicable by
+    *    an external engine;
+    *  - dHash: bit (x, y) = [S(x+1, y) > S(x, y)] over the first
+    *    gridW−1 columns — 64 bits at the classic 9×8 grid. Robust to
+    *    global brightness/contrast shifts (gradients survive affine
+    *    luma maps);
+    *  - aHash: bit (x, y) = [n·S(x, y) > ΣS] over the same
+    *    (gridW−1)×gridH cells (n = their count) — the mean-threshold
+    *    hash, again division-free by cross-multiplication.
+    *
+    * Feed the result to [[Dedup.hammingPairs]] for banded near-dup
+    * pairing: the hash is 8 bytes/image, so the pairwise stage never
+    * touches pixel data — the property that makes image dedup viable at
+    * 100 TB (hashes shuffle; payloads stay in the scan).
+    */
+  def imageHashes(assets: Dataset[Asset],
+                  gridW: Int = 9, gridH: Int = 8): Dataset[ImageHash] = {
+    require(gridW >= 2 && gridH >= 1, s"hash grid must be at least 2×1, got $gridW×$gridH")
+    require((gridW - 1) * gridH <= 64,
+      s"hash grid (${gridW - 1}×$gridH comparisons) exceeds 64 bits")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val (w, h, grid) = bmpLumaGrid(a.data)
+      require(w % gridW == 0 && h % gridH == 0,
+        s"image ($w×$h) must tile the hash grid ($gridW×$gridH) exactly")
+      val bw = w / gridW
+      val bh = h / gridH
+      val s = new Array[Long](gridW * gridH)
+      var y = 0
+      while (y < h) {
+        val gy = y / bh
+        var x = 0
+        while (x < w) {
+          s(gy * gridW + x / bw) += grid(y * w + x)
+          x += 1
+        }
+        y += 1
+      }
+      var dhash = 0L
+      var ahash = 0L
+      var total = 0L
+      val n = (gridW - 1) * gridH
+      var gy = 0
+      while (gy < gridH) {
+        var gx = 0
+        while (gx < gridW - 1) {
+          total += s(gy * gridW + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      gy = 0
+      while (gy < gridH) {
+        var gx = 0
+        while (gx < gridW - 1) {
+          val bit = gy * (gridW - 1) + gx
+          if (s(gy * gridW + gx + 1) > s(gy * gridW + gx)) dhash |= 1L << bit
+          if (s(gy * gridW + gx) * n > total) ahash |= 1L << bit
+          gx += 1
+        }
+        gy += 1
+      }
+      ImageHash(a.asset_id, w, h, dhash, ahash)
+    })
+  }
+
   /** Non-interlaced 8-bit truecolor PNG with gray pixel
     * v(x,y) = (seed + x + y) % 256 — same gradient as [[makeBmp]], so
     * the decoded luma has the same closed form an external oracle can

@@ -148,6 +148,31 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("hammingPairs: banded pairing equals brute force on random hashes") {
+    val rnd = new scala.util.Random(11)
+    // clusters of near-identical hashes + uniform noise, full 64-bit range
+    val base = (0 until 12).map(_ => rnd.nextLong())
+    val hs = (0 until 120).map { i =>
+      val h = if (i < 60) {
+        var v = base(i % 12)
+        (0 until rnd.nextInt(5)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        v
+      } else rnd.nextLong()
+      (i.toLong, h)
+    }
+    val df = hs.toDF("id", "h")
+    for (d <- Seq(0, 3, 6)) {
+      val fast = Dedup.hammingPairs(df, "id", "h", maxDistance = d)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (ia, ha) <- hs; (ib, hb) <- hs
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= d
+      } yield (ia, ib)).toSet
+      assert(fast == brute,
+        s"d=$d missing=${brute -- fast} extra=${fast -- brute}")
+    }
+  }
+
   test("simhashDuplicates: maxDistance=0 finds exact sketch matches only") {
     val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", maxDistance = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

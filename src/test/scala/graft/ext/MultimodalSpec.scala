@@ -579,4 +579,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.n_bytes == 4 && f.n_samples == 2 && f.duration_ms == 0)
     assert(f.rms == (('a' * 31 + 'd') % 1000).toDouble / 1000.0)
   }
+
+  /** Independent pixel-space reference for the perceptual hashes: the
+    * same textured formula evaluated directly (no BMP bytes, no box-sum
+    * loop order), downsampled by explicit 2×2 box sums.
+    */
+  private def refHashes(seed: Long, flip: Option[(Int, Int)]): (Long, Long) = {
+    def v(x: Int, y: Int): Long = {
+      val base = seed * 31 + x.toLong * x +
+        (3L + java.lang.Math.floorMod(seed, 5L)) * x * y +
+        (7L + java.lang.Math.floorMod(seed, 11L)) * y
+      val bump = if (flip.contains((x, y))) 96L else 0L
+      java.lang.Math.floorMod(base + bump, 256L)
+    }
+    val s = Array.ofDim[Long](8, 9)
+    for (y <- 0 until 16; x <- 0 until 18) s(y / 2)(x / 2) += v(x, y)
+    val total = (for (gy <- 0 until 8; gx <- 0 until 8) yield s(gy)(gx)).sum
+    var dh = 0L; var ah = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val bit = gy * 8 + gx
+      if (s(gy)(gx + 1) > s(gy)(gx)) dh |= 1L << bit
+      if (s(gy)(gx) * 64 > total) ah |= 1L << bit
+    }
+    (dh, ah)
+  }
+
+  test("imageHashes: dHash/aHash match a pixel-space reference incl. bit 63") {
+    val seeds = (0L until 40L) ++ Seq(250L, 251L, 252L) // wrap-heavy seeds
+    val assets = seeds.map(s =>
+      Multimodal.Asset(s, "image", Multimodal.makeBmpTextured(s, 18, 16))).toDS()
+    val got = Multimodal.imageHashes(assets).collect()
+      .map(h => h.asset_id -> ((h.dhash, h.ahash))).toMap
+    seeds.foreach { s =>
+      assert(got(s) == refHashes(s, None), s"seed $s")
+    }
+    // at least one seed must exercise the sign bit (the HUGEINT-fold
+    // edge of the oracle): dHash bit 63 is comparison (8,7) vs (7,7)
+    assert(seeds.exists(s => got(s)._1 < 0), "no seed set dHash bit 63")
+  }
+
+  test("imageHashes: one-pixel flip moves at most 2 dHash bits") {
+    val assets = (0 until 8).map { p =>
+      Multimodal.Asset(p.toLong, "image",
+        Multimodal.makeBmpTextured(7L, 18, 16, flip = Some((p * 2, p))))
+    }.toDS()
+    val hs = Multimodal.imageHashes(assets).collect()
+      .map(h => h.asset_id -> h.dhash).toMap
+    val (base, _) = refHashes(7L, None)
+    hs.values.foreach { h =>
+      assert(java.lang.Long.bitCount(h ^ base) <= 2)
+    }
+  }
+
+  test("imageHashes: non-tiling dimensions fail loudly") {
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      Multimodal.makeBmpTextured(1L, 10, 16))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageHashes(assets).collect()
+    }
+    assert(e.getMessage.contains("tile the hash grid")
+      || Option(e.getCause).exists(_.getMessage.contains("tile the hash grid")))
+  }
 }
