@@ -2986,6 +2986,50 @@ object SparkEntry {
         .select(col("asset_id").as("doc_id"), col("dhash"))
       ext.Dedup.hammingPairs(hashes, "doc_id", "dhash", maxDistance = 6)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ext archives — zstd frame ROUNDTRIP (the modern training-corpus
+    // codec; zstd-jni rides the Spark classpath): compress per doc in
+    // one map stage, decode through the real frame parser, gate on the
+    // recovered payload's digest. Compressed size is omitted from the
+    // gate (it is a zstd-library detail, not an engine semantic).
+    "q176_zstd_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val zs = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, ext.Archives.zstd(Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("doc_id", "zst")
+      ext.Archives.zstdInfos(zs, "doc_id", "zst").toDF()
+        .select(col("record_id").as("doc_id"), col("decompressed_bytes"),
+          col("decompressed_sha256"))
+        .orderBy("doc_id")
+    }),
+
+    // ext linkage — blocked fuzzy join (entity resolution): typo'd probe
+    // names re-linked to the name table through the (first char, ±2
+    // length band) blocking contract + native codegen'd Jaro–Winkler
+    // (byte-semantics pinned to DuckDB's, verified on adversarial
+    // pairs). The oracle replays the same blocking predicate, so the
+    // equi-join+explode blocking must lose exactly nothing. Score is
+    // round-e4: every gate value sits ≥0.01 from a rounding boundary
+    // (measured), so double noise cannot flip it.
+    "q177_fuzzy_join" -> ((s, dir) => {
+      val names = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          trim(lower(substring(col("text"), 1, 20))).as("name"))
+      val probes = names.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 90000).as("probe_id"),
+          expr("concat(substr(name,1,4), substr(name,6,1), " +
+            "substr(name,5,1), substr(name,7))").as("name"))
+      ext.Linkage.fuzzyJoin(probes, "probe_id", "name",
+          names, "doc_id", "name", threshold = 0.85, lengthBand = 2)
+        .select(col("id_l"), col("id_r"),
+          round(col("jw") * 10000).cast("long").as("jw_e4"))
+        .orderBy("id_l", "id_r")
     })
   )
 
@@ -6809,7 +6853,39 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
          |FROM hh a JOIN hh b ON b.doc_id > a.doc_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same shape as q161: the roundtrip must hand back exactly the utf-8
+    // payload, digest-checked from the raw text
+    "q176_zstd_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+        |    AS decompressed_bytes,
+        |  sha256(coalesce(text, '')) AS decompressed_sha256
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the full blocking contract in the WHERE clause: first char equal,
+    // length within the band, JW ≥ threshold (DuckDB's byte-based
+    // jaro_winkler_similarity is the pinned reference semantics)
+    "q177_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT doc_id, trim(lower(substr(text, 1, 20))) AS n
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |probes AS (
+        |  SELECT doc_id + 90000 AS id_l,
+        |    concat(substr(n, 1, 4), substr(n, 6, 1),
+        |      substr(n, 5, 1), substr(n, 7)) AS p
+        |  FROM names WHERE doc_id % 3 = 0)
+        |SELECT a.id_l, b.doc_id AS id_r,
+        |  CAST(round(jaro_winkler_similarity(a.p, b.n) * 10000) AS BIGINT)
+        |    AS jw_e4
+        |FROM probes a JOIN names b
+        |  ON substr(a.p, 1, 1) = substr(b.n, 1, 1)
+        |  AND abs(length(a.p) - length(b.n)) <= 2
+        |  AND length(a.p) > 0 AND length(b.n) > 0
+        |  AND jaro_winkler_similarity(a.p, b.n) >= 0.85
+        |ORDER BY id_l, id_r""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

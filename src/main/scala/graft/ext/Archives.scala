@@ -168,4 +168,44 @@ object Archives {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => gunzipInfo(id, bytes) })
   }
+
+  // ------------------------------------------------------------ zstd
+
+  /** Zstandard frame compress (zstd-jni, on the Spark classpath — Spark
+    * itself ships it for shuffle/parquet codecs). Level 3 is the zstd
+    * default; the simple-API path writes the frame content size into the
+    * header, which [[unzstdInfo]] relies on to pre-size the output.
+    */
+  def zstd(payload: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(payload, level)
+
+  /** Parse + decompress one zstd frame: magic checked by name, content
+    * size read from the frame header (frames without it — streaming
+    * writers — fail loudly rather than guess a buffer), payload digested
+    * for external comparison. Same info shape as [[gunzipInfo]] so the
+    * two codecs are interchangeable downstream.
+    */
+  def unzstdInfo(recordId: Long, data: Array[Byte]): GzipInfo = {
+    require(data.length >= 4 &&
+      (data(0) & 0xFF) == 0x28 && (data(1) & 0xFF) == 0xB5 &&
+      (data(2) & 0xFF) == 0x2F && (data(3) & 0xFF) == 0xFD,
+      "not a zstd frame (bad magic)")
+    val size = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+    require(size >= 0, s"zstd frame lacks a content-size header ($size)")
+    require(size <= Int.MaxValue, s"zstd frame too large ($size bytes)")
+    val payload = com.github.luben.zstd.Zstd.decompress(data, size.toInt)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(payload).map(b => f"${b & 0xFF}%02x").mkString
+    GzipInfo(recordId, data.length.toLong, payload.length.toLong, sha)
+  }
+
+  /** Lift (id, zstd_bytes) into parsed member info. */
+  def zstdInfos(df: DataFrame, idCol: String,
+                dataCol: String): Dataset[GzipInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(dataCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => unzstdInfo(id, bytes) })
+  }
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler similarity as a native codegen'd expression — the
+  * workhorse of entity resolution / record linkage (near-identical names,
+  * typo'd titles) where edit distance over-penalizes transpositions.
+  *
+  * Semantics pinned to the common byte-based reference implementation
+  * (verified empirically against DuckDB's `jaro_winkler_similarity` on
+  * 600 adversarial + random pairs, and on non-ASCII probes that
+  * discriminate byte- from codepoint-indexing — both engines walk UTF-8
+  * BYTES):
+  *
+  *  - either side empty → 0.0 (even when both are empty — equality does
+  *    NOT shortcut to 1.0 for "" vs "");
+  *  - byte-equal inputs → 1.0;
+  *  - Jaro: match window ⌊max(|a|,|b|)/2⌋ − 1 (floored at 0), greedy
+  *    left-to-right matching, transpositions = half the out-of-order
+  *    matched positions, j = (m/|a| + m/|b| + (m−t)/m) / 3;
+  *  - Winkler bonus only when j > 0.7: j + ℓ·0.1·(1−j) with ℓ = common
+  *    prefix length capped at 4.
+  *
+  * Scan-only and codegen'd: a fuzzy self-join's verify stage runs this
+  * inside WholeStageCodegen over the blocked candidate pairs — the
+  * blocking join (see `TextStats.fuzzyJoin`) keeps the pair count
+  * linear-ish, the expression keeps verification on the fast path.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinkler.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(l: UTF8String, r: UTF8String): Double = {
+    val a = l.getBytes
+    val b = r.getBytes
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (la == lb && java.util.Arrays.equals(a, b)) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!mb(j) && a(i) == b(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val j = (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    if (j > 0.7) {
+      var l4 = 0
+      val cap = math.min(4, math.min(la, lb))
+      while (l4 < cap && a(l4) == b(l4)) l4 += 1
+      j + l4 * 0.1 * (1.0 - j)
+    } else j
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -75,4 +75,25 @@ class ArchivesSpec extends SparkTestBase {
     val info = Archives.gunzipInfo(1L, Archives.gzip(Array.empty))
     assert(info.decompressed_bytes == 0L)
   }
+
+  test("zstd roundtrip: length and digest; corrupt fails by name") {
+    val payload = "zstd me é世 thrice".getBytes(UTF_8)
+    val info = Archives.unzstdInfo(9L, Archives.zstd(payload))
+    assert(info.decompressed_bytes == payload.length.toLong)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    assert(info.decompressed_sha256 ==
+      md.digest(payload).map(b => f"${b & 0xFF}%02x").mkString)
+    assert(info.compressed_bytes > 0L)
+    assert(intercept[IllegalArgumentException](
+      Archives.unzstdInfo(1L, "not zstd at all".getBytes(UTF_8)))
+      .getMessage.contains("magic"))
+    // truncated frame → zstd decode error (a flipped CONTENT byte is not
+    // guaranteed to fail: the simple-API frame carries no checksum)
+    val bad = java.util.Arrays.copyOf(Archives.zstd(payload),
+      Archives.zstd(payload).length - 4)
+    intercept[RuntimeException](Archives.unzstdInfo(1L, bad))
+    // empty payload round-trips too
+    assert(Archives.unzstdInfo(1L, Archives.zstd(Array.empty))
+      .decompressed_bytes == 0L)
+  }
 }

@@ -84,4 +84,14 @@ class ContainerPropertySpec extends SparkTestBase {
         md.digest(payload).map(b => f"${b & 0xFF}%02x").mkString, s"case $i")
     }
   }
+
+  test("zstd: arbitrary bytes decompress back to identical digests") {
+    sample(bytesGen, 40, 19L).zipWithIndex.foreach { case (payload, i) =>
+      val info = Archives.unzstdInfo(i.toLong, Archives.zstd(payload))
+      assert(info.decompressed_bytes == payload.length.toLong)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      assert(info.decompressed_sha256 ==
+        md.digest(payload).map(b => f"${b & 0xFF}%02x").mkString, s"case $i")
+    }
+  }
 }

@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.JaroWinkler
+import org.apache.spark.unsafe.types.UTF8String
+
+class LinkageSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaroWinkler: classic reference values") {
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 0.0)      // DuckDB parity: empty never matches
+    assert(jw("a", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0)
+  }
+
+  test("jaroWinkler: byte semantics (UTF-8), DuckDB parity values") {
+    // 'éé' vs 'ée': 4 vs 3 BYTES — byte-walk gives 0.7777…, a
+    // codepoint-walk would give 0.666…; pinned to the byte answer
+    assert(math.abs(jw("éé", "ée") - 0.7777777777777778) < 1e-15)
+  }
+
+  test("jaroWinkler: bonus only above 0.7, prefix capped at 4") {
+    // window=1 strands the tail 'a's: m=2, jaro=0.6 < 0.7 → NO bonus
+    // (DuckDB agrees: 0.6 exactly)
+    assert(jw("aaaaa", "aabbb") == 0.6)
+    // bonus path, prefix 4: jaro=(5/6+5/6+1)/3, jw = 0.9333… (DuckDB value)
+    assert(math.abs(jw("abcdef", "abcdxf") - 0.9333333333333333) < 1e-15)
+    // prefixes 5 and 6 both cap at 4 → identical value (DuckDB: 0.95 both)
+    val ja = jw("abcdefgh", "abcdexgh")
+    val jb = jw("abcdefgh", "abcdefxh")
+    assert(ja == jb && math.abs(ja - 0.95) < 1e-15)
+  }
+
+  test("jaroWinkler column: codegen path agrees with the static compute") {
+    val pairs = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("hello world", "helo wrld"), ("x", "x"), ("", "abc"))
+    val got = pairs.toDF("a", "b")
+      .select(Linkage.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == pairs.map { case (a, b) => jw(a, b) })
+  }
+
+  test("fuzzyJoin equals the brute-force blocking contract") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdef"
+    val names = (0 until 80).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(10)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    // planted typos of the first 30 names (swap two middle chars)
+    val probes = (0 until 30).map { i =>
+      val n = names(i)._2.toCharArray
+      if (n.length >= 4) { val t = n(1); n(1) = n(2); n(2) = t }
+      (1000L + i, new String(n))
+    }
+    val got = Linkage.fuzzyJoin(
+        probes.toDF("id", "name"), "id", "name",
+        names.toDF("id", "name"), "id", "name",
+        threshold = 0.8, lengthBand = 2)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val expect = (for {
+      (ip, p) <- probes; (in, n) <- names
+      if p.nonEmpty && n.nonEmpty && p(0) == n(0) &&
+        math.abs(p.length - n.length) <= 2 && jw(p, n) >= 0.8
+    } yield (ip, in)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(expect.nonEmpty, "degenerate spec: no pairs planted")
+  }
+
+  test("fuzzyJoin: null and empty names never match") {
+    val l = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "abc"))
+      .toDF("id", "name")
+    val r = Seq((10L, "abc")).toDF("id", "name")
+    val got = Linkage.fuzzyJoin(l, "id", "name", r, "id", "name", 0.5, 2)
+      .select("id_l").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+}
