@@ -3030,6 +3030,31 @@ object SparkEntry {
         .select(col("id_l"), col("id_r"),
           round(col("jw") * 10000).cast("long").as("jw_e4"))
         .orderBy("id_l", "id_r")
+    }),
+
+    // ext pca — the distributed half of PCA: exact-integer d×d second
+    // moments in ONE pass with map-side combine (per-partition long
+    // accumulator; vectors never shuffle — only ≤ partitions·d²/2 skinny
+    // triples do). Terms are floored to e12 BEFORE summing, so the
+    // BIGINT sums are order-free and the oracle replays them exactly.
+    "q178_embed_moments" -> ((s, dir) => {
+      ext.Pca.momentMatrix(tbl(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")
+    }),
+
+    // ext pca — fit (Jacobi eigensolve on the driver-side 64×64 matrix)
+    // + projection to k=16 as Cx − Cμ inside one codegen'd scan.
+    // Engine-specific numerics (eigenvectors are not SQL-expressible):
+    // rows-only gate; PcaSpec pins orthonormality, eigen-residuals, and
+    // agreement with a dense in-memory reference.
+    "q179_pca_project" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = ext.Pca.fit(emb, "embedding", k = 16)
+      ext.Pca.project(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"),
+          array_join(transform(col("projection"),
+            x => round(x * 1000).cast("long")), ",").as("proj_e3"))
+        .orderBy("vec_id")
     })
   )
 
@@ -6885,7 +6910,25 @@ object SparkEntry {
         |  AND abs(length(a.p) - length(b.n)) <= 2
         |  AND length(a.p) > 0 AND length(b.n) > 0
         |  AND jaro_winkler_similarity(a.p, b.n) >= 0.85
-        |ORDER BY id_l, id_r""".stripMargin
+        |ORDER BY id_l, id_r""".stripMargin,
+
+    // the floor-then-sum moment replay: float→double widening and the
+    // (xi·xj)·1e12 product association mirror the engine exactly
+    "q178_embed_moments" ->
+      """WITH v AS (
+        |  SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL),
+        |t AS (
+        |  SELECT CAST(u.i AS INT) AS i, CAST(w.j AS INT) AS j,
+        |    CAST(floor((e[u.i + 1]::DOUBLE * e[w.j + 1]::DOUBLE)
+        |      * 1000000000000.0) AS BIGINT) AS term
+        |  FROM v,
+        |    unnest(generate_series(0, 63)) AS u(i),
+        |    unnest(generate_series(0, 63)) AS w(j)
+        |  WHERE w.j >= u.i)
+        |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(term) AS BIGINT) AS s2_e12
+        |FROM t GROUP BY i, j
+        |ORDER BY i, j""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
