@@ -3055,6 +3055,54 @@ object SparkEntry {
           array_join(transform(col("projection"),
             x => round(x * 1000).cast("long")), ",").as("proj_e3"))
         .orderBy("vec_id")
+    }),
+
+    // ext crawl — sitemap XML entry extraction: per-doc synthetic flat
+    // sitemaps (entries with/without optionals, one loc-less block that
+    // must be dropped, an even-id extra entry), exploded to one row per
+    // <url> via regexp_extract_all inside codegen. The oracle re-parses
+    // the identically-synthesized XML with DuckDB's RE2.
+    "q180_sitemap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        lit("<url><loc>https://d"), (id % 7).cast("string"),
+        lit(".example.com/p"), (id % 5).cast("string"),
+        lit("</loc><lastmod>2024-01-0"), ((id % 9) + 1).cast("string"),
+        lit("</lastmod><priority>0."), (id % 10).cast("string"),
+        lit("</priority></url>"),
+        lit("<url><loc> https://m"), (id % 3).cast("string"),
+        lit(".example.com/ </loc></url>"),
+        lit("<url><lastmod>2024-02-01</lastmod></url>"),
+        when(id % 2 === 0, lit("<url><loc>https://x.example.com/q</loc>" +
+          "<priority>1.0</priority></url>")).otherwise(lit("")),
+        lit("</urlset>"))
+      val maps = tbl(s, dir, "documents").filter(id.isNotNull)
+        .select(id, xml.as("xml"))
+      ext.WebUrl.parseSitemap(maps, "doc_id", "xml")
+        .orderBy("doc_id", "entry_index")
+    }),
+
+    // ext multimodal — charset sniffing over binary payloads: BOM
+    // dispatch + exact RFC 3629 UTF-8 well-formedness as a hex regex,
+    // pure codegen'd column expressions (no decode attempt — the router
+    // that must run BEFORE ANSI decode()). Payload mix per doc id covers
+    // every label; the oracle derives labels closed-form.
+    "q181_charset_sniff" -> ((s, dir) => {
+      val id = col("doc_id")
+      val utf8 = encode(col("text"), "UTF-8")
+      def bytesLit(bs: Int*): Column = lit(bs.map(_.toByte).toArray)
+      val payload = when(id % 5 === 0,
+          concat(bytesLit(0xEF, 0xBB, 0xBF), utf8))
+        .when(id % 5 === 1, concat(bytesLit(0xFF, 0xFE), utf8))
+        .when(id % 5 === 2, concat(bytesLit(0xFE, 0xFF), utf8))
+        .when(id % 5 === 3, concat(bytesLit(0xA9), utf8))
+        .when(id % 10 === 4, encode(concat(col("text"), lit("é")), "UTF-8"))
+        .otherwise(utf8)
+      tbl(s, dir, "documents")
+        .filter(id.isNotNull && col("text").isNotNull)
+        .select(id, ext.Multimodal.sniffCharset(payload).as("charset"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6928,7 +6976,61 @@ object SparkEntry {
         |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(term) AS BIGINT) AS s2_e12
         |FROM t GROUP BY i, j
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+
+    // identical XML synthesis, DuckDB RE2 re-parse: <url> blocks with
+    // ordinality, loc-less block dropped, ''→NULL optionals
+    "q180_sitemap" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    '<?xml version="1.0"?><urlset>'
+        |    || '<url><loc>https://d' || (doc_id % 7)
+        |    || '.example.com/p' || (doc_id % 5)
+        |    || '</loc><lastmod>2024-01-0' || ((doc_id % 9) + 1)
+        |    || '</lastmod><priority>0.' || (doc_id % 10)
+        |    || '</priority></url>'
+        |    || '<url><loc> https://m' || (doc_id % 3)
+        |    || '.example.com/ </loc></url>'
+        |    || '<url><lastmod>2024-02-01</lastmod></url>'
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN '<url><loc>https://x.example.com/q</loc><priority>1.0</priority></url>'
+        |         ELSE '' END
+        |    || '</urlset>' AS xml
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS l
+        |  FROM x),
+        |e AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS INT) AS entry_index, l[u.i] AS blk
+        |  FROM b, unnest(generate_series(1, len(l))) AS u(i))
+        |SELECT doc_id, entry_index,
+        |  regexp_extract(blk, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1) AS loc,
+        |  nullif(regexp_extract(blk, '<lastmod>\s*([^<]+?)\s*</lastmod>', 1), '')
+        |    AS lastmod,
+        |  nullif(regexp_extract(blk, '<priority>\s*([^<]+?)\s*</priority>', 1), '')
+        |    AS priority
+        |FROM e
+        |WHERE length(regexp_extract(blk, '<loc>\s*([^<\s][^<]*?)\s*</loc>', 1)) > 0
+        |ORDER BY doc_id, entry_index""".stripMargin,
+
+    // label derivation closed-form: BOM branches by id, the 0xA9 branch
+    // is structurally invalid UTF-8, 'é' forces the multibyte branch,
+    // and ascii-vs-utf8 falls out of octet-vs-char length
+    "q181_charset_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'utf-8-bom'
+        |    WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'utf-16be'
+        |    WHEN 3 THEN 'binary'
+        |    ELSE CASE
+        |      WHEN doc_id % 10 = 4 THEN 'utf-8'
+        |      WHEN octet_length(encode(text)) = length(text) THEN 'ascii'
+        |      ELSE 'utf-8' END
+        |  END AS charset
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -1217,6 +1217,45 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
+  /** Character-encoding sniff over an opaque binary column — the router
+    * a text-ingest runs before any `decode(…, 'UTF-8')` (which throws
+    * under ANSI on undeclared Latin-1): BOM dispatch first, then an
+    * exact UTF-8 well-formedness check as a regex over the payload HEX
+    * (pure column expressions, codegen'd, no decode attempt — the
+    * [[sniffMime]] technique). Labels:
+    *
+    *  - `utf-8-bom` / `utf-16le` / `utf-16be`: BOM present (UTF-16 LE
+    *    checked before the UTF-8 validity test — FF can never start a
+    *    well-formed UTF-8 sequence);
+    *  - `ascii`: every byte ≤ 0x7F;
+    *  - `utf-8`: well-formed multibyte UTF-8 (RFC 3629 table: C2–DF,
+    *    E0/ED half-ranges, F0/F4 quarter-ranges — overlongs and
+    *    surrogates REJECTED);
+    *  - `binary`: anything else (Latin-1 high bytes land here, as they
+    *    must: single high bytes are indistinguishable from binary
+    *    without a language model).
+    */
+  def sniffCharset(data: Column): Column = {
+    def bytesLit(bs: Int*): Column = lit(bs.map(_.toByte).toArray)
+    val asciiPair = "[0-7][0-9A-F]"
+    val cont = "[89AB][0-9A-F]"
+    val utf8Seq = s"(?:$asciiPair" +
+      s"|(?:C[2-9A-F]|D[0-9A-F])$cont" +
+      s"|E0[9AB][0-9A-F]$cont" +                 // E0 A0–BF: no overlongs
+      s"|(?:E[1-9ABCEF])$cont$cont" +            // E1–EC, EE, EF
+      s"|ED[89][0-9A-F]$cont" +                  // ED 80–9F: no surrogates
+      s"|F0[9AB][0-9A-F]$cont$cont" +            // F0 90–BF
+      s"|F[1-3]$cont$cont$cont" +
+      s"|F48[0-9A-F]$cont$cont)"                 // F4 80–8F: ≤ U+10FFFF
+    when(data.isNull, lit(null).cast("string"))
+      .when(substring(data, 1, 3) === bytesLit(0xEF, 0xBB, 0xBF), "utf-8-bom")
+      .when(substring(data, 1, 2) === bytesLit(0xFF, 0xFE), "utf-16le")
+      .when(substring(data, 1, 2) === bytesLit(0xFE, 0xFF), "utf-16be")
+      .when(hex(data).rlike(s"^(?:$asciiPair)*$$"), "ascii")
+      .when(hex(data).rlike(s"^$utf8Seq*$$"), "utf-8")
+      .otherwise("binary")
+  }
+
   /** Batch REAL-decode of WAV assets. */
   def wavFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
     val spark = assets.sparkSession

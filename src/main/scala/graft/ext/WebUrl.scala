@@ -249,4 +249,42 @@ object WebUrl {
         coalesce(col("__score") % 2L === 1L, lit(true)).as("allowed"),
         coalesce(expr("__score div 2"), lit(0L)).as("matched_len"))
   }
+
+  /** Sitemap (sitemaps.org XML) entry extraction — the crawl-frontier
+    * seed source next to [[robotsEvaluate]]: one output row per `<url>`
+    * block with its `<loc>` (required; blocks without one are dropped,
+    * per protocol), and optional `<lastmod>`/`<priority>`.
+    *
+    * Deliberately a REGEX-over-column pipeline, not an XML parser: a
+    * 100 TB crawl's sitemaps are overwhelmingly machine-generated flat
+    * XML, and `regexp_extract_all` + `explode` keeps extraction inside
+    * whole-stage codegen with zero per-row parser allocation. The
+    * documented contract is the flat subset: nested `<urlset>` inside
+    * CDATA or namespaced exotica are out of scope (they would need the
+    * full parser this operator intentionally is not).
+    */
+  def parseSitemap(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val blocks = df
+      .filter(col(idCol).isNotNull && col(xmlCol).isNotNull)
+      .select(col(idCol),
+        posexplode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1)))
+          .as(Seq("entry_index", "__block")))
+    blocks
+      .select(col(idCol), col("entry_index").cast("int").as("entry_index"),
+        regexp_extract(col("__block"), "<loc>\\s*([^<\\s][^<]*?)\\s*</loc>", 1)
+          .as("loc"),
+        regexp_extract(col("__block"), "<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1)
+          .as("lastmod"),
+        regexp_extract(col("__block"), "<priority>\\s*([^<]+?)\\s*</priority>", 1)
+          .as("priority"))
+      .filter(length(col("loc")) > 0)
+      .select(col(idCol), col("entry_index"), col("loc"),
+        // absent optional fields surface as NULL, not '' (regexp_extract
+        // returns '' on miss — normalize so downstream coalesce works)
+        when(length(col("lastmod")) === 0, lit(null)).otherwise(col("lastmod"))
+          .as("lastmod"),
+        when(length(col("priority")) === 0, lit(null)).otherwise(col("priority"))
+          .as("priority"))
+  }
 }

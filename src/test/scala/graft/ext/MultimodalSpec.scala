@@ -631,6 +631,40 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("sniffCharset: BOMs, ascii, well-formed UTF-8, binary") {
+    def sniff(payloads: Seq[Array[Byte]]): Seq[String] = {
+      val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "data")
+      df.select($"id", Multimodal.sniffCharset($"data").as("c"))
+        .orderBy("id").as[(Long, String)].collect().map(_._2).toSeq
+    }
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "hi".getBytes -> "utf-8-bom",
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 'h', 0, 'i', 0) -> "utf-16le",
+      Array[Byte](0xFE.toByte, 0xFF.toByte, 0, 'h', 0, 'i') -> "utf-16be",
+      "plain ascii\t\n".getBytes("UTF-8") -> "ascii",
+      "héllo 世界".getBytes("UTF-8") -> "utf-8",
+      Array.emptyByteArray -> "ascii",
+      // lone continuation byte → binary
+      Array[Byte](0xA9.toByte, 'a') -> "binary",
+      // Latin-1 'é' alone → binary (not valid UTF-8)
+      Array[Byte]('c', 'a', 'f', 0xE9.toByte) -> "binary",
+      // overlong encoding of '/' (C0 AF) must be REJECTED
+      Array[Byte](0xC0.toByte, 0xAF.toByte) -> "binary",
+      // CESU-8 surrogate half (ED A0 80) must be REJECTED
+      Array[Byte](0xED.toByte, 0xA0.toByte, 0x80.toByte) -> "binary",
+      // F4 90 would be > U+10FFFF → rejected
+      Array[Byte](0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte) -> "binary",
+      // max codepoint U+10FFFF (F4 8F BF BF) accepted
+      Array[Byte](0xF4.toByte, 0x8F.toByte, 0xBF.toByte, 0xBF.toByte) -> "utf-8",
+      // truncated multibyte tail → binary
+      "é".getBytes("UTF-8").dropRight(1) -> "binary")
+    val got = sniff(cases.map(_._1))
+    cases.zip(got).zipWithIndex.foreach { case (((_, expect), g), i) =>
+      assert(g == expect, s"case $i: got $g expected $expect")
+    }
+  }
+
   test("imageHashes: non-tiling dimensions fail loudly") {
     val assets = Seq(Multimodal.Asset(1L, "image",
       Multimodal.makeBmpTextured(1L, 10, 16))).toDS()

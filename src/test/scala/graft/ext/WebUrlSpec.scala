@@ -150,4 +150,32 @@ class WebUrlSpec extends SparkTestBase {
       .as[(Long, String, Boolean, Long)].collect()
     assert(out.map(_._1).toSeq == Seq(1L), "null url rows are dropped")
   }
+
+  test("parseSitemap: entries with ordinality, loc required, '' → NULL optionals") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://a.com/1</loc><lastmod>2024-01-02</lastmod><priority>0.8</priority></url>
+        |<url><loc>  https://a.com/2  </loc></url>
+        |<url><lastmod>2024-03-01</lastmod></url>
+        |<url><loc>https://a.com/3</loc><priority>  1.0 </priority></url>
+        |</urlset>""".stripMargin
+    val got = WebUrl.parseSitemap(Seq((7L, xml)).toDF("id", "xml"), "id", "xml")
+      .as[(Long, Int, String, Option[String], Option[String])]
+      .collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (7L, 0, "https://a.com/1", Some("2024-01-02"), Some("0.8")),
+      (7L, 1, "https://a.com/2", None, None),
+      // index 2 is the loc-less block — dropped, but ordinality of the
+      // surviving entries still reflects document order
+      (7L, 3, "https://a.com/3", None, Some("1.0"))))
+  }
+
+  test("parseSitemap: multiline blocks, null xml dropped, empty sitemap empty") {
+    val multiline = "<urlset><url>\n  <loc>\n    https://b.com/x\n  </loc>\n</url></urlset>"
+    val df = Seq((1L, multiline), (2L, null.asInstanceOf[String]),
+      (3L, "<urlset></urlset>")).toDF("id", "xml")
+    val got = WebUrl.parseSitemap(df, "id", "xml")
+      .as[(Long, Int, String, Option[String], Option[String])].collect().toSeq
+    assert(got == Seq((1L, 0, "https://b.com/x", None, None)))
+  }
 }
