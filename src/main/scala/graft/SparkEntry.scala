@@ -3103,6 +3103,24 @@ object SparkEntry {
         .filter(id.isNotNull && col("text").isNotNull)
         .select(id, ext.Multimodal.sniffCharset(payload).as("charset"))
         .orderBy("doc_id")
+    }),
+
+    // ext selection — DSIR importance weights (hashed word-bigram
+    // features, target = curated en subset vs the raw corpus): floored
+    // e12 ln terms make every per-doc sum an order-free BIGINT the
+    // oracle replays term-for-term; the dims-row weight table broadcasts
+    // into the scoring join, so raw documents never shuffle. The gate
+    // swaps xxhash64 bucketing for the q169 portable hash so both
+    // engines bucket identically.
+    "q182_importance_weights" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val target = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+      val portable = (g: Column) =>
+        ((length(g) * 7 + ascii(substring(g, 1, 1)) * 31
+          + ascii(substring(concat(g, lit("_")), 2, 1))) % 32).cast("int")
+      ext.TextStats.importanceWeights(docs, target, "doc_id", "text",
+          dims = 32, n = 2, hashDim = Some(portable))
+        .orderBy("doc_id")
     })
   )
 
@@ -7030,7 +7048,46 @@ object SparkEntry {
         |  END AS charset
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // full replay: canonicalized word bigrams, portable bucketing, both
+    // corpus distributions, smoothed floored-ln weights, per-doc sums
+    "q182_importance_weights" ->
+      """WITH cf AS (
+        |  SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    array_to_string(list_slice(t, u.i, u.i + 1), ' ') AS g
+        |  FROM cf, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
+        |gg AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(g) * 7 + ascii(substr(g, 1, 1)) * 31
+        |      + ascii(substr(g || '_', 2, 1))) % 32 AS INT) AS dim
+        |  FROM g WHERE g <> ''),
+        |rawf AS (
+        |  SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c
+        |  FROM gg GROUP BY doc_id, dim),
+        |tf AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS ct
+        |  FROM gg WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY dim),
+        |rf AS (SELECT dim, CAST(sum(c) AS BIGINT) AS cr FROM rawf GROUP BY dim),
+        |tot AS (
+        |  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tf) AS tt,
+        |         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rf) AS tr),
+        |w AS (
+        |  SELECT rf.dim,
+        |    CAST(floor(ln(CAST(coalesce(tf.ct, 0) + 1 AS DOUBLE)) * 1e12) AS BIGINT)
+        |    - CAST(floor(ln(CAST(tot.tt + 32 AS DOUBLE)) * 1e12) AS BIGINT)
+        |    - CAST(floor(ln(CAST(rf.cr + 1 AS DOUBLE)) * 1e12) AS BIGINT)
+        |    + CAST(floor(ln(CAST(tot.tr + 32 AS DOUBLE)) * 1e12) AS BIGINT) AS w
+        |  FROM rf LEFT JOIN tf ON tf.dim = rf.dim, tot)
+        |SELECT r.doc_id, CAST(sum(r.c) AS BIGINT) AS n_feats,
+        |  CAST(sum(r.c * w.w) AS BIGINT) AS logw_e12
+        |FROM rawf r JOIN w ON w.dim = r.dim
+        |GROUP BY r.doc_id
+        |ORDER BY r.doc_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

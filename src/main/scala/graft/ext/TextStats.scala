@@ -787,6 +787,67 @@ object TextStats {
       .agg(count(lit(1)).cast("long").as("n"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed word-n-gram features
+    * are under a small TARGET corpus (curated, in-domain) than under
+    * the raw corpus itself —
+    *   log w(doc) = Σ_features count·[ln p̂_target(b) − ln p̂_raw(b)]
+    * with add-one smoothing over the `dims` hash buckets. Feed the
+    * result to the weighted samplers (q100 family) for the resampling
+    * half.
+    *
+    * Integer-log stance (the NB/q121 idiom): each bucket weight is a
+    * BIGINT of floored e12-scaled lns, so per-document sums are
+    * order-free and external-engine-replayable. Plan shape: features
+    * hash-aggregate to (doc, bucket) counts; both corpus distributions
+    * collapse to ≤ dims rows; the weight table (dims rows) BROADCASTS
+    * into the scoring join — the raw corpus is scanned, never shuffled
+    * by anything wider than its own (doc, bucket) pairs. Buckets absent
+    * from the raw corpus need no weight (they can never be probed);
+    * buckets absent from the target get the smoothed ct=0 weight.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        dims: Int = 128, n: Int = 2,
+                        hashDim: Option[Column => Column] = None): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val h: Column => Column = hashDim.getOrElse(g =>
+      pmod(xxhash64(g), lit(dims.toLong)).cast("int"))
+    // raw sliding n-grams WITH duplicates (Dedup.shingles dedups to set
+    // semantics — right for Jaccard, wrong here: DSIR weights multiply
+    // by occurrence counts); short docs yield their single partial gram
+    def feats(df: DataFrame): DataFrame = {
+      val toks = split(Dedup.canonicalize(col(textCol)), " ")
+      val grams = transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))
+      df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol), explode(grams).as("__g"))
+        .filter(col("__g") =!= "")
+        .select(col(idCol), h(col("__g")).as("dim"))
+        .groupBy(col(idCol), col("dim"))
+        .agg(count(lit(1)).cast("long").as("__c"))
+    }
+    val rawFeats = feats(raw)
+    val tDist = feats(target).groupBy("dim").agg(sum(col("__c")).as("__ct"))
+    val rDist = rawFeats.groupBy("dim").agg(sum(col("__c")).as("__cr"))
+    val tTot = tDist.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
+    val rTot = rDist.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
+    val weights = rDist.join(tDist, Seq("dim"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("dim"),
+        (lnScaled(coalesce(col("__ct"), lit(0L)) + lit(1L))
+          - lnScaled(col("__tt") + lit(dims.toLong))
+          - lnScaled(col("__cr") + lit(1L))
+          + lnScaled(col("__tr") + lit(dims.toLong))).as("__w"))
+    rawFeats.join(broadcast(weights), Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).cast("long").as("n_feats"),
+        sum(col("__c") * col("__w")).cast("long").as("logw_e12"))
+  }
+
   /** Exact tie-aware ROC AUC of a score column against a boolean label
     * — the eval metric a quality-filter pipeline reports at corpus
     * scale. Computed WITHOUT ranking rows: scores collapse to a

@@ -461,4 +461,60 @@ class TextStatsSpec extends SparkTestBase {
       Seq("doc_id", "n_sentences", "total_words", "max_words", "mean_words_e6"))
     assert(out.count() == 1L)
   }
+
+  test("importanceWeights: in-memory replay; on-target docs score higher") {
+    val raw = Seq(
+      (1L, "solar panels convert sunlight into power"),
+      (2L, "solar panels power the grid"),
+      (3L, "cats chase laser dots all day"),
+      (4L, "dogs chase cats around the yard"),
+      (5L, "solar power beats coal power today")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "solar panels power homes"),
+      (11L, "solar power is clean power")).toDF("doc_id", "text")
+    val dims = 16
+    val got = TextStats.importanceWeights(raw, target, "doc_id", "text",
+        dims = dims, n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // in-memory reference with the same xxhash bucketing read back from
+    // the engine's own gram hash (bucketing is shared; the ln/floor
+    // arithmetic is what this test replays independently)
+    def grams(t: String): Seq[String] = {
+      val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length <= 2) Seq(toks.mkString(" "))
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val hashOf: Map[String, Int] = {
+      val all = (Seq(raw, target).flatMap(df =>
+        df.as[(Long, String)].collect().flatMap(r => grams(r._2)))).distinct
+      val hdf = all.toDF("g")
+        .select($"g", pmod(xxhash64($"g"), lit(dims.toLong)).cast("int").as("d"))
+        .as[(String, Int)].collect()
+      hdf.toMap
+    }
+    def counts(df: Seq[(Long, String)]): Map[(Long, Int), Long] =
+      df.flatMap { case (id, t) => grams(t).filter(_.nonEmpty).map(g => (id, hashOf(g))) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rawRows = raw.as[(Long, String)].collect().toSeq
+    val tgtRows = target.as[(Long, String)].collect().toSeq
+    val rawC = counts(rawRows)
+    val tDist = counts(tgtRows).groupBy(_._1._2).map { case (d, m) => d -> m.values.sum }
+    val rDist = rawC.groupBy(_._1._2).map { case (d, m) => d -> m.values.sum }
+    val (tt, tr) = (tDist.values.sum, rDist.values.sum)
+    def s(x: Long): Long = math.floor(math.log(x.toDouble) * 1e12).toLong
+    val expect = rawRows.map(_._1).map { id =>
+      val mine = rawC.filter(_._1._1 == id)
+      val lw = mine.map { case ((_, d), c) =>
+        c * (s(tDist.getOrElse(d, 0L) + 1) - s(tt + dims) -
+          s(rDist(d) + 1) + s(tr + dims))
+      }.sum
+      id -> ((mine.values.sum, lw))
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // semantic sanity: the solar docs outrank the cat/dog docs
+    val lwOf = got.view.mapValues(_._2).toMap
+    assert(Seq(1L, 2L, 5L).map(lwOf).min > Seq(3L, 4L).map(lwOf).max,
+      s"on-target docs must outscore off-target: $lwOf")
+  }
 }
