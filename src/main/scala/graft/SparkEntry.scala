@@ -3121,6 +3121,26 @@ object SparkEntry {
       ext.TextStats.importanceWeights(docs, target, "doc_id", "text",
           dims = 32, n = 2, hashDim = Some(portable))
         .orderBy("doc_id")
+    }),
+
+    // ext graph — k-core peeling (k=5, 4 fixed rounds): a mod-61
+    // quasi-random periphery (avg degree ~4, melts under k=5 over a
+    // genuine multi-round cascade) plus a planted 13-clique (the
+    // independent-residue pair (id%13, (id//13)%13) covers all 78
+    // edges) that survives as the core. Per round one degree aggregate
+    // + two semi-joins over edges that only shrink, lineage cut per
+    // round; fixed-count rounds keep the gate SQL-unrollable, the
+    // fixpoint property is spec-asserted.
+    "q183_kcore" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val e1 = d.select((col("doc_id") % 61).as("src"),
+        ((col("doc_id") * col("doc_id") + 1) % 61).as("dst"))
+      val e2 = d.select(((col("doc_id") * 3) % 61).as("src"),
+        ((col("doc_id") * 5 + 2) % 61).as("dst"))
+      val e3 = d.select((col("doc_id") % 13).as("src"),
+        (expr("doc_id div 13") % 13).as("dst"))
+      ext.LinkGraph.kCore(e1.union(e2).union(e3), k = 5, rounds = 4)
+        .orderBy("id")
     })
   )
 
@@ -7087,7 +7107,43 @@ object SparkEntry {
         |  CAST(sum(r.c * w.w) AS BIGINT) AS logw_e12
         |FROM rawf r JOIN w ON w.dim = r.dim
         |GROUP BY r.doc_id
-        |ORDER BY r.doc_id""".stripMargin
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // identical 4-round unroll: per round degrees over surviving
+    // undirected simple edges, keep ≥ k, re-restrict edges; final
+    // degrees re-counted and filtered like the engine's output stage
+    "q183_kcore" -> {
+      val k = 5
+      val rounds = (1 to 4).map { r =>
+        val prev = s"e${r - 1}"
+        s"""d$r AS (
+           |  SELECT id, count(*) AS d FROM (
+           |    SELECT a AS id FROM $prev UNION ALL SELECT b AS id FROM $prev)
+           |  GROUP BY id),
+           |k$r AS (SELECT id FROM d$r WHERE d >= $k),
+           |e$r AS (
+           |  SELECT e.a, e.b FROM $prev e
+           |  JOIN k$r x ON x.id = e.a
+           |  JOIN k$r y ON y.id = e.b)"""
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT doc_id % 61 AS src, (doc_id * doc_id + 1) % 61 AS dst
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT (doc_id * 3) % 61, (doc_id * 5 + 2) % 61
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id % 13, (doc_id // 13) % 13
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |e0 AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS id FROM e4 UNION ALL SELECT b AS id FROM e4)
+         |GROUP BY id HAVING count(*) >= $k
+         |ORDER BY id""".stripMargin
+    }
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -510,6 +510,54 @@ object LinkGraph {
       .select("id_a", "id_b", "id_c") // using-join put the keys first
   }
 
+  /** k-core peeling — the density filter a crawl/link analysis runs to
+    * find the graph's cohesive interior (spam farms and boilerplate
+    * link-rings melt away with the low-degree fringe): repeatedly drop
+    * every node whose UNDIRECTED simple-graph degree is below k, then
+    * recount, since removals reduce neighbors' degrees.
+    *
+    * Round semantics are FIXED-COUNT, not run-to-fixpoint, for the same
+    * reason as [[pageRank]]'s fixed 5 iterations: a deterministic,
+    * externally-replayable unrolling (the oracle unrolls the identical
+    * rounds in SQL). Peeling is monotone — once converged, further
+    * rounds are identity — so `rounds` is an upper bound the caller
+    * sizes to the graph's peel depth; the companion fixpoint check
+    * lives in the spec. Per round: one degree aggregate over the
+    * surviving edges + two semi-joins; edges only ever SHRINK, and
+    * lineage is cut each round so the plan stays flat at any `rounds`.
+    *
+    * Output: surviving (id, degree) pairs — degree as counted within
+    * the final core.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var e = PlanCapture.cut(und)
+    var r = 0
+    while (r < rounds) {
+      val deg = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select("id")
+      e = PlanCapture.cut(
+        e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .select("a", "b"))
+      r += 1
+    }
+    e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
+      .filter(col("degree") >= k)
+  }
+
   /** Anchor-text aggregation — how the web labels its own pages: the
     * top-k terms other pages use when LINKING to a target, the classic
     * off-page relevance signal (and, for curation, a second opinion on

@@ -397,4 +397,56 @@ class LinkGraphSpec extends SparkTestBase {
     assert(got == Set((10L, "spark", 3L, 1), (10L, "engine", 2L, 2),
       (11L, "one", 1L, 1), (11L, "two", 1L, 2)))
   }
+
+  /** In-memory peel-to-fixpoint reference for kCore. */
+  private def refKCore(edges: Set[(Long, Long)], k: Int,
+                       rounds: Int = Int.MaxValue): Map[Long, Long] = {
+    var e = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val ne = e.filter(p => keep(p._1) && keep(p._2))
+      changed = ne != e
+      e = ne
+      r += 1
+    }
+    e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).filter(_._2 >= k).toMap
+  }
+
+  test("kCore: planted clique survives, chain-and-tail periphery cascades off") {
+    // 6-clique + a pendant path 100-101-102 hanging off node 0
+    val clique = for (a <- 0L until 6L; b <- (a + 1) until 6L) yield (a, b)
+    val path = Seq((0L, 100L), (100L, 101L), (101L, 102L))
+    val edges = (clique ++ path).toDF("src", "dst")
+    val got = LinkGraph.kCore(edges, k = 3, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refKCore((clique ++ path).toSet, 3))
+    assert(got.keySet == (0L until 6L).toSet, "only the clique survives k=3")
+    assert(got.values.toSet == Set(5L), "clique-internal degrees")
+  }
+
+  test("kCore: randomized graph equals reference; enough rounds reach fixpoint") {
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 260).map(_ =>
+      (rnd.nextInt(48).toLong, rnd.nextInt(48).toLong)).toSet
+    val df = edges.toSeq.toDF("src", "dst")
+    for (k <- Seq(2, 4, 6)) {
+      val got = LinkGraph.kCore(df, k = k, rounds = 12)
+        .as[(Long, Long)].collect().toMap
+      assert(got == refKCore(edges, k), s"k=$k")
+    }
+    // fixed-round truncation is the documented semantics: 1 round on a
+    // cascading structure differs from fixpoint, and matches the
+    // reference truncated to the same round count
+    val cascade = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)) ++
+      (for (a <- 10L until 14L; b <- (a + 1) until 14L) yield (a, b))).toSet
+    val one = LinkGraph.kCore(cascade.toSeq.toDF("src", "dst"), k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == refKCore(cascade, 2, rounds = 1))
+  }
 }
