@@ -3141,6 +3141,28 @@ object SparkEntry {
         (expr("doc_id div 13") % 13).as("dst"))
       ext.LinkGraph.kCore(e1.union(e2).union(e3), k = 5, rounds = 4)
         .orderBy("id")
+    }),
+
+    // streaming — stream–stream interval join (view → purchase
+    // attribution within 30 min, same user): watermarks + the event-time
+    // bound are what make the state store finite on an unbounded stream;
+    // the identical plan replays in batch here (withWatermark is a
+    // documented batch no-op), so the oracle is a plain SQL interval
+    // join. Cross-batch matching and late-row eviction are spec-driven.
+    "q184_stream_interval_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      graft.streaming.StreamJoin.intervalJoin(views, buys, "user_id",
+          "ts", "ts", maxDelay = "30 minutes")
+        .select(col("l_event_id").as("view_id"),
+          col("r_event_id").as("purchase_id"),
+          col("l_user_id").as("user_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+            .as("micros_to_purchase"))
+        .orderBy("view_id", "purchase_id")
     })
   )
 
@@ -7143,7 +7165,22 @@ object SparkEntry {
          |  SELECT a AS id FROM e4 UNION ALL SELECT b AS id FROM e4)
          |GROUP BY id HAVING count(*) >= $k
          |ORDER BY id""".stripMargin
-    }
+    },
+
+    // the batch meaning of the interval join, verbatim
+    "q184_stream_interval_join" ->
+      s"""WITH e AS ($EventsCte)
+         |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+         |  v.user_id,
+         |  CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT)
+         |    AS micros_to_purchase
+         |FROM e v JOIN e p
+         |  ON p.user_id = v.user_id
+         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+         |WHERE v.user_id IS NOT NULL AND v.ts IS NOT NULL
+         |  AND p.ts IS NOT NULL
+         |ORDER BY view_id, purchase_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
