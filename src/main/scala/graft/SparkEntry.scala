@@ -3163,6 +3163,25 @@ object SparkEntry {
           (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
             .as("micros_to_purchase"))
         .orderBy("view_id", "purchase_id")
+    }),
+
+    // ext spectral — frame-wise FFT magnitude features over REAL PCM WAV
+    // bytes (in-repo radix-2 Cooley–Tukey inside the decoder batch
+    // walk): peak bin, e6 centroid, and the exact integer frame energy
+    // that must equal q146's time-domain number (spec-asserted).
+    // Rows-only: FFT magnitudes have no SQL closed form; numerics are
+    // pinned against a naive DFT + Parseval + known square waves.
+    "q185_spectral" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => ext.Multimodal.Asset(id, "audio",
+          ext.Multimodal.makeWav(id, 256)))
+      ext.Spectral.wavSpectral(assets, frameSamples = 64).toDF()
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("n_in_frame"), col("energy"), col("peak_bin"),
+          col("centroid_e6"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 

@@ -1263,6 +1263,48 @@ object Multimodal {
     assets.mapPartitions(_.map(a => decodeWav(a.asset_id, a.data)))
   }
 
+  /** 16-bit PCM samples of a plain PCM WAV (format 1) — the raw
+    * sample-domain view [[Spectral]] consumes. Same chunk-walk
+    * validation stance as [[decodeWav]], restricted to the one format
+    * where "the samples" is well-defined without a decoder state
+    * machine.
+    */
+  private[ext] def wavPcm(data: Array[Byte]): Array[Int] = {
+    require(data.length >= 44 &&
+      data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+      data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E',
+      "not a WAV payload")
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= data.length && (!fmtOk || dataOff < 0)) {
+      val id = new String(data.slice(off, off + 4), "US-ASCII")
+      val len = leInt(data, off + 4)
+      require(len >= 0 && off + 8 + len.toLong <= data.length,
+        s"malformed WAV chunk '$id' (len=$len at offset $off)")
+      if (id == "fmt ") {
+        require(len >= 16, s"malformed WAV fmt chunk (len=$len)")
+        require(leShort(data, off + 8) == 1, "wavPcm requires 16-bit PCM")
+        require(leShort(data, off + 22) == 16, "wavPcm requires 16-bit PCM")
+        fmtOk = true
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = len
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(fmtOk && dataOff >= 0, "WAV missing fmt/data chunk")
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (leShort(data, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      i += 1
+    }
+    out
+  }
+
   /** One fixed-size analysis frame of a PCM asset: exact-integer energy
     * (Σs², BIGINT — order-free, oracle-replayable) plus the derived
     * frame RMS. The last frame of an asset may be short (`n_in_frame`).
