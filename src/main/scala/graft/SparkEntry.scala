@@ -96,6 +96,18 @@ object SparkEntry {
       ext.Bpe.learn(tbl(s, dir, "documents"), "text",
         numMerges = 25, minPairCount = 2L))
 
+  /** q186/q187 share one unigram-LM vocabulary per data dir — the
+    * q112/q119 shared-learn lesson applied from day one. Same
+    * immutable-dir assumption as [[bpeMergeCache]].
+    */
+  private val unigramVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ext.UnigramLm.Piece]]
+
+  private def unigramVocab200(s: SparkSession, dir: String): Seq[ext.UnigramLm.Piece] =
+    unigramVocabCache.computeIfAbsent(dir, _ =>
+      ext.UnigramLm.learn(tbl(s, dir, "documents"), "text",
+        vocabSize = 200, maxPieceLen = 4, minCount = 2L))
+
   /** DuckDB expression mirroring `TextStats.qualityScore(text)`. */
   private def qualityScoreSql(t: String): String = {
     val stop = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3182,6 +3194,28 @@ object SparkEntry {
           col("n_in_frame"), col("energy"), col("peak_bin"),
           col("centroid_e6"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ext tokenizer — unigram-LM (SentencePiece-family) vocabulary:
+    // substring counts over the DISTINCT-WORD frame (never the corpus),
+    // chars force-included for coverage, (count DESC, piece ASC) total
+    // order, e12 log-probs. Unlike BPE's sequential merges this learn
+    // is fully SQL-replayable — the oracle re-runs the whole selection.
+    "q186_unigram_vocab" -> ((s, dir) => {
+      ext.UnigramLm.learnFrame(tbl(s, dir, "documents"), "text",
+        vocabSize = 200, maxPieceLen = 4, minCount = 2L)
+    }),
+
+    // ext tokenizer — exact Viterbi tokenization under the q186
+    // vocabulary (shared through the gate memo — the q112/q119 lesson):
+    // integer e12 scores, ties to fewer pieces then longer first piece.
+    // Rows-only by design (Viterbi replay is not SQL-expressible);
+    // the segmentation rules are spec-pinned against a plain reference.
+    "q187_unigram_tokenize" -> ((s, dir) => {
+      ext.UnigramLm.tokenize(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", unigramVocab200(s, dir), maxPieceLen = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -7199,7 +7233,37 @@ object SparkEntry {
          |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
          |WHERE v.user_id IS NOT NULL AND v.ts IS NOT NULL
          |  AND p.ts IS NOT NULL
-         |ORDER BY view_id, purchase_id""".stripMargin
+         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // the full selection replay: distinct-word substring counts,
+    // char-exempt minCount cut, chars-first ranked LIMIT, e12 log-probs
+    // against the selected-vocab total
+    "q186_unigram_vocab" ->
+      """WITH w AS (
+        |  SELECT word, CAST(sum(1) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL) t
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS (
+        |  SELECT substr(word, u.i, v.l) AS piece, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM w,
+        |    unnest(generate_series(1, length(word))) AS u(i),
+        |    unnest(generate_series(1, least(4, length(word) - u.i + 1))) AS v(l)
+        |  GROUP BY piece),
+        |kept AS (SELECT * FROM subs WHERE cnt >= 2 OR length(piece) = 1),
+        |ranked AS (
+        |  SELECT piece, cnt FROM kept
+        |  ORDER BY (CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) DESC,
+        |    cnt DESC, piece ASC
+        |  LIMIT 200),
+        |tot AS (SELECT CAST(greatest(sum(cnt), 1) AS BIGINT) AS t FROM ranked)
+        |SELECT piece, cnt AS count,
+        |  CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e12) AS BIGINT)
+        |    - CAST(floor(ln(CAST(tot.t AS DOUBLE)) * 1e12) AS BIGINT)
+        |    AS logp_e12
+        |FROM ranked, tot
+        |ORDER BY count DESC, piece ASC""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
