@@ -3216,6 +3216,23 @@ object SparkEntry {
           tbl(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", unigramVocab200(s, dir), maxPieceLen = 4)
         .orderBy("doc_id")
+    }),
+
+    // ext layout — parquet BLOOM-FILTER write + point-lookup read-back:
+    // the equality-probe pruning lever min/max stats can't give a
+    // high-cardinality key. The gate round-trips through a real
+    // bloom-enabled write and an equality-ish filtered read (values
+    // verified against the raw table); the footer-level assertions
+    // (filters present, membership answers) live in LayoutSpec.
+    "q188_bloom_layout" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "lang")
+      val dest = java.nio.file.Files.createTempDirectory("graft-bloom")
+        .toString + "/docs"
+      ext.Layout.writeWithBloomFilters(docs, dest, Seq("doc_id"),
+        ndvPerGroup = 1000L, numFiles = 4)
+      s.read.parquet(dest)
+        .filter(col("doc_id") % 37 === 1)
+        .orderBy("doc_id")
     })
   )
 
@@ -7263,7 +7280,13 @@ object SparkEntry {
         |    - CAST(floor(ln(CAST(tot.t AS DOUBLE)) * 1e12) AS BIGINT)
         |    AS logp_e12
         |FROM ranked, tot
-        |ORDER BY count DESC, piece ASC""".stripMargin
+        |ORDER BY count DESC, piece ASC""".stripMargin,
+
+    // value-level roundtrip check of the bloom-enabled write
+    "q188_bloom_layout" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 37 = 1
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -152,6 +152,41 @@ object Layout {
     zorderCluster(df, zCols, numFiles, bits)
       .write.mode("overwrite").option("compression", "snappy").parquet(dest)
 
+  /** Parquet write with COLUMN BLOOM FILTERS — the point-lookup pruning
+    * lever min/max statistics cannot provide: row-group min/max prunes
+    * RANGE predicates, but an equality probe on a high-cardinality,
+    * non-clustered key (doc_id, url hash, user id) matches every row
+    * group's [min, max] span and reads everything. A bloom filter per
+    * row group answers "is this value possibly here" in a few KB, so a
+    * needle query over 100 TB touches only the row groups that can
+    * match — this is the difference between a full-corpus scan and a
+    * hundred-row read when auditing one document's provenance.
+    *
+    * `ndvPerGroup` sizes the filter (parquet-mr derives bits from the
+    * expected distinct count; oversizing wastes footer bytes, UNDER-
+    * sizing inflates the false-positive rate and silently erodes the
+    * pruning back toward a full scan — size it to the real per-row-
+    * group NDV, not the table NDV). Readers get the pruning for free:
+    * Spark's vectorized parquet reader consults bloom filters for
+    * pushed equality filters automatically.
+    */
+  def writeWithBloomFilters(df: DataFrame, dest: String,
+                            bloomCols: Seq[String],
+                            ndvPerGroup: Long = 100000L,
+                            numFiles: Int = 0): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom-filter column")
+    require(ndvPerGroup > 0, s"ndvPerGroup must be positive, got $ndvPerGroup")
+    bloomCols.foreach(c => require(df.columns.contains(c), s"no column $c"))
+    val shaped = if (numFiles > 0) df.repartition(numFiles) else df
+    val w = bloomCols.foldLeft(
+      shaped.write.mode("overwrite").option("compression", "snappy")) {
+      (wr, c) =>
+        wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndvPerGroup.toString)
+    }
+    w.parquet(dest)
+  }
+
   /** Deterministic global shuffle-and-shard for training export — the
     * step between curation and the shard writer ("shuffle the corpus,
     * cut it into N shards, number the rows inside each"): every row gets

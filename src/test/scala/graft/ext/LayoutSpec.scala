@@ -139,4 +139,75 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Layout.shuffleShards(df, "id", 0))
     intercept[IllegalArgumentException](Layout.shuffleShards(df, "id", 70000))
   }
+
+  test("writeWithBloomFilters: footer filters exist and answer membership") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dest = java.nio.file.Files.createTempDirectory("graft-bloomspec")
+      .toString + "/t"
+    val df = (0L until 5000L).map(i => (i, s"name_$i")).toDF("id", "name")
+    Layout.writeWithBloomFilters(df, dest, Seq("id"),
+      ndvPerGroup = 5000L, numFiles = 2)
+    // roundtrip values first
+    assert(spark.read.parquet(dest).count() == 5000L)
+    val files = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 2)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    var present = 0L
+    var absentHits = 0
+    var absentProbes = 0
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try {
+        reader.getRowGroups.forEach { rg =>
+          val chunk = rg.getColumns.stream()
+            .filter(c => c.getPath.toDotString == "id").findFirst().get()
+          val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(chunk)
+          assert(bloom != null, s"no bloom filter for id in ${f.getName}")
+          // every written id must be (possibly) present — no false negatives
+          (0L until 5000L by 97L).foreach { v =>
+            if (bloom.findHash(bloom.hash(v))) present += 1
+          }
+          assert(present > 0)
+          // far-away values: SOME must be definitively absent (a filter
+          // that says yes to everything prunes nothing)
+          (1000000L until 1000200L).foreach { v =>
+            absentProbes += 1
+            if (bloom.findHash(bloom.hash(v))) absentHits += 1
+          }
+          // the name column was not requested: no bloom filter
+          val nameChunk = rg.getColumns.stream()
+            .filter(c => c.getPath.toDotString == "name").findFirst().get()
+          assert(reader.getBloomFilterDataReader(rg)
+            .readBloomFilter(nameChunk) == null)
+        }
+      } finally reader.close()
+    }
+    assert(absentHits < absentProbes / 2,
+      s"bloom filter useless: $absentHits/$absentProbes false positives")
+    // written ids never report absent (no false negatives): re-check all
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try {
+        val idsInFile = spark.read.parquet(f.getAbsolutePath)
+          .select("id").as[Long].collect()
+        reader.getRowGroups.forEach { rg =>
+          val chunk = rg.getColumns.stream()
+            .filter(c => c.getPath.toDotString == "id").findFirst().get()
+          val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(chunk)
+          idsInFile.foreach { v =>
+            assert(bloom.findHash(bloom.hash(v)), s"false negative for $v")
+          }
+        }
+      } finally reader.close()
+    }
+    intercept[IllegalArgumentException](
+      Layout.writeWithBloomFilters(df, dest, Seq.empty))
+    intercept[IllegalArgumentException](
+      Layout.writeWithBloomFilters(df, dest, Seq("nope")))
+  }
 }
