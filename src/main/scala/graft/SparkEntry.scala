@@ -3233,6 +3233,43 @@ object SparkEntry {
       s.read.parquet(dest)
         .filter(col("doc_id") % 37 === 1)
         .orderBy("doc_id")
+    }),
+
+    // ext audio curation — leading/trailing silence trim over REAL PCM
+    // WAV bytes: per-frame exact integer Σs², active span + energy per
+    // asset. Padded frames (lead = id%3, trail = (id//3)%2 of 5) keep
+    // makeWav's closed form, so the oracle replays every frame energy.
+    "q189_trim_silence" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          ext.Multimodal.Asset(id, "audio",
+            ext.Multimodal.makeWavPadded(id, 800,
+              lead = (id % 3).toInt, trail = ((id / 3) % 2).toInt))
+        }
+      ext.Multimodal.trimSilence(assets, frameSamples = 160).toDF()
+        .select(col("asset_id").as("doc_id"), col("n_frames"),
+          col("first_active"), col("last_active"),
+          col("n_active_frames"), col("active_sum_sq"))
+        .orderBy("doc_id")
+    }),
+
+    // ext crawl — per-host politeness schedule: rank within host in id
+    // order × the host's crawl delay (policy-bounded window; see the
+    // operator doc). Delays derive per-domain from the id so the oracle
+    // replays the config join and the ranking.
+    "q190_politeness" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://d"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 5).cast("string")).as("url"))
+      val delays = d.select(
+        concat(lit("d"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("domain"),
+        ((col("doc_id") % 7 + 1) * 250).as("delay_ms")).distinct()
+      ext.WebUrl.politenessSchedule(urls, "doc_id", "url", delays)
+        .orderBy("doc_id")
     })
   )
 
@@ -7286,6 +7323,53 @@ object SparkEntry {
     "q188_bloom_layout" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE doc_id % 37 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // frame energies in closed form (padded frames contribute 0), then
+    // the active-span aggregate; 800 samples = 5 frames of 160
+    "q189_trim_silence" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, CAST(u.i // 160 AS INT) AS f,
+        |    CASE WHEN (u.i // 160) < d.doc_id % 3
+        |           OR (u.i // 160) >= 5 - (d.doc_id // 3) % 2
+        |      THEN 0
+        |      ELSE (d.doc_id * 31 + u.i) % 65536 - 32768 END AS v
+        |  FROM documents d, unnest(generate_series(0, 799)) AS u(i)
+        |  WHERE d.doc_id IS NOT NULL),
+        |fe AS (
+        |  SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(5 AS INT) AS n_frames,
+        |  CAST(min(CASE WHEN e > 0 THEN f END) AS INT) AS first_active,
+        |  CAST(max(CASE WHEN e > 0 THEN f END) AS INT) AS last_active,
+        |  CAST(count(CASE WHEN e > 0 THEN 1 END) AS INT) AS n_active_frames,
+        |  CAST(coalesce(sum(CASE WHEN e > 0 THEN e END), 0) AS BIGINT)
+        |    AS active_sum_sq
+        |FROM fe GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same conservative-merge config join + per-host id-order rank
+    "q190_politeness" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://d' || (doc_id % 7) || '.example.com/p' || (doc_id % 5)
+        |      AS url,
+        |    'd' || (doc_id % 7) || '.example.com' AS host
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |del AS (
+        |  SELECT 'd' || (doc_id % 7) || '.example.com' AS host,
+        |    CAST(max((doc_id % 7 + 1) * 250) AS BIGINT) AS delay_ms
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT u.doc_id, u.url, u.host,
+        |    CAST(row_number() OVER (PARTITION BY u.host ORDER BY u.doc_id) - 1
+        |      AS BIGINT) AS fetch_seq,
+        |    del.delay_ms
+        |  FROM u LEFT JOIN del ON del.host = u.host)
+        |SELECT doc_id, url, host, fetch_seq,
+        |  CAST(fetch_seq * coalesce(delay_ms, 1000) AS BIGINT)
+        |    AS fetch_offset_ms
+        |FROM r
         |ORDER BY doc_id""".stripMargin
   )
 

@@ -1305,6 +1305,87 @@ object Multimodal {
     out
   }
 
+  /** Silence-trim summary of one PCM asset: total frame count, the
+    * first/last frame whose exact-integer energy exceeds the threshold
+    * (None when the whole asset is silent), the active frame count and
+    * the active-region energy sum.
+    */
+  final case class SilenceTrim(asset_id: Long, n_frames: Int,
+                               first_active: Option[Int],
+                               last_active: Option[Int],
+                               n_active_frames: Int,
+                               active_sum_sq: Long)
+
+  /** Leading/trailing-silence trimming over 16-bit PCM WAV assets — the
+    * first edit a speech-corpus curation pass makes (dead air at the
+    * ends of a recording is storage + training-token waste, and
+    * length-based quality heuristics mis-rank untrimmed audio). Frames
+    * of `frameSamples` samples are ACTIVE when their exact integer Σs²
+    * exceeds `thresholdSumSq` (default 0: any nonzero sample); the
+    * output is the per-asset active span — deterministic BIGINT
+    * arithmetic end to end, so the whole operator replays in SQL when
+    * the sample series has a closed form (gate q189).
+    *
+    * Same mapPartitions decoder-batch shape as [[wavFrameEnergy]]; one
+    * summary row per asset, payload never shuffles.
+    */
+  def trimSilence(assets: Dataset[Asset], frameSamples: Int = 160,
+                  thresholdSumSq: Long = 0L): Dataset[SilenceTrim] = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    require(thresholdSumSq >= 0, s"threshold must be >= 0, got $thresholdSumSq")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val pcm = wavPcm(a.data)
+      val nFrames = (pcm.length + frameSamples - 1) / frameSamples
+      var first = -1
+      var last = -1
+      var nActive = 0
+      var activeSum = 0L
+      var f = 0
+      while (f < nFrames) {
+        val start = f * frameSamples
+        val end = math.min(start + frameSamples, pcm.length)
+        var e = 0L
+        var i = start
+        while (i < end) { e += pcm(i).toLong * pcm(i); i += 1 }
+        if (e > thresholdSumSq) {
+          if (first < 0) first = f
+          last = f
+          nActive += 1
+          activeSum += e
+        }
+        f += 1
+      }
+      SilenceTrim(a.asset_id, nFrames,
+        if (first < 0) None else Some(first),
+        if (last < 0) None else Some(last),
+        nActive, activeSum)
+    })
+  }
+
+  /** [[makeWav]]'s sample series with `lead` leading and `trail`
+    * trailing SILENT frames (frame size 160) — the controlled input for
+    * the silence-trim gate; the non-silent samples keep makeWav's
+    * closed form so an external engine replays every frame energy.
+    */
+  def makeWavPadded(seed: Long, nSamples: Int, lead: Int, trail: Int,
+                    frameSamples: Int = 160): Array[Byte] = {
+    val nFrames = (nSamples + frameSamples - 1) / frameSamples
+    val raw = makeWav(seed, nSamples)
+    // zero out the padded frames in the data section (offset 44)
+    var i = 0
+    while (i < nSamples) {
+      val f = i / frameSamples
+      if (f < lead || f >= nFrames - trail) {
+        raw(44 + 2 * i) = 0
+        raw(44 + 2 * i + 1) = 0
+      }
+      i += 1
+    }
+    raw
+  }
+
   /** One fixed-size analysis frame of a PCM asset: exact-integer energy
     * (Σs², BIGINT — order-free, oracle-replayable) plus the derived
     * frame RMS. The last frame of an asset may be short (`n_in_frame`).

@@ -250,6 +250,45 @@ object WebUrl {
         coalesce(expr("__score div 2"), lit(0L)).as("matched_len"))
   }
 
+  /** Per-host politeness schedule — the frontier-to-fetch-plan step
+    * between [[robotsEvaluate]] (may we?) and the fetcher (when?): URLs
+    * rank within their host in deterministic id order and each gets a
+    * fetch offset of rank × the host's crawl delay (Crawl-delay
+    * directive or `defaultDelayMs`), so no host is hit faster than its
+    * declared rate no matter how many executors fetch in parallel.
+    *
+    * The per-host `row_number` window is safe HERE by construction:
+    * politeness itself bounds how many URLs a scheduling batch may hold
+    * per host (a host allowing one fetch per second gets ≤ 86 400 rows
+    * into a daily plan — queueing more is wasted state), so the window
+    * partition is policy-bounded, unlike the corpus-sized windows the
+    * two-phase bucket machinery exists for.
+    */
+  def politenessSchedule(urls: DataFrame, idCol: String, urlCol: String,
+                         delays: DataFrame, domainCol: String = "domain",
+                         delayCol: String = "delay_ms",
+                         defaultDelayMs: Long = 1000L): DataFrame = {
+    require(defaultDelayMs >= 0, s"defaultDelayMs must be >= 0, got $defaultDelayMs")
+    val u = urls
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .select(col(idCol), col(urlCol), hostOf(col(urlCol)).as("host"))
+    val d = delays
+      .select(lower(col(domainCol)).as("host"),
+        col(delayCol).cast("long").as("__delay"))
+      .filter(col("host").isNotNull && col("__delay").isNotNull &&
+        col("__delay") >= 0)
+      // one delay per host: a duplicated config row must not fan out
+      // the join — max is the conservative (slowest) merge
+      .groupBy("host").agg(max(col("__delay")).as("__delay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col(idCol))
+    u.join(d, Seq("host"), "left")
+      .withColumn("fetch_seq", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col(urlCol), col("host"), col("fetch_seq"),
+        (col("fetch_seq") * coalesce(col("__delay"), lit(defaultDelayMs)))
+          .as("fetch_offset_ms"))
+  }
+
   /** Sitemap (sitemaps.org XML) entry extraction — the crawl-frontier
     * seed source next to [[robotsEvaluate]]: one output row per `<url>`
     * block with its `<loc>` (required; blocks without one are dropped,

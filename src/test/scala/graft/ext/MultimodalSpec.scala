@@ -665,6 +665,42 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("trimSilence: active span, all-silent None, threshold cut") {
+    // 3 frames of 4 samples: silent / loud / silent
+    val pcm = Array(0, 0, 0, 0, 100, -200, 300, -50, 0, 0, 0, 0)
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val out = Multimodal.makeWavPadded(1L, samples.length, 0, 0, 4)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        out(44 + 2 * i) = s.toByte; out(44 + 2 * i + 1) = (s >> 8).toByte
+      }
+      out
+    }
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio", wav(pcm)),
+      Multimodal.Asset(2L, "audio", wav(new Array[Int](12)))).toDS()
+    val got = Multimodal.trimSilence(assets, frameSamples = 4).collect()
+      .map(t => t.asset_id -> t).toMap
+    val loudE = 100L * 100 + 200L * 200 + 300L * 300 + 50L * 50
+    assert(got(1L) == Multimodal.SilenceTrim(1L, 3, Some(1), Some(1), 1, loudE))
+    assert(got(2L) == Multimodal.SilenceTrim(2L, 3, None, None, 0, 0L))
+    // a threshold above the loud frame's energy silences it too
+    val cut = Multimodal.trimSilence(assets, frameSamples = 4,
+      thresholdSumSq = loudE).collect().map(t => t.asset_id -> t).toMap
+    assert(cut(1L).first_active.isEmpty && cut(1L).n_active_frames == 0)
+  }
+
+  test("makeWavPadded: padded frames zero, interior keeps makeWav's series") {
+    val lead = 2; val trail = 1
+    val padded = Multimodal.makeWavPadded(9L, 800, lead, trail)
+    val plain = Multimodal.makeWav(9L, 800)
+    for (i <- 0 until 800) {
+      val f = i / 160
+      val lo = padded(44 + 2 * i); val hi = padded(44 + 2 * i + 1)
+      if (f < lead || f >= 5 - trail) assert(lo == 0 && hi == 0, s"sample $i")
+      else assert(lo == plain(44 + 2 * i) && hi == plain(44 + 2 * i + 1))
+    }
+  }
+
   test("imageHashes: non-tiling dimensions fail loudly") {
     val assets = Seq(Multimodal.Asset(1L, "image",
       Multimodal.makeBmpTextured(1L, 10, 16))).toDS()

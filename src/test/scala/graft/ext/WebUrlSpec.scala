@@ -170,6 +170,31 @@ class WebUrlSpec extends SparkTestBase {
       (7L, 3, "https://a.com/3", None, Some("1.0"))))
   }
 
+  test("politenessSchedule: per-host id-order ranks × delay; defaults; dup config") {
+    val urls = Seq(
+      (3L, "https://a.com/x"), (1L, "https://a.com/y"), (2L, "https://a.com/z"),
+      (5L, "https://b.com/q"), (9L, "https://nowhere.org/n"))
+      .toDF("id", "url")
+    // duplicate config rows for a.com: the SLOWEST (max) must win
+    val delays = Seq(("a.com", 500L), ("A.COM", 2000L), ("b.com", 100L))
+      .toDF("domain", "delay_ms")
+    val got = WebUrl.politenessSchedule(urls, "id", "url", delays)
+      .select("id", "fetch_seq", "fetch_offset_ms")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((1L, 2000L)))
+    assert(got(3L) == ((2L, 4000L)))
+    assert(got(5L) == ((0L, 0L)))
+    // unknown host → default 1000 ms spacing (rank 0 here)
+    assert(got(9L) == ((0L, 0L)))
+    val twoUnknown = WebUrl.politenessSchedule(
+        urls.union(Seq((10L, "https://nowhere.org/m")).toDF("id", "url")),
+        "id", "url", delays)
+      .filter($"host" === "nowhere.org")
+      .select("id", "fetch_offset_ms").as[(Long, Long)].collect().toMap
+    assert(twoUnknown == Map(9L -> 0L, 10L -> 1000L))
+  }
+
   test("parseSitemap: multiline blocks, null xml dropped, empty sitemap empty") {
     val multiline = "<urlset><url>\n  <loc>\n    https://b.com/x\n  </loc>\n</url></urlset>"
     val df = Seq((1L, multiline), (2L, null.asInstanceOf[String]),
