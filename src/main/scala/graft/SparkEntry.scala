@@ -3270,6 +3270,29 @@ object SparkEntry {
         ((col("doc_id") % 7 + 1) * 250).as("delay_ms")).distinct()
       ext.WebUrl.politenessSchedule(urls, "doc_id", "url", delays)
         .orderBy("doc_id")
+    }),
+
+    // ext capstone — perplexity-bucketed mixture curation (the DoReMi/
+    // CCNet shape): corpus-LM score each en document (q124's exact
+    // machinery), bucket by fluency band, then fill each band to a
+    // fixed token budget with the exact two-phase sampler (q108's
+    // machinery). The oracle chains the stage oracles; bucket cuts are
+    // safe because the oracle replays the identical double expression
+    // tree, not because the cuts dodge the data.
+    "q191_perplexity_mix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val scored = ext.TextStats.bigramLogProbScore(
+        docs.filter(col("lang") === "en"), "doc_id", "text")
+      val base = scored
+        .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("bucket",
+          when(col("mean_lp") >= -3.35, "high")
+            .when(col("mean_lp") >= -3.40, "mid")
+            .otherwise("low"))
+      ext.Sampling.tokenBudgetPerGroup(base, "doc_id", "bucket", "n_chars",
+          budget = 6000L)
+        .select("doc_id", "bucket", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -7370,6 +7393,50 @@ object SparkEntry {
         |  CAST(fetch_seq * coalesce(delay_ms, 1000) AS BIGINT)
         |    AS fetch_offset_ms
         |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // chains q124's scoring replay (identical double tree → identical
+    // buckets) into q108's per-group budget window
+    "q191_perplexity_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+        |bi AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+        |        FROM d WHERE len(t) >= 2)),
+        |toks AS (SELECT unnest(t) AS term FROM d),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |c2 AS (SELECT term, count(*) AS c2 FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CAST(floor(ln(0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |      + 0.25 * (CAST(c2.c2 AS DOUBLE) / n)) * 1e12) AS BIGINT) AS lp
+        |  FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |    JOIN c2 ON b.w2 = c2.term CROSS JOIN tot),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(lp) AS DOUBLE) / 1e12 / count(*) AS mean_lp
+        |  FROM sc GROUP BY doc_id),
+        |bk AS (
+        |  SELECT m.doc_id,
+        |    CASE WHEN m.mean_lp >= -3.35 THEN 'high'
+        |         WHEN m.mean_lp >= -3.40 THEN 'mid'
+        |         ELSE 'low' END AS bucket,
+        |    doc.n_chars
+        |  FROM m JOIN documents doc ON doc.doc_id = m.doc_id)
+        |SELECT doc_id, bucket, n_chars FROM (
+        |  SELECT doc_id, bucket, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY bucket
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM bk
+        |  WHERE doc_id IS NOT NULL AND bucket IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars >= 0)
+        |WHERE cum <= 6000
         |ORDER BY doc_id""".stripMargin
   )
 

@@ -817,12 +817,12 @@ object TextStats {
       pmod(xxhash64(g), lit(dims.toLong)).cast("int"))
     // raw sliding n-grams WITH duplicates (Dedup.shingles dedups to set
     // semantics — right for Jaccard, wrong here: DSIR weights multiply
-    // by occurrence counts); short docs yield their single partial gram
+    // by occurrence counts); short docs yield their single partial gram.
+    // The codegen'd native kernel builds grams 6× faster than a
+    // transform/slice higher-order-function chain (measured at sf0.1).
     def feats(df: DataFrame): DataFrame = {
       val toks = split(Dedup.canonicalize(col(textCol)), " ")
-      val grams = transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))
+      val grams = graft.functions.SketchFunctions.wordNgramsAll(toks, n)
       df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
         .select(col(idCol), explode(grams).as("__g"))
         .filter(col("__g") =!= "")
@@ -830,7 +830,9 @@ object TextStats {
         .groupBy(col(idCol), col("dim"))
         .agg(count(lit(1)).cast("long").as("__c"))
     }
-    val rawFeats = feats(raw)
+    // the raw feature frame feeds BOTH the corpus distribution and the
+    // scoring join — cut so the tokenize+hash scan runs once, not twice
+    val rawFeats = graft.plans.PlanCapture.cut(feats(raw))
     val tDist = feats(target).groupBy("dim").agg(sum(col("__c")).as("__ct"))
     val rDist = rawFeats.groupBy("dim").agg(sum(col("__c")).as("__cr"))
     val tTot = tDist.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))

@@ -81,7 +81,8 @@ case class SimHash(child: Expression) extends UnaryExpression {
   * native pass (the HOF form allocates a slice copy and joins strings
   * through interpreted lambdas per position).
   */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgrams(child: Expression, n: Int, dedup: Boolean = true)
+    extends UnaryExpression {
 
   require(n > 0, s"word_ngrams window must be positive, got $n")
 
@@ -95,11 +96,14 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    SketchHelper.wordNgrams(input.asInstanceOf[ArrayData], n)
+    if (dedup) SketchHelper.wordNgrams(input.asInstanceOf[ArrayData], n)
+    else SketchHelper.wordNgramsAll(input.asInstanceOf[ArrayData], n)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (dedup) "wordNgrams" else "wordNgramsAll"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchHelper.wordNgrams($c, $n);")
+      s"${ev.value} = graft.functions.SketchHelper.$fn($c, $n);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
@@ -240,6 +244,33 @@ object SketchHelper {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** [[wordNgrams]] with DUPLICATES KEPT, in window order — the counting
+    * form (DSIR features, LM transition counts) where occurrence
+    * frequency is the signal set semantics would destroy.
+    */
+  def wordNgramsAll(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else arr.getUTF8String(i)
+      i += 1
+    }
+    val count = math.max(len - n + 1, 1)
+    val out = new Array[Any](count)
+    i = 0
+    while (i < count) {
+      val end = math.min(i + n, len)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = toks(j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenModeCount(arr: ArrayData): Int = {
     val len = arr.numElements()
     if (len == 0) return 0
@@ -348,6 +379,9 @@ object SketchFunctions {
 
   def wordNgrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n))
+
+  def wordNgramsAll(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n, dedup = false))
 
   def markerCounts(tokens: Column, markerSets: Seq[Seq[String]]): Column =
     ColumnBridge.column(MarkerCounts(ColumnBridge.expression(tokens), markerSets))
