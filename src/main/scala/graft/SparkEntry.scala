@@ -3293,6 +3293,44 @@ object SparkEntry {
           budget = 6000L)
         .select("doc_id", "bucket", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // ext capstone — crawl-frontier INGEST: discovered sitemaps parse to
+    // entries (q180 machinery), URLs canonical-dedup across discoverers
+    // (q143 machinery: case/tracking-param variants collapse, min id
+    // survives), and the surviving frontier schedules per host under
+    // politeness delays (q190 machinery). Synthesized locs keep the
+    // canonical forms closed-form, so the oracle chains id arithmetic
+    // instead of re-parsing.
+    "q192_frontier_ingest" -> ((s, dir) => {
+      val id = col("doc_id")
+      val locA = concat(
+        when(id % 2 === 0, lit("HTTPS://D")).otherwise(lit("https://d")),
+        (id % 7).cast("string"),
+        when(id % 2 === 0, lit(".Example.COM/p")).otherwise(lit(".example.com/p")),
+        (id % 5).cast("string"),
+        when(id % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
+      val locB = concat(lit("https://m"), (id % 3).cast("string"),
+        lit(".example.com/q"), (id % 11).cast("string"))
+      val xml = concat(lit("<urlset><url><loc>"), locA,
+        lit("</loc></url><url><loc>"), locB, lit("</loc></url></urlset>"))
+      val maps = tbl(s, dir, "documents").filter(id.isNotNull)
+        .select(id, xml.as("xml"))
+      val entries = ext.WebUrl.parseSitemap(maps, "doc_id", "xml")
+        .select((col("doc_id") * 4 + col("entry_index")).as("url_id"),
+          col("loc").as("url"))
+      val deduped = ext.WebUrl.dedupByCanonicalUrl(entries, "url", "url_id")
+      val d = tbl(s, dir, "documents").filter(id.isNotNull)
+      val delays = d.select(
+        concat(lit("d"), (id % 7).cast("string"),
+          lit(".example.com")).as("domain"),
+        ((id % 7 + 1) * 250).as("delay_ms")).distinct()
+      ext.WebUrl.politenessSchedule(
+          deduped.select(col("url_id"), col("url_canon")),
+          "url_id", "url_canon", delays)
+        .select(col("url_id"), col("host"), col("fetch_seq"),
+          col("fetch_offset_ms"))
+        .orderBy("url_id")
     })
   )
 
@@ -7437,7 +7475,41 @@ object SparkEntry {
         |  WHERE doc_id IS NOT NULL AND bucket IS NOT NULL
         |    AND n_chars IS NOT NULL AND n_chars >= 0)
         |WHERE cum <= 6000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // id-arithmetic replay of the chained stages: canonical forms are
+    // closed-form by construction; dedup keeps min url_id per canonical;
+    // the politeness rank runs over the survivors in url_id order
+    "q192_frontier_ingest" ->
+      """WITH e AS (
+        |  SELECT doc_id * 4 + 0 AS url_id,
+        |    'https://d' || (doc_id % 7) || '.example.com/p' || (doc_id % 5)
+        |      AS canon,
+        |    'd' || (doc_id % 7) || '.example.com' AS host
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1,
+        |    'https://m' || (doc_id % 3) || '.example.com/q' || (doc_id % 11),
+        |    'm' || (doc_id % 3) || '.example.com'
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |surv AS (
+        |  SELECT min(url_id) AS url_id, canon, host
+        |  FROM e GROUP BY canon, host),
+        |del AS (
+        |  SELECT 'd' || (doc_id % 7) || '.example.com' AS host,
+        |    CAST(max((doc_id % 7 + 1) * 250) AS BIGINT) AS delay_ms
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT s.url_id, s.host,
+        |    CAST(row_number() OVER (PARTITION BY s.host ORDER BY s.url_id) - 1
+        |      AS BIGINT) AS fetch_seq,
+        |    del.delay_ms
+        |  FROM surv s LEFT JOIN del ON del.host = s.host)
+        |SELECT url_id, host, fetch_seq,
+        |  CAST(fetch_seq * coalesce(delay_ms, 1000) AS BIGINT)
+        |    AS fetch_offset_ms
+        |FROM r
+        |ORDER BY url_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
