@@ -3331,6 +3331,58 @@ object SparkEntry {
         .select(col("url_id"), col("host"), col("fetch_seq"),
           col("fetch_offset_ms"))
         .orderBy("url_id")
+    }),
+
+    // sink/source format — CSV structured parse with the PERMISSIVE
+    // corrupt channel (the q166/q10 stance for the third text format):
+    // quoted fields with embedded commas parse, an unclosed quote
+    // swallows the line tail into the field AND flags the corrupt
+    // column (observed univocity behavior, pinned), plain rows parse
+    // clean. Synthesis is id arithmetic, so the oracle is closed-form.
+    "q193_csv_parse" -> ((s, dir) => {
+      val id = col("doc_id")
+      val line = when(id % 13 === 0,
+          concat(id.cast("string"), lit(",\"unclosed,"),
+            (id % 7).cast("string")))
+        .when(id % 3 === 0,
+          concat(id.cast("string"), lit(",\"w "), (id % 5).cast("string"),
+            lit(", x\","), (id % 7).cast("string")))
+        .otherwise(
+          concat(id.cast("string"), lit(",w"), (id % 5).cast("string"),
+            lit(","), (id % 7).cast("string")))
+      tbl(s, dir, "documents").filter(id.isNotNull)
+        .select(id, line.as("__line"))
+        .withColumn("__p", from_csv(col("__line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, label STRING, n INT, _bad STRING"),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad")))
+        .select(col("doc_id"), col("__p.id").as("id"),
+          col("__p.label").as("label"), col("__p.n").as("n"),
+          col("__p._bad").as("corrupt_record"))
+        .orderBy("doc_id")
+    }),
+
+    // streaming — continuous CDC upsert (latest-wins current state):
+    // the events stream replayed in three arrival batches; the final
+    // state per user is the max-(ts, event_id) row REGARDLESS of batch
+    // order (latest-wins by version, not arrival — the batch split is
+    // deliberately not time-ordered). Buckets rewrite only when
+    // touched; the oracle is a plain argmax window over all events.
+    "q194_stream_cdc" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      val batches = (0 to 2).map(i => e.filter(col("event_id") % 3 === i))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q194").toString + "/cdc"
+      graft.streaming.StreamingMerge.byBatch(s, batches, store,
+          "user_id", orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          unix_micros(col("ts")).as("last_ts_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -7509,7 +7561,37 @@ object SparkEntry {
         |  CAST(fetch_seq * coalesce(delay_ms, 1000) AS BIGINT)
         |    AS fetch_offset_ms
         |FROM r
-        |ORDER BY url_id""".stripMargin
+        |ORDER BY url_id""".stripMargin,
+
+    // the pinned PERMISSIVE semantics in closed form: unclosed-quote
+    // rows keep the parsed prefix (id), swallow the tail into label,
+    // null the rest, and carry the whole line in the corrupt column
+    "q193_csv_parse" ->
+      """SELECT doc_id,
+        |  doc_id AS id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'unclosed,' || (doc_id % 7)
+        |       WHEN doc_id % 3 = 0 THEN 'w ' || (doc_id % 5) || ', x'
+        |       ELSE 'w' || (doc_id % 5) END AS label,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 7 AS INT) END AS n,
+        |  CASE WHEN doc_id % 13 = 0
+        |       THEN doc_id || ',"unclosed,' || (doc_id % 7)
+        |       ELSE NULL END AS corrupt_record
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // batch-split-independent final state = one argmax over all events
+    "q194_stream_cdc" ->
+      s"""WITH e AS ($EventsCte)
+         |SELECT user_id, event_id AS last_event_id,
+         |  event_type AS last_type,
+         |  CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM e WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+         |WHERE rn = 1
+         |ORDER BY user_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
