@@ -3383,6 +3383,20 @@ object SparkEntry {
           col("event_type").as("last_type"),
           unix_micros(col("ts")).as("last_ts_us"))
         .orderBy("user_id")
+    }),
+
+    // ext similarity — hard-negative mining for contrastive training:
+    // per anchor the k most-similar DIFFERENT-label vectors, exclusion
+    // before ranking, broadcast anchors + bounded k-heaps (the corpus
+    // never shuffles). The oracle replays the label-filtered cosine
+    // ranking over the cross product.
+    "q195_hard_negatives" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val anchors = em.filter(col("vec_id") < 8)
+      ext.Similarity.hardNegatives(em, anchors,
+          "vec_id", "embedding", "label", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -7591,7 +7605,28 @@ object SparkEntry {
          |    ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM e WHERE user_id IS NOT NULL AND ts IS NOT NULL)
          |WHERE rn = 1
-         |ORDER BY user_id""".stripMargin
+         |ORDER BY user_id""".stripMargin,
+
+    // q15's cosine replay with the different-label cut applied BEFORE
+    // the rank window — exactly the engine's exclusion-then-rank order
+    "q195_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 8 AND label IS NOT NULL),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN embeddings e
+        |  WHERE e.label IS NOT NULL AND e.label <> q.ql)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -625,6 +625,41 @@ object Similarity {
     * tie-breaks to the SMALLEST neighbor id — the q54 idiom), exploded to
     * (query_id, neighbor_id, cosine, rank).
     */
+  /** Hard-negative mining — the batch-construction step of contrastive
+    * embedding training (and of retrieval-model distillation): for each
+    * anchor, the k corpus vectors MOST similar to it among those with a
+    * DIFFERENT label. Random negatives are trivially separable and
+    * teach nothing; the near-boundary ones here are where the loss
+    * actually moves. The exclusion runs BEFORE ranking, as it must —
+    * top-k-then-filter would return fewer than k negatives whenever
+    * same-label neighbors crowd the head.
+    *
+    * Plan shape: anchors (+their labels) broadcast; the corpus is
+    * scanned, never shuffled, and ranking is the bounded per-query
+    * k-heap (TopKAgg), not a window over scored pairs. The anchor set
+    * is the batch being trained — small by construction; an
+    * all-vs-all mining pass routes through the IVF join family
+    * instead.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    anchorIdCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = broadcast(anchors
+      .filter(col(anchorIdCol).isNotNull && col(vecCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(anchorIdCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"), col(labelCol).as("__q_label")))
+    val matched = corpus
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm"), col(labelCol).as("__c_label"))
+      .join(a) // broadcast nested-loop: corpus never shuffles
+      .filter(col("__c_label") =!= col("__q_label"))
+    heapTopKPerQuery(k)(matched)
+  }
+
   private def heapTopKPerQuery(k: Int)(matched: DataFrame): DataFrame =
     matched
       .select(col("query_id"),

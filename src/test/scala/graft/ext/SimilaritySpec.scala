@@ -417,4 +417,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(0) == Seq(2.0, 3.0, 4.0))
     assert(out(1) == Seq(10.0, 0.0, -2.0))
   }
+
+  test("hardNegatives equals label-filtered brute force; never same-label") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), i % 4)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val anchors = df.filter($"vec_id" < 5)
+    val got = Similarity.hardNegatives(df, anchors,
+        "vec_id", "embedding", "label", "vec_id", k = 7)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until 8).map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt((0 until 8).map(i => a(i).toDouble * a(i)).sum)
+      val nb = math.sqrt((0 until 8).map(i => b(i).toDouble * b(i)).sum)
+      if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    vecs.filter(_._1 < 5).foreach { case (qid, qv, ql) =>
+      val expect = vecs.filter(_._3 != ql)
+        .map(v => (v._1, cos(qv, v._2)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(7).map(_._1).toSeq
+      assert(got(qid) == expect, s"anchor $qid")
+      got(qid).foreach(n => assert(byId(n)._3 != ql, s"same-label $n"))
+    }
+  }
 }
