@@ -3397,6 +3397,24 @@ object SparkEntry {
           "vec_id", "embedding", "label", "vec_id", k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ext versioning — corpus snapshot diff: prev = docs without the
+    // %17 slice, next = docs without the %19 slice and with the %11
+    // slice's text rewritten — so the diff must report added (in next
+    // only), removed (in prev only) and changed (digest differs), and
+    // NOTHING else. Digests join, documents never shuffle.
+    "q196_snapshot_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val prev = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val next = d.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("edited: "), col("text"))).otherwise(col("text"))
+            .as("text"))
+      ext.Merge.snapshotDiff(prev, next, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -7626,7 +7644,21 @@ object SparkEntry {
         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |FROM scored
         |QUALIFY rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // membership by the mod slices; changed = the rewritten %11 slice
+    // present on both sides
+    "q196_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'added'
+        |       WHEN doc_id % 19 = 0 THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM d
+        |WHERE (doc_id % 17 = 0 AND doc_id % 19 <> 0)
+        |   OR (doc_id % 19 = 0 AND doc_id % 17 <> 0)
+        |   OR (doc_id % 11 = 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

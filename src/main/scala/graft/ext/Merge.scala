@@ -57,4 +57,34 @@ object Merge {
       .select(keys.map(col) ++ payload.toSeq.map(c => col(s"__m.$c").as(c)): _*)
     upsert(base, latest, keys)
   }
+
+  /** Snapshot diff — the audit step between two corpus versions (what a
+    * recrawl/reprocess actually changed, before anyone retrains on it):
+    * per id, `added` (only in `next`), `removed` (only in `prev`), or
+    * `changed` (both, different content digest). Unchanged rows are NOT
+    * emitted — at corpus scale the diff is the small output, the
+    * identity is the big one.
+    *
+    * Shuffle profile: both sides collapse to (id, md5) pairs before the
+    * one full-outer join — 16-byte digests move, never documents (the
+    * exact-dedup stance). Null-id rows identify nothing and are dropped
+    * from both sides.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame,
+                   idCol: String, contentCol: String): DataFrame = {
+    // presence travels as its own flag: a NULL content digest must read
+    // as "present with null content", never as "row absent"
+    def digests(df: DataFrame, p: String, d: String): DataFrame = df
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), lit(true).as(p),
+        md5(col(contentCol).cast("string")).as(d))
+    digests(prev, "__pp", "__dp")
+      .join(digests(next, "__pn", "__dn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__pp").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__dp") <=> col("__dn")), "changed")
+          .otherwise("unchanged").as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
 }

@@ -61,4 +61,25 @@ class MergeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"expected the anti join to broadcast the update keys:\n$plan")
   }
+
+  test("snapshotDiff: added/removed/changed only; null content is a value") {
+    val prev = Seq(
+      (Option(1L), "a"), (Option(2L), "b"), (Option(3L), "c"),
+      (Option(4L), null.asInstanceOf[String]), (Option(5L), "e"),
+      (Option.empty[Long], "x"))
+      .toDF("id", "text")
+    val next = Seq(
+      (Option(2L), "b"), (Option(3L), "C!"), (Option(4L), "now set"),
+      (Option(5L), null.asInstanceOf[String]), (Option(6L), "new"))
+      .toDF("id", "text")
+    val got = Merge.snapshotDiff(prev, next, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "removed",            // only in prev
+      3L -> "changed",            // digest differs
+      4L -> "changed",            // null → value IS a change
+      5L -> "changed",            // value → null IS a change
+      6L -> "added"))             // only in next
+    // 2 (identical) emits nothing; the null-id prev row is dropped
+  }
 }
