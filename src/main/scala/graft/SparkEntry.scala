@@ -3415,6 +3415,30 @@ object SparkEntry {
             .as("text"))
       ext.Merge.snapshotDiff(prev, next, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // functions — mojibake repair (ftfy's core move as a codegen'd
+    // expression): %3==0 docs arrive as UTF-8-read-as-Latin-1 wrecks
+    // (built by encode/decode right in the plan), %3==1 docs carry a
+    // REAL Latin-1 é that must survive untouched, the rest are clean
+    // ASCII. The structural test repairs exactly the first class; the
+    // oracle states the intended text closed-form.
+    "q197_fix_mojibake" -> ((s, dir) => {
+      val id = col("doc_id")
+      val intended = when(id % 3 === 0, concat(col("text"), lit(" café")))
+        .when(id % 3 === 1, concat(col("text"), lit(" café")))
+        .otherwise(col("text"))
+      val arrived = when(id % 3 === 0,
+          decode(encode(intended, "UTF-8"), "ISO-8859-1"))
+        .otherwise(intended)
+      tbl(s, dir, "documents")
+        .filter(id.isNotNull && col("text").isNotNull)
+        .select(id,
+          graft.functions.TextNormalizeFunctions.fixMojibake(arrived)
+            .as("fixed"),
+          (graft.functions.TextNormalizeFunctions.fixMojibake(arrived)
+            === intended).as("recovered"))
+        .orderBy("doc_id")
     })
   )
 
@@ -7658,6 +7682,17 @@ object SparkEntry {
         |WHERE (doc_id % 17 = 0 AND doc_id % 19 <> 0)
         |   OR (doc_id % 19 = 0 AND doc_id % 17 <> 0)
         |   OR (doc_id % 11 = 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the INTENDED text in closed form: mojibake rows repair to it,
+    // genuine Latin-1 rows already carry it, recovered is true for all
+    "q197_fix_mojibake" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN text || ' café'
+        |       ELSE text END AS fixed,
+        |  true AS recovered
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin
   )
 

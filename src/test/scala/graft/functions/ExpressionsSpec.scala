@@ -205,4 +205,35 @@ class ExpressionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       TextNormalizeFunctions.unicodeNormalize($"s", "NFX"))
   }
+
+  test("FixMojibake: repairs misreads, never touches clean text") {
+    def moji(s: String): String =
+      new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    val cases = Seq(
+      // (input, expected)
+      moji("café") -> "café",
+      moji("don’t — “quotes” …") -> "don’t — “quotes” …",
+      moji("世界 test") -> "世界 test",
+      "café" -> "café",                 // REAL Latin-1 é: é alone is
+                                        // not valid UTF-8 → untouched
+      "plain ascii" -> "plain ascii",   // fast path
+      "" -> "",
+      "Ã" -> "Ã",                       // truncated multibyte → untouched
+      "naïve déjà-vu" -> "naïve déjà-vu", // genuine accents, no misread
+      "ሴ high char" -> "ሴ high char", // >FF can't be a misread
+      moji(moji("é")) -> moji("é")      // ONE generation per call
+    )
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "s")
+      .select($"i", TextNormalizeFunctions.fixMojibake($"s").as("f"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g == want, s"case $i: got ${g.toList} want ${want.toList}")
+    }
+    // idempotent on already-repaired text
+    val once = moji("é")
+    assert(FixMojibake.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("é")).toString == "é")
+    val _ = once
+  }
 }
