@@ -3439,6 +3439,24 @@ object SparkEntry {
           (graft.functions.TextNormalizeFunctions.fixMojibake(arrived)
             === intended).as("recovered"))
         .orderBy("doc_id")
+    }),
+
+    // ext storage dedup — content-defined chunking over binary payloads
+    // (gear rolling hash, FastCDC shape): ~50 B/chunk rows leave the
+    // scan, payloads don't. Rows-only (cut points have no SQL closed
+    // form); edit-locality and shift-resistance are spec-asserted, and
+    // the emitted digests feed the exact-dedup machinery unchanged.
+    "q198_cdc_chunks" -> ((s, dir) => {
+      val payload = encode(concat_ws(" ", col("text"), col("text"),
+        col("text"), col("text"), col("text"), col("text")), "UTF-8")
+      val assets = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), payload.as("data"))
+      ext.Archives.cdcChunks(assets, "doc_id", "data",
+          minSize = 64, avgSize = 256, maxSize = 1024).toDF()
+        .select(col("record_id").as("doc_id"), col("chunk_index"),
+          col("offset"), col("length"), col("digest"))
+        .orderBy("doc_id", "chunk_index")
     })
   )
 

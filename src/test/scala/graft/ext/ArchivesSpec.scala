@@ -96,4 +96,77 @@ class ArchivesSpec extends SparkTestBase {
     assert(Archives.unzstdInfo(1L, Archives.zstd(Array.empty))
       .decompressed_bytes == 0L)
   }
+
+  private def randomBytes(n: Int, seed: Long): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(rnd.nextInt(256).toByte)
+  }
+
+  test("cdcChunks: reassembly, size bounds, determinism") {
+    val data = randomBytes(8000, 1L)
+    val df = Seq((1L, data)).toDF("id", "data")
+    val chunks = Archives.cdcChunks(df, "id", "data", 64, 256, 1024)
+      .collect().sortBy(_.chunk_index)
+    // contiguous cover of the payload
+    assert(chunks.head.offset == 0L)
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(b.offset == a.offset + a.length)
+    }
+    assert(chunks.last.offset + chunks.last.length == data.length.toLong)
+    // bounds (final chunk may be short)
+    chunks.init.foreach(c => assert(c.length >= 64 && c.length <= 1024))
+    assert(chunks.last.length <= 1024)
+    // digests are really SHA-256 of the slices
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    chunks.foreach { c =>
+      md.reset()
+      md.update(data, c.offset.toInt, c.length)
+      assert(c.digest == md.digest().map(b => f"$b%02x").mkString)
+    }
+    // deterministic across runs/partitionings
+    val again = Archives.cdcChunks(df.repartition(3), "id", "data", 64, 256, 1024)
+      .collect().sortBy(_.chunk_index).map(c => (c.offset, c.length, c.digest))
+    assert(again.toSeq == chunks.map(c => (c.offset, c.length, c.digest)).toSeq)
+  }
+
+  test("cdcChunks: edit locality — one flipped byte touches few chunks") {
+    val a = randomBytes(8000, 2L)
+    val b = a.clone(); b(4000) = (b(4000) ^ 0x5A).toByte
+    val df = Seq((1L, a), (2L, b)).toDF("id", "data")
+    val out = Archives.cdcChunks(df, "id", "data", 64, 256, 1024)
+      .collect().groupBy(_.record_id)
+    val da = out(1L).map(_.digest).toSet
+    val dbs = out(2L).map(_.digest).toSet
+    val differing = (da -- dbs) ++ (dbs -- da)
+    assert(differing.size <= 4,
+      s"an edit should touch O(1) chunks, not ${differing.size}")
+    assert(differing.nonEmpty, "the edited chunk must differ")
+  }
+
+  test("cdcChunks: shift resistance — an insertion re-aligns downstream") {
+    val a = randomBytes(8000, 3L)
+    val b = new Array[Byte](8001)
+    System.arraycopy(a, 0, b, 0, 10)
+    b(10) = 0x42
+    System.arraycopy(a, 10, b, 11, 7990)
+    val df = Seq((1L, a), (2L, b)).toDF("id", "data")
+    val out = Archives.cdcChunks(df, "id", "data", 64, 256, 1024)
+      .collect().groupBy(_.record_id)
+    val da = out(1L).map(_.digest).toSet
+    val shared = da.intersect(out(2L).map(_.digest).toSet)
+    // fixed-size blocks would share (almost) nothing after an insert;
+    // CDC must re-align and share most of the tail
+    assert(shared.size * 2 >= da.size,
+      s"only ${shared.size}/${da.size} chunks survived a 1-byte insert")
+  }
+
+  test("cdcChunks: degenerate all-zero payload clamps at maxSize") {
+    val df = Seq((1L, new Array[Byte](5000))).toDF("id", "data")
+    val chunks = Archives.cdcChunks(df, "id", "data", 64, 256, 1024)
+      .collect().sortBy(_.chunk_index)
+    assert(chunks.map(_.length.toLong).sum == 5000L)
+    chunks.init.foreach(c => assert(c.length <= 1024))
+    intercept[IllegalArgumentException](
+      Archives.cdcChunks(df, "id", "data", 512, 256, 1024))
+  }
 }
