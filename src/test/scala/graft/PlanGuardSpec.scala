@@ -38,12 +38,13 @@ class PlanGuardSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   // queries whose algorithm intentionally broadcasts a non-single-row side
-  // (tiny-by-construction: ANN query sets, IVF centroid tables, and q39's
+  // (tiny-by-construction: ANN query sets, IVF centroid tables, q39's
   // source-level sketch matrix — pairwise over #GROUPS, the whole point of
-  // collapsing documents into group sketches first)
+  // collapsing documents into group sketches first — and q195's anchor
+  // batch, small by the contrastive-training contract)
   private val allowedBroadcastNl = Set(
     "q15_ann_bruteforce", "q14_dedup_embedding", "q16_ann_lsh", "q28_ann_ivf",
-    "q39_group_sketch", "q80_ann_pq")
+    "q39_group_sketch", "q80_ann_pq", "q195_hard_negatives")
 
   private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
     val cartesians = plan.collect { case c: CartesianProductExec => c }
