@@ -3457,6 +3457,44 @@ object SparkEntry {
         .select(col("record_id").as("doc_id"), col("chunk_index"),
           col("offset"), col("length"), col("digest"))
         .orderBy("doc_id", "chunk_index")
+    }),
+
+    // sink/source — schema evolution across parquet generations: v=1
+    // files carry (doc_id, lang), v=2 adds (n_chars, source);
+    // mergeSchema unifies, old rows surface NULLs for the new columns,
+    // and the generation rides as a partition column. The lakehouse
+    // reality check every long-lived corpus hits at its first schema
+    // bump.
+    "q199_schema_evolution" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q199").toString + "/docs"
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(base + "/v=1")
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("overwrite").parquet(base + "/v=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("source"), col("v").cast("int").as("v"))
+        .orderBy("doc_id")
+    }),
+
+    // ext text — mixed-language detection: groups of 3 docs join into
+    // one multi-paragraph page (blank-line separated, doc_id order), the
+    // per-paragraph langId argmax aggregates to paragraph/distinct-lang
+    // counts + the dominant tag. The oracle replays langId per original
+    // doc (each paragraph IS one doc's text) and the same argmax.
+    "q200_mixed_language" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val pages = d
+        .groupBy(expr("doc_id div 3").as("page_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")), "\n\n").as("page_text"))
+      ext.TextStats.mixedLanguageProfile(pages, "page_id", "page_text")
+        .orderBy("page_id")
     })
   )
 
@@ -7701,6 +7739,43 @@ object SparkEntry {
         |   OR (doc_id % 19 = 0 AND doc_id % 17 <> 0)
         |   OR (doc_id % 11 = 0 AND doc_id % 17 <> 0 AND doc_id % 19 <> 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // membership by parity; v1 rows surface NULL for the added columns
+    "q199_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS v
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // langId replay per ORIGINAL doc (each paragraph is one doc's
+    // text), grouped to pages with the same count-then-tag argmax
+    "q200_mixed_language" -> {
+      s"""WITH pred AS ($LangIdOracle),
+         |d AS (
+         |  SELECT p.doc_id, p.lang_pred
+         |  FROM pred p JOIN documents doc ON doc.doc_id = p.doc_id
+         |  WHERE doc.text IS NOT NULL AND length(trim(doc.text)) > 0),
+         |c AS (
+         |  SELECT doc_id // 3 AS page_id, lang_pred,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT page_id, lang_pred AS dominant_lang
+         |  FROM (SELECT page_id, lang_pred,
+         |          row_number() OVER (PARTITION BY page_id
+         |            ORDER BY n DESC, lang_pred ASC) AS rn
+         |        FROM c)
+         |  WHERE rn = 1)
+         |SELECT c.page_id, CAST(sum(c.n) AS BIGINT) AS n_paragraphs,
+         |  CAST(count(*) AS BIGINT) AS n_langs,
+         |  any_value(dom.dominant_lang) AS dominant_lang,
+         |  (count(*) > 1) AS is_mixed
+         |FROM c JOIN dom ON dom.page_id = c.page_id
+         |GROUP BY c.page_id
+         |ORDER BY c.page_id""".stripMargin
+    },
 
     // the INTENDED text in closed form: mojibake rows repair to it,
     // genuine Latin-1 rows already carry it, recovered is true for all

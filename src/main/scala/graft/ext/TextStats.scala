@@ -850,6 +850,42 @@ object TextStats {
         sum(col("__c") * col("__w")).cast("long").as("logw_e12"))
   }
 
+  /** Mixed-language detection — a curation signal the whole-document
+    * langId misses by construction: a page that is half English boiler-
+    * plate and half German content argmaxes to ONE language and slips
+    * through language filters, then pollutes both monolingual corpora.
+    * Split on blank lines (the paragraphDedup convention), langId each
+    * paragraph, and report per document: paragraph count, distinct
+    * predicted languages, the dominant language (paragraph-count argmax,
+    * ties to the lexicographically smallest tag — a total order), and
+    * the mixed flag.
+    *
+    * Plan shape: explode map-side → two vocabulary-bounded hash
+    * aggregates ((doc, lang) counts, then per-doc argmax as one
+    * struct-max) — no window, nothing wider than (doc, lang) shuffles.
+    */
+  def mixedLanguageProfile(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val paras = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\n\n")).as("__p"))
+      .filter(length(trim(col("__p"))) > 0)
+    val perLang = paras
+      .select(col(idCol), langId(col("__p")).as("__lang"))
+      .groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    perLang.groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_paragraphs"),
+        count(lit(1)).cast("long").as("n_langs"),
+        // argmax by count; ties break to the SMALLEST tag: negate the
+        // tag ordering by maxing the struct with the count first and a
+        // reverse-ordered key — max_by on (n, reversed) is not
+        // expressible, so min_by on (-n, lang) gives the same total order
+        min_by(col("__lang"), struct((-col("__n")).as("a"),
+          col("__lang").as("b"))).as("dominant_lang"))
+      .withColumn("is_mixed", col("n_langs") > 1)
+  }
+
   /** Exact tie-aware ROC AUC of a score column against a boolean label
     * — the eval metric a quality-filter pipeline reports at corpus
     * scale. Computed WITHOUT ranking rows: scores collapse to a

@@ -462,6 +462,29 @@ class TextStatsSpec extends SparkTestBase {
     assert(out.count() == 1L)
   }
 
+  test("mixedLanguageProfile: per-paragraph langId, argmax ties, empty paras") {
+    val en = "the quick brown fox and the lazy dog"
+    val de = "der schnelle braune fuchs und der hund"
+    val docs = Seq(
+      (1L, s"$en\n\n$de\n\n$en"),         // mixed, en dominant 2-1
+      (2L, s"$en\n\n$en"),                // pure
+      (3L, s"$en\n\n$de"),                // 1-1 tie → lexicographically
+                                          // smaller tag wins
+      (4L, s"$en\n\n   \n\n$de"),         // blank paragraph dropped
+      (5L, "zzz qqq xxx")                 // no markers → und
+    ).toDF("id", "text")
+    val got = TextStats.mixedLanguageProfile(docs, "id", "text")
+      .as[(Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 2L, "en", true)))
+    assert(got(2L) == ((2L, 1L, "en", false)))
+    val tie = got(3L)
+    assert(tie._1 == 2L && tie._2 == 2L && tie._4)
+    assert(tie._3 == Seq("de", "en").min, "tie must break to the smallest tag")
+    assert(got(4L) == ((2L, 2L, "de", true)))
+    assert(got(5L)._3 == "und")
+  }
+
   test("importanceWeights: in-memory replay; on-target docs score higher") {
     val raw = Seq(
       (1L, "solar panels convert sunlight into power"),
