@@ -3495,6 +3495,24 @@ object SparkEntry {
           s => s.getField("text")), "\n\n").as("page_text"))
       ext.TextStats.mixedLanguageProfile(pages, "page_id", "page_text")
         .orderBy("page_id")
+    }),
+
+    // ext linkage — SymSpell edit-distance-1 join: every %4==0 doc's
+    // name gets a one-deletion typo twin (id+90000); the deletion-
+    // neighborhood equi-join is LOSSLESS for ed ≤ 1 (unlike q177's
+    // stated-recall blocking), so the oracle is the plain all-pairs
+    // levenshtein filter.
+    "q201_symspell_join" -> ((s, dir) => {
+      val names = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          trim(lower(substring(col("text"), 1, 14))).as("name"))
+      val typos = names.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 90000).as("doc_id"),
+          concat(substring(col("name"), 1, 5),
+            substring(col("name"), 7, 1000)).as("name"))
+      ext.Linkage.editDistanceOneJoin(names.union(typos), "doc_id", "name")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -7786,7 +7804,26 @@ object SparkEntry {
         |  true AS recovered
         |FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the blocking is lossless, so the oracle is brute force: all pairs
+    // over names ∪ one-deletion typos with levenshtein ≤ 1
+    "q201_symspell_join" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(lower(substr(text, 1, 14))) AS name
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 90000,
+        |    substr(trim(lower(substr(text, 1, 14))), 1, 5)
+        |      || substr(trim(lower(substr(text, 1, 14))), 7)
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 4 = 0),
+        |nn AS (SELECT doc_id, name FROM n WHERE length(name) > 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM nn a JOIN nn b ON b.doc_id > a.doc_id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -64,4 +64,42 @@ object Linkage {
 
   /** Convenience: the raw expression, for scoring without a join. */
   def jaroWinkler(a: Column, b: Column): Column = JaroWinkler.jaroWinkler(a, b)
+
+  /** All pairs within edit distance 1, via SymSpell deletion-
+    * neighborhood blocking — LOSSLESS, unlike [[fuzzyJoin]]'s stated
+    * recall contract: ed(a, b) ≤ 1 implies the two share a member of
+    * their deletion neighborhoods D(x) = {x} ∪ {x minus one char}
+    * (substitution: delete the differing position from both; insertion/
+    * deletion: the shorter string is itself in the longer one's
+    * neighborhood), so an equi-join on the variants finds every true
+    * pair and `levenshtein ≤ 1` verifies exactly. The published
+    * SymSpell trade: ~(len+1)× row fan-out buys a keyed join instead of
+    * a cartesian — the fan-out is the BLOCKING INDEX, built in the
+    * scan, never a shuffle of pairs.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    */
+  def editDistanceOneJoin(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"), col(textCol).as("__s"))
+    // D(s) = {s} ∪ {s with char i deleted}: substr(1..i−1) ‖ substr(i+1..)
+    val s = col("__s")
+    val deletions = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val withVar = base.select(col("__id"), col("__s"),
+      explode(array_distinct(concat(array(s), deletions))).as("__v"))
+    val a = withVar.select(col("__v"), col("__id").as("id_a"),
+      col("__s").as("__sa"))
+    val b = withVar.select(col("__v"), col("__id").as("id_b"),
+      col("__s").as("__sb"))
+    a.join(b, Seq("__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+  }
 }

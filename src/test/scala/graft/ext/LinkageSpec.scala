@@ -75,6 +75,44 @@ class LinkageSpec extends SparkTestBase {
     assert(expect.nonEmpty, "degenerate spec: no pairs planted")
   }
 
+  test("editDistanceOneJoin equals all-pairs levenshtein <= 1 (lossless)") {
+    val rnd = new scala.util.Random(37)
+    val alphabet = "abcd"
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(4))).mkString)
+    }
+    // planted: substitutions, insertions, deletions, duplicates
+    val planted = base.take(12).zipWithIndex.map { case ((_, s), i) =>
+      val mut = i % 4 match {
+        case 0 => s.updated(rnd.nextInt(s.length), 'x')        // substitute
+        case 1 => s.substring(0, 1) + "q" + s.substring(1)     // insert
+        case 2 => if (s.length > 1) s.substring(1) else s      // delete
+        case _ => s                                            // duplicate
+      }
+      (100L + i, mut)
+    }
+    val all = base ++ planted
+    val got = Linkage.editDistanceOneJoin(all.toDF("id", "name"), "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(expect.exists(_._3 == 1) && expect.exists(_._3 == 0),
+      "spec must exercise both distance classes")
+  }
+
   test("fuzzyJoin: null and empty names never match") {
     val l = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "abc"))
       .toDF("id", "name")
