@@ -3513,6 +3513,24 @@ object SparkEntry {
             substring(col("name"), 7, 1000)).as("name"))
       ext.Linkage.editDistanceOneJoin(names.union(typos), "doc_id", "name")
         .orderBy("id_a", "id_b")
+    }),
+
+    // ext privacy — prefix-preserving IP pseudonymization over the
+    // access-log field every analyst groups by: octet i depends only on
+    // (key, octets 1..i), so subnet rollups survive; %11==0 rows carry
+    // malformed/overflow addresses that must NULL out. Pure md5/conv
+    // column exprs — the oracle replays the construction.
+    "q202_ip_anonymize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ip = when(id % 11 === 0, lit("999.1.2.3"))
+        .when(id % 13 === 0, lit("-"))
+        .otherwise(concat(lit("10."), (id % 7).cast("string"),
+          lit("."), (id % 5).cast("string"),
+          lit("."), (id % 3).cast("string")))
+      tbl(s, dir, "documents").filter(id.isNotNull)
+        .select(id, ip.as("remote_ip"),
+          ext.Privacy.anonymizeIpv4(ip, "graft-demo-key").as("anon_ip"))
+        .orderBy("doc_id")
     })
   )
 
@@ -7823,7 +7841,39 @@ object SparkEntry {
         |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
         |FROM nn a JOIN nn b ON b.doc_id > a.doc_id
         |WHERE levenshtein(a.name, b.name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the keyed-hash construction replayed: two hex nibbles of
+    // md5(key || '/i:' || prefix) per octet, hex→dec via strpos
+    "q202_ip_anonymize" -> {
+      def hx(expr: String, pos: Int): String =
+        s"(strpos('0123456789abcdef', substr($expr, $pos, 1)) - 1)"
+      def oct(i: Int): String = {
+        val h = s"md5('graft-demo-key' || '/$i:' || " +
+          s"array_to_string(list_slice(p, 1, $i), '.'))"
+        s"CAST(${hx(h, 1)} * 16 + ${hx(h, 2)} AS VARCHAR)"
+      }
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN '999.1.2.3'
+         |         WHEN doc_id % 13 = 0 THEN '-'
+         |         ELSE '10.' || (doc_id % 7) || '.' || (doc_id % 5)
+         |           || '.' || (doc_id % 3) END AS ip
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |o AS (
+         |  SELECT doc_id, ip, string_split(ip, '.') AS p,
+         |    regexp_matches(ip,
+         |      '^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$$')
+         |    AND NOT EXISTS (SELECT 1 FROM unnest(string_split(ip, '.')) AS u(t)
+         |                    WHERE lpad(t, 3, '0') > '255') AS ok
+         |  FROM base)
+         |SELECT doc_id, ip AS remote_ip,
+         |  CASE WHEN ok THEN
+         |    ${oct(1)} || '.' || ${oct(2)} || '.' || ${oct(3)} || '.' || ${oct(4)}
+         |  END AS anon_ip
+         |FROM o
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

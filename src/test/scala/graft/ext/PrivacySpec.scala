@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def anon(ips: Seq[String], key: String = "k1"): Seq[Option[String]] =
+    ips.zipWithIndex.map { case (ip, i) => (i, ip) }.toDF("i", "ip")
+      .select($"i", Privacy.anonymizeIpv4($"ip", key).as("a"))
+      .orderBy("i").as[(Int, Option[String])].collect().map(_._2).toSeq
+
+  test("anonymizeIpv4: prefix preservation to the shared depth") {
+    val Seq(a, b, c, d) = anon(Seq(
+      "10.1.2.3", "10.1.2.99", "10.1.77.3", "192.1.2.3")).map(_.get)
+    def octs(s: String) = s.split("\\.").toSeq
+    // shared /24 → first three anon octets equal, last differs
+    assert(octs(a).take(3) == octs(b).take(3) && octs(a)(3) != octs(b)(3))
+    // shared /16 → first two equal, third differs
+    assert(octs(a).take(2) == octs(c).take(2) && octs(a)(2) != octs(c)(2))
+    // different /8 → first octet differs
+    assert(octs(a).head != octs(d).head)
+    // outputs are valid octets
+    (octs(a) ++ octs(d)).foreach { o =>
+      val v = o.toInt
+      assert(v >= 0 && v <= 255)
+    }
+  }
+
+  test("anonymizeIpv4: keyed and deterministic") {
+    val once = anon(Seq("172.16.0.1", "8.8.8.8"))
+    assert(anon(Seq("172.16.0.1", "8.8.8.8")) == once)
+    val other = anon(Seq("172.16.0.1", "8.8.8.8"), key = "k2")
+    assert(other != once, "a different key must produce a different mapping")
+    // pseudonym is not the identity
+    assert(!once.contains(Some("8.8.8.8")))
+  }
+
+  test("anonymizeIpv4: malformed inputs null out") {
+    val got = anon(Seq("-", "999.1.2.3", "1.2.3", "1.2.3.4.5",
+      "a.b.c.d", null, "256.0.0.1", "0.0.0.0"))
+    assert(got.take(7).forall(_.isEmpty), s"expected nulls, got $got")
+    assert(got(7).isDefined, "0.0.0.0 is a valid address")
+    intercept[IllegalArgumentException] {
+      Privacy.anonymizeIpv4(lit("1.2.3.4"), "")
+    }
+  }
+}
