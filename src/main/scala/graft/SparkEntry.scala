@@ -3531,6 +3531,21 @@ object SparkEntry {
         .select(id, ip.as("remote_ip"),
           ext.Privacy.anonymizeIpv4(ip, "graft-demo-key").as("anon_ip"))
         .orderBy("doc_id")
+    }),
+
+    // ext scheduling — exact largest-remainder budget apportionment:
+    // 10007 fetches split across the 7 synthetic domains proportional
+    // to their n_chars mass, summing to the budget EXACTLY (floors +
+    // remainder to the largest fractional parts, ties to the smallest
+    // domain). Decimal products, HUGEINT on the oracle side.
+    "q203_crawl_budget" -> ((s, dir) => {
+      val mass = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .groupBy(concat(lit("d"), (col("doc_id") % 7).cast("string"))
+          .as("domain"))
+        .agg(sum(col("n_chars")).as("mass"))
+      ext.WebUrl.allocateBudget(mass, "domain", "mass", total = 10007L)
+        .orderBy("domain")
     })
   )
 
@@ -7873,7 +7888,33 @@ object SparkEntry {
          |  END AS anon_ip
          |FROM o
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the same exact integer apportionment in HUGEINT
+    "q203_crawl_budget" ->
+      """WITH m AS (
+        |  SELECT 'd' || (doc_id % 7) AS domain,
+        |    CAST(sum(n_chars) AS HUGEINT) AS w
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1
+        |  HAVING sum(n_chars) > 0),
+        |t AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM m),
+        |b AS (
+        |  SELECT m.domain, (m.w * 10007) AS p,
+        |    ((m.w * 10007) - ((m.w * 10007) % t.tw)) / t.tw AS base,
+        |    (m.w * 10007) % t.tw AS rem
+        |  FROM m, t),
+        |d AS (SELECT CAST(10007 - sum(base) AS BIGINT) AS deficit FROM b),
+        |r AS (
+        |  SELECT domain, base,
+        |    row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+        |  FROM b)
+        |SELECT r.domain,
+        |  CAST(r.base + CASE WHEN r.rk <= d.deficit THEN 1 ELSE 0 END
+        |    AS BIGINT) AS allocated
+        |FROM r, d
+        |ORDER BY r.domain""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

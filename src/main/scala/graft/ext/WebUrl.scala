@@ -250,6 +250,56 @@ object WebUrl {
         coalesce(expr("__score div 2"), lit(0L)).as("matched_len"))
   }
 
+  /** Exact proportional budget apportionment (largest-remainder /
+    * Hamilton method) — the "we can fetch N pages this cycle, split
+    * them across domains by quality mass" step a crawl scheduler runs
+    * above [[politenessSchedule]], and the same machinery a training
+    * mix uses to turn fractional sampling weights into integer document
+    * counts that sum EXACTLY to the budget (floor-and-forget leaks up
+    * to #keys fetches per cycle; naive rounding overshoots).
+    *
+    * All arithmetic exact: base_i = ⌊total·w_i / W⌋ and the remainder
+    * total − Σ base (which is < #keys) goes to the largest fractional
+    * parts total·w_i mod W, ties to the smallest key — a total order,
+    * so the allocation is a pure function of the weights. Products run
+    * in decimal(38) (HUGEINT on the oracle side), so a 100 TB-scale
+    * total × weight cannot wrap.
+    *
+    * The ranking window is GLOBAL but runs over the already-aggregated
+    * per-key frame (domains, mixture components — the vocabulary-window
+    * stance); keys with non-positive weight are dropped (they can earn
+    * no budget).
+    */
+  def allocateBudget(weights: DataFrame, keyCol: String, weightCol: String,
+                     total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val w = weights
+      .filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol), col(weightCol).cast("decimal(38,0)").as("__w"))
+    val tot = w.agg(sum(col("__w")).as("__tw"))
+    val based = w.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("__w"), col("__tw"),
+        (col("__w") * lit(total)).as("__p"))
+      // base via subtract-remainder-then-divide: the % is exact on
+      // decimals and the division of an exact multiple is exact at any
+      // result scale — a direct floor(p/tw) would floor a ROUNDED
+      // quotient and can be off by one just below an integer
+      .select(col(keyCol), col("__w"),
+        expr("CAST((__p - (__p % __tw)) / __tw AS DECIMAL(38,0))").as("__base"),
+        expr("__p % __tw").as("__rem"))
+    val deficit = based.agg((lit(total) - coalesce(sum(col("__base")),
+      lit(0))).cast("long").as("__d"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(keyCol).asc)
+    based.crossJoin(broadcast(deficit))
+      .withColumn("__rk", row_number().over(rankW))
+      .select(col(keyCol),
+        (col("__base").cast("long") +
+          when(col("__rk") <= col("__d"), 1L).otherwise(0L))
+          .as("allocated"))
+  }
+
   /** Per-host politeness schedule — the frontier-to-fetch-plan step
     * between [[robotsEvaluate]] (may we?) and the fetcher (when?): URLs
     * rank within their host in deterministic id order and each gets a

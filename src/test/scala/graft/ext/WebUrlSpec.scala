@@ -170,6 +170,43 @@ class WebUrlSpec extends SparkTestBase {
       (7L, 3, "https://a.com/3", None, Some("1.0"))))
   }
 
+  test("allocateBudget: exact sums, largest-remainder order, tie-break, edges") {
+    def ref(ws: Seq[(String, Long)], total: Long): Map[String, Long] = {
+      val pos = ws.filter(_._2 > 0)
+      val W = pos.map(x => BigInt(x._2)).sum
+      val base = pos.map { case (k, x) => k -> (BigInt(x) * total / W) }
+      val rem = pos.map { case (k, x) => k -> (BigInt(x) * total % W) }.toMap
+      val deficit = (BigInt(total) - base.map(_._2).sum).toInt
+      val order = pos.map(_._1).sortBy(k => (rem(k), k))(
+        Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+      val extra = order.take(deficit).toSet
+      base.map { case (k, b) => k -> (b.toLong + (if (extra(k)) 1L else 0L)) }
+        .toMap
+    }
+    val rnd = new scala.util.Random(43)
+    for (trial <- 0 until 5) {
+      val ws = (0 until 9).map(i => (s"k$i", (rnd.nextInt(5000) + 1).toLong))
+      val total = 1000L + rnd.nextInt(9000)
+      val got = WebUrl.allocateBudget(ws.toDF("k", "w"), "k", "w", total)
+        .as[(String, Long)].collect().toMap
+      assert(got.values.sum == total, s"trial $trial: sum ${got.values.sum}")
+      assert(got == ref(ws, total), s"trial $trial")
+    }
+    // equal weights + indivisible total: ties break to the smallest keys
+    val tied = WebUrl.allocateBudget(
+      Seq(("b", 10L), ("a", 10L), ("c", 10L)).toDF("k", "w"), "k", "w", 10L)
+      .as[(String, Long)].collect().toMap
+    assert(tied == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // zero/negative weights earn nothing and vanish; huge weights don't wrap
+    val guarded = WebUrl.allocateBudget(
+      Seq(("x", 0L), ("y", -5L), ("z", 1000000000000000L),
+        ("w", 1000000000000000L)).toDF("k", "w"), "k", "w", 101L)
+      .as[(String, Long)].collect().toMap
+    assert(guarded.keySet == Set("z", "w") && guarded.values.sum == 101L)
+    intercept[IllegalArgumentException](
+      WebUrl.allocateBudget(Seq(("a", 1L)).toDF("k", "w"), "k", "w", -1L))
+  }
+
   test("politenessSchedule: per-host id-order ranks × delay; defaults; dup config") {
     val urls = Seq(
       (3L, "https://a.com/x"), (1L, "https://a.com/y"), (2L, "https://a.com/z"),
