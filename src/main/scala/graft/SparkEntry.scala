@@ -3546,6 +3546,45 @@ object SparkEntry {
         .agg(sum(col("n_chars")).as("mass"))
       ext.WebUrl.allocateBudget(mass, "domain", "mass", total = 10007L)
         .orderBy("domain")
+    }),
+
+    // ext capstone — CROSS-MODAL dedup: text-duplicate edges (exact
+    // digest groups over docs + planted %9 text copies at id+20000) and
+    // image near-dup edges (the q175 perceptual-hash bands) union into
+    // ONE graph, and connected components labels the multimodal
+    // clusters — a text copy and an image variant of the same page land
+    // in the same cluster even though no single modality links them.
+    // The oracle chains digest equality, the closed-form dHash pairs,
+    // and a recursive-CTE reachability (the q49 pattern).
+    "q204_multimodal_dedup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val all = d.select(col("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      // text edges: member → keep of each exact digest group
+      val groups = ext.Dedup.exactGroups(all, "doc_id", "text")
+      val textEdges = all.select(col("doc_id"), md5(col("text")).as("digest"))
+        .join(groups.filter(col("n_copies") > 1), Seq("digest"))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as("id_a"), col("keep_id").as("id_b"))
+      // image edges: q175's grouped textured images, banded hamming ≤ 6
+      val assets = d.select(col("doc_id")).as[Long].map { id =>
+        val p = (id % 8).toInt
+        ext.Multimodal.Asset(id, "image",
+          ext.Multimodal.makeBmpTextured(id / 8, 18, 16,
+            flip = Some((p * 2, p))))
+      }
+      val imgEdges = ext.Dedup.hammingPairs(
+          ext.Multimodal.imageHashes(assets).toDF()
+            .select(col("asset_id").as("doc_id"), col("dhash")),
+          "doc_id", "dhash", maxDistance = 6)
+        .select("id_a", "id_b")
+      ext.Dedup.connectedComponents(textEdges.union(imgEdges))
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
     })
   )
 
@@ -7344,7 +7383,7 @@ object SparkEntry {
     // scale cancels out of every comparison), HUGEINT bit fold, then
     // the two's-complement cast back to BIGINT
     "q174_image_phash" ->
-      s"""${imageHashCtes("(d.doc_id * 31 + u.x * u.x" +
+      s"""WITH ${imageHashCtes("(d.doc_id * 31 + u.x * u.x" +
             " + (3 + d.doc_id % 5) * u.x * v.y" +
             " + (7 + d.doc_id % 11) * v.y) % 256")}
          |SELECT dh.doc_id,
@@ -7357,7 +7396,7 @@ object SparkEntry {
     // so the oracle is the straight all-pairs hamming filter over the
     // closed-form dHashes of the grouped+perturbed images
     "q175_image_neardup" ->
-      s"""${imageHashCtes(
+      s"""WITH ${imageHashCtes(
             "((d.doc_id // 8) * 31 + u.x * u.x" +
             " + (3 + (d.doc_id // 8) % 5) * u.x * v.y" +
             " + (7 + (d.doc_id // 8) % 11) * v.y" +
@@ -7914,7 +7953,48 @@ object SparkEntry {
         |  CAST(r.base + CASE WHEN r.rk <= d.deficit THEN 1 ELSE 0 END
         |    AS BIGINT) AS allocated
         |FROM r, d
-        |ORDER BY r.domain""".stripMargin
+        |ORDER BY r.domain""".stripMargin,
+
+    // chained: digest-group text edges + the q175 closed-form image
+    // pairs, then min-label reachability (the q49 recursive pattern)
+    "q204_multimodal_dedup" -> {
+      s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 9 = 0),
+         |g AS (
+         |  SELECT md5(text) AS dg, min(doc_id) AS k, count(*) AS n
+         |  FROM all_docs GROUP BY 1),
+         |te AS (
+         |  SELECT a.doc_id AS a, g.k AS b
+         |  FROM all_docs a JOIN g ON md5(a.text) = g.dg
+         |  WHERE g.n > 1 AND a.doc_id <> g.k),
+         |${imageHashCtes(
+            "((d.doc_id // 8) * 31 + u.x * u.x" +
+            " + (3 + (d.doc_id // 8) % 5) * u.x * v.y" +
+            " + (7 + (d.doc_id // 8) % 11) * v.y" +
+            " + CASE WHEN u.x = 2 * (d.doc_id % 8) AND v.y = d.doc_id % 8" +
+            " THEN 96 ELSE 0 END) % 256")},
+         |hh AS (
+         |  SELECT doc_id, ${hugeToLong("h")} AS dhash FROM dh),
+         |ie AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM hh a JOIN hh b ON b.doc_id > a.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |e AS (SELECT a, b FROM te UNION SELECT a, b FROM ie),
+         |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT a AS id FROM sym),
+         |r(x, y) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.x, s.b FROM r JOIN sym s ON r.y = s.a)
+         |SELECT x AS doc_id, min(y) AS cluster
+         |FROM r
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
+    }
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
@@ -7924,7 +8004,7 @@ object SparkEntry {
     * mirroring [[ext.Multimodal.imageHashes]] at the 9×8 grid.
     */
   private def imageHashCtes(valExpr: String): String =
-    s"""WITH px AS (
+    s"""px AS (
        |  SELECT d.doc_id, u.x, v.y, $valExpr AS val
        |  FROM documents d,
        |    unnest(generate_series(0, 17)) AS u(x),
