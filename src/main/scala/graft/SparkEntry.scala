@@ -3585,6 +3585,38 @@ object SparkEntry {
       ext.Dedup.connectedComponents(textEdges.union(imgEdges))
         .select(col("id").as("doc_id"), col("comp").as("cluster"))
         .orderBy("doc_id")
+    }),
+
+    // ext crawl — robots.txt with the FULL RFC 9309 pattern grammar
+    // ('*' wildcards, '$' end anchors): rules translate losslessly to
+    // SQL LIKE (escape '#'), the verdict stays the single integer max
+    // (longest pattern, allow wins ties). URLs carry .html suffixes so
+    // anchors actually discriminate; the oracle replays the translation
+    // and the LIKE matching.
+    "q205_robots_wildcard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val urls = d.select(col("doc_id"),
+        concat(lit("https://d"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 5).cast("string"),
+          lit("/x"), (col("doc_id") % 3).cast("string"),
+          when(col("doc_id") % 4 === 0, lit(".html")).otherwise(lit("")))
+          .as("url"))
+      val rules = d.select(
+        concat(lit("d"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("domain"),
+        expr("""CASE doc_id % 9
+          | WHEN 0 THEN '/p0*' WHEN 1 THEN '/p1/*1' WHEN 2 THEN '/*.html$'
+          | WHEN 3 THEN '/p2' WHEN 4 THEN '/p3/x*' WHEN 5 THEN '/p4*2$'
+          | WHEN 6 THEN '/p0/x0$' WHEN 7 THEN '/*2.html$'
+          | ELSE '/p1' END""".stripMargin).as("rule_path"),
+        expr("""CASE doc_id % 9
+          | WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
+          | WHEN 3 THEN true WHEN 4 THEN false WHEN 5 THEN true
+          | WHEN 6 THEN true WHEN 7 THEN true ELSE false END""".stripMargin)
+          .as("allow"))
+        .distinct()
+      ext.WebUrl.robotsEvaluateWildcard(urls, "doc_id", "url", rules)
+        .orderBy("doc_id")
     })
   )
 
@@ -7994,7 +8026,52 @@ object SparkEntry {
          |FROM r
          |GROUP BY 1
          |ORDER BY 1""".stripMargin
-    }
+    },
+
+    // the same glob→LIKE translation and longest-pattern/allow-ties max
+    "q205_robots_wildcard" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://d' || (doc_id % 7) || '.example.com/p' || (doc_id % 5)
+        |      || '/x' || (doc_id % 3)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '.html' ELSE '' END) AS url,
+        |    'd' || (doc_id % 7) || '.example.com' AS host,
+        |    '/p' || (doc_id % 5) || '/x' || (doc_id % 3)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '.html' ELSE '' END) AS path
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (
+        |  SELECT DISTINCT 'd' || (doc_id % 7) || '.example.com' AS host,
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN '/p0*' WHEN 1 THEN '/p1/*1' WHEN 2 THEN '/*.html$'
+        |      WHEN 3 THEN '/p2' WHEN 4 THEN '/p3/x*' WHEN 5 THEN '/p4*2$'
+        |      WHEN 6 THEN '/p0/x0$' WHEN 7 THEN '/*2.html$'
+        |      ELSE '/p1' END AS rp,
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN false WHEN 1 THEN true WHEN 2 THEN false
+        |      WHEN 3 THEN true WHEN 4 THEN false WHEN 5 THEN true
+        |      WHEN 6 THEN true WHEN 7 THEN true ELSE false END AS allow
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |rl AS (
+        |  SELECT host, rp, allow,
+        |    (CASE WHEN rp LIKE '%$' THEN
+        |       replace(regexp_replace(substr(rp, 1, length(rp) - 1),
+        |         '([%_#])', '#\1', 'g'), '*', '%')
+        |     ELSE
+        |       replace(regexp_replace(rp, '([%_#])', '#\1', 'g'), '*', '%')
+        |       || '%' END) AS lk
+        |  FROM r),
+        |scored AS (
+        |  SELECT u.doc_id,
+        |    max(2 * length(rl.rp) + CASE WHEN rl.allow THEN 1 ELSE 0 END)
+        |      AS score
+        |  FROM u JOIN rl ON rl.host = u.host
+        |  WHERE u.path LIKE rl.lk ESCAPE '#'
+        |  GROUP BY u.doc_id)
+        |SELECT u.doc_id, u.url,
+        |  coalesce(s.score % 2 = 1, true) AS allowed,
+        |  CAST(coalesce(s.score // 2, 0) AS BIGINT) AS matched_len
+        |FROM u LEFT JOIN scored s ON s.doc_id = u.doc_id
+        |ORDER BY u.doc_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

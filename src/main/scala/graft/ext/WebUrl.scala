@@ -221,6 +221,78 @@ object WebUrl {
     * whole ruleset is small. One join + one partial-aggregated groupBy;
     * the URL table never moves twice.
     */
+  /** Translate one robots.txt path pattern (literal + `*` any-run +
+    * optional trailing `$` end anchor — the full RFC 9309 grammar) into
+    * a SQL LIKE pattern with `#` as the escape char: LIKE's `%`/`_`
+    * metacharacters (and `#` itself) in literal text are escaped, `*`
+    * becomes `%`, and a pattern NOT ending in `$` gets a trailing `%`
+    * (robots rules are prefix matches; LIKE is a full match). Lossless:
+    * LIKE-with-escape is exactly the glob-with-anchor language. The
+    * reference form of the column-level translation inside
+    * [[robotsEvaluateWildcard]]; the spec asserts the two agree.
+    */
+  private[ext] def robotsPatternToLike(pattern: String): String = {
+    val (body, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true)
+      else (pattern, false)
+    val sb = new StringBuilder
+    body.foreach {
+      case '*' => sb.append('%')
+      case c @ ('%' | '_' | '#') => sb.append('#').append(c)
+      case c => sb.append(c)
+    }
+    if (!anchored) sb.append('%')
+    sb.toString
+  }
+
+  /** [[robotsEvaluate]] with the FULL RFC 9309 pattern grammar (`*`
+    * wildcards and the `$` end anchor), not just literal prefixes:
+    * matching is one SQL LIKE per (url, rule) pair after a lossless
+    * glob→LIKE translation, and the verdict stays the single integer
+    * max — 2·len(pattern)+allow, longest PATTERN wins, allow wins
+    * length ties (Google's published tiebreak; `$`/`*` count toward
+    * length exactly as the spec's "most specific" rule counts octets).
+    * Same join/aggregate shape and scale posture as the literal form.
+    */
+  def robotsEvaluateWildcard(urls: DataFrame, idCol: String, urlCol: String,
+                             rules: DataFrame, domainCol: String = "domain",
+                             pathCol: String = "rule_path",
+                             allowCol: String = "allow"): DataFrame = {
+    val u = urls
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .select(col(idCol), col(urlCol),
+        hostOf(col(urlCol)).as("__host"),
+        when(length(regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)) === 0, "/")
+          .otherwise(regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+          .as("__path"))
+    val r = rules.select(lower(col(domainCol)).as("__host"),
+        col(pathCol).as("__rp"),
+        col(allowCol).cast("boolean").as("__allow"))
+      .filter(col("__rp").isNotNull && length(col("__rp")) > 0)
+    // glob → LIKE as pure column ops ('#' as the escape char keeps the
+    // expression readable in both engines): escape %/_/# in literals,
+    // '*' → '%', strip a trailing '$' anchor else append the prefix '%'
+    val likePat = {
+      val deAnchored = when(col("__rp").endsWith("$"),
+        expr("substring(__rp, 1, length(__rp) - 1)")).otherwise(col("__rp"))
+      val escaped = regexp_replace(deAnchored, "([%_#])", "#$1")
+      val starred = regexp_replace(escaped, "\\*", "%")
+      when(col("__rp").endsWith("$"), starred)
+        .otherwise(concat(starred, lit("%")))
+    }
+    val scored = u.join(r.withColumn("__like", likePat), Seq("__host"))
+      .filter(expr("__path LIKE __like ESCAPE '#'"))
+      .groupBy(col(idCol))
+      .agg(max(length(col("__rp")).cast("long") * 2L
+        + col("__allow").cast("long")).as("__score"))
+    u.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col(urlCol),
+        coalesce(col("__score") % 2L === 1L, lit(true)).as("allowed"),
+        coalesce(expr("__score div 2"), lit(0L)).as("matched_len"))
+  }
+
   def robotsEvaluate(urls: DataFrame, idCol: String, urlCol: String,
                      rules: DataFrame, domainCol: String = "domain",
                      pathCol: String = "rule_path",

@@ -170,6 +170,65 @@ class WebUrlSpec extends SparkTestBase {
       (7L, 3, "https://a.com/3", None, Some("1.0"))))
   }
 
+  test("robotsPatternToLike: grammar translation incl. metachar literals") {
+    assert(WebUrl.robotsPatternToLike("/p") == "/p%")
+    assert(WebUrl.robotsPatternToLike("/p*") == "/p%%")
+    assert(WebUrl.robotsPatternToLike("/a*.html$") == "/a%.html")
+    assert(WebUrl.robotsPatternToLike("/x$") == "/x")
+    assert(WebUrl.robotsPatternToLike("/100%_off#1") == "/100#%#_off##1%")
+  }
+
+  test("robotsEvaluateWildcard equals an in-memory RFC 9309 glob reference") {
+    // reference: glob match with '*'/anchor, longest-pattern allow-tie
+    def globMatch(path: String, rule: String): Boolean = {
+      val (body, anchored) =
+        if (rule.endsWith("$")) (rule.dropRight(1), true) else (rule, false)
+      val parts = body.split("\\*", -1)
+      def go(pos: Int, idx: Int): Boolean = {
+        if (idx == parts.length)
+          if (anchored) pos == path.length else true
+        else if (idx == 0) {
+          if (path.startsWith(parts(0))) go(parts(0).length, 1) else false
+        } else if (idx == parts.length - 1 && anchored) {
+          val tail = parts(idx)
+          path.length - tail.length >= pos && path.endsWith(tail)
+        } else {
+          val i = path.indexOf(parts(idx), pos)
+          if (i < 0) false else go(i + parts(idx).length, idx + 1)
+        }
+      }
+      go(0, 0)
+    }
+    val rnd = new scala.util.Random(53)
+    val rules = Seq(
+      ("a.com", "/p*", false), ("a.com", "/p1/*1", true),
+      ("a.com", "/*.html$", false), ("a.com", "/p1", true),
+      ("a.com", "/p2/x*2$", true), ("b.com", "/", false))
+    val urls = (0 until 120).map { i =>
+      val host = if (rnd.nextBoolean()) "a.com" else "b.com"
+      val path = s"/p${rnd.nextInt(3)}/x${rnd.nextInt(3)}" +
+        (if (rnd.nextInt(3) == 0) ".html" else "")
+      (i.toLong, s"https://$host$path")
+    }
+    val got = WebUrl.robotsEvaluateWildcard(
+        urls.toDF("id", "url"), "id", "url",
+        rules.toDF("domain", "rule_path", "allow"))
+      .as[(Long, String, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    urls.foreach { case (id, url) =>
+      val host = url.stripPrefix("https://").takeWhile(_ != '/')
+      val path = url.stripPrefix(s"https://$host")
+      val matches = rules.filter(r => r._1 == host && globMatch(path, r._2))
+      val expect =
+        if (matches.isEmpty) (true, 0L)
+        else {
+          val best = matches.map(r => 2 * r._2.length + (if (r._3) 1 else 0)).max
+          (best % 2 == 1, best.toLong / 2)
+        }
+      assert(got(id) == expect, s"url $url: got ${got(id)} expect $expect")
+    }
+  }
+
   test("allocateBudget: exact sums, largest-remainder order, tie-break, edges") {
     def ref(ws: Seq[(String, Long)], total: Long): Map[String, Long] = {
       val pos = ws.filter(_._2 > 0)
