@@ -3617,6 +3617,26 @@ object SparkEntry {
         .distinct()
       ext.WebUrl.robotsEvaluateWildcard(urls, "doc_id", "url", rules)
         .orderBy("doc_id")
+    }),
+
+    // ext versioning — change magnitude over the q196 diff machinery:
+    // the O(len²) edit distance runs ONLY on the changed ids (digest
+    // pre-filter), distinguishing prefix stamps (%11: 8-char insert)
+    // from character rewrites (%13: e→3 substitutions). The oracle
+    // rebuilds both versions and applies DuckDB's identical levenshtein.
+    "q206_change_magnitude" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val prev = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val next = d.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(lit("edited: "), col("text")))
+            .when(col("doc_id") % 13 === 0, translate(col("text"), "e", "3"))
+            .otherwise(col("text")).as("text"))
+      ext.Merge.changeMagnitude(prev, next, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -8071,7 +8091,24 @@ object SparkEntry {
         |  coalesce(s.score % 2 = 1, true) AS allowed,
         |  CAST(coalesce(s.score // 2, 0) AS BIGINT) AS matched_len
         |FROM u LEFT JOIN scored s ON s.doc_id = u.doc_id
-        |ORDER BY u.doc_id""".stripMargin
+        |ORDER BY u.doc_id""".stripMargin,
+
+    // both versions rebuilt, changed = text differs, same levenshtein
+    "q206_change_magnitude" ->
+      """WITH pn AS (
+        |  SELECT doc_id, text AS ptext,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'edited: ' || text
+        |         WHEN doc_id % 13 = 0 THEN replace(text, 'e', '3')
+        |         ELSE text END AS ntext
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 17 <> 0 AND doc_id % 19 <> 0)
+        |SELECT doc_id,
+        |  CAST(levenshtein(ptext, ntext) AS BIGINT) AS dist,
+        |  CAST(levenshtein(ptext, ntext) * 1000000
+        |    // greatest(length(ntext), length(ptext), 1) AS BIGINT) AS rel_e6
+        |FROM pn WHERE ptext <> ntext
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

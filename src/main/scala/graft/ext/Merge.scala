@@ -70,6 +70,35 @@ object Merge {
     * exact-dedup stance). Null-id rows identify nothing and are dropped
     * from both sides.
     */
+  /** Change magnitude for the `changed` rows of a [[snapshotDiff]]: per
+    * id present in BOTH versions with differing digests, the edit
+    * distance between the versions and its e6-floored ratio to the
+    * longer side — the triage signal between "recrawl touched a
+    * timestamp" and "the page was rewritten" that decides whether
+    * downstream dedup/embedding work re-runs.
+    *
+    * Scale note: the O(len²) distance runs ONLY on the changed ids —
+    * the digest pre-filter (16-byte join, documents joined back by id)
+    * keeps the quadratic kernel off the unchanged bulk, which is the
+    * entire point of diffing digests first.
+    */
+  def changeMagnitude(prev: DataFrame, next: DataFrame,
+                      idCol: String, contentCol: String): DataFrame = {
+    val changed = snapshotDiff(prev, next, idCol, contentCol)
+      .filter(col("change") === "changed")
+      .select(col(idCol))
+    val p = prev.join(changed, Seq(idCol), "left_semi")
+      .select(col(idCol), col(contentCol).as("__prev"))
+    val n = next.join(changed, Seq(idCol), "left_semi")
+      .select(col(idCol), col(contentCol).as("__next"))
+    p.join(n, Seq(idCol))
+      .select(col(idCol),
+        levenshtein(col("__prev"), col("__next")).cast("long").as("dist"),
+        expr("""CAST(levenshtein(__prev, __next) * 1000000L
+          div greatest(length(__next), length(__prev), 1) AS BIGINT)""")
+          .as("rel_e6"))
+  }
+
   def snapshotDiff(prev: DataFrame, next: DataFrame,
                    idCol: String, contentCol: String): DataFrame = {
     // presence travels as its own flag: a NULL content digest must read

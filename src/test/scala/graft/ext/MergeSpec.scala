@@ -82,4 +82,17 @@ class MergeSpec extends SparkTestBase {
       6L -> "added"))             // only in next
     // 2 (identical) emits nothing; the null-id prev row is dropped
   }
+
+  test("changeMagnitude: distances only for changed ids; ratio floors") {
+    val prev = Seq((1L, "hello world"), (2L, "same"), (3L, "abcdef"),
+      (4L, "only prev")).toDF("id", "text")
+    val next = Seq((1L, "hello brave world"), (2L, "same"), (3L, "abXdYf"),
+      (5L, "only next")).toDF("id", "text")
+    val got = Merge.changeMagnitude(prev, next, "id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1: 6-char insertion; 3: two substitutions; 2 unchanged, 4/5 absent
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == ((6L, 6L * 1000000 / 17)))
+    assert(got(3L) == ((2L, 2L * 1000000 / 6)))
+  }
 }
