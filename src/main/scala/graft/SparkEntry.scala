@@ -3637,6 +3637,19 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       ext.Merge.changeMagnitude(prev, next, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ext eval — exact corpus percentile of the quality score (the AUC
+    // stance: one window over the score VOCABULARY, rows never rank):
+    // the form tail filters and mixture specs are actually written in.
+    "q207_quality_percentile" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"),
+          ext.TextStats.qualityScore(col("text")).as("score"))
+      ext.TextStats.scorePercentiles(d, "doc_id", "score")
+        .select("doc_id", "score", "n_below", "pct_e6")
+        .orderBy("doc_id")
     })
   )
 
@@ -8108,7 +8121,26 @@ object SparkEntry {
         |  CAST(levenshtein(ptext, ntext) * 1000000
         |    // greatest(length(ntext), length(ptext), 1) AS BIGINT) AS rel_e6
         |FROM pn WHERE ptext <> ntext
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same strictly-below running count over distinct scores
+    "q207_quality_percentile" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, ${qualityScoreSql("text")} AS score
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |ps AS (SELECT score, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |wb AS (
+         |  SELECT score,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS below
+         |  FROM ps),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d)
+         |SELECT d.doc_id, d.score, wb.below AS n_below,
+         |  CAST(wb.below * 1000000 // t.tot AS BIGINT) AS pct_e6
+         |FROM d JOIN wb ON wb.score = d.score, t
+         |ORDER BY d.doc_id""".stripMargin
+    }
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -886,6 +886,35 @@ object TextStats {
       .withColumn("is_mixed", col("n_langs") > 1)
   }
 
+  /** Exact corpus percentile of a score column — turn "quality ≥ 0.6"
+    * (a threshold that means something different on every corpus) into
+    * "top 20% of THIS corpus" (the form mixture specs and tail filters
+    * are actually written in). pct_e6 = ⌊10⁶ · |strictly below| / N⌋,
+    * an exact integer.
+    *
+    * The AUC stance on ranking: rows never rank. Scores collapse to the
+    * per-distinct-score count frame, ONE window runs over that score
+    * VOCABULARY for the running below-count, and docs join their
+    * percentile back by score — a corpus-sized sort never happens.
+    */
+  def scorePercentiles(df: DataFrame, idCol: String,
+                       scoreCol: String): DataFrame = {
+    val clean = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+    val perScore = clean.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withBelow = perScore
+      .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val total = clean.agg(count(lit(1)).as("__tot"))
+    clean.select(col(idCol), col(scoreCol))
+      .join(withBelow.withColumnRenamed("__s", scoreCol), Seq(scoreCol))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col(scoreCol),
+        col("__below").cast("long").as("n_below"),
+        expr("CAST(__below * 1000000L div __tot AS BIGINT)").as("pct_e6"))
+  }
+
   /** Exact tie-aware ROC AUC of a score column against a boolean label
     * — the eval metric a quality-filter pipeline reports at corpus
     * scale. Computed WITHOUT ranking rows: scores collapse to a

@@ -462,6 +462,22 @@ class TextStatsSpec extends SparkTestBase {
     assert(out.count() == 1L)
   }
 
+  test("scorePercentiles: strictly-below counts, ties share, exact floors") {
+    val d = Seq((1L, 0.2), (2L, 0.5), (3L, 0.5), (4L, 0.9), (5L, 0.1))
+      .toDF("id", "s")
+    val got = TextStats.scorePercentiles(d, "id", "s")
+      .select("id", "n_below", "pct_e6")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(5L) == ((0L, 0L)))
+    assert(got(1L) == ((1L, 200000L)))
+    assert(got(2L) == ((2L, 400000L)) && got(3L) == got(2L), "ties share")
+    assert(got(4L) == ((4L, 800000L)))
+    // null scores/ids drop, don't count
+    val withNull = Seq((Option(1L), Option(0.3)), (Option(2L), None),
+      (Option.empty[Long], Option(0.1))).toDF("id", "s")
+    assert(TextStats.scorePercentiles(withNull, "id", "s").count() == 1L)
+  }
+
   test("mixedLanguageProfile: per-paragraph langId, argmax ties, empty paras") {
     val en = "the quick brown fox and the lazy dog"
     val de = "der schnelle braune fuchs und der hund"
