@@ -3650,6 +3650,18 @@ object SparkEntry {
       ext.TextStats.scorePercentiles(d, "doc_id", "score")
         .select("doc_id", "score", "n_below", "pct_e6")
         .orderBy("doc_id")
+    }),
+
+    // ext profiling — burst/abuse signals per user: peak sliding-minute
+    // event count (event-time RANGE window over epoch seconds), exact
+    // e6 error ratio, and the combined suspect flag — the bot screen a
+    // log pipeline runs before traffic numbers mean anything.
+    "q208_burst_signals" -> ((s, dir) => {
+      ext.Profile.burstSignals(tbl(s, dir, "events"),
+          "user_id", "ts", "event_type", errorType = "error",
+          windowSecs = 60, rateThreshold = 2L,
+          errorRatioE6Threshold = 250000L)
+        .orderBy("user_id")
     })
   )
 
@@ -8140,7 +8152,30 @@ object SparkEntry {
          |  CAST(wb.below * 1000000 // t.tot AS BIGINT) AS pct_e6
          |FROM d JOIN wb ON wb.score = d.score, t
          |ORDER BY d.doc_id""".stripMargin
-    }
+    },
+
+    // the same event-time range window and exact ratios
+    "q208_burst_signals" ->
+      s"""WITH e AS ($EventsCte),
+         |b AS (
+         |  SELECT user_id, epoch(ts) AS sec,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+         |  FROM e WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |w AS (
+         |  SELECT user_id, err,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY sec
+         |      RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS burst
+         |  FROM b)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(err) AS BIGINT) AS n_errors,
+         |  CAST(max(burst) AS BIGINT) AS max_burst,
+         |  CAST(CAST(sum(err) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         |    AS error_ratio_e6,
+         |  (max(burst) >= 2 OR
+         |   CAST(sum(err) AS BIGINT) * 1000000 // count(*) >= 250000)
+         |    AS is_suspect
+         |FROM w GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -252,4 +252,40 @@ object Profile {
       .agg(count(lit(1)).cast("long").as("n_events"),
         sum(col("__w")).cast("long").as("decayed_mass"))
   }
+
+  /** Burst / abuse signals per key — the bot screen every access-log
+    * pipeline runs before its traffic numbers mean anything: the peak
+    * request count inside any sliding `windowSecs` window (a RANGE
+    * window over epoch seconds — event-time, not arrival), the error
+    * ratio as an exact e6 integer, and the flag combining both.
+    *
+    * Scale shape: the sliding count is a per-key range window — bounded
+    * by one key's event history, which is exactly the thing being
+    * measured (a key hot enough to hurt the window IS the positive
+    * class; there is no correct salting for a semantics that needs the
+    * key's full timeline). Everything else is one hash aggregate.
+    */
+  def burstSignals(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, errorType: String,
+                   windowSecs: Int = 60, rateThreshold: Long = 10L,
+                   errorRatioE6Threshold: Long = 250000L): DataFrame = {
+    require(windowSecs >= 1, s"windowSecs must be >= 1, got $windowSecs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__sec"))
+      .rangeBetween(-(windowSecs - 1).toLong, 0L)
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("__sec"),
+        (col(typeCol) === errorType).cast("long").as("__err"))
+      .withColumn("__burst", count(lit(1)).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("__err")).cast("long").as("n_errors"),
+        max(col("__burst")).cast("long").as("max_burst"))
+      .withColumn("error_ratio_e6",
+        expr("n_errors * 1000000L div n_events"))
+      .withColumn("is_suspect",
+        col("max_burst") >= rateThreshold ||
+          col("error_ratio_e6") >= errorRatioE6Threshold)
+  }
 }

@@ -196,4 +196,35 @@ class ProfileSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == Map("a" -> (3L, 1250000L), "b" -> (1L, 1000000L)))
   }
+
+  test("burstSignals: sliding event-time window, ratios, flags") {
+    def ts(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-03-01 12:00:00").getTime + sec * 1000)
+    val rows = Seq(
+      // user 1: 3 events inside 60s (0, 30, 59), 1 outside (200) → burst 3
+      (1L, ts(0), "view"), (1L, ts(30), "view"), (1L, ts(59), "click"),
+      (1L, ts(200), "view"),
+      // user 2: spread out, but half errors → flagged on ratio
+      (2L, ts(0), "error"), (2L, ts(500), "view"),
+      // user 3: quiet and clean
+      (3L, ts(0), "view"), (3L, ts(1000), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Profile.burstSignals(rows, "user_id", "ts", "event_type",
+        "error", windowSecs = 60, rateThreshold = 3L,
+        errorRatioE6Threshold = 500000L)
+      .select("user_id", "n_events", "n_errors", "max_burst",
+        "error_ratio_e6", "is_suspect")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((4L, 0L, 3L, 0L, true)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, 500000L, true)))
+    assert(got(3L) == ((2L, 0L, 1L, 0L, false)))
+    // window is EVENT time: an event exactly 60s later must not stack
+    val edge = Seq((9L, ts(0), "view"), (9L, ts(60), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val b = Profile.burstSignals(edge, "user_id", "ts", "event_type",
+        "error", windowSecs = 60, 99L, 999999L)
+      .select("max_burst").as[Long].collect().head
+    assert(b == 1L)
+  }
 }
