@@ -3662,6 +3662,18 @@ object SparkEntry {
           windowSecs = 60, rateThreshold = 2L,
           errorRatioE6Threshold = 250000L)
         .orderBy("user_id")
+    }),
+
+    // ext temporal — clickstream paths per (user, session): q19's gap
+    // rule, (ts, event_id) total order, the path string assembled by
+    // an in-row struct sort so partition order can't leak. Oracle uses
+    // DuckDB's ordered string_agg over the same session frame.
+    "q209_session_paths" -> ((s, dir) => {
+      ext.Funnel.sessionPaths(tbl(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type", gapMinutes = 30)
+        .select("user_id", "sess_id", "n_events", "start_us", "end_us",
+          "duration_us", "path")
+        .orderBy("user_id", "sess_id")
     })
   )
 
@@ -8175,7 +8187,36 @@ object SparkEntry {
          |   CAST(sum(err) AS BIGINT) * 1000000 // count(*) >= 250000)
          |    AS is_suspect
          |FROM w GROUP BY user_id
-         |ORDER BY user_id""".stripMargin
+         |ORDER BY user_id""".stripMargin,
+
+    // the q19 session CTEs + an ORDER BY inside string_agg
+    "q209_session_paths" ->
+      s"""WITH e AS ($EventsCte),
+         |x AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_us
+         |  FROM e
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |y AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+         |      THEN 1 ELSE 0 END AS is_new
+         |  FROM x),
+         |z AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM y)
+         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(us) AS BIGINT) AS start_us,
+         |  CAST(max(us) AS BIGINT) AS end_us,
+         |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+         |  string_agg(event_type, '>' ORDER BY us, event_id) AS path
+         |FROM z GROUP BY user_id, sess_id
+         |ORDER BY user_id, sess_id""".stripMargin
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

@@ -57,4 +57,56 @@ object Funnel {
       .reduce(_ + _)
     chained.withColumn("depth", depth.cast("long"))
   }
+
+  /** Clickstream paths — one row per (entity, session) with the ordered
+    * event-type path ("view>view>click>purchase"), the raw material of
+    * path analysis and conversion attribution that [[funnel]]'s fixed
+    * stage list can't express (it asks "did A then B happen"; paths ask
+    * "what actually happened"). Sessions split on `gapMinutes` of
+    * event-time silence (the q19 rule); within a session events order
+    * by (ts, idCol) — a total order, so the path string is a pure
+    * function of the data.
+    *
+    * Scale shape: two per-entity windows (lag + running session sum —
+    * entity-bounded, the sessionization shape) and one hash aggregate;
+    * the path assembles from a collect_list SORTED INSIDE THE ROW
+    * (array_sort over structs), so partition order never leaks into the
+    * string. Paths cap at `maxPathEvents` events (a runaway entity
+    * would otherwise build an unbounded string cell); the cap is part
+    * of the declared semantics, with the true count still reported in
+    * n_events.
+    */
+  def sessionPaths(events: DataFrame, entityCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   gapMinutes: Int = 30,
+                   maxPathEvents: Int = 64): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    require(maxPathEvents >= 1, s"maxPathEvents must be >= 1, got $maxPathEvents")
+    // the window orders by the derived __us (micros of tsCol) + idCol —
+    // tsCol itself is projected away before the window applies
+    val byEntity = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityCol).orderBy(col("__us"), col(idCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(entityCol), col(idCol), col(typeCol),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(byEntity))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("__new")).over(byEntity.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(entityCol), col("sess_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"),
+        array_join(
+          slice(transform(
+            array_sort(collect_list(struct(col("__us").as("u"),
+              col(idCol).as("i"), col(typeCol).as("t")))),
+            s => s.getField("t")), 1, maxPathEvents), ">").as("path"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
 }

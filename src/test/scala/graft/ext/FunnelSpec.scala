@@ -60,4 +60,38 @@ class FunnelSpec extends SparkTestBase {
       .as[(Long, Timestamp, Long)].collect().toSeq
     assert(out == Seq((1L, ts("2024-01-01 09:00:00"), 1L)))
   }
+
+  test("sessionPaths: gap split, in-row order, cap, partition invariance") {
+    def t(min: Long) = new Timestamp(
+      Timestamp.valueOf("2024-03-01 12:00:00").getTime + min * 60000)
+    val events = Seq(
+      (1L, t(0), 10L, "view"), (1L, t(5), 11L, "click"),
+      (1L, t(10), 12L, "purchase"),
+      (1L, t(100), 13L, "view"),                       // new session (gap)
+      (2L, t(0), 20L, "view"),
+      // same-timestamp pair: event_id breaks the tie deterministically
+      (3L, t(0), 31L, "b"), (3L, t(0), 30L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30)
+      .select("user_id", "sess_id", "n_events", "duration_us", "path")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 1L)) == ((3L, 600000000L, "view>click>purchase")))
+    assert(got((1L, 2L)) == ((1L, 0L, "view")))
+    assert(got((2L, 1L)) == ((1L, 0L, "view")))
+    assert(got((3L, 1L)) == ((2L, 0L, "a>b")), "event_id breaks ts ties")
+    // cap: path truncates, n_events does not
+    val capped = Funnel.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, maxPathEvents = 2)
+      .filter($"user_id" === 1L && $"sess_id" === 1L)
+      .select("n_events", "path").as[(Long, String)].collect().head
+    assert(capped == ((3L, "view>click")))
+    // repartitioning cannot change any path (in-row sort, not order-by)
+    val again = Funnel.sessionPaths(events.repartition(7), "user_id", "ts",
+        "event_id", "event_type", gapMinutes = 30)
+      .select("user_id", "sess_id", "path").as[(Long, Long, String)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == got.view.mapValues(_._3).toMap)
+  }
 }
