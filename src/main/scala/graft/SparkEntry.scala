@@ -941,13 +941,15 @@ object SparkEntry {
     // series via a RANGE window frame (day-distance, not row-count, so
     // calendar gaps shorten the frame). Decimal window sums: a double
     // sum's association order differs across engines' segment-tree
-    // evaluation. Unpartitioned window is fine HERE because the input is
-    // already one row per day (~thousands) — never do this on raw rows.
+    // evaluation. A single-task window is fine HERE because the input is
+    // already one row per day (~thousands) — never do this on raw rows;
+    // the constant partition key states that intent explicitly.
     "q58_moving_avg" -> ((s, dir) => {
       val daily = tbl(s, dir, "orders")
         .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
-      val w = Window.orderBy(unix_date(to_date(col("day"))))
+      val w = Window.partitionBy(ext.SingleTask.key(col("day")))
+        .orderBy(unix_date(to_date(col("day"))))
         .rangeBetween(-6, 0)
       daily.select(col("day"), col("t").cast("double").as("daily_total"),
           (sum(col("t")).over(w).cast("double") / count(col("t")).over(w)).as("ma7"),
@@ -8208,14 +8210,19 @@ object SparkEntry {
          |  SELECT user_id, event_id, event_type, us,
          |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
          |      ROWS UNBOUNDED PRECEDING) AS sess_id
-         |  FROM y)
+         |  FROM y),
+         |p AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+         |    ORDER BY us, event_id) AS rn
+         |  FROM z)
          |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(min(us) AS BIGINT) AS start_us,
          |  CAST(max(us) AS BIGINT) AS end_us,
          |  CAST(max(us) - min(us) AS BIGINT) AS duration_us,
-         |  string_agg(event_type, '>' ORDER BY us, event_id) AS path
-         |FROM z GROUP BY user_id, sess_id
+         |  string_agg(CASE WHEN rn <= 64 THEN event_type END, '>'
+         |    ORDER BY us, event_id) AS path
+         |FROM p GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_id""".stripMargin
   )
 

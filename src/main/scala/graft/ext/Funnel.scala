@@ -67,13 +67,16 @@ object Funnel {
     * by (ts, idCol) — a total order, so the path string is a pure
     * function of the data.
     *
-    * Scale shape: two per-entity windows (lag + running session sum —
-    * entity-bounded, the sessionization shape) and one hash aggregate;
-    * the path assembles from a collect_list SORTED INSIDE THE ROW
-    * (array_sort over structs), so partition order never leaks into the
-    * string. Paths cap at `maxPathEvents` events (a runaway entity
-    * would otherwise build an unbounded string cell); the cap is part
-    * of the declared semantics, with the true count still reported in
+    * Scale shape: three per-entity windows (lag + running session sum +
+    * in-session rank — entity-bounded, the sessionization shape) and
+    * one hash aggregate; the path assembles from a collect_list SORTED
+    * INSIDE THE ROW (array_sort over structs), so partition order never
+    * leaks into the string. Paths cap at `maxPathEvents` events, and
+    * the cap is applied BEFORE collection (only rows with in-session
+    * rank ≤ cap enter the aggregation buffer) — a runaway entity with
+    * 10⁷ events in one session costs a 10⁷-row count, never a 10⁷-
+    * struct array in a single buffer. The cap is part of the declared
+    * semantics, with the true count still reported exactly in
     * n_events.
     */
   def sessionPaths(events: DataFrame, entityCol: String, tsCol: String,
@@ -98,15 +101,22 @@ object Funnel {
           .otherwise(0L))
       .withColumn("sess_id", sum(col("__new")).over(byEntity.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(entityCol), col("sess_id"))
+          .orderBy(col("__us"), col(idCol))))
       .groupBy(col(entityCol), col("sess_id"))
       .agg(count(lit(1)).cast("long").as("n_events"),
         min(col("__us")).as("start_us"),
         max(col("__us")).as("end_us"),
+        // cap INSIDE the collect: collect_list skips the nulls the
+        // when() emits past the cap, so the buffer holds ≤ cap structs
         array_join(
-          slice(transform(
-            array_sort(collect_list(struct(col("__us").as("u"),
-              col(idCol).as("i"), col(typeCol).as("t")))),
-            s => s.getField("t")), 1, maxPathEvents), ">").as("path"))
+          transform(
+            array_sort(collect_list(when(col("__rn") <= maxPathEvents,
+              struct(col("__us").as("u"),
+                col(idCol).as("i"), col(typeCol).as("t"))))),
+            s => s.getField("t")), ">").as("path"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 }

@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Upper bound on the distinct-value count a STRING z-column may have
+    * before [[zvalueByRange]] refuses it — the single-task distinct-set
+    * sort behind order-preserving string boundaries is only a correct
+    * plan while the vocabulary is bounded (1M distinct short strings ≈
+    * tens of MB in one task). URL/id-cardinality columns must not go
+    * through this path.
+    */
+  val MaxStringZDistinct: Long = 1000000L
+
   /** Morton interleave: bit i of bucket d lands at position
     * `i * dims + d`. Buckets must already be in `[0, 2^bits)`. Pure
     * integer column arithmetic — codegen-friendly, no UDF.
@@ -61,7 +70,11 @@ object Layout {
                     tieBreakers: Seq[String]): DataFrame = {
     val n = 1 << bits
     val bucketed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val w = Window.orderBy((col(c) +: tieBreakers.map(col)): _*)
+      // a global ntile is inherently one sorted partition; the constant
+      // partition key states that intent (this is the declared
+      // small-frame path — zvalueByRange is the scale path)
+      val w = Window.partitionBy(SingleTask.key(col(c)))
+        .orderBy((col(c) +: tieBreakers.map(col)): _*)
       d.withColumn(s"_zb$i", (ntile(n).over(w) - 1).cast("long"))
     }
     bucketed.withColumn("zval",
@@ -108,9 +121,24 @@ object Layout {
     // Population balance is per distinct value — a single hot value is one
     // bucket by necessity (identical rows cannot be split by any
     // order-preserving scheme).
+    //
+    // CARDINALITY CONTRACT: the ntile below sorts the DISTINCT value set
+    // in one task, which is only correct while that set is bounded —
+    // requester/host/category-like columns, NOT url/id-like ones. The
+    // guard makes a corpus-cardinality string column fail loudly instead
+    // of silently becoming a single-task corpus sort; route such columns
+    // through a numeric surrogate (xxhash64 destroys pruning order — use
+    // a numeric key or pre-extracted prefix rank instead).
     val sqs: Map[String, Array[String]] = strCols.map { c =>
-      val w = Window.orderBy(col("_v"))
-      val bounds = df.select(col(c).as("_v")).na.drop.distinct()
+      val distinctVals = df.select(col(c).as("_v")).na.drop.distinct()
+      val cnt = distinctVals.count()
+      require(cnt <= MaxStringZDistinct,
+        s"string z-column '$c' has $cnt distinct values " +
+          s"(> $MaxStringZDistinct): order-preserving string bucketing " +
+          "is for bounded-vocabulary columns; use a numeric column or a " +
+          "bounded derived key for URL-cardinality data")
+      val w = Window.partitionBy(SingleTask.key(col("_v"))).orderBy(col("_v"))
+      val bounds = distinctVals
         .withColumn("_t", ntile(n).over(w))
         .groupBy("_t").agg(max("_v").as("_b"))
         .orderBy("_t").collect().map(_.getString(1))

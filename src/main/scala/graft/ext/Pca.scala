@@ -62,13 +62,29 @@ object Pca {
         def add(v: Array[Float]): Unit = {
           require(v.length == d,
             s"ragged embedding: expected dim $d, got ${v.length}")
+          // magnitude tripwire: |xi·xj·1e12| must fit a Long, so each
+          // coordinate must stay ≤ 3.0e3 (3e3² · 1e12 = 9e18 < 2⁶³).
+          // Embeddings are unit-scale; anything past this is corrupt
+          // input and must fail loudly, not wrap (the LinkGraph totalW
+          // stance). O(d) per row vs the O(d²) accumulation below.
+          var m = 0
+          while (m < d) {
+            require(math.abs(v(m)) <= 3.0e3f,
+              s"embedding coordinate ${v(m)} exceeds ±3e3 — moment " +
+                "terms would overflow the e12 Long accumulator")
+            m += 1
+          }
           var i = 0
           var t = 0
           while (i < d) {
             val xi = v(i).toDouble
             var j = i
             while (j < d) {
-              acc(t) += math.floor(xi * v(j).toDouble * 1e12).toLong
+              // addExact: a partition accumulating past ±9.2e18 (≈9.2M
+              // unit-scale rows per partition per cell) throws instead
+              // of silently wrapping into a wrong covariance
+              acc(t) = Math.addExact(acc(t),
+                math.floor(xi * v(j).toDouble * 1e12).toLong)
               j += 1; t += 1
             }
             i += 1
@@ -88,9 +104,21 @@ object Pca {
         out
       }
     }.toDF("i", "j", "pn", "ps")
+    // cross-partition merge in decimal(38,0) — exact at any corpus size
+    // — with a loud Long-range check before narrowing back to the
+    // BIGINT the gate schema declares: the non-ANSI long sum would wrap
+    // silently right where the per-partition addExact guard ends
     partials.groupBy("i", "j")
-      .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s2_e12"))
-      .select(col("i"), col("j"), col("n"), col("s2_e12"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("ps").cast("decimal(38,0)")).as("__sdec"))
+      .select(col("i"), col("j"), col("n"),
+        when(abs(col("__sdec")) <= lit(Long.MaxValue),
+          col("__sdec").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("PCA moment sum overflows BIGINT at cell ("),
+            col("i"), lit(","), col("j"),
+            lit("): "), col("__sdec").cast("string"))))
+          .as("s2_e12"))
   }
 
   /** Fit a k-component model from the exact moment matrix plus the
@@ -120,7 +148,12 @@ object Pca {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val mean = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+    // the SAME array<float> widening momentMatrix applies, so mean and
+    // second moments see identical coordinate values — mixing a
+    // float-truncated E[xx] with a double-exact μ can yield a slightly
+    // non-PSD covariance for array<double> input
+    val mean = df
+      .select(posexplode(col(vecCol).cast("array<float>")).as(Seq("pos", "x")))
       .groupBy("pos")
       .agg((sum(col("x").cast("double").cast("decimal(28,8)")).cast("double") /
         count(lit(1))).as("m"))

@@ -138,7 +138,11 @@ object Profile {
     */
   def equalFrequencyBins(df: DataFrame, valueCol: String, tieCol: String,
                          bins: Int): DataFrame = {
+    // single-task by declared contract (the small-frame path; the
+    // quantile sibling below is the scale path) — the constant
+    // partition key states that intent
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(SingleTask.key(col(tieCol)))
       .orderBy(col(valueCol), col(tieCol))
     df.select(col(valueCol), ntile(bins).over(w).cast("long").as("bin"))
       .groupBy("bin")

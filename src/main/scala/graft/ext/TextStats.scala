@@ -617,7 +617,10 @@ object TextStats {
     val toks = df.select(explode(canonicalTokens(col(textCol))).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum("n").as("n_total"))
+    // vocabulary-sized frame by construction — the constant partition
+    // key states the single-task intent
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(SingleTask.key(col("term")))
       .orderBy(col("n").desc, col("term"))
     counts.crossJoin(broadcast(total))
       .select(col("term"), col("n"),
@@ -893,19 +896,19 @@ object TextStats {
     * an exact integer.
     *
     * The AUC stance on ranking: rows never rank. Scores collapse to the
-    * per-distinct-score count frame, ONE window runs over that score
-    * VOCABULARY for the running below-count, and docs join their
-    * percentile back by score — a corpus-sized sort never happens.
+    * per-distinct-score count frame, the running below-count comes from
+    * the two-phase bucket/carry machinery ([[runningBelow]] — a
+    * CONTINUOUS score makes the distinct-score frame corpus-sized, so
+    * no unpartitioned window ever touches it), and docs join their
+    * percentile back by score — a corpus-sized single-task sort never
+    * happens.
     */
   def scorePercentiles(df: DataFrame, idCol: String,
                        scoreCol: String): DataFrame = {
     val clean = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
     val perScore = clean.groupBy(col(scoreCol).as("__s"))
       .agg(count(lit(1)).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val withBelow = perScore
-      .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val withBelow = runningBelow(perScore, clean, scoreCol, "__n")
     val total = clean.agg(count(lit(1)).as("__tot"))
     clean.select(col(idCol), col(scoreCol))
       .join(withBelow.withColumnRenamed("__s", scoreCol), Seq(scoreCol))
@@ -915,29 +918,96 @@ object TextStats {
         expr("CAST(__below * 1000000L div __tot AS BIGINT)").as("pct_e6"))
   }
 
+  /** Number of coarse score-range buckets the running-below machinery
+    * spreads the per-distinct-score frame over. 1024 keeps the coarse
+    * carry frame trivially small while bounding any single fine-window
+    * task to ~1/1024 of the score range.
+    */
+  private val ScoreBuckets = 1024
+
+  /** Exclusive running sum of `weightCol` over the per-distinct-score
+    * frame `perScore` (columns `__s` + weights), in ascending `__s`
+    * order — WITHOUT an unpartitioned window. A continuous score makes
+    * the distinct-score "vocabulary" corpus-sized, so a bare
+    * `Window.orderBy(__s)` would be a single-task sort of the corpus;
+    * instead this is the two-phase bucket/carry form (the
+    * [[Sampling.tokenBudgetPerGroup]] machinery):
+    *
+    *  1. scores coarse-bucket by uniform value range (bounds are a
+    *     2-scalar aggregate of `source` — the rebalance stance; the
+    *     double cast is monotone for every numeric type, and equal
+    *     doubles just share a bucket, which the fine phase untangles);
+    *  2. per-bucket totals (≤ [[ScoreBuckets]]+2 rows BY CONSTRUCTION)
+    *     take their exclusive prefix via a constant-partitioned window
+    *     — a single task is the CORRECT plan for a frame this small,
+    *     and `partitionBy(lit(0))` states that intent;
+    *  3. the fine running sum windows WITHIN each bucket
+    *     (`partitionBy(__b)`), so no task ever sorts more than one
+    *     bucket's worth of distinct scores.
+    *
+    * NaN scores sort above every numeric in Spark's ordering, so they
+    * pin to a dedicated top bucket. Output: `perScore` plus `__below`.
+    */
+  private def runningBelow(perScore: DataFrame, source: DataFrame,
+                           scoreCol: String, weightCols: String*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weightCols.nonEmpty, "runningBelow needs at least one weight")
+    val dt = source.schema(scoreCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"score column '$scoreCol' must be numeric, got ${dt.simpleString}")
+    val row = source
+      .agg(min(col(scoreCol).cast("double")), max(col(scoreCol).cast("double")))
+      .collect()(0)
+    val bucket: Column =
+      if (row.isNullAt(0) || row.getDouble(0) == row.getDouble(1)) lit(0)
+      else {
+        val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+        coalesce(
+          least(width_bucket(col("__s").cast("double"), lit(lo), lit(hi),
+            lit(ScoreBuckets)), lit(ScoreBuckets)),
+          lit(ScoreBuckets + 1L)).cast("int") // NaN → top bucket
+      }
+    val scored = perScore.withColumn("__b", bucket)
+    val carryW = Window.partitionBy(SingleTask.key(col("__b")))
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fineW = Window.partitionBy(col("__b")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketSums = weightCols.map(w => sum(col(w)).as(s"__bt_$w"))
+    val carry = scored.groupBy(col("__b"))
+      .agg(bucketSums.head, bucketSums.tail: _*)
+      .select(col("__b") +: weightCols.map(w =>
+        coalesce(sum(col(s"__bt_$w")).over(carryW), lit(0L))
+          .as(s"__carry_$w")): _*)
+    val joined = scored.join(broadcast(carry), Seq("__b"))
+    weightCols.foldLeft(joined) { (acc, w) =>
+      acc.withColumn(if (weightCols.size == 1) "__below" else s"__below_$w",
+        col(s"__carry_$w") +
+          coalesce(sum(col(w)).over(fineW), lit(0L)))
+    }.drop("__b" +: weightCols.map(w => s"__carry_$w"): _*)
+  }
+
   /** Exact tie-aware ROC AUC of a score column against a boolean label
     * — the eval metric a quality-filter pipeline reports at corpus
     * scale. Computed WITHOUT ranking rows: scores collapse to a
-    * per-distinct-score (n_pos, n_neg) frame first, so the running-sum
-    * window runs over the score VOCABULARY (the BM25 stance), never the
-    * corpus; with ties handled by the standard half-credit
-    * (Mann-Whitney) convention.
+    * per-distinct-score (n_pos, n_neg) frame first, and the running
+    * negatives-below count comes from [[runningBelow]]'s two-phase
+    * bucket/carry (never an unpartitioned window — a continuous score
+    * makes the distinct-score frame corpus-sized); ties are handled by
+    * the standard half-credit (Mann-Whitney) convention.
     *
     * Exact integer throughout: auc_e6 = floor(1e6 · Σ_s nPos(s) ·
     * (2·negBelow(s) + nNeg(s)) / (2·P·N)). One row out; degenerate
     * inputs (P = 0 or N = 0) yield null.
     */
   def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val perScore = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val clean = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val perScore = clean
       .groupBy(col(scoreCol).as("__s"))
       .agg(sum(col(labelCol).cast("long")).as("__np"),
         sum(lit(1L) - col(labelCol).cast("long")).as("__nn"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    perScore
-      .withColumn("__negBelow", coalesce(sum(col("__nn")).over(w), lit(0L)))
+    runningBelow(perScore, clean, scoreCol, "__nn")
+      .withColumnRenamed("__below", "__negBelow")
       .agg(sum(col("__np")).cast("long").as("n_pos"),
         sum(col("__nn")).cast("long").as("n_neg"),
         sum(col("__np") * (lit(2L) * col("__negBelow") + col("__nn")))

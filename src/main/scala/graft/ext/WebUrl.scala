@@ -335,7 +335,9 @@ object WebUrl {
     * parts total·w_i mod W, ties to the smallest key — a total order,
     * so the allocation is a pure function of the weights. Products run
     * in decimal(38) (HUGEINT on the oracle side), so a 100 TB-scale
-    * total × weight cannot wrap.
+    * total × weight cannot wrap. Weights are honored to 1e-9
+    * resolution (they integerize exactly at scale 9 first — the common
+    * factor cancels, so integer weights allocate identically).
     *
     * The ranking window is GLOBAL but runs over the already-aggregated
     * per-key frame (domains, mixture components — the vocabulary-window
@@ -345,10 +347,27 @@ object WebUrl {
   def allocateBudget(weights: DataFrame, keyCol: String, weightCol: String,
                      total: Long): DataFrame = {
     require(total >= 0, s"total must be >= 0, got $total")
+    // weights integerize at 1e-9 resolution: decimal(27,9) truncation ×
+    // 1e9 is an EXACT decimal(38,9) (27+10+1 = 38 — no Spark precision
+    // loss) whose value is integral, so fractional weights (0.3/0.2/0.5)
+    // keep their proportionality instead of collapsing under a
+    // straight decimal(38,0) cast. Proportions — and therefore every
+    // base/remainder below — are invariant under the common 1e9 factor,
+    // so integer-weight callers (and the q203 oracle) see identical
+    // allocations. Weights past the decimal(27,9) range fail loudly.
     val w = weights
       .filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
-      .select(col(keyCol), col(weightCol).cast("decimal(38,0)").as("__w"))
+      .select(col(keyCol),
+        (col(weightCol).cast("decimal(27,9)") *
+          lit(1000000000L).cast("decimal(10,0)"))
+          .cast("decimal(38,0)").as("__w"))
+      .select(col(keyCol),
+        when(col("__w").isNotNull, col("__w"))
+          .otherwise(raise_error(concat(
+            lit("allocateBudget weight out of decimal(27,9) range for key "),
+            col(keyCol).cast("string")))).as("__w"))
+      .filter(col("__w") > 0)
     val tot = w.agg(sum(col("__w")).as("__tw"))
     val based = w.crossJoin(broadcast(tot))
       .select(col(keyCol), col("__w"), col("__tw"),
@@ -362,7 +381,11 @@ object WebUrl {
         expr("__p % __tw").as("__rem"))
     val deficit = based.agg((lit(total) - coalesce(sum(col("__base")),
       lit(0))).cast("long").as("__d"))
+    // per-key frame (domains / mixture components) — bounded by
+    // construction; the constant partition key states the single-task
+    // intent
     val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(SingleTask.key(col(keyCol)))
       .orderBy(col("__rem").desc, col(keyCol).asc)
     based.crossJoin(broadcast(deficit))
       .withColumn("__rk", row_number().over(rankW))

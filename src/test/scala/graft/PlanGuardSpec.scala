@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.plans.PlanCapture
 
@@ -50,6 +51,17 @@ class PlanGuardSpec extends SparkTestBase {
     val cartesians = plan.collect { case c: CartesianProductExec => c }
     assert(cartesians.isEmpty,
       s"$name plans a CartesianProduct ($where) — an unkeyed join leaked in:\n$plan")
+
+    // no WindowExec may run with an EMPTY partition spec: a bare
+    // Window.orderBy moves the whole input to one task. Frames that are
+    // bounded by construction (score buckets, vocabularies, per-domain
+    // budgets) declare it with a constant partition key instead — same
+    // plan, but the bound is stated and THIS guard stays meaningful.
+    val unpartitioned = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.isEmpty,
+      s"$name plans an unpartitioned window ($where) — single-task sort of " +
+        s"the whole input; partition it (or state a bounded frame with a " +
+        s"constant key):\n$plan")
 
     if (!allowedBroadcastNl(name)) {
       plan.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>

@@ -2,6 +2,8 @@ package graft.ext
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class FunnelSpec extends SparkTestBase {
@@ -93,5 +95,26 @@ class FunnelSpec extends SparkTestBase {
       .select("user_id", "sess_id", "path").as[(Long, Long, String)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(again == got.view.mapValues(_._3).toMap)
+  }
+
+  test("sessionPaths: a runaway 1e5-event session collects only the cap") {
+    // one bot entity, 100k events in a single session (1s apart, gap
+    // never fires): the collect buffer must hold ≤ maxPathEvents structs
+    // — the cap applies BEFORE collection — while n_events stays exact
+    val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val n = 100000
+    val events = spark.range(n.toLong).select(
+      lit(9L).as("user_id"),
+      timestamp_millis(lit(base) + col("id") * 1000L).as("ts"),
+      col("id").as("event_id"),
+      concat(lit("e"), (col("id") % 7).cast("string")).as("event_type"))
+    val got = Funnel.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, maxPathEvents = 8)
+      .select("n_events", "path").as[(Long, String)].collect()
+    assert(got.length == 1)
+    val (nEvents, path) = got.head
+    assert(nEvents == n.toLong, "true count reported exactly")
+    assert(path == (0 until 8).map(i => s"e${i % 7}").mkString(">"),
+      "path holds exactly the first cap-many events in time order")
   }
 }

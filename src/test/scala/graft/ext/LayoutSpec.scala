@@ -210,4 +210,22 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Layout.writeWithBloomFilters(df, dest, Seq("nope")))
   }
+
+  test("zvalueByRange refuses URL-cardinality string z-columns loudly") {
+    import org.apache.spark.sql.functions._
+    // a string column whose distinct count exceeds the declared bound:
+    // the order-preserving boundary path would otherwise become a
+    // single-task sort of a corpus-sized distinct set
+    val wide = spark.range(Layout.MaxStringZDistinct + 1)
+      .select(col("id"),
+        concat(lit("https://example.com/p/"), col("id")).as("url"))
+    val ex = intercept[IllegalArgumentException](
+      Layout.zvalueByRange(wide, Seq("url"), bits = 4))
+    assert(ex.getMessage.contains("distinct"), ex.getMessage)
+    // bounded-vocabulary strings still bucket fine
+    val ok = spark.range(1000)
+      .select(col("id"), concat(lit("req"), (col("id") % 7)).as("requester"))
+    assert(Layout.zvalueByRange(ok, Seq("requester"), bits = 2)
+      .select("zval").distinct().count() <= 4)
+  }
 }

@@ -478,6 +478,59 @@ class TextStatsSpec extends SparkTestBase {
     assert(TextStats.scorePercentiles(withNull, "id", "s").count() == 1L)
   }
 
+  test("scorePercentiles/aucExact: two-phase bucket/carry matches a " +
+      "direct rank on a high-distinct continuous score") {
+    // 20k rows, ~20k DISTINCT doubles (the regime where the old
+    // unpartitioned vocabulary window became a corpus-sized single-task
+    // sort), plus planted exact ties; reference computed locally
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 20000).map { i =>
+      val s = if (i % 97 == 0) 0.5 else rnd.nextDouble()
+      (i.toLong, s, rnd.nextBoolean())
+    }
+    val df = rows.toDF("id", "s", "y")
+    val out = TextStats.scorePercentiles(df, "id", "s")
+    // plan shape: every window is partitioned (constant-key carry over
+    // the ≤1026-row bucket frame included)
+    val unpart = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "scorePercentiles plans an unpartitioned window")
+    val got = out.select("id", "n_below", "pct_e6")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val sorted = rows.map(_._2).sorted
+    val expectBelow = rows.map { case (id, s, _) =>
+      id -> sorted.indexWhere(_ >= s).toLong // strictly-below count
+    }.toMap
+    rows.foreach { case (id, _, _) =>
+      assert(got(id)._1 == expectBelow(id), s"n_below for id $id")
+      assert(got(id)._2 == expectBelow(id) * 1000000L / rows.size,
+        s"pct_e6 for id $id")
+    }
+    // AUC on the same frame: exact tie-aware Mann-Whitney reference
+    val pos = rows.filter(_._3).map(_._2)
+    val neg = rows.filterNot(_._3).map(_._2)
+    val negSorted = neg.sorted
+    def countBelow(x: Double): (Long, Long) = {
+      val lo = negSorted.indexWhere(_ >= x) match {
+        case -1 => negSorted.size; case k => k
+      }
+      val hi = negSorted.indexWhere(_ > x) match {
+        case -1 => negSorted.size; case k => k
+      }
+      (lo.toLong, (hi - lo).toLong) // (strictly below, tied)
+    }
+    val u2 = pos.iterator.map { x =>
+      val (b, t) = countBelow(x); 2L * b + t
+    }.sum
+    val expectAuc = u2 * 1000000L / (2L * pos.size * neg.size)
+    val aucRow = TextStats.aucExact(df, "s", "y").collect()(0)
+    assert(aucRow.getLong(0) == pos.size.toLong &&
+      aucRow.getLong(1) == neg.size.toLong)
+    assert(aucRow.getLong(2) == expectAuc, "auc_e6 mismatch vs reference")
+  }
+
   test("mixedLanguageProfile: per-paragraph langId, argmax ties, empty paras") {
     val en = "the quick brown fox and the lazy dog"
     val de = "der schnelle braune fuchs und der hund"

@@ -68,28 +68,52 @@ class StreamingMergeSpec extends SparkTestBase {
     assert(s.current().collect().toSet == first)
   }
 
-  test("only touched buckets rewrite") {
+  test("only touched buckets rewrite; old generations stay intact") {
     val store = tmpStore()
     val s = new StreamingMerge.StateStore(spark, store, "key",
       Seq("version", "uid"), numBuckets = 8)
     s.update(df((0 until 40).map(i =>
       (i.toLong, 1L, i.toLong, s"v$i"))), 0L)
-    val stateDir = new java.io.File(store + "/state")
-    val before = stateDir.listFiles().filter(_.getName.startsWith("__bucket="))
-      .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified))
-        .toSeq.sortBy(_._1)).toMap
-    assert(before.size == 8, s"expected 8 bucket dirs, got ${before.keySet}")
-    Thread.sleep(1100) // mtime granularity
-    // one key → one bucket touched
+    def bucketDirs(gen: Long): Map[String, Seq[(String, Long)]] = {
+      val d = new java.io.File(store + s"/gen-$gen")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(b => b.getName ->
+          b.listFiles().map(f => (f.getName, f.lastModified))
+            .toSeq.sortBy(_._1)).toMap
+    }
+    val gen1 = bucketDirs(1L)
+    assert(gen1.size == 8, s"expected 8 bucket dirs in gen-1, got ${gen1.keySet}")
+    // one key → one bucket touched: the new generation holds ONE bucket
+    // and gen-1 is byte-for-byte untouched (never rewritten in place)
     s.update(df(Seq((7L, 2L, 1000L, "upd"))), 1L)
-    val after = stateDir.listFiles().filter(_.getName.startsWith("__bucket="))
-      .map(d => d.getName -> d.listFiles().map(f => (f.getName, f.lastModified))
-        .toSeq.sortBy(_._1)).toMap
-    val changed = before.keySet.filter(k => before(k) != after(k))
-    assert(changed.size == 1, s"buckets rewritten: $changed")
+    val gen2 = bucketDirs(2L)
+    assert(gen2.size == 1, s"buckets rewritten in gen-2: ${gen2.keySet}")
+    assert(bucketDirs(1L) == gen1, "previous generation mutated")
     // and the update took effect
     val got = s.current().filter($"key" === 7L)
       .as[(Long, Long, Long, String)].collect()
     assert(got.toSeq == Seq((7L, 2L, 1000L, "upd")))
+  }
+
+  test("snapshot readers survive later updates; vacuum keeps only live gens") {
+    val store = tmpStore()
+    val s = new StreamingMerge.StateStore(spark, store, "key",
+      Seq("version", "uid"), numBuckets = 4)
+    s.update(df((0 until 20).map(i => (i.toLong, 1L, i.toLong, s"v$i"))), 0L)
+    val snapshot = s.current() // plan pinned to the gen dirs of manifest v1
+    s.update(df((0 until 20).map(i => (i.toLong, 2L, 100L + i, s"w$i"))), 1L)
+    // the old snapshot still reads the ORIGINAL rows — nothing deleted
+    val snapVals = snapshot.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(snapVals == (0 until 20).map(i => i.toLong -> s"v$i").toMap,
+      "pre-update snapshot changed under the reader")
+    // vacuum drops gen-1 (fully superseded) and the old manifest
+    s.vacuum()
+    assert(!new java.io.File(store + "/gen-1").exists(), "gen-1 not vacuumed")
+    assert(new java.io.File(store + "/gen-2").exists(), "live gen-2 deleted")
+    val cur = s.current().as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(cur == (0 until 20).map(i => i.toLong -> s"w$i").toMap)
   }
 }
