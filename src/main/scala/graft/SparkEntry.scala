@@ -3056,19 +3056,35 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
-    // ext pca — fit (Jacobi eigensolve on the driver-side 64×64 matrix)
-    // + projection to k=16 as Cx − Cμ inside one codegen'd scan.
-    // Engine-specific numerics (eigenvectors are not SQL-expressible):
-    // rows-only gate; PcaSpec pins orthonormality, eigen-residuals, and
-    // agreement with a dense in-memory reference.
+    // ext pca — full fit + project through a CLOSED-FORM fixture (the
+    // q107 DC-only-JPEG pattern): vectors live on single coordinate
+    // axes in exact ± pairs, so the mean is exactly 0, the covariance
+    // is exactly diagonal with strictly-descending per-axis variance
+    // (magnitude 8−axis; ≥62 pairs per axis at every sf), Jacobi
+    // converges with ZERO rotations to the identity eigenbasis, and the
+    // k=4 projection is exactly the first 4 coordinates — every number
+    // the oracle can replay in closed form. The whole distributed path
+    // (moment matrix, decimal mean, eigensolve, Cx−Cμ scan) executes
+    // for real; general-input numerics stay pinned by PcaSpec.
     "q179_pca_project" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val model = ext.Pca.fit(emb, "embedding", k = 16)
-      ext.Pca.project(emb, "vec_id", "embedding", model)
-        .select(col("vec_id"),
+      val d = 8
+      val fix = tbl(s, dir, "embeddings")
+        .filter(col("vec_id").isNotNull)
+        .select(col("vec_id"), explode(array(lit(1), lit(-1))).as("sgn"))
+        .withColumn("__axis", pmod(col("vec_id"), lit(d.toLong)).cast("int"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(d - 1)), i =>
+            when(i === col("__axis"),
+              col("sgn").cast("double") * (lit(d) - col("__axis")))
+              .otherwise(lit(0.0))))
+      val model = ext.Pca.fit(fix, "embedding", k = 4)
+      val withRowId = fix.withColumn("row_id",
+        col("vec_id") * 2L + when(col("sgn") === 1, 1L).otherwise(0L))
+      ext.Pca.project(withRowId, "row_id", "embedding", model)
+        .select(col("row_id"),
           array_join(transform(col("projection"),
             x => round(x * 1000).cast("long")), ",").as("proj_e3"))
-        .orderBy("vec_id")
+        .orderBy("row_id")
     }),
 
     // ext crawl — sitemap XML entry extraction: per-doc synthetic flat
@@ -3181,16 +3197,36 @@ object SparkEntry {
 
     // ext spectral — frame-wise FFT magnitude features over REAL PCM WAV
     // bytes (in-repo radix-2 Cooley–Tukey inside the decoder batch
-    // walk): peak bin, e6 centroid, and the exact integer frame energy
-    // that must equal q146's time-domain number (spec-asserted).
-    // Rows-only: FFT magnitudes have no SQL closed form; numerics are
-    // pinned against a naive DFT + Parseval + known square waves.
+    // walk), driven through a CLOSED-FORM two-tone fixture (the q107
+    // pattern): x_n = M + A·cos(πn/2) + B·(−1)^n is exactly integer-
+    // valued (bins N/4 and N/2 are the only ones whose sampled cosines
+    // are), so |X16| = 32A, |X32| = 64B, every other non-DC bin is 0 —
+    // peak bin, the e6 centroid floor(1e6·(16A+64B)/(A+2B)) and the
+    // time-domain energy all have exact closed forms the oracle
+    // replays. (A,B) pairs keep A+2B = 13 with 13 ∤ the e6 numerator,
+    // so the exact value sits ≥ 1/13 from any floor boundary — 10
+    // orders of magnitude beyond FFT double noise. A ≠ 2B avoids
+    // peak-bin ties; pair (5,4) puts the peak at the Nyquist bin.
+    // General-input numerics stay pinned by SpectralSpec (naive DFT ≡,
+    // Parseval, known square waves).
     "q185_spectral" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
+      val ab = Array((7, 3), (9, 2), (5, 4), (11, 1))
       val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
-        .map(id => ext.Multimodal.Asset(id, "audio",
-          ext.Multimodal.makeWav(id, 256)))
+        .map { id =>
+          val (a, b) = ab((id % 4).toInt)
+          val m = (id % 5).toInt
+          val pcm = Array.tabulate(256) { n =>
+            val cosTerm = (n % 4) match {
+              case 0 => a; case 2 => -a; case _ => 0
+            }
+            val nyq = if (n % 2 == 0) b else -b
+            m + cosTerm + nyq
+          }
+          ext.Multimodal.Asset(id, "audio",
+            ext.Multimodal.makeWavFromPcm(pcm))
+        }
       ext.Spectral.wavSpectral(assets, frameSamples = 64).toDF()
         .select(col("asset_id").as("doc_id"), col("frame_idx"),
           col("n_in_frame"), col("energy"), col("peak_bin"),
@@ -7550,6 +7586,50 @@ object SparkEntry {
         |  CAST(sum(term) AS BIGINT) AS s2_e12
         |FROM t GROUP BY i, j
         |ORDER BY i, j""".stripMargin,
+
+    // closed-form fixture replay: axis = vec_id % 8, magnitude 8−axis,
+    // ± pairs → identity eigenbasis, projection = first 4 coordinates
+    "q179_pca_project" ->
+      """WITH ids AS (
+        |  SELECT vec_id, vec_id % 8 AS axis
+        |  FROM embeddings WHERE vec_id IS NOT NULL),
+        |r AS (
+        |  SELECT vec_id, axis, s.sgn
+        |  FROM ids, (VALUES (1), (-1)) AS s(sgn))
+        |SELECT CAST(vec_id * 2 + CASE WHEN sgn = 1 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS row_id,
+        |  CAST(CASE WHEN axis = 0 THEN sgn * 8000 ELSE 0 END AS VARCHAR)
+        |  || ',' ||
+        |  CAST(CASE WHEN axis = 1 THEN sgn * 7000 ELSE 0 END AS VARCHAR)
+        |  || ',' ||
+        |  CAST(CASE WHEN axis = 2 THEN sgn * 6000 ELSE 0 END AS VARCHAR)
+        |  || ',' ||
+        |  CAST(CASE WHEN axis = 3 THEN sgn * 5000 ELSE 0 END AS VARCHAR)
+        |    AS proj_e3
+        |FROM r
+        |ORDER BY row_id""".stripMargin,
+
+    // closed-form two-tone replay: |X16| = 32A, |X32| = 64B, centroid
+    // = (16A+64B)/(A+2B) exactly; energy is the time-domain Σs² of the
+    // period-4 sample pattern
+    "q185_spectral" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 7 WHEN 1 THEN 9 WHEN 2 THEN 5
+        |      ELSE 11 END AS a,
+        |    CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 4
+        |      ELSE 1 END AS b,
+        |    doc_id % 5 AS m
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+        |  CAST(64 AS INT) AS n_in_frame,
+        |  CAST(16 * ((m+a+b)*(m+a+b) + 2*(m-b)*(m-b) + (m-a+b)*(m-a+b))
+        |    AS BIGINT) AS energy,
+        |  CAST(CASE WHEN 32*a > 64*b THEN 16 ELSE 32 END AS INT) AS peak_bin,
+        |  CAST(((16*a + 64*b) * 1000000) // (a + 2*b) AS BIGINT)
+        |    AS centroid_e6
+        |FROM d, unnest(generate_series(0, 3)) AS f(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // identical XML synthesis, DuckDB RE2 re-parse: <url> blocks with
     // ordinality, loc-less block dropped, ''→NULL optionals

@@ -1142,7 +1142,18 @@ object Multimodal {
   }
 
   /** Mono 16-bit PCM WAV with sample i = ((seed·31 + i) % 65536) − 32768. */
-  def makeWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+  def makeWav(seed: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] =
+    makeWavFromPcm(Array.tabulate(nSamples)(i =>
+      ((((seed * 31 + i) % 65536) + 65536) % 65536).toInt - 32768), sampleRate)
+
+  /** WAV container around EXPLICIT 16-bit PCM samples — the fixture
+    * builder for closed-form spectral oracles (q185): the caller picks
+    * samples whose DFT is analytically known (e.g. tones at bins N/4
+    * and N/2, the only bins whose sampled cosines are exactly integer-
+    * valued). Samples must fit a signed 16-bit range.
+    */
+  def makeWavFromPcm(samples: Array[Int], sampleRate: Int = 16000): Array[Byte] = {
+    val nSamples = samples.length
     val dataLen = nSamples * 2
     val out = new Array[Byte](44 + dataLen)
     def putInt(off: Int, v: Int): Unit = {
@@ -1161,7 +1172,8 @@ object Multimodal {
     "data".getBytes.copyToArray(out, 36); putInt(40, dataLen)
     var i = 0
     while (i < nSamples) {
-      val v = ((((seed * 31 + i) % 65536) + 65536) % 65536).toInt - 32768
+      val v = samples(i)
+      require(v >= -32768 && v <= 32767, s"sample $v exceeds 16-bit range")
       putShort(44 + 2 * i, v & 0xFFFF)
       i += 1
     }

@@ -68,6 +68,17 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodeBmp(1L, "image", "BMgarbage".getBytes))
   }
 
+  test("makeWavFromPcm: byte-exact PCM roundtrip; 16-bit range enforced") {
+    val pcm = Array(0, 1, -1, 32767, -32768, 1234, -4321, 7)
+    assert(Multimodal.wavPcm(Multimodal.makeWavFromPcm(pcm)).toSeq == pcm.toSeq)
+    // makeWav must be the same container around its generated samples
+    assert(Multimodal.makeWav(3L, 256).toSeq == Multimodal.makeWavFromPcm(
+      Array.tabulate(256)(i => ((((3L * 31 + i) % 65536) + 65536) % 65536)
+        .toInt - 32768)).toSeq)
+    intercept[IllegalArgumentException](
+      Multimodal.makeWavFromPcm(Array(40000)))
+  }
+
   test("decodeWav: chunk walk, exact RMS, malformed payloads fail loudly") {
     val seed = 3L
     val f = Multimodal.decodeWav(seed, Multimodal.makeWav(seed, 256))
