@@ -508,14 +508,14 @@ object SparkEntry {
       val qs = em.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
       ext.Similarity.ivfTopK(em, qs, "vec_id", "embedding", "query_id",
-          k = 10, numCells = 16, nprobe = 4, modulus = 500)
+          k = 10, numCells = 16, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
     // ext similarity — PQ (product-quantization) ANN: per-subspace codes +
     // ADC lookup-table scoring, exact re-rank of the candidate pool.
     // Oracle-checked: the generated PqAnnOracle derives the SAME
-    // stride-sampled codebook from the table and replicates encoding, LUT
+    // md5-rank-sampled codebook from the table and replicates encoding, LUT
     // scoring, candidate pool, and re-rank; recall vs brute force in
     // ScalaTest.
     "q80_ann_pq" -> ((s, dir) => {
@@ -524,7 +524,7 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       ext.Similarity.pqTopK(em, qs, "vec_id", "embedding", "query_id",
           k = 10, numSubspaces = 8, codebookSize = 16, rerankFactor = 4,
-          dim = 64, modulus = 500)
+          dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
@@ -1701,7 +1701,7 @@ object SparkEntry {
           emb.filter(col("vec_id") % 7 === 2),
           emb.filter(col("vec_id") % 7 =!= 2),
           "vec_id", "vec_id", "embedding",
-          k = 5, numCells = 16, nprobe = 3, modulus = 496)
+          k = 5, numCells = 16, nprobe = 3)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -1719,7 +1719,7 @@ object SparkEntry {
           "vec_id", "vec_id", "embedding",
           k = 5, numCells = 16, nprobe = 3,
           numSubspaces = 8, codebookSize = 8, rerankFactor = 4,
-          dim = 64, modulus = 496)
+          dim = 64)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -3760,8 +3760,9 @@ object SparkEntry {
       |          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       |        FROM all_docs))""".stripMargin
 
-  /** Oracle for the IVF cross-table join (q102): centroids are every
-    * 31st RIGHT-side id (modulus 496 / 16 cells), right rows take their
+  /** Oracle for the IVF cross-table join (q102): centroids are the 16
+    * RIGHT-side rows of smallest md5(id) rank (the engine's
+    * id-distribution-free donor sample), right rows take their
     * single best cell and left rows their 3 best (cosine DESC,
     * centroid_id tie-break — the kernel's lowest-index rule), candidates
     * meet on the cell, exact cosine ranks within query. The cosine
@@ -3785,7 +3786,9 @@ object SparkEntry {
        |lt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 2),
        |centroids AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM rt WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+       |  FROM (SELECT vec_id, embedding FROM rt
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       |  ORDER BY vec_id),
        |corpus_assign AS (
        |  SELECT vec_id AS neighbor_id, cell FROM (
        |    SELECT e.vec_id, c.centroid_id AS cell,
@@ -3817,11 +3820,10 @@ object SparkEntry {
   }
 
   /** Oracle for the PQ-coded IVF join (q106): the q102 cell machinery
-    * (centroids every 31st right id, best cell per right row, 3 probes
-    * per query) composed with the q80 PQ machinery (codebook = right ids
-    * ≡ 0 mod 62 — 7 donors survive the right-side filter at sf modulus
-    * 496, fewer than the nominal 8, exactly as the engine's LIMIT under
-    * the same filter — nearest codeword per 8-dim subspace by
+    * (md5-rank centroid donors, best cell per right row, 3 probes
+    * per query) composed with the q80 PQ machinery (codebook = the 8
+    * right rows of smallest md5(id) rank, codeword j = id-sorted rank —
+    * nearest codeword per 8-dim subspace by
     * dot − |c|²/2, per-query LUTs), ADC-scored candidate pool of
     * k·rerankFactor = 20 per query, exact cosine re-rank. Same ADC
     * double-sum-order soundness note as [[PqAnnOracle]]; exact cosine
@@ -3842,7 +3844,9 @@ object SparkEntry {
        |lt AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 2),
        |centroids AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM rt WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+       |  FROM (SELECT vec_id, embedding FROM rt
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       |  ORDER BY vec_id),
        |corpus_assign AS (
        |  SELECT vec_id AS neighbor_id, cell FROM (
        |    SELECT e.vec_id, c.centroid_id AS cell,
@@ -3861,7 +3865,7 @@ object SparkEntry {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
        |    embedding AS wvec
        |  FROM (SELECT vec_id, embedding FROM rt
-       |        WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8)),
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
        |cws AS (
        |  SELECT j, m, list_slice(wvec, m * 8 + 1, m * 8 + 8) AS c
        |  FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)),
@@ -4018,7 +4022,7 @@ object SparkEntry {
   /** Generated oracle for the IVF ANN path: centroid sampling, Voronoi
     * assignment (rank-1 cosine for corpus, rank ≤ nprobe for queries), and
     * candidate ranking replicated in SQL. Parameters mirror q28:
-    * numCells=16, nprobe=4, modulus=500 → stride 31.
+    * numCells=16, nprobe=4; centroids = 16 smallest md5(id) ranks.
     */
   private val IvfAnnOracle: String = {
     def cosine(a: String, b: String): String =
@@ -4028,7 +4032,9 @@ object SparkEntry {
          |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
     s"""WITH centroids AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM embeddings WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16),
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       |  ORDER BY vec_id),
        |corpus_assign AS (
        |  SELECT vec_id AS neighbor_id, cell FROM (
        |    SELECT e.vec_id, c.centroid_id AS cell,
@@ -4059,13 +4065,14 @@ object SparkEntry {
        |QUALIFY rank <= 10""".stripMargin
   }
 
-  /** Generated oracle for the PQ ANN path: the stride-sampled codebook is
+  /** Generated oracle for the PQ ANN path: the md5-rank-sampled codebook is
     * derived from the embeddings table itself (same ids as the engine
     * side), then encoding (nearest codeword per subspace by
     * `dot − |c|²/2`, ties to the lowest code), per-query ADC lookup
     * tables, the approx-cosine candidate pool, and the exact re-rank are
     * replicated in SQL. Parameters mirror q80: 8 subspaces × 8 dims,
-    * 16 codewords (stride 31), pool = k·rerankFactor = 40. Soundness
+    * 16 codewords (smallest md5(id) ranks, j = id-sorted rank), pool =
+    * k·rerankFactor = 40. Soundness
     * note: the ADC sum adds 8 doubles in GROUP-BY order on the DuckDB
     * side vs subspace order on the engine side — ulp drift there can
     * only reorder near-ties at the POOL boundary, and the final ranking
@@ -4082,7 +4089,7 @@ object SparkEntry {
     s"""WITH cw AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, embedding AS cvec
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16)),
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
        |cws AS (
        |  SELECT j, m, list_slice(cvec, m * 8 + 1, m * 8 + 8) AS c
        |  FROM cw CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)),

@@ -199,46 +199,59 @@ object Similarity {
 
   // ------------------------------------------------------------ IVF index
 
+  /** Deterministic, id-distribution-free donor sample for IVF centroids
+    * and PQ codebooks: the `n` rows whose `md5(id)` hex ranks smallest
+    * (ties by id), returned in ASCENDING ID ORDER — the tie-break
+    * convention every downstream kernel and oracle relies on ("lowest
+    * index = lowest donor id"). One TakeOrdered top-n pass over the
+    * corpus, nothing shuffles.
+    *
+    * Why md5-rank, not stride: `id % (modulus/k) == 0` assumed a dense
+    * 0-based id space — a sparse, hashed, or skewed id space yields few
+    * (or zero, or degenerate leading-cluster) donors. The md5 rank is a
+    * uniform pseudo-random draw for ANY id distribution, equally
+    * replayable in SQL (`ORDER BY md5(CAST(id AS VARCHAR)), id`).
+    */
+  private def donorSample(df: DataFrame, idCol: String, vecCol: String,
+                          n: Int): Array[(Long, Array[Double])] =
+    df.select(col(idCol).cast("long").as("donor_id"), col(vecCol).as("donor_vec"))
+      .filter(col("donor_id").isNotNull && col("donor_vec").isNotNull)
+      .orderBy(md5(col("donor_id").cast("string")), col("donor_id"))
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+      .sortBy(_._1)
+
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
     * around K centroid vectors; a query scores only the cells of its
     * `nprobe` nearest centroids. The second scale path next to LSH —
     * better recall/candidate-count trade-off when the data is clustered
     * (LSH hyperplanes are oblivious to cluster structure).
     *
-    * Centroids here are a deterministic corpus sample (every (n/k)-th id):
-    * one cheap pass instead of Lloyd iterations — at 100 TB the assignment
-    * scan dominates and sampled centroids are the standard bootstrap. The
-    * assignment is a broadcast nested-loop over K centroids with the
-    * native dot kernel; corpus never shuffles except the final per-cell
-    * grouping.
+    * Centroids here are a deterministic [[donorSample]] of the corpus
+    * (md5-rank draw — id-distribution-free): one cheap bounded pass
+    * instead of Lloyd iterations — at 100 TB the assignment scan
+    * dominates and sampled centroids are the standard bootstrap. The
+    * assignment is one codegen'd kernel node per row; the corpus never
+    * shuffles except the final per-cell grouping.
     *
-    * Contract: `idCol` must be NUMERIC and the id space must contain
-    * multiples of `modulus / numCells` (a 0-based dense id with `modulus`
-    * ≈ corpus size always satisfies this) — otherwise the sample is empty
-    * and the query returns no rows. For non-numeric ids, pre-derive a
-    * dense numeric id (e.g. zipWithIndex-style) before indexing.
+    * Contract: `idCol` must be NUMERIC (castable to long). For
+    * non-numeric ids, pre-derive a numeric surrogate (e.g. xxhash64)
+    * before indexing.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
-              modulus: Int = 1000): DataFrame = {
-    // deterministic centroid sample: ids spread across the id space;
-    // sorted before limit — bare LIMIT order is physical-layout-dependent.
-    // The sample is COLLECTED (the IVF "build the index" step, ≤ numCells
-    // tiny rows): with centroids as literals the corpus assignment runs as
-    // a per-row fold in the scan stage — no join, no window, no shuffle of
-    // the corpus (a unique-key window here would exchange every vector).
-    val centroidDf = broadcast(
-      corpus.select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
-        .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
-        .orderBy("centroid_id")
-        .limit(numCells))
-    val centroidRows: Array[(Long, Array[Double])] = centroidDf.collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+              k: Int = 10, numCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    // deterministic md5-rank centroid sample, COLLECTED (the IVF "build
+    // the index" step, ≤ numCells tiny rows): with centroids as literals
+    // the corpus assignment runs as a per-row fold in the scan stage —
+    // no join, no window, no shuffle of the corpus (a unique-key window
+    // here would exchange every vector).
+    val centroidRows: Array[(Long, Array[Double])] =
+      donorSample(corpus, idCol, vecCol, numCells)
     require(centroidRows.nonEmpty,
-      s"IVF centroid sample is empty — numeric id space has no multiples of " +
-        s"${math.max(modulus / numCells, 1)}")
+      "IVF centroid sample is empty — corpus has no non-null (id, vector) rows")
 
     // argmax-cosine cell via the native NearestCentroid kernel (one plan
     // node; ties to the lowest index = lowest centroid_id, since indices
@@ -257,19 +270,19 @@ object Similarity {
         norm(col(vecCol)).as("c_norm"))
       .withColumn("cell", bestCell(col("c_vec")))
 
-    // query side is tiny: top-nprobe cells via ranked cross join against
-    // the broadcast centroid frame
-    val qw = Window.partitionBy("query_id")
-      .orderBy(desc("_cdist"), asc("centroid_id"))
+    // query side is tiny: top-nprobe cells via the same kernel node the
+    // corpus assignment uses (ties to the lowest centroid id — indices
+    // follow the id-sorted sample), no numCells-way cross join + window
+    val cellIdArr = array(centroidRows.toSeq.map(r => lit(r._1)): _*)
     val queryCells = broadcast(
       queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"),
           norm(col(vecCol)).as("q_norm"))
-        .join(centroidDf)
-        .withColumn("_cdist", cosine(col("q_vec"), col("centroid_vec")))
-        .withColumn("_crank", row_number().over(qw))
-        .filter(col("_crank") <= nprobe)
         .select(col("query_id"), col("q_vec"), col("q_norm"),
-          col("centroid_id").as("cell")))
+          explode(transform(
+            graft.functions.VectorFunctions.nearestCentroids(
+              col("q_vec"), centroidRows.toSeq.map(_._2.toSeq),
+              math.min(nprobe, centroidRows.length)),
+            i => element_at(cellIdArr, i + 1))).as("cell")))
 
     val scored = corpusCells.join(queryCells, "cell")
       .select(col("query_id"), col("neighbor_id"),
@@ -282,7 +295,7 @@ object Similarity {
 
   /** IVF twin of [[lshTopKJoin]]: cross-table top-k neighbors with BOTH
     * sides large, bucketed by Voronoi cells of centroids sampled from the
-    * RIGHT table (the [[ivfTopK]] bootstrap; same numeric-id/modulus
+    * RIGHT table (the [[ivfTopK]] bootstrap; same numeric-id
     * contract). Better recall/candidate-count than the LSH form when the
     * embedding space is clustered — centroids follow the data where
     * hyperplanes are oblivious to it.
@@ -297,19 +310,12 @@ object Similarity {
   def ivfTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
                   k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
-                  modulus: Int = 1000, saltBuckets: Int = 1): DataFrame = {
+                  saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "ivfTopKJoin")
-    val centroidRows: Array[(Long, Array[Double])] = right
-      .select(col(rightIdCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
-      .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
-      .orderBy("centroid_id")
-      .limit(numCells)
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+    val centroidRows: Array[(Long, Array[Double])] =
+      donorSample(right, rightIdCol, vecCol, numCells)
     require(centroidRows.nonEmpty,
-      s"IVF centroid sample is empty — numeric id space has no multiples of " +
-        s"${math.max(modulus / numCells, 1)}")
+      "IVF centroid sample is empty — right side has no non-null (id, vector) rows")
     val cents = centroidRows.toSeq.map(_._2.toSeq)
     val cellIds = array(centroidRows.toSeq.map(r => lit(r._1)): _*)
 
@@ -344,43 +350,33 @@ object Similarity {
     * oracle-replicable (the q106 gate's DuckDB oracle recomputes cells,
     * codes, LUTs, pool, and re-rank).
     *
-    * Centroids AND codebook are deterministic stride samples of the
-    * right table ([[ivfTopK]]'s bootstrap stance; same integral-id /
-    * modulus contract).
+    * Centroids AND codebook are deterministic md5-rank [[donorSample]]s
+    * of the right table ([[ivfTopK]]'s bootstrap stance; integral-id
+    * contract, id-distribution-free).
     */
   def ivfPqTopKJoin(left: DataFrame, right: DataFrame,
                     leftIdCol: String, rightIdCol: String, vecCol: String,
                     k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
                     numSubspaces: Int = 8, codebookSize: Int = 16,
                     rerankFactor: Int = 4, dim: Int = 64,
-                    modulus: Int = 1000, saltBuckets: Int = 1): DataFrame = {
+                    saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "ivfPqTopKJoin")
     require(dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
-    val centroidRows: Array[(Long, Array[Double])] = right
-      .select(col(rightIdCol).cast("long").as("centroid_id"), col(vecCol).as("centroid_vec"))
-      .filter(pmod(col("centroid_id"), lit(math.max(modulus / numCells, 1))) === 0)
-      .orderBy("centroid_id")
-      .limit(numCells)
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
+    val centroidRows: Array[(Long, Array[Double])] =
+      donorSample(right, rightIdCol, vecCol, numCells)
     require(centroidRows.nonEmpty,
-      s"IVF centroid sample is empty — numeric id space has no multiples of " +
-        s"${math.max(modulus / numCells, 1)}")
+      "IVF centroid sample is empty — right side has no non-null (id, vector) rows")
     val cents = centroidRows.toSeq.map(_._2.toSeq)
     val cellIds = array(centroidRows.toSeq.map(r => lit(r._1)): _*)
-    val cbStride = math.max(modulus / codebookSize, 1)
-    val codebook: Seq[Seq[Double]] = right
-      .select(col(rightIdCol).cast("long").as("cb_id"), col(vecCol).as("cb_vec"))
-      .filter(pmod(col("cb_id"), lit(cbStride)) === 0)
-      .orderBy("cb_id").limit(codebookSize)
-      .collect()
-      .toSeq
-      .map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toSeq)
+    // codebook donors: the same md5-rank draw at codebookSize; codeword
+    // j = j-th donor in id order
+    val codebook: Seq[Seq[Double]] =
+      donorSample(right.select(col(rightIdCol), col(vecCol)),
+        rightIdCol, vecCol, codebookSize).toSeq.map(_._2.toSeq)
     require(codebook.nonEmpty,
-      s"PQ codebook sample is empty — numeric id space has no multiples of $cbStride")
+      "PQ codebook sample is empty — right side has no non-null (id, vector) rows")
 
     import graft.functions.PqFunctions
     // right side: codes ride the join, raw vectors stay in the scan
@@ -443,9 +439,10 @@ object Similarity {
     * cost recall at the candidate-pool boundary, never mis-rank the
     * returned neighbors.
     *
-    * Codebooks are a deterministic corpus sample (the IVF bootstrap
-    * stance: at 100 TB the encode scan dominates, sampled codewords are
-    * the standard bootstrap; same `idCol` contract as [[ivfTopK]]).
+    * Codebooks are a deterministic md5-rank corpus sample (the IVF
+    * bootstrap stance: at 100 TB the encode scan dominates, sampled
+    * codewords are the standard bootstrap; same `idCol` contract as
+    * [[ivfTopK]]).
     * Codeword j of subspace m is the m-th slice of the j-th sampled
     * vector. Encoding picks, per subspace, the codeword maximizing
     * `dot(x_m, c) − |c|²/2` — the L2-nearest codeword — via the native
@@ -464,21 +461,14 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, queryIdCol: String,
              k: Int = 10, numSubspaces: Int = 8, codebookSize: Int = 16,
-             rerankFactor: Int = 4, dim: Int = 64,
-             modulus: Int = 1000): DataFrame = {
+             rerankFactor: Int = 4, dim: Int = 64): DataFrame = {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide into $numSubspaces subspaces")
-    // deterministic codeword donors: stride-sampled ids, j = sorted rank
-    val stride = math.max(modulus / codebookSize, 1)
-    val codebook: Seq[Seq[Double]] = corpus
-      .select(col(idCol).cast("long").as("cb_id"), col(vecCol).as("cb_vec"))
-      .filter(pmod(col("cb_id"), lit(stride)) === 0)
-      .orderBy("cb_id").limit(codebookSize)
-      .collect()
-      .toSeq
-      .map(_.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toSeq)
+    // deterministic codeword donors: md5-rank sample, j = id-sorted rank
+    val codebook: Seq[Seq[Double]] =
+      donorSample(corpus, idCol, vecCol, codebookSize).toSeq.map(_._2.toSeq)
     require(codebook.nonEmpty,
-      s"PQ codebook sample is empty — numeric id space has no multiples of $stride")
+      "PQ codebook sample is empty — corpus has no non-null (id, vector) rows")
 
     import graft.functions.PqFunctions
     val corpusCodes = corpus.select(

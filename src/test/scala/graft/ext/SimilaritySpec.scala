@@ -66,6 +66,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivf/pq donor sampling is id-distribution-free: sparse skewed ids " +
+      "get full centroid/codebook sets and exact recall at full probe") {
+    // ids with NO small multiples and a hole-ridden, clustered layout —
+    // the regime where stride sampling (id % stride == 0) found zero or
+    // degenerate donors. md5-rank donors must not care.
+    val sparseIds = (0 until 80).map(i =>
+      1000003L + i.toLong * 9999991L + (if (i % 3 == 0) 7L else 0L))
+    val vecs = sparseIds.map { id =>
+      (id, Array.tabulate(16)(d => math.sin((id % 977 + d * 3).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val leftT = vecs.limit(8).select($"vec_id".as("query_id"), $"embedding")
+    // full probe + IVF: candidate set is the whole corpus → must equal
+    // brute force exactly; proves the donor sample is well-formed
+    val ivf = Similarity.ivfTopK(vecs, leftT, "vec_id", "embedding",
+        "query_id", k = 4, numCells = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, leftT, "vec_id",
+        "embedding", "query_id", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute && ivf.nonEmpty)
+    // PQ path: codebook donors exist and every query gets k ranked rows
+    val pq = Similarity.pqTopK(vecs, leftT, "vec_id", "embedding",
+        "query_id", k = 3, numSubspaces = 4, codebookSize = 8,
+        rerankFactor = 8, dim = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    assert(pq.groupBy(_._1).size == 8)
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) }
+  }
+
   test("ivfTopKJoin: agrees with ivfTopK when the left side is query-sized") {
     val vecs = (0L until 96L).map { i =>
       (i, Array.tabulate(16)(d => math.sin((i * 11 + d * 3).toDouble).toFloat))
@@ -75,13 +108,12 @@ class SimilaritySpec extends SparkTestBase {
     val leftT = vecs.filter($"vec_id" % 12 === 5)
     val rightT = vecs.filter($"vec_id" % 12 =!= 5)
     val joined = Similarity.ivfTopKJoin(leftT, rightT, "vec_id", "vec_id",
-        "embedding", k = 4, numCells = 8, nprobe = 2, modulus = 96)
+        "embedding", k = 4, numCells = 8, nprobe = 2)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     val viaTopK = Similarity.ivfTopK(rightT,
         leftT.select($"vec_id".as("query_id"), $"embedding"),
-        "vec_id", "embedding", "query_id", k = 4, numCells = 8, nprobe = 2,
-        modulus = 96)
+        "vec_id", "embedding", "query_id", k = 4, numCells = 8, nprobe = 2)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(joined == viaTopK && joined.nonEmpty)
@@ -100,7 +132,7 @@ class SimilaritySpec extends SparkTestBase {
     val pq = Similarity.ivfPqTopKJoin(leftT, rightT, "vec_id", "vec_id",
         "embedding", k = 4, numCells = 8, nprobe = 8,
         numSubspaces = 4, codebookSize = 8, rerankFactor = 32,
-        dim = 16, modulus = 96)
+        dim = 16)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     val brute = Similarity.bruteForceTopK(rightT,
@@ -120,7 +152,7 @@ class SimilaritySpec extends SparkTestBase {
     val out = Similarity.ivfPqTopKJoin(leftT, rightT, "vec_id", "vec_id",
         "embedding", k = 3, numCells = 8, nprobe = 2,
         numSubspaces = 4, codebookSize = 8, rerankFactor = 2,
-        dim = 16, modulus = 96)
+        dim = 16)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect()
     val perQuery = out.groupBy(_._1)
@@ -179,11 +211,11 @@ class SimilaritySpec extends SparkTestBase {
 
     // IVF form: same contract under the same skew
     val ivfPlain = Similarity.ivfTopKJoin(leftT, rightT, "vec_id", "vec_id",
-        "embedding", k = 5, numCells = 8, nprobe = 2, modulus = 300)
+        "embedding", k = 5, numCells = 8, nprobe = 2)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     val ivfSalted = Similarity.ivfTopKJoin(leftT, rightT, "vec_id", "vec_id",
-        "embedding", k = 5, numCells = 8, nprobe = 2, modulus = 300,
+        "embedding", k = 5, numCells = 8, nprobe = 2,
         saltBuckets = s)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
@@ -201,7 +233,7 @@ class SimilaritySpec extends SparkTestBase {
     val dblVecs = Seq((2.5, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
       Similarity.ivfTopKJoin(dblVecs, dblVecs, "vec_id", "vec_id", "embedding",
-        k = 1, numCells = 1, nprobe = 1, modulus = 1)
+        k = 1, numCells = 1, nprobe = 1)
     }
   }
 
@@ -246,7 +278,7 @@ class SimilaritySpec extends SparkTestBase {
     val exact = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", "query_id", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(vecs, qs, "vec_id", "embedding", "query_id",
-        k = 5, numCells = 8, nprobe = 3, modulus = 200)
+        k = 5, numCells = 8, nprobe = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
@@ -264,7 +296,7 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
     val pq = Similarity.pqTopK(vecs, qs, "vec_id", "embedding", "query_id",
         k = 5, numSubspaces = 4, codebookSize = 16, rerankFactor = 8,
-        dim = dim, modulus = 200)
+        dim = dim)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
     val exactSet = exact.map(t => (t._1, t._2)).toSet
     val pqSet = pq.map(t => (t._1, t._2)).toSet
