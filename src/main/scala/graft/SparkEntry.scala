@@ -3023,7 +3023,7 @@ object SparkEntry {
     }),
 
     // ext linkage — blocked fuzzy join (entity resolution): typo'd probe
-    // names re-linked to the name table through the (first char, ±2
+    // names re-linked to the name table through the (4-char prefix, ±2
     // length band) blocking contract + native codegen'd Jaro–Winkler
     // (byte-semantics pinned to DuckDB's, verified on adversarial
     // pairs). The oracle replays the same blocking predicate, so the
@@ -3040,7 +3040,8 @@ object SparkEntry {
           expr("concat(substr(name,1,4), substr(name,6,1), " +
             "substr(name,5,1), substr(name,7))").as("name"))
       ext.Linkage.fuzzyJoin(probes, "probe_id", "name",
-          names, "doc_id", "name", threshold = 0.85, lengthBand = 2)
+          names, "doc_id", "name", threshold = 0.85, lengthBand = 2,
+          blockPrefix = 4)
         .select(col("id_l"), col("id_r"),
           round(col("jw") * 10000).cast("long").as("jw_e4"))
         .orderBy("id_l", "id_r")
@@ -3712,6 +3713,20 @@ object SparkEntry {
         .select("user_id", "sess_id", "n_events", "start_us", "end_us",
           "duration_us", "path")
         .orderBy("user_id", "sess_id")
+    }),
+
+    // ext quality — Gopher repetition signals (§A1.1): duplicate-line
+    // occurrence/char masses, most-frequent-n-gram char mass (n=2..4)
+    // and duplicated-n-gram char mass (n=5..10) as EXACT integers from
+    // ONE per-row kernel pass (these are per-document numbers — the
+    // explode formulation would shuffle ~9× the corpus token count to
+    // compute values that never leave the row), plus the paper's
+    // thresholds as integer-cross-multiplied boolean flags. The oracle
+    // rebuilds every field from unnested lines/grams.
+    "q210_repetition_signals" -> ((s, dir) => {
+      ext.TextStats.repetitionSignals(tbl(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -7570,7 +7585,7 @@ object SparkEntry {
         |  CAST(round(jaro_winkler_similarity(a.p, b.n) * 10000) AS BIGINT)
         |    AS jw_e4
         |FROM probes a JOIN names b
-        |  ON substr(a.p, 1, 1) = substr(b.n, 1, 1)
+        |  ON substr(a.p, 1, 4) = substr(b.n, 1, 4)
         |  AND abs(length(a.p) - length(b.n)) <= 2
         |  AND length(a.p) > 0 AND length(b.n) > 0
         |  AND jaro_winkler_similarity(a.p, b.n) >= 0.85
@@ -8310,7 +8325,95 @@ object SparkEntry {
          |  string_agg(CASE WHEN rn <= 64 THEN event_type END, '>'
          |    ORDER BY us, event_id) AS path
          |FROM p GROUP BY user_id, sess_id
-         |ORDER BY user_id, sess_id""".stripMargin
+         |ORDER BY user_id, sess_id""".stripMargin,
+
+    // every field rebuilt from unnested lines/grams; binary string
+    // order on gram ties matches the kernel's UTF-8 byte compare
+    "q210_repetition_signals" -> {
+      def gramCtes(n: Int): String =
+        s"""g$n AS (
+           |  SELECT doc_id, array_to_string(list_slice(toks, u.i, u.i + ${n - 1}), ' ') AS g
+           |  FROM w, unnest(generate_series(1, len(toks) - ${n - 1})) AS u(i)
+           |  WHERE len(toks) >= $n),
+           |gc$n AS (
+           |  SELECT doc_id, g, count(*) AS c, length(g) AS glen
+           |  FROM g$n GROUP BY doc_id, g)""".stripMargin
+      val tops = (2 to 4).map { n =>
+        s"""t$n AS (
+           |  SELECT doc_id, CAST(c * glen AS BIGINT) AS top_gram_chars_$n
+           |  FROM (SELECT doc_id, c, glen,
+           |          row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, g ASC) AS rn
+           |        FROM gc$n) WHERE rn = 1)""".stripMargin
+      }
+      val dups = (5 to 10).map { n =>
+        s"""u$n AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * glen END), 0)
+           |      AS BIGINT) AS dup_gram_chars_$n
+           |  FROM gc$n GROUP BY doc_id)""".stripMargin
+      }
+      def flag(num: String, den: String, pct: Int, name: String): String =
+        s"($den > 0 AND $num * 100 > $den * $pct) AS $name"
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |w AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |    x -> x <> '') AS toks
+         |  FROM d),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE list_sum(list_transform(toks, x -> length(x)))
+         |           + len(toks) - 1 END AS BIGINT) AS text_chars
+         |  FROM w),
+         |rawlines AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(u.l, '^[ \\t\\f\\r]+', ''),
+         |      '[ \\t\\f\\r]+$$', '') AS line
+         |  FROM d, unnest(string_split(text, chr(10))) AS u(l)),
+         |lc AS (
+         |  SELECT doc_id, line, count(*) AS c, length(line) AS llen
+         |  FROM rawlines WHERE line <> '' GROUP BY doc_id, line),
+         |lagg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+         |      AS dup_line_count,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * llen END), 0) AS BIGINT)
+         |      AS dup_line_chars,
+         |    CAST(sum(c * llen) AS BIGINT) AS line_chars_total
+         |  FROM lc GROUP BY doc_id),
+         |${gramCtes(2)}, ${gramCtes(3)}, ${gramCtes(4)},
+         |${gramCtes(5)}, ${gramCtes(6)}, ${gramCtes(7)},
+         |${gramCtes(8)}, ${gramCtes(9)}, ${gramCtes(10)},
+         |${tops.mkString(",\n")},
+         |${dups.mkString(",\n")}
+         |SELECT b.doc_id, b.n_words, b.text_chars,
+         |  coalesce(l.n_lines, 0) AS n_lines,
+         |  coalesce(l.dup_line_count, 0) AS dup_line_count,
+         |  coalesce(l.dup_line_chars, 0) AS dup_line_chars,
+         |  coalesce(l.line_chars_total, 0) AS line_chars_total,
+         |  ${(2 to 4).map(n => s"coalesce(t$n.top_gram_chars_$n, 0) AS top_gram_chars_$n").mkString(",\n         |  ")},
+         |  ${(5 to 10).map(n => s"coalesce(u$n.dup_gram_chars_$n, 0) AS dup_gram_chars_$n").mkString(",\n         |  ")},
+         |  ${flag("coalesce(l.dup_line_count, 0)", "coalesce(l.n_lines, 0)", 30, "flag_dup_line")},
+         |  ${flag("coalesce(l.dup_line_chars, 0)", "coalesce(l.line_chars_total, 0)", 20, "flag_dup_line_char")},
+         |  ${flag("coalesce(t2.top_gram_chars_2, 0)", "b.text_chars", 20, "flag_top_2gram")},
+         |  ${flag("coalesce(t3.top_gram_chars_3, 0)", "b.text_chars", 18, "flag_top_3gram")},
+         |  ${flag("coalesce(t4.top_gram_chars_4, 0)", "b.text_chars", 16, "flag_top_4gram")},
+         |  ${flag("coalesce(u5.dup_gram_chars_5, 0)", "b.text_chars", 15, "flag_dup_5gram")},
+         |  ${flag("coalesce(u6.dup_gram_chars_6, 0)", "b.text_chars", 14, "flag_dup_6gram")},
+         |  ${flag("coalesce(u7.dup_gram_chars_7, 0)", "b.text_chars", 13, "flag_dup_7gram")},
+         |  ${flag("coalesce(u8.dup_gram_chars_8, 0)", "b.text_chars", 12, "flag_dup_8gram")},
+         |  ${flag("coalesce(u9.dup_gram_chars_9, 0)", "b.text_chars", 11, "flag_dup_9gram")},
+         |  ${flag("coalesce(u10.dup_gram_chars_10, 0)", "b.text_chars", 10, "flag_dup_10gram")}
+         |FROM base b
+         |LEFT JOIN lagg l USING (doc_id)
+         |${(2 to 4).map(n => s"LEFT JOIN t$n USING (doc_id)").mkString("\n         |")}
+         |${(5 to 10).map(n => s"LEFT JOIN u$n USING (doc_id)").mkString("\n         |")}
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid

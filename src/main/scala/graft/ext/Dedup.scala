@@ -310,9 +310,18 @@ object Dedup {
     * false positives. LOSSLESS: banded ∪ verify ≡ all-pairs filter
     * (asserted brute-force in DedupSpec).
     *
-    * Shuffle profile at scale: (id, band, band_bits) rows — ~20 B each,
-    * payload never moves; the per-bucket self-join is bounded by bucket
-    * population (hash-distributed unless the corpus is degenerate).
+    * Identical sketches COLLAPSE before banding: the band self-join runs
+    * over DISTINCT sketch values only, and identical-sketch pairs
+    * (hamming 0 — re-posted images, template frames) are emitted by one
+    * sketch-keyed equi-join, pure OUTPUT instead of band-bucket
+    * candidates. A corpus with K copies of one image costs K output
+    * rows' worth of join, not K² band candidates.
+    *
+    * Shuffle profile at scale: (band, band_bits, sk) rows over the
+    * distinct-sketch frame — payload never moves; per-bucket pair work
+    * is quadratic in BUCKET OCCUPANCY of distinct sketches (the fixed
+    * 64/(d+1)-bit fan is the price of an exact 64-bit hamming ball —
+    * shard very large corpora or pre-collapse before calling).
     */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxDistance: Int = 3): DataFrame = {
@@ -323,24 +332,39 @@ object Dedup {
     // (1L << 64) wraps to 1 (JVM shifts are mod 64): maxDistance=0 needs
     // the all-bits mask or every row lands in one shared band bucket.
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    val withSketch = df.select(col(idCol), col(hashCol).cast("long").as("sk"))
+    val withSketch = PlanCapture.cut(
+      df.select(col(idCol), col(hashCol).cast("long").as("sk")))
 
-    val banded = withSketch.select(
-      col(idCol), col("sk"),
+    // hamming-0 pairs: one sketch-keyed self-join, no banding involved
+    val sameSketch = withSketch.select(col("sk"), col(idCol).as("id_a"))
+      .join(withSketch.select(col("sk"), col(idCol).as("id_b")), "sk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+
+    // banding over DISTINCT sketches only
+    val distinctSk = withSketch.select(col("sk")).distinct()
+    val banded = distinctSk.select(
+      col("sk"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         i => call_function("shiftright", col("sk"), i * lit(width))
           .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
-
-    val a = banded.select(col("band"), col("band_bits"),
-      col(idCol).as("id_a"), col("sk").as("sk_a"))
-    val b = banded.select(col("band"), col("band_bits"),
-      col(idCol).as("id_b"), col("sk").as("sk_b"))
-    a.join(b, Seq("band", "band_bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val skPairs = banded.select(col("band"), col("band_bits"), col("sk").as("sk_a"))
+      .join(banded.select(col("band"), col("band_bits"), col("sk").as("sk_b")),
+        Seq("band", "band_bits"))
+      .filter(col("sk_a") < col("sk_b"))
+      .select(col("sk_a"), col("sk_b"),
         hammingDistance(col("sk_a"), col("sk_b")).as("hamming"))
-      .filter(col("hamming") <= maxDistance)
+      .filter(col("hamming") > 0 && col("hamming") <= maxDistance)
       .distinct()
+    // expand sketch pairs to member pairs (id order normalized)
+    val crossSketch = skPairs
+      .join(withSketch.select(col("sk").as("sk_a"), col(idCol).as("__ia")), "sk_a")
+      .join(withSketch.select(col("sk").as("sk_b"), col(idCol).as("__ib")), "sk_b")
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+
+    sameSketch.unionByName(crossSketch)
   }
 
   // ------------------------------------------- n-gram Jaccard (standalone)
@@ -409,6 +433,14 @@ object Dedup {
     * the exact intersection verifies every survivor. Shuffle profile:
     * (token, id) postings — probe side prefix-sized, index side
     * corpus-token-sized — then candidate-only array joins.
+    *
+    * OUTPUT-BOUND, by definition: K documents sharing one word set have
+    * K·(K−1) true containment pairs, so on an UN-DEDUPED corpus the
+    * answer itself — not the plan — is quadratic in duplicate-group
+    * size (measured: a 10× corpus of word-set-identical replicas ran
+    * 19× longer, all of it true pairs). Run exact/minhash dedup FIRST
+    * (the q95 pipeline order); containment then reports the asymmetric
+    * wrap-around cases dedup cannot, at near-linear cost.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double = 0.9, shingleSize: Int = 1): DataFrame = {

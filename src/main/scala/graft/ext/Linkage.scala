@@ -10,39 +10,52 @@ import graft.functions.JaroWinkler
   *
   * Blocking (the classic linkage move): a candidate pair must share a
   * cheap discrete key before the expensive similarity runs. Here the
-  * block key is (first char, length bucket): buckets are
-  * ⌊len/(band+1)⌋, and |lenA − lenB| ≤ band implies adjacent buckets, so
-  * the probe side explodes into its bucket ±1 — a 3× row fan-out on the
-  * SMALL probe side buys an equi-join instead of a cartesian. The exact
-  * length-band filter then prunes the diagonal stragglers and
-  * [[graft.functions.JaroWinkler]] verifies inside whole-stage codegen.
+  * block key is (`blockPrefix`-char name prefix, length bucket):
+  * buckets are ⌊len/(band+1)⌋, and |lenA − lenB| ≤ band implies
+  * adjacent buckets, so the probe side explodes into its bucket ±1 — a
+  * 3× row fan-out on the SMALL probe side buys an equi-join instead of
+  * a cartesian. The exact length-band filter then prunes the diagonal
+  * stragglers and [[graft.functions.JaroWinkler]] verifies inside
+  * whole-stage codegen.
   *
   * Blocking is a stated RECALL CONTRACT, not an approximation accident:
-  * a pair whose first bytes differ (transposed initials) or whose
-  * lengths differ by more than `lengthBand` is out of scope by
+  * a pair whose first `blockPrefix` bytes differ (typo'd initials) or
+  * whose lengths differ by more than `lengthBand` is out of scope by
   * definition. The q177 oracle replays the same contract in SQL, so the
   * gate is exact.
   *
-  * Scale shape: shuffle keys are (char, bucket) — if one block is hot
-  * (every name starts with "the "), extend the key with more prefix
-  * chars rather than salting: blocking keys are a semantic choice.
+  * Scale shape — the part that bites: shuffle keys are (prefix,
+  * bucket), and the CANDIDATE VOLUME IS QUADRATIC IN BLOCK OCCUPANCY
+  * (a block of c left rows × c right rows scores c² pairs). A hot
+  * prefix ("the …" on every row) silently turns a linear join into an
+  * n² job — measured: a 1-char prefix over a 50k synthetic corpus put
+  * 10k rows in one block (10⁸ pairs, 70× superlinear at 10× data).
+  * Blocking keys are a semantic recall/cost lever the CALLER owns, so
+  * the defense is (a) `blockPrefix` (default 2) to tighten the key and
+  * (b) a loud occupancy guard: `maxBlockRows` caps the largest
+  * single-side block (one cheap aggregate per side — small next to the
+  * quadratic join it prevents; 0 disables). Exceeding it raises with
+  * the hot prefix named, instead of burning a cluster-day.
   */
 object Linkage {
 
   /** Candidate pairs (leftId, rightId, jw) with Jaro–Winkler ≥ threshold
-    * under the (first char, ±lengthBand) blocking contract. Null or
-    * empty names never match (JW of an empty side is 0).
+    * under the (`blockPrefix` chars, ±lengthBand) blocking contract.
+    * Null or empty names never match (JW of an empty side is 0).
     */
   def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
                 right: DataFrame, rightId: String, rightText: String,
-                threshold: Double = 0.85, lengthBand: Int = 2): DataFrame = {
+                threshold: Double = 0.85, lengthBand: Int = 2,
+                blockPrefix: Int = 2,
+                maxBlockRows: Long = 1000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(lengthBand >= 0, s"lengthBand must be >= 0, got $lengthBand")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1, got $blockPrefix")
     val w = lengthBand + 1
     val l = left.select(col(leftId).as("id_l"), col(leftText).as("name_l"))
       .filter(col("name_l").isNotNull && length(col("name_l")) > 0)
-      .withColumn("blk_c", substring(col("name_l"), 1, 1))
+      .withColumn("blk_c", substring(col("name_l"), 1, blockPrefix))
       .withColumn("len_l", length(col("name_l")))
     // probe explodes into bucket −1/0/+1: |lenL − lenR| ≤ band ⇒ the
     // right bucket is one of the three (w = band+1 makes that exact)
@@ -52,9 +65,25 @@ object Linkage {
           (col("len_l") / w).cast("int") + 1)))
     val r = right.select(col(rightId).as("id_r"), col(rightText).as("name_r"))
       .filter(col("name_r").isNotNull && length(col("name_r")) > 0)
-      .withColumn("blk_c", substring(col("name_r"), 1, 1))
+      .withColumn("blk_c", substring(col("name_r"), 1, blockPrefix))
       .withColumn("len_r", length(col("name_r")))
       .withColumn("blk_b", (col("len_r") / w).cast("int"))
+    if (maxBlockRows > 0) {
+      def guard(df: DataFrame, bucket: Column, side: String): Unit = {
+        val hot = df.groupBy(col("blk_c"), bucket.as("blk_b"))
+          .agg(count(lit(1)).as("__c"))
+          .orderBy(desc("__c")).limit(1).collect()
+        if (hot.nonEmpty && hot(0).getLong(2) > maxBlockRows)
+          throw new IllegalArgumentException(
+            s"fuzzyJoin $side block ('${hot(0).get(0)}', ${hot(0).get(1)}) " +
+              s"holds ${hot(0).getLong(2)} rows (> maxBlockRows=" +
+              s"$maxBlockRows): candidate pairs are quadratic in block " +
+              "occupancy — raise blockPrefix (tighter key), pre-split the " +
+              "hot prefix, or raise maxBlockRows knowingly")
+      }
+      guard(l, (col("len_l") / w).cast("int"), "left")
+      guard(r, col("blk_b"), "right")
+    }
     val jw = JaroWinkler.jaroWinkler(col("name_l"), col("name_r"))
     lExp.join(r, Seq("blk_c", "blk_b"))
       .filter(abs(col("len_l") - col("len_r")) <= lengthBand)

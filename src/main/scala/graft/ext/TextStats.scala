@@ -326,6 +326,64 @@ object TextStats {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher repetition-filter signals (§A1.1 of the paper), char-weighted
+    * and EXACT-INTEGER: per document, the duplicate-line occurrence/char
+    * counts, the most-frequent-n-gram char mass for n = 2..4, and the
+    * duplicated-n-gram char mass for n = 5..10, plus the denominators
+    * (n_lines / line_chars_total / text_chars). One per-row kernel pass
+    * ([[graft.functions.RepetitionStats]]) fused into the scan — the
+    * explode formulation would push ~9× the corpus token count through
+    * an exchange to compute numbers that never leave the row.
+    *
+    * `flags = true` additionally applies the paper's thresholds as
+    * boolean columns via integer cross-multiplication (frac > θ ⟺
+    * 100·chars > θ₁₀₀·total — no floats, so the flags replay exactly):
+    * dup_line_frac > 0.30, dup_line_char_frac > 0.20, top 2/3/4-gram
+    * char frac > 0.20/0.18/0.16, dup 5..10-gram char frac >
+    * 0.15/0.14/0.13/0.12/0.11/0.10. Flags, not filters (the
+    * QualityFilters stance): curation audits what a rule would drop
+    * before committing.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String = "text",
+                        flags: Boolean = true): DataFrame = {
+    val struct = graft.functions.RepetitionStatsFunctions
+      .repetitionStats(col(textCol), canonicalTokens(col(textCol)))
+    val fields = graft.functions.RepetitionStats.Schema.fieldNames
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .withColumn("__r", struct)
+      .select(col(idCol) +: fields.toIndexedSeq.map(f => col(s"__r.$f").as(f)): _*)
+    if (!flags) base
+    else {
+      // integer cross-multiplied thresholds; zero denominators never flag
+      def over(num: Column, den: Column, pct: Int): Column =
+        den > 0 && num * 100L > den * pct.toLong
+      base
+        .withColumn("flag_dup_line",
+          over(col("dup_line_count"), col("n_lines"), 30))
+        .withColumn("flag_dup_line_char",
+          over(col("dup_line_chars"), col("line_chars_total"), 20))
+        .withColumn("flag_top_2gram",
+          over(col("top_gram_chars_2"), col("text_chars"), 20))
+        .withColumn("flag_top_3gram",
+          over(col("top_gram_chars_3"), col("text_chars"), 18))
+        .withColumn("flag_top_4gram",
+          over(col("top_gram_chars_4"), col("text_chars"), 16))
+        .withColumn("flag_dup_5gram",
+          over(col("dup_gram_chars_5"), col("text_chars"), 15))
+        .withColumn("flag_dup_6gram",
+          over(col("dup_gram_chars_6"), col("text_chars"), 14))
+        .withColumn("flag_dup_7gram",
+          over(col("dup_gram_chars_7"), col("text_chars"), 13))
+        .withColumn("flag_dup_8gram",
+          over(col("dup_gram_chars_8"), col("text_chars"), 12))
+        .withColumn("flag_dup_9gram",
+          over(col("dup_gram_chars_9"), col("text_chars"), 11))
+        .withColumn("flag_dup_10gram",
+          over(col("dup_gram_chars_10"), col("text_chars"), 10))
+    }
+  }
+
   /** Share of the document's tokens taken by its single most frequent
     * token (1.0 = the document is one word repeated) — the companion
     * dominance signal to [[duplicateNgramFraction]]. Native kernel

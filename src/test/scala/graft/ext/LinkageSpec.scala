@@ -61,18 +61,34 @@ class LinkageSpec extends SparkTestBase {
       if (n.length >= 4) { val t = n(1); n(1) = n(2); n(2) = t }
       (1000L + i, new String(n))
     }
-    val got = Linkage.fuzzyJoin(
-        probes.toDF("id", "name"), "id", "name",
-        names.toDF("id", "name"), "id", "name",
-        threshold = 0.8, lengthBand = 2)
-      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
-    val expect = (for {
+    def contract(prefix: Int): Set[(Long, Long)] = (for {
       (ip, p) <- probes; (in, n) <- names
-      if p.nonEmpty && n.nonEmpty && p(0) == n(0) &&
+      if p.nonEmpty && n.nonEmpty && p.take(prefix) == n.take(prefix) &&
         math.abs(p.length - n.length) <= 2 && jw(p, n) >= 0.8
     } yield (ip, in)).toSet
-    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
-    assert(expect.nonEmpty, "degenerate spec: no pairs planted")
+    for (prefix <- Seq(1, 2, 3)) {
+      val got = Linkage.fuzzyJoin(
+          probes.toDF("id", "name"), "id", "name",
+          names.toDF("id", "name"), "id", "name",
+          threshold = 0.8, lengthBand = 2, blockPrefix = prefix)
+        .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+      val expect = contract(prefix)
+      assert(got == expect,
+        s"prefix=$prefix missing=${expect -- got} extra=${got -- expect}")
+    }
+    assert(contract(1).nonEmpty, "degenerate spec: no pairs planted")
+  }
+
+  test("fuzzyJoin: hot-block occupancy guard fails loudly, not quadratically") {
+    // every name shares the same 2-char prefix and length → one block
+    val hot = (0 until 50).map(i => (i.toLong, s"th${i % 10}")).toDF("id", "name")
+    val ex = intercept[IllegalArgumentException](
+      Linkage.fuzzyJoin(hot, "id", "name", hot, "id", "name",
+        threshold = 0.5, lengthBand = 2, maxBlockRows = 10L))
+    assert(ex.getMessage.contains("quadratic"), ex.getMessage)
+    // guard disabled → runs; same call with a generous cap → runs
+    assert(Linkage.fuzzyJoin(hot, "id", "name", hot, "id", "name",
+      threshold = 0.99, lengthBand = 0, maxBlockRows = 0L).count() >= 50L)
   }
 
   test("editDistanceOneJoin equals all-pairs levenshtein <= 1 (lossless)") {

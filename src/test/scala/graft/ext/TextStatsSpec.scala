@@ -531,6 +531,54 @@ class TextStatsSpec extends SparkTestBase {
     assert(aucRow.getLong(2) == expectAuc, "auc_e6 mismatch vs reference")
   }
 
+  test("repetitionSignals: hand-checked line/gram masses, ties, flags") {
+    // doc 1: "a b a b a b" → 2-grams: "a b"×3, "b a"×2 → top2 = 3·3 = 9
+    //        text_chars = 11; lines: one line, no dups
+    // doc 2: dup lines ("x" twice of 3 lines) + blank/whitespace lines
+    // doc 3: a 5-gram repeated twice (12 words: w1..w5 w1..w5 u v)
+    // doc 4: empty text
+    val d3 = "p q r s t p q r s t u v"
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x\n  \nx\t\ny\n"),
+      (3L, d3),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 6L && r1.getAs[Long]("text_chars") == 11L)
+    assert(r1.getAs[Long]("n_lines") == 1L && r1.getAs[Long]("dup_line_count") == 0L)
+    assert(r1.getAs[Long]("top_gram_chars_2") == 9L, "top 2-gram 'a b'x3 = 9 chars")
+    // "a b a" ×2 → top3 = 2·5 = 10; "a b a b"×2 ... 4-gram: "a b a b"×2? grams:
+    // positions: (a b a b),(b a b a),(a b a b) → top4 = 2·7 = 14
+    assert(r1.getAs[Long]("top_gram_chars_3") == 10L)
+    assert(r1.getAs[Long]("top_gram_chars_4") == 14L)
+    assert(r1.getAs[Boolean]("flag_top_2gram"), "9·100 > 11·20")
+
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_lines") == 3L, "blank/whitespace lines dropped")
+    assert(r2.getAs[Long]("dup_line_count") == 2L &&
+      r2.getAs[Long]("dup_line_chars") == 2L)
+    assert(r2.getAs[Long]("line_chars_total") == 3L)
+    assert(r2.getAs[Boolean]("flag_dup_line"), "2/3 > 0.30")
+    assert(r2.getAs[Boolean]("flag_dup_line_char"), "2/3 > 0.20")
+
+    val r3 = out(3L)
+    // dup 5-grams: "p q r s t" ×2 (9 chars) → 2·9 = 18; text_chars = 23
+    assert(r3.getAs[Long]("dup_gram_chars_5") == 18L)
+    assert(r3.getAs[Long]("dup_gram_chars_6") == 0L)
+    assert(r3.getAs[Boolean]("flag_dup_5gram"), "18·100 > 23·15")
+
+    val r4 = out(4L)
+    assert(r4.getAs[Long]("n_words") == 0L && r4.getAs[Long]("text_chars") == 0L)
+    assert(r4.getAs[Long]("n_lines") == 0L)
+    assert((2 to 4).forall(n => r4.getAs[Long](s"top_gram_chars_$n") == 0L))
+    assert(!r4.getAs[Boolean]("flag_dup_line") && !r4.getAs[Boolean]("flag_top_2gram"),
+      "zero denominators never flag")
+  }
+
   test("mixedLanguageProfile: per-paragraph langId, argmax ties, empty paras") {
     val en = "the quick brown fox and the lazy dog"
     val de = "der schnelle braune fuchs und der hund"
