@@ -3727,6 +3727,52 @@ object SparkEntry {
       ext.TextStats.repetitionSignals(tbl(s, dir, "documents"),
           "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ext crawl — anchor-link extraction from synthesized HTML (the
+    // WARC-payload → LinkGraph-edge ingest step): quoting variants,
+    // case-insensitive tags, a rel=nofollow link, an href-less anchor
+    // that must NOT emit, and an entity in the anchor text. The oracle
+    // re-parses the identically-synthesized HTML with DuckDB's RE2 and
+    // replays the stripHtml chain on the anchor slice.
+    "q211_html_links" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><p>intro</p><a href=\"https://d"),
+        (id % 7).cast("string"),
+        lit(".example.com/p"), (id % 5).cast("string"),
+        lit("\">Link <b>"), (id % 3).cast("string"), lit("</b> text</a>"),
+        lit("<a class='x' rel='nofollow' href='/rel/"), (id % 4).cast("string"),
+        lit("'>Rel &amp; anchor</a>"),
+        when(id % 2 === 0, lit("<A HREF=\"../up/q.html\">Up</A>"))
+          .otherwise(lit("")),
+        lit("<a name=\"skip\">no href</a></body></html>"))
+      ext.WebUrl.extractHtmlLinks(
+          tbl(s, dir, "documents").filter(id.isNotNull)
+            .select(id, html.as("html")),
+          "doc_id", "html")
+        .orderBy("doc_id", "link_index")
+    }),
+
+    // ext crawl — RFC 3986 reference resolution (crawl subset) over a
+    // 10-case href matrix per doc: absolute, scheme-relative, rooted,
+    // query-only, fragment-only, sibling, ./, ../, past-root clamp,
+    // nested + fragment. The oracle replays the identical regex chain.
+    "q212_href_resolve" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(lit("https://h"), (id % 5).cast("string"),
+        lit(".example.com/a"), (id % 3).cast("string"),
+        lit("/b/c.html?q="), (id % 2).cast("string"))
+      val href = element_at(array(
+        lit("https://abs.example.com/z"), lit("//cdn.example.com/j.js"),
+        lit("/rooted.html"), lit("?p=2"), lit("#frag"), lit("d.html"),
+        lit("./e.html"), lit("../up.html"), lit("../../../../past.html"),
+        lit("sub/deep.html#x")), (id % 10 + 1).cast("int"))
+      tbl(s, dir, "documents").filter(id.isNotNull)
+        .select(id, base.as("base"), href.as("href"))
+        .withColumn("resolved",
+          ext.WebUrl.resolveHref(col("base"), col("href")))
+        .orderBy("doc_id")
     })
   )
 
@@ -8412,6 +8458,99 @@ object SparkEntry {
          |LEFT JOIN lagg l USING (doc_id)
          |${(2 to 4).map(n => s"LEFT JOIN t$n USING (doc_id)").mkString("\n         |")}
          |${(5 to 10).map(n => s"LEFT JOIN u$n USING (doc_id)").mkString("\n         |")}
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // identical HTML synthesis; RE2 block scan with ordinality; the
+    // q85 stripHtml chain replayed on the anchor slice
+    "q211_html_links" -> {
+      // nested q85 strip chain over an expression (entity order matters:
+      // &amp; last)
+      def strip(e: String): String =
+        s"""trim(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(
+           |              regexp_replace($e, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+           |            '(?s)<!--.*?-->', ' ', 'g'),
+           |          '<[^>]+>', ' ', 'g'),
+           |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+           |        '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+           |      '\\s+', ' ', 'g'))""".stripMargin
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><body><p>intro</p><a href="https://d' || (doc_id % 7)
+         |    || '.example.com/p' || (doc_id % 5)
+         |    || '">Link <b>' || (doc_id % 3) || '</b> text</a>'
+         |    || '<a class=''x'' rel=''nofollow'' href=''/rel/' || (doc_id % 4)
+         |    || '''>Rel &amp; anchor</a>'
+         |    || CASE WHEN doc_id % 2 = 0
+         |         THEN '<A HREF="../up/q.html">Up</A>' ELSE '' END
+         |    || '<a name="skip">no href</a></body></html>' AS html
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |b AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(html,
+         |      '(?is)<a\\s[^>]*href\\s*=\\s*(?:"[^"]*"|''[^'']*'')[^>]*>.*?</a>', 0) AS l
+         |  FROM h),
+         |e AS (
+         |  SELECT doc_id, CAST(u.i - 1 AS INT) AS link_index, l[u.i] AS blk
+         |  FROM b, unnest(generate_series(1, len(l))) AS u(i))
+         |SELECT doc_id, link_index,
+         |  CASE WHEN regexp_extract(blk, '(?is)href\\s*=\\s*"([^"]*)"', 1) <> ''
+         |    THEN regexp_extract(blk, '(?is)href\\s*=\\s*"([^"]*)"', 1)
+         |    ELSE regexp_extract(blk, '(?is)href\\s*=\\s*''([^'']*)''', 1) END
+         |    AS href,
+         |  ${strip("regexp_extract(blk, '(?is)^<a\\s[^>]*>(.*)</a>$$', 1)")} AS anchor,
+         |  regexp_matches(regexp_extract(blk, '(?is)^(<a\\s[^>]*>)', 1),
+         |    '(?is)rel\\s*=\\s*("[^"]*nofollow[^"]*"|''[^'']*nofollow[^'']*'')')
+         |    AS nofollow
+         |FROM e
+         |ORDER BY doc_id, link_index""".stripMargin
+    },
+
+    // the same join + dot-fold regex chain, nested textually
+    "q212_href_resolve" -> {
+      val origin = "regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+      val scheme = "regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)"
+      val basePath =
+        "regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+      val baseDir =
+        s"CASE WHEN $basePath = '' THEN '/' ELSE regexp_replace($basePath, '[^/]*$$', '') END"
+      val pathOrSlash = s"CASE WHEN $basePath = '' THEN '/' ELSE $basePath END"
+      val joined =
+        s"""CASE
+           |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+           |    WHEN href LIKE '//%' THEN $scheme || ':' || href
+           |    WHEN href LIKE '/%' THEN $origin || href
+           |    WHEN href LIKE '?%' THEN $origin || $pathOrSlash || href
+           |    WHEN href LIKE '#%' THEN $origin || $pathOrSlash
+           |    ELSE $origin || $baseDir || href END""".stripMargin
+      val noFrag = s"regexp_replace($joined, '#.*$$', '')"
+      val jOrigin =
+        s"regexp_extract($noFrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+      val jRest =
+        s"regexp_extract($noFrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1)"
+      val dotFolded = (1 to 8).foldLeft(
+        (1 to 8).foldLeft(jRest)((c, _) =>
+          s"regexp_replace($c, '/\\.(/|$$)', '/', 'g')")) { (c, _) =>
+        s"regexp_replace($c, '/(\\.[^/.][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\.(/|$$)', '/', 'g')"
+      }
+      val clamped = s"regexp_replace($dotFolded, '^/(\\.\\./)*(\\.\\.$$)?', '/', 'g')"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    'https://h' || (doc_id % 5) || '.example.com/a' || (doc_id % 3)
+         |      || '/b/c.html?q=' || (doc_id % 2) AS base,
+         |    (['https://abs.example.com/z', '//cdn.example.com/j.js',
+         |      '/rooted.html', '?p=2', '#frag', 'd.html', './e.html',
+         |      '../up.html', '../../../../past.html',
+         |      'sub/deep.html#x'])[(doc_id % 10) + 1] AS href
+         |  FROM documents WHERE doc_id IS NOT NULL)
+         |SELECT doc_id, base, href, $jOrigin || $clamped AS resolved
+         |FROM d
          |ORDER BY doc_id""".stripMargin
     }
   )

@@ -395,6 +395,93 @@ object WebUrl {
           .as("allocated"))
   }
 
+  /** Anchor-link extraction from raw HTML — the step between a fetched
+    * page ([[graft.ext.Warc]] payloads) and everything link-shaped
+    * downstream ([[graft.ext.LinkGraph]] edges, `anchorTopTerms`,
+    * frontier ingest): one row per `<a … href=…>…</a>` block, with the
+    * resolved-attribute href (double- or single-quoted — the structural
+    * subset, the [[graft.ext.TextStats.stripHtml]] stance: deterministic
+    * and RE2-replayable beats a lenient parser that no external engine
+    * can replicate), the tag-stripped entity-decoded anchor text, and a
+    * `nofollow` flag from the `rel` attribute.
+    *
+    * Pure per-row column expressions — `regexp_extract_all` block scan +
+    * `posexplode`, then per-block extracts — fused into the scan, no
+    * shuffle, streaming-safe. Output: (id, link_index, href, anchor,
+    * nofollow); pages with no links emit nothing.
+    */
+  def extractHtmlLinks(df: DataFrame, idCol: String,
+                       htmlCol: String): DataFrame = {
+    val blockPat = "(?is)<a\\s[^>]*href\\s*=\\s*(?:\"[^\"]*\"|'[^']*')[^>]*>.*?</a>"
+    val blocks = df
+      .filter(col(idCol).isNotNull && col(htmlCol).isNotNull)
+      .select(col(idCol),
+        posexplode(call_function("regexp_extract_all",
+          col(htmlCol), lit(blockPat), lit(0)))
+          .as(Seq("link_index", "__blk")))
+    val hrefD = regexp_extract(col("__blk"), "(?is)href\\s*=\\s*\"([^\"]*)\"", 1)
+    val hrefS = regexp_extract(col("__blk"), "(?is)href\\s*=\\s*'([^']*)'", 1)
+    val openTag = regexp_extract(col("__blk"), "(?is)^(<a\\s[^>]*>)", 1)
+    val inner = regexp_extract(col("__blk"), "(?is)^<a\\s[^>]*>(.*)</a>$", 1)
+    blocks.select(col(idCol), col("link_index"),
+      when(hrefD =!= "", hrefD).otherwise(hrefS).as("href"),
+      TextStats.stripHtml(inner).as("anchor"),
+      openTag.rlike("(?is)rel\\s*=\\s*(\"[^\"]*nofollow[^\"]*\"|'[^']*nofollow[^']*')")
+        .as("nofollow"))
+  }
+
+  /** RFC 3986-style reference resolution for the crawl subset: turn an
+    * extracted href into an absolute URL against the page it came from.
+    * Handles absolute refs (pass through), scheme-relative (`//host/…`),
+    * root-relative (`/…`), query-only (`?…`), fragment-only (`#…` —
+    * fragments are dropped entirely: a crawler's URL identity never
+    * includes them), and plain relative paths with `./`/`../` dot
+    * segments (collapsed via a bounded regex fold — up to 8 levels,
+    * far beyond real markup; excess `../` past the root clamps to the
+    * root as the RFC requires). Contract bounds, stated: the BASE is
+    * expected canonical (no dot segments of its own — run
+    * [[canonicalizeUrl]] first), and a base without `scheme://host`
+    * yields null. Pure codegen'd column expressions; the oracle replays
+    * the identical regex chain.
+    */
+  def resolveHref(base: Column, href: Column): Column = {
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    // base path up to and including the last '/' (query/fragment cut);
+    // an origin-only base gets path "/"
+    val basePath = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val joined =
+      when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+        .when(href.startsWith("/"), concat(origin, href))
+        .when(href.startsWith("?"),
+          concat(origin, when(basePath === "", lit("/")).otherwise(basePath), href))
+        .when(href.startsWith("#"),
+          concat(origin, when(basePath === "", lit("/")).otherwise(basePath)))
+        .otherwise(concat(origin, baseDir, href))
+    // drop the fragment, split off the JOINED url's origin (the folds
+    // must never see the host — "//ex.com/../x" contains a
+    // "/segment/../" shape), then collapse dot segments: "/./" folds,
+    // "segment/../" folds innermost-first (8 passes bound the depth),
+    // and excess leading "../" past the root clamps away
+    val noFrag = regexp_replace(joined, "#.*$", "")
+    val joinedOrigin = regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val joinedRest = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val dotsFolded = (1 to 8).foldLeft(
+      (1 to 8).foldLeft(joinedRest)((c, _) =>
+        regexp_replace(c, "/\\.(/|$)", "/"))) { (c, _) =>
+      regexp_replace(c, "/(\\.[^/.][^/]*|\\.\\.[^/]+|[^/.][^/]*)/\\.\\.(/|$)", "/")
+    }
+    val clamped = regexp_replace(dotsFolded, "^/(\\.\\./)*(\\.\\.$)?", "/")
+    when(base.isNull || href.isNull || origin === "", lit(null).cast("string"))
+      .otherwise(concat(joinedOrigin, clamped))
+  }
+
   /** Per-host politeness schedule — the frontier-to-fetch-plan step
     * between [[robotsEvaluate]] (may we?) and the fetcher (when?): URLs
     * rank within their host in deterministic id order and each gets a

@@ -299,4 +299,56 @@ class WebUrlSpec extends SparkTestBase {
       .as[(Long, Int, String, Option[String], Option[String])].collect().toSeq
     assert(got == Seq((1L, 0, "https://b.com/x", None, None)))
   }
+
+  test("extractHtmlLinks: quoting variants, anchor stripping, nofollow, edges") {
+    val html =
+      """<html><body>
+        |<a href="https://a.com/x">First <b>bold</b> link</a>
+        |<a class='c' href='https://b.com/y' rel="nofollow">Second &amp; co</a>
+        |<A HREF="/rel/path" REL='prev NOFOLLOW next'>CAPS tag</A>
+        |<a name="no-href-anchor">not a link</a>
+        |<a href="">empty</a>
+        |</body></html>""".stripMargin
+    val got = WebUrl.extractHtmlLinks(
+        Seq((1L, html), (2L, "<p>no links</p>"),
+          (3L, null.asInstanceOf[String])).toDF("id", "html"),
+        "id", "html")
+      .as[(Long, Int, String, String, Boolean)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 0, "https://a.com/x", "First bold link", false),
+      (1L, 1, "https://b.com/y", "Second & co", true),
+      (1L, 2, "/rel/path", "CAPS tag", true),
+      (1L, 3, "", "empty", false)))
+  }
+
+  test("resolveHref: RFC 3986 crawl-subset reference resolution") {
+    val base = "https://ex.com/a/b/c.html?q=1#frag"
+    val cases = Seq(
+      ("https://other.com/z", "https://other.com/z"),   // absolute
+      ("//cdn.com/j.js", "https://cdn.com/j.js"),       // scheme-relative
+      ("/root.html", "https://ex.com/root.html"),       // root-relative
+      ("?page=2", "https://ex.com/a/b/c.html?page=2"),  // query-only
+      ("#sec", "https://ex.com/a/b/c.html"),            // fragment dropped
+      ("d.html", "https://ex.com/a/b/d.html"),          // sibling
+      ("./d.html", "https://ex.com/a/b/d.html"),        // explicit ./
+      ("../up.html", "https://ex.com/a/up.html"),       // one up
+      ("../../top.html", "https://ex.com/top.html"),    // two up
+      ("../../../past.html", "https://ex.com/past.html"), // clamped at root
+      ("sub/deep.html#x", "https://ex.com/a/b/sub/deep.html"),
+      ("..a/x", "https://ex.com/a/b/..a/x"))            // '..a' is a real segment
+    val df = cases.zipWithIndex
+      .map { case ((h, _), i) => (i, base, h) }.toDF("i", "base", "href")
+    val got = df.select($"i", WebUrl.resolveHref($"base", $"href").as("r"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(got(i) == want, s"href '$h': got ${got(i)}, want $want")
+    }
+    // origin-only base; null propagation; non-absolute base → null
+    val edge = Seq((1, "https://ex.com", "p.html"), (2, "not-a-url", "x"),
+      (3, null.asInstanceOf[String], "x")).toDF("i", "base", "href")
+    val e = edge.select($"i", WebUrl.resolveHref($"base", $"href").as("r"))
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(e(1) == Some("https://ex.com/p.html"))
+    assert(e(2).isEmpty && e(3).isEmpty)
+  }
 }
