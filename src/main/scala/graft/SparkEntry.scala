@@ -3773,6 +3773,20 @@ object SparkEntry {
         .withColumn("resolved",
           ext.WebUrl.resolveHref(col("base"), col("href")))
         .orderBy("doc_id")
+    }),
+
+    // ext clustering — distributed Lloyd k-means, FULLY oracle-replayed
+    // (no fixture needed): md5-rank donors in id order, exact-L2
+    // assignment via the one-subspace PqEncode kernel (dot − |c|²/2,
+    // ties to the lowest index), decimal-exact per-(cluster, dim) mean
+    // updates — every number in both Lloyd rounds is a pure
+    // deterministic function of the table, so the oracle re-runs the
+    // whole fit in nested CTEs.
+    "q213_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = ext.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      ext.KMeans.assign(emb, "vec_id", "embedding", model)
+        .orderBy("vec_id")
     })
   )
 
@@ -8552,6 +8566,54 @@ object SparkEntry {
          |SELECT doc_id, base, href, $jOrigin || $clamped AS resolved
          |FROM d
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // both Lloyd rounds replayed: donors → assign → decimal means →
+    // assign → decimal means → final assignment
+    "q213_kmeans" -> {
+      def score(v: String, c: String): String =
+        s"""(list_sum(list_transform(list_zip($v, $c),
+           |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           |      - list_sum(list_transform($c,
+           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2)""".stripMargin
+      def assignCte(name: String, cents: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, j AS cl FROM (
+           |    SELECT e.vec_id, c.j,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${score("e.embedding", "c.c")} DESC, c.j) AS rn
+           |    FROM e, $cents c) WHERE rn = 1)""".stripMargin
+      def updateCte(assign: String, prev: String, out: String): String =
+        s"""${out}_m AS (
+           |  SELECT cl AS j, pos,
+           |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+           |      / count(*) AS m
+           |  FROM (
+           |    SELECT a.cl, generate_subscripts(e.embedding, 1) AS pos,
+           |      unnest(e.embedding) AS x
+           |    FROM $assign a JOIN e USING (vec_id))
+           |  GROUP BY 1, 2),
+           |$out AS (
+           |  SELECT p.j, coalesce(u.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT j, list(m ORDER BY pos) AS c FROM ${out}_m GROUP BY j) u
+           |    USING (j))""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |init AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM (SELECT vec_id, embedding FROM e
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+         |${assignCte("a0", "init")},
+         |${updateCte("a0", "init", "c1")},
+         |${assignCte("a1", "c1")},
+         |${updateCte("a1", "c1", "c2")},
+         |${assignCte("af", "c2")}
+         |SELECT vec_id, CAST(cl AS INT) AS cluster
+         |FROM af
+         |ORDER BY vec_id""".stripMargin
     }
   )
 

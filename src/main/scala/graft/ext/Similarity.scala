@@ -212,7 +212,7 @@ object Similarity {
     * uniform pseudo-random draw for ANY id distribution, equally
     * replayable in SQL (`ORDER BY md5(CAST(id AS VARCHAR)), id`).
     */
-  private def donorSample(df: DataFrame, idCol: String, vecCol: String,
+  private[ext] def donorSample(df: DataFrame, idCol: String, vecCol: String,
                           n: Int): Array[(Long, Array[Double])] =
     df.select(col(idCol).cast("long").as("donor_id"), col(vecCol).as("donor_vec"))
       .filter(col("donor_id").isNotNull && col("donor_vec").isNotNull)
