@@ -3787,6 +3787,25 @@ object SparkEntry {
       val model = ext.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
       ext.KMeans.assign(emb, "vec_id", "embedding", model)
         .orderBy("vec_id")
+    }),
+
+    // ext capstone — diversity-balanced mixture: k-means clusters the
+    // embedding space, then each CLUSTER gets the same exact char
+    // budget (the q108 two-phase fill keyed by cluster instead of
+    // language) — the "don't let one topic dominate the mix" sampler.
+    // Chained oracle: the full Lloyd replay feeds the budget window.
+    "q214_cluster_balanced_mix" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = ext.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      val assigned = ext.KMeans.assign(emb, "vec_id", "embedding", model)
+      val joined = assigned
+        .join(tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          assigned("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+      ext.Sampling.tokenBudgetPerGroup(joined, "doc_id", "cluster",
+          "n_chars", budget = 8000L)
+        .select("doc_id", "cluster", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -8570,52 +8589,73 @@ object SparkEntry {
 
     // both Lloyd rounds replayed: donors → assign → decimal means →
     // assign → decimal means → final assignment
-    "q213_kmeans" -> {
-      def score(v: String, c: String): String =
-        s"""(list_sum(list_transform(list_zip($v, $c),
-           |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-           |      - list_sum(list_transform($c,
-           |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2)""".stripMargin
-      def assignCte(name: String, cents: String): String =
-        s"""$name AS (
-           |  SELECT vec_id, j AS cl FROM (
-           |    SELECT e.vec_id, c.j,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${score("e.embedding", "c.c")} DESC, c.j) AS rn
-           |    FROM e, $cents c) WHERE rn = 1)""".stripMargin
-      def updateCte(assign: String, prev: String, out: String): String =
-        s"""${out}_m AS (
-           |  SELECT cl AS j, pos,
-           |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
-           |      / count(*) AS m
-           |  FROM (
-           |    SELECT a.cl, generate_subscripts(e.embedding, 1) AS pos,
-           |      unnest(e.embedding) AS x
-           |    FROM $assign a JOIN e USING (vec_id))
-           |  GROUP BY 1, 2),
-           |$out AS (
-           |  SELECT p.j, coalesce(u.c, p.c) AS c
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT j, list(m ORDER BY pos) AS c FROM ${out}_m GROUP BY j) u
-           |    USING (j))""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-         |init AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM (SELECT vec_id, embedding FROM e
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
-         |${assignCte("a0", "init")},
-         |${updateCte("a0", "init", "c1")},
-         |${assignCte("a1", "c1")},
-         |${updateCte("a1", "c1", "c2")},
-         |${assignCte("af", "c2")}
+    "q213_kmeans" ->
+      s"""WITH $KMeansLloydCtes
          |SELECT vec_id, CAST(cl AS INT) AS cluster
          |FROM af
-         |ORDER BY vec_id""".stripMargin
-    }
+         |ORDER BY vec_id""".stripMargin,
+
+    // chained oracle (the q191 pattern): the q213 Lloyd CTEs feed the
+    // q108 budget-fill window partitioned by cluster
+    "q214_cluster_balanced_mix" ->
+      s"""WITH $KMeansLloydCtes
+         |SELECT doc_id, cluster, n_chars FROM (
+         |  SELECT d.doc_id, CAST(af.cl AS INT) AS cluster, d.n_chars,
+         |    sum(d.n_chars) OVER (PARTITION BY af.cl
+         |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM af JOIN documents d ON d.doc_id = af.vec_id
+         |  WHERE d.n_chars IS NOT NULL AND d.n_chars >= 0)
+         |WHERE cum <= 8000
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two
+    * rounds of exact-L2 assignment (dot − |c|²/2, lowest-index ties) +
+    * decimal(28,8)-exact mean updates, final assignment in `af`.
+    */
+  private lazy val KMeansLloydCtes: String = {
+    def score(v: String, c: String): String =
+      s"""(list_sum(list_transform(list_zip($v, $c),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      - list_sum(list_transform($c,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2)""".stripMargin
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, j AS cl FROM (
+         |    SELECT e.vec_id, c.j,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${score("e.embedding", "c.c")} DESC, c.j) AS rn
+         |    FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    def updateCte(assign: String, prev: String, out: String): String =
+      s"""${out}_m AS (
+         |  SELECT cl AS j, pos,
+         |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE)
+         |      / count(*) AS m
+         |  FROM (
+         |    SELECT a.cl, generate_subscripts(e.embedding, 1) AS pos,
+         |      unnest(e.embedding) AS x
+         |    FROM $assign a JOIN e USING (vec_id))
+         |  GROUP BY 1, 2),
+         |$out AS (
+         |  SELECT p.j, coalesce(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT j, list(m ORDER BY pos) AS c FROM ${out}_m GROUP BY j) u
+         |    USING (j))""".stripMargin
+    s"""e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM (SELECT vec_id, embedding FROM e
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4)),
+       |${assignCte("a0", "init")},
+       |${updateCte("a0", "init", "c1")},
+       |${assignCte("a1", "c1")},
+       |${updateCte("a1", "c1", "c2")},
+       |${assignCte("af", "c2")}""".stripMargin
+  }
 
   /** Shared CTEs for the perceptual-hash oracles (q174/q175): pixel grid
     * from `valExpr` over the 18×16 textured BMP, exact 2×2 box sums, and
