@@ -3806,6 +3806,20 @@ object SparkEntry {
           "n_chars", budget = 8000L)
         .select("doc_id", "cluster", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // ext text — interpolated Kneser–Ney bigram LM (the standard
+    // smoothing: continuation counts, not raw unigram frequency, carry
+    // the backed-off mass; absolute discount 0.75): self-scored over
+    // the English slice, e12-floored ln terms, e6-coarsened mean (the
+    // q142 determinism scheme). Oracle rebuilds every count frame and
+    // replays the fixed probability shape.
+    "q215_kneser_ney" -> ((s, dir) => {
+      ext.TextStats.kneserNeyBigramScore(
+          tbl(s, dir, "documents").filter(col("lang") === "en"),
+          "doc_id", "text")
+        .select("doc_id", "n_bigrams", "score_e6")
+        .orderBy("doc_id")
     })
   )
 
@@ -8607,7 +8621,38 @@ object SparkEntry {
          |  FROM af JOIN documents d ON d.doc_id = af.vec_id
          |  WHERE d.n_chars IS NOT NULL AND d.n_chars >= 0)
          |WHERE cum <= 8000
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // count frames + the verbatim fixed probability shape:
+    // (c−D)/cv + (D·(n1v/cv))·(n1w/nall)
+    "q215_kneser_ney" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+        |bi AS (
+        |  SELECT doc_id, u.v AS v, u.w AS w
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |          i -> {'v': t[i], 'w': t[i + 1]})) AS u
+        |        FROM d WHERE len(t) >= 2)),
+        |cvw AS (SELECT v, w, count(*) AS cvw FROM bi GROUP BY 1, 2),
+        |cv AS (SELECT v, count(*) AS cv FROM bi GROUP BY 1),
+        |n1v AS (SELECT v, count(*) AS n1v FROM cvw GROUP BY 1),
+        |n1w AS (SELECT w, count(*) AS n1w FROM cvw GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nall FROM cvw),
+        |sc AS (
+        |  SELECT bi.doc_id,
+        |    CAST(floor(ln(
+        |      ((CAST(cvw.cvw AS DOUBLE) - 0.75) / CAST(cv.cv AS DOUBLE))
+        |      + ((0.75 * (CAST(n1v.n1v AS DOUBLE) / CAST(cv.cv AS DOUBLE)))
+        |         * (CAST(n1w.n1w AS DOUBLE) / (SELECT nall FROM tot)))
+        |    ) * 1e12) AS BIGINT) AS lp
+        |  FROM bi JOIN cvw USING (v, w) JOIN cv USING (v)
+        |    JOIN n1v USING (v) JOIN n1w USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*) / 1e6) AS BIGINT)
+        |    AS score_e6
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two

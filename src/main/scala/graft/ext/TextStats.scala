@@ -581,6 +581,67 @@ object TextStats {
           .as("mean_lp"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score — the standard n-gram
+    * smoothing (the one real LM toolkits default to): instead of
+    * backing off to RAW unigram frequency (which overrates words that
+    * are frequent but appear in few contexts — "Francisco" follows only
+    * "San"), the lower-order distribution is the CONTINUATION
+    * probability N1+(·w)/N1+(··) — how many distinct contexts a word
+    * follows. Absolute discount `discount` (default 0.75, the classic
+    * value) carves probability mass off every seen bigram and
+    * redistributes it through that continuation distribution:
+    *
+    *   P(w|v) = (c(vw) − D)/c(v·) + (D · N1+(v·)/c(v·)) · N1+(·w)/N1+(··)
+    *
+    * Every count is a vocabulary-sized aggregate of the corpus's own
+    * bigrams (self-scoring, the q87/q124/q142 stance), all per-instance
+    * scores come from the seen-bigram joins (c(vw) ≥ 1 > D keeps the
+    * first term positive), and the double-arithmetic SHAPE of P is
+    * fixed term-by-term so the oracle replays it bit-for-bit;
+    * `floor(ln·10¹²)` BIGINT sums make the per-doc totals
+    * partition-order independent, and `score_e6` coarsens the mean
+    * past math-library ln differences (the q142 note). Documents with
+    * fewer than 2 tokens emit no row. Returns
+    * (idCol, n_bigrams, score_e6, mean_lp).
+    */
+  def kneserNeyBigramScore(df: DataFrame, idCol: String, textCol: String,
+                           discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val arr = graft.plans.PlanCapture.cut(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol), canonicalTokens(col(textCol)).as("__t")))
+    val bi = arr.filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__t")) - 2), i =>
+          struct(element_at(col("__t"), i + 1).as("v"),
+            element_at(col("__t"), i + 2).as("w")))).as("__b"))
+      .select(col(idCol), col("__b.v").as("v"), col("__b.w").as("w"))
+    val cvw = bi.groupBy("v", "w").agg(count(lit(1)).as("__cvw"))
+    val cv = bi.groupBy("v").agg(count(lit(1)).as("__cv"))
+    val n1v = cvw.groupBy("v").agg(count(lit(1)).as("__n1v"))
+    val n1w = cvw.groupBy("w").agg(count(lit(1)).as("__n1w"))
+    val nAll = cvw.agg(count(lit(1)).cast("double").as("__nall"))
+    // fixed shape, replayed verbatim by the oracle: no reassociation
+    val p = ((col("__cvw").cast("double") - lit(discount)) /
+        col("__cv").cast("double")) +
+      ((lit(discount) * (col("__n1v").cast("double") / col("__cv").cast("double"))) *
+        (col("__n1w").cast("double") / col("__nall")))
+    bi.join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .join(n1v, Seq("v"))
+      .join(n1w, Seq("w"))
+      .crossJoin(broadcast(nAll))
+      .select(col(idCol), lnScaled(p).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        floor(col("__slp").cast("double") / col("n_bigrams") / lit(1e6))
+          .cast("long").as("score_e6"),
+        (col("__slp").cast("double") / lit(1e12) / col("n_bigrams"))
+          .as("mean_lp"))
+  }
+
   /** Integer-scaled natural log: `floor(ln(x)·10¹²)` as BIGINT — the
     * quantization that makes log-sums exact and engine-portable (see
     * [[unigramLogProbScore]]'s determinism note).

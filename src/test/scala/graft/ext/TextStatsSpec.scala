@@ -531,6 +531,31 @@ class TextStatsSpec extends SparkTestBase {
     assert(aucRow.getLong(2) == expectAuc, "auc_e6 mismatch vs reference")
   }
 
+  test("kneserNeyBigramScore: hand-checked probabilities and floors") {
+    // cvw: (a,b)=1, (c,b)=1, (d,d)=3; cv: a=1, c=1, d=3;
+    // n1v: all 1; n1w: b=2, d=1; nall=3
+    val docs = Seq((1L, "a b"), (2L, "c b"), (3L, "d d d d"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStats.kneserNeyBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def lp(p: Double): Long = math.floor(math.log(p) * 1e12).toLong
+    def scoreE6(lps: Seq[Long]): Long =
+      math.floor(lps.sum.toDouble / lps.size / 1e6).toLong
+    // P(b|a) = (1-.75)/1 + (.75·(1/1))·(2/3); continuation (2/3) is what
+    // raw-unigram backoff would NOT give b (freq 2 of 8 tokens)
+    val pAB = ((1.0 - 0.75) / 1.0) + ((0.75 * (1.0 / 1.0)) * (2.0 / 3.0))
+    assert(pAB == 0.75)
+    val pDD = ((3.0 - 0.75) / 3.0) + ((0.75 * (1.0 / 3.0)) * (1.0 / 3.0))
+    assert(got(1L)._1 == 1L && got(1L)._2 == scoreE6(Seq(lp(pAB))))
+    assert(got(3L)._1 == 3L &&
+      got(3L)._2 == scoreE6(Seq(lp(pDD), lp(pDD), lp(pDD))))
+    assert(!got.contains(4L), "single-token doc emits no row")
+    assert(got(1L)._3 == lp(pAB).toDouble / 1e12, "mean_lp exact")
+    intercept[IllegalArgumentException](
+      TextStats.kneserNeyBigramScore(docs, "doc_id", "text", discount = 1.0))
+  }
+
   test("repetitionSignals: hand-checked line/gram masses, ties, flags") {
     // doc 1: "a b a b a b" → 2-grams: "a b"×3, "b a"×2 → top2 = 3·3 = 9
     //        text_chars = 11; lines: one line, no dups
