@@ -3820,6 +3820,32 @@ object SparkEntry {
           "doc_id", "text")
         .select("doc_id", "n_bigrams", "score_e6")
         .orderBy("doc_id")
+    }),
+
+    // ext crawl — robots.txt BODY parsing (RFC 9309 groups): synthetic
+    // bodies where even ids carry a graftbot group (exact match wins,
+    // its rules apply) and odd ids only a '*' group (fallback applies);
+    // an empty Disallow and a comment line must vanish. The oracle
+    // replays the line typing, the lag-based group ids, and the
+    // exact-beats-star selection.
+    "q216_robots_parse" -> ((s, dir) => {
+      val id = col("doc_id")
+      val body = concat(
+        lit("# fetched\n"),
+        when(id % 2 === 0, concat(
+          lit("User-agent: graftbot\nDisallow: /g"), (id % 5).cast("string"),
+          lit("/\nAllow: /g"), (id % 5).cast("string"),
+          lit("/pub\nCrawl-delay: "), (id % 4).cast("string"),
+          lit("\n\n"))).otherwise(lit("")),
+        lit("User-agent: *\nDisallow: /x"), (id % 3).cast("string"),
+        lit("/\nDisallow:\nSitemap: https://d"), (id % 7).cast("string"),
+        lit(".example.com/sitemap.xml"))
+      ext.WebUrl.parseRobotsTxt(
+          tbl(s, dir, "documents").filter(id.isNotNull)
+            .select(concat(lit("d"), id.cast("string")).as("domain"),
+              body.as("body")),
+          "domain", "body", userAgent = "graftbot")
+        .orderBy("domain", "rule_path")
     })
   )
 
@@ -8652,7 +8678,67 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*) / 1e6) AS BIGINT)
         |    AS score_e6
-        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // identical body synthesis; line typing + lag group ids +
+    // exact-beats-star replayed
+    "q216_robots_parse" ->
+      """WITH r AS (
+        |  SELECT 'd' || doc_id AS domain,
+        |    '# fetched' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      'User-agent: graftbot' || chr(10) ||
+        |      'Disallow: /g' || (doc_id % 5) || '/' || chr(10) ||
+        |      'Allow: /g' || (doc_id % 5) || '/pub' || chr(10) ||
+        |      'Crawl-delay: ' || (doc_id % 4) || chr(10) || chr(10)
+        |    ELSE '' END ||
+        |    'User-agent: *' || chr(10) ||
+        |    'Disallow: /x' || (doc_id % 3) || '/' || chr(10) ||
+        |    'Disallow:' || chr(10) ||
+        |    'Sitemap: https://d' || (doc_id % 7) || '.example.com/sitemap.xml'
+        |    AS body
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |lines AS (
+        |  SELECT domain, CAST(u.i AS INT) AS i,
+        |    trim(regexp_replace(ls[u.i], '#.*$', '')) AS l
+        |  FROM (SELECT domain, string_split(body, chr(10)) AS ls FROM r),
+        |    unnest(generate_series(1, len(ls))) AS u(i)),
+        |typed AS (
+        |  SELECT domain, i, l,
+        |    lower(regexp_extract(l, '(?i)^user-agent\s*:\s*(\S+)', 1)) AS ua
+        |  FROM lines),
+        |t2 AS (
+        |  SELECT *, (ua <> '') AS isua,
+        |    CASE WHEN ua <> '' AND NOT coalesce(
+        |      lag(ua <> '') OVER (PARTITION BY domain ORDER BY i), false)
+        |      THEN 1 ELSE 0 END AS newg
+        |  FROM typed),
+        |t3 AS (
+        |  SELECT *, sum(newg) OVER (PARTITION BY domain ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM t2),
+        |grps AS (
+        |  SELECT domain, grp,
+        |    max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS ex,
+        |    max(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS st
+        |  FROM t3 WHERE isua GROUP BY 1, 2),
+        |de AS (SELECT domain, max(ex) AS hasex FROM grps GROUP BY 1),
+        |app AS (
+        |  SELECT t3.domain, t3.l,
+        |    coalesce(CASE WHEN de.hasex = 1 THEN g.ex = 1 ELSE g.st = 1 END,
+        |      false) AS applies
+        |  FROM t3 LEFT JOIN grps g USING (domain, grp)
+        |    LEFT JOIN de USING (domain))
+        |SELECT domain,
+        |  CASE WHEN al <> '' THEN al ELSE dis END AS rule_path,
+        |  (al <> '') AS allow
+        |FROM (
+        |  SELECT domain, applies,
+        |    regexp_extract(l, '(?i)^allow\s*:\s*(\S+)', 1) AS al,
+        |    regexp_extract(l, '(?i)^disallow\s*:\s*(\S+)', 1) AS dis
+        |  FROM app)
+        |WHERE applies AND (al <> '' OR dis <> '')
+        |ORDER BY domain, rule_path""".stripMargin
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two

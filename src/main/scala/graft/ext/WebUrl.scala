@@ -395,6 +395,110 @@ object WebUrl {
           .as("allocated"))
   }
 
+  /** Parse raw robots.txt BODIES into the rule frame
+    * [[robotsEvaluate]]/[[robotsEvaluateWildcard]] consume — the missing
+    * ingest step between "fetched /robots.txt" and "may we crawl this":
+    * RFC 9309 group semantics, per row (domain, body):
+    *
+    *  - lines split on `\n`, `#` comments stripped, whitespace-trimmed;
+    *  - a GROUP is a run of consecutive `User-agent:` lines plus the
+    *    rules that follow until the next such run (the lag-based group
+    *    id below — the per-domain window is robots.txt-bounded by the
+    *    500 KiB fetch cap, the politeness-window stance);
+    *  - the applicable groups are those naming `userAgent` exactly
+    *    (case-insensitive product token); if none does, the `*` groups;
+    *  - `Allow:`/`Disallow:` lines of applicable groups become
+    *    (domain, rule_path, allow) rows; an EMPTY Disallow/Allow value
+    *    is the RFC's "no restriction" and emits nothing.
+    *
+    * Deterministic and engine-replayable throughout (regex line typing,
+    * one lag window, group aggregates). Companions: [[robotsCrawlDelays]]
+    * (per-domain `Crawl-delay` of the applicable groups, milliseconds —
+    * feeds [[politenessSchedule]]) and [[robotsSitemaps]] (`Sitemap:`
+    * lines are group-independent per the spec).
+    */
+  def parseRobotsTxt(df: DataFrame, domainCol: String, bodyCol: String,
+                     userAgent: String = "*"): DataFrame = {
+    val g = robotsGroups(df, domainCol, bodyCol, userAgent)
+    val al = regexp_extract(col("__l"), "(?i)^allow\\s*:\\s*(\\S+)", 1)
+    val dis = regexp_extract(col("__l"), "(?i)^disallow\\s*:\\s*(\\S+)", 1)
+    g.filter(col("__applies") && (al =!= "" || dis =!= ""))
+      .select(col("domain"),
+        when(al =!= "", al).otherwise(dis).as("rule_path"),
+        (al =!= "").as("allow"))
+  }
+
+  /** Applicable-group `Crawl-delay` per domain, in milliseconds (floor
+    * of seconds × 1000, decimal-exact; the MIN across applicable groups
+    * when several state one). Domains without a delay emit nothing —
+    * join with a default downstream ([[politenessSchedule]] does).
+    */
+  def robotsCrawlDelays(df: DataFrame, domainCol: String, bodyCol: String,
+                        userAgent: String = "*"): DataFrame = {
+    val g = robotsGroups(df, domainCol, bodyCol, userAgent)
+    val d = regexp_extract(col("__l"),
+      "(?i)^crawl-delay\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)$", 1)
+    g.filter(col("__applies") && d =!= "")
+      .select(col("domain"),
+        floor(d.cast("decimal(18,3)") * 1000).cast("long").as("delay_ms"))
+      .groupBy("domain")
+      .agg(min(col("delay_ms")).as("delay_ms"))
+  }
+
+  /** `Sitemap:` directives (group-independent per RFC 9309 §2.3.3):
+    * distinct (domain, sitemap_url).
+    */
+  def robotsSitemaps(df: DataFrame, domainCol: String,
+                     bodyCol: String): DataFrame =
+    robotsLines(df, domainCol, bodyCol)
+      .select(col("domain"),
+        regexp_extract(col("__l"), "(?i)^sitemap\\s*:\\s*(\\S+)", 1)
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
+  /** Shared line frame: (domain, __i, __l) — comment-stripped trimmed
+    * lines in order.
+    */
+  private def robotsLines(df: DataFrame, domainCol: String,
+                          bodyCol: String): DataFrame =
+    df.filter(col(domainCol).isNotNull && col(bodyCol).isNotNull)
+      .select(lower(col(domainCol)).as("domain"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("__i", "__raw")))
+      .select(col("domain"), col("__i"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__l"))
+
+  /** Shared group machinery: every line annotated with its RFC 9309
+    * group id and whether that group applies to `userAgent`.
+    */
+  private def robotsGroups(df: DataFrame, domainCol: String,
+                           bodyCol: String, userAgent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robotsLines(df, domainCol, bodyCol)
+    val ua = regexp_extract(col("__l"), "(?i)^user-agent\\s*:\\s*(\\S+)", 1)
+    val w = Window.partitionBy("domain").orderBy("__i")
+    val typed = lines
+      .withColumn("__ua", lower(ua))
+      .withColumn("__isUa", col("__ua") =!= "")
+      .withColumn("__newGrp",
+        (col("__isUa") && !coalesce(lag(col("__isUa"), 1).over(w), lit(false)))
+          .cast("long"))
+      .withColumn("__grp", sum(col("__newGrp")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wanted = lower(lit(userAgent))
+    val groups = typed.filter(col("__isUa"))
+      .groupBy(col("domain"), col("__grp"))
+      .agg(max((col("__ua") === wanted).cast("int")).as("__exact"),
+        max((col("__ua") === "*").cast("int")).as("__star"))
+    val domainExact = groups.groupBy("domain")
+      .agg(max(col("__exact")).as("__hasExact"))
+    typed.join(groups, Seq("domain", "__grp"), "left")
+      .join(domainExact, Seq("domain"), "left")
+      .withColumn("__applies",
+        coalesce(when(col("__hasExact") === 1, col("__exact") === 1)
+          .otherwise(col("__star") === 1), lit(false)))
+  }
+
   /** Anchor-link extraction from raw HTML — the step between a fetched
     * page ([[graft.ext.Warc]] payloads) and everything link-shaped
     * downstream ([[graft.ext.LinkGraph]] edges, `anchorTopTerms`,

@@ -300,6 +300,44 @@ class WebUrlSpec extends SparkTestBase {
     assert(got == Seq((1L, 0, "https://b.com/x", None, None)))
   }
 
+  test("parseRobotsTxt: UA groups, exact beats star, empties, delays, sitemaps") {
+    val body =
+      """# fetched 2024-01-01
+        |User-agent: googlebot
+        |User-agent: graftbot
+        |Disallow: /private/
+        |Allow: /private/ok
+        |Crawl-delay: 2.5
+        |
+        |User-agent: *
+        |Disallow: /all/
+        |Disallow:
+        |Crawl-delay: 10
+        |Sitemap: https://ex.com/sm.xml
+        |Sitemap: https://ex.com/sm2.xml""".stripMargin
+    val starOnly = "User-agent: *\nDisallow: /star/\nCrawl-delay: 1"
+    val df = Seq(("Ex.com", body), ("other.com", starOnly))
+      .toDF("domain", "body")
+    // exact group wins for graftbot (case-insensitive), star ignored
+    val rules = WebUrl.parseRobotsTxt(df, "domain", "body", "GraftBot")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(rules == Set(
+      ("ex.com", "/private/", false), ("ex.com", "/private/ok", true),
+      ("other.com", "/star/", false)))
+    // a UA with no exact group anywhere falls through to star everywhere
+    val star = WebUrl.parseRobotsTxt(df, "domain", "body", "nobody")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(star == Set(("ex.com", "/all/", false),
+      ("other.com", "/star/", false)), "empty Disallow must emit nothing")
+    val delays = WebUrl.robotsCrawlDelays(df, "domain", "body", "graftbot")
+      .as[(String, Long)].collect().toMap
+    assert(delays == Map("ex.com" -> 2500L, "other.com" -> 1000L))
+    val maps = WebUrl.robotsSitemaps(df, "domain", "body")
+      .as[(String, String)].collect().toSet
+    assert(maps == Set(("ex.com", "https://ex.com/sm.xml"),
+      ("ex.com", "https://ex.com/sm2.xml")))
+  }
+
   test("extractHtmlLinks: quoting variants, anchor stripping, nofollow, edges") {
     val html =
       """<html><body>
