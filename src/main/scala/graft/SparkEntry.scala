@@ -3846,6 +3846,37 @@ object SparkEntry {
               body.as("body")),
           "domain", "body", userAgent = "graftbot")
         .orderBy("domain", "rule_path")
+    }),
+
+    // ext capstone — page → frontier: extractHtmlLinks pulls three
+    // differently-shaped hrefs (relative, rooted with a tracking param,
+    // absolute with uppercase scheme/host + default port) out of
+    // synthesized HTML, resolveHref absolutizes them against the page,
+    // canonicalizeUrl normalizes, and the frontier aggregates in-link
+    // counts. The oracle states each link's CANONICAL CLOSED FORM
+    // directly — so the whole extract→resolve→canonicalize chain must
+    // reproduce it end-to-end, not just each stage in isolation.
+    "q217_link_frontier" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(lit("https://s"), (id % 6).cast("string"),
+        lit(".example.com/dir"), (id % 3).cast("string"), lit("/page.html"))
+      val html = concat(
+        lit("<html><body><a href=\"art"), (id % 8).cast("string"),
+        lit(".html\">rel</a><a href=\"/shared/hub.html?utm_source=x&ref="),
+        (id % 4).cast("string"),
+        lit("\">hub</a><a href='HTTPS://S"), (id % 6).cast("string"),
+        lit(".Example.COM:443/dir"), ((id + 1) % 3).cast("string"),
+        lit("/other.html'>abs</a></body></html>"))
+      val pages = tbl(s, dir, "documents").filter(id.isNotNull)
+        .select(id, base.as("base"), html.as("html"))
+      ext.WebUrl.extractHtmlLinks(pages, "doc_id", "html")
+        .join(pages.select(col("doc_id"), col("base")), Seq("doc_id"))
+        .select(col("doc_id"), ext.WebUrl.canonicalizeUrl(
+          ext.WebUrl.resolveHref(col("base"), col("href"))).as("target"))
+        .groupBy("target")
+        .agg(count(lit(1)).cast("long").as("n_refs"),
+          min(col("doc_id")).as("first_referrer"))
+        .orderBy("target")
     })
   )
 
@@ -8738,7 +8769,25 @@ object SparkEntry {
         |    regexp_extract(l, '(?i)^disallow\s*:\s*(\S+)', 1) AS dis
         |  FROM app)
         |WHERE applies AND (al <> '' OR dis <> '')
-        |ORDER BY domain, rule_path""".stripMargin
+        |ORDER BY domain, rule_path""".stripMargin,
+
+    // each link's canonical target in closed form — the engine must
+    // reproduce it through the real extract→resolve→canonicalize chain
+    "q217_link_frontier" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest([
+        |    'https://s' || (doc_id % 6) || '.example.com/dir' || (doc_id % 3)
+        |      || '/art' || (doc_id % 8) || '.html',
+        |    'https://s' || (doc_id % 6) || '.example.com/shared/hub.html?ref='
+        |      || (doc_id % 4),
+        |    'https://s' || (doc_id % 6) || '.example.com/dir'
+        |      || ((doc_id + 1) % 3) || '/other.html'
+        |  ]) AS target
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+        |  min(doc_id) AS first_referrer
+        |FROM t GROUP BY target
+        |ORDER BY target""".stripMargin
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two
