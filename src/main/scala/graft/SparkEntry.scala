@@ -3877,6 +3877,25 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_refs"),
           min(col("doc_id")).as("first_referrer"))
         .orderBy("target")
+    }),
+
+    // ext text — Flesch reading ease, the replayable variant: regex
+    // sentence segments, canonical-token words, vowel-group syllables;
+    // one fixed double shape floored at e3. Exact counts + the score.
+    "q218_readability" -> ((s, dir) => {
+      ext.TextStats.readability(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ext clustering — simplified silhouette over the q213 fit: per
+    // point, own-centroid vs nearest-other-centroid L2 in one fixed
+    // shape, e6-floored, per-cluster integer means. Chained oracle:
+    // the Lloyd CTEs feed the distance audit.
+    "q219_kmeans_silhouette" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = ext.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      ext.KMeans.silhouette(emb, "vec_id", "embedding", model)
+        .orderBy("cluster")
     })
   )
 
@@ -8787,7 +8806,67 @@ object SparkEntry {
         |SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
         |  min(doc_id) AS first_referrer
         |FROM t GROUP BY target
-        |ORDER BY target""".stripMargin
+        |ORDER BY target""".stripMargin,
+
+    // same segmentation/token/vowel-group counts; the score shape
+    // replayed verbatim
+    "q218_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(canon, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(list_transform(
+        |        string_split_regex(text, '[.!?]+'),
+        |        s -> trim(s)), s -> s <> '')) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(canon, '[aeiouy]+', 0)) AS BIGINT)
+        |      AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    CAST(floor(1000.0 * (206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))))
+        |      AS BIGINT)
+        |  END AS flesch_e3
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Lloyd CTEs feed the distance audit: dist_j = sqrt(max(|x|² −
+    // 2·x·c_j + |c_j|², 0)) in the engine's exact shape, e6 floors,
+    // floored integer means
+    "q219_kmeans_silhouette" ->
+      s"""WITH $KMeansLloydCtes,
+         |dists AS (
+         |  SELECT e.vec_id, c.j,
+         |    sqrt(greatest(
+         |      list_sum(list_transform(e.embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |      - 2 * list_sum(list_transform(list_zip(e.embedding, c.c),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      + list_sum(list_transform(c.c,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0)) AS dd
+         |  FROM e, c2 c),
+         |ab AS (
+         |  SELECT d.vec_id, af.cl,
+         |    max(CASE WHEN d.j = af.cl THEN d.dd END) AS a,
+         |    min(CASE WHEN d.j <> af.cl THEN d.dd END) AS b
+         |  FROM dists d JOIN af USING (vec_id)
+         |  GROUP BY d.vec_id, af.cl),
+         |s6 AS (
+         |  SELECT cl,
+         |    CAST(floor((CASE WHEN greatest(a, b) > 0
+         |      THEN (b - a) / greatest(a, b) ELSE 0.0 END) * 1e6) AS BIGINT)
+         |      AS s6
+         |  FROM ab)
+         |SELECT CAST(cl AS INT) AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(floor(CAST(sum(s6) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS mean_sil_e6
+         |FROM s6 GROUP BY cl
+         |ORDER BY cluster""".stripMargin
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two

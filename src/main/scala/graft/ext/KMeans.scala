@@ -81,6 +81,51 @@ object KMeans {
         clusterOf(col(vecCol), model.centroids.toSeq.map(_.toSeq))
           .cast("int").as("cluster"))
 
+  /** Simplified silhouette per cluster — the fit-quality number a
+    * clustering audit reports: per point, a = L2 distance to its OWN
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) ∈ [−1, 1] (the centroid-based simplification
+    * of the classic O(n²) pairwise silhouette — the only form that
+    * scales). Distances come from one `matVec` kernel pass per row
+    * (array of dot products against the k centroid literals) plus the
+    * per-centroid |c|² constants: dist_j = √max(|x|² − 2·x·c_j + |c_j|²,
+    * 0) in ONE fixed double shape, s floored at e6 — every number
+    * identical on any IEEE engine, so the oracle replays the whole
+    * audit. Output: (cluster, n_members, mean_sil_e6) with the mean a
+    * floored integer division.
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 model: Model): DataFrame = {
+    require(model.k >= 2, s"silhouette needs k >= 2, got ${model.k}")
+    val cents = model.centroids.toSeq.map(_.toSeq)
+    val ccs: Seq[Double] = model.centroids.toSeq.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    val xx = graft.functions.VectorFunctions.vecDot(col(vecCol), col(vecCol))
+    val dots = graft.functions.VectorFunctions.matVec(col(vecCol), cents)
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol),
+        clusterOf(col(vecCol), cents).as("cluster"),
+        transform(sequence(lit(0), lit(model.k - 1)), j =>
+          sqrt(greatest(xx - lit(2.0) * element_at(dots, j + 1)
+            + element_at(typedLit(ccs), j + 1), lit(0.0)))).as("__d"))
+    val a = element_at(col("__d"), col("cluster") + 1)
+    val b = array_min(transform(
+      filter(sequence(lit(0), lit(model.k - 1)), j => j =!= col("cluster")),
+      j => element_at(col("__d"), j + 1)))
+    val s6 = floor(
+      when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+        * lit(1e6)).cast("long")
+    base.select(col("cluster"), s6.as("__s6"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        floor(sum(col("__s6")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_sil_e6"))
+  }
+
   /** Per-cluster audit frame: size and exact-decimal mean vector — the
     * "what did we actually cluster" report; one skinny aggregate.
     */

@@ -326,6 +326,43 @@ object TextStats {
       .otherwise(lit(0.0))
   }
 
+  /** Flesch reading-ease readability — the classic
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` score
+    * the curation literature still thresholds on (graded-reader
+    * filtering, textbook-vs-forum routing). Deliberately the
+    * REPLAYABLE variant: sentences are the [[sentenceStats]] regex
+    * segments, words the canonical tokens, and syllables the VOWEL-GROUP
+    * count (`[aeiouy]+` runs over the canonical text — spaces break
+    * groups, so the corpus-level count equals the per-word sum without
+    * materializing per-word arrays). A dictionary-grade syllabifier is
+    * a model, not an analytics operator (the sentence-segmentation
+    * stance). Pure per-row expressions; `flesch_e3` is the e3-floored
+    * score in ONE fixed double shape, NULL when a document has no
+    * sentence or no word.
+    */
+  def readability(df: DataFrame, idCol: String,
+                  textCol: String = "text"): DataFrame = {
+    val canon = Dedup.canonicalize(col(textCol))
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    val nW = size(filter(split(canon, " "), t => length(t) > 0)).cast("long")
+    val nS = size(sents).cast("long")
+    val nSy = size(call_function("regexp_extract_all",
+      canon, lit("[aeiouy]+"), lit(0))).cast("long")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), nW.as("n_words"), nS.as("n_sentences"),
+        nSy.as("n_syllables"))
+      .withColumn("flesch_e3",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          floor(lit(1000.0) * (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")))).cast("long"))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Gopher repetition-filter signals (§A1.1 of the paper), char-weighted
     * and EXACT-INTEGER: per document, the duplicate-line occurrence/char
     * counts, the most-frequent-n-gram char mass for n = 2..4, and the

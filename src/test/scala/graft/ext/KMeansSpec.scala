@@ -94,6 +94,24 @@ class KMeansSpec extends SparkTestBase {
     assert(KMeans.assign(df, "vec_id", "embedding", m0).count() == 40L)
   }
 
+  test("silhouette: separated clusters score near 1; bounds hold") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 100.0f
+      (i.toLong, Array.fill(3)(base + rnd.nextFloat() * 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = KMeans.fit(df, "vec_id", "embedding", k = 2, iters = 4)
+    val sil = KMeans.silhouette(df, "vec_id", "embedding", model)
+      .as[(Int, Long, Long)].collect()
+    assert(sil.map(_._2).sum == 40L)
+    assert(sil.forall { case (_, _, s) => s > 990000L && s <= 1000000L },
+      s"tight separated clusters must score ~1e6, got ${sil.toSeq}")
+    intercept[IllegalArgumentException](
+      KMeans.silhouette(df, "vec_id", "embedding",
+        KMeans.Model(Array(Array(0.0, 0.0, 0.0)), 0)))
+  }
+
   test("clusterProfile: sizes sum to corpus, one row per nonempty cluster") {
     val rows = data(50, 3, 9L)
     val df = rows.toDF("vec_id", "embedding")

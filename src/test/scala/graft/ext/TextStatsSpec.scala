@@ -531,6 +531,27 @@ class TextStatsSpec extends SparkTestBase {
     assert(aucRow.getLong(2) == expectAuc, "auc_e6 mismatch vs reference")
   }
 
+  test("readability: hand-checked counts and score; degenerate null") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences
+      (2L, "word"),                        // 1 word, 1 sentence
+      (3L, "...!!!")                       // no words, no sentences
+    ).toDF("doc_id", "text")
+    val got = TextStats.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // canon doc1: "the cat sat. the dog ran!" -> vowel groups:
+    // e,a,a,e,o,a = 6
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._3 == 6L)
+    val expect1 = math.floor(1000.0 *
+      (206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))).toLong
+    assert(got(1L)._4 == Some(expect1))
+    assert(got(2L)._1 == 1L && got(2L)._2 == 1L && got(2L)._3 == 1L)
+    assert(got(3L)._1 == 1L || got(3L)._1 == 0L) // "...!!!" has no spaces
+    assert(got(3L)._2 == 0L && got(3L)._4.isEmpty, "no sentences -> null")
+  }
+
   test("kneserNeyBigramScore: hand-checked probabilities and floors") {
     // cvw: (a,b)=1, (c,b)=1, (d,d)=3; cv: a=1, c=1, d=3;
     // n1v: all 1; n1w: b=2, d=1; nall=3
