@@ -3896,6 +3896,21 @@ object SparkEntry {
       val model = ext.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
       ext.KMeans.silhouette(emb, "vec_id", "embedding", model)
         .orderBy("cluster")
+    }),
+
+    // ext shaping — GPT-style concat-and-slice packing: per shard, docs
+    // + one <eos> each concatenate into a token stream sliced into
+    // EXACT 128-token sequences, documents straddling boundaries. The
+    // engine emits one row per (doc, window) slice and assembles
+    // windows in-row; the oracle replays per TOKEN (fine at sf) —
+    // identical text only if start offsets, slicing, and offset-ordered
+    // assembly all agree.
+    "q220_pack_concat" -> ((s, dir) => {
+      ext.Chunking.packConcat(
+          tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+            .withColumn("shard", (col("doc_id") % 8).cast("int")),
+          "doc_id", "text", seqTokens = 128, shardCol = "shard")
+        .orderBy("shard", "seq_index")
     })
   )
 
@@ -8866,7 +8881,28 @@ object SparkEntry {
          |  CAST(floor(CAST(sum(s6) AS DOUBLE) / count(*)) AS BIGINT)
          |    AS mean_sil_e6
          |FROM s6 GROUP BY cl
-         |ORDER BY cluster""".stripMargin
+         |ORDER BY cluster""".stripMargin,
+
+    // per-token replay: same starts, same stream order, same windows
+    "q220_pack_concat" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    list_append(list_filter(
+        |      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> x <> ''), '<eos>') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |st AS (
+        |  SELECT *, sum(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - len(t) AS strt
+        |  FROM d),
+        |tok AS (
+        |  SELECT shard, strt + u.i - 1 AS pos, t[u.i] AS tok
+        |  FROM st, unnest(generate_series(1, len(t))) AS u(i))
+        |SELECT shard, CAST(pos // 128 AS BIGINT) AS seq_index,
+        |  string_agg(tok, ' ' ORDER BY pos) AS seq_text,
+        |  CAST(count(*) AS BIGINT) AS n_seq_tokens
+        |FROM tok GROUP BY 1, 2
+        |ORDER BY shard, seq_index""".stripMargin
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two

@@ -46,6 +46,65 @@ object Chunking {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** Concat-and-slice packing — the GPT-style pretraining layout
+    * [[packGreedy]] deliberately is not: documents (plus one `eosToken`
+    * after each) concatenate into one token stream per shard, and the
+    * stream slices into EXACT `seqTokens`-length sequences, documents
+    * STRADDLING window boundaries (zero padding waste; only each
+    * shard's final window may be short). Returns
+    * (shardCol, seq_index, seq_text, n_seq_tokens).
+    *
+    * Scale shape — the part that matters: the obvious formulation
+    * explodes one row per corpus TOKEN through a shuffle; this one
+    * emits one row per (document, WINDOW-IT-TOUCHES) — O(docs +
+    * windows), each row carrying its in-window slice — then one hash
+    * aggregate per (shard, window) assembles slices by offset inside
+    * the row (array_sort, the sessionPaths stance). Document start
+    * offsets are ONE running-sum window per shard (the packGreedy
+    * contract: the shard column is the parallelism lever; pack shards
+    * independently).
+    */
+  def packConcat(df: DataFrame, idCol: String, textCol: String,
+                 seqTokens: Int, shardCol: String,
+                 eosToken: String = "<eos>"): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    require(eosToken.nonEmpty && !eosToken.contains(" "),
+      s"eosToken must be a single non-empty token, got '$eosToken'")
+    val L = seqTokens.toLong
+    val toks = filter(TextStats.canonicalTokens(col(textCol)),
+      t => length(t) > 0)
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withStart = df.filter(col(textCol).isNotNull)
+      .select(col(shardCol), col(idCol),
+        concat(toks, array(lit(eosToken))).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+    val slices = withStart
+      .select(col(shardCol), col("__t"), col("__n"), col("__start"),
+        explode(sequence(
+          floor(col("__start") / L).cast("long"),
+          floor((col("__start") + col("__n") - 1) / L).cast("long")))
+          .as("seq_index"))
+      .select(col(shardCol), col("seq_index"),
+        greatest(col("__start") - col("seq_index") * L, lit(0L))
+          .as("__offset"),
+        // slice of THIS doc that lands in THIS window (1-based slice)
+        slice(col("__t"),
+          (greatest(col("seq_index") * L - col("__start"), lit(0L)) + 1L)
+            .cast("int"),
+          (least((col("seq_index") + 1L) * L - col("__start"), col("__n"))
+            - greatest(col("seq_index") * L - col("__start"), lit(0L)))
+            .cast("int")).as("__slice"))
+    slices.groupBy(col(shardCol), col("seq_index"))
+      .agg(
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("__offset").as("o"),
+            col("__slice").as("s")))),
+          x => x.getField("s"))), " ").as("seq_text"),
+        sum(size(col("__slice"))).cast("long").as("n_seq_tokens"))
+  }
+
   /** Greedy sequence packing: documents are laid out in (shard, id) order
     * and a document starts a new sequence whenever the tokens packed
     * BEFORE it cross a `seqTokens` boundary — the standard first-fit-in-

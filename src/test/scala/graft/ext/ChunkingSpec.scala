@@ -54,4 +54,30 @@ class ChunkingSpec extends SparkTestBase {
     // shard 1: 70-token doc fills seq 0 alone (overflow); next starts seq 1
     assert(out(5L) == 0L && out(6L) == 1L)
   }
+
+  test("packConcat: exact windows, boundary straddling, eos accounting") {
+    // shard stream: x y z <eos> p q <eos> m <eos>  (9 tokens, L = 4)
+    val docs = Seq((1L, "a", "x y z"), (2L, "a", "p q"), (3L, "a", "m"),
+      (9L, "b", ""), (10L, "b", null.asInstanceOf[String]))
+      .toDF("doc_id", "shard", "text")
+    val got = Chunking.packConcat(docs, "doc_id", "text",
+        seqTokens = 4, shardCol = "shard")
+      .as[(String, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", 0L)) == (("x y z <eos>", 4L)))
+    assert(got(("a", 1L)) == (("p q <eos> m", 4L)),
+      "doc 3 must straddle into window 1")
+    assert(got(("a", 2L)) == (("<eos>", 1L)), "short final window")
+    // empty doc contributes only its eos; null doc contributes nothing
+    assert(got(("b", 0L)) == (("<eos>", 1L)))
+    assert(got.size == 4)
+    // partition invariance: in-row slice assembly, not partition order
+    val again = Chunking.packConcat(docs.repartition(5), "doc_id", "text",
+        seqTokens = 4, shardCol = "shard")
+      .as[(String, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException](
+      Chunking.packConcat(docs, "doc_id", "text", 4, "shard", eosToken = "a b"))
+  }
 }
