@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.ext.{Curation, Dedup, Funnel, Layout, Merge, Profile, Sampling, TextStats}
+import graft.ext.{Chunking, Curation, Dedup, Funnel, Layout, Merge, Profile, Sampling, TextStats}
 import graft.logs.LogLineParser
 
 /** Chainable user-facing syntax for the engine's document/log operators:
@@ -99,6 +99,19 @@ object syntax {
     /** Append token/quality/language/fingerprint stat columns. */
     def withTextStats(textCol: String = "text"): DataFrame =
       TextStats.withStats(df, textCol)
+
+    /** Gopher repetition signals + threshold flags (per-row kernel). */
+    def repetitionSignals(idCol: String, textCol: String = "text"): DataFrame =
+      TextStats.repetitionSignals(df, idCol, textCol)
+
+    /** Flesch reading ease (replayable vowel-group variant). */
+    def readability(idCol: String, textCol: String = "text"): DataFrame =
+      TextStats.readability(df, idCol, textCol)
+
+    /** GPT-style concat-and-slice packing into exact token windows. */
+    def packConcat(idCol: String, textCol: String, seqTokens: Int,
+                   shardCol: String): DataFrame =
+      Chunking.packConcat(df, idCol, textCol, seqTokens, shardCol)
 
     /** Quality-gate + exact-dedup + near-dedup curation pipeline. */
     def curate(idCol: String, textCol: String,
