@@ -34,7 +34,11 @@ object DumpPlans {
       "q97_duplicate_spans" -> "substring-span dedup: (id, pos, gram) postings -> gram-keyed partial+final aggregate -> left-semi back onto postings; the interval-merge window is PARTITIONED BY doc_id - no global sort anywhere",
       "q99_semantic_join" -> "cross-table semantic join: both sides bucket per-row and meet in a shuffled EQUI-join on the LSH bucket (no broadcast requirement); per-query top-k is the bounded-heap TopKAgg partial aggregate - objHashAggregate with partial_topk, k-row buffers through the exchange",
       "q151_robots" -> "robots longest-match: URL/rule sides meet in a hash join on host (rules broadcast here - config-sized); the verdict is ONE partial+final max aggregate of the integer score, no window, no per-rule ordering",
-      "q158_anchor_text" -> "anchor-text top terms: row-level terms collapse in a partial+final (dst, term) HashAggregate BEFORE the rank window - the window sorts the count frame (vocabulary x targets), never anchor rows"
+      "q158_anchor_text" -> "anchor-text top terms: row-level terms collapse in a partial+final (dst, term) HashAggregate BEFORE the rank window - the window sorts the count frame (vocabulary x targets), never anchor rows",
+      "q210_repetition_signals" -> "Gopher repetition signals: ONE repetition_stats kernel node in the scan projection computes all 15 masses per row - no explode, no Exchange before the final sort; the built-in formulation would shuffle ~9x the corpus token count",
+      "q213_kmeans" -> "k-means assignment: ONE pq_encode kernel node against centroid literals - no join, no window; the corpus never shuffles for assignment (fit's per-round update is the skinny (cluster, dim) aggregate)",
+      "q220_pack_concat" -> "concat-and-slice packing: doc start offsets via ONE per-shard running-sum window, then a per-(doc, window) slice explode - O(docs + windows) rows, never per token - into one (shard, window) HashAggregate with in-row offset-sorted assembly",
+      "q207_quality_percentile" -> "two-phase score percentiles: per-distinct-score HashAggregate, coarse width_bucket carry frame (<= 1026 rows, constant-key window), fine running sum PARTITIONED BY bucket - no empty-partition WindowExec anywhere (PlanGuard-asserted)"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries\n\n")

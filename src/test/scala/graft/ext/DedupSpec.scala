@@ -173,6 +173,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("hammingPairs: a heavy identical-sketch group is pure output") {
+    // 30 copies of one sketch + 5 near variants: the collapse path must
+    // emit all C(30,2) hamming-0 pairs plus the cross pairs, exactly
+    val hs = (0L until 30L).map(i => (i, 0x0123456789abcdefL)) ++
+      (30L until 35L).map(i => (i, 0x0123456789abcdefL ^ (1L << (i - 30))))
+    val df = hs.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", maxDistance = 2)
+      .as[(Long, Long, Int)].collect()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(got.toSet == brute)
+    assert(got.length == brute.size, "no duplicate pair rows")
+    assert(got.count(_._3 == 0) == 30 * 29 / 2)
+  }
+
   test("simhashDuplicates: maxDistance=0 finds exact sketch matches only") {
     val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", maxDistance = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
