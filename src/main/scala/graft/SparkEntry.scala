@@ -3911,6 +3911,20 @@ object SparkEntry {
             .withColumn("shard", (col("doc_id") % 8).cast("int")),
           "doc_id", "text", seqTokens = 128, shardCol = "shard")
         .orderBy("shard", "seq_index")
+    }),
+
+    // ext sampling — deterministic named train/val/test split
+    // (90/5/5): first md5-bucket boundary that exceeds the key's hash
+    // position wins, last split absorbs the boundary residue — split
+    // membership is a pure function of doc_id the oracle replays with
+    // two hex literals.
+    "q221_hash_split" -> ((s, dir) => {
+      ext.Sampling.hashSplit(
+          tbl(s, dir, "documents").filter(col("doc_id").isNotNull),
+          "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
     })
   )
 
@@ -8902,7 +8916,19 @@ object SparkEntry {
         |  string_agg(tok, ' ' ORDER BY pos) AS seq_text,
         |  CAST(count(*) AS BIGINT) AS n_seq_tokens
         |FROM tok GROUP BY 1, 2
-        |ORDER BY shard, seq_index""".stripMargin
+        |ORDER BY shard, seq_index""".stripMargin,
+
+    // boundaries: round(0.9*65536)=58982=0xe666, round(0.95*65536)=
+    // 62259=0xf333; last split takes the rest
+    "q221_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two

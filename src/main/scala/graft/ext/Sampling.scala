@@ -49,6 +49,40 @@ object Sampling {
   def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashSampled(col(keyCol), rate))
 
+  /** Deterministic named corpus split ("train"/"val"/"test"…): each row
+    * gets the FIRST split whose cumulative md5-bucket boundary exceeds
+    * its hash position — membership a pure function of the key, stable
+    * across runs/engines/partitionings, disjoint and exhaustive by
+    * construction (fractions must sum to 1; the LAST split absorbs the
+    * 1/65536 boundary residue, so nothing ever falls between splits).
+    * Null keys have no stable identity → `split` is NULL, explicitly.
+    *
+    * This is the RAW-ID split: near-duplicate documents land in
+    * whichever split their own id hashes to. For leakage-safe
+    * evaluation, split by DEDUP COMPONENT instead
+    * ([[Dedup.leakageSafeSplitFromLabels]] / `kFoldSplitFromLabels`) —
+    * this operator is the cheap first-cut and the one non-text tables
+    * use.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val bucket = hashBucket(col(keyCol))
+    // last split unconditionally absorbs the residue above its boundary
+    val assigned = splits.init.zip(cum.init).reverse.foldLeft(
+      lit(splits.last._1): Column) { case (acc, ((name, _), c)) =>
+      when(bucket < lit(hexThreshold(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split",
+      when(col(keyCol).isNull, lit(null).cast("string")).otherwise(assigned))
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. downsample
     * dominant languages, keep the long tail whole — the usual
     * rebalancing move in corpus construction). Strata not in `rates` use

@@ -18,6 +18,33 @@ class SamplingSpec extends SparkTestBase {
     math.log((h + 1.0) / 4503599627370496.0) / w
   }
 
+  test("hashSplit: disjoint, exhaustive, proportional, deterministic") {
+    val df = spark.range(20000).toDF("id")
+    val out = Sampling.hashSplit(df, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000L, "exhaustive")
+    assert(math.abs(counts("train") - 18000L) < 400, counts.toString)
+    assert(math.abs(counts("val") - 1000L) < 200, counts.toString)
+    // membership is a pure function of the key
+    val again = Sampling.hashSplit(df.repartition(13), "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .as[(Long, String)].collect().toMap
+    val first = out.as[(Long, String)].collect().toMap
+    assert(first == again)
+    // null key -> null split, explicitly
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("id")
+    val ns = Sampling.hashSplit(withNull, "id", Seq("all" -> 1.0))
+      .collect().map(r => Option(r.getString(1))).toSet
+    assert(ns == Set(Some("all"), None))
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "a" -> 0.5)))
+  }
+
   test("weightedSample: matches a plain-Scala reference selection exactly") {
     val rows = (0L until 200L).map(i => (i, (i % 13 + 1).toDouble))
     val expected = rows.map { case (id, w) => (refKey(id, w), id) }
