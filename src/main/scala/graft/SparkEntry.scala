@@ -3913,6 +3913,40 @@ object SparkEntry {
         .orderBy("shard", "seq_index")
     }),
 
+    // ext capstone — robots → fetch plan: parseRobotsTxt rules (exact
+    // graftbot group; the '*' Disallow-all group must NOT apply) feed
+    // robotsEvaluateWildcard (the /pN* block loses to the longer /pN9$
+    // allow — longest-match + allow-tie through the WHOLE chain), and
+    // robotsCrawlDelays feeds politenessSchedule offsets. The oracle
+    // states allowed-set and offsets in closed form, so parsing, group
+    // selection, wildcard scoring, and scheduling must all compose.
+    "q222_robots_politeness" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val id = col("doc_id")
+      val h = id % 7
+      val hostStr = concat(lit("d"), h.cast("string"), lit(".example.com"))
+      val blocked = (h % 3).cast("string")
+      val body = concat(
+        lit("User-agent: graftbot\nDisallow: /p"), blocked,
+        lit("*\nAllow: /p"), blocked, lit("9$\nCrawl-delay: "),
+        (h + 1).cast("string"),
+        lit("\n\nUser-agent: *\nDisallow: /"))
+      val bodies = d.select(hostStr.as("domain"), body.as("body")).distinct()
+      val urls = d.select(id,
+        concat(lit("https://"), hostStr, lit("/p"),
+          when(id % 11 === 0, concat(blocked, lit("9")))
+            .otherwise((id % 5).cast("string"))).as("url"))
+      val rules = ext.WebUrl.parseRobotsTxt(bodies, "domain", "body",
+        userAgent = "graftbot")
+      val delays = ext.WebUrl.robotsCrawlDelays(bodies, "domain", "body",
+        userAgent = "graftbot")
+      val allowed = ext.WebUrl
+        .robotsEvaluateWildcard(urls, "doc_id", "url", rules)
+        .filter(col("allowed")).select("doc_id", "url")
+      ext.WebUrl.politenessSchedule(allowed, "doc_id", "url", delays)
+        .orderBy("doc_id")
+    }),
+
     // ext sampling — deterministic named train/val/test split
     // (90/5/5): first md5-bucket boundary that exceeds the key's hash
     // position wins, last split absorbs the boundary residue — split
@@ -8917,6 +8951,29 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_seq_tokens
         |FROM tok GROUP BY 1, 2
         |ORDER BY shard, seq_index""".stripMargin,
+
+    // closed-form allowed set + offsets: /pX allowed iff X != h%3 or
+    // the /p(h%3)9 allow-exception; delay = (h+1) s
+    "q222_robots_politeness" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS p
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |u AS (
+        |  SELECT doc_id, h, 'd' || h || '.example.com' AS host,
+        |    'https://d' || h || '.example.com' ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '/p' || (h % 3) || '9'
+        |         ELSE '/p' || p END AS url,
+        |    (doc_id % 11 = 0 OR p <> (h % 3)) AS ok
+        |  FROM d0),
+        |r AS (
+        |  SELECT doc_id, url, host, h,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+        |      AS BIGINT) AS fetch_seq
+        |  FROM u WHERE ok)
+        |SELECT doc_id, url, host, fetch_seq,
+        |  CAST(fetch_seq * ((h + 1) * 1000) AS BIGINT) AS fetch_offset_ms
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     // boundaries: round(0.9*65536)=58982=0xe666, round(0.95*65536)=
     // 62259=0xf333; last split takes the rest

@@ -80,4 +80,34 @@ class ChunkingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Chunking.packConcat(docs, "doc_id", "text", 4, "shard", eosToken = "a b"))
   }
+
+  test("packConcat conservation laws on random corpora") {
+    val rnd = new scala.util.Random(31)
+    val words = Array("alpha", "b", "ce", "dd", "eee", "f0")
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, s"s${i % 5}",
+        (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "shard", "text")
+    for (l <- Seq(3, 16, 64)) {
+      val out = Chunking.packConcat(docs, "doc_id", "text", l, "shard")
+        .as[(String, Long, String, Long)].collect()
+      // token conservation: every token + one eos per doc lands somewhere
+      val expectTokens = docs.collect().map { r =>
+        r.getString(2).split("\\s+").count(_.nonEmpty) + 1 }.sum.toLong
+      assert(out.map(_._4).sum == expectTokens, s"L=$l")
+      // every window except each shard's last is EXACTLY l tokens, and
+      // seq_text token count matches n_seq_tokens
+      val byShard = out.groupBy(_._1)
+      byShard.foreach { case (_, ws) =>
+        val maxIdx = ws.map(_._2).max
+        ws.foreach { case (_, idx, text, n) =>
+          assert(text.split(" ").length.toLong == n)
+          if (idx < maxIdx) assert(n == l.toLong, s"L=$l window $idx has $n")
+        }
+        // windows are dense 0..max
+        assert(ws.map(_._2).sorted.toSeq == (0L to maxIdx))
+      }
+    }
+  }
 }

@@ -45,6 +45,18 @@ class SamplingSpec extends SparkTestBase {
       Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "a" -> 0.5)))
   }
 
+  test("hashSplit nests with sample: the first split IS the same-rate sample") {
+    // both derive from the identical md5-bucket expression, so
+    // split == "train" at fraction r must equal sample(rate = r)
+    val df = spark.range(5000).toDF("id")
+    val split = Sampling.hashSplit(df, "id",
+        Seq("train" -> 0.5, "rest" -> 0.5))
+      .filter($"split" === "train").select("id").as[Long].collect().toSet
+    val sampled = Sampling.sample(df, "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(split == sampled)
+  }
+
   test("weightedSample: matches a plain-Scala reference selection exactly") {
     val rows = (0L until 200L).map(i => (i, (i % 13 + 1).toDouble))
     val expected = rows.map { case (id, w) => (refKey(id, w), id) }
