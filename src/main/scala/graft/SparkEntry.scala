@@ -3754,10 +3754,12 @@ object SparkEntry {
         .orderBy("doc_id", "link_index")
     }),
 
-    // ext crawl — RFC 3986 reference resolution (crawl subset) over a
-    // 10-case href matrix per doc: absolute, scheme-relative, rooted,
+    // ext crawl — RFC 3986 reference resolution (crawl subset) over an
+    // 11-case href matrix per doc: absolute, scheme-relative, rooted,
     // query-only, fragment-only, sibling, ./, ../, past-root clamp,
-    // nested + fragment. The oracle replays the identical regex chain.
+    // nested + fragment, and the EMPTY reference ("" → the base minus
+    // fragment, §5.4 — extractHtmlLinks emits href="" for <a href="">).
+    // The oracle replays the identical regex chain.
     "q212_href_resolve" -> ((s, dir) => {
       val id = col("doc_id")
       val base = concat(lit("https://h"), (id % 5).cast("string"),
@@ -3767,7 +3769,7 @@ object SparkEntry {
         lit("https://abs.example.com/z"), lit("//cdn.example.com/j.js"),
         lit("/rooted.html"), lit("?p=2"), lit("#frag"), lit("d.html"),
         lit("./e.html"), lit("../up.html"), lit("../../../../past.html"),
-        lit("sub/deep.html#x")), (id % 10 + 1).cast("int"))
+        lit("sub/deep.html#x"), lit("")), (id % 11 + 1).cast("int"))
       tbl(s, dir, "documents").filter(id.isNotNull)
         .select(id, base.as("base"), href.as("href"))
         .withColumn("resolved",
@@ -8707,13 +8709,15 @@ object SparkEntry {
       val baseDir =
         s"CASE WHEN $basePath = '' THEN '/' ELSE regexp_replace($basePath, '[^/]*$$', '') END"
       val pathOrSlash = s"CASE WHEN $basePath = '' THEN '/' ELSE $basePath END"
+      val baseQuery = "regexp_extract(base, '^[^?#]*(\\?[^#]*)', 1)"
       val joined =
         s"""CASE
            |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
            |    WHEN href LIKE '//%' THEN $scheme || ':' || href
            |    WHEN href LIKE '/%' THEN $origin || href
            |    WHEN href LIKE '?%' THEN $origin || $pathOrSlash || href
-           |    WHEN href LIKE '#%' THEN $origin || $pathOrSlash
+           |    WHEN href LIKE '#%' OR href = ''
+           |      THEN $origin || $pathOrSlash || $baseQuery
            |    ELSE $origin || $baseDir || href END""".stripMargin
       val noFrag = s"regexp_replace($joined, '#.*$$', '')"
       val jOrigin =
@@ -8733,7 +8737,7 @@ object SparkEntry {
          |    (['https://abs.example.com/z', '//cdn.example.com/j.js',
          |      '/rooted.html', '?p=2', '#frag', 'd.html', './e.html',
          |      '../up.html', '../../../../past.html',
-         |      'sub/deep.html#x'])[(doc_id % 10) + 1] AS href
+         |      'sub/deep.html#x', ''])[(doc_id % 11) + 1] AS href
          |  FROM documents WHERE doc_id IS NOT NULL)
          |SELECT doc_id, base, href, $jOrigin || $clamped AS resolved
          |FROM d

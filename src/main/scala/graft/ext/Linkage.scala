@@ -32,10 +32,13 @@ import graft.functions.JaroWinkler
   * 10k rows in one block (10⁸ pairs, 70× superlinear at 10× data).
   * Blocking keys are a semantic recall/cost lever the CALLER owns, so
   * the defense is (a) `blockPrefix` (default 2) to tighten the key and
-  * (b) a loud occupancy guard: `maxBlockRows` caps the largest
-  * single-side block (one cheap aggregate per side — small next to the
-  * quadratic join it prevents; 0 disables). Exceeding it raises with
-  * the hot prefix named, instead of burning a cluster-day.
+  * (b) a loud occupancy guard: the candidate-pair PRODUCT per joined
+  * block (probe-side post-explode count × build-side count) is capped
+  * at `maxBlockRows`² — per-side caps alone would pass a block with
+  * both sides just under the cap, i.e. cap² pairs (one cheap
+  * (prefix, bucket)-keyed count join — small next to the quadratic
+  * join it prevents; 0 disables). Exceeding it raises with the hot
+  * block named, instead of burning a cluster-day.
   */
 object Linkage {
 
@@ -63,30 +66,66 @@ object Linkage {
         explode(array((col("len_l") / w).cast("int") - 1,
           (col("len_l") / w).cast("int"),
           (col("len_l") / w).cast("int") + 1)))
-    val r = right.select(col(rightId).as("id_r"), col(rightText).as("name_r"))
+    // Verify work is QUADRATIC in block occupancy while the input is
+    // linear, so scan-split parallelism systematically under-provisions
+    // this join: when the probe side broadcasts (the common shape), the
+    // streamed side's task count is its INPUT split count — a 50 MB
+    // parquet file is one split, and the whole candidate volume scores
+    // on one core. Round-robin repartition spreads the streamed rows
+    // (and with them each hot block's quadratic pair work) across the
+    // full parallelism; the shuffle is linear in the corpus, noise next
+    // to the verify it provisions. On a real cluster with thousands of
+    // input splits the condition no-ops.
+    val shufflePartitions = right.sparkSession.sessionState.conf.numShufflePartitions
+    val rBase = right.select(col(rightId).as("id_r"), col(rightText).as("name_r"))
       .filter(col("name_r").isNotNull && length(col("name_r")) > 0)
+    val rSpread =
+      if (rBase.rdd.getNumPartitions < shufflePartitions)
+        rBase.repartition(shufflePartitions)
+      else rBase
+    val r = rSpread
       .withColumn("blk_c", substring(col("name_r"), 1, blockPrefix))
       .withColumn("len_r", length(col("name_r")))
       .withColumn("blk_b", (col("len_r") / w).cast("int"))
     if (maxBlockRows > 0) {
-      def guard(df: DataFrame, bucket: Column, side: String): Unit = {
-        val hot = df.groupBy(col("blk_c"), bucket.as("blk_b"))
-          .agg(count(lit(1)).as("__c"))
-          .orderBy(desc("__c")).limit(1).collect()
-        if (hot.nonEmpty && hot(0).getLong(2) > maxBlockRows)
-          throw new IllegalArgumentException(
-            s"fuzzyJoin $side block ('${hot(0).get(0)}', ${hot(0).get(1)}) " +
-              s"holds ${hot(0).getLong(2)} rows (> maxBlockRows=" +
-              s"$maxBlockRows): candidate pairs are quadratic in block " +
-              "occupancy — raise blockPrefix (tighter key), pre-split the " +
-              "hot prefix, or raise maxBlockRows knowingly")
-      }
-      guard(l, (col("len_l") / w).cast("int"), "left")
-      guard(r, col("blk_b"), "right")
+      // the guarded quantity is the PRODUCT per joined block — two
+      // per-side caps pass a block with both sides just under the cap
+      // (cap² pairs, the exact blowup the guard exists to prevent). The
+      // probe side is counted post-explode (its ×3 bucket fan-out is
+      // what actually meets the join), the bound is maxBlockRows² pairs
+      // per block, and the count join is a tiny (prefix, bucket)-keyed
+      // aggregate — cheap next to the quadratic join it prevents.
+      val lc = lExp.groupBy(col("blk_c"), col("blk_b"))
+        .agg(count(lit(1)).as("__cl"))
+      val rc = r.groupBy(col("blk_c"), col("blk_b"))
+        .agg(count(lit(1)).as("__cr"))
+      val hot = lc.join(rc, Seq("blk_c", "blk_b"))
+        .select(col("blk_c"), col("blk_b"), col("__cl"), col("__cr"),
+          (col("__cl") * col("__cr")).as("__pairs"))
+        .orderBy(desc("__pairs")).limit(1).collect()
+      val maxPairs = maxBlockRows * maxBlockRows
+      if (hot.nonEmpty && hot(0).getLong(4) > maxPairs)
+        throw new IllegalArgumentException(
+          s"fuzzyJoin block ('${hot(0).get(0)}', ${hot(0).get(1)}) scores " +
+            s"${hot(0).getLong(2)} x ${hot(0).getLong(3)} = " +
+            s"${hot(0).getLong(4)} candidate pairs (> maxBlockRows^2 = " +
+            s"$maxPairs): candidate pairs are quadratic in block " +
+            "occupancy — raise blockPrefix (tighter key), pre-split the " +
+            "hot prefix, or raise maxBlockRows knowingly")
     }
     val jw = JaroWinkler.jaroWinkler(col("name_l"), col("name_r"))
+    // lossless in-block pre-filter: jw ≥ t implies jaro ≥ (t−0.4)/0.6
+    // (the ℓ ≤ 4, p = 0.1 Winkler boost inverted), and jaroUpperBound
+    // ≥ jaro by construction — so dropping pairs whose BOUND is below
+    // minJaro drops only pairs the threshold filter would drop anyway.
+    // The bound is O(len) vs the match pass's O(len·window), so a hot
+    // block's quadratic candidate volume verifies ~4× cheaper; the 1e-9
+    // slack absorbs double rounding on the ratio arithmetic.
+    val minJaro = if (threshold > 0.4) (threshold - 0.4) / 0.6 - 1e-9 else 0.0
+    val bound = JaroWinkler.jaroUpperBound(col("name_l"), col("name_r"))
     lExp.join(r, Seq("blk_c", "blk_b"))
-      .filter(abs(col("len_l") - col("len_r")) <= lengthBand)
+      .filter(abs(col("len_l") - col("len_r")) <= lengthBand &&
+        bound >= minJaro)
       .select(col("id_l"), col("id_r"), jw.as("jw"))
       .filter(col("jw") >= threshold)
   }

@@ -372,6 +372,18 @@ object WebUrl {
     val based = w.crossJoin(broadcast(tot))
       .select(col(keyCol), col("__w"), col("__tw"),
         (col("__w") * lit(total)).as("__p"))
+      // the 1e9 weight pre-scale consumed 9 digits of decimal(38)
+      // headroom, so __w·total can exceed decimal(38) for in-range
+      // weights near 1e18 × large totals — the non-ANSI multiply would
+      // return NULL and those keys would silently allocate null instead
+      // of failing. Same loud contract as the __w range guard above.
+      .select(col(keyCol), col("__w"), col("__tw"),
+        when(col("__p").isNotNull, col("__p"))
+          .otherwise(raise_error(concat(
+            lit("allocateBudget weight*total overflows decimal(38) "),
+            lit("for key "), col(keyCol).cast("string"),
+            lit(" — rescale weights or split the budget"))))
+          .as("__p"))
       // base via subtract-remainder-then-divide: the % is exact on
       // decimals and the division of an exact multiple is exact at any
       // result scale — a direct floor(p/tw) would floor a ROUNDED
@@ -557,14 +569,20 @@ object WebUrl {
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val baseDir = when(basePath === "", lit("/"))
       .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    // the base's own query, kept by the RFC for empty and fragment-only
+    // references (T.query = B.query when the ref defines no path/query)
+    val baseQuery = regexp_extract(base, "^[^?#]*(\\?[^#]*)", 1)
+    val pathOrSlash = when(basePath === "", lit("/")).otherwise(basePath)
     val joined =
       when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
         .when(href.startsWith("//"), concat(scheme, lit(":"), href))
         .when(href.startsWith("/"), concat(origin, href))
-        .when(href.startsWith("?"),
-          concat(origin, when(basePath === "", lit("/")).otherwise(basePath), href))
-        .when(href.startsWith("#"),
-          concat(origin, when(basePath === "", lit("/")).otherwise(basePath)))
+        .when(href.startsWith("?"), concat(origin, pathOrSlash, href))
+        // RFC 3986 §5.4: "" and "#frag" both resolve to the base minus
+        // its fragment — path AND query survive (extractHtmlLinks does
+        // emit href="" for <a href=""> links, so this case is live)
+        .when(href.startsWith("#") || href === "",
+          concat(origin, pathOrSlash, baseQuery))
         .otherwise(concat(origin, baseDir, href))
     // drop the fragment, split off the JOINED url's origin (the folds
     // must never see the host — "//ex.com/../x" contains a

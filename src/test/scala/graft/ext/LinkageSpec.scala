@@ -48,6 +48,36 @@ class LinkageSpec extends SparkTestBase {
     assert(got.toSeq == pairs.map { case (a, b) => jw(a, b) })
   }
 
+  test("jaroUpperBound dominates the threshold-translated jaro (lossless)") {
+    // the pre-filter chain is: jw >= t  ⟹  jaro >= (t−0.4)/0.6  and
+    // bound >= jaro — so for EVERY pair, bound >= (jw − 0.4)/0.6 must
+    // hold, else a qualifying pair could be dropped before the full
+    // similarity pass. Fuzz it across lengths, alphabets and unicode.
+    val rnd = new scala.util.Random(29)
+    def word(alpha: String, max: Int): String =
+      (0 until (1 + rnd.nextInt(max))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (0 until 4000).map { i =>
+      val alpha = Seq("ab", "abcdef", "abcdefghijklmnop", "aéü日")(i % 4)
+      (word(alpha, 3 + i % 18), word(alpha, 3 + (i / 4) % 18))
+    } ++ Seq(("", "abc"), ("abc", ""), ("martha", "marhta"), ("x", "x"))
+    def ub(a: String, b: String): Double = JaroWinkler.jaroUpperBoundCompute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    pairs.foreach { case (a, b) =>
+      val v = jw(a, b)
+      assert(ub(a, b) >= (v - 0.4) / 0.6 - 1e-12,
+        s"bound ${ub(a, b)} < implied jaro ${(v - 0.4) / 0.6} for ('$a','$b') jw=$v")
+    }
+    // codegen column path agrees with the static compute; null propagates
+    val df = pairs.take(50).toDF("a", "b")
+      .select(col("a"), col("b"),
+        JaroWinkler.jaroUpperBound(col("a"), col("b")).as("ub"))
+      .collect()
+    df.foreach(r => assert(r.getDouble(2) == ub(r.getString(0), r.getString(1))))
+    val nul = Seq(("x", null: String)).toDF("a", "b")
+      .select(JaroWinkler.jaroUpperBound(col("a"), col("b"))).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("fuzzyJoin equals the brute-force blocking contract") {
     val rnd = new scala.util.Random(23)
     val alphabet = "abcdef"

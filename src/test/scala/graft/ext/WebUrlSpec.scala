@@ -366,7 +366,8 @@ class WebUrlSpec extends SparkTestBase {
       ("//cdn.com/j.js", "https://cdn.com/j.js"),       // scheme-relative
       ("/root.html", "https://ex.com/root.html"),       // root-relative
       ("?page=2", "https://ex.com/a/b/c.html?page=2"),  // query-only
-      ("#sec", "https://ex.com/a/b/c.html"),            // fragment dropped
+      ("#sec", "https://ex.com/a/b/c.html?q=1"),        // fragment dropped, query kept (§5.4)
+      ("", "https://ex.com/a/b/c.html?q=1"),            // empty ref = base minus fragment (§5.4)
       ("d.html", "https://ex.com/a/b/d.html"),          // sibling
       ("./d.html", "https://ex.com/a/b/d.html"),        // explicit ./
       ("../up.html", "https://ex.com/a/up.html"),       // one up
