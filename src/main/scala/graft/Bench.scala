@@ -22,6 +22,37 @@ object Bench {
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Box-load marker: 1/5/15-min loadavg + runnable/total process counts
+    * straight from `/proc/loadavg`. The shared bench box swings ~20%
+    * morning-to-evening (three clean r8 runs: 169.6 vs 197-207 s for the
+    * same suite), so the committed artifact must carry enough context to
+    * separate box noise from plan regressions without git archaeology.
+    */
+  private def loadMarker(): String =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      s""""${parts.take(4).mkString(" ")}""""
+    } catch { case _: Throwable => "null" }
+
+  /** Wait for straggler tasks before freeing their accumulators: the
+    * ContextCleaner (kicked by the inter-query `System.gc()` below and by
+    * `spark.stop()`) unregisters accumulators of GC'd stages, and a
+    * killed-or-zombie task that reports AFTER that logs a spurious
+    * `DAGScheduler ERROR ... non-existent accumulator` (rc=0, results
+    * unaffected — but an ERROR line in a committed bench tail reads as a
+    * failure). Draining active jobs first sequences the cleanup.
+    */
+  private def drainJobs(spark: SparkSession, graceMs: Long = 0L): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    var spins = 0
+    while (tracker.getActiveJobIds().nonEmpty && spins < 250) {
+      Thread.sleep(20); spins += 1
+    }
+    if (graceMs > 0) Thread.sleep(graceMs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +65,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadMarker()
 
     // Warm the session (FS client, codegen compiler, parquet footers of
     // EVERY table) so startup cost is not billed to whichever query first
@@ -80,6 +112,7 @@ object Bench {
       // GC'd. Nudge that between queries so block-manager pressure from
       // query N is not billed to query N+1 (round-1 bench: a 3s query
       // measured 43s under accumulated checkpoint blocks).
+      drainJobs(spark)
       System.gc()
       name -> (if (times.size == runs) times.min else -1.0)
     }
@@ -89,7 +122,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // failed count is explicit: a query that errors out must not quietly
     // make the headline total look faster
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    val loadEnd = loadMarker()
+    val load = s""""load_start":$loadStart,"load_end":$loadEnd"""
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,$load,"queries":$qs,"sf":"$sfDir"}"""
     // stdout gets a COMPACT line: the driver keeps only a ~2000-char
     // stdout tail, and the full per-query map (170+ entries, ~6 KB) has
     // overflowed that window since round 3 — BENCH_r0{3,4,5,6}.json all
@@ -103,7 +138,7 @@ object Bench {
     val qsCompact = (failedQs ++ slowest)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,"n_queries":${results.size},"queries":$qsCompact,"queries_full":"BENCH_LATEST.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,"runs":$runs,"n_queries":${results.size},$load,"queries":$qsCompact,"queries_full":"BENCH_LATEST.json","sf":"$sfDir"}"""
     println(compact)
     // The full line goes to a file: it is the durable artifact the judge
     // reads for round-over-round per-query diffs.
@@ -119,6 +154,11 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
+    // drain + grace before stop: let killed/zombie tasks report while
+    // their accumulators still exist (see drainJobs scaladoc)
+    drainJobs(spark, graceMs = 500L)
+    System.gc()
+    Thread.sleep(200L)
     spark.stop()
   }
 }

@@ -21,7 +21,9 @@ object SingleTask {
 
   /** Constant-zero, optimizer-stable partition key derived from any
     * column of the frame. Only use over frames with a stated bound —
-    * this is a declaration, not a fix.
+    * this is a declaration, not a fix, and the declaration is ENFORCED:
+    * `SingleTaskRegistrySpec` fails the suite on any call site not
+    * registered there with a framed-cardinality assertion.
     */
   def key(anchor: Column): Column = pmod(xxhash64(anchor), lit(1L))
 }
