@@ -36,6 +36,44 @@ object Bench {
       s""""${parts.take(4).mkString(" ")}""""
     } catch { case _: Throwable => "null" }
 
+  /** Mute the one benign DAGScheduler ERROR this bench can emit: a
+    * ZOMBIE task (left running after its job completed early — take()/
+    * limit cancellation, AQE stage cancellation) reports its SQL-metric
+    * accumulators after the inter-query `System.gc()` + ContextCleaner
+    * has unregistered them. rc stays 0, no result is affected (the
+    * owning job already finished without that task), but the ERROR line
+    * lands in the committed bench tail and reads as a failure. The
+    * drain below sequences cleanup for ACTIVE jobs; zombies are
+    * invisible to it by definition, so their specific message is
+    * filtered at the logger. Scoped to exactly this message — every
+    * other DAGScheduler error still surfaces.
+    */
+  private def muteZombieAccumulatorNoise(): Unit =
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val filter = RegexFilter.createFilter(
+        ".*Failed to update accumulator.*", null, false,
+        Result.DENY, Result.NEUTRAL)
+      val lc = cfg.getLoggerConfig(name) match {
+        case exact if exact.getName == name => exact
+        case _ =>
+          val fresh = new LoggerConfig(name, null, true)
+          cfg.addLogger(name, fresh)
+          fresh
+      }
+      lc.addFilter(filter)
+      ctx.updateLoggers()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] accumulator-noise filter not installed: $e")
+    }
+
   /** Wait for straggler tasks before freeing their accumulators: the
     * ContextCleaner (kicked by the inter-query `System.gc()` below and by
     * `spark.stop()`) unregisters accumulators of GC'd stages, and a
@@ -65,6 +103,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteZombieAccumulatorNoise()
     val loadStart = loadMarker()
 
     // Warm the session (FS client, codegen compiler, parquet footers of

@@ -126,6 +126,26 @@ object SparkEntry {
   private val EventsCte =
     "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
+  /** q198 closed-form CDC fixture blocks: ASCII strings searched offline
+    * (seeded SplitMix64 gear table, min 64 / avg 256 / max 1024) so the
+    * FIRST qualifying gear-hash cut falls exactly at the block end — a
+    * payload of n repeats chunks into n copies of the block plus the
+    * sub-minSize tail, with constant sha-256 digests the oracle states
+    * literally. Lengths 179 / 177 / 17 bytes (pure ASCII, so char length
+    * == byte length through `encode(..., 'UTF-8')`).
+    */
+  private val CdcBlockEven =
+    "m8w3d6nos5nv2eqmkf28xm4upz1ne13tnhvrzyo1ez0a3n8gwbxxaq jc1lrejzx 4k56tl7afec w82h3ilm92ifjtvyed99w3dmrufrjq3n1h7upgrlaaz3 cvpr4m98uvbiswxzzdo7enjhjvhxb2mx69ni389uttqp1n3tcpdv22dr9"
+  private val CdcBlockOdd =
+    "y40mmzd122c7ump57mzu4i13c7pq245rclgcyqalnmhwiom1ptwmtsv3pwdmyz7 ww0kp9wwhmuaf6y ugskq5ti9l93i2dalw23ib5gm kadf5yaxm7fn03c8q15po4leo34of9nbc0du66yz 5xtjpmg98925y89hqpt59hrox03jd9"
+  private val CdcTail = "cpmf q 7zk04fq78c"
+  private val CdcDigestEven =
+    "31ea1d12aca63fcc8e7edd4fb57d051755b6139b21ea747b08cf424e074ab5f0"
+  private val CdcDigestOdd =
+    "8945e6d0e85e8472ccf2bc92c8458ca7d83e6a2b7fc6d880562cd4c061082c42"
+  private val CdcDigestTail =
+    "27d1a6bee4768f109abf48dbfb5d5a73ae4df37c3ee8b847a95597aee503d908"
+
   // -------------------------------------------------- synthetic log corpus
 
   /** Deterministic AWS-S3-access-log lines derived from `events` — the
@@ -3482,15 +3502,25 @@ object SparkEntry {
 
     // ext storage dedup — content-defined chunking over binary payloads
     // (gear rolling hash, FastCDC shape): ~50 B/chunk rows leave the
-    // scan, payloads don't. Rows-only (cut points have no SQL closed
-    // form); edit-locality and shift-resistance are spec-asserted, and
-    // the emitted digests feed the exact-dedup machinery unchanged.
+    // scan, payloads don't. CLOSED-FORM fixture (the q107/q179/q185
+    // pattern): blocks CdcBlockEven/CdcBlockOdd were searched offline so
+    // the gear hash's FIRST qualifying cut (len ≥ 64, h&255 == 0) lands
+    // exactly at the block end — so `repeat(B, n) || tail` (tail 17 B <
+    // minSize) must chunk into n block-chunks at multiples of |B| plus
+    // one tail chunk, each with a CONSTANT sha-256 the oracle states
+    // literally. Repeated identical digests are the dedup shape the
+    // operator exists for; general (unknown-cut) inputs stay pinned by
+    // ArchivesSpec's edit-locality/shift-resistance properties.
     "q198_cdc_chunks" -> ((s, dir) => {
-      val payload = encode(concat_ws(" ", col("text"), col("text"),
-        col("text"), col("text"), col("text"), col("text")), "UTF-8")
+      val id = col("doc_id")
+      val block = when(id % 2 === 0, lit(CdcBlockEven))
+        .otherwise(lit(CdcBlockOdd))
+      val n = (id % 5 + 1).cast("int")
+      val payload = encode(
+        concat(repeat(block, n), lit(CdcTail)), "UTF-8")
       val assets = tbl(s, dir, "documents")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), payload.as("data"))
+        .filter(id.isNotNull)
+        .select(id, payload.as("data"))
       ext.Archives.cdcChunks(assets, "doc_id", "data",
           minSize = 64, avgSize = 256, maxSize = 1024).toDF()
         .select(col("record_id").as("doc_id"), col("chunk_index"),
@@ -8293,6 +8323,27 @@ object SparkEntry {
          |GROUP BY c.page_id
          |ORDER BY c.page_id""".stripMargin
     },
+
+    // closed-form CDC replay: n = 1 + doc_id%5 block chunks at offsets
+    // i*|B| plus one 17-byte tail chunk, digests stated literally (the
+    // fixture blocks cut exactly at their ends — see CdcBlockEven)
+    "q198_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, (doc_id % 2 = 0) AS ev,
+         |    CAST(1 + doc_id % 5 AS BIGINT) AS n,
+         |    CAST(CASE WHEN doc_id % 2 = 0 THEN 179 ELSE 177 END AS BIGINT) AS bl
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, ev, n, bl, u.i AS ci
+         |  FROM d, unnest(generate_series(0, n)) u(i))
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_index,
+         |  CAST(ci * bl AS BIGINT) AS "offset",
+         |  CAST(CASE WHEN ci < n THEN bl ELSE 17 END AS INT) AS length,
+         |  CASE WHEN ci < n THEN
+         |    (CASE WHEN ev THEN '$CdcDigestEven' ELSE '$CdcDigestOdd' END)
+         |  ELSE '$CdcDigestTail' END AS digest
+         |FROM c
+         |ORDER BY doc_id, chunk_index""".stripMargin,
 
     // the INTENDED text in closed form: mojibake rows repair to it,
     // genuine Latin-1 rows already carry it, recovered is true for all
