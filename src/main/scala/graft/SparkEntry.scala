@@ -3991,6 +3991,37 @@ object SparkEntry {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")
         .orderBy("doc_id")
+    }),
+
+    // ext analytics — retention-cohort matrix over events: entities
+    // cohort by first active day, cells count distinct active entities
+    // per (cohort, day-offset), cohort size + ppm retention ride along.
+    // One corpus-sized distinct, calendar-bounded windows, a grid-sized
+    // aggregate.
+    "q223_retention_cohorts" -> ((s, dir) => {
+      ext.Funnel.retentionCohorts(tbl(s, dir, "events"), "user_id", "ts",
+          maxOffsetDays = 14)
+        .orderBy("cohort_day", "offset_days")
+    }),
+
+    // ext sketch — count–min heavy-hitters screen over document words:
+    // the sketch is a (j, bucket, cnt) relation (≤ 4×1024 rows — union+
+    // sum merges it across corpora), estimates broadcast-join a probe
+    // batch, min-over-slices can only over-count so no true heavy
+    // hitter is lost. Buckets = md5 hex slices decoded to ints; the
+    // oracle replays them with an ascii-fold hex decode.
+    "q224_cms_heavy_hitters" -> ((s, dir) => {
+      def words(df: DataFrame): DataFrame = df
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val corpus = words(docs)
+      val probes = words(docs.filter(col("doc_id") % 97 === 0))
+      ext.FreqSketch.heavyHitters(corpus, "word", probes,
+          minCount = 60L, width = 1024)
+        .orderBy("item")
     })
   )
 
@@ -9040,7 +9071,77 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents WHERE doc_id IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q223_retention_cohorts" ->
+      s"""WITH e AS ($EventsCte),
+         |a AS (
+         |  SELECT DISTINCT user_id AS ue, CAST(ts AS DATE) AS day
+         |  FROM e WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |c AS (
+         |  SELECT ue, day, min(day) OVER (PARTITION BY ue) AS cohort_day
+         |  FROM a),
+         |cells AS (
+         |  SELECT cohort_day,
+         |    CAST(day - cohort_day AS INT) AS offset_days,
+         |    CAST(count(*) AS BIGINT) AS n_active
+         |  FROM c WHERE day - cohort_day <= 14
+         |  GROUP BY 1, 2)
+         |SELECT cohort_day, offset_days, n_active,
+         |  CAST(max(CASE WHEN offset_days = 0 THEN n_active END)
+         |    OVER (PARTITION BY cohort_day) AS BIGINT) AS cohort_size,
+         |  CAST(n_active * 1000000 //
+         |    max(CASE WHEN offset_days = 0 THEN n_active END)
+         |      OVER (PARTITION BY cohort_day) AS BIGINT) AS retention_e6
+         |FROM cells
+         |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    // CMS replay: same md5 hex slices decoded via ascii fold, same
+    // % 1024 buckets, same min-over-4-slices with absent cells = 0
+    "q224_cms_heavy_hitters" -> {
+      def slice(j: Int): String = (0 until 8).map { i =>
+        val pos = j * 8 + 1 + i
+        val pw = math.pow(16, 7 - i).toLong
+        s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+          s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+          s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+      }.mkString("(", " + ", ")")
+      val cells = (0 until ext.FreqSketch.Depth).map(j =>
+        s"SELECT $j AS j, ${slice(j)} % 1024 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 2")
+        .mkString("\n  UNION ALL ")
+      val probeCells = (0 until ext.FreqSketch.Depth).map(j =>
+        s"SELECT item, $j AS j, ${slice(j)} % 1024 AS bucket FROM ph")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w AS (
+         |  SELECT u.w AS word
+         |  FROM documents d,
+         |    unnest(string_split(trim(regexp_replace(lower(d.text),
+         |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+         |    AND len(u.w) > 0),
+         |h AS (SELECT md5(word) AS hx FROM w),
+         |cells AS (
+         |  $cells),
+         |p AS (
+         |  SELECT DISTINCT u.w AS item
+         |  FROM documents d,
+         |    unnest(string_split(trim(regexp_replace(lower(d.text),
+         |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+         |    AND d.doc_id % 97 = 0 AND len(u.w) > 0),
+         |ph AS (SELECT item, md5(item) AS hx FROM p),
+         |pc AS (
+         |  $probeCells),
+         |est AS (
+         |  SELECT pc.item,
+         |    CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN cells
+         |    ON cells.j = pc.j AND cells.bucket = pc.bucket
+         |  GROUP BY pc.item)
+         |SELECT item, est FROM est WHERE est >= 60
+         |ORDER BY item""".stripMargin
+    }
   )
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two

@@ -1313,16 +1313,44 @@ object Dedup {
   // --------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Standalone form
-    * is the exact all-pairs join — use for verify stages or modest n; the
-    * scale path is Similarity.lshCandidatePairs (random-hyperplane buckets)
-    * feeding this exact predicate.
+    * is the exact all-pairs join — n²/2 dot products BY CONTRACT (no
+    * lossless cosine bucketing exists: a ≥-threshold pair can straddle
+    * any partition of the sphere) — use for verify stages or modest n;
+    * the scale path is Similarity.lshCandidatePairs (random-hyperplane
+    * buckets) feeding this exact predicate.
+    *
+    * Two scale defenses on the contract path: (1) the streamed side is
+    * spread to the session's shuffle parallelism when its input split
+    * count is lower — pair work is quadratic while input splits are
+    * linear, so a single-split parquet corpus would otherwise score ALL
+    * n²/2 pairs on one core (the fuzzyJoin lesson; a no-op on real
+    * clusters with many splits); (2) a loud `maxRows` guard (one cheap
+    * count against n²/2 pair volume) fails with the number instead of
+    * burning a cluster-day — 0 disables it knowingly.
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                          threshold: Double = 0.95): DataFrame = {
+                          threshold: Double = 0.95,
+                          maxRows: Long = 200000L): DataFrame = {
     // norms once per ROW (n), not per pair (n²/2)
     val withNorm = df.select(col(idCol), col(vecCol),
       Similarity.norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a"))
+    if (maxRows > 0) {
+      val n = withNorm.count()
+      require(n <= maxRows,
+        s"embeddingDuplicates over $n rows scores ~${n * n / 2} exact " +
+          s"pairs (> maxRows=$maxRows bound): this is the documented " +
+          "all-pairs verify-stage form — use Similarity." +
+          "lshCandidatePairs for the candidate stage at scale, or raise " +
+          "maxRows knowingly")
+    }
+    val shufflePartitions =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val a0 = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("nrm").as("n_a"))
+    val a =
+      if (a0.rdd.getNumPartitions < shufflePartitions)
+        a0.repartition(shufflePartitions)
+      else a0
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

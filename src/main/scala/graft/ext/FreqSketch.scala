@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count–min sketch (Cormode & Muthukrishnan 2005) as a RELATION — the
+  * frequency summary for item spaces too large to count exactly (corpus
+  * n-grams, URLs, user agents at 100 TB): a fixed `depth × width` grid
+  * of counters, each row of the grid a different hash of the item;
+  * estimate = min over the depth cells, which can only OVER-estimate
+  * (collisions add, never subtract), so a `est >= threshold` scan has
+  * no false negatives.
+  *
+  * Spark-first shape: the sketch is a DataFrame of at most
+  * `depth * width` rows `(j, bucket, cnt)` — one partial+final hash
+  * aggregate builds it (map-side combine does the heavy lifting; the
+  * shuffle moves at most `depth * width` rows per map task regardless
+  * of corpus size), `union + re-aggregate` merges sketches across
+  * corpora/batches/days without ever holding the item space, and
+  * estimation is a broadcast-sized equi-join. No custom aggregation
+  * buffer needed — the relational form IS the mergeable sketch, and
+  * Catalyst handles partial aggregation exactly as a hand-written
+  * TypedImperativeAggregate would.
+  *
+  * Hashing: the `depth` bucket indices are consecutive 8-hex-char
+  * slices of ONE `md5(item)` per row (slices of a cryptographic digest
+  * are independent for this purpose — and one digest per row costs a
+  * quarter of four), `% width` each. Deterministic and engine-portable:
+  * the oracle replays the same slices via an ascii-fold hex decode.
+  *
+  * Guarantee: with `N` total weight, `true <= est` always, and
+  * `est <= true + e*N/width` per row with probability `1 - (1/e)` per
+  * slice — the standard CMS bound, `depth` slices multiplying the
+  * failure probability down.
+  */
+object FreqSketch {
+
+  /** Sketch depth — 4 independent 32-bit slices of one md5 digest. */
+  val Depth = 4
+
+  /** The bucket expression for slice `j` — the module's whole contract
+    * (and the gate oracle) hard-codes this exact form.
+    */
+  private[ext] def bucket(item: Column, j: Int, width: Int): Column =
+    conv(substring(md5(item.cast("string")), j * 8 + 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Build the sketch relation `(j, bucket, cnt)` over `itemCol`,
+    * optionally weighted (token counts, bytes). At most `Depth * width`
+    * rows leave the aggregate — the sketch is broadcast-sized by
+    * construction for any practical width.
+    */
+  def cmsSketch(df: DataFrame, itemCol: String, width: Int = 4096,
+                weightCol: Option[String] = None): DataFrame = {
+    require(width >= 16, s"width must be >= 16, got $width")
+    val item = col(itemCol)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.filter(item.isNotNull)
+      .select(w.as("__w"), posexplode(
+        array((0 until Depth).map(j => bucket(item, j, width)): _*))
+        .as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Merge sketches built with the SAME width: union + re-aggregate —
+    * counters add cell-wise, exactly the property that makes CMS the
+    * cross-corpus/cross-day accumulator.
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point estimates for a CANDIDATE item set against an accumulated
+    * sketch: explode each candidate to its `Depth` cells, left-join the
+    * sketch (absent cell = 0 — the item was never counted there), min
+    * across slices. The sketch side is at most `Depth * width` rows, so
+    * the join broadcasts; candidates stream through at any scale.
+    *
+    * This is the intended access pattern: probe a NEW batch's items (or
+    * a blocklist, or this round's survivors) against history — probing
+    * every distinct item of the same corpus the sketch was built from
+    * costs what the exact groupBy costs and buys nothing.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                  width: Int = 4096): DataFrame = {
+    val item = col(itemCol)
+    probes.filter(item.isNotNull)
+      .select(item.as("item")).distinct()
+      .select(col("item"), posexplode(
+        array((0 until Depth).map(j => bucket(col("item"), j, width)): _*))
+        .as(Seq("j", "bucket")))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** One-call heavy-hitters screen: estimates for `probes` and keeps
+    * `est >= minCount`. Over-estimation-only means NO false negatives —
+    * every true heavy hitter survives; collisions may add light items,
+    * which an exact count of the (small) survivor set then settles.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, probes: DataFrame,
+                   minCount: Long, width: Int = 4096,
+                   weightCol: Option[String] = None): DataFrame =
+    cmsEstimate(cmsSketch(df, itemCol, width, weightCol), probes,
+      itemCol, width)
+      .filter(col("est") >= minCount)
+}

@@ -119,4 +119,44 @@ object Funnel {
             s => s.getField("t")), ">").as("path"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** Retention-cohort matrix — the log-analytics classic behind every
+    * "D1/D7/D30 retention" dashboard: entities cohort by their FIRST
+    * active day, each later active day lands in `(cohort_day,
+    * offset_days)`, and the cell counts distinct active entities.
+    *
+    * Scale shape: one `(entity, day)` distinct (the only corpus-sized
+    * shuffle), a per-entity window min for the cohort day (frames are
+    * per-entity active-day sets — calendar-bounded), then a hash
+    * aggregate over the `(cohort, offset)` grid, which is at most
+    * `days × maxOffsetDays` rows. `cohort_size` rides along via a
+    * bounded window over each cohort's ≤ `maxOffsetDays + 1` rows, and
+    * `retention_e6` is the integer-exact ppm ratio (engine-portable —
+    * no float division).
+    */
+  def retentionCohorts(events: DataFrame, entityCol: String, tsCol: String,
+                       maxOffsetDays: Int = 30): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be >= 0, got $maxOffsetDays")
+    val active = events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val byEntity = org.apache.spark.sql.expressions.Window.partitionBy("__e")
+    val cells = active
+      .withColumn("cohort_day", min(col("__day")).over(byEntity))
+      .withColumn("offset_days", datediff(col("__day"), col("cohort_day")))
+      .filter(col("offset_days") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("offset_days"))
+      // (entity, day) is distinct, so each entity contributes exactly
+      // one row per cell: count(*) IS the distinct-entity count
+      .agg(count(lit(1)).cast("long").as("n_active"))
+    val byCohort = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_day")
+    cells
+      .withColumn("cohort_size",
+        max(when(col("offset_days") === 0, col("n_active")))
+          .over(byCohort).cast("long"))
+      .withColumn("retention_e6",
+        expr("CAST(n_active * 1000000L div cohort_size AS BIGINT)"))
+  }
 }

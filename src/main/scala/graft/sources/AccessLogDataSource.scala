@@ -124,7 +124,7 @@ final class AccessLogScanBuilder(paths: Seq[String])
 /** Driver-side listing + split planning shared by the batch and
   * micro-batch paths.
   */
-private[sources] object AccessLogFiles {
+private[graft] object AccessLogFiles {
 
   /** Streams RemoteIterator listings; hidden files AND files under hidden
     * directories (`_`/`.` prefixed path segments below the load root —

@@ -207,6 +207,18 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("embeddingDuplicates: all-pairs guard fails loudly past maxRows") {
+    val vecs = (0 until 40).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.embeddingDuplicates(vecs, "vec_id", "embedding", 0.99,
+        maxRows = 10L).count())
+    assert(ex.getMessage.contains("all-pairs"), ex.getMessage)
+    // disabled guard runs; generous guard runs
+    assert(Dedup.embeddingDuplicates(vecs, "vec_id", "embedding", 0.999999,
+      maxRows = 0L).count() >= 0L)
+  }
   test("leakageSafeSplit: near-dup twins always land on the SAME side") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -117,4 +117,40 @@ class FunnelSpec extends SparkTestBase {
     assert(path == (0 until 8).map(i => s"e${i % 7}").mkString(">"),
       "path holds exactly the first cap-many events in time order")
   }
+
+  test("retentionCohorts: matrix matches the hand computation") {
+    def ts(d: String) = Timestamp.valueOf(s"2024-06-$d 10:00:00")
+    // u1 cohort 01, active 01/02/04; u2 cohort 01, active 01 only;
+    // u3 cohort 02, active 02/03; u4 cohort 01 but offset 20 > cap;
+    // duplicate same-day events never double-count
+    val events = Seq(
+      (1L, ts("01")), (1L, ts("01")), (1L, ts("02")), (1L, ts("04")),
+      (2L, ts("01")),
+      (3L, ts("02")), (3L, ts("03")),
+      (4L, ts("01")), (4L, ts("21"))
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionCohorts(events, "user_id", "ts",
+        maxOffsetDays = 14)
+      .select(col("cohort_day").cast("string"), col("offset_days"),
+        col("n_active"), col("cohort_size"), col("retention_e6"))
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-06-01", 0, 3L, 3L, 1000000L),
+      ("2024-06-01", 1, 1L, 3L, 333333L),
+      ("2024-06-01", 3, 1L, 3L, 333333L),
+      ("2024-06-02", 0, 1L, 1L, 1000000L),
+      ("2024-06-02", 1, 1L, 1L, 1000000L)))
+  }
+
+  test("retentionCohorts: nulls dropped, offset-0 row always present") {
+    val events = Seq(
+      (Some(1L), Some(Timestamp.valueOf("2024-06-01 00:00:00"))),
+      (None, Some(Timestamp.valueOf("2024-06-01 00:00:00"))),
+      (Some(2L), None)
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionCohorts(events, "user_id", "ts")
+      .select("offset_days", "n_active", "cohort_size")
+      .as[(Int, Long, Long)].collect()
+    assert(got.toSeq == Seq((0, 1L, 1L)))
+  }
 }
