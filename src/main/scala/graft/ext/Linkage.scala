@@ -153,21 +153,43 @@ object Linkage {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         length(col(textCol)) > 0)
       .select(col(idCol).as("__id"), col(textCol).as("__s"))
+    // The variant join bands DISTINCT STRINGS, never rows (the
+    // multimodal-dedup lesson): a group of g rows sharing one string
+    // would otherwise push g copies of its whole variant set through
+    // the join and score g² candidate pairs in EVERY bucket before the
+    // final distinct collapsed them — quadratic in duplicate-group
+    // size, which 10×-replicated corpora hit head-on. Distinct strings
+    // band once; identical-string id groups re-enter as two string-
+    // keyed equi-joins whose cross products are EXACTLY the answer
+    // (distance-0 pairs within a group, distance-1 pairs between
+    // neighboring groups) — pure output, no wasted candidates.
+    val strings = base.select(col("__s")).distinct()
     // D(s) = {s} ∪ {s with char i deleted}: substr(1..i−1) ‖ substr(i+1..)
     val s = col("__s")
     val deletions = transform(sequence(lit(1), length(s)),
       i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
-    val withVar = base.select(col("__id"), col("__s"),
+    val withVar = strings.select(col("__s"),
       explode(array_distinct(concat(array(s), deletions))).as("__v"))
-    val a = withVar.select(col("__v"), col("__id").as("id_a"),
-      col("__s").as("__sa"))
-    val b = withVar.select(col("__v"), col("__id").as("id_b"),
-      col("__s").as("__sb"))
-    a.join(b, Seq("__v"))
+    val a = withVar.select(col("__v"), col("__s").as("__sa"))
+    val b = withVar.select(col("__v"), col("__s").as("__sb"))
+    // bucket-mates can be lev 2 ("ab"/"ba" share deletes "a" and "b")
+    // — the levenshtein verify keeps the join exact
+    val strPairs = a.join(b, Seq("__v"))
+      .filter(col("__sa") < col("__sb"))
+      .select(col("__sa"), col("__sb")).distinct()
+      .filter(levenshtein(col("__sa"), col("__sb")) <= 1)
+    val idsA = base.select(col("__s").as("__sa"), col("__id").as("__ia"))
+    val idsB = base.select(col("__s").as("__sb"), col("__id").as("__ib"))
+    val across = strPairs
+      .join(idsA, Seq("__sa")).join(idsB, Seq("__sb"))
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        lit(1).as("dist"))
+    val within = base.select(col("__s"), col("__id").as("id_a"))
+      .join(base.select(col("__s"), col("__id").as("id_b")), Seq("__s"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= 1)
-      .distinct()
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    within.union(across).distinct()
   }
 }
