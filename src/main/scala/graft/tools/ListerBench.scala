@@ -60,9 +60,14 @@ object ListerBench {
     val genSec = (System.nanoTime() - t0) / 1e9
     println(f"[lister-bench] generated $n files in $genSec%.1f s")
 
-    val spark = SparkSession.builder().master("local[2]")
+    val builder = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false")
-      .appName("lister-bench").getOrCreate()
+      .appName("lister-bench")
+    // optional 3rd arg: maxPartitionBytes — small values force a
+    // many-bins regime to probe the packer's bin-scan cost
+    args.lift(2).foreach(b =>
+      builder.config("spark.sql.files.maxPartitionBytes", b))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       System.gc(); Thread.sleep(200)
