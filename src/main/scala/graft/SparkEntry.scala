@@ -4022,6 +4022,27 @@ object SparkEntry {
       ext.FreqSketch.heavyHitters(corpus, "word", probes,
           minCount = 60L, width = 1024)
         .orderBy("item")
+    }),
+
+    // streaming ext — cross-batch CMS accumulation with fixed-size
+    // state (the unbounded-domain complement of q157's exact counter):
+    // 3 doc_id-striped batches fold into one cell store; by cell-wise
+    // mergeability the final estimates equal the one-shot corpus
+    // sketch, which is exactly what the oracle replays.
+    "q225_stream_cms" -> ((s, dir) => {
+      def words(df: DataFrame): DataFrame = df
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val batches = (0 to 2).map(i => words(docs.filter(col("doc_id") % 3 === i)))
+      val probes = words(docs.filter(col("doc_id") % 89 === 0))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q225").toString + "/cms"
+      streaming.StreamingFreqSketch.byBatch(s, batches, store, "word",
+          probes, "word", width = 512, minCount = 80L)
+        .orderBy("item")
     })
   )
 
@@ -9097,52 +9118,67 @@ object SparkEntry {
          |ORDER BY cohort_day, offset_days""".stripMargin,
 
     // CMS replay: same md5 hex slices decoded via ascii fold, same
-    // % 1024 buckets, same min-over-4-slices with absent cells = 0
-    "q224_cms_heavy_hitters" -> {
-      def slice(j: Int): String = (0 until 8).map { i =>
-        val pos = j * 8 + 1 + i
-        val pw = math.pow(16, 7 - i).toLong
-        s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
-          s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
-          s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
-      }.mkString("(", " + ", ")")
-      val cells = (0 until ext.FreqSketch.Depth).map(j =>
-        s"SELECT $j AS j, ${slice(j)} % 1024 AS bucket, " +
-          "CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 2")
-        .mkString("\n  UNION ALL ")
-      val probeCells = (0 until ext.FreqSketch.Depth).map(j =>
-        s"SELECT item, $j AS j, ${slice(j)} % 1024 AS bucket FROM ph")
-        .mkString("\n  UNION ALL ")
-      s"""WITH w AS (
-         |  SELECT u.w AS word
-         |  FROM documents d,
-         |    unnest(string_split(trim(regexp_replace(lower(d.text),
-         |      '\\s+', ' ', 'g')), ' ')) AS u(w)
-         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
-         |    AND len(u.w) > 0),
-         |h AS (SELECT md5(word) AS hx FROM w),
-         |cells AS (
-         |  $cells),
-         |p AS (
-         |  SELECT DISTINCT u.w AS item
-         |  FROM documents d,
-         |    unnest(string_split(trim(regexp_replace(lower(d.text),
-         |      '\\s+', ' ', 'g')), ' ')) AS u(w)
-         |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
-         |    AND d.doc_id % 97 = 0 AND len(u.w) > 0),
-         |ph AS (SELECT item, md5(item) AS hx FROM p),
-         |pc AS (
-         |  $probeCells),
-         |est AS (
-         |  SELECT pc.item,
-         |    CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
-         |  FROM pc LEFT JOIN cells
-         |    ON cells.j = pc.j AND cells.bucket = pc.bucket
-         |  GROUP BY pc.item)
-         |SELECT item, est FROM est WHERE est >= 60
-         |ORDER BY item""".stripMargin
-    }
+    // % width buckets, same min-over-4-slices with absent cells = 0
+    "q224_cms_heavy_hitters" -> cmsOracle(width = 1024, probeMod = 97,
+      minCount = 60),
+
+    // the streaming accumulator's cell-wise mergeability makes the
+    // fold-3-batches result equal the ONE-SHOT corpus sketch — the
+    // oracle replays the one-shot form (batch membership by doc_id % 3
+    // is irrelevant to the merged counters, which is the point)
+    "q225_stream_cms" -> cmsOracle(width = 512, probeMod = 89,
+      minCount = 80)
   )
+
+  /** One-shot CMS heavy-hitters oracle over document words (q224 batch
+    * form, q225 streaming fold — identical by mergeability): md5 hex
+    * slices → ascii-fold hex decode → `% width` cells → min over
+    * slices, absent cells 0.
+    */
+  private def cmsOracle(width: Int, probeMod: Int, minCount: Long): String = {
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val cells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT $j AS j, ${slice(j)} % $width AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 2")
+      .mkString("\n  UNION ALL ")
+    val probeCells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT item, $j AS j, ${slice(j)} % $width AS bucket FROM ph")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT u.w AS word
+       |  FROM documents d,
+       |    unnest(string_split(trim(regexp_replace(lower(d.text),
+       |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |    AND len(u.w) > 0),
+       |h AS (SELECT md5(word) AS hx FROM w),
+       |cells AS (
+       |  $cells),
+       |p AS (
+       |  SELECT DISTINCT u.w AS item
+       |  FROM documents d,
+       |    unnest(string_split(trim(regexp_replace(lower(d.text),
+       |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |    AND d.doc_id % $probeMod = 0 AND len(u.w) > 0),
+       |ph AS (SELECT item, md5(item) AS hx FROM p),
+       |pc AS (
+       |  $probeCells),
+       |est AS (
+       |  SELECT pc.item,
+       |    CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+       |  FROM pc LEFT JOIN cells
+       |    ON cells.j = pc.j AND cells.bucket = pc.bucket
+       |  GROUP BY pc.item)
+       |SELECT item, est FROM est WHERE est >= $minCount
+       |ORDER BY item""".stripMargin
+  }
 
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two
     * rounds of exact-L2 assignment (dot − |c|²/2, lowest-index ties) +
