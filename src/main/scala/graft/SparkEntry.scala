@@ -4043,6 +4043,32 @@ object SparkEntry {
       streaming.StreamingFreqSketch.byBatch(s, batches, store, "word",
           probes, "word", width = 512, minCount = 80L)
         .orderBy("item")
+    }),
+
+    // ext layout QA — physical-layout audit via DISTRIBUTED parquet
+    // footer reads (`Layout.rowGroupStats`: files parallelized across
+    // executors, one metadata-only footer open per file, driver never
+    // holds footers). The gate writes lineitem one-file-per-
+    // l_returnflag (repartition on the partition column pins the
+    // layout), then reconciles every row group's footer — row count,
+    // min/max l_orderkey — against the data. At gate scale each file is
+    // one row group, so the expected footers are plain SQL aggregates:
+    // the audit is exact, not rows-only.
+    "q226_layout_audit" -> ((s, dir) => {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft-q226").toString + "/ds"
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartition(col("l_returnflag"))
+        .write.partitionBy("l_returnflag").parquet(dest)
+      ext.Layout.rowGroupStats(s, dest, "l_orderkey")
+        .select(
+          regexp_extract(col("file"), "l_returnflag=([^/]+)/", 1)
+            .as("l_returnflag"),
+          col("row_group"), col("n_rows"),
+          col("min_value").as("min_orderkey"),
+          col("max_value").as("max_orderkey"))
+        .orderBy("l_returnflag", "row_group")
     })
   )
 
@@ -9127,7 +9153,19 @@ object SparkEntry {
     // oracle replays the one-shot form (batch membership by doc_id % 3
     // is irrelevant to the merged counters, which is the point)
     "q225_stream_cms" -> cmsOracle(width = 512, probeMod = 89,
-      minCount = 80)
+      minCount = 80),
+
+    // deterministic layout (one file per l_returnflag, one row group per
+    // file at gate scale) makes the parquet FOOTERS data-derivable: the
+    // expected (n_rows, min, max) per group is a plain aggregate
+    "q226_layout_audit" ->
+      """SELECT l_returnflag, 0 AS row_group,
+        |  count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey,
+        |  max(l_orderkey) AS max_orderkey
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** One-shot CMS heavy-hitters oracle over document words (q224 batch

@@ -228,4 +228,73 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.zvalueByRange(ok, Seq("requester"), bits = 2)
       .select("zval").distinct().count() <= 4)
   }
+
+  test("rowGroupStats: footer stats reconcile with the data, per group") {
+    val dir = Files.createTempDirectory("graft-rgstats").toString + "/ds"
+    // tiny row groups: force several groups per file so the per-group
+    // breakdown is actually exercised (not just one group per file)
+    spark.range(0, 40000).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("payload"))
+      .repartition(2)
+      .write
+      .option("parquet.block.size", (32 * 1024).toString)
+      .option("parquet.page.size", (8 * 1024).toString)
+      .parquet(dir)
+    val stats = Layout.rowGroupStats(spark, dir, "k").cache()
+    val rows = stats.collect()
+    // multiple groups per file — otherwise the block.size knob did nothing
+    val groupsPerFile = rows.groupBy(_.getString(0)).map(_._2.length)
+    assert(groupsPerFile.exists(_ > 1), s"expected >1 row group per file, got $groupsPerFile")
+    // row counts reconcile exactly
+    assert(rows.map(_.getLong(2)).sum === 40000L)
+    // group indices are dense 0..k per file
+    rows.groupBy(_.getString(0)).foreach { case (f, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq === (0 until g.length), f)
+    }
+    // every group's [min,max] really bounds its rows (footer integrity):
+    // re-read and check global min/max against footers
+    assert(rows.map(_.getLong(3)).min === 0L)
+    assert(rows.map(_.getLong(4)).max === 39999L)
+    // paths are relative to the audited root
+    assert(rows.forall(r => !r.getString(0).startsWith("/") &&
+      !r.getString(0).contains("graft-rgstats")))
+    stats.unpersist()
+  }
+
+  test("rowGroupStats: sorted write narrows spans to non-overlapping ranges") {
+    val base = Files.createTempDirectory("graft-rgsort").toString
+    val df = spark.range(0, 20000)
+      .select((col("id") * 2654435761L % 20000).as("k"))
+    def spans(path: String): Seq[(Long, Long)] = {
+      val sorted = Layout.rowGroupStats(spark, path, "k")
+        .orderBy("file", "row_group").collect()
+        .map(r => (r.getLong(3), r.getLong(4))).toSeq
+      sorted
+    }
+    df.coalesce(1).sortWithinPartitions("k").write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(base + "/sorted")
+    df.coalesce(1).write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(base + "/unsorted")
+    val s = spans(base + "/sorted")
+    val u = spans(base + "/unsorted")
+    assert(s.size > 1 && u.size > 1)
+    // clustered layout: consecutive groups do not overlap (each group's
+    // min is past the previous group's max) — THE property that makes
+    // row-group pruning effective. The unsorted layout fails it.
+    assert(s.sliding(2).forall { case Seq((_, aMax), (bMin, _)) => bMin > aMax },
+      s"sorted spans overlap: $s")
+    assert(!u.sliding(2).forall { case Seq((_, aMax), (bMin, _)) => bMin > aMax },
+      s"unsorted spans unexpectedly disjoint: $u")
+  }
+
+  test("rowGroupStats: loud errors on a missing column") {
+    val dir = Files.createTempDirectory("graft-rgmiss").toString + "/ds"
+    spark.range(10).select(col("id").as("k")).write.parquet(dir)
+    val ex = intercept[org.apache.spark.SparkException](
+      Layout.rowGroupStats(spark, dir, "nope").collect())
+    assert(ex.getMessage.contains("not found") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not found")))
+  }
 }
