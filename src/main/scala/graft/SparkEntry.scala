@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analysis.DaysApart
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Dedup, Retrieval, Similarity, TextStats}
 import graft.logs.LogLineParser
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
@@ -4069,6 +4069,58 @@ object SparkEntry {
           col("min_value").as("min_orderkey"),
           col("max_value").as("max_orderkey"))
         .orderBy("l_returnflag", "row_group")
+    }),
+
+    // ext retrieval — reciprocal-rank fusion of two retriever runs over
+    // the same corpus: length-normalized (cosine) vs raw inner-product
+    // ranking, the classic pair that disagrees exactly where vector
+    // norms vary. RRF contributions are pre-scaled integer `div`s, so
+    // fused scores are exact BIGINT sums in both engines.
+    "q227_rrf_fusion" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val runCos = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding",
+          "query_id", k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          lit("cosine").as("run"))
+      val qb = broadcast(qs.select(col("query_id"),
+        col("embedding").as("q_vec")))
+      val wDot = Window.partitionBy("query_id")
+        .orderBy(desc("dot"), asc("neighbor_id"))
+      val runDot = em
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+        .join(qb) // broadcast nested-loop — corpus never shuffles
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.dot(col("q_vec"), col("c_vec")).as("dot"))
+        .withColumn("rank", row_number().over(wDot))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          lit("dot").as("run"))
+      Retrieval.rrf(runCos.union(runDot), "query_id", "neighbor_id",
+          "rank", "run", k = 10)
+        .orderBy("query", "rank")
+    }),
+
+    // ext retrieval — ranking-quality eval (recall@k, binary-gain
+    // nDCG@k) of the exact cosine retriever against label-match
+    // judgments. The log2 discounts are integers precomputed ONCE
+    // (`Retrieval.discountsE9`) and inlined into both engines, so DCG
+    // sums and the final `div`-scaled metrics are bit-exact.
+    "q228_rank_eval" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      val retrieved = Similarity.bruteForceTopK(em,
+        qs.select("query_id", "embedding"), "vec_id", "embedding",
+        "query_id", k = 10)
+      val judgments = qs.select(col("query_id"), col("label"))
+        .join(em.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("label"))
+        .select("query_id", "neighbor_id")
+      Retrieval.rankEval(retrieved, judgments, "query_id", "neighbor_id",
+          "rank", k = 10)
+        .orderBy("query")
     })
   )
 
