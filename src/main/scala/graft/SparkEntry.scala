@@ -4084,17 +4084,8 @@ object SparkEntry {
           "query_id", k = 20)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           lit("cosine").as("run"))
-      val qb = broadcast(qs.select(col("query_id"),
-        col("embedding").as("q_vec")))
-      val wDot = Window.partitionBy("query_id")
-        .orderBy(desc("dot"), asc("neighbor_id"))
-      val runDot = em
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
-        .join(qb) // broadcast nested-loop — corpus never shuffles
-        .select(col("query_id"), col("neighbor_id"),
-          Similarity.dot(col("q_vec"), col("c_vec")).as("dot"))
-        .withColumn("rank", row_number().over(wDot))
-        .filter(col("rank") <= 20)
+      val runDot = Similarity.bruteForceTopKDot(em, qs, "vec_id",
+          "embedding", "query_id", k = 20)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           lit("dot").as("run"))
       Retrieval.rrf(runCos.union(runDot), "query_id", "neighbor_id",
@@ -9217,8 +9208,96 @@ object SparkEntry {
         |  max(l_orderkey) AS max_orderkey
         |FROM lineitem
         |GROUP BY 1
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // RRF replay: both retriever runs re-ranked in SQL (the q15 cosine
+    // formula, plus its un-normalized dot sibling), then the fusion is
+    // pure BIGINT arithmetic — `//` is DuckDB's integral div, matching
+    // Spark's `div` exactly on the positive operands here.
+    "q227_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN embeddings e),
+        |run_cos AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 20),
+        |run_dot AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 20),
+        |fused AS (
+        |  SELECT query_id AS query, neighbor_id AS doc,
+        |    CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_score
+        |  FROM (SELECT * FROM run_cos UNION ALL SELECT * FROM run_dot)
+        |  GROUP BY 1, 2)
+        |SELECT query, doc, rrf_score,
+        |  CAST(row_number() OVER (PARTITION BY query ORDER BY rrf_score DESC, doc) AS INT) AS rank
+        |FROM fused
+        |QUALIFY rank <= 10
+        |ORDER BY query, rank""".stripMargin,
+
+    "q228_rank_eval" -> RankEvalOracle
   )
+
+  /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
+    * the nDCG discount and ideal-DCG prefix constants are the SAME
+    * integers the Spark plan inlines (`Retrieval.discountsE9` /
+    * `idcgPrefixE9` interpolated here at build time), so DCG sums and
+    * the `//`-scaled metrics are exact BIGINTs in both engines — no
+    * log2 is evaluated by either engine at query time.
+    */
+  private val RankEvalOracle: String = {
+    val disc = ext.Retrieval.discountsE9(10).mkString("[", ", ", "]")
+    val idcg = ext.Retrieval.idcgPrefixE9(10).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+       |  FROM q CROSS JOIN embeddings e),
+       |retrieved AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored QUALIFY rnk <= 10),
+       |judge AS (
+       |  SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+       |  FROM q JOIN embeddings e ON q.label = e.label),
+       |relc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM judge GROUP BY 1),
+       |h AS (
+       |  SELECT r.query_id,
+       |    CAST(count(*) AS BIGINT) AS n_retrieved,
+       |    CAST(coalesce(sum(CASE WHEN j.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits,
+       |    CAST(coalesce(sum(CASE WHEN j.neighbor_id IS NOT NULL THEN ($disc)[r.rnk] END), 0) AS BIGINT) AS dcg_e9
+       |  FROM retrieved r LEFT JOIN judge j
+       |    ON r.query_id = j.query_id AND r.neighbor_id = j.neighbor_id
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT coalesce(h.query_id, relc.query_id) AS query,
+       |    CAST(coalesce(h.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       |    CAST(coalesce(relc.n_relevant, 0) AS BIGINT) AS n_relevant,
+       |    CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |    CAST(coalesce(h.dcg_e9, 0) AS BIGINT) AS dcg_e9
+       |  FROM h FULL OUTER JOIN relc ON h.query_id = relc.query_id)
+       |SELECT query, n_retrieved, n_relevant, hits, dcg_e9,
+       |  CASE WHEN n_relevant >= 1
+       |    THEN CAST(($idcg)[CAST(least(n_relevant, 10) AS INT)] AS BIGINT) END AS idcg_e9,
+       |  CASE WHEN n_relevant >= 1
+       |    THEN CAST((hits * 1000000) // n_relevant AS BIGINT) END AS recall_e6,
+       |  CASE WHEN n_relevant >= 1
+       |    THEN CAST((dcg_e9 * 1000000) // ($idcg)[CAST(least(n_relevant, 10) AS INT)] AS BIGINT) END AS ndcg_e6
+       |FROM base
+       |ORDER BY query""".stripMargin
+  }
 
   /** One-shot CMS heavy-hitters oracle over document words (q224 batch
     * form, q225 streaming fold — identical by mergeability): md5 hex

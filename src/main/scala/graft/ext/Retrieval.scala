@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,13 +15,19 @@ import org.apache.spark.sql.functions._
   * discipline): RRF contributions and nDCG discount constants are
   * pre-scaled integers, so sums are order-independent BIGINTs, never
   * floating-point accumulations — the same numbers fall out of the
-  * DuckDB replay bit-for-bit.
+  * DuckDB replay bit-for-bit (gates q227/q228).
   *
   * Scale shape: fusion is one groupBy on (query, doc) over the
   * concatenated runs (linear in total run size) + one per-query window
   * over ≤ Σ k_run rows; metrics are one join of the retrieved lists
   * (|Q| × k rows — evaluation-sized) against judgments keyed by
   * (query, doc). Nothing here touches the corpus.
+  *
+  * Input-contract guards (duplicate run evidence, NULL/non-positive
+  * ranks, duplicate retrieved docs) are FUSED into the output plan as
+  * `raise_error` branches — no eager driver-side action per call (the
+  * `WebUrl.allocateBudget` idiom); a violation fails the job loudly at
+  * the first offending row instead of silently skewing scores.
   */
 object Retrieval {
 
@@ -44,8 +50,10 @@ object Retrieval {
     *         Σ_runs floor(scale / (kRrf + rank_run)) as an exact BIGINT;
     *         rank 1..k by score desc, doc id asc (deterministic ties).
     *
-    * A run tag appearing twice for the same (query, doc) is a caller
-    * bug (double-counted evidence) — guarded with a loud error.
+    * Guarded in-plan, loudly: a NULL or non-positive rank (which would
+    * otherwise NULL the term and silently drop that run's evidence) and
+    * a run tag appearing twice for the same (query, doc) (double-counted
+    * evidence) both `raise_error` when the job runs.
     */
   def rrf(runs: DataFrame, queryCol: String, idCol: String,
           rankCol: String, runCol: String, k: Int, kRrf: Int = 60,
@@ -53,26 +61,39 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
-    val q = col(queryCol); val d = col(idCol)
+    val rank = col(rankCol).cast("long")
     val fused = runs
-      .select(q.as("query"), d.as("doc"),
-        col(rankCol).cast("long").as("__rank"),
+      .select(col(queryCol).as("query"), col(idCol).as("doc"),
+        // NULL/non-positive ranks fail loudly instead of NULLing the
+        // term (a NULL term would vanish from sum() = silently dropped
+        // run evidence). NULL rank takes the otherwise branch too: the
+        // when-condition is NULL, not true.
+        when(rank >= 1L, rank)
+          .otherwise(raise_error(concat(
+            lit("rrf: rank must be a positive 1-based integer, got '"),
+            coalesce(col(rankCol).cast("string"), lit("NULL")),
+            lit(s"' in run column '$runCol'")))).as("__rank"),
         col(runCol).as("__run"))
       .withColumn("__term", expr(s"${scale}L div ($kRrf + __rank)"))
       .groupBy(col("query"), col("doc"))
-      .agg(sum(col("__term")).as("rrf_score"),
+      .agg(sum(col("__term")).as("__score"),
         count(lit(1)).as("__n"),
         count_distinct(col("__run")).as("__nruns"))
-    val dup = fused.filter(col("__n") =!= col("__nruns")).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalArgumentException(
-        s"rrf: (query=${dup(0).get(0)}, doc=${dup(0).get(1)}) appears " +
-          "more than once within a single run tag — each (query, doc, " +
-          "run) must be unique or its evidence double-counts")
+      // same aggregate pass carries the duplicate-evidence guard: a
+      // (query, doc) with more rows than distinct run tags was retrieved
+      // twice under one tag (or with a NULL tag) — caller bug, fail loud
+      .select(col("query"), col("doc"),
+        when(col("__n") === col("__nruns"), col("__score"))
+          .otherwise(raise_error(concat(
+            lit("rrf: (query="), col("query").cast("string"),
+            lit(", doc="), col("doc").cast("string"),
+            lit(") appears more than once within a single run tag — "),
+            lit("each (query, doc, run) must be unique and run tags "),
+            lit("non-null, or evidence double-counts"))))
+          .as("rrf_score"))
     val w = Window.partitionBy("query")
       .orderBy(desc("rrf_score"), asc("doc"))
     fused
-      .select(col("query"), col("doc"), col("rrf_score"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
@@ -88,18 +109,29 @@ object Retrieval {
       .toArray
   }
 
+  /** Ideal-DCG prefix sums of [[discountsE9]]: `idcgE9(r)` = best
+    * possible DCG when r docs are relevant (the top-min(r,k) ranks all
+    * hit). Inlined into both engines like the discounts themselves.
+    */
+  def idcgPrefixE9(k: Int): Array[Long] =
+    discountsE9(k).scanLeft(0L)(_ + _).tail
+
   /** Ranking-quality metrics per query against binary relevance
     * judgments — the eval gate a retriever change must pass before it
     * ships.
     *
     * @param retrieved  (queryCol, idCol, rankCol) — one retriever's
     *                   ranked list, rank 1-based, ≤ k rows per query
-    *                   used (deeper rows are ignored).
+    *                   used (deeper rows are ignored). A (query, doc)
+    *                   retrieved twice raises in-plan (it would
+    *                   double-count hits and dcg).
     * @param judgments  (queryCol, idCol) — the relevant set per query;
     *                   distinct'd defensively.
-    * @return one row per query:
-    *         - `n_retrieved`   rows at rank ≤ k
-    *         - `n_relevant`    judgment-set size
+    * @return one row per query appearing in EITHER input (full outer —
+    *         a query with judgments but an empty retrieved list is a
+    *         recall-0 failure, not a vanished row):
+    *         - `n_retrieved`   rows at rank ≤ k (0 if none)
+    *         - `n_relevant`    judgment-set size (0 if none)
     *         - `hits`          relevant rows at rank ≤ k
     *         - `recall_e6`     floor(hits · 1e6 / n_relevant)
     *         - `dcg_e9`        Σ_{hits} floor(1e9 / log2(rank+1))
@@ -112,11 +144,8 @@ object Retrieval {
   def rankEval(retrieved: DataFrame, judgments: DataFrame,
                queryCol: String, idCol: String, rankCol: String,
                k: Int): DataFrame = {
-    val disc = discountsE9(k)
-    // idcgE9(r) = Σ_{i=1..min(r,k)} disc(i) — prefix sums, also inlined
-    val idcgPrefix = disc.scanLeft(0L)(_ + _).tail
-    val discCol = array(disc.map(lit): _*)
-    val idcgCol = array(idcgPrefix.map(lit): _*)
+    val discCol = array(discountsE9(k).toIndexedSeq.map(lit): _*)
+    val idcgCol = array(idcgPrefixE9(k).toIndexedSeq.map(lit): _*)
     val ret = retrieved.select(col(queryCol).as("query"),
         col(idCol).as("doc"), col(rankCol).cast("int").as("rank"))
       .filter(col("rank") <= k)
@@ -127,16 +156,31 @@ object Retrieval {
     val hits = ret.join(judge.withColumn("__rel", lit(1L)),
         Seq("query", "doc"), "left")
       .groupBy("query")
-      .agg(count(lit(1)).as("n_retrieved"),
+      .agg(count(lit(1)).as("__nret"),
+        count_distinct(col("doc")).as("__ndocs"),
         coalesce(sum(col("__rel")), lit(0L)).as("hits"),
         // DCG: each relevant retrieved row contributes its rank's
         // pre-scaled discount — element_at is 1-based, exactly our rank
         coalesce(sum(when(col("__rel") === 1L,
           element_at(discCol, col("rank")))), lit(0L)).as("dcg_e9"))
-    hits.join(relCounts, Seq("query"), "left")
-      .select(col("query"), col("n_retrieved"),
-        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+      // duplicate-retrieval guard rides the same aggregate: a doc at
+      // two ranks for one query double-counts hits and dcg — fail loud
+      .select(col("query"),
+        when(col("__nret") === col("__ndocs"), col("__nret"))
+          .otherwise(raise_error(concat(
+            lit("rankEval: duplicate (query, doc) in retrieved for "),
+            lit("query "), col("query").cast("string"),
+            lit(" — a doc retrieved at two ranks double-counts hits "),
+            lit("and dcg_e9")))).as("n_retrieved"),
         col("hits"), col("dcg_e9"))
+    // FULL outer: judgment-only queries (nothing retrieved at rank ≤ k)
+    // must surface as recall 0, not vanish from the eval
+    hits.join(relCounts, Seq("query"), "full")
+      .select(col("query"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg_e9"), lit(0L)).as("dcg_e9"))
       .withColumn("idcg_e9",
         when(col("n_relevant") >= 1L,
           element_at(idcgCol, least(col("n_relevant"), lit(k.toLong))

@@ -66,6 +66,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact top-k by RAW INNER PRODUCT for each query vector — the
+    * un-normalized sibling of [[bruteForceTopK]] (maximum-inner-product
+    * search; rankings differ from cosine exactly where corpus norms
+    * vary, which is why retrieval stacks fuse the two — see
+    * [[Retrieval.rrf]]). Same sanctioned scale shape: broadcast the
+    * small query set, one corpus scan, no vector shuffle, per-query
+    * window top-k.
+    *
+    * @return (query_id, neighbor_id, dot, rank), rank 1..k per query,
+    *         ties broken by neighbor id (deterministic).
+    */
+  def bruteForceTopKDot(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, queryIdCol: String,
+                        k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(q) // broadcast nested-loop: corpus never shuffles
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_vec"), col("c_vec")).as("dot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("dot"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------- random-hyperplane LSH
 
   /** Deterministic hyperplanes: `bits` rows × dim, seeded Gaussian. */

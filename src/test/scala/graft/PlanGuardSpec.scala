@@ -41,11 +41,14 @@ class PlanGuardSpec extends SparkTestBase {
   // queries whose algorithm intentionally broadcasts a non-single-row side
   // (tiny-by-construction: ANN query sets, IVF centroid tables, q39's
   // source-level sketch matrix — pairwise over #GROUPS, the whole point of
-  // collapsing documents into group sketches first — and q195's anchor
-  // batch, small by the contrastive-training contract)
+  // collapsing documents into group sketches first — q195's anchor
+  // batch, small by the contrastive-training contract, and q227/q228's
+  // retrieval-eval query sets through the same sanctioned
+  // Similarity.bruteForceTopK[Dot] broadcast-query-set shape as q15)
   private val allowedBroadcastNl = Set(
     "q15_ann_bruteforce", "q14_dedup_embedding", "q16_ann_lsh", "q28_ann_ivf",
-    "q39_group_sketch", "q80_ann_pq", "q195_hard_negatives")
+    "q39_group_sketch", "q80_ann_pq", "q195_hard_negatives",
+    "q227_rrf_fusion", "q228_rank_eval")
 
   private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
     val cartesians = plan.collect { case c: CartesianProductExec => c }

@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** raise_error surfaces as SparkRuntimeException from a single task,
+    * wrapped in SparkException when the failure crosses a stage — match
+    * the message through the cause chain instead of pinning the class.
+    */
+  private def failureMessage(body: => Unit): String = {
+    val t = intercept[Exception](body)
+    Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  private val Scale = 1000000000000L
+  private def term(rank: Int, kRrf: Int = 60): Long = Scale / (kRrf + rank)
+
+  test("rrf matches a hand-computed fusion of two runs") {
+    // q1: doc 10 is rank 1 in both runs; doc 11 rank 2 in A only;
+    //     doc 12 rank 2 in B / rank 3 in A.
+    val runs = Seq(
+      (1L, 10L, 1, "a"), (1L, 11L, 2, "a"), (1L, 12L, 3, "a"),
+      (1L, 10L, 1, "b"), (1L, 12L, 2, "b")
+    ).toDF("q", "d", "r", "run")
+    val out = Retrieval.rrf(runs, "q", "d", "r", "run", k = 3)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    val expected = Seq(
+      (1L, 10L, term(1) + term(1), 1),
+      (1L, 12L, term(3) + term(2), 2),
+      (1L, 11L, term(2), 3))
+    assert(out.toSeq == expected)
+  }
+
+  test("rrf breaks score ties by doc id ascending and truncates at k") {
+    // docs 20 and 21 get identical single-run evidence at rank 1
+    val runs = Seq(
+      (7L, 21L, 1, "a"), (7L, 20L, 1, "b"), (7L, 22L, 2, "a"),
+      (7L, 23L, 2, "b")
+    ).toDF("q", "d", "r", "run")
+    val out = Retrieval.rrf(runs, "q", "d", "r", "run", k = 3)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(20L, 21L, 22L)) // tie → id asc; k cuts 23
+    assert(out(0)._3 == out(1)._3)
+  }
+
+  test("rrf raises on a (query, doc) retrieved twice under one run tag") {
+    val runs = Seq(
+      (1L, 10L, 1, "a"), (1L, 10L, 5, "a")
+    ).toDF("q", "d", "r", "run")
+    val msg = failureMessage(
+      Retrieval.rrf(runs, "q", "d", "r", "run", k = 3).collect())
+    assert(msg.contains("run tag"))
+  }
+
+  test("rrf raises on NULL and non-positive ranks instead of dropping them") {
+    val nullRank = Seq((Some(1L), Some(10L), None: Option[Int], "a"))
+      .toDF("q", "d", "r", "run")
+    assert(failureMessage(
+      Retrieval.rrf(nullRank, "q", "d", "r", "run", k = 3).collect())
+      .contains("positive 1-based"))
+    val zeroRank = Seq((1L, 10L, 0, "a")).toDF("q", "d", "r", "run")
+    assert(failureMessage(
+      Retrieval.rrf(zeroRank, "q", "d", "r", "run", k = 3).collect())
+      .contains("positive 1-based"))
+  }
+
+  test("discountsE9 starts at 1e9 and strictly decreases") {
+    val d = Retrieval.discountsE9(100)
+    assert(d(0) == 1000000000L)
+    assert(d.sliding(2).forall { case Array(a, b) => a > b })
+    val p = Retrieval.idcgPrefixE9(100)
+    assert(p(0) == d(0) && p(99) == d.sum)
+  }
+
+  test("rankEval matches closed-form metrics (hits, dcg, ndcg, k cut)") {
+    val k = 3
+    val disc = Retrieval.discountsE9(k)
+    // q1: retrieved (10,11,12) at ranks 1..3 plus rank-4 row that k cuts;
+    //     relevant = {10, 12, 99} → hits 2, dcg = disc(1)+disc(3),
+    //     idcg = disc(1)+disc(2)+disc(3) (3 relevant, k=3)
+    val retrieved = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 99L, 4)
+    ).toDF("q", "d", "r")
+    val judgments = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("q", "d")
+    val row = Retrieval.rankEval(retrieved, judgments, "q", "d", "r", k)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    val dcg = disc(0) + disc(2)
+    val idcg = disc.sum
+    assert(row == ((1L, 3L, 3L, 2L, dcg, Some(idcg),
+      Some(2L * 1000000L / 3L), Some(dcg * 1000000L / idcg))))
+  }
+
+  test("rankEval: empty judgment set → recall/ndcg NULL, not zero") {
+    val retrieved = Seq((5L, 10L, 1)).toDF("q", "d", "r")
+    val judgments = Seq((6L, 10L)).toDF("q", "d") // none for q5
+    val rows = Retrieval.rankEval(retrieved, judgments, "q", "d", "r", 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    val q5 = rows.find(_._1 == 5L).get
+    assert(q5._2 == 1L && q5._3 == 0L && q5._4 == 0L)
+    assert(q5._6.isEmpty && q5._7.isEmpty && q5._8.isEmpty)
+  }
+
+  test("rankEval: judgment-only query surfaces as recall 0, not a vanished row") {
+    val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
+    val judgments = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("q", "d")
+    val rows = Retrieval.rankEval(retrieved, judgments, "q", "d", "r", 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    val q2 = rows(1)
+    // nothing retrieved: 0 hits over 2 relevant → recall 0, ndcg 0
+    assert(q2._2 == 0L && q2._3 == 2L && q2._4 == 0L && q2._5 == 0L)
+    assert(q2._6.contains(Retrieval.idcgPrefixE9(3)(1)))
+    assert(q2._7.contains(0L) && q2._8.contains(0L))
+  }
+
+  test("rankEval raises on a doc retrieved at two ranks for one query") {
+    val retrieved = Seq((1L, 10L, 1), (1L, 10L, 2)).toDF("q", "d", "r")
+    val judgments = Seq((1L, 10L)).toDF("q", "d")
+    assert(failureMessage(
+      Retrieval.rankEval(retrieved, judgments, "q", "d", "r", 3).collect())
+      .contains("duplicate (query, doc)"))
+  }
+
+  test("rankEval ignores duplicate judgments (defensive distinct)") {
+    val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
+    val judgments = Seq((1L, 10L), (1L, 10L)).toDF("q", "d")
+    val row = Retrieval.rankEval(retrieved, judgments, "q", "d", "r", 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(row._3 == 1L && row._4 == 1L && row._7.contains(1000000L))
+  }
+}
