@@ -1324,25 +1324,36 @@ object Dedup {
     * count is lower — pair work is quadratic while input splits are
     * linear, so a single-split parquet corpus would otherwise score ALL
     * n²/2 pairs on one core (the fuzzyJoin lesson; a no-op on real
-    * clusters with many splits); (2) a loud `maxRows` guard (one cheap
-    * count against n²/2 pair volume) fails with the number instead of
-    * burning a cluster-day — 0 disables it knowingly.
+    * clusters with many splits); (2) a loud `maxRows` guard that fails
+    * with the number instead of burning a cluster-day — 0 disables it
+    * knowingly.
+    *
+    * When the guard is on, the normed frame is PERSISTED and the guard
+    * count materializes it — one execution of the input lineage total
+    * (the guard, and both join sides, read the cache) instead of three;
+    * the cache is bounded at maxRows embedding rows by the guard itself
+    * and evicts LRU like any Spark cache. With maxRows=0 nothing is
+    * cached (unbounded inputs must not be pinned) and the lineage runs
+    * once per join side.
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double = 0.95,
                           maxRows: Long = 200000L): DataFrame = {
     // norms once per ROW (n), not per pair (n²/2)
-    val withNorm = df.select(col(idCol), col(vecCol),
+    val normed = df.select(col(idCol), col(vecCol),
       Similarity.norm(col(vecCol)).as("nrm"))
-    if (maxRows > 0) {
-      val n = withNorm.count()
+    val withNorm = if (maxRows > 0) {
+      val cached = normed.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = cached.count() // materializes the cache; guard rides along
       require(n <= maxRows,
         s"embeddingDuplicates over $n rows scores ~${n * n / 2} exact " +
           s"pairs (> maxRows=$maxRows bound): this is the documented " +
           "all-pairs verify-stage form — use Similarity." +
           "lshCandidatePairs for the candidate stage at scale, or raise " +
           "maxRows knowingly")
-    }
+      cached
+    } else normed
     val shufflePartitions =
       df.sparkSession.sessionState.conf.numShufflePartitions
     val a0 = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),

@@ -95,6 +95,13 @@ object Linkage {
       // what actually meets the join), the bound is maxBlockRows² pairs
       // per block, and the count join is a tiny (prefix, bucket)-keyed
       // aggregate — cheap next to the quadratic join it prevents.
+      // NOTE this is an EAGER driver-side action: constructing the frame
+      // runs one extra bounded Spark job (two linear scans + the keyed
+      // count join) BEFORE the quadratic join is even planned. Deliberate:
+      // a raise_error fused into the join's output would fire only after
+      // the hot block starts streaming its cap² candidate pairs — the
+      // exact cluster-day this guard exists to refuse. maxBlockRows=0
+      // skips the probe (and the extra job) knowingly.
       val lc = lExp.groupBy(col("blk_c"), col("blk_b"))
         .agg(count(lit(1)).as("__cl"))
       val rc = r.groupBy(col("blk_c"), col("blk_b"))
