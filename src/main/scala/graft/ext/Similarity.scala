@@ -248,6 +248,33 @@ object Similarity {
         r.getSeq[Any](1).map(v => v.asInstanceOf[Number].doubleValue()).toArray))
       .sortBy(_._1)
 
+  /** Production IVF cell sizing: k = clamp(⌈√n⌉, 16, 65536) from one
+    * cheap count of the corpus id column (column-pruned; parquet answers
+    * count-star from metadata). The 10× full-gate audit proved the
+    * failure mode of a FIXED cell count: per-cell candidate volume is
+    * ∝ n²/k, so cells must grow with n — k ∝ √n keeps both the per-cell
+    * volume (n/k ≈ √n) and the broadcast centroid table (k ≈ √n) growing
+    * with the square root of the corpus, the standard IVF sizing. The
+    * floor keeps tiny corpora at the legacy 16; the cap bounds the
+    * literal centroid array the assignment kernel carries (65536 × dim
+    * doubles ≈ 32 MB at dim 64 — the broadcast-side budget).
+    */
+  def numCellsAuto(corpus: DataFrame, idCol: String): Int = {
+    val n = corpus.select(col(idCol)).count()
+    math.max(16, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
+  /** `numCells = 0` in the IVF entry points means "size automatically"
+    * via [[numCellsAuto]] — the production default. Gates/benchmarks pass
+    * an explicit count so the DuckDB oracle can replay cells byte-for-
+    * byte.
+    */
+  private def resolveNumCells(side: DataFrame, idCol: String,
+                              numCells: Int, op: String): Int = {
+    require(numCells >= 0, s"$op: numCells must be >= 0 (0 = auto), got $numCells")
+    if (numCells == 0) numCellsAuto(side, idCol) else numCells
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
     * around K centroid vectors; a query scores only the cells of its
     * `nprobe` nearest centroids. The second scale path next to LSH —
@@ -267,14 +294,15 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int = 10, numCells: Int = 16, nprobe: Int = 3): DataFrame = {
+              k: Int = 10, numCells: Int = 0, nprobe: Int = 3): DataFrame = {
+    val cells = resolveNumCells(corpus, idCol, numCells, "ivfTopK")
     // deterministic md5-rank centroid sample, COLLECTED (the IVF "build
     // the index" step, ≤ numCells tiny rows): with centroids as literals
     // the corpus assignment runs as a per-row fold in the scan stage —
     // no join, no window, no shuffle of the corpus (a unique-key window
     // here would exchange every vector).
     val centroidRows: Array[(Long, Array[Double])] =
-      donorSample(corpus, idCol, vecCol, numCells)
+      donorSample(corpus, idCol, vecCol, cells)
     require(centroidRows.nonEmpty,
       "IVF centroid sample is empty — corpus has no non-null (id, vector) rows")
 
@@ -334,11 +362,12 @@ object Similarity {
     */
   def ivfTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
-                  k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
+                  k: Int = 10, numCells: Int = 0, nprobe: Int = 3,
                   saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "ivfTopKJoin")
     val centroidRows: Array[(Long, Array[Double])] =
-      donorSample(right, rightIdCol, vecCol, numCells)
+      donorSample(right, rightIdCol, vecCol,
+        resolveNumCells(right, rightIdCol, numCells, "ivfTopKJoin"))
     require(centroidRows.nonEmpty,
       "IVF centroid sample is empty — right side has no non-null (id, vector) rows")
     val cents = centroidRows.toSeq.map(_._2.toSeq)
@@ -381,7 +410,7 @@ object Similarity {
     */
   def ivfPqTopKJoin(left: DataFrame, right: DataFrame,
                     leftIdCol: String, rightIdCol: String, vecCol: String,
-                    k: Int = 10, numCells: Int = 16, nprobe: Int = 3,
+                    k: Int = 10, numCells: Int = 0, nprobe: Int = 3,
                     numSubspaces: Int = 8, codebookSize: Int = 16,
                     rerankFactor: Int = 4, dim: Int = 64,
                     saltBuckets: Int = 1): DataFrame = {
@@ -390,7 +419,8 @@ object Similarity {
       s"dim $dim must divide into $numSubspaces subspaces")
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     val centroidRows: Array[(Long, Array[Double])] =
-      donorSample(right, rightIdCol, vecCol, numCells)
+      donorSample(right, rightIdCol, vecCol,
+        resolveNumCells(right, rightIdCol, numCells, "ivfPqTopKJoin"))
     require(centroidRows.nonEmpty,
       "IVF centroid sample is empty — right side has no non-null (id, vector) rows")
     val cents = centroidRows.toSeq.map(_._2.toSeq)

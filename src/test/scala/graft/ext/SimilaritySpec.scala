@@ -99,6 +99,35 @@ class SimilaritySpec extends SparkTestBase {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) }
   }
 
+  test("numCellsAuto: k = clamp(ceil(sqrt(n)), 16, 65536) from a count") {
+    val small = (0L until 50L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.numCellsAuto(small, "vec_id") == 16) // floor holds
+    val mid = (0L until 400L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.numCellsAuto(mid, "vec_id") == 20) // ceil(sqrt(400))
+    val off = (0L until 401L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.numCellsAuto(off, "vec_id") == 21) // ceil rounds up
+  }
+
+  test("ivfTopK with numCells=0 (auto) equals the explicit auto-sized call") {
+    val vecs = (0L until 400L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 13 + d * 5).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val auto = Similarity.ivfTopK(vecs, qs, "vec_id", "embedding",
+        "query_id", k = 4, nprobe = 2) // default numCells = 0 = auto
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val explicit = Similarity.ivfTopK(vecs, qs, "vec_id", "embedding",
+        "query_id", k = 4, numCells = 20, nprobe = 2) // = numCellsAuto(400)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("ivfTopKJoin: agrees with ivfTopK when the left side is query-sized") {
     val vecs = (0L until 96L).map { i =>
       (i, Array.tabulate(16)(d => math.sin((i * 11 + d * 3).toDouble).toFloat))
