@@ -4112,6 +4112,50 @@ object SparkEntry {
       Retrieval.rankEval(retrieved, judgments, "query_id", "neighbor_id",
           "rank", k = 10)
         .orderBy("query")
+    }),
+
+    // ext retrieval — GRADED nDCG@k (exponential gains 2^rel − 1): the
+    // judgment grades are deterministic from the data (2 for a
+    // same-parity label match, 1 otherwise), discount constants are
+    // 1e6-scaled integers inlined into both engines, and the ideal
+    // ranking is a per-query sort of the judgment set — every sum an
+    // exact BIGINT.
+    "q229_graded_ndcg" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      val retrieved = Similarity.bruteForceTopK(em,
+        qs.select("query_id", "embedding"), "vec_id", "embedding",
+        "query_id", k = 10)
+      val judgments = qs.select(col("query_id"), col("label"))
+        .join(em.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("label"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(col("neighbor_id") % 2 === col("query_id") % 2, lit(2))
+            .otherwise(lit(1)).as("rel"))
+      Retrieval.rankEvalGraded(retrieved, judgments, "query_id",
+          "neighbor_id", "rank", "rel", k = 10)
+        .orderBy("query")
+    }),
+
+    // ext retrieval — MRR + truncated MAP@k of the exact cosine
+    // retriever against label-match judgments: first-hit ranks and
+    // 1e9-pre-scaled precision terms make both metrics pure BIGINT
+    // arithmetic, replayed by the oracle with the same floors.
+    "q230_mrr_map" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      val retrieved = Similarity.bruteForceTopK(em,
+        qs.select("query_id", "embedding"), "vec_id", "embedding",
+        "query_id", k = 10)
+      val judgments = qs.select(col("query_id"), col("label"))
+        .join(em.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("label"))
+        .select("query_id", "neighbor_id")
+      Retrieval.rankEvalRanks(retrieved, judgments, "query_id",
+          "neighbor_id", "rank", k = 10)
+        .orderBy("query")
     })
   )
 
@@ -9244,7 +9288,55 @@ object SparkEntry {
         |QUALIFY rank <= 10
         |ORDER BY query, rank""".stripMargin,
 
-    "q228_rank_eval" -> RankEvalOracle
+    "q228_rank_eval" -> RankEvalOracle,
+
+    "q229_graded_ndcg" -> GradedNdcgOracle,
+
+    // MRR/MAP replay: same retrieved list as q228; cumulative hits via
+    // a framed window, P@i pre-scaled to 1e9 with `//` so both engines
+    // floor identically, AP = floor(Σ terms / (n_relevant · 1000)).
+    "q230_mrr_map" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN embeddings e),
+        |retrieved AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 10),
+        |judge AS (
+        |  SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+        |  FROM q JOIN embeddings e ON q.label = e.label),
+        |relc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM judge GROUP BY 1),
+        |s AS (
+        |  SELECT r.query_id, r.rnk,
+        |    CASE WHEN j.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+        |    sum(CASE WHEN j.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY r.query_id ORDER BY r.rnk ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM retrieved r LEFT JOIN judge j
+        |    ON r.query_id = j.query_id AND r.neighbor_id = j.neighbor_id),
+        |h AS (
+        |  SELECT query_id,
+        |    CAST(min(CASE WHEN rel = 1 THEN rnk END) AS INT) AS first_hit_rank,
+        |    CAST(coalesce(sum(CASE WHEN rel = 1 THEN (cum * 1000000000) // rnk END), 0) AS BIGINT) AS psum
+        |  FROM s GROUP BY 1),
+        |base AS (
+        |  SELECT coalesce(h.query_id, relc.query_id) AS query,
+        |    h.first_hit_rank,
+        |    CAST(coalesce(relc.n_relevant, 0) AS BIGINT) AS n_relevant,
+        |    CAST(coalesce(h.psum, 0) AS BIGINT) AS psum
+        |  FROM h FULL OUTER JOIN relc ON h.query_id = relc.query_id)
+        |SELECT query, first_hit_rank, n_relevant,
+        |  CASE WHEN n_relevant >= 1
+        |    THEN CAST(coalesce(1000000 // first_hit_rank, 0) AS BIGINT) END AS rr_e6,
+        |  CASE WHEN n_relevant >= 1
+        |    THEN CAST(psum // (n_relevant * 1000) AS BIGINT) END AS ap_e6
+        |FROM base
+        |ORDER BY query""".stripMargin
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
@@ -9296,6 +9388,54 @@ object SparkEntry {
        |  CASE WHEN n_relevant >= 1
        |    THEN CAST((dcg_e9 * 1000000) // ($idcg)[CAST(least(n_relevant, 10) AS INT)] AS BIGINT) END AS ndcg_e6
        |FROM base
+       |ORDER BY query""".stripMargin
+  }
+
+  /** Graded-nDCG replay (q229): gains are `(1 << rel) − 1` BIGINTs, the
+    * 1e6-scaled discounts come from `Retrieval.discountsE6` (same
+    * integers both engines inline), ideal DCG sorts the judgment set by
+    * gain desc / doc asc exactly as the Spark window does.
+    */
+  private val GradedNdcgOracle: String = {
+    val disc = ext.Retrieval.discountsE6(10).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+       |  FROM q CROSS JOIN embeddings e),
+       |retrieved AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored QUALIFY rnk <= 10),
+       |g AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    (CAST(1 AS BIGINT) << (CASE WHEN e.vec_id % 2 = q.query_id % 2 THEN 2 ELSE 1 END)) - 1 AS gain
+       |  FROM q JOIN embeddings e ON q.label = e.label),
+       |ideal AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+       |    CAST(sum(CASE WHEN irank <= 10 THEN gain * ($disc)[CAST(irank AS INT)] END) AS BIGINT) AS idcg_e6
+       |  FROM (SELECT query_id, gain,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY gain DESC, neighbor_id) AS irank
+       |        FROM g)
+       |  GROUP BY 1),
+       |h AS (
+       |  SELECT r.query_id,
+       |    CAST(count(*) AS BIGINT) AS n_retrieved,
+       |    CAST(coalesce(sum(g.gain * ($disc)[r.rnk]), 0) AS BIGINT) AS dcg_e6
+       |  FROM retrieved r LEFT JOIN g
+       |    ON r.query_id = g.query_id AND r.neighbor_id = g.neighbor_id
+       |  GROUP BY 1)
+       |SELECT coalesce(h.query_id, ideal.query_id) AS query,
+       |  CAST(coalesce(h.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       |  CAST(coalesce(ideal.n_relevant, 0) AS BIGINT) AS n_relevant,
+       |  CAST(coalesce(h.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       |  ideal.idcg_e6,
+       |  CASE WHEN ideal.idcg_e6 >= 1
+       |    THEN CAST((coalesce(h.dcg_e6, 0) * 1000000) // ideal.idcg_e6 AS BIGINT) END AS ndcg_e6
+       |FROM h FULL OUTER JOIN ideal ON h.query_id = ideal.query_id
        |ORDER BY query""".stripMargin
   }
 

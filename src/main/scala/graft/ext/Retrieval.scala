@@ -192,4 +192,161 @@ object Retrieval {
         expr("CASE WHEN idcg_e9 >= 1 " +
           "THEN (dcg_e9 * 1000000) div idcg_e9 END"))
   }
+
+  /** Discount constants at 1e6 scale for GRADED nDCG: the graded form
+    * multiplies each discount by a gain up to 2^maxRel − 1, so the
+    * pre-scale drops from 1e9 to 1e6 to keep the worst case —
+    * (2^10 − 1) · 1e6 · 1000 ranks · 1e6 final scale ≈ 1.0e18 — inside
+    * BIGINT. Same inlined-constant discipline as [[discountsE9]].
+    */
+  def discountsE6(k: Int): Array[Long] = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    (1 to k).map(i => (1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+      .toArray
+  }
+
+  /** Graded-relevance nDCG@k (Järvelin & Kekäläinen, TOIS 2002 —
+    * exponential gains): gain(rel) = 2^rel − 1, DCG = Σ gain · disc(rank)
+    * with [[discountsE6]] constants, ideal DCG from the judgment set
+    * sorted by rel desc (doc asc on ties — deterministic in both
+    * engines).
+    *
+    * @param judgments (queryCol, idCol, relCol) — graded relevance,
+    *                  integer 0..maxRel; rel ≤ 0 rows are dropped (they
+    *                  contribute no gain and must not occupy ideal
+    *                  ranks). Duplicate (query, doc) judgments raise
+    *                  in-plan (two grades for one doc is a labeling
+    *                  bug, and MAX-merging would hide it).
+    * @param maxRel    loud upper bound on rel (default 10): caps the
+    *                  gain at 1023 so every sum stays overflow-free.
+    * @return one row per query appearing in either input:
+    *         (query, n_retrieved, n_relevant, dcg_e6, idcg_e6, ndcg_e6)
+    *         — ndcg NULL when the judgment set is empty.
+    */
+  def rankEvalGraded(retrieved: DataFrame, judgments: DataFrame,
+                     queryCol: String, idCol: String, rankCol: String,
+                     relCol: String, k: Int, maxRel: Int = 10): DataFrame = {
+    require(maxRel >= 1 && maxRel <= 20,
+      s"maxRel must be in [1, 20], got $maxRel")
+    val discCol = array(discountsE6(k).toIndexedSeq.map(lit): _*)
+    val ret = retrieved.select(col(queryCol).as("query"),
+        col(idCol).as("doc"), col(rankCol).cast("int").as("rank"))
+      .filter(col("rank") <= k)
+    val rel = col(relCol).cast("long")
+    val judge = judgments
+      .select(col(queryCol).as("query"), col(idCol).as("doc"),
+        when(rel <= maxRel, rel)
+          .otherwise(raise_error(concat(
+            lit(s"rankEvalGraded: rel exceeds maxRel=$maxRel for (query="),
+            col(queryCol).cast("string"), lit(", doc="),
+            col(idCol).cast("string"),
+            lit(") — raise maxRel knowingly (gains are 2^rel)"))))
+          .as("rel"))
+      .filter(col("rel") >= 1L)
+      .groupBy(col("query"), col("doc"))
+      .agg(max(col("rel")).as("rel"), count(lit(1)).as("__nj"))
+      .select(col("query"), col("doc"),
+        when(col("__nj") === 1L, col("rel"))
+          .otherwise(raise_error(concat(
+            lit("rankEvalGraded: duplicate judgment for (query="),
+            col("query").cast("string"), lit(", doc="),
+            col("doc").cast("string"),
+            lit(") — one grade per (query, doc)")))).as("rel"))
+      // gains are exact BIGINTs (rel ≤ 20 bounded above); expr form
+      // because functions.shiftleft only takes a literal bit count
+      .withColumn("gain",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1"))
+    // ideal ranks: judgment set ordered by gain desc (doc asc ties),
+    // top-k rows carry their rank's discount
+    val wIdeal = Window.partitionBy("query")
+      .orderBy(desc("gain"), asc("doc"))
+    val ideal = judge
+      .withColumn("__irank", row_number().over(wIdeal))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_relevant"),
+        sum(when(col("__irank") <= k,
+          col("gain") * element_at(discCol, col("__irank"))))
+          .as("idcg_e6"))
+    val hits = ret.join(judge, Seq("query", "doc"), "left")
+      .groupBy("query")
+      .agg(count(lit(1)).as("__nret"),
+        count_distinct(col("doc")).as("__ndocs"),
+        coalesce(sum(col("gain") * element_at(discCol, col("rank"))),
+          lit(0L)).as("dcg_e6"))
+      .select(col("query"),
+        when(col("__nret") === col("__ndocs"), col("__nret"))
+          .otherwise(raise_error(concat(
+            lit("rankEvalGraded: duplicate (query, doc) in retrieved "),
+            lit("for query "), col("query").cast("string"))))
+          .as("n_retrieved"),
+        col("dcg_e6"))
+    hits.join(ideal, Seq("query"), "full")
+      .select(col("query"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        col("idcg_e6"))
+      .withColumn("ndcg_e6",
+        expr("CASE WHEN idcg_e6 >= 1 " +
+          "THEN (dcg_e6 * 1000000) div idcg_e6 END"))
+  }
+
+  /** Rank-position metrics per query: MRR and (truncated, TREC-style)
+    * MAP — the other two numbers every retrieval eval reports next to
+    * recall/nDCG. Binary judgments, same contracts as [[rankEval]]
+    * (full outer per-query output, in-plan duplicate guard, integer-
+    * exact arithmetic).
+    *
+    * @return one row per query appearing in either input:
+    *         - `first_hit_rank` rank of the first relevant doc ≤ k
+    *           (NULL if none)
+    *         - `rr_e6`          floor(1e6 / first_hit_rank); 0 when
+    *           judged but nothing hit; NULL when no judgments
+    *         - `ap_e6`          floor(Σ_{hits i} floor(cumHits_i · 1e9
+    *           / i) / (n_relevant · 1000)) — average precision with
+    *           P@i pre-scaled to 1e9 so both engines floor identically;
+    *           NULL when no judgments
+    */
+  def rankEvalRanks(retrieved: DataFrame, judgments: DataFrame,
+                    queryCol: String, idCol: String, rankCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val ret = retrieved.select(col(queryCol).as("query"),
+        col(idCol).as("doc"), col(rankCol).cast("int").as("rank"))
+      .filter(col("rank") <= k)
+    val judge = judgments
+      .select(col(queryCol).as("query"), col(idCol).as("doc")).distinct()
+    val relCounts = judge.groupBy("query")
+      .agg(count(lit(1)).as("n_relevant"))
+    val wCum = Window.partitionBy("query").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = ret.join(judge.withColumn("__rel", lit(1L)),
+        Seq("query", "doc"), "left")
+      .withColumn("__cum", sum(coalesce(col("__rel"), lit(0L))).over(wCum))
+      .withColumn("__pterm",
+        when(col("__rel") === 1L, expr("(__cum * 1000000000) div rank")))
+    val hits = scored.groupBy("query")
+      .agg(count(lit(1)).as("__nret"),
+        count_distinct(col("doc")).as("__ndocs"),
+        min(when(col("__rel") === 1L, col("rank"))).as("first_hit_rank"),
+        coalesce(sum(col("__pterm")), lit(0L)).as("__psum"))
+      .select(col("query"),
+        when(col("__nret") === col("__ndocs"), col("first_hit_rank"))
+          .otherwise(raise_error(concat(
+            lit("rankEvalRanks: duplicate (query, doc) in retrieved "),
+            lit("for query "), col("query").cast("string"))))
+          .as("first_hit_rank"),
+        col("__psum"))
+    hits.join(relCounts, Seq("query"), "full")
+      .select(col("query"), col("first_hit_rank"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("__psum"), lit(0L)).as("__psum"))
+      .withColumn("rr_e6",
+        expr("CASE WHEN n_relevant >= 1 THEN " +
+          "coalesce(1000000 div first_hit_rank, 0) END"))
+      .withColumn("ap_e6",
+        expr("CASE WHEN n_relevant >= 1 " +
+          "THEN __psum div (n_relevant * 1000) END"))
+      .drop("__psum")
+  }
 }

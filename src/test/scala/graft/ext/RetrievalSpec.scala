@@ -127,6 +127,106 @@ class RetrievalSpec extends SparkTestBase {
       .contains("duplicate (query, doc)"))
   }
 
+  test("rankEvalGraded matches closed-form graded dcg/idcg/ndcg") {
+    val k = 3
+    val d = Retrieval.discountsE6(k)
+    // retrieved 10,11,12 at ranks 1..3; grades: 10→2, 12→1, 99→3
+    // gains: 10→3, 12→1, 99→7 (99 unretrieved, 11 unjudged)
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q", "d", "r")
+    val judgments = Seq((1L, 10L, 2), (1L, 12L, 1), (1L, 99L, 3))
+      .toDF("q", "d", "rel")
+    val row = Retrieval.rankEvalGraded(retrieved, judgments,
+        "q", "d", "r", "rel", k)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    val dcg = 3L * d(0) + 1L * d(2)
+    val idcg = 7L * d(0) + 3L * d(1) + 1L * d(2) // ideal: 99, 10, 12
+    assert(row == ((1L, 3L, 3L, dcg, Some(idcg),
+      Some(dcg * 1000000L / idcg))))
+  }
+
+  test("rankEvalGraded: rel=0 judgments neither gain nor occupy ideal ranks") {
+    val k = 2
+    val d = Retrieval.discountsE6(k)
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "d", "r")
+    // the rel-0 row must NOT push doc 11 out of ideal rank 1
+    val judgments = Seq((1L, 10L, 0), (1L, 11L, 1)).toDF("q", "d", "rel")
+    val row = Retrieval.rankEvalGraded(retrieved, judgments,
+        "q", "d", "r", "rel", k)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(row._3 == 1L)                 // n_relevant counts rel>=1 only
+    assert(row._4 == 1L * d(1))          // doc 11 hit at rank 2
+    assert(row._5.contains(1L * d(0)))   // ideal: the one graded doc at rank 1
+  }
+
+  test("rankEvalGraded guards: rel > maxRel, duplicate judgment, duplicate retrieved") {
+    val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
+    assert(failureMessage(
+      Retrieval.rankEvalGraded(retrieved,
+        Seq((1L, 10L, 11)).toDF("q", "d", "rel"),
+        "q", "d", "r", "rel", 3).collect())
+      .contains("exceeds maxRel"))
+    assert(failureMessage(
+      Retrieval.rankEvalGraded(retrieved,
+        Seq((1L, 10L, 1), (1L, 10L, 2)).toDF("q", "d", "rel"),
+        "q", "d", "r", "rel", 3).collect())
+      .contains("duplicate judgment"))
+    assert(failureMessage(
+      Retrieval.rankEvalGraded(
+        Seq((1L, 10L, 1), (1L, 10L, 2)).toDF("q", "d", "r"),
+        Seq((1L, 10L, 1)).toDF("q", "d", "rel"),
+        "q", "d", "r", "rel", 3).collect())
+      .contains("duplicate (query, doc)"))
+  }
+
+  test("rankEvalGraded: unjudged query → NULL ndcg; judgment-only query → 0") {
+    val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
+    val judgments = Seq((2L, 20L, 1), (2L, 21L, 2)).toDF("q", "d", "rel")
+    val rows = Retrieval.rankEvalGraded(retrieved, judgments,
+        "q", "d", "r", "rel", 3)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    assert(rows(0)._5.isEmpty && rows(0)._6.isEmpty) // no judgments for q1
+    assert(rows(1)._2 == 0L && rows(1)._4 == 0L &&
+      rows(1)._6.contains(0L)) // judged, nothing retrieved → ndcg 0
+  }
+
+  test("rankEvalRanks matches closed-form MRR and truncated MAP") {
+    // hits at ranks 2 and 4 of 4 retrieved; 3 relevant total
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+      .toDF("q", "d", "r")
+    val judgments = Seq((1L, 11L), (1L, 13L), (1L, 99L)).toDF("q", "d")
+    val row = Retrieval.rankEvalRanks(retrieved, judgments, "q", "d", "r", 10)
+      .as[(Long, Option[Int], Long, Option[Long], Option[Long])]
+      .collect().head
+    // P@2 = 1/2 → 500000000; P@4 = 2/4 → 500000000; AP = 1e9/(3·1000)
+    assert(row == ((1L, Some(2), 3L, Some(1000000L / 2),
+      Some(1000000000L / 3000L))))
+  }
+
+  test("rankEvalRanks edges: no hits → 0s; unjudged → NULLs; judgment-only row") {
+    val retrieved = Seq((1L, 10L, 1), (3L, 30L, 1)).toDF("q", "d", "r")
+    val judgments = Seq((1L, 99L), (2L, 20L)).toDF("q", "d")
+    val rows = Retrieval.rankEvalRanks(retrieved, judgments, "q", "d", "r", 10)
+      .as[(Long, Option[Int], Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0) == ((1L, None, 1L, Some(0L), Some(0L)))) // judged, missed
+    assert(rows(1) == ((2L, None, 1L, Some(0L), Some(0L)))) // judgment-only
+    assert(rows(2) == ((3L, None, 0L, None, None)))         // unjudged
+  }
+
+  test("rankEvalRanks raises on duplicate retrieved docs") {
+    assert(failureMessage(
+      Retrieval.rankEvalRanks(
+        Seq((1L, 10L, 1), (1L, 10L, 2)).toDF("q", "d", "r"),
+        Seq((1L, 10L)).toDF("q", "d"), "q", "d", "r", 10).collect())
+      .contains("duplicate (query, doc)"))
+  }
+
   test("rankEval ignores duplicate judgments (defensive distinct)") {
     val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
     val judgments = Seq((1L, 10L), (1L, 10L)).toDF("q", "d")
