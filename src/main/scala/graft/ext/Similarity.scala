@@ -108,6 +108,38 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     VectorFunctions.hyperplaneBucket(vec, planes.toSeq.map(_.toSeq))
 
+  /** Production LSH bit sizing: bits = clamp(⌈log2(n /
+    * targetBucketRows)⌉, 4, 30) from one column-pruned count — expected
+    * bucket occupancy ≈ targetBucketRows, so per-bucket pair work (occ²)
+    * stays CONSTANT and total candidate volume stays ∝ n as the corpus
+    * grows (a fixed bit count makes it ∝ n²/2^bits — the same fixed-
+    * parameter hazard the 10× audit caught for IVF cells). Note the
+    * recall side of the dial: more bits at a fixed probe count lowers
+    * per-table recall — production tuning raises probes/tables alongside,
+    * auto-sizing only pins the COST shape.
+    */
+  def bitsAuto(corpus: DataFrame, idCol: String,
+               targetBucketRows: Int = 64): Int = {
+    require(targetBucketRows >= 1,
+      s"targetBucketRows must be >= 1, got $targetBucketRows")
+    val n = math.max(1L, corpus.select(col(idCol)).count())
+    val raw = math.ceil(
+      math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt
+    math.max(4, math.min(30, raw))
+  }
+
+  /** `bits = 0` in the LSH entry points means "size automatically" via
+    * [[bitsAuto]] — the production default; gates pass explicit bits so
+    * oracles replay buckets byte-for-byte (the [[resolveNumCells]]
+    * convention).
+    */
+  private def resolveBits(side: DataFrame, idCol: String, bits: Int,
+                          op: String): Int = {
+    require(bits >= 0 && bits <= 62,
+      s"$op: bits must be in [0, 62] (0 = auto), got $bits")
+    if (bits == 0) bitsAuto(side, idCol) else bits
+  }
+
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing the query's
     * bucket, or (multi-probe) any bucket at hamming distance 1 from it.
     * Exact cosine + window top-k on the candidate set. Recall < 1 by
@@ -115,9 +147,10 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, queryIdCol: String,
-              k: Int = 10, bits: Int = 12, dim: Int = 64,
+              k: Int = 10, bits: Int = 0, dim: Int = 64,
               seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
-    val planes = hyperplanes(dim, bits, seed)
+    val nBits = resolveBits(corpus, idCol, bits, "lshTopK")
+    val planes = hyperplanes(dim, nBits, seed)
     val corpusB = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         norm(col(vecCol)).as("c_norm"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
@@ -129,7 +162,7 @@ object Similarity {
     val probeBuckets =
       if (multiProbe)
         explode(concat(array(col("q_bucket")),
-          transform(sequence(lit(0), lit(bits - 1)),
+          transform(sequence(lit(0), lit(nBits - 1)),
             i => col("q_bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
       else col("q_bucket")
     val q = broadcast(qBase.select(col("query_id"), col("q_vec"), col("q_norm"),
@@ -171,11 +204,12 @@ object Similarity {
     */
   def lshTopKJoin(left: DataFrame, right: DataFrame,
                   leftIdCol: String, rightIdCol: String, vecCol: String,
-                  k: Int = 10, bits: Int = 12, dim: Int = 64,
+                  k: Int = 10, bits: Int = 0, dim: Int = 64,
                   seed: Long = 42L, multiProbe: Boolean = true,
                   saltBuckets: Int = 1): DataFrame = {
     requireIntegralRightId(right, rightIdCol, "lshTopKJoin")
-    val planes = hyperplanes(dim, bits, seed)
+    val nBits = resolveBits(right, rightIdCol, bits, "lshTopKJoin")
+    val planes = hyperplanes(dim, nBits, seed)
     val r = right.select(col(rightIdCol).as("neighbor_id"),
         col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"))
       .withColumn("bucket", lshBucket(col("c_vec"), planes))
@@ -185,7 +219,7 @@ object Similarity {
     val probeBuckets =
       if (multiProbe)
         explode(concat(array(col("q_bucket")),
-          transform(sequence(lit(0), lit(bits - 1)),
+          transform(sequence(lit(0), lit(nBits - 1)),
             i => col("q_bucket").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
       else col("q_bucket")
     val l = lBase.select(col("query_id"), col("q_vec"), col("q_norm"),
@@ -574,9 +608,10 @@ object Similarity {
     * buckets.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-                        bits: Int = 12, dim: Int = 64,
+                        bits: Int = 0, dim: Int = 64,
                         seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, bits, seed)
+    val planes = hyperplanes(dim,
+      resolveBits(df, idCol, bits, "lshCandidatePairs"), seed)
     val withBucket = df.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), planes))
       .withColumn("nrm", norm(col(vecCol)))

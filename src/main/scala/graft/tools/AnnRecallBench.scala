@@ -55,19 +55,19 @@ object AnnRecallBench {
     val rows = Seq(
       timed("brute-force (exact)", "full corpus scan per query batch")(
         Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", "query_id", k)),
-      timed("LSH 12-bit multi-probe", "scores only matching + adjacent buckets")(
+      timed("LSH auto-bit multi-probe", "scores only matching + adjacent buckets")(
         Similarity.lshTopK(emb, qs, "vec_id", "embedding", "query_id", k)),
       timed("LSH 6-bit multi-probe", "bigger buckets: more corpus scored, higher recall")(
         Similarity.lshTopK(emb, qs, "vec_id", "embedding", "query_id", k, bits = 6)),
-      timed("IVF nprobe=3/16", "scores only probed cells")(
+      timed("IVF nprobe=3/auto", "scores only probed cells")(
         Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "query_id", k)),
-      timed("IVF nprobe=8/16", "half the cells probed: recall/cost midpoint")(
+      timed("IVF nprobe=8/auto", "more cells probed: recall/cost midpoint")(
         Similarity.ivfTopK(emb, qs, "vec_id", "embedding", "query_id", k, nprobe = 8)),
       timed("PQ 8x16 rerank=4", "ADC over codes; raw vectors only for re-rank pool")(
         Similarity.pqTopK(emb, qs, "vec_id", "embedding", "query_id", k)),
       timed("PQ 8x16 rerank=16", "wider exact re-rank pool over the same codes")(
         Similarity.pqTopK(emb, qs, "vec_id", "embedding", "query_id", k, rerankFactor = 16)),
-      timed("IVF join nprobe=3/16", "cell equi-join, raw vectors ride the join")(
+      timed("IVF join nprobe=3/auto", "cell equi-join, raw vectors ride the join")(
         Similarity.ivfTopKJoin(qs, emb, "query_id", "vec_id", "embedding", k)),
       timed("IVF+PQ join 8x16 rerank=4", "cell equi-join over codes; raw vectors only for re-rank pool")(
         Similarity.ivfPqTopKJoin(qs, emb, "query_id", "vec_id", "embedding", k)),

@@ -111,6 +111,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.numCellsAuto(off, "vec_id") == 21) // ceil rounds up
   }
 
+  test("bitsAuto: bits = clamp(ceil(log2(n/target)), 4, 30) from a count") {
+    val tiny = (0L until 10L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.bitsAuto(tiny, "vec_id") == 4) // floor holds
+    val mid = (0L until 8192L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.bitsAuto(mid, "vec_id") == 7)  // 8192/64 = 2^7
+    assert(Similarity.bitsAuto(mid, "vec_id", targetBucketRows = 32) == 8)
+  }
+
+  test("lshTopK with bits=0 (auto) equals the explicit auto-sized call") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 31 + d * 7).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val auto = Similarity.lshTopK(vecs, qs, "vec_id", "embedding",
+        "query_id", k = 5, dim = 16) // default bits = 0 = auto
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val explicit = Similarity.lshTopK(vecs, qs, "vec_id", "embedding",
+        "query_id", k = 5, bits = 4, dim = 16) // = bitsAuto(200): clamp floor
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("ivfTopK with numCells=0 (auto) equals the explicit auto-sized call") {
     val vecs = (0L until 400L).map { i =>
       (i, Array.tabulate(16)(d => math.sin((i * 13 + d * 5).toDouble).toFloat))
