@@ -4156,6 +4156,30 @@ object SparkEntry {
       Retrieval.rankEvalRanks(retrieved, judgments, "query_id",
           "neighbor_id", "rank", k = 10)
         .orderBy("query")
+    }),
+
+    // ext retrieval — HYBRID lexical fusion: per query term, a BM25
+    // ranking (length-normalized) and a raw term-frequency ranking (the
+    // lexical twin of q227's cosine-vs-dot pair — the two disagree
+    // exactly where document length varies), RRF-fused. Pure
+    // composition of gated operators: TextStats.bm25PerTerm supplies
+    // both scores in one pass, Retrieval.rrf fuses; the oracle replays
+    // q68's BM25 CTEs plus the integer fusion.
+    "q231_hybrid_retrieval" -> ((s, dir) => {
+      val bm = TextStats.bm25PerTerm(tbl(s, dir, "documents"), "doc_id",
+        "text", Seq("hash", "merge", "scan"))
+      val wS = Window.partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+      val runBm = bm.withColumn("rank", row_number().over(wS))
+        .filter(col("rank") <= 20)
+        .select(col("term"), col("doc_id"), col("rank"),
+          lit("bm25").as("run"))
+      val wT = Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
+      val runTf = bm.withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 20)
+        .select(col("term"), col("doc_id"), col("rank"), lit("tf").as("run"))
+      Retrieval.rrf(runBm.union(runTf), "term", "doc_id", "rank", "run",
+          k = 10)
+        .orderBy("query", "rank")
     })
   )
 
@@ -9336,7 +9360,51 @@ object SparkEntry {
         |  CASE WHEN n_relevant >= 1
         |    THEN CAST(psum // (n_relevant * 1000) AS BIGINT) END AS ap_e6
         |FROM base
-        |ORDER BY query""".stripMargin
+        |ORDER BY query""".stripMargin,
+
+    // q68's BM25 CTEs verbatim, then two per-term rankings (BM25 score
+    // vs raw tf, doc_id tiebreak both) and the q227 integer RRF block.
+    "q231_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |t AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM t WHERE term IN ('hash', 'merge', 'scan') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term, tf,
+        |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |      * ((tf * CAST(2.2 AS DOUBLE))
+        |        / (tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |run_bm AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc QUALIFY rnk <= 20),
+        |run_tf AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+        |  FROM sc QUALIFY rnk <= 20),
+        |fused AS (
+        |  SELECT term AS query, doc_id AS doc,
+        |    CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_score
+        |  FROM (SELECT * FROM run_bm UNION ALL SELECT * FROM run_tf)
+        |  GROUP BY 1, 2)
+        |SELECT query, doc, rrf_score,
+        |  CAST(row_number() OVER (PARTITION BY query ORDER BY rrf_score DESC, doc) AS INT) AS rank
+        |FROM fused
+        |QUALIFY rank <= 10
+        |ORDER BY query, rank""".stripMargin
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;

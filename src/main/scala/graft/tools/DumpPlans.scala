@@ -38,7 +38,9 @@ object DumpPlans {
       "q210_repetition_signals" -> "Gopher repetition signals: ONE repetition_stats kernel node in the scan projection computes all 15 masses per row - no explode, no Exchange before the final sort; the built-in formulation would shuffle ~9x the corpus token count",
       "q213_kmeans" -> "k-means assignment: ONE pq_encode kernel node against centroid literals - no join, no window; the corpus never shuffles for assignment (fit's per-round update is the skinny (cluster, dim) aggregate)",
       "q220_pack_concat" -> "concat-and-slice packing: doc start offsets via ONE per-shard running-sum window, then a per-(doc, window) slice explode - O(docs + windows) rows, never per token - into one (shard, window) HashAggregate with in-row offset-sorted assembly",
-      "q207_quality_percentile" -> "two-phase score percentiles: per-distinct-score HashAggregate, coarse width_bucket carry frame (<= 1026 rows, constant-key window), fine running sum PARTITIONED BY bucket - no empty-partition WindowExec anywhere (PlanGuard-asserted)"
+      "q207_quality_percentile" -> "two-phase score percentiles: per-distinct-score HashAggregate, coarse width_bucket carry frame (<= 1026 rows, constant-key window), fine running sum PARTITIONED BY bucket - no empty-partition WindowExec anywhere (PlanGuard-asserted)",
+      "q227_rrf_fusion" -> "RRF fusion: two broadcast-query-set corpus scans (cosine + dot runs, the sanctioned q15 shape - corpus never shuffles), union -> ONE (query, doc) partial+final HashAggregate over <= sum-of-k rows with the duplicate-evidence raise_error guard fused into its output projection, then a per-query window over the fused frame",
+      "q230_mrr_map" -> "MRR/MAP eval: retrieved list (|Q| x k rows) left-joins judgments on (query, doc); cumulative hits via a per-query FRAMED running-sum window (rows between unbounded preceding and current); metrics collapse in one per-query HashAggregate - nothing corpus-sized past the retriever scan"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries\n\n")
