@@ -4180,6 +4180,25 @@ object SparkEntry {
       Retrieval.rrf(runBm.union(runTf), "term", "doc_id", "rank", "run",
           k = 10)
         .orderBy("query", "rank")
+    }),
+
+    // ext retrieval — MMR diversified re-rank of the exact cosine
+    // pool: five greedy rounds (fixed-iteration, the q213 stance) of
+    // argmax λ·rel − (1−λ)·max-sim-to-selected with λ = 0.75 (dyadic,
+    // so 1−λ is the exact double 0.25 in BOTH engines); pool pair sims
+    // are the proven-exact cosine kernel, so every score comparison
+    // replays bit-for-bit in the oracle's unrolled rounds.
+    "q232_mmr_rerank" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cand = Similarity.bruteForceTopK(em, qs, "vec_id", "embedding",
+          "query_id", k = 20)
+        .join(em.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+      Retrieval.mmrRerank(cand, "query_id", "neighbor_id", "cosine",
+          "embedding", k = 5)
+        .orderBy("query", "mmr_rank")
     })
   )
 
@@ -9404,7 +9423,9 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query ORDER BY rrf_score DESC, doc) AS INT) AS rank
         |FROM fused
         |QUALIFY rank <= 10
-        |ORDER BY query, rank""".stripMargin
+        |ORDER BY query, rank""".stripMargin,
+
+    "q232_mmr_rerank" -> MmrOracle
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
@@ -9505,6 +9526,66 @@ object SparkEntry {
        |    THEN CAST((coalesce(h.dcg_e6, 0) * 1000000) // ideal.idcg_e6 AS BIGINT) END AS ndcg_e6
        |FROM h FULL OUTER JOIN ideal ON h.query_id = ideal.query_id
        |ORDER BY query""".stripMargin
+  }
+
+  /** MMR replay (q232): the five greedy rounds unrolled as CTE chains —
+    * round i anti-joins the selected set, takes max pool-pair sim to it
+    * (the same proven-exact cosine kernel text), and argmaxes
+    * `0.75·rel − 0.25·maxsim` with the doc tiebreak. λ = 0.75 is dyadic
+    * so both engines compute the identical doubles.
+    */
+  private val MmrOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    val rounds = (2 to 5).map { i =>
+      val p = i - 1
+      s"""rem$i AS (
+         |  SELECT p.query_id, p.neighbor_id, p.rel
+         |  FROM pool p LEFT JOIN s$p s
+         |    ON p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id
+         |  WHERE s.neighbor_id IS NULL),
+         |ms$i AS (
+         |  SELECT x.query_id, x.id_a, max(x.sim) AS ms
+         |  FROM sims x JOIN s$p s
+         |    ON x.query_id = s.query_id AND x.id_b = s.neighbor_id
+         |  GROUP BY 1, 2),
+         |pick$i AS (
+         |  SELECT r.query_id, r.neighbor_id, r.rel, $i AS mmr_rank
+         |  FROM rem$i r LEFT JOIN ms$i
+         |    ON ms$i.query_id = r.query_id AND ms$i.id_a = r.neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY r.query_id
+         |    ORDER BY 0.75 * r.rel - 0.25 * coalesce(ms$i.ms, 0.0) DESC,
+         |      r.neighbor_id) = 1),
+         |s$i AS (SELECT * FROM s$p UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosSql("q.qv", "e.embedding")} AS cosine
+       |  FROM q CROSS JOIN embeddings e),
+       |pool AS (
+       |  SELECT query_id, neighbor_id, cosine AS rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored QUALIFY rnk <= 20),
+       |pv AS (
+       |  SELECT p.query_id, p.neighbor_id, e.embedding
+       |  FROM pool p JOIN embeddings e ON e.vec_id = p.neighbor_id),
+       |sims AS (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |    ${cosSql("a.embedding", "b.embedding")} AS sim
+       |  FROM pv a JOIN pv b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS (
+       |  SELECT query_id, neighbor_id, rel, 1 AS mmr_rank FROM pool
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) = 1),
+       |$rounds
+       |SELECT query_id AS query, neighbor_id AS doc, rel,
+       |  CAST(mmr_rank AS INT) AS mmr_rank
+       |FROM s5
+       |ORDER BY query, mmr_rank""".stripMargin
   }
 
   /** One-shot CMS heavy-hitters oracle over document words (q224 batch

@@ -349,4 +349,106 @@ object Retrieval {
           "THEN __psum div (n_relevant * 1000) END"))
       .drop("__psum")
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedy diversified selection from each query's candidate
+    * pool — round i picks argmax over the unselected pool of
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` (round 1: pure
+    * relevance), ties to the lowest doc id. The standard last stage of
+    * a RAG retrieval stack: near-duplicate candidates stop crowding
+    * the context window.
+    *
+    * Scale shape: the pool is EVALUATION-sized by contract (≤ maxPool
+    * rows per query, guarded in-plan with `raise_error`) — pairwise
+    * sims are computed ONCE as a query-keyed equi-join (pool² per
+    * query), and the k greedy rounds are k bounded plan stages over
+    * the pool frame (the q213 fixed-iteration stance: deterministic
+    * and oracle-replayable round by round; each round's pick is
+    * lineage-cut so plan depth stays linear in k). Nothing touches the
+    * corpus.
+    *
+    * λ defaults to 0.75 — a DYADIC double, so `1 − λ` is exact and the
+    * SQL oracle's literal mirrors the Spark constant bit-for-bit (an
+    * 0.7 default would make 1−λ = 0.30000000000000004 and invite
+    * near-tie argmax divergence between engines).
+    *
+    * @param candidates (queryCol, idCol, relCol, vecCol) — one row per
+    *                   (query, candidate); docs unique per query
+    *                   (duplicates raise).
+    * @return (query, doc, rel, mmr_rank) — mmr_rank 1..min(k, pool).
+    */
+  def mmrRerank(candidates: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.75, maxPool: Int = 256): DataFrame = {
+    require(k >= 1 && k <= 20,
+      s"k must be in [1, 20] (k greedy plan stages), got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    require(maxPool >= 1, s"maxPool must be >= 1, got $maxPool")
+    val wPool = Window.partitionBy("query").orderBy(asc("doc"))
+    val pool0 = candidates.select(col(queryCol).as("query"),
+        col(idCol).as("doc"), col(relCol).cast("double").as("rel"),
+        col(vecCol).as("__vec"))
+      .withColumn("__n", row_number().over(wPool))
+      // pool bound + uniqueness guard ride one tiny window: pair sims
+      // are pool² per query, so an unbounded pool is the quadratic
+      // blowup this operator must refuse loudly
+      .withColumn("__n",
+        when(col("__n") <= maxPool, col("__n"))
+          .otherwise(raise_error(concat(
+            lit(s"mmrRerank: candidate pool exceeds maxPool=$maxPool "),
+            lit("for query "), col("query").cast("string"),
+            lit(" — pair sims are pool² per query; pre-truncate the "),
+            lit("pool or raise maxPool knowingly")))))
+      .withColumn("__dup", count(lit(1))
+        .over(Window.partitionBy("query", "doc")))
+      .select(col("query"),
+        when(col("__dup") === 1, col("doc"))
+          .otherwise(raise_error(concat(
+            lit("mmrRerank: duplicate candidate doc for query "),
+            col("query").cast("string")))).as("doc"),
+        col("rel"), col("__vec"), col("__n"))
+    val pool = graft.plans.PlanCapture.cut(
+      pool0.withColumn("__nrm", Similarity.norm(col("__vec"))))
+    val sims = graft.plans.PlanCapture.cut(
+      pool.select(col("query"), col("doc").as("id_a"),
+          col("__vec").as("v_a"), col("__nrm").as("n_a"))
+        .join(pool.select(col("query"), col("doc").as("id_b"),
+          col("__vec").as("v_b"), col("__nrm").as("n_b")), Seq("query"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("query"), col("id_a"), col("id_b"),
+          Similarity.cosinePrenormed(col("v_a"), col("v_b"),
+            col("n_a"), col("n_b")).as("sim")))
+    val slim = pool.select("query", "doc", "rel")
+    val wPick = Window.partitionBy("query")
+      .orderBy(desc("__score"), asc("doc"))
+    // round 1: pure relevance
+    var selected = graft.plans.PlanCapture.cut(
+      slim.withColumn("__score", col("rel"))
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("query"), col("doc"), col("rel"),
+          lit(1).as("mmr_rank")))
+    for (round <- 2 to k) {
+      val remaining = slim.join(
+        selected.select(col("query"), col("doc")), Seq("query", "doc"),
+        "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("query"), col("doc").as("id_b")),
+          Seq("query", "id_b"))
+        .groupBy("query", "id_a")
+        .agg(max(col("sim")).as("__ms"))
+        .withColumnRenamed("id_a", "doc")
+      val pick = remaining
+        .join(maxSim, Seq("query", "doc"), "left")
+        .withColumn("__score",
+          lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
+        .withColumn("__rn", row_number().over(wPick))
+        .filter(col("__rn") === 1)
+        .select(col("query"), col("doc"), col("rel"),
+          lit(round).as("mmr_rank"))
+      selected = graft.plans.PlanCapture.cut(selected.union(pick))
+    }
+    selected
+  }
 }

@@ -227,6 +227,58 @@ class RetrievalSpec extends SparkTestBase {
       .contains("duplicate (query, doc)"))
   }
 
+  // A ≡ B in vector space (sim 1), C orthogonal to both; rels 0.9/0.8/0.5.
+  // Pure relevance order would be A, B, C — MMR must demote the near-dup B.
+  private def mmrPool = Seq(
+    (1L, 10L, 0.9, Array(1.0f, 0.0f)),   // A
+    (1L, 11L, 0.8, Array(1.0f, 0.0f)),   // B — duplicate direction of A
+    (1L, 12L, 0.5, Array(0.0f, 1.0f))    // C — orthogonal
+  ).toDF("q", "d", "rel", "v")
+
+  test("mmrRerank demotes near-duplicate candidates (closed form)") {
+    val out = Retrieval.mmrRerank(mmrPool, "q", "d", "rel", "v", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // round 1: A (top rel). round 2: B scores .75·.8 − .25·1 = .35,
+    // C scores .75·.5 − 0 = .375 → C. round 3: B (last remaining).
+    assert(out.map(_._2).toSeq == Seq(10L, 12L, 11L))
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+  }
+
+  test("mmrRerank with lambda=1 is pure relevance ranking; k caps output") {
+    val out = Retrieval.mmrRerank(mmrPool, "q", "d", "rel", "v", k = 2,
+        lambda = 1.0)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(10L, 11L)) // rel desc, no diversity
+  }
+
+  test("mmrRerank: k beyond the pool returns the whole pool, ranks contiguous") {
+    val two = mmrPool.filter($"d" =!= 11L)
+    val out = Retrieval.mmrRerank(two, "q", "d", "rel", "v", k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._4).toSeq == Seq(1, 2) && out.length == 2)
+  }
+
+  test("mmrRerank treats queries independently") {
+    val twoQ = mmrPool.union(
+      Seq((2L, 20L, 0.4, Array(0.5f, 0.5f)),
+        (2L, 21L, 0.9, Array(0.1f, 0.9f))).toDF("q", "d", "rel", "v"))
+    val out = Retrieval.mmrRerank(twoQ, "q", "d", "rel", "v", k = 1)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 10L), (2L, 21L)))
+  }
+
+  test("mmrRerank guards: duplicate candidate and pool bound raise") {
+    val dup = Seq((1L, 10L, 0.9, Array(1.0f)), (1L, 10L, 0.8, Array(1.0f)))
+      .toDF("q", "d", "rel", "v")
+    assert(failureMessage(
+      Retrieval.mmrRerank(dup, "q", "d", "rel", "v", k = 2).collect())
+      .contains("duplicate candidate"))
+    assert(failureMessage(
+      Retrieval.mmrRerank(mmrPool, "q", "d", "rel", "v", k = 2,
+        maxPool = 2).collect())
+      .contains("exceeds maxPool"))
+  }
+
   test("rankEval ignores duplicate judgments (defensive distinct)") {
     val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
     val judgments = Seq((1L, 10L), (1L, 10L)).toDF("q", "d")
