@@ -4199,6 +4199,17 @@ object SparkEntry {
       Retrieval.mmrRerank(cand, "query_id", "neighbor_id", "cosine",
           "embedding", k = 5)
         .orderBy("query", "mmr_rank")
+    }),
+
+    // ext privacy — k-anonymity / l-diversity release audit: one QI-
+    // keyed hash aggregate flags every quasi-identifier group that is
+    // too small (k) or too uniform in the sensitive attribute (l).
+    // Exact integer counts; the oracle is the same GROUP BY.
+    "q233_k_anonymity" -> ((s, dir) => {
+      ext.Privacy.kAnonymity(tbl(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), Some("c_acctbal"),
+          k = 12, l = 5)
+        .orderBy("c_nationkey", "c_mktsegment")
     })
   )
 
@@ -9425,7 +9436,16 @@ object SparkEntry {
         |QUALIFY rank <= 10
         |ORDER BY query, rank""".stripMargin,
 
-    "q232_mmr_rerank" -> MmrOracle
+    "q232_mmr_rerank" -> MmrOracle,
+
+    "q233_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+        |  (count(*) < 12 OR count(DISTINCT c_acctbal) < 5) AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;

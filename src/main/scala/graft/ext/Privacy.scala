@@ -48,4 +48,53 @@ object Privacy {
     when(ip.isNull || !valid, lit(null).cast("string"))
       .otherwise(concat_ws(".", octet(1), octet(2), octet(3), octet(4)))
   }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns —
+    * the release gate a dataset must pass before its rows can be
+    * shared: every quasi-identifier combination must be carried by at
+    * least k rows (k-anonymity, Sweeney 2002), and within each such
+    * group the sensitive attribute must take at least l distinct
+    * values (distinct l-diversity, Machanavajjhala et al. 2007 — a
+    * k-anonymous group whose members all share one diagnosis still
+    * leaks it).
+    *
+    * @param df            the dataset to audit.
+    * @param qiCols        quasi-identifier columns (the combination an
+    *                      attacker can look up externally). NULL is a
+    *                      value like any other: rows with NULL QI
+    *                      values form their own groups (an all-NULL
+    *                      row is still a linkable signature).
+    * @param sensitiveCol  the sensitive attribute for l-diversity;
+    *                      None → `l_distinct` is NULL and only the
+    *                      k test applies.
+    * @param k             minimum group size.
+    * @param l             minimum distinct sensitive values per group.
+    * @return one row per distinct QI combination: the QI columns,
+    *         `group_size`, `l_distinct` (NULL without a sensitive
+    *         column), and `at_risk` — true when the group fails
+    *         either bar.
+    *
+    * Scale shape: ONE hash aggregate keyed on the QI columns
+    * (map-side combined; count_distinct of the sensitive column is the
+    * standard two-phase distinct aggregate) — no window, no join, no
+    * driver action. The output is QI-cardinality-sized; callers gate a
+    * release on `at_risk` rows (count or anti-join back to suppress).
+    */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame, qiCols: Seq[String],
+                 sensitiveCol: Option[String], k: Long,
+                 l: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val aggs = count(lit(1)).as("group_size") +:
+      sensitiveCol.map(s =>
+        count_distinct(col(s)).as("l_distinct")).toSeq
+    val grouped = df.groupBy(qiCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val withL =
+      if (sensitiveCol.isDefined) grouped
+      else grouped.withColumn("l_distinct", lit(null).cast("long"))
+    withL.withColumn("at_risk",
+      col("group_size") < k ||
+        (if (sensitiveCol.isDefined) col("l_distinct") < l else lit(false)))
+  }
 }

@@ -47,4 +47,46 @@ class PrivacySpec extends SparkTestBase {
       Privacy.anonymizeIpv4(lit("1.2.3.4"), "")
     }
   }
+
+  // (zip, age) quasi-identifiers over a toy release: group A has 3 rows
+  // but ONE diagnosis (k passes, l fails); group B has 2 rows, 2
+  // diagnoses (k fails at k=3); group C passes both.
+  private def release = Seq(
+    ("02139", 34, "flu"), ("02139", 34, "flu"), ("02139", 34, "flu"),
+    ("02139", 61, "cold"), ("02139", 61, "flu"),
+    ("94110", 29, "flu"), ("94110", 29, "cold"), ("94110", 29, "covid")
+  ).toDF("zip", "age", "diagnosis")
+
+  test("kAnonymity: closed-form group sizes, l-diversity, at_risk flags") {
+    val out = Privacy.kAnonymity(release, Seq("zip", "age"),
+        Some("diagnosis"), k = 3, l = 2)
+      .as[(String, Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("02139", 34, 3L, Some(1L), true),   // k ok, l fails
+      ("02139", 61, 2L, Some(2L), true),   // l ok, k fails
+      ("94110", 29, 3L, Some(3L), false))) // both pass
+  }
+
+  test("kAnonymity without a sensitive column: l_distinct NULL, only k applies") {
+    val out = Privacy.kAnonymity(release, Seq("zip", "age"), None, k = 3)
+      .as[(String, Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.forall(_._4.isEmpty))
+    assert(out.map(_._5).toSeq == Seq(false, true, false))
+  }
+
+  test("kAnonymity: NULL quasi-identifier values form their own group") {
+    val withNull = release.union(
+      Seq((null: String, 34, "flu"), (null: String, 34, "cold"))
+        .toDF("zip", "age", "diagnosis"))
+    val out = Privacy.kAnonymity(withNull, Seq("zip", "age"),
+        Some("diagnosis"), k = 2, l = 2)
+      .as[(String, Int, Long, Option[Long], Boolean)].collect()
+    val nullGroup = out.find(r => r._1 == null && r._2 == 34).get
+    assert(nullGroup._3 == 2L && nullGroup._4.contains(2L) && !nullGroup._5)
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymity(release, Seq(), Some("diagnosis"), k = 2)
+    }
+  }
 }
