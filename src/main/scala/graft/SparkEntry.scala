@@ -4210,6 +4210,23 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), Some("c_acctbal"),
           k = 12, l = 5)
         .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // ext retrieval — RM3 pseudo-relevance-feedback expansion: each
+    // term-query's BM25 top-10 docs vote expansion terms with weight
+    // Σ floor((tf/dl)·score·1e9) — per-contribution floors make the
+    // sums exact BIGINTs, so the expansion list replays bit-for-bit.
+    "q234_prf_expansion" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bm = TextStats.bm25PerTerm(docs, "doc_id", "text",
+        Seq("hash", "merge", "scan"))
+      val wS = Window.partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+      val fp = bm.withColumn("r", row_number().over(wS))
+        .filter(col("r") <= 10)
+        .select(col("term").as("query"), col("doc_id"), col("score"))
+      Retrieval.rm3Expansion(fp, docs.select("doc_id", "text"),
+          "query", "doc_id", "score", "text", m = 15, minDocs = 2)
+        .orderBy("query", "rank")
     })
   )
 
@@ -9445,7 +9462,56 @@ object SparkEntry {
         |  (count(*) < 12 OR count(DISTINCT c_acctbal) < 5) AS at_risk
         |FROM customer
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // RM3 replay: q68's BM25 CTEs produce the first-pass ranking; the
+    // unfiltered token frame `t` supplies per-doc term stats; each
+    // contribution floors the identical double product before the
+    // BIGINT sum (order-free in both engines).
+    "q234_prf_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks),
+        |t AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM t WHERE term IN ('hash', 'merge', 'scan') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term,
+        |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |      * ((tf * CAST(2.2 AS DOUBLE))
+        |        / (tf + CAST(1.2 AS DOUBLE)
+        |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |fp AS (
+        |  SELECT term AS query, doc_id, score,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc QUALIFY rnk <= 10),
+        |dtf AS (
+        |  SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM t GROUP BY 1, 2, 3),
+        |contrib AS (
+        |  SELECT fp.query, fp.doc_id, d.term,
+        |    CAST(floor(d.tf / d.dl * fp.score * 1000000000.0) AS BIGINT) AS c
+        |  FROM fp JOIN dtf d ON d.doc_id = fp.doc_id),
+        |w AS (
+        |  SELECT query, term, CAST(sum(c) AS BIGINT) AS weight_e9,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM contrib GROUP BY 1, 2
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT query, term, weight_e9, n_docs,
+        |  CAST(row_number() OVER (PARTITION BY query ORDER BY weight_e9 DESC, term) AS INT) AS rank
+        |FROM w
+        |QUALIFY rank <= 15
+        |ORDER BY query, rank""".stripMargin
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;

@@ -451,4 +451,65 @@ object Retrieval {
     }
     selected
   }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 relevance-model
+    * estimate — Lavrenko & Croft, SIGIR 2001; Abdul-Jaleel et al.,
+    * TREC 2004): for each query, weight every term of its top-k
+    * first-pass documents by `Σ_d P(t|d) · w(d)` (P(t|d) = tf/dl, w =
+    * the first-pass score) and emit the top-m expansion terms — the
+    * recall lever a lexical retriever pulls when the original query is
+    * too sparse.
+    *
+    * Integer-exact across engines: each (query, doc, term)
+    * contribution is `floor((tf/dl) · w · 1e9)` — ONE identical IEEE
+    * double sequence in both engines, floored to a BIGINT — so the
+    * per-(query, term) SUM is order-independent (a raw double sum
+    * would depend on partition order).
+    *
+    * Scale shape: the feedback set is |Q|·k doc ids; joining it to the
+    * corpus FIRST means only feedback documents tokenize and explode —
+    * one equi-join + two hash aggregates + a per-query window over the
+    * (query, term) weight frame. Nothing corpus-sized shuffles.
+    *
+    * @param firstPass (queryCol, idCol, weightCol) — the top-k docs per
+    *                  query with their first-pass scores.
+    * @param docs      (idCol, textCol) — the corpus.
+    * @param m         expansion terms per query.
+    * @param minDocs   a term must occur in ≥ minDocs distinct feedback
+    *                  docs (cuts single-doc noise terms; RM3 practice).
+    * @return (query, term, weight_e9, n_docs, rank), rank 1..m per
+    *         query by weight desc, term asc.
+    */
+  def rm3Expansion(firstPass: DataFrame, docs: DataFrame,
+                   queryCol: String, idCol: String, weightCol: String,
+                   textCol: String, m: Int,
+                   minDocs: Int = 2): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val fp = firstPass.select(col(queryCol).as("query"),
+      col(idCol).as("__id"), col(weightCol).cast("double").as("__w"))
+    val toks = docs.select(col(idCol).as("__id"),
+      TextStats.canonicalTokens(col(textCol)).as("__toks"))
+    // join BEFORE tokenizing work is consumed: only the |Q|·k feedback
+    // docs explode into term rows
+    val exploded = fp.join(toks, Seq("__id"))
+      .select(col("query"), col("__id"), col("__w"),
+        size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("term"))
+    val contrib = exploded
+      .groupBy("query", "__id", "term")
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        max(col("__w")).as("__w2"), max(col("__dl")).as("__dl2"))
+      .withColumn("__c",
+        floor(col("__tf") / col("__dl2") * col("__w2") * lit(1e9))
+          .cast("long"))
+    val weights = contrib.groupBy("query", "term")
+      .agg(sum(col("__c")).as("weight_e9"),
+        count_distinct(col("__id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    val w = Window.partitionBy("query")
+      .orderBy(desc("weight_e9"), asc("term"))
+    weights.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= m)
+  }
 }

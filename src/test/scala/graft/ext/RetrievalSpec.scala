@@ -279,6 +279,43 @@ class RetrievalSpec extends SparkTestBase {
       .contains("exceeds maxPool"))
   }
 
+  // d1 ("a b a", w=2.0) and d2 ("b c", w=1.0) feed one query's expansion:
+  // a → floor(2/3·2·1e9) = 1333333333 (1 doc)
+  // b → floor(1/3·2·1e9) + floor(1/2·1·1e9) = 1166666666 (2 docs)
+  // c → floor(1/2·1·1e9) = 500000000 (1 doc)
+  private def rm3Fp = Seq(("q1", 1L, 2.0), ("q1", 2L, 1.0))
+    .toDF("query", "doc_id", "w")
+  private def rm3Docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "zzz unused"))
+    .toDF("doc_id", "text")
+
+  test("rm3Expansion matches closed-form floored contributions") {
+    val out = Retrieval.rm3Expansion(rm3Fp, rm3Docs, "query", "doc_id",
+        "w", "text", m = 3, minDocs = 1)
+      .as[(String, String, Long, Long, Int)].collect().sortBy(_._5)
+    assert(out.toSeq == Seq(
+      ("q1", "a", 1333333333L, 1L, 1),
+      ("q1", "b", 1166666666L, 2L, 2),
+      ("q1", "c", 500000000L, 1L, 3)))
+  }
+
+  test("rm3Expansion: minDocs cuts single-doc terms; m truncates") {
+    val only = Retrieval.rm3Expansion(rm3Fp, rm3Docs, "query", "doc_id",
+        "w", "text", m = 5, minDocs = 2)
+      .as[(String, String, Long, Long, Int)].collect()
+    assert(only.map(_._2).toSeq == Seq("b") && only.head._5 == 1)
+    val cut = Retrieval.rm3Expansion(rm3Fp, rm3Docs, "query", "doc_id",
+        "w", "text", m = 2, minDocs = 1)
+      .as[(String, String, Long, Long, Int)].collect()
+    assert(cut.map(_._2).sorted.toSeq == Seq("a", "b")) // c cut at m=2
+  }
+
+  test("rm3Expansion: docs outside the feedback set contribute nothing") {
+    val out = Retrieval.rm3Expansion(rm3Fp, rm3Docs, "query", "doc_id",
+        "w", "text", m = 10, minDocs = 1)
+      .as[(String, String, Long, Long, Int)].collect()
+    assert(!out.exists(_._2 == "zzz"))
+  }
+
   test("rankEval ignores duplicate judgments (defensive distinct)") {
     val retrieved = Seq((1L, 10L, 1)).toDF("q", "d", "r")
     val judgments = Seq((1L, 10L), (1L, 10L)).toDF("q", "d")
