@@ -4227,6 +4227,26 @@ object SparkEntry {
       Retrieval.rm3Expansion(fp, docs.select("doc_id", "text"),
           "query", "doc_id", "score", "text", m = 15, minDocs = 2)
         .orderBy("query", "rank")
+    }),
+
+    // ext sketch — HyperLogLog distinct count as a mergeable RELATION
+    // (the distinct-count sibling of q224's CMS): ≤ 256 register rows,
+    // integer-exact registers and harmonic-sum (dyadic 2^(40−rho)
+    // terms summed as BIGINTs), ONE final double division replayed
+    // identically by the oracle; the exact distinct count rides along
+    // so the gate also measures the estimator's error.
+    "q235_hll_distinct" -> ((s, dir) => {
+      def words(df: DataFrame): DataFrame = df
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val corpus = words(tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull))
+      val est = ext.FreqSketch.hllEstimate(
+        ext.FreqSketch.hllSketch(corpus, "word", p = 8), p = 8)
+      val exact = corpus.agg(count_distinct(col("word"))
+        .as("exact_distinct"))
+      est.crossJoin(exact)
     })
   )
 
@@ -9511,7 +9531,9 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query ORDER BY weight_e9 DESC, term) AS INT) AS rank
         |FROM w
         |QUALIFY rank <= 15
-        |ORDER BY query, rank""".stripMargin
+        |ORDER BY query, rank""".stripMargin,
+
+    "q235_hll_distinct" -> HllOracle
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
@@ -9672,6 +9694,51 @@ object SparkEntry {
        |  CAST(mmr_rank AS INT) AS mmr_rank
        |FROM s5
        |ORDER BY query, mmr_rank""".stripMargin
+  }
+
+  /** HLL replay (q235): same word CTE and ascii-fold hex decode as the
+    * CMS oracle; bucket/rho from two 32-bit md5 slices with an integer
+    * CASE ladder for the leading-zero rank (no log2 — a float-log
+    * portability hazard); harmonic sum as BIGINT dyadic terms; ONE
+    * final double division with the identical constant sequence.
+    */
+  private val HllOracle: String = {
+    val p = 8; val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val rhoCase = (1 to 32)
+      .map(i => s"WHEN wb >= ${1L << (32 - i)} THEN $i").mkString(" ")
+    s"""WITH w AS (
+       |  SELECT u.w AS word
+       |  FROM documents d,
+       |    unnest(string_split(trim(regexp_replace(lower(d.text),
+       |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |    AND len(u.w) > 0),
+       |h AS (SELECT md5(word) AS hx, word FROM w),
+       |w32 AS (SELECT ${slice(0)} AS wa, ${slice(1)} AS wb FROM h),
+       |regs AS (
+       |  SELECT CAST(wa // ${1L << (32 - p)} AS INT) AS bucket,
+       |    max(CASE $rhoCase ELSE 33 END) AS rho
+       |  FROM w32 GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_registers,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0) AS BIGINT) AS s
+       |  FROM regs),
+       |ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS exact_distinct FROM w)
+       |SELECT n_registers,
+       |  CAST(s + ($m - n_registers) * ${1L << 40} AS BIGINT) AS sum_scaled,
+       |  CAST($aConst AS DOUBLE) / 1000000.0 * 1099511627776.0
+       |    / CAST(s + ($m - n_registers) * ${1L << 40} AS DOUBLE) AS estimate,
+       |  exact_distinct
+       |FROM agg CROSS JOIN ex""".stripMargin
   }
 
   /** One-shot CMS heavy-hitters oracle over document words (q224 batch

@@ -109,4 +109,84 @@ object FreqSketch {
     cmsEstimate(cmsSketch(df, itemCol, width, weightCol), probes,
       itemCol, width)
       .filter(col("est") >= minCount)
+
+  // --------------------------------------------- HyperLogLog as a relation
+
+  /** HyperLogLog (Flajolet et al. 2007) as a RELATION — the distinct-
+    * count sibling of [[cmsSketch]]: ≤ 2^p rows `(bucket, rho)` where
+    * `rho` is the max leading-zero rank observed in the bucket. The
+    * point over `approx_count_distinct` (and over Spark's DataSketches
+    * `hll_sketch_agg` binaries): the register TABLE merges across
+    * separately materialized sketches (shards, days, snapshots) with a
+    * plain `union + max` re-aggregate, and every number is replayable
+    * by any engine with md5 — the sketch can live in a parquet table
+    * and keep accumulating.
+    *
+    * Hashing: bucket = top `p` bits of the first 8-hex-char slice of
+    * md5(item); rho = leading-zero rank (1-based, capped at 33) of the
+    * SECOND 8-hex-char slice — two independent 32-bit words of one
+    * digest (the [[bucket]] stance), decoded with integer arithmetic
+    * only. The rank is a 32-branch integer CASE ladder, not log2 —
+    * floating log is an engine-portability hazard.
+    */
+  def hllSketch(df: DataFrame, itemCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val item = col(itemCol)
+    val hx = md5(item.cast("string"))
+    val wordA = conv(substring(hx, 1, 8), 16, 10).cast("long")
+    val wordB = conv(substring(hx, 9, 8), 16, 10).cast("long")
+    val bucket = expr(s"CAST(__a div ${1L << (32 - p)} AS INT)")
+    // leading-zero rank of the 32-bit word, largest threshold first:
+    // >= 2^31 → 1, >= 2^30 → 2, …, >= 1 → 32, zero word → 33
+    val rho = (1 to 32).foldRight(lit(33): Column) { (i, tail) =>
+      when(col("__b") >= lit(1L << (32 - i)), lit(i)).otherwise(tail)
+    }
+    df.filter(item.isNotNull)
+      .select(wordA.as("__a"), wordB.as("__b"))
+      .select(bucket.as("bucket"), rho.cast("int").as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge HLL register tables built with the SAME `p`: union + max —
+    * registers take the element-wise maximum, exactly the union
+    * semantics of the sketch (merge-then-estimate ≡ sketch-the-union).
+    */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** The raw HLL estimate from a register table: one row
+    * `(n_registers, sum_scaled, estimate)`.
+    *
+    * Exactness discipline: the harmonic-mean denominator Σ 2^−rho is
+    * accumulated as the BIGINT `sum_scaled` = Σ 2^(40−rho) (absent
+    * buckets contribute rho = 0 → 2^40 each) — dyadic terms summed as
+    * integers, so the only floating step is ONE final division of
+    * exact integers, written identically in the SQL oracle:
+    * `estimate = (alphaE6·m² / 1e6) · 2^40 / sum_scaled`. This is the
+    * RAW estimator (no small/large-range correction — linear counting
+    * needs ln, a cross-engine hazard); at n ≳ 2.5·m the raw form is
+    * the standard operating regime, and the gate measures its error
+    * against the exact count.
+    */
+  def hllEstimate(sketch: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    sketch
+      .agg(count(lit(1)).as("n_registers"),
+        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)")),
+          lit(0L)).as("__s"))
+      .select(col("n_registers"),
+        (col("__s") + (lit(m.toLong) - col("n_registers")) *
+          lit(1L << 40)).as("sum_scaled"))
+      .withColumn("estimate",
+        lit(aConst).cast("double") / lit(1000000.0) *
+          lit(1099511627776.0) / col("sum_scaled").cast("double"))
+  }
 }

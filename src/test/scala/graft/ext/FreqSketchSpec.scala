@@ -71,4 +71,73 @@ class FreqSketchSpec extends SparkTestBase {
     val sk = FreqSketch.cmsSketch(words.toDF("word"), "word", width = 64)
     assert(sk.count() <= FreqSketch.Depth * 64L)
   }
+
+  // ------------------------------------------------------------------ HLL
+
+  /** Scala reference of the register derivation — same md5 hex slices,
+    * same bucket/rho arithmetic, computed independently of Spark.
+    */
+  private def refRegisters(items: Seq[String], p: Int): Map[Int, Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    items.map { s =>
+      val hx = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val wa = java.lang.Long.parseLong(hx.substring(0, 8), 16)
+      val wb = java.lang.Long.parseLong(hx.substring(8, 16), 16)
+      val bucket = (wa >> (32 - p)).toInt
+      val rho =
+        if (wb == 0L) 33
+        else java.lang.Long.numberOfLeadingZeros(wb) - 32 + 1
+      (bucket, rho)
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+  }
+
+  test("hllSketch registers equal an independent Scala md5 derivation") {
+    val items = (0 until 500).map(i => s"item-$i")
+    val got = FreqSketch.hllSketch(items.toDF("word"), "word", p = 8)
+      .as[(Int, Int)].collect().toMap
+    assert(got == refRegisters(items, 8))
+  }
+
+  test("hllMerge of split corpora equals the single-corpus sketch") {
+    val items = (0 until 2000).map(i => s"w-$i")
+    val (l, r) = items.splitAt(700)
+    val whole = FreqSketch.hllSketch(items.toDF("word"), "word")
+      .as[(Int, Int)].collect().toSet
+    val merged = FreqSketch.hllMerge(Seq(
+        FreqSketch.hllSketch(l.toDF("word"), "word"),
+        FreqSketch.hllSketch(r.toDF("word"), "word")))
+      .as[(Int, Int)].collect().toSet
+    assert(whole == merged)
+  }
+
+  test("hllEstimate: raw estimator lands near the true distinct count") {
+    // n = 10000 >> 2.5·m = 640: the raw regime; p=8 std error is
+    // 1.04/sqrt(256) ≈ 6.5% — assert a 3-sigma band
+    val items = (0 until 10000).map(i => s"distinct-$i")
+    val est = FreqSketch.hllEstimate(
+        FreqSketch.hllSketch(items.toDF("word"), "word", p = 8), p = 8)
+      .select("estimate").as[Double].collect().head
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.20,
+      s"estimate $est off by more than 20% from 10000")
+    // duplicates must not move the registers (distinctness property)
+    val dup = items ++ items ++ items.take(5000)
+    val est2 = FreqSketch.hllEstimate(
+        FreqSketch.hllSketch(dup.toDF("word"), "word", p = 8), p = 8)
+      .select("estimate").as[Double].collect().head
+    assert(est2 == est)
+  }
+
+  test("hllEstimate: closed-form on a handcrafted register table") {
+    val m = 256
+    // every register present with rho = 1 → S = m·2^39;
+    // estimate = (alphaE6·m²/1e6)·2^40 / (m·2^39) = (alphaE6/1e6)·2m
+    val regs = (0 until m).map(b => (b, 1)).toDF("bucket", "rho")
+    val row = FreqSketch.hllEstimate(regs, p = 8)
+      .as[(Long, Long, Double)].collect().head
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val expected = (alphaE6 * m.toLong * m).toDouble / 1000000.0 *
+      1099511627776.0 / (m.toLong << 39).toDouble
+    assert(row == ((256L, m.toLong << 39, expected)))
+  }
 }
