@@ -4247,6 +4247,44 @@ object SparkEntry {
       val exact = corpus.agg(count_distinct(col("word"))
         .as("exact_distinct"))
       est.crossJoin(exact)
+    }),
+
+    // streaming ext — bottom-k reservoir: a uniform k-sample of an
+    // unbounded stream with ≤ k rows of state per batch. Priorities are
+    // md5(key), so the sample is deterministic, batch-split INVARIANT
+    // (global bottom-k ⊆ union of per-batch bottom-k's), and the
+    // oracle replays it as one ORDER BY over the whole corpus — which
+    // is exactly the invariance claim.
+    "q236_stream_reservoir" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").filter(col("event_id").isNotNull)
+      val batches = (0 to 2).map(i =>
+        ev.filter(col("event_id") % 3 === i).select("event_id"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q236").toString + "/res"
+      streaming.StreamingReservoir.byBatch(s, batches, store,
+          "event_id", "BIGINT", k = 100)
+        .orderBy("priority", "event_id")
+    }),
+
+    // ext layout — compaction planning from a file listing: contiguous
+    // ~targetBytes bins per partition (metadata-scale window), the
+    // maintenance step between q226's footer audit and a rewrite job.
+    // The file listing is DERIVED from data (per-bucket byte totals) so
+    // the oracle replays the whole plan exactly.
+    "q237_compaction_plan" -> ((s, dir) => {
+      val files = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag").as("part"),
+          (col("l_orderkey") % 20).cast("int").as("bkt"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy("part", "bkt")
+        .agg((sum(col("q")) * 1000L).as("bytes"))
+        .select(col("part"),
+          concat(lit("f"), lpad(col("bkt").cast("string"), 3, "0"))
+            .as("file"),
+          col("bytes"))
+      ext.Layout.compactionPlan(files, "part", "file", "bytes",
+          targetBytes = 100000000L)
+        .orderBy("part", "grp")
     })
   )
 
@@ -9533,7 +9571,42 @@ object SparkEntry {
         |QUALIFY rank <= 15
         |ORDER BY query, rank""".stripMargin,
 
-    "q235_hll_distinct" -> HllOracle
+    "q235_hll_distinct" -> HllOracle,
+
+    // the batch-split-invariance claim IS the oracle: the streamed
+    // reservoir must equal the one-shot bottom-k of the whole corpus
+    "q236_stream_reservoir" ->
+      """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS priority
+        |FROM (SELECT DISTINCT event_id FROM events WHERE event_id IS NOT NULL)
+        |ORDER BY priority, event_id
+        |LIMIT 100""".stripMargin,
+
+    "q237_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT part, 'f' || lpad(CAST(bkt AS VARCHAR), 3, '0') AS file,
+        |    CAST(sum(q) * 1000 AS BIGINT) AS bytes
+        |  FROM (SELECT l_returnflag AS part,
+        |          CAST(l_orderkey % 20 AS INT) AS bkt,
+        |          CAST(l_quantity AS BIGINT) AS q
+        |        FROM lineitem) t
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT part, file, bytes,
+        |    sum(bytes) OVER (PARTITION BY part ORDER BY file
+        |      ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM files),
+        |g AS (
+        |  SELECT part, file, bytes,
+        |    CAST((c - bytes) // 100000000 AS INT) AS grp
+        |  FROM cum)
+        |SELECT part, grp,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(file) AS first_file, max(file) AS last_file,
+        |  (count(*) > 1) AS rewrite
+        |FROM g
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;

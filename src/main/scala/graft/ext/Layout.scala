@@ -333,4 +333,40 @@ object Layout {
       }
       .toDF("file", "row_group", "n_rows", "min_value", "max_value")
   }
+
+  /** Compaction PLAN from a file listing — the maintenance step between
+    * [[rowGroupStats]]' audit and the rewrite job: group each
+    * partition's files (name order — the order a contiguous rewrite
+    * preserves) into contiguous bins of ~`targetBytes`, so small-file
+    * accumulation (streaming sinks, per-batch appends) folds into
+    * scan-efficient files without shuffling content across partitions.
+    *
+    * Bin rule: a file joins the bin of `floor(bytesBefore /
+    * targetBytes)` — the standard streaming assignment. Each bin's
+    * total is < targetBytes + its largest file (a straddling file
+    * finishes its bin); a file already ≥ targetBytes sits alone and is
+    * flagged `rewrite = false` only if nothing shares its bin.
+    *
+    * Scale shape: pure metadata — one window per PARTITION (bounded by
+    * files-per-partition, a listing-sized frame, never data) and one
+    * group-by. Emits one row per (partition, bin): file span, count,
+    * bytes, and whether rewriting it would reduce file count.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    val w = Window.partitionBy(partCol).orderBy(fileCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.select(col(partCol), col(fileCol),
+        col(bytesCol).cast("long").as("bytes"))
+      .withColumn("__cum", sum(col("bytes")).over(w))
+      .withColumn("grp",
+        expr(s"CAST((__cum - bytes) div ${targetBytes}L AS INT)"))
+      .groupBy(col(partCol), col("grp"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+      .withColumn("rewrite", col("n_files") > 1)
+  }
 }

@@ -297,4 +297,26 @@ class LayoutSpec extends SparkTestBase {
     assert(ex.getMessage.contains("not found") ||
       Option(ex.getCause).exists(_.getMessage.contains("not found")))
   }
+
+  test("compactionPlan: closed-form contiguous bins per partition") {
+    import spark.implicits._
+    // A: 60+50 straddles into bin 0; 30+100 into bin 1.
+    // B: one 250-byte file alone in bin 0 (no rewrite); the next file's
+    //    bytesBefore = 250 → bin 2 (bin ids may skip — they are offsets).
+    val files = Seq(
+      ("A", "f1", 60L), ("A", "f2", 50L), ("A", "f3", 30L), ("A", "f4", 100L),
+      ("B", "g1", 250L), ("B", "g2", 10L)
+    ).toDF("part", "file", "bytes")
+    val plan = Layout.compactionPlan(files, "part", "file", "bytes",
+        targetBytes = 100L)
+      .as[(String, Int, Long, Long, String, String, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(plan.toSeq == Seq(
+      ("A", 0, 2L, 110L, "f1", "f2", true),
+      ("A", 1, 2L, 130L, "f3", "f4", true),
+      ("B", 0, 1L, 250L, "g1", "g1", false),
+      ("B", 2, 1L, 10L, "g2", "g2", false)))
+    intercept[IllegalArgumentException](
+      Layout.compactionPlan(files, "part", "file", "bytes", 0L))
+  }
 }
