@@ -4285,6 +4285,21 @@ object SparkEntry {
       ext.Layout.compactionPlan(files, "part", "file", "bytes",
           targetBytes = 100000000L)
         .orderBy("part", "grp")
+    }),
+
+    // ext sketch — HDR histogram quantiles: the QUANTILE member of the
+    // mergeable-sketch trio (q224 CMS frequencies, q235 HLL distincts).
+    // Buckets are pure integer arithmetic (comparison-ladder log2, no
+    // float log), so the histogram, ranks, and exact [lo, hi] bounds
+    // replay bit-for-bit. floor() before the BIGINT cast — DuckDB CAST
+    // rounds where Spark truncates (the q131 lesson).
+    "q238_hdr_quantiles" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+      val hist = ext.FreqSketch.hdrHistogram(vals, "v", subBits = 5)
+      ext.FreqSketch.hdrQuantiles(hist, Seq(0.5, 0.9, 0.99), subBits = 5)
+        .orderBy("q")
     })
   )
 
@@ -9606,7 +9621,9 @@ object SparkEntry {
         |  (count(*) > 1) AS rewrite
         |FROM g
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q238_hdr_quantiles" -> HdrOracle
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
@@ -9812,6 +9829,51 @@ object SparkEntry {
        |    / CAST(s + ($m - n_registers) * ${1L << 40} AS DOUBLE) AS estimate,
        |  exact_distinct
        |FROM agg CROSS JOIN ex""".stripMargin
+  }
+
+  /** HDR-quantile replay (q238): the comparison-ladder log2, the bucket
+    * formula, the cumulative pick, and the [lo, hi] bounds — all pure
+    * integer arithmetic in both engines; quantile fractions are CAST
+    * AS DOUBLE so DuckDB does not silently use DECIMAL math where Spark
+    * multiplies doubles.
+    */
+  private val HdrOracle: String = {
+    val ladder = (6 to 62).reverse
+      .map(i => s"WHEN v >= ${1L << i} THEN $i").mkString(" ")
+    s"""WITH vals AS (
+       |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
+       |bk AS (
+       |  SELECT CASE WHEN v < 32 THEN v
+       |    ELSE (e - 5) * 32 + (v >> CAST(e - 5 AS INT)) END AS bucket
+       |  FROM (SELECT v, CASE $ladder ELSE 5 END AS e FROM vals) t),
+       |hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY 1),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM hist),
+       |cum AS (
+       |  SELECT bucket,
+       |    sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM hist),
+       |qs AS (
+       |  SELECT CAST(0.5 AS DOUBLE) AS q
+       |  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+       |  UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+       |ranked AS (
+       |  SELECT q, greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(q * total) AS BIGINT)) AS rank
+       |  FROM qs CROSS JOIN n),
+       |picked AS (
+       |  SELECT r.q, r.rank, CAST(min(c.bucket) AS BIGINT) AS bucket
+       |  FROM ranked r JOIN cum c ON c.c >= r.rank
+       |  GROUP BY 1, 2)
+       |SELECT q, rank, bucket,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (bucket - (bucket // 32 - 1) * 32) << CAST(bucket // 32 - 1 AS INT)
+       |    END AS BIGINT) AS lo,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE ((bucket - (bucket // 32 - 1) * 32 + 1) << CAST(bucket // 32 - 1 AS INT)) - 1
+       |    END AS BIGINT) AS hi
+       |FROM picked
+       |ORDER BY q""".stripMargin
   }
 
   /** One-shot CMS heavy-hitters oracle over document words (q224 batch

@@ -159,6 +159,116 @@ object FreqSketch {
       .agg(max(col("rho")).as("rho"))
   }
 
+  // ------------------------------------- HDR histogram (quantile sketch)
+
+  /** floor(log2 v) for v ≥ 2^subBits via an integer comparison ladder —
+    * largest threshold first, never float log (an engine-portability
+    * hazard; the [[hllSketch]] rho stance).
+    */
+  private def log2Ladder(v: Column, subBits: Int): Column = {
+    var ladder: Column = lit(subBits.toLong)
+    for (i <- subBits + 1 to 62)
+      ladder = when(v >= lit(1L << i), lit(i.toLong)).otherwise(ladder)
+    ladder
+  }
+
+  /** HDR-style histogram (Gil Tene's HdrHistogram bucketing as pure
+    * integer arithmetic) as a RELATION — the QUANTILE member of the
+    * mergeable-sketch trio next to [[cmsSketch]] (frequencies) and
+    * [[hllSketch]] (distincts): values below 2^subBits bucket to
+    * themselves (exact); above, to
+    * `(e − subBits)·2^subBits + (v >> (e − subBits))`, e = floor(log2 v)
+    * — monotone, contiguous across octaves, relative bucket width ≤
+    * 2^−subBits. At most `(63 − subBits + 1)·2^subBits` rows cover the
+    * whole nonnegative BIGINT domain (~1.9k rows at subBits = 5), so
+    * histograms of shards/days stored as parquet MERGE with a plain
+    * `union + sum` — the thing `approx_percentile` results cannot do
+    * (percentiles don't merge from percentiles).
+    *
+    * Input contract: nonnegative BIGINTs (latencies, byte sizes, token
+    * counts); negatives raise in-plan, NULLs are dropped.
+    */
+  def hdrHistogram(df: DataFrame, valueCol: String,
+                   subBits: Int = 5): DataFrame = {
+    require(subBits >= 2 && subBits <= 10,
+      s"subBits must be in [2, 10], got $subBits")
+    val v = col(valueCol).cast("long")
+    val b = subBits
+    df.filter(v.isNotNull)
+      .select(when(v >= 0L, v)
+        .otherwise(raise_error(concat(
+          lit("hdrHistogram: negative value "), v.cast("string"),
+          lit(s" in $valueCol — the bucketing covers nonnegative "),
+          lit("BIGINTs; shift or split the domain")))).as("__v"))
+      .select(col("__v"), log2Ladder(col("__v"), b).as("__e"))
+      .select(when(col("__v") < lit(1L << b), col("__v"))
+        .otherwise((col("__e") - b) * lit(1L << b) +
+          expr(s"shiftright(__v, CAST(__e - $b AS INT))"))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge HDR histograms built with the SAME subBits: union + sum —
+    * counts add bucket-wise (the [[cmsMerge]] property).
+    */
+  def hdrMerge(hists: Seq[DataFrame]): DataFrame = {
+    require(hists.nonEmpty, "no histograms to merge")
+    hists.reduce(_ unionByName _)
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile bounds from an HDR histogram: for each q the row
+    * `(q, rank, bucket, lo, hi)` where rank = ceil(q·n) and
+    * [lo, hi] are the EXACT integer bounds of the first bucket whose
+    * cumulative count reaches the rank — the true q-quantile provably
+    * lies in [lo, hi], so the answer carries its own error bar
+    * (hi − lo < lo·2^−subBits).
+    *
+    * Scale shape: the histogram frame is ≤ ~2k rows by construction —
+    * the running sum is a declared bounded-frame window
+    * (`SingleTask.key`) and every join is quantile-count-sized.
+    */
+  def hdrQuantiles(hist: DataFrame, quantiles: Seq[Double],
+                   subBits: Int = 5): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    require(quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $quantiles")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val b = subBits
+    val n = hist.agg(sum(col("cnt")).as("__n"))
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(SingleTask.key(col("bucket")))
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+    val qs = quantiles.toDF("q").crossJoin(broadcast(n))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("__n")).cast("long")))
+    // broadcast the quantile side explicitly: it carries the global
+    // count aggregate, the exact shape the plan guard sanctions for a
+    // nested-loop broadcast
+    val picked = broadcast(qs).join(cum, col("__cum") >= col("rank"))
+      .groupBy(col("q"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+    picked
+      .withColumn("__s", expr(s"bucket div ${1L << b}"))
+      .withColumn("lo",
+        when(col("bucket") < lit(1L << b), col("bucket"))
+          .otherwise(expr(s"shiftleft(bucket - (__s - 1) * ${1L << b}, " +
+            s"CAST(__s - 1 AS INT))")))
+      .withColumn("hi",
+        when(col("bucket") < lit(1L << b), col("bucket"))
+          .otherwise(expr(s"shiftleft(bucket - (__s - 1) * ${1L << b} + 1, " +
+            s"CAST(__s - 1 AS INT)) - 1")))
+      .select(col("q"), col("rank"), col("bucket"), col("lo"), col("hi"))
+  }
+
   /** The raw HLL estimate from a register table: one row
     * `(n_registers, sum_scaled, estimate)`.
     *

@@ -128,6 +128,68 @@ class FreqSketchSpec extends SparkTestBase {
     assert(est2 == est)
   }
 
+  // ------------------------------------------------------- HDR histogram
+
+  /** Scala reference of the HDR bucket mapping. */
+  private def refBucket(v: Long, b: Int): Long =
+    if (v < (1L << b)) v
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      (e - b).toLong * (1L << b) + (v >> (e - b))
+    }
+
+  test("hdrHistogram buckets equal the Scala reference mapping") {
+    val vals = Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 65L, 127L, 128L,
+      1000L, 65535L, 1234567890L, (1L << 62) + 7L)
+    val got = FreqSketch.hdrHistogram(vals.toDF("v"), "v", subBits = 5)
+      .as[(Long, Long)].collect().toMap
+    val expected = vals.groupBy(refBucket(_, 5))
+      .map { case (bkt, vs) => bkt -> vs.size.toLong }
+    assert(got == expected)
+  }
+
+  test("hdrMerge of split corpora equals the single-corpus histogram") {
+    val vals = (0L until 5000L).map(i => i * i % 999983L)
+    val (l, r) = vals.splitAt(1700)
+    val whole = FreqSketch.hdrHistogram(vals.toDF("v"), "v")
+      .as[(Long, Long)].collect().toSet
+    val merged = FreqSketch.hdrMerge(Seq(
+        FreqSketch.hdrHistogram(l.toDF("v"), "v"),
+        FreqSketch.hdrHistogram(r.toDF("v"), "v")))
+      .as[(Long, Long)].collect().toSet
+    assert(whole == merged)
+  }
+
+  test("hdrQuantiles: true quantile lies in [lo, hi]; small values exact") {
+    val vals = (0L until 10000L).toSeq
+    val hist = FreqSketch.hdrHistogram(vals.toDF("v"), "v", subBits = 5)
+    val out = FreqSketch.hdrQuantiles(hist, Seq(0.5, 0.9, 0.99), subBits = 5)
+      .as[(Double, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((q, (_, rank, _, lo, hi)) <- out) {
+      val truth = vals.sorted.apply((rank - 1).toInt) // rank-th smallest
+      assert(lo <= truth && truth <= hi,
+        s"q=$q: true $truth outside [$lo, $hi]")
+      assert(hi - lo <= math.max(1L, lo / 32),
+        s"q=$q: bound width ${hi - lo} exceeds the 2^-5 relative error")
+    }
+    // all-small domain: buckets are exact, so lo == hi == the quantile
+    val small = (0L until 30L).toSeq
+    val sHist = FreqSketch.hdrHistogram(small.toDF("v"), "v", subBits = 5)
+    val s = FreqSketch.hdrQuantiles(sHist, Seq(0.5), subBits = 5)
+      .as[(Double, Long, Long, Long, Long)].collect().head
+    assert(s._4 == s._5 && s._4 == small.sorted.apply((s._2 - 1).toInt))
+  }
+
+  test("hdrHistogram raises on negative values") {
+    val e = intercept[Exception](
+      FreqSketch.hdrHistogram(Seq(-1L).toDF("v"), "v").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("negative value"))
+  }
+
   test("hllEstimate: closed-form on a handcrafted register table") {
     val m = 256
     // every register present with rho = 1 → S = m·2^39;

@@ -53,13 +53,18 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     *  - ext/TextStats.scala ×2 (vocabCoverage; score bucket/carry):
     *    vocabulary-sized and ≤ ScoreBuckets+2 frames — both asserted
     *    below.
+    *  - ext/FreqSketch.scala (hdrQuantiles running sum): frame = the
+    *    HDR histogram relation, STRUCTURALLY bounded at
+    *    (63 − subBits + 1)·2^subBits rows (~1.9k at subBits 5) for the
+    *    whole nonnegative BIGINT domain. Asserted below.
     */
   private val registry = Map(
     "SparkEntry.scala" -> 1,
     "ext/WebUrl.scala" -> 1,
     "ext/Profile.scala" -> 1,
     "ext/Layout.scala" -> 2,
-    "ext/TextStats.scala" -> 2)
+    "ext/TextStats.scala" -> 2,
+    "ext/FreqSketch.scala" -> 1)
 
   test("every SingleTask.key call site in main source is registered") {
     val root = Paths.get("src/main/scala/graft")
@@ -141,5 +146,16 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     // sibling + fixture pattern instead of a growing single-task sort.
     assert(sfTable("orders").count() <= 1000000L)
     assert(sfTable("events").count() <= 1000000L)
+  }
+
+  test("hdrQuantiles frame is structurally bounded by the bucket domain") {
+    // the running-sum window input is the HDR histogram relation —
+    // bounded by construction at (63 − subBits + 1)·2^subBits rows for
+    // ANY input distribution, not by luck of the data
+    val vals = spark.range(200000)
+      .select((col("id") * col("id") % 900719925474L).as("v"))
+    val rows = FreqSketch.hdrHistogram(vals, "v", subBits = 5).count()
+    assert(rows <= (63 - 5 + 1).toLong * 32,
+      s"histogram frame = $rows rows — exceeds the structural bound")
   }
 }
