@@ -40,7 +40,8 @@ object DumpPlans {
       "q220_pack_concat" -> "concat-and-slice packing: doc start offsets via ONE per-shard running-sum window, then a per-(doc, window) slice explode - O(docs + windows) rows, never per token - into one (shard, window) HashAggregate with in-row offset-sorted assembly",
       "q207_quality_percentile" -> "two-phase score percentiles: per-distinct-score HashAggregate, coarse width_bucket carry frame (<= 1026 rows, constant-key window), fine running sum PARTITIONED BY bucket - no empty-partition WindowExec anywhere (PlanGuard-asserted)",
       "q227_rrf_fusion" -> "RRF fusion: two broadcast-query-set corpus scans (cosine + dot runs, the sanctioned q15 shape - corpus never shuffles), union -> ONE (query, doc) partial+final HashAggregate over <= sum-of-k rows with the duplicate-evidence raise_error guard fused into its output projection, then a per-query window over the fused frame",
-      "q230_mrr_map" -> "MRR/MAP eval: retrieved list (|Q| x k rows) left-joins judgments on (query, doc); cumulative hits via a per-query FRAMED running-sum window (rows between unbounded preceding and current); metrics collapse in one per-query HashAggregate - nothing corpus-sized past the retriever scan"
+      "q230_mrr_map" -> "MRR/MAP eval: retrieved list (|Q| x k rows) left-joins judgments on (query, doc); cumulative hits via a per-query FRAMED running-sum window (rows between unbounded preceding and current); metrics collapse in one per-query HashAggregate - nothing corpus-sized past the retriever scan",
+      "q238_hdr_quantiles" -> "HDR quantiles: ONE map-side-combined bucket aggregate (comparison-ladder log2 in the scan projection) into the ~1.9k-row histogram; the quantile pick is a declared bounded-frame running sum (SingleTask.key partition spec) + a sanctioned broadcast of the quantile/global-count side - the corpus is touched exactly once"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries\n\n")
