@@ -4300,6 +4300,122 @@ object SparkEntry {
       val hist = ext.FreqSketch.hdrHistogram(vals, "v", subBits = 5)
       ext.FreqSketch.hdrQuantiles(hist, Seq(0.5, 0.9, 0.99), subBits = 5)
         .orderBy("q")
+    }),
+
+    // ext sketch — Bloom filter as a mergeable RELATION (the SET-
+    // membership member of the sketch family): build over the even-doc
+    // vocabulary, probe the odd-doc vocabulary, and reconcile against
+    // the exact semi-join. `n_missed` MUST be 0 — absence of a bit is
+    // proof of absence (the no-false-negative contract); `n_false_pos`
+    // measures the screen's cost, and both replay bit-for-bit from the
+    // md5 double-hash positions.
+    "q239_bloom_filter" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val build = words(_ % 2 === 0)
+      val probe = words(_ % 2 === 1)
+      val sk = ext.SetSketch.bloomSketch(build, "word", mBits = 8192)
+      val ct = ext.SetSketch.bloomContains(sk, probe, "word", mBits = 8192)
+      val truth = probe.select(col("word").as("item")).distinct()
+        .join(build.select(col("word").as("item")).distinct()
+          .withColumn("__t", lit(1L)), Seq("item"), "left")
+      ct.join(truth, Seq("item"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(coalesce(col("__t"), lit(0L))).as("n_true"),
+          sum(when(col("maybe") && col("__t").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("maybe") && col("__t").isNotNull, 1L).otherwise(0L))
+            .as("n_missed"))
+    }),
+
+    // ext sketch — KMV distinct sketch with the SET OPERATIONS HLL
+    // registers cannot do: union and intersection estimates between
+    // the even- and odd-doc vocabularies, exact counts riding along so
+    // the gate measures estimator error. Bottom-k closure
+    // (merge-of-sketches ≡ sketch-of-union) is what the union path
+    // exercises; every number is integer-exact up to the final
+    // divisions, replayed identically by the oracle.
+    "q240_kmv_distinct" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val a = words(_ % 2 === 0)
+      val b = words(_ % 2 === 1)
+      val ska = ext.SetSketch.kmvSketch(a, "word", k = 256)
+      val skb = ext.SetSketch.kmvSketch(b, "word", k = 256)
+      val estA = ext.SetSketch.kmvEstimate(ska, k = 256)
+        .select(col("estimate").as("est_a"))
+      val estB = ext.SetSketch.kmvEstimate(skb, k = 256)
+        .select(col("estimate").as("est_b"))
+      val inter = ext.SetSketch.kmvIntersectEstimate(ska, skb, k = 256)
+      val exact = a.select(col("word")).distinct()
+        .withColumn("__ina", lit(1L))
+        .join(b.select(col("word")).distinct().withColumn("__inb", lit(1L)),
+          Seq("word"), "full")
+        .agg(sum(coalesce(col("__ina"), lit(0L))).as("exact_a"),
+          sum(coalesce(col("__inb"), lit(0L))).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(coalesce(col("__ina"), lit(0L)) *
+            coalesce(col("__inb"), lit(0L))).as("exact_intersect"))
+      estA.crossJoin(broadcast(estB)).crossJoin(broadcast(inter))
+        .crossJoin(broadcast(exact))
+    }),
+
+    // ext sketch — AMS tug-of-war: second-moment (self-join size) and
+    // inner-product (equi-join size) estimates from 7-counter linear
+    // sketches of the even-/odd-doc word-frequency vectors, the exact
+    // moments riding along. Estimator products are doubles of < 2^53
+    // integers (identical IEEE in both engines); the median-of-7 pick
+    // replays as a QUALIFY rank in the oracle.
+    "q241_ams_sketch" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val a = words(_ % 2 === 0)
+      val b = words(_ % 2 === 1)
+      val ska = ext.FreqSketch.amsSketch(a, "word")
+      val skb = ext.FreqSketch.amsSketch(b, "word")
+      val f2 = ext.FreqSketch.amsF2(ska)
+      val ip = ext.FreqSketch.amsInnerProduct(ska, skb)
+      val ca = a.groupBy(col("word")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col("word")).agg(count(lit(1)).as("cb"))
+      val f2Exact = ca.agg(coalesce(sum(col("ca") * col("ca")), lit(0L))
+        .as("f2_exact"))
+      val ipExact = ca.join(cb, Seq("word"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("ip_exact"))
+      f2.crossJoin(broadcast(f2Exact)).crossJoin(broadcast(ip))
+        .crossJoin(broadcast(ipExact))
+    }),
+
+    // streaming ext — cross-batch Bloom accumulation: the continuous
+    // novelty screen (state ≤ mBits rows over the shared KeyedBatchStore
+    // LSM in distinct mode). Each batch's distinct items are screened
+    // against the filter of the batches BEFORE it, then folded in; the
+    // oracle replays novelty from each bit's first-appearance batch,
+    // checking both the screen and the accumulation order.
+    "q242_stream_bloom" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"),
+          concat(lit("u"), col("user_id").cast("string")).as("item"))
+      val batches = (0 to 2).map(i =>
+        ev.filter(col("event_id") % 3 === i).select("item"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q242").toString + "/bloom"
+      streaming.StreamingBloom.byBatch(s, batches, store, "item",
+          mBits = 8192)
+        .orderBy("batch_id")
     })
   )
 
@@ -9623,7 +9739,11 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
-    "q238_hdr_quantiles" -> HdrOracle
+    "q238_hdr_quantiles" -> HdrOracle,
+    "q239_bloom_filter" -> BloomOracle,
+    "q240_kmv_distinct" -> KmvOracle,
+    "q241_ams_sketch" -> AmsOracle,
+    "q242_stream_bloom" -> StreamBloomOracle
   )
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
@@ -9829,6 +9949,230 @@ object SparkEntry {
        |    / CAST(s + ($m - n_registers) * ${1L << 40} AS DOUBLE) AS estimate,
        |  exact_distinct
        |FROM agg CROSS JOIN ex""".stripMargin
+  }
+
+  /** Ascii-fold hex decode of `len` chars of column `hx` starting at
+    * 1-based `start` (a SQL expression — may reference columns), as a
+    * BIGINT — the shared primitive of every sketch oracle.
+    */
+  private def hexFold(start: String, len: Int): String =
+    (0 until len).map { i =>
+      val pos = if (start.forall(_.isDigit)) (start.toInt + i).toString
+        else s"$start + $i"
+      val pw = math.pow(16, len - 1 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+
+  /** The even-/odd-doc word CTEs shared by the q239–q241 sketch
+    * oracles: same normalization as the q235 HLL word CTE, split on
+    * `doc_id % 2`.
+    */
+  private val ParitySplitWordCtes: String =
+    s"""wa AS (
+       |  SELECT u.w AS word
+       |  FROM documents d,
+       |    unnest(string_split(trim(regexp_replace(lower(d.text),
+       |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |    AND d.doc_id % 2 = 0 AND len(u.w) > 0),
+       |wb AS (
+       |  SELECT u.w AS word
+       |  FROM documents d,
+       |    unnest(string_split(trim(regexp_replace(lower(d.text),
+       |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |    AND d.doc_id % 2 = 1 AND len(u.w) > 0)""".stripMargin
+
+  /** Bloom replay (q239): double-hashed bit positions
+    * `(h1 + i·h2) % m` from two 32-bit md5 words, distinct-bit build
+    * side, per-probe hit counts (duplicate positions count twice on
+    * both engines — identical construction), reconciled against the
+    * exact vocabulary semi-join. `n_missed` = 0 IS the
+    * no-false-negative theorem, replayed rather than asserted.
+    */
+  private val BloomOracle: String = {
+    val m = 8192
+    val k = ext.SetSketch.BloomK
+    val idx = (0 until k).map(i => s"($i)").mkString(", ")
+    s"""WITH $ParitySplitWordCtes,
+       |hb AS (SELECT md5(word) AS hx FROM wa),
+       |hw AS (SELECT ${hexFold("1", 8)} AS h1, ${hexFold("9", 8)} AS h2
+       |  FROM hb),
+       |bits AS (
+       |  SELECT DISTINCT (h1 + i * h2) % $m AS bit
+       |  FROM hw CROSS JOIN (VALUES $idx) t(i)),
+       |pd AS (SELECT DISTINCT word AS item FROM wb),
+       |ph AS (SELECT item, md5(item) AS hx FROM pd),
+       |pw AS (SELECT item, ${hexFold("1", 8)} AS h1, ${hexFold("9", 8)} AS h2
+       |  FROM ph),
+       |pbits AS (
+       |  SELECT item, (h1 + i * h2) % $m AS bit
+       |  FROM pw CROSS JOIN (VALUES $idx) t(i)),
+       |hits AS (
+       |  SELECT p.item,
+       |    CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS hits
+       |  FROM pbits p LEFT JOIN bits b USING (bit) GROUP BY 1),
+       |bd AS (SELECT DISTINCT word AS item FROM wa),
+       |tr AS (
+       |  SELECT p.item, CASE WHEN b.item IS NULL THEN 0 ELSE 1 END AS t
+       |  FROM pd p LEFT JOIN bd b USING (item))
+       |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |  CAST(sum(CASE WHEN hits = $k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_maybe,
+       |  CAST(sum(t) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN hits = $k AND t = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_pos,
+       |  CAST(sum(CASE WHEN hits < $k AND t = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_missed
+       |FROM hits h JOIN tr USING (item)""".stripMargin
+  }
+
+  /** KMV replay (q240): 48-bit hashes (12 hex chars), DISTINCT +
+    * ORDER BY + LIMIT k bottom-k sketches, the (k−1)·2^48/h(k)
+    * estimate with the identical integer numerator and one double
+    * division, and the Beyer et al. union/intersection scaling —
+    * exact counts from the same vocabulary CTEs.
+    */
+  private val KmvOracle: String = {
+    val k = 256
+    val num = (k - 1).toLong << 48
+    s"""WITH $ParitySplitWordCtes,
+       |da AS (SELECT DISTINCT word FROM wa),
+       |db AS (SELECT DISTINCT word FROM wb),
+       |ha AS (SELECT DISTINCT ${hexFold("1", 12)} AS h
+       |  FROM (SELECT md5(word) AS hx FROM da) t),
+       |hb AS (SELECT DISTINCT ${hexFold("1", 12)} AS h
+       |  FROM (SELECT md5(word) AS hx FROM db) t),
+       |ska AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |skb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |ea AS (
+       |  SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE CAST($num AS DOUBLE) / CAST(max(h) AS DOUBLE) END AS est_a
+       |  FROM ska),
+       |eb AS (
+       |  SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE CAST($num AS DOUBLE) / CAST(max(h) AS DOUBLE) END AS est_b
+       |  FROM skb),
+       |sku AS (
+       |  SELECT DISTINCT h FROM (
+       |    SELECT h FROM ska UNION ALL SELECT h FROM skb) t
+       |  ORDER BY h LIMIT $k),
+       |fl AS (
+       |  SELECT u.h,
+       |    CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ina,
+       |    CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS inb
+       |  FROM sku u LEFT JOIN ska a ON u.h = a.h
+       |    LEFT JOIN skb b ON u.h = b.h),
+       |un AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_union,
+       |    CAST(coalesce(sum(ina * inb), 0) AS BIGINT) AS n_both,
+       |    coalesce(max(h), 0) AS kth
+       |  FROM fl),
+       |ue AS (
+       |  SELECT k_union, n_both,
+       |    CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |      ELSE CAST($num AS DOUBLE) / CAST(kth AS DOUBLE) END AS union_est
+       |  FROM un),
+       |ie AS (
+       |  SELECT k_union, n_both, union_est,
+       |    CASE WHEN k_union = 0 THEN 0.0
+       |      ELSE CAST(n_both AS DOUBLE) * union_est
+       |        / CAST(k_union AS DOUBLE) END AS intersect_est
+       |  FROM ue),
+       |ex AS (
+       |  SELECT
+       |    CAST(sum(ina) AS BIGINT) AS exact_a,
+       |    CAST(sum(inb) AS BIGINT) AS exact_b,
+       |    CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(ina * inb) AS BIGINT) AS exact_intersect
+       |  FROM (
+       |    SELECT coalesce(a.word, b.word) AS word,
+       |      CASE WHEN a.word IS NULL THEN 0 ELSE 1 END AS ina,
+       |      CASE WHEN b.word IS NULL THEN 0 ELSE 1 END AS inb
+       |    FROM da a FULL OUTER JOIN db b ON a.word = b.word) t)
+       |SELECT est_a, est_b, k_union, n_both, union_est, intersect_est,
+       |  exact_a, exact_b, exact_union, exact_intersect
+       |FROM ea CROSS JOIN eb CROSS JOIN ie CROSS JOIN ex""".stripMargin
+  }
+
+  /** AMS replay (q241): ±1 signs from the low bit of each 16-bit md5
+    * word (the j-th 4-hex slice), per-j counter sums as BIGINTs,
+    * estimator products as doubles of exact integers, and the
+    * median-of-7 as a `row_number() = 4` pick under `(value, j)` order
+    * — the same order `sort_array(struct(v, j))` gives Spark.
+    */
+  private val AmsOracle: String = {
+    val d = ext.FreqSketch.AmsDepth
+    val idx = (0 until d).map(j => s"($j)").mkString(", ")
+    val rank = (d + 1) / 2
+    s"""WITH $ParitySplitWordCtes,
+       |sa AS (
+       |  SELECT j, CAST(sum((${hexFold("j * 4 + 1", 4)} % 2) * 2 - 1)
+       |    AS BIGINT) AS s
+       |  FROM (SELECT md5(word) AS hx FROM wa) t
+       |    CROSS JOIN (VALUES $idx) v(j)
+       |  GROUP BY 1),
+       |sb AS (
+       |  SELECT j, CAST(sum((${hexFold("j * 4 + 1", 4)} % 2) * 2 - 1)
+       |    AS BIGINT) AS s
+       |  FROM (SELECT md5(word) AS hx FROM wb) t
+       |    CROSS JOIN (VALUES $idx) v(j)
+       |  GROUP BY 1),
+       |f2 AS (
+       |  SELECT v AS f2_est FROM (
+       |    SELECT CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS v, j FROM sa) t
+       |  QUALIFY row_number() OVER (ORDER BY v, j) = $rank),
+       |ip AS (
+       |  SELECT v AS ip_est FROM (
+       |    SELECT CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) AS v, a.j
+       |    FROM sa a JOIN sb b ON a.j = b.j) t
+       |  QUALIFY row_number() OVER (ORDER BY v, j) = $rank),
+       |ca AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wa GROUP BY 1),
+       |cb AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wb GROUP BY 1),
+       |f2x AS (SELECT CAST(coalesce(sum(c * c), 0) AS BIGINT) AS f2_exact
+       |  FROM ca),
+       |ipx AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS ip_exact
+       |  FROM ca a JOIN cb b ON a.word = b.word)
+       |SELECT f2_est, f2_exact, ip_est, ip_exact
+       |FROM f2 CROSS JOIN f2x CROSS JOIN ip CROSS JOIN ipx""".stripMargin
+  }
+
+  /** Streaming-Bloom replay (q242): novelty against prior batches only
+    * — a bit's FIRST-appearance batch decides every later probe, so
+    * "item in batch b is maybe-seen" ≡ "all its bits first appeared
+    * strictly before b". Same double-hash positions as [[BloomOracle]];
+    * duplicate positions per item count per-probe on both engines.
+    */
+  private val StreamBloomOracle: String = {
+    val m = 8192
+    val k = ext.SetSketch.BloomK
+    val idx = (0 until k).map(i => s"($i)").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_id % 3 AS b,
+       |    'u' || CAST(user_id AS VARCHAR) AS item
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |di AS (SELECT DISTINCT b, item FROM ev),
+       |ih AS (SELECT b, item, md5(item) AS hx FROM di),
+       |iw AS (SELECT b, item, ${hexFold("1", 8)} AS h1,
+       |    ${hexFold("9", 8)} AS h2
+       |  FROM ih),
+       |ib AS (
+       |  SELECT b, item, (h1 + i * h2) % $m AS bit
+       |  FROM iw CROSS JOIN (VALUES $idx) t(i)),
+       |fb AS (SELECT bit, min(b) AS first_b FROM ib GROUP BY 1),
+       |pr AS (
+       |  SELECT d.b, d.item,
+       |    min(CASE WHEN f.first_b < d.b THEN 1 ELSE 0 END) AS seen
+       |  FROM ib d JOIN fb f ON d.bit = f.bit GROUP BY 1, 2)
+       |SELECT CAST(b AS BIGINT) AS batch_id,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CASE WHEN seen = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** HDR-quantile replay (q238): the comparison-ladder log2, the bucket

@@ -269,6 +269,103 @@ object FreqSketch {
       .select(col("q"), col("rank"), col("bucket"), col("lo"), col("hi"))
   }
 
+  // ------------------------- AMS tug-of-war sketch (second moment / join size)
+
+  /** AMS sketch depth — 7 independent sign bits from the 16-bit words
+    * of one md5 digest (odd, so the median is a single element).
+    */
+  val AmsDepth = 7
+
+  /** Sign for estimator `j`: the low bit of 16-bit md5 word `j`,
+    * mapped to ±1 — the module [[bucket]] slicing stance.
+    */
+  private[ext] def amsSign(item: Column, j: Int): Column =
+    conv(substring(md5(item.cast("string")), j * 4 + 1, 4), 16, 10)
+      .cast("long") % 2L * 2L - 1L
+
+  /** AMS tug-of-war sketch (Alon, Matias & Szegedy 1996) as a
+    * RELATION — the JOIN-SIZE member of the mergeable-sketch family:
+    * exactly [[AmsDepth]] rows `(j, s)` where `s = Σ sign_j(item)·w`.
+    * `median_j(s_j²)` estimates the second frequency moment
+    * `F2 = Σ count(item)²` — the self-join size — and
+    * `median_j(s_j^A · s_j^B)` the inner product `Σ c_A·c_B` — the
+    * equi-join size between two corpora — WITHOUT ever holding the
+    * item space. The sketch is LINEAR: counters add component-wise,
+    * so shard/day sketches stored as parquet merge by `union + sum`
+    * (the [[cmsMerge]] property) and a stream accumulates it batch by
+    * batch.
+    *
+    * One partial+final aggregate builds it: the explode emits
+    * [[AmsDepth]] rows per input row but map-side combine collapses
+    * each task to ≤ [[AmsDepth]] rows before the shuffle.
+    */
+  def amsSketch(df: DataFrame, itemCol: String,
+                weightCol: Option[String] = None): DataFrame = {
+    val item = col(itemCol)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.filter(item.isNotNull)
+      .select(posexplode(array((0 until AmsDepth)
+        .map(j => amsSign(item, j) * w): _*)).as(Seq("j", "__t")))
+      .groupBy(col("j"))
+      .agg(sum(col("__t")).as("s"))
+  }
+
+  /** Merge AMS sketches: union + component-wise sum — the linearity
+    * of the sketch (merge-then-estimate ≡ sketch-the-concatenation).
+    */
+  def amsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("j"))
+      .agg(sum(col("s")).as("s"))
+  }
+
+  /** The median element of `valueCol` over the [[AmsDepth]]-row
+    * estimator frame — element (AmsDepth+1)/2 of the `(value, j)`-
+    * sorted list, deterministic under ties and replayed by the oracle
+    * as a rank pick. A GLOBAL collect+sort aggregate is the right
+    * physical shape for a frame of exactly [[AmsDepth]] rows: one
+    * constant-size buffer, and the one-row result is the sanctioned
+    * broadcast side for downstream cross-joins. Products are formed in
+    * DOUBLE: counters stay < 2^53 for any realistic corpus, so the
+    * double product is the same IEEE number in every engine, and
+    * squaring a multi-billion counter can never overflow the way a
+    * BIGINT product would. An EMPTY sketch yields one NULL-estimate
+    * row.
+    */
+  private def amsMedian(est: DataFrame, valueCol: String,
+                        outCol: String): DataFrame =
+    est
+      .agg(sort_array(collect_list(struct(col(valueCol).as("v"), col("j"))))
+        .as("__l"))
+      .select(element_at(col("__l"), (AmsDepth + 1) / 2)
+        .getField("v").as(outCol))
+
+  /** Second-moment estimate from an AMS sketch: one row `(f2_est)` =
+    * median of the squared counters. Standard guarantee: within
+    * `ε·F2` with constant probability per estimator, the median over
+    * [[AmsDepth]] driving the failure rate down.
+    */
+  def amsF2(sketch: DataFrame): DataFrame =
+    amsMedian(
+      sketch.select(col("j"),
+        (col("s").cast("double") * col("s").cast("double")).as("__v")),
+      "__v", "f2_est")
+
+  /** Inner-product (equi-join size) estimate between two AMS sketches
+    * built with the same depth: one row `(ip_est)` = median of the
+    * component-wise counter products. The join is [[AmsDepth]] rows a
+    * side.
+    */
+  def amsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    amsMedian(
+      a.select(col("j"), col("s").as("__sa"))
+        .join(b.select(col("j"), col("s").as("__sb")), Seq("j"))
+        .select(col("j"),
+          (col("__sa").cast("double") * col("__sb").cast("double"))
+            .as("__v")),
+      "__v", "ip_est")
+
   /** The raw HLL estimate from a register table: one row
     * `(n_registers, sum_scaled, estimate)`.
     *

@@ -202,4 +202,56 @@ class FreqSketchSpec extends SparkTestBase {
       1099511627776.0 / (m.toLong << 39).toDouble
     assert(row == ((256L, m.toLong << 39, expected)))
   }
+
+  test("amsSketch counters equal an independent Scala md5 derivation") {
+    val df = words.toDF("word")
+    val got = FreqSketch.amsSketch(df, "word")
+      .as[(Int, Long)].collect().toMap
+    def sign(s: String, j: Int): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hx.substring(j * 4, j * 4 + 4), 16) % 2 * 2 - 1
+    }
+    val want = (0 until FreqSketch.AmsDepth).map(j =>
+      j -> words.map(sign(_, j)).sum).toMap
+    assert(got == want)
+  }
+
+  test("amsMerge linearity: sketch of concat equals sum of sketches") {
+    val (l, r) = words.splitAt(2000)
+    val whole = FreqSketch.amsSketch(words.toDF("word"), "word")
+      .as[(Int, Long)].collect().toSet
+    val merged = FreqSketch.amsMerge(Seq(
+        FreqSketch.amsSketch(l.toDF("word"), "word"),
+        FreqSketch.amsSketch(r.toDF("word"), "word")))
+      .as[(Int, Long)].collect().toSet
+    assert(whole == merged)
+  }
+
+  test("amsF2 and amsInnerProduct land near the exact moments") {
+    val cnt = exact
+    val f2True = cnt.values.map(n => n.toDouble * n).sum
+    val f2Est = FreqSketch.amsF2(FreqSketch.amsSketch(words.toDF("word"),
+        "word")).as[Double].head()
+    // single-median estimator on a zipf corpus: generous 3x band — the
+    // point pinned here is the estimator shape, exactness is the gate's
+    assert(f2Est > f2True / 3 && f2Est < f2True * 3,
+      s"F2 est $f2Est vs true $f2True")
+
+    // inner product of a corpus with itself IS F2 — and both medians
+    // must agree exactly (same estimator values)
+    val sk = FreqSketch.amsSketch(words.toDF("word"), "word")
+    val ip = FreqSketch.amsInnerProduct(sk, sk).as[Double].head()
+    assert(ip == f2Est)
+  }
+
+  test("amsSketch weighted: weight w equals w repeats of the item") {
+    val weighted = Seq(("a", 3L), ("b", 2L)).toDF("word", "w")
+    val repeated = Seq("a", "a", "a", "b", "b").toDF("word")
+    val x = FreqSketch.amsSketch(weighted, "word", weightCol = Some("w"))
+      .as[(Int, Long)].collect().toSet
+    val y = FreqSketch.amsSketch(repeated, "word")
+      .as[(Int, Long)].collect().toSet
+    assert(x == y)
+  }
 }

@@ -56,7 +56,9 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     *  - ext/FreqSketch.scala (hdrQuantiles running sum): frame = the
     *    HDR histogram relation, STRUCTURALLY bounded at
     *    (63 − subBits + 1)·2^subBits rows (~1.9k at subBits 5) for the
-    *    whole nonnegative BIGINT domain. Asserted below.
+    *    whole nonnegative BIGINT domain. Asserted below. (amsF2 /
+    *    amsInnerProduct take their depth-row median via a global
+    *    collect+sort aggregate instead — no window, no key needed.)
     */
   private val registry = Map(
     "SparkEntry.scala" -> 1,
@@ -157,5 +159,16 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     val rows = FreqSketch.hdrHistogram(vals, "v", subBits = 5).count()
     assert(rows <= (63 - 5 + 1).toLong * 32,
       s"histogram frame = $rows rows — exceeds the structural bound")
+  }
+
+  test("AMS estimator frame is exactly AmsDepth rows by construction") {
+    // the frame the median aggregate collects is the AMS sketch
+    // itself — at most AmsDepth rows for ANY input, by the groupBy(j)
+    // over a j < AmsDepth posexplode (its collect_list buffer is
+    // constant-size for the same reason)
+    val items = spark.range(100000).select(col("id").cast("string").as("it"))
+    val rows = FreqSketch.amsSketch(items, "it").count()
+    assert(rows <= FreqSketch.AmsDepth.toLong,
+      s"AMS estimator frame = $rows rows — exceeds the depth bound")
   }
 }
