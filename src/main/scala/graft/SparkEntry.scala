@@ -4416,6 +4416,98 @@ object SparkEntry {
       streaming.StreamingBloom.byBatch(s, batches, store, "item",
           mBits = 8192)
         .orderBy("batch_id")
+    }),
+
+    // ext net — longest-prefix-match CIDR enrichment of an IP column
+    // (the reference access-log `remote_ip` shape): a synthetic CIDR
+    // table at five prefix lengths derived from `customer`, probe IPs
+    // from `orders` via a Knuth multiplicative hash, round-tripped
+    // through dotted-quad text so the gate exercises longToIpv4 →
+    // ipv4ToLong in-plan. LPM is a literal-length explode + broadcast
+    // hash equi-join + bounded window — never a range join; the
+    // aggregate reconciles match depth and attribution per segment.
+    "q243_ip_cidr_lookup" -> ((s, dir) => {
+      val ips = tbl(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") * 2654435761L % 4294967296L).as("h"))
+        .withColumn("ipn",
+          ext.Net.ipv4ToLong(ext.Net.longToIpv4(col("h"))))
+        .select("id", "ipn")
+      val netsRaw = tbl(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("net_id"),
+          col("c_mktsegment").as("segment"),
+          (lit(8L) + col("c_custkey") % 5L * 4L).as("len"),
+          (col("c_custkey") * 2654435761L % 4294967296L).as("neth"))
+      val prefix = Seq(8, 12, 16, 20, 24)
+        .foldLeft(lit(null).cast("long")) { (acc, l) =>
+          when(col("len") === l.toLong,
+            shiftright(col("neth"), 32 - l).cast("long")).otherwise(acc)
+        }
+      val nets = netsRaw.withColumn("prefix", prefix)
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("len"), col("prefix"))
+            .orderBy(col("net_id"))))
+        .filter(col("__rk") === 1)
+        .select("len", "prefix", "net_id", "segment")
+      ext.Net.longestPrefixJoin(ips, "id", "ipn", nets, "len", "prefix",
+          minLen = 8, maxLen = 24)
+        .groupBy(coalesce(col("matched_len"), lit(-1L)).as("matched_len"),
+          coalesce(col("segment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n_ips"),
+          sum(coalesce(col("net_id"), lit(0L))).as("sum_net"))
+        .orderBy("matched_len", "segment")
+    }),
+
+    // ext sketch — count sketch (signed CMS): unbiased per-item
+    // frequency estimates from a fixed depth×width grid of SIGNED
+    // counters. Probe = the 50 most frequent corpus words (exact
+    // counts riding along), so the gate measures symmetric estimator
+    // error where CMS could only over-count; every number is BIGINT-
+    // exact (±1 signs × long counters, median = rank pick).
+    "q244_count_sketch" -> ((s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val sk = ext.FreqSketch.countSketch(words, "word", width = 2048)
+      val exact = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("exact"))
+      val probes = exact.orderBy(col("exact").desc, col("word"))
+        .limit(50).select("word")
+      ext.FreqSketch.csEstimate(sk, probes, "word", width = 2048)
+        .join(exact.withColumnRenamed("word", "item"), Seq("item"))
+        .select(col("item"), col("est"), col("exact"))
+        .orderBy("item")
+    }),
+
+    // ext sketch — Misra–Gries heavy hitters: DETERMINISTIC k-row
+    // summaries per event-id shard (no hashing — the mirror image of
+    // CMS: under-counts by ≤ theta, never over), merged across the
+    // four shards with the bounds adding. The gate reconciles every
+    // survivor against its exact corpus count, replaying BOTH
+    // inequalities of `lo ≤ true ≤ lo + theta` as data.
+    "q245_misra_gries" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select((col("event_id") % 4L).as("shard"),
+          // harmonic-skewed item domain (~19 distinct, top item ~50%
+          // of rows) so the k=16 compress genuinely sheds mass
+          concat(lit("u"),
+            expr("CAST(100 DIV (1 + user_id % 100) AS STRING)")).as("item"))
+      val k = 16
+      val perShard = (0L to 3L).map(i =>
+        ext.FreqSketch.mgSummarize(ev.filter(col("shard") === i),
+          "item", "shard", k))
+      val merged = ext.FreqSketch.mgMerge(perShard, k)
+      val exact = ev.groupBy(col("item")).agg(count(lit(1)).as("exact"))
+      merged.join(exact, Seq("item"))
+        .select(col("item"), col("lo"), col("theta"), col("exact"),
+          (col("lo") <= col("exact") &&
+            col("exact") <= col("lo") + col("theta")).as("bounds_hold"))
+        .orderBy("item")
     })
   )
 
@@ -9743,8 +9835,144 @@ object SparkEntry {
     "q239_bloom_filter" -> BloomOracle,
     "q240_kmv_distinct" -> KmvOracle,
     "q241_ams_sketch" -> AmsOracle,
-    "q242_stream_bloom" -> StreamBloomOracle
+    "q242_stream_bloom" -> StreamBloomOracle,
+    "q243_ip_cidr_lookup" -> CidrOracle,
+    "q244_count_sketch" -> CountSketchOracle,
+    "q245_misra_gries" -> MisraGriesOracle
   )
+
+  /** Misra–Gries replay (q245): per-shard counts, θ = the count at
+    * rank k+1 under `(cnt DESC, item)` (0 when absent), survivors
+    * `cnt > θ` with `lo = cnt − θ`; merge = per-item `lo` sums +
+    * shard-θ total, re-compressed the same way. Pure integers — the
+    * `bounds_hold` column replays the MG guarantee as data.
+    */
+  private val MisraGriesOracle: String = {
+    val k = 16
+    s"""WITH ev AS (
+       |  SELECT event_id % 4 AS shard,
+       |    'u' || CAST(100 // (1 + user_id % 100) AS VARCHAR) AS item
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |cnts AS (
+       |  SELECT shard, item, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT shard, item, cnt, row_number() OVER (
+       |    PARTITION BY shard ORDER BY cnt DESC, item) AS r
+       |  FROM cnts),
+       |tk AS (
+       |  SELECT s.shard, coalesce(t.cnt, 0) AS tk
+       |  FROM (SELECT DISTINCT shard FROM rk) s
+       |  LEFT JOIN (SELECT shard, cnt FROM rk WHERE r = ${k + 1}) t
+       |    USING (shard)),
+       |summ AS (
+       |  SELECT r.shard, r.item, r.cnt - t.tk AS lo, t.tk AS theta
+       |  FROM rk r JOIN tk t USING (shard) WHERE r.cnt > t.tk),
+       |summed AS (
+       |  SELECT item, CAST(sum(lo) AS BIGINT) AS cnt FROM summ GROUP BY 1),
+       |tin AS (
+       |  SELECT CAST(coalesce(sum(theta), 0) AS BIGINT) AS theta_in
+       |  FROM (SELECT DISTINCT shard, theta FROM summ) t),
+       |mrk AS (
+       |  SELECT item, cnt, row_number() OVER (ORDER BY cnt DESC, item) AS r
+       |  FROM summed),
+       |mtk AS (
+       |  SELECT coalesce(max(CASE WHEN r = ${k + 1} THEN cnt END), 0) AS tk
+       |  FROM mrk),
+       |merged AS (
+       |  SELECT m.item, m.cnt - x.tk AS lo, i.theta_in + x.tk AS theta
+       |  FROM mrk m CROSS JOIN mtk x CROSS JOIN tin i
+       |  WHERE m.cnt > x.tk),
+       |exact AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS exact FROM ev GROUP BY 1)
+       |SELECT g.item, CAST(g.lo AS BIGINT) AS lo,
+       |  CAST(g.theta AS BIGINT) AS theta, e.exact,
+       |  (g.lo <= e.exact AND e.exact <= g.lo + g.theta) AS bounds_hold
+       |FROM merged g JOIN exact e USING (item)
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** Count-sketch replay (q244): 20-bit bucket slices at hex chars
+    * 1–25, sign parities at chars 26–30, per-(j, bucket) signed BIGINT
+    * sums over the corpus, probe estimates as `sign · counter` with
+    * the median as a `row_number = 3` pick under `(value, j)` order —
+    * the exact [[ext.FreqSketch.csEstimate]] arithmetic.
+    */
+  private val CountSketchOracle: String = {
+    val d = ext.FreqSketch.CsDepth
+    val width = 2048
+    val idx = (0 until d).map(j => s"($j)").mkString(", ")
+    val rank = (d + 1) / 2
+    s"""WITH w AS (
+       |  SELECT u.w AS word
+       |  FROM documents d,
+       |    unnest(string_split(trim(regexp_replace(lower(d.text),
+       |      '\\s+', ' ', 'g')), ' ')) AS u(w)
+       |  WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+       |    AND len(u.w) > 0),
+       |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS exact
+       |  FROM w GROUP BY 1),
+       |sk AS (
+       |  SELECT j, ${hexFold("j * 5 + 1", 5)} % $width AS bucket,
+       |    CAST(sum((${hexFold("j + 26", 1)} % 2) * 2 - 1) AS BIGINT) AS s
+       |  FROM (SELECT md5(word) AS hx FROM w) t
+       |    CROSS JOIN (VALUES $idx) v(j)
+       |  GROUP BY 1, 2),
+       |pr AS (SELECT word FROM cnt ORDER BY exact DESC, word LIMIT 50),
+       |ph AS (SELECT word, md5(word) AS hx FROM pr),
+       |pv AS (
+       |  SELECT p.word, v.j,
+       |    ((${hexFold("v.j + 26", 1)} % 2) * 2 - 1)
+       |      * coalesce(s.s, 0) AS est_j
+       |  FROM ph p CROSS JOIN (VALUES $idx) v(j)
+       |  LEFT JOIN sk s ON s.j = v.j
+       |    AND s.bucket = ${hexFold("v.j * 5 + 1", 5)} % $width),
+       |med AS (
+       |  SELECT word AS item, est_j FROM pv
+       |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY est_j, j)
+       |    = $rank)
+       |SELECT m.item, CAST(m.est_j AS BIGINT) AS est, c.exact
+       |FROM med m JOIN cnt c ON m.item = c.word
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** LPM replay (q243): the same Knuth-hash IPs and customer-derived
+    * CIDR table, candidates by integer right-shift equality, the
+    * most-specific pick as a `row_number` over `len DESC` (tie-free —
+    * nets are deduped per (len, prefix)), left-joined back so
+    * unmatched probes land in the (-1, '(none)') bucket. All shifts
+    * ≤ 24 bits — inside DuckDB's safe `<<` range.
+    */
+  private val CidrOracle: String =
+    s"""WITH ips AS (
+       |  SELECT o_orderkey AS id,
+       |    (o_orderkey * 2654435761) % 4294967296 AS h
+       |  FROM orders WHERE o_orderkey IS NOT NULL),
+       |nets0 AS (
+       |  SELECT c_custkey AS net_id, c_mktsegment AS segment,
+       |    8 + (c_custkey % 5) * 4 AS len,
+       |    ((c_custkey * 2654435761) % 4294967296)
+       |      // (CAST(1 AS BIGINT) << CAST(32 - (8 + (c_custkey % 5) * 4)
+       |        AS INTEGER)) AS prefix
+       |  FROM customer WHERE c_custkey IS NOT NULL),
+       |nets AS (
+       |  SELECT len, prefix, net_id, segment FROM nets0
+       |  QUALIFY row_number() OVER (PARTITION BY len, prefix
+       |    ORDER BY net_id) = 1),
+       |best AS (
+       |  SELECT i.id, n.len, n.net_id, n.segment
+       |  FROM ips i JOIN nets n
+       |    ON (i.h // (CAST(1 AS BIGINT) << CAST(32 - n.len AS INTEGER)))
+       |      = n.prefix
+       |  QUALIFY row_number() OVER (PARTITION BY i.id ORDER BY n.len DESC)
+       |    = 1)
+       |SELECT coalesce(b.len, -1) AS matched_len,
+       |  coalesce(b.segment, '(none)') AS segment,
+       |  CAST(count(*) AS BIGINT) AS n_ips,
+       |  CAST(sum(coalesce(b.net_id, 0)) AS BIGINT) AS sum_net
+       |FROM ips i LEFT JOIN best b USING (id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Rank-eval replay (q228): the cosine retriever is the q15 formula;
     * the nDCG discount and ideal-DCG prefix constants are the SAME

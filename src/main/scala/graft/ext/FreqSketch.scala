@@ -269,6 +269,95 @@ object FreqSketch {
       .select(col("q"), col("rank"), col("bucket"), col("lo"), col("hi"))
   }
 
+  // ----------------------------------- Count sketch (signed / unbiased CMS)
+
+  /** Count-sketch depth — 5 estimator rows (odd, single-element
+    * median) from disjoint slices of one md5 digest: 5-hex-char
+    * (20-bit) bucket slices at chars 1–25, one sign hex char each at
+    * chars 26–30.
+    */
+  val CsDepth = 5
+
+  /** Bucket for count-sketch row `j` — a 20-bit md5 slice mod width. */
+  private[ext] def csBucket(item: Column, j: Int, width: Int): Column =
+    conv(substring(md5(item.cast("string")), j * 5 + 1, 5), 16, 10)
+      .cast("long") % width
+
+  /** Sign for count-sketch row `j` — the parity of one hex char. */
+  private[ext] def csSign(item: Column, j: Int): Column =
+    conv(substring(md5(item.cast("string")), j + 26, 1), 16, 10)
+      .cast("long") % 2L * 2L - 1L
+
+  /** Count sketch (Charikar, Chen & Farach-Colton 2002) as a RELATION
+    * — the SIGNED sibling of [[cmsSketch]]: ≤ [[CsDepth]] × `width`
+    * rows `(j, bucket, s)` where `s = Σ sign_j(item)·w` over the items
+    * landing in the bucket. Colliding items cancel in expectation
+    * instead of adding, so the per-item estimate
+    * `median_j(sign_j(item) · s_j[bucket_j(item)])` is UNBIASED —
+    * CMS can only over-count, count sketch errs symmetrically with
+    * variance `F2/width` — at the price of losing CMS's
+    * no-false-negative screen. Use CMS to gate "possibly heavy", count
+    * sketch when the estimate itself feeds arithmetic (residuals,
+    * deltas between corpora — the sketch is LINEAR, so subtracting two
+    * corpus sketches estimates per-item count differences).
+    *
+    * Same 100 TB shape as [[cmsSketch]]: one partial+final aggregate,
+    * map-side combine collapses each task to ≤ depth·width rows,
+    * merge = union + re-aggregate, estimate = broadcast equi-join.
+    */
+  def countSketch(df: DataFrame, itemCol: String, width: Int = 2048,
+                  weightCol: Option[String] = None): DataFrame = {
+    require(width >= 16, s"width must be >= 16, got $width")
+    val item = col(itemCol)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.filter(item.isNotNull)
+      .select(posexplode(array((0 until CsDepth).map(j =>
+        struct(csBucket(item, j, width).as("b"),
+          (csSign(item, j) * w).as("t"))): _*)).as(Seq("j", "__e")))
+      .select(col("j"), col("__e.b").as("bucket"), col("__e.t").as("__t"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("__t")).as("s"))
+  }
+
+  /** Merge count sketches built with the SAME width: union +
+    * re-aggregate (linearity — also how a sketch DIFFERENCE is formed:
+    * negate one side's `s` first).
+    */
+  def csMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("s")).as("s"))
+  }
+
+  /** Unbiased point estimates for a probe item set: per slice,
+    * `sign_j(item) · s_j[bucket_j(item)]` (absent cell = 0), then the
+    * per-item median — element ([[CsDepth]]+1)/2 of the
+    * `(value, j)`-sorted 5-element list, a BOUNDED per-item buffer and
+    * pure BIGINT arithmetic (counters are longs, signs ±1), so the
+    * oracle replays it as a rank pick. Estimates can be negative —
+    * that is the unbiasedness, not a bug; clamp at the caller if the
+    * quantity is a count.
+    */
+  def csEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                 width: Int = 2048): DataFrame = {
+    val item = col(itemCol)
+    probes.filter(item.isNotNull)
+      .select(item.as("item")).distinct()
+      .select(col("item"), posexplode(array((0 until CsDepth).map(j =>
+        struct(csBucket(col("item"), j, width).as("b"),
+          csSign(col("item"), j).as("sg"))): _*)).as(Seq("j", "__e")))
+      .select(col("item"), col("j"), col("__e.b").as("bucket"),
+        col("__e.sg").as("__sg"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(sort_array(collect_list(struct(
+        (col("__sg") * coalesce(col("s"), lit(0L))).as("v"), col("j"))))
+        .as("__l"))
+      .select(col("item"),
+        element_at(col("__l"), (CsDepth + 1) / 2).getField("v").as("est"))
+  }
+
   // ------------------------- AMS tug-of-war sketch (second moment / join size)
 
   /** AMS sketch depth — 7 independent sign bits from the 16-bit words
@@ -395,5 +484,81 @@ object FreqSketch {
       .withColumn("estimate",
         lit(aConst).cast("double") / lit(1000000.0) *
           lit(1099511627776.0) / col("sum_scaled").cast("double"))
+  }
+
+  // -------------------- Misra–Gries heavy-hitter summary (deterministic)
+
+  /** Deterministic Misra–Gries compress of a per-shard count relation
+    * `(shard, item, cnt, theta)`: per shard, `θ_k` = the (k+1)-th
+    * largest count (0 when the shard has ≤ k items), keep the rows
+    * with `cnt > θ_k` (at most k by construction — ties AT `θ_k` drop),
+    * output `(shard, item, lo = cnt − θ_k, theta = theta + θ_k)`.
+    * The window frame is the per-shard item set — the vocabulary-sized
+    * window stance the BM25 family documents.
+    */
+  private def mgCompress(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("cnt").desc, col("item"))
+    val ranked = counts.withColumn("__rk", row_number().over(w))
+    val thetas = ranked.filter(col("__rk") === k + 1)
+      .select(col("shard"), col("cnt").as("__tk"))
+    ranked
+      .join(thetas, Seq("shard"), "left")
+      .withColumn("__tk", coalesce(col("__tk"), lit(0L)))
+      .filter(col("cnt") > col("__tk"))
+      .select(col("shard"), col("item"),
+        (col("cnt") - col("__tk")).as("lo"),
+        (col("theta") + col("__tk")).as("theta"))
+  }
+
+  /** Misra–Gries (1982) / Metwally et al. space-saving summary as a
+    * RELATION — the DETERMINISTIC heavy-hitter member of the sketch
+    * family (no hashing at all): per shard, ≤ k rows
+    * `(shard, item, lo, theta)` where `lo` UNDER-estimates the item's
+    * shard count by at most `theta` and every item occurring more than
+    * `theta` times is GUARANTEED present (the mirror image of CMS,
+    * which only ever over-counts). `theta` is shard-constant: the
+    * (k+1)-th largest count, i.e. the mass the compress step shaved
+    * off every survivor.
+    *
+    * Spark-first shape: the exact per-shard count is ONE map-side-
+    * combined aggregate (what a 100 TB day-shard pass costs anyway);
+    * the k-row summary is the artifact worth STORING per shard/day —
+    * [[mgMerge]] then combines days without re-reading them, with the
+    * error bounds ADDING, never compounding: after the merge,
+    * `lo ≤ true ≤ lo + theta`.
+    */
+  def mgSummarize(df: DataFrame, itemCol: String, shardCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.filter(col(itemCol).isNotNull)
+      .groupBy(col(shardCol).as("shard"), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("theta", lit(0L))
+    mgCompress(counts, k)
+  }
+
+  /** Merge Misra–Gries summaries (any shards, same item domain): sum
+    * the per-item `lo` floors, add up every input shard's `theta`, and
+    * re-compress to ≤ k rows under one synthetic shard. For every
+    * surviving item `lo ≤ true ≤ lo + theta`, and every item with
+    * `true > theta` survives — the cross-shard no-false-negative
+    * screen. The final window's frame is ≤ k × (number of input
+    * shards) rows — summary-sized, never corpus-sized — declared with
+    * the registered [[SingleTask.key]] constant (bound asserted in
+    * SingleTaskRegistrySpec).
+    */
+  def mgMerge(summaries: Seq[DataFrame], k: Int = 64): DataFrame = {
+    require(summaries.nonEmpty, "no summaries to merge")
+    val all = summaries.reduce(_ unionByName _)
+    val summed = all.groupBy(col("item"))
+      .agg(sum(col("lo")).as("cnt"))
+    val thetaTotal = all.select(col("shard"), col("theta")).distinct()
+      .agg(coalesce(sum(col("theta")), lit(0L)).as("__theta_in"))
+    val merged = summed
+      .join(broadcast(thetaTotal)) // one-row global aggregate side
+      .select(SingleTask.key(col("item")).as("shard"), col("item"),
+        col("cnt"), col("__theta_in").as("theta"))
+    mgCompress(merged, k).drop("shard")
   }
 }

@@ -254,4 +254,119 @@ class FreqSketchSpec extends SparkTestBase {
       .as[(Int, Long)].collect().toSet
     assert(x == y)
   }
+
+  test("countSketch counters equal an independent Scala md5 derivation") {
+    val df = words.toDF("word")
+    val width = 64
+    val got = FreqSketch.countSketch(df, "word", width = width)
+      .as[(Int, Long, Long)].collect()
+      .map { case (j, b, s) => (j, b) -> s }.toMap
+    def hx(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bkt(s: String, j: Int): Long =
+      java.lang.Long.parseLong(hx(s).substring(j * 5, j * 5 + 5), 16) % width
+    def sgn(s: String, j: Int): Long =
+      java.lang.Long.parseLong(hx(s).substring(25 + j, 26 + j), 16) % 2 * 2 - 1
+    val want = words
+      .flatMap(w => (0 until FreqSketch.CsDepth).map(j => (j, bkt(w, j)) -> sgn(w, j)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      .filter(_._2 != 0L) // zero-sum cells still appear in the relation
+    // every Scala-derived nonzero cell matches; Spark may also carry
+    // exact-zero cells (sum of +1/-1 collisions) — they estimate as 0
+    want.foreach { case (k, s) => assert(got(k) == s, s"cell $k") }
+    got.foreach { case (k, s) => assert(want.getOrElse(k, 0L) == s) }
+  }
+
+  test("csMerge linearity and sketch difference") {
+    val (l, r) = words.splitAt(2000)
+    val whole = FreqSketch.countSketch(words.toDF("word"), "word")
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = FreqSketch.csMerge(Seq(
+        FreqSketch.countSketch(l.toDF("word"), "word"),
+        FreqSketch.countSketch(r.toDF("word"), "word")))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(whole.filter(_._3 != 0L) == merged.filter(_._3 != 0L))
+    // difference: whole minus left = right (negate-and-merge)
+    val negL = FreqSketch.countSketch(l.toDF("word"), "word")
+      .select(col("j"), col("bucket"), (-col("s")).as("s"))
+    val diff = FreqSketch.csMerge(Seq(
+        FreqSketch.countSketch(words.toDF("word"), "word"), negL))
+      .as[(Int, Long, Long)].collect().filter(_._3 != 0L).toSet
+    val rightSk = FreqSketch.countSketch(r.toDF("word"), "word")
+      .as[(Int, Long, Long)].collect().filter(_._3 != 0L).toSet
+    assert(diff == rightSk)
+  }
+
+  test("csEstimate is exact without collisions and symmetric with them") {
+    val df = words.toDF("word")
+    val probes = exact.keys.toSeq.toDF("word")
+    // wide sketch: 200 items in 5x2^20-cell slices — collision-free in
+    // the median, so every estimate is exact
+    val wide = FreqSketch.csEstimate(
+        FreqSketch.countSketch(df, "word", width = 1 << 20), probes,
+        "word", 1 << 20)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact)
+    // narrow sketch: collisions certain, but signed cancellation keeps
+    // the median NEAR truth (CMS at this width over-counts wildly);
+    // errors must go BOTH ways — that is the unbiasedness
+    val narrow = FreqSketch.csEstimate(
+        FreqSketch.countSketch(df, "word", width = 64), probes, "word", 64)
+      .as[(String, Long)].collect().toMap
+    val errs = exact.map { case (w, n) => narrow(w) - n }
+    assert(errs.exists(_ > 0) && errs.exists(_ < 0),
+      "signed collisions must err in both directions")
+    val n = words.size.toDouble
+    val mae = errs.map(e => math.abs(e.toDouble)).sum / errs.size
+    assert(mae < n / 8, s"median-of-5 at width 64 should stay tight, mae=$mae")
+  }
+
+  test("mgSummarize: hand-computed theta and floors") {
+    // one shard: counts a=5, b=3, c=2, d=1; k=2 -> theta = 3rd largest
+    // = 2; survivors a (lo 3) and b (lo 1); c ties AT theta and drops
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")
+    val df = rows.map(("s1", _)).toDF("shard", "item")
+    val got = FreqSketch.mgSummarize(df, "item", "shard", k = 2)
+      .select("item", "lo", "theta")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 2L), ("b", 1L, 2L)))
+    // k >= distinct items: theta 0, summary IS the exact count
+    val all = FreqSketch.mgSummarize(df, "item", "shard", k = 10)
+      .select("item", "lo", "theta")
+      .as[(String, Long, Long)].collect().toSet
+    assert(all == Set(("a", 5L, 0L), ("b", 3L, 0L), ("c", 2L, 0L),
+      ("d", 1L, 0L)))
+  }
+
+  test("mgMerge: bounds hold and items above theta always survive") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish over 60 items, spread across 3 shards
+    val rows = (0 until 6000).map { _ =>
+      val item = s"i${math.min((math.pow(rnd.nextDouble(), 3) * 60).toInt, 59)}"
+      (s"sh${rnd.nextInt(3)}", item)
+    }
+    val df = rows.toDF("shard", "item")
+    val truth = rows.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+    val k = 8
+    val perShard = (0 until 3).map(i =>
+      FreqSketch.mgSummarize(df.filter(col("shard") === s"sh$i"),
+        "item", "shard", k))
+    val merged = FreqSketch.mgMerge(perShard, k)
+      .as[(String, Long, Long)].collect()
+    assert(merged.nonEmpty && merged.length <= k)
+    val theta = merged.head._3
+    assert(merged.forall(_._3 == theta), "theta is summary-constant")
+    merged.foreach { case (item, lo, th) =>
+      val t = truth(item)
+      assert(lo <= t && t <= lo + th, s"$item: $lo <= $t <= ${lo + th}")
+    }
+    // completeness: anything the merged summary dropped has true <= theta
+    val kept = merged.map(_._1).toSet
+    truth.foreach { case (item, t) =>
+      if (!kept(item)) assert(t <= theta,
+        s"$item (true $t) missing from summary with theta $theta")
+    }
+  }
 }

@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class NetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ipv4ToLong parses valid addresses and rejects malformed ones") {
+    val rows = Seq(
+      "0.0.0.0" -> Some(0L),
+      "255.255.255.255" -> Some(4294967295L),
+      "192.168.1.10" -> Some(192L * 16777216 + 168 * 65536 + 256 + 10),
+      "10.0.0.1" -> Some(10L * 16777216 + 1),
+      "256.0.0.1" -> None, // octet out of range
+      "1.2.3" -> None, // too few octets
+      "1.2.3.4.5" -> None, // too many
+      "a.b.c.d" -> None, // not digits
+      "1.2.3.+4" -> None, // sign
+      "" -> None)
+    val df = rows.map(_._1).toDF("ip")
+      .select(col("ip"), Net.ipv4ToLong(col("ip")).as("n"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    rows.foreach { case (ip, want) =>
+      assert(got(ip) == want, s"ipv4ToLong($ip)") }
+    // null in, null out
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("ip")
+      .select(Net.ipv4ToLong(col("ip"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("longToIpv4 round-trips ipv4ToLong on valid addresses") {
+    val ips = Seq("0.0.0.0", "255.255.255.255", "10.20.30.40", "1.0.0.255")
+    val back = ips.toDF("ip")
+      .select(Net.longToIpv4(Net.ipv4ToLong(col("ip"))).as("rt"), col("ip"))
+      .collect()
+    back.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("longestPrefixJoin picks the most specific covering network") {
+    // nets: a /8 (10/8), a /16 inside it (10.1/16), a /24 inside that
+    // (10.1.2/24), a default route /0, and an unrelated /12
+    def net(cidr: String, len: Int, tag: String) = {
+      val base = Seq(cidr).toDF("ip")
+        .select(Net.ipv4ToLong(col("ip"))).head().getLong(0)
+      (len, base >> (32 - len), tag)
+    }
+    val nets = Seq(
+      net("10.0.0.0", 8, "ten8"),
+      net("10.1.0.0", 16, "ten1-16"),
+      net("10.1.2.0", 24, "ten12-24"),
+      (0, 0L, "default"),
+      net("172.16.0.0", 12, "rfc1918-172"))
+      .toDF("len", "prefix", "tag")
+    val probes = Seq(
+      (1L, "10.1.2.3"), // inside all three nested nets -> /24
+      (2L, "10.1.9.9"), // inside /8 and /16 -> /16
+      (3L, "10.9.9.9"), // inside /8 only -> /8
+      (4L, "172.17.0.1"), // inside the /12
+      (5L, "8.8.8.8"), // only the default route
+      (6L, "not-an-ip")) // NULL ip -> row kept, nets NULL
+      .toDF("id", "ip")
+      .withColumn("ipn", Net.ipv4ToLong(col("ip")))
+    val got = Net.longestPrefixJoin(probes, "id", "ipn",
+        nets, "len", "prefix")
+      .select(col("id"), col("matched_len"), col("tag"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2)))))
+      .toMap
+    assert(got(1L).contains((24L, "ten12-24")))
+    assert(got(2L).contains((16L, "ten1-16")))
+    assert(got(3L).contains((8L, "ten8")))
+    assert(got(4L).contains((12L, "rfc1918-172")))
+    assert(got(5L).contains((0L, "default")))
+    assert(got(6L).isEmpty, "invalid ip keeps its row with NULL nets")
+    assert(got.size == 6)
+  }
+
+  test("duplicate (len, prefix) rows tie-break deterministically") {
+    val nets = Seq((8, 10L, "zzz"), (8, 10L, "aaa")).toDF("len", "prefix", "tag")
+    val probes = Seq((1L, 10L * 16777216 + 5)).toDF("id", "ipn")
+    val tag = Net.longestPrefixJoin(probes, "id", "ipn", nets, "len", "prefix")
+      .select("tag").head().getString(0)
+    assert(tag == "aaa", "ascending tie-break on the remaining net columns")
+  }
+
+  test("minLen/maxLen bound the explode and exclude out-of-band nets") {
+    // a /28 net exists but the join only considers lengths 8..24
+    val nets = Seq((28, (10L * 16777216 + 16) >> 4, "too-specific"),
+      (8, 10L, "ten8")).toDF("len", "prefix", "tag")
+    val probes = Seq((1L, 10L * 16777216 + 17)).toDF("id", "ipn")
+    val tag = Net.longestPrefixJoin(probes, "id", "ipn", nets, "len", "prefix",
+      minLen = 8, maxLen = 24).select("tag").head().getString(0)
+    assert(tag == "ten8")
+  }
+}

@@ -59,6 +59,10 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     *    whole nonnegative BIGINT domain. Asserted below. (amsF2 /
     *    amsInnerProduct take their depth-row median via a global
     *    collect+sort aggregate instead — no window, no key needed.)
+    *  - ext/FreqSketch.scala (mgMerge re-compress): frame = the union
+    *    of input summaries, ≤ k rows per input shard by the
+    *    per-shard compress — summary-sized, never corpus-sized.
+    *    Asserted below.
     */
   private val registry = Map(
     "SparkEntry.scala" -> 1,
@@ -66,7 +70,7 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     "ext/Profile.scala" -> 1,
     "ext/Layout.scala" -> 2,
     "ext/TextStats.scala" -> 2,
-    "ext/FreqSketch.scala" -> 1)
+    "ext/FreqSketch.scala" -> 2)
 
   test("every SingleTask.key call site in main source is registered") {
     val root = Paths.get("src/main/scala/graft")
@@ -159,6 +163,25 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     val rows = FreqSketch.hdrHistogram(vals, "v", subBits = 5).count()
     assert(rows <= (63 - 5 + 1).toLong * 32,
       s"histogram frame = $rows rows — exceeds the structural bound")
+  }
+
+  test("mgMerge frame is summary-sized (<= k x shards) by construction") {
+    // the merge-compress window ranks the UNION OF SUMMARIES, each
+    // input contributing <= k rows per shard — never the corpus; the
+    // frame entering the SingleTask window is what summed produces
+    val items = spark.range(100000)
+      .select((col("id") % 4).cast("string").as("shard"),
+        (col("id") % 997).cast("string").as("item"))
+    val k = 16
+    val perShard = (0 until 4).map(i =>
+      FreqSketch.mgSummarize(items.filter(col("shard") === i.toString),
+        "item", "shard", k))
+    val frameRows = perShard.reduce(_ unionByName _)
+      .select("item").distinct().count()
+    assert(frameRows <= k.toLong * 4,
+      s"mgMerge frame = $frameRows rows — exceeds k x shards")
+    val merged = FreqSketch.mgMerge(perShard, k).count()
+    assert(merged <= k.toLong, s"merged summary = $merged rows > k")
   }
 
   test("AMS estimator frame is exactly AmsDepth rows by construction") {
