@@ -4508,6 +4508,45 @@ object SparkEntry {
           (col("lo") <= col("exact") &&
             col("exact") <= col("lo") + col("theta")).as("bounds_hold"))
         .orderBy("item")
+    }),
+
+    // ext privacy — ε-DP histogram release: discrete-Laplace noise on
+    // the per-type event counts via deterministic inverse-CDF over
+    // inlined integer thresholds (the noise draw is a keyed md5
+    // uniform, so the release is retry-stable). The gate rides the
+    // exact counts along to reconcile the noise draw and its clamp
+    // bound; a REAL release ships n_noisy only.
+    "q246_dp_counts" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").filter(col("event_type").isNotNull)
+      val noisy = ext.Privacy.dpCounts(ev, Seq("event_type"),
+        epsilon = 0.5)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      noisy.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_true"), col("n_noisy"),
+          (col("n_noisy") - col("n_true")).as("noise"),
+          (abs(col("n_noisy") - col("n_true")) <= col("noise_bound"))
+            .as("within_bound"))
+        .orderBy("event_type")
+    }),
+
+    // streaming ext — cross-batch HDR quantiles: the continuous p50/
+    // p99 tracker (state = the ≤ ~1.9k-row bucket histogram in the
+    // KeyedBatchStore LSM, sum-merge). RUNNING quantiles after every
+    // batch, so the oracle replays the accumulation at each step from
+    // batch-prefix histograms — not just the final state.
+    "q247_stream_hdr" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q247").toString + "/hdr"
+      streaming.StreamingHdr.byBatch(s, batches, store, "v",
+          Seq(0.5, 0.9, 0.99), subBits = 5)
+        .orderBy("batch_id", "q")
     })
   )
 
@@ -9838,8 +9877,89 @@ object SparkEntry {
     "q242_stream_bloom" -> StreamBloomOracle,
     "q243_ip_cidr_lookup" -> CidrOracle,
     "q244_count_sketch" -> CountSketchOracle,
-    "q245_misra_gries" -> MisraGriesOracle
+    "q245_misra_gries" -> MisraGriesOracle,
+    "q246_dp_counts" -> DpCountsOracle,
+    "q247_stream_hdr" -> StreamHdrOracle
   )
+
+  /** Streaming-HDR replay (q247): the [[HdrOracle]] integer machinery
+    * per batch PREFIX — histogram over batches ≤ b equals the
+    * accumulated LSM state after batch b by sum-mergeability, so the
+    * running quantile picks replay from prefix-filtered bucket counts.
+    */
+  private val StreamHdrOracle: String = {
+    val ladder = (6 to 62).reverse
+      .map(i => s"WHEN v >= ${1L << i} THEN $i").mkString(" ")
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS b,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+       |bat AS (SELECT * FROM (VALUES (0), (1), (2)) t(bid)),
+       |bk AS (
+       |  SELECT b, CASE WHEN v < 32 THEN v
+       |    ELSE (e - 5) * 32 + (v >> CAST(e - 5 AS INT)) END AS bucket
+       |  FROM (SELECT b, v, CASE $ladder ELSE 5 END AS e FROM vals) t),
+       |hist AS (
+       |  SELECT bat.bid, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk JOIN bat ON bk.b <= bat.bid GROUP BY 1, 2),
+       |n AS (SELECT bid, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM hist GROUP BY 1),
+       |cum AS (
+       |  SELECT bid, bucket,
+       |    sum(cnt) OVER (PARTITION BY bid ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM hist),
+       |qs AS (
+       |  SELECT CAST(0.5 AS DOUBLE) AS q
+       |  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+       |  UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+       |ranked AS (
+       |  SELECT bid, q, greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(q * total) AS BIGINT)) AS rank
+       |  FROM qs CROSS JOIN n),
+       |picked AS (
+       |  SELECT r.bid, r.q, r.rank, CAST(min(c.bucket) AS BIGINT) AS bucket
+       |  FROM ranked r JOIN cum c ON c.bid = r.bid AND c.c >= r.rank
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(bid AS BIGINT) AS batch_id, q, rank, bucket,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (bucket - (bucket // 32 - 1) * 32) << CAST(bucket // 32 - 1 AS INT)
+       |    END AS BIGINT) AS lo,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE ((bucket - (bucket // 32 - 1) * 32 + 1) << CAST(bucket // 32 - 1 AS INT)) - 1
+       |    END AS BIGINT) AS hi
+       |FROM picked
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DP-release replay (q246): the SAME inverse-CDF integer thresholds
+    * [[ext.Privacy.dpThresholds]] inlines into the Spark plan are
+    * rendered here as a SQL list literal; the uniform is the identical
+    * 48-bit md5 fold, so `noise = |{thresholds ≤ u}| − B` is the same
+    * integer in both engines — cross-engine `exp` rounding never
+    * enters.
+    */
+  private val DpCountsOracle: String = {
+    val (b, th) = ext.Privacy.dpThresholds(0.5)
+    val list = th.mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       |u AS (
+       |  SELECT event_type, n_true, md5('dp-v1|' || event_type) AS hx
+       |  FROM g),
+       |z AS (
+       |  SELECT event_type, n_true,
+       |    CAST(len(list_filter($list,
+       |      t -> t <= ${hexFold("1", 12)})) AS BIGINT) - $b AS noise
+       |  FROM u)
+       |SELECT event_type, n_true,
+       |  CAST(n_true + noise AS BIGINT) AS n_noisy,
+       |  CAST(noise AS BIGINT) AS noise,
+       |  (abs(noise) <= $b) AS within_bound
+       |FROM z ORDER BY 1""".stripMargin
+  }
 
   /** Misra–Gries replay (q245): per-shard counts, θ = the count at
     * rank k+1 under `(cnt DESC, item)` (0 when absent), survivors

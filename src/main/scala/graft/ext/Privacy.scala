@@ -97,4 +97,78 @@ object Privacy {
       col("group_size") < k ||
         (if (sensitiveCol.isDefined) col("l_distinct") < l else lit(false)))
   }
+
+  // ---------------------- differential privacy: discrete-Laplace release
+
+  /** Inverse-CDF thresholds for the discrete Laplace (two-sided
+    * geometric) distribution with privacy parameter `epsilon` at unit
+    * sensitivity: `P(Z = z) ∝ exp(−ε·|z|)`. Entry i is
+    * `floor(P(Z ≤ −B + i) · 2^48)` for i in [0, 2B), with the support
+    * clamped to [−B, B] where `B = ⌈48·ln2 / ε⌉ + 1` puts the clipped
+    * tail below the 2^−48 resolution of the uniform draw.
+    *
+    * The thresholds are computed ONCE here in driver Scala and inlined
+    * as integer literals into both the Spark plan and the SQL oracle —
+    * so any cross-engine `exp`/`pow` rounding is irrelevant: both
+    * engines compare the same 48-bit integers.
+    */
+  def dpThresholds(epsilon: Double): (Int, Array[Long]) = {
+    require(epsilon > 0.01 && epsilon <= 10.0,
+      s"epsilon must be in (0.01, 10], got $epsilon")
+    val p = math.exp(-epsilon)
+    val b = math.min(4800, math.ceil(48.0 * math.log(2.0) / epsilon).toInt + 1)
+    def cdf(z: Int): Double =
+      if (z < 0) math.pow(p, -z) / (1.0 + p)
+      else 1.0 - math.pow(p, z + 1) / (1.0 + p)
+    val scale = math.pow(2.0, 48)
+    (b, (-b until b).map(z => math.floor(cdf(z) * scale).toLong).toArray)
+  }
+
+  /** Deterministic discrete-Laplace noise for a group key: the 48-bit
+    * uniform is `md5(salt ‖ "|" ‖ key)` (so releases are reproducible
+    * and retry-stable — rerunning the release pipeline republishes the
+    * SAME noisy numbers instead of spending privacy budget again), and
+    * the inverse-CDF walk is `#{thresholds ≤ u} − B` over the inlined
+    * [[dpThresholds]] literals — a pure codegen'd filter over a
+    * constant array, integer comparisons only.
+    *
+    * CAVEAT (determinism vs privacy): a keyed-hash draw means anyone
+    * holding the salt can recompute the noise; treat the salt like the
+    * pseudonymization key — secret, rotated per release epoch.
+    */
+  def discreteLaplaceNoise(key: Column, epsilon: Double,
+                           salt: String = "dp-v1"): Column = {
+    require(salt.nonEmpty, "salt must not be empty")
+    val (b, th) = dpThresholds(epsilon)
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      key.cast("string"))), 1, 12), 16, 10).cast("long")
+    (size(filter(typedlit(th.toSeq), t => t <= u)) - lit(b)).cast("long")
+  }
+
+  /** ε-differentially-private group-count release: one hash aggregate
+    * keyed on `keyCols` (map-side combined — the k-anonymity shape),
+    * then per-group discrete-Laplace noise at unit sensitivity. Counts
+    * of disjoint groups form ONE query, so a single ε covers the whole
+    * histogram when each underlying record contributes to exactly one
+    * group; if an entity can appear in many rows of one group, scale ε
+    * by that multiplicity bound upstream (record-level Δ=1 is what
+    * this releases).
+    *
+    * Output: the key columns, `n_noisy` (can be negative — clamping is
+    * a post-processing choice the caller makes, it cannot hurt the DP
+    * guarantee) and `noise_bound` = B, the clamp radius.
+    */
+  def dpCounts(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+               epsilon: Double,
+               salt: String = "dp-v1"): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "dpCounts needs at least one key column")
+    val (b, _) = dpThresholds(epsilon)
+    val keyStr = concat_ws("", keyCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("n_noisy",
+        col("__n") + discreteLaplaceNoise(keyStr, epsilon, salt))
+      .withColumn("noise_bound", lit(b.toLong))
+      .drop("__n")
+  }
 }

@@ -89,4 +89,53 @@ class PrivacySpec extends SparkTestBase {
       Privacy.kAnonymity(release, Seq(), Some("diagnosis"), k = 2)
     }
   }
+
+  test("dpThresholds: a valid monotone CDF ladder with mass at zero") {
+    val (b, th) = Privacy.dpThresholds(0.5)
+    assert(th.length == 2 * b)
+    assert(th.zip(th.tail).forall { case (a, c) => a <= c }, "monotone")
+    assert(th.head >= 0L && th.last <= (1L << 48))
+    // P(Z = 0) = (1-p)/(1+p): the jump between F(-1) and F(0)
+    val p = math.exp(-0.5)
+    val pz0 = (th(b) - th(b - 1)).toDouble / math.pow(2.0, 48)
+    assert(math.abs(pz0 - (1 - p) / (1 + p)) < 1e-9)
+    // tighter epsilon -> wider support
+    assert(Privacy.dpThresholds(0.1)._1 > b)
+    intercept[IllegalArgumentException](Privacy.dpThresholds(0.0))
+  }
+
+  test("discreteLaplaceNoise: deterministic, salt-sensitive, zero-centered") {
+    val keys = (0 until 4000).map(i => s"group-$i").toDF("k")
+    val noise = keys.select(
+        Privacy.discreteLaplaceNoise(col("k"), epsilon = 0.5).as("z"))
+      .as[Long].collect()
+    val again = keys.select(
+        Privacy.discreteLaplaceNoise(col("k"), epsilon = 0.5).as("z"))
+      .as[Long].collect()
+    assert(noise.toSeq == again.toSeq, "same key + salt -> same draw")
+    val salted = keys.select(
+        Privacy.discreteLaplaceNoise(col("k"), 0.5, salt = "other").as("z"))
+      .as[Long].collect()
+    assert(noise.toSeq != salted.toSeq, "salt changes the draw")
+    // distribution sanity on 4000 draws: mean ~0, sd ~ sqrt(2p)/(1-p)
+    val mean = noise.sum.toDouble / noise.length
+    assert(math.abs(mean) < 0.25, s"mean $mean")
+    val p = math.exp(-0.5)
+    val sdTrue = math.sqrt(2 * p) / (1 - p)
+    val sd = math.sqrt(noise.map(z => z * z.toDouble).sum / noise.length)
+    assert(sd > sdTrue * 0.8 && sd < sdTrue * 1.2, s"sd $sd vs $sdTrue")
+    assert(noise.exists(_ > 0) && noise.exists(_ < 0))
+  }
+
+  test("dpCounts: noisy counts stay within the clamp radius") {
+    val rows = (0 until 900).map(i => s"t${i % 3}").toDF("t")
+    val out = Privacy.dpCounts(rows, Seq("t"), epsilon = 1.0)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val b = Privacy.dpThresholds(1.0)._1
+    assert(out.length == 3)
+    out.foreach { case (_, noisy, bound) =>
+      assert(bound == b.toLong)
+      assert(math.abs(noisy - 300L) <= b, s"noisy $noisy")
+    }
+  }
 }

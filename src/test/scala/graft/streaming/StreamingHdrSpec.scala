@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.ext.FreqSketch
+
+class StreamingHdrSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-shdr-$tag").toString + "/store"
+
+  // three batches shifting the distribution upward so running
+  // quantiles must move
+  private val b0 = (0 until 1000).map(_.toLong % 100)
+  private val b1 = (0 until 1000).map(i => 100L + i % 900)
+  private val b2 = (0 until 1000).map(i => 10000L + i % 50000)
+
+  test("accumulated histogram equals the one-shot histogram") {
+    val acc = new StreamingHdr.HdrAccumulator(spark, tmp("merge"), "v",
+      subBits = 5, compactEvery = 2)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      acc.update(b.toDF("v"), i.toLong)
+    }
+    val got = acc.histogram(3L).as[(Long, Long)].collect().toSet
+    val want = FreqSketch.hdrHistogram((b0 ++ b1 ++ b2).toDF("v"), "v",
+      subBits = 5).as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("byBatch running quantiles: true quantile inside [lo, hi], moving up") {
+    val rows = StreamingHdr.byBatch(spark,
+        Seq(b0.toDF("v"), b1.toDF("v"), b2.toDF("v")),
+        tmp("run"), "v", Seq(0.5, 0.99), subBits = 5)
+      .orderBy("batch_id", "q")
+      .as[(Long, Double, Long, Long, Long, Long)].collect()
+    assert(rows.length == 6)
+    val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
+    rows.foreach { case (bid, q, rank, _, lo, hi) =>
+      val sortedPrefix = prefixes(bid.toInt).sorted
+      assert(rank == math.max(1L, math.ceil(q * sortedPrefix.size).toLong))
+      val truth = sortedPrefix((rank - 1).toInt)
+      assert(truth >= lo && truth <= hi,
+        s"batch $bid q$q: true $truth outside [$lo, $hi]")
+    }
+    // the p50 bound must move up as later, larger batches accumulate
+    val p50his = rows.filter(_._2 == 0.5).sortBy(_._1).map(_._6)
+    assert(p50his(0) < p50his(1) && p50his(1) < p50his(2),
+      s"p50 hi bounds not increasing: ${p50his.toSeq}")
+  }
+}
