@@ -4547,6 +4547,77 @@ object SparkEntry {
       streaming.StreamingHdr.byBatch(s, batches, store, "v",
           Seq(0.5, 0.9, 0.99), subBits = 5)
         .orderBy("batch_id", "q")
+    }),
+
+    // ext layout — zone-map pruning audit: per-month zone stats over
+    // the order-date column, three literal day-range predicates
+    // (mid-range, narrow, before-the-data), and the SOUNDNESS theorem
+    // replayed as data: a pruned zone contributes ZERO matching rows
+    // (`leaked_rows` must be 0), while `scan_bound` prices what a
+    // stats-pruned scan would actually read.
+    "q248_zonemap_prune" -> ((s, dir) => {
+      val preds = Seq((1L, 9100L, 9500L), (2L, 10000L, 10031L),
+        (3L, 0L, 100L))
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .select(date_format(col("o_orderdate"), "yyyyMM").as("zone"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+      val zones = ext.Layout.zoneMapStats(o, col("zone"), "day")
+      val pruned = ext.Layout.zoneMapPrune(zones, preds)
+      val perPred = pruned.groupBy(col("pred_id"))
+        .agg(count(lit(1)).as("n_zones"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_pruned"),
+          sum(when(col("kept"), col("n_rows")).otherwise(0L))
+            .as("scan_bound"))
+      val predArr = array(preds.map { case (id, lo, hi) =>
+        struct(lit(id).as("pred_id"), lit(lo).as("lo"), lit(hi).as("hi"))
+      }: _*)
+      val exact = o.select(col("day"), explode(predArr).as("__p"))
+        .groupBy(col("__p.pred_id").as("pred_id"))
+        .agg(sum(when(col("day") >= col("__p.lo") &&
+          col("day") <= col("__p.hi"), 1L).otherwise(0L)).as("exact_rows"))
+      val lo = preds.foldLeft(lit(null).cast("long")) { (acc, p) =>
+        when(col("pred_id") === p._1, p._2).otherwise(acc) }
+      val hi = preds.foldLeft(lit(null).cast("long")) { (acc, p) =>
+        when(col("pred_id") === p._1, p._3).otherwise(acc) }
+      val leaked = o
+        .join(pruned.filter(!col("kept")).select(col("pred_id"),
+          col("zone")), Seq("zone"))
+        .filter(col("day") >= lo && col("day") <= hi)
+        .groupBy(col("pred_id"))
+        .agg(count(lit(1)).as("leaked_rows"))
+      perPred.join(exact, Seq("pred_id"))
+        .join(leaked, Seq("pred_id"), "left")
+        .select(col("pred_id"), col("n_zones"), col("n_pruned"),
+          col("scan_bound"), col("exact_rows"),
+          coalesce(col("leaked_rows"), lit(0L)).as("leaked_rows"))
+        .orderBy("pred_id")
+    }),
+
+    // ext sketch — HLL BY GROUP: distinct users per event type from a
+    // per-group register table (the production distinct-count shape),
+    // exact counts riding along so the gate measures per-group raw-
+    // estimator error. Merge path exercised: the register table is
+    // built as two half-sketches merged with hllMergeBy, which must
+    // equal the one-shot table the oracle replays.
+    "q249_hll_by_group" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type").as("t"),
+          concat(lit("u"), col("user_id").cast("string")).as("item"),
+          col("event_id"))
+      val halves = Seq(0L, 1L).map(i =>
+        ext.FreqSketch.hllSketchBy(ev.filter(col("event_id") % 2 === i),
+          "t", "item", p = 8))
+      val est = ext.FreqSketch.hllEstimateBy(
+        ext.FreqSketch.hllMergeBy(halves), p = 8)
+      val exact = ev.groupBy(col("t").as("grp"))
+        .agg(count_distinct(col("item")).as("exact"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp"), col("n_registers"), col("sum_scaled"),
+          col("estimate"), col("exact"))
+        .orderBy("grp")
     })
   )
 
@@ -9879,8 +9950,104 @@ object SparkEntry {
     "q244_count_sketch" -> CountSketchOracle,
     "q245_misra_gries" -> MisraGriesOracle,
     "q246_dp_counts" -> DpCountsOracle,
-    "q247_stream_hdr" -> StreamHdrOracle
+    "q247_stream_hdr" -> StreamHdrOracle,
+    "q248_zonemap_prune" -> ZoneMapOracle,
+    "q249_hll_by_group" -> HllByGroupOracle
   )
+
+  /** Per-group HLL replay (q249): the [[HllOracle]] integer machinery
+    * GROUP-WISE — register max per (group, bucket), dyadic 2^(40−rho)
+    * BIGINT sums with the absent-bucket correction, one double
+    * division per group. Merging two half-sketches on the Spark side
+    * must land on this same one-shot register table (union + max).
+    */
+  private val HllByGroupOracle: String = {
+    val p = 8; val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val rhoCase = (1 to 32)
+      .map(i => s"WHEN wb >= ${1L << (32 - i)} THEN $i").mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT event_type AS grp, 'u' || CAST(user_id AS VARCHAR) AS item
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       |h AS (SELECT grp, md5(item) AS hx FROM ev),
+       |w32 AS (SELECT grp, ${slice(0)} AS wa, ${slice(1)} AS wb FROM h),
+       |regs AS (
+       |  SELECT grp, CAST(wa // ${1L << (32 - p)} AS INT) AS bucket,
+       |    max(CASE $rhoCase ELSE 33 END) AS rho
+       |  FROM w32 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_registers,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0)
+       |      AS BIGINT) AS s
+       |  FROM regs GROUP BY 1),
+       |ex AS (SELECT grp, CAST(count(DISTINCT item) AS BIGINT) AS exact
+       |  FROM ev GROUP BY 1)
+       |SELECT a.grp, a.n_registers,
+       |  CAST(a.s + ($m - a.n_registers) * (CAST(1 AS BIGINT) << 40)
+       |    AS BIGINT) AS sum_scaled,
+       |  CAST($aConst AS DOUBLE) / 1000000.0 * 1099511627776.0
+       |    / CAST(a.s + ($m - a.n_registers) * (CAST(1 AS BIGINT) << 40)
+       |      AS DOUBLE) AS estimate,
+       |  e.exact
+       |FROM agg a JOIN ex e USING (grp)
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** Zone-map replay (q248): per-month min/max/row stats, keep test
+    * `vmax ≥ lo AND vmin ≤ hi` (NULL stats = all-NULL zone = pruned),
+    * scan bound = kept-zone row sum, and the soundness check — rows
+    * matching a predicate inside its pruned zones — via the same
+    * zone-key join.
+    */
+  private val ZoneMapOracle: String =
+    s"""WITH preds(pred_id, lo, hi) AS (
+       |  VALUES (1, 9100, 9500), (2, 10000, 10031), (3, 0, 100)),
+       |o AS (
+       |  SELECT strftime(o_orderdate, '%Y%m') AS zone,
+       |    date_diff('day', DATE '1970-01-01',
+       |      CAST(o_orderdate AS DATE)) AS day
+       |  FROM orders WHERE o_orderdate IS NOT NULL),
+       |zones AS (
+       |  SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+       |    min(day) AS vmin, max(day) AS vmax
+       |  FROM o GROUP BY 1),
+       |cls AS (
+       |  SELECT p.pred_id, z.zone, z.n_rows,
+       |    (z.vmin IS NOT NULL AND z.vmax >= p.lo AND z.vmin <= p.hi)
+       |      AS kept
+       |  FROM zones z CROSS JOIN preds p),
+       |per AS (
+       |  SELECT pred_id, CAST(count(*) AS BIGINT) AS n_zones,
+       |    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_pruned,
+       |    CAST(sum(CASE WHEN kept THEN n_rows ELSE 0 END) AS BIGINT)
+       |      AS scan_bound
+       |  FROM cls GROUP BY 1),
+       |exact AS (
+       |  SELECT p.pred_id, CAST(sum(CASE WHEN o.day BETWEEN p.lo AND p.hi
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+       |  FROM o CROSS JOIN preds p GROUP BY 1),
+       |leaked AS (
+       |  SELECT c.pred_id, CAST(count(*) AS BIGINT) AS leaked_rows
+       |  FROM o JOIN cls c ON o.zone = c.zone AND NOT c.kept
+       |  JOIN preds p ON p.pred_id = c.pred_id
+       |  WHERE o.day BETWEEN p.lo AND p.hi
+       |  GROUP BY 1)
+       |SELECT CAST(per.pred_id AS BIGINT) AS pred_id, per.n_zones,
+       |  per.n_pruned, per.scan_bound, e.exact_rows,
+       |  coalesce(l.leaked_rows, 0) AS leaked_rows
+       |FROM per JOIN exact e USING (pred_id)
+       |LEFT JOIN leaked l USING (pred_id)
+       |ORDER BY 1""".stripMargin
 
   /** Streaming-HDR replay (q247): the [[HdrOracle]] integer machinery
     * per batch PREFIX — histogram over batches ≤ b equals the

@@ -369,4 +369,53 @@ object Layout {
         max(col(fileCol)).as("last_file"))
       .withColumn("rewrite", col("n_files") > 1)
   }
+
+  // ------------------------------------- zone maps (data-skipping stats)
+
+  /** Zone-map relation for a value column over a file/zone key: one
+    * row per zone — `(zone, n_rows, n_nulls, vmin, vmax)` — from ONE
+    * map-side-combined aggregate. This is the queryable twin of what
+    * parquet footers carry per row group ([[rowGroupStats]] reads the
+    * REAL ones): maintain it as a table and the planner-side question
+    * "which files can a predicate touch?" becomes a relational scan of
+    * listing-sized data instead of a footer walk — the shape a 100 TB
+    * lakehouse metadata layer (Delta/Iceberg stats pruning) uses.
+    */
+  def zoneMapStats(df: DataFrame, zoneKey: Column,
+                   valueCol: String): DataFrame =
+    df.groupBy(zoneKey.as("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col(valueCol)).as("vmin"),
+        max(col(valueCol)).as("vmax"))
+
+  /** Prune audit of a zone-map relation against literal range
+    * predicates `(pred_id, lo, hi)` (inclusive bounds): for each
+    * predicate, every zone is classified KEPT (the zone's [vmin, vmax]
+    * intersects [lo, hi], or the zone holds NULLs when the engine
+    * must scan them) or PRUNED — pruning is SOUND: a pruned zone
+    * cannot contain a matching row, which the gate replays as data.
+    * Returns one row per (pred_id, zone, kept, n_rows).
+    *
+    * Scale shape: predicates are LITERALS exploded map-side onto the
+    * zone relation (the [[graft.ext.Net.longestPrefixJoin]] stance —
+    * no cross join reaches the plan); everything downstream is
+    * listing-sized.
+    */
+  def zoneMapPrune(zones: DataFrame,
+                   preds: Seq[(Long, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "zoneMapPrune needs at least one predicate")
+    val predArr = array(preds.map { case (id, lo, hi) =>
+      struct(lit(id).as("pred_id"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }: _*)
+    zones
+      .select(col("zone"), col("n_rows"), col("vmin"), col("vmax"),
+        explode(predArr).as("__p"))
+      .select(col("__p.pred_id").as("pred_id"), col("zone"),
+        col("n_rows"),
+        // NULL vmin/vmax = all-NULL zone: no non-null value can match
+        (col("vmin").isNotNull &&
+          col("vmax") >= col("__p.lo") &&
+          col("vmin") <= col("__p.hi")).as("kept"))
+  }
 }

@@ -322,6 +322,34 @@ class FreqSketchSpec extends SparkTestBase {
     assert(mae < n / 8, s"median-of-5 at width 64 should stay tight, mae=$mae")
   }
 
+  test("hllSketchBy: per-group registers equal the per-group global sketch") {
+    val rows = words.zipWithIndex
+      .map { case (w, i) => (s"g${i % 3}", w) }
+    val df = rows.toDF("g", "w")
+    val byGroup = FreqSketch.hllSketchBy(df, "g", "w")
+      .as[(String, Int, Int)].collect().toSet
+    val want = (0 until 3).flatMap { g =>
+      FreqSketch.hllSketch(
+          rows.filter(_._1 == s"g$g").map(_._2).toDF("w"), "w")
+        .as[(Int, Int)].collect().map { case (b, r) => (s"g$g", b, r) }
+    }.toSet
+    assert(byGroup == want)
+    // merging half-sketches reproduces the one-shot table
+    val halves = Seq(0, 1).map(i => FreqSketch.hllSketchBy(
+      rows.zipWithIndex.filter(_._2 % 2 == i).map(_._1).toDF("g", "w"),
+      "g", "w"))
+    assert(FreqSketch.hllMergeBy(halves)
+      .as[(String, Int, Int)].collect().toSet == byGroup)
+    // estimates land near the per-group truth (raw estimator, zipf corpus)
+    val est = FreqSketch.hllEstimateBy(FreqSketch.hllSketchBy(df, "g", "w"))
+      .select("grp", "estimate").as[(String, Double)].collect().toMap
+    (0 until 3).foreach { g =>
+      val truth = rows.filter(_._1 == s"g$g").map(_._2).distinct.size
+      val e = est(s"g$g")
+      assert(e > truth / 2.0 && e < truth * 2.0, s"g$g: $e vs $truth")
+    }
+  }
+
   test("mgSummarize: hand-computed theta and floors") {
     // one shard: counts a=5, b=3, c=2, d=1; k=2 -> theta = 3rd largest
     // = 2; survivors a (lo 3) and b (lo 1); c ties AT theta and drops

@@ -319,4 +319,54 @@ class LayoutSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Layout.compactionPlan(files, "part", "file", "bytes", 0L))
   }
+
+  test("zoneMapStats: closed-form stats including all-NULL zones") {
+    val rows = Seq(("z1", Some(5L)), ("z1", Some(1L)), ("z1", None),
+      ("z2", Some(100L)), ("z3", None)).toDF("z", "v")
+    val got = Layout.zoneMapStats(rows, col("z"), "v")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("z1") == (("z1", 3L, 1L, Some(1L), Some(5L))))
+    assert(got("z2") == (("z2", 1L, 0L, Some(100L), Some(100L))))
+    assert(got("z3") == (("z3", 1L, 1L, None, None)))
+  }
+
+  test("zoneMapPrune: soundness and boundary inclusivity") {
+    // zones z1 [1,5], z2 [100,100], z3 all-NULL
+    val rows = Seq(("z1", Some(5L)), ("z1", Some(1L)), ("z1", None),
+      ("z2", Some(100L)), ("z3", None)).toDF("z", "v")
+    val zones = Layout.zoneMapStats(rows, col("z"), "v")
+    val out = Layout.zoneMapPrune(zones,
+        Seq((1L, 5L, 50L),    // touches z1 exactly at vmax
+          (2L, 6L, 99L),      // gap between the zones -> prune all
+          (3L, 0L, 1000L)))   // covers everything with values
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out((1L, "z1")) && !out((1L, "z2")) && !out((1L, "z3")))
+    assert(!out((2L, "z1")) && !out((2L, "z2")) && !out((2L, "z3")))
+    assert(out((3L, "z1")) && out((3L, "z2")) && !out((3L, "z3")),
+      "an all-NULL zone can never match a range predicate")
+    intercept[IllegalArgumentException](Layout.zoneMapPrune(zones, Seq()))
+  }
+
+  test("zoneMapPrune soundness property on random correlated data") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 5000).map { _ =>
+      val v = rnd.nextInt(10000).toLong
+      (s"zone-${v / 500}", v) // zone correlates with value
+    }.toDF("z", "v")
+    val preds = Seq((1L, 1234L, 2345L), (2L, 9000L, 9100L), (3L, 42L, 43L))
+    val pruned = Layout.zoneMapPrune(
+        Layout.zoneMapStats(data, col("z"), "v"), preds)
+      .filter(!col("kept")).select("pred_id", "zone")
+      .as[(Long, String)].collect().toSet
+    val rows = data.as[(String, Long)].collect()
+    preds.foreach { case (id, lo, hi) =>
+      rows.foreach { case (z, v) =>
+        if (pruned((id, z)))
+          assert(v < lo || v > hi,
+            s"pred $id pruned zone $z but row $v matches")
+      }
+    }
+  }
 }
