@@ -4618,6 +4618,65 @@ object SparkEntry {
         .select(col("grp"), col("n_registers"), col("sum_scaled"),
           col("estimate"), col("exact"))
         .orderBy("grp")
+    }),
+
+    // ext sketch — HDR quantiles BY GROUP: p50/p95 price bounds per
+    // order priority from per-group bucket histograms (built as two
+    // merged half-histograms to exercise hdrMergeBy). The per-group
+    // running sum windows over that group's ≤ ~1.9k-bucket frame —
+    // the real group column is the partition key, corpus never sorts.
+    "q250_hdr_by_group" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull && col("o_orderkey").isNotNull)
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice")).cast("long").as("v"),
+          col("o_orderkey"))
+      val halves = Seq(0L, 1L).map(i =>
+        ext.FreqSketch.hdrHistogramBy(
+          vals.filter(col("o_orderkey") % 2 === i), "pri", "v",
+          subBits = 5))
+      ext.FreqSketch.hdrQuantilesBy(ext.FreqSketch.hdrMergeBy(halves),
+          Seq(0.5, 0.95), subBits = 5)
+        .orderBy("grp", "q")
+    }),
+
+    // ext sketch — KMV full set algebra: difference and Jaccard
+    // estimates between the even-/odd-doc vocabularies (the q240
+    // union/intersection gate's completion), exact values riding
+    // along. The union sketch's survivors are a uniform union sample,
+    // so side-only fractions scale to |A \ B| / |B \ A| and
+    // n_both/k_union IS the Jaccard estimator.
+    "q251_kmv_set_algebra" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val a = words(_ % 2 === 0)
+      val b = words(_ % 2 === 1)
+      val est = ext.SetSketch.kmvSetEstimates(
+        ext.SetSketch.kmvSketch(a, "word", k = 256),
+        ext.SetSketch.kmvSketch(b, "word", k = 256), k = 256)
+      val exact = a.select(col("word")).distinct()
+        .withColumn("__ina", lit(1L))
+        .join(b.select(col("word")).distinct().withColumn("__inb", lit(1L)),
+          Seq("word"), "full")
+        .agg(
+          sum(coalesce(col("__ina"), lit(0L)) *
+            (lit(1L) - coalesce(col("__inb"), lit(0L))))
+            .as("exact_only_a"),
+          sum(coalesce(col("__inb"), lit(0L)) *
+            (lit(1L) - coalesce(col("__ina"), lit(0L))))
+            .as("exact_only_b"),
+          count(lit(1)).as("exact_union"),
+          sum(coalesce(col("__ina"), lit(0L)) *
+            coalesce(col("__inb"), lit(0L))).as("exact_intersect"))
+        .withColumn("exact_jaccard",
+          col("exact_intersect").cast("double") /
+            col("exact_union").cast("double"))
+      est.crossJoin(broadcast(exact))
     })
   )
 
@@ -9952,8 +10011,131 @@ object SparkEntry {
     "q246_dp_counts" -> DpCountsOracle,
     "q247_stream_hdr" -> StreamHdrOracle,
     "q248_zonemap_prune" -> ZoneMapOracle,
-    "q249_hll_by_group" -> HllByGroupOracle
+    "q249_hll_by_group" -> HllByGroupOracle,
+    "q250_hdr_by_group" -> HdrByGroupOracle,
+    "q251_kmv_set_algebra" -> KmvSetAlgebraOracle
   )
+
+  /** KMV set-algebra replay (q251): the [[KmvOracle]] machinery plus
+    * side-only survivor counts, difference scaling and the
+    * `n_both / k_union` Jaccard estimator — the identical
+    * multiply-then-divide association as the Spark expressions.
+    */
+  private val KmvSetAlgebraOracle: String = {
+    val k = 256
+    val num = (k - 1).toLong << 48
+    s"""WITH $ParitySplitWordCtes,
+       |da AS (SELECT DISTINCT word FROM wa),
+       |db AS (SELECT DISTINCT word FROM wb),
+       |ha AS (SELECT DISTINCT ${hexFold("1", 12)} AS h
+       |  FROM (SELECT md5(word) AS hx FROM da) t),
+       |hb AS (SELECT DISTINCT ${hexFold("1", 12)} AS h
+       |  FROM (SELECT md5(word) AS hx FROM db) t),
+       |ska AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |skb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |sku AS (
+       |  SELECT DISTINCT h FROM (
+       |    SELECT h FROM ska UNION ALL SELECT h FROM skb) t
+       |  ORDER BY h LIMIT $k),
+       |fl AS (
+       |  SELECT u.h,
+       |    CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS ina,
+       |    CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS inb
+       |  FROM sku u LEFT JOIN ska a ON u.h = a.h
+       |    LEFT JOIN skb b ON u.h = b.h),
+       |un AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_union,
+       |    CAST(coalesce(sum(ina * inb), 0) AS BIGINT) AS n_both,
+       |    CAST(coalesce(sum(ina * (1 - inb)), 0) AS BIGINT) AS n_only_a,
+       |    CAST(coalesce(sum(inb * (1 - ina)), 0) AS BIGINT) AS n_only_b,
+       |    coalesce(max(h), 0) AS kth
+       |  FROM fl),
+       |ue AS (
+       |  SELECT *,
+       |    CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |      ELSE CAST($num AS DOUBLE) / CAST(kth AS DOUBLE) END AS union_est
+       |  FROM un),
+       |ests AS (
+       |  SELECT k_union, n_both, n_only_a, n_only_b, union_est,
+       |    CASE WHEN k_union = 0 THEN 0.0
+       |      ELSE CAST(n_both AS DOUBLE) * union_est
+       |        / CAST(k_union AS DOUBLE) END AS intersect_est,
+       |    CASE WHEN k_union = 0 THEN 0.0
+       |      ELSE CAST(n_only_a AS DOUBLE) * union_est
+       |        / CAST(k_union AS DOUBLE) END AS diff_a_est,
+       |    CASE WHEN k_union = 0 THEN 0.0
+       |      ELSE CAST(n_only_b AS DOUBLE) * union_est
+       |        / CAST(k_union AS DOUBLE) END AS diff_b_est,
+       |    CASE WHEN k_union = 0 THEN 0.0
+       |      ELSE CAST(n_both AS DOUBLE)
+       |        / CAST(k_union AS DOUBLE) END AS jaccard_est
+       |  FROM ue),
+       |ex AS (
+       |  SELECT
+       |    CAST(sum(ina * (1 - inb)) AS BIGINT) AS exact_only_a,
+       |    CAST(sum(inb * (1 - ina)) AS BIGINT) AS exact_only_b,
+       |    CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(ina * inb) AS BIGINT) AS exact_intersect
+       |  FROM (
+       |    SELECT CASE WHEN a.word IS NULL THEN 0 ELSE 1 END AS ina,
+       |      CASE WHEN b.word IS NULL THEN 0 ELSE 1 END AS inb
+       |    FROM da a FULL OUTER JOIN db b ON a.word = b.word) t)
+       |SELECT k_union, n_both, n_only_a, n_only_b, union_est,
+       |  intersect_est, diff_a_est, diff_b_est, jaccard_est,
+       |  exact_only_a, exact_only_b, exact_union, exact_intersect,
+       |  CAST(exact_intersect AS DOUBLE) / CAST(exact_union AS DOUBLE)
+       |    AS exact_jaccard
+       |FROM ests CROSS JOIN ex""".stripMargin
+  }
+
+  /** Per-group HDR replay (q250): the [[HdrOracle]] integer machinery
+    * partitioned by the group column — bucket ladder, per-group
+    * cumulative pick, [lo, hi] bounds; half-histogram merging on the
+    * Spark side must land on this one-shot per-group histogram.
+    */
+  private val HdrByGroupOracle: String = {
+    val ladder = (6 to 62).reverse
+      .map(i => s"WHEN v >= ${1L << i} THEN $i").mkString(" ")
+    s"""WITH vals AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+       |    AND o_orderkey IS NOT NULL),
+       |bk AS (
+       |  SELECT grp, CASE WHEN v < 32 THEN v
+       |    ELSE (e - 5) * 32 + (v >> CAST(e - 5 AS INT)) END AS bucket
+       |  FROM (SELECT grp, v, CASE $ladder ELSE 5 END AS e FROM vals) t),
+       |hist AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY 1, 2),
+       |n AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM hist GROUP BY 1),
+       |cum AS (
+       |  SELECT grp, bucket,
+       |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM hist),
+       |qs AS (
+       |  SELECT CAST(0.5 AS DOUBLE) AS q
+       |  UNION ALL SELECT CAST(0.95 AS DOUBLE)),
+       |ranked AS (
+       |  SELECT n.grp, q, greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(q * total) AS BIGINT)) AS rank
+       |  FROM qs CROSS JOIN n),
+       |picked AS (
+       |  SELECT r.grp, r.q, r.rank, CAST(min(c.bucket) AS BIGINT) AS bucket
+       |  FROM ranked r JOIN cum c ON c.grp = r.grp AND c.c >= r.rank
+       |  GROUP BY 1, 2, 3)
+       |SELECT grp, q, rank, bucket,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (bucket - (bucket // 32 - 1) * 32) << CAST(bucket // 32 - 1 AS INT)
+       |    END AS BIGINT) AS lo,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE ((bucket - (bucket // 32 - 1) * 32 + 1) << CAST(bucket // 32 - 1 AS INT)) - 1
+       |    END AS BIGINT) AS hi
+       |FROM picked
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** Per-group HLL replay (q249): the [[HllOracle]] integer machinery
     * GROUP-WISE — register max per (group, bucket), dyadic 2^(40−rho)
@@ -10484,7 +10666,7 @@ object SparkEntry {
     * oracles: same normalization as the q235 HLL word CTE, split on
     * `doc_id % 2`.
     */
-  private val ParitySplitWordCtes: String =
+  private def ParitySplitWordCtes: String =
     s"""wa AS (
        |  SELECT u.w AS word
        |  FROM documents d,

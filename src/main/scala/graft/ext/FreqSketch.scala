@@ -269,6 +269,87 @@ object FreqSketch {
       .select(col("q"), col("rank"), col("bucket"), col("lo"), col("hi"))
   }
 
+  /** Per-group HDR histogram: ≤ |groups| × ~1.9k rows
+    * `(grp, bucket, cnt)` — the per-key percentile shape (latency per
+    * endpoint, size per domain) from one map-side-combined aggregate.
+    * Same bucket formula as [[hdrHistogram]]; merge across shards/days
+    * with [[hdrMergeBy]].
+    */
+  def hdrHistogramBy(df: DataFrame, groupCol: String, valueCol: String,
+                     subBits: Int = 5): DataFrame = {
+    require(subBits >= 2 && subBits <= 8,
+      s"subBits must be in [2, 8], got $subBits")
+    val v = col(valueCol).cast("long")
+    val b = subBits
+    df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), when(v >= 0L, v)
+        .otherwise(raise_error(concat(
+          lit("hdrHistogramBy: negative value "), v.cast("string"),
+          lit(s" in $valueCol — the bucketing covers nonnegative "),
+          lit("BIGINTs; shift or split the domain")))).as("__v"))
+      .select(col("grp"), col("__v"), log2Ladder(col("__v"), b).as("__e"))
+      .select(col("grp"),
+        when(col("__v") < lit(1L << b), col("__v"))
+          .otherwise((col("__e") - b) * lit(1L << b) +
+            expr(s"shiftright(__v, CAST(__e - $b AS INT))"))
+          .as("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-group HDR histograms built with the SAME subBits. */
+  def hdrMergeBy(hists: Seq[DataFrame]): DataFrame = {
+    require(hists.nonEmpty, "no histograms to merge")
+    hists.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-group quantile bounds from a per-group HDR histogram: one row
+    * `(grp, q, rank, bucket, lo, hi)` per (group, quantile) — the
+    * [[hdrQuantiles]] pick applied group-wise. The running sum windows
+    * over the GROUP's histogram frame (≤ ~1.9k rows by construction —
+    * and here the partition key is the real group column, no declared
+    * constant needed); quantile fan-out is a literal explode on the
+    * group-count relation.
+    */
+  def hdrQuantilesBy(hist: DataFrame, quantiles: Seq[Double],
+                     subBits: Int = 5): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    require(quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $quantiles")
+    val b = subBits
+    val n = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("__n"))
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+    val qs = n
+      .select(col("grp"), col("__n"),
+        explode(array(quantiles.map(lit): _*)).as("q"))
+      .withColumn("rank",
+        greatest(lit(1L), ceil(col("q") * col("__n")).cast("long")))
+    val picked = qs.join(cum, Seq("grp"))
+      .filter(col("__cum") >= col("rank"))
+      .groupBy(col("grp"), col("q"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+    picked
+      .withColumn("__s", expr(s"bucket div ${1L << b}"))
+      .withColumn("lo",
+        when(col("bucket") < lit(1L << b), col("bucket"))
+          .otherwise(expr(s"shiftleft(bucket - (__s - 1) * ${1L << b}, " +
+            s"CAST(__s - 1 AS INT))")))
+      .withColumn("hi",
+        when(col("bucket") < lit(1L << b), col("bucket"))
+          .otherwise(expr(s"shiftleft(bucket - (__s - 1) * ${1L << b} + 1, " +
+            s"CAST(__s - 1 AS INT)) - 1")))
+      .select(col("grp"), col("q"), col("rank"), col("bucket"),
+        col("lo"), col("hi"))
+  }
+
   // ----------------------------------- Count sketch (signed / unbiased CMS)
 
   /** Count-sketch depth — 5 estimator rows (odd, single-element

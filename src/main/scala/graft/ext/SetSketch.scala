@@ -160,16 +160,39 @@ object SetSketch {
     * ≤ k rows a side — sketch-sized, broadcast by construction.
     */
   def kmvIntersectEstimate(a: DataFrame, b: DataFrame,
-                           k: Int = 256): DataFrame = {
+                           k: Int = 256): DataFrame =
+    kmvSetEstimates(a, b, k)
+      .select(col("k_union"), col("n_both"), col("union_est"),
+        col("intersect_est"))
+
+  /** Full set-algebra estimates for two KMV relations: one row
+    * `(k_union, n_both, n_only_a, n_only_b, union_est, intersect_est,
+    * diff_a_est, diff_b_est, jaccard_est)`. The union sketch's
+    * survivors are a uniform sample of the union, so the fraction
+    * present only in A estimates |A \ B| (Beyer et al. 2007 scaling)
+    * and `n_both / k_union` estimates the Jaccard similarity directly
+    * — the sketch-resident twin of the exact [[graft.ext.Dedup]]
+    * Jaccard operators, for corpora too large to join. Every join is
+    * ≤ k rows a side; each estimate is integer counts with one double
+    * division chain, replayed identically by the oracle.
+    */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame,
+                      k: Int = 256): DataFrame = {
     val num = (k - 1).toLong << 48
     val u = kmvMerge(Seq(a, b), k)
     val flagged = u
       .join(broadcast(a.withColumn("__ina", lit(1L))), Seq("h"), "left")
       .join(broadcast(b.withColumn("__inb", lit(1L))), Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("__ina"), lit(0L)).as("__ina"),
+        coalesce(col("__inb"), lit(0L)).as("__inb"))
     flagged
       .agg(count(lit(1)).as("k_union"),
-        coalesce(sum(coalesce(col("__ina"), lit(0L)) *
-          coalesce(col("__inb"), lit(0L))), lit(0L)).as("n_both"),
+        coalesce(sum(col("__ina") * col("__inb")), lit(0L)).as("n_both"),
+        coalesce(sum(col("__ina") * (lit(1L) - col("__inb"))), lit(0L))
+          .as("n_only_a"),
+        coalesce(sum(col("__inb") * (lit(1L) - col("__ina"))), lit(0L))
+          .as("n_only_b"),
         coalesce(max(col("h")), lit(0L)).as("__kth"))
       .withColumn("union_est",
         when(col("k_union") < lit(k.toLong), col("k_union").cast("double"))
@@ -178,7 +201,20 @@ object SetSketch {
         when(col("k_union") === 0L, lit(0.0))
           .otherwise(col("n_both").cast("double") * col("union_est") /
             col("k_union").cast("double")))
-      .select(col("k_union"), col("n_both"), col("union_est"),
-        col("intersect_est"))
+      .withColumn("diff_a_est",
+        when(col("k_union") === 0L, lit(0.0))
+          .otherwise(col("n_only_a").cast("double") * col("union_est") /
+            col("k_union").cast("double")))
+      .withColumn("diff_b_est",
+        when(col("k_union") === 0L, lit(0.0))
+          .otherwise(col("n_only_b").cast("double") * col("union_est") /
+            col("k_union").cast("double")))
+      .withColumn("jaccard_est",
+        when(col("k_union") === 0L, lit(0.0))
+          .otherwise(col("n_both").cast("double") /
+            col("k_union").cast("double")))
+      .select(col("k_union"), col("n_both"), col("n_only_a"),
+        col("n_only_b"), col("union_est"), col("intersect_est"),
+        col("diff_a_est"), col("diff_b_est"), col("jaccard_est"))
   }
 }

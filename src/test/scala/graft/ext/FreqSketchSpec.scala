@@ -255,6 +255,43 @@ class FreqSketchSpec extends SparkTestBase {
     assert(x == y)
   }
 
+  test("hdrHistogramBy/hdrQuantilesBy: per-group picks bound the truth") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 6000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      // different scale per group so the quantiles must differ
+      val v = (rnd.nextInt(1000) + 1).toLong * (g.last - '0' + 1)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    // per-group histogram equals the global histogram of each group
+    val by = FreqSketch.hdrHistogramBy(df, "g", "v")
+      .as[(String, Long, Long)].collect().toSet
+    val want = (0 until 3).flatMap { g =>
+      FreqSketch.hdrHistogram(
+          rows.filter(_._1 == s"g$g").map(_._2).toDF("v"), "v")
+        .as[(Long, Long)].collect().map { case (b, c) => (s"g$g", b, c) }
+    }.toSet
+    assert(by == want)
+    // merged halves reproduce the one-shot table
+    val halves = Seq(0, 1).map(i => FreqSketch.hdrHistogramBy(
+      rows.zipWithIndex.filter(_._2 % 2 == i).map(_._1).toDF("g", "v"),
+      "g", "v"))
+    assert(FreqSketch.hdrMergeBy(halves)
+      .as[(String, Long, Long)].collect().toSet == by)
+    // per-group quantile bounds contain the per-group truth
+    val picks = FreqSketch.hdrQuantilesBy(
+        FreqSketch.hdrHistogramBy(df, "g", "v"), Seq(0.5, 0.9))
+      .as[(String, Double, Long, Long, Long, Long)].collect()
+    assert(picks.length == 6)
+    picks.foreach { case (g, q, rank, _, lo, hi) =>
+      val sorted = rows.filter(_._1 == g).map(_._2).sorted
+      assert(rank == math.max(1L, math.ceil(q * sorted.size).toLong))
+      val truth = sorted((rank - 1).toInt)
+      assert(truth >= lo && truth <= hi, s"$g q$q: $truth not in [$lo,$hi]")
+    }
+  }
+
   test("countSketch counters equal an independent Scala md5 derivation") {
     val df = words.toDF("word")
     val width = 64

@@ -117,4 +117,28 @@ class SetSketchSpec extends SparkTestBase {
     // 48-bit hashes: a shared survivor requires a cross-set collision
     assert(r._1 == 0L && r._2 == 0.0, s"phantom overlap: $r")
   }
+
+  test("kmvSetEstimates: identical sets give zero diffs and jaccard 1") {
+    val sk = SetSketch.kmvSketch(
+      (0 until 4000).map(i => s"x$i").toDF("it"), "it", k = 128)
+    val r = SetSketch.kmvSetEstimates(sk, sk, k = 128)
+      .select("n_only_a", "n_only_b", "diff_a_est", "diff_b_est",
+        "jaccard_est")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r == ((0L, 0L, 0.0, 0.0, 1.0)))
+  }
+
+  test("kmvSetEstimates tracks true differences and jaccard") {
+    val a = (0 until 6000).map(i => s"s$i")
+    val b = (3000 until 9000).map(i => s"s$i")
+    // |A\B| = |B\A| = 3000, J = 3000/9000 = 1/3
+    val r = SetSketch.kmvSetEstimates(
+        SetSketch.kmvSketch(a.toDF("it"), "it", k = 256),
+        SetSketch.kmvSketch(b.toDF("it"), "it", k = 256), k = 256)
+      .select("diff_a_est", "diff_b_est", "jaccard_est")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 3000) / 3000 < 0.35, s"diff_a ${r._1}")
+    assert(math.abs(r._2 - 3000) / 3000 < 0.35, s"diff_b ${r._2}")
+    assert(math.abs(r._3 - 1.0 / 3) < 0.12, s"jaccard ${r._3}")
+  }
 }
