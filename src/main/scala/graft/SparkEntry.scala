@@ -4677,6 +4677,41 @@ object SparkEntry {
           col("exact_intersect").cast("double") /
             col("exact_union").cast("double"))
       est.crossJoin(broadcast(exact))
+    }),
+
+    // streaming ext — cross-batch HLL: continuous distinct-user
+    // counting with per-batch register keys, so ONE store answers both
+    // the cumulative count and a sliding last-2-batch window (expiry a
+    // max-merged register table cannot do — max is not invertible).
+    // Exact distinct counts ride along for both reads per batch.
+    "q252_stream_hll" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select((col("event_id") % 3L).as("b"),
+          // (user, session-slot) items: thousands of distinct values
+          // with partial cross-batch overlap, so cumulative grows
+          // while the window genuinely expires
+          concat(lit("u"), col("user_id").cast("string"), lit(":"),
+            (col("event_id") % 50L).cast("string")).as("item"))
+      val batches = (0L to 2L).map(i =>
+        ev.filter(col("b") === i).select("item"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q252").toString + "/hll"
+      val est = streaming.StreamingHll.byBatch(s, batches, store,
+        "item", p = 8, window = 2)
+      val di = ev.select(col("b"), col("item")).distinct()
+      val exact = di
+        .select(col("b"), col("item"),
+          explode(array((0L to 2L).map(lit): _*)).as("bid"))
+        .filter(col("b") <= col("bid"))
+        .groupBy(col("bid").as("batch_id"))
+        .agg(count_distinct(col("item")).as("exact_cum"),
+          count_distinct(when(col("b") >= col("bid") - 1L, col("item")))
+            .as("exact_win"))
+      est.join(exact, Seq("batch_id"))
+        .select(col("batch_id"), col("est_cum"), col("est_win"),
+          col("exact_cum"), col("exact_win"))
+        .orderBy("batch_id")
     })
   )
 
@@ -10013,8 +10048,79 @@ object SparkEntry {
     "q248_zonemap_prune" -> ZoneMapOracle,
     "q249_hll_by_group" -> HllByGroupOracle,
     "q250_hdr_by_group" -> HdrByGroupOracle,
-    "q251_kmv_set_algebra" -> KmvSetAlgebraOracle
+    "q251_kmv_set_algebra" -> KmvSetAlgebraOracle,
+    "q252_stream_hll" -> StreamHllOracle
   )
+
+  /** Streaming-HLL replay (q252): per-batch register keys fold to the
+    * same registers as sketching the batch-prefix (cumulative) or the
+    * batch-window item sets directly — the max-merge law — so the
+    * oracle rebuilds both register tables per batch id from the
+    * [[HllByGroupOracle]] integer machinery with grp = batch id.
+    */
+  private val StreamHllOracle: String = {
+    val p = 8; val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val rhoCase = (1 to 32)
+      .map(i => s"WHEN wb >= ${1L << (32 - i)} THEN $i").mkString(" ")
+    def estSql(src: String, out: String): String =
+      s"""regs_$out AS (
+         |  SELECT bid, CAST(wa // ${1L << (32 - p)} AS INT) AS bucket,
+         |    max(CASE $rhoCase ELSE 33 END) AS rho
+         |  FROM $src GROUP BY 1, 2),
+         |agg_$out AS (
+         |  SELECT bid, CAST(count(*) AS BIGINT) AS nr,
+         |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0)
+         |      AS BIGINT) AS s
+         |  FROM regs_$out GROUP BY 1),
+         |est_$out AS (
+         |  SELECT bid, CAST($aConst AS DOUBLE) / 1000000.0
+         |    * 1099511627776.0
+         |    / CAST(s + ($m - nr) * (CAST(1 AS BIGINT) << 40) AS DOUBLE)
+         |    AS $out
+         |  FROM agg_$out)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id % 3 AS b,
+       |    'u' || CAST(user_id AS VARCHAR) || ':'
+       |      || CAST(event_id % 50 AS VARCHAR) AS item
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |bat(bid) AS (VALUES (0), (1), (2)),
+       |di AS (SELECT DISTINCT b, item FROM ev),
+       |cum AS (
+       |  SELECT DISTINCT bat.bid, di.item
+       |  FROM di JOIN bat ON di.b <= bat.bid),
+       |win AS (
+       |  SELECT DISTINCT bat.bid, di.item
+       |  FROM di JOIN bat ON di.b <= bat.bid AND di.b >= bat.bid - 1),
+       |hc AS (SELECT bid, md5(item) AS hx FROM cum),
+       |hw AS (SELECT bid, md5(item) AS hx FROM win),
+       |wc AS (SELECT bid, ${slice(0)} AS wa, ${slice(1)} AS wb FROM hc),
+       |ww AS (SELECT bid, ${slice(0)} AS wa, ${slice(1)} AS wb FROM hw),
+       |${estSql("wc", "est_cum")},
+       |${estSql("ww", "est_win")},
+       |ex AS (
+       |  SELECT bid,
+       |    CAST(count(DISTINCT item) AS BIGINT) AS exact_cum
+       |  FROM cum GROUP BY 1),
+       |exw AS (
+       |  SELECT bid,
+       |    CAST(count(DISTINCT item) AS BIGINT) AS exact_win
+       |  FROM win GROUP BY 1)
+       |SELECT CAST(c.bid AS BIGINT) AS batch_id, c.est_cum, w.est_win,
+       |  ex.exact_cum, exw.exact_win
+       |FROM est_est_cum c JOIN est_est_win w USING (bid)
+       |JOIN ex USING (bid) JOIN exw USING (bid)
+       |ORDER BY 1""".stripMargin
+  }
 
   /** KMV set-algebra replay (q251): the [[KmvOracle]] machinery plus
     * side-only survivor counts, difference scaling and the

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.FreqSketch
+
+/** Continuous distinct counting: cross-batch HLL accumulation with
+  * BOUNDED state — the distinct-count member of the streaming-sketch
+  * family next to [[StreamingFreqSketch]] (frequencies),
+  * [[StreamingBloom]] (membership) and [[StreamingHdr]] (quantiles).
+  * "Distinct users this month so far" at 100 TB is a sketch problem:
+  * exact distinct state grows with the user space, HLL registers do
+  * not.
+  *
+  * State is per-BATCH register rows `batch:bucket:rho` in the shared
+  * [[KeyedBatchStore]] LSM (distinct mode): ≤ 2^p rows per batch,
+  * bounded by `batches × 2^p` over any retention horizon. Keeping the
+  * batch id IN the key is what buys the sliding window: registers OR
+  * together by per-bucket max (the [[FreqSketch.hllMergeBy]] law), so
+  * the CUMULATIVE estimate folds every batch and a WINDOWED estimate
+  * (distinct users over the last W batches) folds only the batches in
+  * range — the expiry a plain max-merged register table cannot do,
+  * because max-merge is not invertible.
+  */
+object StreamingHll {
+
+  /** Driver-held handle on the accumulating register store. */
+  final class HllAccumulator(spark: SparkSession, storePath: String,
+                             itemCol: String, p: Int = 8,
+                             compactEvery: Int = 8) {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    private val store = new KeyedBatchStore(spark, storePath, "cell",
+      "STRING", compactEvery, numBuckets = 1)
+
+    /** Append one batch's registers (the batch's OWN sketch, batch id
+      * folded into the cell key; zero-padded so string order follows
+      * numeric order).
+      */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      store.maybeCompact(batchId)
+      store.append(
+        FreqSketch.hllSketch(batch, itemCol, p)
+          .select(concat_ws(":", lpad(lit(batchId).cast("string"), 9, "0"),
+            col("bucket"), col("rho")).as("cell")),
+        batchId)
+    }
+
+    /** Register table folded over batches in `[fromBatch, uptoBatch)`,
+      * in the (bucket, rho) shape the batch estimators consume.
+      */
+    def registers(uptoBatch: Long, fromBatch: Long = 0L): DataFrame = {
+      val from = lpad(lit(fromBatch).cast("string"), 9, "0")
+      store.parts(uptoBatch)
+        .reduceOption(_ unionByName _)
+        .map(_.filter(substring_index(col("cell"), ":", 1) >= from)
+          .select(
+            split(col("cell"), ":").getItem(1).cast("int").as("bucket"),
+            split(col("cell"), ":").getItem(2).cast("int").as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(col("rho")).as("rho")))
+        .getOrElse(spark.sql(
+          "SELECT CAST(NULL AS INT) AS bucket, " +
+            "CAST(NULL AS INT) AS rho WHERE FALSE"))
+    }
+
+    /** Distinct-count estimate over `[fromBatch, uptoBatch)`. */
+    def estimate(uptoBatch: Long, fromBatch: Long = 0L): DataFrame =
+      FreqSketch.hllEstimate(registers(uptoBatch, fromBatch), p)
+
+    /** foreachBatch adapter. */
+    def asForeachBatch: (DataFrame, Long) => Unit =
+      (batch, id) => update(batch, id)
+  }
+
+  /** Attach the accumulator to a stream; query `estimate` between or
+    * after batches (cumulative, or the last-W-batches window via
+    * `fromBatch`).
+    */
+  def start(stream: DataFrame, storePath: String, itemCol: String,
+            p: Int = 8,
+            queryName: String = "graft-stream-hll",
+            checkpoint: Option[String] = None)
+      : (StreamingQuery, HllAccumulator) = {
+    val acc = new HllAccumulator(stream.sparkSession, storePath,
+      itemCol, p)
+    val writer = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch(acc.asForeachBatch)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    (writer.start(), acc)
+  }
+
+  /** Batch replay — the oracle-gateable twin: fold `batches` in order,
+    * reporting after each batch BOTH the cumulative estimate and the
+    * sliding estimate over the last `window` batches — the two reads a
+    * register store with batch-scoped keys supports.
+    */
+  def byBatch(spark: SparkSession, batches: Seq[DataFrame],
+              storePath: String, itemCol: String, p: Int,
+              window: Int): DataFrame = {
+    require(batches.nonEmpty, "byBatch needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val acc = new HllAccumulator(spark, storePath, itemCol, p)
+    batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      val cum = acc.estimate(i.toLong + 1)
+        .select(col("estimate").as("est_cum"))
+      val win = acc.estimate(i.toLong + 1,
+          math.max(0L, i.toLong - window + 1))
+        .select(col("estimate").as("est_win"))
+      cum.crossJoin(broadcast(win))
+        .select(lit(i.toLong).as("batch_id"), col("est_cum"),
+          col("est_win"))
+    }.reduce(_ unionByName _)
+  }
+}
