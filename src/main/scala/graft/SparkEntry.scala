@@ -4712,6 +4712,41 @@ object SparkEntry {
         .select(col("batch_id"), col("est_cum"), col("est_win"),
           col("exact_cum"), col("exact_win"))
         .orderBy("batch_id")
+    }),
+
+    // ext retrieval — team-draft interleaving: two rankers (length vs
+    // recency) draft a merged list per query, clicks (a keyed hash
+    // stand-in) credit the drafting team — the ONLINE ranker A/B eval.
+    // Runs come from TopKAgg bounded heaps (never a corpus sort); the
+    // six draft rounds unroll into the oracle exactly like q232's MMR
+    // chain.
+    "q253_interleaving" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(concat(lit("g"), (col("doc_id") % 3L).cast("string"))
+          .as("query"), col("doc_id").as("doc"), col("n_chars"))
+      // ranker A: longest-first; TopKAgg orders (score desc, id desc),
+      // so negate the doc id to break length ties doc-ASC
+      val runA = d.groupBy(col("query"))
+        .agg(graft.functions.TopKAgg.column(6, col("n_chars").cast("double"),
+          -col("doc")).as("__l"))
+        .select(col("query"), posexplode(col("__l")).as(Seq("__i", "__s")))
+        .select(col("query"), (-col("__s.id")).as("doc"),
+          (col("__i") + 1).cast("long").as("rank"))
+      // ranker B: newest-first (doc id descending)
+      val runB = d.groupBy(col("query"))
+        .agg(graft.functions.TopKAgg.column(6, col("doc").cast("double"),
+          col("doc")).as("__l"))
+        .select(col("query"), posexplode(col("__l")).as(Seq("__i", "__s")))
+        .select(col("query"), col("__s.id").as("doc"),
+          (col("__i") + 1).cast("long").as("rank"))
+      ext.Retrieval.teamDraftInterleave(runA, runB, "query", "doc",
+          "rank", rounds = 6)
+        .withColumn("clicked",
+          conv(substring(md5(concat(lit("click|"),
+            col("doc").cast("string"))), 1, 1), 16, 10)
+            .cast("long") % 2L === 0L)
+        .orderBy("query", "pos")
     })
   )
 
@@ -10049,8 +10084,94 @@ object SparkEntry {
     "q249_hll_by_group" -> HllByGroupOracle,
     "q250_hdr_by_group" -> HdrByGroupOracle,
     "q251_kmv_set_algebra" -> KmvSetAlgebraOracle,
-    "q252_stream_hll" -> StreamHllOracle
+    "q252_stream_hll" -> StreamHllOracle,
+    "q253_interleaving" -> InterleavingOracle
   )
+
+  /** Team-draft replay (q253): the six draft rounds unroll into CTE
+    * pairs (counts → per-run best-unpicked → pick → selection union) —
+    * the q232 MMR replay pattern; the tie coin and the click stand-in
+    * are first-hex-char parities of keyed md5, folded with the same
+    * integer CASE both engines share.
+    */
+  private val InterleavingOracle: String = {
+    val rounds = 6
+    def hex1(arg: String): String =
+      s"(CASE WHEN ascii(substr(md5($arg), 1, 1)) >= 97 " +
+        s"THEN ascii(substr(md5($arg), 1, 1)) - 87 " +
+        s"ELSE ascii(substr(md5($arg), 1, 1)) - 48 END)"
+    val roundCtes = (1 to rounds).map { r =>
+      val coin = hex1(s"'tdi-v1|' || query || '|' || '$r'")
+      s"""cnt$r AS (
+         |  SELECT q.query,
+         |    coalesce(sum(CASE WHEN s.team = 'A' THEN 1 ELSE 0 END), 0)
+         |      AS na,
+         |    coalesce(sum(CASE WHEN s.team = 'B' THEN 1 ELSE 0 END), 0)
+         |      AS nb
+         |  FROM queries q LEFT JOIN sel${r - 1} s ON q.query = s.query
+         |  GROUP BY 1),
+         |ca$r AS (
+         |  SELECT a.query, a.doc FROM runa a
+         |  LEFT JOIN sel${r - 1} s ON a.query = s.query AND a.doc = s.doc
+         |  WHERE s.doc IS NULL
+         |  QUALIFY row_number() OVER (PARTITION BY a.query
+         |    ORDER BY a.rank) = 1),
+         |cb$r AS (
+         |  SELECT b.query, b.doc FROM runb b
+         |  LEFT JOIN sel${r - 1} s ON b.query = s.query AND b.doc = s.doc
+         |  WHERE s.doc IS NULL
+         |  QUALIFY row_number() OVER (PARTITION BY b.query
+         |    ORDER BY b.rank) = 1),
+         |pk$r AS (
+         |  SELECT query, doc, CAST($r AS INT) AS pos, team FROM (
+         |    SELECT c.query,
+         |      CASE WHEN c.ch THEN coalesce(a.doc, b.doc)
+         |           ELSE coalesce(b.doc, a.doc) END AS doc,
+         |      CASE WHEN c.ch AND a.doc IS NOT NULL THEN 'A'
+         |           WHEN c.ch THEN 'B'
+         |           WHEN b.doc IS NOT NULL THEN 'B' ELSE 'A' END AS team
+         |    FROM (SELECT query, na, nb,
+         |        CASE WHEN na < nb THEN TRUE WHEN na > nb THEN FALSE
+         |          ELSE ($coin % 2) = 0 END AS ch
+         |      FROM cnt$r) c
+         |    LEFT JOIN ca$r a ON c.query = a.query
+         |    LEFT JOIN cb$r b ON c.query = b.query) t
+         |  WHERE doc IS NOT NULL),
+         |sel$r AS (
+         |  SELECT query, doc, pos, team FROM sel${r - 1}
+         |  UNION ALL SELECT query, doc, pos, team FROM pk$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) AS query,
+       |    doc_id AS doc, n_chars
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+       |runa AS (
+       |  SELECT query, doc, rank FROM (
+       |    SELECT query, doc, CAST(row_number() OVER (
+       |      PARTITION BY query ORDER BY n_chars DESC, doc) AS BIGINT)
+       |      AS rank
+       |    FROM d) t
+       |  WHERE rank <= 6),
+       |runb AS (
+       |  SELECT query, doc, rank FROM (
+       |    SELECT query, doc, CAST(row_number() OVER (
+       |      PARTITION BY query ORDER BY doc DESC) AS BIGINT) AS rank
+       |    FROM d) t
+       |  WHERE rank <= 6),
+       |queries AS (
+       |  SELECT DISTINCT query FROM (
+       |    SELECT query FROM runa UNION ALL SELECT query FROM runb) t),
+       |sel0 AS (
+       |  SELECT CAST(NULL AS VARCHAR) AS query, CAST(NULL AS BIGINT) AS doc,
+       |    CAST(NULL AS INT) AS pos, CAST(NULL AS VARCHAR) AS team
+       |  WHERE FALSE),
+       |$roundCtes
+       |SELECT query, doc, pos, team,
+       |  (${hex1("'click|' || CAST(doc AS VARCHAR)")} % 2) = 0 AS clicked
+       |FROM sel$rounds
+       |ORDER BY 1, 3""".stripMargin
+  }
 
   /** Streaming-HLL replay (q252): per-batch register keys fold to the
     * same registers as sketching the batch-prefix (cumulative) or the

@@ -512,4 +512,102 @@ object Retrieval {
     weights.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= m)
   }
+
+  // ------------------------------------ team-draft interleaving (online eval)
+
+  /** Team-draft interleaving (Radlinski, Kurup & Joachims 2008): the
+    * ONLINE counterpart of [[rankEval]] — to compare two rankers in
+    * production, serve one merged list built by alternating "draft
+    * picks" and credit clicks to the team whose pick drew them. Per
+    * query and position: the team with fewer picks so far drafts its
+    * highest-ranked not-yet-picked doc; ties draft by a deterministic
+    * keyed coin (`md5(salt|query|round)` parity — replayable, and
+    * unbiased across queries exactly as the randomized original); a
+    * team with nothing left cedes the pick. Output: one row
+    * `(query, pos, doc, team)` per drafted position.
+    *
+    * Same replay stance as [[mmrRerank]]: `rounds` is a bounded number
+    * of greedy plan stages over run-sized frames (each pick = one
+    * anti-join + one min-struct aggregate per query — never
+    * corpus-sized), checkpoint-cut per round, and the whole draft
+    * chain unrolls into the DuckDB oracle. Duplicate docs within a run
+    * corrupt the draft, so the guard raises in-plan.
+    */
+  def teamDraftInterleave(runA: DataFrame, runB: DataFrame,
+                          queryCol: String, docCol: String,
+                          rankCol: String, rounds: Int,
+                          salt: String = "tdi-v1"): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20] (rounds greedy plan stages), got $rounds")
+    require(salt.nonEmpty, "salt must not be empty")
+    def prep(run: DataFrame, tag: String): DataFrame = run
+      .select(col(queryCol).as("query"), col(docCol).as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .filter(col("query").isNotNull && col("doc").isNotNull &&
+        col("rank").isNotNull)
+      .withColumn("__dup", count(lit(1))
+        .over(Window.partitionBy(col("query"), col("doc"))))
+      .select(col("query"),
+        when(col("__dup") === 1, col("doc"))
+          .otherwise(raise_error(concat(
+            lit(s"teamDraftInterleave: duplicate doc in run $tag for "),
+            lit("query "), col("query").cast("string")))).as("doc"),
+        col("rank"))
+    val a = graft.plans.PlanCapture.cut(prep(runA, "A"))
+    val b = graft.plans.PlanCapture.cut(prep(runB, "B"))
+    val queries = a.select("query").unionByName(b.select("query")).distinct()
+    def coin(r: Int) =
+      conv(substring(md5(concat(lit(salt), lit("|"),
+        col("query").cast("string"), lit("|"), lit(r.toString))), 1, 1),
+        16, 10).cast("long") % 2L
+    val empty = queries.sparkSession.createDataFrame(
+      queries.sparkSession.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query",
+          queries.schema("query").dataType),
+        org.apache.spark.sql.types.StructField("doc",
+          a.schema("doc").dataType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("team",
+          org.apache.spark.sql.types.StringType))))
+    var selected = empty
+    for (r <- 1 to rounds) {
+      val counts = queries
+        .join(selected.groupBy(col("query"))
+          .agg(sum(when(col("team") === "A", 1L).otherwise(0L)).as("__na"),
+            sum(when(col("team") === "B", 1L).otherwise(0L)).as("__nb")),
+          Seq("query"), "left")
+        .select(col("query"),
+          coalesce(col("__na"), lit(0L)).as("__na"),
+          coalesce(col("__nb"), lit(0L)).as("__nb"))
+      def best(run: DataFrame, out: String) = run
+        .join(selected.select("query", "doc"), Seq("query", "doc"),
+          "left_anti")
+        .groupBy(col("query"))
+        .agg(min(struct(col("rank"), col("doc"))).as("__s"))
+        .select(col("query"), col("__s").getField("doc").as(out))
+      val pick = counts
+        .join(best(a, "__da"), Seq("query"), "left")
+        .join(best(b, "__db"), Seq("query"), "left")
+        .withColumn("__chooseA",
+          when(col("__na") < col("__nb"), lit(true))
+            .when(col("__na") > col("__nb"), lit(false))
+            .otherwise(coin(r) === 0L))
+        .withColumn("doc",
+          when(col("__chooseA"), coalesce(col("__da"), col("__db")))
+            .otherwise(coalesce(col("__db"), col("__da"))))
+        .filter(col("doc").isNotNull)
+        .withColumn("team",
+          when(col("__chooseA") && col("__da").isNotNull, lit("A"))
+            .when(col("__chooseA"), lit("B"))
+            .when(col("__db").isNotNull, lit("B"))
+            .otherwise(lit("A")))
+        .select(col("query"), col("doc"), lit(r).as("pos"), col("team"))
+      selected = graft.plans.PlanCapture.cut(
+        selected.unionByName(pick))
+    }
+    selected
+  }
 }

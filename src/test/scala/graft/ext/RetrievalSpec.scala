@@ -324,4 +324,57 @@ class RetrievalSpec extends SparkTestBase {
       .collect().head
     assert(row._3 == 1L && row._4 == 1L && row._7.contains(1000000L))
   }
+
+  private def draft(runA: Seq[(String, Long, Long)],
+                    runB: Seq[(String, Long, Long)],
+                    rounds: Int): Seq[(String, Long, Int, String)] =
+    Retrieval.teamDraftInterleave(runA.toDF("q", "d", "r"),
+        runB.toDF("q", "d", "r"), "q", "d", "r", rounds)
+      .orderBy("query", "pos")
+      .as[(String, Long, Int, String)].collect().toSeq
+
+  test("teamDraftInterleave: draft invariants on a hand-built pair of runs") {
+    val runA = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L))
+    val runB = Seq(("q1", 3L, 1L), ("q1", 4L, 2L), ("q1", 5L, 3L))
+    val out = draft(runA, runB, 6)
+    // 5 distinct docs across both runs -> 5 positions filled, then stop
+    assert(out.map(_._2).distinct.size == out.size)
+    assert(out.size == 5)
+    assert(out.map(_._3) == (1 to 5))
+    // team balance: pick counts never differ by more than one at any prefix
+    val teams = out.map(_._4)
+    teams.indices.foreach { i =>
+      val (na, nb) = (teams.take(i + 1).count(_ == "A"),
+        teams.take(i + 1).count(_ == "B"))
+      assert(math.abs(na - nb) <= 1, s"unbalanced after ${i + 1}: $na/$nb")
+    }
+    // each team's picks appear in ITS run's rank order
+    def picksOf(t: String) = out.filter(_._4 == t).map(_._2)
+    val rankA = runA.map(x => x._2 -> x._3).toMap
+    val rankB = runB.map(x => x._2 -> x._3).toMap
+    val pa = picksOf("A").flatMap(rankA.get)
+    assert(pa == pa.sorted, s"A picks out of rank order: $pa")
+    val pb = picksOf("B").flatMap(rankB.get)
+    assert(pb == pb.sorted, s"B picks out of rank order: $pb")
+  }
+
+  test("teamDraftInterleave: exhausted team cedes; determinism; dup guard") {
+    // A has a single doc: after A's pick, B must supply the rest
+    val runA = Seq(("q1", 1L, 1L))
+    val runB = Seq(("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L))
+    val out = draft(runA, runB, 6)
+    assert(out.size == 4)
+    assert(out.count(_._4 == "A") == 1 && out.count(_._4 == "B") == 3)
+    // rerunning gives the identical draft (keyed coin, no RNG)
+    assert(draft(runA, runB, 6) == out)
+    // duplicate doc within one run raises in-plan
+    val ex = intercept[Exception] {
+      draft(Seq(("q1", 1L, 1L), ("q1", 1L, 2L)), runB, 2)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("duplicate doc in run A"))))
+  }
 }
