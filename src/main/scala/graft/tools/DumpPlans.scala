@@ -41,7 +41,9 @@ object DumpPlans {
       "q207_quality_percentile" -> "two-phase score percentiles: per-distinct-score HashAggregate, coarse width_bucket carry frame (<= 1026 rows, constant-key window), fine running sum PARTITIONED BY bucket - no empty-partition WindowExec anywhere (PlanGuard-asserted)",
       "q227_rrf_fusion" -> "RRF fusion: two broadcast-query-set corpus scans (cosine + dot runs, the sanctioned q15 shape - corpus never shuffles), union -> ONE (query, doc) partial+final HashAggregate over <= sum-of-k rows with the duplicate-evidence raise_error guard fused into its output projection, then a per-query window over the fused frame",
       "q230_mrr_map" -> "MRR/MAP eval: retrieved list (|Q| x k rows) left-joins judgments on (query, doc); cumulative hits via a per-query FRAMED running-sum window (rows between unbounded preceding and current); metrics collapse in one per-query HashAggregate - nothing corpus-sized past the retriever scan",
-      "q238_hdr_quantiles" -> "HDR quantiles: ONE map-side-combined bucket aggregate (comparison-ladder log2 in the scan projection) into the ~1.9k-row histogram; the quantile pick is a declared bounded-frame running sum (SingleTask.key partition spec) + a sanctioned broadcast of the quantile/global-count side - the corpus is touched exactly once"
+      "q238_hdr_quantiles" -> "HDR quantiles: ONE map-side-combined bucket aggregate (comparison-ladder log2 in the scan projection) into the ~1.9k-row histogram; the quantile pick is a declared bounded-frame running sum (SingleTask.key partition spec) + a sanctioned broadcast of the quantile/global-count side - the corpus is touched exactly once",
+      "q243_ip_cidr_lookup" -> "longest-prefix-match join: a constant <= 17-way literal-length explode in the probe projection (map-side, codegen'd shifts), the CIDR side broadcast into ONE hash EQUI-join on (len, prefix), most-specific pick as a per-probe-row window over <= 5 candidate rows - no range join, no nested loop anywhere",
+      "q244_count_sketch" -> "count sketch: ONE posexplode projection into a (j, bucket) partial+final HashAggregate - map-side combine caps every task's shuffle at depth x width rows regardless of corpus size; probe estimates broadcast-join the fixed signed grid and collapse in a bounded 5-element median aggregate"
     )
     val sb = new StringBuilder
     sb.append("# Physical plans of headline queries\n\n")
