@@ -4747,6 +4747,58 @@ object SparkEntry {
             col("doc").cast("string"))), 1, 1), 16, 10)
             .cast("long") % 2L === 0L)
         .orderBy("query", "pos")
+    }),
+
+    // ext stats — Poisson bootstrap: a 95% confidence interval for the
+    // mean document length from ONE corpus scan (64 replicates ride
+    // the scan as a map-side explode; per-(row, replicate) Poisson(1)
+    // multiplicities from keyed md5 + inlined integer CDF thresholds).
+    // The point estimate rides along — the CI must bracket it.
+    "q254_poisson_bootstrap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("n_chars").isNotNull)
+      val reps = ext.Bootstrap.replicateTotals(d, "doc_id", "n_chars",
+        replicates = 64)
+      val ci = ext.Bootstrap.confidenceInterval(reps)
+      val point = d
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars").cast("long")).as("__sum"))
+        .select(col("n_rows"),
+          (col("__sum").cast("double") / col("n_rows").cast("double"))
+            .as("point_mean"))
+      ci.crossJoin(broadcast(point))
+    }),
+
+    // ext layout — consistent-hash resharding audit: order keys on an
+    // 8-shard ring vs the same ring grown to 9, against the md5-mod
+    // baseline. The Karger theorem replays as data: ring movement
+    // ≈ 1/9 and EVERY moved key targets the added shard
+    // (moved_wrong = 0), while mod-n moves ≈ 8/9; ring balance rides
+    // along. Assignment is a pure codegen'd literal-array walk — no
+    // join, no shuffle.
+    "q255_consistent_hash" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
+        .select(concat(lit("o"), col("o_orderkey").cast("string")).as("k"))
+        .select(col("k"),
+          ext.Ring.consistentShard(col("k"), 8).as("s8"),
+          ext.Ring.consistentShard(col("k"), 9).as("s9"),
+          conv(substring(md5(col("k")), 1, 12), 16, 10).cast("long")
+            .as("__h"))
+        .withColumn("m8", pmod(col("__h"), lit(8L)))
+        .withColumn("m9", pmod(col("__h"), lit(9L)))
+      val loads = a.groupBy(col("s8"))
+        .agg(count(lit(1)).as("__load"))
+        .agg(max(col("__load")).as("max_load8"),
+          min(col("__load")).as("min_load8"))
+      val mv = a.agg(count(lit(1)).as("n_keys"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+          .as("moved_ring"),
+        sum(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1L)
+          .otherwise(0L)).as("moved_wrong"),
+        sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L))
+          .as("moved_mod"))
+      mv.crossJoin(broadcast(loads))
     })
   )
 
@@ -10085,8 +10137,107 @@ object SparkEntry {
     "q250_hdr_by_group" -> HdrByGroupOracle,
     "q251_kmv_set_algebra" -> KmvSetAlgebraOracle,
     "q252_stream_hll" -> StreamHllOracle,
-    "q253_interleaving" -> InterleavingOracle
+    "q253_interleaving" -> InterleavingOracle,
+    "q254_poisson_bootstrap" -> BootstrapOracle,
+    "q255_consistent_hash" -> RingOracle
   )
+
+  /** Ring replay (q255): both rings' sorted (point, shard) tables —
+    * built by the SAME Scala constructor the operator inlines — become
+    * SQL list literals; the owner walk is the identical
+    * filter-count-and-wrap, the baseline the identical md5-mod.
+    */
+  private val RingOracle: String = {
+    def lists(n: Int): (String, String) = {
+      val (p, sh) = ext.Ring.ringPoints(n, 64, "ring-v1")
+      (p.mkString("[", ", ", "]"), sh.mkString("[", ", ", "]"))
+    }
+    val (p8, s8) = lists(8)
+    val (p9, s9) = lists(9)
+    def owner(points: String, shards: String, out: String): String =
+      s"""$shards[CASE
+         |  WHEN len(list_filter($points, p -> p < h))
+         |    = len($points) THEN 1
+         |  ELSE len(list_filter($points, p -> p < h)) + 1 END] AS $out"""
+        .stripMargin
+    s"""WITH k AS (
+       |  SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS k
+       |  FROM orders WHERE o_orderkey IS NOT NULL),
+       |h AS (SELECT k, ${hexFold("1", 12)} AS h
+       |  FROM (SELECT k, md5(k) AS hx FROM k) t),
+       |a AS (
+       |  SELECT k, h,
+       |    ${owner(p8, s8, "s8")},
+       |    ${owner(p9, s9, "s9")},
+       |    h % 8 AS m8, h % 9 AS m9
+       |  FROM h),
+       |loads AS (
+       |  SELECT CAST(max(l) AS BIGINT) AS max_load8,
+       |    CAST(min(l) AS BIGINT) AS min_load8
+       |  FROM (SELECT s8, count(*) AS l FROM a GROUP BY 1) t),
+       |mv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS moved_ring,
+       |    CAST(sum(CASE WHEN s8 <> s9 AND s9 <> 8 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS moved_wrong,
+       |    CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS moved_mod
+       |  FROM a)
+       |SELECT n_keys, moved_ring, moved_wrong, moved_mod,
+       |  max_load8, min_load8
+       |FROM mv CROSS JOIN loads""".stripMargin
+  }
+
+  /** Poisson-bootstrap replay (q254): the SAME integer CDF thresholds
+    * [[ext.Bootstrap.PoissonThresholds]] inlines into the Spark plan,
+    * the same keyed 48-bit md5 uniform per (replicate, row), BIGINT
+    * replicate sums, one double division per replicate, and the CI
+    * picks as `row_number` ranks under `(mean, b)` order.
+    */
+  private val BootstrapOracle: String = {
+    val b = 64
+    val list = ext.Bootstrap.PoissonThresholds.mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+       |draws AS (
+       |  SELECT b.b, d.v,
+       |    md5('boot-v1|' || CAST(b.b AS VARCHAR) || '|'
+       |      || CAST(d.doc_id AS VARCHAR)) AS hx
+       |  FROM d CROSS JOIN (SELECT unnest(range($b)) AS b) b),
+       |mult AS (
+       |  SELECT b, v, CAST(len(list_filter($list,
+       |    t -> t <= ${hexFold("1", 12)})) AS BIGINT) AS m
+       |  FROM draws),
+       |reps AS (
+       |  SELECT b, CAST(sum(m) AS BIGINT) AS n_eff,
+       |    CAST(sum(m * v) AS BIGINT) AS total
+       |  FROM mult GROUP BY 1),
+       |means AS (
+       |  SELECT b, CAST(total AS DOUBLE) / CAST(n_eff AS DOUBLE) AS mean
+       |  FROM reps WHERE n_eff > 0),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM means),
+       |ranked AS (
+       |  SELECT mean, row_number() OVER (ORDER BY mean, b) AS rk
+       |  FROM means),
+       |ci AS (
+       |  SELECT
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(0.025 * nb) AS BIGINT))
+       |      THEN mean END) AS lo,
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(0.5 * nb) AS BIGINT))
+       |      THEN mean END) AS mid,
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(0.975 * nb) AS BIGINT))
+       |      THEN mean END) AS hi
+       |  FROM ranked CROSS JOIN nb),
+       |pt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS point_mean
+       |  FROM d)
+       |SELECT lo, mid, hi, n_rows, point_mean
+       |FROM ci CROSS JOIN pt""".stripMargin
+  }
 
   /** Team-draft replay (q253): the six draft rounds unroll into CTE
     * pairs (counts → per-run best-unpicked → pick → selection union) —

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap: error bars for pipeline metrics in ONE pass.
+  *
+  * The classical bootstrap (resample n rows with replacement, B times)
+  * cannot run on a 100 TB table — each replicate is a full shuffle of
+  * the corpus. The Poisson bootstrap replaces the multinomial
+  * row-multiplicity vector with independent per-(row, replicate)
+  * Poisson(1) draws (the n→∞ limit of Binomial(n, 1/n)): every row
+  * decides its own multiplicity in every replicate locally, so ALL B
+  * replicates ride the ONE corpus scan as a B-way map-side explode
+  * whose partial aggregate collapses each task to B rows. This is the
+  * standard massive-data CI technique (Chamandy et al. 2012,
+  * "Estimating uncertainty for massive data streams").
+  *
+  * Replay stance: the Poisson(1) draw is an inverse-CDF walk over
+  * INTEGER thresholds computed once in driver Scala and inlined as
+  * literals into both engines (the [[Privacy.dpThresholds]] trick),
+  * keyed by `md5(salt|replicate|rowId)` — deterministic, retry-stable
+  * and bit-replayable; per-replicate sums are BIGINTs when the metric
+  * column is integral, so the only floating steps are the final
+  * per-replicate divisions.
+  */
+object Bootstrap {
+
+  /** Cumulative Poisson(1) thresholds on the 2^48 scale:
+    * entry k = floor(P(X ≤ k) · 2^48), k = 0..12, with the LAST entry
+    * clamped to 2^48 so the multiplicity is hard-bounded at 12 (the
+    * clipped tail holds ~1e−10 of the mass — the [[Privacy]] clamp
+    * stance). A draw is `#{thresholds ≤ u}` — 0 with probability
+    * e^−1, etc.
+    */
+  val PoissonThresholds: Array[Long] = {
+    val e1 = math.exp(-1.0)
+    val scale = math.pow(2.0, 48)
+    val pmf = Iterator.iterate((0, e1)) { case (k, p) =>
+      (k + 1, p / (k + 1)) }.take(13).map(_._2).toArray
+    val th = pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(scale - 1, math.floor(c * scale)).toLong)
+    th(th.length - 1) = 1L << 48
+    th
+  }
+
+  /** Poisson(1) multiplicity of row `id` in replicate `b` — a pure
+    * codegen'd filter over a 13-literal constant array.
+    */
+  private[ext] def multiplicity(id: Column, b: Column,
+                                salt: String): Column = {
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      b.cast("string"), lit("|"), id.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    size(filter(typedlit(PoissonThresholds.toSeq), t => t <= u))
+      .cast("long")
+  }
+
+  /** Per-replicate totals of `valueCol` under Poisson(1) resampling:
+    * `replicates` rows `(b, n_eff, total, mean)` from ONE scan — the
+    * explode emits `replicates` entries per input row (each carrying
+    * `(m, m·x)` so no second pass is needed), map-side combine
+    * collapses every task to ≤ `replicates` rows before the shuffle
+    * (the sketch-family shape). `idCol` must uniquely identify rows
+    * (it keys the draw); `valueCol` is cast to BIGINT so sums are
+    * order-independent and oracle-exact.
+    */
+  def replicateTotals(df: DataFrame, idCol: String, valueCol: String,
+                      replicates: Int = 64,
+                      salt: String = "boot-v1"): DataFrame = {
+    require(replicates >= 8 && replicates <= 512,
+      s"replicates must be in [8, 512], got $replicates")
+    require(salt.nonEmpty, "salt must not be empty")
+    val id = col(idCol)
+    val v = col(valueCol).cast("long")
+    df.filter(id.isNotNull && v.isNotNull)
+      .select(id.as("__id"), v.as("__v"))
+      .select(posexplode(array((0 until replicates).map { b =>
+        val m = multiplicity(col("__id"), lit(b), salt)
+        struct(m.as("m"), (m * col("__v")).as("mx"))
+      }: _*)).as(Seq("b", "__e")))
+      .groupBy(col("b"))
+      .agg(sum(col("__e.m")).as("n_eff"),
+        sum(col("__e.mx")).as("total"))
+      .withColumn("mean",
+        when(col("n_eff") > 0L,
+          col("total").cast("double") / col("n_eff").cast("double")))
+  }
+
+  /** Percentile bracket of the replicate means: one row
+    * `(lo, mid, hi)` — ranks are `ceil(q·B)` picks under `(mean, b)`
+    * order over the B-row replicate frame (B is a literal bound, the
+    * window declares it with the partition key of the replicate id's
+    * constant hash — B rows total, never data-sized).
+    */
+  def confidenceInterval(reps: DataFrame, qLo: Double = 0.025,
+                         qHi: Double = 0.975): DataFrame = {
+    require(qLo > 0.0 && qLo < 0.5 && qHi > 0.5 && qHi < 1.0,
+      s"need 0 < qLo < 0.5 < qHi < 1, got ($qLo, $qHi)")
+    val b = reps.agg(count(lit(1)).as("__nb"))
+    val ranked = reps
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(SingleTask.key(col("b")))
+          .orderBy(col("mean"), col("b"))))
+    ranked.join(broadcast(b))
+      .agg(
+        max(when(col("__rk") === greatest(lit(1L),
+          ceil(lit(qLo) * col("__nb")).cast("long")), col("mean")))
+          .as("lo"),
+        max(when(col("__rk") === greatest(lit(1L),
+          ceil(lit(0.5) * col("__nb")).cast("long")), col("mean")))
+          .as("mid"),
+        max(when(col("__rk") === greatest(lit(1L),
+          ceil(lit(qHi) * col("__nb")).cast("long")), col("mean")))
+          .as("hi"))
+  }
+}

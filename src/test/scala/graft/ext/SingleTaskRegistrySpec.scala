@@ -70,7 +70,8 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     "ext/Profile.scala" -> 1,
     "ext/Layout.scala" -> 2,
     "ext/TextStats.scala" -> 2,
-    "ext/FreqSketch.scala" -> 2)
+    "ext/FreqSketch.scala" -> 2,
+    "ext/Bootstrap.scala" -> 1)
 
   test("every SingleTask.key call site in main source is registered") {
     val root = Paths.get("src/main/scala/graft")
@@ -182,6 +183,17 @@ class SingleTaskRegistrySpec extends SparkTestBase {
       s"mgMerge frame = $frameRows rows — exceeds k x shards")
     val merged = FreqSketch.mgMerge(perShard, k).count()
     assert(merged <= k.toLong, s"merged summary = $merged rows > k")
+  }
+
+  test("bootstrap CI frame is exactly the replicate count by construction") {
+    // confidenceInterval ranks the replicate-totals relation — one row
+    // per replicate by the groupBy(b) aggregate, b < replicates a
+    // LITERAL bound (require-capped at 512); never data-sized
+    val rows = spark.range(5000)
+      .select(col("id"), (col("id") % 97).as("v"))
+    val reps = Bootstrap.replicateTotals(rows, "id", "v", replicates = 16)
+    assert(reps.count() == 16L,
+      "replicate frame must be exactly the replicate count")
   }
 
   test("AMS estimator frame is exactly AmsDepth rows by construction") {
