@@ -53,8 +53,7 @@ object Bootstrap {
     val u = conv(substring(md5(concat(lit(salt), lit("|"),
       b.cast("string"), lit("|"), id.cast("string"))), 1, 12), 16, 10)
       .cast("long")
-    size(filter(typedlit(PoissonThresholds.toSeq), t => t <= u))
-      .cast("long")
+    IntLadder.countBelow(PoissonThresholds, u).cast("long")
   }
 
   /** Per-replicate totals of `valueCol` under Poisson(1) resampling:
@@ -74,15 +73,18 @@ object Bootstrap {
     require(salt.nonEmpty, "salt must not be empty")
     val id = col(idCol)
     val v = col(valueCol).cast("long")
+    // explode the replicate IDS (a tiny literal array), then draw the
+    // multiplicity ONCE per (row, replicate) with the replicate as a
+    // column — inlining `replicates` md5 chains into one projection
+    // instead overflows Janino's 64 KB method limit at B = 64
     df.filter(id.isNotNull && v.isNotNull)
-      .select(id.as("__id"), v.as("__v"))
-      .select(posexplode(array((0 until replicates).map { b =>
-        val m = multiplicity(col("__id"), lit(b), salt)
-        struct(m.as("m"), (m * col("__v")).as("mx"))
-      }: _*)).as(Seq("b", "__e")))
+      .select(id.as("__id"), v.as("__v"),
+        explode(typedlit((0 until replicates).toList)).as("b"))
+      .select(col("b"), col("__v"),
+        multiplicity(col("__id"), col("b"), salt).as("__m"))
       .groupBy(col("b"))
-      .agg(sum(col("__e.m")).as("n_eff"),
-        sum(col("__e.mx")).as("total"))
+      .agg(sum(col("__m")).as("n_eff"),
+        sum(col("__m") * col("__v")).as("total"))
       .withColumn("mean",
         when(col("n_eff") > 0L,
           col("total").cast("double") / col("n_eff").cast("double")))

@@ -142,7 +142,7 @@ object Privacy {
     val (b, th) = dpThresholds(epsilon)
     val u = conv(substring(md5(concat(lit(salt), lit("|"),
       key.cast("string"))), 1, 12), 16, 10).cast("long")
-    (size(filter(typedlit(th.toSeq), t => t <= u)) - lit(b)).cast("long")
+    (IntLadder.countBelow(th, u) - lit(b)).cast("long")
   }
 
   /** ε-differentially-private group-count release: one hash aggregate

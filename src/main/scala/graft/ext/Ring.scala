@@ -62,7 +62,7 @@ object Ring {
     val h = conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
       .cast("long")
     // index of the first point >= h (1-based), wrapping to 1
-    val below = size(filter(typedlit(points.toSeq), p => p < h))
+    val below = IntLadder.countBelow(points, h, strict = true)
     val idx = when(below === lit(points.length), lit(1))
       .otherwise(below + lit(1))
     element_at(typedlit(shards.toSeq), idx)
