@@ -4799,6 +4799,46 @@ object SparkEntry {
         sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L))
           .as("moved_mod"))
       mv.crossJoin(broadcast(loads))
+    }),
+
+    // ext formats — Avro round trip WITHOUT spark-avro (only the core
+    // avro-java library): orders encode into four deterministic object
+    // containers (seed-keyed sync markers — stock Avro's random marker
+    // is the classic nondeterministic-artifact trap), decode back via
+    // the distributed container kernel into canonical JSON, and the
+    // per-container aggregates must equal the direct parquet compute.
+    "q256_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val schemaJson =
+        """{"type":"record","name":"O","fields":[
+          |{"name":"k","type":"long"},
+          |{"name":"st","type":"string"},
+          |{"name":"tp","type":"long"}]}""".stripMargin
+      val rows = tbl(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull &&
+          col("o_orderstatus").isNotNull && col("o_totalprice").isNotNull)
+        .select((col("o_orderkey") % 4L).as("cid"),
+          col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          floor(col("o_totalprice")).cast("long").as("tp"))
+        .as[(Long, Long, String, Long)]
+      val bins = rows.groupByKey(_._1)
+        .mapGroups { (cid, it) =>
+          val sorted = it.toSeq.sortBy(_._2)
+          (cid, ext.AvroIo.encodeContainer(schemaJson,
+            sorted.iterator.map { case (_, k, st, tp) =>
+              Map[String, Any]("k" -> k, "st" -> st, "tp" -> tp)
+            }, syncSeed = s"c$cid"))
+        }.toDF("cid", "bin")
+      ext.AvroIo.decodeContainer(bins, "cid", "bin")
+        .select(col("container_id"),
+          get_json_object(col("json"), "$.k").cast("long").as("k"),
+          get_json_object(col("json"), "$.st").as("st"),
+          get_json_object(col("json"), "$.tp").cast("long").as("tp"))
+        .groupBy(col("container_id"))
+        .agg(count(lit(1)).as("n_records"), sum(col("tp")).as("sum_tp"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count_distinct(col("st")).as("n_status"))
+        .orderBy("container_id")
     })
   )
 
@@ -10139,7 +10179,24 @@ object SparkEntry {
     "q252_stream_hll" -> StreamHllOracle,
     "q253_interleaving" -> InterleavingOracle,
     "q254_poisson_bootstrap" -> BootstrapOracle,
-    "q255_consistent_hash" -> RingOracle
+    "q255_consistent_hash" -> RingOracle,
+
+    /* Avro replay (q256): the round trip is lossless by the format, so
+     * the oracle is the DIRECT per-container aggregate of the source
+     * rows — any encode/decode corruption (dropped record, mangled
+     * field, wrong container routing) breaks a count, a sum or a key
+     * bound. */
+    "q256_avro_roundtrip" ->
+      s"""SELECT o_orderkey % 4 AS container_id,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+         |    AS sum_tp,
+         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+         |FROM orders
+         |WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+         |  AND o_totalprice IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Ring replay (q255): both rings' sorted (point, shard) tables —

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AvroIoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schemaJson =
+    """{"type":"record","name":"Row","fields":[
+      |{"name":"k","type":"long"},
+      |{"name":"st","type":"string"},
+      |{"name":"tp","type":"long"}]}""".stripMargin
+
+  private def container(id: Long, rows: Seq[(Long, String, Long)]): Array[Byte] =
+    AvroIo.encodeContainer(schemaJson,
+      rows.iterator.map { case (k, st, tp) =>
+        Map[String, Any]("k" -> k, "st" -> st, "tp" -> tp) },
+      syncSeed = s"c$id")
+
+  test("round trip: decoded records equal the encoded rows, in order") {
+    val rows = (0 until 50).map(i => (i.toLong, s"s${i % 3}", i * 7L))
+    val df = Seq((1L, container(1L, rows))).toDF("cid", "bin")
+    val got = AvroIo.decodeContainer(df, "cid", "bin")
+      .select(col("record_index"),
+        get_json_object(col("json"), "$.k").cast("long"),
+        get_json_object(col("json"), "$.st"),
+        get_json_object(col("json"), "$.tp").cast("long"))
+      .as[(Int, Long, String, Long)].collect().sortBy(_._1)
+    assert(got.length == 50)
+    got.foreach { case (i, k, st, tp) =>
+      assert((k, st, tp) == rows(i), s"record $i") }
+  }
+
+  test("encoding is deterministic; sync marker is seed-keyed") {
+    val rows = Seq((1L, "a", 2L), (3L, "b", 4L))
+    assert(container(9L, rows).toSeq == container(9L, rows).toSeq)
+    assert(container(9L, rows).toSeq != container(8L, rows).toSeq,
+      "different seeds must change the sync marker bytes")
+  }
+
+  test("heterogeneous schemas coexist; corrupt containers fail loudly") {
+    val other = AvroIo.encodeContainer(
+      """{"type":"record","name":"X","fields":[
+        |{"name":"only","type":"string"}]}""".stripMargin,
+      Iterator(Map[String, Any]("only" -> "hello")), "x")
+    val df = Seq(
+      (1L, container(1L, Seq((7L, "z", 9L)))),
+      (2L, other)).toDF("cid", "bin")
+    val got = AvroIo.decodeContainer(df, "cid", "bin")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0)._3.contains("\"k\": 7"))
+    assert(got(1)._3.contains("\"only\": \"hello\""))
+
+    val bad = Seq((3L, Array.fill[Byte](64)(42))).toDF("cid", "bin")
+    val ex = intercept[Exception] {
+      AvroIo.decodeContainer(bad, "cid", "bin").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+      .exists(_.contains("avro container 3 is corrupt"))))
+  }
+
+  test("empty container decodes to zero rows, not an error") {
+    val df = Seq((1L, container(1L, Seq.empty))).toDF("cid", "bin")
+    assert(AvroIo.decodeContainer(df, "cid", "bin").count() == 0L)
+  }
+}
