@@ -4839,6 +4839,29 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           count_distinct(col("st")).as("n_status"))
         .orderBy("container_id")
+    }),
+
+    // ext stats — paired A/B bootstrap: does `purchase` carry a higher
+    // mean value than `click`? 64 shared Poisson draws resample BOTH
+    // variants (replicate-level pairing), the CI of the per-replicate
+    // difference decides significance; the point means ride along.
+    "q257_bootstrap_ab" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"), col("event_id").as("id"),
+          floor(col("value") * 100).cast("long").as("v"))
+      val reps = ext.Bootstrap.replicateTotalsBy(ev, "g", "id", "v",
+        replicates = 64)
+      val ci = ext.Bootstrap.pairedDiffCI(reps, "click", "purchase")
+      val pt = ev.agg(
+        (sum(when(col("g") === "click", col("v"))).cast("double") /
+          sum(when(col("g") === "click", 1L)).cast("double"))
+          .as("mean_click"),
+        (sum(when(col("g") === "purchase", col("v"))).cast("double") /
+          sum(when(col("g") === "purchase", 1L)).cast("double"))
+          .as("mean_purchase"))
+      ci.crossJoin(broadcast(pt))
     })
   )
 
@@ -10196,8 +10219,73 @@ object SparkEntry {
          |FROM orders
          |WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
          |  AND o_totalprice IS NOT NULL
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q257_bootstrap_ab" -> BootstrapAbOracle
   )
+
+  /** Paired-bootstrap replay (q257): the [[BootstrapOracle]] draw
+    * machinery per (variant, replicate), per-replicate mean
+    * differences joined ON the replicate id (the pairing), rank-pick
+    * CI, and the significance predicate — all from the same inlined
+    * thresholds.
+    */
+  private val BootstrapAbOracle: String = {
+    val b = 64
+    val list = ext.Bootstrap.PoissonThresholds.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type AS g, event_id AS id,
+       |    CAST(floor(value * 100) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+       |    AND event_type IN ('click', 'purchase')),
+       |draws AS (
+       |  SELECT e.g, b.b, e.v,
+       |    md5('boot-v1|' || CAST(b.b AS VARCHAR) || '|'
+       |      || CAST(e.id AS VARCHAR)) AS hx
+       |  FROM ev e CROSS JOIN (SELECT unnest(range($b)) AS b) b),
+       |mult AS (
+       |  SELECT g, b, v, CAST(len(list_filter($list,
+       |    t -> t <= ${hexFold("1", 12)})) AS BIGINT) AS m
+       |  FROM draws),
+       |reps AS (
+       |  SELECT g, b, CAST(sum(m) AS BIGINT) AS n_eff,
+       |    CAST(sum(m * v) AS BIGINT) AS total
+       |  FROM mult GROUP BY 1, 2),
+       |means AS (
+       |  SELECT g, b, CAST(total AS DOUBLE) / CAST(n_eff AS DOUBLE)
+       |    AS mean
+       |  FROM reps WHERE n_eff > 0),
+       |diffs AS (
+       |  SELECT a.b, p.mean - a.mean AS mean
+       |  FROM (SELECT b, mean FROM means WHERE g = 'click') a
+       |  JOIN (SELECT b, mean FROM means WHERE g = 'purchase') p
+       |    USING (b)),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM diffs),
+       |ranked AS (
+       |  SELECT mean, row_number() OVER (ORDER BY mean, b) AS rk
+       |  FROM diffs),
+       |ci AS (
+       |  SELECT
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(0.025 * nb) AS BIGINT))
+       |      THEN mean END) AS lo,
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(0.5 * nb) AS BIGINT))
+       |      THEN mean END) AS mid,
+       |    max(CASE WHEN rk = greatest(1, CAST(ceil(0.975 * nb) AS BIGINT))
+       |      THEN mean END) AS hi
+       |  FROM ranked CROSS JOIN nb),
+       |pt AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN g = 'click' THEN v END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN g = 'click' THEN 1 END) AS DOUBLE)
+       |      AS mean_click,
+       |    CAST(sum(CASE WHEN g = 'purchase' THEN v END) AS DOUBLE)
+       |      / CAST(sum(CASE WHEN g = 'purchase' THEN 1 END) AS DOUBLE)
+       |      AS mean_purchase
+       |  FROM ev)
+       |SELECT lo, mid, hi, (lo > 0.0 OR hi < 0.0) AS significant,
+       |  mean_click, mean_purchase
+       |FROM ci CROSS JOIN pt""".stripMargin
+  }
 
   /** Ring replay (q255): both rings' sorted (point, shard) tables —
     * built by the SAME Scala constructor the operator inlines — become

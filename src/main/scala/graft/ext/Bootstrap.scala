@@ -90,6 +90,55 @@ object Bootstrap {
           col("total").cast("double") / col("n_eff").cast("double")))
   }
 
+  /** Per-group replicate totals — the A/B-testing shape: one row
+    * `(grp, b, n_eff, total, mean)` per (group, replicate), still ONE
+    * scan (the explode carries the group column through). The draw is
+    * keyed by (replicate, row id) ALONE — not the group — so the same
+    * underlying rows resample identically regardless of grouping,
+    * which is what makes [[pairedDiffCI]]'s per-replicate differences
+    * a PAIRED bootstrap.
+    */
+  def replicateTotalsBy(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String, replicates: Int = 64,
+                        salt: String = "boot-v1"): DataFrame = {
+    require(replicates >= 8 && replicates <= 512,
+      s"replicates must be in [8, 512], got $replicates")
+    require(salt.nonEmpty, "salt must not be empty")
+    val id = col(idCol)
+    val v = col(valueCol).cast("long")
+    df.filter(id.isNotNull && v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), id.as("__id"), v.as("__v"),
+        explode(typedlit((0 until replicates).toList)).as("b"))
+      .select(col("grp"), col("b"), col("__v"),
+        multiplicity(col("__id"), col("b"), salt).as("__m"))
+      .groupBy(col("grp"), col("b"))
+      .agg(sum(col("__m")).as("n_eff"),
+        sum(col("__m") * col("__v")).as("total"))
+      .withColumn("mean",
+        when(col("n_eff") > 0L,
+          col("total").cast("double") / col("n_eff").cast("double")))
+  }
+
+  /** Paired-bootstrap CI for the difference of means between two
+    * groups: replicate `b`'s difference is `mean_B(b) − mean_A(b)`
+    * (the SAME Poisson draw resamples both sides — replicate-level
+    * pairing, the variance-correct way to bootstrap a contrast), then
+    * the percentile bracket of the B differences plus
+    * `significant` = the CI excludes zero. All frames are
+    * replicate-count-sized.
+    */
+  def pairedDiffCI(reps: DataFrame, grpA: String, grpB: String,
+                   qLo: Double = 0.025, qHi: Double = 0.975): DataFrame = {
+    val a = reps.filter(col("grp") === grpA)
+      .select(col("b"), col("mean").as("__ma"))
+    val bb = reps.filter(col("grp") === grpB)
+      .select(col("b"), col("mean").as("__mb"))
+    val diffs = a.join(bb, Seq("b"))
+      .select(col("b"), (col("__mb") - col("__ma")).as("mean"))
+    confidenceInterval(diffs, qLo, qHi)
+      .withColumn("significant", col("lo") > 0.0 || col("hi") < 0.0)
+  }
+
   /** Percentile bracket of the replicate means: one row
     * `(lo, mid, hi)` — ranks are `ceil(q·B)` picks under `(mean, b)`
     * order over the B-row replicate frame (B is a literal bound, the

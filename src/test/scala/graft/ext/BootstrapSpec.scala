@@ -48,6 +48,45 @@ class BootstrapSpec extends SparkTestBase {
     assert(c.toSeq != a.toSeq)
   }
 
+  test("replicateTotalsBy: per-group totals sum to the pooled totals") {
+    val rows = spark.range(6000)
+      .select(col("id"), concat(lit("g"), col("id") % 2).as("g"),
+        (col("id") % 13).as("v"))
+    val by = Bootstrap.replicateTotalsBy(rows, "g", "id", "v",
+        replicates = 16)
+      .select("b", "n_eff", "total")
+      .as[(Int, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.map(_._3).sum)).toMap
+    val pooled = Bootstrap.replicateTotals(rows, "id", "v", 16)
+      .select("b", "n_eff", "total").as[(Int, Long, Long)].collect()
+    // the draw keys on (b, id) only, so grouping never changes it
+    pooled.foreach { case (b, n, t) => assert(by(b) == ((n, t)), s"b=$b") }
+  }
+
+  test("pairedDiffCI detects a real shift and not a null one") {
+    // g1 = g0 + 5 exactly (same id skeleton, shifted values)
+    val rows = spark.range(8000)
+      .select(col("id"), concat(lit("g"), col("id") % 2).as("g"),
+        (col("id") % 9 + (col("id") % 2) * 5).as("v"))
+    val reps = Bootstrap.replicateTotalsBy(rows, "g", "id", "v",
+      replicates = 64)
+    val shifted = Bootstrap.pairedDiffCI(reps, "g0", "g1")
+      .as[(Double, Double, Double, Boolean)].head()
+    assert(shifted._4, s"a +5 shift must be significant: $shifted")
+    assert(shifted._1 < 5.1 && shifted._3 > 4.9,
+      s"CI $shifted should bracket ~5")
+    // null case: identical distributions -> not significant
+    val nullRows = spark.range(8000)
+      .select(col("id"), concat(lit("g"), col("id") % 2).as("g"),
+        ((col("id") / 2) % 9).as("v"))
+    val nullCi = Bootstrap.pairedDiffCI(
+        Bootstrap.replicateTotalsBy(nullRows, "g", "id", "v", 64),
+        "g0", "g1")
+      .as[(Double, Double, Double, Boolean)].head()
+    assert(!nullCi._4, s"identical groups must not be significant: $nullCi")
+  }
+
   test("confidenceInterval brackets the true mean and is ordered") {
     // values 0..6 uniform -> true mean 3.0
     val rows = spark.range(20000).select(col("id"), (col("id") % 7).as("v"))
