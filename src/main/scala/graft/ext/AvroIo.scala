@@ -1,13 +1,15 @@
 package graft.ext
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
 import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
 
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader,
   GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.DecoderFactory
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,13 +27,78 @@ import org.apache.spark.sql.functions._
   * operators (`get_json_object`, the q32/q166 machinery) — dynamic
   * schemas stay dynamic instead of being forced through a fixed
   * struct.
+  *
+  * Memory/parallelism contract: [[decodeContainer]] streams each
+  * container lazily (O(one record) heap beyond the input bytes, never
+  * a materialized list), with parallelism = container count. When a
+  * single container is file-sized, [[decodeContainerSplit]] first
+  * cuts it at its own sync markers into self-contained
+  * mini-containers (header ++ whole blocks — valid containers by the
+  * spec's framing) and shuffles those across tasks, so one giant
+  * container fans out instead of pinning one task.
   */
 object AvroIo {
 
+  private def corrupt(id: Long, e: Throwable): RuntimeException =
+    new IllegalArgumentException(
+      s"avro container $id is corrupt: ${e.getMessage}", e)
+
+  /** Lazy record stream over one container's bytes: emits
+    * `(id, firstIndex + i, json)` per record, closes the reader on
+    * exhaustion, and rethrows ANY decode failure (Avro surfaces
+    * corruption as `IOException` OR `AvroRuntimeException`) with the
+    * container id attached — a silent skip would undercount a
+    * training corpus, and an id-less stack trace is undebuggable at
+    * 100 TB.
+    *
+    * Stock `DataFileStream` SWALLOWS a truncated container (its
+    * `hasNext` turns EOF into a quiet end-of-stream — silent record
+    * loss); the [[framing]] walk run up front (cheap: record data is
+    * `skip`ped, O(1) per block on heap bytes) rejects truncation and
+    * sync damage, and its block record counts give the expected total,
+    * re-checked on exhaustion.
+    */
+  private def recordIterator(id: Long, bytes: Array[Byte],
+      firstIndex: Int): Iterator[(Long, Int, String)] =
+    new Iterator[(Long, Int, String)] {
+      private val expected =
+        try framing(bytes)._2.map(_._3).sum
+        catch { case NonFatal(e) => throw corrupt(id, e) }
+      private val reader =
+        try new DataFileStream[GenericRecord](
+          new ByteArrayInputStream(bytes),
+          new GenericDatumReader[GenericRecord]())
+        catch { case NonFatal(e) => throw corrupt(id, e) }
+      private var i = firstIndex
+      private var open = true
+      override def hasNext: Boolean = open && {
+        val h = try reader.hasNext
+                catch { case NonFatal(e) => throw corrupt(id, e) }
+        if (!h) {
+          reader.close(); open = false
+          val got = (i - firstIndex).toLong
+          if (got != expected)
+            throw corrupt(id, new java.io.IOException(
+              s"decoded $got of $expected records"))
+        }
+        h
+      }
+      override def next(): (Long, Int, String) = {
+        if (!hasNext) throw new NoSuchElementException(s"container $id")
+        val json = try reader.next().toString
+                   catch { case NonFatal(e) => throw corrupt(id, e) }
+        val out = (id, i, json)
+        i += 1
+        out
+      }
+    }
+
   /** Decode a column of Avro container bytes: one row
     * `(container_id, record_index, json)` per record. Corrupt
-    * containers fail loudly with the container id in the message —
-    * a silent skip would undercount a training corpus.
+    * containers fail loudly with the container id in the message.
+    * Streaming per container (no materialized record list);
+    * parallelism is bounded by container count — for a single
+    * file-sized container use [[decodeContainerSplit]].
     */
   def decodeContainer(df: DataFrame, idCol: String,
                       binCol: String): DataFrame = {
@@ -39,28 +106,127 @@ object AvroIo {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          val out = new ArrayBuffer[(Long, Int, String)]
-          try {
-            val reader = new DataFileStream[GenericRecord](
-              new ByteArrayInputStream(bytes),
-              new GenericDatumReader[GenericRecord]())
-            try {
-              var i = 0
-              while (reader.hasNext) {
-                out += ((id, i, reader.next().toString))
-                i += 1
-              }
-            } finally reader.close()
-          } catch {
-            case e: java.io.IOException =>
-              throw new IllegalArgumentException(
-                s"avro container $id is corrupt: ${e.getMessage}", e)
-          }
-          out
-        }
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        recordIterator(id, bytes, firstIndex = 0) })
+      .toDF("container_id", "record_index", "json")
+  }
+
+  /** InputStream wrapper that counts consumed bytes, so the framing
+    * walk below knows each block's byte offsets.
+    */
+  private final class Counting(in: InputStream) extends InputStream {
+    var count: Long = 0L
+    override def read(): Int =
+      { val b = in.read(); if (b >= 0) count += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      { val n = in.read(b, off, len); if (n > 0) count += n; n }
+    override def skip(n: Long): Long =
+      { val s = in.skip(n); count += s; s }
+    override def available(): Int = in.available()
+  }
+
+  /** Walk one container's framing WITHOUT decoding record data
+    * (varints and sync markers are read; block payloads are `skip`ped
+    * — O(1) per block over heap bytes). Returns the header length and
+    * per-block `(startOffset, endOffset, recordCount)`. Throws on any
+    * framing damage: bad magic, truncated header or block, or a block
+    * sync marker that does not match the header's.
+    */
+  private def framing(bytes: Array[Byte]): (Int, Seq[(Long, Long, Long)]) = {
+    val cis = new Counting(new ByteArrayInputStream(bytes))
+    val dec = DecoderFactory.get().directBinaryDecoder(cis, null)
+    val magic = new Array[Byte](4)
+    dec.readFixed(magic)
+    require(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)),
+      "not an Avro object container (bad magic)")
+    var n = dec.readMapStart()
+    while (n != 0L) {
+      var i = 0L
+      while (i < n) { dec.skipString(); dec.skipBytes(); i += 1 }
+      n = dec.mapNext()
+    }
+    val sync = new Array[Byte](16)
+    dec.readFixed(sync)
+    val headerEnd = Math.toIntExact(cis.count)
+    val blocks = new ArrayBuffer[(Long, Long, Long)]
+    val blockSync = new Array[Byte](16)
+    while (cis.count < bytes.length) {
+      val start = cis.count
+      val recs = dec.readLong()
+      val size = dec.readLong()
+      require(recs >= 0 && size >= 0 && size <= bytes.length,
+        s"implausible block framing (count=$recs, size=$size)")
+      dec.skipFixed(Math.toIntExact(size))
+      dec.readFixed(blockSync)
+      require(blockSync.sameElements(sync),
+        "block sync marker does not match the header's")
+      blocks += ((start, cis.count, recs))
+    }
+    (headerEnd, blocks.toSeq)
+  }
+
+  /** Cut one container at its block boundaries into self-contained
+    * mini-containers of ~`targetSplitBytes` each: by the container
+    * spec's framing (header, then self-delimiting blocks of
+    * `count, size, data, sync`), `header ++ any-run-of-whole-blocks`
+    * is itself a valid container, so each split re-decodes with the
+    * stock reader. Returns `(firstRecordIndex, miniContainerBytes)`
+    * per split — block headers carry record counts, so global indices
+    * are known WITHOUT decoding any record data.
+    */
+  private[ext] def splitContainer(bytes: Array[Byte],
+      targetSplitBytes: Long): Seq[(Int, Array[Byte])] = {
+    val (headerEnd, blocks) = framing(bytes)
+    val header = java.util.Arrays.copyOfRange(bytes, 0, headerEnd)
+    val splits = new ArrayBuffer[(Int, Array[Byte])]
+    var splitStart = headerEnd.toLong
+    var splitFirstRec = 0L
+    var recsUpTo = 0L
+    blocks.zipWithIndex.foreach { case ((_, end, recs), bi) =>
+      recsUpTo += recs
+      if (end - splitStart >= targetSplitBytes || bi == blocks.size - 1) {
+        splits += ((Math.toIntExact(splitFirstRec),
+          header ++ java.util.Arrays.copyOfRange(
+            bytes, splitStart.toInt, end.toInt)))
+        splitStart = end
+        splitFirstRec = recsUpTo
       }
+    }
+    splits.toSeq
+  }
+
+  /** [[decodeContainer]] with intra-container parallelism: each
+    * container is first cut at its own sync markers into
+    * ~`targetSplitBytes` mini-containers map-side (a cheap framing
+    * walk — record data is skipped, not decoded), the splits are
+    * redistributed by `(container, split)` hash, and each decodes
+    * independently with global `record_index` preserved. Output is
+    * row-identical to [[decodeContainer]].
+    *
+    * Cost model: the shuffle moves each data byte exactly once plus
+    * one small header copy per split — linear, skew-free (splits are
+    * size-bounded by construction). Use when containers are few and
+    * large; for many small containers [[decodeContainer]] avoids the
+    * shuffle entirely.
+    */
+  def decodeContainerSplit(df: DataFrame, idCol: String, binCol: String,
+      targetSplitBytes: Long = 32L << 20): DataFrame = {
+    require(targetSplitBytes > 0, "targetSplitBytes must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("bin"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val parts =
+          try splitContainer(bytes, targetSplitBytes)
+          catch { case NonFatal(e) => throw corrupt(id, e) }
+        parts.map { case (first, mini) => (id, first, mini) }
+      }
+      .toDF("id", "first", "mini")
+      .repartition(col("id"), col("first"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, first, mini) =>
+        recordIterator(id, mini, firstIndex = first) })
       .toDF("container_id", "record_index", "json")
   }
 
@@ -70,13 +236,21 @@ object AvroIo {
     * identical records produce identical bytes across runs and
     * engines. Null codec (uncompressed) for the same reason.
     *
+    * `maxBlockRecords` bounds records per container block (stock Avro
+    * flushes on a byte threshold; a row cap makes block boundaries —
+    * and therefore [[decodeContainerSplit]] split points —
+    * deterministic functions of the record stream).
+    *
     * This is the fixture/egress half: callers assemble bounded
     * per-container record groups (a container is a file-sized unit by
-    * construction); the distributed half is [[decodeContainer]].
+    * construction); the distributed half is [[decodeContainer]] /
+    * [[decodeContainerSplit]].
     */
   def encodeContainer(schemaJson: String,
                       rows: Iterator[Map[String, Any]],
-                      syncSeed: String): Array[Byte] = {
+                      syncSeed: String,
+                      maxBlockRecords: Int = Int.MaxValue): Array[Byte] = {
+    require(maxBlockRecords > 0, "maxBlockRecords must be positive")
     val schema = new Schema.Parser().parse(schemaJson)
     val out = new ByteArrayOutputStream()
     val writer = new DataFileWriter[GenericRecord](
@@ -85,10 +259,13 @@ object AvroIo {
       .digest(s"graft-avro-sync|$syncSeed".getBytes("UTF-8"))
     writer.create(schema, out, sync)
     try {
+      var inBlock = 0
       rows.foreach { m =>
         val rec = new GenericData.Record(schema)
         m.foreach { case (k, v) => rec.put(k, v) }
         writer.append(rec)
+        inBlock += 1
+        if (inBlock >= maxBlockRecords) { writer.sync(); inBlock = 0 }
       }
     } finally writer.close()
     out.toByteArray

@@ -640,20 +640,40 @@ object FreqSketch {
     * output `(shard, item, lo = cnt − θ_k, theta = theta + θ_k)`.
     * The window frame is the per-shard item set — the vocabulary-sized
     * window stance the BM25 family documents.
+    *
+    * Theta is carried even when a shard sheds EVERY row (possible when
+    * the top k+1 counts all tie at `θ_k`: `cnt > θ_k` then drops each
+    * one): such a shard emits a single item-NULL SENTINEL row
+    * `(shard, NULL, lo = 0, theta + θ_k)` so downstream merges still
+    * sum its theta — without it the documented merged bound
+    * `lo ≤ true ≤ lo + theta` breaks for items with mass in that
+    * shard. Sentinels keep the ≤ k-rows-per-shard contract (they only
+    * exist when 0 items survive) and item readers skip them with
+    * `item IS NOT NULL` (the merge does).
     */
   private def mgCompress(counts: DataFrame, k: Int): DataFrame = {
+    val itemType = counts.schema("item").dataType
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("cnt").desc, col("item"))
     val ranked = counts.withColumn("__rk", row_number().over(w))
     val thetas = ranked.filter(col("__rk") === k + 1)
       .select(col("shard"), col("cnt").as("__tk"))
-    ranked
+    val survivors = ranked
       .join(thetas, Seq("shard"), "left")
       .withColumn("__tk", coalesce(col("__tk"), lit(0L)))
       .filter(col("cnt") > col("__tk"))
       .select(col("shard"), col("item"),
         (col("cnt") - col("__tk")).as("lo"),
         (col("theta") + col("__tk")).as("theta"))
+    // zero survivors in a shard ⟺ its top count EQUALS θ_k (rank-1
+    // cnt can never be below it, and a θ_k row only exists for shards
+    // with > k items) — exactly those shards emit the theta sentinel
+    val sentinels = ranked.filter(col("__rk") === 1)
+      .join(thetas, Seq("shard"))
+      .filter(col("cnt") === col("__tk"))
+      .select(col("shard"), lit(null).cast(itemType).as("item"),
+        lit(0L).as("lo"), (col("theta") + col("__tk")).as("theta"))
+    survivors.unionByName(sentinels)
   }
 
   /** Misra–Gries (1982) / Metwally et al. space-saving summary as a
@@ -696,7 +716,11 @@ object FreqSketch {
   def mgMerge(summaries: Seq[DataFrame], k: Int = 64): DataFrame = {
     require(summaries.nonEmpty, "no summaries to merge")
     val all = summaries.reduce(_ unionByName _)
-    val summed = all.groupBy(col("item"))
+    val itemType = all.schema("item").dataType
+    // item-NULL rows are per-shard theta SENTINELS (a fully-tied shard
+    // whose compress shed every item — see mgCompress): they carry no
+    // item mass but their theta MUST still be summed below
+    val summed = all.filter(col("item").isNotNull).groupBy(col("item"))
       .agg(sum(col("lo")).as("cnt"))
     val thetaTotal = all.select(col("shard"), col("theta")).distinct()
       .agg(coalesce(sum(col("theta")), lit(0L)).as("__theta_in"))
@@ -704,6 +728,17 @@ object FreqSketch {
       .join(broadcast(thetaTotal)) // one-row global aggregate side
       .select(SingleTask.key(col("item")).as("shard"), col("item"),
         col("cnt"), col("__theta_in").as("theta"))
-    mgCompress(merged, k).drop("shard")
+    val compressed = mgCompress(merged, k).drop("shard")
+    // totality: when EVERY input summary is sentinel-only (no items at
+    // all), `merged` is empty and the compress emits nothing — carry
+    // theta through a merge-level sentinel so bounds still add across
+    // merge-of-merges levels. In-plan (both join sides are one-row
+    // global aggregates, the sanctioned broadcast-NL shape).
+    val n = compressed.agg(count(lit(1)).as("__n"))
+    val fallback = thetaTotal.join(broadcast(n))
+      .filter(col("__n") === 0L)
+      .select(lit(null).cast(itemType).as("item"), lit(0L).as("lo"),
+        col("__theta_in").as("theta"))
+    compressed.unionByName(fallback)
   }
 }

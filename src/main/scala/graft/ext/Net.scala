@@ -30,15 +30,20 @@ object Net {
 
   /** Dotted-quad IPv4 string → BIGINT in [0, 2^32), NULL when the
     * string is not a valid address (wrong shape, octet > 255, leading
-    * signs). Pure codegen expressions — no UDF, ANSI-safe (octets are
-    * 1–3 digit strings by the regex before any cast).
+    * signs). Pure codegen expressions — no UDF, ANSI-safe on EVERY
+    * eval path: the validity condition contains no cast at all (octet
+    * range is checked by zero-padded string comparison, the
+    * `Privacy.anonymizeIpv4` idiom — vectorized boolean AND need not
+    * short-circuit per row under ANSI, so a cast anywhere in the
+    * condition could throw on rows the regex rejects), and the casts
+    * in the value branch are reachable only for rows the regex
+    * already proved are four 1–3 digit tokens.
     */
   def ipv4ToLong(ip: Column): Column = {
-    val shaped = ip.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
-    val oct = (i: Int) =>
-      element_at(split(ip, "\\."), i + 1).cast("long")
-    val valid = shaped &&
-      (0 until 4).map(i => oct(i) <= 255L).reduce(_ && _)
+    val parts = split(ip, "\\.")
+    val valid = ip.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") &&
+      !exists(parts, p => lpad(p, 3, "0") > lit("255"))
+    val oct = (i: Int) => element_at(parts, i + 1).cast("long")
     when(ip.isNotNull && valid,
       oct(0) * 16777216L + oct(1) * 65536L + oct(2) * 256L + oct(3))
   }

@@ -163,7 +163,16 @@ object Privacy {
                salt: String = "dp-v1"): org.apache.spark.sql.DataFrame = {
     require(keyCols.nonEmpty, "dpCounts needs at least one key column")
     val (b, _) = dpThresholds(epsilon)
-    val keyStr = concat_ws("", keyCols.map(col): _*)
+    // the noise key must be INJECTIVE over key tuples: concat_ws SKIPS
+    // NULL elements entirely (("a", NULL) and (NULL, "a") would both
+    // fold to "a" and draw perfectly correlated noise, which the DP
+    // histogram analysis -- independent draws per group -- assumes
+    // away). Each column therefore carries a \u0000 NULL sentinel
+    // before the \u0001 join; for a single non-null key column this
+    // reduces to the bare column, so existing single-key releases
+    // (and the q246 oracle) are byte-identical.
+    val keyStr = concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .withColumn("n_noisy",

@@ -64,6 +64,59 @@ class AvroIoSpec extends SparkTestBase {
       .exists(_.contains("avro container 3 is corrupt"))))
   }
 
+  test("decodeContainerSplit fans one multi-block container across tasks") {
+    // one giant container, forced into many blocks; splits must be
+    // >1 (bounded per-task bytes), land on >1 task, and re-decode
+    // row-identically to the unsplit path with global record_index
+    val rows = (0 until 300).map(i => (i.toLong, s"s$i", i * 3L))
+    val bin = AvroIo.encodeContainer(schemaJson,
+      rows.iterator.map { case (k, st, tp) =>
+        Map[String, Any]("k" -> k, "st" -> st, "tp" -> tp) },
+      syncSeed = "big", maxBlockRecords = 20)
+    val splits = AvroIo.splitContainer(bin, targetSplitBytes = 512)
+    assert(splits.size > 1, "expected multiple splits")
+    assert(splits.map(_._2.length).sum > bin.length - 64,
+      "splits must cover all block bytes")
+    splits.foreach { case (_, mini) =>
+      assert(mini.length < bin.length, "each split strictly smaller") }
+    assert(splits.map(_._1) == splits.map(_._1).sorted)
+    val df = Seq((5L, bin)).toDF("cid", "bin")
+    val split = AvroIo.decodeContainerSplit(df, "cid", "bin",
+      targetSplitBytes = 512)
+    // AQE's size-based coalescing folds this KB-sized fixture back to
+    // one partition (at real scale its size targets keep many); turn
+    // it off for the task-count assertion only
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val tasksUsed =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        split.withColumn("p", spark_partition_id())
+          .select("p").distinct().count()
+      } finally spark.conf.set(coalesceKey, prev)
+    assert(tasksUsed > 1, s"one container must fan out, got $tasksUsed task")
+    val a = split.as[(Long, Int, String)].collect().sortBy(_._2).toSeq
+    val b = AvroIo.decodeContainer(df, "cid", "bin")
+      .as[(Long, Int, String)].collect().sortBy(_._2).toSeq
+    assert(a == b, "split decode must be row-identical to unsplit")
+    assert(a.map(_._2) == (0 until 300), "global record_index preserved")
+  }
+
+  test("truncated container fails loudly with the id (iteration path)") {
+    // truncation surfaces mid-iteration (often AvroRuntimeException,
+    // not IOException) — the id must still be attached
+    val bin = container(4L, (0 until 80).map(i => (i.toLong, "x", i.toLong)))
+    val trunc = bin.dropRight(7)
+    val df = Seq((4L, trunc)).toDF("cid", "bin")
+    val ex = intercept[Exception] {
+      AvroIo.decodeContainer(df, "cid", "bin").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+      .exists(_.contains("avro container 4 is corrupt"))))
+  }
+
   test("empty container decodes to zero rows, not an error") {
     val df = Seq((1L, container(1L, Seq.empty))).toDF("cid", "bin")
     assert(AvroIo.decodeContainer(df, "cid", "bin").count() == 0L)

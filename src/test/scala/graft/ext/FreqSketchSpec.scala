@@ -434,4 +434,54 @@ class FreqSketchSpec extends SparkTestBase {
         s"$item (true $t) missing from summary with theta $theta")
     }
   }
+
+  test("mgMerge: a fully-tied shard's theta is carried via the sentinel") {
+    // shard shA: 5 items each x3 — more than k=2 items, ALL counts tied
+    // at theta_k, so the compress sheds every row; before the sentinel
+    // fix its theta vanished and the merged bound broke for items with
+    // mass in shA. shard shB: x=10, y=1 (no shedding).
+    val rows =
+      (for (i <- 0 until 5; _ <- 0 until 3) yield ("shA", s"t$i")) ++
+        Seq.fill(10)(("shB", "x")) ++ Seq(("shB", "y"))
+    val df = rows.toDF("shard", "item")
+    val k = 2
+    val perShard = Seq("shA", "shB").map(sh =>
+      FreqSketch.mgSummarize(df.filter(col("shard") === sh),
+        "item", "shard", k))
+    // shA's summary is exactly one item-NULL sentinel carrying theta=3
+    val shA = perShard(0).select("item", "lo", "theta").collect()
+    assert(shA.length == 1 && shA(0).isNullAt(0))
+    assert(shA(0).getLong(1) == 0L && shA(0).getLong(2) == 3L)
+    val merged = FreqSketch.mgMerge(perShard, k)
+      .filter(col("item").isNotNull)
+      .select("item", "lo", "theta")
+      .as[(String, Long, Long)].collect()
+    val truth = rows.groupBy(_._2).map { case (i, xs) => i -> xs.size.toLong }
+    assert(merged.nonEmpty)
+    val theta = merged.head._3
+    assert(theta == 3L, s"merged theta must include shA's 3, got $theta")
+    merged.foreach { case (item, lo, th) =>
+      val t = truth(item)
+      assert(lo <= t && t <= lo + th, s"$item: $lo <= $t <= ${lo + th}")
+    }
+    // the no-false-negative screen survives: every dropped item
+    // (the five t-items, true count 3) is within the merged theta
+    val keptItems = merged.map(_._1).toSet
+    truth.foreach { case (item, t) =>
+      if (!keptItems(item)) assert(t <= theta,
+        s"$item (true $t) missing from summary with theta $theta")
+    }
+    // merge-of-merges totality: a merge whose ONLY input is the
+    // sentinel summary is itself sentinel-only — theta still rides
+    val lvl1 = FreqSketch.mgMerge(Seq(perShard(0)), k)
+    val l1 = lvl1.select("item", "lo", "theta").collect()
+    assert(l1.length == 1 && l1(0).isNullAt(0) && l1(0).getLong(2) == 3L)
+    val lvl2 = FreqSketch.mgMerge(
+        Seq(lvl1.withColumn("shard", lit("m0")), perShard(1)), k)
+      .filter(col("item").isNotNull)
+      .select("item", "lo", "theta")
+      .as[(String, Long, Long)].collect().toSet
+    assert(lvl2 == Set(("x", 10L, 3L), ("y", 1L, 3L)),
+      "two-level merge must reproduce the one-level bounds")
+  }
 }

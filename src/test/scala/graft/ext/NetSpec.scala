@@ -31,6 +31,27 @@ class NetSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("ipv4ToLong is NULL-total over malformed parquet-scanned input") {
+    // Gate-scale inputs arrive through the vectorized parquet reader,
+    // where boolean AND need not short-circuit per row under ANSI
+    // (the anonymizeIpv4 hazard): no cast / element_at may be
+    // reachable for non-shaped rows. Round-trip through parquet so
+    // this spec exercises that path, with tokens that would throw if
+    // a cast or out-of-bounds element_at ever ran on them.
+    val dir = java.nio.file.Files.createTempDirectory("netspec").toString
+    val rows = Seq("1.2.3", "a.b.c.d", "1..2.3", "1.2.3.4.5", "",
+      "999.999.999.999", "10.0.0.7", null.asInstanceOf[String])
+    rows.toDF("ip").write.mode("overwrite").parquet(dir)
+    val got = spark.read.parquet(dir)
+      .select(col("ip"), Net.ipv4ToLong(col("ip")).as("n"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(Some("10.0.0.7")).contains(10L * 16777216 + 7))
+    (rows.filter(_ != "10.0.0.7").map(Option(_)) :+ None).foreach { ip =>
+      assert(got(ip).isEmpty, s"expected NULL for $ip") }
+  }
+
   test("longToIpv4 round-trips ipv4ToLong on valid addresses") {
     val ips = Seq("0.0.0.0", "255.255.255.255", "10.20.30.40", "1.0.0.255")
     val back = ips.toDF("ip")

@@ -138,4 +138,33 @@ class PrivacySpec extends SparkTestBase {
       assert(math.abs(noisy - 300L) <= b, s"noisy $noisy")
     }
   }
+
+  test("dpCounts: multi-column noise keys are injective over tuples") {
+    // the groups ("ab","c") / ("a","bc") and ("a",NULL) / (NULL,"a")
+    // are distinct key tuples and must draw INDEPENDENT noise — a bare
+    // concat (or concat_ws's NULL-skipping) folds each pair to one
+    // string and correlates the draws. Same true count (100) per
+    // group, so identical draws would be visible as equal n_noisy.
+    val shapes = Seq(
+      ("ab", "c"), ("a", "bc"),
+      ("a", null.asInstanceOf[String]), (null.asInstanceOf[String], "a"))
+    val rows = shapes.flatMap(s => Seq.fill(100)(s)).toDF("k1", "k2")
+    // grouping keeps NULL keys as their own groups (Spark groupBy
+    // semantics), so 4 output rows. Small epsilon → wide noise spread,
+    // so independent (deterministic, md5-keyed) draws land apart;
+    // colliding keys would still produce EXACTLY equal draws.
+    val out = Privacy.dpCounts(rows, Seq("k1", "k2"), epsilon = 0.05)
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        r.getLong(2)).toMap
+    assert(out.size == 4)
+    val draws = out.values.toSeq
+    assert(draws.distinct.size > 1,
+      s"colliding noise keys: all four groups drew the same noise $draws")
+    // the specific historic collisions: each pair must now differ
+    assert(out((Some("ab"), Some("c"))) != out((Some("a"), Some("bc"))),
+      "separator collision")
+    assert(out((Some("a"), None)) != out((None, Some("a"))),
+      "NULL-skip collision")
+  }
 }
