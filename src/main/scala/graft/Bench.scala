@@ -144,6 +144,35 @@ object Bench {
     // strip scheduler/GC/page-cache noise from a shared box — single-shot
     // timings here swing >10× run-to-run under driver-side contention.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // SPARK_GRAFT_BENCH_PREWARM=1: build the shared memoized stages
+    // FIRST and report each as its own `_shared_*` row. Without this, a
+    // single-run sweep bills each shared build to its alphabetically
+    // first consumer (the round-9 q156 "193x" artifact: the near-dup
+    // graph built once per session landed entirely on one query's
+    // number), and runs>=2 sweeps hide it in run 1. With it, every
+    // per-query time is warm and the shared costs are attributed by
+    // name. The rows count into the headline total — the work is real.
+    val prewarm = sys.env.get("SPARK_GRAFT_BENCH_PREWARM").contains("1")
+    val sharedRows: Seq[(String, Double)] =
+      if (!prewarm) Seq.empty
+      else Seq[(String, () => Unit)](
+        ("_shared_neardup_graph", () => {
+          val (p, l) = gates.Support.nearDupGraph(spark, sfDir)
+          p.write.format("noop").mode("overwrite").save()
+          l.write.format("noop").mode("overwrite").save()
+        }),
+        ("_shared_bpe_learn", () =>
+          { gates.Support.bpeMerges25(spark, sfDir); () }),
+        ("_shared_unigram_vocab", () =>
+          { gates.Support.unigramVocab200(spark, sfDir); () })
+      ).map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try { build(); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+        }
+      }
     // optional arg: comma-separated name substrings — bench only matching
     // queries (local iteration on one regression without the full sweep);
     // the driver passes no args, so its contract is untouched
@@ -153,7 +182,7 @@ object Bench {
         name => parts.exists(name.contains)
       case None => _ => true
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sharedRows ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter(name) }
       .map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>

@@ -45,6 +45,17 @@ object Linkage {
   /** Candidate pairs (leftId, rightId, jw) with Jaro–Winkler ≥ threshold
     * under the (`blockPrefix` chars, ±lengthBand) blocking contract.
     * Null or empty names never match (JW of an empty side is 0).
+    *
+    * COST NOTE — the one eager guard in the library: with
+    * `maxBlockRows > 0` (the default), CONSTRUCTING this frame runs
+    * one extra bounded Spark job up front (two linear input scans +
+    * a tiny (prefix, bucket)-keyed count join) to measure the hottest
+    * block's candidate-pair product BEFORE the quadratic join is
+    * planned. An in-plan `raise_error` cannot do this — it would fire
+    * only after the hot block has already streamed its cap² pairs,
+    * the exact cluster-day the guard refuses. Price it accordingly in
+    * interactive loops (one extra job per call), or pass
+    * `maxBlockRows = 0` to skip the probe — and its job — knowingly.
     */
   def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
                 right: DataFrame, rightId: String, rightText: String,

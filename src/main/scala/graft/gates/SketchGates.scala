@@ -1,0 +1,360 @@
+package graft
+package gates
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.DaysApart
+import graft.ext.{Dedup, Retrieval, Similarity, TextStats}
+import graft.logs.LogLineParser
+import Support._
+
+/** Gate registry — bounded-relation sketches: HLL, KMV, AMS, Bloom, count-sketch, Misra-Gries, HDR quantiles, CMS (batch + per-group forms).
+  * Entries are verbatim from the pre-split SparkEntry.scala
+  * (round-11 refactor; zero behavior change).
+  */
+private[graft] object SketchGates extends GateFamily {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ext sketch — approx_count_distinct (HLL++; rows-only: DuckDB's HLL
+    // differs by construction, exactness asserted within rsd in ScalaTest).
+    "q22_approx_distinct" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // ext sketch-agg — corpus-level MinHash-union sketches per source and
+    // the estimated pairwise content overlap between sources (rows-only:
+    // xxh64-based sketch; union-equals-union property proven in ScalaTest).
+    "q39_group_sketch" -> ((s, dir) => {
+      val sigs = tbl(s, dir, "documents")
+        .select(col("source"),
+          Dedup.minhashSignature(Dedup.shingles(col("text")), 128).as("sig"))
+        .groupBy("source")
+        .agg(graft.functions.MinHashUnionAgg.column(col("sig")).as("gsig"))
+      val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          Dedup.minhashEstimate(col("sig_a"), col("sig_b")).as("est_overlap"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ext sketch — count–min heavy-hitters screen over document words:
+    // the sketch is a (j, bucket, cnt) relation (≤ 4×1024 rows — union+
+    // sum merges it across corpora), estimates broadcast-join a probe
+    // batch, min-over-slices can only over-count so no true heavy
+    // hitter is lost. Buckets = md5 hex slices decoded to ints; the
+    // oracle replays them with an ascii-fold hex decode.
+    "q224_cms_heavy_hitters" -> ((s, dir) => {
+      def words(df: DataFrame): DataFrame = df
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      val corpus = words(docs)
+      val probes = words(docs.filter(col("doc_id") % 97 === 0))
+      ext.FreqSketch.heavyHitters(corpus, "word", probes,
+          minCount = 60L, width = 1024)
+        .orderBy("item")
+    }),
+
+    // ext sketch — HyperLogLog distinct count as a mergeable RELATION
+    // (the distinct-count sibling of q224's CMS): ≤ 256 register rows,
+    // integer-exact registers and harmonic-sum (dyadic 2^(40−rho)
+    // terms summed as BIGINTs), ONE final double division replayed
+    // identically by the oracle; the exact distinct count rides along
+    // so the gate also measures the estimator's error.
+    "q235_hll_distinct" -> ((s, dir) => {
+      def words(df: DataFrame): DataFrame = df
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val corpus = words(tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull))
+      val est = ext.FreqSketch.hllEstimate(
+        ext.FreqSketch.hllSketch(corpus, "word", p = 8), p = 8)
+      val exact = corpus.agg(count_distinct(col("word"))
+        .as("exact_distinct"))
+      est.crossJoin(exact)
+    }),
+
+    // ext sketch — HDR histogram quantiles: the QUANTILE member of the
+    // mergeable-sketch trio (q224 CMS frequencies, q235 HLL distincts).
+    // Buckets are pure integer arithmetic (comparison-ladder log2, no
+    // float log), so the histogram, ranks, and exact [lo, hi] bounds
+    // replay bit-for-bit. floor() before the BIGINT cast — DuckDB CAST
+    // rounds where Spark truncates (the q131 lesson).
+    "q238_hdr_quantiles" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(floor(col("o_totalprice")).cast("long").as("v"))
+      val hist = ext.FreqSketch.hdrHistogram(vals, "v", subBits = 5)
+      ext.FreqSketch.hdrQuantiles(hist, Seq(0.5, 0.9, 0.99), subBits = 5)
+        .orderBy("q")
+    }),
+
+    // ext sketch — Bloom filter as a mergeable RELATION (the SET-
+    // membership member of the sketch family): build over the even-doc
+    // vocabulary, probe the odd-doc vocabulary, and reconcile against
+    // the exact semi-join. `n_missed` MUST be 0 — absence of a bit is
+    // proof of absence (the no-false-negative contract); `n_false_pos`
+    // measures the screen's cost, and both replay bit-for-bit from the
+    // md5 double-hash positions.
+    "q239_bloom_filter" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val build = words(_ % 2 === 0)
+      val probe = words(_ % 2 === 1)
+      val sk = ext.SetSketch.bloomSketch(build, "word", mBits = 8192)
+      val ct = ext.SetSketch.bloomContains(sk, probe, "word", mBits = 8192)
+      val truth = probe.select(col("word").as("item")).distinct()
+        .join(build.select(col("word").as("item")).distinct()
+          .withColumn("__t", lit(1L)), Seq("item"), "left")
+      ct.join(truth, Seq("item"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(coalesce(col("__t"), lit(0L))).as("n_true"),
+          sum(when(col("maybe") && col("__t").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("maybe") && col("__t").isNotNull, 1L).otherwise(0L))
+            .as("n_missed"))
+    }),
+
+    // ext sketch — KMV distinct sketch with the SET OPERATIONS HLL
+    // registers cannot do: union and intersection estimates between
+    // the even- and odd-doc vocabularies, exact counts riding along so
+    // the gate measures estimator error. Bottom-k closure
+    // (merge-of-sketches ≡ sketch-of-union) is what the union path
+    // exercises; every number is integer-exact up to the final
+    // divisions, replayed identically by the oracle.
+    "q240_kmv_distinct" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val a = words(_ % 2 === 0)
+      val b = words(_ % 2 === 1)
+      val ska = ext.SetSketch.kmvSketch(a, "word", k = 256)
+      val skb = ext.SetSketch.kmvSketch(b, "word", k = 256)
+      val estA = ext.SetSketch.kmvEstimate(ska, k = 256)
+        .select(col("estimate").as("est_a"))
+      val estB = ext.SetSketch.kmvEstimate(skb, k = 256)
+        .select(col("estimate").as("est_b"))
+      val inter = ext.SetSketch.kmvIntersectEstimate(ska, skb, k = 256)
+      val exact = a.select(col("word")).distinct()
+        .withColumn("__ina", lit(1L))
+        .join(b.select(col("word")).distinct().withColumn("__inb", lit(1L)),
+          Seq("word"), "full")
+        .agg(sum(coalesce(col("__ina"), lit(0L))).as("exact_a"),
+          sum(coalesce(col("__inb"), lit(0L))).as("exact_b"),
+          count(lit(1)).as("exact_union"),
+          sum(coalesce(col("__ina"), lit(0L)) *
+            coalesce(col("__inb"), lit(0L))).as("exact_intersect"))
+      estA.crossJoin(broadcast(estB)).crossJoin(broadcast(inter))
+        .crossJoin(broadcast(exact))
+    }),
+
+    // ext sketch — AMS tug-of-war: second-moment (self-join size) and
+    // inner-product (equi-join size) estimates from 7-counter linear
+    // sketches of the even-/odd-doc word-frequency vectors, the exact
+    // moments riding along. Estimator products are doubles of < 2^53
+    // integers (identical IEEE in both engines); the median-of-7 pick
+    // replays as a QUALIFY rank in the oracle.
+    "q241_ams_sketch" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val a = words(_ % 2 === 0)
+      val b = words(_ % 2 === 1)
+      val ska = ext.FreqSketch.amsSketch(a, "word")
+      val skb = ext.FreqSketch.amsSketch(b, "word")
+      val f2 = ext.FreqSketch.amsF2(ska)
+      val ip = ext.FreqSketch.amsInnerProduct(ska, skb)
+      val ca = a.groupBy(col("word")).agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col("word")).agg(count(lit(1)).as("cb"))
+      val f2Exact = ca.agg(coalesce(sum(col("ca") * col("ca")), lit(0L))
+        .as("f2_exact"))
+      val ipExact = ca.join(cb, Seq("word"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("ip_exact"))
+      f2.crossJoin(broadcast(f2Exact)).crossJoin(broadcast(ip))
+        .crossJoin(broadcast(ipExact))
+    }),
+
+    // ext sketch — count sketch (signed CMS): unbiased per-item
+    // frequency estimates from a fixed depth×width grid of SIGNED
+    // counters. Probe = the 50 most frequent corpus words (exact
+    // counts riding along), so the gate measures symmetric estimator
+    // error where CMS could only over-count; every number is BIGINT-
+    // exact (±1 signs × long counters, median = rank pick).
+    "q244_count_sketch" -> ((s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val sk = ext.FreqSketch.countSketch(words, "word", width = 2048)
+      val exact = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("exact"))
+      val probes = exact.orderBy(col("exact").desc, col("word"))
+        .limit(50).select("word")
+      ext.FreqSketch.csEstimate(sk, probes, "word", width = 2048)
+        .join(exact.withColumnRenamed("word", "item"), Seq("item"))
+        .select(col("item"), col("est"), col("exact"))
+        .orderBy("item")
+    }),
+
+    // ext sketch — Misra–Gries heavy hitters: DETERMINISTIC k-row
+    // summaries per event-id shard (no hashing — the mirror image of
+    // CMS: under-counts by ≤ theta, never over), merged across the
+    // four shards with the bounds adding. The gate reconciles every
+    // survivor against its exact corpus count, replaying BOTH
+    // inequalities of `lo ≤ true ≤ lo + theta` as data.
+    "q245_misra_gries" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select((col("event_id") % 4L).as("shard"),
+          // harmonic-skewed item domain (~19 distinct, top item ~50%
+          // of rows) so the k=16 compress genuinely sheds mass
+          concat(lit("u"),
+            expr("CAST(100 DIV (1 + user_id % 100) AS STRING)")).as("item"))
+      val k = 16
+      val perShard = (0L to 3L).map(i =>
+        ext.FreqSketch.mgSummarize(ev.filter(col("shard") === i),
+          "item", "shard", k))
+      val merged = ext.FreqSketch.mgMerge(perShard, k)
+      val exact = ev.groupBy(col("item")).agg(count(lit(1)).as("exact"))
+      merged.join(exact, Seq("item"))
+        .select(col("item"), col("lo"), col("theta"), col("exact"),
+          (col("lo") <= col("exact") &&
+            col("exact") <= col("lo") + col("theta")).as("bounds_hold"))
+        .orderBy("item")
+    }),
+
+    // ext sketch — HLL BY GROUP: distinct users per event type from a
+    // per-group register table (the production distinct-count shape),
+    // exact counts riding along so the gate measures per-group raw-
+    // estimator error. Merge path exercised: the register table is
+    // built as two half-sketches merged with hllMergeBy, which must
+    // equal the one-shot table the oracle replays.
+    "q249_hll_by_group" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type").as("t"),
+          concat(lit("u"), col("user_id").cast("string")).as("item"),
+          col("event_id"))
+      val halves = Seq(0L, 1L).map(i =>
+        ext.FreqSketch.hllSketchBy(ev.filter(col("event_id") % 2 === i),
+          "t", "item", p = 8))
+      val est = ext.FreqSketch.hllEstimateBy(
+        ext.FreqSketch.hllMergeBy(halves), p = 8)
+      val exact = ev.groupBy(col("t").as("grp"))
+        .agg(count_distinct(col("item")).as("exact"))
+      est.join(exact, Seq("grp"))
+        .select(col("grp"), col("n_registers"), col("sum_scaled"),
+          col("estimate"), col("exact"))
+        .orderBy("grp")
+    }),
+
+    // ext sketch — HDR quantiles BY GROUP: p50/p95 price bounds per
+    // order priority from per-group bucket histograms (built as two
+    // merged half-histograms to exercise hdrMergeBy). The per-group
+    // running sum windows over that group's ≤ ~1.9k-bucket frame —
+    // the real group column is the partition key, corpus never sorts.
+    "q250_hdr_by_group" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull && col("o_orderkey").isNotNull)
+        .select(col("o_orderpriority").as("pri"),
+          floor(col("o_totalprice")).cast("long").as("v"),
+          col("o_orderkey"))
+      val halves = Seq(0L, 1L).map(i =>
+        ext.FreqSketch.hdrHistogramBy(
+          vals.filter(col("o_orderkey") % 2 === i), "pri", "v",
+          subBits = 5))
+      ext.FreqSketch.hdrQuantilesBy(ext.FreqSketch.hdrMergeBy(halves),
+          Seq(0.5, 0.95), subBits = 5)
+        .orderBy("grp", "q")
+    }),
+
+    // ext sketch — KMV full set algebra: difference and Jaccard
+    // estimates between the even-/odd-doc vocabularies (the q240
+    // union/intersection gate's completion), exact values riding
+    // along. The union sketch's survivors are a uniform union sample,
+    // so side-only fractions scale to |A \ B| / |B \ A| and
+    // n_both/k_union IS the Jaccard estimator.
+    "q251_kmv_set_algebra" -> ((s, dir) => {
+      def words(p: Column => Column) = tbl(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        .filter(p(col("doc_id")))
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val a = words(_ % 2 === 0)
+      val b = words(_ % 2 === 1)
+      val est = ext.SetSketch.kmvSetEstimates(
+        ext.SetSketch.kmvSketch(a, "word", k = 256),
+        ext.SetSketch.kmvSketch(b, "word", k = 256), k = 256)
+      val exact = a.select(col("word")).distinct()
+        .withColumn("__ina", lit(1L))
+        .join(b.select(col("word")).distinct().withColumn("__inb", lit(1L)),
+          Seq("word"), "full")
+        .agg(
+          sum(coalesce(col("__ina"), lit(0L)) *
+            (lit(1L) - coalesce(col("__inb"), lit(0L))))
+            .as("exact_only_a"),
+          sum(coalesce(col("__inb"), lit(0L)) *
+            (lit(1L) - coalesce(col("__ina"), lit(0L))))
+            .as("exact_only_b"),
+          count(lit(1)).as("exact_union"),
+          sum(coalesce(col("__ina"), lit(0L)) *
+            coalesce(col("__inb"), lit(0L))).as("exact_intersect"))
+        .withColumn("exact_jaccard",
+          col("exact_intersect").cast("double") /
+            col("exact_union").cast("double"))
+      est.crossJoin(broadcast(exact))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // CMS replay: same md5 hex slices decoded via ascii fold, same
+    // % width buckets, same min-over-4-slices with absent cells = 0
+    "q224_cms_heavy_hitters" -> cmsOracle(width = 1024, probeMod = 97,
+      minCount = 60),
+
+    "q235_hll_distinct" -> HllOracle,
+
+    "q238_hdr_quantiles" -> HdrOracle,
+
+    "q239_bloom_filter" -> BloomOracle,
+
+    "q240_kmv_distinct" -> KmvOracle,
+
+    "q241_ams_sketch" -> AmsOracle,
+
+    "q244_count_sketch" -> CountSketchOracle,
+
+    "q245_misra_gries" -> MisraGriesOracle,
+
+    "q249_hll_by_group" -> HllByGroupOracle,
+
+    "q250_hdr_by_group" -> HdrByGroupOracle,
+
+    "q251_kmv_set_algebra" -> KmvSetAlgebraOracle,
+  )
+}

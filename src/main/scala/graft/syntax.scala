@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.ext.{Chunking, Curation, Dedup, Funnel, Layout, Merge, Profile, Sampling, TextStats}
+import graft.ext.{Chunking, Curation, Dedup, Funnel, Layout, Linkage, Merge, Profile, Sampling, TextStats}
 import graft.logs.LogLineParser
 
 /** Chainable user-facing syntax for the engine's document/log operators:
@@ -161,5 +161,23 @@ object syntax {
     def zorderWrite(zCols: Seq[String], numFiles: Int, dest: String,
                     bits: Int = 8): Unit =
       Layout.zorderWrite(df, zCols, numFiles, dest, bits)
+
+    /** Fuzzy record linkage: Jaro–Winkler ≥ `threshold` candidate pairs
+      * under [[graft.ext.Linkage.fuzzyJoin]]'s blocking contract
+      * ((`blockPrefix`-char prefix, ±length band) key — pairs outside
+      * the key are out of scope by definition, not missed).
+      *
+      * NOTE: with the default `maxBlockRows`, building this frame runs
+      * ONE EXTRA EAGER Spark job up front — the hot-block occupancy
+      * probe that refuses a quadratic blowup before it is planned.
+      * Pass `maxBlockRows = 0` to skip the probe (and its job) when
+      * the blocking key is known-safe for your data.
+      */
+    def fuzzyJoin(right: DataFrame, leftId: String, leftText: String,
+                  rightId: String, rightText: String,
+                  threshold: Double = 0.85,
+                  maxBlockRows: Long = 1000000L): DataFrame =
+      Linkage.fuzzyJoin(df, leftId, leftText, right, rightId, rightText,
+        threshold, maxBlockRows = maxBlockRows)
   }
 }

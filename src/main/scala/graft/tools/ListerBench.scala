@@ -23,6 +23,17 @@ import graft.sources.AccessLogFiles
   * Usage: runMain graft.tools.ListerBench [nFiles=100000] [dir].
   * Fixture files carry a small real payload (size varies 64..4KB by
   * index) so byte-based packing has real sizes to pack.
+  *
+  * 10M-key regime (the reference slides' ">1,000,000 keys per prefix"
+  * is a floor, not a ceiling): at n ≥ 1M the payload drops to
+  * 1..64 B/file — the driver-metadata cost under test is per FILE
+  * (path string + size long through the RemoteIterator walk and the
+  * packer's TreeMap), not per payload byte, and 10M × 2 KB fixtures
+  * would cost 20 GB of disk for no extra coverage. Point `dir` at
+  * /dev/shm for the 10M run so fixture I/O is not the bottleneck.
+  * The heap bound scales per-entry (~350 B/file budget): FLAT means
+  * bytes/file stays constant as n grows 100× — the listing and the
+  * bins are the only live retention, there is no page-array buffering.
   */
 object ListerBench {
 
@@ -47,15 +58,23 @@ object ListerBench {
     val t0 = System.nanoTime()
     var i = 0
     val base = ("x" * 64).getBytes(StandardCharsets.US_ASCII)
+    val metadataRegime = n >= 1000000 // see scaladoc: 1..64 B payloads
     while (i < n) {
       // name shape the reference lists: {dt}-HH-MM-SS-ID
       val name = f"$day-${i / 3600 % 24}%02d-${i / 60 % 60}%02d-${i % 60}%02d-${i}%08X"
-      val reps = 1 + (i % 64) // 64 B .. 4 KB
-      val payload = new Array[Byte](base.length * reps)
-      var r = 0
-      while (r < reps) { System.arraycopy(base, 0, payload, r * base.length, base.length); r += 1 }
+      val payload =
+        if (metadataRegime) new Array[Byte](1 + i % 64) // 1 B .. 64 B
+        else {
+          val reps = 1 + (i % 64) // 64 B .. 4 KB
+          val p = new Array[Byte](base.length * reps)
+          var r = 0
+          while (r < reps) { System.arraycopy(base, 0, p, r * base.length, base.length); r += 1 }
+          p
+        }
       Files.write(bucketDir.resolve(name), payload)
       i += 1
+      if (i % 1000000 == 0)
+        println(f"[lister-bench] generated $i files (${(System.nanoTime() - t0) / 1e9}%.0f s)")
     }
     val genSec = (System.nanoTime() - t0) / 1e9
     println(f"[lister-bench] generated $n files in $genSec%.1f s")
@@ -93,16 +112,19 @@ object ListerBench {
         f"(${n / listSec}%.0f files/s) pack=$packSec%.2f s " +
         f"(${n / packSec}%.0f files/s) partitions=${partitions.length} " +
         f"(optimal>=$lowerBound) totalMB=${totalBytes / 1024 / 1024}")
+      val perFileB = (heap1 - heap0) * 1024.0 * 1024.0 / n
       println(f"[lister-bench] heapMB $heap0 -> $heap1 " +
-        f"(delta ${heap1 - heap0}) rssKB $rss0 -> $rss1 " +
-        f"(delta ${rss1 - rss0})")
-      // pagination bound: the walk + pack must stay far below one
-      // FileStatus-array-at-once blowup — ~100 MB of headroom for 1e5
-      // entries (strings + tuples are ~200 B/entry; a driver that
-      // buffered page arrays or copied the listing repeatedly would
-      // blow through this)
-      require(heap1 - heap0 < 300,
-        s"driver heap grew ${heap1 - heap0} MB over $n files")
+        f"(delta ${heap1 - heap0}, $perFileB%.0f B/file) " +
+        f"rssKB $rss0 -> $rss1 (delta ${rss1 - rss0})")
+      // pagination bound: live retention is the listing itself (path
+      // string + size + bin reference, ~200-250 B/entry) — NOT page
+      // arrays or copies. Budget 350 B/entry (300 MB floor absorbs
+      // JVM noise at small n); a driver that buffered FileStatus
+      // pages or copied the listing would blow straight through.
+      val budgetMb = math.max(300L, (n.toLong * 350) / (1024 * 1024))
+      require(heap1 - heap0 < budgetMb,
+        s"driver heap grew ${heap1 - heap0} MB over $n files " +
+          s"(budget $budgetMb MB at 350 B/file)")
     } finally spark.stop()
   }
 }

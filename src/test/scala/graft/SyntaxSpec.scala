@@ -69,6 +69,17 @@ class SyntaxSpec extends SparkTestBase {
         k = 3, bits = 4, dim = 8).collect().toSet)
   }
 
+  test("fuzzyJoin postfix op forwards (and maxBlockRows = 0 skips probe)") {
+    val names = Seq((1L, "jonathan smith"), (2L, "johnathan smith"),
+      (3L, "maria garcia")).toDF("id", "name")
+    val viaSyntax = names.fuzzyJoin(names, "id", "name", "id", "name",
+      threshold = 0.9, maxBlockRows = 0L).collect().toSet
+    val direct = ext.Linkage.fuzzyJoin(names, "id", "name",
+      names, "id", "name", threshold = 0.9).collect().toSet
+    assert(viaSyntax == direct)
+    assert(viaSyntax.nonEmpty)
+  }
+
   test("parseAccessLogs on raw lines") {
     val raw = Seq(
       """o b [06/Feb/2019:00:00:38 +0000] ip r rid REST.GET.OBJECT k "GET / HTTP/1.1" 200 - 1 2 3 4 "-" "ua" -""",

@@ -34,7 +34,7 @@ class SingleTaskRegistrySpec extends SparkTestBase {
 
   /** file (relative to src/main/scala/graft) -> expected call-site count.
     * Bounds, per site:
-    *  - SparkEntry.scala (q58 moving average): frame = one row per
+    *  - gates/RelationalGates.scala (q58 moving average): frame = one row per
     *    DISTINCT DAY of orders — calendar-bounded (TPC-H dates span
     *    1992–1998, ~2.4k days; a century is ~37k rows). Asserted below.
     *  - ext/WebUrl.scala (allocateBudget rank): frame = one row per
@@ -65,7 +65,9 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     *    Asserted below.
     */
   private val registry = Map(
-    "SparkEntry.scala" -> 1,
+    // q58's declared-bounded frame — lived in SparkEntry.scala until
+    // the round-11 per-family gate-registry split
+    "gates/RelationalGates.scala" -> 1,
     "ext/WebUrl.scala" -> 1,
     "ext/Profile.scala" -> 1,
     "ext/Layout.scala" -> 2,
