@@ -59,6 +59,125 @@ object Net {
         pmod((n / 256L).cast("long"), lit(256L)).cast("string"),
         pmod(n, lit(256L)).cast("string")))
 
+  /** RFC-4291 IPv6 text → `struct(hi BIGINT, lo BIGINT)`: the address's
+    * two 64-bit halves as signed longs CARRYING THE UNSIGNED BIT
+    * PATTERNS (two's complement — group values assemble with bitwise
+    * shift/OR, never multiplication, so ANSI overflow is unreachable).
+    * NULL when malformed. Accepts the full 8-group form and at most one
+    * `::` compression (which must stand for ≥ 1 zero group); embedded
+    * dotted-IPv4 tails and zone indexes are out of scope by contract.
+    *
+    * ANSI-safe on every eval path, the [[ipv4ToLong]] discipline: the
+    * validity condition is built from rlike/size/length only (no casts,
+    * no element_at), and `conv` runs only on 1–4-hex-digit tokens the
+    * condition already admitted.
+    */
+  def ipv6ToLongs(ip: Column): Column = {
+    val sides = split(ip, "::", -1) // "::" is not regex-special here
+    val nSides = size(sides)
+    def groupsOf(side: Column): Column =
+      when(length(side) === 0, array().cast("array<string>"))
+        .otherwise(split(side, ":", -1))
+    val gl = groupsOf(element_at(sides, 1))
+    // groups must be 1-4 hex chars; empty tokens mean stray ':' edges
+    def groupsOk(gs: Column): Column =
+      !exists(gs, g => length(g) === 0 || length(g) > 4)
+    val shaped = ip.rlike("^[0-9a-fA-F:]{2,45}$") && !ip.contains(":::")
+    val validFull = nSides === 1 && size(gl) === 8 && groupsOk(gl)
+    val grC = groupsOf(element_at(sides, 2))
+    val validComp = nSides === 2 && size(gl) + size(grC) <= 7 &&
+      groupsOk(gl) && groupsOk(grC)
+    val valid = ip.isNotNull && shaped && (validFull || validComp)
+    // 8-group long array: left groups ++ zero fill ++ right groups
+    val zeros = array_repeat(lit("0"),
+      when(nSides === 1, lit(0))
+        .otherwise(lit(8) - size(gl) - size(grC)).cast("int"))
+    val g8 = concat(gl, zeros,
+      when(nSides === 2, grC).otherwise(array().cast("array<string>")))
+    def g(i: Int): Column = conv(element_at(g8, i + 1), 16, 10).cast("long")
+    def half(a: Int): Column =
+      shiftleft(g(a), 48).bitwiseOR(shiftleft(g(a + 1), 32))
+        .bitwiseOR(shiftleft(g(a + 2), 16)).bitwiseOR(g(a + 3))
+    when(valid, struct(half(0).as("hi"), half(4).as("lo")))
+  }
+
+  /** IPv6 half-pair → canonical full-form text (eight 4-hex-digit
+    * groups, lowercase, no compression) — the inverse of
+    * [[ipv6ToLongs]] up to canonicalization. NULL on NULL input.
+    */
+  def longsToIpv6(hi: Column, lo: Column): Column = {
+    def grp(h: Column, shift: Int): Column =
+      lpad(lower(conv(
+        pmod(shiftrightunsigned(h, shift), lit(65536L)).cast("string"),
+        10, 16)), 4, "0")
+    when(hi.isNotNull && lo.isNotNull,
+      concat_ws(":",
+        grp(hi, 48), grp(hi, 32), grp(hi, 16), grp(hi, 0),
+        grp(lo, 48), grp(lo, 32), grp(lo, 16), grp(lo, 0)))
+  }
+
+  /** 128-bit longest-prefix-match join — [[longestPrefixJoin]]
+    * generalized to IPv6: addresses are `(hi, lo)` half-pairs
+    * (unsigned bit patterns in signed longs, [[ipv6ToLongs]] output),
+    * `nets` carries integer columns `lenCol` ∈ [minLen, maxLen] ⊆
+    * [0, 128] and the prefix halves `(prefixHiCol, prefixLoCol)` =
+    * the address's top `len` bits right-aligned:
+    * len ≤ 64 → `(hi >>> (64−len), 0)`; len > 64 → `(hi, lo >>>
+    * (128−len))` (len 0 → `(0, 0)`). Same plan shape as v4: constant
+    * ≤ lens.size map-side probe explode (every shift count is a
+    * LITERAL), broadcast hash equi-join on `(len, prefix_hi,
+    * prefix_lo)`, per-probe window bounded by the length domain, left
+    * join back on the unique `idCol`. Ties at equal length break by
+    * the ascending sort of the remaining `nets` columns.
+    *
+    * `lens` is the PRESENT length set, not a range: v6 tables
+    * typically carry a handful of prefix lengths out of 129 possible,
+    * and probe amplification is `lens.size` — pass the table's actual
+    * lengths (a 6-length table explodes 6×, not 129×; at 100 TB that
+    * factor is the map-side cost). Net rows whose length is outside
+    * `lens` never match, mirroring v4's `minLen`/`maxLen` contract.
+    */
+  def longestPrefixJoin6(probes: DataFrame, idCol: String,
+                         hiCol: String, loCol: String,
+                         nets: DataFrame, lenCol: String,
+                         prefixHiCol: String, prefixLoCol: String,
+                         lens: Seq[Int] = 0 to 128): DataFrame = {
+    require(lens.nonEmpty && lens.forall(l => 0 <= l && l <= 128),
+      s"lens must be a nonempty subset of [0, 128], got $lens")
+    require(lens.distinct.size == lens.size, s"duplicate lengths in $lens")
+    val netCols = nets.columns
+      .filter(c => c != lenCol && c != prefixHiCol && c != prefixLoCol)
+    def prefixAt(l: Int, hi: Column, lo: Column): (Column, Column) =
+      if (l == 0) (lit(0L), lit(0L))
+      else if (l <= 64) (shiftrightunsigned(hi, 64 - l), lit(0L))
+      else (hi, shiftrightunsigned(lo, 128 - l))
+    val keys = lens.sorted.map { l =>
+      val (ph, pl) = prefixAt(l, col(hiCol).cast("long"), col(loCol).cast("long"))
+      struct(lit(l.toLong).as("__len"),
+        ph.cast("long").as("__ph"), pl.cast("long").as("__pl"))
+    }
+    val cand = probes
+      .filter(col(hiCol).isNotNull && col(loCol).isNotNull)
+      .select(col(idCol).as("__pid"), explode(array(keys: _*)).as("__k"))
+      .select(col("__pid"), col("__k.__len").as("__len"),
+        col("__k.__ph").as("__ph"), col("__k.__pl").as("__pl"))
+    val netsK = nets.select(
+      (col(lenCol).cast("long").as("__len") +:
+        col(prefixHiCol).cast("long").as("__ph") +:
+        col(prefixLoCol).cast("long").as("__pl") +:
+        netCols.map(col)): _*)
+    val matched = cand
+      .join(broadcast(netsK), Seq("__len", "__ph", "__pl"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__pid"))
+          .orderBy((col("__len").desc +: netCols.map(c => col(c).asc)): _*)))
+      .filter(col("__rk") === 1)
+      .select((col("__pid") +: col("__len").as("matched_len") +:
+        netCols.map(col)): _*)
+    probes.join(matched, probes(idCol) === matched("__pid"), "left")
+      .drop("__pid")
+  }
+
   /** Longest-prefix-match join: for each row of `probes` (with a
     * UNIQUE `idCol` and a numeric IPv4 `ipCol` as produced by
     * [[ipv4ToLong]]), attach the columns of the most specific matching

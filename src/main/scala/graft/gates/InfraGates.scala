@@ -162,6 +162,59 @@ private[graft] object InfraGates extends GateFamily {
         .orderBy("matched_len", "segment")
     }),
 
+    // ext net — IPv6 longest-prefix match: the q243 machinery over two
+    // 64-bit halves and a SPARSE length set ({16..96 step 16} — probe
+    // amplification is 6×, not 129×). Addresses are synthesized from a
+    // shared 8192-value base pool (probes ↔ nets collide at every
+    // length, so the most-specific pick is genuinely exercised), all
+    // halves positive (< 2^63) so the DuckDB replay is plain integer
+    // division by literal powers of two — bit-exact in both engines.
+    "q258_ipv6_lpm" -> ((s, dir) => {
+      def hiOf(b: Column): Column =
+        b * 2654435761L % 2147483648L * 4294967296L +
+          b * 1099087573L % 4294967296L
+      def loOf(b: Column): Column =
+        b * 2246822519L % 2147483648L * 4294967296L +
+          b * 3266489917L % 4294967296L
+      val lens = Seq(16, 32, 48, 64, 80, 96)
+      val ips = tbl(s, dir, "orders")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("o_orderkey").as("id"),
+          (col("o_orderkey") % 8192L).as("b"))
+        .select(col("id"), hiOf(col("b")).as("hi"), loOf(col("b")).as("lo"))
+      val netsRaw = tbl(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey").as("net_id"),
+          col("c_mktsegment").as("segment"),
+          (lit(16L) + col("c_custkey") % 6L * 16L).as("len"),
+          (col("c_custkey") % 8192L).as("b"))
+        .select(col("net_id"), col("segment"), col("len"),
+          hiOf(col("b")).as("nhi"), loOf(col("b")).as("nlo"))
+      val phi = lens.foldLeft(lit(null).cast("long")) { (acc, l) =>
+        when(col("len") === l.toLong,
+          if (l <= 64) shiftrightunsigned(col("nhi"), 64 - l)
+          else col("nhi")).otherwise(acc)
+      }
+      val plo = lens.foldLeft(lit(null).cast("long")) { (acc, l) =>
+        when(col("len") === l.toLong,
+          if (l <= 64) lit(0L)
+          else shiftrightunsigned(col("nlo"), 128 - l)).otherwise(acc)
+      }
+      val nets = netsRaw.withColumn("phi", phi).withColumn("plo", plo)
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("len"), col("phi"), col("plo"))
+            .orderBy(col("net_id"))))
+        .filter(col("__rk") === 1)
+        .select("len", "phi", "plo", "net_id", "segment")
+      ext.Net.longestPrefixJoin6(ips, "id", "hi", "lo",
+          nets, "len", "phi", "plo", lens = lens)
+        .groupBy(coalesce(col("matched_len"), lit(-1L)).as("matched_len"),
+          coalesce(col("segment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n_ips"),
+          sum(coalesce(col("net_id"), lit(0L))).as("sum_net"))
+        .orderBy("matched_len", "segment")
+    }),
+
     // ext layout — zone-map pruning audit: per-month zone stats over
     // the order-date column, three literal day-range predicates
     // (mid-range, narrow, before-the-data), and the SOUNDNESS theorem
@@ -241,7 +294,64 @@ private[graft] object InfraGates extends GateFamily {
     }),
   )
 
+  /** IPv6 LPM replay (q258): the same positive-halves address
+    * synthesis (all BIGINT products < 2^63, no sign bit anywhere), the
+    * per-length prefix as integer division by a LITERAL power of two
+    * (matching `shiftrightunsigned` on non-negative longs bit for
+    * bit), most-specific pick and tie-break replayed with the window's
+    * exact ordering. `def` (not `val`): object-init order safety for
+    * a member referenced from `oracleSql` below.
+    */
+  private def Ipv6LpmOracle: String = {
+    def hiOf(b: String) =
+      s"($b*2654435761) % 2147483648 * 4294967296 + ($b*1099087573) % 4294967296"
+    def loOf(b: String) =
+      s"($b*2246822519) % 2147483648 * 4294967296 + ($b*3266489917) % 4294967296"
+    def phiOf(hi: String, len: String) =
+      s"""CASE $len WHEN 16 THEN $hi // 281474976710656
+         |      WHEN 32 THEN $hi // 4294967296
+         |      WHEN 48 THEN $hi // 65536 ELSE $hi END""".stripMargin
+    def ploOf(lo: String, len: String) =
+      s"""CASE WHEN $len <= 64 THEN 0
+         |      WHEN $len = 80 THEN $lo // 281474976710656
+         |      ELSE $lo // 4294967296 END""".stripMargin
+    s"""WITH ips AS (
+       |  SELECT o_orderkey AS id, o_orderkey % 8192 AS b
+       |  FROM orders WHERE o_orderkey IS NOT NULL),
+       |a AS (
+       |  SELECT id, ${hiOf("b")} AS hi, ${loOf("b")} AS lo FROM ips),
+       |nets0 AS (
+       |  SELECT c_custkey AS net_id, c_mktsegment AS segment,
+       |    16 + (c_custkey % 6) * 16 AS len, c_custkey % 8192 AS b
+       |  FROM customer WHERE c_custkey IS NOT NULL),
+       |netsa AS (
+       |  SELECT net_id, segment, len,
+       |    ${hiOf("b")} AS nhi, ${loOf("b")} AS nlo
+       |  FROM nets0),
+       |nets AS (
+       |  SELECT len, ${phiOf("nhi", "len")} AS phi,
+       |    ${ploOf("nlo", "len")} AS plo, net_id, segment
+       |  FROM netsa
+       |  QUALIFY row_number() OVER (PARTITION BY len, phi, plo
+       |    ORDER BY net_id) = 1),
+       |best AS (
+       |  SELECT a.id, n.len, n.net_id, n.segment
+       |  FROM a JOIN nets n
+       |    ON (${phiOf("a.hi", "n.len")}) = n.phi
+       |   AND (${ploOf("a.lo", "n.len")}) = n.plo
+       |  QUALIFY row_number() OVER (PARTITION BY a.id
+       |    ORDER BY n.len DESC, n.net_id ASC, n.segment ASC) = 1)
+       |SELECT coalesce(b.len, -1) AS matched_len,
+       |  coalesce(b.segment, '(none)') AS segment,
+       |  CAST(count(*) AS BIGINT) AS n_ips,
+       |  CAST(sum(coalesce(b.net_id, 0)) AS BIGINT) AS sum_net
+       |FROM a LEFT JOIN best b USING (id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q258_ipv6_lpm" -> Ipv6LpmOracle,
 
     // greedy prefix under a running-sum window: the two-phase bucket
     // form is exactly the single window over (md5(doc_id), doc_id)

@@ -107,6 +107,90 @@ class NetSpec extends SparkTestBase {
     assert(tag == "aaa", "ascending tie-break on the remaining net columns")
   }
 
+  test("ipv6ToLongs parses full and ::-compressed forms; rejects junk") {
+    def want(hi: Long, lo: Long) = Some((hi, lo))
+    val rows = Seq(
+      "::" -> want(0L, 0L),
+      "::1" -> want(0L, 1L),
+      "fe80::1" -> want(0xfe80L << 48, 1L),
+      "FE80::1" -> want(0xfe80L << 48, 1L), // case-insensitive hex
+      "2001:db8:0:0:1:0:0:1" ->
+        want((0x2001L << 48) | (0xdb8L << 32), (1L << 48) | 1L),
+      "2001:db8::1:0:0:1" ->
+        want((0x2001L << 48) | (0xdb8L << 32), (1L << 48) | 1L),
+      "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff" -> want(-1L, -1L),
+      "1:2:3" -> None, // too few groups, no compression
+      "::1::2" -> None, // two compressions
+      "1:::2" -> None, // triple colon
+      "12345::" -> None, // group too long
+      "g::1" -> None, // non-hex
+      "1:2:3:4:5:6:7:8:9" -> None, // too many groups
+      ":" -> None,
+      "1.2.3.4" -> None, // embedded-IPv4 out of scope
+      "1:2:3:4:5:6:7:8:" -> None, // trailing colon
+      "" -> None)
+    val got = rows.map(_._1).toDF("ip")
+      .select(col("ip"), Net.ipv6ToLongs(col("ip")).as("a"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else {
+        val s = r.getStruct(1); Some((s.getLong(0), s.getLong(1))) }))
+      .toMap
+    rows.foreach { case (ip, w) => assert(got(ip) == w, s"ipv6($ip)") }
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("ip")
+      .select(Net.ipv6ToLongs(col("ip"))).head()
+    assert(n.isNullAt(0), "null in, null out")
+  }
+
+  test("longsToIpv6 canonical form round-trips through ipv6ToLongs") {
+    val ips = Seq("2001:db8::1:0:0:1", "::1", "fe80::",
+      "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
+    val back = ips.toDF("ip")
+      .select(Net.ipv6ToLongs(col("ip")).as("a"), col("ip"))
+      .select(Net.longsToIpv6(col("a.hi"), col("a.lo")).as("canon"),
+        col("ip"))
+      .select(Net.ipv6ToLongs(col("canon")).as("b"),
+        Net.ipv6ToLongs(col("ip")).as("a"))
+      .collect()
+    back.foreach { r =>
+      assert(!r.isNullAt(0) && r.getStruct(0) == r.getStruct(1),
+        "canonical text must decode to the same halves")
+    }
+  }
+
+  test("longestPrefixJoin6 picks most specific across the 64-bit seam") {
+    val hiX = (0x2001L << 48) | (0xdb8L << 32) | 0x7L
+    val loX = (0xabcdL << 48) | 0x42L
+    val nets = Seq(
+      (16L, hiX >>> 48, 0L, "a16"), // covers anything with top-16 2001
+      (64L, hiX, 0L, "b64"), // covers X's full hi half
+      (96L, hiX, loX >>> 32, "c96"), // most specific cover of X
+      (0L, 0L, 0L, "default"))
+      .toDF("len", "phi", "plo", "tag")
+    val probes = Seq(
+      (1L, hiX, loX), // all four cover -> /96
+      (2L, hiX, ~loX), // hi matches, lo differs -> /64
+      (3L, (hiX >>> 48) << 48 | 0x9999L, 5L), // only top-16 -> /16
+      (4L, 0x1234L << 48, 0L)) // only the default route
+      .toDF("id", "hi", "lo")
+    val got = Net.longestPrefixJoin6(probes, "id", "hi", "lo",
+        nets, "len", "phi", "plo", lens = Seq(0, 16, 64, 96))
+      .select(col("id"), col("matched_len"), col("tag"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got(1L) == ((96L, "c96")))
+    assert(got(2L) == ((64L, "b64")))
+    assert(got(3L) == ((16L, "a16")))
+    assert(got(4L) == ((0L, "default")))
+    // a net whose length is outside `lens` never matches
+    val extra = nets.union(Seq((128L, hiX, loX, "exact"))
+      .toDF("len", "phi", "plo", "tag"))
+    val pick = Net.longestPrefixJoin6(probes.filter(col("id") === 1L),
+        "id", "hi", "lo", extra, "len", "phi", "plo",
+        lens = Seq(0, 16, 64, 96))
+      .select("tag").head().getString(0)
+    assert(pick == "c96", "len-128 net is out of the declared length set")
+  }
+
   test("minLen/maxLen bound the explode and exclude out-of-band nets") {
     // a /28 net exists but the join only considers lengths 8..24
     val nets = Seq((28, (10L * 16777216 + 16) >> 4, "too-specific"),
