@@ -328,9 +328,118 @@ private[graft] object SketchGates extends GateFamily {
             col("exact_union").cast("double"))
       est.crossJoin(broadcast(exact))
     }),
+
+    // ext sketch — deterministic t-digest (k0 rank-clustered): the
+    // mergeable-quantile complement to HDR for unbounded/real value
+    // domains. Three order-key shards summarize to ≤ δ+1 centroid
+    // rows each (exact per-shard rank windows, integer DIV bucketing),
+    // merge re-clusters the ≤ 3(δ+1)-row summary union, and quantile
+    // reads report the exact [vmin, vmax] bracket (the true quantile
+    // is ALWAYS inside — TDigestSpec pins it) plus a fixed-IEEE
+    // interpolation estimate. Every arithmetic step up to the final
+    // double is integer/decimal exact, so the oracle replays the
+    // whole digest bit-for-bit.
+    "q259_tdigest_quantiles" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+        .select((col("o_orderkey") % 3L).as("shard"),
+          col("o_totalprice").as("v"))
+      val delta = 32
+      val perShard = (0L to 2L).map(i =>
+        ext.TDigest.tdigestSummarize(vals.filter(col("shard") === i),
+          "v", "shard", delta))
+      val digest = ext.TDigest.tdigestMerge(perShard, delta)
+      ext.TDigest.tdigestQuantiles(digest, Seq(0.1, 0.5, 0.9, 0.99))
+        .select(col("qi"), col("q"), col("n"), col("target_rank"),
+          col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"),
+          (col("vmin").cast("double") <= col("estimate") &&
+            col("estimate") <= col("vmax").cast("double"))
+            .as("est_in_bracket"))
+        .orderBy("qi")
+    }),
   )
 
+  /** t-digest replay (q259): the identical per-shard rank windows and
+    * integer `//` (= Spark `DIV`) k0 bucketing, the identical
+    * `(vmin, vmax, weight, sumv)` merge ordering, floor-then-cast
+    * target ranks (Spark's double→long cast truncates, DuckDB's
+    * rounds — floor first is identical), and the same fixed IEEE
+    * interpolation over exact decimal operands. `def` for object-init
+    * order safety.
+    */
+  private def TDigestOracle: String = {
+    val delta = 32
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS shard,
+       |    CAST(o_totalprice AS DECIMAL(28,8)) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+       |w AS (
+       |  SELECT shard, v, CAST(count(*) AS BIGINT) AS w
+       |  FROM vals GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT shard, v, w,
+       |    sum(w) OVER (PARTITION BY shard ORDER BY v) AS cum,
+       |    sum(w) OVER (PARTITION BY shard) AS n
+       |  FROM w),
+       |cl AS (
+       |  SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
+       |  FROM rk),
+       |dig AS (
+       |  SELECT shard, cluster, CAST(sum(w) AS BIGINT) AS weight,
+       |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+       |    min(v) AS vmin, max(v) AS vmax
+       |  FROM cl GROUP BY 1, 2),
+       |m0 AS (
+       |  SELECT weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER () AS n
+       |  FROM dig),
+       |mc AS (
+       |  SELECT weight, sumv, vmin, vmax,
+       |    ((cum - weight) * $delta) // n AS cluster
+       |  FROM m0),
+       |mg AS (
+       |  SELECT cluster, CAST(sum(weight) AS BIGINT) AS weight,
+       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
+       |    min(vmin) AS vmin, max(vmax) AS vmax
+       |  FROM mc GROUP BY 1),
+       |mr AS (
+       |  SELECT weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER () AS n
+       |  FROM mg),
+       |qs(qi, q) AS (VALUES (0, 0.1), (1, 0.5), (2, 0.9), (3, 0.99)),
+       |pick AS (
+       |  SELECT qi, q, n,
+       |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+       |    weight, vmin, vmax, cum - weight AS bef
+       |  FROM qs JOIN mr
+       |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+       |      BETWEEN cum - weight AND cum - 1)
+       |SELECT CAST(qi AS BIGINT) AS qi, CAST(q AS DOUBLE) AS q,
+       |  CAST(n AS BIGINT) AS n, target_rank, weight,
+       |  CAST(vmin AS DOUBLE) AS vmin_d, CAST(vmax AS DOUBLE) AS vmax_d,
+       |  CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) *
+       |    (CAST(target_rank - bef AS DOUBLE) /
+       |      CAST(greatest(weight - 1, 1) AS DOUBLE)) AS estimate,
+       |  (CAST(vmin AS DOUBLE) <=
+       |      CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) *
+       |        (CAST(target_rank - bef AS DOUBLE) /
+       |          CAST(greatest(weight - 1, 1) AS DOUBLE))
+       |    AND CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) *
+       |        (CAST(target_rank - bef AS DOUBLE) /
+       |          CAST(greatest(weight - 1, 1) AS DOUBLE))
+       |      <= CAST(vmax AS DOUBLE)) AS est_in_bracket
+       |FROM pick ORDER BY qi""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q259_tdigest_quantiles" -> TDigestOracle,
 
     // CMS replay: same md5 hex slices decoded via ascii fold, same
     // % width buckets, same min-over-4-slices with absent cells = 0

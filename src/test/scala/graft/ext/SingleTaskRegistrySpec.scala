@@ -73,7 +73,11 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     "ext/Layout.scala" -> 2,
     "ext/TextStats.scala" -> 2,
     "ext/FreqSketch.scala" -> 2,
-    "ext/Bootstrap.scala" -> 1)
+    "ext/Bootstrap.scala" -> 1,
+    // tdigestMerge re-cluster + tdigestQuantiles pick: frames = the
+    // union of input digests / one digest — ≤ shards·(δ+1) and ≤ δ+1
+    // rows by the summarize compress. Asserted below.
+    "ext/TDigest.scala" -> 4)
 
   test("every SingleTask.key call site in main source is registered") {
     val root = Paths.get("src/main/scala/graft")
@@ -185,6 +189,27 @@ class SingleTaskRegistrySpec extends SparkTestBase {
       s"mgMerge frame = $frameRows rows — exceeds k x shards")
     val merged = FreqSketch.mgMerge(perShard, k).count()
     assert(merged <= k.toLong, s"merged summary = $merged rows > k")
+  }
+
+  test("tdigest merge/quantile frames are digest-sized by construction") {
+    // the merge re-cluster window ranks the UNION OF DIGESTS — each
+    // input ≤ δ+1 centroid rows by the summarize compress — and the
+    // quantile pick works one merged digest (≤ δ+1 rows); never the
+    // corpus
+    val vals = spark.range(120000)
+      .select((col("id") % 3).cast("string").as("shard"),
+        (col("id") * col("id") % 99991).cast("double").as("v"))
+    val delta = 16
+    val perShard = (0 until 3).map(i =>
+      TDigest.tdigestSummarize(vals.filter(col("shard") === i.toString),
+        "v", "shard", delta))
+    perShard.foreach(d => assert(d.count() <= delta + 1,
+      "per-shard digest exceeds delta+1 rows"))
+    val frameRows = perShard.map(_.count()).sum
+    assert(frameRows <= (delta + 1).toLong * 3,
+      s"merge frame = $frameRows rows — exceeds shards x (delta+1)")
+    val merged = TDigest.tdigestMerge(perShard, delta)
+    assert(merged.count() <= delta + 1, "merged digest exceeds delta+1")
   }
 
   test("bootstrap CI frame is exactly the replicate count by construction") {

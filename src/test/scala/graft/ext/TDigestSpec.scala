@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TDigestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tdigestSummarize: hand-computed k0 clusters on 1..8") {
+    val df = (1 to 8).map(v => ("s1", v.toDouble)).toDF("shard", "v")
+    val got = TDigest.tdigestSummarize(df, "v", "shard", delta = 4)
+      .select(col("cluster"), col("weight"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // before-ranks 0..7, cluster = floor(before*4/8): pairs
+    assert(got.toSeq == Seq((0L, 2L, 1.0, 2.0), (1L, 2L, 3.0, 4.0),
+      (2L, 2L, 5.0, 6.0), (3L, 2L, 7.0, 8.0)))
+  }
+
+  test("a heavy duplicate value stays one centroid; <= delta+1 rows") {
+    val rows = Seq.fill(5)(1.0) ++ Seq(2.0) ++ Seq.fill(2)(3.0)
+    val df = rows.map(("s", _)).toDF("shard", "v")
+    val got = TDigest.tdigestSummarize(df, "v", "shard", delta = 4)
+      .select(col("cluster"), col("weight"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // distinct values: (1, w5, before 0 -> c0), (2, w1, before 5 ->
+    // floor(20/8)=2), (3, w2, before 6 -> c3)
+    assert(got.toSeq == Seq((0L, 5L, 1.0, 1.0), (2L, 1L, 2.0, 2.0),
+      (3L, 2L, 3.0, 3.0)))
+    assert(got.length <= 5)
+  }
+
+  test("merge + quantiles: brackets contain the true quantiles") {
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 3000).map(_ => math.floor(rnd.nextGaussian() * 1e4) / 100.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (s"sh${i % 3}", v) }.toDF("shard", "v")
+    val delta = 32
+    val perShard = (0 until 3).map(i =>
+      TDigest.tdigestSummarize(df.filter(col("shard") === s"sh$i"),
+        "v", "shard", delta))
+    val digest = TDigest.tdigestMerge(perShard, delta)
+    assert(digest.count() <= delta + 1)
+    val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99)
+    val got = TDigest.tdigestQuantiles(digest, qs)
+      .select(col("qi"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"),
+        col("estimate"))
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == qs.size, "each q answered by exactly one centroid")
+    val sorted = vals.sorted
+    got.foreach { case (qi, r, lo, hi, est) =>
+      assert(r == math.floor(qs(qi.toInt) * (vals.size - 1)).toLong)
+      val truth = sorted(r.toInt)
+      assert(lo <= truth && truth <= hi,
+        s"q=${qs(qi.toInt)}: true $truth outside [$lo, $hi]")
+      assert(lo <= est && est <= hi, "estimate inside its own bracket")
+    }
+  }
+
+  test("merge is exact on weights/sums and widens brackets soundly") {
+    val a = Seq.tabulate(100)(i => ("a", i.toDouble)).toDF("shard", "v")
+    val b = Seq.tabulate(100)(i => ("b", (i + 50).toDouble)).toDF("shard", "v")
+    val delta = 8
+    val da = TDigest.tdigestSummarize(a, "v", "shard", delta)
+    val db = TDigest.tdigestSummarize(b, "v", "shard", delta)
+    val m = TDigest.tdigestMerge(Seq(da, db), delta)
+    val (w, s) = m.agg(sum(col("weight")), sum(col("sumv")).cast("double"))
+      .as[(Long, Double)].head()
+    assert(w == 200L, "merged weight = total count")
+    assert(s == (0 until 100).sum + (50 until 150).sum, "sums add exactly")
+    assert(m.count() <= delta + 1)
+    // deterministic: same inputs -> byte-identical digest
+    val m2 = TDigest.tdigestMerge(Seq(da, db), delta)
+    assert(m.collect().toSeq.sortBy(_.getLong(0)) ==
+      m2.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
+  test("NULLs drop; invalid delta/quantiles rejected") {
+    val df = Seq(("s", Some(1.0)), ("s", None), ("s", Some(3.0)))
+      .toDF("shard", "v")
+    val d = TDigest.tdigestSummarize(df, "v", "shard", delta = 4)
+    assert(d.agg(sum("weight")).head().getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      TDigest.tdigestSummarize(df, "v", "shard", delta = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TDigest.tdigestQuantiles(d, Seq(1.5))
+    }
+  }
+}
