@@ -180,4 +180,104 @@ object Privacy {
       .withColumn("noise_bound", lit(b.toLong))
       .drop("__n")
   }
+
+  /** The injective string form of a key tuple shared by every DP
+    * release in this file: \u0000 NULL sentinel per column, \u0001
+    * separator — see the [[dpCounts]] rationale.
+    */
+  private def dpKeyString(keyCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+
+  /** ε-differentially-private SUM (and mean) release with per-entity
+    * contribution clipping — the step [[dpCounts]] cannot take: a raw
+    * per-group sum has UNBOUNDED sensitivity (one user with a million
+    * events moves it by a million), so no finite noise protects it.
+    * The standard fix, applied at the relational level: first total
+    * each ENTITY's contribution per group, clip that total into
+    * `[clipLo, clipHi]`, then sum the clipped totals — now adding or
+    * removing one entity moves the sum by at most
+    * Δ = max(|clipLo|, |clipHi|), and discrete-Laplace noise drawn on
+    * the Δ-spaced grid (a unit-sensitivity draw at ε_sum scaled BY Δ —
+    * sound here because the clipped sum release is post-processed onto
+    * that grid, see below) makes the release ε_sum-DP at ENTITY level
+    * (not just record level). The entity count per group is released
+    * alongside under its own ε_count (sensitivity 1), and
+    * `mean_noisy = sum_noisy / max(n_noisy, 1)` is pure
+    * post-processing — total privacy cost ε_sum + ε_count by
+    * sequential composition.
+    *
+    * Grid soundness: discrete noise at spacing Δ only covers outputs
+    * on one Δ-coset, so the clipped sum itself is SNAPPED to the Δ
+    * grid first (`Δ·round(sum/Δ)`, a deterministic post-processing of
+    * the clipped relation that changes the true value by ≤ Δ/2 and
+    * keeps neighboring datasets' snapped sums within one grid step of
+    * each other — the ε analysis then holds exactly on the grid).
+    * `sum_snapped` is released so callers see the snap error bound
+    * explicitly.
+    *
+    * The value column must already be INTEGRAL (the grid is the
+    * release's resolution — pick it upstream: cents, not dollars).
+    * NULL values sum to NULL per entity and clip like any total (an
+    * entity present only through NULL values still counts toward
+    * `n_noisy`); a NULL entity id is one entity like any other
+    * (dropping it silently would under-count).
+    *
+    * Scale shape: TWO hash aggregates — (keys, entity) then (keys) —
+    * both map-side combined, no window, no join, no driver action;
+    * output is group-cardinality-sized. The (keys, entity) shuffle is
+    * the linear term and is exactly the shuffle any per-entity
+    * bounding needs at 100 TB.
+    */
+  def dpSums(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+             entityCol: String, valueCol: String,
+             clipLo: Long, clipHi: Long,
+             epsilonSum: Double, epsilonCount: Double,
+             salt: String = "dp-v1"): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "dpSums needs at least one key column")
+    require(clipLo <= clipHi, s"clipLo $clipLo > clipHi $clipHi")
+    val sens = math.max(math.abs(clipLo), math.abs(clipHi))
+    require(sens >= 1, "clip range must include a nonzero bound " +
+      "(clipLo = clipHi = 0 releases only zeros)")
+    val vType = df.schema(valueCol).dataType.typeName
+    require(Set("byte", "short", "integer", "long").contains(vType),
+      s"value column must be integral (the DP grid), got $vType — " +
+        "quantize upstream (e.g. cents, bytes)")
+    val (bSum, _) = dpThresholds(epsilonSum)
+    val (bN, _) = dpThresholds(epsilonCount)
+    val keyStr = dpKeyString(keyCols)
+    val perEntity = df
+      .groupBy((keyCols.map(col) :+ col(entityCol)): _*)
+      .agg(sum(col(valueCol)).as("__c"))
+      .withColumn("__clipped",
+        greatest(lit(clipLo), least(lit(clipHi),
+          coalesce(col("__c"), lit(0L)))))
+    val s = lit(sens)
+    perEntity.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__clipped")).as("__sum"),
+        count(lit(1)).as("__n"))
+      // snap to the Δ grid: round-half-up via FLOOR division on the
+      // shifted numerator (floor((2x + Δ) / 2Δ) · Δ), exact BIGINT
+      // arithmetic. Spark's DIV truncates toward zero while DuckDB's
+      // // floors — they disagree on negative numerators (reachable
+      // when clipLo < 0) — so the floor is spelled out via pmod, which
+      // both engines then replay identically: (a - pmod(a, b)) DIV b.
+      .withColumn("sum_snapped",
+        expr(s"CAST(((2 * __sum + $sens) - " +
+          s"pmod(2 * __sum + $sens, ${2 * sens})) DIV ${2 * sens} " +
+          s"* $sens AS BIGINT)"))
+      .withColumn("sum_noisy",
+        col("sum_snapped") + s *
+          discreteLaplaceNoise(keyStr, epsilonSum, s"$salt/sum"))
+      .withColumn("n_noisy",
+        col("__n") + discreteLaplaceNoise(keyStr, epsilonCount,
+          s"$salt/n"))
+      .withColumn("mean_noisy",
+        col("sum_noisy").cast("double") /
+          greatest(col("n_noisy"), lit(1L)).cast("double"))
+      .withColumn("noise_bound_sum", lit(sens * bSum.toLong))
+      .withColumn("noise_bound_n", lit(bN.toLong))
+      .withColumn("sensitivity", lit(sens))
+      .drop("__sum", "__n")
+  }
 }

@@ -82,8 +82,12 @@ object TDigest {
   def tdigestMerge(digests: Seq[DataFrame], delta: Int = 64): DataFrame = {
     require(delta >= 1, s"delta must be >= 1, got $delta")
     require(digests.nonEmpty, "no digests to merge")
-    val all = digests.reduce(_ unionByName _)
-      .select(col("weight"), col("sumv"), col("vmin"), col("vmax"))
+    // canonicalize each input BEFORE the union: summarize outputs carry
+    // (shard, cluster) alongside the centroid columns, stored/merged
+    // digests carry the centroid columns alone — both merge
+    val all = digests.map(_.select(
+      col("weight"), col("sumv"), col("vmin"), col("vmax")))
+      .reduce(_ unionByName _)
     // frame = the union of input digests, <= shards * (delta+1) rows by
     // construction (each input is a compress output) — summary-sized,
     // never corpus-sized; declared with the registered constant key

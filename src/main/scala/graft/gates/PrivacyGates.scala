@@ -105,6 +105,45 @@ private[graft] object PrivacyGates extends GateFamily {
             .as("within_bound"))
         .orderBy("event_type")
     }),
+
+    // ext privacy — ε-DP clipped-sum/mean release: per-ENTITY
+    // contribution totals are clipped into [-2, 5] before the group
+    // sum, bounding the sensitivity one user can exert no matter how
+    // many events they carry (a raw sum release has unbounded
+    // sensitivity and is unprotectable). The clipped sum is snapped to
+    // the Δ=5 grid (exact floor-div arithmetic) and released with
+    // Δ-scaled discrete-Laplace noise; the entity count rides its own
+    // budget; the mean is post-processing. The gate rides the exact
+    // clipped sums along to reconcile both draws and their clamp
+    // bounds; a REAL release ships the noisy columns only.
+    "q261_dp_sums" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        // the caller picks the integer grid: whole value units here
+        .withColumn("vq",
+          floor(col("value")).cast("long"))
+      val noisy = ext.Privacy.dpSums(ev, Seq("event_type"), "user_id",
+        "vq", clipLo = -2L, clipHi = 5L,
+        epsilonSum = 1.0, epsilonCount = 0.5)
+      val exact = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("vq")).as("__c"))
+        .withColumn("__clipped",
+          greatest(lit(-2L), least(lit(5L),
+            coalesce(col("__c"), lit(0L)))))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__clipped")).as("sum_clipped_true"),
+          count(lit(1)).as("n_true"))
+      noisy.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_true"),
+          col("sum_clipped_true"), col("sum_snapped"),
+          col("sum_noisy"), col("n_noisy"), col("mean_noisy"),
+          (col("sum_noisy") - col("sum_snapped")).as("noise_sum"),
+          (abs(col("sum_noisy") - col("sum_snapped"))
+              <= col("noise_bound_sum") &&
+            abs(col("n_noisy") - col("n_true")) <= col("noise_bound_n"))
+            .as("within_bounds"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +223,7 @@ private[graft] object PrivacyGates extends GateFamily {
         |ORDER BY 1, 2""".stripMargin,
 
     "q246_dp_counts" -> DpCountsOracle,
+
+    "q261_dp_sums" -> DpSumsOracle,
   )
 }

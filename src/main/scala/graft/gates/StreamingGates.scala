@@ -348,6 +348,38 @@ private[graft] object StreamingGates extends GateFamily {
           col("exact_cum"), col("exact_win"))
         .orderBy("batch_id")
     }),
+
+    // streaming ext — cross-batch t-digest: continuous quantiles over
+    // an UNBOUNDED real domain (the StreamingHdr complement) with ONE
+    // ≤ δ+1-row digest as total state. The fold is a strict per-batch
+    // left fold (digest_i = recluster(digest_{i-1} ∪ summarize(batch)))
+    // — a pure function of the batch sequence — so the oracle unrolls
+    // all three batches bit-for-bit: per-shard summarize, three
+    // re-cluster stages, running quantile picks with exact [vmin,
+    // vmax] brackets after every batch.
+    "q260_stream_tdigest" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull
+          && col("o_custkey").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          (col("o_custkey") % 4L).as("shard"),
+          col("o_totalprice").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("shard", "v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q260").toString + "/tdigest"
+      graft.streaming.StreamingTDigest.byBatch(s, batches, store, "v",
+          Seq(0.5, 0.9), shardCol = Some("shard"), delta = 32)
+        .select(col("batch_id"), col("qi"), col("q"), col("n"),
+          col("target_rank"), col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"),
+          (col("vmin").cast("double") <= col("estimate") &&
+            col("estimate") <= col("vmax").cast("double"))
+            .as("est_in_bracket"))
+        .orderBy("batch_id", "qi")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -661,5 +693,7 @@ private[graft] object StreamingGates extends GateFamily {
     "q247_stream_hdr" -> StreamHdrOracle,
 
     "q252_stream_hll" -> StreamHllOracle,
+
+    "q260_stream_tdigest" -> StreamTDigestOracle,
   )
 }

@@ -1280,6 +1280,96 @@ private[graft] object Support {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Streaming-t-digest replay (q260): the q259 machinery unrolled
+    * over the strict per-batch left fold — per-shard summarize of each
+    * batch, then `f_{i} = recluster(f_{i-1} ∪ dig_i)`, with the
+    * quantile band-containment pick replayed from EVERY fold state so
+    * the gate checks the accumulation at each step. All arithmetic up
+    * to the final interpolation double is integer/decimal exact, so
+    * the fold replays bit-for-bit.
+    */
+  val StreamTDigestOracle: String = {
+    val delta = 32
+    def summarize(b: Int): String =
+      s"""w$b AS (
+         |  SELECT shard, v, CAST(count(*) AS BIGINT) AS w
+         |  FROM vals WHERE b = $b GROUP BY 1, 2),
+         |rk$b AS (
+         |  SELECT shard, v, w,
+         |    sum(w) OVER (PARTITION BY shard ORDER BY v) AS cum,
+         |    sum(w) OVER (PARTITION BY shard) AS n
+         |  FROM w$b),
+         |dig$b AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS weight,
+         |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+         |    min(v) AS vmin, max(v) AS vmax
+         |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
+         |        FROM rk$b) t
+         |  GROUP BY shard, cluster)""".stripMargin
+    def recluster(in: String, out: String): String =
+      s"""${out}r AS (
+         |  SELECT weight, sumv, vmin, vmax,
+         |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+         |    sum(weight) OVER () AS n
+         |  FROM $in),
+         |$out AS (
+         |  SELECT CAST(sum(weight) AS BIGINT) AS weight,
+         |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
+         |    min(vmin) AS vmin, max(vmax) AS vmax
+         |  FROM (SELECT weight, sumv, vmin, vmax,
+         |          ((cum - weight) * $delta) // n AS cluster FROM ${out}r) t
+         |  GROUP BY cluster)""".stripMargin
+    def union(a: String, b: String, out: String): String =
+      s"""$out AS (
+         |  SELECT weight, sumv, vmin, vmax FROM $a
+         |  UNION ALL
+         |  SELECT weight, sumv, vmin, vmax FROM $b)""".stripMargin
+    def pick(b: Int, dig: String): String =
+      s"""k$b AS (
+         |  SELECT weight, sumv, vmin, vmax,
+         |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+         |    sum(weight) OVER () AS n
+         |  FROM $dig),
+         |p$b AS (
+         |  SELECT CAST($b AS BIGINT) AS batch_id, qi, q, n,
+         |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+         |    weight, vmin, vmax, cum - weight AS bef
+         |  FROM qs JOIN k$b
+         |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+         |      BETWEEN cum - weight AND cum - 1)""".stripMargin
+    val est = "CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) * " +
+      "(CAST(target_rank - bef AS DOUBLE) / " +
+      "CAST(greatest(weight - 1, 1) AS DOUBLE))"
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS b, o_custkey % 4 AS shard,
+       |    CAST(o_totalprice AS DECIMAL(28,8)) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_custkey IS NOT NULL),
+       |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
+       |${summarize(0)},
+       |${summarize(1)},
+       |${summarize(2)},
+       |${recluster("dig0", "f1")},
+       |${union("f1", "dig1", "u2")},
+       |${recluster("u2", "f2")},
+       |${union("f2", "dig2", "u3")},
+       |${recluster("u3", "f3")},
+       |${pick(0, "f1")},
+       |${pick(1, "f2")},
+       |${pick(2, "f3")},
+       |allp AS (
+       |  SELECT * FROM p0 UNION ALL SELECT * FROM p1
+       |  UNION ALL SELECT * FROM p2)
+       |SELECT batch_id, CAST(qi AS BIGINT) AS qi, CAST(q AS DOUBLE) AS q,
+       |  CAST(n AS BIGINT) AS n, target_rank, weight,
+       |  CAST(vmin AS DOUBLE) AS vmin_d, CAST(vmax AS DOUBLE) AS vmax_d,
+       |  $est AS estimate,
+       |  (CAST(vmin AS DOUBLE) <= $est AND $est <= CAST(vmax AS DOUBLE))
+       |    AS est_in_bracket
+       |FROM allp ORDER BY 1, 2""".stripMargin
+  }
+
   /** DP-release replay (q246): the SAME inverse-CDF integer thresholds
     * [[ext.Privacy.dpThresholds]] inlines into the Spark plan are
     * rendered here as a SQL list literal; the uniform is the identical
@@ -1306,6 +1396,60 @@ private[graft] object Support {
        |  CAST(noise AS BIGINT) AS noise,
        |  (abs(noise) <= $b) AS within_bound
        |FROM z ORDER BY 1""".stripMargin
+  }
+
+  /** DP clipped-sum replay (q261): per-entity totals, clip into
+    * [-2, 5], group sums + entity counts, the Δ=5 grid snap via
+    * DuckDB's floor `//` (Spark spells the same floor division with
+    * pmod — Spark's DIV truncates toward zero, reachable divergence on
+    * negative numerators), then BOTH noise draws replayed from their
+    * inlined threshold ladders and distinct salts.
+    */
+  val DpSumsOracle: String = {
+    val (bS, thS) = ext.Privacy.dpThresholds(1.0)
+    val (bN, thN) = ext.Privacy.dpThresholds(0.5)
+    val listS = thS.mkString("[", ", ", "]")
+    val listN = thN.mkString("[", ", ", "]")
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id,
+       |    CAST(floor(value) AS BIGINT) AS vq
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       |per_e AS (
+       |  SELECT event_type, user_id,
+       |    greatest(-2, least(5, coalesce(CAST(sum(vq) AS BIGINT), 0)))
+       |      AS clipped
+       |  FROM ev GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type,
+       |    CAST(sum(clipped) AS BIGINT) AS sum_true,
+       |    CAST(count(*) AS BIGINT) AS n_true
+       |  FROM per_e GROUP BY 1),
+       |snapped AS (
+       |  SELECT event_type, sum_true, n_true,
+       |    CAST(((2 * sum_true + 5) // 10) * 5 AS BIGINT) AS sum_snapped
+       |  FROM g),
+       |zs AS (
+       |  SELECT event_type, sum_true, n_true, sum_snapped,
+       |    CAST(len(list_filter($listS,
+       |      t -> t <= ${hexFold("1", 12)})) AS BIGINT) - $bS AS zsum
+       |  FROM (SELECT *, md5('dp-v1/sum|' || event_type) AS hx
+       |        FROM snapped) t),
+       |zn AS (
+       |  SELECT event_type, sum_true, n_true, sum_snapped, zsum,
+       |    CAST(len(list_filter($listN,
+       |      t -> t <= ${hexFold("1", 12)})) AS BIGINT) - $bN AS znn
+       |  FROM (SELECT *, md5('dp-v1/n|' || event_type) AS hx FROM zs) t)
+       |SELECT event_type, n_true, sum_true AS sum_clipped_true,
+       |  sum_snapped,
+       |  CAST(sum_snapped + 5 * zsum AS BIGINT) AS sum_noisy,
+       |  CAST(n_true + znn AS BIGINT) AS n_noisy,
+       |  CAST(sum_snapped + 5 * zsum AS DOUBLE) /
+       |    CAST(greatest(n_true + znn, 1) AS DOUBLE) AS mean_noisy,
+       |  CAST(5 * zsum AS BIGINT) AS noise_sum,
+       |  (abs(5 * zsum) <= ${5L * bS} AND abs(znn) <= $bN)
+       |    AS within_bounds
+       |FROM zn ORDER BY 1""".stripMargin
   }
 
   /** Misra–Gries replay (q245): per-shard counts, θ = the count at

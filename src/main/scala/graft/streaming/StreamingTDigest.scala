@@ -1,0 +1,180 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.TDigest
+
+/** Continuous t-digest quantiles: cross-batch percentile tracking for
+  * UNBOUNDED/REAL value domains with FIXED-SIZE state — the streaming
+  * twin of [[graft.ext.TDigest]] and the real-domain complement to
+  * [[StreamingHdr]] (whose bucket histogram covers non-negative
+  * integers only). State is ONE digest of ≤ δ+1 centroid rows no
+  * matter how many values the stream ever carries; every read reports
+  * the exact `[vmin, vmax]` bracket per quantile, and the bracket
+  * SOUNDNESS (true running quantile inside it) survives any number of
+  * batch merges because merged brackets only widen.
+  *
+  * Fold discipline: the accumulator is a STRICT LEFT FOLD —
+  * `digest_i = merge(digest_{i-1}, summarize(batch_i))` — computed
+  * eagerly at each batch and persisted as its own `digest_upto_<i+1>`
+  * version. That makes the state after batch i a pure function of the
+  * batch sequence (no compaction-schedule dependence — unlike a
+  * merge-on-read store, where the merge TREE would shift with
+  * compaction timing and change the exact centroid cuts), so the
+  * DuckDB oracle replays the whole stream bit-for-bit by unrolling
+  * the same fold. Unlike [[StreamingHdr]]'s bucket store, the
+  * accumulated digest is NOT equal to the one-shot digest of the
+  * concatenated stream (rank re-clustering is lossy by design); the
+  * contract that matters — and that the spec pins per batch — is the
+  * bracket guarantee.
+  *
+  * Layout under `storePath`: `digest_upto_<n>/` — the folded digest of
+  * batches < n, one tiny parquet (≤ δ+1 rows). A batch append
+  * overwrites its own version directory and the fold is deterministic,
+  * so foreachBatch retries rewrite identical bytes; restart recovery
+  * reads the newest version on disk. Old versions are cleaned only
+  * AFTER the new version commits (the [[KeyedBatchStore]] discipline).
+  */
+object StreamingTDigest {
+
+  /** Driver-held handle on the folding digest store.
+    *
+    * `shardCol` is the batch-side PARALLELISM CONTRACT (the
+    * [[graft.ext.FreqSketch]] `mgSummarize` stance): the per-batch
+    * summarize rank-windows WITHIN each shard, so a giant batch fans
+    * out across its shard values instead of sorting on one task. Pick
+    * a column that spreads the batch (day / source / bucket id); None
+    * summarizes the batch as one shard — fine for the KB–MB micro-
+    * batches streams usually carry, wrong for TB backfill batches.
+    * The folded digest is shard-FREE either way (the merge re-cluster
+    * unifies shards), and the fold stays a pure function of the data
+    * because shard assignment only changes how per-batch work is
+    * split, never the multiset the merge re-clusters — but centroid
+    * CUTS do depend on it (different shard pre-compressions), so
+    * replays must use the same shard column.
+    */
+  final class TDigestAccumulator(spark: SparkSession, storePath: String,
+                                 valueCol: String,
+                                 shardCol: Option[String] = None,
+                                 delta: Int = 64,
+                                 keepVersions: Int = 2) {
+    require(delta >= 1, s"delta must be >= 1, got $delta")
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+
+    private def fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def versionDir(upTo: Long) = s"$storePath/digest_upto_$upTo"
+
+    private def versions(): Seq[Long] = {
+      val dir = new Path(storePath)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("digest_upto_"))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("digest_upto_").toLong).toOption)
+        .sorted(Ordering[Long].reverse)
+    }
+
+    /** Fold one batch: `digest_{id+1} = merge(digest covering < id+1's
+      * predecessor, summarize(batch))`. The predecessor is the newest
+      * version ≤ id (a retried batch id thus re-folds from the SAME
+      * input state it saw the first time and overwrites its own
+      * version with identical bytes).
+      */
+    def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val sharded = shardCol match {
+        case Some(c) => batch.select(col(c).as("__shard"),
+          col(valueCol).as("__v"))
+        case None => batch.select(lit(0L).as("__shard"),
+          col(valueCol).as("__v"))
+      }
+      val batchDigest =
+        TDigest.tdigestSummarize(sharded, "__v", "__shard", delta)
+      val prior = versions().find(_ <= batchId).map(v =>
+        spark.read.parquet(versionDir(v)))
+      // ALWAYS through the merge re-cluster (even batch 0 / one shard):
+      // the stored state is canonically <= delta+1 shard-free rows, and
+      // the fold is one re-cluster per batch — the oracle's unroll unit
+      val folded =
+        TDigest.tdigestMerge(prior.toSeq :+ batchDigest, delta)
+          .select("weight", "sumv", "vmin", "vmax")
+      folded.coalesce(1).write.mode("overwrite")
+        .parquet(versionDir(batchId + 1))
+      versions().drop(keepVersions)
+        .foreach(old => fs.delete(new Path(versionDir(old)), true))
+    }
+
+    /** The folded digest over batches < `uptoBatch` (newest version at
+      * or below it): ≤ δ+1 rows `(weight, sumv, vmin, vmax)`.
+      *
+      * LAZY, like any parquet read: the frame scans its version file
+      * when an action runs. Consume it before `keepVersions` further
+      * updates delete that file, or construct the accumulator with a
+      * larger `keepVersions` when holding reads across batches.
+      */
+    def digest(uptoBatch: Long): DataFrame =
+      versions().find(_ <= uptoBatch).map(v =>
+        spark.read.parquet(versionDir(v))).getOrElse(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS weight, " +
+          "CAST(NULL AS DECIMAL(28,8)) AS sumv, " +
+          "CAST(NULL AS DECIMAL(28,8)) AS vmin, " +
+          "CAST(NULL AS DECIMAL(28,8)) AS vmax WHERE FALSE"))
+
+    /** Quantile reads with exact value brackets over the running
+      * digest.
+      */
+    def quantiles(qs: Seq[Double], uptoBatch: Long): DataFrame =
+      TDigest.tdigestQuantiles(digest(uptoBatch), qs)
+
+    /** foreachBatch adapter. */
+    def asForeachBatch: (DataFrame, Long) => Unit =
+      (batch, id) => update(batch, id)
+  }
+
+  /** Attach the accumulator to a stream; query `quantiles` between or
+    * after batches.
+    */
+  def start(stream: DataFrame, storePath: String, valueCol: String,
+            shardCol: Option[String] = None, delta: Int = 64,
+            queryName: String = "graft-stream-tdigest",
+            checkpoint: Option[String] = None)
+      : (StreamingQuery, TDigestAccumulator) = {
+    val acc = new TDigestAccumulator(stream.sparkSession, storePath,
+      valueCol, shardCol, delta)
+    val writer = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch(acc.asForeachBatch)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    (writer.start(), acc)
+  }
+
+  /** Batch replay — the oracle-gateable twin: fold `batches` in order,
+    * reporting the RUNNING quantile brackets after each batch, so the
+    * gate checks the fold at every step.
+    */
+  def byBatch(spark: SparkSession, batches: Seq[DataFrame],
+              storePath: String, valueCol: String, qs: Seq[Double],
+              shardCol: Option[String] = None,
+              delta: Int = 64): DataFrame = {
+    require(batches.nonEmpty, "byBatch needs at least one batch")
+    // keep EVERY version: the per-batch quantile frames are returned
+    // lazily (they scan their own digest_upto_<i> file when the union
+    // finally executes), so replay must not clean up versions a
+    // returned frame still references. Cost: batches × (δ+1) rows on
+    // disk. The live accumulator keeps its rolling-2 default — its
+    // reads are consumed per batch.
+    val acc = new TDigestAccumulator(spark, storePath, valueCol,
+      shardCol, delta, keepVersions = batches.size + 1)
+    batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      acc.quantiles(qs, i.toLong + 1)
+        .withColumn("batch_id", lit(i.toLong))
+        .select("batch_id", "qi", "q", "n", "target_rank", "weight",
+          "vmin", "vmax", "estimate")
+    }.reduce(_ unionByName _)
+  }
+}

@@ -50,10 +50,11 @@ class PlanGuardSpec extends SparkTestBase {
     "q39_group_sketch", "q80_ann_pq", "q195_hard_negatives",
     "q227_rrf_fusion", "q228_rank_eval", "q229_graded_ndcg",
     "q230_mrr_map", "q232_mmr_rerank",
-    // q259: tdigestQuantiles' rank-band containment join — a literal
-    // |qs|-row frame against one ≤ δ+1-row digest (both bounded by
-    // construction; SingleTaskRegistrySpec asserts the digest bound)
-    "q259_tdigest_quantiles")
+    // q259/q260: tdigestQuantiles' rank-band containment join — a
+    // literal |qs|-row frame against one ≤ δ+1-row digest (both
+    // bounded by construction; SingleTaskRegistrySpec asserts the
+    // digest bound)
+    "q259_tdigest_quantiles", "q260_stream_tdigest")
 
   private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
     val cartesians = plan.collect { case c: CartesianProductExec => c }

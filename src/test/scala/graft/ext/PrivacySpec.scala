@@ -167,4 +167,72 @@ class PrivacySpec extends SparkTestBase {
     assert(out((Some("a"), None)) != out((None, Some("a"))),
       "NULL-skip collision")
   }
+
+  test("dpSums: clipping bounds one entity's pull on the release") {
+    // entity u9 carries 1000 rows of value 7; every other entity one
+    // row of value 2. Unclipped, u9 would move the sum by 7000;
+    // clipped to [0, 5] its total contribution is 5.
+    val rows = (Seq.fill(1000)(("g", 9L, 7L)) ++
+      (0L until 20L).map(u => ("g", u + 100L, 2L))).toDF("k", "u", "v")
+    val out = Privacy.dpSums(rows, Seq("k"), "u", "v",
+      clipLo = 0L, clipHi = 5L, epsilonSum = 1.0, epsilonCount = 0.5)
+      .collect().head
+    val snapped = out.getAs[Long]("sum_snapped")
+    val bound = out.getAs[Long]("noise_bound_sum")
+    // true clipped sum = 5 + 20*2 = 45; snap to grid 5 keeps 45
+    assert(snapped == 45L, s"snapped clipped sum $snapped != 45")
+    assert(math.abs(out.getAs[Long]("sum_noisy") - snapped) <= bound)
+    assert(out.getAs[Long]("sensitivity") == 5L)
+  }
+
+  test("dpSums: negative sums snap on the floor-division grid") {
+    // all entities total -7 (clip floor -10): group sum = -21,
+    // snap to grid 10: floor((-42+10)/20)*10 = floor(-1.6)*10 = -20
+    val rows = (0L until 3L).map(u => ("g", u, -7L)).toDF("k", "u", "v")
+    val out = Privacy.dpSums(rows, Seq("k"), "u", "v",
+      clipLo = -10L, clipHi = 10L, epsilonSum = 2.0, epsilonCount = 0.5)
+      .collect().head
+    assert(out.getAs[Long]("sum_snapped") == -20L,
+      s"negative snap ${out.getAs[Long]("sum_snapped")} != -20 " +
+        "(floor division, not truncation)")
+  }
+
+  test("dpSums: deterministic, mean is post-processing, guards hold") {
+    val rows = (0L until 50L).map(u => (s"t${u % 3}", u, u % 4))
+      .toDF("k", "u", "v")
+    val a = Privacy.dpSums(rows, Seq("k"), "u", "v", 0L, 3L, 1.0, 0.5)
+      .orderBy("k").collect().toSeq
+    val b = Privacy.dpSums(rows, Seq("k"), "u", "v", 0L, 3L, 1.0, 0.5)
+      .orderBy("k").collect().toSeq
+    assert(a == b, "release is not retry-stable")
+    a.foreach { r =>
+      val m = r.getAs[Double]("mean_noisy")
+      val want = r.getAs[Long]("sum_noisy").toDouble /
+        math.max(r.getAs[Long]("n_noisy"), 1L).toDouble
+      assert(m == want, "mean is not pure post-processing of the pair")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpSums(rows, Seq("k"), "u", "v", 5L, 3L, 1.0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpSums(rows, Seq("k"), "u", "v", 0L, 0L, 1.0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      val dbl = rows.withColumn("v", col("v").cast("double"))
+      Privacy.dpSums(dbl, Seq("k"), "u", "v", 0L, 3L, 1.0, 0.5)
+    }
+  }
+
+  test("dpSums: all-NULL-value entities still count toward n") {
+    val rows = Seq(("g", 1L, Some(3L)), ("g", 2L, None), ("g", 2L, None))
+      .toDF("k", "u", "v")
+    val out = Privacy.dpSums(rows, Seq("k"), "u", "v", 0L, 5L, 1.0, 0.5)
+      .collect().head
+    // entity 2 contributes clip(coalesce(NULL, 0)) = 0 to the sum but
+    // is present: snapped sum from {3, 0}, n from 2 entities
+    assert(out.getAs[Long]("sum_snapped") == 5L) // snap(3) on grid 5
+    assert(math.abs(out.getAs[Long]("n_noisy") - 2L) <=
+      out.getAs[Long]("noise_bound_n"),
+      "entity 2 (all-NULL values) must still count toward n")
+  }
 }

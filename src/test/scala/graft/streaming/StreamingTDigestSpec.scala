@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StreamingTDigestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-stdg-$tag").toString + "/store"
+
+  // three batches shifting the distribution (negatives + reals — the
+  // domain HDR cannot carry) so running quantiles must move
+  private val b0 = (0 until 1000).map(i => -50.0 + (i % 100) * 0.25)
+  private val b1 = (0 until 1000).map(i => 10.5 + (i % 900) * 0.5)
+  private val b2 = (0 until 1000).map(i => 1000.0 + (i % 5000) * 0.125)
+
+  test("byBatch running brackets contain the true running quantiles") {
+    val rows = StreamingTDigest.byBatch(spark,
+        Seq(b0.toDF("v"), b1.toDF("v"), b2.toDF("v")),
+        tmp("run"), "v", Seq(0.1, 0.5, 0.99), delta = 32)
+      .select(col("batch_id"), col("q"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"),
+        col("estimate"))
+      .orderBy("batch_id", "q")
+      .as[(Long, Double, Long, Double, Double, Double)].collect()
+    assert(rows.length == 9, "3 batches x 3 quantiles, one row each")
+    val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
+    rows.foreach { case (bid, q, r, lo, hi, est) =>
+      val sorted = prefixes(bid.toInt).sorted
+      assert(r == math.floor(q * (sorted.size - 1)).toLong)
+      val truth = sorted(r.toInt)
+      assert(lo <= truth && truth <= hi,
+        s"batch $bid q$q: true $truth outside [$lo, $hi]")
+      assert(lo <= est && est <= hi, "estimate inside its own bracket")
+    }
+    // the p50 bracket must move up as later, larger batches accumulate
+    val p50his = rows.filter(_._2 == 0.5).sortBy(_._1).map(_._5)
+    assert(p50his(0) < p50his(1) && p50his(1) < p50his(2),
+      s"p50 hi bounds not increasing: ${p50his.toSeq}")
+  }
+
+  test("state is <= delta+1 rows after every batch; weights/sums exact") {
+    val store = tmp("state")
+    val acc = new StreamingTDigest.TDigestAccumulator(spark, store, "v",
+      shardCol = None, delta = 16)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      acc.update(b.toDF("v"), i.toLong)
+      val d = acc.digest(i.toLong + 1)
+      assert(d.count() <= 17, s"state after batch $i exceeds delta+1")
+      val n = d.agg(sum("weight")).head().getLong(0)
+      assert(n == (i + 1) * 1000L, "merged weight = rows seen so far")
+    }
+    val s = acc.digest(3L).agg(sum(col("sumv")).cast("double"))
+      .head().getDouble(0)
+    val want = (b0 ++ b1 ++ b2).sum
+    assert(math.abs(s - want) < 1e-6, "sums fold exactly across batches")
+  }
+
+  test("sharded batch summarize folds to the same bracket soundness") {
+    val store = tmp("shard")
+    val batches = Seq(b0, b1).map(b =>
+      b.zipWithIndex.map { case (v, i) => (i.toLong % 4, v) }
+        .toDF("src", "v"))
+    val rows = StreamingTDigest.byBatch(spark, batches, store, "v",
+        Seq(0.5), shardCol = Some("src"), delta = 32)
+      .select(col("batch_id"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .orderBy("batch_id")
+      .as[(Long, Long, Double, Double)].collect()
+    val prefixes = Seq(b0, b0 ++ b1)
+    rows.foreach { case (bid, r, lo, hi) =>
+      val truth = prefixes(bid.toInt).sorted.apply(r.toInt)
+      assert(lo <= truth && truth <= hi,
+        s"sharded batch $bid: true $truth outside [$lo, $hi]")
+    }
+  }
+
+  test("retry of a batch id is idempotent; restart recovers the fold") {
+    val store = tmp("retry")
+    val acc = new StreamingTDigest.TDigestAccumulator(spark, store, "v",
+      shardCol = None, delta = 16)
+    acc.update(b0.toDF("v"), 0L)
+    acc.update(b1.toDF("v"), 1L)
+    val once = acc.digest(2L).collect().toSeq
+      .sortBy(r => r.getDecimal(2).toString)
+    // foreachBatch retry: batch 1 re-delivered — must re-fold from the
+    // SAME predecessor state and overwrite with identical rows
+    acc.update(b1.toDF("v"), 1L)
+    val twice = acc.digest(2L).collect().toSeq
+      .sortBy(r => r.getDecimal(2).toString)
+    assert(once == twice, "retried batch changed the folded digest")
+    // restart: a NEW accumulator on the same path resumes the fold
+    val acc2 = new StreamingTDigest.TDigestAccumulator(spark, store, "v",
+      shardCol = None, delta = 16)
+    acc2.update(b2.toDF("v"), 2L)
+    assert(acc2.digest(3L).agg(sum("weight")).head().getLong(0) == 3000L)
+  }
+
+  test("live stream: foreachBatch accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val store = tmp("live")
+    val (query, acc) = StreamingTDigest.start(
+      input.toDF().withColumnRenamed("value", "v"), store, "v",
+      delta = 16, queryName = "stdg-spec")
+    try {
+      input.addData(b0: _*)
+      query.processAllAvailable()
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      val d = acc.digest(Long.MaxValue)
+      assert(d.agg(sum("weight")).head().getLong(0) == 2000L)
+      assert(d.count() <= 17)
+    } finally query.stop()
+  }
+}
