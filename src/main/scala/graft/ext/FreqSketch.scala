@@ -110,6 +110,49 @@ object FreqSketch {
       itemCol, width)
       .filter(col("est") >= minCount)
 
+  /** Equi-join CARDINALITY estimate from two CMS sketches built with
+    * the SAME width over the two sides' join-key columns — the
+    * inner-product estimator (Cormode & Muthukrishnan §4.2, the
+    * sketch form of the AMS join-size estimate): per depth slice,
+    * `dot_j = Σ_bucket cntA(j,b) · cntB(j,b)` equals the true
+    * `|A ⋈ B| = Σ_key cntA(k)·cntB(k)` PLUS a nonnegative collision
+    * term (colliding keys only add products), so `min_j dot_j` NEVER
+    * under-estimates the join size and tightens with depth — the
+    * `never_under` column the gate rides along asserts it as data.
+    *
+    * This is the planner's shape: both inputs are ≤ Depth·width rows
+    * by construction, so the estimate costs one sketch-sized hash join
+    * — affordable BEFORE committing the real join's shuffle (pick
+    * broadcast vs shuffle, pre-size partitions, or refuse a
+    * runaway fan-out join), and the sketches themselves are the
+    * one-linear-scan, map-side-combined relations [[cmsSketch]] always
+    * builds, mergeable across days/corpora with [[cmsMerge]].
+    *
+    * Caller contract (as for [[cmsMerge]]): both sketches must share
+    * `width`. Output: one row per slice `(j, dot, join_size_est)` with
+    * the min replicated per row — ≤ [[Depth]] rows total.
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val prod = a.select(col("j"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(b.select(col("j"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+    // an ABSENT slice means zero bucket overlap there — dot_j = 0, the
+    // tightest possible bound (a truly joining key collides with
+    // itself in EVERY slice, so any true join populates all Depth
+    // rows). Materialize the full slice domain so the min sees it.
+    val full = a.sparkSession.range(Depth)
+      .select(col("id").cast("int").as("j"))
+      .join(prod, Seq("j"), "left")
+      .select(col("j"), coalesce(col("dot"), lit(0L)).as("dot"))
+    // frame = one row per slice (= Depth rows) by construction;
+    // declared with the registered constant key
+    full.withColumn("join_size_est",
+      min(col("dot")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(SingleTask.key(col("j")))))
+  }
+
   // --------------------------------------------- HyperLogLog as a relation
 
   /** HyperLogLog (Flajolet et al. 2007) as a RELATION — the distinct-

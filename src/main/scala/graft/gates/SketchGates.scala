@@ -360,6 +360,36 @@ private[graft] object SketchGates extends GateFamily {
             .as("est_in_bracket"))
         .orderBy("qi")
     }),
+
+    // ext sketch — CMS inner-product join-size estimate: the planner
+    // primitive that prices |A ⋈ B| from two Depth×width sketches
+    // BEFORE committing the real join's shuffle. Per slice the bucket
+    // dot product = true join size + nonnegative collision mass, so
+    // min-over-slices never under-estimates — `never_under` asserts
+    // the guarantee as data against the exact join size riding along
+    // (a 1-row global aggregate broadcast).
+    "q262_join_size_estimate" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      val width = 1024
+      val a = ext.FreqSketch.cmsSketch(
+        ev.filter(col("event_id") % 2 === 0), "user_id", width)
+      val b = ext.FreqSketch.cmsSketch(
+        ev.filter(col("event_id") % 2 === 1), "user_id", width)
+      val exact = ev.filter(col("event_id") % 2 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_id") % 2 === 1)
+          .groupBy("user_id").agg(count(lit(1)).as("cb")), "user_id")
+        .agg(sum(col("ca") * col("cb")).cast("long")
+          .as("exact_join_size"))
+      ext.FreqSketch.cmsJoinSize(a, b)
+        .crossJoin(broadcast(exact))
+        .select(col("j").cast("long").as("j"), col("dot"),
+          col("join_size_est"), col("exact_join_size"),
+          (col("join_size_est") >= col("exact_join_size"))
+            .as("never_under"))
+        .orderBy("j")
+    }),
   )
 
   /** t-digest replay (q259): the identical per-shard rank windows and
@@ -437,9 +467,56 @@ private[graft] object SketchGates extends GateFamily {
        |FROM pick ORDER BY qi""".stripMargin
   }
 
+  /** CMS join-size replay (q262): both sketches rebuilt from the same
+    * md5 8-hex slices (the [[Support.hexFold]] ascii decode), per-slice
+    * integer dot products, min over slices via a window, and the exact
+    * `Σ cntA·cntB` join size — all integers, bit-replayable.
+    */
+  private def JoinSizeOracle: String = {
+    val width = 1024
+    def cells(src: String, out: String): String =
+      (0 until ext.FreqSketch.Depth).map(j =>
+        s"SELECT $j AS j, ${hexFold(s"${j * 8 + 1}", 8)} % $width " +
+          s"AS bucket, CAST(count(*) AS BIGINT) AS cnt " +
+          s"FROM $src GROUP BY 2").mkString(s"$out AS (",
+        "\n  UNION ALL ", ")")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id % 2 AS side FROM events
+       |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+       |ha AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM ev WHERE side = 0),
+       |hb AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+       |  FROM ev WHERE side = 1),
+       |${cells("ha", "ca")},
+       |${cells("hb", "cb")},
+       |dots AS (
+       |  SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+       |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+       |  GROUP BY 1),
+       |dom AS (SELECT unnest(generate_series(0,
+       |  ${ext.FreqSketch.Depth - 1})) AS j),
+       |dfull AS (
+       |  SELECT dom.j, CAST(coalesce(d.dot, 0) AS BIGINT) AS dot
+       |  FROM dom LEFT JOIN dots d USING (j)),
+       |m AS (SELECT j, dot,
+       |  CAST(min(dot) OVER () AS BIGINT) AS join_size_est FROM dfull),
+       |exact AS (
+       |  SELECT CAST(sum(x.ca * y.cb) AS BIGINT) AS exact_join_size
+       |  FROM (SELECT user_id, count(*) AS ca FROM ev
+       |        WHERE side = 0 GROUP BY 1) x
+       |  JOIN (SELECT user_id, count(*) AS cb FROM ev
+       |        WHERE side = 1 GROUP BY 1) y USING (user_id))
+       |SELECT CAST(m.j AS BIGINT) AS j, m.dot, m.join_size_est,
+       |  e.exact_join_size,
+       |  (m.join_size_est >= e.exact_join_size) AS never_under
+       |FROM m CROSS JOIN exact e ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q259_tdigest_quantiles" -> TDigestOracle,
+
+    "q262_join_size_estimate" -> JoinSizeOracle,
 
     // CMS replay: same md5 hex slices decoded via ascii fold, same
     // % width buckets, same min-over-4-slices with absent cells = 0

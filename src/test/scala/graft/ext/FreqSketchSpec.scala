@@ -484,4 +484,32 @@ class FreqSketchSpec extends SparkTestBase {
     assert(lvl2 == Set(("x", 10L, 3L), ("y", 1L, 3L)),
       "two-level merge must reproduce the one-level bounds")
   }
+
+  test("cmsJoinSize never under-estimates; exact when collision-free") {
+    // side A: key k appears k times; side B: every key once + key 3
+    // five times -> true join size = sum(k * cntB(k))
+    val a = (1 to 40).flatMap(k => Seq.fill(k)(s"k$k")).toDF("k")
+    val b = ((1 to 40).map(k => s"k$k") ++ Seq.fill(4)("k3")).toDF("k")
+    val truth = (1 to 40).map(k => k.toLong * (if (k == 3) 5 else 1)).sum
+    // narrow sketch: collisions certain, estimate still an upper bound
+    val est256 = FreqSketch.cmsJoinSize(
+        FreqSketch.cmsSketch(a, "k", 256), FreqSketch.cmsSketch(b, "k", 256))
+      .select("join_size_est").distinct().as[Long].head()
+    assert(est256 >= truth, s"narrow est $est256 under-estimates $truth")
+    // wide sketch: 40 keys in 4x65536 cells — min over 4 independent
+    // slices recovers the exact join size
+    val estWide = FreqSketch.cmsJoinSize(
+        FreqSketch.cmsSketch(a, "k", 65536),
+        FreqSketch.cmsSketch(b, "k", 65536))
+      .select("join_size_est").distinct().as[Long].head()
+    assert(estWide == truth, s"wide est $estWide != exact $truth")
+    // disjoint key spaces at wide width: estimate 0 (no phantom joins)
+    val c = (1 to 40).map(k => s"m$k").toDF("k")
+    val estDisjoint = FreqSketch.cmsJoinSize(
+        FreqSketch.cmsSketch(a, "k", 65536),
+        FreqSketch.cmsSketch(c, "k", 65536))
+      .select("join_size_est").distinct().as[Long].collect()
+    assert(estDisjoint.toSeq == Seq(0L),
+      "disjoint sides must estimate 0 — an absent slice is a zero dot")
+  }
 }

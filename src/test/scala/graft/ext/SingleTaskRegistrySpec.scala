@@ -72,7 +72,9 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     "ext/Profile.scala" -> 1,
     "ext/Layout.scala" -> 2,
     "ext/TextStats.scala" -> 2,
-    "ext/FreqSketch.scala" -> 2,
+    // + cmsJoinSize's min-over-slices window (r11): frame = one row
+    // per slice, ≤ Depth rows by the groupBy — asserted below
+    "ext/FreqSketch.scala" -> 3,
     "ext/Bootstrap.scala" -> 1,
     // tdigestMerge re-cluster + tdigestQuantiles pick: frames = the
     // union of input digests / one digest — ≤ shards·(δ+1) and ≤ δ+1
@@ -189,6 +191,18 @@ class SingleTaskRegistrySpec extends SparkTestBase {
       s"mgMerge frame = $frameRows rows — exceeds k x shards")
     val merged = FreqSketch.mgMerge(perShard, k).count()
     assert(merged <= k.toLong, s"merged summary = $merged rows > k")
+  }
+
+  test("cmsJoinSize frame is Depth rows by construction") {
+    val ev = spark.range(50000)
+      .select((col("id") % 997).cast("string").as("k"),
+        (col("id") % 2).as("side"))
+    val a = FreqSketch.cmsSketch(ev.filter(col("side") === 0), "k", 256)
+    val b = FreqSketch.cmsSketch(ev.filter(col("side") === 1), "k", 256)
+    assert(a.count() <= FreqSketch.Depth * 256L)
+    val out = FreqSketch.cmsJoinSize(a, b)
+    assert(out.count() == FreqSketch.Depth,
+      "join-size frame must be one row per slice")
   }
 
   test("tdigest merge/quantile frames are digest-sized by construction") {
