@@ -193,6 +193,26 @@ object Retrieval {
           "THEN (dcg_e9 * 1000000) div idcg_e9 END"))
   }
 
+  /** ANN recall@k — the evaluation harness for the approximate
+    * neighbor operators ([[Similarity.lshTopK]], [[Similarity.ivfTopK]],
+    * PQ): [[rankEval]] with the EXACT top-k (from
+    * [[Similarity.bruteForceTopK]], usually on a sampled query set) as
+    * the judgment set. `recall_e6` is then recall@k against exact
+    * ground truth — the number an index's `nprobe`/`bits`/`numCells`
+    * dials are tuned by — and `ndcg_e6` additionally penalizes POSITION
+    * damage: a true neighbor ranked below a spurious candidate lowers
+    * nDCG beyond what the miss alone costs (binary relevance is
+    * order-blind among true neighbors themselves). Integer-exact like every
+    * metric in this file; per-query rows, evaluation-sized frames only
+    * (the expensive parts — the exact and approximate top-k — are the
+    * inputs, priced by their own operators).
+    */
+  def annRecall(approx: DataFrame, exactTopK: DataFrame,
+                queryCol: String, idCol: String, rankCol: String,
+                k: Int): DataFrame =
+    rankEval(approx, exactTopK.filter(col(rankCol).cast("int") <= k),
+      queryCol, idCol, rankCol, k)
+
   /** Discount constants at 1e6 scale for GRADED nDCG: the graded form
     * multiplies each discount by a gain up to 2^maxRel − 1, so the
     * pre-scale drops from 1e9 to 1e6 to keep the worst case —

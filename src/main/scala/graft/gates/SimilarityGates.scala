@@ -67,6 +67,34 @@ private[graft] object SimilarityGates extends GateFamily {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ext similarity+retrieval — ANN recall@k harness: the IVF index at
+    // nprobe=2 evaluated against the brute-force exact top-10 as ground
+    // truth (rankEval composition — recall_e6 is the dial the index's
+    // nprobe/numCells are tuned by; ndcg_e6 additionally scores order
+    // fidelity). Macro recall rides along from the integer-scaled
+    // per-query recalls: an exact BIGINT sum over queries, one final
+    // double division — order-free and bit-replayable.
+    "q263_ann_recall" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(em, qs, "vec_id",
+        "embedding", "query_id", k = 10)
+      val approx = Similarity.ivfTopK(em, qs, "vec_id", "embedding",
+        "query_id", k = 10, numCells = 16, nprobe = 2)
+      val per = Retrieval.annRecall(approx, exact, "query_id",
+        "neighbor_id", "rank", k = 10)
+      val macroAvg = per.agg(sum(col("recall_e6")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select((col("__s").cast("double") /
+          (col("__n") * 1000000L).cast("double")).as("macro_recall"))
+      per.crossJoin(broadcast(macroAvg))
+        .select(col("query"), col("n_retrieved"), col("n_relevant"),
+          col("hits"), col("recall_e6"), col("ndcg_e6"),
+          col("macro_recall"))
+        .orderBy("query")
+    }),
+
     // ext similarity — int8 embedding quantization (the 4x memory lever
     // for ANN at scale); all arithmetic correctly-rounded IEEE, so
     // quantized vectors are bit-identical across engines.
@@ -307,6 +335,8 @@ private[graft] object SimilarityGates extends GateFamily {
     "q16_ann_lsh" -> LshAnnOracle,
 
     "q28_ann_ivf" -> IvfAnnOracle,
+
+    "q263_ann_recall" -> AnnRecallOracle,
 
     "q80_ann_pq" -> PqAnnOracle,
 

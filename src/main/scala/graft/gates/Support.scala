@@ -565,6 +565,100 @@ private[graft] object Support {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** ANN-recall replay (q263): the [[IvfAnnOracle]] chain at nprobe=2
+    * as the retrieved list, the q15 brute-force chain as the judgment
+    * set, then the [[RankEvalOracle]] integer metric math plus the
+    * macro recall — an exact BIGINT sum of the 1e6-scaled per-query
+    * recalls over one final double division.
+    */
+  val AnnRecallOracle: String = {
+    val disc = ext.Retrieval.discountsE9(10).mkString("[", ", ", "]")
+    val idcg = ext.Retrieval.idcgPrefixE9(10).mkString("[", ", ", "]")
+    def cosine(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 8),
+       |exact_scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosine("q.qv", "e.embedding")} AS cosine
+       |  FROM qset q CROSS JOIN embeddings e),
+       |judge AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM exact_scored) WHERE rnk <= 10),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       |  ORDER BY vec_id),
+       |corpus_assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE crank <= 1),
+       |query_assign AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 8)
+       |  WHERE crank <= 2),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, ca.neighbor_id
+       |  FROM query_assign q JOIN corpus_assign ca ON ca.cell = q.cell),
+       |retrieved AS (
+       |  SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT cand.query_id, cand.neighbor_id,
+       |      row_number() OVER (PARTITION BY cand.query_id ORDER BY
+       |        ${cosine("q.embedding", "c.embedding")} DESC,
+       |        cand.neighbor_id) AS rnk
+       |    FROM cand
+       |    JOIN embeddings q ON q.vec_id = cand.query_id
+       |    JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |  WHERE rnk <= 10),
+       |relc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+       |  FROM judge GROUP BY 1),
+       |h AS (
+       |  SELECT r.query_id,
+       |    CAST(count(*) AS BIGINT) AS n_retrieved,
+       |    CAST(coalesce(sum(CASE WHEN j.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits,
+       |    CAST(coalesce(sum(CASE WHEN j.neighbor_id IS NOT NULL THEN ($disc)[r.rnk] END), 0) AS BIGINT) AS dcg_e9
+       |  FROM retrieved r LEFT JOIN judge j
+       |    ON r.query_id = j.query_id AND r.neighbor_id = j.neighbor_id
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT coalesce(h.query_id, relc.query_id) AS query,
+       |    CAST(coalesce(h.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       |    CAST(coalesce(relc.n_relevant, 0) AS BIGINT) AS n_relevant,
+       |    CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |    CAST(coalesce(h.dcg_e9, 0) AS BIGINT) AS dcg_e9
+       |  FROM h FULL OUTER JOIN relc ON h.query_id = relc.query_id),
+       |per2 AS (
+       |  SELECT query, n_retrieved, n_relevant, hits,
+       |    CASE WHEN n_relevant >= 1
+       |      THEN CAST((hits * 1000000) // n_relevant AS BIGINT) END AS recall_e6,
+       |    CASE WHEN n_relevant >= 1
+       |      THEN CAST((dcg_e9 * 1000000) // ($idcg)[CAST(least(n_relevant, 10) AS INT)] AS BIGINT) END AS ndcg_e6
+       |  FROM per),
+       |macro AS (
+       |  SELECT CAST(sum(recall_e6) AS DOUBLE) /
+       |    CAST(count(*) * 1000000 AS DOUBLE) AS macro_recall
+       |  FROM per2)
+       |SELECT p.query, p.n_retrieved, p.n_relevant, p.hits, p.recall_e6,
+       |  p.ndcg_e6, m.macro_recall
+       |FROM per2 p CROSS JOIN macro m
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Generated oracle for the PQ ANN path: the md5-rank-sampled codebook is
     * derived from the embeddings table itself (same ids as the engine
     * side), then encoding (nearest codeword per subspace by

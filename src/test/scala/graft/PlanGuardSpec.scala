@@ -50,6 +50,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q39_group_sketch", "q80_ann_pq", "q195_hard_negatives",
     "q227_rrf_fusion", "q228_rank_eval", "q229_graded_ndcg",
     "q230_mrr_map", "q232_mmr_rerank",
+    // q263 composes the q15 brute-force ground truth (the sanctioned
+    // broadcast-queries × corpus scoring join) with the q28 IVF path
+    "q263_ann_recall",
     // q259/q260: tdigestQuantiles' rank-band containment join — a
     // literal |qs|-row frame against one ≤ δ+1-row digest (both
     // bounded by construction; SingleTaskRegistrySpec asserts the

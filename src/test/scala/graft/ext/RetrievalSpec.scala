@@ -377,4 +377,33 @@ class RetrievalSpec extends SparkTestBase {
       chain(ex).exists(t => Option(t.getMessage)
         .exists(_.contains("duplicate doc in run A"))))
   }
+
+  test("annRecall: closed-form recall/order-fidelity vs an exact list") {
+    import spark.implicits._
+    // exact top-3 for q1: docs 10, 20, 30; the index finds 10 and 30
+    // but misses 20 and pads a spurious 99 at rank 2 -> recall 2/3 AND
+    // ndcg < 1 (a true neighbor displaced below a spurious one). For
+    // q2 the index returns the exact SET in a different order: binary
+    // relevance is order-blind among true neighbors, so recall 1 and
+    // ndcg exactly 1.
+    val exact = Seq(("q1", 10L, 1), ("q1", 20L, 2), ("q1", 30L, 3),
+      ("q2", 1L, 1), ("q2", 2L, 2), ("q2", 3L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(("q1", 10L, 1), ("q1", 99L, 2), ("q1", 30L, 3),
+      ("q2", 3L, 1), ("q2", 2L, 2), ("q2", 1L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.annRecall(approx, exact, "query_id",
+        "neighbor_id", "rank", k = 3)
+      .orderBy("query")
+      .select("query", "hits", "n_relevant", "recall_e6", "ndcg_e6")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq(("q1", 2L, 3L), ("q2", 3L, 3L)))
+    assert(out(0)._4 == 666666L, "recall@3 = 2/3 at 1e6 scale, floored")
+    assert(out(0)._5 < 1000000L,
+      "true neighbor below a spurious one: nDCG < 1")
+    assert(out(1)._4 == 1000000L, "full recall")
+    assert(out(1)._5 == 1000000L,
+      "binary relevance is order-blind among true neighbors: nDCG = 1")
+  }
 }
