@@ -106,6 +106,45 @@ object TDigest {
         min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
   }
 
+  /** Per-GROUP quantile reads straight from a [[tdigestSummarize]]
+    * output (the shard column doubling as the group key — the
+    * q249/q250 per-group sketch shape for real-valued domains): each
+    * group's ≤ δ+1 centroid rows are rank-windowed within the group,
+    * the |qs| literal quantile rows replicate against the digest frame
+    * (a broadcast of a literal local relation — the frame is
+    * groups·(δ+1) rows, digest-sized, never corpus-sized), and the
+    * band containment picks each group's answering centroid. Output
+    * one row per (shard, qi) with the same exact-bracket columns as
+    * [[tdigestQuantiles]].
+    */
+  def tdigestQuantilesByGroup(digest: DataFrame,
+                              qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be within [0, 1], got $qs")
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
+    val cum = digest
+      .withColumn("__cum", sum(col("weight")).over(byShard))
+      .withColumn("__n",
+        sum(col("weight")).over(Window.partitionBy(col("shard"))))
+      .withColumn("__before", col("__cum") - col("weight"))
+    val spark = digest.sparkSession
+    import spark.implicits._
+    val qdf = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("qi", "q")
+    val r = floor(col("q") * (col("__n") - 1L).cast("double")).cast("long")
+    cum.join(broadcast(qdf),
+        r.between(col("__before"), col("__cum") - 1L))
+      .select(col("shard"), col("qi"), col("q"),
+        col("__n").as("n"), r.as("target_rank"),
+        col("weight"), col("vmin"), col("vmax"),
+        (col("vmin").cast("double") +
+          (col("vmax") - col("vmin")).cast("double") *
+            ((r - col("__before")).cast("double") /
+              greatest(col("weight") - 1L, lit(1L)).cast("double")))
+          .as("estimate"))
+  }
+
   /** Quantile reads from one digest (≤ δ+1 rows, shard-free — the
     * [[tdigestMerge]] output): for each q, the target rank is
     * `r = ⌊q·(N−1)⌋` (exact BIGINT), the answering centroid is the one

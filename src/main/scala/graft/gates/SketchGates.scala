@@ -361,6 +361,29 @@ private[graft] object SketchGates extends GateFamily {
         .orderBy("qi")
     }),
 
+    // ext sketch — per-GROUP t-digest quantiles (the q249/q250
+    // per-group sketch shape for real-valued domains): one summarize
+    // with the group key as the shard column gives each group its
+    // ≤ δ+1-row digest in one pass; quantile picks work the
+    // groups·(δ+1)-row digest frame only. Exact [vmin, vmax] brackets
+    // per (group, q), replayed bit-for-bit.
+    "q264_tdigest_by_group" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull)
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("v"))
+      val delta = 16
+      val digest = ext.TDigest.tdigestSummarize(vals, "v", "grp", delta)
+      ext.TDigest.tdigestQuantilesByGroup(digest, Seq(0.5, 0.9))
+        .select(col("shard").as("grp"), col("qi"), col("q"), col("n"),
+          col("target_rank"), col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"))
+        .orderBy("grp", "qi")
+    }),
+
     // ext sketch — CMS inner-product join-size estimate: the planner
     // primitive that prices |A ⋈ B| from two Depth×width sketches
     // BEFORE committing the real join's shuffle. Per slice the bucket
@@ -512,11 +535,64 @@ private[graft] object SketchGates extends GateFamily {
        |FROM m CROSS JOIN exact e ORDER BY 1""".stripMargin
   }
 
+  /** Per-group t-digest replay (q264): the [[TDigestOracle]] summarize
+    * machinery with the group key as the shard, rank windows and
+    * quantile band picks PARTITIONED BY the group — same integer/
+    * decimal-exact arithmetic, one output row per (group, q).
+    */
+  private def TDigestByGroupOracle: String = {
+    val delta = 16
+    s"""WITH vals AS (
+       |  SELECT o_orderpriority AS shard,
+       |    CAST(o_totalprice AS DECIMAL(28,8)) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+       |w AS (
+       |  SELECT shard, v, CAST(count(*) AS BIGINT) AS w
+       |  FROM vals GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT shard, v, w,
+       |    sum(w) OVER (PARTITION BY shard ORDER BY v) AS cum,
+       |    sum(w) OVER (PARTITION BY shard) AS n
+       |  FROM w),
+       |dig AS (
+       |  SELECT shard, CAST(sum(w) AS BIGINT) AS weight,
+       |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+       |    min(v) AS vmin, max(v) AS vmax
+       |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
+       |        FROM rk) t
+       |  GROUP BY shard, cluster),
+       |k AS (
+       |  SELECT shard, weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (PARTITION BY shard
+       |      ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER (PARTITION BY shard) AS n
+       |  FROM dig),
+       |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
+       |pick AS (
+       |  SELECT shard, qi, q, n,
+       |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+       |    weight, vmin, vmax, cum - weight AS bef
+       |  FROM qs JOIN k
+       |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+       |      BETWEEN cum - weight AND cum - 1)
+       |SELECT shard AS grp, CAST(qi AS BIGINT) AS qi,
+       |  CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n, target_rank,
+       |  weight, CAST(vmin AS DOUBLE) AS vmin_d,
+       |  CAST(vmax AS DOUBLE) AS vmax_d,
+       |  CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) *
+       |    (CAST(target_rank - bef AS DOUBLE) /
+       |      CAST(greatest(weight - 1, 1) AS DOUBLE)) AS estimate
+       |FROM pick ORDER BY 1, 2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q259_tdigest_quantiles" -> TDigestOracle,
 
     "q262_join_size_estimate" -> JoinSizeOracle,
+
+    "q264_tdigest_by_group" -> TDigestByGroupOracle,
 
     // CMS replay: same md5 hex slices decoded via ascii fold, same
     // % width buckets, same min-over-4-slices with absent cells = 0

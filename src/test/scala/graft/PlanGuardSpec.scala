@@ -53,11 +53,12 @@ class PlanGuardSpec extends SparkTestBase {
     // q263 composes the q15 brute-force ground truth (the sanctioned
     // broadcast-queries × corpus scoring join) with the q28 IVF path
     "q263_ann_recall",
-    // q259/q260: tdigestQuantiles' rank-band containment join — a
-    // literal |qs|-row frame against one ≤ δ+1-row digest (both
-    // bounded by construction; SingleTaskRegistrySpec asserts the
-    // digest bound)
-    "q259_tdigest_quantiles", "q260_stream_tdigest")
+    // q259/q260/q264: tdigestQuantiles' rank-band containment join — a
+    // literal |qs|-row frame against a digest-sized frame (≤ δ+1 rows,
+    // or groups·(δ+1) for the per-group form — bounded by
+    // construction; SingleTaskRegistrySpec asserts the digest bound)
+    "q259_tdigest_quantiles", "q260_stream_tdigest",
+    "q264_tdigest_by_group")
 
   private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
     val cartesians = plan.collect { case c: CartesianProductExec => c }

@@ -77,6 +77,35 @@ class TDigestSpec extends SparkTestBase {
       m2.collect().toSeq.sortBy(_.getLong(0)))
   }
 
+  test("per-group quantile brackets contain each group's true quantile") {
+    val rnd = new scala.util.Random(7)
+    // dyadic values (x/16): exactly representable BOTH as doubles and
+    // at the DECIMAL(28,8) carrier scale, so the scala-side truth and
+    // the digest's brackets quantize identically
+    val rows = (0 until 2000).map { i =>
+      val g = s"g${i % 4}"
+      (g, math.floor(rnd.nextGaussian() * 1e3 + (i % 4) * 500) / 16.0)
+    }
+    val digest = TDigest.tdigestSummarize(rows.toDF("shard", "v"),
+      "v", "shard", delta = 16)
+    val got = TDigest.tdigestQuantilesByGroup(digest, Seq(0.25, 0.75))
+      .select(col("shard"), col("qi"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"),
+        col("estimate"))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 8, "4 groups x 2 quantiles, one row each")
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    got.foreach { case (g, qi, r, lo, hi, est) =>
+      val sorted = byGroup(g)
+      val q = Seq(0.25, 0.75)(qi.toInt)
+      assert(r == math.floor(q * (sorted.size - 1)).toLong)
+      val truth = sorted(r.toInt)
+      assert(lo <= truth && truth <= hi,
+        s"group $g q$q: true $truth outside [$lo, $hi]")
+      assert(lo <= est && est <= hi)
+    }
+  }
+
   test("NULLs drop; invalid delta/quantiles rejected") {
     val df = Seq(("s", Some(1.0)), ("s", None), ("s", Some(3.0)))
       .toDF("shard", "v")
