@@ -42,15 +42,32 @@ object TDigest {
     * NULL values are dropped (a quantile over NULLs is undefined);
     * duplicate values pre-aggregate so the rank window runs over
     * DISTINCT values per shard.
+    *
+    * `weightCol` (integer multiplicities — request counts, token
+    * counts, bytes) makes each row stand for `weight` copies of its
+    * value: quantiles then answer over the WEIGHTED multiset (the
+    * [[FreqSketch.cmsSketch]] weight convention). Rows with NULL or
+    * non-positive weight are dropped — a zero-weight value is not in
+    * the multiset, and negative multiplicities have no rank meaning.
     */
   def tdigestSummarize(df: DataFrame, valueCol: String, shardCol: String,
-                       delta: Int = 64): DataFrame = {
+                       delta: Int = 64,
+                       weightCol: Option[String] = None): DataFrame = {
     require(delta >= 1, s"delta must be >= 1, got $delta")
-    val w = df.filter(col(valueCol).isNotNull)
-      .select(col(shardCol).as("shard"),
-        col(valueCol).cast("decimal(28,8)").as("v"))
+    val base = df.filter(col(valueCol).isNotNull)
+    val weighted = weightCol match {
+      case Some(c) => base
+        .filter(col(c).isNotNull && col(c).cast("long") > 0L)
+        .select(col(shardCol).as("shard"),
+          col(valueCol).cast("decimal(28,8)").as("v"),
+          col(c).cast("long").as("__w"))
+      case None => base.select(col(shardCol).as("shard"),
+        col(valueCol).cast("decimal(28,8)").as("v"),
+        lit(1L).as("__w"))
+    }
+    val w = weighted
       .groupBy(col("shard"), col("v"))
-      .agg(count(lit(1)).as("w"))
+      .agg(sum(col("__w")).as("w"))
     val byShard = Window.partitionBy(col("shard")).orderBy(col("v"))
     val ranked = w
       .withColumn("__cum", sum(col("w")).over(byShard))

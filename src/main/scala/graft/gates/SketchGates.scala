@@ -361,6 +361,32 @@ private[graft] object SketchGates extends GateFamily {
         .orderBy("qi")
     }),
 
+    // ext sketch — WEIGHTED t-digest: each row stands for `weight`
+    // copies of its value (the cmsSketch weight convention), so
+    // quantiles answer over the weighted multiset — price quantiles
+    // weighted by quantity here; latency-by-request-count or
+    // size-by-token-count in production. Four supplier shards
+    // summarize in one pass; one re-cluster merges; brackets stay
+    // exact over weighted ranks.
+    "q265_tdigest_weighted" -> ((s, dir) => {
+      val vals = tbl(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_quantity").isNotNull && col("l_suppkey").isNotNull)
+        .select((col("l_suppkey") % 4L).as("shard"),
+          col("l_extendedprice").as("v"), col("l_quantity").as("wt"))
+      val delta = 32
+      val digest = ext.TDigest.tdigestMerge(Seq(
+        ext.TDigest.tdigestSummarize(vals, "v", "shard", delta,
+          weightCol = Some("wt"))), delta)
+      ext.TDigest.tdigestQuantiles(digest, Seq(0.5, 0.95))
+        .select(col("qi"), col("q"), col("n"), col("target_rank"),
+          col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"))
+        .orderBy("qi")
+    }),
+
     // ext sketch — per-GROUP t-digest quantiles (the q249/q250
     // per-group sketch shape for real-valued domains): one summarize
     // with the group key as the shard column gives each group its
@@ -586,6 +612,70 @@ private[graft] object SketchGates extends GateFamily {
        |FROM pick ORDER BY 1, 2""".stripMargin
   }
 
+  /** Weighted t-digest replay (q265): the q259 machinery with
+    * w = Σ l_quantity multiplicities instead of row counts (integer-
+    * valued in TPC-H, so the BIGINT cast is engine-identical), four
+    * supplier shards summarized per (shard, cluster), ONE re-cluster
+    * merge, weighted-rank quantile picks.
+    */
+  private def TDigestWeightedOracle: String = {
+    val delta = 32
+    s"""WITH vals AS (
+       |  SELECT l_suppkey % 4 AS shard,
+       |    CAST(l_extendedprice AS DECIMAL(28,8)) AS v,
+       |    CAST(l_quantity AS BIGINT) AS wt
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_suppkey IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+       |w AS (
+       |  SELECT shard, v, CAST(sum(wt) AS BIGINT) AS w
+       |  FROM vals GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT shard, v, w,
+       |    sum(w) OVER (PARTITION BY shard ORDER BY v) AS cum,
+       |    sum(w) OVER (PARTITION BY shard) AS n
+       |  FROM w),
+       |dig AS (
+       |  SELECT CAST(sum(w) AS BIGINT) AS weight,
+       |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+       |    min(v) AS vmin, max(v) AS vmax
+       |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
+       |        FROM rk) t
+       |  GROUP BY shard, cluster),
+       |m0 AS (
+       |  SELECT weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER () AS n
+       |  FROM dig),
+       |mg AS (
+       |  SELECT CAST(sum(weight) AS BIGINT) AS weight,
+       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
+       |    min(vmin) AS vmin, max(vmax) AS vmax
+       |  FROM (SELECT weight, sumv, vmin, vmax,
+       |          ((cum - weight) * $delta) // n AS cluster FROM m0) t
+       |  GROUP BY cluster),
+       |mr AS (
+       |  SELECT weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER () AS n
+       |  FROM mg),
+       |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.95)),
+       |pick AS (
+       |  SELECT qi, q, n,
+       |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+       |    weight, vmin, vmax, cum - weight AS bef
+       |  FROM qs JOIN mr
+       |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+       |      BETWEEN cum - weight AND cum - 1)
+       |SELECT CAST(qi AS BIGINT) AS qi, CAST(q AS DOUBLE) AS q,
+       |  CAST(n AS BIGINT) AS n, target_rank, weight,
+       |  CAST(vmin AS DOUBLE) AS vmin_d, CAST(vmax AS DOUBLE) AS vmax_d,
+       |  CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) *
+       |    (CAST(target_rank - bef AS DOUBLE) /
+       |      CAST(greatest(weight - 1, 1) AS DOUBLE)) AS estimate
+       |FROM pick ORDER BY qi""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q259_tdigest_quantiles" -> TDigestOracle,
@@ -593,6 +683,8 @@ private[graft] object SketchGates extends GateFamily {
     "q262_join_size_estimate" -> JoinSizeOracle,
 
     "q264_tdigest_by_group" -> TDigestByGroupOracle,
+
+    "q265_tdigest_weighted" -> TDigestWeightedOracle,
 
     // CMS replay: same md5 hex slices decoded via ascii fold, same
     // % width buckets, same min-over-4-slices with absent cells = 0

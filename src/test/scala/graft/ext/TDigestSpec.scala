@@ -106,6 +106,25 @@ class TDigestSpec extends SparkTestBase {
     }
   }
 
+  test("weighted digest equals the expanded-multiset digest; w<=0 drops") {
+    val weighted = Seq(("s", 1.0, 3L), ("s", 2.0, 1L), ("s", 5.0, 2L),
+      ("s", 9.0, 0L), ("s", 7.0, -2L)).toDF("shard", "v", "wt")
+    val expanded = (Seq.fill(3)(1.0) ++ Seq(2.0) ++ Seq.fill(2)(5.0))
+      .map(("s", _)).toDF("shard", "v")
+    val dw = TDigest.tdigestSummarize(weighted, "v", "shard", delta = 4,
+        weightCol = Some("wt"))
+      .select(col("cluster"), col("weight"), col("sumv").cast("double"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .collect().toSeq.sortBy(_.getLong(0))
+    val de = TDigest.tdigestSummarize(expanded, "v", "shard", delta = 4)
+      .select(col("cluster"), col("weight"), col("sumv").cast("double"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(dw == de,
+      "a weight-w row must digest exactly like w copies of the value " +
+        "(and zero/negative weights like absence)")
+  }
+
   test("NULLs drop; invalid delta/quantiles rejected") {
     val df = Seq(("s", Some(1.0)), ("s", None), ("s", Some(3.0)))
       .toDF("shard", "v")
