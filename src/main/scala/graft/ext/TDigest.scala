@@ -123,6 +123,38 @@ object TDigest {
         min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
   }
 
+  /** Merge per-group digests ACROSS inputs (days, sources, shards of a
+    * backfill) PRESERVING the group key — the cross-day accumulation
+    * path for [[tdigestQuantilesByGroup]]: daily per-group digests are
+    * the artifact worth storing (≤ groups·(δ+1) rows each), and this
+    * re-clusters their union WITHIN each group with the same k₀ rule,
+    * so monthly per-group quantiles never re-read the days. Weights
+    * and sums add exactly; brackets widen soundly per group (the
+    * [[tdigestMerge]] guarantee, group-wise). The window partitions on
+    * the REAL group key, so merging scales with group cardinality —
+    * the frame per group is ≤ inputs·(δ+1) summary rows, never data.
+    */
+  def tdigestMergeByGroup(digests: Seq[DataFrame],
+                          delta: Int = 64): DataFrame = {
+    require(delta >= 1, s"delta must be >= 1, got $delta")
+    require(digests.nonEmpty, "no digests to merge")
+    val all = digests.map(_.select(col("shard"), col("weight"),
+      col("sumv"), col("vmin"), col("vmax"))).reduce(_ unionByName _)
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
+    val ranked = all
+      .withColumn("__cum", sum(col("weight")).over(byShard))
+      .withColumn("__n",
+        sum(col("weight")).over(Window.partitionBy(col("shard"))))
+      .withColumn("__before", col("__cum") - col("weight"))
+      .withColumn("cluster",
+        expr(s"CAST((__before * ${delta}L) DIV __n AS BIGINT)"))
+    ranked.groupBy(col("shard"), col("cluster"))
+      .agg(sum(col("weight")).as("weight"),
+        sum(col("sumv")).cast("decimal(28,8)").as("sumv"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+  }
+
   /** Per-GROUP quantile reads straight from a [[tdigestSummarize]]
     * output (the shard column doubling as the group key — the
     * q249/q250 per-group sketch shape for real-valued domains): each

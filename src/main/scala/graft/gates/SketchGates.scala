@@ -410,6 +410,31 @@ private[graft] object SketchGates extends GateFamily {
         .orderBy("grp", "qi")
     }),
 
+    // ext sketch — per-group digest MERGE across "days": daily
+    // per-priority digests (the artifact worth storing) re-cluster
+    // within each group, and the monthly per-group quantile read works
+    // the merged ≤ groups·(δ+1)-row frame — days never re-read. Exact
+    // brackets survive the merge per group.
+    "q266_tdigest_group_merge" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderpriority").isNotNull && col("o_orderkey").isNotNull)
+        .select((col("o_orderkey") % 2L).as("day"),
+          col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+      val delta = 16
+      val perDay = (0L to 1L).map(d =>
+        ext.TDigest.tdigestSummarize(
+          vals.filter(col("day") === d), "v", "grp", delta))
+      val merged = ext.TDigest.tdigestMergeByGroup(perDay, delta)
+      ext.TDigest.tdigestQuantilesByGroup(merged, Seq(0.5, 0.9))
+        .select(col("shard").as("grp"), col("qi"), col("q"), col("n"),
+          col("target_rank"), col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"))
+        .orderBy("grp", "qi")
+    }),
+
     // ext sketch — CMS inner-product join-size estimate: the planner
     // primitive that prices |A ⋈ B| from two Depth×width sketches
     // BEFORE committing the real join's shuffle. Per slice the bucket
@@ -676,6 +701,71 @@ private[graft] object SketchGates extends GateFamily {
        |FROM pick ORDER BY qi""".stripMargin
   }
 
+  /** Per-group digest-merge replay (q266): per-(day, group) summarize
+    * — rank windows partitioned by (day, shard) — then the union's
+    * re-cluster partitioned by shard alone, then per-group quantile
+    * picks; same exact arithmetic throughout.
+    */
+  private def TDigestGroupMergeOracle: String = {
+    val delta = 16
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 2 AS day, o_orderpriority AS shard,
+       |    CAST(o_totalprice AS DECIMAL(28,8)) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+       |    AND o_orderkey IS NOT NULL),
+       |w AS (
+       |  SELECT day, shard, v, CAST(count(*) AS BIGINT) AS w
+       |  FROM vals GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT day, shard, v, w,
+       |    sum(w) OVER (PARTITION BY day, shard ORDER BY v) AS cum,
+       |    sum(w) OVER (PARTITION BY day, shard) AS n
+       |  FROM w),
+       |dig AS (
+       |  SELECT shard, CAST(sum(w) AS BIGINT) AS weight,
+       |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+       |    min(v) AS vmin, max(v) AS vmax
+       |  FROM (SELECT day, shard, v, w,
+       |          ((cum - w) * $delta) // n AS cluster FROM rk) t
+       |  GROUP BY day, shard, cluster),
+       |m0 AS (
+       |  SELECT shard, weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (PARTITION BY shard
+       |      ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER (PARTITION BY shard) AS n
+       |  FROM dig),
+       |mg AS (
+       |  SELECT shard, CAST(sum(weight) AS BIGINT) AS weight,
+       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
+       |    min(vmin) AS vmin, max(vmax) AS vmax
+       |  FROM (SELECT shard, weight, sumv, vmin, vmax,
+       |          ((cum - weight) * $delta) // n AS cluster FROM m0) t
+       |  GROUP BY shard, cluster),
+       |k AS (
+       |  SELECT shard, weight, sumv, vmin, vmax,
+       |    sum(weight) OVER (PARTITION BY shard
+       |      ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER (PARTITION BY shard) AS n
+       |  FROM mg),
+       |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
+       |pick AS (
+       |  SELECT shard, qi, q, n,
+       |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+       |    weight, vmin, vmax, cum - weight AS bef
+       |  FROM qs JOIN k
+       |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+       |      BETWEEN cum - weight AND cum - 1)
+       |SELECT shard AS grp, CAST(qi AS BIGINT) AS qi,
+       |  CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n, target_rank,
+       |  weight, CAST(vmin AS DOUBLE) AS vmin_d,
+       |  CAST(vmax AS DOUBLE) AS vmax_d,
+       |  CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) *
+       |    (CAST(target_rank - bef AS DOUBLE) /
+       |      CAST(greatest(weight - 1, 1) AS DOUBLE)) AS estimate
+       |FROM pick ORDER BY 1, 2""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "q259_tdigest_quantiles" -> TDigestOracle,
@@ -685,6 +775,8 @@ private[graft] object SketchGates extends GateFamily {
     "q264_tdigest_by_group" -> TDigestByGroupOracle,
 
     "q265_tdigest_weighted" -> TDigestWeightedOracle,
+
+    "q266_tdigest_group_merge" -> TDigestGroupMergeOracle,
 
     // CMS replay: same md5 hex slices decoded via ascii fold, same
     // % width buckets, same min-over-4-slices with absent cells = 0

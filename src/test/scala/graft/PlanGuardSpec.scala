@@ -58,7 +58,8 @@ class PlanGuardSpec extends SparkTestBase {
     // or groups·(δ+1) for the per-group form — bounded by
     // construction; SingleTaskRegistrySpec asserts the digest bound)
     "q259_tdigest_quantiles", "q260_stream_tdigest",
-    "q264_tdigest_by_group", "q265_tdigest_weighted")
+    "q264_tdigest_by_group", "q265_tdigest_weighted",
+    "q266_tdigest_group_merge")
 
   private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
     val cartesians = plan.collect { case c: CartesianProductExec => c }

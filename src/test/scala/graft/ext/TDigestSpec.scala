@@ -106,6 +106,36 @@ class TDigestSpec extends SparkTestBase {
     }
   }
 
+  test("group-wise merge: per-group brackets survive a 2-way day merge") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 1600).map { i =>
+      (i % 2, s"g${i % 4}",
+        math.floor(rnd.nextGaussian() * 800 + (i % 4) * 100) / 16.0)
+    }
+    val delta = 16
+    val perDay = (0 to 1).map(d =>
+      TDigest.tdigestSummarize(
+        rows.filter(_._1 == d).map(r => (r._2, r._3)).toDF("shard", "v"),
+        "v", "shard", delta))
+    val merged = TDigest.tdigestMergeByGroup(perDay, delta)
+    // <= delta+1 rows per group, weights add per group
+    val sizes = merged.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), sum("weight").as("w"))
+      .as[(String, Long, Long)].collect()
+    assert(sizes.forall(_._2 <= delta + 1))
+    assert(sizes.forall(_._3 == 400L), "each group carries 400 values")
+    val got = TDigest.tdigestQuantilesByGroup(merged, Seq(0.5))
+      .select(col("shard"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(String, Long, Double, Double)].collect()
+    val byGroup = rows.groupBy(_._2).view.mapValues(_.map(_._3).sorted)
+    got.foreach { case (g, r, lo, hi) =>
+      val truth = byGroup(g)(r.toInt)
+      assert(lo <= truth && truth <= hi,
+        s"group $g after merge: true $truth outside [$lo, $hi]")
+    }
+  }
+
   test("weighted digest equals the expanded-multiset digest; w<=0 drops") {
     val weighted = Seq(("s", 1.0, 3L), ("s", 2.0, 1L), ("s", 5.0, 2L),
       ("s", 9.0, 0L), ("s", 7.0, -2L)).toDF("shard", "v", "wt")
