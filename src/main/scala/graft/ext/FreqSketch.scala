@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count–min sketch (Cormode & Muthukrishnan 2005) as a RELATION — the
@@ -698,25 +699,30 @@ object FreqSketch {
     val itemType = counts.schema("item").dataType
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("cnt").desc, col("item"))
-    val ranked = counts.withColumn("__rk", row_number().over(w))
-    val thetas = ranked.filter(col("__rk") === k + 1)
-      .select(col("shard"), col("cnt").as("__tk"))
-    val survivors = ranked
-      .join(thetas, Seq("shard"), "left")
-      .withColumn("__tk", coalesce(col("__tk"), lit(0L)))
-      .filter(col("cnt") > col("__tk"))
-      .select(col("shard"), col("item"),
-        (col("cnt") - col("__tk")).as("lo"),
+    // θ_k rides the SAME WindowExec as the rank: nth_value over the
+    // full frame (NULL → 0 when the shard has ≤ k items). One shuffle
+    // + one sort; no θ self-join — the join formulation re-derived the
+    // per-shard aggregate + window once per consumer and doubled q245
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__tk",
+        coalesce(nth_value(col("cnt"), k + 1).over(full), lit(0L)))
+    // survivors (cnt > θ_k) and the fully-tied-shard theta SENTINEL
+    // (zero survivors ⟺ the rank-1 cnt EQUALS θ_k: rank-1 can never be
+    // below it, and cnt ≥ 1 > θ_k = 0 covers the ≤ k-item case) are
+    // mutually exclusive row kinds — emit both from ONE pass over the
+    // window output
+    ranked
+      .filter(col("cnt") > col("__tk") ||
+        (col("__rk") === 1 && col("cnt") === col("__tk")))
+      .select(col("shard"),
+        when(col("cnt") > col("__tk"), col("item"))
+          .otherwise(lit(null).cast(itemType)).as("item"),
+        when(col("cnt") > col("__tk"), col("cnt") - col("__tk"))
+          .otherwise(lit(0L)).as("lo"),
         (col("theta") + col("__tk")).as("theta"))
-    // zero survivors in a shard ⟺ its top count EQUALS θ_k (rank-1
-    // cnt can never be below it, and a θ_k row only exists for shards
-    // with > k items) — exactly those shards emit the theta sentinel
-    val sentinels = ranked.filter(col("__rk") === 1)
-      .join(thetas, Seq("shard"))
-      .filter(col("cnt") === col("__tk"))
-      .select(col("shard"), lit(null).cast(itemType).as("item"),
-        lit(0L).as("lo"), (col("theta") + col("__tk")).as("theta"))
-    survivors.unionByName(sentinels)
   }
 
   /** Misra–Gries (1982) / Metwally et al. space-saving summary as a
@@ -758,14 +764,22 @@ object FreqSketch {
     */
   def mgMerge(summaries: Seq[DataFrame], k: Int = 64): DataFrame = {
     require(summaries.nonEmpty, "no summaries to merge")
-    val all = summaries.reduce(_ unionByName _)
+    // tag each input summary BEFORE the union: theta is de-duplicated
+    // per (input, shard) below, and two different inputs can carry the
+    // same shard value with EQUAL theta (two days of the same shard) —
+    // a bare (shard, theta) distinct would collapse them and
+    // under-sum the merged bound
+    val all = summaries.zipWithIndex
+      .map { case (d, i) => d.withColumn("__src", lit(i)) }
+      .reduce(_ unionByName _)
     val itemType = all.schema("item").dataType
     // item-NULL rows are per-shard theta SENTINELS (a fully-tied shard
     // whose compress shed every item — see mgCompress): they carry no
     // item mass but their theta MUST still be summed below
     val summed = all.filter(col("item").isNotNull).groupBy(col("item"))
       .agg(sum(col("lo")).as("cnt"))
-    val thetaTotal = all.select(col("shard"), col("theta")).distinct()
+    val thetaTotal = all.select(col("__src"), col("shard"), col("theta"))
+      .distinct()
       .agg(coalesce(sum(col("theta")), lit(0L)).as("__theta_in"))
     val merged = summed
       .join(broadcast(thetaTotal)) // one-row global aggregate side

@@ -485,6 +485,34 @@ class FreqSketchSpec extends SparkTestBase {
       "two-level merge must reproduce the one-level bounds")
   }
 
+  test("mgMerge: equal (shard, theta) across inputs still sums theta") {
+    // two DAYS of the same shard, each with the same skew: both
+    // summaries carry (shard=d, theta=2). A bare (shard, theta)
+    // distinct would collapse them to one 2 and under-state the merged
+    // bound; inputs must be tagged so theta sums to 4.
+    def day(items: Seq[String]) =
+      FreqSketch.mgSummarize(items.map(("d", _)).toDF("shard", "item"),
+        "item", "shard", k = 2)
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+      Seq.fill(2)("c") ++ Seq("e") // theta_k = 2 (3rd largest)
+    val merged = FreqSketch.mgMerge(Seq(day(rows), day(rows)), k = 2)
+      .filter(col("item").isNotNull)
+      .select("item", "lo", "theta")
+      .as[(String, Long, Long)].collect().toSet
+    // per day: a -> lo 3, b -> lo 1, theta 2. Merged counts a=6, b=2
+    // over theta_in = 4; merge-level theta_k = 0 (2 items <= k)
+    assert(merged == Set(("a", 6L, 4L), ("b", 2L, 4L)),
+      s"theta must sum across same-(shard,theta) inputs, got $merged")
+    // the bound holds against truth (a=10, b=6, c=4, e=2): survivors
+    // satisfy lo <= true <= lo + theta, dropped items are <= theta
+    val truth = Map("a" -> 10L, "b" -> 6L, "c" -> 4L, "e" -> 2L)
+    merged.foreach { case (item, lo, th) =>
+      assert(lo <= truth(item) && truth(item) <= lo + th, item)
+    }
+    (truth.keySet -- merged.map(_._1)).foreach(i =>
+      assert(truth(i) <= 4L, s"dropped $i exceeds merged theta"))
+  }
+
   test("cmsJoinSize never under-estimates; exact when collision-free") {
     // side A: key k appears k times; side B: every key once + key 3
     // five times -> true join size = sum(k * cntB(k))
