@@ -54,16 +54,22 @@ object TDigest {
                        delta: Int = 64,
                        weightCol: Option[String] = None): DataFrame = {
     require(delta >= 1, s"delta must be >= 1, got $delta")
-    val base = df.filter(col(valueCol).isNotNull)
+    // cast FIRST, filter on the casted column: a |v| >= 1e20 overflows
+    // the DECIMAL(28,8) carrier to NULL (non-ANSI cast), and filtering
+    // the raw column would let that NULL flow into the rank window as
+    // a corrupt NULL-value centroid. Out-of-carrier-range values are
+    // REJECTED (dropped with the NULLs) — by contract, not by accident.
     val weighted = weightCol match {
-      case Some(c) => base
-        .filter(col(c).isNotNull && col(c).cast("long") > 0L)
+      case Some(c) => df
         .select(col(shardCol).as("shard"),
           col(valueCol).cast("decimal(28,8)").as("v"),
           col(c).cast("long").as("__w"))
-      case None => base.select(col(shardCol).as("shard"),
-        col(valueCol).cast("decimal(28,8)").as("v"),
-        lit(1L).as("__w"))
+        .filter(col("v").isNotNull && col("__w").isNotNull &&
+          col("__w") > 0L)
+      case None => df
+        .select(col(shardCol).as("shard"),
+          col(valueCol).cast("decimal(28,8)").as("v"), lit(1L).as("__w"))
+        .filter(col("v").isNotNull)
     }
     val w = weighted
       .groupBy(col("shard"), col("v"))
@@ -92,9 +98,14 @@ object TDigest {
     * deterministic total order that agrees with mean order within any
     * one digest (clusters don't overlap there) — and re-clustered by
     * cumulative weight with the same k₀ rule. Weights and sums add
-    * exactly; `[vmin, vmax]` brackets widen to cover both inputs, so
-    * the bracket guarantee SURVIVES merging (bounds add, never
-    * compound — the Misra–Gries merge stance).
+    * exactly, and `[vmin, vmax]` brackets stay SOUND under overlap:
+    * each output cluster's bracket covers every input centroid whose
+    * rank ENVELOPE intersects the cluster's rank band (see
+    * [[reclusterWiden]]), so the true quantile value is inside the
+    * reported bracket even when inputs overlap in value space
+    * (distribution drift across days/sources). For non-overlapping
+    * inputs the envelope is the exact span and brackets stay as tight
+    * as the un-merged digest's.
     */
   def tdigestMerge(digests: Seq[DataFrame], delta: Int = 64): DataFrame = {
     require(delta >= 1, s"delta must be >= 1, got $delta")
@@ -105,22 +116,157 @@ object TDigest {
     val all = digests.map(_.select(
       col("weight"), col("sumv"), col("vmin"), col("vmax")))
       .reduce(_ unionByName _)
-    // frame = the union of input digests, <= shards * (delta+1) rows by
-    // construction (each input is a compress output) — summary-sized,
-    // never corpus-sized; declared with the registered constant key
-    val wOrd = Window.partitionBy(SingleTask.key(col("vmin")))
+    reclusterWiden(all, delta, grpCol = None)
+  }
+
+  /** Shared merge kernel: re-cluster the union of input centroids by
+    * cumulative weight (k₀ rule), then make each output cluster's
+    * `[vmin, vmax]` bracket SOUND under overlap.
+    *
+    * Why widening is needed: input digests from different days/sources
+    * can OVERLAP in value space (distribution drift), and the merged
+    * multiset's interleaving is unknown — a cluster's own centroids'
+    * min/max can exclude the true value at a rank the cluster answers
+    * (shards A = {0, 100×9}, B = {50, 60×9} at δ=2 merge to
+    * c1 = [50, 60] answering rank 15, whose true value is 100). The
+    * sound bracket: every input centroid `i` occupies merged ranks
+    * within its ENVELOPE `[minr_i, maxr_i]` where
+    * `minr_i = Σ weight_j over vmax_j < vmin_i` (values guaranteed
+    * strictly below all of `i`) and
+    * `maxr_i = Σ weight_j over vmin_j ≤ vmax_i − 1` (values possibly
+    * ≤ some value of `i`, minus one for zero-based rank). A cluster's
+    * bracket widens over every centroid whose envelope intersects the
+    * cluster's rank band — the true value at any band rank belongs to
+    * one of those centroids, so containment is exact again, and for
+    * NON-overlapping inputs the envelope collapses to the exact span
+    * and the bracket stays as tight as before.
+    *
+    * Plan shape: ONE LINEAR CHAIN — no self-joins, no plan forks, so
+    * the (possibly corpus-priced) input lineage is computed exactly
+    * once (the q245 lesson: a forked summary plan re-derives its
+    * upstream per branch, and column pruning below the fork defeats
+    * exchange reuse). Each ranked centroid EXPLODES into boundary
+    * events; a second summary-sized window computes both envelope rank
+    * sums; a third window in RANK space locates the clusters whose
+    * bands the envelope touches (bands are contiguous, so the hits are
+    * a contiguous cluster-id range); and a final explode over that
+    * ≤ δ+1-id range feeds ONE aggregate producing weights, sums, and
+    * widened brackets together. Every post-rank stage is summary-sized
+    * (≤ 5 rows per input centroid), windows declare their frames with
+    * the group key or the registered [[SingleTask.key]] constant.
+    *
+    * The cumulative-weight window uses a ROWS frame, not the default
+    * RANGE: two IDENTICAL centroid rows (two days can summarize to the
+    * same centroid) are RANGE-frame peers and would share `__cum`,
+    * leaving rank space under the duplicated row covered by no band.
+    * Identical rows are interchangeable, so any peer order yields the
+    * same relation — determinism holds.
+    */
+  private def reclusterWiden(all: DataFrame, delta: Int,
+                             grpCol: Option[String]): DataFrame = {
+    val part: Seq[Column] = grpCol.map(col).toSeq
+    def pk(c: Column): Seq[Column] =
+      if (part.nonEmpty) part else Seq(SingleTask.key(c))
+    // frame = the union of input digests, <= inputs * (delta+1) rows
+    // per group by construction — summary-sized, never corpus-sized;
+    // the global case declares it with the registered constant key
+    // ONE partition key expression for both windows (same exchange,
+    // no re-shuffle between them); the n window is frame-only
+    val wOrd = Window.partitionBy(pk(col("vmin")): _*)
       .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = all
       .withColumn("__cum", sum(col("weight")).over(wOrd))
       .withColumn("__n",
-        sum(col("weight")).over(Window.partitionBy(SingleTask.key(col("vmax")))))
+        sum(col("weight")).over(Window.partitionBy(pk(col("vmin")): _*)))
       .withColumn("__before", col("__cum") - col("weight"))
       .withColumn("cluster",
         expr(s"CAST((__before * ${delta}L) DIV __n AS BIGINT)"))
-    ranked.groupBy(col("cluster"))
-      .agg(sum(col("weight")).as("weight"),
-        sum(col("sumv")).cast("decimal(28,8)").as("sumv"),
-        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    val idCols = part ++ Seq(col("weight"), col("sumv"), col("vmin"),
+      col("vmax"), col("cluster"), col("__before"))
+    // boundary events: pass 0 accumulates weight at vmax and reads at
+    // vmin with weights EXCLUDED on key ties (kind orders the query
+    // first) -> minr; pass 1 accumulates at vmin and reads at vmax
+    // with ties INCLUDED (query last) -> maxr + 1. Query rows carry
+    // their centroid's identity; __before is unique per centroid
+    // within a group (ROWS-frame cum), so it re-keys the collapse.
+    def ev(p: Int, key: Column, kd: Int, w: Column) =
+      struct(lit(p).as("p"), key.as("k"), lit(kd).as("kd"), w.as("w"))
+    val events = ranked.select((idCols :+
+      explode(array(
+        ev(0, col("vmin"), 0, lit(0L)),
+        ev(0, col("vmax"), 1, col("weight")),
+        ev(1, col("vmax"), 1, lit(0L)),
+        ev(1, col("vmin"), 0, col("weight")))).as("__e")): _*)
+      .select((idCols ++ Seq(col("__e.p").as("__pass"),
+        col("__e.k").as("__key"), col("__e.kd").as("__kind"),
+        col("__e.w").as("__w"))): _*)
+    val wEnv = Window
+      .partitionBy(((if (part.nonEmpty) part
+        else Seq(SingleTask.key(col("__key")))) :+ col("__pass")): _*)
+      .orderBy(col("__key"), col("__kind"))
+    // locate pass, in RANK space: bands are contiguous intervals
+    // covering [0, N) (ROWS-frame cum), so the clusters a centroid's
+    // envelope [minr, maxr] touches are exactly the ids from the
+    // cluster of the row spanning minr to that spanning maxr. Span
+    // events (kind 0, ONE per centroid, at its own __before) carry the
+    // cluster id; probe events (kind 1) read the last span at or below
+    // their rank. The probes are cut straight off the envelope
+    // window's query rows — the pass-0 query row knows minr (= its
+    // running sum) and emits the span alongside; the pass-1 query row
+    // knows maxr — so no intermediate per-centroid collapse is needed.
+    def loc(t: Int, key: Column, cl: Column) =
+      struct(lit(t).as("t"), key.as("k"), lit(if (t == 0) 0 else 1)
+        .as("kd"), cl.as("cl"))
+    val nullCl = lit(null).cast("bigint")
+    val located = events
+      .withColumn("__r", sum(col("__w")).over(wEnv))
+      .filter(col("__w") === 0L) // query rows (weights are >= 1)
+      .select((idCols :+
+        explode(when(col("__pass") === 0,
+          array(loc(0, col("__before"), col("cluster")),
+            loc(1, col("__r"), nullCl)))
+          .otherwise(array(loc(2, col("__r") - 1L, nullCl)))).as("__e")): _*)
+      .select((idCols ++ Seq(col("__e.t").as("__t"),
+        col("__e.k").as("__key"), col("__e.kd").as("__kind"),
+        col("__e.cl").as("__cl"))): _*)
+    val wLoc = Window
+      .partitionBy(pk(col("__key")): _*)
+      .orderBy(col("__key"), col("__kind"))
+    val ranges = located
+      .withColumn("__locc", last(col("__cl"), ignoreNulls = true).over(wLoc))
+      .filter(col("__t") > 0) // probes only
+      .groupBy((part :+ col("__before")): _*)
+      .agg(first(col("weight")).as("weight"), first(col("sumv")).as("sumv"),
+        first(col("vmin")).as("vmin"), first(col("vmax")).as("vmax"),
+        first(col("cluster")).as("cluster"),
+        min(when(col("__t") === 1, col("__locc"))).as("__cmin"),
+        max(when(col("__t") === 2, col("__locc"))).as("__cmax"))
+    // fan each centroid out to its touched cluster ids (bracket
+    // contributions, weight-free) plus ONE weight-bearing row for its
+    // own cluster; a single aggregate then produces sums and widened
+    // brackets together. Ghost ids (k0 can skip ids) aggregate to
+    // all-NULL weight rows and are dropped.
+    val vminT = all.schema("vmin").dataType.sql
+    val contrib = ranges.select((part :+
+      explode(concat(
+        array(struct(col("cluster").as("c"),
+          lit(null).cast(vminT).as("bvmin"),
+          lit(null).cast(vminT).as("bvmax"),
+          col("weight").as("w"), col("sumv").as("s"))),
+        transform(sequence(col("__cmin"), col("__cmax")),
+          c => struct(c.as("c"),
+            col("vmin").as("bvmin"), col("vmax").as("bvmax"),
+            lit(null).cast("bigint").as("w"),
+            lit(null).cast("decimal(28,8)").as("s"))))).as("__x")): _*)
+    contrib
+      .groupBy((part :+ col("__x.c").as("cluster")): _*)
+      .agg(sum(col("__x.w")).as("weight"),
+        sum(col("__x.s")).cast("decimal(28,8)").as("sumv"),
+        min(col("__x.bvmin")).as("vmin"), max(col("__x.bvmax")).as("vmax"))
+      .filter(col("weight").isNotNull)
+      .select((part ++ Seq(col("cluster"), col("weight"), col("sumv"),
+        col("vmin"), col("vmax"))): _*)
   }
 
   /** Merge per-group digests ACROSS inputs (days, sources, shards of a
@@ -129,10 +275,13 @@ object TDigest {
     * the artifact worth storing (≤ groups·(δ+1) rows each), and this
     * re-clusters their union WITHIN each group with the same k₀ rule,
     * so monthly per-group quantiles never re-read the days. Weights
-    * and sums add exactly; brackets widen soundly per group (the
-    * [[tdigestMerge]] guarantee, group-wise). The window partitions on
-    * the REAL group key, so merging scales with group cardinality —
-    * the frame per group is ≤ inputs·(δ+1) summary rows, never data.
+    * and sums add exactly; brackets widen soundly per group via the
+    * same rank-envelope rule (the [[tdigestMerge]] guarantee,
+    * group-wise — the band join is an equi-join on the group key, no
+    * broadcast of the group-cardinality band table). The windows
+    * partition on the REAL group key, so merging scales with group
+    * cardinality — the frame per group is ≤ inputs·(δ+1) summary rows,
+    * never data.
     */
   def tdigestMergeByGroup(digests: Seq[DataFrame],
                           delta: Int = 64): DataFrame = {
@@ -140,19 +289,7 @@ object TDigest {
     require(digests.nonEmpty, "no digests to merge")
     val all = digests.map(_.select(col("shard"), col("weight"),
       col("sumv"), col("vmin"), col("vmax"))).reduce(_ unionByName _)
-    val byShard = Window.partitionBy(col("shard"))
-      .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
-    val ranked = all
-      .withColumn("__cum", sum(col("weight")).over(byShard))
-      .withColumn("__n",
-        sum(col("weight")).over(Window.partitionBy(col("shard"))))
-      .withColumn("__before", col("__cum") - col("weight"))
-      .withColumn("cluster",
-        expr(s"CAST((__before * ${delta}L) DIV __n AS BIGINT)"))
-    ranked.groupBy(col("shard"), col("cluster"))
-      .agg(sum(col("weight")).as("weight"),
-        sum(col("sumv")).cast("decimal(28,8)").as("sumv"),
-        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    reclusterWiden(all, delta, grpCol = Some("shard"))
   }
 
   /** Per-GROUP quantile reads straight from a [[tdigestSummarize]]
@@ -170,8 +307,12 @@ object TDigest {
                               qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be within [0, 1], got $qs")
+    // ROWS frame: two centroids of one group CAN be identical rows
+    // (uniform data) — RANGE-frame peers would share __cum and leave
+    // their low ranks in no band, silently dropping quantile rows
     val byShard = Window.partitionBy(col("shard"))
       .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = digest
       .withColumn("__cum", sum(col("weight")).over(byShard))
       .withColumn("__n",
@@ -207,12 +348,17 @@ object TDigest {
   def tdigestQuantiles(digest: DataFrame, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be within [0, 1], got $qs")
+    // ROWS frame, not RANGE: identical centroid rows are peers and
+    // would share __cum, leaving their rank span in no band (see
+    // reclusterWiden) — identical rows are interchangeable, so the
+    // relation stays deterministic
     val ordered = Window.partitionBy(SingleTask.key(col("vmin")))
       .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = digest
       .withColumn("__cum", sum(col("weight")).over(ordered))
       .withColumn("__n",
-        sum(col("weight")).over(Window.partitionBy(SingleTask.key(col("vmax")))))
+        sum(col("weight")).over(Window.partitionBy(SingleTask.key(col("vmin")))))
       .withColumn("__before", col("__cum") - col("weight"))
     val spark = digest.sparkSession
     import spark.implicits._

@@ -497,23 +497,11 @@ private[graft] object SketchGates extends GateFamily {
        |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
        |    min(v) AS vmin, max(v) AS vmax
        |  FROM cl GROUP BY 1, 2),
-       |m0 AS (
-       |  SELECT weight, sumv, vmin, vmax,
-       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
-       |    sum(weight) OVER () AS n
-       |  FROM dig),
-       |mc AS (
-       |  SELECT weight, sumv, vmin, vmax,
-       |    ((cum - weight) * $delta) // n AS cluster
-       |  FROM m0),
-       |mg AS (
-       |  SELECT cluster, CAST(sum(weight) AS BIGINT) AS weight,
-       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
-       |    min(vmin) AS vmin, max(vmax) AS vmax
-       |  FROM mc GROUP BY 1),
+       |${tdigestReclusterSql("dig", "mg", delta)},
        |mr AS (
        |  SELECT weight, sumv, vmin, vmax,
-       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |    sum(weight) OVER () AS n
        |  FROM mg),
        |qs(qi, q) AS (VALUES (0, 0.1), (1, 0.5), (2, 0.9), (3, 0.99)),
@@ -616,7 +604,8 @@ private[graft] object SketchGates extends GateFamily {
        |k AS (
        |  SELECT shard, weight, sumv, vmin, vmax,
        |    sum(weight) OVER (PARTITION BY shard
-       |      ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |      ORDER BY vmin, vmax, weight, sumv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |    sum(weight) OVER (PARTITION BY shard) AS n
        |  FROM dig),
        |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
@@ -667,21 +656,11 @@ private[graft] object SketchGates extends GateFamily {
        |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
        |        FROM rk) t
        |  GROUP BY shard, cluster),
-       |m0 AS (
-       |  SELECT weight, sumv, vmin, vmax,
-       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
-       |    sum(weight) OVER () AS n
-       |  FROM dig),
-       |mg AS (
-       |  SELECT CAST(sum(weight) AS BIGINT) AS weight,
-       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
-       |    min(vmin) AS vmin, max(vmax) AS vmax
-       |  FROM (SELECT weight, sumv, vmin, vmax,
-       |          ((cum - weight) * $delta) // n AS cluster FROM m0) t
-       |  GROUP BY cluster),
+       |${tdigestReclusterSql("dig", "mg", delta)},
        |mr AS (
        |  SELECT weight, sumv, vmin, vmax,
-       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |    sum(weight) OVER () AS n
        |  FROM mg),
        |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.95)),
@@ -729,23 +708,12 @@ private[graft] object SketchGates extends GateFamily {
        |  FROM (SELECT day, shard, v, w,
        |          ((cum - w) * $delta) // n AS cluster FROM rk) t
        |  GROUP BY day, shard, cluster),
-       |m0 AS (
-       |  SELECT shard, weight, sumv, vmin, vmax,
-       |    sum(weight) OVER (PARTITION BY shard
-       |      ORDER BY vmin, vmax, weight, sumv) AS cum,
-       |    sum(weight) OVER (PARTITION BY shard) AS n
-       |  FROM dig),
-       |mg AS (
-       |  SELECT shard, CAST(sum(weight) AS BIGINT) AS weight,
-       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
-       |    min(vmin) AS vmin, max(vmax) AS vmax
-       |  FROM (SELECT shard, weight, sumv, vmin, vmax,
-       |          ((cum - weight) * $delta) // n AS cluster FROM m0) t
-       |  GROUP BY shard, cluster),
+       |${tdigestReclusterSql("dig", "mg", delta, grp = Some("shard"))},
        |k AS (
        |  SELECT shard, weight, sumv, vmin, vmax,
        |    sum(weight) OVER (PARTITION BY shard
-       |      ORDER BY vmin, vmax, weight, sumv) AS cum,
+       |      ORDER BY vmin, vmax, weight, sumv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |    sum(weight) OVER (PARTITION BY shard) AS n
        |  FROM mg),
        |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),

@@ -1374,6 +1374,61 @@ private[graft] object Support {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Widened t-digest re-cluster replay — the DuckDB twin of
+    * `ext.TDigest.reclusterWiden`: given an input CTE
+    * `in(grp?, weight, sumv, vmin, vmax)` (a union of digests), emits
+    * CTEs `<out>r` (cumulative-weight rank window), `<out>c` (k₀
+    * cluster assignment), `<out>b` (per-cluster bands + exact
+    * weight/sum aggregates), `<out>e` (per-centroid rank ENVELOPES:
+    * `minr` = Σ weight over `vmax_j < vmin_i`, `maxr` = Σ weight over
+    * `vmin_j ≤ vmax_i`, minus one — the merged ranks centroid `i` can
+    * possibly occupy), and `<out>` — the merged digest with each
+    * cluster's `[vmin, vmax]` widened over every centroid whose
+    * envelope intersects the cluster's band, so the bracket stays
+    * sound when input digests OVERLAP in value space. The envelope
+    * sums are correlated subqueries here (the frame is digest-sized);
+    * the Spark side computes the same sums with boundary-event
+    * windows. All arithmetic integer/decimal exact.
+    */
+  def tdigestReclusterSql(in: String, out: String, delta: Int,
+                          grp: Option[String] = None): String = {
+    val g = grp.map(_ + ", ").getOrElse("")
+    val pb = grp.map(c => s"PARTITION BY $c").getOrElse("")
+    val corr = grp.map(c => s"b.$c = a.$c AND ").getOrElse("")
+    val bandCorr = grp.map(c => s"e.$c = cb.$c AND ").getOrElse("")
+    val cbKeys = if (grp.isDefined) "1, 2" else "1"
+    val outKeys = if (grp.isDefined) "1, 2, 3, 4" else "1, 2, 3"
+    s"""${out}r AS (
+       |  SELECT $g weight, sumv, vmin, vmax,
+       |    sum(weight) OVER ($pb
+       |      ORDER BY vmin, vmax, weight, sumv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(weight) OVER ($pb) AS n
+       |  FROM $in),
+       |${out}c AS (
+       |  SELECT *, ((cum - weight) * $delta) // n AS cluster
+       |  FROM ${out}r),
+       |${out}b AS (
+       |  SELECT $g cluster, CAST(sum(weight) AS BIGINT) AS weight,
+       |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
+       |    min(cum - weight) AS blo, max(cum) - 1 AS bhi
+       |  FROM ${out}c GROUP BY $cbKeys),
+       |${out}e AS (
+       |  SELECT a.*,
+       |    coalesce((SELECT sum(b.weight) FROM ${out}c b
+       |              WHERE $corr b.vmax < a.vmin), 0) AS minr,
+       |    (SELECT sum(b.weight) FROM ${out}c b
+       |     WHERE $corr b.vmin <= a.vmax) - 1 AS maxr
+       |  FROM (SELECT DISTINCT $g vmin, vmax FROM ${out}c) a),
+       |$out AS (
+       |  SELECT ${grp.map(c => s"cb.$c, ").getOrElse("")}cb.cluster,
+       |    cb.weight, cb.sumv,
+       |    min(e.vmin) AS vmin, max(e.vmax) AS vmax
+       |  FROM ${out}b cb JOIN ${out}e e
+       |    ON $bandCorr e.maxr >= cb.blo AND e.minr <= cb.bhi
+       |  GROUP BY $outKeys)""".stripMargin
+  }
+
   /** Streaming-t-digest replay (q260): the q259 machinery unrolled
     * over the strict per-batch left fold — per-shard summarize of each
     * batch, then `f_{i} = recluster(f_{i-1} ∪ dig_i)`, with the
@@ -1400,19 +1455,10 @@ private[graft] object Support {
          |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
          |        FROM rk$b) t
          |  GROUP BY shard, cluster)""".stripMargin
+    // each fold step replays the widened re-cluster (sound brackets
+    // under batch/accumulator overlap — the drifting-stream case)
     def recluster(in: String, out: String): String =
-      s"""${out}r AS (
-         |  SELECT weight, sumv, vmin, vmax,
-         |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
-         |    sum(weight) OVER () AS n
-         |  FROM $in),
-         |$out AS (
-         |  SELECT CAST(sum(weight) AS BIGINT) AS weight,
-         |    CAST(sum(sumv) AS DECIMAL(28,8)) AS sumv,
-         |    min(vmin) AS vmin, max(vmax) AS vmax
-         |  FROM (SELECT weight, sumv, vmin, vmax,
-         |          ((cum - weight) * $delta) // n AS cluster FROM ${out}r) t
-         |  GROUP BY cluster)""".stripMargin
+      tdigestReclusterSql(in, out, delta)
     def union(a: String, b: String, out: String): String =
       s"""$out AS (
          |  SELECT weight, sumv, vmin, vmax FROM $a
@@ -1421,7 +1467,8 @@ private[graft] object Support {
     def pick(b: Int, dig: String): String =
       s"""k$b AS (
          |  SELECT weight, sumv, vmin, vmax,
-         |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv) AS cum,
+         |    sum(weight) OVER (ORDER BY vmin, vmax, weight, sumv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          |    sum(weight) OVER () AS n
          |  FROM $dig),
          |p$b AS (

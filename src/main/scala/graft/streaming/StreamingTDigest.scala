@@ -15,7 +15,10 @@ import graft.ext.TDigest
   * matter how many values the stream ever carries; every read reports
   * the exact `[vmin, vmax]` bracket per quantile, and the bracket
   * SOUNDNESS (true running quantile inside it) survives any number of
-  * batch merges because merged brackets only widen.
+  * batch merges because each merge re-widens brackets over the input
+  * centroids' rank envelopes ([[TDigest.tdigestMerge]]) — sound even
+  * when a batch overlaps the accumulated digest in value space, the
+  * normal case for a drifting stream.
   *
   * Fold discipline: the accumulator is a STRICT LEFT FOLD —
   * `digest_i = merge(digest_{i-1}, summarize(batch_i))` — computed
@@ -86,6 +89,20 @@ object StreamingTDigest {
       * version with identical bytes).
       */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // fail fast on batch-id REGRESSION: versions newer than this
+      // batch's own output mean the stream restarted without its
+      // checkpoint (batch ids re-start at 0) or the storePath is being
+      // reused by a new query. Folding through would write
+      // digest_upto_<batchId+1> below the stale versions, the
+      // newest-first cleanup would immediately delete it, and digest()
+      // would silently keep serving the stale state while every new
+      // fold is discarded.
+      val stale = versions().filter(_ > batchId + 1)
+      require(stale.isEmpty,
+        s"digest store $storePath already holds versions up to " +
+          s"${stale.max - 1} but batch $batchId arrived — a restarted " +
+          "stream must reuse its checkpointLocation (so batch ids " +
+          "resume), and a new query needs a fresh storePath")
       val sharded = shardCol match {
         case Some(c) => batch.select(col(c).as("__shard"),
           col(valueCol).as("__v"))

@@ -77,6 +77,77 @@ class TDigestSpec extends SparkTestBase {
       m2.collect().toSeq.sortBy(_.getLong(0)))
   }
 
+  test("merge of OVERLAPPING digests keeps brackets sound (adversarial)") {
+    // the exact round-11 counterexample: shard A = {0, 100 x9}
+    // summarizes at delta=2 to one centroid (w=10, [0,100]); shard
+    // B = {50, 60 x9} to (w=10, [50,60]). Merged clusters are
+    // c0 = [0,100] (ranks 0-9) and c1 answering ranks 10-19 — whose
+    // OWN centroid span [50,60] excludes the true rank-15 value (100).
+    // The envelope widening must stretch c1's bracket to cover A.
+    val a = (Seq(0.0) ++ Seq.fill(9)(100.0)).map(("A", _)).toDF("shard", "v")
+    val b = (Seq(50.0) ++ Seq.fill(9)(60.0)).map(("B", _)).toDF("shard", "v")
+    val delta = 2
+    val da = TDigest.tdigestSummarize(a, "v", "shard", delta)
+    val db = TDigest.tdigestSummarize(b, "v", "shard", delta)
+    assert(da.count() == 1 && db.count() == 1, "one centroid per shard")
+    val m = TDigest.tdigestMerge(Seq(da, db), delta)
+    val truth = (Seq(0.0, 50.0) ++ Seq.fill(9)(60.0) ++
+      Seq.fill(9)(100.0)).sorted // the merged multiset, ranks 0..19
+    val got = TDigest.tdigestQuantiles(m, Seq(0.0, 0.3, 0.8, 1.0))
+      .select(col("q"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(Double, Long, Double, Double)].collect()
+    got.foreach { case (q, r, lo, hi) =>
+      val t = truth(r.toInt)
+      assert(lo <= t && t <= hi,
+        s"q=$q rank $r: true $t outside merged bracket [$lo, $hi]")
+    }
+    // the q=0.8 band (rank 15, true value 100) is the round-11 break
+    val r15 = got.find(_._2 == 15L).get
+    assert(r15._3 <= 100.0 && 100.0 <= r15._4,
+      s"rank-15 bracket [${r15._3}, ${r15._4}] must contain 100")
+    // disjointly-skewed shards, many centroids: sweep every rank
+    val c = (0 until 200).map(i => ("C", (i % 7) * 10.0)).toDF("shard", "v")
+    val d = (0 until 200).map(i => ("D", 25.0 + (i % 11) * 5.0)).toDF("shard", "v")
+    val m2 = TDigest.tdigestMerge(Seq(
+      TDigest.tdigestSummarize(c, "v", "shard", 4),
+      TDigest.tdigestSummarize(d, "v", "shard", 4)), 4)
+    val multi = ((0 until 200).map(i => (i % 7) * 10.0) ++
+      (0 until 200).map(i => 25.0 + (i % 11) * 5.0)).sorted
+    val qs2 = (0 to 20).map(_ / 20.0)
+    TDigest.tdigestQuantiles(m2, qs2)
+      .select(col("target_rank"), col("vmin").cast("double"),
+        col("vmax").cast("double"))
+      .as[(Long, Double, Double)].collect()
+      .foreach { case (r, lo, hi) =>
+        val t = multi(r.toInt)
+        assert(lo <= t && t <= hi, s"rank $r: $t outside [$lo, $hi]")
+      }
+  }
+
+  test("merge of non-overlapping digests keeps the tight brackets") {
+    // disjoint value ranges: the envelope collapses to the exact span,
+    // so widening must NOT loosen anything — merged brackets equal the
+    // pre-widening re-cluster's (assigned-centroid min/max)
+    val a = (0 until 64).map(i => ("a", i.toDouble)).toDF("shard", "v")
+    val b = (0 until 64).map(i => ("b", 1000.0 + i)).toDF("shard", "v")
+    val delta = 8
+    val m = TDigest.tdigestMerge(Seq(
+      TDigest.tdigestSummarize(a, "v", "shard", delta),
+      TDigest.tdigestSummarize(b, "v", "shard", delta)), delta)
+      .select(col("cluster"), col("weight"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // every cluster's bracket stays within ONE input's range — no
+    // cross-contamination from the widening
+    m.foreach { case (cl, _, lo, hi) =>
+      assert((hi <= 63.0) || (lo >= 1000.0),
+        s"cluster $cl bracket [$lo, $hi] spans disjoint inputs")
+    }
+    // and the multiset is fully covered in order
+    assert(m.map(_._2).sum == 128L)
+  }
+
   test("per-group quantile brackets contain each group's true quantile") {
     val rnd = new scala.util.Random(7)
     // dyadic values (x/16): exactly representable BOTH as doubles and

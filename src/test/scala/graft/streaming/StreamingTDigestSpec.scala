@@ -99,6 +99,26 @@ class StreamingTDigestSpec extends SparkTestBase {
     assert(acc2.digest(3L).agg(sum("weight")).head().getLong(0) == 3000L)
   }
 
+  test("batch-id regression fails fast instead of silently discarding") {
+    // a store already at digest_upto_2 receiving batch 0 means the
+    // stream restarted WITHOUT its checkpoint (ids re-start at 0) or
+    // the path is reused: folding through would write digest_upto_1
+    // and the newest-first cleanup would delete it immediately while
+    // digest() keeps serving the stale version — fail instead
+    val store = tmp("regress")
+    val acc = new StreamingTDigest.TDigestAccumulator(spark, store, "v",
+      shardCol = None, delta = 16)
+    acc.update(b0.toDF("v"), 0L)
+    acc.update(b1.toDF("v"), 1L)
+    val err = intercept[IllegalArgumentException] {
+      acc.update(b2.toDF("v"), 0L)
+    }
+    assert(err.getMessage.contains("checkpointLocation"),
+      s"message must point at checkpoint/storePath reuse: ${err.getMessage}")
+    // the stored fold is untouched by the rejected update
+    assert(acc.digest(2L).agg(sum("weight")).head().getLong(0) == 2000L)
+  }
+
   test("live stream: foreachBatch accumulates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
