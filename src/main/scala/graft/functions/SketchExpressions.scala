@@ -48,8 +48,13 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 }
 
 /** 64-bit SimHash of a token array: per bit, sign of the ±1 sum over
-  * token hashes (xxh64, seed 42 — identical values to the builtin
-  * `xxhash64`). Per-row, no shuffle.
+  * token hashes. The token hash is the FIRST 8 BYTES OF md5 (big-endian
+  * = the first 16 hex chars), not xxh64: md5 is the one 64-bit-capable
+  * hash Spark and DuckDB share, so the whole sketch — and the gate
+  * that band-joins it — replays bit-for-bit in an independent engine
+  * (the library-wide md5 discipline of the CMS/HLL/KMV family). Bits
+  * of md5 are uniform, so sketch quality is unchanged. Per-row, no
+  * shuffle; integer accumulators throughout.
   */
 case class SimHash(child: Expression) extends UnaryExpression {
 
@@ -344,14 +349,32 @@ object SketchHelper {
     new GenericArrayData(counts.map(Int.box).asInstanceOf[Array[Any]])
   }
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5, folded big-endian — numerically equal to the
+    * first 16 hex chars of the md5 string read as an unsigned 64-bit
+    * value (two's-complement into the signed long), which is what the
+    * DuckDB oracle decodes.
+    */
+  def md5Long64(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (h(i) & 0xffL); i += 1 }
+    out
+  }
+
   def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = md5Long64(arr.getUTF8String(j).getBytes)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

@@ -47,13 +47,19 @@ private[graft] object DedupGates extends GateFamily {
         .select("id_a", "id_b")
     }),
 
-    // ext dedup — SimHash near-dup pairs (rows-only: xxhash64-based sketch
-    // has no DuckDB twin; pair-recovery asserted in ScalaTest).
+    // ext dedup — SimHash near-dup pairs. Oracle-gated since round 12:
+    // the token hash is md5's first 16 hex chars (the library-wide
+    // replayable-hash discipline), so DuckDB rebuilds every 64-bit
+    // sketch bit-for-bit and brute-forces the hamming<=3 pairs — the
+    // engine's pigeonhole banding is LOSSLESS (banded ∪ verify ≡
+    // all-pairs filter, asserted brute-force in DedupSpec), so the two
+    // formulations must agree exactly.
     "q23_dedup_simhash" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val dups = docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
       Dedup.simhashDuplicates(docs.union(dups), "doc_id", "text", maxDistance = 3)
+        .orderBy("id_a", "id_b")
     }),
 
     // ext dedup — near-duplicate CLUSTERS: the q13 pair graph labeled by
@@ -347,6 +353,56 @@ private[graft] object DedupGates extends GateFamily {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // SimHash replay (q23): per token the first 16 md5 hex chars are
+    // the 64-bit hash (ascii-fold digit decode — bit i lives in hex
+    // char 16 − i//4 at in-digit position i%4); per (doc, bit) the ±1
+    // sum's sign builds the sketch; the four 16-bit band values pivot
+    // out as integers and the hamming<=3 pair set is brute-forced
+    // all-pairs (the engine's banding is lossless, so identical).
+    "q23_dedup_simhash" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |uni AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM base
+         |  WHERE doc_id % 11 = 0),
+         |tok AS (
+         |  SELECT d.doc_id, md5(u.tk) AS hx
+         |  FROM (SELECT doc_id,
+         |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |        FROM uni WHERE text IS NOT NULL) d,
+         |    unnest(string_split(d.t, ' ')) AS u(tk)),
+         |bits AS (
+         |  SELECT doc_id, v.i,
+         |    CASE WHEN sum(
+         |      ((CASE WHEN ascii(substr(hx, CAST(16 - v.i // 4 AS INT), 1)) >= 97
+         |             THEN ascii(substr(hx, CAST(16 - v.i // 4 AS INT), 1)) - 87
+         |             ELSE ascii(substr(hx, CAST(16 - v.i // 4 AS INT), 1)) - 48 END
+         |        >> CAST(v.i % 4 AS INT)) & 1) * 2 - 1) > 0
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM tok
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) v
+         |  GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN i // 16 = 0
+         |      THEN bit * (1 << CAST(i % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(sum(CASE WHEN i // 16 = 1
+         |      THEN bit * (1 << CAST(i % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(sum(CASE WHEN i // 16 = 2
+         |      THEN bit * (1 << CAST(i % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b2,
+         |    CAST(sum(CASE WHEN i // 16 = 3
+         |      THEN bit * (1 << CAST(i % 16 AS INT)) ELSE 0 END) AS BIGINT) AS b3
+         |  FROM bits GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS INT) AS hamming
+         |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pr
+         |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     // max cosine over the benchmark slice per corpus row, then the
     // strict < tau survivor filter — same index-order double arithmetic
