@@ -380,6 +380,39 @@ private[graft] object StreamingGates extends GateFamily {
             .as("est_in_bracket"))
         .orderBy("batch_id", "qi")
     }),
+
+    // streaming ext — PER-GROUP cross-batch t-digest: the q264/q266
+    // batch family's streaming member (and the grouped twin of q260),
+    // completing the per-group sketch symmetry. State is ≤ δ+1 rows
+    // PER GROUP; each batch folds through the group-preserving widened
+    // re-cluster (tdigestMergeByGroup), and the running per-(group, q)
+    // brackets are read after EVERY batch so the gate checks the whole
+    // fold. The oracle unrolls both batches bit-for-bit: per-(batch,
+    // group) summarize, two group-partitioned widened re-clusters,
+    // per-group quantile picks from each fold state.
+    "q267_stream_tdigest_group" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull
+          && col("o_orderpriority").isNotNull)
+        .select((col("o_orderkey") % 2L).as("b"),
+          col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("v"))
+      val batches = (0L to 1L).map(i =>
+        vals.filter(col("b") === i).select("grp", "v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q267").toString + "/tdigest"
+      graft.streaming.StreamingTDigest.byBatch(s, batches, store, "v",
+          Seq(0.5, 0.9), delta = 16, groupCol = Some("grp"))
+        .select(col("batch_id"), col("shard").as("grp"), col("qi"),
+          col("q"), col("n"), col("target_rank"), col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"),
+          (col("vmin").cast("double") <= col("estimate") &&
+            col("estimate") <= col("vmax").cast("double"))
+            .as("est_in_bracket"))
+        .orderBy("batch_id", "grp", "qi")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -695,5 +728,7 @@ private[graft] object StreamingGates extends GateFamily {
     "q252_stream_hll" -> StreamHllOracle,
 
     "q260_stream_tdigest" -> StreamTDigestOracle,
+
+    "q267_stream_tdigest_group" -> StreamGroupTDigestOracle,
   )
 }

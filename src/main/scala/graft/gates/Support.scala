@@ -1429,6 +1429,75 @@ private[graft] object Support {
        |  GROUP BY $outKeys)""".stripMargin
   }
 
+  /** Per-group streaming-t-digest replay (q267): the q260 fold
+    * machinery with the group key carried through every stage —
+    * per-(batch, group) summarize, group-partitioned widened
+    * re-clusters ([[tdigestReclusterSql]] with grp), per-group quantile
+    * picks replayed from BOTH fold states.
+    */
+  val StreamGroupTDigestOracle: String = {
+    val delta = 16
+    def summarize(b: Int): String =
+      s"""w$b AS (
+         |  SELECT shard, v, CAST(count(*) AS BIGINT) AS w
+         |  FROM vals WHERE b = $b GROUP BY 1, 2),
+         |rk$b AS (
+         |  SELECT shard, v, w,
+         |    sum(w) OVER (PARTITION BY shard ORDER BY v) AS cum,
+         |    sum(w) OVER (PARTITION BY shard) AS n
+         |  FROM w$b),
+         |dig$b AS (
+         |  SELECT shard, CAST(sum(w) AS BIGINT) AS weight,
+         |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+         |    min(v) AS vmin, max(v) AS vmax
+         |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
+         |        FROM rk$b) t
+         |  GROUP BY shard, cluster)""".stripMargin
+    def pick(b: Int, dig: String): String =
+      s"""k$b AS (
+         |  SELECT shard, weight, sumv, vmin, vmax,
+         |    sum(weight) OVER (PARTITION BY shard
+         |      ORDER BY vmin, vmax, weight, sumv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(weight) OVER (PARTITION BY shard) AS n
+         |  FROM $dig),
+         |p$b AS (
+         |  SELECT CAST($b AS BIGINT) AS batch_id, shard, qi, q, n,
+         |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+         |    weight, vmin, vmax, cum - weight AS bef
+         |  FROM qs JOIN k$b
+         |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+         |      BETWEEN cum - weight AND cum - 1)""".stripMargin
+    val est = "CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) * " +
+      "(CAST(target_rank - bef AS DOUBLE) / " +
+      "CAST(greatest(weight - 1, 1) AS DOUBLE))"
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 2 AS b, o_orderpriority AS shard,
+       |    CAST(o_totalprice AS DECIMAL(28,8)) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL),
+       |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
+       |${summarize(0)},
+       |${summarize(1)},
+       |${tdigestReclusterSql("dig0", "f1", delta, grp = Some("shard"))},
+       |u2 AS (
+       |  SELECT shard, weight, sumv, vmin, vmax FROM f1
+       |  UNION ALL
+       |  SELECT shard, weight, sumv, vmin, vmax FROM dig1),
+       |${tdigestReclusterSql("u2", "f2", delta, grp = Some("shard"))},
+       |${pick(0, "f1")},
+       |${pick(1, "f2")},
+       |allp AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+       |SELECT batch_id, shard AS grp, CAST(qi AS BIGINT) AS qi,
+       |  CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n, target_rank,
+       |  weight, CAST(vmin AS DOUBLE) AS vmin_d,
+       |  CAST(vmax AS DOUBLE) AS vmax_d, $est AS estimate,
+       |  (CAST(vmin AS DOUBLE) <= $est AND $est <= CAST(vmax AS DOUBLE))
+       |    AS est_in_bracket
+       |FROM allp ORDER BY batch_id, grp, qi""".stripMargin
+  }
+
   /** Streaming-t-digest replay (q260): the q259 machinery unrolled
     * over the strict per-batch left fold — per-shard summarize of each
     * batch, then `f_{i} = recluster(f_{i-1} ∪ dig_i)`, with the

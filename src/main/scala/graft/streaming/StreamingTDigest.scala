@@ -58,14 +58,28 @@ object StreamingTDigest {
     * split, never the multiset the merge re-clusters — but centroid
     * CUTS do depend on it (different shard pre-compressions), so
     * replays must use the same shard column.
+    *
+    * `groupCol` makes the accumulator PER-GROUP (the q264/q266 batch
+    * family's streaming member, completing the symmetry with the
+    * global stream): state is ≤ δ+1 rows PER GROUP, the fold is
+    * [[TDigest.tdigestMergeByGroup]] (group key preserved as `shard`
+    * in the store), and `quantiles` answers one row per (group, q)
+    * via [[TDigest.tdigestQuantilesByGroup]]. Exclusive with
+    * `shardCol`: the group key is itself the per-batch parallelism
+    * contract.
     */
   final class TDigestAccumulator(spark: SparkSession, storePath: String,
                                  valueCol: String,
                                  shardCol: Option[String] = None,
                                  delta: Int = 64,
-                                 keepVersions: Int = 2) {
+                                 keepVersions: Int = 2,
+                                 groupCol: Option[String] = None) {
     require(delta >= 1, s"delta must be >= 1, got $delta")
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(groupCol.isEmpty || shardCol.isEmpty,
+      "groupCol and shardCol are exclusive: with a group key the group " +
+        "IS the per-batch parallelism contract (rank windows run within " +
+        "each group), so a separate shard column has nothing to split")
 
     private def fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,10 +117,12 @@ object StreamingTDigest {
           s"${stale.max - 1} but batch $batchId arrived — a restarted " +
           "stream must reuse its checkpointLocation (so batch ids " +
           "resume), and a new query needs a fresh storePath")
-      val sharded = shardCol match {
-        case Some(c) => batch.select(col(c).as("__shard"),
+      val sharded = (groupCol, shardCol) match {
+        case (Some(g), _) => batch.select(col(g).as("__shard"),
           col(valueCol).as("__v"))
-        case None => batch.select(lit(0L).as("__shard"),
+        case (None, Some(c)) => batch.select(col(c).as("__shard"),
+          col(valueCol).as("__v"))
+        case (None, None) => batch.select(lit(0L).as("__shard"),
           col(valueCol).as("__v"))
       }
       val batchDigest =
@@ -114,11 +130,18 @@ object StreamingTDigest {
       val prior = versions().find(_ <= batchId).map(v =>
         spark.read.parquet(versionDir(v)))
       // ALWAYS through the merge re-cluster (even batch 0 / one shard):
-      // the stored state is canonically <= delta+1 shard-free rows, and
-      // the fold is one re-cluster per batch — the oracle's unroll unit
-      val folded =
-        TDigest.tdigestMerge(prior.toSeq :+ batchDigest, delta)
-          .select("weight", "sumv", "vmin", "vmax")
+      // the stored state is canonically <= delta+1 rows (per group when
+      // grouped), and the fold is one re-cluster per batch — the
+      // oracle's unroll unit. Grouped stores KEEP the group key (named
+      // `shard`, the tdigestMergeByGroup convention).
+      val folded = groupCol match {
+        case Some(_) =>
+          TDigest.tdigestMergeByGroup(prior.toSeq :+ batchDigest, delta)
+            .select("shard", "weight", "sumv", "vmin", "vmax")
+        case None =>
+          TDigest.tdigestMerge(prior.toSeq :+ batchDigest, delta)
+            .select("weight", "sumv", "vmin", "vmax")
+      }
       folded.coalesce(1).write.mode("overwrite")
         .parquet(versionDir(batchId + 1))
       versions().drop(keepVersions)
@@ -136,16 +159,22 @@ object StreamingTDigest {
     def digest(uptoBatch: Long): DataFrame =
       versions().find(_ <= uptoBatch).map(v =>
         spark.read.parquet(versionDir(v))).getOrElse(
-        spark.sql("SELECT CAST(NULL AS BIGINT) AS weight, " +
+        spark.sql((if (groupCol.isDefined)
+          "SELECT CAST(NULL AS STRING) AS shard, " else "SELECT ") +
+          "CAST(NULL AS BIGINT) AS weight, " +
           "CAST(NULL AS DECIMAL(28,8)) AS sumv, " +
           "CAST(NULL AS DECIMAL(28,8)) AS vmin, " +
           "CAST(NULL AS DECIMAL(28,8)) AS vmax WHERE FALSE"))
 
     /** Quantile reads with exact value brackets over the running
-      * digest.
+      * digest — per group (one row per (group, q)) when the
+      * accumulator is grouped.
       */
     def quantiles(qs: Seq[Double], uptoBatch: Long): DataFrame =
-      TDigest.tdigestQuantiles(digest(uptoBatch), qs)
+      groupCol match {
+        case Some(_) => TDigest.tdigestQuantilesByGroup(digest(uptoBatch), qs)
+        case None => TDigest.tdigestQuantiles(digest(uptoBatch), qs)
+      }
 
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
@@ -158,10 +187,11 @@ object StreamingTDigest {
   def start(stream: DataFrame, storePath: String, valueCol: String,
             shardCol: Option[String] = None, delta: Int = 64,
             queryName: String = "graft-stream-tdigest",
-            checkpoint: Option[String] = None)
+            checkpoint: Option[String] = None,
+            groupCol: Option[String] = None)
       : (StreamingQuery, TDigestAccumulator) = {
     val acc = new TDigestAccumulator(stream.sparkSession, storePath,
-      valueCol, shardCol, delta)
+      valueCol, shardCol, delta, groupCol = groupCol)
     val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch(acc.asForeachBatch)
@@ -176,7 +206,8 @@ object StreamingTDigest {
   def byBatch(spark: SparkSession, batches: Seq[DataFrame],
               storePath: String, valueCol: String, qs: Seq[Double],
               shardCol: Option[String] = None,
-              delta: Int = 64): DataFrame = {
+              delta: Int = 64,
+              groupCol: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, "byBatch needs at least one batch")
     // keep EVERY version: the per-batch quantile frames are returned
     // lazily (they scan their own digest_upto_<i> file when the union
@@ -185,13 +216,16 @@ object StreamingTDigest {
     // disk. The live accumulator keeps its rolling-2 default — its
     // reads are consumed per batch.
     val acc = new TDigestAccumulator(spark, storePath, valueCol,
-      shardCol, delta, keepVersions = batches.size + 1)
+      shardCol, delta, keepVersions = batches.size + 1,
+      groupCol = groupCol)
+    val outCols = Seq("batch_id") ++ groupCol.map(_ => "shard").toSeq ++
+      Seq("qi", "q", "n", "target_rank", "weight", "vmin", "vmax",
+        "estimate")
     batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       acc.quantiles(qs, i.toLong + 1)
         .withColumn("batch_id", lit(i.toLong))
-        .select("batch_id", "qi", "q", "n", "target_rank", "weight",
-          "vmin", "vmax", "estimate")
+        .select(outCols.head, outCols.tail: _*)
     }.reduce(_ unionByName _)
   }
 }

@@ -99,6 +99,53 @@ class StreamingTDigestSpec extends SparkTestBase {
     assert(acc2.digest(3L).agg(sum("weight")).head().getLong(0) == 3000L)
   }
 
+  test("grouped byBatch: per-group running brackets contain the truth") {
+    // two groups with different scales, shifted per batch — per-group
+    // state must stay independent and per-group brackets sound
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => (s"g${i % 2}", v + (i % 2) * 500.0) }
+      .toDF("grp", "v")
+    val rows = StreamingTDigest.byBatch(spark,
+        Seq(mk(b0), mk(b1)), tmp("grp"), "v", Seq(0.25, 0.75),
+        delta = 16, groupCol = Some("grp"))
+      .select(col("batch_id"), col("shard"), col("q"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"),
+        col("estimate"))
+      .as[(Long, String, Double, Long, Double, Double, Double)].collect()
+    assert(rows.length == 8, "2 batches x 2 groups x 2 quantiles")
+    // group of row i within a batch is g(i%2), its value shifted by
+    // (i%2)*500 — mirror mk() exactly, per batch
+    def groupVals(batch: Seq[Double], g: String): Seq[Double] =
+      batch.zipWithIndex.filter(_._2 % 2 == (if (g == "g0") 0 else 1))
+        .map { case (v, i) => v + (i % 2) * 500.0 }
+    val batchSeqs = Seq(b0, b1)
+    rows.foreach { case (bid, g, q, r, lo, hi, est) =>
+      val sorted = (0 to bid.toInt)
+        .flatMap(i => groupVals(batchSeqs(i), g)).sorted
+      assert(r == math.floor(q * (sorted.size - 1)).toLong,
+        s"batch $bid $g q$q rank")
+      val truth = sorted(r.toInt)
+      assert(lo <= truth && truth <= hi,
+        s"batch $bid $g q$q: true $truth outside [$lo, $hi]")
+      assert(lo <= est && est <= hi)
+    }
+    // state bound: <= delta+1 rows PER GROUP after the fold
+    val acc2 = new StreamingTDigest.TDigestAccumulator(spark, tmp("grp2"),
+      "v", delta = 16, groupCol = Some("grp"))
+    acc2.update(mk(b0), 0L)
+    acc2.update(mk(b1), 1L)
+    val sizes = acc2.digest(2L).groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("weight").as("w"))
+      .as[(String, Long, Long)].collect()
+    assert(sizes.length == 2 && sizes.forall(_._2 <= 17))
+    assert(sizes.forall(_._3 == 1000L), s"500+500 values per group: ${sizes.toSeq}")
+    // groupCol and shardCol are exclusive
+    intercept[IllegalArgumentException] {
+      new StreamingTDigest.TDigestAccumulator(spark, tmp("grp3"), "v",
+        shardCol = Some("s"), groupCol = Some("grp"))
+    }
+  }
+
   test("batch-id regression fails fast instead of silently discarding") {
     // a store already at digest_upto_2 receiving batch 0 means the
     // stream restarted WITHOUT its checkpoint (ids re-start at 0) or
