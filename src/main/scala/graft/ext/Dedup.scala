@@ -780,7 +780,11 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
+    // hash-build on the span-array side (one narrow row per AFFECTED
+    // doc): the stream side carries full document text, and a
+    // sort-merge join would sort those KB-wide rows — the q79 verify
+    // hazard. With the hint the documents flow unsorted.
+    docs.join(spans.hint("shuffle_hash"), Seq(idCol), "left")
       .withColumn("clean_text",
         when(col(textCol).isNull, lit(null).cast("string"))
           .when(col("__spans").isNull, canonicalize(col(textCol)))
@@ -886,8 +890,13 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"), col("__norm"))
+    // hash-build on the frequent set (bounded by DISTINCT template
+    // lines, far below corpus paragraphs): the anti-join's stream side
+    // carries the original paragraph text per row — sort-merge would
+    // sort those wide rows (the q79 verify hazard)
     reassembleParagraphs(
-      paras.join(frequent, Seq("__h", "__norm"), "left_anti"), idCol, sep)
+      paras.join(frequent.hint("shuffle_hash"),
+        Seq("__h", "__norm"), "left_anti"), idCol, sep)
   }
 
   /** [[stripBoilerplate]] against CUMULATIVE prior line counts given as
@@ -1042,7 +1051,13 @@ object Dedup {
       .groupBy(col("__h"), col("__norm"))
       .agg(min(struct(col(idCol).as("id"), col("__idx").as("idx")))
         .as("__first"))
-    paras.join(first, Seq("__h", "__norm"), "left")
+    // hash-build on the min-struct side — one narrow row per DISTINCT
+    // paragraph, the same frame the aggregate's hash map just held, so
+    // a partition's build fits wherever the aggregate did (AQE splits
+    // skewed partitions). The stream side carries each paragraph's
+    // original text; sorting it (sort-merge) is the q79 wide-row
+    // hazard and the bigger risk of the two.
+    paras.join(first.hint("shuffle_hash"), Seq("__h", "__norm"), "left")
       .filter(col("__norm") === "" ||
         (col("__first.id") === col(idCol) && col("__first.idx") === col("__idx")))
   }
