@@ -1374,6 +1374,72 @@ private[graft] object Support {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** BPE merge-learning replay — the DuckDB twin of
+    * `ext.Bpe.learnFromWordCounts`, unrolled over `rounds` rounds (the
+    * q213 iterative-replay stance): emits CTEs `wc`/`w0` (word counts
+    * and initial char+`</w>` symbol strings, TAB-packed — symbols can
+    * never contain whitespace, the tokenizer normalized it away) and
+    * per round `p<k>` (adjacent-pair weighted counts), `b<k>` (the
+    * (count, l, r) struct argmax — DuckDB struct max is field-order
+    * lexicographic, identical to Spark's max(struct)), `m<k>` (the
+    * emitted merge row; empty once exhausted below minPairCount = 2),
+    * and `w<k>` — the merge applied via a `list_reduce` left fold:
+    * fusing never cascades within a round because the fused symbol
+    * l||r can never equal l again (r is nonempty), so the fold is
+    * exactly the engine's left-to-right scan. Every CTE is
+    * MATERIALIZED: each `w<k>` is referenced twice and DuckDB's
+    * inlining would otherwise grow the plan exponentially in rounds.
+    * Caller prepends the corpus-specific `tok` CTE producing
+    * one `word` row per token.
+    */
+  def bpeLearnSql(rounds: Int): String = {
+    val T = "chr(9)"
+    def round(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT ss[u.i] AS l, ss[u.i + 1] AS r, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT n, string_split(syms, $T) AS ss FROM w${k - 1}) t,
+         |    unnest(generate_series(1, len(ss) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT max(struct_pack(c := c, l := l, r := r)) AS m
+         |  FROM p$k WHERE c >= 2),
+         |m$k AS MATERIALIZED (
+         |  SELECT CAST(${k - 1} AS INT) AS rank, m.l AS "left",
+         |    m.r AS "right", m.c AS pair_count
+         |  FROM b$k WHERE m IS NOT NULL),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, n,
+         |    list_reduce(string_split(syms, $T),
+         |      (acc, x) -> CASE WHEN x = bb.r
+         |          AND string_split(acc, $T)[-1] = bb.l
+         |        THEN acc || x ELSE acc || $T || x END) AS syms
+         |  FROM w${k - 1}
+         |  CROSS JOIN (SELECT m.l AS l, m.r AS r FROM b$k) bb)""".stripMargin
+    s"""wc AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, n,
+       |    array_to_string(list_concat(ch[:len(ch) - 1],
+       |      [ch[-1] || '</w>']), $T) AS syms
+       |  FROM (SELECT word, n, string_split(word, '') AS ch FROM wc) t),
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |mm AS MATERIALIZED (
+       |  ${(1 to rounds).map(k => s"SELECT * FROM m$k")
+            .mkString("\n  UNION ALL ")})""".stripMargin
+  }
+
+  /** The shared token CTE both BPE oracles learn from — one `word` row
+    * per whitespace token of the documents corpus, mirroring
+    * `Bpe.wordCounts`'s normalize/split/nonempty exactly.
+    */
+  val BpeTokCte: String =
+    s"""tok AS (
+       |  SELECT u.w AS word
+       |  FROM (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |        FROM documents WHERE text IS NOT NULL) d,
+       |    unnest(string_split(d.t, ' ')) u(w)
+       |  WHERE u.w <> '')""".stripMargin
+
   /** Widened t-digest re-cluster replay — the DuckDB twin of
     * `ext.TDigest.reclusterWiden`: given an input CTE
     * `in(grp?, weight, sumv, vmin, vmax)` (a union of digests), emits

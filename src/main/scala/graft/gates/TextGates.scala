@@ -87,9 +87,11 @@ private[graft] object TextGates extends GateFamily {
         .orderBy("rank")
     }),
 
-    // ext bpe — tokenization with the learned vocabulary (rows-only:
-    // rank-greedy per-word merge replay is not SQL-expressible; BpeSpec
-    // pins losslessness and the rank-greedy order against encodeWord).
+    // ext bpe — tokenization with the learned vocabulary. Oracle-gated
+    // since round 12: the rank-greedy per-word merge replay IS
+    // SQL-expressible as a recursive CTE (lowest-rank leftmost pair per
+    // step); BpeSpec additionally pins losslessness and the rank-greedy
+    // order against encodeWord.
     "q119_bpe_tokenize" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val merges = bpeMerges25(s, dir).take(10)
@@ -172,9 +174,11 @@ private[graft] object TextGates extends GateFamily {
         .orderBy("doc_id")
     }),
 
-    // ext bpe — BPE vocabulary induction over the corpus (rows-only:
-    // iterative merge learning is not SQL-expressible; BpeSpec pins a
-    // plain-Scala reference incl. the (count, l, r) argmax tiebreak).
+    // ext bpe — BPE vocabulary induction over the corpus. Oracle-gated
+    // since round 12: the 25-round merge loop unrolls in SQL (the q213
+    // iterative-replay stance) with the deterministic (count, l, r)
+    // struct-argmax tiebreak replaying identically in both engines;
+    // BpeSpec additionally pins a plain-Scala reference.
     // Learning never iterates over the corpus: one (word, count)
     // aggregate, then vocab-frame rounds.
     "q112_bpe_vocab" -> ((s, dir) => {
@@ -480,6 +484,73 @@ private[graft] object TextGates extends GateFamily {
   val oracleSql: Map[String, String] = Map(
 
     "q37_langid_ngram" -> LangIdNgramOracle,
+
+    // BPE induction replay (q112): the full 25-round merge loop
+    // unrolled ([[Support.bpeLearnSql]]) — pair counts, struct argmax
+    // with the engine's (count, l, r) tiebreak, list_reduce merge
+    // application — so the learned vocabulary replays bit-for-bit.
+    "q112_bpe_vocab" ->
+      s"""WITH $BpeTokCte,
+         |${bpeLearnSql(25)}
+         |SELECT rank, "left", "right", pair_count FROM mm
+         |ORDER BY rank""".stripMargin,
+
+    // BPE tokenization replay (q119): the 10-round learn (the first 10
+    // rows of q112's table — the prefix property) plus the rank-greedy
+    // per-word encoder as a RECURSIVE CTE: per step, the lowest-rank
+    // adjacent pair (leftmost on ties — list_position finds the first
+    // min) fuses, until no learned pair applies; terminal states
+    // reassemble per document in word order.
+    "q119_bpe_tokenize" ->
+      s"""WITH RECURSIVE $BpeTokCte,
+         |${bpeLearnSql(10)},
+         |mpt AS MATERIALIZED (
+         |  SELECT map(list("left" || chr(9) || "right" ORDER BY rank),
+         |             list(rank ORDER BY rank)) AS mp FROM mm),
+         |enc AS (
+         |  SELECT word, syms FROM w0
+         |  UNION ALL
+         |  SELECT word,
+         |    array_to_string(list_concat(list_concat(ss[:bi - 1],
+         |      [ss[bi] || ss[bi + 1]]), ss[bi + 2:]), chr(9)) AS syms
+         |  FROM (
+         |    SELECT word, ss, list_position(rks, list_min(rks)) AS bi,
+         |      list_min(rks) AS br
+         |    FROM (
+         |      SELECT word, ss,
+         |        list_transform(generate_series(1, len(ss) - 1),
+         |          i -> coalesce(map_extract(mp,
+         |            ss[i] || chr(9) || ss[i + 1])[1], 999999)) AS rks
+         |      FROM (SELECT word, string_split(syms, chr(9)) AS ss
+         |            FROM enc)
+         |        CROSS JOIN mpt) t) t2
+         |  WHERE br < 999999),
+         |term AS MATERIALIZED (
+         |  SELECT word, ss FROM (
+         |    SELECT word, ss,
+         |      list_min(list_transform(generate_series(1, len(ss) - 1),
+         |        i -> coalesce(map_extract(mp,
+         |          ss[i] || chr(9) || ss[i + 1])[1], 999999))) AS br
+         |    FROM (SELECT word, string_split(syms, chr(9)) AS ss FROM enc)
+         |      CROSS JOIN mpt) t
+         |  WHERE br IS NULL OR br = 999999),
+         |docs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(regexp_replace(lower(text),
+         |      '\\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |dw AS (
+         |  SELECT doc_id, u.i AS wi, ws[u.i] AS word
+         |  FROM docs, unnest(generate_series(1, len(ws))) u(i)),
+         |flat AS (
+         |  SELECT dw.doc_id, flatten(list(t.ss ORDER BY dw.wi)) AS toks
+         |  FROM dw JOIN term t USING (word)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(len(f.toks), 0) AS BIGINT) AS n_tokens,
+         |  coalesce(array_to_string(f.toks[:5], ' '), '') AS head_tokens
+         |FROM docs d LEFT JOIN flat f USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the four patterns have no border (prefix = suffix), so
     // non-overlapping counts == all-occurrence counts per pattern
