@@ -380,6 +380,109 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------- incremental IVF index maintenance (frozen quantizer)
+
+  /** Build the IVF coarse quantizer ONCE: the deterministic md5-rank
+    * centroid sample of the initial corpus (the [[ivfTopK]] bootstrap),
+    * returned as a driver-side value (≤ numCells tiny rows — the
+    * documented broadcast budget) so later batches can be assigned
+    * WITHOUT re-reading or re-clustering anything. Freezing the
+    * quantizer is the standard IVF maintenance contract (FAISS `add`):
+    * cell geometry never moves, so stored postings stay valid across
+    * any number of appends and an append touches only the new batch.
+    * Re-derive centroids (full rebuild) only when [[ivfCellStats]]'
+    * imbalance signal says the frozen cells stopped fitting the data.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   numCells: Int = 0): Seq[(Long, Seq[Double])] = {
+    val cells = resolveNumCells(corpus, idCol, numCells, "ivfCentroids")
+    val rows = donorSample(corpus, idCol, vecCol, cells)
+    require(rows.nonEmpty,
+      "ivfCentroids: corpus has no non-null (id, vector) rows")
+    rows.toSeq.map { case (i, v) => (i, v.toSeq) }
+  }
+
+  /** Assign a batch to its frozen-quantizer cells — the IVF APPEND:
+    * one codegen'd kernel node per row (no join, no window, no shuffle
+    * of the batch), emitting `(cell, neighbor_id, vec, vnorm)` postings
+    * to union with (or write next to) the stored index. Cost is one
+    * scan of the BATCH; the existing postings never move. Because the
+    * quantizer is frozen, assignment is a pure per-row function:
+    * appending batches one at a time produces byte-identical postings
+    * to assigning their union (SimilaritySpec pins it).
+    */
+  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign: empty centroid table")
+    val idx = graft.functions.VectorFunctions.nearestCentroid(
+      col("vec"), centroids.map(_._2))
+    batch
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("vec"))
+      .select(element_at(array(centroids.map(c => lit(c._1)): _*),
+          idx + 1).as("cell"),
+        col("neighbor_id"), col("vec"), norm(col("vec")).as("vnorm"))
+  }
+
+  /** Query STORED postings (the union of any number of [[ivfAssign]]
+    * appends): the [[ivfTopK]] query path — top-`nprobe` cells per
+    * query via the same kernel, a broadcast equi-join on `cell`, exact
+    * cosine on the probed cells, per-query top-k window. Equal to
+    * [[ivfTopK]] on the same corpus and centroids (SimilaritySpec pins
+    * it), but the corpus side here is the pre-assigned index — nothing
+    * re-derives at query time.
+    */
+  def ivfSearchPostings(postings: DataFrame, queries: DataFrame,
+                        queryIdCol: String, vecCol: String,
+                        centroids: Seq[(Long, Seq[Double])],
+                        k: Int = 10, nprobe: Int = 3): DataFrame = {
+    require(centroids.nonEmpty, "ivfSearchPostings: empty centroid table")
+    require(k >= 1 && nprobe >= 1,
+      s"ivfSearchPostings: k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
+    val cellIdArr = array(centroids.map(c => lit(c._1)): _*)
+    val queryCells = broadcast(
+      queries.select(col(queryIdCol).as("query_id"),
+          col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+        .select(col("query_id"), col("q_vec"), col("q_norm"),
+          explode(transform(
+            graft.functions.VectorFunctions.nearestCentroids(
+              col("q_vec"), centroids.map(_._2),
+              math.min(nprobe, centroids.length)),
+            i => element_at(cellIdArr, i + 1))).as("cell")))
+    val scored = postings.join(queryCells, "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("q_vec"), col("vec"),
+          col("q_norm"), col("vnorm")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Per-cell occupancy and the REBUILD-TRIGGER signal for a postings
+    * index: one map-side-combined aggregate over the postings plus a
+    * one-row global ride-along (the sanctioned broadcast shape).
+    * `occupancy_ratio` = cell size over the ideal n/numCells;
+    * `imbalance` (same on every row) = the HOTTEST cell's ratio — when
+    * appended data drifts away from the frozen centroids this climbs,
+    * and past a policy threshold (FAISS folklore: ~3–5×) the index
+    * earns its rebuild. numCells is passed, not inferred: cells absent
+    * from the postings are exactly the empty cells the ratio must
+    * account for.
+    */
+  def ivfCellStats(postings: DataFrame, numCells: Int): DataFrame = {
+    require(numCells >= 1, s"numCells must be >= 1, got $numCells")
+    val per = postings.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("n_total"), max(col("n")).as("max_n"))
+    per.join(broadcast(tot)) // one-row global aggregate side
+      .select(col("cell"), col("n"), col("n_total"),
+        (col("n").cast("double") * numCells /
+          col("n_total").cast("double")).as("occupancy_ratio"),
+        (col("max_n").cast("double") * numCells /
+          col("n_total").cast("double")).as("imbalance"))
+  }
+
   /** IVF twin of [[lshTopKJoin]]: cross-table top-k neighbors with BOTH
     * sides large, bucketed by Voronoi cells of centroids sampled from the
     * RIGHT table (the [[ivfTopK]] bootstrap; same numeric-id

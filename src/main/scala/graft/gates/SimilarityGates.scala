@@ -51,6 +51,34 @@ private[graft] object SimilarityGates extends GateFamily {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ext similarity — INCREMENTAL IVF index maintenance (the streaming
+    // sibling of the semantic-join family): the coarse quantizer is
+    // built ONCE from the initial corpus and FROZEN; a new batch appends
+    // by per-row assignment only (no rebuild, existing postings never
+    // move); search probes the unioned postings and must surface the
+    // appended vectors. `from_append` marks batch-sourced neighbors —
+    // the searchability evidence. The oracle replays the q28 chain with
+    // centroids drawn from the INITIAL corpus only (the semantic
+    // difference from a rebuild, which would re-sample from the union).
+    "q268_ivf_incremental" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val initial = em.filter(col("vec_id") % 3 =!= 0)
+      val batch = em.filter(col("vec_id") % 3 === 0)
+      val cents = ext.Similarity.ivfCentroids(initial, "vec_id",
+        "embedding", numCells = 16)
+      val postings = ext.Similarity
+        .ivfAssign(initial, "vec_id", "embedding", cents)
+        .unionByName(
+          ext.Similarity.ivfAssign(batch, "vec_id", "embedding", cents))
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      ext.Similarity.ivfSearchPostings(postings, qs, "query_id",
+          "embedding", cents, k = 10, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (col("neighbor_id") % 3 === 0).as("from_append"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ext similarity — PQ (product-quantization) ANN: per-subspace codes +
     // ADC lookup-table scoring, exact re-rank of the candidate pool.
     // Oracle-checked: the generated PqAnnOracle derives the SAME
@@ -335,6 +363,8 @@ private[graft] object SimilarityGates extends GateFamily {
     "q16_ann_lsh" -> LshAnnOracle,
 
     "q28_ann_ivf" -> IvfAnnOracle,
+
+    "q268_ivf_incremental" -> IvfIncrementalOracle,
 
     "q263_ann_recall" -> AnnRecallOracle,
 

@@ -565,6 +565,57 @@ private[graft] object Support {
        |QUALIFY rank <= 10""".stripMargin
   }
 
+  /** Incremental-IVF replay (q268): the [[IvfAnnOracle]] chain with one
+    * deliberate difference — centroids are sampled from the INITIAL
+    * corpus only (`vec_id % 3 <> 0`) while assignment and search run
+    * over the full table (initial ∪ appended batch), replaying the
+    * frozen-quantizer append semantics exactly (a rebuild would
+    * re-sample from the union).
+    */
+  val IvfIncrementalOracle: String = {
+    def cosine(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 3 <> 0
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       |  ORDER BY vec_id),
+       |corpus_assign AS (
+       |  SELECT vec_id AS neighbor_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE crank <= 1),
+       |query_assign AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 8)
+       |  WHERE crank <= 4),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, ca.neighbor_id
+       |  FROM query_assign q JOIN corpus_assign ca ON ca.cell = q.cell),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.embedding", "c.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+       |  (neighbor_id % 3 = 0) AS from_append
+       |FROM scored
+       |QUALIFY rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ANN-recall replay (q263): the [[IvfAnnOracle]] chain at nprobe=2
     * as the retrieved list, the q15 brute-force chain as the judgment
     * set, then the [[RankEvalOracle]] integer metric math plus the

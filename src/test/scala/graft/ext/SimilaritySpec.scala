@@ -155,6 +155,77 @@ class SimilaritySpec extends SparkTestBase {
     assert(auto == explicit && auto.nonEmpty)
   }
 
+  test("incremental IVF: append equals bulk assign; search equals ivfTopK") {
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 13 + d * 5).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val initial = vecs.filter($"vec_id" % 3 =!= 0)
+    val batch = vecs.filter($"vec_id" % 3 === 0)
+    val cents = Similarity.ivfCentroids(initial, "vec_id", "embedding",
+      numCells = 16)
+    // frozen quantizer => assignment is a pure per-row function: two
+    // appends equal one bulk assign of their union, byte for byte
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"cell", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val appended = rows(
+      Similarity.ivfAssign(initial, "vec_id", "embedding", cents)
+        .unionByName(Similarity.ivfAssign(batch, "vec_id", "embedding", cents)))
+    val bulk = rows(Similarity.ivfAssign(vecs, "vec_id", "embedding", cents))
+    assert(appended == bulk && appended.size == 300)
+    // searching postings over the INITIAL corpus with the initial-corpus
+    // centroids must equal ivfTopK on that corpus (same quantizer)
+    val qs = vecs.filter($"vec_id" % 60 === 1)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val viaPostings = Similarity.ivfSearchPostings(
+        Similarity.ivfAssign(initial, "vec_id", "embedding", cents),
+        qs, "query_id", "embedding", cents, k = 4, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val viaTopK = Similarity.ivfTopK(initial, qs, "vec_id", "embedding",
+        "query_id", k = 4, numCells = 16, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaPostings == viaTopK && viaPostings.nonEmpty)
+  }
+
+  test("incremental IVF: appended vectors are searchable; stats signal") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin((i * 7 + d * 3).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      numCells = 8)
+    // the appended batch plants an exact copy of vector 42 at id 9000:
+    // it must come back rank 1 (ties by lowest id put the original
+    // first; the copy is the immediate next at cosine 1.0)
+    val copy = vecs.filter($"vec_id" === 42)
+      .select(lit(9000L).as("vec_id"), $"embedding")
+    val postings = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+      .unionByName(Similarity.ivfAssign(copy, "vec_id", "embedding", cents))
+    val q = vecs.filter($"vec_id" === 42)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Similarity.ivfSearchPostings(postings, q, "query_id",
+        "embedding", cents, k = 3, nprobe = 2)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top.take(2) == Seq(42L, 9000L),
+      s"appended exact copy must be searchable at the top: $top")
+    // stats: occupancy ratios are consistent and the imbalance signal
+    // rides every row (the rebuild trigger)
+    val st = Similarity.ivfCellStats(postings, numCells = 8)
+      .select($"n", $"n_total", $"occupancy_ratio", $"imbalance")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(st.map(_._1).sum == 201L && st.forall(_._2 == 201L))
+    val imb = st.head._4
+    assert(st.forall(r => math.abs(r._4 - imb) < 1e-12))
+    assert(imb >= st.map(_._3).max - 1e-12)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfCellStats(postings, numCells = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", Nil)
+    }
+  }
+
   test("ivfTopKJoin: agrees with ivfTopK when the left side is query-sized") {
     val vecs = (0L until 96L).map { i =>
       (i, Array.tabulate(16)(d => math.sin((i * 11 + d * 3).toDouble).toFloat))
