@@ -413,6 +413,29 @@ private[graft] object StreamingGates extends GateFamily {
             .as("est_in_bracket"))
         .orderBy("batch_id", "grp", "qi")
     }),
+
+    // streaming ext — continuously-maintained IVF index: the frozen
+    // quantizer comes from the FIRST batch (the initial corpus), each
+    // later batch appends by one kernel-assignment scan (no rebuild,
+    // postings never move), and the same queries are re-run after EVERY
+    // batch — later batches must surface in search as they land. The
+    // oracle replays each per-batch search state: assignment is a pure
+    // per-row function of the frozen centroids, so the accumulated
+    // index equals the bulk index of the batches seen so far.
+    "q269_stream_ivf" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val batches = (0L to 2L).map(i =>
+        em.filter(col("vec_id") % 3 === i).select("vec_id", "embedding"))
+      val cents = ext.Similarity.ivfCentroids(batches(0), "vec_id",
+        "embedding", numCells = 16)
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q269").toString + "/ivf"
+      graft.streaming.StreamingIvf.byBatch(s, batches, store, "vec_id",
+          "embedding", cents, qs, "query_id", k = 10, nprobe = 4)
+        .orderBy("batch_id", "query_id", "rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -730,5 +753,7 @@ private[graft] object StreamingGates extends GateFamily {
     "q260_stream_tdigest" -> StreamTDigestOracle,
 
     "q267_stream_tdigest_group" -> StreamGroupTDigestOracle,
+
+    "q269_stream_ivf" -> StreamIvfOracle,
   )
 }

@@ -616,6 +616,61 @@ private[graft] object Support {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Streaming-IVF replay (q269): the [[IvfIncrementalOracle]] chain
+    * replayed from every per-batch prefix — centroids from batch 0
+    * (`vec_id % 3 = 0`), the corpus after batch b = ids with
+    * `vec_id % 3 <= b` — so the gate checks each accumulation state.
+    */
+  val StreamIvfOracle: String = {
+    def cosine(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    def state(b: Int): String =
+      s"""ca$b AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT e.vec_id, c.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+         |    FROM embeddings e CROSS JOIN centroids c
+         |    WHERE e.vec_id % 3 <= $b)
+         |  WHERE crank <= 1),
+         |sc$b AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    ${cosine("q.embedding", "c.embedding")} AS cosine
+         |  FROM (SELECT DISTINCT q.query_id, ca.neighbor_id
+         |        FROM query_assign q JOIN ca$b ca ON ca.cell = q.cell) cand
+         |  JOIN embeddings q ON q.vec_id = cand.query_id
+         |  JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+         |p$b AS (
+         |  SELECT CAST($b AS BIGINT) AS batch_id, query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |  FROM sc$b QUALIFY rank <= 10)""".stripMargin
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 3 = 0
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       |  ORDER BY vec_id),
+       |query_assign AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+       |    FROM embeddings e CROSS JOIN centroids c
+       |    WHERE e.vec_id < 8)
+       |  WHERE crank <= 4),
+       |${state(0)},
+       |${state(1)},
+       |${state(2)}
+       |SELECT * FROM (
+       |  SELECT * FROM p0 UNION ALL SELECT * FROM p1
+       |  UNION ALL SELECT * FROM p2)
+       |ORDER BY batch_id, query_id, rank""".stripMargin
+  }
+
   /** ANN-recall replay (q263): the [[IvfAnnOracle]] chain at nprobe=2
     * as the retrieved list, the q15 brute-force chain as the judgment
     * set, then the [[RankEvalOracle]] integer metric math plus the

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+class StreamingIvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-sivf-$tag").toString + "/store"
+
+  private def vecs(ids: Seq[Long]) = ids.map { i =>
+    (i, Array.tabulate(16)(d => math.sin((i * 13 + d * 5).toDouble).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("byBatch: appended vectors surface in search as batches land") {
+    val all = (0L until 240L)
+    val batches = (0 to 2).map(b => vecs(all.filter(_ % 3 == b)))
+    val cents = Similarity.ivfCentroids(batches(0), "vec_id", "embedding",
+      numCells = 8)
+    val qs = vecs(Seq(3L, 7L)).select($"vec_id".as("query_id"), $"embedding")
+    val rows = StreamingIvf.byBatch(spark, batches, tmp("run"), "vec_id",
+        "embedding", cents, qs, "query_id", k = 5, nprobe = 3)
+      .select($"batch_id", $"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long, Int)].collect()
+    // every state answers every query with k well-formed rows
+    (0L to 2L).foreach { b =>
+      val st = rows.filter(_._1 == b)
+      assert(st.map(_._2).distinct.sorted.toSeq == Seq(3L, 7L), s"batch $b")
+      assert(st.groupBy(_._2).values.forall(_.map(_._4).sorted.toSeq == (1 to 5)))
+    }
+    // after batch 0 only %3==0 ids exist; after batch 2 query 3 finds
+    // itself at rank 1 (it arrived in batch 0 — id 3 is %3==0) and
+    // query 7 (batch 1) only from state 1 on
+    assert(rows.filter(r => r._1 == 0 && r._3 % 3 != 0).isEmpty,
+      "state 0 must only contain batch-0 vectors")
+    assert(!rows.exists(r => r._1 == 0 && r._2 == 7L && r._3 == 7L))
+    assert(rows.exists(r => r._1 == 1 && r._2 == 7L && r._3 == 7L && r._4 == 1))
+  }
+
+  test("retry idempotence, restart recovery, quantizer + regression guards") {
+    val store = tmp("guards")
+    val b0 = vecs(0L until 60L)
+    val b1 = vecs(60L until 120L)
+    val cents = Similarity.ivfCentroids(b0, "vec_id", "embedding",
+      numCells = 8)
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents)
+    acc.update(b0, 0L)
+    acc.update(b1, 1L)
+    val once = acc.postings().count()
+    acc.update(b1, 1L) // foreachBatch retry overwrites its own delta
+    assert(acc.postings().count() == once && once == 120L)
+    // restart: a new accumulator attaches with NO centroids and reloads
+    // the frozen quantizer from the store
+    val acc2 = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", Nil)
+    assert(acc2.centroids == cents.sortBy(_._1))
+    // a DIFFERENT quantizer on the same store is refused
+    val other = Similarity.ivfCentroids(b1, "vec_id", "embedding",
+      numCells = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+        "embedding", other)
+    }
+    assert(e1.getMessage.contains("frozen quantizer"))
+    // batch-id regression (restart without checkpoint) fails fast
+    val e2 = intercept[IllegalArgumentException] { acc2.update(b0, 0L) }
+    assert(e2.getMessage.contains("checkpointLocation"))
+    // stats ride the accumulated postings
+    val st = acc2.cellStats().select($"n").as[Long].collect()
+    assert(st.sum == 120L)
+  }
+
+  test("live stream: foreachBatch accumulates and searches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val base = vecs(0L until 80L)
+    val cents = Similarity.ivfCentroids(base, "vec_id", "embedding",
+      numCells = 8)
+    val (query, acc) = StreamingIvf.start(
+      input.toDF().withColumnRenamed("_1", "vec_id")
+        .withColumnRenamed("_2", "embedding"),
+      tmp("live"), "vec_id", "embedding", cents, queryName = "sivf-spec")
+    try {
+      def batch(ids: Seq[Long]): Seq[(Long, Array[Float])] = ids.map { i =>
+        (i, Array.tabulate(16)(d =>
+          math.sin((i * 13 + d * 5).toDouble).toFloat))
+      }
+      input.addData(batch(0L until 40L): _*)
+      query.processAllAvailable()
+      input.addData(batch(40L until 80L): _*)
+      query.processAllAvailable()
+      assert(acc.postings().count() == 80L)
+      val q = base.filter($"vec_id" === 55L)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val top = acc.search(q, "query_id", k = 1, nprobe = 2)
+        .select($"neighbor_id").as[Long].head()
+      assert(top == 55L, "batch-2 vector must be searchable")
+    } finally query.stop()
+  }
+}
