@@ -436,6 +436,42 @@ private[graft] object StreamingGates extends GateFamily {
           "embedding", cents, qs, "query_id", k = 10, nprobe = 4)
         .orderBy("batch_id", "query_id", "rank")
     }),
+
+    // streaming ext — PER-GROUP cross-batch HLL: distinct users per
+    // event type with both the cumulative and sliding last-2-batch
+    // reads, per group (the grouped twin of q252, completing the
+    // q249 batch / q252 streaming / per-group streaming symmetry).
+    // Register keys carry the group LAST (a group value may contain
+    // the separator; only the tail field may be ambiguous). Exact
+    // per-group counts ride along for both reads per batch.
+    "q270_stream_hll_group" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select((col("event_id") % 3L).as("b"),
+          col("event_type").as("t"),
+          concat(lit("u"), col("user_id").cast("string"), lit(":"),
+            (col("event_id") % 50L).cast("string")).as("item"))
+      val batches = (0L to 2L).map(i =>
+        ev.filter(col("b") === i).select("t", "item"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q270").toString + "/hll"
+      val est = graft.streaming.StreamingHll.byBatchBy(s, batches, store,
+        "t", "item", p = 8, window = 2)
+      val di = ev.select(col("b"), col("t"), col("item")).distinct()
+      val exact = di
+        .select(col("b"), col("t"), col("item"),
+          explode(array((0L to 2L).map(lit): _*)).as("bid"))
+        .filter(col("b") <= col("bid"))
+        .groupBy(col("bid").as("batch_id"), col("t").as("grp"))
+        .agg(count_distinct(col("item")).as("exact_cum"),
+          count_distinct(when(col("b") >= col("bid") - 1L, col("item")))
+            .as("exact_win"))
+      est.join(exact, Seq("batch_id", "grp"))
+        .select(col("batch_id"), col("grp"), col("est_cum"),
+          col("est_win"), col("exact_cum"), col("exact_win"))
+        .orderBy("batch_id", "grp")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -755,5 +791,7 @@ private[graft] object StreamingGates extends GateFamily {
     "q267_stream_tdigest_group" -> StreamGroupTDigestOracle,
 
     "q269_stream_ivf" -> StreamIvfOracle,
+
+    "q270_stream_hll_group" -> StreamGroupHllOracle,
   )
 }

@@ -1150,6 +1150,79 @@ private[graft] object Support {
     * oracle rebuilds both register tables per batch id from the
     * [[HllByGroupOracle]] integer machinery with grp = batch id.
     */
+  /** Per-group streaming-HLL replay (q270): the [[StreamHllOracle]]
+    * machinery with the group key threaded through every stage —
+    * per-(batch, group) item sets, register folds, estimates, and
+    * exact counts; the window estimate left-joins (a group can be
+    * absent from the sliding range while its cumulative stands).
+    */
+  val StreamGroupHllOracle: String = {
+    val p = 8; val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val rhoCase = (1 to 32)
+      .map(i => s"WHEN wb >= ${1L << (32 - i)} THEN $i").mkString(" ")
+    def estSql(src: String, out: String): String =
+      s"""regs_$out AS (
+         |  SELECT bid, grp, CAST(wa // ${1L << (32 - p)} AS INT) AS bucket,
+         |    max(CASE $rhoCase ELSE 33 END) AS rho
+         |  FROM $src GROUP BY 1, 2, 3),
+         |agg_$out AS (
+         |  SELECT bid, grp, CAST(count(*) AS BIGINT) AS nr,
+         |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0)
+         |      AS BIGINT) AS s
+         |  FROM regs_$out GROUP BY 1, 2),
+         |est_$out AS (
+         |  SELECT bid, grp, CAST($aConst AS DOUBLE) / 1000000.0
+         |    * 1099511627776.0
+         |    / CAST(s + ($m - nr) * (CAST(1 AS BIGINT) << 40) AS DOUBLE)
+         |    AS $out
+         |  FROM agg_$out)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id % 3 AS b, event_type AS grp,
+       |    'u' || CAST(user_id AS VARCHAR) || ':'
+       |      || CAST(event_id % 50 AS VARCHAR) AS item
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |bat(bid) AS (VALUES (0), (1), (2)),
+       |di AS (SELECT DISTINCT b, grp, item FROM ev),
+       |cum AS (
+       |  SELECT DISTINCT bat.bid, di.grp, di.item
+       |  FROM di JOIN bat ON di.b <= bat.bid),
+       |win AS (
+       |  SELECT DISTINCT bat.bid, di.grp, di.item
+       |  FROM di JOIN bat ON di.b <= bat.bid AND di.b >= bat.bid - 1),
+       |hc AS (SELECT bid, grp, md5(item) AS hx FROM cum),
+       |hw AS (SELECT bid, grp, md5(item) AS hx FROM win),
+       |wc AS (SELECT bid, grp, ${slice(0)} AS wa, ${slice(1)} AS wb FROM hc),
+       |ww AS (SELECT bid, grp, ${slice(0)} AS wa, ${slice(1)} AS wb FROM hw),
+       |${estSql("wc", "est_cum")},
+       |${estSql("ww", "est_win")},
+       |ex AS (
+       |  SELECT bid, grp,
+       |    CAST(count(DISTINCT item) AS BIGINT) AS exact_cum
+       |  FROM cum GROUP BY 1, 2),
+       |exw AS (
+       |  SELECT bid, grp,
+       |    CAST(count(DISTINCT item) AS BIGINT) AS exact_win
+       |  FROM win GROUP BY 1, 2)
+       |SELECT CAST(c.bid AS BIGINT) AS batch_id, c.grp, c.est_cum,
+       |  w.est_win, ex.exact_cum, coalesce(exw.exact_win, 0) AS exact_win
+       |FROM est_est_cum c
+       |LEFT JOIN est_est_win w USING (bid, grp)
+       |JOIN ex USING (bid, grp)
+       |LEFT JOIN exw USING (bid, grp)
+       |ORDER BY batch_id, grp""".stripMargin
+  }
+
   val StreamHllOracle: String = {
     val p = 8; val m = 1 << p
     val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong

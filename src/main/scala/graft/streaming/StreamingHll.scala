@@ -26,10 +26,20 @@ import graft.ext.FreqSketch
   */
 object StreamingHll {
 
-  /** Driver-held handle on the accumulating register store. */
+  /** Driver-held handle on the accumulating register store.
+    *
+    * `groupCol` makes the accumulator PER-GROUP (distinct users per
+    * event type / source / tenant — the streaming member of the
+    * [[FreqSketch.hllSketchBy]] family): register rows key as
+    * `batch:bucket:rho:grp` with the group value LAST, because a group
+    * value may itself contain the `:` separator and only the tail
+    * field may be separator-ambiguous (the limit-4 split recovers it
+    * intact). State is ≤ groups × 2^p rows per batch.
+    */
   final class HllAccumulator(spark: SparkSession, storePath: String,
                              itemCol: String, p: Int = 8,
-                             compactEvery: Int = 8) {
+                             compactEvery: Int = 8,
+                             groupCol: Option[String] = None) {
     require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
     private val store = new KeyedBatchStore(spark, storePath, "cell",
       "STRING", compactEvery, numBuckets = 1)
@@ -40,21 +50,34 @@ object StreamingHll {
       */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
       store.maybeCompact(batchId)
-      store.append(
-        FreqSketch.hllSketch(batch, itemCol, p)
-          .select(concat_ws(":", lpad(lit(batchId).cast("string"), 9, "0"),
-            col("bucket"), col("rho")).as("cell")),
-        batchId)
+      val bid = lpad(lit(batchId).cast("string"), 9, "0")
+      val cells = groupCol match {
+        case Some(g) =>
+          FreqSketch.hllSketchBy(batch, g, itemCol, p)
+            .select(concat_ws(":", bid, col("bucket"), col("rho"),
+              col("grp")).as("cell"))
+        case None =>
+          FreqSketch.hllSketch(batch, itemCol, p)
+            .select(concat_ws(":", bid, col("bucket"), col("rho"))
+              .as("cell"))
+      }
+      store.append(cells, batchId)
+    }
+
+    private def inRange(fromBatch: Long) = {
+      val from = lpad(lit(fromBatch).cast("string"), 9, "0")
+      substring_index(col("cell"), ":", 1) >= from
     }
 
     /** Register table folded over batches in `[fromBatch, uptoBatch)`,
       * in the (bucket, rho) shape the batch estimators consume.
       */
     def registers(uptoBatch: Long, fromBatch: Long = 0L): DataFrame = {
-      val from = lpad(lit(fromBatch).cast("string"), 9, "0")
+      require(groupCol.isEmpty,
+        "grouped accumulator: use registersBy/estimateBy")
       store.parts(uptoBatch)
         .reduceOption(_ unionByName _)
-        .map(_.filter(substring_index(col("cell"), ":", 1) >= from)
+        .map(_.filter(inRange(fromBatch))
           .select(
             split(col("cell"), ":").getItem(1).cast("int").as("bucket"),
             split(col("cell"), ":").getItem(2).cast("int").as("rho"))
@@ -65,9 +88,38 @@ object StreamingHll {
             "CAST(NULL AS INT) AS rho WHERE FALSE"))
     }
 
+    /** Per-group register table over `[fromBatch, uptoBatch)` — the
+      * [[FreqSketch.hllMergeBy]] fold of the stored per-batch sketches,
+      * `(grp, bucket, rho)` shaped for [[FreqSketch.hllEstimateBy]].
+      * The limit-4 split keeps a group value containing `:` intact.
+      */
+    def registersBy(uptoBatch: Long, fromBatch: Long = 0L): DataFrame = {
+      require(groupCol.isDefined,
+        "ungrouped accumulator: use registers/estimate")
+      store.parts(uptoBatch)
+        .reduceOption(_ unionByName _)
+        .map(_.filter(inRange(fromBatch))
+          .select(
+            element_at(split(col("cell"), ":", 4), 4).as("grp"),
+            split(col("cell"), ":").getItem(1).cast("int").as("bucket"),
+            split(col("cell"), ":").getItem(2).cast("int").as("rho"))
+          .groupBy(col("grp"), col("bucket"))
+          .agg(max(col("rho")).as("rho")))
+        .getOrElse(spark.sql(
+          "SELECT CAST(NULL AS STRING) AS grp, " +
+            "CAST(NULL AS INT) AS bucket, " +
+            "CAST(NULL AS INT) AS rho WHERE FALSE"))
+    }
+
     /** Distinct-count estimate over `[fromBatch, uptoBatch)`. */
     def estimate(uptoBatch: Long, fromBatch: Long = 0L): DataFrame =
       FreqSketch.hllEstimate(registers(uptoBatch, fromBatch), p)
+
+    /** Per-group distinct-count estimates over `[fromBatch,
+      * uptoBatch)` — one row per group present in the range.
+      */
+    def estimateBy(uptoBatch: Long, fromBatch: Long = 0L): DataFrame =
+      FreqSketch.hllEstimateBy(registersBy(uptoBatch, fromBatch), p)
 
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
@@ -81,10 +133,11 @@ object StreamingHll {
   def start(stream: DataFrame, storePath: String, itemCol: String,
             p: Int = 8,
             queryName: String = "graft-stream-hll",
-            checkpoint: Option[String] = None)
+            checkpoint: Option[String] = None,
+            groupCol: Option[String] = None)
       : (StreamingQuery, HllAccumulator) = {
     val acc = new HllAccumulator(stream.sparkSession, storePath,
-      itemCol, p)
+      itemCol, p, groupCol = groupCol)
     val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch(acc.asForeachBatch)
@@ -113,6 +166,32 @@ object StreamingHll {
       cum.crossJoin(broadcast(win))
         .select(lit(i.toLong).as("batch_id"), col("est_cum"),
           col("est_win"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Grouped batch replay — the oracle-gateable twin of [[byBatch]]:
+    * per batch, the PER-GROUP cumulative and last-`window` sliding
+    * estimates (one row per (batch, group) seen so far).
+    */
+  def byBatchBy(spark: SparkSession, batches: Seq[DataFrame],
+                storePath: String, groupCol: String, itemCol: String,
+                p: Int, window: Int): DataFrame = {
+    require(batches.nonEmpty, "byBatchBy needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val acc = new HllAccumulator(spark, storePath, itemCol, p,
+      groupCol = Some(groupCol))
+    batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      val cum = acc.estimateBy(i.toLong + 1)
+        .select(col("grp"), col("estimate").as("est_cum"))
+      val win = acc.estimateBy(i.toLong + 1,
+          math.max(0L, i.toLong - window + 1))
+        .select(col("grp"), col("estimate").as("est_win"))
+      // a group absent from the window range still has a cumulative
+      // estimate — left join, absent window estimates surface as NULL
+      cum.join(win, Seq("grp"), "left")
+        .select(lit(i.toLong).as("batch_id"), col("grp"),
+          col("est_cum"), col("est_win"))
     }.reduce(_ unionByName _)
   }
 }

@@ -58,4 +58,43 @@ class StreamingHllSpec extends SparkTestBase {
     // the expiry is visible: batch-2 window estimate < cumulative
     assert(rows(2)._3 < rows(2)._2)
   }
+
+  test("grouped: per-group registers equal each group's one-shot sketch") {
+    // two groups with different item streams; group values contain ':'
+    // to exercise the tail-field key packing
+    def gb(b: Seq[String]) = b.zipWithIndex
+      .map { case (it, i) => (if (i % 2 == 0) "g:a" else "g:b", it) }
+      .toDF("g", "it")
+    val acc = new StreamingHll.HllAccumulator(spark, tmp("grp"), "it",
+      p = 8, compactEvery = 2, groupCol = Some("g"))
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      acc.update(gb(b), i.toLong)
+    }
+    val got = acc.registersBy(3L)
+      .as[(String, Int, Int)].collect().toSet
+    val all = gb(b0).unionByName(gb(b1)).unionByName(gb(b2))
+    val want = FreqSketch.hllSketchBy(all, "g", "it")
+      .as[(String, Int, Int)].collect().toSet
+    assert(got == want && got.map(_._1) == Set("g:a", "g:b"))
+    // windowed per-group fold equals the one-shot sketch of the window
+    val gotWin = acc.registersBy(3L, fromBatch = 2L)
+      .as[(String, Int, Int)].collect().toSet
+    val wantWin = FreqSketch.hllSketchBy(gb(b2), "g", "it")
+      .as[(String, Int, Int)].collect().toSet
+    assert(gotWin == wantWin)
+    // per-group estimates land near each group's truth
+    val est = acc.estimateBy(3L).select("grp", "estimate")
+      .as[(String, Double)].collect().toMap
+    val truth = all.distinct().groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    Seq("g:a", "g:b").foreach { g =>
+      assert(est(g) > truth(g) / 2.0 && est(g) < truth(g) * 2.0,
+        s"$g: ${est(g)} vs ${truth(g)}")
+    }
+    // mode guards
+    intercept[IllegalArgumentException] { acc.registers(3L) }
+    val plain = new StreamingHll.HllAccumulator(spark, tmp("plain"), "it")
+    plain.update(b0.toDF("it"), 0L)
+    intercept[IllegalArgumentException] { plain.registersBy(1L) }
+  }
 }
