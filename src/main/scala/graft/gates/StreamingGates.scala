@@ -472,6 +472,28 @@ private[graft] object StreamingGates extends GateFamily {
           col("est_win"), col("exact_cum"), col("exact_win"))
         .orderBy("batch_id", "grp")
     }),
+
+    // streaming ext — PER-GROUP cross-batch HDR quantiles: running
+    // p50/p99 per order priority after every batch (the grouped twin
+    // of q247, closing the per-group streaming-sketch symmetry: HLL
+    // q270, t-digest q267, HDR here). Histogram rows key as bucket:grp
+    // (group LAST — separator-safe) and sum-merge per key; state is
+    // ≤ groups × ~1.9k rows regardless of stream length.
+    "q271_stream_hdr_group" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull
+          && col("o_orderpriority").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          col("o_orderpriority").as("g"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("g", "v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q271").toString + "/hdr"
+      graft.streaming.StreamingHdr.byBatchBy(s, batches, store, "g", "v",
+          Seq(0.5, 0.99), subBits = 5)
+        .orderBy("batch_id", "grp", "q")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -793,5 +815,7 @@ private[graft] object StreamingGates extends GateFamily {
     "q269_stream_ivf" -> StreamIvfOracle,
 
     "q270_stream_hll_group" -> StreamGroupHllOracle,
+
+    "q271_stream_hdr_group" -> StreamGroupHdrOracle,
   )
 }

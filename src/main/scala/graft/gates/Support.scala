@@ -1553,6 +1553,59 @@ private[graft] object Support {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Per-group streaming-HDR replay (q271): the [[StreamHdrOracle]]
+    * machinery with the group key threaded through every stage —
+    * per-(batch-prefix, group) histograms, totals, cumulative sums,
+    * and rank picks.
+    */
+  val StreamGroupHdrOracle: String = {
+    val ladder = (6 to 62).reverse
+      .map(i => s"WHEN v >= ${1L << i} THEN $i").mkString(" ")
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS b, o_orderpriority AS grp,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL),
+       |bat AS (SELECT * FROM (VALUES (0), (1), (2)) t(bid)),
+       |bk AS (
+       |  SELECT b, grp, CASE WHEN v < 32 THEN v
+       |    ELSE (e - 5) * 32 + (v >> CAST(e - 5 AS INT)) END AS bucket
+       |  FROM (SELECT b, grp, v, CASE $ladder ELSE 5 END AS e FROM vals) t),
+       |hist AS (
+       |  SELECT bat.bid, grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk JOIN bat ON bk.b <= bat.bid GROUP BY 1, 2, 3),
+       |n AS (SELECT bid, grp, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM hist GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT bid, grp, bucket,
+       |    sum(cnt) OVER (PARTITION BY bid, grp ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM hist),
+       |qs AS (
+       |  SELECT CAST(0.5 AS DOUBLE) AS q
+       |  UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+       |ranked AS (
+       |  SELECT bid, grp, q, greatest(CAST(1 AS BIGINT),
+       |    CAST(ceil(q * total) AS BIGINT)) AS rank
+       |  FROM qs CROSS JOIN n),
+       |picked AS (
+       |  SELECT r.bid, r.grp, r.q, r.rank,
+       |    CAST(min(c.bucket) AS BIGINT) AS bucket
+       |  FROM ranked r JOIN cum c ON c.bid = r.bid AND c.grp = r.grp
+       |    AND c.c >= r.rank
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT CAST(bid AS BIGINT) AS batch_id, grp, q, rank, bucket,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (bucket - (bucket // 32 - 1) * 32) << CAST(bucket // 32 - 1 AS INT)
+       |    END AS BIGINT) AS lo,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE ((bucket - (bucket // 32 - 1) * 32 + 1) << CAST(bucket // 32 - 1 AS INT)) - 1
+       |    END AS BIGINT) AS hi
+       |FROM picked
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** BPE merge-learning replay — the DuckDB twin of
     * `ext.Bpe.learnFromWordCounts`, unrolled over `rounds` rounds (the
     * q213 iterative-replay stance): emits CTEs `wc`/`w0` (word counts

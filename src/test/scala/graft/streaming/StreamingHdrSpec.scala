@@ -49,4 +49,39 @@ class StreamingHdrSpec extends SparkTestBase {
     assert(p50his(0) < p50his(1) && p50his(1) < p50his(2),
       s"p50 hi bounds not increasing: ${p50his.toSeq}")
   }
+
+  test("grouped: per-group fold equals each group's one-shot histogram") {
+    // group values contain ':' to exercise the tail-field key packing
+    def gb(b: Seq[Long]) = b.zipWithIndex
+      .map { case (v, i) => (if (i % 2 == 0) "ep:a" else "ep:b", v + (i % 2) * 1000L) }
+      .toDF("g", "v")
+    val acc = new StreamingHdr.HdrAccumulator(spark, tmp("grp"), "v",
+      subBits = 5, compactEvery = 2, groupCol = Some("g"))
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      acc.update(gb(b), i.toLong)
+    }
+    val got = acc.histogramBy(3L).as[(String, Long, Long)].collect().toSet
+    val all = gb(b0).unionByName(gb(b1)).unionByName(gb(b2))
+    val want = FreqSketch.hdrHistogramBy(all, "g", "v", subBits = 5)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want && got.map(_._1) == Set("ep:a", "ep:b"))
+    // per-group quantile picks bound each group's true quantile
+    val qs = Seq(0.5, 0.99)
+    val picks = acc.quantilesBy(qs, 3L)
+      .select("grp", "q", "lo", "hi")
+      .as[(String, Double, Long, Long)].collect()
+    assert(picks.length == 4, "2 groups x 2 quantiles")
+    val truth = all.as[(String, Long)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    picks.foreach { case (g, q, lo, hi) =>
+      val vs = truth(g)
+      val t = vs(math.max(0, math.ceil(q * vs.size).toInt - 1))
+      assert(lo <= t && t <= hi, s"$g q$q: true $t outside [$lo, $hi]")
+    }
+    // mode guards
+    intercept[IllegalArgumentException] { acc.histogram(3L) }
+    val plain = new StreamingHdr.HdrAccumulator(spark, tmp("plain"), "v")
+    plain.update(b0.toDF("v"), 0L)
+    intercept[IllegalArgumentException] { plain.histogramBy(1L) }
+  }
 }
