@@ -203,10 +203,13 @@ private[graft] object MultimodalGates extends GateFamily {
     }),
 
     // ext multimodal — IMA ADPCM (WAV format 17) decode: block headers +
-    // adaptive nibble chain, pure integer. ROWS-ONLY by design: the
-    // per-sample predictor state is sequential, so no SQL oracle can
-    // replay it — MultimodalSpec pins the decode against an independent
-    // reference walk of the same public tables instead (the q23 stance).
+    // adaptive nibble chain, pure integer. Oracle-gated since round 12:
+    // the decoder's per-sample state EQUALS the encoder's (the ADPCM
+    // round-trip invariant), the fixture's target samples are a closed
+    // form of (doc_id, i), and the quantize+step recurrence unrolls as
+    // a recursive CTE over sample index — so DuckDB replays the whole
+    // predictor/step-index walk bit-for-bit. MultimodalSpec still pins
+    // the byte-level decode against an independent reference walk.
     "q145_adpcm_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -303,6 +306,67 @@ private[graft] object MultimodalGates extends GateFamily {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // IMA ADPCM replay (q145): the decoder state equals the encoder
+    // state (the ADPCM round-trip invariant), targets are the fixture's
+    // closed form sample(i) = ((doc_id*31 + i) mod 2^16) - 32768, and
+    // the greedy quantize + table-step recurrence (89-entry step table,
+    // int16/index clamps) unrolls as a RECURSIVE CTE over the sample
+    // index - block headers reset the predictor at i % 505 = 0 with the
+    // step index carried across blocks. n_bytes/duration are header
+    // closed forms; rms is one fixed IEEE sqrt over the exact BIGINT
+    // sum of squares.
+    "q145_adpcm_decode" ->
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, CAST(256 + (doc_id % 3) * 128 AS BIGINT) AS n,
+         |    CAST(((doc_id * 31) % 65536 + 65536) % 65536 - 32768 AS BIGINT) AS smp0
+         |  FROM documents),
+         |chain AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS i, n,
+         |    smp0 AS pred, CAST(0 AS BIGINT) AS idx,
+         |    CAST(smp0 * smp0 AS BIGINT) AS sumsq
+         |  FROM docs0
+         |  UNION ALL
+         |
+         |  SELECT doc_id, i + 1 AS i, n,
+         |    CASE WHEN hdr THEN t ELSE p END AS pred,
+         |    CASE WHEN hdr THEN idx ELSE ix END AS idx,
+         |    sumsq + (CASE WHEN hdr THEN t ELSE p END)
+         |          * (CASE WHEN hdr THEN t ELSE p END) AS sumsq
+         |  FROM (
+         |    SELECT doc_id, i, n, idx, sumsq, hdr, t,
+         |      greatest(CAST(-32768 AS BIGINT), least(CAST(32767 AS BIGINT),
+         |        CASE WHEN sgn THEN pred - diff ELSE pred + diff END)) AS p,
+         |      greatest(CAST(0 AS BIGINT), least(CAST(88 AS BIGINT),
+         |        idx + ([-1, -1, -1, -1, 2, 4, 6, 8])[(CASE WHEN b4 THEN 4 ELSE 0 END
+         |          + CASE WHEN b2 THEN 2 ELSE 0 END
+         |          + CASE WHEN b1 THEN 1 ELSE 0 END) + 1])) AS ix
+         |    FROM (
+         |      SELECT *,
+         |        (st // 8) + CASE WHEN b1 THEN st // 4 ELSE 0 END
+         |          + CASE WHEN b2 THEN st // 2 ELSE 0 END
+         |          + CASE WHEN b4 THEN st ELSE 0 END AS diff
+         |      FROM (
+         |        SELECT *, (r1 - CASE WHEN b2 THEN st // 2 ELSE 0 END) >= st // 4 AS b1
+         |        FROM (
+         |          SELECT *, (ad - CASE WHEN b4 THEN st ELSE 0 END) AS r1,
+         |            (ad - CASE WHEN b4 THEN st ELSE 0 END) >= st // 2 AS b2
+         |          FROM (
+         |            SELECT *, abs(t - pred) AS ad, (t - pred) < 0 AS sgn,
+         |              abs(t - pred) >= st AS b4
+         |            FROM (
+         |              SELECT doc_id, i, n, pred, idx, sumsq,
+         |                ((i + 1) % 505) = 0 AS hdr,
+         |                CAST(((doc_id * 31 + i + 1) % 65536 + 65536) % 65536
+         |                  - 32768 AS BIGINT) AS t,
+         |                ([7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767])[CAST(idx + 1 AS INT)] AS st
+         |              FROM chain WHERE i + 1 < n) t0) t1) t2) t3) t4) t5
+         |)
+         |SELECT doc_id,
+         |  CAST(60 + ((n + 504) // 505) * 256 AS BIGINT) AS n_bytes,
+         |  n AS n_samples, n // 8 AS duration_ms,
+         |  sqrt(CAST(sumsq AS DOUBLE) / n) / 32768.0 AS rms
+         |FROM chain WHERE i = n - 1
+         |ORDER BY doc_id""".stripMargin,
 
     // 8×4 gray gradient v = (doc_id + x + y) % 256 under an identity
     // palette: luma milli-sum is 1000·Σv exactly, whatever the encoding
