@@ -355,9 +355,10 @@ private[graft] object TextGates extends GateFamily {
 
     // ext tokenizer — exact Viterbi tokenization under the q186
     // vocabulary (shared through the gate memo — the q112/q119 lesson):
-    // integer e12 scores, ties to fewer pieces then longer first piece.
-    // Rows-only by design (Viterbi replay is not SQL-expressible);
-    // the segmentation rules are spec-pinned against a plain reference.
+    // integer e12 scores, ties to fewer pieces then longer last piece.
+    // Oracle-gated since round 12: the all-integer DP unrolls as a
+    // recursive CTE with a sliding 4-slot window (the q145 state-chain
+    // stance); UnigramLmSpec additionally pins the segmentation laws.
     "q187_unigram_tokenize" -> ((s, dir) => {
       ext.UnigramLm.tokenize(
           tbl(s, dir, "documents").select("doc_id", "text"),
@@ -484,6 +485,127 @@ private[graft] object TextGates extends GateFamily {
   val oracleSql: Map[String, String] = Map(
 
     "q37_langid_ngram" -> LangIdNgramOracle,
+
+    // Viterbi tokenize replay (q187): the q186 vocab CTEs verbatim,
+    // then the EXACT integer Viterbi as a recursive CTE over word
+    // positions carrying a sliding 4-slot DP window (scores are e12
+    // BIGINTs - no float hazard) and the growing segmentation string;
+    // the candidate argmax is a struct max over (score, -pieces,
+    // last-piece-length), the engine's total preference order, which is
+    // tie-free on real candidates (distinct lengths differ in ll).
+    // Terminal states reassemble per document in word order.
+    "q187_unigram_tokenize" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT word, CAST(sum(1) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents WHERE text IS NOT NULL) t
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS (
+        |  SELECT substr(word, u.i, v.l) AS piece, CAST(sum(n) AS BIGINT) AS cnt
+        |  FROM w,
+        |    unnest(generate_series(1, length(word))) AS u(i),
+        |    unnest(generate_series(1, least(4, length(word) - u.i + 1))) AS v(l)
+        |  GROUP BY piece),
+        |kept AS (SELECT * FROM subs WHERE cnt >= 2 OR length(piece) = 1),
+        |rk AS (
+        |  SELECT piece, cnt FROM kept
+        |  ORDER BY (CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) DESC,
+        |    cnt DESC, piece ASC
+        |  LIMIT 200),
+        |tot AS (SELECT CAST(greatest(sum(cnt), 1) AS BIGINT) AS t FROM rk),
+        |voc AS (
+        |  SELECT piece,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e12) AS BIGINT)
+        |      - CAST(floor(ln(CAST(tot.t AS DOUBLE)) * 1e12) AS BIGINT) AS lp
+        |  FROM rk, tot),
+        |mpt AS MATERIALIZED (SELECT map(list(piece), list(lp)) AS mp FROM voc),
+        |dwords AS MATERIALIZED (SELECT DISTINCT word FROM w),
+        |dp AS (
+        |  SELECT word, CAST(0 AS BIGINT) AS i, length(word) AS n,
+        |    CAST(0 AS BIGINT) AS s0, 0 AS p0, '' AS g0,
+        |    CAST(-100000000000000000 AS BIGINT) AS s1, 0 AS p1, '' AS g1,
+        |    CAST(-100000000000000000 AS BIGINT) AS s2, 0 AS p2, '' AS g2,
+        |    CAST(-100000000000000000 AS BIGINT) AS s3, 0 AS p3, '' AS g3
+        |  FROM dwords
+        |  UNION ALL
+        |  SELECT word, i + 1 AS i, n,
+        |    best.sc AS s0, -best.np AS p0, best.sg AS g0,
+        |    s0 AS s1, p0 AS p1, g0 AS g1,
+        |    s1 AS s2, p1 AS p2, g1 AS g2,
+        |    s2 AS s3, p2 AS p3, g2 AS g3
+        |  FROM (
+        |    SELECT *, list_aggregate(list_filter(
+        |      [CASE WHEN i + 1 - 1 >= 0 AND s0 > -100000000000000000
+        |          AND (map_extract(mp, substr(word, i + 2 - 1, 1))[1] IS NOT NULL
+        |               OR true)
+        |        THEN struct_pack(
+        |          sc := s0 + coalesce(map_extract(mp, substr(word, i + 2 - 1, 1))[1],
+        |            CAST(-50000000000000 AS BIGINT)),
+        |          np := -(p0 + 1),
+        |          ll := 1,
+        |          sg := CASE WHEN g0 = '' THEN substr(word, i + 2 - 1, 1)
+        |                ELSE g0 || ' ' || substr(word, i + 2 - 1, 1) END)
+        |        ELSE NULL END,
+        |       CASE WHEN i + 1 - 2 >= 0 AND s1 > -100000000000000000
+        |          AND (map_extract(mp, substr(word, i + 2 - 2, 2))[1] IS NOT NULL
+        |               )
+        |        THEN struct_pack(
+        |          sc := s1 + coalesce(map_extract(mp, substr(word, i + 2 - 2, 2))[1],
+        |            CAST(-100000000000000000 AS BIGINT)),
+        |          np := -(p1 + 1),
+        |          ll := 2,
+        |          sg := CASE WHEN g1 = '' THEN substr(word, i + 2 - 2, 2)
+        |                ELSE g1 || ' ' || substr(word, i + 2 - 2, 2) END)
+        |        ELSE NULL END,
+        |       CASE WHEN i + 1 - 3 >= 0 AND s2 > -100000000000000000
+        |          AND (map_extract(mp, substr(word, i + 2 - 3, 3))[1] IS NOT NULL
+        |               )
+        |        THEN struct_pack(
+        |          sc := s2 + coalesce(map_extract(mp, substr(word, i + 2 - 3, 3))[1],
+        |            CAST(-100000000000000000 AS BIGINT)),
+        |          np := -(p2 + 1),
+        |          ll := 3,
+        |          sg := CASE WHEN g2 = '' THEN substr(word, i + 2 - 3, 3)
+        |                ELSE g2 || ' ' || substr(word, i + 2 - 3, 3) END)
+        |        ELSE NULL END,
+        |       CASE WHEN i + 1 - 4 >= 0 AND s3 > -100000000000000000
+        |          AND (map_extract(mp, substr(word, i + 2 - 4, 4))[1] IS NOT NULL
+        |               )
+        |        THEN struct_pack(
+        |          sc := s3 + coalesce(map_extract(mp, substr(word, i + 2 - 4, 4))[1],
+        |            CAST(-100000000000000000 AS BIGINT)),
+        |          np := -(p3 + 1),
+        |          ll := 4,
+        |          sg := CASE WHEN g3 = '' THEN substr(word, i + 2 - 4, 4)
+        |                ELSE g3 || ' ' || substr(word, i + 2 - 4, 4) END)
+        |        ELSE NULL END],
+        |      x -> x IS NOT NULL), 'max') AS best
+        |    FROM dp CROSS JOIN mpt
+        |    WHERE i < n) t
+        |),
+        |term AS MATERIALIZED (
+        |  SELECT word, g0 AS seg, p0 AS np FROM dp WHERE i = n),
+        |docs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |dw AS (
+        |  SELECT doc_id, u.i AS wi, ws[u.i] AS word, len(ws) AS n_words
+        |  FROM docs, unnest(generate_series(1, len(ws))) u(i)),
+        |agg AS (
+        |  SELECT dw.doc_id, max(dw.n_words) AS n_words,
+        |    CAST(sum(t.np) AS BIGINT) AS n_pieces,
+        |    string_agg(t.seg, ' ' ORDER BY dw.wi) AS pieces
+        |  FROM dw JOIN term t USING (word)
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        |  coalesce(a.pieces, '') AS pieces
+        |FROM docs d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // BPE induction replay (q112): the full 25-round merge loop
     // unrolled ([[Support.bpeLearnSql]]) — pair counts, struct argmax
