@@ -182,8 +182,13 @@ object Dedup {
       col("sh").as("sh_a"), col("sig").as("sig_a"))
     val right = subsetSig.select(col(idCol).as("id_b"),
       col("sh").as("sh_b"), col("sig").as("sig_b"))
+    // verify joins hash-build on the shingle/signature (array) side —
+    // candidate-bounded row COUNT but KB-wide rows; sort-merge would
+    // sort them (the q79 verify hazard). The narrow candidate pairs
+    // stream unsorted.
     candidates
-      .join(left, "id_a").join(right, "id_b")
+      .join(left.hint("shuffle_hash"), "id_a")
+      .join(right.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         minhashEstimate(col("sig_a"), col("sig_b")).as("est_jaccard"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -241,7 +246,9 @@ object Dedup {
         candidates.select(col("build_id").as(idCol)).distinct(), Seq(idCol), "left_semi"),
         idCol, textCol, shingleSize, numHashes, seed)
       .select(col(idCol).as("build_id"), col("sh").as("sh_b"))
-    candidates.join(pSub, "probe_id").join(bSub, "build_id")
+    // same hash-build-the-array-side stance as minhashDuplicates
+    candidates.join(pSub.hint("shuffle_hash"), "probe_id")
+      .join(bSub.hint("shuffle_hash"), "build_id")
       .select(col("probe_id"), col("build_id"),
         jaccard(col("sh_p"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
