@@ -416,8 +416,11 @@ object Similarity {
     require(centroids.nonEmpty, "ivfAssign: empty centroid table")
     val idx = graft.functions.VectorFunctions.nearestCentroid(
       col("vec"), centroids.map(_._2))
+    // filter on the CASTED id (the donorSample stance): a non-numeric id
+    // would pass a raw-column null check yet cast to NULL under the
+    // non-ANSI cast, silently writing a NULL neighbor_id posting
     batch
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .filter(col(idCol).cast("long").isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).as("vec"))
       .select(element_at(array(centroids.map(c => lit(c._1)): _*),

@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   *    [[Bpe.tokenize]] shape). Scores are integer e12 log-probs
   *    (S(count) − S(total), the lnScaled idiom), summed in BIGINT, so
   *    the argmax is exact — ties break to FEWER pieces, then to the
-  *    LONGER first piece (both pinned in the spec against a plain
+  *    LONGER last piece (both pinned in the spec against a plain
   *    reference). Characters outside the vocabulary (possible only for
   *    corpora disjoint from the training corpus) fall back to
   *    single-char pieces at [[UnkLogpE12]].

@@ -157,4 +157,37 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     */
   def append(keys: DataFrame, batchId: Long): Unit =
     keys.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+
+  /** Highest batch id with state on disk (delta dirs, plus
+    * `compacted_upto_U` covering batches up to U−1), or None for a
+    * fresh store. Pure filesystem listing — no data read.
+    */
+  def maxStoredBatchId(): Option[Long] = {
+    val dir = new Path(storePath)
+    val deltas =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("batch=").toLong).toOption)
+    val covered = compactedVersions().map(_ - 1L)
+    (deltas ++ covered).reduceOption(_ max _)
+  }
+
+  /** Fail fast on batch-id REGRESSION (the [[maxStoredBatchId]] check
+    * accumulator `update`s run before appending): a stream restarted
+    * WITHOUT its checkpoint re-numbers batches from 0, and because the
+    * batch id is folded into stored keys, the restarted stream's cells
+    * would silently interleave under old ids — corrupting any
+    * `[fromBatch, uptoBatch)` windowed read (a cumulative read stays a
+    * harmless union). A RETRY of the latest batch (same id) is allowed:
+    * `append` overwrites its own directory idempotently.
+    */
+  def requireNoRegression(batchId: Long): Unit =
+    maxStoredBatchId().filter(_ > batchId).foreach { m =>
+      throw new IllegalArgumentException(
+        s"store $storePath already holds batches up to $m but batch " +
+          s"$batchId arrived — a restarted stream must reuse its " +
+          "checkpointLocation, and a new query needs a fresh storePath")
+    }
 }

@@ -52,6 +52,10 @@ object StreamingHdr {
 
     /** Append one batch's histogram (bucket counts of the batch only). */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // fail fast on a renumbered stream: counts are SUM-merged, so a
+      // restarted-from-0 stream would overwrite (and lose) the real
+      // batch-0 delta while double-counting everything after it
+      store.requireNoRegression(batchId)
       store.maybeCompact(batchId)
       val delta = groupCol match {
         case Some(g) => FreqSketch.hdrHistogramBy(batch, g, valueCol, subBits)

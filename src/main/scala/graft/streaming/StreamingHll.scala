@@ -49,6 +49,9 @@ object StreamingHll {
       * numeric order).
       */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      // fail fast on a renumbered stream: batch ids live INSIDE the
+      // cell keys, so a regression corrupts windowed register reads
+      store.requireNoRegression(batchId)
       store.maybeCompact(batchId)
       val bid = lpad(lit(batchId).cast("string"), 9, "0")
       val cells = groupCol match {

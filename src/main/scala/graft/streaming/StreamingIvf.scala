@@ -38,7 +38,8 @@ object StreamingIvf {
 
   final class IvfAccumulator(spark: SparkSession, storePath: String,
                              idCol: String, vecCol: String,
-                             centroidsIn: Seq[(Long, Seq[Double])]) {
+                             centroidsIn: Seq[(Long, Seq[Double])],
+                             vecSqlType: String = "ARRAY<FLOAT>") {
 
     private def fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,13 +101,17 @@ object StreamingIvf {
 
     /** The postings ingested by batches < `uptoBatch` (all, by
       * default). LAZY parquet reads — union of the per-batch deltas.
+      * The pre-first-batch empty frame types `vec` from the
+      * construction-time `vecSqlType` (not a hardcoded ARRAY<FLOAT>):
+      * an index over array<double> vectors must present the SAME
+      * schema before and after its first delta lands.
       */
     def postings(uptoBatch: Long = Long.MaxValue): DataFrame = {
       val ids = batchIds().filter(_ < uptoBatch)
       if (ids.isEmpty)
         spark.sql("SELECT CAST(NULL AS BIGINT) AS cell, " +
           "CAST(NULL AS BIGINT) AS neighbor_id, " +
-          "CAST(NULL AS ARRAY<FLOAT>) AS vec, " +
+          s"CAST(NULL AS $vecSqlType) AS vec, " +
           "CAST(NULL AS DOUBLE) AS vnorm WHERE FALSE")
       else ids.map(i => spark.read.parquet(batchDir(i)))
         .reduce(_ unionByName _)
@@ -133,10 +138,11 @@ object StreamingIvf {
   def start(stream: DataFrame, storePath: String, idCol: String,
             vecCol: String, centroids: Seq[(Long, Seq[Double])],
             queryName: String = "graft-stream-ivf",
-            checkpoint: Option[String] = None)
+            checkpoint: Option[String] = None,
+            vecSqlType: String = "ARRAY<FLOAT>")
       : (StreamingQuery, IvfAccumulator) = {
     val acc = new IvfAccumulator(stream.sparkSession, storePath,
-      idCol, vecCol, centroids)
+      idCol, vecCol, centroids, vecSqlType)
     val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch(acc.asForeachBatch)

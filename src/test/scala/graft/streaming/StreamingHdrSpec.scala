@@ -84,4 +84,20 @@ class StreamingHdrSpec extends SparkTestBase {
     plain.update(b0.toDF("v"), 0L)
     intercept[IllegalArgumentException] { plain.histogramBy(1L) }
   }
+  test("batch-id regression fails fast instead of losing a delta") {
+    // counts are SUM-merged: a restarted-from-0 stream would OVERWRITE
+    // the real batch-0 delta (losing its counts) and double-count later
+    val acc = new StreamingHdr.HdrAccumulator(spark, tmp("regress"), "v")
+    acc.update(b0.toDF("v"), 0L)
+    acc.update(b1.toDF("v"), 1L)
+    val before = acc.histogram(2L).agg(
+      org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    val err = intercept[IllegalArgumentException] {
+      acc.update(b1.toDF("v"), 0L)
+    }
+    assert(err.getMessage.contains("checkpointLocation"),
+      s"message must point at checkpoint/storePath reuse: ${err.getMessage}")
+    assert(acc.histogram(2L).agg(
+      org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == before)
+  }
 }

@@ -97,4 +97,24 @@ class StreamingHllSpec extends SparkTestBase {
     plain.update(b0.toDF("it"), 0L)
     intercept[IllegalArgumentException] { plain.registersBy(1L) }
   }
+  test("batch-id regression fails fast instead of corrupting window reads") {
+    // batch ids live INSIDE the stored cell keys: a stream restarted
+    // WITHOUT its checkpoint re-numbers from 0 and would interleave new
+    // registers under old ids, corrupting [from, upto) windowed reads
+    val acc = new StreamingHll.HllAccumulator(spark, tmp("regress"), "it",
+      p = 8, compactEvery = 8)
+    acc.update(b0.toDF("it"), 0L)
+    acc.update(b1.toDF("it"), 1L)
+    val err = intercept[IllegalArgumentException] {
+      acc.update(b2.toDF("it"), 0L)
+    }
+    assert(err.getMessage.contains("checkpointLocation"),
+      s"message must point at checkpoint/storePath reuse: ${err.getMessage}")
+    // a RETRY of the latest batch id is allowed (overwrite-idempotent)
+    acc.update(b1.toDF("it"), 1L)
+    val got = acc.registers(2L).as[(Int, Int)].collect().toSet
+    val want = FreqSketch.hllSketch((b0 ++ b1).toDF("it"), "it")
+      .as[(Int, Int)].collect().toSet
+    assert(got == want, "rejected update must leave the store untouched")
+  }
 }
