@@ -675,6 +675,62 @@ object FreqSketch {
           lit(1099511627776.0) / col("sum_scaled").cast("double"))
   }
 
+  /** Pairwise content-overlap estimates between the GROUPS of one
+    * register table: for every unordered group pair `(src_a, src_b)`,
+    * the raw HLL estimates of |A|, |B| and |A ∪ B| — the union sketch
+    * is the per-bucket register max across the two groups (the
+    * [[hllMergeBy]] law, which is exactly the sketch OF the union) —
+    * and the inclusion–exclusion Jaccard estimate
+    * `(est_a + est_b − est_union) / est_union`, clamped to [0, 1]
+    * (inclusion–exclusion can go slightly negative on disjoint sets).
+    *
+    * Scale shape: the pair matrix is #groups² — the whole point of
+    * collapsing a corpus into per-group sketches FIRST (the q39
+    * stance); the register join is an equi broadcast join of the
+    * ≤ groups × 2^p register table against the exploded pair-member
+    * list, never a corpus-sized operation. Same integer discipline as
+    * [[hllEstimate]]: dyadic 2^(40−rho) BIGINT sums, one final double
+    * division per estimate, so every output column replays bit-for-bit
+    * in an independent engine.
+    */
+  def hllPairwiseOverlap(sketch: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def estimate(nReg: Column, s: Column): Column =
+      lit(aConst).cast("double") / lit(1000000.0) *
+        lit(1099511627776.0) /
+        (s + (lit(m.toLong) - nReg) * lit(1L << 40)).cast("double")
+    val groups = sketch.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("src_a"))
+      .join(groups.select(col("grp").as("src_b")),
+        col("src_a") < col("src_b"))
+    // explode each pair into its two member groups so the register
+    // join is an EQUI broadcast join (no nested loop on the big side)
+    val members = pairs.select(col("src_a"), col("src_b"),
+      explode(array(col("src_a"), col("src_b"))).as("grp"))
+    val union = sketch.join(broadcast(members), Seq("grp"))
+      .groupBy(col("src_a"), col("src_b"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("__n_u"),
+        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - rho)")),
+          lit(0L)).as("__s_u"))
+    val per = hllEstimateBy(sketch, p).select(col("grp"), col("estimate"))
+    union
+      .join(broadcast(per.select(col("grp").as("src_a"),
+        col("estimate").as("est_a"))), Seq("src_a"))
+      .join(broadcast(per.select(col("grp").as("src_b"),
+        col("estimate").as("est_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        estimate(col("__n_u"), col("__s_u")).as("est_union"))
+      .withColumn("est_jaccard",
+        least(lit(1.0), greatest(lit(0.0),
+          (col("est_a") + col("est_b") - col("est_union")) /
+            col("est_union"))))
+  }
+
   // -------------------- Misra–Gries heavy-hitter summary (deterministic)
 
   /** Deterministic Misra–Gries compress of a per-shard count relation

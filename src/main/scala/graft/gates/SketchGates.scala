@@ -18,29 +18,46 @@ private[graft] object SketchGates extends GateFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ext sketch — approx_count_distinct (HLL++; rows-only: DuckDB's HLL
-    // differs by construction, exactness asserted within rsd in ScalaTest).
+    // ext sketch — approximate distinct users per event type via the
+    // library's OWN oracle-gated HLL (md5 registers, dyadic BIGINT
+    // harmonic sum, one final division — the q249 path), so the gate
+    // replays bit-for-bit in DuckDB. p=5 keeps the ln-free RAW
+    // estimator in regime at gate scale (n ≥ 2.5·m needs m ≤ 60 for
+    // the sf0.01 fixture's 150 users/type). Spark's builtin
+    // approx_count_distinct (engine-internal HLL++ registers, the
+    // formerly rows-only form) stays spec-pinned as a SHADOW in
+    // FreqSketchSpec: both estimators must land near the exact count.
     "q22_approx_distinct" -> ((s, dir) => {
-      tbl(s, dir, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct("user_id", 0.01).as("approx_users"))
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      ext.FreqSketch.hllEstimateBy(
+          ext.FreqSketch.hllSketchBy(ev, "event_type", "user_id", p = 5),
+          p = 5)
+        .select(col("grp").as("event_type"),
+          col("estimate").as("approx_users"))
         .orderBy("event_type")
     }),
 
-    // ext sketch-agg — corpus-level MinHash-union sketches per source and
-    // the estimated pairwise content overlap between sources (rows-only:
-    // xxh64-based sketch; union-equals-union property proven in ScalaTest).
+    // ext sketch-agg — corpus-level content sketches per source and the
+    // estimated pairwise overlap between sources, via the library's OWN
+    // oracle-gated HLL: each source's shingle set collapses to ≤ 2^p
+    // registers (union-mergeable — the whole point of group sketches:
+    // the pairwise matrix is #groups², never corpus-sized), and the
+    // Jaccard estimate is inclusion–exclusion over the raw estimates
+    // (|A|+|B|−|A∪B|)/|A∪B|, every term one exact-integer division the
+    // DuckDB oracle replays bit-for-bit. The formerly rows-only
+    // MinHash-union form (xxh64 signatures, MinHashUnionAgg) stays
+    // spec-pinned as a SHADOW in FreqSketchSpec: both overlap
+    // estimators must track the exact shingle-set Jaccard.
     "q39_group_sketch" -> ((s, dir) => {
-      val sigs = tbl(s, dir, "documents")
+      val sh = tbl(s, dir, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
         .select(col("source"),
-          Dedup.minhashSignature(Dedup.shingles(col("text")), 128).as("sig"))
-        .groupBy("source")
-        .agg(graft.functions.MinHashUnionAgg.column(col("sig")).as("gsig"))
-      val a = sigs.select(col("source").as("src_a"), col("gsig").as("sig_a"))
-      val b = sigs.select(col("source").as("src_b"), col("gsig").as("sig_b"))
-      a.join(b, col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"),
-          Dedup.minhashEstimate(col("sig_a"), col("sig_b")).as("est_overlap"))
+          explode(Dedup.shingles(col("text"))).as("shingle"))
+      val sk = ext.FreqSketch.hllSketchBy(sh, "source", "shingle", p = 8)
+      ext.FreqSketch.hllPairwiseOverlap(sk, p = 8)
+        .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_jaccard"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -764,6 +781,10 @@ private[graft] object SketchGates extends GateFamily {
     "q244_count_sketch" -> CountSketchOracle,
 
     "q245_misra_gries" -> MisraGriesOracle,
+
+    "q22_approx_distinct" -> ApproxDistinctOracle,
+
+    "q39_group_sketch" -> GroupSketchOracle,
 
     "q249_hll_by_group" -> HllByGroupOracle,
 

@@ -1455,6 +1455,116 @@ private[graft] object Support {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Approx-distinct-users replay (q22): the [[HllByGroupOracle]]
+    * machinery at p = 5 (raw-regime at the fixture's cardinality),
+    * output reduced to the gate's (event_type, approx_users) shape —
+    * one exact-integer register fold per group, one double division.
+    */
+  val ApproxDistinctOracle: String = {
+    val p = 5; val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val rhoCase = (1 to 32)
+      .map(i => s"WHEN wb >= ${1L << (32 - i)} THEN $i").mkString(" ")
+    s"""WITH ev AS (
+       |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+       |h AS (SELECT grp, md5(item) AS hx FROM ev),
+       |w32 AS (SELECT grp, ${slice(0)} AS wa, ${slice(1)} AS wb FROM h),
+       |regs AS (
+       |  SELECT grp, CAST(wa // ${1L << (32 - p)} AS INT) AS bucket,
+       |    max(CASE $rhoCase ELSE 33 END) AS rho
+       |  FROM w32 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0)
+       |      AS BIGINT) AS s
+       |  FROM regs GROUP BY 1)
+       |SELECT grp AS event_type,
+       |  CAST($aConst AS DOUBLE) / 1000000.0 * 1099511627776.0
+       |    / CAST(s + ($m - n) * (CAST(1 AS BIGINT) << 40)
+       |      AS DOUBLE) AS approx_users
+       |FROM agg
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** Group-sketch overlap replay (q39): per-source shingle sets (the
+    * q13 shingle construction, exploded) → per-source HLL registers at
+    * p = 8 → per-source raw estimates, pairwise UNION registers (max
+    * rho over the two groups — the merge law IS the union sketch), and
+    * the inclusion–exclusion Jaccard, every estimate the same
+    * one-division-of-exact-integers form the engine computes.
+    */
+  val GroupSketchOracle: String = {
+    val p = 8; val m = 1 << p
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val aConst = alphaE6 * m.toLong * m
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val rhoCase = (1 to 32)
+      .map(i => s"WHEN wb >= ${1L << (32 - i)} THEN $i").mkString(" ")
+    def est(n: String, s: String): String =
+      s"CAST($aConst AS DOUBLE) / 1000000.0 * 1099511627776.0 " +
+        s"/ CAST($s + ($m - $n) * (CAST(1 AS BIGINT) << 40) AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+       |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+       |sh AS (
+       |  SELECT source AS grp,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(t) - 2, 1)),
+       |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS item
+       |  FROM toks),
+       |h AS (SELECT grp, md5(item) AS hx FROM sh),
+       |w32 AS (SELECT grp, ${slice(0)} AS wa, ${slice(1)} AS wb FROM h),
+       |regs AS (
+       |  SELECT grp, CAST(wa // ${1L << (32 - p)} AS INT) AS bucket,
+       |    max(CASE $rhoCase ELSE 33 END) AS rho
+       |  FROM w32 GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0)
+       |      AS BIGINT) AS s
+       |  FROM regs GROUP BY 1),
+       |est AS (SELECT grp, ${est("n", "s")} AS e FROM agg),
+       |pairs AS (
+       |  SELECT a.grp AS src_a, b.grp AS src_b
+       |  FROM est a JOIN est b ON a.grp < b.grp),
+       |uregs AS (
+       |  SELECT p.src_a, p.src_b, r.bucket, max(r.rho) AS rho
+       |  FROM pairs p JOIN regs r ON r.grp = p.src_a OR r.grp = p.src_b
+       |  GROUP BY 1, 2, 3),
+       |uagg AS (
+       |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CAST(1 AS BIGINT) << (40 - rho)), 0)
+       |      AS BIGINT) AS s
+       |  FROM uregs GROUP BY 1, 2),
+       |uest AS (
+       |  SELECT src_a, src_b, ${est("n", "s")} AS est_union FROM uagg)
+       |SELECT u.src_a, u.src_b, ea.e AS est_a, eb.e AS est_b,
+       |  u.est_union,
+       |  least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+       |    (ea.e + eb.e - u.est_union) / u.est_union)) AS est_jaccard
+       |FROM uest u
+       |JOIN est ea ON ea.grp = u.src_a
+       |JOIN est eb ON eb.grp = u.src_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Zone-map replay (q248): per-month min/max/row stats, keep test
     * `vmax ≥ lo AND vmin ≤ hi` (NULL stats = all-NULL zone = pruned),
     * scan bound = kept-zone row sum, and the soundness check — rows

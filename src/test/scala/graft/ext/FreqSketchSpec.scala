@@ -540,4 +540,108 @@ class FreqSketchSpec extends SparkTestBase {
     assert(estDisjoint.toSeq == Seq(0L),
       "disjoint sides must estimate 0 — an absent slice is a zero dot")
   }
+  test("hllPairwiseOverlap: union law exact, jaccard tracks truth") {
+    // A = 0..2999, B = 1500..4499 (J = 1/3), C disjoint
+    val rows =
+      (0 until 3000).map(i => ("a", s"x$i")) ++
+      (1500 until 4500).map(i => ("b", s"x$i")) ++
+      (0 until 3000).map(i => ("c", s"y$i"))
+    val sk = FreqSketch.hllSketchBy(rows.toDF("g", "it"), "g", "it", p = 8)
+    val out = FreqSketch.hllPairwiseOverlap(sk, p = 8)
+      .as[(String, String, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // union law: the pair's est_union IS the estimate of the sketch of
+    // the concatenation (register max ≡ sketch of the union) — exact
+    val abU = FreqSketch.hllEstimateBy(
+        FreqSketch.hllSketchBy(
+          rows.filter(r => r._1 != "c").map(r => ("u", r._2)).toDF("g", "it"),
+          "g", "it", p = 8), p = 8)
+      .select("estimate").as[Double].head()
+    assert(out(("a", "b"))._5 == abU,
+      s"est_union ${out(("a", "b"))._5} must equal merged-sketch estimate $abU")
+    // accuracy: overlapping pair tracks J = 1/3; disjoint pairs near 0
+    val jab = out(("a", "b"))._6
+    assert(math.abs(jab - 1.0 / 3.0) < 0.2, s"est_jaccard $jab vs 1/3")
+    Seq(("a", "c"), ("b", "c")).foreach { k =>
+      val j = out(k)._6
+      assert(j >= 0.0 && j < 0.12, s"disjoint pair $k est_jaccard $j")
+      assert(jab > j + 0.1, "overlap ordering must hold")
+    }
+  }
+
+  test("q22 shadow: builtin approx_count_distinct tracks the gated HLL") {
+    // the gate (q22) runs the library HLL (oracle-replayable); Spark's
+    // own HLL++ form it replaced stays pinned here: both estimators
+    // must land near the exact per-group distinct count
+    val rnd = new scala.util.Random(7)
+    val ev = (0 until 20000).map { _ =>
+      val g = s"t${rnd.nextInt(4)}"
+      (g, (rnd.nextInt(2000) + 1).toLong)
+    }.toDF("event_type", "user_id")
+    val exactM = ev.distinct().groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val builtin = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct("user_id", 0.01).as("e"))
+      .as[(String, Long)].collect().toMap
+    val gated = FreqSketch.hllEstimateBy(
+        FreqSketch.hllSketchBy(ev, "event_type", "user_id", p = 5), p = 5)
+      .select("grp", "estimate").as[(String, Double)].collect().toMap
+    exactM.foreach { case (g, n) =>
+      assert(math.abs(builtin(g) - n).toDouble / n < 0.05,
+        s"builtin $g: ${builtin(g)} vs $n")
+      // p=5 raw estimator: rsd ~ 1.04/sqrt(32) ~ 18%; allow 2.5 sigma
+      assert(math.abs(gated(g) - n) / n < 0.45,
+        s"gated $g: ${gated(g)} vs $n")
+    }
+  }
+
+  test("q39 shadow: MinHash-union overlap tracks exact jaccard and the gated HLL") {
+    // the gate (q39) runs the HLL inclusion-exclusion overlap
+    // (oracle-replayable); the xxh64 MinHash-union form it replaced
+    // stays pinned here against the exact shingle-set jaccard
+    def text(from: Int, until: Int): String =
+      (from until until).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("a", text(0, 1500)), ("a", text(1500, 3000)),
+      ("b", text(1200, 2700)), ("b", text(2700, 4200)),
+      ("c", text(9000, 12000))).toDF("source", "text")
+    // exact jaccard of the per-source shingle UNION sets
+    val sets = docs
+      .select($"source", org.apache.spark.sql.functions.explode(
+        Dedup.shingles($"text")).as("sh"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    def jac(x: Set[String], y: Set[String]): Double =
+      (x & y).size.toDouble / (x | y).size.toDouble
+    val jTrue = jac(sets("a"), sets("b"))
+    // minhash-union estimate (the old q39 body)
+    val sigs = docs
+      .select($"source",
+        Dedup.minhashSignature(Dedup.shingles($"text"), 128).as("sig"))
+      .groupBy("source")
+      .agg(graft.functions.MinHashUnionAgg.column($"sig").as("gsig"))
+    val aSig = sigs.select($"source".as("src_a"), $"gsig".as("sig_a"))
+    val bSig = sigs.select($"source".as("src_b"), $"gsig".as("sig_b"))
+    val mh = aSig.join(bSig, $"src_a" < $"src_b")
+      .select($"src_a", $"src_b",
+        Dedup.minhashEstimate($"sig_a", $"sig_b").as("est"))
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(mh(("a", "b")) - jTrue) < 0.15,
+      s"minhash ${mh(("a", "b"))} vs exact $jTrue")
+    assert(mh(("a", "c")) < 0.05 && mh(("b", "c")) < 0.05)
+    // gated HLL overlap on the same corpus agrees with both
+    val sh = docs.select($"source", org.apache.spark.sql.functions.explode(
+      Dedup.shingles($"text")).as("shingle"))
+    val hll = FreqSketch.hllPairwiseOverlap(
+        FreqSketch.hllSketchBy(sh, "source", "shingle", p = 8), p = 8)
+      .select("src_a", "src_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(hll(("a", "b")) - jTrue) < 0.2,
+      s"hll ${hll(("a", "b"))} vs exact $jTrue")
+    assert(hll(("a", "c")) < 0.12 && hll(("b", "c")) < 0.12)
+  }
 }
