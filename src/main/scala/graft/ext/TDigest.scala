@@ -164,21 +164,34 @@ object TDigest {
     */
   private def reclusterWiden(all: DataFrame, delta: Int,
                              grpCol: Option[String]): DataFrame = {
-    val part: Seq[Column] = grpCol.map(col).toSeq
-    def pk(c: Column): Seq[Column] =
-      if (part.nonEmpty) part else Seq(SingleTask.key(c))
     // frame = the union of input digests, <= inputs * (delta+1) rows
     // per group by construction — summary-sized, never corpus-sized;
-    // the global case declares it with the registered constant key
-    // ONE partition key expression for both windows (same exchange,
-    // no re-shuffle between them); the n window is frame-only
-    val wOrd = Window.partitionBy(pk(col("vmin")): _*)
+    // the global case declares it with the registered constant key.
+    // The key is materialized ONCE as a column and every downstream
+    // window/aggregate partitions on that ATTRIBUTE: anchoring a fresh
+    // key expression per stage (the round-12 shape) reads identically
+    // but Catalyst cannot prove two anchors equal, so EnsureRequirements
+    // priced a full exchange into EVERY stage of the global chain (5
+    // exchanges for ≤ inputs·(δ+1) rows — the round-12 t-digest family
+    // regression). One shared attribute → one exchange; every later
+    // partitionBy/groupBy is a superset of it and pipelines as a sort
+    // within the same stage. A plain lit(0) column would NOT work:
+    // foldable partition keys get stripped by the optimizer
+    // (EliminateWindowPartitions), restoring the banned empty
+    // partition spec — the non-foldable registered key is the vehicle.
+    val (framed, gname) = grpCol match {
+      case Some(g) => (all, g)
+      case None =>
+        (all.withColumn("__grp", SingleTask.key(col("vmin"))), "__grp")
+    }
+    val part: Seq[Column] = Seq(col(gname))
+    val wOrd = Window.partitionBy(part: _*)
       .orderBy(col("vmin"), col("vmax"), col("weight"), col("sumv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = all
+    val ranked = framed
       .withColumn("__cum", sum(col("weight")).over(wOrd))
       .withColumn("__n",
-        sum(col("weight")).over(Window.partitionBy(pk(col("vmin")): _*)))
+        sum(col("weight")).over(Window.partitionBy(part: _*)))
       .withColumn("__before", col("__cum") - col("weight"))
       .withColumn("cluster",
         expr(s"CAST((__before * ${delta}L) DIV __n AS BIGINT)"))
@@ -202,8 +215,7 @@ object TDigest {
         col("__e.k").as("__key"), col("__e.kd").as("__kind"),
         col("__e.w").as("__w"))): _*)
     val wEnv = Window
-      .partitionBy(((if (part.nonEmpty) part
-        else Seq(SingleTask.key(col("__key")))) :+ col("__pass")): _*)
+      .partitionBy((part :+ col("__pass")): _*)
       .orderBy(col("__key"), col("__kind"))
     // locate pass, in RANK space: bands are contiguous intervals
     // covering [0, N) (ROWS-frame cum), so the clusters a centroid's
@@ -231,7 +243,7 @@ object TDigest {
         col("__e.k").as("__key"), col("__e.kd").as("__kind"),
         col("__e.cl").as("__cl"))): _*)
     val wLoc = Window
-      .partitionBy(pk(col("__key")): _*)
+      .partitionBy(part: _*)
       .orderBy(col("__key"), col("__kind"))
     val ranges = located
       .withColumn("__locc", last(col("__cl"), ignoreNulls = true).over(wLoc))
@@ -265,8 +277,8 @@ object TDigest {
         sum(col("__x.s")).cast("decimal(28,8)").as("sumv"),
         min(col("__x.bvmin")).as("vmin"), max(col("__x.bvmax")).as("vmax"))
       .filter(col("weight").isNotNull)
-      .select((part ++ Seq(col("cluster"), col("weight"), col("sumv"),
-        col("vmin"), col("vmax"))): _*)
+      .select((grpCol.map(col).toSeq ++ Seq(col("cluster"), col("weight"),
+        col("sumv"), col("vmin"), col("vmax"))): _*)
   }
 
   /** Merge per-group digests ACROSS inputs (days, sources, shards of a

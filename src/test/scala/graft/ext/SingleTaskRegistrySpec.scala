@@ -76,10 +76,13 @@ class SingleTaskRegistrySpec extends SparkTestBase {
     // per slice, ≤ Depth rows by the groupBy — asserted below
     "ext/FreqSketch.scala" -> 3,
     "ext/Bootstrap.scala" -> 1,
-    // tdigestMerge re-cluster + tdigestQuantiles pick: frames = the
-    // union of input digests / one digest — ≤ shards·(δ+1) and ≤ δ+1
-    // rows by the summarize compress. Asserted below.
-    "ext/TDigest.scala" -> 4)
+    // tdigestMerge re-cluster (key materialized ONCE as a column so
+    // all merge windows/aggregates share one partitioning — anchoring
+    // a fresh key per stage priced an exchange into every stage of the
+    // global chain, the r12 regression) + tdigestQuantiles pick ×2:
+    // frames = the union of input digests / one digest — ≤ shards·(δ+1)
+    // and ≤ δ+1 rows by the summarize compress. Asserted below.
+    "ext/TDigest.scala" -> 3)
 
   test("every SingleTask.key call site in main source is registered") {
     val root = Paths.get("src/main/scala/graft")
