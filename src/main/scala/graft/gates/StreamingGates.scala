@@ -422,6 +422,9 @@ private[graft] object StreamingGates extends GateFamily {
     // oracle replays each per-batch search state: assignment is a pure
     // per-row function of the frozen centroids, so the accumulated
     // index equals the bulk index of the batches seen so far.
+    // compactEvery = 2 makes the run FOLD deltas into a generation
+    // segment mid-stream, so the oracle also proves compaction is a
+    // pure rewrite (search results identical from folded segments).
     "q269_stream_ivf" -> ((s, dir) => {
       val em = tbl(s, dir, "embeddings")
       val batches = (0L to 2L).map(i =>
@@ -433,7 +436,8 @@ private[graft] object StreamingGates extends GateFamily {
       val store = java.nio.file.Files
         .createTempDirectory("graft-q269").toString + "/ivf"
       graft.streaming.StreamingIvf.byBatch(s, batches, store, "vec_id",
-          "embedding", cents, qs, "query_id", k = 10, nprobe = 4)
+          "embedding", cents, qs, "query_id", k = 10, nprobe = 4,
+          compactEvery = 2)
         .orderBy("batch_id", "query_id", "rank")
     }),
 

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -12,9 +12,9 @@ import graft.ext.Similarity
   * the similarity family's member of the streaming-accumulator suite:
   * StreamingHll / StreamingHdr / StreamingTDigest): each micro-batch of
   * vectors is assigned to its Voronoi cell by one kernel scan and
-  * written as its own postings delta; search probes the union of all
-  * deltas so far. Nothing ever rebuilds, existing postings never move,
-  * and because assignment is a pure per-row function of the FROZEN
+  * written as its own postings delta; search probes everything ingested
+  * so far. Nothing ever re-ASSIGNS, existing postings never move, and
+  * because assignment is a pure per-row function of the FROZEN
   * centroids, the accumulated index equals the bulk index of the
   * concatenated batches byte for byte — which is exactly what lets the
   * DuckDB oracle replay every per-batch search state.
@@ -25,26 +25,53 @@ import graft.ext.Similarity
   *    by any later accumulator attaching to the same store — restart
   *    recovery cannot silently re-sample a different quantizer.
   *  - `batch=<id>/`: per-batch postings deltas `(cell, neighbor_id,
-  *    vec, vnorm)`. A retried batch overwrites its own directory with
-  *    identical bytes (assignment is deterministic).
+  *    vec, vnorm, __batch_id)`. A retried batch overwrites its own
+  *    directory with identical bytes (assignment is deterministic).
+  *  - `gen=<lo>_<hi>/`: a compacted GENERATION — the postings of
+  *    batches `[lo, hi)` folded into one segment (the
+  *    [[KeyedBatchStore]] fold discipline applied to an append-only
+  *    store). Without compaction a long-running stream accumulates one
+  *    parquet directory per micro-batch and `postings()` unions an
+  *    unbounded plan fan-in; folding every `compactEvery` deltas keeps
+  *    the read at O(batches / compactEvery) segments + < compactEvery
+  *    pending deltas. Unlike the dedup stores nothing collapses at the
+  *    fold (postings are append-only rows), so generations are
+  *    SEGMENTED, not cumulative: each posting is written exactly twice
+  *    (its delta, then one segment) instead of being rewritten on every
+  *    fold — the cumulative `compacted_upto` shape would pay quadratic
+  *    write volume on a store whose rows never merge away. Compaction
+  *    is a pure rewrite of deterministic assignments, so the readable
+  *    relation is byte-identical before and after; the stored
+  *    `__batch_id` keeps every HISTORICAL prefix read
+  *    (`postings(uptoBatch)`) exact even after its deltas fold into a
+  *    straddling segment. Folded delta directories are deleted only
+  *    AFTER the segment commits; readers ignore deltas already covered
+  *    by a segment, so a crash mid-cleanup leaves a consistent store.
   *
-  * Drift watch: [[cellStats]] exposes the per-cell occupancy and the
-  * hottest-cell imbalance over everything ingested so far — when the
-  * stream drifts away from the frozen centroids this climbs, and past
-  * a policy threshold the index earns a rebuild (re-sample centroids
-  * from recent data into a NEW storePath, re-point readers).
+  * Drift watch: [[IvfAccumulator.cellStats]] exposes the per-cell
+  * occupancy and the hottest-cell imbalance over everything ingested so
+  * far — when the stream drifts away from the frozen centroids this
+  * climbs, and past a policy threshold the index earns a rebuild
+  * (re-sample centroids from recent data into a NEW storePath,
+  * re-point readers).
   */
 object StreamingIvf {
 
   final class IvfAccumulator(spark: SparkSession, storePath: String,
                              idCol: String, vecCol: String,
                              centroidsIn: Seq[(Long, Seq[Double])],
-                             vecSqlType: String = "ARRAY<FLOAT>") {
+                             vecSqlType: String = "ARRAY<FLOAT>",
+                             compactEvery: Int = 16) {
+    require(compactEvery >= 1,
+      s"compactEvery must be >= 1, got $compactEvery")
 
     private def fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private def batchDir(id: Long) = s"$storePath/batch=$id"
+    private def genDir(lo: Long, hi: Long) = s"$storePath/gen=${lo}_$hi"
     private val centroidsDir = s"$storePath/centroids"
+    private val PostingCols =
+      Seq(col("cell"), col("neighbor_id"), col("vec"), col("vnorm"))
 
     /** The frozen quantizer: persisted on first construction, reloaded
       * (and REQUIRED over `centroidsIn`) on every later attach.
@@ -72,49 +99,123 @@ object StreamingIvf {
       }
     }
 
-    private def batchIds(): Seq[Long] = {
+    private def listDirs(prefix: String): Seq[String] = {
       val dir = new Path(storePath)
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .flatMap(s => scala.util.Try(
-          s.getPath.getName.stripPrefix("batch=").toLong).toOption)
-        .sorted
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .map(_.getPath.getName.stripPrefix(prefix))
     }
 
+    private def batchIds(): Seq[Long] =
+      listDirs("batch=")
+        .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+
+    /** Committed generation segments as `(lo, hi)` spans, sorted;
+      * contiguous from 0 by construction (each fold starts at the
+      * previous covered frontier).
+      */
+    private def segments(): Seq[(Long, Long)] =
+      listDirs("gen=")
+        .flatMap { n =>
+          n.split("_") match {
+            case Array(lo, hi) => for {
+              l <- scala.util.Try(lo.toLong).toOption
+              h <- scala.util.Try(hi.toLong).toOption
+            } yield (l, h)
+            case _ => None
+          }
+        }.sortBy(_._1)
+
+    /** Batches `[0, coveredUpto)` live in generation segments; deltas
+      * below this are fold leftovers readers must ignore.
+      */
+    private def coveredUpto(): Long =
+      segments().map(_._2).reduceOption(_ max _).getOrElse(0L)
+
+    /** Highest batch id with state on disk (pure listing — no data
+      * read), or None for a fresh store.
+      */
+    private def maxStoredBatchId(): Option[Long] =
+      (batchIds() ++ segments().map(_._2 - 1L)).reduceOption(_ max _)
+
     /** Append one micro-batch: one kernel-assignment scan of the batch,
-      * one delta write. Fails fast on batch-id REGRESSION (ids above
-      * this one already on disk): a stream restarted without its
-      * checkpoint re-numbers from 0 and would silently interleave a new
-      * stream's postings under an old stream's ids.
+      * one delta write, then a fold of the pending deltas into a new
+      * generation segment once `compactEvery` have accumulated. Fails
+      * fast on batch-id REGRESSION (state above this id already on
+      * disk): a stream restarted without its checkpoint re-numbers from
+      * 0 and would silently interleave a new stream's postings under an
+      * old stream's ids. A RETRY of the latest batch is allowed — the
+      * delta overwrite is idempotent, and if the retried batch was
+      * already folded its re-written delta sits below the covered
+      * frontier, where readers ignore it and the next fold's cleanup
+      * removes it.
       */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
-      val stale = batchIds().filter(_ > batchId)
-      require(stale.isEmpty,
-        s"postings store $storePath already holds batches up to " +
-          s"${stale.max} but batch $batchId arrived — a restarted stream " +
-          "must reuse its checkpointLocation, and a new query needs a " +
-          "fresh storePath")
+      maxStoredBatchId().filter(_ > batchId).foreach { m =>
+        throw new IllegalArgumentException(
+          s"postings store $storePath already holds batches up to $m " +
+            s"but batch $batchId arrived — a restarted stream must reuse " +
+            "its checkpointLocation, and a new query needs a fresh " +
+            "storePath")
+      }
       Similarity.ivfAssign(batch, idCol, vecCol, centroids)
+        .withColumn("__batch_id", lit(batchId))
         .write.mode("overwrite").parquet(batchDir(batchId))
+      maybeCompact(batchId + 1L)
+    }
+
+    /** Fold the pending deltas `[coveredUpto, upto)` into one
+      * `gen=<lo>_<hi>` segment when `compactEvery` have accumulated.
+      * The segment is the plain union of the delta files (assignment
+      * already happened; this is a pure rewrite), delta cleanup runs
+      * only after the segment commits, and leftover deltas below the
+      * frontier (a crash between commit and cleanup, or a post-fold
+      * retry) are swept here too.
+      */
+    private def maybeCompact(upto: Long): Unit = {
+      val lo = coveredUpto()
+      val pending = batchIds().filter(id => id >= lo && id < upto)
+      if (pending.size >= compactEvery) {
+        val hi = pending.max + 1L
+        pending.map(i => spark.read.parquet(batchDir(i)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(genDir(lo, hi))
+        pending.foreach(id => fs.delete(new Path(batchDir(id)), true))
+      }
+      batchIds().filter(_ < coveredUpto())
+        .foreach(id => fs.delete(new Path(batchDir(id)), true))
     }
 
     /** The postings ingested by batches < `uptoBatch` (all, by
-      * default). LAZY parquet reads — union of the per-batch deltas.
+      * default): the union of O(generations) segment reads plus the
+      * < compactEvery pending deltas — never one directory per batch.
+      * A segment straddling `uptoBatch` serves the prefix exactly via
+      * the stored `__batch_id` (compaction loses no read granularity).
+      * LAZY parquet reads: consume the frame before `compactEvery`
+      * further updates fold the deltas it references (the
+      * [[StreamingTDigest]] version-retention discipline).
+      *
       * The pre-first-batch empty frame types `vec` from the
       * construction-time `vecSqlType` (not a hardcoded ARRAY<FLOAT>):
       * an index over array<double> vectors must present the SAME
       * schema before and after its first delta lands.
       */
     def postings(uptoBatch: Long = Long.MaxValue): DataFrame = {
-      val ids = batchIds().filter(_ < uptoBatch)
-      if (ids.isEmpty)
+      val covered = coveredUpto()
+      val segs = segments().filter(_._1 < uptoBatch)
+        .map { case (l, h) => spark.read.parquet(genDir(l, h)) }
+      val deltas = batchIds().filter(id => id >= covered && id < uptoBatch)
+        .map(i => spark.read.parquet(batchDir(i)))
+      val parts = segs ++ deltas
+      if (parts.isEmpty)
         spark.sql("SELECT CAST(NULL AS BIGINT) AS cell, " +
           "CAST(NULL AS BIGINT) AS neighbor_id, " +
           s"CAST(NULL AS $vecSqlType) AS vec, " +
           "CAST(NULL AS DOUBLE) AS vnorm WHERE FALSE")
-      else ids.map(i => spark.read.parquet(batchDir(i)))
-        .reduce(_ unionByName _)
+      else parts.reduce(_ unionByName _)
+        .filter(col("__batch_id") < uptoBatch)
+        .select(PostingCols: _*)
     }
 
     /** Top-k search over everything ingested so far (or a prefix). */
@@ -139,10 +240,11 @@ object StreamingIvf {
             vecCol: String, centroids: Seq[(Long, Seq[Double])],
             queryName: String = "graft-stream-ivf",
             checkpoint: Option[String] = None,
-            vecSqlType: String = "ARRAY<FLOAT>")
+            vecSqlType: String = "ARRAY<FLOAT>",
+            compactEvery: Int = 16)
       : (StreamingQuery, IvfAccumulator) = {
     val acc = new IvfAccumulator(stream.sparkSession, storePath,
-      idCol, vecCol, centroids, vecSqlType)
+      idCol, vecCol, centroids, vecSqlType, compactEvery)
     val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch(acc.asForeachBatch)
@@ -152,20 +254,33 @@ object StreamingIvf {
 
   /** Batch replay — the oracle-gateable twin: append `batches` in
     * order, reporting the top-k search results after EVERY batch so the
-    * gate checks the accumulation at each step.
+    * gate checks the accumulation at each step. Each per-state result
+    * is materialized EAGERLY (a bounded collect: ≤ |queries| · k rows
+    * per state by the top-k contract) because a later batch's
+    * compaction deletes the delta files a lazy search frame would still
+    * reference — the same reason the gate can run with a small
+    * `compactEvery` and prove folded and unfolded reads identical.
     */
   def byBatch(spark: SparkSession, batches: Seq[DataFrame],
               storePath: String, idCol: String, vecCol: String,
               centroids: Seq[(Long, Seq[Double])], queries: DataFrame,
               queryIdCol: String, k: Int = 10,
-              nprobe: Int = 3): DataFrame = {
+              nprobe: Int = 3, compactEvery: Int = 16): DataFrame = {
     require(batches.nonEmpty, "byBatch needs at least one batch")
-    val acc = new IvfAccumulator(spark, storePath, idCol, vecCol, centroids)
-    batches.zipWithIndex.map { case (b, i) =>
+    val acc = new IvfAccumulator(spark, storePath, idCol, vecCol,
+      centroids, compactEvery = compactEvery)
+    var schema: org.apache.spark.sql.types.StructType = null
+    val rows: Seq[Row] = batches.zipWithIndex.flatMap { case (b, i) =>
       acc.update(b, i.toLong)
-      acc.search(queries, queryIdCol, k, nprobe, uptoBatch = i.toLong + 1)
+      val state = acc
+        .search(queries, queryIdCol, k, nprobe, uptoBatch = i.toLong + 1)
         .withColumn("batch_id", lit(i.toLong))
         .select("batch_id", "query_id", "neighbor_id", "rank")
-    }.reduce(_ unionByName _)
+      schema = state.schema
+      // collect NOW — the next batch's fold deletes this state's deltas
+      state.collect()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 }

@@ -75,6 +75,61 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(st.sum == 120L)
   }
 
+  test("generational compaction: folded reads are byte-identical, " +
+      "plan fan-in stays bounded, attach-after-many-batches works") {
+    val store = tmp("gen")
+    val batches = (0 until 7).map(b =>
+      vecs((0L until 210L).filter(_ % 7 == b)))
+    val cents = Similarity.ivfCentroids(batches(0), "vec_id", "embedding",
+      numCells = 8)
+    // reference: an UNCOMPACTED accumulator over the same batches
+    val plain = new StreamingIvf.IvfAccumulator(spark, tmp("gen-ref"),
+      "vec_id", "embedding", cents, compactEvery = 100)
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents, compactEvery = 3)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      plain.update(b, i.toLong); acc.update(b, i.toLong)
+    }
+    // deltas folded into gen segments: at most compactEvery-1 pending
+    // delta dirs remain, and segments replace the folded ones
+    val dirs = new java.io.File(store).listFiles().map(_.getName).sorted
+    val genDirs = dirs.filter(_.startsWith("gen="))
+    val deltaDirs = dirs.filter(_.startsWith("batch="))
+    assert(genDirs.length == 2, s"expected 2 segments, got ${dirs.toSeq}")
+    assert(deltaDirs.length < 3,
+      s"pending deltas must stay below compactEvery: ${dirs.toSeq}")
+    // full read identical to the uncompacted store's
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"neighbor_id", $"vnorm")
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(canon(acc.postings()) == canon(plain.postings()))
+    // HISTORICAL prefix reads stay exact even where the prefix cuts
+    // through a folded segment (batch 1 inside gen=0_3, batch 4 inside
+    // gen=3_6)
+    Seq(1L, 2L, 4L, 5L, 7L).foreach { upto =>
+      assert(canon(acc.postings(upto)) == canon(plain.postings(upto)),
+        s"prefix read upto=$upto diverged after compaction")
+    }
+    // attach-after-many-batches: a fresh accumulator sees the same
+    // relation and the regression guard still knows the frontier from
+    // segments alone
+    val acc2 = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", Nil, compactEvery = 3)
+    assert(canon(acc2.postings()) == canon(plain.postings()))
+    val e = intercept[IllegalArgumentException] {
+      acc2.update(batches(0), 3L) // ids up to 6 are on disk (in segments)
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+    // retry of the LATEST batch stays idempotent after folds
+    acc2.update(batches(6), 6L)
+    assert(canon(acc2.postings()) == canon(plain.postings()))
+    // search answers from folded segments
+    val q = vecs(Seq(13L)).select($"vec_id".as("query_id"), $"embedding")
+    val top = acc2.search(q, "query_id", k = 1, nprobe = 3)
+      .select($"neighbor_id").as[Long].head()
+    assert(top == 13L)
+  }
+
   test("live stream: foreachBatch accumulates and searches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
