@@ -412,7 +412,8 @@ object Similarity {
     * to assigning their union (SimilaritySpec pins it).
     */
   def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
-                centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+                centroids: Seq[(Long, Seq[Double])],
+                passthrough: Seq[String] = Nil): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign: empty centroid table")
     val idx = graft.functions.VectorFunctions.nearestCentroid(
       col("vec"), centroids.map(_._2))
@@ -421,11 +422,39 @@ object Similarity {
     // non-ANSI cast, silently writing a NULL neighbor_id posting
     batch
       .filter(col(idCol).cast("long").isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("vec"))
-      .select(element_at(array(centroids.map(c => lit(c._1)): _*),
+      .select((Seq(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("vec")) ++ passthrough.map(col)): _*)
+      .select((Seq(element_at(array(centroids.map(c => lit(c._1)): _*),
           idx + 1).as("cell"),
-        col("neighbor_id"), col("vec"), norm(col("vec")).as("vnorm"))
+        col("neighbor_id"), col("vec"), norm(col("vec")).as("vnorm")) ++
+        passthrough.map(col)): _*)
+  }
+
+  /** Execute the REBUILD the [[ivfCellStats]] imbalance signal asks
+    * for — the third act of the frozen-quantizer lifecycle (build →
+    * append → rebuild): re-sample a fresh coarse quantizer and reassign
+    * every stored posting under it. The corpus is recovered from the
+    * postings themselves (`(neighbor_id, vec)` — vectors are stored in
+    * the index, nothing re-reads source data), centroids come from
+    * `centroidSource` when given (the RECENCY knob: pass only recent
+    * postings so the new cells follow where the stream drifted to) or
+    * from the full recovered corpus, and reassignment is the same pure
+    * per-row [[ivfAssign]] kernel — so the rebuilt index is
+    * byte-identical to a bulk [[ivfAssign]] of the corpus under the new
+    * quantizer (the replayability contract every maintenance op here
+    * keeps). Cost: one centroid sample (≤ numCells driver rows) + one
+    * assignment scan of the postings; `passthrough` columns (a stored
+    * batch id) survive the reassignment.
+    */
+  def ivfRebuild(postings: DataFrame, numCells: Int = 0,
+                 centroidSource: Option[DataFrame] = None,
+                 passthrough: Seq[String] = Nil)
+      : (Seq[(Long, Seq[Double])], DataFrame) = {
+    val corpus = postings.select((Seq(col("neighbor_id"), col("vec")) ++
+      passthrough.map(col)): _*)
+    val sampleFrom = centroidSource.getOrElse(corpus)
+    val cents = ivfCentroids(sampleFrom, "neighbor_id", "vec", numCells)
+    (cents, ivfAssign(corpus, "neighbor_id", "vec", cents, passthrough))
   }
 
   /** Query STORED postings (the union of any number of [[ivfAssign]]

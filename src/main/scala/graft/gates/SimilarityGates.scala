@@ -79,6 +79,60 @@ private[graft] object SimilarityGates extends GateFamily {
         .orderBy("query_id", "rank")
     }),
 
+    // ext similarity — drift-triggered IVF REBUILD, the third act of the
+    // frozen-quantizer lifecycle (q268 append / q269 stream are the
+    // second): the hottest-cell imbalance over the drifted index is the
+    // SIGNAL (ivfCellStats ride-along), ivfRebuild re-samples the
+    // quantizer from the union and reassigns every posting in one scan,
+    // and recall@10 vs brute-force ground truth (the q263 harness) is
+    // computed for BOTH indexes — non-regression shipped as data. The
+    // oracle replays everything: old centroids from the initial corpus,
+    // new centroids re-sampled from the full table (rebuild ≡ bulk
+    // build on the union — assignment is a pure per-row function), both
+    // recall chains, and the imbalance arithmetic.
+    "q272_ivf_rebuild" -> ((s, dir) => {
+      val em = tbl(s, dir, "embeddings")
+      val initial = em.filter(col("vec_id") % 3 =!= 0)
+      val batch = em.filter(col("vec_id") % 3 === 0)
+      val centsOld = ext.Similarity.ivfCentroids(initial, "vec_id",
+        "embedding", numCells = 16)
+      val postingsOld = ext.Similarity
+        .ivfAssign(initial, "vec_id", "embedding", centsOld)
+        .unionByName(
+          ext.Similarity.ivfAssign(batch, "vec_id", "embedding", centsOld))
+      val imb = ext.Similarity.ivfCellStats(postingsOld, 16)
+        .agg(max(col("imbalance")).as("imbalance_before"))
+      val (centsNew, postingsNew) =
+        ext.Similarity.ivfRebuild(postingsOld, numCells = 16)
+      val qs = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = ext.Similarity.bruteForceTopK(em, qs, "vec_id",
+        "embedding", "query_id", k = 10)
+      val retOld = ext.Similarity.ivfSearchPostings(postingsOld, qs,
+        "query_id", "embedding", centsOld, k = 10, nprobe = 2)
+      val retNew = ext.Similarity.ivfSearchPostings(postingsNew, qs,
+        "query_id", "embedding", centsNew, k = 10, nprobe = 2)
+      val perOld = ext.Retrieval.annRecall(retOld, exact, "query_id",
+        "neighbor_id", "rank", k = 10)
+        .select(col("query"), col("recall_e6").as("recall_old_e6"))
+      val perNew = ext.Retrieval.annRecall(retNew, exact, "query_id",
+        "neighbor_id", "rank", k = 10)
+        .select(col("query"), col("recall_e6").as("recall_new_e6"))
+      val per = perOld.join(perNew, Seq("query"))
+      val macros = per.agg(
+        (sum(col("recall_old_e6")).cast("double") /
+          (count(lit(1)) * 1000000L).cast("double")).as("macro_recall_old"),
+        (sum(col("recall_new_e6")).cast("double") /
+          (count(lit(1)) * 1000000L).cast("double")).as("macro_recall_new"))
+      per.crossJoin(broadcast(macros)).crossJoin(broadcast(imb))
+        .select(col("query"), col("recall_old_e6"), col("recall_new_e6"),
+          col("macro_recall_old"), col("macro_recall_new"),
+          col("imbalance_before"),
+          (col("macro_recall_new") >= col("macro_recall_old"))
+            .as("recall_non_regressed"))
+        .orderBy("query")
+    }),
+
     // ext similarity — PQ (product-quantization) ANN: per-subspace codes +
     // ADC lookup-table scoring, exact re-rank of the candidate pool.
     // Oracle-checked: the generated PqAnnOracle derives the SAME
@@ -365,6 +419,8 @@ private[graft] object SimilarityGates extends GateFamily {
     "q28_ann_ivf" -> IvfAnnOracle,
 
     "q268_ivf_incremental" -> IvfIncrementalOracle,
+
+    "q272_ivf_rebuild" -> IvfRebuildOracle,
 
     "q263_ann_recall" -> AnnRecallOracle,
 

@@ -765,6 +765,106 @@ private[graft] object Support {
        |ORDER BY 1""".stripMargin
   }
 
+  /** IVF-rebuild replay (q272): the [[AnnRecallOracle]] recall chain
+    * run TWICE — once for the drifted index (centroids from the initial
+    * corpus only, the [[IvfIncrementalOracle]] sampling) and once for
+    * the rebuilt index (centroids re-sampled from the full table:
+    * rebuild ≡ bulk build on the union, because assignment is a pure
+    * per-row function of the frozen quantizer) — plus the hottest-cell
+    * imbalance over the drifted index (max cell count × numCells /
+    * total, the rebuild-trigger arithmetic) and the macro-recall
+    * non-regression boolean, all exact-integer ratios with one final
+    * double division each.
+    */
+  val IvfRebuildOracle: String = {
+    def cosine(a: String, b: String): String =
+      s"""list_sum(list_transform(list_zip($a, $b),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    def index(tag: String, centsFilter: String): String =
+      s"""cents_$tag AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        $centsFilter
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+         |  ORDER BY vec_id),
+         |ca_$tag AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT e.vec_id, c.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+         |    FROM embeddings e CROSS JOIN cents_$tag c)
+         |  WHERE crank <= 1),
+         |qa_$tag AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT e.vec_id AS query_id, c.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosine("e.embedding", "c.cvec")} DESC, c.centroid_id) AS crank
+         |    FROM embeddings e CROSS JOIN cents_$tag c
+         |    WHERE e.vec_id < 8)
+         |  WHERE crank <= 2),
+         |ret_$tag AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT cand.query_id, cand.neighbor_id,
+         |      row_number() OVER (PARTITION BY cand.query_id ORDER BY
+         |        ${cosine("q.embedding", "c.embedding")} DESC,
+         |        cand.neighbor_id) AS rnk
+         |    FROM (SELECT DISTINCT q.query_id, ca.neighbor_id
+         |          FROM qa_$tag q JOIN ca_$tag ca ON ca.cell = q.cell) cand
+         |    JOIN embeddings q ON q.vec_id = cand.query_id
+         |    JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+         |  WHERE rnk <= 10),
+         |h_$tag AS (
+         |  SELECT r.query_id,
+         |    CAST(coalesce(sum(CASE WHEN j.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits
+         |  FROM ret_$tag r LEFT JOIN judge j
+         |    ON r.query_id = j.query_id AND r.neighbor_id = j.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH qset AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 8),
+       |exact_scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${cosine("q.qv", "e.embedding")} AS cosine
+       |  FROM qset q CROSS JOIN embeddings e),
+       |judge AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM exact_scored) WHERE rnk <= 10),
+       |relc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+       |  FROM judge GROUP BY 1),
+       |${index("old", "WHERE vec_id % 3 <> 0")},
+       |${index("new", "")},
+       |imb AS (
+       |  SELECT (CAST(max(n) AS DOUBLE) * 16) / CAST(sum(n) AS DOUBLE)
+       |    AS imbalance_before
+       |  FROM (SELECT cell, count(*) AS n FROM ca_old GROUP BY 1)),
+       |per AS (
+       |  SELECT relc.query_id AS query,
+       |    CAST(coalesce(ho.hits, 0) * 1000000 // relc.n_relevant AS BIGINT)
+       |      AS recall_old_e6,
+       |    CAST(coalesce(hn.hits, 0) * 1000000 // relc.n_relevant AS BIGINT)
+       |      AS recall_new_e6
+       |  FROM relc
+       |  LEFT JOIN h_old ho ON ho.query_id = relc.query_id
+       |  LEFT JOIN h_new hn ON hn.query_id = relc.query_id),
+       |macro AS (
+       |  SELECT
+       |    CAST(sum(recall_old_e6) AS DOUBLE) /
+       |      CAST(count(*) * 1000000 AS DOUBLE) AS macro_recall_old,
+       |    CAST(sum(recall_new_e6) AS DOUBLE) /
+       |      CAST(count(*) * 1000000 AS DOUBLE) AS macro_recall_new
+       |  FROM per)
+       |SELECT p.query, p.recall_old_e6, p.recall_new_e6,
+       |  m.macro_recall_old, m.macro_recall_new, i.imbalance_before,
+       |  (m.macro_recall_new >= m.macro_recall_old) AS recall_non_regressed
+       |FROM per p CROSS JOIN macro m CROSS JOIN imb i
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Generated oracle for the PQ ANN path: the md5-rank-sampled codebook is
     * derived from the embeddings table itself (same ids as the engine
     * side), then encoding (nearest codeword per subspace by

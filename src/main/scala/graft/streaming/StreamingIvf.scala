@@ -230,6 +230,80 @@ object StreamingIvf {
     def cellStats(uptoBatch: Long = Long.MaxValue): DataFrame =
       Similarity.ivfCellStats(postings(uptoBatch), centroids.length)
 
+    /** The hottest-cell imbalance as a driver value (a bounded 1-row
+      * collect — the signal every row of [[cellStats]] carries), 0.0
+      * for an empty index. This is the [[rebuildIfDrifted]] trigger.
+      */
+    def imbalance(uptoBatch: Long = Long.MaxValue): Double =
+      cellStats(uptoBatch)
+        .agg(max(col("imbalance")).as("i")).collect()
+        .headOption.filterNot(_.isNullAt(0)).map(_.getDouble(0))
+        .getOrElse(0.0)
+
+    /** Internal: the ingested postings WITH their stored batch ids —
+      * what a rebuild must carry so the new store keeps prefix reads
+      * and its regression frontier.
+      */
+    private def postingsWithBatchId(): DataFrame = {
+      val covered = coveredUpto()
+      val parts = segments()
+        .map { case (l, h) => spark.read.parquet(genDir(l, h)) } ++
+        batchIds().filter(_ >= covered)
+          .map(i => spark.read.parquet(batchDir(i)))
+      require(parts.nonEmpty, s"nothing to rebuild at $storePath")
+      parts.reduce(_ unionByName _)
+    }
+
+    /** Execute the rebuild the drift signal asks for: re-sample a fresh
+      * quantizer (from postings of batches ≥ `centroidFromBatch` — the
+      * RECENCY knob; 0 = everything), reassign every stored posting
+      * under it ([[graft.ext.Similarity.ivfRebuild]] — one assignment
+      * scan, byte-identical to a bulk build of the same corpus), and
+      * write a NEW store at `newStorePath`: the fresh frozen quantizer
+      * plus ONE generation segment holding all reassigned postings with
+      * their original batch ids, so prefix reads and the batch-id
+      * regression guard carry over and the stream resumes appending at
+      * the same frontier. The OLD store is never touched — re-point
+      * readers (and the stream's foreachBatch) to the returned
+      * accumulator only after this returns; a failed rebuild is retried
+      * into a fresh path.
+      */
+    def rebuildInto(newStorePath: String, numCells: Int = 0,
+                    centroidFromBatch: Long = 0L): IvfAccumulator = {
+      require(newStorePath != storePath,
+        "rebuild must target a NEW storePath: postings assigned under " +
+          "the old quantizer would interleave with reassigned ones")
+      val frontier = maxStoredBatchId().map(_ + 1L).getOrElse(
+        throw new IllegalArgumentException(
+          s"nothing to rebuild at $storePath"))
+      val all = postingsWithBatchId()
+      val recent =
+        if (centroidFromBatch <= 0L) None
+        else Some(all.filter(col("__batch_id") >= centroidFromBatch)
+          .select(col("neighbor_id"), col("vec")))
+      val (newCents, reassigned) = Similarity.ivfRebuild(
+        all, numCells, centroidSource = recent,
+        passthrough = Seq("__batch_id"))
+      val next = new IvfAccumulator(spark, newStorePath, idCol, vecCol,
+        newCents, vecSqlType, compactEvery)
+      reassigned.write.mode("overwrite")
+        .parquet(s"$newStorePath/gen=0_$frontier")
+      next
+    }
+
+    /** The drift POLICY in one call: rebuild only when the hottest-cell
+      * imbalance exceeds `threshold` (FAISS folklore: ~3–5×), returning
+      * the new store's accumulator, or None when the frozen cells still
+      * fit the data.
+      */
+    def rebuildIfDrifted(newStorePath: String, threshold: Double,
+                         numCells: Int = 0,
+                         centroidFromBatch: Long = 0L)
+        : Option[IvfAccumulator] =
+      if (imbalance() > threshold)
+        Some(rebuildInto(newStorePath, numCells, centroidFromBatch))
+      else None
+
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
       (batch, id) => update(batch, id)

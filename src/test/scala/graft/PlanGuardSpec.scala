@@ -51,8 +51,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q227_rrf_fusion", "q228_rank_eval", "q229_graded_ndcg",
     "q230_mrr_map", "q232_mmr_rerank",
     // q263 composes the q15 brute-force ground truth (the sanctioned
-    // broadcast-queries × corpus scoring join) with the q28 IVF path
-    "q263_ann_recall",
+    // broadcast-queries × corpus scoring join) with the q28 IVF path;
+    // q272 runs the same two chains twice (drifted index vs rebuilt)
+    "q263_ann_recall", "q272_ivf_rebuild",
     // q259/q260/q264: tdigestQuantiles' rank-band containment join — a
     // literal |qs|-row frame against a digest-sized frame (≤ δ+1 rows,
     // or groups·(δ+1) for the per-group form — bounded by

@@ -130,6 +130,84 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(top == 13L)
   }
 
+  test("drift-triggered rebuild: imbalance trigger fires only past the " +
+      "threshold, rebuild restores balance and recall, stream resumes") {
+    // DRIFTED fixture: the initial corpus clusters around one direction
+    // (dim 0 dominant), the appended batch around an orthogonal one
+    // (dim 8 dominant) — every appended vector crowds the same frozen
+    // cell, so the hottest-cell imbalance spikes
+    def cluster(ids: Seq[Long], dom: Int) = ids.map { i =>
+      (i, Array.tabulate(16)(d =>
+        (if (d == dom) 10f else 0f) +
+          math.sin((i * 13 + d * 5).toDouble).toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    val initial = cluster(0L until 120L, dom = 0)
+    val drifted = cluster(120L until 360L, dom = 8)
+    val cents = Similarity.ivfCentroids(initial, "vec_id", "embedding",
+      numCells = 8)
+    val store = tmp("drift")
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents, compactEvery = 2)
+    acc.update(initial, 0L)
+    // balanced so far: no rebuild below the threshold
+    val before = acc.imbalance()
+    assert(acc.rebuildIfDrifted(tmp("no"), threshold = before + 1).isEmpty,
+      "must not rebuild below the threshold")
+    acc.update(drifted, 1L)
+    acc.update(cluster(360L until 420L, dom = 8), 2L)
+    val hot = acc.imbalance()
+    assert(hot > 3.0, s"drifted fixture must trip the FAISS-folklore " +
+      s"threshold, got $hot")
+    // the trigger fires; the rebuilt index is balanced again
+    val rebuiltPath = tmp("rebuilt")
+    val acc2 = acc.rebuildIfDrifted(rebuiltPath, threshold = 3.0)
+      .getOrElse(fail("rebuild must fire past the threshold"))
+    assert(acc2.imbalance() < hot,
+      s"rebuild must reduce imbalance: $hot -> ${acc2.imbalance()}")
+    assert(acc2.postings().count() == acc.postings().count())
+    // prefix reads carry over (original batch ids preserved)
+    assert(acc2.postings(1L).count() == acc.postings(1L).count())
+    // recall non-regression via the q263 harness, at MATCHED candidate
+    // budget: the drifted index "recalls" perfectly at nprobe=1 only
+    // because its one hot cell holds the whole drifted cluster — a
+    // brute-force scan in disguise, the exact cost the rebuild removes.
+    // The honest comparison gives both indexes the same scan fraction:
+    // old probes 1 of 8 cells but that cell is ~75% of the corpus, so
+    // the rebuilt index gets 6 of its 8 (balanced) cells
+    val corpus = acc.postings().select($"neighbor_id".as("vec_id"),
+      $"vec".as("embedding"))
+    val qs = cluster(Seq(130L, 200L, 350L), dom = 8)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id",
+      "embedding", "query_id", k = 5)
+    def macroRecall(a: StreamingIvf.IvfAccumulator, nprobe: Int): Double = {
+      val per = graft.ext.Retrieval.annRecall(
+        a.search(qs, "query_id", k = 5, nprobe = nprobe), exact,
+        "query_id", "neighbor_id", "rank", k = 5)
+      per.agg((sum($"recall_e6").cast("double") /
+        (count(lit(1)) * 1000000L).cast("double")).as("m"))
+        .as[Double].head()
+    }
+    val (rOld, rNew) = (macroRecall(acc, 1), macroRecall(acc2, 6))
+    assert(rNew >= rOld,
+      s"rebuild must not regress recall at matched scan budget: " +
+        s"$rOld -> $rNew")
+    assert(rNew > 0.9, s"rebuilt index must answer drifted queries: $rNew")
+    // the stream resumes appending at the same frontier under the NEW
+    // quantizer; a stale id still fails fast
+    val e = intercept[IllegalArgumentException] {
+      acc2.update(cluster(Seq(999L), 8), 1L)
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+    acc2.update(cluster(420L until 460L, dom = 8), 3L)
+    assert(acc2.postings().count() == 460L)
+    // same-path rebuild is refused
+    val e2 = intercept[IllegalArgumentException] {
+      acc2.rebuildInto(rebuiltPath, numCells = 8)
+    }
+    assert(e2.getMessage.contains("NEW storePath"))
+  }
+
   test("live stream: foreachBatch accumulates and searches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
