@@ -99,6 +99,51 @@ object FreqSketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Per-GROUP count–min sketch `(grp, j, bucket, cnt)` — one grid per
+    * group value (frequencies per tenant / event type / source, the
+    * [[hllSketchBy]] convention for frequencies): ≤ groups × Depth ×
+    * width rows leave ONE map-side-combined aggregate, and each group's
+    * grid carries the full CMS contract independently (cell-wise
+    * mergeable, over-count-only estimates bounded by the GROUP's own
+    * weight, not the corpus total).
+    */
+  def cmsSketchBy(df: DataFrame, groupCol: String, itemCol: String,
+                  width: Int = 4096,
+                  weightCol: Option[String] = None): DataFrame = {
+    require(width >= 16, s"width must be >= 16, got $width")
+    val item = col(itemCol)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.filter(item.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), w.as("__w"), posexplode(
+        array((0 until Depth).map(j => bucket(item, j, width)): _*))
+        .as(Seq("j", "bucket")))
+      .groupBy(col("grp"), col("j"), col("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point estimates for `(group, item)` probe pairs against a
+    * per-group sketch ([[cmsSketchBy]] shape): each pair explodes to
+    * its Depth cells and meets the sketch in an EQUI-join on
+    * `(grp, j, bucket)` — a plain hash join, not a forced broadcast,
+    * because the sketch side is groups × Depth × width rows (bounded
+    * per group, not globally constant; AQE broadcasts it when the
+    * group count is small). Absent cell = 0, min across slices, one
+    * row per probe pair.
+    */
+  def cmsEstimateBy(sketch: DataFrame, probes: DataFrame,
+                    groupCol: String, itemCol: String,
+                    width: Int = 4096): DataFrame = {
+    val item = col(itemCol)
+    probes.filter(item.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), item.as("item")).distinct()
+      .select(col("grp"), col("item"), posexplode(
+        array((0 until Depth).map(j => bucket(col("item"), j, width)): _*))
+        .as(Seq("j", "bucket")))
+      .join(sketch, Seq("grp", "j", "bucket"), "left")
+      .groupBy(col("grp"), col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** One-call heavy-hitters screen: estimates for `probes` and keeps
     * `est >= minCount`. Over-estimation-only means NO false negatives —
     * every true heavy hitter survives; collisions may add light items,

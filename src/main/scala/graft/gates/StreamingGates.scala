@@ -258,6 +258,31 @@ private[graft] object StreamingGates extends GateFamily {
         .orderBy("item")
     }),
 
+    // streaming ext — PER-GROUP cross-batch CMS: frequencies per event
+    // type with one bounded counter grid per group (the grouped twin of
+    // q225, completing the grouped streaming-sketch symmetry with
+    // q267/q270/q271). Cells key j:bucket:grp with the group LAST
+    // (separator-safe); per-group cell-wise mergeability makes the
+    // folded store equal the one-shot per-group sketch of the
+    // concatenation — exactly what the oracle replays via the md5
+    // hex-slice decode, per group.
+    "q273_stream_cms_group" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+      val batches = (0 to 2).map(i =>
+        ev.filter(col("event_id") % 3 === i)
+          .select("event_type", "user_id"))
+      val probes = ev.filter(col("user_id") % 97 === 0)
+        .select("event_type", "user_id")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q273").toString + "/cms"
+      streaming.StreamingFreqSketch.byBatchBy(s, batches, store,
+          "event_type", "user_id", probes, "event_type", "user_id",
+          width = 256, minCount = 2L)
+        .orderBy("grp", "item")
+    }),
+
     // streaming ext — bottom-k reservoir: a uniform k-sample of an
     // unbounded stream with ≤ k rows of state per batch. Priorities are
     // md5(key), so the sample is deterministic, batch-split INVARIANT
@@ -797,6 +822,11 @@ private[graft] object StreamingGates extends GateFamily {
     // is irrelevant to the merged counters, which is the point)
     "q225_stream_cms" -> cmsOracle(width = 512, probeMod = 89,
       minCount = 80),
+
+    // grouped twin: per-(event_type, j, bucket) counters; the group key
+    // rides every stage of the same md5 hex-slice replay
+    "q273_stream_cms_group" -> cmsGroupOracle(width = 256, probeMod = 97,
+      minCount = 2),
 
     // the batch-split-invariance claim IS the oracle: the streamed
     // reservoir must equal the one-shot bottom-k of the whole corpus

@@ -2827,6 +2827,53 @@ private[graft] object Support {
        |ORDER BY item""".stripMargin
   }
 
+  /** Per-group streaming-CMS replay (q273): the [[cmsOracle]] md5
+    * hex-slice decode with the group key carried through every stage —
+    * per-(group, j, bucket) cell counts over the whole events table
+    * (per-group cell-wise mergeability: the folded store ≡ the one-shot
+    * per-group sketch of the concatenation), probe pairs exploded to
+    * their Depth cells, min across slices per (group, item).
+    */
+  def cmsGroupOracle(width: Int, probeMod: Int, minCount: Long): String = {
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val cells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT grp, $j AS j, ${slice(j)} % $width AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 3")
+      .mkString("\n  UNION ALL ")
+    val probeCells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT grp, item, $j AS j, ${slice(j)} % $width AS bucket FROM ph")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ev AS (
+       |  SELECT event_type AS grp, user_id
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |h AS (SELECT grp, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |cells AS (
+       |  $cells),
+       |p AS (
+       |  SELECT DISTINCT grp, user_id AS item FROM ev
+       |  WHERE user_id % $probeMod = 0),
+       |ph AS (SELECT grp, item, md5(CAST(item AS VARCHAR)) AS hx FROM p),
+       |pc AS (
+       |  $probeCells),
+       |est AS (
+       |  SELECT pc.grp, pc.item,
+       |    CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+       |  FROM pc LEFT JOIN cells
+       |    ON cells.grp = pc.grp AND cells.j = pc.j
+       |      AND cells.bucket = pc.bucket
+       |  GROUP BY 1, 2)
+       |SELECT grp, item, est FROM est WHERE est >= $minCount
+       |ORDER BY grp, item""".stripMargin
+  }
+
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two
     * rounds of exact-L2 assignment (dot − |c|²/2, lowest-index ties) +
     * decimal(28,8)-exact mean updates, final assignment in `af`.

@@ -69,6 +69,42 @@ class StreamingFreqSketchSpec extends SparkTestBase {
     assert(acc.sketch(4L).count() <= FreqSketch.Depth * 64L)
   }
 
+  test("grouped fold equals the one-shot per-group sketch; groups are " +
+      "isolated; separator in a group value survives") {
+    val rows = corpus.zipWithIndex.map { case (w, i) =>
+      (if (i % 2 == 0) "a:grp" else "b", w) // a group value WITH ':'
+    }
+    val batches = rows.grouped(1000)
+      .map(_.toDF("g", "word")).toSeq
+    val probes = rows.distinct.toDF("g", "word")
+    val streamed = StreamingFreqSketch.byBatchBy(spark, batches,
+        tmpStore(), "g", "word", probes, "g", "word",
+        width = 256, minCount = 0L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val oneShot = FreqSketch.cmsEstimateBy(
+        FreqSketch.cmsSketchBy(rows.toDF("g", "word"), "g", "word",
+          width = 256),
+        probes, "g", "word", width = 256)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed == oneShot)
+    // group isolation: estimates never under the group's own exact
+    // count, and a word heavy in one group doesn't have to be heavy in
+    // the other (bounded by the GROUP total, not the corpus total)
+    val exact = rows.groupBy(identity)
+      .map { case (k, vs) => k -> vs.size.toLong }
+    exact.foreach { case (k, n) => assert(streamed(k) >= n,
+      s"$k: ${streamed(k)} < $n") }
+    val totals = rows.groupBy(_._1).map { case (g, vs) => g -> vs.size.toLong }
+    streamed.foreach { case ((g, _), est) =>
+      assert(est <= totals(g),
+        s"estimate in group $g exceeds the group's own weight")
+    }
+    // the ':'-bearing group value round-trips the cell key intact
+    assert(streamed.keys.exists(_._1 == "a:grp"))
+  }
+
   test("live stream: estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
