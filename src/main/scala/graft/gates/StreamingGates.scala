@@ -406,6 +406,39 @@ private[graft] object StreamingGates extends GateFamily {
         .orderBy("batch_id", "qi")
     }),
 
+    // streaming ext — SLIDING-WINDOW + DECAYED t-digest quantiles: the
+    // cumulative fold (q260) cannot expire old batches (rank
+    // re-clustering is not invertible), so windowed reads merge the
+    // RETAINED per-batch digests — last-2-batches quantiles after every
+    // batch — and the decayed read scales each batch's weights by
+    // 2^(freshness/halfLife) before ONE widened re-cluster (the
+    // generation-weighted merge; integer-exact scaling, so the whole
+    // thing replays bit-for-bit). Exact [vmin, vmax] brackets as ever.
+    "q274_stream_tdigest_window" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull
+          && col("o_custkey").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          (col("o_custkey") % 2L).as("shard"),
+          col("o_totalprice").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("shard", "v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q274").toString + "/tdigest"
+      graft.streaming.StreamingTDigest.byBatchWindow(s, batches, store,
+          "v", Seq(0.5, 0.9), window = 2, shardCol = Some("shard"),
+          delta = 16, decayHalfLife = Some(1))
+        .select(col("batch_id"), col("kind"), col("qi"), col("q"),
+          col("n"), col("target_rank"), col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"),
+          (col("vmin").cast("double") <= col("estimate") &&
+            col("estimate") <= col("vmax").cast("double"))
+            .as("est_in_bracket"))
+        .orderBy("batch_id", "kind", "qi")
+    }),
+
     // streaming ext — PER-GROUP cross-batch t-digest: the q264/q266
     // batch family's streaming member (and the grouped twin of q260),
     // completing the per-group sketch symmetry. State is ≤ δ+1 rows
@@ -843,6 +876,8 @@ private[graft] object StreamingGates extends GateFamily {
     "q252_stream_hll" -> StreamHllOracle,
 
     "q260_stream_tdigest" -> StreamTDigestOracle,
+
+    "q274_stream_tdigest_window" -> StreamTDigestWindowOracle,
 
     "q267_stream_tdigest_group" -> StreamGroupTDigestOracle,
 

@@ -73,9 +73,11 @@ object StreamingTDigest {
                                  shardCol: Option[String] = None,
                                  delta: Int = 64,
                                  keepVersions: Int = 2,
-                                 groupCol: Option[String] = None) {
+                                 groupCol: Option[String] = None,
+                                 keepBatches: Int = 0) {
     require(delta >= 1, s"delta must be >= 1, got $delta")
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    require(keepBatches >= 0, s"keepBatches must be >= 0, got $keepBatches")
     require(groupCol.isEmpty || shardCol.isEmpty,
       "groupCol and shardCol are exclusive: with a group key the group " +
         "IS the per-batch parallelism contract (rank windows run within " +
@@ -84,6 +86,18 @@ object StreamingTDigest {
     private def fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private def versionDir(upTo: Long) = s"$storePath/digest_upto_$upTo"
+    private def batchDigestDir(id: Long) = s"$storePath/batch_digest_$id"
+
+    private def batchDigestIds(): Seq[Long] = {
+      val dir = new Path(storePath)
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_digest_"))
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix("batch_digest_").toLong).toOption)
+        .sorted
+    }
 
     private def versions(): Seq[Long] = {
       val dir = new Path(storePath)
@@ -125,8 +139,18 @@ object StreamingTDigest {
         case (None, None) => batch.select(lit(0L).as("__shard"),
           col(valueCol).as("__v"))
       }
-      val batchDigest =
+      val summarized =
         TDigest.tdigestSummarize(sharded, "__v", "__shard", delta)
+      // keepBatches > 0: persist the batch's OWN digest (the window/
+      // decay read path) and fold from the WRITTEN file — the batch is
+      // summarized once, not once per consumer
+      val batchDigest =
+        if (keepBatches > 0) {
+          summarized
+            .select("shard", "weight", "sumv", "vmin", "vmax")
+            .write.mode("overwrite").parquet(batchDigestDir(batchId))
+          spark.read.parquet(batchDigestDir(batchId))
+        } else summarized
       val prior = versions().find(_ <= batchId).map(v =>
         spark.read.parquet(versionDir(v)))
       // ALWAYS through the merge re-cluster (even batch 0 / one shard):
@@ -146,6 +170,9 @@ object StreamingTDigest {
         .parquet(versionDir(batchId + 1))
       versions().drop(keepVersions)
         .foreach(old => fs.delete(new Path(versionDir(old)), true))
+      if (keepBatches > 0)
+        batchDigestIds().filter(_ <= batchId - keepBatches)
+          .foreach(old => fs.delete(new Path(batchDigestDir(old)), true))
     }
 
     /** The folded digest over batches < `uptoBatch` (newest version at
@@ -175,6 +202,79 @@ object StreamingTDigest {
         case Some(_) => TDigest.tdigestQuantilesByGroup(digest(uptoBatch), qs)
         case None => TDigest.tdigestQuantiles(digest(uptoBatch), qs)
       }
+
+    /** Stored per-batch digests covering `[fromBatch, uptoBatch)`,
+      * REQUIRING full coverage: a window that silently lost its oldest
+      * member to retention would answer a different question than
+      * asked. Windowed/decayed reads need `keepBatches` ≥ the widest
+      * window ever read.
+      */
+    private def windowMembers(uptoBatch: Long,
+                              fromBatch: Long): Seq[(Long, DataFrame)] = {
+      require(keepBatches > 0,
+        "windowed/decayed reads need keepBatches > 0 (per-batch digests " +
+          "are not retained by default)")
+      val want = fromBatch until uptoBatch
+      require(want.nonEmpty, s"empty window [$fromBatch, $uptoBatch)")
+      val have = batchDigestIds()
+        .filter(id => id >= fromBatch && id < uptoBatch)
+      require(have == want,
+        s"window [$fromBatch, $uptoBatch) not fully retained " +
+          s"(have $have) — raise keepBatches")
+      have.map(id => id -> spark.read.parquet(batchDigestDir(id)))
+    }
+
+    private def readMerged(members: Seq[DataFrame],
+                           qs: Seq[Double]): DataFrame = groupCol match {
+      case Some(_) => TDigest.tdigestQuantilesByGroup(
+        TDigest.tdigestMergeByGroup(members, delta), qs)
+      case None => TDigest.tdigestQuantiles(
+        TDigest.tdigestMerge(members, delta), qs)
+    }
+
+    /** SLIDING-WINDOW quantiles — the last `uptoBatch − fromBatch`
+      * batches only, with the same exact `[vmin, vmax]` brackets: ONE
+      * widened re-cluster over the window's stored per-batch digests
+      * (≤ window × shards × (δ+1) summary rows; the cumulative fold
+      * cannot answer this because rank re-clustering is not
+      * invertible — expiry needs the members kept, the
+      * [[StreamingHll]] windowed-read argument for quantiles).
+      */
+    def quantilesWindow(qs: Seq[Double], uptoBatch: Long,
+                        fromBatch: Long = 0L): DataFrame =
+      readMerged(windowMembers(uptoBatch, fromBatch).map(_._2), qs)
+
+    /** DECAYED quantiles — recent batches count more: batch at age `a`
+      * (newest = 0) carries its weights scaled by
+      * `2^((span − a) / halfLifeBatches)` relative to the oldest, i.e.
+      * each `halfLifeBatches` of age HALVES a value's multiplicity in
+      * the merged multiset. Scaling is integer-exact (weights multiply
+      * by powers of two; sums scale in the decimal carrier) so the
+      * merge and its oracle replay bit-for-bit; quantiles answer over
+      * the decay-weighted multiset with the usual exact brackets.
+      * The span is capped (factor ≤ 2^10) to keep the scaled sums far
+      * inside the DECIMAL(28,8) carrier.
+      */
+    def quantilesDecayed(qs: Seq[Double], uptoBatch: Long,
+                         halfLifeBatches: Int,
+                         fromBatch: Long = 0L): DataFrame = {
+      require(halfLifeBatches >= 1,
+        s"halfLifeBatches must be >= 1, got $halfLifeBatches")
+      val maxShift = ((uptoBatch - 1 - fromBatch) /
+        halfLifeBatches).toInt
+      require(maxShift <= 10,
+        s"decay span too wide: ${uptoBatch - fromBatch} batches at " +
+          s"half-life $halfLifeBatches needs a 2^$maxShift weight " +
+          "factor — shrink the window (fromBatch) or raise the half-life")
+      val members = windowMembers(uptoBatch, fromBatch)
+      val scaled = members.map { case (id, d) =>
+        val shift = ((uptoBatch - 1 - id) / halfLifeBatches).toInt
+        val f = 1L << (maxShift - shift)
+        d.withColumn("weight", col("weight") * f)
+          .withColumn("sumv", (col("sumv") * f).cast("decimal(28,8)"))
+      }
+      readMerged(scaled, qs)
+    }
 
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
@@ -227,5 +327,46 @@ object StreamingTDigest {
         .withColumn("batch_id", lit(i.toLong))
         .select(outCols.head, outCols.tail: _*)
     }.reduce(_ unionByName _)
+  }
+
+  /** Windowed/decayed batch replay — the oracle-gateable twin of
+    * [[TDigestAccumulator.quantilesWindow]] / `quantilesDecayed`: fold
+    * `batches` in order retaining every per-batch digest, report the
+    * last-`window`-batches quantile brackets after each batch, and
+    * (when `decayHalfLife` is set) one final decayed read over the
+    * whole run — so the gate checks sliding expiry at every step plus
+    * the generation-weighted merge.
+    */
+  def byBatchWindow(spark: SparkSession, batches: Seq[DataFrame],
+                    storePath: String, valueCol: String, qs: Seq[Double],
+                    window: Int,
+                    shardCol: Option[String] = None,
+                    delta: Int = 64,
+                    decayHalfLife: Option[Int] = None,
+                    groupCol: Option[String] = None): DataFrame = {
+    require(batches.nonEmpty, "byBatchWindow needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val acc = new TDigestAccumulator(spark, storePath, valueCol,
+      shardCol, delta, keepVersions = batches.size + 1,
+      groupCol = groupCol, keepBatches = batches.size + 1)
+    val outCols = Seq("batch_id", "kind") ++
+      groupCol.map(_ => "shard").toSeq ++
+      Seq("qi", "q", "n", "target_rank", "weight", "vmin", "vmax",
+        "estimate")
+    val windows = batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      acc.quantilesWindow(qs, i.toLong + 1,
+          fromBatch = math.max(0L, i.toLong + 1 - window))
+        .withColumn("batch_id", lit(i.toLong))
+        .withColumn("kind", lit("window"))
+        .select(outCols.head, outCols.tail: _*)
+    }
+    val decayed = decayHalfLife.toSeq.map { h =>
+      acc.quantilesDecayed(qs, batches.size.toLong, h)
+        .withColumn("batch_id", lit(batches.size.toLong - 1))
+        .withColumn("kind", lit("decay"))
+        .select(outCols.head, outCols.tail: _*)
+    }
+    (windows ++ decayed).reduce(_ unionByName _)
   }
 }

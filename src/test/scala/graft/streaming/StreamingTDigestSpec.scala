@@ -166,6 +166,90 @@ class StreamingTDigestSpec extends SparkTestBase {
     assert(acc.digest(2L).agg(sum("weight")).head().getLong(0) == 2000L)
   }
 
+  test("windowed reads expire old batches; brackets contain the " +
+      "window's own truth; decay weights the merged multiset") {
+    val rows = StreamingTDigest.byBatchWindow(spark,
+        Seq(b0.toDF("v"), b1.toDF("v"), b2.toDF("v")),
+        tmp("win"), "v", Seq(0.1, 0.5, 0.9), window = 2, delta = 32,
+        decayHalfLife = Some(1))
+      .select(col("batch_id"), col("kind"), col("q"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"),
+        col("estimate"))
+      .orderBy("batch_id", "kind", "q")
+      .as[(Long, String, Double, Long, Double, Double, Double)].collect()
+    // window states: [b0], [b0,b1], [b1,b2] — truth is the WINDOW's
+    // multiset, not the whole stream's
+    val windows = Seq(b0, b0 ++ b1, b1 ++ b2)
+    rows.filter(_._2 == "window").foreach {
+      case (bid, _, q, r, lo, hi, est) =>
+        val sorted = windows(bid.toInt).sorted
+        assert(r == math.floor(q * (sorted.size - 1)).toLong)
+        val truth = sorted(r.toInt)
+        assert(lo <= truth && truth <= hi,
+          s"window $bid q$q: true $truth outside [$lo, $hi]")
+        assert(lo <= est && est <= hi)
+    }
+    // expiry is visible: after batch 2 the window [b1, b2] no longer
+    // contains b0's negative values, so even p10 sits above b0's range
+    val p10lo = rows.filter(r => r._1 == 2 && r._2 == "window" &&
+      r._3 == 0.1).head._5
+    assert(p10lo > b0.max,
+      s"expired batch still visible in the window read: p10 lo $p10lo")
+    // decay: halfLife 1 over 3 batches weights (1, 2, 4) — the decayed
+    // multiset is b0 + 2×b1 + 4×b2, and the brackets must contain ITS
+    // true quantiles
+    val decayed = (b0 ++ b1.flatMap(v => Seq(v, v)) ++
+      b2.flatMap(v => Seq(v, v, v, v))).sorted
+    rows.filter(_._2 == "decay").foreach {
+      case (_, _, q, r, lo, hi, est) =>
+        assert(r == math.floor(q * (decayed.size - 1)).toLong)
+        val truth = decayed(r.toInt)
+        assert(lo <= truth && truth <= hi,
+          s"decay q$q: true $truth outside [$lo, $hi]")
+        assert(lo <= est && est <= hi)
+    }
+    // decay pulls the median toward the newest (largest) batch: the
+    // decayed p50 bracket sits above the un-decayed full-stream p50
+    val full = (b0 ++ b1 ++ b2).sorted
+    val decayP50lo = rows.filter(r => r._2 == "decay" && r._3 == 0.5)
+      .head._5
+    assert(decayP50lo > full(full.size / 2),
+      "decay must shift p50 toward recent batches")
+  }
+
+  test("windowed reads refuse silent under-coverage") {
+    val store = tmp("guard")
+    // keepBatches = 2: after 3 updates batch 0's digest is gone
+    val acc = new StreamingTDigest.TDigestAccumulator(spark, store, "v",
+      delta = 16, keepBatches = 2)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      acc.update(b.toDF("v"), i.toLong)
+    }
+    // the retained window answers
+    assert(StreamingTDigest.byBatchWindow(spark, Seq(b0.toDF("v")),
+      tmp("ok"), "v", Seq(0.5), window = 1).count() == 1L)
+    assert(acc.quantilesWindow(Seq(0.5), 3L, fromBatch = 1L).count() == 1L)
+    // a window reaching into the evicted batch fails loud
+    val e = intercept[IllegalArgumentException] {
+      acc.quantilesWindow(Seq(0.5), 3L, fromBatch = 0L)
+    }
+    assert(e.getMessage.contains("keepBatches"))
+    // an accumulator without retention refuses windowed reads entirely
+    val acc2 = new StreamingTDigest.TDigestAccumulator(spark,
+      tmp("none"), "v", delta = 16)
+    acc2.update(b0.toDF("v"), 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      acc2.quantilesWindow(Seq(0.5), 1L)
+    }
+    assert(e2.getMessage.contains("keepBatches > 0"))
+    // decay span cap fails loud, not by silent overflow
+    val e3 = intercept[IllegalArgumentException] {
+      acc.quantilesDecayed(Seq(0.5), 30L, halfLifeBatches = 1,
+        fromBatch = 1L)
+    }
+    assert(e3.getMessage.contains("decay span"))
+  }
+
   test("live stream: foreachBatch accumulates across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
