@@ -74,10 +74,14 @@ object StreamingTDigest {
                                  delta: Int = 64,
                                  keepVersions: Int = 2,
                                  groupCol: Option[String] = None,
-                                 keepBatches: Int = 0) {
+                                 keepBatches: Int = 0,
+                                 keepCumulative: Boolean = true) {
     require(delta >= 1, s"delta must be >= 1, got $delta")
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     require(keepBatches >= 0, s"keepBatches must be >= 0, got $keepBatches")
+    require(keepCumulative || keepBatches > 0,
+      "an accumulator keeping neither the cumulative fold nor per-batch " +
+        "digests stores nothing — set keepCumulative or keepBatches")
     require(groupCol.isEmpty || shardCol.isEmpty,
       "groupCol and shardCol are exclusive: with a group key the group " +
         "IS the per-batch parallelism contract (rank windows run within " +
@@ -125,12 +129,13 @@ object StreamingTDigest {
       // newest-first cleanup would immediately delete it, and digest()
       // would silently keep serving the stale state while every new
       // fold is discarded.
-      val stale = versions().filter(_ > batchId + 1)
+      val stale = versions().filter(_ > batchId + 1) ++
+        batchDigestIds().filter(_ > batchId)
       require(stale.isEmpty,
-        s"digest store $storePath already holds versions up to " +
-          s"${stale.max - 1} but batch $batchId arrived — a restarted " +
-          "stream must reuse its checkpointLocation (so batch ids " +
-          "resume), and a new query needs a fresh storePath")
+        s"digest store $storePath already holds state past batch " +
+          s"$batchId — a restarted stream must reuse its " +
+          "checkpointLocation (so batch ids resume), and a new query " +
+          "needs a fresh storePath")
       val sharded = (groupCol, shardCol) match {
         case (Some(g), _) => batch.select(col(g).as("__shard"),
           col(valueCol).as("__v"))
@@ -151,25 +156,32 @@ object StreamingTDigest {
             .write.mode("overwrite").parquet(batchDigestDir(batchId))
           spark.read.parquet(batchDigestDir(batchId))
         } else summarized
-      val prior = versions().find(_ <= batchId).map(v =>
-        spark.read.parquet(versionDir(v)))
-      // ALWAYS through the merge re-cluster (even batch 0 / one shard):
-      // the stored state is canonically <= delta+1 rows (per group when
-      // grouped), and the fold is one re-cluster per batch — the
-      // oracle's unroll unit. Grouped stores KEEP the group key (named
-      // `shard`, the tdigestMergeByGroup convention).
-      val folded = groupCol match {
-        case Some(_) =>
-          TDigest.tdigestMergeByGroup(prior.toSeq :+ batchDigest, delta)
-            .select("shard", "weight", "sumv", "vmin", "vmax")
-        case None =>
-          TDigest.tdigestMerge(prior.toSeq :+ batchDigest, delta)
-            .select("weight", "sumv", "vmin", "vmax")
+      // keepCumulative = false (window/decay-only consumers): skip the
+      // fold entirely — the per-batch digests ARE the state, and a
+      // window reader shouldn't pay one merge re-cluster per batch for
+      // a running digest it never reads
+      if (keepCumulative) {
+        val prior = versions().find(_ <= batchId).map(v =>
+          spark.read.parquet(versionDir(v)))
+        // ALWAYS through the merge re-cluster (even batch 0 / one
+        // shard): the stored state is canonically <= delta+1 rows (per
+        // group when grouped), and the fold is one re-cluster per
+        // batch — the oracle's unroll unit. Grouped stores KEEP the
+        // group key (named `shard`, the tdigestMergeByGroup
+        // convention).
+        val folded = groupCol match {
+          case Some(_) =>
+            TDigest.tdigestMergeByGroup(prior.toSeq :+ batchDigest, delta)
+              .select("shard", "weight", "sumv", "vmin", "vmax")
+          case None =>
+            TDigest.tdigestMerge(prior.toSeq :+ batchDigest, delta)
+              .select("weight", "sumv", "vmin", "vmax")
+        }
+        folded.coalesce(1).write.mode("overwrite")
+          .parquet(versionDir(batchId + 1))
+        versions().drop(keepVersions)
+          .foreach(old => fs.delete(new Path(versionDir(old)), true))
       }
-      folded.coalesce(1).write.mode("overwrite")
-        .parquet(versionDir(batchId + 1))
-      versions().drop(keepVersions)
-        .foreach(old => fs.delete(new Path(versionDir(old)), true))
       if (keepBatches > 0)
         batchDigestIds().filter(_ <= batchId - keepBatches)
           .foreach(old => fs.delete(new Path(batchDigestDir(old)), true))
@@ -183,7 +195,10 @@ object StreamingTDigest {
       * updates delete that file, or construct the accumulator with a
       * larger `keepVersions` when holding reads across batches.
       */
-    def digest(uptoBatch: Long): DataFrame =
+    def digest(uptoBatch: Long): DataFrame = {
+      require(keepCumulative,
+        "window/decay-only accumulator (keepCumulative = false) keeps " +
+          "no running digest — use quantilesWindow/quantilesDecayed")
       versions().find(_ <= uptoBatch).map(v =>
         spark.read.parquet(versionDir(v))).getOrElse(
         spark.sql((if (groupCol.isDefined)
@@ -192,6 +207,7 @@ object StreamingTDigest {
           "CAST(NULL AS DECIMAL(28,8)) AS sumv, " +
           "CAST(NULL AS DECIMAL(28,8)) AS vmin, " +
           "CAST(NULL AS DECIMAL(28,8)) AS vmax WHERE FALSE"))
+    }
 
     /** Quantile reads with exact value brackets over the running
       * digest — per group (one row per (group, q)) when the
@@ -348,7 +364,8 @@ object StreamingTDigest {
     require(window >= 1, s"window must be >= 1, got $window")
     val acc = new TDigestAccumulator(spark, storePath, valueCol,
       shardCol, delta, keepVersions = batches.size + 1,
-      groupCol = groupCol, keepBatches = batches.size + 1)
+      groupCol = groupCol, keepBatches = batches.size + 1,
+      keepCumulative = false)
     val outCols = Seq("batch_id", "kind") ++
       groupCol.map(_ => "shard").toSeq ++
       Seq("qi", "q", "n", "target_rank", "weight", "vmin", "vmax",
