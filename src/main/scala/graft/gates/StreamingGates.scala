@@ -283,6 +283,30 @@ private[graft] object StreamingGates extends GateFamily {
         .orderBy("grp", "item")
     }),
 
+    // streaming ext — SLIDING-WINDOW + DECAYED CMS: "hot items RIGHT
+    // NOW", not since the stream began. A windowed store tags cells
+    // with the batch id (counters sum per (batch, cell); expiry folds
+    // only the batches in range — subtraction-based expiry would need
+    // the same per-batch bookkeeping with none of the decay reads),
+    // and the decayed read scales each batch's counts by the integer
+    // 2^(freshness/halfLife) before the per-cell sum — the
+    // heavy-hitters twin of q274's generation-weighted quantiles.
+    // Exact-integer scaling: the oracle replays every read via the
+    // same md5 hex-slice decode with per-batch cell grids.
+    "q275_stream_cms_window" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+      val batches = (0 to 2).map(i =>
+        ev.filter(col("event_id") % 3 === i).select("user_id"))
+      val probes = ev.filter(col("user_id") % 97 === 0).select("user_id")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q275").toString + "/cms"
+      streaming.StreamingFreqSketch.byBatchWindow(s, batches, store,
+          "user_id", probes, "user_id", width = 256, window = 2,
+          minCount = 1L, decayHalfLife = Some(1))
+        .orderBy("batch_id", "kind", "item")
+    }),
+
     // streaming ext — bottom-k reservoir: a uniform k-sample of an
     // unbounded stream with ≤ k rows of state per batch. Priorities are
     // md5(key), so the sample is deterministic, batch-split INVARIANT
@@ -860,6 +884,11 @@ private[graft] object StreamingGates extends GateFamily {
     // rides every stage of the same md5 hex-slice replay
     "q273_stream_cms_group" -> cmsGroupOracle(width = 256, probeMod = 97,
       minCount = 2),
+
+    // windowed/decayed twin: per-(batch, j, bucket) grids, range-summed
+    // window states + the 2^(freshness)-scaled decay state
+    "q275_stream_cms_window" -> cmsWindowOracle(width = 256,
+      probeMod = 97, minCount = 1),
 
     // the batch-split-invariance claim IS the oracle: the streamed
     // reservoir must equal the one-shot bottom-k of the whole corpus

@@ -2960,6 +2960,63 @@ private[graft] object Support {
        |ORDER BY grp, item""".stripMargin
   }
 
+  /** Windowed/decayed streaming-CMS replay (q275): per-(batch, j,
+    * bucket) cell grids via the [[cmsOracle]] md5 hex-slice decode,
+    * window states as range-filtered per-cell sums, the decay state as
+    * the 2^(freshness/halfLife)-scaled sum (integer factors, exact),
+    * min across slices per probe item from every state.
+    */
+  def cmsWindowOracle(width: Int, probeMod: Int, minCount: Long): String = {
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val cells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT b, $j AS j, ${slice(j)} % $width AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 3")
+      .mkString("\n  UNION ALL ")
+    val probeCells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT item, $j AS j, ${slice(j)} % $width AS bucket FROM ph")
+      .mkString("\n  UNION ALL ")
+    def state(tag: String, bid: Int, kind: String, bPred: String,
+              factor: String): String =
+      s"""e$tag AS (
+         |  SELECT CAST($bid AS BIGINT) AS batch_id, '$kind' AS kind,
+         |    pc.item, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN (
+         |    SELECT j, bucket, sum(cnt * $factor) AS c
+         |    FROM cells WHERE $bPred GROUP BY 1, 2) s
+         |    ON s.j = pc.j AND s.bucket = pc.bucket
+         |  GROUP BY 3)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id % 3 AS b, user_id
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+       |h AS (SELECT b, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |cells AS (
+       |  $cells),
+       |p AS (
+       |  SELECT DISTINCT user_id AS item FROM ev
+       |  WHERE user_id % $probeMod = 0),
+       |ph AS (SELECT item, md5(CAST(item AS VARCHAR)) AS hx FROM p),
+       |pc AS (
+       |  $probeCells),
+       |${state("w0", 0, "window", "b >= 0 AND b < 1", "1")},
+       |${state("w1", 1, "window", "b >= 0 AND b < 2", "1")},
+       |${state("w2", 2, "window", "b >= 1 AND b < 3", "1")},
+       |${state("dd", 2, "decay", "b >= 0 AND b < 3",
+          "(CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)")},
+       |allp AS (
+       |  SELECT * FROM ew0 UNION ALL SELECT * FROM ew1
+       |  UNION ALL SELECT * FROM ew2 UNION ALL SELECT * FROM edd)
+       |SELECT batch_id, kind, item, est FROM allp
+       |WHERE est >= $minCount
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two
     * rounds of exact-L2 assignment (dot − |c|²/2, lowest-index ties) +
     * decimal(28,8)-exact mean updates, final assignment in `af`.

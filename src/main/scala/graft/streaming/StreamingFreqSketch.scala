@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -44,7 +44,8 @@ object StreamingFreqSketch {
   final class SketchAccumulator(spark: SparkSession, storePath: String,
                                 itemCol: String, width: Int,
                                 compactEvery: Int = 8,
-                                groupCol: Option[String] = None) {
+                                groupCol: Option[String] = None,
+                                windowed: Boolean = false) {
     require(width >= 16, s"width must be >= 16, got $width")
     // numBuckets=1: the whole sketch is at most Depth*width rows per
     // group domain — one bucket keeps the store a single small file per
@@ -52,20 +53,81 @@ object StreamingFreqSketch {
     private val store = new KeyedBatchStore(spark, storePath, "cell",
       "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"))
 
-    /** Append one batch's sketch (cell-wise counts of the batch only). */
+    /** Append one batch's sketch (cell-wise counts of the batch only).
+      * `windowed` stores tag cells with the batch id (zero-padded so
+      * string order follows numeric order, the [[StreamingHll]] key
+      * convention) — counters then sum per (batch, cell), window reads
+      * fold only the batches in range, and state is batches × grid
+      * instead of one grid (expiry costs retention; counters DO
+      * subtract, but a subtraction-based expiry would need every
+      * retired batch replayed exactly once — the same bookkeeping as
+      * keeping the per-batch rows, with none of the decay reads).
+      * Batch-id regression corrupts windowed reads, so windowed
+      * appends fail fast on a renumbered stream.
+      */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (windowed) store.requireNoRegression(batchId)
       store.maybeCompact(batchId)
-      val cells = groupCol match {
+      val grid = groupCol match {
         case Some(g) =>
           FreqSketch.cmsSketchBy(batch, g, itemCol, width)
-            .select(concat_ws(":", col("j"), col("bucket"), col("grp"))
-              .as("cell"), col("cnt"))
         case None =>
           FreqSketch.cmsSketch(batch, itemCol, width)
-            .select(concat_ws(":", col("j"), col("bucket")).as("cell"),
-              col("cnt"))
       }
-      store.append(cells, batchId)
+      val keyParts =
+        (if (windowed)
+          Seq(lpad(lit(batchId).cast("string"), 9, "0")) else Nil) ++
+        Seq(col("j"), col("bucket")) ++
+        groupCol.map(_ => col("grp")).toSeq
+      store.append(
+        grid.select(concat_ws(":", keyParts: _*).as("cell"), col("cnt")),
+        batchId)
+    }
+
+    /** Parse stored cells back to the relational grid, optionally
+      * restricted to batches `[fromBatch, uptoBatch)` (windowed stores)
+      * and with per-batch integer weight factors applied (decay reads).
+      * The group value is the LAST key field (separator-safe via the
+      * limit split).
+      */
+    private def grid(uptoBatch: Long, fromBatch: Long,
+                     factor: Option[Column => Column]): DataFrame = {
+      require(windowed || (fromBatch == 0L && factor.isEmpty),
+        "windowed/decayed reads need a windowed store " +
+          "(SketchAccumulator(windowed = true))")
+      val parts = store.parts(uptoBatch).reduceOption(_ unionByName _)
+      val jIdx = if (windowed) 1 else 0
+      val limit = (if (windowed) 1 else 0) + 2 +
+        (if (groupCol.isDefined) 1 else 0)
+      val grpField = element_at(split(col("cell"), ":", limit), limit)
+      parts.map { df =>
+        val ranged =
+          if (!windowed) df
+          else {
+            val from = lpad(lit(fromBatch).cast("string"), 9, "0")
+            val upto = lpad(lit(uptoBatch).cast("string"), 9, "0")
+            val bid = substring_index(col("cell"), ":", 1)
+            df.filter(bid >= from && bid < upto)
+          }
+        val weighted = factor match {
+          case Some(f) => ranged.withColumn("cnt", col("cnt") *
+            f(substring_index(col("cell"), ":", 1).cast("long")))
+          case None => ranged
+        }
+        weighted
+          .select((groupCol.map(_ => grpField.as("grp")).toSeq ++ Seq(
+            split(col("cell"), ":").getItem(jIdx).cast("int").as("j"),
+            split(col("cell"), ":").getItem(jIdx + 1).cast("long")
+              .as("bucket"),
+            col("cnt"))): _*)
+          .groupBy((groupCol.map(_ => col("grp")).toSeq ++
+            Seq(col("j"), col("bucket"))): _*)
+          .agg(sum(col("cnt")).cast("long").as("cnt"))
+      }.getOrElse(spark.sql(
+        (if (groupCol.isDefined) "SELECT CAST(NULL AS STRING) AS grp, "
+        else "SELECT ") +
+          "CAST(NULL AS INT) AS j, CAST(NULL AS BIGINT) AS bucket, " +
+          "CAST(NULL AS BIGINT) AS cnt WHERE FALSE"))
     }
 
     /** The accumulated sketch over batches < `uptoBatch`, in the
@@ -74,40 +136,44 @@ object StreamingFreqSketch {
     def sketch(uptoBatch: Long): DataFrame = {
       require(groupCol.isEmpty,
         "grouped accumulator: use sketchBy/estimateBy")
-      store.parts(uptoBatch)
-        .reduceOption(_ unionByName _)
-        .map(_.groupBy(col("cell"))
-          .agg(sum(col("cnt")).cast("long").as("cnt"))
-          .select(
-            split(col("cell"), ":").getItem(0).cast("int").as("j"),
-            split(col("cell"), ":").getItem(1).cast("long").as("bucket"),
-            col("cnt")))
-        .getOrElse(spark.sql(
-          "SELECT CAST(NULL AS INT) AS j, CAST(NULL AS BIGINT) AS bucket, " +
-            "CAST(NULL AS BIGINT) AS cnt WHERE FALSE"))
+      grid(uptoBatch, 0L, None)
     }
 
     /** The accumulated PER-GROUP sketch over batches < `uptoBatch`, in
       * the `(grp, j, bucket, cnt)` shape [[FreqSketch.cmsEstimateBy]]
-      * consumes. The limit-3 split keeps a group value containing `:`
+      * consumes. The limit split keeps a group value containing `:`
       * intact.
       */
     def sketchBy(uptoBatch: Long): DataFrame = {
       require(groupCol.isDefined,
         "ungrouped accumulator: use sketch/estimate")
-      store.parts(uptoBatch)
-        .reduceOption(_ unionByName _)
-        .map(_.groupBy(col("cell"))
-          .agg(sum(col("cnt")).cast("long").as("cnt"))
-          .select(
-            element_at(split(col("cell"), ":", 3), 3).as("grp"),
-            split(col("cell"), ":").getItem(0).cast("int").as("j"),
-            split(col("cell"), ":").getItem(1).cast("long").as("bucket"),
-            col("cnt")))
-        .getOrElse(spark.sql(
-          "SELECT CAST(NULL AS STRING) AS grp, CAST(NULL AS INT) AS j, " +
-            "CAST(NULL AS BIGINT) AS bucket, " +
-            "CAST(NULL AS BIGINT) AS cnt WHERE FALSE"))
+      grid(uptoBatch, 0L, None)
+    }
+
+    /** The integer decay multiplier for stored batch `bid` read at
+      * `uptoBatch` over `[fromBatch, uptoBatch)`: every
+      * `halfLifeBatches` of age HALVES a count's contribution relative
+      * to the newest batch — scaling is by powers of two so estimates
+      * stay exact integers and replay bit-for-bit. The span cap keeps
+      * the scaled counters far inside BIGINT.
+      */
+    private def decayFactor(uptoBatch: Long, fromBatch: Long,
+                            halfLifeBatches: Int): Column => Column = {
+      require(halfLifeBatches >= 1,
+        s"halfLifeBatches must be >= 1, got $halfLifeBatches")
+      val maxShift = ((uptoBatch - 1 - fromBatch) / halfLifeBatches).toInt
+      require(maxShift <= 20,
+        s"decay span too wide: ${uptoBatch - fromBatch} batches at " +
+          s"half-life $halfLifeBatches needs a 2^$maxShift count " +
+          "factor — shrink the window (fromBatch) or raise the half-life")
+      // pow(2, s) is EXACT in an IEEE double for s <= 52 and the cap
+      // keeps s <= 20, so the long cast is the exact integer factor
+      // (functions.shiftleft only accepts a literal bit count); the
+      // age division truncates non-negative smalls — floor semantics
+      bid => pow(lit(2.0),
+        (lit(maxShift) - ((lit(uptoBatch - 1) - bid) /
+          lit(halfLifeBatches.toLong)).cast("int")).cast("double"))
+        .cast("long")
     }
 
     /** Point estimates for a probe set against the accumulated sketch. */
@@ -122,6 +188,71 @@ object StreamingFreqSketch {
                    probeCol: String, uptoBatch: Long): DataFrame =
       FreqSketch.cmsEstimateBy(sketchBy(uptoBatch), probes,
         probeGroupCol, probeCol, width)
+
+    /** SLIDING-WINDOW estimates — frequencies over the last
+      * `uptoBatch − fromBatch` batches only (hot items RIGHT NOW, not
+      * since the stream began). Needs a windowed store; the usual CMS
+      * guarantees hold within the window (never under the window's own
+      * true count).
+      */
+    def estimateWindow(probes: DataFrame, probeCol: String,
+                       uptoBatch: Long, fromBatch: Long): DataFrame = {
+      require(groupCol.isEmpty,
+        "grouped accumulator: use estimateWindowBy")
+      requireWindowed()
+      FreqSketch.cmsEstimate(grid(uptoBatch, fromBatch, None),
+        probes, probeCol, width)
+    }
+
+    // explicit even for the degenerate fromBatch = 0 case (which a
+    // cumulative store could technically answer): a caller asking for
+    // window reads on a store that cannot expire is a config bug, not
+    // a question to answer differently
+    private def requireWindowed(): Unit =
+      require(windowed,
+        "windowed/decayed reads need a windowed store " +
+          "(SketchAccumulator(windowed = true))")
+
+    /** Per-(group, item) sliding-window estimates. */
+    def estimateWindowBy(probes: DataFrame, probeGroupCol: String,
+                         probeCol: String, uptoBatch: Long,
+                         fromBatch: Long): DataFrame = {
+      require(groupCol.isDefined,
+        "ungrouped accumulator: use estimateWindow")
+      requireWindowed()
+      FreqSketch.cmsEstimateBy(grid(uptoBatch, fromBatch, None),
+        probes, probeGroupCol, probeCol, width)
+    }
+
+    /** DECAYED estimates — recent batches count more: batch counts
+      * scale by `2^(freshness / halfLifeBatches)` before the per-cell
+      * sum, so `est(item)` answers over the decay-weighted stream (the
+      * decayed-heavy-hitters read; [[StreamingTDigest.TDigestAccumulator.quantilesDecayed]]
+      * is the quantile twin). Still never under the decayed true count.
+      */
+    def estimateDecayed(probes: DataFrame, probeCol: String,
+                        uptoBatch: Long, halfLifeBatches: Int,
+                        fromBatch: Long = 0L): DataFrame = {
+      require(groupCol.isEmpty,
+        "grouped accumulator: use estimateDecayedBy")
+      requireWindowed()
+      FreqSketch.cmsEstimate(grid(uptoBatch, fromBatch,
+        Some(decayFactor(uptoBatch, fromBatch, halfLifeBatches))),
+        probes, probeCol, width)
+    }
+
+    /** Per-(group, item) decayed estimates. */
+    def estimateDecayedBy(probes: DataFrame, probeGroupCol: String,
+                          probeCol: String, uptoBatch: Long,
+                          halfLifeBatches: Int,
+                          fromBatch: Long = 0L): DataFrame = {
+      require(groupCol.isDefined,
+        "ungrouped accumulator: use estimateDecayed")
+      requireWindowed()
+      FreqSketch.cmsEstimateBy(grid(uptoBatch, fromBatch,
+        Some(decayFactor(uptoBatch, fromBatch, halfLifeBatches))),
+        probes, probeGroupCol, probeCol, width)
+    }
 
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
@@ -160,6 +291,38 @@ object StreamingFreqSketch {
     batches.zipWithIndex.foreach { case (b, i) => acc.update(b, i.toLong) }
     acc.estimate(probes, probeCol, batches.length.toLong)
       .filter(col("est") >= minCount)
+  }
+
+  /** Windowed/decayed batch replay — the oracle-gateable twin of
+    * [[SketchAccumulator.estimateWindow]] / `estimateDecayed`: fold
+    * `batches` into a windowed store, report the last-`window`-batches
+    * estimates after each batch, and (when `decayHalfLife` is set) one
+    * final decayed read over the whole run.
+    */
+  def byBatchWindow(spark: SparkSession, batches: Seq[DataFrame],
+                    storePath: String, itemCol: String,
+                    probes: DataFrame, probeCol: String, width: Int,
+                    window: Int, minCount: Long,
+                    decayHalfLife: Option[Int] = None): DataFrame = {
+    require(batches.nonEmpty, "byBatchWindow needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val acc = new SketchAccumulator(spark, storePath, itemCol, width,
+      windowed = true)
+    val states = batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      acc.estimateWindow(probes, probeCol, i.toLong + 1,
+          fromBatch = math.max(0L, i.toLong + 1 - window))
+        .withColumn("batch_id", lit(i.toLong))
+        .withColumn("kind", lit("window"))
+    }
+    val decayed = decayHalfLife.toSeq.map { h =>
+      acc.estimateDecayed(probes, probeCol, batches.size.toLong, h)
+        .withColumn("batch_id", lit(batches.size.toLong - 1))
+        .withColumn("kind", lit("decay"))
+    }
+    (states ++ decayed).reduce(_ unionByName _)
+      .filter(col("est") >= minCount)
+      .select("batch_id", "kind", "item", "est")
   }
 
   /** Grouped batch replay: fold `batches` in order, then estimate

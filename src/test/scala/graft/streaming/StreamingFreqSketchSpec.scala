@@ -105,6 +105,60 @@ class StreamingFreqSketchSpec extends SparkTestBase {
     assert(streamed.keys.exists(_._1 == "a:grp"))
   }
 
+  test("windowed store: window reads equal the one-shot sketch of the " +
+      "window's own batches; decay scales by freshness; guards hold") {
+    val store = tmpStore()
+    val acc = new StreamingFreqSketch.SketchAccumulator(spark, store,
+      "word", width = 128, compactEvery = 2, windowed = true)
+    val b = Seq(
+      Seq("old", "old", "old", "both"),   // batch 0
+      Seq("both", "mid"),                 // batch 1
+      Seq("new", "new", "both"))          // batch 2
+    b.zipWithIndex.foreach { case (ws, i) =>
+      acc.update(ws.toDF("word"), i.toLong)
+    }
+    val probes = Seq("old", "mid", "new", "both").toDF("word")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toMap
+    // window [1, 3): batch 0 expired — "old" gone, counts are the
+    // window's own (min over slices never under the window truth, and
+    // for this tiny fixture there are no collisions to over-count)
+    val w = est(acc.estimateWindow(probes, "word", 3L, 1L))
+    assert(w == Map("old" -> 0L, "mid" -> 1L, "new" -> 2L, "both" -> 2L),
+      s"window estimates wrong: $w")
+    // window read equals the ONE-SHOT sketch of exactly those batches
+    val oneShot = est(FreqSketch.cmsEstimate(
+      FreqSketch.cmsSketch((b(1) ++ b(2)).toDF("word"), "word", 128),
+      probes, "word", 128))
+    assert(est(acc.estimateWindow(probes, "word", 3L, 1L)) == oneShot)
+    // decay halfLife 1 over 3 batches: factors 1/2/4 —
+    // old: 3·1, mid: 1·2, new: 2·4, both: 1+2+4
+    val d = est(acc.estimateDecayed(probes, "word", 3L, 1))
+    assert(d == Map("old" -> 3L, "mid" -> 2L, "new" -> 8L, "both" -> 7L),
+      s"decayed estimates wrong: $d")
+    // cumulative read still works on a windowed store
+    assert(est(acc.estimate(probes, "word", 3L)) ==
+      Map("old" -> 3L, "mid" -> 1L, "new" -> 2L, "both" -> 3L))
+    // batch-id regression fails fast (ids live in the cell keys)
+    val e = intercept[IllegalArgumentException] {
+      acc.update(Seq("x").toDF("word"), 0L)
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+    // a PLAIN store refuses windowed/decayed reads
+    val plain = new StreamingFreqSketch.SketchAccumulator(spark,
+      tmpStore(), "word", width = 128)
+    plain.update(Seq("x").toDF("word"), 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      plain.estimateWindow(probes, "word", 1L, 0L)
+    }
+    assert(e2.getMessage.contains("windowed store"))
+    // decay span cap fails loud
+    val e3 = intercept[IllegalArgumentException] {
+      acc.estimateDecayed(probes, "word", 100L, 1)
+    }
+    assert(e3.getMessage.contains("decay span"))
+  }
+
   test("live stream: estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
