@@ -283,6 +283,30 @@ private[graft] object StreamingGates extends GateFamily {
         .orderBy("grp", "item")
     }),
 
+    // streaming ext — SLIDING-WINDOW + DECAYED HDR quantiles: "p99
+    // latency NOW", not since the stream began — the last window
+    // symmetry gap (HLL q252 / t-digest q274 / CMS q275 already have
+    // windowed reads). A windowed store tags bucket cells with the
+    // batch id; window reads fold only the range, the decayed read
+    // scales each batch's counts by the exact integer
+    // 2^(freshness/halfLife) before the rank pick. Exact [lo, hi]
+    // value bounds per quantile as ever; the oracle replays every
+    // state's comparison-ladder bucketing + rank pick.
+    "q276_stream_hdr_window" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q276").toString + "/hdr"
+      streaming.StreamingHdr.byBatchWindow(s, batches, store, "v",
+          Seq(0.5, 0.99), window = 2, subBits = 5,
+          decayHalfLife = Some(1))
+        .orderBy("batch_id", "kind", "q")
+    }),
+
     // streaming ext — SLIDING-WINDOW + DECAYED CMS: "hot items RIGHT
     // NOW", not since the stream began. A windowed store tags cells
     // with the batch id (counters sum per (batch, cell); expiry folds
@@ -901,6 +925,8 @@ private[graft] object StreamingGates extends GateFamily {
     "q242_stream_bloom" -> StreamBloomOracle,
 
     "q247_stream_hdr" -> StreamHdrOracle,
+
+    "q276_stream_hdr_window" -> StreamHdrWindowOracle,
 
     "q252_stream_hll" -> StreamHllOracle,
 

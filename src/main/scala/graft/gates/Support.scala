@@ -1763,6 +1763,68 @@ private[graft] object Support {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Windowed/decayed streaming-HDR replay (q276): the
+    * [[StreamHdrOracle]] machinery with per-STATE histograms — window
+    * states are range-filtered per-(batch, bucket) sums, the decay
+    * state scales each batch's counts by its integer freshness factor
+    * (2^((span−age)/h)) — then the same total/cumulative/rank-pick
+    * chain from every state.
+    */
+  val StreamHdrWindowOracle: String = {
+    val ladder = (6 to 62).reverse
+      .map(i => s"WHEN v >= ${1L << i} THEN $i").mkString(" ")
+    def state(tag: String, bid: Int, kind: String, bPred: String,
+              factor: String): String =
+      s"""h$tag AS (
+         |  SELECT bucket, CAST(sum(cnt * $factor) AS BIGINT) AS cnt
+         |  FROM bhist WHERE $bPred GROUP BY 1),
+         |n$tag AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h$tag),
+         |c$tag AS (
+         |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM h$tag),
+         |p$tag AS (
+         |  SELECT CAST($bid AS BIGINT) AS batch_id, '$kind' AS kind,
+         |    r.q, r.rank, CAST(min(c.bucket) AS BIGINT) AS bucket
+         |  FROM (SELECT q, greatest(CAST(1 AS BIGINT),
+         |      CAST(ceil(q * total) AS BIGINT)) AS rank
+         |    FROM qs CROSS JOIN n$tag) r
+         |  JOIN c$tag c ON c.c >= r.rank
+         |  GROUP BY 3, 4)""".stripMargin
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS b,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+       |bk AS (
+       |  SELECT b, CASE WHEN v < 32 THEN v
+       |    ELSE (e - 5) * 32 + (v >> CAST(e - 5 AS INT)) END AS bucket
+       |  FROM (SELECT b, v, CASE $ladder ELSE 5 END AS e FROM vals) t),
+       |bhist AS (
+       |  SELECT b, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY 1, 2),
+       |qs AS (
+       |  SELECT CAST(0.5 AS DOUBLE) AS q
+       |  UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+       |${state("w0", 0, "window", "b >= 0 AND b < 1", "1")},
+       |${state("w1", 1, "window", "b >= 0 AND b < 2", "1")},
+       |${state("w2", 2, "window", "b >= 1 AND b < 3", "1")},
+       |${state("dd", 2, "decay", "b >= 0 AND b < 3",
+          "(CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)")},
+       |allp AS (
+       |  SELECT * FROM pw0 UNION ALL SELECT * FROM pw1
+       |  UNION ALL SELECT * FROM pw2 UNION ALL SELECT * FROM pdd)
+       |SELECT batch_id, kind, q, rank, bucket,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (bucket - (bucket // 32 - 1) * 32) << CAST(bucket // 32 - 1 AS INT)
+       |    END AS BIGINT) AS lo,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE ((bucket - (bucket // 32 - 1) * 32 + 1) << CAST(bucket // 32 - 1 AS INT)) - 1
+       |    END AS BIGINT) AS hi
+       |FROM allp
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** Per-group streaming-HDR replay (q271): the [[StreamHdrOracle]]
     * machinery with the group key threaded through every stage —
     * per-(batch-prefix, group) histograms, totals, cumulative sums,

@@ -150,32 +150,6 @@ object StreamingFreqSketch {
       grid(uptoBatch, 0L, None)
     }
 
-    /** The integer decay multiplier for stored batch `bid` read at
-      * `uptoBatch` over `[fromBatch, uptoBatch)`: every
-      * `halfLifeBatches` of age HALVES a count's contribution relative
-      * to the newest batch — scaling is by powers of two so estimates
-      * stay exact integers and replay bit-for-bit. The span cap keeps
-      * the scaled counters far inside BIGINT.
-      */
-    private def decayFactor(uptoBatch: Long, fromBatch: Long,
-                            halfLifeBatches: Int): Column => Column = {
-      require(halfLifeBatches >= 1,
-        s"halfLifeBatches must be >= 1, got $halfLifeBatches")
-      val maxShift = ((uptoBatch - 1 - fromBatch) / halfLifeBatches).toInt
-      require(maxShift <= 20,
-        s"decay span too wide: ${uptoBatch - fromBatch} batches at " +
-          s"half-life $halfLifeBatches needs a 2^$maxShift count " +
-          "factor — shrink the window (fromBatch) or raise the half-life")
-      // pow(2, s) is EXACT in an IEEE double for s <= 52 and the cap
-      // keeps s <= 20, so the long cast is the exact integer factor
-      // (functions.shiftleft only accepts a literal bit count); the
-      // age division truncates non-negative smalls — floor semantics
-      bid => pow(lit(2.0),
-        (lit(maxShift) - ((lit(uptoBatch - 1) - bid) /
-          lit(halfLifeBatches.toLong)).cast("int")).cast("double"))
-        .cast("long")
-    }
-
     /** Point estimates for a probe set against the accumulated sketch. */
     def estimate(probes: DataFrame, probeCol: String,
                  uptoBatch: Long): DataFrame =
@@ -237,7 +211,7 @@ object StreamingFreqSketch {
         "grouped accumulator: use estimateDecayedBy")
       requireWindowed()
       FreqSketch.cmsEstimate(grid(uptoBatch, fromBatch,
-        Some(decayFactor(uptoBatch, fromBatch, halfLifeBatches))),
+        Some(BatchDecay.factor(uptoBatch, fromBatch, halfLifeBatches))),
         probes, probeCol, width)
     }
 
@@ -250,7 +224,7 @@ object StreamingFreqSketch {
         "ungrouped accumulator: use estimateDecayed")
       requireWindowed()
       FreqSketch.cmsEstimateBy(grid(uptoBatch, fromBatch,
-        Some(decayFactor(uptoBatch, fromBatch, halfLifeBatches))),
+        Some(BatchDecay.factor(uptoBatch, fromBatch, halfLifeBatches))),
         probes, probeGroupCol, probeCol, width)
     }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -39,32 +39,102 @@ object StreamingHdr {
   final class HdrAccumulator(spark: SparkSession, storePath: String,
                              valueCol: String, subBits: Int = 5,
                              compactEvery: Int = 8,
-                             groupCol: Option[String] = None) {
+                             groupCol: Option[String] = None,
+                             windowed: Boolean = false) {
     // numBuckets=1: the whole histogram is ~1.9k rows (× groups when
-    // grouped) — one store bucket keeps it a single small file per
-    // version
-    private val store = groupCol match {
-      case Some(_) => new KeyedBatchStore(spark, storePath, "cell",
-        "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"))
-      case None => new KeyedBatchStore(spark, storePath, "bucket",
+    // grouped, × batches when windowed) — one store bucket keeps it a
+    // single small file per version
+    private val store =
+      if (groupCol.isDefined || windowed)
+        new KeyedBatchStore(spark, storePath, "cell",
+          "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"))
+      else new KeyedBatchStore(spark, storePath, "bucket",
         "BIGINT", compactEvery, numBuckets = 1, countCol = Some("cnt"))
-    }
 
-    /** Append one batch's histogram (bucket counts of the batch only). */
+    /** Append one batch's histogram (bucket counts of the batch only).
+      * `windowed` stores tag cells with the batch id (zero-padded, the
+      * [[StreamingHll]] key convention): counts sum per (batch,
+      * bucket), window reads fold only the batches in range, and state
+      * is batches × ~1.9k rows instead of one histogram — the sliding
+      * p99 a cumulative histogram cannot answer (bucket counts DO
+      * subtract, but subtraction-based expiry needs every retired
+      * batch replayed exactly once — the same bookkeeping as keeping
+      * the per-batch rows, with none of the decay reads).
+      */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
       // fail fast on a renumbered stream: counts are SUM-merged, so a
       // restarted-from-0 stream would overwrite (and lose) the real
       // batch-0 delta while double-counting everything after it
       store.requireNoRegression(batchId)
       store.maybeCompact(batchId)
-      val delta = groupCol match {
+      val grid = groupCol match {
         case Some(g) => FreqSketch.hdrHistogramBy(batch, g, valueCol, subBits)
-          .select(concat_ws(":", col("bucket"), col("grp")).as("cell"),
-            col("cnt"))
         case None => FreqSketch.hdrHistogram(batch, valueCol, subBits)
       }
+      val keyParts =
+        (if (windowed)
+          Seq(lpad(lit(batchId).cast("string"), 9, "0")) else Nil) ++
+        Seq(col("bucket")) ++ groupCol.map(_ => col("grp")).toSeq
+      val delta =
+        if (keyParts.size == 1) grid // plain global: BIGINT bucket key
+        else grid.select(concat_ws(":", keyParts: _*).as("cell"),
+          col("cnt"))
       store.append(delta, batchId)
     }
+
+    /** Parse stored cells back to the histogram relation, optionally
+      * restricted to batches `[fromBatch, uptoBatch)` (windowed
+      * stores) and with per-batch integer decay factors applied. The
+      * group value is the LAST key field (separator-safe limit split).
+      */
+    private def grid(uptoBatch: Long, fromBatch: Long,
+                     factor: Option[Column => Column]): DataFrame = {
+      require(windowed || (fromBatch == 0L && factor.isEmpty),
+        "windowed/decayed reads need a windowed store " +
+          "(HdrAccumulator(windowed = true))")
+      val parts = store.parts(uptoBatch).reduceOption(_ unionByName _)
+      val bIdx = if (windowed) 1 else 0
+      val limit = (if (windowed) 1 else 0) + 1 +
+        (if (groupCol.isDefined) 1 else 0)
+      val grpField = element_at(split(col("cell"), ":", limit), limit)
+      parts.map { df =>
+        if (limit == 1) // plain global store: already (bucket, cnt)
+          df.groupBy(col("bucket"))
+            .agg(sum(col("cnt")).cast("long").as("cnt"))
+        else {
+          val ranged =
+            if (!windowed) df
+            else {
+              val from = lpad(lit(fromBatch).cast("string"), 9, "0")
+              val upto = lpad(lit(uptoBatch).cast("string"), 9, "0")
+              val bid = substring_index(col("cell"), ":", 1)
+              df.filter(bid >= from && bid < upto)
+            }
+          val weighted = factor match {
+            case Some(f) => ranged.withColumn("cnt", col("cnt") *
+              f(substring_index(col("cell"), ":", 1).cast("long")))
+            case None => ranged
+          }
+          weighted
+            .select((groupCol.map(_ => grpField.as("grp")).toSeq ++ Seq(
+              split(col("cell"), ":").getItem(bIdx).cast("long")
+                .as("bucket"),
+              col("cnt"))): _*)
+            .groupBy((groupCol.map(_ => col("grp")).toSeq :+
+              col("bucket")): _*)
+            .agg(sum(col("cnt")).cast("long").as("cnt"))
+        }
+      }.getOrElse(spark.sql(
+        (if (groupCol.isDefined) "SELECT CAST(NULL AS STRING) AS grp, "
+        else "SELECT ") +
+          "CAST(NULL AS BIGINT) AS bucket, " +
+          "CAST(NULL AS BIGINT) AS cnt WHERE FALSE"))
+    }
+
+    private def requireWindowed(): Unit =
+      require(windowed,
+        "windowed/decayed reads need a windowed store " +
+          "(HdrAccumulator(windowed = true))")
 
     /** The accumulated histogram over batches < `uptoBatch`, in the
       * (bucket, cnt) shape the batch operators consume.
@@ -72,13 +142,7 @@ object StreamingHdr {
     def histogram(uptoBatch: Long): DataFrame = {
       require(groupCol.isEmpty,
         "grouped accumulator: use histogramBy/quantilesBy")
-      store.parts(uptoBatch)
-        .reduceOption(_ unionByName _)
-        .map(_.groupBy(col("bucket"))
-          .agg(sum(col("cnt")).cast("long").as("cnt")))
-        .getOrElse(spark.sql(
-          "SELECT CAST(NULL AS BIGINT) AS bucket, " +
-            "CAST(NULL AS BIGINT) AS cnt WHERE FALSE"))
+      grid(uptoBatch, 0L, None)
     }
 
     /** The accumulated PER-GROUP histogram over batches < `uptoBatch`,
@@ -89,18 +153,7 @@ object StreamingHdr {
     def histogramBy(uptoBatch: Long): DataFrame = {
       require(groupCol.isDefined,
         "ungrouped accumulator: use histogram/quantiles")
-      store.parts(uptoBatch)
-        .reduceOption(_ unionByName _)
-        .map(_.select(
-          element_at(split(col("cell"), ":", 2), 2).as("grp"),
-          split(col("cell"), ":").getItem(0).cast("long").as("bucket"),
-          col("cnt"))
-          .groupBy(col("grp"), col("bucket"))
-          .agg(sum(col("cnt")).cast("long").as("cnt")))
-        .getOrElse(spark.sql(
-          "SELECT CAST(NULL AS STRING) AS grp, " +
-            "CAST(NULL AS BIGINT) AS bucket, " +
-            "CAST(NULL AS BIGINT) AS cnt WHERE FALSE"))
+      grid(uptoBatch, 0L, None)
     }
 
     /** Quantile picks with exact value bounds over the accumulated
@@ -112,6 +165,59 @@ object StreamingHdr {
     /** Per-group quantile picks — one row per (group, q). */
     def quantilesBy(qs: Seq[Double], uptoBatch: Long): DataFrame =
       FreqSketch.hdrQuantilesBy(histogramBy(uptoBatch), qs, subBits)
+
+    /** SLIDING-WINDOW quantiles — p50/p99 over the last
+      * `uptoBatch − fromBatch` batches only, with the same exact
+      * [lo, hi] value bounds (latency NOW, not since the stream
+      * began).
+      */
+    def quantilesWindow(qs: Seq[Double], uptoBatch: Long,
+                        fromBatch: Long): DataFrame = {
+      require(groupCol.isEmpty,
+        "grouped accumulator: use quantilesWindowBy")
+      requireWindowed()
+      FreqSketch.hdrQuantiles(grid(uptoBatch, fromBatch, None), qs,
+        subBits)
+    }
+
+    /** Per-group sliding-window quantile picks. */
+    def quantilesWindowBy(qs: Seq[Double], uptoBatch: Long,
+                          fromBatch: Long): DataFrame = {
+      require(groupCol.isDefined,
+        "ungrouped accumulator: use quantilesWindow")
+      requireWindowed()
+      FreqSketch.hdrQuantilesBy(grid(uptoBatch, fromBatch, None), qs,
+        subBits)
+    }
+
+    /** DECAYED quantiles — recent batches count more: bucket counts
+      * scale by the exact integer `2^(freshness / halfLifeBatches)`
+      * ([[BatchDecay]]) before the rank pick, so quantiles answer over
+      * the decay-weighted multiset (the generation-weighted read, the
+      * [[StreamingTDigest]] decay twin for the integer domain).
+      */
+    def quantilesDecayed(qs: Seq[Double], uptoBatch: Long,
+                         halfLifeBatches: Int,
+                         fromBatch: Long = 0L): DataFrame = {
+      require(groupCol.isEmpty,
+        "grouped accumulator: use quantilesDecayedBy")
+      requireWindowed()
+      FreqSketch.hdrQuantiles(grid(uptoBatch, fromBatch,
+        Some(BatchDecay.factor(uptoBatch, fromBatch, halfLifeBatches))),
+        qs, subBits)
+    }
+
+    /** Per-group decayed quantile picks. */
+    def quantilesDecayedBy(qs: Seq[Double], uptoBatch: Long,
+                           halfLifeBatches: Int,
+                           fromBatch: Long = 0L): DataFrame = {
+      require(groupCol.isDefined,
+        "ungrouped accumulator: use quantilesDecayed")
+      requireWindowed()
+      FreqSketch.hdrQuantilesBy(grid(uptoBatch, fromBatch,
+        Some(BatchDecay.factor(uptoBatch, fromBatch, halfLifeBatches))),
+        qs, subBits)
+    }
 
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
@@ -152,6 +258,39 @@ object StreamingHdr {
         .withColumn("batch_id", lit(i.toLong))
         .select("batch_id", "q", "rank", "bucket", "lo", "hi")
     }.reduce(_ unionByName _)
+  }
+
+  /** Windowed/decayed batch replay — the oracle-gateable twin of
+    * [[HdrAccumulator.quantilesWindow]] / `quantilesDecayed`: fold
+    * `batches` into a windowed store, report the last-`window`-batches
+    * quantiles after each batch, and (when `decayHalfLife` is set) one
+    * final decayed read over the whole run.
+    */
+  def byBatchWindow(spark: SparkSession, batches: Seq[DataFrame],
+                    storePath: String, valueCol: String, qs: Seq[Double],
+                    window: Int, subBits: Int = 5,
+                    decayHalfLife: Option[Int] = None): DataFrame = {
+    require(batches.nonEmpty, "byBatchWindow needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val acc = new HdrAccumulator(spark, storePath, valueCol, subBits,
+      windowed = true)
+    val outCols = Seq("batch_id", "kind", "q", "rank", "bucket",
+      "lo", "hi")
+    val states = batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      acc.quantilesWindow(qs, i.toLong + 1,
+          fromBatch = math.max(0L, i.toLong + 1 - window))
+        .withColumn("batch_id", lit(i.toLong))
+        .withColumn("kind", lit("window"))
+        .select(outCols.head, outCols.tail: _*)
+    }
+    val decayed = decayHalfLife.toSeq.map { h =>
+      acc.quantilesDecayed(qs, batches.size.toLong, h)
+        .withColumn("batch_id", lit(batches.size.toLong - 1))
+        .withColumn("kind", lit("decay"))
+        .select(outCols.head, outCols.tail: _*)
+    }
+    (states ++ decayed).reduce(_ unionByName _)
   }
 
   /** Grouped batch replay — the oracle-gateable twin of [[byBatch]]:

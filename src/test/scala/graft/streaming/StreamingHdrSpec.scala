@@ -84,6 +84,64 @@ class StreamingHdrSpec extends SparkTestBase {
     plain.update(b0.toDF("v"), 0L)
     intercept[IllegalArgumentException] { plain.histogramBy(1L) }
   }
+  test("windowed reads expire old batches; decay weights the multiset; " +
+      "guards hold") {
+    val rows = StreamingHdr.byBatchWindow(spark,
+        Seq(b0.toDF("v"), b1.toDF("v"), b2.toDF("v")),
+        tmp("win"), "v", Seq(0.5, 0.99), window = 2, subBits = 5,
+        decayHalfLife = Some(1))
+      .orderBy("batch_id", "kind", "q")
+      .as[(Long, String, Double, Long, Long, Long, Long)].collect()
+    // window states: [b0], [b0,b1], [b1,b2] — rank/bounds answer the
+    // WINDOW's own multiset
+    val windows = Seq(b0, b0 ++ b1, b1 ++ b2)
+    rows.filter(_._2 == "window").foreach {
+      case (bid, _, q, rank, _, lo, hi) =>
+        val sorted = windows(bid.toInt).sorted
+        assert(rank == math.max(1L, math.ceil(q * sorted.size).toLong))
+        val truth = sorted((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"window $bid q$q: true $truth outside [$lo, $hi]")
+    }
+    // expiry visible: the [b1, b2] window's p50 sits above everything
+    // in the expired b0
+    val p50lo = rows.filter(r => r._1 == 2 && r._2 == "window" &&
+      r._3 == 0.5).head._6
+    assert(p50lo > b0.max,
+      s"expired batch still visible in the window read: p50 lo $p50lo")
+    // decay halfLife 1 over 3 batches: multiset = b0 + 2·b1 + 4·b2
+    val decayed = (b0 ++ b1.flatMap(v => Seq(v, v)) ++
+      b2.flatMap(v => Seq(v, v, v, v))).sorted
+    rows.filter(_._2 == "decay").foreach {
+      case (_, _, q, rank, _, lo, hi) =>
+        assert(rank == math.max(1L, math.ceil(q * decayed.size).toLong))
+        val truth = decayed((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"decay q$q: true $truth outside [$lo, $hi]")
+    }
+    // decay pulls p50 above the un-decayed stream's p50 (b2 dominates)
+    val full = (b0 ++ b1 ++ b2).sorted
+    val decayP50lo = rows.filter(r => r._2 == "decay" && r._3 == 0.5)
+      .head._6
+    assert(decayP50lo > full(full.size / 2),
+      "decay must shift p50 toward recent batches")
+    // guards: windowed reads on a plain store are refused, decay span
+    // capped
+    val plain = new StreamingHdr.HdrAccumulator(spark, tmp("plain"), "v")
+    plain.update(b0.toDF("v"), 0L)
+    val e = intercept[IllegalArgumentException] {
+      plain.quantilesWindow(Seq(0.5), 1L, 0L)
+    }
+    assert(e.getMessage.contains("windowed store"))
+    val acc = new StreamingHdr.HdrAccumulator(spark, tmp("cap"), "v",
+      windowed = true)
+    acc.update(b0.toDF("v"), 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      acc.quantilesDecayed(Seq(0.5), 100L, 1)
+    }
+    assert(e2.getMessage.contains("decay span"))
+  }
+
   test("batch-id regression fails fast instead of losing a delta") {
     // counts are SUM-merged: a restarted-from-0 stream would OVERWRITE
     // the real batch-0 delta (losing its counts) and double-count later
