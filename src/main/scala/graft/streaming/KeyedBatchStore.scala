@@ -30,7 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class KeyedBatchStore(spark: SparkSession, storePath: String,
                             keyCol: String, keySqlType: String,
                             compactEvery: Int, numBuckets: Int,
-                            countCol: Option[String] = None) {
+                            countCol: Option[String] = None,
+                            retainAtCompact: Option[
+                              Long => org.apache.spark.sql.Column] = None) {
   require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
   require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
   require(Set("BIGINT", "STRING").contains(keySqlType),
@@ -124,7 +126,15 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col(c)).as(c))
     }
-    folded
+    // retention hook (batch-tagged stores): rows failing the caller's
+    // keep-predicate for this compaction frontier are dropped HERE —
+    // the fold is the only moment the base is rewritten anyway, so
+    // expiry is free, and state stops growing with stream lifetime
+    val retained = retainAtCompact match {
+      case Some(keep) => folded.filter(keep(batchId))
+      case None => folded
+    }
+    retained
       .write.mode("overwrite")
       .bucketBy(numBuckets, keyCol).sortBy(keyCol)
       .option("path", compactedDir(batchId))
@@ -157,6 +167,14 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     */
   def append(keys: DataFrame, batchId: Long): Unit =
     keys.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+
+  /** The newest compacted frontier (batches < this id are folded into
+    * the base), or None when nothing has compacted yet. Retention
+    * horizons derive from THIS (not from the append frontier): rows
+    * are only ever evicted at a fold, so everything at or above
+    * `latestCompactedUpTo - retention` is still fully readable.
+    */
+  def latestCompactedUpTo(): Option[Long] = compactedVersions().headOption
 
   /** Highest batch id with state on disk (delta dirs, plus
     * `compacted_upto_U` covering batches up to U−1), or None for a

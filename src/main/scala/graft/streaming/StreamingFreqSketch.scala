@@ -45,13 +45,40 @@ object StreamingFreqSketch {
                                 itemCol: String, width: Int,
                                 compactEvery: Int = 8,
                                 groupCol: Option[String] = None,
-                                windowed: Boolean = false) {
+                                windowed: Boolean = false,
+                                keepBatches: Int = 0) {
     require(width >= 16, s"width must be >= 16, got $width")
+    require(keepBatches >= 0, s"keepBatches must be >= 0, got $keepBatches")
+    require(keepBatches == 0 || windowed,
+      "keepBatches retention only applies to a windowed store (a " +
+        "cumulative store folds every batch into one grid — there is " +
+        "nothing batch-tagged to expire)")
     // numBuckets=1: the whole sketch is at most Depth*width rows per
     // group domain — one bucket keeps the store a single small file per
-    // version
+    // version. keepBatches > 0 (windowed stores): cells whose batch tag
+    // is older than the retention horizon are dropped at each fold, so
+    // state is ≤ (keepBatches + compactEvery) × grid instead of growing
+    // with stream lifetime — set it to the widest window/decay span any
+    // reader will ever ask for.
     private val store = new KeyedBatchStore(spark, storePath, "cell",
-      "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"))
+      "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"),
+      retainAtCompact =
+        if (keepBatches == 0) None
+        else Some(upTo => substring_index(col("cell"), ":", 1) >=
+          lpad(lit(math.max(0L, upTo - keepBatches)).cast("string"),
+            9, "0")))
+
+    /** Batches strictly below this id may have been evicted by
+      * retention: everything at or above `latestCompactedUpTo −
+      * keepBatches` is guaranteed still stored (eviction only happens
+      * at a fold), so windowed reads must start at or after this.
+      * Derived purely from the on-disk compaction frontier — correct
+      * across restarts with no extra marker.
+      */
+    def evictedBefore(): Long =
+      if (keepBatches == 0) 0L
+      else store.latestCompactedUpTo()
+        .map(u => math.max(0L, u - keepBatches)).getOrElse(0L)
 
     /** Append one batch's sketch (cell-wise counts of the batch only).
       * `windowed` stores tag cells with the batch id (zero-padded so
@@ -66,7 +93,12 @@ object StreamingFreqSketch {
       * appends fail fast on a renumbered stream.
       */
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (windowed) store.requireNoRegression(batchId)
+      // fail fast on a renumbered stream UNCONDITIONALLY: counts are
+      // SUM-merged, so a stream restarted without its checkpoint would
+      // overwrite (and lose) the real batch-0 delta and double-count
+      // every later batch even in the cumulative store — the windowed
+      // store additionally corrupts [fromBatch, uptoBatch) reads
+      store.requireNoRegression(batchId)
       store.maybeCompact(batchId)
       val grid = groupCol match {
         case Some(g) =>
@@ -95,6 +127,20 @@ object StreamingFreqSketch {
       require(windowed || (fromBatch == 0L && factor.isEmpty),
         "windowed/decayed reads need a windowed store " +
           "(SketchAccumulator(windowed = true))")
+      // full-coverage-or-fail (the StreamingTDigest windowMembers
+      // discipline): a read that silently lost its oldest batches to
+      // retention would answer a different question than asked — this
+      // guards EVERY read on a retention store, including cumulative
+      // `sketch`/`estimate` (fromBatch = 0) and decayed reads
+      // defaulting fromBatch = 0, which must pass an explicit
+      // fromBatch ≥ evictedBefore() once eviction starts.
+      if (keepBatches > 0) {
+        val horizon = evictedBefore()
+        require(fromBatch >= horizon,
+          s"read [$fromBatch, $uptoBatch) reaches batches evicted by " +
+            s"retention (< $horizon) — raise keepBatches or start the " +
+            "read at fromBatch >= " + horizon)
+      }
       val parts = store.parts(uptoBatch).reduceOption(_ unionByName _)
       val jIdx = if (windowed) 1 else 0
       val limit = (if (windowed) 1 else 0) + 2 +
@@ -280,8 +326,15 @@ object StreamingFreqSketch {
                     decayHalfLife: Option[Int] = None): DataFrame = {
     require(batches.nonEmpty, "byBatchWindow needs at least one batch")
     require(window >= 1, s"window must be >= 1, got $window")
+    // compactEvery = batches.size + 1: every per-state window read below
+    // is a LAZY plan over the delta files existing when it was built —
+    // a fold during a later update would delete those files and the
+    // final union would fail at execution (the StreamingTDigest
+    // keepVersions discipline). State is ≤ batches × grid rows, so an
+    // unfolded replay is cheap; production streams fold via the
+    // accumulator's own default.
     val acc = new SketchAccumulator(spark, storePath, itemCol, width,
-      windowed = true)
+      compactEvery = batches.size + 1, windowed = true)
     val states = batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       acc.estimateWindow(probes, probeCol, i.toLong + 1,

@@ -40,16 +40,39 @@ object StreamingHdr {
                              valueCol: String, subBits: Int = 5,
                              compactEvery: Int = 8,
                              groupCol: Option[String] = None,
-                             windowed: Boolean = false) {
+                             windowed: Boolean = false,
+                             keepBatches: Int = 0) {
+    require(keepBatches >= 0, s"keepBatches must be >= 0, got $keepBatches")
+    require(keepBatches == 0 || windowed,
+      "keepBatches retention only applies to a windowed store (a " +
+        "cumulative store folds every batch into one histogram — " +
+        "there is nothing batch-tagged to expire)")
     // numBuckets=1: the whole histogram is ~1.9k rows (× groups when
     // grouped, × batches when windowed) — one store bucket keeps it a
-    // single small file per version
+    // single small file per version. keepBatches > 0 (windowed stores):
+    // cells with a batch tag older than the retention horizon drop at
+    // each fold, so state is ≤ (keepBatches + compactEvery) × histogram
+    // instead of growing with stream lifetime — set it to the widest
+    // window/decay span any reader will ever ask for.
     private val store =
       if (groupCol.isDefined || windowed)
         new KeyedBatchStore(spark, storePath, "cell",
-          "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"))
+          "STRING", compactEvery, numBuckets = 1, countCol = Some("cnt"),
+          retainAtCompact =
+            if (keepBatches == 0) None
+            else Some(upTo => substring_index(col("cell"), ":", 1) >=
+              lpad(lit(math.max(0L, upTo - keepBatches)).cast("string"),
+                9, "0")))
       else new KeyedBatchStore(spark, storePath, "bucket",
         "BIGINT", compactEvery, numBuckets = 1, countCol = Some("cnt"))
+
+    /** Batches strictly below this id may have been evicted by
+      * retention; see [[StreamingFreqSketch.SketchAccumulator.evictedBefore]].
+      */
+    def evictedBefore(): Long =
+      if (keepBatches == 0) 0L
+      else store.latestCompactedUpTo()
+        .map(u => math.max(0L, u - keepBatches)).getOrElse(0L)
 
     /** Append one batch's histogram (bucket counts of the batch only).
       * `windowed` stores tag cells with the batch id (zero-padded, the
@@ -92,6 +115,16 @@ object StreamingHdr {
       require(windowed || (fromBatch == 0L && factor.isEmpty),
         "windowed/decayed reads need a windowed store " +
           "(HdrAccumulator(windowed = true))")
+      // full-coverage-or-fail (the StreamingTDigest windowMembers
+      // discipline) on a retention store — guards every read,
+      // including cumulative and default-fromBatch decayed ones
+      if (keepBatches > 0) {
+        val horizon = evictedBefore()
+        require(fromBatch >= horizon,
+          s"read [$fromBatch, $uptoBatch) reaches batches evicted by " +
+            s"retention (< $horizon) — raise keepBatches or start the " +
+            "read at fromBatch >= " + horizon)
+      }
       val parts = store.parts(uptoBatch).reduceOption(_ unionByName _)
       val bIdx = if (windowed) 1 else 0
       val limit = (if (windowed) 1 else 0) + 1 +
@@ -251,7 +284,11 @@ object StreamingHdr {
               storePath: String, valueCol: String, qs: Seq[Double],
               subBits: Int = 5): DataFrame = {
     require(batches.nonEmpty, "byBatch needs at least one batch")
-    val acc = new HdrAccumulator(spark, storePath, valueCol, subBits)
+    // compactEvery = batches.size + 1: the per-step quantile reads are
+    // lazy plans over the delta files alive at build time — see
+    // byBatchWindow
+    val acc = new HdrAccumulator(spark, storePath, valueCol, subBits,
+      compactEvery = batches.size + 1)
     batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       acc.quantiles(qs, i.toLong + 1)
@@ -272,8 +309,15 @@ object StreamingHdr {
                     decayHalfLife: Option[Int] = None): DataFrame = {
     require(batches.nonEmpty, "byBatchWindow needs at least one batch")
     require(window >= 1, s"window must be >= 1, got $window")
+    // compactEvery = batches.size + 1: the per-state window reads below
+    // are LAZY plans over the delta files existing when each was built;
+    // a fold during a later update would delete those files and the
+    // final union would fail at execution (the StreamingTDigest
+    // keepVersions discipline — StreamingIvf.byBatch hit the same
+    // hazard and solved it by eager materialization; here the unfolded
+    // replay is ≤ batches × ~1.9k rows, so skipping the fold is free).
     val acc = new HdrAccumulator(spark, storePath, valueCol, subBits,
-      windowed = true)
+      compactEvery = batches.size + 1, windowed = true)
     val outCols = Seq("batch_id", "kind", "q", "rank", "bucket",
       "lo", "hi")
     val states = batches.zipWithIndex.map { case (b, i) =>
@@ -300,8 +344,9 @@ object StreamingHdr {
                 storePath: String, groupCol: String, valueCol: String,
                 qs: Seq[Double], subBits: Int = 5): DataFrame = {
     require(batches.nonEmpty, "byBatchBy needs at least one batch")
+    // compactEvery = batches.size + 1: per-step lazy reads, see byBatch
     val acc = new HdrAccumulator(spark, storePath, valueCol, subBits,
-      groupCol = Some(groupCol))
+      compactEvery = batches.size + 1, groupCol = Some(groupCol))
     batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       acc.quantilesBy(qs, i.toLong + 1)

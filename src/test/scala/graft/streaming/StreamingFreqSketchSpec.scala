@@ -159,6 +159,94 @@ class StreamingFreqSketchSpec extends SparkTestBase {
     assert(e3.getMessage.contains("decay span"))
   }
 
+  test("byBatchWindow replay survives more batches than the default " +
+      "compactEvery (lazy per-state reads must outlive later folds)") {
+    // 10 batches > the accumulator's default compactEvery of 8: before
+    // the replay pinned compactEvery = batches.size + 1, the fold fired
+    // mid-replay and deleted the delta files the earlier (lazy) window
+    // states still referenced — the final union then failed at
+    // execution with FileNotFoundException
+    val batches = (0 until 10).map(i => Seq.fill(i + 1)(s"w$i").toDF("word"))
+    val probes = (0 until 10).map(i => s"w$i").toDF("word")
+    val rows = StreamingFreqSketch.byBatchWindow(spark, batches,
+        tmpStore(), "word", probes, "word", width = 128, window = 2,
+        minCount = 1L)
+      .as[(Long, String, String, Long)].collect()
+    // every batch state reports exactly its 2-batch window: at batch i,
+    // w_i (i+1 copies) and w_{i-1} (i copies) are the only survivors
+    val byState = rows.filter(_._2 == "window")
+      .groupBy(_._1).view.mapValues(_.map(r => r._3 -> r._4).toMap).toMap
+    (0 until 10).foreach { i =>
+      val expect = Map(s"w$i" -> (i + 1).toLong) ++
+        (if (i > 0) Map(s"w${i - 1}" -> i.toLong) else Map.empty)
+      assert(byState(i.toLong) == expect, s"state $i: ${byState(i.toLong)}")
+    }
+  }
+
+  test("cumulative store also rejects batch-id regression: counts are " +
+      "sum-merged, a renumbered stream would lose batch 0 and " +
+      "double-count the rest") {
+    val acc = new StreamingFreqSketch.SketchAccumulator(spark, tmpStore(),
+      "word", width = 128)
+    acc.update(Seq("a").toDF("word"), 0L)
+    acc.update(Seq("b").toDF("word"), 1L)
+    val e = intercept[IllegalArgumentException] {
+      acc.update(Seq("c").toDF("word"), 0L) // restart without checkpoint
+    }
+    assert(e.getMessage.contains("checkpointLocation"))
+    // a RETRY of the latest id stays allowed (idempotent overwrite)
+    acc.update(Seq("b").toDF("word"), 1L)
+    assert(acc.estimate(Seq("a", "b").toDF("word"), "word", 2L)
+      .as[(String, Long)].collect().toMap == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("keepBatches retention: folds evict expired cells, state stays " +
+      "bounded, reads into the evicted range fail loud") {
+    val store = tmpStore()
+    val acc = new StreamingFreqSketch.SketchAccumulator(spark, store,
+      "word", width = 128, compactEvery = 2, windowed = true,
+      keepBatches = 2)
+    // 8 batches, each with a distinct word repeated (i+1) times
+    (0 until 8).foreach { i =>
+      acc.update(Seq.fill(i + 1)(s"w$i").toDF("word"), i.toLong)
+    }
+    // folds ran at updates 2/4/6 → frontier 6, horizon = 6 - 2 = 4
+    assert(acc.evictedBefore() == 4L)
+    // state is bounded: every surviving cell's batch tag >= horizon
+    // (expired cells left the store at the fold, they aren't just
+    // filtered at read time)
+    val tags = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store)
+      .select(substring_index(col("cell"), ":", 1).cast("long"))
+      .as[Long].distinct().collect().sorted
+    assert(tags.toSeq == Seq(4L, 5L, 6L, 7L), s"stored tags: ${tags.toSeq}")
+    // in-retention window reads stay EXACT vs the one-shot sketch
+    val probes = (0 until 8).map(i => s"w$i").toDF("word")
+    val got = acc.estimateWindow(probes, "word", 8L, 6L)
+      .as[(String, Long)].collect().toMap
+    assert(got("w6") == 7L && got("w7") == 8L && got("w3") == 0L)
+    // reads reaching evicted batches fail loud: windowed below the
+    // horizon, cumulative (fromBatch 0), and default-fromBatch decayed
+    Seq(
+      () => acc.estimateWindow(probes, "word", 8L, 3L),
+      () => acc.estimate(probes, "word", 8L),
+      () => acc.estimateDecayed(probes, "word", 8L, 1)
+    ).foreach { read =>
+      val e = intercept[IllegalArgumentException](read())
+      assert(e.getMessage.contains("evicted by retention"),
+        e.getMessage)
+    }
+    // decayed read WITH an explicit in-retention fromBatch works
+    val d = acc.estimateDecayed(probes, "word", 8L, 1, fromBatch = 6L)
+      .as[(String, Long)].collect().toMap
+    assert(d("w6") == 7L && d("w7") == 16L, s"decayed: $d") // 7·1, 8·2
+    // a retention store must be windowed; keepBatches >= 0
+    intercept[IllegalArgumentException] {
+      new StreamingFreqSketch.SketchAccumulator(spark, tmpStore(),
+        "word", width = 128, keepBatches = 2)
+    }
+  }
+
   test("live stream: estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -142,6 +142,97 @@ class StreamingHdrSpec extends SparkTestBase {
     assert(e2.getMessage.contains("decay span"))
   }
 
+  test("byBatch/byBatchWindow replays survive more batches than the " +
+      "default compactEvery (lazy per-state reads outlive later folds)") {
+    // 10 batches > the accumulator's default compactEvery of 8: before
+    // the replays pinned compactEvery = batches.size + 1, a mid-replay
+    // fold deleted the delta files earlier lazy per-state quantile
+    // plans still referenced and the final union failed at execution
+    val batches = (0 until 10)
+      .map(i => (0 until 100).map(j => i * 100L + j).toDF("v"))
+    val running = StreamingHdr.byBatch(spark, batches, tmp("long"), "v",
+        Seq(0.5), subBits = 5)
+      .as[(Long, Double, Long, Long, Long, Long)].collect()
+    assert(running.length == 10)
+    running.foreach { case (bid, q, rank, _, lo, hi) =>
+      val sorted = (0 until (bid.toInt + 1) * 100)
+        .map(_.toLong).sorted // prefix multiset is just 0..(n·100-1)
+      assert(rank == math.max(1L, math.ceil(q * sorted.size).toLong))
+      val truth = sorted((rank - 1).toInt)
+      assert(truth >= lo && truth <= hi,
+        s"batch $bid: true $truth outside [$lo, $hi]")
+    }
+    val windowed = StreamingHdr.byBatchWindow(spark, batches,
+        tmp("longwin"), "v", Seq(0.5), window = 2, subBits = 5)
+      .as[(Long, String, Double, Long, Long, Long, Long)].collect()
+    assert(windowed.length == 10)
+    windowed.foreach { case (bid, _, q, rank, _, lo, hi) =>
+      val w = (math.max(0, bid.toInt - 1) * 100 until
+        (bid.toInt + 1) * 100).map(_.toLong)
+      assert(rank == math.max(1L, math.ceil(q * w.size).toLong))
+      val truth = w.sorted.apply((rank - 1).toInt)
+      assert(truth >= lo && truth <= hi,
+        s"window $bid: true $truth outside [$lo, $hi]")
+    }
+  }
+
+  test("keepBatches retention: folds evict expired cells, state stays " +
+      "bounded, reads into the evicted range fail loud") {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val store = tmp("retain")
+    val acc = new StreamingHdr.HdrAccumulator(spark, store, "v",
+      subBits = 5, compactEvery = 2, windowed = true, keepBatches = 2)
+    // 8 batches, batch i holding 100 values around i·1000
+    (0 until 8).foreach { i =>
+      acc.update((0 until 100).map(j => i * 1000L + j).toDF("v"), i.toLong)
+    }
+    // folds ran at updates 2/4/6 → frontier 6, horizon = 6 - 2 = 4
+    assert(acc.evictedBefore() == 4L)
+    val tags = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store)
+      .select(substring_index(col("cell"), ":", 1).cast("long"))
+      .as[Long].distinct().collect().sorted
+    assert(tags.toSeq == Seq(4L, 5L, 6L, 7L), s"stored tags: ${tags.toSeq}")
+    // the in-retention window read answers exactly its own multiset
+    val w = (6 * 1000 until 6 * 1000 + 100).map(_.toLong) ++
+      (7 * 1000 until 7 * 1000 + 100).map(_.toLong)
+    acc.quantilesWindow(Seq(0.5, 0.99), 8L, 6L)
+      .select("q", "rank", "lo", "hi")
+      .as[(Double, Long, Long, Long)].collect()
+      .foreach { case (q, rank, lo, hi) =>
+        val sorted = w.sorted
+        assert(rank == math.max(1L, math.ceil(q * sorted.size).toLong))
+        val truth = sorted((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"q$q: true $truth outside [$lo, $hi]")
+      }
+    // evicted-range reads fail loud: windowed, cumulative, decayed
+    Seq(
+      () => acc.quantilesWindow(Seq(0.5), 8L, 3L),
+      () => acc.quantiles(Seq(0.5), 8L),
+      () => acc.quantilesDecayed(Seq(0.5), 8L, 1)
+    ).foreach { read =>
+      val e = intercept[IllegalArgumentException](read())
+      assert(e.getMessage.contains("evicted by retention"), e.getMessage)
+    }
+    // explicit in-retention decayed read works: multiset 2·b7 + 1·b6
+    val decayed = (w.take(100) ++ w.drop(100) ++ w.drop(100)).sorted
+    acc.quantilesDecayed(Seq(0.5), 8L, 1, fromBatch = 6L)
+      .select("q", "rank", "lo", "hi")
+      .as[(Double, Long, Long, Long)].collect()
+      .foreach { case (q, rank, lo, hi) =>
+        assert(rank == math.max(1L, math.ceil(q * decayed.size).toLong))
+        val truth = decayed((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"decayed q$q: true $truth outside [$lo, $hi]")
+      }
+    // retention requires a windowed store
+    intercept[IllegalArgumentException] {
+      new StreamingHdr.HdrAccumulator(spark, tmp("bad"), "v",
+        keepBatches = 2)
+    }
+  }
+
   test("batch-id regression fails fast instead of losing a delta") {
     // counts are SUM-merged: a restarted-from-0 stream would OVERWRITE
     // the real batch-0 delta (losing its counts) and double-count later
