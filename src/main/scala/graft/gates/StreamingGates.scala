@@ -487,6 +487,40 @@ private[graft] object StreamingGates extends GateFamily {
         .orderBy("batch_id", "kind", "qi")
     }),
 
+    // streaming ext — PER-GROUP windowed/decayed t-digest: the last
+    // untested grouped × windowed combination (grouped CMS/HDR/HLL
+    // window since r13; q274 windows the GLOBAL digest, q267 groups
+    // the CUMULATIVE one). Per-batch digests retain the group key;
+    // each window state is one group-partitioned widened re-cluster
+    // over the in-range digests, the decayed read scales each batch's
+    // weight/sumv by the integer 2^(freshness/halfLife) first. The
+    // oracle replays every (state, group) re-cluster + rank pick.
+    "q277_stream_tdigest_group_window" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull
+          && col("o_orderpriority").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          col("o_orderpriority").as("grp"),
+          col("o_totalprice").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("grp", "v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q277").toString + "/tdigest"
+      graft.streaming.StreamingTDigest.byBatchWindow(s, batches, store,
+          "v", Seq(0.5, 0.9), window = 2, delta = 16,
+          decayHalfLife = Some(1), groupCol = Some("grp"))
+        .select(col("batch_id"), col("kind"), col("shard").as("grp"),
+          col("qi"), col("q"), col("n"), col("target_rank"),
+          col("weight"),
+          col("vmin").cast("double").as("vmin_d"),
+          col("vmax").cast("double").as("vmax_d"),
+          col("estimate"),
+          (col("vmin").cast("double") <= col("estimate") &&
+            col("estimate") <= col("vmax").cast("double"))
+            .as("est_in_bracket"))
+        .orderBy("batch_id", "kind", "grp", "qi")
+    }),
+
     // streaming ext — PER-GROUP cross-batch t-digest: the q264/q266
     // batch family's streaming member (and the grouped twin of q260),
     // completing the per-group sketch symmetry. State is ≤ δ+1 rows
@@ -935,6 +969,8 @@ private[graft] object StreamingGates extends GateFamily {
     "q274_stream_tdigest_window" -> StreamTDigestWindowOracle,
 
     "q267_stream_tdigest_group" -> StreamGroupTDigestOracle,
+
+    "q277_stream_tdigest_group_window" -> StreamGroupTDigestWindowOracle,
 
     "q269_stream_ivf" -> StreamIvfOracle,
 

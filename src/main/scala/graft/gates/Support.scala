@@ -2150,6 +2150,91 @@ private[graft] object Support {
        |FROM allp ORDER BY 1, 2""".stripMargin
   }
 
+  /** Per-group windowed/decayed streaming-t-digest replay (q277):
+    * [[StreamTDigestWindowOracle]]'s window machinery with the group
+    * key carried through every stage — per-(batch, group) summarize,
+    * group-partitioned widened re-clusters over the window members
+    * (and over the decay-scaled union), per-group rank picks from
+    * every state. All arithmetic up to the final interpolation double
+    * is integer/decimal exact.
+    */
+  val StreamGroupTDigestWindowOracle: String = {
+    val delta = 16
+    def summarize(b: Int): String =
+      s"""w$b AS (
+         |  SELECT shard, v, CAST(count(*) AS BIGINT) AS w
+         |  FROM vals WHERE b = $b GROUP BY 1, 2),
+         |rk$b AS (
+         |  SELECT shard, v, w,
+         |    sum(w) OVER (PARTITION BY shard ORDER BY v) AS cum,
+         |    sum(w) OVER (PARTITION BY shard) AS n
+         |  FROM w$b),
+         |dig$b AS (
+         |  SELECT shard, CAST(sum(w) AS BIGINT) AS weight,
+         |    CAST(sum(v * w) AS DECIMAL(28,8)) AS sumv,
+         |    min(v) AS vmin, max(v) AS vmax
+         |  FROM (SELECT shard, v, w, ((cum - w) * $delta) // n AS cluster
+         |        FROM rk$b) t
+         |  GROUP BY shard, cluster)""".stripMargin
+    def scaledUnion(parts: Seq[(String, Long)], out: String): String =
+      s"""$out AS (
+         |  ${parts.map { case (d, f) =>
+              s"SELECT shard, CAST(weight * $f AS BIGINT) AS weight, " +
+                s"CAST(sumv * $f AS DECIMAL(28,8)) AS sumv, vmin, vmax " +
+                s"FROM $d" }.mkString("\n  UNION ALL ")})""".stripMargin
+    def pick(tag: String, b: Int, kind: String, dig: String): String =
+      s"""k$tag AS (
+         |  SELECT shard, weight, sumv, vmin, vmax,
+         |    sum(weight) OVER (PARTITION BY shard
+         |      ORDER BY vmin, vmax, weight, sumv
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(weight) OVER (PARTITION BY shard) AS n
+         |  FROM $dig),
+         |p$tag AS (
+         |  SELECT CAST($b AS BIGINT) AS batch_id, '$kind' AS kind,
+         |    shard, qi, q, n,
+         |    CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS target_rank,
+         |    weight, vmin, vmax, cum - weight AS bef
+         |  FROM qs JOIN k$tag
+         |    ON CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+         |      BETWEEN cum - weight AND cum - 1)""".stripMargin
+    val est = "CAST(vmin AS DOUBLE) + CAST(vmax - vmin AS DOUBLE) * " +
+      "(CAST(target_rank - bef AS DOUBLE) / " +
+      "CAST(greatest(weight - 1, 1) AS DOUBLE))"
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS b, o_orderpriority AS shard,
+       |    CAST(o_totalprice AS DECIMAL(28,8)) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL),
+       |qs(qi, q) AS (VALUES (0, 0.5), (1, 0.9)),
+       |${summarize(0)},
+       |${summarize(1)},
+       |${summarize(2)},
+       |${tdigestReclusterSql("dig0", "s0", delta, grp = Some("shard"))},
+       |${scaledUnion(Seq("dig0" -> 1L, "dig1" -> 1L), "u01")},
+       |${tdigestReclusterSql("u01", "s1", delta, grp = Some("shard"))},
+       |${scaledUnion(Seq("dig1" -> 1L, "dig2" -> 1L), "u12")},
+       |${tdigestReclusterSql("u12", "s2", delta, grp = Some("shard"))},
+       |${scaledUnion(Seq("dig0" -> 1L, "dig1" -> 2L, "dig2" -> 4L), "ud")},
+       |${tdigestReclusterSql("ud", "sd", delta, grp = Some("shard"))},
+       |${pick("w0", 0, "window", "s0")},
+       |${pick("w1", 1, "window", "s1")},
+       |${pick("w2", 2, "window", "s2")},
+       |${pick("dd", 2, "decay", "sd")},
+       |allp AS (
+       |  SELECT * FROM pw0 UNION ALL SELECT * FROM pw1
+       |  UNION ALL SELECT * FROM pw2 UNION ALL SELECT * FROM pdd)
+       |SELECT batch_id, kind, shard AS grp, CAST(qi AS BIGINT) AS qi,
+       |  CAST(q AS DOUBLE) AS q,
+       |  CAST(n AS BIGINT) AS n, target_rank, weight,
+       |  CAST(vmin AS DOUBLE) AS vmin_d, CAST(vmax AS DOUBLE) AS vmax_d,
+       |  $est AS estimate,
+       |  (CAST(vmin AS DOUBLE) <= $est AND $est <= CAST(vmax AS DOUBLE))
+       |    AS est_in_bracket
+       |FROM allp ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** Windowed/decayed streaming-t-digest replay (q274): per-shard
     * summarize of each batch, then each WINDOW state is one widened
     * re-cluster over the raw per-batch digests in range (no fold chain

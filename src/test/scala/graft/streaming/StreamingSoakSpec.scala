@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ext.{FreqSketch, Similarity}
+import graft.logs.LogLineParser
+
+/** The 100 TB stance proven in one long-run test: 50+ micro-batches
+  * through the PARSED log stream feeding the windowed sketch stores,
+  * plus a 50-batch IVF ingest through the same foreachBatch adapter a
+  * live query invokes — asserting what actually breaks long streams:
+  *
+  *  - FILE COUNTS stay bounded by the compaction/retention invariants
+  *    (not by stream length): a store that adds a file per batch scans
+  *    50k files after a year of 10-minute triggers.
+  *  - PLAN SIZES stay bounded: every read's `inputFiles` fan-in is a
+  *    function of compactEvery/keepBatches/maxSegments only.
+  *  - WINDOW READS AT THE HORIZON stay exact: after 50 folds + evictions
+  *    the last-`window` read still equals the one-shot sketch of exactly
+  *    those batches, and a read past the horizon still fails loud.
+  */
+class StreamingSoakSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-soak-$tag")
+      .toString + "/store"
+
+  private def line(day: Int, op: String, key: String, bytes: Long): String =
+    s"own bkt [${f"$day%02d"}/Feb/2019:01:00:00 +0000] 10.0.0.1 " +
+      s"arn:aws:iam::1:user/u R$day$op $op $key " +
+      "\"GET /k HTTP/1.1\" 200 - " + bytes + " - 5 - \"-\" \"ua/1.0\" -"
+
+  private def parquetFiles(store: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(store))
+  }
+
+  test("50 micro-batches of parsed logs through windowed CMS + HDR " +
+      "stores: bounded files, bounded plans, exact horizon reads") {
+    implicit val sqlCtx = spark.sqlContext
+    val nBatches = 50
+    val window = 4
+    val cmsStore = tmp("cms")
+    val hdrStore = tmp("hdr")
+    val cms = new StreamingFreqSketch.SketchAccumulator(spark, cmsStore,
+      "key", width = 64, compactEvery = 4, windowed = true,
+      keepBatches = 6)
+    val hdr = new StreamingHdr.HdrAccumulator(spark, hdrStore,
+      "bytes_sent", subBits = 4, compactEvery = 4, windowed = true,
+      keepBatches = 6)
+    val mem = MemoryStream[String]
+    val parsed = LogLineParser.parse(
+      LogLineParser.dropBlankLines(mem.toDF().toDF("value")))
+    val query = parsed.writeStream
+      .queryName("graft-soak")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        cms.update(batch.select(col("key")), id)
+        hdr.update(batch.select(col("bytes_sent")), id)
+      }
+      .start()
+    val filesAtHalf = try {
+      var half = 0
+      (0 until nBatches).foreach { i =>
+        // batch i: key k<i> accessed (i%5)+1 times, bytes shift with i
+        val lines = (0 to i % 5).map(_ =>
+          line(1 + i % 28, "REST.GET.OBJECT", s"k$i", 100L * (i + 1)))
+        mem.addData(lines: _*)
+        query.processAllAvailable()
+        if (i == nBatches / 2 - 1)
+          half = parquetFiles(cmsStore) + parquetFiles(hdrStore)
+      }
+      half
+    } finally query.stop()
+    // FILES: the second half of the stream must not grow the store —
+    // retention + compaction hold file counts at a constant set by
+    // (compactEvery, keepBatches), not by batch count
+    val filesAtEnd = parquetFiles(cmsStore) + parquetFiles(hdrStore)
+    assert(filesAtEnd <= filesAtHalf + 8,
+      s"store files grew with stream length: $filesAtHalf -> $filesAtEnd")
+    // PLANS: a window read's scan fan-in is bounded the same way
+    val cmsWindow = cms.estimateWindow(
+      (0 until nBatches).map(i => s"k$i").toDF("key"), "key",
+      nBatches.toLong, (nBatches - window).toLong)
+    assert(cmsWindow.inputFiles.length <= 12,
+      s"window-read plan fans into ${cmsWindow.inputFiles.length} files")
+    // HORIZON READS: the last-4-batches window equals the one-shot
+    // sketch of exactly those batches, after 50 folds and evictions
+    val got = cmsWindow.as[(String, Long)].collect().toMap
+    (0 until nBatches).foreach { i =>
+      val expect = if (i >= nBatches - window) (i % 5 + 1).toLong else 0L
+      assert(got(s"k$i") == expect, s"k$i: ${got(s"k$i")} != $expect")
+    }
+    val hdrTruth = (nBatches - window until nBatches)
+      .flatMap(i => Seq.fill(i % 5 + 1)(100L * (i + 1))).sorted
+    hdr.quantilesWindow(Seq(0.5, 0.99), nBatches.toLong,
+        (nBatches - window).toLong)
+      .select("q", "rank", "lo", "hi")
+      .as[(Double, Long, Long, Long)].collect()
+      .foreach { case (q, rank, lo, hi) =>
+        assert(rank == math.max(1L, math.ceil(q * hdrTruth.size).toLong))
+        val truth = hdrTruth((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"q$q: true $truth outside [$lo, $hi]")
+      }
+    // reads past the horizon STILL fail loud at batch 50
+    Seq(
+      () => cms.estimateWindow(Seq("k0").toDF("key"), "key",
+        nBatches.toLong, 0L),
+      () => hdr.quantilesWindow(Seq(0.5), nBatches.toLong, 0L)
+    ).foreach { read =>
+      val e = intercept[IllegalArgumentException](read())
+      assert(e.getMessage.contains("evicted by retention"), e.getMessage)
+    }
+  }
+
+  test("50-batch IVF ingest through the foreachBatch adapter: segments " +
+      "and plan fan-in bounded, postings exact, search serves") {
+    val store = tmp("ivf")
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(8)(d => math.sin((i * 17 + d * 3).toDouble).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(vecs(0L until 40L), "vec_id",
+      "embedding", numCells = 4)
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents, compactEvery = 2, maxSegments = 3)
+    val ingest = acc.asForeachBatch // exactly what a live query invokes
+    (0 until 50).foreach(i => ingest(vecs(Seq(i * 2L, i * 2L + 1)), i.toLong))
+    val dirs = new java.io.File(store).list().toSeq
+    assert(dirs.count(_.startsWith("gen=")) <= 3,
+      s"segments grew past maxSegments: $dirs")
+    assert(dirs.count(_.startsWith("batch=")) < 2,
+      s"pending deltas grew past compactEvery: $dirs")
+    val posts = acc.postings()
+    assert(posts.inputFiles.length <= 4 * 8,
+      s"postings plan fans into ${posts.inputFiles.length} files")
+    assert(posts.count() == 100L)
+    assert(posts.select("neighbor_id").distinct().count() == 100L)
+    // a historical prefix read is still exact through merged segments
+    assert(acc.postings(uptoBatch = 13L).count() == 26L)
+    val hits = acc.search(vecs(Seq(42L)).select($"vec_id".as("query_id"),
+      $"embedding"), "query_id", k = 3).collect()
+    assert(hits.length == 3 && hits.exists(_.getAs[Long]("neighbor_id") == 42L))
+  }
+
+  /** Cited behavior contracts: the reference's production stance is
+    * per-day batch jobs over S3 logs
+    * (`/root/reference/scripts/oss_s3_server_side_logging_compacter.py:200-214`
+    * loops days in one session); this soak pins the equivalent
+    * long-run discipline for the streaming extension's stores.
+    */
+}

@@ -217,6 +217,53 @@ class StreamingTDigestSpec extends SparkTestBase {
       "decay must shift p50 toward recent batches")
   }
 
+  test("grouped windowed reads: each group's window answers its own " +
+      "multiset; grouped decay weights within the group") {
+    // two groups with disjoint value ranges so a cross-group leak is
+    // immediately visible in the brackets
+    def gb(b: Seq[Double]) = b.zipWithIndex.map { case (v, i) =>
+      if (i % 2 == 0) ("lo", v) else ("hi", v + 100000.0)
+    }
+    val batches = Seq(gb(b0), gb(b1), gb(b2))
+    val rows = StreamingTDigest.byBatchWindow(spark,
+        batches.map(_.toDF("grp", "v")),
+        tmp("gwin"), "v", Seq(0.5), window = 2, delta = 32,
+        decayHalfLife = Some(1), groupCol = Some("grp"))
+      .select(col("batch_id"), col("kind"), col("shard"), col("q"),
+        col("target_rank"), col("vmin").cast("double"),
+        col("vmax").cast("double"), col("estimate"))
+      .as[(Long, String, String, Double, Long, Double, Double, Double)]
+      .collect()
+    // per (state, group): rank + bracket answer the GROUP's own window
+    val windows = Seq(batches(0), batches(0) ++ batches(1),
+      batches(1) ++ batches(2))
+    rows.filter(_._2 == "window").foreach {
+      case (bid, _, g, q, r, lo, hi, est) =>
+        val vs = windows(bid.toInt).filter(_._1 == g).map(_._2).sorted
+        assert(r == math.floor(q * (vs.size - 1)).toLong,
+          s"group $g state $bid rank")
+        val truth = vs(r.toInt)
+        assert(lo <= truth && truth <= hi,
+          s"group $g state $bid q$q: true $truth outside [$lo, $hi]")
+        assert(lo <= est && est <= hi)
+    }
+    // group isolation: the hi group's brackets never dip into the lo
+    // group's value range
+    assert(rows.filter(_._3 == "hi").forall(_._6 >= 100000.0 - 2000.0))
+    // grouped decay: per group, multiset = b0 + 2·b1 + 4·b2 of that
+    // group's own values
+    rows.filter(_._2 == "decay").foreach {
+      case (_, _, g, q, r, lo, hi, _) =>
+        val all = batches(0) ++ batches(1).flatMap(x => Seq(x, x)) ++
+          batches(2).flatMap(x => Seq(x, x, x, x))
+        val vs = all.filter(_._1 == g).map(_._2).sorted
+        assert(r == math.floor(q * (vs.size - 1)).toLong)
+        val truth = vs(r.toInt)
+        assert(lo <= truth && truth <= hi,
+          s"group $g decay q$q: true $truth outside [$lo, $hi]")
+    }
+  }
+
   test("windowed reads refuse silent under-coverage") {
     val store = tmp("guard")
     // keepBatches = 2: after 3 updates batch 0's digest is gone
