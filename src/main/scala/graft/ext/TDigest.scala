@@ -382,8 +382,11 @@ object TDigest {
     val r = floor(col("q") * (col("__n") - 1L).cast("double")).cast("long")
     // band-containment theta join of two bounded frames (|qs| literal
     // rows × ≤ δ+1 centroids) — plans as a broadcast nested-loop by
-    // design; gate is whitelisted in PlanGuardSpec with this bound
-    qdf.join(cum, r.between(col("__before"), col("__cum") - 1L))
+    // design, with the CONSTANT qs side pinned as the broadcast build
+    // (PlanGuard sanctions BNLJ only over constant/global-aggregate
+    // builds; left to stats, a windowed store's tiny parquet digest
+    // read could win the broadcast instead — the q277 plan-guard trip)
+    cum.join(broadcast(qdf), r.between(col("__before"), col("__cum") - 1L))
       .select(col("qi"), col("q"),
         col("__n").as("n"), r.as("target_rank"),
         col("weight"), col("vmin"), col("vmax"),

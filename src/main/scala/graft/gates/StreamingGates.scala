@@ -331,6 +331,56 @@ private[graft] object StreamingGates extends GateFamily {
         .orderBy("batch_id", "kind", "item")
     }),
 
+    // streaming ext — PER-GROUP sliding-window + decayed CMS: the
+    // grouped twin of q275 (and the windowed twin of q273), closing
+    // the grouped × windowed CMS cell: cells key batch:j:bucket:grp
+    // (group LAST, separator-safe), window reads range-fold only the
+    // group's in-range cells, decay scales counts by the integer
+    // 2^(freshness/halfLife) — per-(group, item) estimates bounded by
+    // the group's own windowed weight. Oracle replays every state via
+    // the md5 hex-slice decode with the group key threaded through.
+    "q278_stream_cms_group_window" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+      val batches = (0 to 2).map(i =>
+        ev.filter(col("event_id") % 3 === i)
+          .select("event_type", "user_id"))
+      val probes = ev.filter(col("user_id") % 97 === 0)
+        .select("event_type", "user_id")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q278").toString + "/cms"
+      streaming.StreamingFreqSketch.byBatchWindowBy(s, batches, store,
+          "event_type", "user_id", probes, "event_type", "user_id",
+          width = 256, window = 2, minCount = 1L,
+          decayHalfLife = Some(1))
+        .orderBy("batch_id", "kind", "grp", "item")
+    }),
+
+    // streaming ext — PER-GROUP sliding-window + decayed HDR
+    // quantiles: the grouped twin of q276 (and the windowed twin of
+    // q271) — "p99 per endpoint NOW". Batch-tagged cells key
+    // batch:bucket:grp; each state is a per-group range fold + rank
+    // pick with exact [lo, hi] bounds; decay scales each batch's
+    // counts by the exact integer factor first. The grouped × windowed
+    // matrix is now gate-complete for every sketch family.
+    "q279_stream_hdr_group_window" -> ((s, dir) => {
+      val vals = tbl(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull
+          && col("o_orderpriority").isNotNull)
+        .select((col("o_orderkey") % 3L).as("b"),
+          col("o_orderpriority").as("g"),
+          floor(col("o_totalprice")).cast("long").as("v"))
+      val batches = (0L to 2L).map(i =>
+        vals.filter(col("b") === i).select("g", "v"))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q279").toString + "/hdr"
+      streaming.StreamingHdr.byBatchWindowBy(s, batches, store, "g",
+          "v", Seq(0.5, 0.99), window = 2, subBits = 5,
+          decayHalfLife = Some(1))
+        .orderBy("batch_id", "kind", "grp", "q")
+    }),
+
     // streaming ext — bottom-k reservoir: a uniform k-sample of an
     // unbounded stream with ≤ k rows of state per batch. Priorities are
     // md5(key), so the sample is deterministic, batch-split INVARIANT
@@ -945,6 +995,11 @@ private[graft] object StreamingGates extends GateFamily {
 
     // windowed/decayed twin: per-(batch, j, bucket) grids, range-summed
     // window states + the 2^(freshness)-scaled decay state
+    "q278_stream_cms_group_window" -> cmsGroupWindowOracle(width = 256,
+      probeMod = 97, minCount = 1L),
+
+    "q279_stream_hdr_group_window" -> StreamGroupHdrWindowOracle,
+
     "q275_stream_cms_window" -> cmsWindowOracle(width = 256,
       probeMod = 97, minCount = 1),
 

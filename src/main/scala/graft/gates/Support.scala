@@ -3164,6 +3164,130 @@ private[graft] object Support {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Per-group windowed/decayed streaming-CMS replay (q278): the
+    * [[cmsWindowOracle]] state machinery with the group key threaded
+    * through every stage — per-(batch, group, j, bucket) cell grids
+    * via the md5 hex-slice decode, window states as range-filtered
+    * per-(group, cell) sums, the decay state as the integer
+    * 2^(freshness/halfLife)-scaled sum, min across slices per
+    * (group, item) from every state.
+    */
+  def cmsGroupWindowOracle(width: Int, probeMod: Int,
+                           minCount: Long): String = {
+    def slice(j: Int): String = (0 until 8).map { i =>
+      val pos = j * 8 + 1 + i
+      val pw = math.pow(16, 7 - i).toLong
+      s"CAST(CASE WHEN ascii(substr(hx, $pos, 1)) >= 97 " +
+        s"THEN ascii(substr(hx, $pos, 1)) - 87 " +
+        s"ELSE ascii(substr(hx, $pos, 1)) - 48 END AS BIGINT) * $pw"
+    }.mkString("(", " + ", ")")
+    val cells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT b, grp, $j AS j, ${slice(j)} % $width AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 2, 4")
+      .mkString("\n  UNION ALL ")
+    val probeCells = (0 until ext.FreqSketch.Depth).map(j =>
+      s"SELECT grp, item, $j AS j, ${slice(j)} % $width AS bucket FROM ph")
+      .mkString("\n  UNION ALL ")
+    def state(tag: String, bid: Int, kind: String, bPred: String,
+              factor: String): String =
+      s"""e$tag AS (
+         |  SELECT CAST($bid AS BIGINT) AS batch_id, '$kind' AS kind,
+         |    pc.grp, pc.item, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN (
+         |    SELECT grp, j, bucket, sum(cnt * $factor) AS c
+         |    FROM cells WHERE $bPred GROUP BY 1, 2, 3) s
+         |    ON s.grp = pc.grp AND s.j = pc.j AND s.bucket = pc.bucket
+         |  GROUP BY 3, 4)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT event_id % 3 AS b, event_type AS grp, user_id
+       |  FROM events
+       |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |h AS (SELECT b, grp, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+       |cells AS (
+       |  $cells),
+       |p AS (
+       |  SELECT DISTINCT grp, user_id AS item FROM ev
+       |  WHERE user_id % $probeMod = 0),
+       |ph AS (SELECT grp, item, md5(CAST(item AS VARCHAR)) AS hx FROM p),
+       |pc AS (
+       |  $probeCells),
+       |${state("w0", 0, "window", "b >= 0 AND b < 1", "1")},
+       |${state("w1", 1, "window", "b >= 0 AND b < 2", "1")},
+       |${state("w2", 2, "window", "b >= 1 AND b < 3", "1")},
+       |${state("dd", 2, "decay", "b >= 0 AND b < 3",
+          "(CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)")},
+       |allp AS (
+       |  SELECT * FROM ew0 UNION ALL SELECT * FROM ew1
+       |  UNION ALL SELECT * FROM ew2 UNION ALL SELECT * FROM edd)
+       |SELECT batch_id, kind, grp, item, est FROM allp
+       |WHERE est >= $minCount
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
+  /** Per-group windowed/decayed streaming-HDR replay (q279): the
+    * [[StreamHdrWindowOracle]] state machinery with the group key
+    * threaded through every stage — per-(batch, group, bucket) counts,
+    * each state a per-group range-filtered (and decay-scaled) sum with
+    * per-group totals/cumulative sums/rank picks.
+    */
+  val StreamGroupHdrWindowOracle: String = {
+    val ladder = (6 to 62).reverse
+      .map(i => s"WHEN v >= ${1L << i} THEN $i").mkString(" ")
+    def state(tag: String, bid: Int, kind: String, bPred: String,
+              factor: String): String =
+      s"""h$tag AS (
+         |  SELECT grp, bucket, CAST(sum(cnt * $factor) AS BIGINT) AS cnt
+         |  FROM bhist WHERE $bPred GROUP BY 1, 2),
+         |n$tag AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM h$tag GROUP BY 1),
+         |c$tag AS (
+         |  SELECT grp, bucket, sum(cnt) OVER (PARTITION BY grp
+         |    ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM h$tag),
+         |p$tag AS (
+         |  SELECT CAST($bid AS BIGINT) AS batch_id, '$kind' AS kind,
+         |    r.grp, r.q, r.rank, CAST(min(c.bucket) AS BIGINT) AS bucket
+         |  FROM (SELECT grp, q, greatest(CAST(1 AS BIGINT),
+         |      CAST(ceil(q * total) AS BIGINT)) AS rank
+         |    FROM qs CROSS JOIN n$tag) r
+         |  JOIN c$tag c ON c.grp = r.grp AND c.c >= r.rank
+         |  GROUP BY 3, 4, 5)""".stripMargin
+    s"""WITH vals AS (
+       |  SELECT o_orderkey % 3 AS b, o_orderpriority AS grp,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+       |    AND o_orderpriority IS NOT NULL),
+       |bk AS (
+       |  SELECT b, grp, CASE WHEN v < 32 THEN v
+       |    ELSE (e - 5) * 32 + (v >> CAST(e - 5 AS INT)) END AS bucket
+       |  FROM (SELECT b, grp, v, CASE $ladder ELSE 5 END AS e FROM vals) t),
+       |bhist AS (
+       |  SELECT b, grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bk GROUP BY 1, 2, 3),
+       |qs AS (
+       |  SELECT CAST(0.5 AS DOUBLE) AS q
+       |  UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+       |${state("w0", 0, "window", "b >= 0 AND b < 1", "1")},
+       |${state("w1", 1, "window", "b >= 0 AND b < 2", "1")},
+       |${state("w2", 2, "window", "b >= 1 AND b < 3", "1")},
+       |${state("dd", 2, "decay", "b >= 0 AND b < 3",
+          "(CASE b WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END)")},
+       |allp AS (
+       |  SELECT * FROM pw0 UNION ALL SELECT * FROM pw1
+       |  UNION ALL SELECT * FROM pw2 UNION ALL SELECT * FROM pdd)
+       |SELECT batch_id, kind, grp, q, rank, bucket,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (bucket - (bucket // 32 - 1) * 32) << CAST(bucket // 32 - 1 AS INT)
+       |    END AS BIGINT) AS lo,
+       |  CAST(CASE WHEN bucket < 32 THEN bucket
+       |    ELSE ((bucket - (bucket // 32 - 1) * 32 + 1) << CAST(bucket // 32 - 1 AS INT)) - 1
+       |    END AS BIGINT) AS hi
+       |FROM allp
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** Shared Lloyd-replay CTE chain (q213/q214): md5-rank donors, two
     * rounds of exact-L2 assignment (dot − |c|²/2, lowest-index ties) +
     * decimal(28,8)-exact mean updates, final assignment in `af`.

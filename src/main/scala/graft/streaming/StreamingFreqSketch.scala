@@ -352,6 +352,43 @@ object StreamingFreqSketch {
       .select("batch_id", "kind", "item", "est")
   }
 
+  /** Grouped windowed/decayed batch replay — the oracle-gateable twin
+    * of [[SketchAccumulator.estimateWindowBy]] / `estimateDecayedBy`:
+    * fold `batches` into a GROUPED windowed store, report the
+    * last-`window`-batches per-(group, item) estimates after each
+    * batch, and (when `decayHalfLife` is set) one final decayed read
+    * over the whole run.
+    */
+  def byBatchWindowBy(spark: SparkSession, batches: Seq[DataFrame],
+                      storePath: String, groupCol: String, itemCol: String,
+                      probes: DataFrame, probeGroupCol: String,
+                      probeCol: String, width: Int,
+                      window: Int, minCount: Long,
+                      decayHalfLife: Option[Int] = None): DataFrame = {
+    require(batches.nonEmpty, "byBatchWindowBy needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    // compactEvery = batches.size + 1: see byBatchWindow
+    val acc = new SketchAccumulator(spark, storePath, itemCol, width,
+      compactEvery = batches.size + 1, groupCol = Some(groupCol),
+      windowed = true)
+    val states = batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      acc.estimateWindowBy(probes, probeGroupCol, probeCol, i.toLong + 1,
+          fromBatch = math.max(0L, i.toLong + 1 - window))
+        .withColumn("batch_id", lit(i.toLong))
+        .withColumn("kind", lit("window"))
+    }
+    val decayed = decayHalfLife.toSeq.map { h =>
+      acc.estimateDecayedBy(probes, probeGroupCol, probeCol,
+          batches.size.toLong, h)
+        .withColumn("batch_id", lit(batches.size.toLong - 1))
+        .withColumn("kind", lit("decay"))
+    }
+    (states ++ decayed).reduce(_ unionByName _)
+      .filter(col("est") >= minCount)
+      .select("batch_id", "kind", "grp", "item", "est")
+  }
+
   /** Grouped batch replay: fold `batches` in order, then estimate
     * `(group, item)` probe pairs — by per-group cell-wise mergeability
     * the result equals the one-shot [[FreqSketch.cmsSketchBy]] estimate

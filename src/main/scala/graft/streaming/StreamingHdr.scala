@@ -337,6 +337,43 @@ object StreamingHdr {
     (states ++ decayed).reduce(_ unionByName _)
   }
 
+  /** Grouped windowed/decayed batch replay — the oracle-gateable twin
+    * of [[HdrAccumulator.quantilesWindowBy]] / `quantilesDecayedBy`:
+    * fold `batches` into a GROUPED windowed store, report the
+    * last-`window`-batches per-group quantiles after each batch, and
+    * (when `decayHalfLife` is set) one final decayed read over the
+    * whole run.
+    */
+  def byBatchWindowBy(spark: SparkSession, batches: Seq[DataFrame],
+                      storePath: String, groupCol: String,
+                      valueCol: String, qs: Seq[Double],
+                      window: Int, subBits: Int = 5,
+                      decayHalfLife: Option[Int] = None): DataFrame = {
+    require(batches.nonEmpty, "byBatchWindowBy needs at least one batch")
+    require(window >= 1, s"window must be >= 1, got $window")
+    // compactEvery = batches.size + 1: see byBatchWindow
+    val acc = new HdrAccumulator(spark, storePath, valueCol, subBits,
+      compactEvery = batches.size + 1, groupCol = Some(groupCol),
+      windowed = true)
+    val outCols = Seq("batch_id", "kind", "grp", "q", "rank", "bucket",
+      "lo", "hi")
+    val states = batches.zipWithIndex.map { case (b, i) =>
+      acc.update(b, i.toLong)
+      acc.quantilesWindowBy(qs, i.toLong + 1,
+          fromBatch = math.max(0L, i.toLong + 1 - window))
+        .withColumn("batch_id", lit(i.toLong))
+        .withColumn("kind", lit("window"))
+        .select(outCols.head, outCols.tail: _*)
+    }
+    val decayed = decayHalfLife.toSeq.map { h =>
+      acc.quantilesDecayedBy(qs, batches.size.toLong, h)
+        .withColumn("batch_id", lit(batches.size.toLong - 1))
+        .withColumn("kind", lit("decay"))
+        .select(outCols.head, outCols.tail: _*)
+    }
+    (states ++ decayed).reduce(_ unionByName _)
+  }
+
   /** Grouped batch replay — the oracle-gateable twin of [[byBatch]]:
     * running PER-GROUP quantiles after each batch.
     */

@@ -61,7 +61,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q259_tdigest_quantiles", "q260_stream_tdigest",
     "q264_tdigest_by_group", "q265_tdigest_weighted",
     "q266_tdigest_group_merge", "q267_stream_tdigest_group",
-    "q274_stream_tdigest_window")
+    "q274_stream_tdigest_window", "q277_stream_tdigest_group_window")
 
   private def assertScaleSafe(name: String, where: String, plan: SparkPlan): Unit = {
     val cartesians = plan.collect { case c: CartesianProductExec => c }

@@ -200,6 +200,36 @@ class StreamingFreqSketchSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("byBatchWindowBy: per-(group, item) window estimates answer the " +
+      "group's own windowed batches; decay scales within the group") {
+    val b = Seq(
+      Seq(("a", "x"), ("a", "x"), ("b", "x")),          // batch 0
+      Seq(("a", "y"), ("b", "x")),                      // batch 1
+      Seq(("a", "x"), ("b", "y"), ("b", "y")))          // batch 2
+    val batches = b.map(_.toDF("g", "word"))
+    val probes = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("g", "word")
+    val rows = StreamingFreqSketch.byBatchWindowBy(spark, batches,
+        tmpStore(), "g", "word", probes, "g", "word", width = 128,
+        window = 2, minCount = 0L, decayHalfLife = Some(1))
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4) -> r._5).toMap
+    // window [1, 3): a sees x once (batch 2), y once (batch 1);
+    // b sees x once (batch 1), y twice (batch 2)
+    assert(rows((2L, "window", "a", "x")) == 1L)
+    assert(rows((2L, "window", "a", "y")) == 1L)
+    assert(rows((2L, "window", "b", "x")) == 1L)
+    assert(rows((2L, "window", "b", "y")) == 2L)
+    // batch-0 state: only batch 0 in window
+    assert(rows((0L, "window", "a", "x")) == 2L)
+    assert(rows((0L, "window", "b", "y")) == 0L)
+    // decay factors 1/2/4 within each group:
+    // a.x: 2·1 + 1·4 = 6; b.y: 2·4 = 8; b.x: 1·1 + 1·2 = 3
+    assert(rows((2L, "decay", "a", "x")) == 6L)
+    assert(rows((2L, "decay", "b", "y")) == 8L)
+    assert(rows((2L, "decay", "b", "x")) == 3L)
+  }
+
   test("keepBatches retention: folds evict expired cells, state stays " +
       "bounded, reads into the evicted range fail loud") {
     val store = tmpStore()

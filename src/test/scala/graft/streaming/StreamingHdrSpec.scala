@@ -176,6 +176,49 @@ class StreamingHdrSpec extends SparkTestBase {
     }
   }
 
+  test("byBatchWindowBy: per-group window quantiles answer each " +
+      "group's own windowed multiset; grouped decay is group-local") {
+    // disjoint value ranges per group make any cross-group leak
+    // visible in the brackets
+    def gb(b: Seq[Long]) = b.zipWithIndex.map { case (v, i) =>
+      if (i % 2 == 0) ("lo", v) else ("hi", v + 1000000L)
+    }
+    val batches = Seq(gb(b0), gb(b1), gb(b2))
+    val rows = StreamingHdr.byBatchWindowBy(spark,
+        batches.map(_.toDF("g", "v")), tmp("gwin"), "g", "v",
+        Seq(0.5, 0.99), window = 2, subBits = 5,
+        decayHalfLife = Some(1))
+      .as[(Long, String, String, Double, Long, Long, Long, Long)]
+      .collect()
+    val windows = Seq(batches(0), batches(0) ++ batches(1),
+      batches(1) ++ batches(2))
+    rows.filter(_._2 == "window").foreach {
+      case (bid, _, g, q, rank, _, lo, hi) =>
+        val vs = windows(bid.toInt).filter(_._1 == g).map(_._2).sorted
+        assert(rank == math.max(1L, math.ceil(q * vs.size).toLong),
+          s"group $g state $bid rank")
+        val truth = vs((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"group $g state $bid q$q: true $truth outside [$lo, $hi]")
+    }
+    // group isolation: hi-group brackets never dip into lo-group range
+    // (bucket lower bounds sit at most 2^(e-5) ≈ 16k below the value
+    // at the 1e6 magnitude — far above the lo group's < 1e5 ceiling)
+    assert(rows.filter(_._3 == "hi").forall(_._7 >= 900000L),
+      rows.filter(_._3 == "hi").map(_._7).min.toString)
+    // grouped decay: per group, multiset = b0 + 2·b1 + 4·b2
+    rows.filter(_._2 == "decay").foreach {
+      case (_, _, g, q, rank, _, lo, hi) =>
+        val all = batches(0) ++ batches(1).flatMap(x => Seq(x, x)) ++
+          batches(2).flatMap(x => Seq(x, x, x, x))
+        val vs = all.filter(_._1 == g).map(_._2).sorted
+        assert(rank == math.max(1L, math.ceil(q * vs.size).toLong))
+        val truth = vs((rank - 1).toInt)
+        assert(truth >= lo && truth <= hi,
+          s"group $g decay q$q: true $truth outside [$lo, $hi]")
+    }
+  }
+
   test("keepBatches retention: folds evict expired cells, state stays " +
       "bounded, reads into the evicted range fail loud") {
     import org.apache.spark.sql.functions.{col, substring_index}
