@@ -15,8 +15,9 @@ import graft.ext.FreqSketch
   * not.
   *
   * State is per-BATCH register rows `batch:bucket:rho` in the shared
-  * [[KeyedBatchStore]] LSM (distinct mode): ≤ 2^p rows per batch,
-  * bounded by `batches × 2^p` over any retention horizon. Keeping the
+  * [[KeyedBatchStore]] LSM (distinct mode): ≤ 2^p rows per batch, and
+  * with `keepBatches` set, ≤ (keepBatches + compactEvery) × 2^p rows
+  * TOTAL — expired batches evict at each fold. Keeping the
   * batch id IN the key is what buys the sliding window: registers OR
   * together by per-bucket max (the [[FreqSketch.hllMergeBy]] law), so
   * the CUMULATIVE estimate folds every batch and a WINDOWED estimate
@@ -39,10 +40,51 @@ object StreamingHll {
   final class HllAccumulator(spark: SparkSession, storePath: String,
                              itemCol: String, p: Int = 8,
                              compactEvery: Int = 8,
-                             groupCol: Option[String] = None) {
+                             groupCol: Option[String] = None,
+                             keepBatches: Int = 0) {
     require(p >= 4 && p <= 12, s"p must be in [4, 12], got $p")
+    require(keepBatches >= 0, s"keepBatches must be >= 0, got $keepBatches")
+    // The HLL store is ALWAYS batch-tagged (the batch id leads every
+    // cell key — that is what buys the sliding window), so unlike the
+    // CMS/HDR accumulators there is no separate `windowed` mode to
+    // gate retention on. keepBatches > 0 bounds state at ≤
+    // (keepBatches + compactEvery) × 2^p × groups register rows instead
+    // of growing with stream lifetime: cells whose batch tag is older
+    // than the retention horizon are dropped at each fold (the
+    // [[StreamingFreqSketch]] retention discipline) — set it to the
+    // widest window any reader will ever ask for. Max-merge is not
+    // invertible, so eviction is the ONLY way a register table forgets.
     private val store = new KeyedBatchStore(spark, storePath, "cell",
-      "STRING", compactEvery, numBuckets = 1)
+      "STRING", compactEvery, numBuckets = 1,
+      retainAtCompact =
+        if (keepBatches == 0) None
+        else Some(upTo => substring_index(col("cell"), ":", 1) >=
+          lpad(lit(math.max(0L, upTo - keepBatches)).cast("string"),
+            9, "0")))
+
+    /** Batches strictly below this id may have been evicted by
+      * retention: everything at or above `latestCompactedUpTo −
+      * keepBatches` is guaranteed still stored (eviction only happens
+      * at a fold), so reads must start at or after this. Derived purely
+      * from the on-disk compaction frontier — correct across restarts.
+      */
+    def evictedBefore(): Long =
+      if (keepBatches == 0) 0L
+      else store.latestCompactedUpTo()
+        .map(u => math.max(0L, u - keepBatches)).getOrElse(0L)
+
+    // full-coverage-or-fail (the StreamingFreqSketch grid discipline):
+    // a read that silently lost its oldest batches to retention would
+    // answer a different question than asked — this guards EVERY read
+    // on a retention store, including cumulative reads (fromBatch = 0)
+    private def requireCovered(fromBatch: Long, uptoBatch: Long): Unit =
+      if (keepBatches > 0) {
+        val horizon = evictedBefore()
+        require(fromBatch >= horizon,
+          s"read [$fromBatch, $uptoBatch) reaches batches evicted by " +
+            s"retention (< $horizon) — raise keepBatches or start the " +
+            "read at fromBatch >= " + horizon)
+      }
 
     /** Append one batch's registers (the batch's OWN sketch, batch id
       * folded into the cell key; zero-padded so string order follows
@@ -78,6 +120,7 @@ object StreamingHll {
     def registers(uptoBatch: Long, fromBatch: Long = 0L): DataFrame = {
       require(groupCol.isEmpty,
         "grouped accumulator: use registersBy/estimateBy")
+      requireCovered(fromBatch, uptoBatch)
       store.parts(uptoBatch)
         .reduceOption(_ unionByName _)
         .map(_.filter(inRange(fromBatch))
@@ -99,6 +142,7 @@ object StreamingHll {
     def registersBy(uptoBatch: Long, fromBatch: Long = 0L): DataFrame = {
       require(groupCol.isDefined,
         "ungrouped accumulator: use registers/estimate")
+      requireCovered(fromBatch, uptoBatch)
       store.parts(uptoBatch)
         .reduceOption(_ unionByName _)
         .map(_.filter(inRange(fromBatch))
@@ -158,7 +202,15 @@ object StreamingHll {
               window: Int): DataFrame = {
     require(batches.nonEmpty, "byBatch needs at least one batch")
     require(window >= 1, s"window must be >= 1, got $window")
-    val acc = new HllAccumulator(spark, storePath, itemCol, p)
+    // compactEvery = batches.size + 1: every per-state read below is a
+    // LAZY plan over the delta files existing when it was built — a
+    // fold during a later update would delete those files and the final
+    // union would fail at execution (the StreamingFreqSketch
+    // byBatchWindow replay discipline). State is ≤ batches × 2^p rows,
+    // so an unfolded replay is cheap; production streams fold via the
+    // accumulator's own default.
+    val acc = new HllAccumulator(spark, storePath, itemCol, p,
+      compactEvery = batches.size + 1)
     batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       val cum = acc.estimate(i.toLong + 1)
@@ -181,8 +233,9 @@ object StreamingHll {
                 p: Int, window: Int): DataFrame = {
     require(batches.nonEmpty, "byBatchBy needs at least one batch")
     require(window >= 1, s"window must be >= 1, got $window")
+    // compactEvery = batches.size + 1: see byBatch
     val acc = new HllAccumulator(spark, storePath, itemCol, p,
-      groupCol = Some(groupCol))
+      compactEvery = batches.size + 1, groupCol = Some(groupCol))
     batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       val cum = acc.estimateBy(i.toLong + 1)

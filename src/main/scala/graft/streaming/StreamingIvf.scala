@@ -51,9 +51,10 @@ import graft.ext.Similarity
   *    (a crash mid-write leaves an unmarked partial dir that must not
   *    raise the covered frontier), and once more than `maxSegments`
   *    segments are live, adjacent pairs MERGE hierarchically
-  *    (smallest-combined-span first, so spans roughly double): reads
-  *    stay O(maxSegments) scans and each posting is rewritten
-  *    O(log batches) times over the stream's life.
+  *    (smallest-combined-BYTES first, so segments roughly double even
+  *    under skewed batch sizes): reads stay O(maxSegments) scans and
+  *    each posting is rewritten O(log batches) times over the stream's
+  *    life.
   *
   * Drift watch: [[IvfAccumulator.cellStats]] exposes the per-cell
   * occupancy and the hottest-cell imbalance over everything ingested so
@@ -80,8 +81,35 @@ object StreamingIvf {
     private def batchDir(id: Long) = s"$storePath/batch=$id"
     private def genDir(lo: Long, hi: Long) = s"$storePath/gen=${lo}_$hi"
     private val centroidsDir = s"$storePath/centroids"
+    // store-format version marker: present on every store written (or
+    // attached) by code that enforces the `_SUCCESS` segment-commit
+    // discipline. Its ABSENCE on an existing store means the segments
+    // were committed by pre-marker code (possibly in a session with
+    // committer success-markers disabled), so unmarked-but-committed
+    // gen dirs must be backfilled at attach — NOT swept as crash
+    // leftovers, which would silently delete folded postings.
+    private val formatMarker = new Path(storePath, "_graft_ivf_v2")
     private val PostingCols =
       Seq(col("cell"), col("neighbor_id"), col("vec"), col("vnorm"))
+
+    // Listing caches: committedSpans() costs one directory listing plus
+    // one _SUCCESS existence probe PER gen dir, and a single search
+    // walks it several times (coveredUpto → segments → postings). The
+    // store mutates only through this accumulator (update/fold/merge/
+    // sweep — single-writer by the batch-id regression contract), so
+    // both listings are validated once per MUTATION, not per read: at
+    // 100 TB against an object store this is the difference between
+    // O(1) and O(segments) round-trips on every search. A second
+    // accumulator attached to the same live path reads a consistent
+    // snapshot but must re-attach to observe folds it didn't perform —
+    // the same consume-before-the-writer-folds discipline lazy postings
+    // frames already carry.
+    @volatile private var committedCache: Seq[(Long, Long)] = null
+    @volatile private var batchIdCache: Seq[Long] = null
+    private def invalidateListings(): Unit = {
+      committedCache = null
+      batchIdCache = null
+    }
 
     /** The frozen quantizer: persisted on first construction, reloaded
       * (and REQUIRED over `centroidsIn`) on every later attach.
@@ -109,6 +137,54 @@ object StreamingIvf {
       }
     }
 
+    // Store-format migration — runs ONCE, at attach, BEFORE any fold
+    // can sweep: a store written by pre-marker-discipline code carries
+    // no format marker, and its committed segments may lack `_SUCCESS`
+    // (the parquet job committer writes one, but a session can disable
+    // it via mapreduce.fileoutputcommitter.marksuccessfuljobs=false —
+    // exactly the config the sweep's own comment anticipates). Sweeping
+    // such a dir as a "crash leftover" would silently delete folded
+    // postings whose delta dirs are long gone: postings() under-reads
+    // and the loss is permanent. So: on a marker-less store, backfill
+    // `_SUCCESS` on every committed-LOOKING gen dir (parseable span, at
+    // least one non-empty parquet file, not contained in a wider
+    // MARKED span — those are shadowed merge inputs the sweep correctly
+    // removes), then stamp the store with the format marker so that on
+    // post-migration stores a genuinely partial dir is never mistaken
+    // for a legacy segment again.
+    locally {
+      val root = new Path(storePath)
+      if (!fs.exists(formatMarker)) {
+        if (fs.exists(root)) {
+          val gens = fs.listStatus(root).toSeq
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("gen="))
+          def span(name: String): Option[(Long, Long)] =
+            name.stripPrefix("gen=").split("_") match {
+              case Array(l, h) => for {
+                lo <- scala.util.Try(l.toLong).toOption
+                hi <- scala.util.Try(h.toLong).toOption
+              } yield (lo, hi)
+              case _ => None
+            }
+          val marked = gens
+            .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+            .flatMap(s => span(s.getPath.getName))
+          gens.filter(s => !fs.exists(new Path(s.getPath, "_SUCCESS")))
+            .foreach { s =>
+              val committedLooking = span(s.getPath.getName).exists { sp =>
+                !marked.exists(m => m._1 <= sp._1 && sp._2 <= m._2) &&
+                  fs.listStatus(s.getPath).exists(f => f.isFile &&
+                    f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+              }
+              if (committedLooking)
+                fs.create(new Path(s.getPath, "_SUCCESS"), true).close()
+            }
+        }
+        fs.create(formatMarker, true).close()
+      }
+    }
+
     private def listDirs(prefix: String): Seq[String] = {
       val dir = new Path(storePath)
       if (!fs.exists(dir)) Seq.empty
@@ -117,9 +193,12 @@ object StreamingIvf {
         .map(_.getPath.getName.stripPrefix(prefix))
     }
 
-    private def batchIds(): Seq[Long] =
-      listDirs("batch=")
-        .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+    private def batchIds(): Seq[Long] = {
+      if (batchIdCache == null)
+        batchIdCache = listDirs("batch=")
+          .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+      batchIdCache
+    }
 
     /** Gen dirs that carry a `_SUCCESS` marker — the ONLY thing that
       * makes a segment committed. A crash during the segment write (or
@@ -130,20 +209,23 @@ object StreamingIvf {
       * task file landed); [[writeSegment]] re-creates it explicitly in
       * case the session disabled marker files.
       */
-    private def committedSpans(): Seq[(Long, Long)] =
-      listDirs("gen=")
-        .flatMap { n =>
-          n.split("_") match {
-            case Array(lo, hi) => for {
-              l <- scala.util.Try(lo.toLong).toOption
-              h <- scala.util.Try(hi.toLong).toOption
-            } yield (l, h)
-            case _ => None
+    private def committedSpans(): Seq[(Long, Long)] = {
+      if (committedCache == null)
+        committedCache = listDirs("gen=")
+          .flatMap { n =>
+            n.split("_") match {
+              case Array(lo, hi) => for {
+                l <- scala.util.Try(lo.toLong).toOption
+                h <- scala.util.Try(hi.toLong).toOption
+              } yield (l, h)
+              case _ => None
+            }
           }
-        }
-        .filter { case (l, h) =>
-          fs.exists(new Path(genDir(l, h), "_SUCCESS")) }
-        .sortBy(_._1)
+          .filter { case (l, h) =>
+            fs.exists(new Path(genDir(l, h), "_SUCCESS")) }
+          .sortBy(_._1)
+      committedCache
+    }
 
     /** The LIVE committed segments: committed spans minus any fully
       * contained in a wider committed span — a hierarchical merge
@@ -167,6 +249,7 @@ object StreamingIvf {
       df.write.mode("overwrite").parquet(genDir(lo, hi))
       val marker = new Path(genDir(lo, hi), "_SUCCESS")
       if (!fs.exists(marker)) fs.create(marker, true).close()
+      invalidateListings()
     }
 
     /** Batches `[0, coveredUpto)` live in generation segments; deltas
@@ -204,6 +287,7 @@ object StreamingIvf {
       Similarity.ivfAssign(batch, idCol, vecCol, centroids)
         .withColumn("__batch_id", lit(batchId))
         .write.mode("overwrite").parquet(batchDir(batchId))
+      invalidateListings()
       maybeCompact(batchId + 1L)
     }
 
@@ -230,26 +314,39 @@ object StreamingIvf {
           pending.map(i => spark.read.parquet(batchDir(i)))
             .reduce(_ unionByName _), lo, hi)
         pending.foreach(id => fs.delete(new Path(batchDir(id)), true))
+        invalidateListings()
       }
-      batchIds().filter(_ < coveredUpto())
-        .foreach(id => fs.delete(new Path(batchDir(id)), true))
+      val stale = batchIds().filter(_ < coveredUpto())
+      if (stale.nonEmpty) {
+        stale.foreach(id => fs.delete(new Path(batchDir(id)), true))
+        invalidateListings()
+      }
       // hierarchical merge: fold the adjacent pair with the smallest
-      // combined span while more than maxSegments segments are live —
-      // smallest-pair-first yields balanced, roughly-doubling spans, so
-      // each posting is rewritten O(log batches) times over the
-      // stream's life (an all-into-one fold would pay a quadratic
-      // write volume) and reads stay O(maxSegments) parquet scans.
-      // Assignment is deterministic and the merge is a pure rewrite,
-      // so the readable relation is byte-identical before and after.
+      // combined BYTE size while more than maxSegments segments are
+      // live — smallest-pair-first yields balanced, roughly-doubling
+      // segments, so each posting is rewritten O(log batches) times
+      // over the stream's life in BYTES, not just in span count (with
+      // skewed batch sizes a span-based pick could repeatedly re-merge
+      // one huge segment with tiny neighbors; size-based selection is
+      // the classic LSM/Lucene tiering bound). An all-into-one fold
+      // would pay a quadratic write volume; reads stay O(maxSegments)
+      // parquet scans either way. Assignment is deterministic and the
+      // merge is a pure rewrite, so the readable relation is
+      // byte-identical before and after. Ties break on the earlier
+      // span for determinism.
+      def segBytes(s: (Long, Long)): Long =
+        fs.getContentSummary(new Path(genDir(s._1, s._2))).getLength
       var live = segments()
       while (live.size > maxSegments) {
-        val (a, b) = live.zip(live.tail).minBy { case (x, y) => y._2 - x._1 }
+        val (a, b) = live.zip(live.tail).minBy { case (x, y) =>
+          (segBytes(x) + segBytes(y), x._1) }
         writeSegment(
           spark.read.parquet(genDir(a._1, a._2))
             .unionByName(spark.read.parquet(genDir(b._1, b._2))),
           a._1, b._2)
         fs.delete(new Path(genDir(a._1, a._2)), true)
         fs.delete(new Path(genDir(b._1, b._2)), true)
+        invalidateListings()
         live = segments()
       }
     }
@@ -277,7 +374,10 @@ object StreamingIvf {
               !fs.exists(new Path(s.getPath, "_SUCCESS")) || !live(sp)
             case None => true // unparseable gen dir: never readable
           }
-          if (dead) fs.delete(s.getPath, true)
+          if (dead) {
+            fs.delete(s.getPath, true)
+            invalidateListings()
+          }
         }
     }
 
@@ -286,9 +386,14 @@ object StreamingIvf {
       * < compactEvery pending deltas — never one directory per batch.
       * A segment straddling `uptoBatch` serves the prefix exactly via
       * the stored `__batch_id` (compaction loses no read granularity).
-      * LAZY parquet reads: consume the frame before `compactEvery`
-      * further updates fold the deltas it references (the
-      * [[StreamingTDigest]] version-retention discipline).
+      * LAZY parquet reads: consume the frame BEFORE THE NEXT update —
+      * a fold deletes the delta dirs it references, and with
+      * `maxSegments` merging active a fold can also rewrite-and-delete
+      * previously-stable `gen=` segment dirs, so even a frame built
+      * purely over segments can newly fail at execution after one more
+      * update (the [[StreamingTDigest]] version-retention discipline,
+      * tightened: "before compactEvery further updates" is only safe
+      * when no merge runs).
       *
       * The pre-first-batch empty frame types `vec` from the
       * construction-time `vecSqlType` (not a hardcoded ARRAY<FLOAT>):

@@ -277,6 +277,51 @@ class StreamingFreqSketchSpec extends SparkTestBase {
     }
   }
 
+  test("grouped retention through a fold: (batch, group) cells evict " +
+      "independently — a group alive only in expired batches vanishes " +
+      "from the store, live groups keep exact window reads") {
+    val store = tmpStore()
+    val acc = new StreamingFreqSketch.SketchAccumulator(spark, store,
+      "word", width = 128, compactEvery = 2, groupCol = Some("g"),
+      windowed = true, keepBatches = 2)
+    // group "old" appears ONLY in batches 0-1; "live" in every batch
+    (0 until 8).foreach { i =>
+      val rows = Seq.fill(i + 1)(("live", s"w$i")) ++
+        (if (i < 2) Seq.fill(5)(("old", s"w$i")) else Nil)
+      acc.update(rows.toDF("g", "word"), i.toLong)
+    }
+    // folds at updates 2/4/6 → horizon 4; the gates replay with
+    // compactEvery = batches+1 so THIS is the path they never drive:
+    // grouped windowed retention actually firing at a fold
+    assert(acc.evictedBefore() == 4L)
+    // surviving cells: batch tags >= horizon, and group "old" — whose
+    // every cell carried an expired tag — left the store entirely
+    val cells = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store)
+      .select(
+        substring_index(col("cell"), ":", 1).cast("long").as("tag"),
+        element_at(split(col("cell"), ":", 4), 4).as("grp"))
+      .as[(Long, String)].collect()
+    assert(cells.map(_._1).distinct.sorted.toSeq == Seq(4L, 5L, 6L, 7L),
+      s"stored tags: ${cells.map(_._1).distinct.sorted.toSeq}")
+    assert(cells.map(_._2).distinct.toSeq == Seq("live"),
+      s"expired group's cells must leave at the fold: " +
+        s"${cells.map(_._2).distinct.toSeq}")
+    // live group's in-retention window reads stay exact
+    val probes = (0 until 8).flatMap(i =>
+      Seq(("live", s"w$i"), ("old", s"w$i"))).toDF("pg", "pw")
+    val got = acc.estimateWindowBy(probes, "pg", "pw", 8L, 6L)
+      .as[(String, String, Long)].collect()
+      .map { case (g, w, e) => (g, w) -> e }.toMap
+    assert(got(("live", "w6")) == 7L && got(("live", "w7")) == 8L)
+    assert(got(("live", "w0")) == 0L && got(("old", "w0")) == 0L)
+    // reads reaching evicted batches still fail loud on the grouped path
+    val e = intercept[IllegalArgumentException] {
+      acc.estimateWindowBy(probes, "pg", "pw", 8L, 3L)
+    }
+    assert(e.getMessage.contains("evicted by retention"), e.getMessage)
+  }
+
   test("live stream: estimates accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

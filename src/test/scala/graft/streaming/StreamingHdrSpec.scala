@@ -219,6 +219,52 @@ class StreamingHdrSpec extends SparkTestBase {
     }
   }
 
+  test("grouped retention through a fold: (batch, group) cells evict " +
+      "independently — an expired group's histogram leaves the store, " +
+      "live groups keep exact window picks") {
+    import org.apache.spark.sql.functions._
+    val store = tmp("gkeep")
+    val acc = new StreamingHdr.HdrAccumulator(spark, store, "v",
+      subBits = 5, compactEvery = 2, groupCol = Some("g"),
+      windowed = true, keepBatches = 2)
+    // group "old" records values ONLY in batches 0-1; "live" in all
+    (0 until 8).foreach { i =>
+      val rows = Seq.fill(2)(("live", (i + 1) * 100L)) ++
+        (if (i < 2) Seq.fill(3)(("old", 7L)) else Nil)
+      acc.update(rows.toDF("g", "v"), i.toLong)
+    }
+    // folds at updates 2/4/6 → horizon 4 (the gates replay with
+    // compactEvery = batches+1, so retention never fires in-gate —
+    // THIS drives the grouped windowed store through real folds)
+    assert(acc.evictedBefore() == 4L)
+    val cells = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store)
+      .select(
+        substring_index(col("cell"), ":", 1).cast("long").as("tag"),
+        element_at(split(col("cell"), ":", 3), 3).as("grp"))
+      .as[(Long, String)].collect()
+    assert(cells.map(_._1).distinct.sorted.toSeq == Seq(4L, 5L, 6L, 7L),
+      s"stored tags: ${cells.map(_._1).distinct.sorted.toSeq}")
+    assert(cells.map(_._2).distinct.toSeq == Seq("live"),
+      s"expired group's cells must leave at the fold: " +
+        s"${cells.map(_._2).distinct.toSeq}")
+    // the live group's in-retention window pick answers its own multiset
+    // {700, 700, 800, 800}: q=0.5 → rank 2 → true value 700
+    val picks = acc.quantilesWindowBy(Seq(0.5), 8L, 6L)
+      .select("grp", "q", "lo", "hi")
+      .as[(String, Double, Long, Long)].collect()
+    assert(picks.map(_._1).toSeq == Seq("live"),
+      "an evicted group must not surface in window picks")
+    picks.foreach { case (_, _, lo, hi) =>
+      assert(lo <= 700L && 700L <= hi, s"true 700 outside [$lo, $hi]")
+    }
+    // grouped reads below the horizon fail loud
+    val e = intercept[IllegalArgumentException] {
+      acc.quantilesWindowBy(Seq(0.5), 8L, 3L)
+    }
+    assert(e.getMessage.contains("evicted by retention"), e.getMessage)
+  }
+
   test("keepBatches retention: folds evict expired cells, state stays " +
       "bounded, reads into the evicted range fail loud") {
     import org.apache.spark.sql.functions.{col, substring_index}

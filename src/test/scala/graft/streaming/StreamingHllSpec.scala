@@ -97,6 +97,85 @@ class StreamingHllSpec extends SparkTestBase {
     plain.update(b0.toDF("it"), 0L)
     intercept[IllegalArgumentException] { plain.registersBy(1L) }
   }
+  test("keepBatches retention: folds evict expired registers, state stays " +
+      "bounded, reads into the evicted range fail loud") {
+    import org.apache.spark.sql.functions._
+    val store = tmp("keep")
+    val acc = new StreamingHll.HllAccumulator(spark, store, "it",
+      p = 8, compactEvery = 2, keepBatches = 2)
+    // 8 batches of disjoint item ranges
+    val batches = (0 until 8).map(i =>
+      (i * 500 until (i + 1) * 500).map(n => s"k$n"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      acc.update(b.toDF("it"), i.toLong)
+    }
+    // folds ran at updates 2/4/6 → frontier 6, horizon = 6 - 2 = 4
+    assert(acc.evictedBefore() == 4L)
+    // state is bounded: every surviving register's batch tag >= horizon
+    // (expired cells left the store at the fold, they aren't just
+    // filtered at read time)
+    val tags = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store)
+      .select(substring_index(col("cell"), ":", 1).cast("long"))
+      .as[Long].distinct().collect().sorted
+    assert(tags.toSeq == Seq(4L, 5L, 6L, 7L), s"stored tags: ${tags.toSeq}")
+    // in-retention window reads stay EXACT vs the one-shot sketch
+    val got = acc.registers(8L, fromBatch = 6L).as[(Int, Int)].collect().toSet
+    val want = FreqSketch.hllSketch(
+      (batches(6) ++ batches(7)).toDF("it"), "it")
+      .as[(Int, Int)].collect().toSet
+    assert(got == want)
+    // reads reaching evicted batches fail loud: windowed below the
+    // horizon and cumulative (fromBatch 0)
+    Seq(
+      () => acc.registers(8L, fromBatch = 3L),
+      () => acc.estimate(8L)
+    ).foreach { read =>
+      val e = intercept[IllegalArgumentException](read())
+      assert(e.getMessage.contains("evicted by retention"), e.getMessage)
+    }
+    // grouped retention stores guard their reads the same way
+    val gacc = new StreamingHll.HllAccumulator(spark, tmp("keepg"), "it",
+      p = 8, compactEvery = 2, groupCol = Some("g"), keepBatches = 2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      gacc.update(b.zipWithIndex.map { case (it, j) =>
+        (if (j % 2 == 0) "a" else "b", it) }.toDF("g", "it"), i.toLong)
+    }
+    assert(gacc.evictedBefore() == 4L)
+    val e = intercept[IllegalArgumentException](gacc.estimateBy(8L))
+    assert(e.getMessage.contains("evicted by retention"))
+    assert(gacc.estimateBy(8L, fromBatch = 5L)
+      .select("grp").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("10-batch replay: no mid-replay fold may delete delta files the " +
+      "per-state lazy reads still reference") {
+    // regression for the byBatch/byBatchBy fold hazard: with the
+    // accumulator's DEFAULT compactEvery=8, update 8 folded batches 0–7
+    // and the final union of per-state lazy frames failed at execution
+    // with FileNotFoundException; replays must pin compactEvery past
+    // the batch count (the StreamingFreqSketch.byBatchWindow discipline)
+    val batches = (0 until 10).map(i =>
+      (i * 400 until (i + 1) * 400).map(n => s"k$n").toDF("it"))
+    val rows = StreamingHll.byBatch(spark, batches, tmp("replay"), "it",
+        p = 8, window = 3)
+      .orderBy("batch_id").as[(Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    // estimates still track truth at the far end of the replay
+    assert(math.abs(rows.last._2 - 4000.0) / 4000.0 < 0.3,
+      s"cum ${rows.last._2} vs 4000")
+    assert(math.abs(rows.last._3 - 1200.0) / 1200.0 < 0.3,
+      s"win ${rows.last._3} vs 1200")
+    // grouped twin
+    val grows = StreamingHll.byBatchBy(spark,
+        batches.map(_.withColumn("g",
+          org.apache.spark.sql.functions.lit("g1"))),
+        tmp("replayg"), "g", "it", p = 8, window = 3)
+      .orderBy("batch_id").as[(Long, String, Double, Double)].collect()
+    assert(grows.map(_._1).toSeq == (0L until 10L))
+    assert(grows.forall(_._2 == "g1"))
+  }
+
   test("batch-id regression fails fast instead of corrupting window reads") {
     // batch ids live INSIDE the stored cell keys: a stream restarted
     // WITHOUT its checkpoint re-numbers from 0 and would interleave new

@@ -155,6 +155,51 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(acc2.postings().count() == 8L)
   }
 
+  test("legacy store migration: unmarked committed segments are " +
+      "backfilled at attach, never swept as crash leftovers") {
+    val store = tmp("legacy")
+    val cents = Similarity.ivfCentroids(vecs(0L until 30L), "vec_id",
+      "embedding", numCells = 4)
+    val acc = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", cents, compactEvery = 2)
+    (0 until 4).foreach(i => acc.update(vecs(Seq(i.toLong)), i.toLong))
+    assert(acc.postings().count() == 4L)
+    val gens = new java.io.File(store).list().toSeq.filter(_.startsWith("gen="))
+    assert(gens.size == 2, s"fixture needs folded segments: $gens")
+    // simulate a store written by pre-marker-discipline code in a
+    // session with committer success-markers disabled: no format
+    // marker, committed segments without _SUCCESS
+    gens.foreach { g =>
+      val m = new java.io.File(s"$store/$g/_SUCCESS")
+      assert(m.delete(), s"fixture: $g must have carried a marker")
+    }
+    assert(new java.io.File(s"$store/_graft_ivf_v2").delete())
+    // attach: migration must backfill the markers (the dirs hold real
+    // parquet, parse as spans, and no wider committed cover exists) —
+    // before the fix, postings() under-read to 0 and the first
+    // update's sweep permanently deleted both segments
+    val acc2 = new StreamingIvf.IvfAccumulator(spark, store, "vec_id",
+      "embedding", Nil, compactEvery = 2)
+    assert(acc2.postings().count() == 4L,
+      "unmarked committed segments must be readable after migration")
+    acc2.update(vecs(Seq(4L)), 4L) // runs the sweep
+    gens.foreach { g =>
+      assert(new java.io.File(s"$store/$g").exists(),
+        s"sweep must not delete the migrated segment $g")
+    }
+    assert(acc2.postings().count() == 5L)
+    // the store is stamped: on a POST-migration store a genuinely
+    // partial gen dir (junk bytes, no marker) is still swept
+    val partial = new java.io.File(s"$store/gen=0_9")
+    assert(partial.mkdir())
+    java.nio.file.Files.write(partial.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    acc2.update(vecs(Seq(5L)), 5L)
+    assert(!partial.exists(),
+      "a partial dir on a stamped store is a crash leftover, not legacy")
+    assert(acc2.postings().count() == 6L)
+  }
+
   test("generational compaction: folded reads are byte-identical, " +
       "plan fan-in stays bounded, attach-after-many-batches works") {
     val store = tmp("gen")

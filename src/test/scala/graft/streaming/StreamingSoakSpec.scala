@@ -147,6 +147,144 @@ class StreamingSoakSpec extends SparkTestBase {
     assert(hits.length == 3 && hits.exists(_.getAs[Long]("neighbor_id") == 42L))
   }
 
+  test("50-batch t-digest ingest: version + batch-digest file counts " +
+      "bounded by (keepVersions, keepBatches), horizon window exact, " +
+      "past-horizon reads fail loud") {
+    val store = tmp("tdigest")
+    val nBatches = 50
+    val window = 4
+    val acc = new StreamingTDigest.TDigestAccumulator(spark, store, "v",
+      delta = 32, keepVersions = 2, keepBatches = 6)
+    var filesAtHalf = 0
+    (0 until nBatches).foreach { i =>
+      // batch i: 20 values centered on i*100 so the running quantiles move
+      acc.update((0 until 20).map(j => i * 100L + j).toDF("v"), i.toLong)
+      if (i == nBatches / 2 - 1) filesAtHalf = parquetFiles(store)
+    }
+    // FILES: cumulative versions are pruned to keepVersions and batch
+    // digests to keepBatches — the second half must not grow the store
+    val filesAtEnd = parquetFiles(store)
+    assert(filesAtEnd <= filesAtHalf + 8,
+      s"store files grew with stream length: $filesAtHalf -> $filesAtEnd")
+    val dirs = new java.io.File(store).list().toSeq
+    assert(dirs.count(_.startsWith("digest_upto_")) <= 2,
+      s"cumulative versions grew past keepVersions: $dirs")
+    assert(dirs.count(_.startsWith("batch_digest_")) <= 7,
+      s"per-batch digests grew past keepBatches: $dirs")
+    // HORIZON WINDOW: exact rank + bracket over exactly the last 4
+    // batches' 80 values
+    val truth = (nBatches - window until nBatches)
+      .flatMap(i => (0 until 20).map(j => i * 100L + j)).sorted
+    acc.quantilesWindow(Seq(0.5, 0.99), nBatches.toLong,
+        (nBatches - window).toLong)
+      .select(col("q"), col("target_rank"),
+        col("vmin").cast("double"), col("vmax").cast("double"))
+      .as[(Double, Long, Double, Double)].collect()
+      .foreach { case (q, rank, lo, hi) =>
+        assert(rank == math.floor(q * (truth.size - 1)).toLong, s"q$q rank")
+        val t = truth(rank.toInt).toDouble
+        assert(t >= lo && t <= hi, s"q$q: true $t outside [$lo, $hi]")
+      }
+    // cumulative read still serves (keepCumulative) after 50 folds
+    assert(acc.quantiles(Seq(0.5), nBatches.toLong).count() == 1L)
+    // a window wider than the retained digests fails loud
+    val e = intercept[IllegalArgumentException] {
+      acc.quantilesWindow(Seq(0.5), nBatches.toLong, 0L)
+    }
+    assert(e.getMessage.contains("raise keepBatches"), e.getMessage)
+  }
+
+  test("50-batch paragraph-dedup + boilerplate LSM stores: file counts " +
+      "bounded by compaction, suppression semantics hold at batch 50") {
+    val paraStore = tmp("para")
+    val boilStore = tmp("boil")
+    val para = new StreamingParagraphDedup.ParagraphDeduper(spark,
+      paraStore, "doc_id", "text", compactEvery = 4, numBuckets = 4)
+    val boil = new StreamingBoilerplate.BoilerplateStripper(spark,
+      boilStore, "doc_id", "text", minDocs = 3, compactEvery = 4,
+      numBuckets = 4)
+    val nBatches = 50
+    var pHalf = 0; var bHalf = 0
+    var lastPara: Seq[(Long, Long, Long)] = Nil
+    var lastBoil: Seq[(String, Long, Long)] = Nil
+    (0 until nBatches).foreach { i =>
+      // every doc carries one SHARED paragraph/line + one unique one
+      val doc = Seq((s"d$i", s"SHARED FOOTER TEXT\nunique paragraph $i"))
+        .toDF("doc_id", "text")
+      // consume each returned frame before the next update (the
+      // documented LSM contract a foreachBatch sink satisfies)
+      lastPara = para.update(doc, i.toLong)
+        .select($"batch_id", $"n_paras".cast("long"),
+          $"n_kept".cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq
+      lastBoil = boil.update(doc, i.toLong)
+        .select($"clean_text", $"n_paras".cast("long"),
+          $"n_kept".cast("long"))
+        .as[(String, Long, Long)].collect().toSeq
+      if (i == nBatches / 2 - 1) {
+        pHalf = parquetFiles(paraStore); bHalf = parquetFiles(boilStore)
+      }
+    }
+    // FILES: compaction folds deltas into ONE bucketed base — the
+    // second half of the stream must not grow either store's file count
+    assert(parquetFiles(paraStore) <= pHalf + 8,
+      s"paragraph store grew: $pHalf -> ${parquetFiles(paraStore)}")
+    assert(parquetFiles(boilStore) <= bHalf + 8,
+      s"boilerplate store grew: $bHalf -> ${parquetFiles(boilStore)}")
+    // SEMANTICS at the far end: the shared paragraph is a cross-doc
+    // duplicate (seen in 49 prior docs) and the shared line is
+    // boilerplate (way past minDocs=3) — batch 49 keeps only its
+    // unique content
+    assert(lastPara == Seq((49L, 2L, 1L)), s"paragraph dedup: $lastPara")
+    assert(lastBoil.size == 1 && lastBoil.head._2 == 2L &&
+      lastBoil.head._3 == 1L, s"boilerplate: $lastBoil")
+    assert(lastBoil.head._1 == s"unique paragraph 49")
+    // PLANS: the store probe fan-in is bounded by base buckets + deltas
+    val parts = para.storeParts(nBatches.toLong)
+    assert(parts.map(_.inputFiles.length).sum <= 4 + 4 * 4,
+      s"probe fan-in: ${parts.map(_.inputFiles.length).sum}")
+  }
+
+  test("50-batch CDC upsert stream: vacuum holds generation dirs " +
+      "bounded, current() stays exact latest-per-key, plan fan-in " +
+      "bounded by buckets") {
+    val store = tmp("cdc")
+    val cdc = new StreamingMerge.StateStore(spark, store, "k",
+      orderCols = Seq("ts"), numBuckets = 4)
+    val nBatches = 50
+    var halfGens = 0
+    (0 until nBatches).foreach { i =>
+      // 10-key space, every batch upserts 3 rotating keys at ts = i
+      val rows = (0 until 3).map(j => (s"k${(i + j) % 10}", i.toLong,
+        s"payload-$i-$j"))
+      cdc.update(rows.toDF("k", "ts", "payload"), i.toLong)
+      if (i % 10 == 9) cdc.vacuum() // no readers hold older snapshots
+      if (i == nBatches / 2 - 1)
+        halfGens = new java.io.File(store).list()
+          .count(_.startsWith("gen-"))
+    }
+    cdc.vacuum()
+    // GENS: superseded generations are deleted — live dirs are bounded
+    // by the bucket → generation mapping, not by batch count
+    val gens = new java.io.File(store).list().toSeq
+      .filter(_.startsWith("gen-"))
+    assert(gens.size <= 4 + 1,
+      s"generation dirs grew with stream length: $gens")
+    // CURRENT: exact latest-per-key after 50 upsert batches — key kX
+    // was last touched by the latest batch i with (i+j)%10 == X
+    val cur = cdc.current()
+    assert(cur.count() == 10L)
+    val got = cur.select($"k", $"ts").as[(String, Long)].collect().toMap
+    (0 until 10).foreach { x =>
+      val want = (0 until nBatches)
+        .filter(i => (0 until 3).exists(j => (i + j) % 10 == x)).max.toLong
+      assert(got(s"k$x") == want, s"k$x: ${got(s"k$x")} != $want")
+    }
+    // PLANS: a snapshot read scans O(numBuckets) generation dirs
+    assert(cur.inputFiles.length <= 4 * 4,
+      s"current() fans into ${cur.inputFiles.length} files")
+  }
+
   /** Cited behavior contracts: the reference's production stance is
     * per-day batch jobs over S3 logs
     * (`/root/reference/scripts/oss_s3_server_side_logging_compacter.py:200-214`
