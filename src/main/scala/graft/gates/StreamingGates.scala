@@ -688,6 +688,32 @@ private[graft] object StreamingGates extends GateFamily {
           Seq(0.5, 0.99), subBits = 5)
         .orderBy("batch_id", "grp", "q")
     }),
+
+    // streaming ext — continuous MinHash+LSH near-dedup: each batch's
+    // documents are probed against the banded-signature index of the
+    // strictly-prior batches (the document-level twin of q104's span
+    // store; q13's LSH made continuous). Portable md5 hashing, so the
+    // oracle rebuilds every signature, band key, and estimate
+    // bit-for-bit — the verify here is the MinHash ESTIMATE (matching
+    // components / 64, a power-of-two division so the double is exact),
+    // not the exact-Jaccard equivalence trick q13 uses.
+    "q280_stream_minhash_lsh" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val near = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zzz end")).as("text"))
+      val all = docs.union(near)
+      // near-copies of batch-2 originals land in batch 0 (10000 ≡ 1
+      // mod 3), so the replay exercises BOTH directions: copy probing
+      // its earlier original AND original probing its earlier copy
+      val batches = (0 to 2).map(b => all.filter(col("doc_id") % 3 === b))
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-q280").toString + "/lsh"
+      streaming.StreamingMinhashLsh.byBatch(s, batches, store,
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16,
+          estThreshold = 0.8)
+        .orderBy("batch_id", "doc_id", "match_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1032,5 +1058,45 @@ private[graft] object StreamingGates extends GateFamily {
     "q270_stream_hll_group" -> StreamGroupHllOracle,
 
     "q271_stream_hdr_group" -> StreamGroupHdrOracle,
+
+    // full hash-exact replay: DuckDB rebuilds the minhash signatures
+    // (h_i(s) = first 16 hex chars of md5('i|' || s); fixed-width
+    // lowercase hex compares like the unsigned number it spells, so
+    // min() over hex IS min-hashing), the band keys, the band-collision
+    // candidates, and the matching-component estimate — then applies
+    // the same strictly-prior-batch rule the store enforces
+    "q280_stream_minhash_lsh" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zzz end' FROM documents WHERE doc_id % 7 = 0),
+         |$ShingleCte,
+         |sigc AS (
+         |  SELECT sh.doc_id, g.i AS i,
+         |    min(substr(md5(g.i::VARCHAR || '|' || u.s), 1, 16)) AS m
+         |  FROM sh, unnest(sh.s) u(s), generate_series(0, 63) g(i)
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigc GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id,
+         |    md5(b.b::VARCHAR || '|' ||
+         |        array_to_string(sig[(b.b * 4 + 1):(b.b * 4 + 4)], '|')) AS bkey
+         |  FROM sig, generate_series(0, 15) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey
+         |  WHERE a.doc_id % 3 > b.doc_id % 3),
+         |est AS (
+         |  SELECT c.doc_id, c.match_id,
+         |    CAST(len(list_filter(generate_series(1, 64),
+         |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.match_id)
+         |SELECT CAST(doc_id % 3 AS BIGINT) AS batch_id,
+         |  CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(match_id AS BIGINT) AS match_id, est_jaccard
+         |FROM est WHERE est_jaccard >= 0.8
+         |ORDER BY batch_id, doc_id, match_id""".stripMargin,
   )
 }

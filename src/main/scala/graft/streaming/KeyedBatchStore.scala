@@ -11,8 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * base registered in the catalog, so a per-batch probe join NEVER
   * shuffles the base — only the (tiny) batch keys move to meet it —
   * and repeated content folds at compaction, it never accumulates rows.
-  * Two merge modes: DISTINCT keys (default), or, with `countCol` set, a
-  * BIGINT payload sum-merged per key (cumulative frequency stores).
+  * Merge modes: DISTINCT keys (default); with `countCol` set, a BIGINT
+  * payload sum-merged per key (cumulative frequency stores); with
+  * `extraCols` set, DISTINCT whole rows of (key, extras) — posting
+  * stores like [[StreamingMinhashLsh]]'s (band key → doc id) index,
+  * still bucketed by `keyCol` so probe joins never shuffle the base.
   *
   * Layout under `storePath`:
   *  - `compacted_upto_<n>/`: the distinct keys of all batches < n, ONE
@@ -32,12 +35,21 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
                             compactEvery: Int, numBuckets: Int,
                             countCol: Option[String] = None,
                             retainAtCompact: Option[
-                              Long => org.apache.spark.sql.Column] = None) {
+                              Long => org.apache.spark.sql.Column] = None,
+                            extraCols: Seq[(String, String)] = Seq.empty) {
   require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
   require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
   require(Set("BIGINT", "STRING").contains(keySqlType),
     s"keySqlType must be BIGINT or STRING, got $keySqlType")
   require(countCol.forall(_ != keyCol), "countCol must differ from keyCol")
+  require(countCol.isEmpty || extraCols.isEmpty,
+    "countCol (sum-merge per key) and extraCols (distinct rows) are " +
+      "mutually exclusive merge modes")
+  require(extraCols.forall { case (n, t) =>
+    n != keyCol && Set("BIGINT", "STRING", "DOUBLE",
+      "ARRAY<BIGINT>", "ARRAY<STRING>").contains(t.toUpperCase) },
+    s"extraCols must not collide with keyCol and must use a supported " +
+      s"SQL type, got $extraCols")
 
   private def fs = new Path(storePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,6 +90,7 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
       val name = tableName(upTo)
       if (!spark.catalog.tableExists(name)) {
         val cols = (Seq(s"$keyCol $keySqlType") ++
+          extraCols.map { case (n, t) => s"$n $t" } ++
           countCol.map(c => s"$c BIGINT")).mkString(", ")
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS $name ($cols)
@@ -116,7 +129,8 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     val parts = base.map(_._2).toSeq ++
       (if (deltas.isEmpty) Seq.empty else Seq(spark.read.parquet(deltas: _*)))
     if (parts.isEmpty) return
-    // distinct-key mode collapses duplicates; counting mode sum-merges
+    // distinct mode collapses duplicate rows (whole-row with
+    // extraCols); counting mode sum-merges
     // per-batch counts into one row per key (same sub-linear-growth
     // property: repeated content folds, it never accumulates rows)
     val folded = countCol match {
@@ -161,9 +175,10 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
       (if (files.isEmpty) Seq.empty else Seq(spark.read.parquet(files: _*)))
   }
 
-  /** Write a batch's distinct single-key frame under its own
-    * `batch=<id>` directory (overwrite → retry-idempotent). The frame
-    * must have exactly the store's key column.
+  /** Write a batch's frame under its own `batch=<id>` directory
+    * (overwrite → retry-idempotent). The frame must have exactly the
+    * store's columns in store order: key, extras, count — matching the
+    * registered DDL of the compacted base it will fold into.
     */
   def append(keys: DataFrame, batchId: Long): Unit =
     keys.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
