@@ -291,4 +291,36 @@ class StreamingSoakSpec extends SparkTestBase {
     * loops days in one session); this soak pins the equivalent
     * long-run discipline for the streaming extension's stores.
     */
+
+  test("50-batch MinHash-LSH near-dedup: retention bounds both stores, " +
+      "window matches exact at batch 50") {
+    val store = tmp("lsh")
+    val base = (0 until 40).map(j => s"word$j").mkString(" ")
+    val d = new StreamingMinhashLsh.MinhashLshDeduper(spark, store,
+      "doc_id", "text", estThreshold = 0.5, compactEvery = 4,
+      numBuckets = 4, keepBatches = 4)
+    val nBatches = 50
+    var half = 0
+    var last: Set[(Long, Long)] = Set.empty
+    (0 until nBatches).foreach { i =>
+      // every doc is a near-copy of every other (shared 40-word base,
+      // unique tail) — the worst case for an unbounded dedup index and
+      // exactly what retention must keep bounded
+      val doc = Seq((1000L + i, s"$base tail$i")).toDF("doc_id", "text")
+      last = d.update(doc, i.toLong)
+        .select($"doc_id", $"match_id").as[(Long, Long)].collect().toSet
+      if (i == nBatches / 2 - 1) half = parquetFiles(store)
+    }
+    // FILES: with keepBatches retention the second half of the stream
+    // must not grow the store (state is window-sized, not stream-sized)
+    assert(parquetFiles(store) <= half + 8,
+      s"LSH store grew: $half -> ${parquetFiles(store)}")
+    // SEMANTICS at the far end: batch 49 probes exactly the retained
+    // window — base covers horizon(44)..47 after the batch-48 fold,
+    // plus the batch-48 delta — so its matches are docs 44..48, all
+    // five, and nothing older
+    assert(last == (44 until 49).map(j => (1049L, 1000L + j)).toSet,
+      s"batch-49 window matches: $last")
+    assert(d.evictedBefore() == 44L)
+  }
 }
