@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IPv4 network analytics: dotted-quad parsing and the LONGEST-PREFIX-
@@ -18,10 +17,11 @@ import org.apache.spark.sql.functions._
   * explodes to at most `maxLen − minLen + 1` `(len, ip >> (32−len))`
   * keys map-side, the network table (keyed the same way) broadcasts,
   * and the join is a plain hash equi-join; the most-specific pick is a
-  * per-probe-row window over a frame bounded by the length-domain
-  * constant (≤ 33 rows). Probe amplification is a CONSTANT factor —
-  * bounded by the length domain, not by table sizes — and the corpus
-  * never shuffles when the network table broadcasts.
+  * per-probe struct-min AGGREGATE (partial map-side, ≤ length-domain
+  * candidate rows per probe collapse before the exchange). Probe
+  * amplification is a CONSTANT factor — bounded by the length domain,
+  * not by table sizes — and the corpus never shuffles when the network
+  * table broadcasts.
   *
   * All arithmetic is integer (shifts by literal counts), so a DuckDB
   * oracle replays the match bit-for-bit.
@@ -126,9 +126,9 @@ object Net {
     * (128−len))` (len 0 → `(0, 0)`). Same plan shape as v4: constant
     * ≤ lens.size map-side probe explode (every shift count is a
     * LITERAL), broadcast hash equi-join on `(len, prefix_hi,
-    * prefix_lo)`, per-probe window bounded by the length domain, left
-    * join back on the unique `idCol`. Ties at equal length break by
-    * the ascending sort of the remaining `nets` columns.
+    * prefix_lo)`, per-probe struct-min aggregate (map-side partial),
+    * left join back on the unique `idCol`. Ties at equal length break
+    * by the ascending sort of the remaining `nets` columns.
     *
     * `lens` is the PRESENT length set, not a range: v6 tables
     * typically carry a handful of prefix lengths out of 129 possible,
@@ -168,12 +168,18 @@ object Net {
         netCols.map(col)): _*)
     val matched = cand
       .join(broadcast(netsK), Seq("__len", "__ph", "__pl"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__pid"))
-          .orderBy((col("__len").desc +: netCols.map(c => col(c).asc)): _*)))
-      .filter(col("__rk") === 1)
-      .select((col("__pid") +: col("__len").as("matched_len") +:
-        netCols.map(col)): _*)
+      .groupBy(col("__pid"))
+      // most-specific pick as a STRUCT-MIN aggregate, not a row_number
+      // window: min(struct(-len, netCols…)) selects exactly the row the
+      // (len DESC, netCols ASC) sort put first (struct comparison is
+      // field-lexicographic with the window's null-first asc order),
+      // but aggregates partially map-side — per-probe candidate groups
+      // collapse to one row before the exchange, where the window had
+      // to shuffle AND sort every matched candidate row (guide §2.3).
+      .agg(min(struct(((-col("__len")).as("__nl") +:
+        netCols.map(c => col(c).as(c))): _*)).as("__b"))
+      .select((col("__pid") +: (-col("__b.__nl")).as("matched_len") +:
+        netCols.map(c => col(s"__b.$c").as(c))): _*)
     probes.join(matched, probes(idCol) === matched("__pid"), "left")
       .drop("__pid")
   }
@@ -190,20 +196,31 @@ object Net {
     * Ties at the same length (duplicate `(len, prefix)` rows in
     * `nets`) break deterministically by the ascending sort of the
     * remaining `nets` columns, so the result is a pure function of the
-    * inputs. Plan shape: probe explode (constant ≤ maxLen−minLen+1
-    * amplification, map-side) → broadcast hash join on
-    * `(len, prefix)` → per-probe-row window (frame ≤ the length
-    * domain) → left join back on `idCol`.
+    * inputs. Plan shape: probe explode (constant ≤ |lens| map-side
+    * amplification) → broadcast hash join on `(len, prefix)` →
+    * per-probe struct-min aggregate (partial map-side) → left join
+    * back on `idCol`.
     */
   def longestPrefixJoin(probes: DataFrame, idCol: String, ipCol: String,
                         nets: DataFrame, lenCol: String, prefixCol: String,
-                        minLen: Int = 0, maxLen: Int = 32): DataFrame = {
+                        minLen: Int = 0, maxLen: Int = 32,
+                        lens: Seq[Int] = Seq.empty): DataFrame = {
     require(0 <= minLen && minLen <= maxLen && maxLen <= 32,
       s"need 0 <= minLen <= maxLen <= 32, got [$minLen, $maxLen]")
+    // `lens` = the PRESENT length set (the longestPrefixJoin6 stance):
+    // CIDR tables typically carry a handful of prefix lengths, and probe
+    // amplification is |lens| — net rows at absent lengths can never
+    // match an un-exploded key, so restricting the explode to the
+    // lengths actually present changes nothing but the map-side volume
+    // (17× → 5× in the q243 shape). Empty = every length in range.
+    require(lens.forall(l => minLen <= l && l <= maxLen),
+      s"lens must lie within [$minLen, $maxLen], got $lens")
+    val lenSet = if (lens.isEmpty) (minLen to maxLen).toSeq
+      else lens.distinct.sorted
     val netCols = nets.columns.filter(c => c != lenCol && c != prefixCol)
     // probe keys: one (len, prefix-of-ip-at-len) struct per literal
     // length — shift counts are literals, so the whole explode codegens
-    val keys = (minLen to maxLen).map { l =>
+    val keys = lenSet.map { l =>
       struct(lit(l.toLong).as("__len"),
         shiftright(col(ipCol).cast("long"), 32 - l).cast("long")
           .as("__prefix"))
@@ -219,12 +236,16 @@ object Net {
         netCols.map(col)): _*)
     val matched = cand
       .join(broadcast(netsK), Seq("__len", "__prefix"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("__pid"))
-          .orderBy((col("__len").desc +: netCols.map(c => col(c).asc)): _*)))
-      .filter(col("__rk") === 1)
-      .select((col("__pid") +: col("__len").as("matched_len") +:
-        netCols.map(col)): _*)
+      .groupBy(col("__pid"))
+      // struct-min argmax instead of a row_number window — see
+      // [[longestPrefixJoin6]]: identical pick (field-lexicographic
+      // struct order = the (len DESC, netCols ASC) sort), but the
+      // partial aggregate collapses each probe's candidates map-side,
+      // so the exchange carries one row per probe and nothing sorts.
+      .agg(min(struct(((-col("__len")).as("__nl") +:
+        netCols.map(c => col(c).as(c))): _*)).as("__b"))
+      .select((col("__pid") +: (-col("__b.__nl")).as("matched_len") +:
+        netCols.map(c => col(s"__b.$c").as(c))): _*)
     probes.join(matched, probes(idCol) === matched("__pid"), "left")
       .drop("__pid")
   }

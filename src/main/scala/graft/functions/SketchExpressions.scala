@@ -47,6 +47,45 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** PORTABLE MinHash signature: array<string> of length `numHashes`;
+  * slot i = MIN over elements of the first 16 hex chars of
+  * `md5(i || "|" || element)` — byte-for-byte the declarative
+  * `transform(sequence(0, k−1), i => array_min(transform(sh, s =>
+  * substring(md5(concat(i, "|", s)), 1, 16))))` that
+  * [[graft.streaming.StreamingMinhashLsh]] replays in DuckDB, but in
+  * ONE tight pass per row: each element's bytes are materialized once,
+  * each (i, element) md5 runs on a reused thread-local digest into a
+  * reused output buffer, and the running minima are kept as unsigned
+  * longs (16 lowercase hex chars compare exactly like the unsigned
+  * 64-bit value they spell, so the string min IS the numeric min) —
+  * no per-slot array allocation, no interpreted lambda per element.
+  * NULL elements are skipped (array_min semantics); a row with no
+  * non-null element yields all-NULL slots, matching
+  * `array_min(empty) = NULL`.
+  */
+case class PortableMinHash(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "portable_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchHelper.portableMinhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchHelper.portableMinhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array: per bit, sign of the ±1 sum over
   * token hashes. The token hash is the FIRST 8 BYTES OF md5 (big-endian
   * = the first 16 hex chars), not xxh64: md5 is the one 64-bit-capable
@@ -368,6 +407,68 @@ object SketchHelper {
     out
   }
 
+  /** One-pass portable MinHash (see [[PortableMinHash]]): per element,
+    * `numHashes` md5s of ("i|" ++ element bytes) on a reused digest;
+    * minima tracked as unsigned longs of the first 8 digest bytes
+    * (== the first 16 hex chars read as an unsigned number); hex
+    * rendering only for the `numHashes` winners at the end.
+    */
+  def portableMinhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    // "i|" prefixes are a pure function of numHashes — tiny, compute
+    // per call is fine (allocation-free reuse would need per-plan
+    // state; 64 small arrays per ROW is noise next to the md5s)
+    val prefixes = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      prefixes(i) = (i.toString + "|").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII)
+      i += 1
+    }
+    val mins = new Array[Long](numHashes)
+    var found = false
+    val d = md5Local.get()
+    val out = new Array[Byte](16)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val sBytes = arr.getUTF8String(j).getBytes
+        var k = 0
+        while (k < numHashes) {
+          d.reset()
+          d.update(prefixes(k))
+          d.update(sBytes)
+          d.digest(out, 0, 16)
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+          if (!found || java.lang.Long.compareUnsigned(h, mins(k)) < 0)
+            mins(k) = h
+          k += 1
+        }
+        found = true
+      }
+      j += 1
+    }
+    if (!found)
+      return new GenericArrayData(new Array[Any](numHashes)) // all NULL
+    val hexDigits = "0123456789abcdef".getBytes
+    val res = new Array[Any](numHashes)
+    i = 0
+    while (i < numHashes) {
+      val v = mins(i)
+      val hx = new Array[Byte](16)
+      var b = 0
+      while (b < 16) {
+        hx(b) = hexDigits(((v >>> ((15 - b) * 4)) & 0xfL).toInt)
+        b += 1
+      }
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hx)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
   def simhash(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
@@ -396,6 +497,9 @@ object SketchHelper {
 object SketchFunctions {
   def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes, seed))
+
+  def portableMinhash(shingles: Column, numHashes: Int = 64): Column =
+    ColumnBridge.column(PortableMinHash(ColumnBridge.expression(shingles), numHashes))
 
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHash(ColumnBridge.expression(tokens)))

@@ -154,7 +154,7 @@ private[graft] object InfraGates extends GateFamily {
         .filter(col("__rk") === 1)
         .select("len", "prefix", "net_id", "segment")
       ext.Net.longestPrefixJoin(ips, "id", "ipn", nets, "len", "prefix",
-          minLen = 8, maxLen = 24)
+          minLen = 8, maxLen = 24, lens = Seq(8, 12, 16, 20, 24))
         .groupBy(coalesce(col("matched_len"), lit(-1L)).as("matched_len"),
           coalesce(col("segment"), lit("(none)")).as("segment"))
         .agg(count(lit(1)).as("n_ips"),

@@ -112,10 +112,15 @@ object StreamingMinhashLsh {
       if (!portableHashes)
         graft.functions.SketchFunctions.minhashSignature(sh, numHashes)
       else
-        transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          array_min(transform(sh, s => substring(
-            md5(concat(i.cast("string"), lit("|"), s).cast("binary")),
-            1, 16))))
+        // one-pass kernel, byte-identical to the declarative
+        // transform(sequence(0, k−1), i => array_min(transform(sh, s =>
+        // substring(md5(concat(i, "|", s)), 1, 16)))) it replaces
+        // (equality spec-pinned): the higher-order form ran k
+        // INTERPRETED lambda evals per shingle — k × |sh| md5s each
+        // paying MessageDigest.getInstance + hex + substring + string
+        // allocation — and dominated the whole gate (18 s of the r15
+        // baseline sweep's q280)
+        graft.functions.SketchFunctions.portableMinhash(sh, numHashes)
 
     /** One band key per band: hash of (band index, that band's
       * signature slice) — collision = identical slice (up to hash),

@@ -153,6 +153,13 @@ object StreamingTDigest {
         if (keepBatches > 0) {
           summarized
             .select("shard", "weight", "sumv", "vmin", "vmax")
+            // one file: the digest is ≤ shards·(δ+1) summary rows by
+            // construction (bounded at any data scale), but summarize
+            // leaves it on its post-window partitioning — written
+            // as-is that is one near-empty parquet file PER SHUFFLE
+            // PARTITION, and every windowed/decayed read re-pays the
+            // open+footer cost per file (guide §6 small-files)
+            .coalesce(1)
             .write.mode("overwrite").parquet(batchDigestDir(batchId))
           spark.read.parquet(batchDigestDir(batchId))
         } else summarized

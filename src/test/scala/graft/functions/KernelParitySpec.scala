@@ -102,4 +102,23 @@ class KernelParitySpec extends SparkTestBase {
       .filter(!(col("k") <=> col("c"))).collect()
     assert(bad.isEmpty, s"tokenModeCount diverges: ${bad.take(3).toSeq}")
   }
+
+  test("PortableMinHash == md5-transform/array_min composition") {
+    // the exact declarative form StreamingMinhashLsh used before the
+    // kernel (and that its DuckDB oracle still replays): slot i =
+    // array_min over shingles of the first 16 hex chars of md5("i|" ++ s)
+    val numHashes = 16
+    val rows = (0L until 80L).map { i =>
+      (i, Seq.tabulate((i % 7).toInt + 1)(j => s"sh ${(i * 13 + j * 5) % 23} x$j"))
+    } :+ (999L, Seq.empty[String])
+    val docs = rows.toDF("id", "sh")
+    val composed = transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(col("sh"), s => substring(
+        md5(concat(i.cast("string"), lit("|"), s).cast("binary")), 1, 16))))
+    val bad = docs.select(col("id"),
+        SketchFunctions.portableMinhash(col("sh"), numHashes).as("k"),
+        composed.as("c"))
+      .filter(!(col("k") <=> col("c"))).collect()
+    assert(bad.isEmpty, s"portableMinhash diverges: ${bad.take(3).toSeq}")
+  }
 }
