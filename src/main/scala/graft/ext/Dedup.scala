@@ -1133,9 +1133,22 @@ object Dedup {
       .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("dst")))
-    var labels = PlanCapture.cut(sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
-    var iter = 0
+    // ROUND 1 FUSED INTO THE SEED: at initialization every neighbor's
+    // label IS its id, so the first propagate round needs no join at
+    // all — min(self, neighbors) is ONE aggregate over sym. This seed
+    // equals exactly the first round's union+min under identity labels
+    // (sym is symmetrized, so every node appears as src and isolated-
+    // side coverage holds); the compression below then reproduces the
+    // original round-1 output bit-for-bit, two exchanges cheaper and
+    // one checkpoint execution fewer per call.
+    val seed = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("comp"))
+    var labels = PlanCapture.cut(seed
+      .join(seed.select(col("id").as("comp"), col("comp").as("comp2")),
+        Seq("comp"))
+      .select(col("id"), col("comp2").as("comp")))
+    var iter = 1
     // convergence via the label sum: labels only ever DECREASE, so an
     // unchanged sum IS the fixpoint — a scalar aggregate instead of a
     // changed-flag join against the previous round. Summed over
@@ -1148,14 +1161,26 @@ object Dedup {
     // work.
     def labelSum(df: DataFrame): org.apache.spark.sql.Row =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-    val sumRow = labelSum(labels)
+    // ONE action proves round 1: comp <= id everywhere, so
+    // sum(comp) == sum(id) iff the fused first round (and therefore
+    // the identity labeling) was already the fixpoint — the same
+    // stability evidence the original identity-seeded loop derived
+    // from its first two sums, without a separate identity-sum action
+    val sumRow = labels.agg(sum(col("comp").cast("decimal(38,0)")),
+      sum(col("id").cast("decimal(38,0)"))).head()
     if (sumRow.isNullAt(0)) return labels // no edges -> no labeled nodes
     var prevSum: Any = sumRow.get(0)
-    var converged = false
+    var converged = sumRow.get(0) == sumRow.get(1)
     while (!converged && iter < maxIter) {
       // one union + min-aggregate: neighbors' labels and the node's own
       // label meet in a single hash aggregate (no second join); every node
-      // appears in `labels`, so the union keeps isolated-side coverage
+      // appears in `labels`, so the union keeps isolated-side coverage.
+      // Checkpointed: the compression self-join below references it
+      // twice, and measured at sf0.1 the forked (uncut) form re-READ the
+      // propagation exchange on both sides (+70% shuffle-read records,
+      // duplicated post-shuffle aggregate) for no wall gain — the
+      // checkpoint is the cheaper way to share the round's work, locally
+      // and at label-frame scale (r15 measurement; the q245 fork lesson).
       val mined = PlanCapture.cut(sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("comp"))

@@ -124,9 +124,12 @@ object StreamingMerge {
       val clean = batch.filter(col(keyCol).isNotNull &&
         orderCols.map(col(_).isNotNull).reduce(_ && _))
       val best = latestPerKey(withBucket(clean))
-      if (best.isEmpty) return
+      // emptiness falls out of the touched-bucket collect below — a
+      // separate isEmpty() pre-check was one more action recomputing
+      // the whole batch aggregate (actions don't share exchanges)
       val touched = best.select("__bucket").distinct()
         .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+      if (touched.isEmpty) return
       val (prevV, mapping) = latestManifest().getOrElse((0L, Map.empty[Int, Long]))
       val v = prevV + 1
       val existingTouched = mapping.filter { case (b, _) => touched.contains(b) }

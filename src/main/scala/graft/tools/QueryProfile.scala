@@ -53,9 +53,29 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val acc = new Acc
+    // per-job wall + callsite, for attribution of many-job queries
+    // (enable with SPARK_GRAFT_PROFILE_JOBS=1)
+    val jobLog = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Int, Long, String)]())
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val logJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (logJobs) {
+          val s = jobStarts.remove(e.jobId)
+          if (s != null) jobLog.add((e.jobId, e.time - s._1, s._2))
+        }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         acc.jobs.incrementAndGet()
+        if (logJobs) {
+          val site = j.stageInfos.lastOption.map(_.name.takeWhile(_ != '('))
+            .getOrElse("?")
+          val execId = Option(j.properties)
+            .map(p => p.getProperty("spark.sql.execution.id", "-"))
+            .getOrElse("-")
+          jobStarts.put(j.jobId, (j.time, s"$site exec=$execId"))
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         acc.stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -92,7 +112,7 @@ object QueryProfile {
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { r =>
         val j0 = acc.jobs.get; val s0 = acc.stages.get; val t0 = acc.tasks.get
-        acc.reset()
+        acc.reset(); jobLog.clear()
         val w0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - w0) / 1e9
@@ -106,6 +126,18 @@ object QueryProfile {
           f"gc=${acc.gcMs.get}%4d ms deser=${acc.deserMs.get}%5d ms " +
           f"shufR=${acc.shufReadB.get / 1024}%7d KiB/${acc.shufReadRec.get}%8d rec " +
           f"shufW=${acc.shufWriteB.get / 1024}%7d KiB spill=${acc.spillB.get / 1024}%6d KiB")
+        if (logJobs && r == reps) {
+          import scala.jdk.CollectionConverters._
+          val entries = jobLog.asScala.toSeq
+          val bySite = entries.groupBy(_._3.split(" exec=")(0))
+            .map { case (site, js) =>
+              val execs = js.map(_._3.split(" exec=")(1)).distinct.size
+              (site, js.size, execs, js.map(_._2).sum) }
+            .toSeq.sortBy(-_._4)
+          bySite.take(12).foreach { case (site, n, ex, ms) =>
+            println(f"    $site%-36s jobs=$n%4d execs=$ex%3d total=${ms}%6d ms")
+          }
+        }
         // Bench-parity inter-run settle: drain active jobs, then GC so
         // block-manager pressure from run N is not billed to run N+1
         val tracker = spark.sparkContext.statusTracker
