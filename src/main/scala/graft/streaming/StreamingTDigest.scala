@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -302,6 +302,101 @@ object StreamingTDigest {
     /** foreachBatch adapter. */
     def asForeachBatch: (DataFrame, Long) => Unit =
       (batch, id) => update(batch, id)
+
+    // ------------------------------------------------ replay-batched reads
+    //
+    // The byBatchWindow replay harness reports a windowed read after
+    // EVERY batch plus one decayed read. Read as separate per-state
+    // frames (the r14 shape), each state paid its own full
+    // merge+quantile chain — windows, boundary explodes, aggregates,
+    // the quantile band join: ~a dozen stages over ≤ inputs·(δ+1)
+    // summary rows, stage-count-bound regardless of data size. The
+    // method below answers ALL states in ONE group-keyed chain: member
+    // digests union under a state key (composed with the group key when
+    // grouped) and the EXISTING group-partitioned kernels
+    // (tdigestMergeByGroup / tdigestQuantilesByGroup) produce per-state
+    // results identical to the per-state chains — every window in the
+    // kernel partitions by the full key, so each state's rows see
+    // exactly the math they saw alone (spec-pinned equality; oracle
+    // replays unchanged). Measured at sf0.1: q274 4.9 → 3.8 s,
+    // q277 5.1 → 3.8 s. The same collapse applied to the CUMULATIVE
+    // replay (byBatch) was measured SLOWER and reverted: its per-state
+    // chains are merge-free and cheap, and independent subtrees
+    // materialize their AQE stages in parallel while one chain runs
+    // strictly serially.
+
+    /** State key: the state id alone, or (state, group) packed in a
+      * struct so the single `shard` column keys both dimensions.
+      */
+    private def stateKey(state: Long): Column = groupCol match {
+      case Some(_) => struct(lit(state).as("s"), col("shard").as("g"))
+      case None => lit(state)
+    }
+
+    /** Unpack the read kernel's `shard` key back into `state`
+      * (+ `shard` for grouped stores), preserving the kernel's other
+      * columns.
+      */
+    private def unpackState(read: DataFrame): DataFrame = {
+      val rest = read.columns.filter(_ != "shard").map(col).toIndexedSeq
+      groupCol match {
+        case Some(_) => read.select(col("shard.s").as("state") +:
+          col("shard.g").as("shard") +: rest: _*)
+        case None => read.select(col("shard").as("state") +: rest: _*)
+      }
+    }
+
+    /** Sliding-window quantiles after EVERY batch in [1, uptoBatch]
+      * (state = batch id), plus — when `decayHalfLife` is set — ONE
+      * decayed read over the whole run tagged `state = -1`, all in one
+      * grouped merge + quantile chain. Retention coverage is checked
+      * per state exactly as [[quantilesWindow]]/[[quantilesDecayed]]
+      * require it.
+      */
+    def quantilesWindowAllStates(qs: Seq[Double], uptoBatch: Long,
+                                 window: Int,
+                                 decayHalfLife: Option[Int]): DataFrame = {
+      require(keepBatches > 0,
+        "windowed/decayed reads need keepBatches > 0 (per-batch digests " +
+          "are not retained by default)")
+      require(window >= 1, s"window must be >= 1, got $window")
+      val have = batchDigestIds().toSet
+      def members(u: Long): Seq[Long] =
+        (math.max(0L, u - window) until u).toSeq
+      (1L to uptoBatch).foreach { u =>
+        val want = members(u)
+        require(want.forall(have.contains),
+          s"window [${want.head}, $u) not fully retained " +
+            s"(have ${have.toSeq.sorted}) — raise keepBatches")
+      }
+      def read(j: Long): DataFrame =
+        spark.read.parquet(batchDigestDir(j))
+      val winFrames = for (u <- 1L to uptoBatch; j <- members(u)) yield
+        read(j).select(stateKey(u - 1).as("shard"), col("weight"),
+          col("sumv"), col("vmin"), col("vmax"))
+      val decayFrames = decayHalfLife.toSeq.flatMap { h =>
+        require(h >= 1, s"halfLifeBatches must be >= 1, got $h")
+        val maxShift = ((uptoBatch - 1) / h).toInt
+        require(maxShift <= 10,
+          s"decay span too wide: $uptoBatch batches at half-life $h " +
+            s"needs a 2^$maxShift weight factor — shrink the window " +
+            "(fromBatch) or raise the half-life")
+        (0L until uptoBatch).map { j =>
+          require(have.contains(j),
+            s"decay read needs batch $j retained (have " +
+              s"${have.toSeq.sorted}) — raise keepBatches")
+          val shift = ((uptoBatch - 1 - j) / h).toInt
+          val f = 1L << (maxShift - shift)
+          read(j).select(stateKey(-1L).as("shard"),
+            (col("weight") * f).as("weight"),
+            (col("sumv") * f).cast("decimal(28,8)").as("sumv"),
+            col("vmin"), col("vmax"))
+        }
+      }
+      val tagged = (winFrames ++ decayFrames).reduce(_ unionByName _)
+      unpackState(TDigest.tdigestQuantilesByGroup(
+        TDigest.tdigestMergeByGroup(Seq(tagged), delta), qs))
+    }
   }
 
   /** Attach the accumulator to a stream; query `quantiles` between or
@@ -344,6 +439,11 @@ object StreamingTDigest {
     val outCols = Seq("batch_id") ++ groupCol.map(_ => "shard").toSeq ++
       Seq("qi", "q", "n", "target_rank", "weight", "vmin", "vmax",
         "estimate")
+    // per-state read chains KEPT for the cumulative replay (measured:
+    // collapsing them into one grouped chain lost more to serializing
+    // the stages — independent subtrees materialize AQE stages in
+    // parallel — than the chain fusion saved; the windowed replay below
+    // collapses 4 merge chains and does win, see byBatchWindow)
     batches.zipWithIndex.map { case (b, i) =>
       acc.update(b, i.toLong)
       acc.quantiles(qs, i.toLong + 1)
@@ -377,20 +477,18 @@ object StreamingTDigest {
       groupCol.map(_ => "shard").toSeq ++
       Seq("qi", "q", "n", "target_rank", "weight", "vmin", "vmax",
         "estimate")
-    val windows = batches.zipWithIndex.map { case (b, i) =>
-      acc.update(b, i.toLong)
-      acc.quantilesWindow(qs, i.toLong + 1,
-          fromBatch = math.max(0L, i.toLong + 1 - window))
-        .withColumn("batch_id", lit(i.toLong))
-        .withColumn("kind", lit("window"))
-        .select(outCols.head, outCols.tail: _*)
-    }
-    val decayed = decayHalfLife.toSeq.map { h =>
-      acc.quantilesDecayed(qs, batches.size.toLong, h)
-        .withColumn("batch_id", lit(batches.size.toLong - 1))
-        .withColumn("kind", lit("decay"))
-        .select(outCols.head, outCols.tail: _*)
-    }
-    (windows ++ decayed).reduce(_ unionByName _)
+    batches.zipWithIndex.foreach { case (b, i) => acc.update(b, i.toLong) }
+    // ONE grouped merge + quantile chain answers every per-batch window
+    // state plus the final decayed read (state −1) — identical values
+    // to per-state quantilesWindow/quantilesDecayed calls (see
+    // quantilesWindowAllStates)
+    acc.quantilesWindowAllStates(qs, batches.size.toLong, window,
+        decayHalfLife)
+      .withColumn("kind",
+        when(col("state") < 0L, lit("decay")).otherwise(lit("window")))
+      .withColumn("batch_id",
+        when(col("state") < 0L, lit(batches.size.toLong - 1))
+          .otherwise(col("state")))
+      .select(outCols.head, outCols.tail: _*)
   }
 }

@@ -315,4 +315,35 @@ class StreamingTDigestSpec extends SparkTestBase {
       assert(d.count() <= 17)
     } finally query.stop()
   }
+
+  // the r15 replay-read optimization: ALL per-batch window states (and
+  // the decayed read) answered by ONE group-keyed chain must equal the
+  // per-state reads bit-for-bit
+  test("batched all-states reads == per-state reads, bit for bit") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(v => if (v == null) "<null>" else v.toString)
+        .mkString("|")).toSet
+
+    // grouped windowed + decayed
+    val s2 = tmp("allst-win")
+    val gb = Seq(b0, b1, b2).map(vs =>
+      vs.toDF("v").select(
+        concat(lit("g"), (monotonically_increasing_id() % 2).cast("string"))
+          .as("grp"), col("v")))
+    val acc2 = new StreamingTDigest.TDigestAccumulator(spark, s2, "v",
+      delta = 16, keepVersions = 4, groupCol = Some("grp"),
+      keepBatches = 4, keepCumulative = false)
+    gb.zipWithIndex.foreach { case (b, i) => acc2.update(b, i.toLong) }
+    val batched2 = acc2.quantilesWindowAllStates(Seq(0.5, 0.9), 3L,
+      window = 2, decayHalfLife = Some(1))
+    val single2 = (1L to 3L).map(u =>
+      acc2.quantilesWindow(Seq(0.5, 0.9), u, math.max(0L, u - 2))
+        .withColumn("state", lit(u - 1))).reduce(_ unionByName _)
+      .unionByName(acc2.quantilesDecayed(Seq(0.5, 0.9), 3L, 1)
+        .withColumn("state", lit(-1L)))
+    val cols = Seq("state", "shard", "qi", "q", "n", "target_rank",
+      "weight", "vmin", "vmax", "estimate")
+    assert(rows(batched2.select(cols.head, cols.tail: _*)) ==
+      rows(single2.select(cols.head, cols.tail: _*)))
+  }
 }
