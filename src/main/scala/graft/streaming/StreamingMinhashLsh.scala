@@ -167,9 +167,24 @@ object StreamingMinhashLsh {
       // one scan/shingle/signature pass per batch, shared by the probe
       // and both appends — micro-batches are bounded, so the
       // checkpointed frame is too
-      val withSig = batch
+      val projected = batch
         .select(col(idCol).cast("long").as("doc"),
-          Dedup.shingles(col(textCol), shingleSize).as("sh"))
+          col(textCol).as("__text"))
+      // signature cost is numHashes × |shingles| digests PER ROW — the
+      // one CPU wall in this operator — so a batch arriving in fewer
+      // partitions than the session parallelism (a single source file,
+      // a collected micro-batch) must fan out first or one core pays
+      // the whole wall. The round-robin exchange moves each row once
+      // (cheap next to hashing it); an already-wide batch is left on
+      // its source partitioning.
+      val par = spark.sparkContext.defaultParallelism
+      val fanned =
+        if (projected.rdd.getNumPartitions * 2 < par)
+          projected.repartition(par)
+        else projected
+      val withSig = fanned
+        .select(col("doc"),
+          Dedup.shingles(col("__text"), shingleSize).as("sh"))
         .filter(size(col("sh")) > 0)
         .withColumn("sig", signature(col("sh")))
         .select("doc", "sig")

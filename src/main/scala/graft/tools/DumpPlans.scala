@@ -3,8 +3,16 @@ package graft.tools
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
-/** Regenerates docs/PLANS.md — formatted physical plans of the headline
-  * queries with scale commentary. Run: sbt 'runMain graft.tools.DumpPlans'.
+/** Regenerates the GENERATED half of docs/PLANS.md — formatted physical
+  * plans of the headline queries with scale commentary. Run:
+  * sbt 'runMain graft.tools.DumpPlans'.
+  *
+  * PLANS.md also carries HAND-WRITTEN adjudication sections appended
+  * after the generated plans (bracketing runs, fork post-mortems, floor
+  * adjudications — the round-over-round audit trail). Everything from
+  * the first `## ` heading that is NOT one of the `picks` below is
+  * preserved verbatim across regeneration; a plain overwrite here once
+  * destroyed that history (caught and restored in r15).
   */
 object DumpPlans {
   def main(args: Array[String]): Unit = {
@@ -42,7 +50,7 @@ object DumpPlans {
       "q227_rrf_fusion" -> "RRF fusion: two broadcast-query-set corpus scans (cosine + dot runs, the sanctioned q15 shape - corpus never shuffles), union -> ONE (query, doc) partial+final HashAggregate over <= sum-of-k rows with the duplicate-evidence raise_error guard fused into its output projection, then a per-query window over the fused frame",
       "q230_mrr_map" -> "MRR/MAP eval: retrieved list (|Q| x k rows) left-joins judgments on (query, doc); cumulative hits via a per-query FRAMED running-sum window (rows between unbounded preceding and current); metrics collapse in one per-query HashAggregate - nothing corpus-sized past the retriever scan",
       "q238_hdr_quantiles" -> "HDR quantiles: ONE map-side-combined bucket aggregate (comparison-ladder log2 in the scan projection) into the ~1.9k-row histogram; the quantile pick is a declared bounded-frame running sum (SingleTask.key partition spec) + a sanctioned broadcast of the quantile/global-count side - the corpus is touched exactly once",
-      "q243_ip_cidr_lookup" -> "longest-prefix-match join: a constant <= 17-way literal-length explode in the probe projection (map-side, codegen'd shifts), the CIDR side broadcast into ONE hash EQUI-join on (len, prefix), most-specific pick as a per-probe-row window over <= 5 candidate rows - no range join, no nested loop anywhere",
+      "q243_ip_cidr_lookup" -> "longest-prefix-match join: a constant 5-way literal-length explode in the probe projection (the PRESENT length set, map-side codegen'd shifts), the CIDR side broadcast into ONE hash EQUI-join on (len, prefix), most-specific pick as a partial+final struct-min SortAggregate (candidates collapse map-side before the exchange; r15 - was a per-probe row_number window shuffling every candidate) - no range join, no nested loop anywhere",
       "q244_count_sketch" -> "count sketch: ONE posexplode projection into a (j, bucket) partial+final HashAggregate - map-side combine caps every task's shuffle at depth x width rows regardless of corpus size; probe estimates broadcast-join the fixed signed grid and collapse in a bounded 5-element median aggregate"
     )
     val sb = new StringBuilder
@@ -59,8 +67,20 @@ object DumpPlans {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
-    println("wrote docs/PLANS.md")
+    // preserve the hand-written adjudication tail: everything from the
+    // first heading that is not a generated pick
+    val out = Paths.get("docs/PLANS.md")
+    val pickSet = picks.map(_._1).toSet
+    val tail = if (Files.exists(out)) {
+      val old = Files.readString(out)
+      val idx = "(?m)^## (.+)$".r.findAllMatchIn(old)
+        .find(m => !pickSet.contains(m.group(1).trim))
+        .map(_.start)
+      idx.map(old.substring).getOrElse("")
+    } else ""
+    if (tail.nonEmpty) sb.append("\n").append(tail)
+    Files.writeString(out, sb.toString)
+    println(s"wrote docs/PLANS.md (preserved tail: ${tail.count(_ == '\n')} lines)")
     spark.stop()
   }
 }
