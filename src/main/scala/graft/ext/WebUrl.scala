@@ -23,8 +23,20 @@ object WebUrl {
 
   /** Lowercased host of an absolute URL: authority minus userinfo minus
     * port. `""` when the input has no `scheme://` authority at all.
+    *
+    * Kernelized (r16): one native expression node
+    * ([[graft.functions.UrlHost]]) replaces the 3-regex chain — same
+    * bytes out (parity spec-pinned against [[hostOfSpec]], which IS the
+    * old declarative form and what the oracles replay), one string pass
+    * per row, and a 1-node footprint in every plan fork instead of ~6.
     */
-  def hostOf(url: Column): Column = {
+  def hostOf(url: Column): Column =
+    graft.functions.UrlFunctions.hostOf(url)
+
+  /** The declarative reference form of [[hostOf]] — kept for the kernel
+    * parity spec (UrlKernelParitySpec asserts bytewise equality).
+    */
+  private[ext] def hostOfSpec(url: Column): Column = {
     val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":\\d*$", ""))
   }
@@ -39,8 +51,24 @@ object WebUrl {
     *  - tracking query params dropped (`utm_*`, `gclid`, `fbclid`,
     *    `msclkid`, `yclid`, `mc_eid`), the rest SORTED bytewise; an
     *    emptied query loses its `?`
+    *
+    * Kernelized (r16): one native expression node
+    * ([[graft.functions.CanonicalizeUrl]]) replaces the ~30-node
+    * regex/array tree. The declarative form below ([[canonicalizeUrlSpec]])
+    * stays as the parity reference — it is what the DuckDB oracles
+    * replay, and UrlKernelParitySpec pins the kernel to it bytewise.
+    * Beyond per-row cost, the win is PLAN size: dedup-by-canonical and
+    * the domain roll-up each fork the expression tree into both join
+    * sides, so the curation capstones paid ~1–2 s of driver planning
+    * per run on duplicated trees (r15 profile).
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.UrlFunctions.canonicalizeUrl(url)
+
+  /** The declarative reference form of [[canonicalizeUrl]] — kept for
+    * the kernel parity spec.
+    */
+  private[ext] def canonicalizeUrlSpec(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val hostPort = regexp_replace(auth, "^[^@]*@", "")
@@ -75,8 +103,20 @@ object WebUrl {
     * literals and single-label hosts pass through unchanged. The
     * grouping key for per-domain caps, domain mixing weights, and
     * domain-level dedup.
+    *
+    * Kernelized (r16): one native expression node
+    * ([[graft.functions.UrlRegistrableDomain]]) replaces the
+    * split/slice/when tree — bytewise-equal to [[registrableDomainSpec]]
+    * (parity spec-pinned), including the null-host → "" edge the
+    * declarative concat_ws fall-through produces.
     */
-  def registrableDomain(host: Column): Column = {
+  def registrableDomain(host: Column): Column =
+    graft.functions.UrlFunctions.registrableDomain(host)
+
+  /** The declarative reference form of [[registrableDomain]] — kept for
+    * the kernel parity spec.
+    */
+  private[ext] def registrableDomainSpec(host: Column): Column = {
     val h = lower(host)
     val labels = split(h, "\\.")
     val n = size(labels)
