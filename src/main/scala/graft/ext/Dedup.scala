@@ -1151,51 +1151,63 @@ object Dedup {
     var iter = 1
     // convergence via the label sum: labels only ever DECREASE, so an
     // unchanged sum IS the fixpoint — a scalar aggregate instead of a
-    // changed-flag join against the previous round. Summed over
-    // decimal(38,0), NOT the native long sum: the docstring above
-    // recommends full-range 64-bit surrogate ids (xxhash64), whose long
-    // sum wraps mod 2^64 — a wrapped-equal sum could declare convergence
-    // while labels still move. decimal(38,0) holds n·2^63 exactly for any
-    // feasible row count and fails loudly rather than wraps beyond that.
-    // Compared as boxed values so long/scale-0-decimal id columns both
-    // work.
-    def labelSum(df: DataFrame): org.apache.spark.sql.Row =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+    // changed-flag join against the previous round. Exact BigInt
+    // accumulation (materializeSums), NOT the native long sum: the
+    // docstring above recommends full-range 64-bit surrogate ids
+    // (xxhash64), whose long sum wraps mod 2^64 — a wrapped-equal sum
+    // could declare convergence while labels still move.
+    //
+    // r16 execution-count reshape (guide §1/§2; the q148 measurement —
+    // 246 jobs, ~80 SQL executions, 2s of task time in a ~6.6s wall —
+    // says per-round wall here is EXECUTIONS, not data): the scalar
+    // rides the SAME RDD job that materializes the round's checkpoint
+    // (PlanCapture.materializeSums) instead of its own SQL aggregate
+    // execution, and each round is ONE cut instead of two (see below).
+    //
     // ONE action proves round 1: comp <= id everywhere, so
     // sum(comp) == sum(id) iff the fused first round (and therefore
     // the identity labeling) was already the fixpoint — the same
     // stability evidence the original identity-seeded loop derived
-    // from its first two sums, without a separate identity-sum action
-    val sumRow = labels.agg(sum(col("comp").cast("decimal(38,0)")),
-      sum(col("id").cast("decimal(38,0)"))).head()
-    if (sumRow.isNullAt(0)) return labels // no edges -> no labeled nodes
-    var prevSum: Any = sumRow.get(0)
-    var converged = sumRow.get(0) == sumRow.get(1)
+    // from its first two sums, without a separate identity-sum action.
+    val (n0, sums0) = PlanCapture.materializeSums(labels, Seq("comp", "id"))
+    if (n0 == 0L) return labels // no edges -> no labeled nodes
+    var prevSum: BigInt = sums0(0)
+    var converged = sums0(0) == sums0(1)
     while (!converged && iter < maxIter) {
-      // one union + min-aggregate: neighbors' labels and the node's own
-      // label meet in a single hash aggregate (no second join); every node
-      // appears in `labels`, so the union keeps isolated-side coverage.
-      // Checkpointed: the compression self-join below references it
-      // twice, and measured at sf0.1 the forked (uncut) form re-READ the
-      // propagation exchange on both sides (+70% shuffle-read records,
-      // duplicated post-shuffle aggregate) for no wall gain — the
-      // checkpoint is the cheaper way to share the round's work, locally
-      // and at label-frame scale (r15 measurement; the q245 fork lesson).
-      val mined = PlanCapture.cut(sym
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-        .union(labels)
-        .groupBy("id").agg(min("comp").as("comp")))
-      // pointer compression: comp := label(comp). Every label IS a node id
-      // (mins over node ids) and `mined` covers every node, so the inner
-      // self-join is total; labels only decrease (label(x) <= x), so the
-      // invariant and the fixpoint are untouched — only the number of
-      // rounds to reach it shrinks (O(log d) on a diameter-d chain).
-      val next = PlanCapture.cut(mined
-        .join(mined.select(col("id").as("comp"), col("comp").as("comp2")),
+      // ONE cut per round, compression FIRST: comp := label(comp) over
+      // the PREVIOUS round's checkpointed labels (the self-join reads
+      // the persisted label RDD twice — cheap, no recompute), then the
+      // propagate union + min-aggregate runs on the compressed frame
+      // inside the same execution. Semantics: compress and propagate
+      // both only DECREASE labels and are bounded below by the
+      // min-reachable-id fixpoint, so reordering them cannot change the
+      // fixpoint — and an unchanged sum still proves it exactly:
+      // propagate(compress(L)) = L pointwise forces propagate(L) = L
+      // (propagate(compress(L)) <= propagate(L) <= L sandwiches it), so
+      // the stop condition remains "L is the propagate fixpoint", i.e.
+      // labels constant per component at the component min. The r15
+      // form cut the post-propagate frame and compressed it in a SECOND
+      // cut (the propagate subtree was too expensive to leave shared
+      // uncut — measured +70% shuffle-read records); compressing the
+      // already-checkpointed PREVIOUS labels instead shares only cached
+      // scans, keeping the round at one execution + one job without
+      // duplicated shuffle work.
+      val compressed = labels
+        .join(labels.select(col("comp").as("comp2"), col("id").as("comp")),
           Seq("comp"))
-        .select(col("id"), col("comp2").as("comp")))
-      val nextSum: Any = labelSum(next).get(0)
+        .select(col("id"), col("comp2").as("comp"))
+      // one union + min-aggregate: neighbors' labels and the node's own
+      // label meet in a single hash aggregate (no second join); every
+      // node appears in `compressed` (the compression self-join is total
+      // — every label IS a node id), so the union keeps isolated-side
+      // coverage.
+      val next = PlanCapture.cut(sym
+        .join(compressed.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+        .union(compressed)
+        .groupBy("id").agg(min("comp").as("comp")))
+      val (_, sumsK) = PlanCapture.materializeSums(next, Seq("comp"))
+      val nextSum = sumsK(0)
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
