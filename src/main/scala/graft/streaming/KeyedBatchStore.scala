@@ -54,6 +54,20 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
   private def fs = new Path(storePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The store's row schema, known from the constructor parameters —
+    * passed to every delta read so `spark.read` never runs a
+    * footer-inference job over the delta files (one job per probe/fold
+    * read otherwise; at scale, a round of object-store footer fetches).
+    */
+  private val rowSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      (Seq(s"$keyCol $keySqlType") ++
+        extraCols.map { case (n, t) => s"$n $t" } ++
+        countCol.map(c => s"$c BIGINT")).mkString(", "))
+
+  private def readDeltas(files: Seq[String]): DataFrame =
+    spark.read.schema(rowSchema).parquet(files: _*)
+
   /** Catalog identity of a compacted version: derived from the store
     * PATH (two stores on one path share tables; different paths — e.g.
     * parallel test suites — never collide).
@@ -127,7 +141,7 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     if (batchId - c < compactEvery) return
     val deltas = deltaFiles(c, batchId)
     val parts = base.map(_._2).toSeq ++
-      (if (deltas.isEmpty) Seq.empty else Seq(spark.read.parquet(deltas: _*)))
+      (if (deltas.isEmpty) Seq.empty else Seq(readDeltas(deltas)))
     if (parts.isEmpty) return
     // distinct mode collapses duplicate rows (whole-row with
     // extraCols); counting mode sum-merges
@@ -172,7 +186,7 @@ final class KeyedBatchStore(spark: SparkSession, storePath: String,
     val from = base.map(_._1).getOrElse(0L)
     val files = deltaFiles(from, batchId)
     base.map(_._2).toSeq ++
-      (if (files.isEmpty) Seq.empty else Seq(spark.read.parquet(files: _*)))
+      (if (files.isEmpty) Seq.empty else Seq(readDeltas(files)))
   }
 
   /** Write a batch's frame under its own `batch=<id>` directory

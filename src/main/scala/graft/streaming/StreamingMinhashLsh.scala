@@ -179,7 +179,8 @@ object StreamingMinhashLsh {
       // its source partitioning.
       val par = spark.sparkContext.defaultParallelism
       val fanned =
-        if (projected.rdd.getNumPartitions * 2 < par)
+        if (StreamingMinhashLsh.shouldFanOut(
+            projected.rdd.getNumPartitions, par))
           projected.repartition(par)
         else projected
       val withSig = fanned
@@ -197,21 +198,25 @@ object StreamingMinhashLsh {
       val matches =
         if (priorBands.isEmpty) emptyMatches()
         else {
+          val sigParts = sigs.parts(batchId)
           // probe each part separately and union the results: the
           // compacted base is bucketed by bkey, so its join never
           // shuffles the index — only the batch's band keys move
-          val cand = priorBands.map { p =>
+          val candRaw = priorBands.map { p =>
             bandRows.select(col("bkey"), col("doc").as("probe"))
               .join(p.select(col("bkey"), col("doc").as("match")), "bkey")
               .select("probe", "match")
           }.reduce(_ unionByName _)
             .filter(col("probe") =!= col("match"))
             .distinct()
-            // candidates are re-read once per sig part below; bounded
-            // (pairs of one batch), so pin them rather than re-running
-            // the band join per part
-            .localCheckpoint()
-          val withOld = sigs.parts(batchId).map { p =>
+          // candidates are re-read once per sig part below; bounded
+          // (pairs of one batch), so pin them rather than re-running
+          // the band join per part — but only when there IS a re-read:
+          // with a single sig part the checkpoint is its own SQL
+          // execution spent materializing a frame read exactly once
+          val cand =
+            if (sigParts.size > 1) candRaw.localCheckpoint() else candRaw
+          val withOld = sigParts.map { p =>
             cand.join(
               p.select(col("doc").as("match"), col("sig").as("sig_b")),
               "match")
@@ -225,9 +230,15 @@ object StreamingMinhashLsh {
             .select(lit(batchId).as("batch_id"), col("probe").as(idCol),
               col("match").as("match_id"), col("est_jaccard"))
         }
+      // no distinct before the delta write: a (bkey, doc) pair cannot
+      // repeat within one doc row (the band INDEX is folded into every
+      // band key), duplicate doc-id rows are collapsed nowhere else in
+      // this operator either, the probe dedups candidates itself, and
+      // the compaction fold is whole-row DISTINCT — so the shuffle the
+      // distinct paid per batch bought nothing observable
       postings.append(
-        bandRows.select(col("bkey"), col("doc"), lit(batchId).as("__batch"))
-          .distinct(), batchId)
+        bandRows.select(col("bkey"), col("doc"), lit(batchId).as("__batch")),
+        batchId)
       sigs.append(
         withSig.select(col("doc"), col("sig"), lit(batchId).as("__batch")),
         batchId)
@@ -272,11 +283,39 @@ object StreamingMinhashLsh {
               estThreshold: Double = 0.8,
               keepBatches: Int = 0): DataFrame = {
     require(batches.nonEmpty, "byBatch needs at least one batch")
+    val compactEvery = 8
     val deduper = new MinhashLshDeduper(spark, storePath, idCol, textCol,
       shingleSize, numHashes, bands, estThreshold, portableHashes = true,
-      keepBatches = keepBatches)
+      compactEvery = compactEvery, keepBatches = keepBatches)
+    // the per-batch consume-before-next-update contract exists because a
+    // LATER update's compaction deletes the delta files a lazy matches
+    // frame reads. Compaction first fires at batch id >= compactEvery,
+    // so a replay short enough never to compact can leave every batch's
+    // matches LAZY and pay ONE execution for the whole union — the
+    // per-batch probe subtrees are independent and materialize their
+    // AQE stages in parallel instead of as per-batch barriers. Longer
+    // replays keep the per-batch checkpoint (eviction may also fire at
+    // a fold, same condition).
+    val lazyReplay = batches.size <= compactEvery
     batches.zipWithIndex
-      .map { case (b, i) => deduper.update(b, i.toLong).localCheckpoint() }
+      .map { case (b, i) =>
+        val m = deduper.update(b, i.toLong)
+        if (lazyReplay) m else m.localCheckpoint()
+      }
       .reduce(_ unionByName _)
   }
+
+  /** A micro-batch arriving in far fewer partitions than the session
+    * parallelism (single source file, collected batch) must fan out
+    * before the signature map or one core pays the whole k × |shingles|
+    * digest wall (see the comment at the call site). Locally measured
+    * neutral; kept for the narrow-batch case at scale, and pinned here
+    * so the guard's intent survives refactors: fan out only when the
+    * batch is narrower than HALF the parallelism — an already-wide
+    * batch must stay on its source partitioning (the exchange is not
+    * free).
+    */
+  private[streaming] def shouldFanOut(batchPartitions: Int,
+                                      parallelism: Int): Boolean =
+    batchPartitions.toLong * 2 < parallelism.toLong
 }

@@ -115,6 +115,28 @@ class StreamingMinhashLshSpec extends SparkTestBase {
     assert(e.getMessage.contains("checkpointLocation"))
   }
 
+  test("byBatch replay across a compaction fold takes the per-batch checkpoint path") {
+    // 9 batches > compactEvery (8): compaction fires mid-replay, so
+    // byBatch must checkpoint each batch's matches BEFORE the fold
+    // deletes the delta files a lazy frame would still read — and the
+    // match against batch 0 proves the fold carried its postings
+    val bs = (0 to 7).map(i => docs((i.toLong, baseText(i)))) :+
+      docs(near(0, 800L), near(7, 807L))
+    val out = StreamingMinhashLsh.byBatch(spark, bs, tmp("longreplay"),
+      "doc_id", "text", estThreshold = 0.5)
+    assert(pairs(out) == Set((8L, 800L, 0L), (8L, 807L, 7L)))
+  }
+
+  test("fan-out guard: repartition only below half the session parallelism") {
+    assert(StreamingMinhashLsh.shouldFanOut(1, 32))
+    assert(StreamingMinhashLsh.shouldFanOut(15, 32))
+    assert(!StreamingMinhashLsh.shouldFanOut(16, 32),
+      "at half the parallelism the batch is wide enough — the exchange is not free")
+    assert(!StreamingMinhashLsh.shouldFanOut(32, 32))
+    assert(!StreamingMinhashLsh.shouldFanOut(Int.MaxValue, Int.MaxValue),
+      "the guard must not overflow on extreme partition counts")
+  }
+
   test("store size is documents-linear: bands rows per doc, one sig per doc") {
     val store = tmp("size")
     val d = new StreamingMinhashLsh.MinhashLshDeduper(spark, store,
