@@ -147,12 +147,16 @@ private[graft] object InfraGates extends GateFamily {
           when(col("len") === l.toLong,
             shiftright(col("neth"), 32 - l).cast("long")).otherwise(acc)
         }
+      // min-net_id pick per (len, prefix) as a struct-min aggregate
+      // (partial map-side, nothing sorts) instead of a row_number
+      // window — identical pick: net_id (c_custkey) is unique and
+      // non-null, so the struct comparison never reaches `segment`
       val nets = netsRaw.withColumn("prefix", prefix)
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("len"), col("prefix"))
-            .orderBy(col("net_id"))))
-        .filter(col("__rk") === 1)
-        .select("len", "prefix", "net_id", "segment")
+        .groupBy(col("len"), col("prefix"))
+        .agg(min(struct(col("net_id"), col("segment"))).as("__pick"))
+        .select(col("len"), col("prefix"),
+          col("__pick.net_id").as("net_id"),
+          col("__pick.segment").as("segment"))
       ext.Net.longestPrefixJoin(ips, "id", "ipn", nets, "len", "prefix",
           minLen = 8, maxLen = 24, lens = Seq(8, 12, 16, 20, 24))
         .groupBy(coalesce(col("matched_len"), lit(-1L)).as("matched_len"),
@@ -200,12 +204,13 @@ private[graft] object InfraGates extends GateFamily {
           if (l <= 64) lit(0L)
           else shiftrightunsigned(col("nlo"), 128 - l)).otherwise(acc)
       }
+      // struct-min pick (see q243): unique non-null net_id, no window
       val nets = netsRaw.withColumn("phi", phi).withColumn("plo", plo)
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("len"), col("phi"), col("plo"))
-            .orderBy(col("net_id"))))
-        .filter(col("__rk") === 1)
-        .select("len", "phi", "plo", "net_id", "segment")
+        .groupBy(col("len"), col("phi"), col("plo"))
+        .agg(min(struct(col("net_id"), col("segment"))).as("__pick"))
+        .select(col("len"), col("phi"), col("plo"),
+          col("__pick.net_id").as("net_id"),
+          col("__pick.segment").as("segment"))
       ext.Net.longestPrefixJoin6(ips, "id", "hi", "lo",
           nets, "len", "phi", "plo", lens = lens)
         .groupBy(coalesce(col("matched_len"), lit(-1L)).as("matched_len"),
