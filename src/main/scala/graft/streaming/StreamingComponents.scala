@@ -36,6 +36,21 @@ object StreamingComponents {
     private def fs = new Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // snapshot schema, captured at write time: label reads then skip
+    // the per-batch parquet footer-inference job (a restarted
+    // maintainer infers once on its first read and caches)
+    private var snapSchema: Option[org.apache.spark.sql.types.StructType] =
+      None
+
+    private def readSnapshot(path: String): DataFrame = {
+      val df = snapSchema match {
+        case Some(s) => spark.read.schema(s).parquet(path)
+        case None => spark.read.parquet(path)
+      }
+      if (snapSchema.isEmpty) snapSchema = Some(df.schema)
+      df
+    }
+
     private def versions(): Seq[Long] = {
       val dir = new Path(storePath)
       if (!fs.exists(dir)) Seq.empty
@@ -52,7 +67,7 @@ object StreamingComponents {
       */
     def labels(batchId: Long): Option[DataFrame] =
       versions().find(_ < batchId).map(v =>
-        spark.read.parquet(s"$storePath/labels_at_$v"))
+        readSnapshot(s"$storePath/labels_at_$v"))
 
     /** Fold one batch of edges into the accumulated labels, persist the
       * new snapshot (overwrite → retry-idempotent), clean superseded
@@ -66,13 +81,14 @@ object StreamingComponents {
       }
       val out = s"$storePath/labels_at_$batchId"
       updated.write.mode("overwrite").parquet(out)
+      snapSchema = Some(updated.schema)
       // keep the IMMEDIATE prior snapshot: a foreachBatch retry of this
       // batch must be able to re-read its strictly-prior state — deleting
       // it would silently turn the replay into a from-scratch fixpoint
       // over one batch's edges
       versions().filter(_ < batchId - 1).foreach(v =>
         fs.delete(new Path(s"$storePath/labels_at_$v"), true))
-      spark.read.parquet(out)
+      readSnapshot(out)
         .select(lit(batchId).as("batch_id"), col("id"), col("comp"))
     }
 

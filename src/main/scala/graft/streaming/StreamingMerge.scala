@@ -123,10 +123,15 @@ object StreamingMerge {
     def update(batch: DataFrame, batchId: Long): Unit = synchronized {
       val clean = batch.filter(col(keyCol).isNotNull &&
         orderCols.map(col(_).isNotNull).reduce(_ && _))
-      val best = latestPerKey(withBucket(clean))
+      // pin the batch argmax ONCE: the touched-bucket collect and the
+      // merge write both consume it, and without the checkpoint each
+      // action re-ran the whole batch aggregate from the source scan
+      // (actions don't share exchanges — measured as the double batch
+      // scan in the q194 profile)
+      val best = latestPerKey(withBucket(clean)).localCheckpoint()
       // emptiness falls out of the touched-bucket collect below — a
       // separate isEmpty() pre-check was one more action recomputing
-      // the whole batch aggregate (actions don't share exchanges)
+      // the whole batch aggregate
       val touched = best.select("__bucket").distinct()
         .collect().map(_.getInt(0)).toSet // bounded by numBuckets
       if (touched.isEmpty) return
