@@ -65,7 +65,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q111_gif_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "image",
           ext.Gif.makeGif(id, 8, 4,
             interlaced = id % 2 == 1, compressed = id % 3 == 0)))
@@ -82,7 +82,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q93_bmp_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "image", ext.Multimodal.makeBmp(id, 8, 4)))
       ext.Multimodal.bmpFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("n_bytes"),
@@ -96,7 +96,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q94_wav_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "audio", ext.Multimodal.makeWav(id, 256)))
       ext.Multimodal.wavFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("n_bytes"),
@@ -114,7 +114,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q105_png_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "image",
           ext.Multimodal.makePng(id, 8, 4, channels = (3 + id % 2).toInt)))
       ext.Multimodal.pngFeatures(assets).toDF()
@@ -134,7 +134,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q107_jpeg_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map { id =>
           val mode = (id % 3) match {
             case 0 => "gray"; case 1 => "444"; case _ => "420"
@@ -157,7 +157,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q136_jpeg_progressive" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map { id =>
           val mode = if (id % 2 == 0) "gray" else "444"
           ext.Multimodal.Asset(id, "image",
@@ -178,7 +178,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q140_g711_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWavG711(id, 256, mulaw = id % 2 == 0)))
       ext.Multimodal.wavFeatures(assets).toDF()
@@ -193,7 +193,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q146_audio_frames" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWav(id, 256)))
       ext.Multimodal.wavFrameEnergy(assets, frameSamples = 100).toDF()
@@ -213,7 +213,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q145_adpcm_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWavAdpcm(id, 256 + (id % 3).toInt * 128)))
       ext.Multimodal.wavFeatures(assets).toDF()
@@ -230,7 +230,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q137_png_variants" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map { id =>
           val bytes = (id % 5) match {
             case 0 => ext.Multimodal.makePngVariant(id, 13, 7, 0, 8)
@@ -260,7 +260,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q155_qoi_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "image", ext.Qoi.makeQoi(id, 9, 12)))
       ext.Multimodal.qoiFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"),
@@ -276,7 +276,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q174_image_phash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map(id => ext.Multimodal.Asset(id, "image",
           ext.Multimodal.makeBmpTextured(id, 18, 16)))
       ext.Multimodal.imageHashes(assets).toDF()
@@ -291,7 +291,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q189_trim_silence" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
+      val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map { id =>
           ext.Multimodal.Asset(id, "audio",
             ext.Multimodal.makeWavPadded(id, 800,

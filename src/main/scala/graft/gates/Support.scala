@@ -21,6 +21,28 @@ private[graft] object Support {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The id column of `docs` as a Dataset[Long], fanned out to the
+    * session parallelism when the scan arrives narrower than HALF of it
+    * (one small parquet file = ONE scan partition): these ids feed
+    * per-id asset synthesis + decode closures — the CPU wall of every
+    * multimodal gate — and on a narrow scan a single core pays that
+    * whole wall (q204 measured: ~5–7 s of task time serialized on one
+    * task, 8-core/32-core scaling ratio 0.74). The 8-byte id exchange
+    * is free next to per-row pixel/sample work at ANY scale, and an
+    * already-wide scan keeps its source partitioning (the
+    * StreamingMinhashLsh narrow-batch fan-out rule). Hash-partitioned
+    * by id, so the fan-out is deterministic under task retry.
+    */
+  def fannedDocIds(docs: DataFrame, idCol: String = "doc_id")
+      : org.apache.spark.sql.Dataset[Long] = {
+    val ids = docs.select(col(idCol))
+    val par = ids.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (ids.rdd.getNumPartitions * 2 < par) ids.repartition(par, col(idCol))
+      else ids
+    wide.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+  }
+
   /** q70 and q88 are two POLICY layers (survivor choice; leakage-safe
     * split) over the SAME synthesized near-dup corpus — and in a real
     * curation pipeline pairs+labels are computed once and fanned out to
