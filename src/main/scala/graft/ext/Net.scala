@@ -134,9 +134,28 @@ object Net {
     * typically carry a handful of prefix lengths out of 129 possible,
     * and probe amplification is `lens.size` — pass the table's actual
     * lengths (a 6-length table explodes 6×, not 129×; at 100 TB that
-    * factor is the map-side cost). Net rows whose length is outside
-    * `lens` never match, mirroring v4's `minLen`/`maxLen` contract.
+    * factor is the map-side cost). A net row whose length is OUTSIDE
+    * `lens` raises at first action (see [[guardedLen]]) — it could
+    * never match an un-exploded key, and silent no-match was the r15
+    * ADVICE hazard.
     */
+  /** Fail-loud present-length guard (r15 ADVICE): a caller declaring a
+    * `lens` set that misses a length actually present in `nets` would
+    * silently drop those net rows — they fall out of the equi-join and
+    * surface as "no match". The guard rides the (broadcast-side) net
+    * projection, so mis-specification raises on the first action
+    * instead of corrupting results; it costs one set-membership test
+    * per net row, nothing per probe.
+    */
+  private def guardedLen(len: Column, declared: Seq[Int],
+                         fn: String): Column =
+    when(len.isin(declared.map(_.toLong): _*), len)
+      .otherwise(raise_error(concat(
+        lit(s"$fn: net row at prefix length "), len.cast("string"),
+        lit(s" outside the declared present-length set " +
+          s"${declared.mkString("{", ",", "}")} — its rows could never " +
+          "match; pass the table's actual lengths"))))
+
   def longestPrefixJoin6(probes: DataFrame, idCol: String,
                          hiCol: String, loCol: String,
                          nets: DataFrame, lenCol: String,
@@ -162,7 +181,8 @@ object Net {
       .select(col("__pid"), col("__k.__len").as("__len"),
         col("__k.__ph").as("__ph"), col("__k.__pl").as("__pl"))
     val netsK = nets.select(
-      (col(lenCol).cast("long").as("__len") +:
+      (guardedLen(col(lenCol).cast("long"), lens.sorted,
+        "longestPrefixJoin6").as("__len") +:
         col(prefixHiCol).cast("long").as("__ph") +:
         col(prefixLoCol).cast("long").as("__pl") +:
         netCols.map(col)): _*)
@@ -231,7 +251,9 @@ object Net {
       .select(col("__pid"), col("__k.__len").as("__len"),
         col("__k.__prefix").as("__prefix"))
     val netsK = nets.select(
-      (col(lenCol).cast("long").as("__len") +:
+      ((if (lens.isEmpty) col(lenCol).cast("long")
+        else guardedLen(col(lenCol).cast("long"), lenSet,
+          "longestPrefixJoin")).as("__len") +:
         col(prefixCol).cast("long").as("__prefix") +:
         netCols.map(col)): _*)
     val matched = cand

@@ -360,6 +360,12 @@ object StreamingTDigest {
         "windowed/decayed reads need keepBatches > 0 (per-batch digests " +
           "are not retained by default)")
       require(window >= 1, s"window must be >= 1, got $window")
+      // r15 ADVICE: with uptoBatch = 0 both frame sequences are empty
+      // and the reduce below would throw an opaque 'empty.reduceLeft' —
+      // state the precondition instead (byBatchWindow guards via
+      // batches.nonEmpty, but this entry point is public)
+      require(uptoBatch >= 1,
+        s"uptoBatch must be >= 1 (no batch states to read), got $uptoBatch")
       val have = batchDigestIds().toSet
       def members(u: Long): Seq[Long] =
         (math.max(0L, u - window) until u).toSeq

@@ -67,16 +67,24 @@ object DumpPlans {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    // preserve the hand-written adjudication tail: everything from the
-    // first heading that is not a generated pick
+    // preserve the hand-written adjudication tail, anchored by an
+    // EXPLICIT marker (r15 ADVICE: inferring the tail as "first heading
+    // not in the current pick set" glued a stale generated section onto
+    // the output whenever a pick was renamed or removed, and a `## `
+    // line inside a fenced plan block confused it the same way). The
+    // legacy heading scan remains only as a one-time migration for a
+    // file written before the marker existed.
     val out = Paths.get("docs/PLANS.md")
+    val marker = "<!-- adjudications -->"
     val pickSet = picks.map(_._1).toSet
     val tail = if (Files.exists(out)) {
       val old = Files.readString(out)
-      val idx = "(?m)^## (.+)$".r.findAllMatchIn(old)
+      val at = old.indexOf(marker)
+      if (at >= 0) old.substring(at)
+      else "(?m)^## (.+)$".r.findAllMatchIn(old)
         .find(m => !pickSet.contains(m.group(1).trim))
-        .map(_.start)
-      idx.map(old.substring).getOrElse("")
+        .map(m => marker + "\n\n" + old.substring(m.start))
+        .getOrElse("")
     } else ""
     if (tail.nonEmpty) sb.append("\n").append(tail)
     Files.writeString(out, sb.toString)

@@ -181,14 +181,19 @@ class NetSpec extends SparkTestBase {
     assert(got(2L) == ((64L, "b64")))
     assert(got(3L) == ((16L, "a16")))
     assert(got(4L) == ((0L, "default")))
-    // a net whose length is outside `lens` never matches
+    // r15 ADVICE: a net whose length is outside `lens` could never
+    // match (it falls out of the equi-join), so it now FAILS LOUDLY at
+    // first action instead of silently vanishing from the table
     val extra = nets.union(Seq((128L, hiX, loX, "exact"))
       .toDF("len", "phi", "plo", "tag"))
-    val pick = Net.longestPrefixJoin6(probes.filter(col("id") === 1L),
-        "id", "hi", "lo", extra, "len", "phi", "plo",
-        lens = Seq(0, 16, 64, 96))
-      .select("tag").head().getString(0)
-    assert(pick == "c96", "len-128 net is out of the declared length set")
+    val e = intercept[Exception] {
+      Net.longestPrefixJoin6(probes.filter(col("id") === 1L),
+          "id", "hi", "lo", extra, "len", "phi", "plo",
+          lens = Seq(0, 16, 64, 96))
+        .select("tag").head()
+    }
+    assert(e.getMessage.contains("outside the declared present-length set"),
+      s"len-128 net must raise, got: ${e.getMessage}")
   }
 
   test("minLen/maxLen bound the explode and exclude out-of-band nets") {
