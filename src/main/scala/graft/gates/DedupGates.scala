@@ -299,7 +299,7 @@ private[graft] object DedupGates extends GateFamily {
     "q175_image_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val p = (id % 8).toInt
           ext.Multimodal.Asset(id, "image",
@@ -335,7 +335,7 @@ private[graft] object DedupGates extends GateFamily {
         .filter(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id").as("id_a"), col("keep_id").as("id_b"))
       // image edges: q175's grouped textured images, banded hamming ≤ 6
-      val assets = fannedDocIds(d).map { id =>
+      val assets = d.select(col("doc_id")).as[Long].map { id =>
         val p = (id % 8).toInt
         ext.Multimodal.Asset(id, "image",
           ext.Multimodal.makeBmpTextured(id / 8, 18, 16,

@@ -65,7 +65,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q111_gif_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "image",
           ext.Gif.makeGif(id, 8, 4,
             interlaced = id % 2 == 1, compressed = id % 3 == 0)))
@@ -82,7 +82,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q93_bmp_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "image", ext.Multimodal.makeBmp(id, 8, 4)))
       ext.Multimodal.bmpFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("n_bytes"),
@@ -96,7 +96,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q94_wav_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "audio", ext.Multimodal.makeWav(id, 256)))
       ext.Multimodal.wavFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"), col("n_bytes"),
@@ -114,7 +114,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q105_png_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "image",
           ext.Multimodal.makePng(id, 8, 4, channels = (3 + id % 2).toInt)))
       ext.Multimodal.pngFeatures(assets).toDF()
@@ -134,6 +134,10 @@ private[graft] object MultimodalGates extends GateFamily {
     "q107_jpeg_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
+      // fanned out: JPEG encode+full-decode is the ONE multimodal asset
+      // family whose per-row work amortizes the id exchange even at gate
+      // scale (floor 0.74 -> 0.52 s; the BMP/WAV synth gates measured
+      // the OPPOSITE and stay on their scan partitioning)
       val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map { id =>
           val mode = (id % 3) match {
@@ -157,6 +161,9 @@ private[graft] object MultimodalGates extends GateFamily {
     "q136_jpeg_progressive" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
+      // fanned out like q107 (floor 0.97 -> 0.48 s): multi-scan
+      // progressive decode is heavy enough per row to amortize the
+      // exchange
       val assets = fannedDocIds(tbl(s, dir, "documents"))
         .map { id =>
           val mode = if (id % 2 == 0) "gray" else "444"
@@ -178,7 +185,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q140_g711_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWavG711(id, 256, mulaw = id % 2 == 0)))
       ext.Multimodal.wavFeatures(assets).toDF()
@@ -193,7 +200,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q146_audio_frames" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWav(id, 256)))
       ext.Multimodal.wavFrameEnergy(assets, frameSamples = 100).toDF()
@@ -213,7 +220,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q145_adpcm_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "audio",
           ext.Multimodal.makeWavAdpcm(id, 256 + (id % 3).toInt * 128)))
       ext.Multimodal.wavFeatures(assets).toDF()
@@ -230,7 +237,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q137_png_variants" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val bytes = (id % 5) match {
             case 0 => ext.Multimodal.makePngVariant(id, 13, 7, 0, 8)
@@ -260,7 +267,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q155_qoi_decode" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "image", ext.Qoi.makeQoi(id, 9, 12)))
       ext.Multimodal.qoiFeatures(assets).toDF()
         .select(col("asset_id").as("doc_id"),
@@ -276,7 +283,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q174_image_phash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map(id => ext.Multimodal.Asset(id, "image",
           ext.Multimodal.makeBmpTextured(id, 18, 16)))
       ext.Multimodal.imageHashes(assets).toDF()
@@ -291,7 +298,7 @@ private[graft] object MultimodalGates extends GateFamily {
     "q189_trim_silence" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           ext.Multimodal.Asset(id, "audio",
             ext.Multimodal.makeWavPadded(id, 800,

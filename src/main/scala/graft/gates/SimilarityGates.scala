@@ -332,7 +332,7 @@ private[graft] object SimilarityGates extends GateFamily {
       val spark = s
       import spark.implicits._
       val ab = Array((7, 3), (9, 2), (5, 4), (11, 1))
-      val assets = fannedDocIds(tbl(s, dir, "documents"))
+      val assets = tbl(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val (a, b) = ab((id % 4).toInt)
           val m = (id % 5).toInt

@@ -23,15 +23,17 @@ private[graft] object Support {
 
   /** The id column of `docs` as a Dataset[Long], fanned out to the
     * session parallelism when the scan arrives narrower than HALF of it
-    * (one small parquet file = ONE scan partition): these ids feed
-    * per-id asset synthesis + decode closures — the CPU wall of every
-    * multimodal gate — and on a narrow scan a single core pays that
-    * whole wall (q204 measured: ~5–7 s of task time serialized on one
-    * task, 8-core/32-core scaling ratio 0.74). The 8-byte id exchange
-    * is free next to per-row pixel/sample work at ANY scale, and an
-    * already-wide scan keeps its source partitioning (the
-    * StreamingMinhashLsh narrow-batch fan-out rule). Hash-partitioned
-    * by id, so the fan-out is deterministic under task retry.
+    * (one small parquet file = ONE scan partition), for per-id asset
+    * synthesis + decode maps. Apply ONLY where the per-row work was
+    * MEASURED to amortize the exchange: the r16 floor sweep showed the
+    * JPEG encode+decode gates halving (q107 0.74→0.52 s, q136
+    * 0.97→0.48 s) while every light BMP/WAV/QOI synth gate REGRESSED
+    * 20–150% — at gate scale their per-row work is microseconds and the
+    * exchange plus 32-task stage scheduling is pure cost, so those
+    * gates stay on their scan partitioning. Hash-partitioned by id, so
+    * the fan-out is deterministic under task retry; an already-wide
+    * scan keeps its source partitioning (the StreamingMinhashLsh
+    * narrow-batch rule).
     */
   def fannedDocIds(docs: DataFrame, idCol: String = "doc_id")
       : org.apache.spark.sql.Dataset[Long] = {
